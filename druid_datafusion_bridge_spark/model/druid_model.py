@@ -1,0 +1,169 @@
+"""Druid segment data model over Spark DataFrames (SURVEY.md §7 Phase C).
+
+Reference semantics being re-expressed:
+- a segment is an immutable, time-indexed columnar table with a mandatory
+  `__time` column (reference src/segment/mod.rs:19-24,103-109);
+- columns split into string *dimensions* and numeric *metrics*
+  (index.drd lists, src/segment/metadata.rs:19-24);
+- a segment carries a time interval [start, end) (metadata.rs:22-23,59-67);
+- ingestion may *roll up* raw rows to a queryGranularity time bucket with
+  per-metric aggregators (metadata.drd, tests/wikipedia_segment_test.rs:99-110).
+
+Spark mapping: `__time` => TimestampType column; dimension/metric split =>
+StructField metadata {"druid.role": ...}; interval => min/max stats (and
+directory partitioning when written); rollup => groupBy(granularity
+bucket + dims).agg(metric aggs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TIME_COLUMN = "__time"
+
+# ISO-8601 period -> seconds, for the granularities Druid commonly uses.
+_PERIOD_SECONDS = {
+    "PT1S": 1,
+    "PT1M": 60,
+    "PT5M": 300,
+    "PT15M": 900,
+    "PT30M": 1800,
+    "PT1H": 3600,
+    "PT6H": 21600,
+    "P1D": 86400,
+}
+# Calendar granularities that need date_trunc, not epoch math.
+_CALENDAR_UNIT = {"P1D": "day", "P1W": "week", "P1M": "month", "P3M": "quarter", "P1Y": "year"}
+
+
+def granularity_trunc(col: Column | str, period: str) -> Column:
+    """Druid queryGranularity bucketing: truncate a timestamp to an
+    ISO-8601 period (epoch-floor for sub-day, date_trunc for calendar).
+
+    Equivalent DuckDB for the epoch path:
+    ``CAST(to_timestamp(floor(epoch(ts)/N)*N) AS TIMESTAMP)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if period in _CALENDAR_UNIT:
+        return F.date_trunc(_CALENDAR_UNIT[period], c)
+    if period in _PERIOD_SECONDS:
+        n = _PERIOD_SECONDS[period]
+        return (F.floor(c.cast("long") / n) * n).cast("timestamp")
+    raise ValueError(f"unsupported granularity {period!r}")
+
+
+@dataclass(frozen=True)
+class SegmentInfo:
+    """`druid-segment info` analog (reference src/main.rs:97-126)."""
+
+    num_rows: int
+    columns: list[tuple[str, str]]  # (name, spark type simpleString)
+    dimensions: list[str]
+    metrics: list[str]
+    interval_start: object
+    interval_end: object
+
+
+class DruidTable:
+    """A Druid-modeled table: enforced `__time`, dimension/metric roles,
+    interval metadata, rollup writer."""
+
+    def __init__(self, df: DataFrame, time_col: str = TIME_COLUMN):
+        if time_col not in df.columns:
+            raise ValueError(f"missing mandatory time column {time_col!r}")
+        if time_col != TIME_COLUMN:
+            df = df.withColumnRenamed(time_col, TIME_COLUMN)
+        tf = next(f for f in df.schema.fields if f.name == TIME_COLUMN)
+        if not isinstance(tf.dataType, (T.TimestampType, T.TimestampNTZType)):
+            raise TypeError(f"{TIME_COLUMN} must be timestamp, got {tf.dataType}")
+        self.df = df
+
+    @property
+    def dimensions(self) -> list[str]:
+        """String columns are dimensions (reference index.drd dimension
+        list holds the string columns; fixtures/README.md:10-34)."""
+        return [
+            f.name
+            for f in self.df.schema.fields
+            if isinstance(f.dataType, T.StringType) and f.name != TIME_COLUMN
+        ]
+
+    @property
+    def metrics(self) -> list[str]:
+        return [
+            f.name
+            for f in self.df.schema.fields
+            if isinstance(f.dataType, (T.LongType, T.IntegerType, T.FloatType, T.DoubleType))
+            and f.name != TIME_COLUMN
+        ]
+
+    def info(self) -> SegmentInfo:
+        """Schema + interval + row count in one distributed pass
+        (reference computes num_rows by decoding __time, mod.rs:103-109;
+        we aggregate instead of materializing)."""
+        row = self.df.agg(
+            F.count("*").alias("n"),
+            F.min(TIME_COLUMN).alias("t0"),
+            F.max(TIME_COLUMN).alias("t1"),
+        ).collect()[0]
+        return SegmentInfo(
+            num_rows=row["n"],
+            columns=[(f.name, f.dataType.simpleString()) for f in self.df.schema.fields],
+            dimensions=self.dimensions,
+            metrics=self.metrics,
+            interval_start=row["t0"],
+            interval_end=row["t1"],
+        )
+
+    def rollup(
+        self,
+        granularity: str,
+        dims: list[str] | None = None,
+        aggs: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """Ingestion-time rollup (metadata.drd aggregators +
+        queryGranularity semantics): bucket __time, group by dims,
+        aggregate metrics. aggs maps metric -> one of sum|min|max|count.
+        Decimal-exact sums for float metrics (oracle-comparable)."""
+        dims = self.dimensions if dims is None else dims
+        if aggs is None:
+            aggs = {m: "sum" for m in self.metrics}
+        agg_cols = [F.count("*").alias("rollup_count")]
+        for metric, how in aggs.items():
+            typ = dict(self.df.dtypes)[metric]
+            if how == "sum" and typ in ("double", "float"):
+                agg_cols.append(
+                    F.sum(F.col(metric).cast("decimal(38,4)"))
+                    .cast("double")
+                    .alias(f"sum_{metric}")
+                )
+            elif how == "sum":
+                agg_cols.append(F.sum(metric).alias(f"sum_{metric}"))
+            elif how == "min":
+                agg_cols.append(F.min(metric).alias(f"min_{metric}"))
+            elif how == "max":
+                agg_cols.append(F.max(metric).alias(f"max_{metric}"))
+            elif how == "count":
+                agg_cols.append(F.count(metric).alias(f"count_{metric}"))
+            else:
+                raise ValueError(f"unsupported aggregator {how!r}")
+        bucket = granularity_trunc(TIME_COLUMN, granularity).alias(TIME_COLUMN)
+        return self.df.groupBy(bucket, *[F.col(d) for d in dims]).agg(*agg_cols)
+
+    def write_segments(self, path: str, granularity: str = "P1D") -> None:
+        """Persist interval-partitioned (the Druid segment-directory
+        convention as parquet partitioning => partition pruning on
+        __time filters)."""
+        (
+            self.df.withColumn(
+                "__interval", F.date_format(granularity_trunc(TIME_COLUMN, granularity), "yyyy-MM-dd")
+            )
+            .repartition("__interval")
+            .write.mode("overwrite")
+            .partitionBy("__interval")
+            .parquet(path)
+        )

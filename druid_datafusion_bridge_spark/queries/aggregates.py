@@ -1,0 +1,310 @@
+"""Aggregation operators A1-A12 (SURVEY.md §2.4).
+
+DELEGATED in the reference (src/main.rs:191); here every family is a
+Spark two-phase hash aggregate. Float-valued aggregates go through the
+exact-decimal discipline in .exact so results hash-match DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from . import query
+from .exact import dec, exact_avg, exact_sum, sql_avg, sql_sum
+
+
+@query(
+    "a1_count",
+    oracle="""
+    SELECT COUNT(*) AS n_rows, COUNT(l_quantity) AS n_qty,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    """,
+)
+def a1_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(*) — the reference's only native aggregate is row count via
+    the __time column length (src/segment/mod.rs:103-109)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.count("l_quantity").alias("n_qty"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@query(
+    "a2_sum_min_max_avg",
+    oracle=f"""
+    SELECT {sql_sum('l_quantity', 'sum_qty')},
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           {sql_avg('l_quantity', 'avg_qty')},
+           MIN(l_shipdate) AS min_ship,
+           MAX(l_shipdate) AS max_ship
+    FROM lineitem
+    """,
+)
+def a2_sum_min_max_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        exact_sum("l_quantity", "sum_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        exact_avg("l_quantity", "avg_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+@query(
+    "a3_groupby_multi",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_sum('o_totalprice', 'sum_price')},
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def a3_groupby_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        exact_sum("o_totalprice", "sum_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@query(
+    "a4_count_distinct_grouped",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a4_count_distinct_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query(
+    "a5_select_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def a5_select_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "a6_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows, {sql_sum('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a6_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"), exact_sum("l_quantity", "sum_qty")
+    )
+
+
+@query(
+    "a6b_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_rows, {sql_sum('o_totalprice', 'sum_price')}
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a6b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_rows"), exact_sum("o_totalprice", "sum_price")
+    )
+
+
+@query(
+    "a7_filtered_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4)))
+                FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS sum_open_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a7_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregates, expressed as agg-over-CASE (identical
+    semantics; SUM over empty set is NULL on both engines)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_quantity") > 25, F.lit(1))).alias("n_big"),
+        F.sum(
+            F.when(F.col("l_linestatus") == "O", dec("l_extendedprice", "decimal(38,4)"))
+        )
+        .cast("double")
+        .alias("sum_open_price"),
+    )
+
+
+@query(
+    "a8_stats",
+    oracle="""
+    WITH m AS (
+      SELECT COUNT(l_quantity) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) *
+                      CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s2
+      FROM lineitem)
+    SELECT n AS n_rows,
+           sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev_qty,
+           (s2 - s1 * s1 / n) / (n - 1) AS var_qty,
+           s1 / n AS mean_qty
+    FROM m
+    """,
+)
+def a8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/variance from exact decimal moments, so the final double
+    arithmetic is the same expression tree on both engines (A8).
+    (Native F.stddev is order-dependent over doubles => not oracle-exact.)"""
+    li = table(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.count("l_quantity").alias("n"),
+        F.sum(dec("l_quantity")).cast("double").alias("s1"),
+        F.sum(dec("l_quantity") * dec("l_quantity")).cast("double").alias("s2"),
+    )
+    return m.select(
+        F.col("n").alias("n_rows"),
+        F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)).alias(
+            "stddev_qty"
+        ),
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)).alias(
+            "var_qty"
+        ),
+        (F.col("s1") / F.col("n")).alias("mean_qty"),
+    )
+
+
+@query("a9_approx_count_distinct")  # approximate => no SQL oracle (rows-only)
+def a9_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch — the query-time analog of Druid's hyperUnique complex
+    column, which the reference exposes in schema but cannot read
+    (src/column/mod.rs:59-61, README.md:16). Sketch values differ across
+    engines by design; correctness is bounded-error (tested in pytest
+    against exact distinct counts)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@query("a10_approx_percentile")  # approximate => no SQL oracle (rows-only)
+def a10_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ApproxHistogram analog (reference README.md:16, unreadable complex
+    column) via percentile_approx sketches."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99"),
+    )
+
+
+@query(
+    "a10b_exact_median",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a10b_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous median (interpolated) — deterministic counterpart
+    of A10 for the oracle gate."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty")
+    )
+
+
+@query(
+    "a11_positional_aggs",
+    oracle="""
+    SELECT o_orderstatus,
+           min_by(o_orderpriority, o_orderkey) AS first_priority,
+           max_by(o_orderpriority, o_orderkey) AS last_priority,
+           MIN(o_orderkey) AS min_key,
+           string_agg(o_orderpriority, ',' ORDER BY o_orderpriority, o_orderkey)
+             AS all_priorities
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a11_positional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by + deterministic string_agg (A11). Spark collect_list
+    has no intra-group order guarantee, so we sort (priority, key) pairs
+    before concatenation — same total order as the oracle's ORDER BY."""
+    orders = table(spark, sf_dir, "orders")
+    pair = F.struct(F.col("o_orderpriority"), F.col("o_orderkey"))
+    return orders.groupBy("o_orderstatus").agg(
+        F.min_by("o_orderpriority", "o_orderkey").alias("first_priority"),
+        F.max_by("o_orderpriority", "o_orderkey").alias("last_priority"),
+        F.min("o_orderkey").alias("min_key"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(pair)), lambda s: s.o_orderpriority),
+            ",",
+        ).alias("all_priorities"),
+    )
+
+
+@query(
+    "a11b_collect_sorted",
+    oracle="""
+    SELECT n_regionkey, list_sort(list(n_name)) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def a11b_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_agg with canonical (sorted) order for comparability."""
+    na = table(spark, sf_dir, "nation")
+    return na.groupBy("n_regionkey").agg(
+        F.array_sort(F.collect_list("n_name")).alias("nations")
+    )
+
+
+@query(
+    "a12_time_bucket",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS bucket_hour,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_sum('value', 'sum_value')},
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def a12_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid's signature time-bucketed rollup (queryGranularity semantics,
+    reference metadata.drd / tests/wikipedia_segment_test.rs:106) on the
+    events table."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        exact_sum("value", "sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

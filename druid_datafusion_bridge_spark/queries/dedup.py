@@ -1,0 +1,189 @@
+"""Deduplication operators (build mandate): exact, normalized-exact,
+n-gram Jaccard, MinHash+LSH — all pure DataFrame compositions (no Python
+UDFs), so they distribute: dedup is groupBy/join on hash keys.
+
+Scale posture: exact dedup is a hash groupBy on a fingerprint (one
+shuffle on a high-cardinality key — AQE handles skew); MinHash/LSH is
+explode -> min-agg -> band-bucket join, the standard way to avoid the
+O(n^2) pair comparison at 100 TB. Pair outputs here are on doc subsets
+only to keep the DuckDB oracle tractable; the operators themselves are
+unbounded (see druid_datafusion_bridge_spark.operators.dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from . import query
+from ..operators.dedup import (
+    MINHASH_BANDS,
+    MINHASH_ROWS_PER_BAND,
+    doc_word_ngrams,
+    exact_dedup,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+)
+
+
+@query(
+    "dd_exact",
+    oracle="""
+    SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on content fingerprint, keep lowest doc_id."""
+    docs = table(spark, sf_dir, "documents")
+    return exact_dedup(docs, text_col="text", id_col="doc_id")
+
+
+@query(
+    "dd_exact_normalized",
+    oracle="""
+    SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY lower(regexp_replace(text, '\\s+', ' ', 'g'))
+    """,
+)
+def dd_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after whitespace/case normalization."""
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "text", F.lower(F.regexp_replace("text", r"\s+", " "))
+    )
+    return exact_dedup(docs, text_col="text", id_col="doc_id")
+
+
+# DuckDB mirror of the word-5-gram set used by the Spark operators.
+_ORACLE_GRAMS = """
+  toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  grams AS (
+    SELECT DISTINCT doc_id,
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
+    FROM toks, unnest(generate_series(1, greatest(len(t) - 4, 0))) AS u(i))
+"""
+
+
+@query(
+    "dd_ngram_jaccard",
+    oracle=f"""
+    WITH {_ORACLE_GRAMS},
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, shared,
+           CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) AS jaccard
+    FROM pairs
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.2
+    """,
+)
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-5-gram Jaccard >= 0.2 (inverted-index
+    join on grams — no O(n^2) cross join)."""
+    docs = table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=5, threshold=0.2)
+
+
+@query(
+    "dd_minhash_signatures",
+    oracle=f"""
+    WITH {_ORACLE_GRAMS},
+    hashes AS (
+      SELECT doc_id, s.seed,
+             CAST('0x' || substr(md5(s.seed || ':' || g), 1, 15) AS BIGINT) AS h
+      FROM grams, (SELECT unnest(generate_series(0, {MINHASH_BANDS * MINHASH_ROWS_PER_BAND - 1})) AS seed) s)
+    SELECT doc_id, seed, MIN(h) AS minhash
+    FROM hashes GROUP BY doc_id, seed
+    """,
+)
+def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature matrix (doc x seed -> min of md5-derived 60-bit
+    hashes over the doc's 5-gram shingles). Engine-independent hash =>
+    exactly oracle-checkable."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        minhash_signatures(docs)
+        .select("doc_id", F.posexplode("sig").alias("seed", "minhash"))
+        .select("doc_id", F.col("seed").cast("long").alias("seed"), "minhash")
+    )
+
+
+@query(
+    "dd_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_ORACLE_GRAMS},
+    hashes AS (
+      SELECT doc_id, s.seed,
+             CAST('0x' || substr(md5(s.seed || ':' || g), 1, 15) AS BIGINT) AS h
+      FROM grams, (SELECT unnest(generate_series(0, {MINHASH_BANDS * MINHASH_ROWS_PER_BAND - 1})) AS seed) s),
+    sig AS (SELECT doc_id, seed, MIN(h) AS mh FROM hashes GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, seed // {MINHASH_ROWS_PER_BAND} AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_key
+      FROM sig GROUP BY doc_id, band),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b FROM cand
+    """,
+)
+def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: equal band-signature in >=1 of the bands.
+    This is the 100 TB-scale near-dup path — cost is O(docs x bands) plus
+    bucket-local pair expansion, never all-pairs."""
+    docs = table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(docs)
+
+
+@query(
+    "dd_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      FROM documents),
+    h AS (SELECT doc_id, w,
+                 CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS hw
+          FROM toks),
+    bits AS (
+      SELECT doc_id, b.bit,
+             CASE WHEN SUM(CASE WHEN (hw >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                  THEN 1 ELSE 0 END AS bitval
+      FROM h, (SELECT unnest(generate_series(0, 15)) AS bit) b
+      GROUP BY doc_id, b.bit)
+    SELECT doc_id,
+           CAST(SUM(bitval * (1::BIGINT << bit)) AS BIGINT) AS simhash16
+    FROM bits GROUP BY doc_id
+    """,
+)
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over distinct words (md5-derived bit votes).
+    Pure explode + groupBy — two shuffles, linear in corpus size."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    h = toks.select(
+        "doc_id", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("hw")
+    )
+    bits = (
+        h.select("doc_id", "hw", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"))
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.expr(
+                "CASE WHEN SUM(CASE WHEN (shiftright(hw, bit) & 1) = 1 THEN 1 ELSE -1 END) > 0"
+                " THEN 1 ELSE 0 END"
+            ).alias("bitval")
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.expr("SUM(bitval * shiftleft(CAST(1 AS BIGINT), bit))").alias("simhash16")
+    )

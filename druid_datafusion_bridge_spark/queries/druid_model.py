@@ -1,0 +1,95 @@
+"""Druid data-model query registrations: granularity rollup (the Druid
+signature operation) on the events table, oracle-checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from . import query
+from ..model.druid_model import DruidTable, granularity_trunc
+
+
+@query(
+    "dm_rollup_pt15m",
+    oracle="""
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 900) * 900) AS TIMESTAMP) AS __time,
+           event_type,
+           COUNT(*) AS rollup_count,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def dm_rollup_pt15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid ingestion rollup at PT15M granularity, grouped by the
+    event_type dimension, sum aggregator on value (metadata.drd
+    aggregators/queryGranularity semantics — reference
+    tests/wikipedia_segment_test.rs:99-110)."""
+    ev = table(spark, sf_dir, "events").select(
+        F.col("ts").alias("__time"), "event_type", "value"
+    )
+    dt = DruidTable(ev)
+    return dt.rollup("PT15M", dims=["event_type"], aggs={"value": "sum"})
+
+
+@query(
+    "dm_rollup_hour_multi",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket,
+           user_id % 10 AS user_shard,
+           COUNT(*) AS n,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def dm_rollup_hour_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rollup with min/max aggregators and a computed shard dim."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"),
+            (F.col("user_id") % 10).alias("user_shard"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+@query(
+    "dm_time_boundary",
+    oracle="""
+    SELECT MIN(ts) AS interval_start, MAX(ts) AS interval_end,
+           COUNT(*) AS num_rows
+    FROM events
+    """,
+)
+def dm_time_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid timeBoundary query / segment interval metadata
+    (reference src/segment/metadata.rs:59-67, src/main.rs:115-124)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.agg(
+        F.min("ts").alias("interval_start"),
+        F.max("ts").alias("interval_end"),
+        F.count("*").alias("num_rows"),
+    )
+
+
+@query("dm_info")  # metadata probe — not a relational query => rows-only
+def dm_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`druid-segment info` analog (reference src/main.rs:97-126):
+    column name/type/role table for the events table."""
+    ev = table(spark, sf_dir, "events").select(
+        F.col("ts").alias("__time"), "event_type", "props", "user_id", "value"
+    )
+    dt = DruidTable(ev)
+    rows = [
+        (name, typ, "time" if name == "__time" else
+         ("dimension" if name in dt.dimensions else "metric"))
+        for name, typ in [(f.name, f.dataType.simpleString()) for f in ev.schema.fields]
+    ]
+    return spark.createDataFrame(rows, "column string, type string, role string")

@@ -1,0 +1,74 @@
+"""Helpers for bit-exact agreement between Spark and the DuckDB oracle.
+
+Floating-point aggregation is order-dependent, and Spark's partial/final
+two-phase hash aggregate sums doubles in a nondeterministic order. To make
+SUM/AVG/STDDEV/... hash-comparable against DuckDB we:
+
+1. cast the double input to an exact DECIMAL (the testdata money/quantity
+   columns carry <= 4 fractional digits, so decimal(18,4) is lossless),
+2. aggregate in decimal (exact, order-independent in both engines),
+3. cast the final scalar back to DOUBLE (nearest-double of the same exact
+   decimal => bit-identical on both sides).
+
+Derived statistics (avg/stddev/corr) are then computed from those exact
+moments with the *same* double-arithmetic expression tree on both sides,
+which IEEE-754 evaluates identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Enough integer headroom for ~100 TB scale sums: decimal(38,4) holds 1e34.
+SUM_DEC = "decimal(38,4)"
+# Operand type for exact products: (18,4) x (18,4) -> (37,8), still exact.
+MUL_DEC = "decimal(18,4)"
+
+
+def dec(col: str | Column, typ: str = MUL_DEC) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(typ)
+
+
+def exact_sum(col: str | Column, alias: str) -> Column:
+    """SUM over doubles, exact via decimal, surfaced as double."""
+    return F.sum(dec(col, SUM_DEC)).cast("double").alias(alias)
+
+
+def exact_avg(col: str | Column, alias: str) -> Column:
+    """AVG = exact-decimal SUM cast to double, divided by COUNT (double op
+    identical on both engines)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(dec(c, SUM_DEC)).cast("double") / F.count(c)).alias(alias)
+
+
+def sql_sum(expr: str, alias: str) -> str:
+    """DuckDB-side mirror of :func:`exact_sum`."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,4))) AS DOUBLE) AS {alias}"
+
+
+def sql_avg(expr: str, alias: str) -> str:
+    """DuckDB-side mirror of :func:`exact_avg`."""
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(38,4))) AS DOUBLE) / COUNT({expr}) AS {alias}"
+    )
+
+
+def revenue_col(alias: str = "revenue") -> Column:
+    """The TPC-H revenue expression l_extendedprice*(1-l_discount), exact:
+    decimal(18,4) x decimal(18,4) product summed in decimal.
+
+    Surfaced as DECIMAL(38,8), NOT double: the sum is exact in both
+    engines, but DuckDB's high-scale decimal->double cast is not
+    correctly rounded (int128/10^s in fp), so a double output would
+    diverge by 1 ulp once the scaled integer exceeds 2^53.
+    """
+    prod = dec("l_extendedprice") * (F.lit(1).cast(MUL_DEC) - dec("l_discount"))
+    return F.sum(prod).cast("decimal(38,8)").alias(alias)
+
+
+REVENUE_SQL = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * "
+    "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8))"
+)

@@ -1,0 +1,182 @@
+"""Join operators J1-J8 (SURVEY.md §2.3).
+
+All joins are DELEGATED in the reference (zero join code; DataFusion 44
+executes them behind src/main.rs:186-195). Spark-first expression:
+``df.join`` with Catalyst picking broadcast-hash / shuffled-hash /
+sort-merge; we hint broadcast for genuinely small sides so the plan at
+100 TB has no dim-table shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from . import query
+
+
+@query(
+    "j1_inner_equi",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def j1_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    return orders.join(cu, F.col("o_custkey") == F.col("c_custkey"), "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "j2_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def j2_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return cu.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "j2b_right_outer",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def j2b_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    return orders.join(cu, F.col("o_custkey") == F.col("c_custkey"), "right").select(
+        "c_custkey", "c_name", "o_orderkey"
+    )
+
+
+@query(
+    "j2c_full_outer",
+    oracle="""
+    WITH big AS (SELECT * FROM customer WHERE c_acctbal > 5000),
+         o96 AS (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+    SELECT c_custkey, c_name, o_orderkey
+    FROM big FULL OUTER JOIN o96 ON c_custkey = o_custkey
+    """,
+)
+def j2c_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer with nulls on BOTH sides (filters create orphan keys)."""
+    cu = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    return cu.join(orders, F.col("c_custkey") == F.col("o_custkey"), "full").select(
+        "c_custkey", "c_name", "o_orderkey"
+    )
+
+
+@query(
+    "j3_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    """,
+)
+def j3_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return cu.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "j4_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def j4_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return cu.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "j5_cross",
+    oracle="""
+    SELECT r.r_name AS region_a, n.n_name AS nation_b
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def j5_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    re = table(spark, sf_dir, "region").select(F.col("r_name").alias("region_a"))
+    na = table(spark, sf_dir, "nation").select(F.col("n_name").alias("nation_b"))
+    return re.crossJoin(na)
+
+
+@query(
+    "j6_theta_nonequi",
+    oracle="""
+    SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+    FROM supplier JOIN customer
+      ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+    """,
+)
+def j6_theta_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed equi + theta condition -> Spark hash join with post-filter
+    (or BroadcastNestedLoop for the pure-theta case)."""
+    su = table(spark, sf_dir, "supplier")
+    cu = table(spark, sf_dir, "customer")
+    return su.join(
+        cu,
+        (F.col("s_nationkey") == F.col("c_nationkey"))
+        & (F.col("s_acctbal") > F.col("c_acctbal")),
+    ).select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+
+
+@query(
+    "j7_sort_merge",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, o_orderdate
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def j7_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as a hash join, physical strategy pinned to
+    sort-merge via hint (J7 — physical alternative; at scale SMJ wins
+    when both sides are large and pre-sorted/bucketed on the key)."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        li.hint("merge")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_linenumber", "o_orderdate")
+    )
+
+
+@query(
+    "j8_broadcast",
+    oracle="""
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def j8_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast hint — zero-shuffle dim join (J8)."""
+    su = table(spark, sf_dir, "supplier")
+    na = table(spark, sf_dir, "nation")
+    return su.join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey")).select(
+        "s_suppkey", "s_name", "n_name"
+    )

@@ -1,0 +1,183 @@
+"""Text-analysis operators for training-data pipelines (build mandate,
+beyond the reference's surface): token counting, quality scoring,
+language-ID heuristic, document fingerprinting.
+
+All hot-path logic is JVM-side built-ins (regexp_*, md5, length) — no
+Python UDFs — so the operators stay inside whole-stage codegen and scale
+linearly with input splits at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from . import query
+
+# Deterministic 60-bit hash from md5 — reproducible in any engine
+# (DuckDB: CAST('0x' || substr(md5(x),1,15) AS BIGINT)).
+def md5_hash60(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def sql_md5_hash60(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+@query(
+    "txt_token_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+           length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_word_chars,
+           length(regexp_replace(text, '[^ ]', '', 'g')) AS n_spaces,
+           length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+             AS n_punct
+    FROM documents
+    """,
+)
+def txt_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char counting — whitespace+word-char tokenizer (BPE-ish regex
+    pretokenization shape)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_calc"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z0-9]+"), 0))
+        .cast("long")
+        .alias("n_tokens"),
+        F.length(F.regexp_replace("text", "[^A-Za-z0-9]", "")).cast("long").alias("n_word_chars"),
+        F.length(F.regexp_replace("text", "[^ ]", "")).cast("long").alias("n_spaces"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", "[.,!?;:]", ""))
+        ).cast("long").alias("n_punct"),
+    )
+
+
+@query(
+    "txt_quality_score",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             length(text) AS nc,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS nt
+      FROM documents)
+    SELECT doc_id,
+           nc, nt,
+           CASE WHEN nt = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(nc AS DOUBLE) / nt END AS chars_per_token,
+           CASE WHEN nc BETWEEN 100 AND 400 THEN CAST(1 AS DOUBLE)
+                WHEN nc BETWEEN 50 AND 600 THEN CAST(0.5 AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END AS length_score,
+           CASE WHEN nt >= 20 THEN CAST(1 AS DOUBLE)
+                ELSE CAST(nt AS DOUBLE) / 20 END AS token_score
+    FROM s
+    """,
+)
+def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality scoring (length & token-density bands)."""
+    docs = table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("nc"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z0-9]+"), 0))
+        .cast("long")
+        .alias("nt"),
+    )
+    return s.select(
+        "doc_id",
+        "nc",
+        "nt",
+        F.when(F.col("nt") == 0, F.lit(0.0))
+        .otherwise(F.col("nc") * 1.0 / F.col("nt"))
+        .alias("chars_per_token"),
+        F.when(F.col("nc").between(100, 400), 1.0)
+        .when(F.col("nc").between(50, 600), 0.5)
+        .otherwise(0.0)
+        .alias("length_score"),
+        F.when(F.col("nt") >= 20, F.lit(1.0)).otherwise(F.col("nt") / 20.0).alias(
+            "token_score"
+        ),
+    )
+
+
+@query(
+    "txt_lang_id",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(' ' || text || ' ', ' (the|and|of|scan) '))
+               AS hits_en,
+             len(regexp_extract_all(' ' || text || ' ', ' (el|la|de|los) '))
+               AS hits_es,
+             len(regexp_extract_all(' ' || text || ' ', ' (der|die|das|und) '))
+               AS hits_de,
+             len(regexp_extract_all(' ' || text || ' ', ' (le|les|et|du) '))
+               AS hits_fr
+      FROM documents)
+    SELECT doc_id, lang AS label_lang,
+           CASE WHEN hits_en >= hits_es AND hits_en >= hits_de
+                     AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
+                WHEN hits_es >= hits_de AND hits_es >= hits_fr
+                     AND hits_es > 0 THEN 'es'
+                WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
+                WHEN hits_fr > 0 THEN 'fr'
+                ELSE 'und' END AS pred_lang
+    FROM f
+    """,
+)
+def txt_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language-ID heuristic (deterministic n-gram scoring;
+    a real pipeline would swap in a trained n-gram model via pandas_udf —
+    the plumbing and tie-break CASE cascade are identical)."""
+    docs = table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+
+    def hits(words: str) -> Column:
+        return F.size(F.regexp_extract_all(padded, F.lit(f" ({words}) "), 0))
+
+    f = docs.select(
+        "doc_id",
+        F.col("lang").alias("label_lang"),
+        hits("the|and|of|scan").alias("hits_en"),
+        hits("el|la|de|los").alias("hits_es"),
+        hits("der|die|das|und").alias("hits_de"),
+        hits("le|les|et|du").alias("hits_fr"),
+    )
+    en, es, de, fr = (F.col(c) for c in ("hits_en", "hits_es", "hits_de", "hits_fr"))
+    return f.select(
+        "doc_id",
+        "label_lang",
+        F.when((en >= es) & (en >= de) & (en >= fr) & (en > 0), "en")
+        .when((es >= de) & (es >= fr) & (es > 0), "es")
+        .when((de >= fr) & (de > 0), "de")
+        .when(fr > 0, "fr")
+        .otherwise("und")
+        .alias("pred_lang"),
+    )
+
+
+_NORM_EXPR = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+
+
+@query(
+    "txt_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5({_NORM_EXPR}) AS fp_md5,
+           {sql_md5_hash60(_NORM_EXPR)} AS fp_60bit
+    FROM documents
+    """,
+)
+def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint: md5 hex + a 60-bit integer variant
+    (bucket/shard key for distributed dedup joins)."""
+    docs = table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace("text", r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        md5_hash60(norm).alias("fp_60bit"),
+    )

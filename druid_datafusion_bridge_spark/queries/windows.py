@@ -1,0 +1,217 @@
+"""Window functions W1-W4 (SURVEY.md §2.5) — DELEGATED in the reference
+(src/main.rs:191), expressed as Spark window specs.
+
+Determinism rules for the oracle gate: ranking windows either order by a
+unique key (row_number) or are tie-stable by definition (rank/dense_rank/
+percent_rank/cume_dist); running sums aggregate exact decimals.
+Scale note: every window here partitions by a key before ordering —
+no global (unpartitioned) ORDER BY windows, which would single-task at
+100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from . import query
+from .exact import dec
+
+
+@query(
+    "w1_ranking",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                              ORDER BY l_orderkey, l_linenumber, l_quantity) AS rn,
+           RANK()       OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS drnk,
+           PERCENT_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS prnk,
+           CUME_DIST()  OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cd
+    FROM lineitem
+    """,
+)
+def w1_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    w_unique = W.partitionBy("l_returnflag").orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    w_qty = W.partitionBy("l_returnflag").orderBy("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.row_number().over(w_unique).cast("long").alias("rn"),
+        F.rank().over(w_qty).cast("long").alias("rnk"),
+        F.dense_rank().over(w_qty).cast("long").alias("drnk"),
+        F.percent_rank().over(w_qty).alias("prnk"),
+        F.cume_dist().over(w_qty).alias("cd"),
+    )
+
+
+@query(
+    "w2_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           LAG(o_totalprice)  OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           LAG(o_totalprice, 2, -1.0) OVER w AS prev2_price,
+           FIRST_VALUE(o_orderkey) OVER w AS first_key,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def w2_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.lag("o_totalprice", 2, -1.0).over(w).alias("prev2_price"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )
+
+
+@query(
+    "w3_agg_over_window",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+             PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_qty,
+           COUNT(*) OVER (PARTITION BY l_suppkey) AS supp_rows
+    FROM lineitem
+    """,
+)
+def w3_agg_over_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running SUM over an ordered frame + partition-total COUNT (W3).
+    The running sum accumulates exact decimals => order-independent
+    equality with the oracle."""
+    li = table(spark, sf_dir, "lineitem")
+    w_run = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("l_suppkey")
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(dec("l_quantity")).over(w_run).cast("double").alias("running_qty"),
+        F.count("*").over(w_all).alias("supp_rows"),
+    )
+
+
+@query(
+    "w4_frame_rows",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum3,
+           COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS cnt3
+    FROM orders
+    """,
+)
+def w4_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS BETWEEN frame (W4); moving 3-row sum/count."""
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("sum3"),
+        F.count("*").over(w).alias("cnt3"),
+    )
+
+
+@query(
+    "o1_orderby_multi",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer
+    ORDER BY c_nationkey ASC, c_acctbal DESC NULLS LAST, c_custkey
+    """,
+)
+def o1_orderby_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key global sort with pinned null placement (O1).
+    (Order-insensitive hash still verifies content; sort exercised in plan.)"""
+    cu = table(spark, sf_dir, "customer")
+    return cu.select("c_custkey", "c_nationkey", "c_acctbal").orderBy(
+        F.col("c_nationkey").asc(),
+        F.col("c_acctbal").desc_nulls_last(),
+        F.col("c_custkey"),
+    )
+
+
+@query(
+    "o2_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_orderkey LIMIT 20 OFFSET 5
+    """,
+)
+def o2_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.select("o_orderkey", "o_totalprice").orderBy("o_orderkey").offset(5).limit(20)
+
+
+@query(
+    "o3_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+    """,
+)
+def o3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k (Druid TopN analog) — Catalyst fuses to TakeOrderedAndProject:
+    per-partition heap + driver merge, no global sort (O3)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(15)
+    )
+
+
+@query(
+    "o3b_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                ORDER BY l_extendedprice DESC,
+                                         l_orderkey, l_linenumber) AS rn
+      FROM lineitem) t
+    WHERE rn <= 3
+    """,
+)
+def o3b_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group — the distributed TopN pattern (window + filter;
+    Spark pushes a per-partition WindowGroupLimit at scale)."""
+    li = table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_suppkey").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
