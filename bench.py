@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a noop write (full plan executes on the
+executors; nothing is collected to the driver), timed after a session
+warm-up so JVM startup isn't attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from druid_datafusion_bridge_spark import get_spark
+from druid_datafusion_bridge_spark.queries import all_queries
+
+# Representative, scale-sensitive subset: scan-agg, wide-agg, multi-join,
+# star join, filter-agg, time rollup, window, top-k per group, dedup LSH,
+# similarity top-k, text stats.
+HEADLINE = [
+    "flagship_rollup",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "a12_time_bucket",
+    "w3_agg_over_window",
+    "o3b_topk_per_group",
+    "dd_minhash_lsh_pairs",
+    "sim_topk_per_probe",
+    "txt_token_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app_name="ddbs-bench")
+    queries = all_queries()
+
+    # Warm up: JVM, parquet footers, first-shuffle infra.
+    queries["q6_forecast_revenue"](spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

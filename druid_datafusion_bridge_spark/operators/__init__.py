@@ -6,3 +6,19 @@ Pandas-UDF/`mapInPandas` only where they genuinely don't (multimodal
 decode). Each operator takes and returns DataFrames so it composes with
 the rest of a Catalyst plan and inherits pushdown/AQE.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Repartition to cluster parallelism before a CPU-heavy stage.
+
+    Small inputs (single parquet file => single partition) would
+    otherwise run hash/explode-heavy operators on one core; at real
+    scale input splits already provide parallelism and this is a cheap
+    rebalance. The shuffle moves only the narrow input columns.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism * factor
+    return df.repartition(n)

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from . import spread
+
 # LSH layout: 16 minhash permutations = 4 bands x 4 rows.
 # P(candidate | jaccard s) = 1 - (1 - s^4)^4  => s50 ~ 0.66.
 MINHASH_BANDS = 4
@@ -54,8 +56,8 @@ def doc_word_ngrams(
         F.array().cast("array<int>")
     )
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
-    return docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("g")
+    return spread(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))).select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("g")
     )
 
 
@@ -103,23 +105,26 @@ def minhash_signatures(
     """MinHash signature per doc: (doc_id, sig array<long> of length `seeds`).
 
     h_s(gram) = md5_hash60(s || ':' || gram); sig[s] = min over grams.
-    The shingle explode is the only row expansion (grams x seeds), then a
-    partial-agg min collapses map-side before the shuffle.
+
+    One row per (doc, gram) carrying the full hash vector; signatures
+    fold element-wise (zip_with least) inside a single groupBy — one
+    shuffle, no seeds-fold row blowup. At 100 TB this is the difference
+    between shuffling |grams| rows and |grams| x seeds rows.
     """
     grams = doc_word_ngrams(docs, n=n, text_col=text_col, id_col=id_col)
-    h = grams.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(seeds - 1))).alias("seed"),
-        "g",
-    ).select(
-        "doc_id",
-        "seed",
-        md5_hash60(F.concat_ws(":", F.col("seed"), F.col("g"))).alias("h"),
+    hash_vec = F.transform(
+        F.sequence(F.lit(0), F.lit(seeds - 1)),
+        lambda s: md5_hash60(F.concat_ws(":", s, F.col("g"))),
     )
-    sig = h.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
-    return sig.groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s.mh
+    per_gram = grams.select("doc_id", hash_vec.alias("hv"))
+    max_sig = F.expr(
+        f"array_repeat(CAST(9223372036854775807 AS BIGINT), {seeds})"
+    )
+    return per_gram.groupBy("doc_id").agg(
+        F.aggregate(
+            F.collect_list("hv"),
+            max_sig,
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
         ).alias("sig")
     )
 
@@ -140,19 +145,21 @@ def lsh_candidate_pairs(
     """
     sig = minhash_signatures(
         docs, n=n, seeds=bands * rows_per_band, text_col=text_col, id_col=id_col
-    ).select("doc_id", F.posexplode("sig").alias("seed", "mh"))
-    bands_df = (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                    lambda s: s.mh.cast("string"),
-                ),
-                ",",
-            ).alias("band_key")
-        )
+    )
+    # Band keys sliced straight out of the signature array — one narrow
+    # (doc, band, key) row per band, no per-seed explode or extra shuffle.
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.array_join(
+            F.transform(
+                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                lambda m: m.cast("string"),
+            ),
+            ",",
+        ),
+    )
+    bands_df = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "band_key")
     )
     a = bands_df.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = bands_df.select(F.col("doc_id").alias("doc_b"), "band", "band_key")

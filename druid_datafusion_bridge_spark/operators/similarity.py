@@ -19,6 +19,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from . import spread
+
 
 def as_double_vec(col: Column) -> Column:
     """array<float> -> array<double> (exact widening; all math in double)."""
@@ -58,8 +60,10 @@ def brute_force_topk(
     Excludes self-matches (same id). Ties broken by vec_id for
     determinism.
     """
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"), as_double_vec(F.col(vec_col)).alias("v")
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), as_double_vec(F.col(vec_col)).alias("v")
+        )
     )
     p = probes.select(
         F.col(probe_id_col).alias("probe_id"), F.col("probe_vec").alias("q")
@@ -114,8 +118,10 @@ def lsh_topk(
     At scale the corpus would be written partitioned by bucket so a probe
     batch prunes input partitions; here bucket is a computed join key.
     """
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"), as_double_vec(F.col(vec_col)).alias("v")
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), as_double_vec(F.col(vec_col)).alias("v")
+        )
     ).withColumn("bucket", hyperplane_bucket(F.col("v"), dim, bits))
     p = probes.select(
         F.col(probe_id_col).alias("probe_id"), F.col("probe_vec").alias("q")
@@ -143,8 +149,10 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Near-duplicate embedding pairs (cosine >= threshold) via LSH
     self-join: only same-bucket pairs are scored."""
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"), as_double_vec(F.col(vec_col)).alias("v")
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), as_double_vec(F.col(vec_col)).alias("v")
+        )
     ).withColumn("bucket", hyperplane_bucket(F.col("v"), dim, bits))
     a = c.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket")
     b = c.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket")

@@ -167,8 +167,10 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash over distinct words (md5-derived bit votes).
     Pure explode + groupBy — two shuffles, linear in corpus size."""
+    from ..operators import spread
+
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = spread(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     )
     h = toks.select(

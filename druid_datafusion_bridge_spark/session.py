@@ -47,6 +47,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for any Python-side exchange (pandas UDFs, toPandas).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Split size tuned to the local test scale so small parquet files
+        # still fan out across cores (at cluster scale with TB inputs the
+        # 128m default is right — override via env).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
+        )
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
