@@ -63,9 +63,20 @@ def extract_features(blobs: DataFrame) -> DataFrame:
     boundary carries only (doc_id, payload, modality, n_bytes).
     """
 
+    # Defined inside the closure so cloudpickle ships it by value — a
+    # module-level reference would require this package on the worker's
+    # sys.path, which a driver launched outside the repo doesn't have.
+    def decode(payload: bytes) -> tuple[int, int, list[float]]:
+        n = len(payload)
+        width = (n % 64) + 1
+        height = (n % 48) + 1
+        s = sum(payload[:16]) if n else 0
+        feat = [float(n), float(s), float(payload[0] if n else 0), float(n % 7)]
+        return width, height, feat
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = pdf["payload"].map(_decode_stub)
+            decoded = pdf["payload"].map(decode)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

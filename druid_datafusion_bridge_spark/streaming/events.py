@@ -1,0 +1,113 @@
+"""Streaming operators over the events table.
+
+Each operator takes a *streaming* DataFrame (readStream) and returns the
+transformed streaming DataFrame; `stream_events` builds the source from
+the driver's parquet testdata (file source — swap for kafka in
+production; the transformations are source-agnostic).
+
+Semantics mirror the batch rollup queries (queries/druid_model.py), so
+tests can run a stream to completion and diff it against the batch
+answer on the same files.
+
+Scale notes: watermark + windowed aggregation keeps state bounded (late
+rows beyond the watermark are dropped); state lives in the state store
+partitioned by group key, so throughput scales with executors;
+dropDuplicatesWithinWatermark bounds dedup state the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table.
+
+    ts is TIMESTAMP(NANOS) in the parquet file; read as long
+    (nanosAsLong) and convert, exactly like the batch catalog.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_rollup(events: DataFrame, width: str = "15 minutes") -> DataFrame:
+    """Druid granularity rollup as a tumbling-window streaming aggregate
+    (the streaming twin of dm_rollup_pt15m)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_rollup(
+    events: DataFrame, width: str = "30 minutes", slide: str = "10 minutes"
+) -> DataFrame:
+    """Sliding-window aggregate (overlapping buckets)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n_events")
+    )
+
+
+def session_rollup(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Per-user sessionization via session_window (dynamic-gap windows —
+    state closes once the watermark passes the gap)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, delay: str = "30 minutes") -> DataFrame:
+    """Stateful stream dedup on event_id with bounded state
+    (dropDuplicatesWithinWatermark)."""
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drive a streaming query over the (finite) file source to
+    completion into an in-memory table; returns the StreamingQuery.
+    Test/demo helper — production sinks are kafka/parquet/foreachBatch."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

@@ -1,0 +1,92 @@
+"""Streaming extension tests: run each streaming operator over the
+finite events file source to completion and diff against the batch
+answer on the same data (complete-mode aggregates must equal batch;
+append-mode dedup must equal batch dropDuplicates)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from druid_datafusion_bridge_spark.catalog import table
+from druid_datafusion_bridge_spark.streaming.events import (
+    dedup_within_watermark,
+    run_to_memory,
+    session_rollup,
+    sliding_rollup,
+    stream_events,
+    tumbling_rollup,
+)
+
+from .conftest import SF_DIR
+
+
+def _rows(df):
+    return sorted([tuple(str(x) for x in r) for r in df.collect()])
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    return table(spark, SF_DIR, "events")
+
+
+def test_tumbling_rollup_matches_batch(spark, batch_events):
+    q = run_to_memory(tumbling_rollup(stream_events(spark, SF_DIR)), "t_tumble")
+    try:
+        got = _rows(spark.sql("SELECT * FROM t_tumble"))
+        want = _rows(
+            batch_events.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("sum_value"),
+            )
+            .select(F.col("w.start").alias("bucket_start"), "event_type", "n_events", "sum_value")
+        )
+        assert got == want and len(got) > 0
+    finally:
+        q.stop()
+
+
+def test_sliding_rollup_matches_batch(spark, batch_events):
+    q = run_to_memory(sliding_rollup(stream_events(spark, SF_DIR)), "t_slide")
+    try:
+        got = _rows(spark.sql("SELECT * FROM t_slide"))
+        want = _rows(
+            batch_events.groupBy(
+                F.window("ts", "30 minutes", "10 minutes").alias("w"), "event_type"
+            )
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("w.start").alias("bucket_start"), "event_type", "n_events")
+        )
+        assert got == want and len(got) > 0
+    finally:
+        q.stop()
+
+
+def test_session_rollup_runs(spark, batch_events):
+    q = run_to_memory(session_rollup(stream_events(spark, SF_DIR)), "t_sess")
+    try:
+        got = spark.sql("SELECT * FROM t_sess")
+        n_sessions = got.count()
+        n_users = batch_events.select("user_id").distinct().count()
+        # at least one session per active user; session count bounded by events
+        assert n_sessions >= n_users
+        assert n_sessions <= batch_events.count()
+        # every event is in exactly one session
+        total = got.agg(F.sum("n_events")).collect()[0][0]
+        assert total == batch_events.count()
+    finally:
+        q.stop()
+
+
+def test_dedup_within_watermark(spark, batch_events):
+    q = run_to_memory(
+        dedup_within_watermark(stream_events(spark, SF_DIR)), "t_dedup", "append"
+    )
+    try:
+        got = spark.sql("SELECT COUNT(*) FROM t_dedup").collect()[0][0]
+        want = batch_events.dropDuplicates(["event_id"]).count()
+        assert got == want
+    finally:
+        q.stop()
