@@ -41,12 +41,14 @@ def load_all() -> None:
         aggregates,
         dedup,
         druid_model,
+        druid_source,
         joins,
         multimodal,
         relational,
         scalar_funcs,
         setops,
         similarity,
+        streaming,
         text_analysis,
         tpch,
         windows,

@@ -1,0 +1,95 @@
+"""Registry entries for the Structured Streaming operators (§2.10 /
+Phase E): each runs the stream over the finite events file source to
+completion (availableNow trigger) and returns the materialized result,
+so the driver can diff complete-mode streaming aggregates against plain
+batch SQL oracles — proving the streaming rollup computes exactly the
+ingest-time rollup semantics it mirrors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import query
+from ..streaming.events import (
+    dedup_within_watermark,
+    run_to_memory,
+    session_rollup,
+    stream_events,
+    tumbling_rollup,
+)
+
+
+def _finish(stream_df: DataFrame, spark: SparkSession, name: str, mode: str) -> DataFrame:
+    q = run_to_memory(stream_df, name, mode)
+    q.stop()
+    return spark.table(name)
+
+
+@query(
+    "st_tumbling_rollup",
+    oracle="""
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 900) * 900) AS TIMESTAMP)
+             AS bucket_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-min tumbling-window streaming rollup, run to completion; in
+    complete mode the final answer must equal the batch rollup exactly."""
+    return _finish(
+        tumbling_rollup(stream_events(spark, sf_dir)),
+        spark, "st_tumble_out", "complete",
+    )
+
+
+@query(
+    "st_session_rollup",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 5 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def st_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (5-min gap) via session_window; the
+    oracle rebuilds identical sessions with a gap-and-island window
+    query (session_end = last event + gap, Spark's definition)."""
+    return _finish(
+        session_rollup(stream_events(spark, sf_dir)),
+        spark, "st_session_out", "complete",
+    )
+
+
+@query(
+    "st_dedup_within_watermark",
+    oracle="""
+    SELECT event_id, MIN(event_type) AS event_type
+    FROM events GROUP BY event_id
+    """,
+)
+def st_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on event_id (bounded state); event_ids
+    are unique per row in the testdata, so MIN() in the oracle is exact."""
+    out = _finish(
+        dedup_within_watermark(stream_events(spark, sf_dir)),
+        spark, "st_dedup_out", "append",
+    )
+    return out.select("event_id", "event_type")

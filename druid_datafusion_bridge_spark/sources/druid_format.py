@@ -1,0 +1,616 @@
+"""Druid v9 segment binary codecs — pure Python, read AND write.
+
+Format authority is the reference implementation (all cites are files
+under /root/reference): smoosh archive (src/segment/smoosh.rs:27-131),
+version.bin (src/segment/version.rs:8-25), GenericIndexed v1
+(src/column/generic_indexed.rs:7-24), VSizeColumnarInts
+(src/column/vsize_ints.rs:7-18), CompressedColumnarInts v2
+(src/column/compressed_ints.rs:11-21), CompressedColumnarLongs v1/v2
+(src/column/compressed_longs.rs:11-21), CompressedColumnarDoubles /
+Floats v2 (src/column/compressed_doubles.rs:13-20,100-108), dictionary
+string columns v0/v2/v3 (src/column/string.rs:14-27), the column-header
+JSON envelope (src/column/mod.rs:22-47), index.drd metadata
+(src/segment/metadata.rs:9-17), and the compression-strategy byte
+(src/compression/mod.rs:4-30).
+
+Everything is big-endian (Java heritage). The write side has no
+counterpart in the reference (its fixture is pre-built); it exists so
+round-trip tests can verify the read side bit-exactly, mirroring the
+reference's build-then-parse unit-test style
+(generic_indexed.rs:258-299, vsize_ints.rs:118-131).
+
+No lz4 library ships in this container, so LZ4 *block* format (not
+frame) is implemented here: a full decompressor, and a valid
+literal-only compressor for the write side.
+"""
+
+from __future__ import annotations
+
+import json
+import mmap
+import os
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+SEGMENT_VERSION_V9 = 9
+
+# CompressionStrategy ids (compression/mod.rs:20-30)
+LZF = 0x00
+LZ4 = 0x01
+ZSTD = 0x02
+UNCOMPRESSED = 0xFF
+NONE = 0xFE
+
+_I32 = struct.Struct(">i")
+_I64 = struct.Struct(">q")
+
+GI_VERSION_V1 = 0x01
+GI_HEADER_SIZE = 10  # version(1) + flags(1) + total_bytes(4) + num_elements(4)
+
+
+class DruidFormatError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# LZ4 block codec (raw block format, no frame header)
+# ---------------------------------------------------------------------------
+
+
+def lz4_block_decompress(src: bytes, out_size: int) -> bytes:
+    """Decompress one raw LZ4 block to exactly out_size bytes."""
+    dst = bytearray()
+    i, n = 0, len(src)
+    while i < n and len(dst) < out_size:
+        token = src[i]
+        i += 1
+        lit_len = token >> 4
+        if lit_len == 15:
+            while True:
+                b = src[i]
+                i += 1
+                lit_len += b
+                if b != 255:
+                    break
+        dst += src[i : i + lit_len]
+        i += lit_len
+        if i >= n:
+            break  # final sequence carries literals only
+        offset = src[i] | (src[i + 1] << 8)
+        i += 2
+        if offset == 0:
+            raise DruidFormatError("LZ4: zero match offset")
+        match_len = (token & 0x0F) + 4
+        if (token & 0x0F) == 0x0F:
+            while True:
+                b = src[i]
+                i += 1
+                match_len += b
+                if b != 255:
+                    break
+        start = len(dst) - offset
+        if start < 0:
+            raise DruidFormatError("LZ4: match offset before block start")
+        if offset >= match_len:
+            dst += dst[start : start + match_len]
+        else:  # overlapping match (run-length style) — copy byte-wise
+            for j in range(match_len):
+                dst.append(dst[start + j])
+    if len(dst) != out_size:
+        raise DruidFormatError(
+            f"LZ4: decompressed {len(dst)} bytes, expected {out_size}"
+        )
+    return bytes(dst)
+
+
+def lz4_block_compress_literal(data: bytes) -> bytes:
+    """Encode data as a single literal-only LZ4 sequence (valid, ratio 1).
+
+    A block may end with a literals-only sequence, so one sequence with
+    no match part is a legal block — any LZ4 decoder (including
+    lz4_block_decompress above and the reference's lz4_flex,
+    compression/mod.rs:41) accepts it.
+    """
+    n = len(data)
+    out = bytearray()
+    if n < 15:
+        out.append(n << 4)
+    else:
+        out.append(0xF0)
+        rem = n - 15
+        while rem >= 255:
+            out.append(255)
+            rem -= 255
+        out.append(rem)
+    out += data
+    return bytes(out)
+
+
+def decompress_block(strategy: int, compressed: bytes, out_size: int) -> bytes:
+    """compression/mod.rs:34-46 — LZ4 + uncompressed only; LZF/ZSTD error."""
+    if strategy == LZ4:
+        return lz4_block_decompress(compressed, out_size)
+    if strategy in (UNCOMPRESSED, NONE):
+        return bytes(compressed)
+    raise DruidFormatError(f"Unsupported compression strategy {strategy:#x}")
+
+
+def compress_block(strategy: int, raw: bytes) -> bytes:
+    if strategy == LZ4:
+        return lz4_block_compress_literal(raw)
+    if strategy in (UNCOMPRESSED, NONE):
+        return bytes(raw)
+    raise DruidFormatError(f"Unsupported compression strategy {strategy:#x}")
+
+
+# ---------------------------------------------------------------------------
+# version.bin (version.rs:12-25)
+# ---------------------------------------------------------------------------
+
+
+def read_version(data: bytes) -> int:
+    if len(data) < 4:
+        raise DruidFormatError(f"version.bin too short: {len(data)} bytes")
+    (version,) = _I32.unpack_from(data, 0)
+    if version != SEGMENT_VERSION_V9:
+        raise DruidFormatError(f"Unsupported segment version {version}")
+    return version
+
+
+def write_version() -> bytes:
+    return _I32.pack(SEGMENT_VERSION_V9)
+
+
+# ---------------------------------------------------------------------------
+# GenericIndexed V1 (generic_indexed.rs:7-24)
+#
+# [version u8=0x01][flags u8][total_bytes i32][num_elements i32]
+# [offsets i32*N: cumulative END of each element, relative to values start]
+# [values: per element either [len i32][bytes] (len=-1 => null)
+#          or ObjectStrategy [4 zero bytes][raw utf8] (empty => null)]
+# ---------------------------------------------------------------------------
+
+
+class GenericIndexedV1:
+    def __init__(self, data, base: int = 0):
+        self.data = data
+        self.base = base
+        if len(data) - base < 1:
+            raise DruidFormatError("GenericIndexed: empty data")
+        version = data[base]
+        if version != GI_VERSION_V1:
+            raise DruidFormatError(f"GenericIndexed: bad version {version:#x}")
+        if len(data) - base < GI_HEADER_SIZE:
+            raise DruidFormatError("GenericIndexed: data too short for header")
+        self.flags = data[base + 1]
+        (self.total_bytes,) = _I32.unpack_from(data, base + 2)
+        (self.num_elements,) = _I32.unpack_from(data, base + 6)
+        self.values_start = base + GI_HEADER_SIZE + self.num_elements * 4
+
+    def __len__(self) -> int:
+        return self.num_elements
+
+    def _offset(self, i: int) -> int:
+        (off,) = _I32.unpack_from(self.data, self.base + GI_HEADER_SIZE + i * 4)
+        return off
+
+    def _range(self, i: int) -> tuple[int, int]:
+        if i >= self.num_elements:
+            raise DruidFormatError(f"GenericIndexed: index {i} out of range")
+        start = 0 if i == 0 else self._offset(i - 1)
+        return self.values_start + start, self.values_start + self._offset(i)
+
+    def get(self, i: int) -> bytes | None:
+        """Length-prefixed element; length == -1 means null."""
+        start, end = self._range(i)
+        if end > len(self.data):
+            raise DruidFormatError(f"GenericIndexed: element {i} overflows buffer")
+        (length,) = _I32.unpack_from(self.data, start)
+        if length < 0:
+            return None
+        if start + 4 + length > len(self.data):
+            raise DruidFormatError(f"GenericIndexed: element {i} value overflows")
+        return bytes(self.data[start + 4 : start + 4 + length])
+
+    def get_str(self, i: int) -> str | None:
+        v = self.get(i)
+        return None if v is None else v.decode("utf-8")
+
+    def get_object_string(self, i: int) -> str | None:
+        """ObjectStrategy variant: [4 zero bytes][utf8]; empty => null
+        (generic_indexed.rs:186-224, the legacy ''≡NULL trap)."""
+        start, end = self._range(i)
+        raw = bytes(self.data[start:end])
+        if len(raw) < 4 or raw[:4] != b"\x00\x00\x00\x00":
+            raise DruidFormatError(f"GenericIndexed: bad ObjectStrategy prefix at {i}")
+        s = raw[4:]
+        return s.decode("utf-8") if s else None
+
+    def total_size(self) -> int:
+        """Bytes consumed from self.base — for sequential compound parsing."""
+        tail = 0 if self.num_elements == 0 else self._offset(self.num_elements - 1)
+        return self.values_start - self.base + tail
+
+    def to_list(self) -> list[bytes | None]:
+        return [self.get(i) for i in range(self.num_elements)]
+
+
+def write_generic_indexed(elements: list[bytes | None], sorted_flag: bool = True) -> bytes:
+    values = bytearray()
+    offsets = []
+    for e in elements:
+        if e is None:
+            values += _I32.pack(-1)
+        else:
+            values += _I32.pack(len(e))
+            values += e
+        offsets.append(len(values))
+    out = bytearray()
+    out.append(GI_VERSION_V1)
+    out.append(0x01 if sorted_flag else 0x00)
+    out += _I32.pack(len(elements) * 4 + len(values))
+    out += _I32.pack(len(elements))
+    for off in offsets:
+        out += _I32.pack(off)
+    out += values
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# VSizeColumnarInts (vsize_ints.rs:7-18)
+# [version u8=0x00][num_bytes u8][buffer_size i32][values num_bytes-wide BE]
+# ---------------------------------------------------------------------------
+
+
+def read_vsize_ints(data, base: int = 0) -> np.ndarray:
+    if len(data) - base < 6:
+        raise DruidFormatError("VSizeColumnarInts: too short")
+    if data[base] != 0x00:
+        raise DruidFormatError(f"VSizeColumnarInts: bad version {data[base]:#x}")
+    num_bytes = data[base + 1]
+    if not 1 <= num_bytes <= 4:
+        raise DruidFormatError(f"VSizeColumnarInts: invalid num_bytes {num_bytes}")
+    (buffer_size,) = _I32.unpack_from(data, base + 2)
+    buf = bytes(data[base + 6 : base + 6 + buffer_size])
+    return _unpack_be_uints(buf, num_bytes)
+
+
+def write_vsize_ints(values: np.ndarray, num_bytes: int) -> bytes:
+    out = bytearray([0x00, num_bytes])
+    packed = _pack_be_uints(np.asarray(values, dtype=np.uint32), num_bytes)
+    out += _I32.pack(len(packed))
+    out += packed
+    return bytes(out)
+
+
+def _unpack_be_uints(buf: bytes, num_bytes: int) -> np.ndarray:
+    """Vectorized big-endian fixed-width unsigned int decode."""
+    if num_bytes == 1:
+        return np.frombuffer(buf, dtype=np.uint8).astype(np.uint32)
+    if num_bytes == 2:
+        return np.frombuffer(buf, dtype=">u2").astype(np.uint32)
+    if num_bytes == 4:
+        return np.frombuffer(buf, dtype=">u4").astype(np.uint32)
+    a = np.frombuffer(buf, dtype=np.uint8).reshape(-1, 3).astype(np.uint32)
+    return (a[:, 0] << 16) | (a[:, 1] << 8) | a[:, 2]
+
+
+def _pack_be_uints(values: np.ndarray, num_bytes: int) -> bytes:
+    if num_bytes == 1:
+        return values.astype(np.uint8).tobytes()
+    if num_bytes == 2:
+        return values.astype(">u2").tobytes()
+    if num_bytes == 4:
+        return values.astype(">u4").tobytes()
+    out = np.empty((len(values), 3), dtype=np.uint8)
+    out[:, 0] = (values >> 16) & 0xFF
+    out[:, 1] = (values >> 8) & 0xFF
+    out[:, 2] = values & 0xFF
+    return out.tobytes()
+
+
+def min_bytes_for(max_value: int) -> int:
+    for nb in (1, 2, 3, 4):
+        if max_value < (1 << (8 * nb)):
+            return nb
+    raise DruidFormatError(f"value {max_value} exceeds 4-byte range")
+
+
+# ---------------------------------------------------------------------------
+# Compressed columnar numerics
+# longs v1/v2 (compressed_longs.rs:11-21), ints v2 (compressed_ints.rs:11-21),
+# doubles/floats v2 (compressed_doubles.rs:13-20,100-108).
+# Block container is a GenericIndexed of compressed byte blocks.
+# ---------------------------------------------------------------------------
+
+
+def _read_compressed_blocks(
+    data, base: int, value_width: int, dtype: str, has_num_bytes: bool
+) -> np.ndarray:
+    version = data[base]
+    (total_size,) = _I32.unpack_from(data, base + 1)
+    (size_per,) = _I32.unpack_from(data, base + 5)
+    pos = base + 9
+    num_bytes = value_width
+    if has_num_bytes:
+        num_bytes = data[pos]
+        if not 1 <= num_bytes <= 4:
+            raise DruidFormatError(f"CompressedInts: invalid num_bytes {num_bytes}")
+        pos += 1
+    if version == 0x01 and not has_num_bytes:
+        strategy = LZF  # v1 implies LZF (compressed_longs.rs:44-47)
+    elif version == 0x02:
+        strategy = data[pos]
+        pos += 1
+    else:
+        raise DruidFormatError(f"Compressed column: unsupported version {version:#x}")
+    blocks = GenericIndexedV1(data, pos)
+    chunks = []
+    produced = 0
+    for b in range(len(blocks)):
+        block = blocks.get(b)
+        if block is None:
+            raise DruidFormatError(f"Compressed column: null block {b}")
+        n = min(total_size - produced, size_per)
+        raw = decompress_block(strategy, block, n * num_bytes)
+        if has_num_bytes:
+            chunks.append(_unpack_be_uints(raw, num_bytes))
+        else:
+            chunks.append(np.frombuffer(raw, dtype=dtype))
+        produced += n
+    if not chunks:
+        return np.empty(0, dtype=dtype if not has_num_bytes else np.uint32)
+    return np.concatenate(chunks)
+
+
+def _write_compressed_blocks(
+    values: np.ndarray,
+    dtype: str,
+    size_per: int,
+    strategy: int,
+    num_bytes: int | None = None,
+) -> bytes:
+    out = bytearray([0x02])
+    out += _I32.pack(len(values))
+    out += _I32.pack(size_per)
+    if num_bytes is not None:
+        out.append(num_bytes)
+    out.append(strategy)
+    blocks: list[bytes | None] = []
+    for i in range(0, max(len(values), 1), size_per):
+        chunk = values[i : i + size_per]
+        if len(chunk) == 0 and i > 0:
+            break
+        if num_bytes is not None:
+            raw = _pack_be_uints(chunk.astype(np.uint32), num_bytes)
+        else:
+            raw = chunk.astype(dtype).tobytes()
+        blocks.append(compress_block(strategy, raw))
+    out += write_generic_indexed(blocks, sorted_flag=False)
+    return bytes(out)
+
+
+def read_compressed_longs(data, base: int = 0) -> np.ndarray:
+    return _read_compressed_blocks(data, base, 8, ">i8", has_num_bytes=False)
+
+
+def write_compressed_longs(values, size_per: int = 0x2000, strategy: int = LZ4) -> bytes:
+    return _write_compressed_blocks(np.asarray(values, np.int64), ">i8", size_per, strategy)
+
+
+def read_compressed_doubles(data, base: int = 0) -> np.ndarray:
+    return _read_compressed_blocks(data, base, 8, ">f8", has_num_bytes=False)
+
+
+def write_compressed_doubles(values, size_per: int = 0x2000, strategy: int = LZ4) -> bytes:
+    return _write_compressed_blocks(np.asarray(values, np.float64), ">f8", size_per, strategy)
+
+
+def read_compressed_floats(data, base: int = 0) -> np.ndarray:
+    return _read_compressed_blocks(data, base, 4, ">f4", has_num_bytes=False)
+
+
+def write_compressed_floats(values, size_per: int = 0x4000, strategy: int = LZ4) -> bytes:
+    return _write_compressed_blocks(np.asarray(values, np.float32), ">f4", size_per, strategy)
+
+
+def read_compressed_ints(data, base: int = 0) -> np.ndarray:
+    return _read_compressed_blocks(data, base, 0, "", has_num_bytes=True)
+
+
+def write_compressed_ints(
+    values, num_bytes: int | None = None, size_per: int = 0x4000, strategy: int = LZ4
+) -> bytes:
+    arr = np.asarray(values, np.uint32)
+    if num_bytes is None:
+        num_bytes = min_bytes_for(int(arr.max()) if len(arr) else 0)
+    return _write_compressed_blocks(arr, "", size_per, strategy, num_bytes=num_bytes)
+
+
+# ---------------------------------------------------------------------------
+# Column envelope: [json_len i32][JSON ColumnDescriptor][binary]
+# (column/mod.rs:22-47; descriptor fields column_descriptor.rs:14-35)
+# ---------------------------------------------------------------------------
+
+
+def parse_column_header(data) -> tuple[dict, int]:
+    """Returns (descriptor, payload_offset)."""
+    if len(data) < 4:
+        raise DruidFormatError("Column data too short for header length")
+    (json_len,) = _I32.unpack_from(data, 0)
+    if len(data) < 4 + json_len:
+        raise DruidFormatError("Column data too short for JSON header")
+    descriptor = json.loads(bytes(data[4 : 4 + json_len]).decode("utf-8"))
+    if "valueType" not in descriptor:
+        raise DruidFormatError("ColumnDescriptor missing valueType")
+    return descriptor, 4 + json_len
+
+
+def build_column(descriptor: dict, payload: bytes) -> bytes:
+    js = json.dumps(descriptor, separators=(",", ":")).encode("utf-8")
+    return _I32.pack(len(js)) + js + payload
+
+
+# ---------------------------------------------------------------------------
+# Dictionary-encoded string column (string.rs:14-27)
+# v0: [0x00][dict GI][VSizeColumnarInts]
+# v2: [0x02][flags i32][dict GI][CompressedColumnarInts]
+# v3: [0x03][feature_mask i32][dict GI][CompressedColumnarInts]
+# ---------------------------------------------------------------------------
+
+
+def read_string_column(data, base: int = 0) -> tuple[list[str | None], np.ndarray]:
+    """Returns (dictionary, ids) — kept dictionary-encoded for Arrow
+    (the reference eagerly flattens, string.rs:116-125; we do better)."""
+    version = data[base]
+    if version == 0x00:
+        pos = base + 1
+    elif version in (0x02, 0x03):
+        pos = base + 5  # version + flags/feature_mask
+    else:
+        raise DruidFormatError(f"String column: unsupported version {version:#x}")
+    gi = GenericIndexedV1(data, pos)
+    dictionary = [gi.get_str(i) for i in range(len(gi))]
+    pos += gi.total_size()
+    if version == 0x00:
+        ids = read_vsize_ints(data, pos)
+    else:
+        ids = read_compressed_ints(data, pos)
+    return dictionary, ids
+
+
+def write_string_column_v2(
+    dictionary: list[str | None], ids: np.ndarray, strategy: int = LZ4
+) -> bytes:
+    out = bytearray([0x02])
+    out += _I32.pack(0)  # flags
+    out += write_generic_indexed(
+        [None if s is None else s.encode("utf-8") for s in dictionary]
+    )
+    out += write_compressed_ints(ids, strategy=strategy)
+    return bytes(out)
+
+
+def write_string_column_v0(dictionary: list[str | None], ids: np.ndarray) -> bytes:
+    out = bytearray([0x00])
+    out += write_generic_indexed(
+        [None if s is None else s.encode("utf-8") for s in dictionary]
+    )
+    arr = np.asarray(ids, np.uint32)
+    nb = min_bytes_for(int(arr.max()) if len(arr) else 0)
+    out += write_vsize_ints(arr, nb)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# index.drd (metadata.rs:9-17):
+# [columns GI<String>][dimensions GI<String>][interval_start i64][interval_end i64]
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SegmentMetadata:
+    columns: list[str] = field(default_factory=list)
+    dimensions: list[str] = field(default_factory=list)
+    interval_start_ms: int = 0
+    interval_end_ms: int = 0
+
+    @classmethod
+    def from_bytes(cls, data) -> "SegmentMetadata":
+        pos = 0
+        cols_gi = GenericIndexedV1(data, pos)
+        columns = [cols_gi.get_str(i) for i in range(len(cols_gi))]
+        if any(c is None for c in columns):
+            raise DruidFormatError("index.drd: null column name")
+        pos += cols_gi.total_size()
+        dims_gi = GenericIndexedV1(data, pos)
+        dimensions = [dims_gi.get_str(i) for i in range(len(dims_gi))]
+        pos += dims_gi.total_size()
+        if len(data) < pos + 16:
+            raise DruidFormatError("index.drd: too short for interval")
+        (start_ms,) = _I64.unpack_from(data, pos)
+        (end_ms,) = _I64.unpack_from(data, pos + 8)
+        return cls(columns, dimensions, start_ms, end_ms)
+
+    def to_bytes(self) -> bytes:
+        out = bytearray()
+        out += write_generic_indexed([c.encode("utf-8") for c in self.columns])
+        out += write_generic_indexed([d.encode("utf-8") for d in self.dimensions])
+        out += _I64.pack(self.interval_start_ms)
+        out += _I64.pack(self.interval_end_ms)
+        return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Smoosh archive (smoosh.rs:27-131)
+# meta.smoosh: "v1,<max_chunk_size>,<num_chunks>" then "<name>,<chunk>,<start>,<end>"
+# ---------------------------------------------------------------------------
+
+MAX_CHUNK_SIZE = 2_147_483_647
+
+
+class SmooshReader:
+    """mmap-backed logical-file table over a segment directory."""
+
+    def __init__(self, segment_dir: str):
+        meta_path = os.path.join(segment_dir, "meta.smoosh")
+        with open(meta_path, encoding="utf-8") as f:
+            lines = f.read().splitlines()
+        if not lines:
+            raise DruidFormatError("meta.smoosh is empty")
+        header = lines[0].split(",")
+        if len(header) < 3 or header[0] != "v1":
+            raise DruidFormatError(f"Invalid meta.smoosh header: {lines[0]!r}")
+        num_chunks = int(header[2])
+        self.entries: dict[str, tuple[int, int, int]] = {}
+        for line in lines[1:]:
+            line = line.strip()
+            if not line:
+                continue
+            parts = line.split(",")
+            if len(parts) < 4:
+                raise DruidFormatError(f"Invalid meta.smoosh entry: {line!r}")
+            self.entries[parts[0]] = (int(parts[1]), int(parts[2]), int(parts[3]))
+        self._files = []
+        self._mmaps = []
+        for i in range(num_chunks):
+            f = open(os.path.join(segment_dir, f"{i:05d}.smoosh"), "rb")
+            self._files.append(f)
+            self._mmaps.append(mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ))
+
+    def map_file(self, name: str) -> memoryview:
+        if name not in self.entries:
+            raise DruidFormatError(f"Logical file not found: {name}")
+        chunk, start, end = self.entries[name]
+        mm = self._mmaps[chunk]
+        if end > len(mm):
+            raise DruidFormatError(f"File {name} end offset {end} exceeds chunk")
+        return memoryview(mm)[start:end]
+
+    def file_names(self) -> list[str]:
+        return sorted(self.entries)
+
+    def has_file(self, name: str) -> bool:
+        return name in self.entries
+
+    def close(self) -> None:
+        for mm in self._mmaps:
+            mm.close()
+        for f in self._files:
+            f.close()
+
+
+def write_smoosh(segment_dir: str, logical_files: dict[str, bytes]) -> None:
+    """Single-chunk smoosh writer (chunk rollover unneeded below 2 GB)."""
+    os.makedirs(segment_dir, exist_ok=True)
+    lines = [f"v1,{MAX_CHUNK_SIZE},1"]
+    offset = 0
+    with open(os.path.join(segment_dir, "00000.smoosh"), "wb") as chunk:
+        for name, data in logical_files.items():
+            chunk.write(data)
+            lines.append(f"{name},0,{offset},{offset + len(data)}")
+            offset += len(data)
+    with open(os.path.join(segment_dir, "meta.smoosh"), "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")

@@ -1,0 +1,121 @@
+"""Spark-level tests for the 'druidsegment' Python DataSource: write the
+driver's nation table into real Druid v9 segment directories, read it
+back through spark.read.format("druidsegment"), and verify values,
+projection, per-segment partitioning, and interval pruning.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from druid_datafusion_bridge_spark.sources import (
+    register_druid_datasource,
+    write_segment,
+)
+from druid_datafusion_bridge_spark.sources.datasource import DruidSegmentReader
+from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+from .conftest import SF_DIR
+
+BASE_MS = 1_700_000_000_000  # deterministic synthetic event times
+
+
+def _nation_with_time() -> pa.Table:
+    t = pq.read_table(os.path.join(SF_DIR, "nation.parquet"))
+    ms = pa.array(
+        [BASE_MS + 60_000 * i for i in range(t.num_rows)], pa.timestamp("ms")
+    )
+    return t.append_column("__time", ms)
+
+
+@pytest.fixture(scope="module")
+def segment_root(tmp_path_factory):
+    """Two segments splitting nation by row range (disjoint intervals)."""
+    root = str(tmp_path_factory.mktemp("druid_segments"))
+    t = _nation_with_time()
+    half = t.num_rows // 2
+    write_segment(t.slice(0, half), os.path.join(root, "seg_000"))
+    write_segment(t.slice(half), os.path.join(root, "seg_001"))
+    return root
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    register_druid_datasource(spark)
+    return spark
+
+
+def test_read_matches_parquet(registered, segment_root):
+    df = registered.read.format("druidsegment").option("path", segment_root).load()
+    want = _nation_with_time()
+    cols = [c for c in want.column_names if c != "__time"]
+    got = sorted(tuple(r[c] for c in cols) for r in df.collect())
+    ref = sorted(zip(*(want.column(c).to_pylist() for c in cols)))
+    assert got == ref
+    assert set(df.columns) == set(want.column_names)
+
+
+def test_one_partition_per_segment(registered, segment_root):
+    df = registered.read.format("druidsegment").option("path", segment_root).load()
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_projection_option(registered, segment_root):
+    df = (
+        registered.read.format("druidsegment")
+        .option("path", segment_root)
+        .option("columns", "n_name,n_regionkey")
+        .load()
+    )
+    assert df.columns == ["n_name", "n_regionkey"]
+    assert df.count() == 25
+
+
+def test_time_filter_correct_under_pruning(registered, segment_root):
+    df = registered.read.format("druidsegment").option("path", segment_root).load()
+    cutoff_ms = BASE_MS + 60_000 * 12  # first segment covers rows 0..11
+    cutoff = F.timestamp_millis(F.lit(cutoff_ms))
+    got = df.filter(F.col("__time") < cutoff).count()
+    assert got == 12
+    got_keys = sorted(
+        r["n_nationkey"]
+        for r in df.filter(F.col("__time") >= cutoff).select("n_nationkey").collect()
+    )
+    assert got_keys == list(range(12, 25))
+
+
+def test_reader_prunes_segments_by_interval(registered, segment_root):
+    df = registered.read.format("druidsegment").option("path", segment_root).load()
+    r = DruidSegmentReader(df.schema, {"path": segment_root})
+    # bound below the second segment's interval start => only seg_000 survives
+    list(r.pushFilters([LessThan(("__time",), BASE_MS + 60_000 * 5)]))
+    parts = r.partitions()
+    assert [os.path.basename(p.segment_dir) for p in parts] == ["seg_000"]
+
+    r2 = DruidSegmentReader(df.schema, {"path": segment_root})
+    list(r2.pushFilters([GreaterThanOrEqual(("__time",), BASE_MS + 60_000 * 20)]))
+    assert [os.path.basename(p.segment_dir) for p in r2.partitions()] == ["seg_001"]
+
+    # non-__time filters are passed through untouched and prune nothing
+    r3 = DruidSegmentReader(df.schema, {"path": segment_root})
+    kept = list(r3.pushFilters([GreaterThanOrEqual(("n_nationkey",), 3)]))
+    assert len(kept) == 1
+    assert len(r3.partitions()) == 2
+
+
+def test_sql_over_segments(registered, segment_root):
+    df = registered.read.format("druidsegment").option("path", segment_root).load()
+    df.createOrReplaceTempView("druid_nation")
+    got = registered.sql(
+        "SELECT n_regionkey, COUNT(*) AS n FROM druid_nation "
+        "GROUP BY n_regionkey ORDER BY n_regionkey"
+    ).collect()
+    assert [(r["n_regionkey"], r["n"]) for r in got] == [
+        (0, 5), (1, 5), (2, 5), (3, 5), (4, 5),
+    ]
