@@ -25,6 +25,23 @@ MINHASH_BANDS = 4
 MINHASH_ROWS_PER_BAND = 4
 MINHASH_SEEDS = MINHASH_BANDS * MINHASH_ROWS_PER_BAND
 
+# Universal-hash family for the minhash permutations: one md5 base hash
+# per gram, then per-seed affine maps (a*hi + b*lo + s) mod (2^61 - 1)
+# over the base hash's 30-bit halves — the standard single-base-hash
+# minhash construction. Products stay < 2^61 (a,b < 2^31, hi,lo < 2^30),
+# so the arithmetic is exact in int64 for Spark AND the DuckDB oracle.
+MINHASH_PRIME = (1 << 61) - 1
+_M31 = 2147483647
+
+
+def seed_coeffs(seeds: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs < 2^31 per seed (Knuth/xxhash odd
+    constants), shared by the Spark operator and the SQL oracle."""
+    return [
+        ((1 + s * 2654435761) % _M31, (7 + s * 2246822519) % _M31)
+        for s in range(seeds)
+    ]
+
 
 def md5_hash60(col: Column) -> Column:
     """Deterministic 60-bit non-negative hash (first 15 hex chars of md5)."""
@@ -104,28 +121,33 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: (doc_id, sig array<long> of length `seeds`).
 
-    h_s(gram) = md5_hash60(s || ':' || gram); sig[s] = min over grams.
-
-    One row per (doc, gram) carrying the full hash vector; signatures
-    fold element-wise (zip_with least) inside a single groupBy — one
-    shuffle, no seeds-fold row blowup. At 100 TB this is the difference
-    between shuffling |grams| rows and |grams| x seeds rows.
+    base = md5_hash60(gram); h_s = (a_s*hi + b_s*lo + s) mod (2^61-1)
+    over base's 30-bit halves; sig[s] = min over the doc's grams. One
+    md5 per gram total — the seed permutations are integer-only.
     """
     grams = doc_word_ngrams(docs, n=n, text_col=text_col, id_col=id_col)
-    hash_vec = F.transform(
-        F.sequence(F.lit(0), F.lit(seeds - 1)),
-        lambda s: md5_hash60(F.concat_ws(":", s, F.col("g"))),
+    base = grams.select("doc_id", md5_hash60(F.col("g")).alias("h"))
+    hi = F.shiftright(F.col("h"), 30)
+    lo = F.col("h").bitwiseAND(F.lit((1 << 30) - 1))
+    per_gram = base.select(
+        "doc_id",
+        *[
+            ((F.lit(a) * hi + F.lit(b) * lo + F.lit(s)) % F.lit(MINHASH_PRIME)).alias(
+                f"h{s}"
+            )
+            for s, (a, b) in enumerate(seed_coeffs(seeds))
+        ],
     )
-    per_gram = grams.select("doc_id", hash_vec.alias("hv"))
-    max_sig = F.expr(
-        f"array_repeat(CAST(9223372036854775807 AS BIGINT), {seeds})"
+    # Plain MIN aggregates get map-side partial aggregation: each task
+    # pre-folds its grams to one row per doc before the shuffle, so the
+    # exchange carries |docs| x seeds longs, not |grams| x seeds (a
+    # collect_list-then-fold formulation would shuffle every gram's
+    # hash vector).
+    sig = per_gram.groupBy("doc_id").agg(
+        *[F.min(f"h{s}").alias(f"m{s}") for s in range(seeds)]
     )
-    return per_gram.groupBy("doc_id").agg(
-        F.aggregate(
-            F.collect_list("hv"),
-            max_sig,
-            lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
-        ).alias("sig")
+    return sig.select(
+        "doc_id", F.array(*[f"m{s}" for s in range(seeds)]).alias("sig")
     )
 
 
@@ -161,11 +183,27 @@ def lsh_candidate_pairs(
     bands_df = sig.select(
         "doc_id", F.posexplode(band_keys).alias("band", "band_key")
     )
-    a = bands_df.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
-    b = bands_df.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    # Bucket-local pair expansion instead of a band-table self-join: a
+    # self-join would evaluate the whole signature lineage twice (both
+    # join inputs share it) and shuffle the band table against itself;
+    # grouping to (band, key) -> id-list computes signatures once and
+    # expands pairs inside each bucket, which is where LSH cost belongs.
+    buckets = (
+        bands_df.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )

@@ -19,13 +19,33 @@ from ..catalog import table
 from . import query
 from ..operators.dedup import (
     MINHASH_BANDS,
+    MINHASH_PRIME,
     MINHASH_ROWS_PER_BAND,
     doc_word_ngrams,
     exact_dedup,
     minhash_signatures,
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
+    seed_coeffs,
 )
+
+# (seed, a, b) rows mirroring the Spark-side universal-hash family, so
+# the oracle reproduces every minhash bit-exactly.
+_SEED_ROWS = ", ".join(
+    f"({s}, {a}, {b})"
+    for s, (a, b) in enumerate(seed_coeffs(MINHASH_BANDS * MINHASH_ROWS_PER_BAND))
+)
+
+_ORACLE_HASHES = f"""
+    base AS (
+      SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h
+      FROM grams),
+    hashes AS (
+      SELECT doc_id, s.seed,
+             (s.a * (h >> 30) + s.b * (h & 1073741823) + s.seed)
+               % {MINHASH_PRIME} AS h
+      FROM base, (VALUES {_SEED_ROWS}) AS s(seed, a, b))
+"""
 
 
 @query(
@@ -96,18 +116,15 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dd_minhash_signatures",
     oracle=f"""
     WITH {_ORACLE_GRAMS},
-    hashes AS (
-      SELECT doc_id, s.seed,
-             CAST('0x' || substr(md5(s.seed || ':' || g), 1, 15) AS BIGINT) AS h
-      FROM grams, (SELECT unnest(generate_series(0, {MINHASH_BANDS * MINHASH_ROWS_PER_BAND - 1})) AS seed) s)
+    {_ORACLE_HASHES}
     SELECT doc_id, seed, MIN(h) AS minhash
     FROM hashes GROUP BY doc_id, seed
     """,
 )
 def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signature matrix (doc x seed -> min of md5-derived 60-bit
-    hashes over the doc's 5-gram shingles). Engine-independent hash =>
-    exactly oracle-checkable."""
+    """MinHash signature matrix (doc x seed -> min over the doc's 5-gram
+    shingles of a universal-hash family seeded from one md5 base hash).
+    Engine-independent arithmetic => exactly oracle-checkable."""
     docs = table(spark, sf_dir, "documents")
     return (
         minhash_signatures(docs)
@@ -120,10 +137,7 @@ def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dd_minhash_lsh_pairs",
     oracle=f"""
     WITH {_ORACLE_GRAMS},
-    hashes AS (
-      SELECT doc_id, s.seed,
-             CAST('0x' || substr(md5(s.seed || ':' || g), 1, 15) AS BIGINT) AS h
-      FROM grams, (SELECT unnest(generate_series(0, {MINHASH_BANDS * MINHASH_ROWS_PER_BAND - 1})) AS seed) s),
+    {_ORACLE_HASHES},
     sig AS (SELECT doc_id, seed, MIN(h) AS mh FROM hashes GROUP BY doc_id, seed),
     bands AS (
       SELECT doc_id, seed // {MINHASH_ROWS_PER_BAND} AS band,
