@@ -1,0 +1,139 @@
+"""CLI over Druid segments — the reference's binary re-expressed on Spark
+(reference src/main.rs:27-195: subcommands info / files / dump / query).
+
+    python -m druid_datafusion_bridge_spark.cli info  <segment-path>
+    python -m druid_datafusion_bridge_spark.cli files <segment-path>
+    python -m druid_datafusion_bridge_spark.cli dump  <segment-path> \
+        [--columns a,b] [--limit N] [--format table|json|csv]
+    python -m druid_datafusion_bridge_spark.cli query <segment-path> --sql SQL
+
+`info`, `files` and `dump` are engine-bypass paths straight over the
+decode layer (the reference's cmd_info/cmd_files/cmd_dump read the
+segment without DataFusion, src/main.rs:97-184) — no Spark session is
+started for them, so they answer in milliseconds. `query` registers the
+segment(s) as the SQL table `segment` and hands the statement to Spark
+(the reference's cmd_query hands it to DataFusion, src/main.rs:186-195).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import sys
+
+from .sources.segment import DruidSegment
+
+
+def _format_millis(ms: int) -> str:
+    """Epoch millis -> ISO string (reference format_millis, main.rs:197-230)."""
+    return (
+        dt.datetime.fromtimestamp(ms / 1000.0, tz=dt.timezone.utc)
+        .strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3]
+        + "Z"
+    )
+
+
+def cmd_info(path: str) -> None:
+    seg = DruidSegment(path)
+    try:
+        meta = seg.metadata
+        print(f"Segment: {path}")
+        print(
+            f"Interval: {_format_millis(meta.interval_start_ms)} .. "
+            f"{_format_millis(meta.interval_end_ms)}"
+        )
+        print(f"Columns ({len(meta.columns)}):")
+        for field in seg.schema:
+            print(f"  {field.name}: {field.type}")
+        print(f"Dimensions: {', '.join(meta.dimensions)}")
+        print(f"Rows: {seg.num_rows()}")
+    finally:
+        seg.close()
+
+
+def cmd_files(path: str) -> None:
+    seg = DruidSegment(path)
+    try:
+        print("Logical files in smoosh archive:")
+        for name in seg.files():
+            chunk, start, end = seg.smoosh.entries[name]
+            print(
+                f"  {name:<40} chunk={chunk} offset={start}..{end} "
+                f"({end - start} bytes)"
+            )
+        print(f"Total: {len(seg.smoosh.entries)} files")
+    finally:
+        seg.close()
+
+
+def cmd_dump(path: str, columns: str | None, limit: int, fmt: str) -> None:
+    seg = DruidSegment(path)
+    try:
+        cols = [c.strip() for c in columns.split(",")] if columns else None
+        batch = seg.read_batch(cols)
+        batch = batch.slice(0, limit)  # row slice (main.rs:158-163)
+        if fmt == "table":
+            print(batch.to_pandas().to_string(index=False))
+        elif fmt == "json":  # line-delimited JSON sink (main.rs:170-174)
+            for row in batch.to_pylist():
+                print(json.dumps(row, default=str))
+        elif fmt == "csv":  # CSV-with-header sink (main.rs:175-180)
+            import pyarrow.csv as pacsv
+
+            pacsv.write_csv(batch, sys.stdout.buffer)
+        else:
+            raise SystemExit(f"unknown format {fmt!r}")
+    finally:
+        seg.close()
+
+
+def cmd_query(path: str, sql: str, show_rows: int = 100) -> None:
+    from .session import get_spark
+    from .sources import register_druid_datasource
+
+    spark = get_spark(app_name="ddbs-cli")
+    register_druid_datasource(spark)
+    df = spark.read.format("druidsegment").option("path", path).load()
+    df.createOrReplaceTempView("segment")
+    spark.sql(sql).show(show_rows, truncate=False)
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = argparse.ArgumentParser(
+        prog="druid-segment-spark",
+        description="Inspect and query Apache Druid v9 segments on Spark.",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_info = sub.add_parser("info", help="print schema, interval and row count")
+    p_info.add_argument("path")
+
+    p_files = sub.add_parser("files", help="list smoosh archive entries")
+    p_files.add_argument("path")
+
+    p_dump = sub.add_parser("dump", help="dump rows without the SQL engine")
+    p_dump.add_argument("path")
+    p_dump.add_argument("--columns", default=None, help="comma-separated list")
+    p_dump.add_argument("--limit", type=int, default=10)
+    p_dump.add_argument(
+        "--format", default="table", choices=["table", "json", "csv"]
+    )
+
+    p_query = sub.add_parser("query", help="run SQL over the segment table")
+    p_query.add_argument("path")
+    p_query.add_argument("--sql", "-s", required=True)
+
+    args = parser.parse_args(argv)
+    if args.command == "info":
+        cmd_info(args.path)
+    elif args.command == "files":
+        cmd_files(args.path)
+    elif args.command == "dump":
+        cmd_dump(args.path, args.columns, args.limit, args.format)
+    elif args.command == "query":
+        cmd_query(args.path, args.sql)
+
+
+if __name__ == "__main__":
+    main()

@@ -60,14 +60,17 @@ from pyspark.sql.types import (
 
 from .segment import TIME_COLUMN, DruidSegment
 
-def register_druid_datasource(spark) -> None:
-    """Register the 'druidsegment' format, shipping this package to the
-    Python workers (addPyFile) first — the DataSource class is pickled
-    by reference, so workers must be able to import it. On a real
-    cluster this is exactly how the package deploys (py-files)."""
+def ship_package(spark) -> None:
+    """Make this package importable on Python workers (addPyFile of a
+    package zip) — needed by anything pickled by reference into a
+    worker: the DataSource class, applyInPandas ingestion closures. On a
+    real cluster this is exactly how the package deploys (py-files)."""
     import tempfile
     import zipfile
 
+    sc = spark.sparkContext
+    if getattr(sc, "_ddbs_pkg_shipped", False):
+        return
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     zip_path = os.path.join(
         tempfile.gettempdir(), "druid_datafusion_bridge_spark_pkg.zip"
@@ -82,7 +85,13 @@ def register_druid_datasource(spark) -> None:
                         os.path.relpath(full, pkg_root),
                     )
                     zf.write(full, rel)
-    spark.sparkContext.addPyFile(zip_path)
+    sc.addPyFile(zip_path)
+    sc._ddbs_pkg_shipped = True
+
+
+def register_druid_datasource(spark) -> None:
+    """Register the 'druidsegment' format (ships the package first)."""
+    ship_package(spark)
     # required for DruidSegmentReader.pushFilters (off by default in 4.1)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(DruidSegmentDataSource)

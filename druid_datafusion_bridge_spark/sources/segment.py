@@ -147,7 +147,9 @@ def write_segment(
         if isinstance(col, pa.ChunkedArray):
             col = col.chunk(0)
         if name == TIME_COLUMN:
-            millis = col.cast(pa.timestamp("ms")).cast(pa.int64())
+            # safe=False: sub-millisecond precision truncates to Druid's
+            # epoch-millis unit (src/column/time.rs:10-14)
+            millis = col.cast(pa.timestamp("ms"), safe=False).cast(pa.int64())
             time_ms = millis.to_numpy(zero_copy_only=False)
             payload = fmt.write_compressed_longs(time_ms, strategy=strategy)
             desc = {"valueType": "LONG", "hasMultipleValues": False,

@@ -1,0 +1,133 @@
+"""Tests for the CLI (info/files/dump — reference src/main.rs:97-184
+parity) and the distributed DataFrame -> Druid-segment ingestion writer
+(write back, then read back through the data source and diff)."""
+
+from __future__ import annotations
+
+import io
+import json
+from contextlib import redirect_stdout
+
+import pyarrow as pa
+import pytest
+
+from pyspark.sql import functions as F
+
+from druid_datafusion_bridge_spark.cli import cmd_dump, cmd_files, cmd_info
+from druid_datafusion_bridge_spark.sources import (
+    register_druid_datasource,
+    write_segment,
+)
+from druid_datafusion_bridge_spark.sources.ingest import write_druid_segments
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def seg_dir(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cli_seg") / "seg")
+    t = pa.table(
+        {
+            "__time": pa.array([1000, 2000, 3000], pa.timestamp("ms")),
+            "channel": pa.array(["#en", "#fr", None]),
+            "added": pa.array([5, 7, 9], pa.int64()),
+        }
+    )
+    write_segment(t, path)
+    return path
+
+
+def _capture(fn, *args) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        fn(*args)
+    return buf.getvalue()
+
+
+def test_cli_info(seg_dir):
+    out = _capture(cmd_info, seg_dir)
+    assert "Columns (3):" in out
+    assert "__time: timestamp[ms]" in out
+    assert "Dimensions: channel" in out
+    assert "Rows: 3" in out
+    assert "1970-01-01T00:00:01.000Z" in out  # interval start
+
+
+def test_cli_files(seg_dir):
+    out = _capture(cmd_files, seg_dir)
+    assert "index.drd" in out and "metadata.drd" in out and "__time" in out
+    assert "Total: 5 files" in out
+
+
+def test_cli_dump_json(seg_dir):
+    out = _capture(cmd_dump, seg_dir, "channel,added", 2, "json")
+    rows = [json.loads(line) for line in out.strip().splitlines()]
+    assert rows == [
+        {"channel": "#en", "added": 5},
+        {"channel": "#fr", "added": 7},
+    ]
+
+
+def test_cli_dump_csv(seg_dir, capfdbinary):
+    cmd_dump(seg_dir, "added", 10, "csv")
+    out = capfdbinary.readouterr().out.decode()
+    assert out.splitlines()[0] == '"added"'
+    assert [line for line in out.splitlines()[1:] if line] == ["5", "7", "9"]
+
+
+def test_cli_dump_table(seg_dir):
+    out = _capture(cmd_dump, seg_dir, None, 10, "table")
+    assert "#en" in out and "channel" in out
+
+
+def test_ingest_roundtrip(spark, tmp_path):
+    """events -> daily Druid segments (distributed write) -> read back."""
+    register_druid_datasource(spark)
+    from druid_datafusion_bridge_spark.catalog import table as cat_table
+
+    ev = (
+        cat_table(spark, SF_DIR, "events")
+        .select(
+            F.col("ts").alias("__time"),
+            "event_type",
+            F.col("user_id").cast("long").alias("user_id"),
+            "value",
+        )
+    )
+    out_dir = str(tmp_path / "segments")
+    manifest = write_druid_segments(ev, out_dir, granularity="PT1H").collect()
+    assert len(manifest) >= 1
+    assert sum(m["num_rows"] for m in manifest) == ev.count()
+
+    back = spark.read.format("druidsegment").option("path", out_dir).load()
+    assert back.rdd.getNumPartitions() == len(manifest)
+    got = back.agg(
+        F.count("*").alias("n"),
+        F.sum("user_id").alias("su"),
+        F.sum(F.col("value").cast("decimal(38,4)")).alias("sv"),
+    ).collect()[0]
+    want = ev.agg(
+        F.count("*").alias("n"),
+        F.sum("user_id").alias("su"),
+        F.sum(F.col("value").cast("decimal(38,4)")).alias("sv"),
+    ).collect()[0]
+    assert (got["n"], got["su"], got["sv"]) == (want["n"], want["su"], want["sv"])
+
+
+def test_ingest_sharding_splits_hot_interval(spark, tmp_path):
+    from druid_datafusion_bridge_spark.catalog import table as cat_table
+
+    ev = cat_table(spark, SF_DIR, "events").select(
+        F.col("ts").alias("__time"), "event_type", "value"
+    )
+    n = ev.count()
+    out_dir = str(tmp_path / "sharded")
+    # force multiple shards: one giant bucket (P1D likely covers all rows
+    # at sf0.001) with a tiny per-segment cap
+    manifest = write_druid_segments(
+        ev, out_dir, granularity="P1D", max_rows_per_segment=100
+    ).collect()
+    assert len(manifest) > 1
+    assert sum(m["num_rows"] for m in manifest) == n
+    # no shard exceeds ~3x the cap (hash spread, not exact)
+    assert max(m["num_rows"] for m in manifest) < 400
