@@ -51,6 +51,7 @@ def load_all() -> None:
         streaming,
         text_analysis,
         tpch,
+        tpch_subqueries,
         windows,
     )
 
