@@ -75,6 +75,60 @@ def s1b_druid_segment_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_mvd_segments(spark: SparkSession, sf_dir: str) -> str:
+    """documents with a multi-value tags dim (first 3 words of text)."""
+    from ..sources import register_druid_datasource, write_segment
+
+    if not getattr(spark, _REGISTERED_KEY, False):
+        register_druid_datasource(spark)
+        setattr(spark, _REGISTERED_KEY, True)
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join("/tmp", "ddbs_segments", tag, "documents_mvd")
+    if not os.path.isfile(os.path.join(root, "seg_000", "version.bin")):
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        words = [s.split(" ")[:3] if s else [] for s in t.column("text").to_pylist()]
+        t = pa.table(
+            {
+                "__time": pa.array(
+                    [BASE_MS + 1000 * int(k) for k in t.column("doc_id").to_pylist()],
+                    pa.timestamp("ms"),
+                ),
+                "doc_id": t.column("doc_id"),
+                "tags": pa.array(words, pa.list_(pa.string())),
+            }
+        )
+        write_segment(t, os.path.join(root, "seg_000"))
+    return root
+
+
+@query(
+    "mv_tag_counts",
+    oracle="""
+    SELECT tag, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')[1:3]) AS tag
+          FROM documents)
+    GROUP BY tag
+    ORDER BY n DESC, tag
+    """,
+)
+def mv_tag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-value dimension explode-on-group (Druid's documented MVD
+    grouping behavior, SURVEY §1.3): segments store tags as a real
+    multi-value string column (hasMultipleValues honored — the reference
+    parses the flag but never honors it, string.rs:27-44)."""
+    root = _ensure_mvd_segments(spark, sf_dir)
+    df = spark.read.format("druidsegment").option("path", root).load()
+    return (
+        df.select("doc_id", F.explode("tags").alias("tag"))
+        .groupBy("tag")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.col("n").desc(), "tag")
+    )
+
+
 @query(
     "s1c_druid_segment_time_prune",
     oracle=f"""

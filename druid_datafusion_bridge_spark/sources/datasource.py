@@ -48,6 +48,7 @@ from pyspark.sql.datasource import (
     LessThanOrEqual,
 )
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
     FloatType,
@@ -104,6 +105,8 @@ _SPARK_TYPES = {
     "float": FloatType(),
     "double": DoubleType(),
     "binary": BinaryType(),
+    # multi-value string dimension (hasMultipleValues)
+    "list<item: string>": ArrayType(StringType()),
 }
 
 

@@ -493,6 +493,60 @@ def write_string_column_v2(
     return bytes(out)
 
 
+def read_string_multi_column(
+    data, base: int = 0
+) -> tuple[list[str | None], np.ndarray, np.ndarray]:
+    """Multi-value string column -> (dictionary, row_end_offsets, flat_ids).
+
+    Layout: [0x02][flags i32, bit0 = multi-value][dict GenericIndexed]
+    [row-end offsets CompressedColumnarInts][flat ids
+    CompressedColumnarInts]. Row r's values are
+    flat_ids[offsets[r-1]:offsets[r]] (offsets[-1] == 0 implied).
+
+    The reference parses `hasMultipleValues` (column_descriptor.rs:20-21)
+    but its reader always flattens (string.rs:27-44, SURVEY §1.3 calls
+    this out as never honored) — this closes that gap.
+    """
+    if data[base] != 0x02:
+        raise DruidFormatError(
+            f"Multi-value string column: unsupported version {data[base]:#x}"
+        )
+    (flags,) = _I32.unpack_from(data, base + 1)
+    if not flags & 0x01:
+        raise DruidFormatError("Multi-value string column: multi bit not set")
+    pos = base + 5
+    gi = GenericIndexedV1(data, pos)
+    dictionary = [gi.get_str(i) for i in range(len(gi))]
+    pos += gi.total_size()
+    offsets = read_compressed_ints(data, pos)
+    pos += _compressed_ints_size(data, pos)
+    ids = read_compressed_ints(data, pos)
+    return dictionary, offsets, ids
+
+
+def _compressed_ints_size(data, base: int) -> int:
+    """Bytes consumed by a CompressedColumnarInts at `base` (header of
+    11 bytes + its block GenericIndexed)."""
+    blocks = GenericIndexedV1(data, base + 11)
+    return 11 + blocks.total_size()
+
+
+def write_string_multi_column(
+    dictionary: list[str | None],
+    offsets: np.ndarray,
+    ids: np.ndarray,
+    strategy: int = LZ4,
+) -> bytes:
+    out = bytearray([0x02])
+    out += _I32.pack(0x01)  # flags: multi-value bit
+    out += write_generic_indexed(
+        [None if s is None else s.encode("utf-8") for s in dictionary]
+    )
+    out += write_compressed_ints(offsets, num_bytes=4, strategy=strategy)
+    out += write_compressed_ints(ids, strategy=strategy)
+    return bytes(out)
+
+
 def write_string_column_v0(dictionary: list[str | None], ids: np.ndarray) -> bytes:
     out = bytearray([0x00])
     out += write_generic_indexed(

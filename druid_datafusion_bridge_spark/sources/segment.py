@@ -58,6 +58,9 @@ class DruidSegment:
         if name == TIME_COLUMN:
             return pa.timestamp("ms")
         vt = desc["valueType"].upper()
+        if vt == "STRING" and desc.get("hasMultipleValues"):
+            # multi-value dimension => array<string> (SURVEY §1.3 mapping)
+            return pa.list_(pa.string())
         if vt not in _VALUE_TYPE_TO_ARROW:
             raise fmt.DruidFormatError(f"Unknown valueType {vt!r} for {name}")
         return _VALUE_TYPE_TO_ARROW[vt]
@@ -73,6 +76,13 @@ class DruidSegment:
         if name == TIME_COLUMN:
             millis = fmt.read_compressed_longs(data, payload)
             return pa.array(millis, type=pa.timestamp("ms"))
+        if vt == "STRING" and desc.get("hasMultipleValues"):
+            dictionary, offsets, ids = fmt.read_string_multi_column(data, payload)
+            values = pa.DictionaryArray.from_arrays(
+                pa.array(ids.astype(np.int32)), pa.array(dictionary, type=pa.string())
+            ).cast(pa.string())
+            all_offsets = np.concatenate([[0], offsets]).astype(np.int32)
+            return pa.ListArray.from_arrays(pa.array(all_offsets), values)
         if vt == "STRING":
             dictionary, ids = fmt.read_string_column(data, payload)
             return pa.DictionaryArray.from_arrays(
@@ -158,6 +168,27 @@ def write_segment(
             dictionary, ids = _dictionary_encode(col)
             payload = fmt.write_string_column_v2(dictionary, ids, strategy=strategy)
             desc = {"valueType": "STRING", "hasMultipleValues": False,
+                    "parts": [{"type": "stringDictionary"}]}
+            if dimensions is None or name in dimensions:
+                dims.append(name)
+        elif pa.types.is_list(col.type) and (
+            pa.types.is_string(col.type.value_type)
+            or pa.types.is_large_string(col.type.value_type)
+        ):
+            # multi-value string dimension: flatten values + row offsets.
+            # Null rows and empty rows both encode as zero-length rows
+            # (Druid's MVD model has no row-level null distinct from []).
+            import pyarrow.compute as pc
+
+            lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+            lengths = np.nan_to_num(lengths.astype(np.float64)).astype(np.int64)
+            row_ends = np.cumsum(lengths)  # null row => length 0
+            flat = col.flatten()  # values of non-null rows, in row order
+            dictionary, ids = _dictionary_encode(flat.cast(pa.string()))
+            payload = fmt.write_string_multi_column(
+                dictionary, row_ends.astype(np.uint32), ids, strategy=strategy
+            )
+            desc = {"valueType": "STRING", "hasMultipleValues": True,
                     "parts": [{"type": "stringDictionary"}]}
             if dimensions is None or name in dimensions:
                 dims.append(name)

@@ -222,6 +222,46 @@ def test_string_column_v2_roundtrip():
     assert resolved == ["#en", None, "#fr", "#en", ""]
 
 
+def test_string_multi_column_roundtrip():
+    dictionary = [None, "a", "b", "c"]
+    # rows: [a,b] [] [b,b,c] [NULL-entry]
+    offsets = np.array([2, 2, 5, 6], np.uint32)
+    ids = np.array([1, 2, 2, 2, 3, 0], np.uint32)
+    data = fmt.write_string_multi_column(dictionary, offsets, ids)
+    d, offs, i = fmt.read_string_multi_column(data)
+    assert d == dictionary
+    assert offs.tolist() == offsets.tolist()
+    assert i.tolist() == ids.tolist()
+
+
+def test_string_multi_column_rejects_single_value_flags():
+    data = fmt.write_string_column_v2(["a"], np.array([0], np.uint32))
+    with pytest.raises(fmt.DruidFormatError):
+        fmt.read_string_multi_column(data)
+
+
+def test_segment_multivalue_roundtrip(tmp_path):
+    t = pa.table(
+        {
+            "__time": pa.array([1000, 2000, 3000, 4000], pa.timestamp("ms")),
+            "tags": pa.array(
+                [["a", "b"], [], None, ["b", "b", "c"]], pa.list_(pa.string())
+            ),
+            "channel": pa.array(["#en", "#fr", "#de", "#en"]),
+        }
+    )
+    path = str(tmp_path / "seg")
+    write_segment(t, path)
+    seg = DruidSegment(path)
+    try:
+        assert seg.metadata.dimensions == ["tags", "channel"]
+        got = seg.read_batch().to_pydict()
+        # Druid MVDs have no row-null distinct from empty: null -> []
+        assert got["tags"] == [["a", "b"], [], [], ["b", "b", "c"]]
+    finally:
+        seg.close()
+
+
 def test_string_column_v0_roundtrip():
     dictionary = ["a", "b", "c"]
     ids = np.array([2, 1, 0, 1], np.uint32)
