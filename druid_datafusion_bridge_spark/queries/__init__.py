@@ -49,6 +49,7 @@ def load_all() -> None:
         setops,
         similarity,
         streaming,
+        temporal,
         text_analysis,
         tpch,
         tpch_subqueries,

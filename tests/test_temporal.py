@@ -1,0 +1,79 @@
+"""Unit tests for the as-of and banded range join operators on crafted
+frames: tie semantics, before-first-match NULLs, band boundaries."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from druid_datafusion_bridge_spark.operators.temporal import asof_join, range_join
+
+
+def _ts(s: int):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_asof_basic_and_nulls(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(5)), (2, 10, _ts(1)), (3, 20, _ts(9))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, _ts(3), 100.0), (10, _ts(5), 200.0), (20, _ts(30), 999.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    got = {
+        r["event_id"]: (r["value_right"], r["ts_right"])
+        for r in asof_join(left, right, on="user_id").collect()
+    }
+    # equal timestamps match (at-or-before): event 1 takes the ts=5 purchase
+    assert got[1] == (200.0, _ts(5))
+    # before any right row: NULLs
+    assert got[2] == (None, None)
+    # right row is after the left row: NULLs
+    assert got[3] == (None, None)
+
+
+def test_asof_picks_latest_not_first(spark):
+    left = spark.createDataFrame(
+        [(1, 7, _ts(50))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(7, _ts(10), 1.0), (7, _ts(40), 2.0), (7, _ts(45), 3.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    row = asof_join(left, right, on="user_id").collect()[0]
+    assert row["value_right"] == 3.0
+
+
+def test_range_join_boundaries(spark):
+    left = spark.createDataFrame(
+        [(1, 5, _ts(10))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, 5, _ts(10)), (101, 5, _ts(40)), (102, 5, _ts(41)), (103, 5, _ts(9)),
+         (104, 6, _ts(20))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    got = sorted(
+        r["event_id_right"]
+        for r in range_join(
+            left, right, on="user_id", lower_seconds=0, upper_seconds=30
+        ).collect()
+    )
+    # inclusive [0, 30]: ts 10 (gap 0) and ts 40 (gap 30); 41 is out,
+    # 9 is before, 104 is another user
+    assert got == [100, 101]
+
+
+def test_range_join_crosses_band_boundary(spark):
+    # matches must survive when left and right fall in adjacent bands
+    left = spark.createDataFrame(
+        [(1, 5, _ts(29))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(200, 5, _ts(31))], "event_id long, user_id long, ts timestamp"
+    )
+    got = range_join(
+        left, right, on="user_id", lower_seconds=0, upper_seconds=30
+    ).collect()
+    assert [r["event_id_right"] for r in got] == [200]
