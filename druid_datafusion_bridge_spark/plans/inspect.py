@@ -1,0 +1,53 @@
+"""Parse Spark physical plans into assertable facts."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The formatted physical plan (what `df.explain('formatted')` prints)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Every PushedFilters entry across the plan's scans, flattened."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema strings per scan — what actually hits IO after pruning."""
+    return re.findall(r"ReadSchema: (\S+)", formatted_plan(df))
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Shuffle exchanges in the plan (BroadcastExchange NOT counted —
+    broadcasting a small side is the goal, not a cost to minimize)."""
+    # Count "(n) Exchange" detail headers: each node appears exactly once
+    # there (the tree rendering would double-count), and the word
+    # boundary excludes BroadcastExchange.
+    return len(re.findall(r"\(\d+\) Exchange\b", formatted_plan(df)))
+
+
+def count_wholestage_codegen(df: DataFrame) -> int:
+    return formatted_plan(df).count("WholeStageCodegen")
+
+
+def join_strategies(df: DataFrame) -> list[str]:
+    """Join operator names in plan order (SortMergeJoin,
+    BroadcastHashJoin, ShuffledHashJoin, BroadcastNestedLoopJoin...)."""
+    return re.findall(
+        r"\(\d+\) (SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|"
+        r"BroadcastNestedLoopJoin|CartesianProduct)\b",
+        formatted_plan(df),
+    )

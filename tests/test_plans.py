@@ -1,0 +1,102 @@
+"""Plan-shape assertions: the scale discipline as executable tests.
+
+Verifies that the declarative query formulations actually produce the
+physical plans the 100 TB posture depends on: filters pushed into the
+parquet scan, columns pruned to what the query needs, small sides
+broadcast, and bucketed fact-fact joins running with zero exchanges.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from druid_datafusion_bridge_spark.catalog import table
+from druid_datafusion_bridge_spark.plans import (
+    count_exchanges,
+    join_strategies,
+    pushed_filters,
+    read_schemas,
+    write_bucketed,
+)
+from druid_datafusion_bridge_spark.queries import all_queries
+
+from .conftest import SF_DIR
+
+
+def test_q6_filters_reach_the_scan(spark):
+    df = all_queries()["q6_forecast_revenue"](spark, SF_DIR)
+    pf = " ".join(pushed_filters(df))
+    for fragment in ["l_shipdate", "l_discount", "l_quantity"]:
+        assert fragment in pf, f"{fragment} not pushed: {pf}"
+
+
+def test_q6_reads_only_needed_columns(spark):
+    df = all_queries()["q6_forecast_revenue"](spark, SF_DIR)
+    schemas = read_schemas(df)
+    assert len(schemas) == 1
+    # 4 columns referenced; 16-column lineitem must not be read whole
+    assert schemas[0].count(":") == 4, schemas[0]
+
+
+def test_flagship_broadcasts_the_dimension_side(spark):
+    df = all_queries()["flagship_rollup"](spark, SF_DIR)
+    assert "BroadcastHashJoin" in join_strategies(df)
+
+
+def test_star_join_has_single_aggregation_shuffle(spark):
+    """q5: 5 broadcast joins + one aggregate => at most agg + sort
+    exchanges, never a join shuffle."""
+    df = all_queries()["q5_local_supplier_volume"](spark, SF_DIR)
+    strategies = join_strategies(df)
+    assert strategies and all(s == "BroadcastHashJoin" for s in strategies)
+    assert count_exchanges(df) <= 2  # partial->final agg + final sort
+
+
+def test_bucketed_join_needs_no_exchange(spark, tmp_path):
+    li = table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(
+        li, "li_bucketed", str(tmp_path / "li"), ["l_orderkey"], num_buckets=8
+    )
+    write_bucketed(
+        orders, "ord_bucketed", str(tmp_path / "ord"), ["o_orderkey"], num_buckets=8
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # forbid broadcast so the join must co-locate or shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("li_bucketed").join(
+            spark.table("ord_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        assert join_strategies(joined) == ["SortMergeJoin"]
+        assert count_exchanges(joined) == 0, (
+            "bucketed fact-fact join must not shuffle"
+        )
+        # same bucketing serves the aggregation too: groupBy the bucket
+        # key needs no exchange either
+        agg = (
+            spark.table("li_bucketed")
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        assert count_exchanges(agg) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+
+
+def test_minhash_has_no_python_in_plan(spark):
+    """The dedup pipeline must stay JVM-side: no Python eval nodes."""
+    from druid_datafusion_bridge_spark.operators.dedup import lsh_candidate_pairs
+    from druid_datafusion_bridge_spark.plans.inspect import formatted_plan
+
+    docs = table(spark, SF_DIR, "documents")
+    plan = formatted_plan(lsh_candidate_pairs(docs))
+    for marker in ["BatchEvalPython", "ArrowEvalPython", "PythonUDF"]:
+        assert marker not in plan
