@@ -81,12 +81,14 @@ def brute_force_topk(
     )
 
 
-def hyperplane_bucket(vec: Column, dim: int, bits: int = 8) -> Column:
-    """Random-hyperplane LSH bucket id (int in [0, 2^bits)).
-
-    Hyperplane b, component j has deterministic pseudo-random weight
-    w(b,j) = (md5_hash60("hp:b:j") / 2^59) - 1  in [-1, 1).
-    Bucket bit b = sign(dot(vec, w_b)). Deterministic across runs/engines.
+def hyperplane_bucket(
+    vec: Column, dim: int, bits: int = 8, table: int = 0
+) -> Column:
+    """Random-hyperplane LSH bucket id (int in [0, 2^bits)) for one hash
+    table. Hyperplane b, component j has deterministic pseudo-random
+    weight w(b,j) = (md5_hash60("hp:b:j") / 2^59) - 1 in [-1, 1); tables
+    use disjoint hyperplane index ranges. Bucket bit b =
+    sign(dot(vec, w_b)). Deterministic across runs/engines.
     """
     def weight(b: int, j: int) -> float:
         # computed driver-side once; embedded as literals in the plan
@@ -97,10 +99,23 @@ def hyperplane_bucket(vec: Column, dim: int, bits: int = 8) -> Column:
 
     bucket = F.lit(0)
     for b in range(bits):
-        w = F.array(*[F.lit(weight(b, j)) for j in range(dim)])
+        w = F.array(*[F.lit(weight(table * bits + b, j)) for j in range(dim)])
         proj = dot(vec, w)
         bucket = bucket + F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0))
     return bucket
+
+
+def multitable_buckets(
+    vec: Column, dim: int, bits: int, tables: int
+) -> Column:
+    """Array of per-table bucket ids — posexplode to (table, bucket)
+    candidate keys. Multiple independent tables are what gives
+    hyperplane LSH usable recall: a true neighbor only needs to collide
+    in ONE table (recall = 1-(1-p^bits)^tables vs p^bits single-table).
+    """
+    return F.array(
+        *[hyperplane_bucket(vec, dim, bits, table=t) for t in range(tables)]
+    )
 
 
 def lsh_topk(
@@ -109,27 +124,45 @@ def lsh_topk(
     dim: int,
     k: int = 10,
     bits: int = 8,
+    tables: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     probe_id_col: str = "probe_id",
 ) -> DataFrame:
-    """Approximate top-k: score only candidates in the probe's LSH bucket.
+    """Approximate top-k: score only candidates sharing a bucket with
+    the probe in at least one of `tables` independent hash tables.
 
-    At scale the corpus would be written partitioned by bucket so a probe
-    batch prunes input partitions; here bucket is a computed join key.
+    At scale the corpus would be written partitioned by (table, bucket)
+    so a probe batch prunes input partitions; here they're computed join
+    keys. Candidates are deduped before scoring, so each pair is scored
+    once no matter how many tables it collides in.
     """
     c = spread(
         corpus.select(
             F.col(id_col).alias("vec_id"), as_double_vec(F.col(vec_col)).alias("v")
         )
-    ).withColumn("bucket", hyperplane_bucket(F.col("v"), dim, bits))
+    ).select(
+        "vec_id", "v",
+        F.posexplode(multitable_buckets(F.col("v"), dim, bits, tables)).alias(
+            "tbl", "bucket"
+        ),
+    )
     p = probes.select(
         F.col(probe_id_col).alias("probe_id"), F.col("probe_vec").alias("q")
-    ).withColumn("bucket", hyperplane_bucket(F.col("q"), dim, bits))
-    scored = (
-        c.join(F.broadcast(p), "bucket")
+    ).select(
+        "probe_id", "q",
+        F.posexplode(multitable_buckets(F.col("q"), dim, bits, tables)).alias(
+            "tbl", "bucket"
+        ),
+    )
+    candidates = (
+        c.join(F.broadcast(p), ["tbl", "bucket"])
         .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "vec_id", cosine(F.col("v"), F.col("q")).alias("sim"))
+        .groupBy("probe_id", "vec_id")
+        .agg(F.first("v").alias("v"), F.first("q").alias("q"))
+    )
+    scored = candidates.select(
+        "probe_id", "vec_id", cosine(F.col("v"), F.col("q")).alias("sim")
     )
     w = W.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
@@ -143,22 +176,117 @@ def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.99,
     bits: int = 8,
+    tables: int = 8,
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Near-duplicate embedding pairs (cosine >= threshold) via LSH
-    self-join: only same-bucket pairs are scored."""
+    """Near-duplicate embedding pairs (cosine >= threshold) via
+    multi-table LSH self-bucket expansion: only pairs colliding in some
+    table are scored, each pair once. Bucket-local pair generation (not
+    a self-join) computes the bucketing lineage a single time."""
     c = spread(
         corpus.select(
             F.col(id_col).alias("vec_id"), as_double_vec(F.col(vec_col)).alias("v")
         )
-    ).withColumn("bucket", hyperplane_bucket(F.col("v"), dim, bits))
-    a = c.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket")
-    b = c.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    ).select(
+        "vec_id", "v",
+        F.posexplode(multitable_buckets(F.col("v"), dim, bits, tables)).alias(
+            "tbl", "bucket"
+        ),
+    )
+    buckets = c.groupBy("tbl", "bucket").agg(
+        F.array_sort(
+            F.collect_list(F.struct("vec_id", "v"))
+        ).alias("members")
+    ).filter(F.size("members") > 1)
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("members"),
+            lambda x, i: F.transform(
+                F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
+                lambda y: F.struct(
+                    x["vec_id"].alias("id_a"), y["vec_id"].alias("id_b"),
+                    x["v"].alias("va"), y["v"].alias("vb"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.va", "p.vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.select(
+        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim")
+    ).filter(F.col("sim") >= threshold)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into inverted lists,
+    score a probe only against its nprobe nearest cells.
+
+    Centroids are deterministic (the n_centroids lowest-id corpus
+    vectors — a real pipeline would k-means them; the *structure* is
+    identical): tiny, broadcast everywhere. Cell assignment is one
+    broadcast-join argmax pass; at 100 TB the corpus would be written
+    partitioned by cell so probes prune input partitions (same storage
+    trick as the LSH variant).
+    """
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), as_double_vec(F.col(vec_col)).alias("v")
+        )
+    )
+    cents = (
+        c.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
+    )
+    # cell per corpus vector: argmax cosine over the broadcast centroids
+    assigned = (
+        c.join(F.broadcast(cents))
+        .select("vec_id", "v", "cent_id", cosine(F.col("v"), F.col("cv")).alias("cs"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cent_id", F.struct("cs", (-F.col("cent_id")).alias("tb"))).alias(
+                "cell"
+            ),
+            F.first("v").alias("v"),
+        )
+    )
+    p = probes.select(
+        F.col(probe_id_col).alias("probe_id"), F.col("probe_vec").alias("q")
+    )
+    probe_cells = (
+        p.join(F.broadcast(cents))
+        .select("probe_id", "q", "cent_id", cosine(F.col("q"), F.col("cv")).alias("cs"))
+        .withColumn(
+            "r",
+            F.row_number().over(
+                W.partitionBy("probe_id").orderBy(F.col("cs").desc(), "cent_id")
+            ),
+        )
+        .filter(F.col("r") <= nprobe)
+        .select("probe_id", "q", F.col("cent_id").alias("cell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", cosine(F.col("v"), F.col("q")).alias("sim"))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
-        .filter(F.col("sim") >= threshold)
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "vec_id", "sim", "rank")
     )

@@ -194,3 +194,34 @@ def f_cast_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("2024-06-01").cast("date").alias("const_date"),
         F.lit("2024-06-01 12:30:00").cast("timestamp").alias("const_ts"),
     )
+
+
+@query(
+    "f_json_functions",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def f_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction over the events props column (§2.8 json
+    family): get_json_object -> typed aggregation."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -122,3 +122,22 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(emb, threshold=0.95, bits=4, dim=64).select(
         "id_a", "id_b", F.round(F.col("sim"), 9).alias("sim")
     )
+
+
+@query("sim_ivf_topk")  # approximate ANN => rows-only driver check
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-10 for 5 probes: coarse-quantize into 16
+    inverted lists, probe the 4 nearest cells. The second scale path
+    beside LSH; recall vs brute force tested in pytest."""
+    from ..operators.similarity import ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"),
+        as_double_vec(F.col("embedding")).alias("probe_vec"),
+    )
+    out = ivf_topk(emb, probes, k=10, n_centroids=16, nprobe=4)
+    return out.select(
+        "probe_id", "vec_id", F.round(F.col("sim"), 9).alias("sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
