@@ -308,3 +308,79 @@ def a12_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_sum("value", "sum_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "a6c_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                            (l_returnflag, l_linestatus), ())
+    """,
+)
+def a6c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (A6's general form beyond ROLLUP/CUBE)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "a10c_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.50) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def a10c_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (A10's exact sibling —
+    both engines use linear interpolation on the sorted values)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+            F.percentile("l_quantity", F.lit(0.50)).alias("p50"),
+            F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "a13_histogram_binning",
+    oracle="""
+    SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS price_bin,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY 1 ORDER BY price_bin
+    """,
+)
+def a13_histogram_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram by floor binning (identical double-division
+    expression on both engines — no width_bucket dependence)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / 5000.0).cast("long").alias("price_bin")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(38,4)")).cast("double").alias(
+                "sum_qty"
+            ),
+        )
+        .orderBy("price_bin")
+    )

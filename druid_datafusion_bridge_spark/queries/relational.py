@@ -150,3 +150,41 @@ def p4_time_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
         .agg(F.count("*").alias("n_rows"), exact_sum("l_quantity", "sum_qty"))
     )
+
+
+@query(
+    "p5_hash_sample",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                 CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT) % 10 = 0
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def p5_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% hash sample (md5 of the row key). THE sampling
+    primitive for reproducible pipeline runs at scale: engine- and
+    run-independent, no RNG state, pushes down like any filter."""
+    li = table(spark, sf_dir, "lineitem")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long") % 10
+    )
+    return (
+        li.filter(bucket == 0)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(38,4)")).cast("double").alias(
+                "sum_qty"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
