@@ -93,3 +93,26 @@ def st_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, "st_dedup_out", "append",
     )
     return out.select("event_id", "event_type")
+
+
+@query(
+    "st_sliding_rollup",
+    oracle="""
+    SELECT CAST(to_timestamp((floor(epoch(ts) / 600) - k.o) * 600) AS TIMESTAMP)
+             AS bucket_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events, (VALUES (0), (1), (2)) k(o)
+    GROUP BY 1, 2
+    """,
+)
+def st_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min windows sliding by 10: every event lands in exactly three
+    overlapping windows — the oracle reproduces them by cross-joining
+    the three slide offsets."""
+    from ..streaming.events import sliding_rollup
+
+    return _finish(
+        sliding_rollup(stream_events(spark, sf_dir)),
+        spark, "st_slide_out", "complete",
+    )
