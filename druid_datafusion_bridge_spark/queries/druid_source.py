@@ -151,3 +151,54 @@ def s1c_druid_segment_time_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.sum("n_nationkey").alias("sum_key"))
         .orderBy("n_regionkey")
     )
+
+
+def _ensure_hll_segments(spark: SparkSession, sf_dir: str) -> str:
+    """Hourly rollup of events with a Datasketches HLL sketch of
+    user_id per (hour, event_type), persisted as real Druid segments
+    with a COMPLEX sketch column — Druid's ingest-time rollup pattern:
+    raw rows are gone, distinct counts remain mergeable."""
+    from ..catalog import table
+    from ..sources import register_druid_datasource
+    from ..sources.ingest import write_druid_segments
+
+    if not getattr(spark, _REGISTERED_KEY, False):
+        register_druid_datasource(spark)
+        setattr(spark, _REGISTERED_KEY, True)
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join("/tmp", "ddbs_segments", tag, "events_hll")
+    if not os.path.isdir(root) or not os.listdir(root):
+        ev = table(spark, sf_dir, "events")
+        rolled = (
+            ev.groupBy(
+                F.date_trunc("hour", "ts").alias("__time"),
+                "event_type",
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.hll_sketch_agg("user_id").alias("user_sketch"),
+            )
+        )
+        write_druid_segments(rolled, root, granularity="P1D").collect()
+    return root
+
+
+@query("cx_hll_rollup_merge")  # sketch estimate => rows-only driver check
+def cx_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time merge of persisted HLL sketch columns: re-aggregate
+    the hourly rollup segments to per-event-type approx distinct users
+    WITHOUT the raw data (reference README.md:16 claims this surface;
+    its COMPLEX read path errors — src/column/mod.rs:59-61)."""
+    root = _ensure_hll_segments(spark, sf_dir)
+    back = spark.read.format("druidsegment").option("path", root).load()
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.hll_sketch_estimate(F.hll_union_agg("user_sketch")).alias(
+                "approx_users"
+            ),
+        )
+        .orderBy("event_type")
+    )

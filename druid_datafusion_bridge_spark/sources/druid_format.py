@@ -558,6 +558,27 @@ def write_string_column_v0(dictionary: list[str | None], ids: np.ndarray) -> byt
     return bytes(out)
 
 
+def read_complex_column(data, base: int = 0) -> list[bytes | None]:
+    """COMPLEX column -> list of opaque binary blobs (HLL sketches,
+    histograms...). Layout: [0x01][GenericIndexed of byte elements].
+
+    The reference surfaces COMPLEX in the schema as Binary
+    (src/segment/mod.rs:127) but ERRORS on read
+    (src/column/mod.rs:59-61, UnsupportedColumnType); this reader makes
+    the declared capability real.
+    """
+    if data[base] != 0x01:
+        raise DruidFormatError(
+            f"Complex column: unsupported version {data[base]:#x}"
+        )
+    gi = GenericIndexedV1(data, base + 1)
+    return gi.to_list()
+
+
+def write_complex_column(blobs: list[bytes | None]) -> bytes:
+    return bytes([0x01]) + write_generic_indexed(list(blobs), sorted_flag=False)
+
+
 # ---------------------------------------------------------------------------
 # index.drd (metadata.rs:9-17):
 # [columns GI<String>][dimensions GI<String>][interval_start i64][interval_end i64]

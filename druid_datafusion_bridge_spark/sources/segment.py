@@ -94,8 +94,12 @@ class DruidSegment:
             return pa.array(fmt.read_compressed_doubles(data, payload))
         if vt == "FLOAT":
             return pa.array(fmt.read_compressed_floats(data, payload))
-        # COMPLEX: schema-visible, read errors out (src/column/mod.rs:59-61)
-        raise fmt.DruidFormatError(f"Unsupported column type COMPLEX for {name}")
+        if vt == "COMPLEX":
+            # the reference errors here (src/column/mod.rs:59-61); we
+            # return the opaque blobs (HLL sketches etc.) for query-time
+            # merge via Spark's Datasketches functions
+            return pa.array(fmt.read_complex_column(data, payload), type=pa.binary())
+        raise fmt.DruidFormatError(f"Unsupported column type {vt} for {name}")
 
     def read_batch(self, columns: list[str] | None = None) -> pa.RecordBatch:
         """Projected decode — only named columns touch IO
@@ -210,6 +214,11 @@ def write_segment(
             payload = fmt.write_compressed_floats(np.nan_to_num(vals), strategy=strategy)
             desc = {"valueType": "FLOAT", "hasMultipleValues": False,
                     "parts": [{"type": "floatV2"}]}
+        elif pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+            # COMPLEX metric column (e.g. Datasketches HLL blobs)
+            payload = fmt.write_complex_column(col.to_pylist())
+            desc = {"valueType": "COMPLEX", "hasMultipleValues": False,
+                    "parts": [{"type": "complexColumn"}]}
         else:
             raise fmt.DruidFormatError(
                 f"Unsupported arrow type {col.type} for column {name}"

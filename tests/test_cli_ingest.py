@@ -131,3 +131,47 @@ def test_ingest_sharding_splits_hot_interval(spark, tmp_path):
     assert sum(m["num_rows"] for m in manifest) == n
     # no shard exceeds ~3x the cap (hash spread, not exact)
     assert max(m["num_rows"] for m in manifest) < 400
+
+
+def test_hll_sketch_rollup_roundtrip(spark, tmp_path):
+    """COMPLEX sketch columns survive the segment format and stay
+    mergeable: hourly HLL rollup -> segments -> union-merge estimate
+    must land within HLL error of the exact distinct count."""
+    from pyspark.sql import functions as F
+    from druid_datafusion_bridge_spark.catalog import table as cat_table
+    from druid_datafusion_bridge_spark.sources.ingest import write_druid_segments
+
+    register_druid_datasource(spark)
+    ev = cat_table(spark, SF_DIR, "events")
+    rolled = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("__time"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.hll_sketch_agg("user_id").alias("user_sketch"),
+    )
+    out = str(tmp_path / "hll_segments")
+    write_druid_segments(rolled, out, granularity="P1D").collect()
+
+    back = spark.read.format("druidsegment").option("path", out).load()
+    got = {
+        r["event_type"]: (r["n_events"], r["approx_users"])
+        for r in back.groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.hll_sketch_estimate(F.hll_union_agg("user_sketch")).alias(
+                "approx_users"
+            ),
+        )
+        .collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["d"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for et, (n, approx) in got.items():
+        exact_n, exact_d = want[et]
+        assert n == exact_n  # row counts are exact through the rollup
+        assert abs(approx - exact_d) <= max(2, 0.05 * exact_d), (et, approx, exact_d)
