@@ -100,3 +100,25 @@ def test_minhash_has_no_python_in_plan(spark):
     plan = formatted_plan(lsh_candidate_pairs(docs))
     for marker in ["BatchEvalPython", "ArrowEvalPython", "PythonUDF"]:
         assert marker not in plan
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salted join must be a drop-in for inner/left joins under extreme
+    single-key skew (90% of left rows on one key)."""
+    from druid_datafusion_bridge_spark.operators.skew import salted_join
+
+    left = spark.range(10000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("rv")
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for how in ("inner", "left"):
+        assert rows(salted_join(left, right, "k", how)) == rows(
+            left.join(right, "k", how)
+        ), how

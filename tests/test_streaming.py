@@ -90,3 +90,35 @@ def test_dedup_within_watermark(spark, batch_events):
         assert got == want
     finally:
         q.stop()
+
+
+def test_streaming_ingestion_to_segments(spark, batch_events, tmp_path):
+    """Stream -> foreachBatch segment writer -> segment forest readable
+    through the druidsegment source with batch-exact totals."""
+    from druid_datafusion_bridge_spark.sources import register_druid_datasource
+    from druid_datafusion_bridge_spark.streaming.ingest import (
+        read_segment_forest,
+        stream_to_segments,
+    )
+
+    register_druid_datasource(spark)
+    out = str(tmp_path / "stream_segments")
+    stream = stream_events(spark, SF_DIR).select(
+        F.col("ts").alias("__time"), "event_type", "value"
+    )
+    q = stream_to_segments(
+        stream, out, granularity="P1D", checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    back = read_segment_forest(spark, out)
+    got = back.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(38,4)")).alias("sv"),
+    ).collect()[0]
+    want = batch_events.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(38,4)")).alias("sv"),
+    ).collect()[0]
+    assert (got["n"], got["sv"]) == (want["n"], want["sv"])
