@@ -52,6 +52,7 @@ def load_all() -> None:
         temporal,
         text_analysis,
         tpch,
+        tpch_full,
         tpch_subqueries,
         windows,
     )

@@ -72,3 +72,48 @@ REVENUE_SQL = (
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * "
     "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8))"
 )
+
+# Narrow operands for exact products that must stay castable-to-double.
+# The testdata money columns carry exactly 2 fractional digits and <=7
+# integer digits (verified sf0.01/sf0.1), and discount/tax rates are in
+# [0,1) with 2 fractional digits, so these casts are lossless and the
+# product price(9,2) x rate(3,2) -> scale 4 is exact with NO rounding
+# step anywhere. A scale-4 sum's scaled integer stays under 2^53 far
+# longer than scale-8, which keeps the final decimal->double cast
+# correctly rounded in BOTH engines (DuckDB's high-scale decimal->double
+# is not correctly rounded once the scaled int exceeds 2^53).
+PRICE_DEC = "decimal(9,2)"
+RATE_DEC2 = "decimal(3,2)"
+
+
+def disc_price_narrow() -> Column:
+    """l_extendedprice*(1-l_discount) as an exact decimal(13,4) product
+    (long-backed in Spark: precision <= 18)."""
+    one = F.lit(1).cast(RATE_DEC2)
+    return dec("l_extendedprice", PRICE_DEC) * (one - dec("l_discount", RATE_DEC2))
+
+
+DISC_PRICE_NARROW_SQL = (
+    "(CAST(l_extendedprice AS DECIMAL(9,2)) * "
+    "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))"
+)
+
+
+def revenue_sum_d4(alias: str) -> Column:
+    """SUM of the narrow revenue product as DECIMAL(38,4) — exact, and
+    safely double-castable (see module docstring) for ratio queries."""
+    return F.sum(disc_price_narrow()).cast("decimal(38,4)").alias(alias)
+
+
+def sql_revenue_d4_expr(filter_expr: str | None = None) -> str:
+    """Bare DuckDB expression: exact decimal(38,4) revenue sum, with an
+    optional CASE filter — composable inside ratio expressions."""
+    prod = DISC_PRICE_NARROW_SQL
+    if filter_expr is not None:
+        prod = f"CASE WHEN {filter_expr} THEN {prod} ELSE CAST(0 AS DECIMAL(13,4)) END"
+    return f"CAST(SUM({prod}) AS DECIMAL(38,4))"
+
+
+def sql_revenue_sum_d4(alias: str, filter_expr: str | None = None) -> str:
+    """DuckDB mirror of :func:`revenue_sum_d4`; optional CASE filter."""
+    return f"{sql_revenue_d4_expr(filter_expr)} AS {alias}"
