@@ -1,0 +1,33 @@
+"""Function-compatibility layers (SURVEY.md §2.8).
+
+``druid_sql`` maps Druid SQL's function names onto Spark expressions —
+both as Column helpers and as Catalyst-inlined SQL UDFs.
+"""
+
+from .druid_sql import (  # noqa: F401
+    contains_string,
+    div,
+    icontains_string,
+    lookup,
+    millis_to_timestamp,
+    mv_contains,
+    mv_filter_none,
+    mv_filter_only,
+    mv_length,
+    mv_offset,
+    mv_ordinal,
+    mv_overlap,
+    mv_to_string,
+    parse_period,
+    register_druid_sql_functions,
+    safe_divide,
+    string_to_mv,
+    textcat,
+    time_ceil,
+    time_extract,
+    time_floor,
+    time_format,
+    time_parse,
+    time_shift,
+    timestamp_to_millis,
+)

@@ -1,0 +1,309 @@
+"""Druid SQL function-compatibility layer.
+
+The reference exposes a plain SQL prompt over a Druid segment
+(reference src/main.rs:186-195) in DataFusion's dialect; a Druid user
+arriving from Druid SQL expects Druid's function names — TIME_FLOOR,
+TIME_SHIFT, SAFE_DIVIDE, the MV_* multi-value family, LOOKUP. This
+module provides them twice over:
+
+1. **Column helpers** (``time_floor(col, "PT15M")`` ...) for DataFrame
+   pipelines — thin compositions of built-in ``pyspark.sql.functions``,
+   so everything stays JVM-side inside whole-stage codegen.
+2. **SQL registration** (:func:`register_druid_sql_functions`) — Spark 4
+   SQL UDFs (``CREATE TEMPORARY FUNCTION ... RETURN <expr>``), which
+   Catalyst inlines into the plan at analysis time: zero call overhead,
+   full pushdown/codegen, usable from raw SQL text. A Druid SQL query
+   like ``SELECT TIME_FLOOR(__time, 'PT1H'), APPROX_COUNT_DISTINCT(x)``
+   runs verbatim (APPROX_COUNT_DISTINCT and APPROX_QUANTILE are already
+   Spark built-ins under the same, case-insensitive names).
+
+Period strings are ISO-8601 durations as Druid uses them ('PT15M',
+'P1D', 'P3M'). Month-or-coarser periods are calendar arithmetic;
+sub-month periods are exact epoch-millisecond arithmetic. Scale: every
+function here is a scalar expression — no shuffle, no Python, no state.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Mapping
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+_EPOCH = "1970-01-01 00:00:00"
+
+_PERIOD_RE = re.compile(
+    r"^P(?:(?P<y>\d+)Y)?(?:(?P<mo>\d+)M)?(?:(?P<w>\d+)W)?(?:(?P<d>\d+)D)?"
+    r"(?:T(?:(?P<h>\d+)H)?(?:(?P<mi>\d+)M)?(?:(?P<s>\d+)S)?)?$"
+)
+
+
+def parse_period(period: str) -> tuple[int, int]:
+    """ISO-8601 duration -> (months, milliseconds). Exactly one of the
+    two is non-zero (mixed calendar+clock periods are ambiguous for
+    flooring, as in Druid)."""
+    m = _PERIOD_RE.match(period)
+    if not m or period in ("P", "PT"):
+        raise ValueError(f"invalid ISO-8601 period: {period!r}")
+    g = {k: int(v) if v else 0 for k, v in m.groupdict().items()}
+    months = g["y"] * 12 + g["mo"]
+    millis = (
+        g["w"] * 7 * 86_400_000
+        + g["d"] * 86_400_000
+        + g["h"] * 3_600_000
+        + g["mi"] * 60_000
+        + g["s"] * 1_000
+    )
+    if months and millis:
+        raise ValueError(f"mixed calendar/clock period unsupported: {period!r}")
+    if not months and not millis:
+        raise ValueError(f"zero-length period: {period!r}")
+    return months, millis
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def time_floor(col: Column | str, period: str, origin: str | None = None) -> Column:
+    """Druid TIME_FLOOR: floor a timestamp to an ISO-period grain,
+    optionally anchored at ``origin`` (default epoch).
+
+    Inputs may be TIMESTAMP or TIMESTAMP_NTZ; epoch arithmetic casts to
+    TIMESTAMP (unix_millis rejects NTZ), which is value-preserving under
+    the engine's pinned UTC session timezone (session.py)."""
+    c = _col(col).cast("timestamp")
+    months, millis = parse_period(period)
+    org = F.lit(origin or _EPOCH).cast("timestamp")
+    if months:
+        n = F.floor(F.months_between(F.date_trunc("month", c), org) / months) * months
+        return F.to_timestamp(F.add_months(org, n.cast("int")))
+    o = F.unix_millis(org)
+    return F.timestamp_millis(
+        o + F.floor((F.unix_millis(c) - o) / millis).cast("long") * millis
+    )
+
+
+def time_ceil(col: Column | str, period: str, origin: str | None = None) -> Column:
+    """Druid TIME_CEIL: smallest period boundary >= the timestamp."""
+    c = _col(col).cast("timestamp")
+    fl = time_floor(c, period, origin)
+    return F.when(fl == c, c).otherwise(time_shift(fl, period, 1))
+
+
+def time_shift(col: Column | str, period: str, step: int | Column) -> Column:
+    """Druid TIME_SHIFT: move a timestamp by ``step`` periods (step may
+    be negative). Calendar periods preserve time-of-day."""
+    c = _col(col).cast("timestamp")
+    months, millis = parse_period(period)
+    s = F.lit(step) if isinstance(step, int) else step
+    if months:
+        zero = F.lit(0)
+        return c + F.make_interval(zero, (s * months).cast("int"))
+    return F.timestamp_millis(F.unix_millis(c) + s.cast("long") * millis)
+
+
+#: Druid TIME_EXTRACT units -> Spark expression builders. DOW is ISO
+#: (Monday=1..Sunday=7), matching Druid; Spark's dayofweek is Sunday=1,
+#: so DOW uses weekday()+1 instead.
+_EXTRACT_UNITS = {
+    "EPOCH": F.unix_seconds,
+    "MILLIS": F.unix_millis,
+    "SECOND": F.second,
+    "MINUTE": F.minute,
+    "HOUR": F.hour,
+    "DAY": F.dayofmonth,
+    "DOW": lambda c: F.weekday(c) + F.lit(1),
+    "DOY": F.dayofyear,
+    "WEEK": F.weekofyear,
+    "MONTH": F.month,
+    "QUARTER": F.quarter,
+    "YEAR": F.year,
+}
+
+
+def time_extract(col: Column | str, unit: str) -> Column:
+    """Druid TIME_EXTRACT: pull one calendar field as a number."""
+    try:
+        fn = _EXTRACT_UNITS[unit.upper()]
+    except KeyError:
+        raise ValueError(
+            f"unknown unit {unit!r}; one of {sorted(_EXTRACT_UNITS)}"
+        ) from None
+    return fn(_col(col)).cast("long")
+
+
+def time_parse(col: Column | str, pattern: str | None = None) -> Column:
+    """Druid TIME_PARSE: string -> timestamp (ISO-8601 by default)."""
+    c = _col(col)
+    return F.to_timestamp(c, pattern) if pattern else F.to_timestamp(c)
+
+
+def time_format(col: Column | str, pattern: str = "yyyy-MM-dd'T'HH:mm:ss") -> Column:
+    """Druid TIME_FORMAT: timestamp -> string."""
+    return F.date_format(_col(col), pattern)
+
+
+def millis_to_timestamp(col: Column | str) -> Column:
+    return F.timestamp_millis(_col(col).cast("long"))
+
+
+def timestamp_to_millis(col: Column | str) -> Column:
+    return F.unix_millis(_col(col).cast("timestamp"))
+
+
+def safe_divide(x: Column | str, y: Column | str) -> Column:
+    """Druid SAFE_DIVIDE: NULL instead of error/inf on zero divisor."""
+    xd, yd = _col(x), _col(y)
+    return F.when(yd != 0, xd / yd)
+
+
+def div(x: Column | str, y: Column | str) -> Column:
+    """Druid DIV: integer division truncating toward zero. `%` follows
+    the dividend's sign in both Spark and Java, so (x - x%y)/y is the
+    truncated quotient."""
+    xl, yl = _col(x).cast("long"), _col(y).cast("long")
+    return ((xl - (xl % yl)) / yl).cast("long")
+
+
+def textcat(x: Column | str, y: Column | str) -> Column:
+    """Druid TEXTCAT: two-arg string concat (NULL if either is NULL)."""
+    return F.concat(_col(x), _col(y))
+
+
+def contains_string(col: Column | str, substr: str) -> Column:
+    return _col(col).contains(substr)
+
+
+def icontains_string(col: Column | str, substr: str) -> Column:
+    return F.lower(_col(col)).contains(substr.lower())
+
+
+def lookup(col: Column | str, mapping: Mapping[str, str],
+           default: str | None = None) -> Column:
+    """Druid LOOKUP: map a key column through a small dictionary.
+
+    The mapping becomes a map literal in the plan (broadcast with the
+    task binary — right for lookup-table sizes; use a broadcast join
+    for big dimension tables)."""
+    pairs: list[Column] = []
+    for k, v in mapping.items():
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(v))
+    # try_element_at: NULL (not an ANSI error) for keys outside the map.
+    got = F.try_element_at(F.create_map(*pairs), _col(col))
+    return F.coalesce(got, F.lit(default)) if default is not None else got
+
+
+# ---- multi-value (MV_*) family over ArrayType columns ----------------
+
+def mv_length(col: Column | str) -> Column:
+    c = _col(col)
+    return F.when(c.isNotNull(), F.size(c))
+
+
+def mv_contains(col: Column | str, value) -> Column:
+    return F.array_contains(_col(col), value)
+
+
+def mv_overlap(col: Column | str, other: Column) -> Column:
+    return F.arrays_overlap(_col(col), other)
+
+
+def mv_offset(col: Column | str, i: int) -> Column:
+    """0-based element access (Druid MV_OFFSET)."""
+    return F.element_at(_col(col), i + 1)
+
+
+def mv_ordinal(col: Column | str, i: int) -> Column:
+    """1-based element access (Druid MV_ORDINAL)."""
+    return F.element_at(_col(col), i)
+
+
+def mv_filter_only(col: Column | str, allow: list) -> Column:
+    """Keep only allow-listed elements (duplicates preserved — unlike
+    array_intersect, which dedups)."""
+    allowed = F.array(*[F.lit(v) for v in allow])
+    return F.filter(_col(col), lambda e: F.array_contains(allowed, e))
+
+
+def mv_filter_none(col: Column | str, deny: list) -> Column:
+    denied = F.array(*[F.lit(v) for v in deny])
+    return F.filter(_col(col), lambda e: ~F.array_contains(denied, e))
+
+
+def mv_to_string(col: Column | str, sep: str = ",") -> Column:
+    return F.array_join(_col(col), sep)
+
+
+def string_to_mv(col: Column | str, sep: str = ",") -> Column:
+    return F.split(_col(col), re.escape(sep))
+
+
+# ---- SQL-text registration ------------------------------------------
+
+#: (name, arg signature, return type, body) for every SQL UDF. Bodies
+#: are pure Spark SQL expressions, so Catalyst inlines them (no UDF
+#: call boundary, codegen intact). TIME_* SQL forms support Druid's
+#: standard granularity periods (any PT<n>S/M/H plus P1D/P1W/P1M/P3M/
+#: P1Y); the Python helpers above support arbitrary ISO periods.
+_PERIOD_MS = (
+    "CAST(regexp_extract(period, '^PT([0-9]+)[SMH]$', 1) AS BIGINT) * "
+    "CASE substring(period, -1, 1) WHEN 'S' THEN 1000 "
+    "WHEN 'M' THEN 60000 ELSE 3600000 END"
+)
+
+_SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
+    ("DDBS_PERIOD_MS", "period STRING", "BIGINT",
+     f"CASE WHEN period = 'P1D' THEN 86400000 WHEN period = 'P1W' THEN 604800000 "
+     f"WHEN period RLIKE '^PT[0-9]+[SMH]$' THEN {_PERIOD_MS} END"),
+    ("TIME_FLOOR", "ts TIMESTAMP, period STRING", "TIMESTAMP",
+     "CASE WHEN period = 'P1M' THEN date_trunc('MONTH', ts) "
+     "WHEN period = 'P3M' THEN date_trunc('QUARTER', ts) "
+     "WHEN period = 'P1Y' THEN date_trunc('YEAR', ts) "
+     "ELSE timestamp_millis(CAST(floor(unix_millis(ts) / DDBS_PERIOD_MS(period)) "
+     "AS BIGINT) * DDBS_PERIOD_MS(period)) END"),
+    ("TIME_SHIFT", "ts TIMESTAMP, period STRING, step INT", "TIMESTAMP",
+     "CASE WHEN period = 'P1M' THEN ts + make_interval(0, step) "
+     "WHEN period = 'P3M' THEN ts + make_interval(0, 3 * step) "
+     "WHEN period = 'P1Y' THEN ts + make_interval(step) "
+     "ELSE timestamp_millis(unix_millis(ts) + step * DDBS_PERIOD_MS(period)) END"),
+    ("TIME_CEIL", "ts TIMESTAMP, period STRING", "TIMESTAMP",
+     "CASE WHEN TIME_FLOOR(ts, period) = ts THEN ts "
+     "ELSE TIME_SHIFT(TIME_FLOOR(ts, period), period, 1) END"),
+    ("TIME_EXTRACT", "ts TIMESTAMP, unit STRING", "BIGINT",
+     "CASE upper(unit) WHEN 'EPOCH' THEN unix_seconds(ts) "
+     "WHEN 'MILLIS' THEN unix_millis(ts) "
+     "WHEN 'SECOND' THEN second(ts) WHEN 'MINUTE' THEN minute(ts) "
+     "WHEN 'HOUR' THEN hour(ts) WHEN 'DAY' THEN day(ts) "
+     "WHEN 'DOW' THEN weekday(ts) + 1 WHEN 'DOY' THEN dayofyear(ts) "
+     "WHEN 'WEEK' THEN weekofyear(ts) WHEN 'MONTH' THEN month(ts) "
+     "WHEN 'QUARTER' THEN quarter(ts) WHEN 'YEAR' THEN year(ts) END"),
+    ("TIME_PARSE", "s STRING", "TIMESTAMP", "to_timestamp(s)"),
+    ("TIME_FORMAT", "ts TIMESTAMP, fmt STRING", "STRING", "date_format(ts, fmt)"),
+    ("MILLIS_TO_TIMESTAMP", "m BIGINT", "TIMESTAMP", "timestamp_millis(m)"),
+    ("TIMESTAMP_TO_MILLIS", "ts TIMESTAMP", "BIGINT", "unix_millis(ts)"),
+    ("SAFE_DIVIDE", "x DOUBLE, y DOUBLE", "DOUBLE",
+     "CASE WHEN y = 0 THEN NULL ELSE x / y END"),
+    ("TEXTCAT", "x STRING, y STRING", "STRING", "concat(x, y)"),
+    ("CONTAINS_STRING", "s STRING, sub STRING", "BOOLEAN", "instr(s, sub) > 0"),
+    ("ICONTAINS_STRING", "s STRING, sub STRING", "BOOLEAN",
+     "instr(lower(s), lower(sub)) > 0"),
+    ("STRPOS", "s STRING, sub STRING", "INT", "instr(s, sub)"),
+    # DIV is omitted: Spark ships a built-in DIV with Druid's exact
+    # truncating-integer-division semantics (and refuses to shadow it).
+]
+
+
+def register_druid_sql_functions(spark: SparkSession) -> None:
+    """Register the Druid SQL surface as temporary SQL functions.
+
+    Idempotent (CREATE OR REPLACE). After this, Druid SQL text runs via
+    ``spark.sql`` directly — the analog of the reference registering its
+    table and handing SQL to the engine (src/main.rs:189-191)."""
+    for name, args, ret, body in _SQL_FUNCTIONS:
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) "
+            f"RETURNS {ret} RETURN {body}"
+        )

@@ -40,6 +40,7 @@ def load_all() -> None:
     from . import (  # noqa: F401
         aggregates,
         dedup,
+        druid_functions,
         druid_model,
         druid_source,
         joins,

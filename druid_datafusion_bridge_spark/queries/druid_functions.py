@@ -1,0 +1,197 @@
+"""Oracle-checked queries through the Druid SQL compatibility layer
+(functions/druid_sql.py) — TIME_FLOOR/CEIL/SHIFT/EXTRACT, SAFE_DIVIDE,
+TEXTCAT, CONTAINS_STRING, DIV, LOOKUP, and the MV_* multi-value family.
+
+fd_druid_sql_text runs raw Druid SQL *text* end-to-end after
+registration, mirroring the reference's whole entry path (register
+table -> hand SQL string to the engine, src/main.rs:186-195) with the
+dialect swapped from DataFusion to Druid SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions import (
+    div,
+    lookup,
+    mv_contains,
+    mv_filter_only,
+    mv_length,
+    mv_to_string,
+    register_druid_sql_functions,
+    safe_divide,
+    textcat,
+    time_ceil,
+    time_extract,
+    time_floor,
+    time_shift,
+)
+from . import query
+
+
+@query(
+    "fd_time_functions",
+    oracle="""
+    SELECT CAST(date_trunc('quarter', l_shipdate) AS TIMESTAMP) AS ship_quarter,
+           isodow(l_shipdate) AS dow,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ship_quarter, dow
+    ORDER BY ship_quarter, dow
+    """,
+)
+def fd_time_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME_FLOOR to quarters + TIME_EXTRACT ISO day-of-week, checked
+    against DuckDB's native date_trunc/isodow."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            time_floor("l_shipdate", "P3M").alias("ship_quarter"),
+            time_extract("l_shipdate", "DOW").alias("dow"),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("ship_quarter", "dow")
+    )
+
+
+@query(
+    "fd_time_floor_custom_grain",
+    oracle="""
+    SELECT make_timestamp(CAST(floor(epoch_ms(l_shipdate) / 1209600000) AS BIGINT)
+                          * 1209600000 * 1000) AS bucket_2w,
+           make_timestamp((CAST(floor((epoch_ms(l_shipdate)
+                                       - epoch_ms(TIMESTAMP '1995-01-02'))
+                                      / 604800000) AS BIGINT) * 604800000
+                           + epoch_ms(TIMESTAMP '1995-01-02')) * 1000)
+             AS week_monday,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY bucket_2w, week_monday
+    ORDER BY bucket_2w, week_monday
+    """,
+)
+def fd_time_floor_custom_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-period flooring the SQL date_trunc can't express:
+    2-week buckets from epoch, and weeks anchored to a Monday origin
+    (1995-01-02) — Druid's origin-anchored granularity. Oracle is raw
+    epoch arithmetic in DuckDB."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            time_floor("l_shipdate", "P2W").alias("bucket_2w"),
+            time_floor("l_shipdate", "P1W", origin="1995-01-02").alias(
+                "week_monday"
+            ),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket_2w", "week_monday")
+    )
+
+
+@query(
+    "fd_scalar_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice = 0 THEN NULL
+                ELSE CAST(o_orderkey AS DOUBLE) / o_totalprice END AS key_per_price,
+           o_orderstatus || o_orderpriority AS status_tag,
+           contains(o_orderpriority, 'URGENT') AS is_urgent,
+           CAST(o_orderkey // 1000 AS BIGINT) AS key_kilo,
+           CASE o_orderstatus WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open'
+                ELSE 'other' END AS status_name
+    FROM orders
+    WHERE o_orderkey <= 2000
+    ORDER BY o_orderkey
+    """,
+)
+def fd_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAFE_DIVIDE / TEXTCAT / CONTAINS_STRING / DIV / LOOKUP column
+    helpers against native DuckDB equivalents."""
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return orders.select(
+        "o_orderkey",
+        safe_divide(F.col("o_orderkey").cast("double"), F.col("o_totalprice")).alias(
+            "key_per_price"
+        ),
+        textcat("o_orderstatus", "o_orderpriority").alias("status_tag"),
+        F.col("o_orderpriority").contains("URGENT").alias("is_urgent"),
+        div(F.col("o_orderkey"), F.lit(1000)).alias("key_kilo"),
+        lookup(
+            "o_orderstatus", {"F": "finished", "O": "open"}, default="other"
+        ).alias("status_name"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "fd_mv_functions",
+    oracle="""
+    SELECT p_partkey,
+           len(string_split(p_name, ' ')) AS n_words,
+           list_contains(string_split(p_name, ' '), 'red') AS has_red,
+           COALESCE(array_to_string(list_filter(string_split(p_name, ' '),
+                                    w -> w IN ('red', 'blue', 'hot', 'cold')), '|'),
+                    '') AS color_words
+    FROM part
+    WHERE p_partkey <= 500
+    ORDER BY p_partkey
+    """,
+)
+def fd_mv_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MV_* multi-value family (Druid's multi-value string dimensions,
+    SURVEY §1.3) over a split-to-array column, vs DuckDB list
+    functions."""
+    part = table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    words = F.split(F.col("p_name"), " ")
+    return part.select(
+        "p_partkey",
+        mv_length(words).alias("n_words"),
+        mv_contains(words, "red").alias("has_red"),
+        mv_to_string(
+            mv_filter_only(words, ["red", "blue", "hot", "cold"]), "|"
+        ).alias("color_words"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "fd_druid_sql_text",
+    oracle="""
+    SELECT CAST(date_trunc('hour', o_orderdate) AS TIMESTAMP)
+             + INTERVAL 1 DAY AS next_day,
+           COUNT(*) AS n,
+           CASE WHEN SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) = 0
+                THEN NULL
+                ELSE CAST(COUNT(*) AS DOUBLE)
+                     / SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) END
+             AS per_finished
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+      AND o_orderdate < TIMESTAMP '1999-03-01'
+    GROUP BY next_day
+    ORDER BY next_day
+    """,
+)
+def fd_druid_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw Druid SQL text (TIME_SHIFT/TIME_FLOOR/SAFE_DIVIDE as SQL
+    function calls) executed verbatim through spark.sql after
+    register_druid_sql_functions — the reference's register-then-sql
+    lifecycle with Druid's dialect."""
+    register_druid_sql_functions(spark)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT TIME_SHIFT(TIME_FLOOR(o_orderdate, 'PT1H'), 'P1D', 1) AS next_day,
+               COUNT(*) AS n,
+               SAFE_DIVIDE(CAST(COUNT(*) AS DOUBLE),
+                           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                                         THEN 1 ELSE 0 END) AS DOUBLE))
+                 AS per_finished
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+          AND o_orderdate < TIMESTAMP '1999-03-01'
+        GROUP BY next_day
+        ORDER BY next_day
+        """
+    )

@@ -1,0 +1,145 @@
+"""Unit tests for the Druid SQL function-compatibility layer
+(functions/druid_sql.py): ISO-period parsing, calendar vs clock
+flooring, ceil/shift edge cases, MV_* semantics, and that the SQL-text
+registration produces the same answers as the Column helpers."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from druid_datafusion_bridge_spark.functions import (
+    lookup,
+    mv_filter_only,
+    mv_length,
+    parse_period,
+    register_druid_sql_functions,
+    safe_divide,
+    time_ceil,
+    time_extract,
+    time_floor,
+    time_shift,
+)
+
+TS = "ts timestamp"
+
+
+def _one(spark, ts: str, col):
+    df = spark.createDataFrame([(dt.datetime.fromisoformat(ts),)], TS)
+    return df.select(col.alias("v")).collect()[0].v
+
+
+def test_parse_period():
+    assert parse_period("PT15M") == (0, 900_000)
+    assert parse_period("P1D") == (0, 86_400_000)
+    assert parse_period("P2W") == (0, 1_209_600_000)
+    assert parse_period("P3M") == (3, 0)
+    assert parse_period("P1Y2M") == (14, 0)
+    with pytest.raises(ValueError):
+        parse_period("P1MT1H")  # mixed calendar+clock
+    with pytest.raises(ValueError):
+        parse_period("nope")
+    with pytest.raises(ValueError):
+        parse_period("P")
+
+
+def test_time_floor_clock_and_calendar(spark):
+    t = "2024-05-17T13:47:21"
+    assert _one(spark, t, time_floor("ts", "PT15M")) == dt.datetime(
+        2024, 5, 17, 13, 45
+    )
+    assert _one(spark, t, time_floor("ts", "P1D")) == dt.datetime(2024, 5, 17)
+    assert _one(spark, t, time_floor("ts", "P3M")) == dt.datetime(2024, 4, 1)
+    assert _one(spark, t, time_floor("ts", "P1Y")) == dt.datetime(2024, 1, 1)
+    # origin-anchored week (Monday 1995-01-02): 2024-05-17 is a Friday
+    assert _one(spark, t, time_floor("ts", "P1W", origin="1995-01-02")) == (
+        dt.datetime(2024, 5, 13)
+    )
+    # pre-origin timestamps floor downward, not toward the origin
+    assert _one(spark, "1969-12-31T23:59:59", time_floor("ts", "P1D")) == (
+        dt.datetime(1969, 12, 31)
+    )
+
+
+def test_time_ceil_boundary_is_identity(spark):
+    assert _one(spark, "2024-05-17T13:45:00", time_ceil("ts", "PT15M")) == (
+        dt.datetime(2024, 5, 17, 13, 45)
+    )
+    assert _one(spark, "2024-05-17T13:45:01", time_ceil("ts", "PT15M")) == (
+        dt.datetime(2024, 5, 17, 14, 0)
+    )
+    assert _one(spark, "2024-02-02T00:00:00", time_ceil("ts", "P1M")) == (
+        dt.datetime(2024, 3, 1)
+    )
+
+
+def test_time_shift_preserves_time_of_day(spark):
+    t = "2024-01-31T09:30:00"
+    assert _one(spark, t, time_shift("ts", "P1M", 1)) == dt.datetime(
+        2024, 2, 29, 9, 30
+    )
+    assert _one(spark, t, time_shift("ts", "P1D", -2)) == dt.datetime(
+        2024, 1, 29, 9, 30
+    )
+
+
+def test_time_extract_iso_dow(spark):
+    # 2024-05-13 is a Monday -> ISO dow 1; Sunday -> 7
+    assert _one(spark, "2024-05-13T05:00:00", time_extract("ts", "DOW")) == 1
+    assert _one(spark, "2024-05-19T05:00:00", time_extract("ts", "DOW")) == 7
+    with pytest.raises(ValueError):
+        time_extract("ts", "FORTNIGHT")
+
+
+def test_mv_and_scalar_helpers(spark):
+    df = spark.createDataFrame(
+        [(["a", "b", "a", "c"], 10.0, 0.0), (None, 1.0, 2.0)],
+        "arr array<string>, x double, y double",
+    )
+    out = df.select(
+        mv_length("arr").alias("n"),
+        mv_filter_only("arr", ["a", "c"]).alias("kept"),
+        safe_divide("x", "y").alias("sd"),
+        lookup(F.lit("k1"), {"k1": "v1"}, default="dflt").alias("hit"),
+        lookup(F.lit("zz"), {"k1": "v1"}, default="dflt").alias("miss"),
+    ).collect()
+    assert out[0].n == 4
+    assert out[0].kept == ["a", "a", "c"]  # duplicates preserved, order kept
+    assert out[0].sd is None  # divide by zero -> NULL
+    assert out[1].n is None  # NULL array -> NULL, not -1
+    assert out[1].sd == 0.5
+    assert out[0].hit == "v1" and out[0].miss == "dflt"
+
+
+def test_sql_registration_matches_column_helpers(spark):
+    register_druid_sql_functions(spark)
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 5, 17, 13, 47, 21),)], TS
+    )
+    df.createOrReplaceTempView("t_fn")
+    got = spark.sql(
+        """
+        SELECT TIME_FLOOR(ts, 'PT15M') AS fl,
+               TIME_CEIL(ts, 'P1M') AS ce,
+               TIME_SHIFT(ts, 'P1Y', -1) AS sh,
+               TIME_EXTRACT(ts, 'DOW') AS dow,
+               SAFE_DIVIDE(1.0, 0.0) AS sd,
+               DIV(17, 5) AS dv,
+               STRPOS('hello', 'll') AS sp,
+               ICONTAINS_STRING('Hello', 'heLLo') AS ic
+        FROM t_fn
+        """
+    ).collect()[0]
+    helper = df.select(
+        time_floor("ts", "PT15M").alias("fl"),
+        time_ceil("ts", "P1M").alias("ce"),
+        time_shift("ts", "P1Y", -1).alias("sh"),
+        time_extract("ts", "DOW").alias("dow"),
+    ).collect()[0]
+    assert got.fl == helper.fl == dt.datetime(2024, 5, 17, 13, 45)
+    assert got.ce == helper.ce == dt.datetime(2024, 6, 1)
+    assert got.sh == helper.sh == dt.datetime(2023, 5, 17, 13, 47, 21)
+    assert got.dow == helper.dow == 5  # Friday
+    assert got.sd is None and got.dv == 3 and got.sp == 3 and got.ic is True
