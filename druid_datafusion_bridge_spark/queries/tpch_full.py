@@ -483,9 +483,11 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 (adapted: "late" = shipped >60 days after the order):
     suppliers who were the SOLE late supplier on a multi-supplier
     finished order. The textbook EXISTS/NOT-EXISTS pair is restated as
-    a grouped CTE + self-join — same answer, and the two references to
-    lw reuse one shuffle (ReusedExchange) instead of rescanning
-    lineitem twice."""
+    one aggregate + per-order window counts: lineitem is scanned and
+    shuffled exactly ONCE (the oracle keeps the two-CTE self-join form
+    — Catalyst does not reuse the exchange there because the two CTE
+    references prune different columns, so the self-join shape would
+    scan lineitem twice; the window form is the at-scale plan)."""
     _views(spark, sf_dir, "lineitem", "orders", "supplier")
     return spark.sql(
         """
@@ -497,14 +499,15 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
           JOIN orders ON o_orderkey = l_orderkey
           WHERE o_orderstatus = 'F'
           GROUP BY l_orderkey, l_suppkey),
-        per_order AS (
-          SELECT l_orderkey, COUNT(*) AS n_supp, SUM(is_late) AS n_late
-          FROM lw GROUP BY l_orderkey)
+        flagged AS (
+          SELECT l_suppkey, is_late,
+                 COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+                 SUM(is_late) OVER (PARTITION BY l_orderkey) AS n_late
+          FROM lw)
         SELECT s_name, COUNT(*) AS numwait
-        FROM lw
-        JOIN per_order USING (l_orderkey)
+        FROM flagged
         JOIN supplier ON s_suppkey = l_suppkey
-        WHERE lw.is_late = 1 AND per_order.n_supp > 1 AND per_order.n_late = 1
+        WHERE is_late = 1 AND n_supp > 1 AND n_late = 1
         GROUP BY s_name
         ORDER BY numwait DESC, s_name
         """

@@ -122,3 +122,38 @@ def test_salted_join_matches_plain_join(spark):
         assert rows(salted_join(left, right, "k", how)) == rows(
             left.join(right, "k", how)
         ), how
+
+
+def test_q8_seven_table_star_all_broadcast(spark):
+    """q8 joins lineitem to 6 dimensions + region: every join must
+    broadcast (fact side never shuffles for a join), leaving only the
+    aggregation + sort exchanges."""
+    df = all_queries()["q8_market_share"](spark, SF_DIR)
+    strategies = join_strategies(df)
+    assert len(strategies) == 7, strategies
+    assert all(s == "BroadcastHashJoin" for s in strategies), strategies
+    assert count_exchanges(df) <= 2
+
+
+def test_q21_scans_lineitem_once(spark):
+    """q21 needs per-order supplier counts AND per-supplier rows; the
+    window formulation must read lineitem in exactly one scan (the
+    naive CTE self-join reads it twice — Catalyst can't reuse the
+    exchange because each reference prunes different columns)."""
+    from druid_datafusion_bridge_spark.plans import formatted_plan
+
+    df = all_queries()["q21_waiting_suppliers"](spark, SF_DIR)
+    assert formatted_plan(df).count("lineitem.parquet") == 1
+
+
+def test_druid_sql_udfs_stay_jvm_side(spark):
+    """The Druid SQL compat functions are SQL UDFs Catalyst inlines —
+    raw Druid SQL text must compile to a plan with zero Python eval
+    nodes and its filters still pushed to the scan."""
+    from druid_datafusion_bridge_spark.plans import formatted_plan
+
+    df = all_queries()["fd_druid_sql_text"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    for marker in ["BatchEvalPython", "ArrowEvalPython", "PythonUDF"]:
+        assert marker not in plan
+    assert "o_orderdate" in " ".join(pushed_filters(df))
