@@ -52,6 +52,7 @@ def load_all() -> None:
         streaming,
         temporal,
         text_analysis,
+        topn_search,
         tpch,
         tpch_full,
         tpch_subqueries,
