@@ -25,7 +25,8 @@ from druid_datafusion_bridge_spark.queries import all_queries
 
 # Representative, scale-sensitive subset: scan-agg, wide-agg, multi-join,
 # star join, filter-agg, time rollup, window, top-k per group, dedup LSH,
-# similarity top-k, text stats.
+# similarity top-k, text stats, 7-table broadcast star, window-over-agg,
+# Druid-SQL compat functions, two-phase TopN (the Arrow/mapInPandas path).
 HEADLINE = [
     "flagship_rollup",
     "q1_pricing_summary",
@@ -38,6 +39,10 @@ HEADLINE = [
     "dd_minhash_lsh_pairs",
     "sim_topk_per_probe",
     "txt_token_stats",
+    "q8_market_share",
+    "q21_waiting_suppliers",
+    "fd_time_functions",
+    "tn_topn_two_phase",
 ]
 
 
