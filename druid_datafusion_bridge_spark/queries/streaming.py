@@ -116,3 +116,34 @@ def st_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sliding_rollup(stream_events(spark, sf_dir)),
         spark, "st_slide_out", "complete",
     )
+
+
+@query(
+    "st_stateful_user_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def st_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) run to
+    completion. Updates are monotone (running totals), so the final
+    per-user row — the max n_events per user in the update stream —
+    must equal the batch aggregate exactly: state accumulates integer
+    cents, immune to batch boundaries and float order."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from ..streaming.events import stateful_running_totals
+
+    out = _finish(
+        stateful_running_totals(stream_events(spark, sf_dir)),
+        spark, "st_stateful_out", "update",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("user_id", "n_events", "total_value")
+    )

@@ -98,6 +98,47 @@ def dedup_within_watermark(events: DataFrame, delay: str = "30 minutes") -> Data
     return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def stateful_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running event count and value total, re-emitted on every update.
+
+    This is the §2.10 "custom stateful operator" escape hatch for
+    semantics windowed aggregation can't express (here: unbounded
+    running totals with the full state machine exposed). State is one
+    (count, cents) pair per user — value accumulates in integer cents,
+    so totals are exact regardless of batch boundaries and arrival
+    order. State store partitions by user_id, so state scales out with
+    executors like every other stateful operator.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        # Self-contained: no module-level references (unpickled on
+        # workers possibly without this repo on sys.path).
+        import pandas as pd
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id long, n_events long, total_value double",
+        "n long, cents long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming query over the (finite) file source to
     completion into an in-memory table; returns the StreamingQuery.

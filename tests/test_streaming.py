@@ -122,3 +122,41 @@ def test_streaming_ingestion_to_segments(spark, batch_events, tmp_path):
         F.sum(F.col("value").cast("decimal(38,4)")).alias("sv"),
     ).collect()[0]
     assert (got["n"], got["sv"]) == (want["n"], want["sv"])
+
+
+def test_stateful_running_totals_match_batch(spark, batch_events):
+    """applyInPandasWithState custom stateful operator: the last update
+    per user must equal the batch aggregate exactly (state accumulates
+    integer cents, so no float-order drift)."""
+    from druid_datafusion_bridge_spark.streaming.events import (
+        stateful_running_totals,
+    )
+
+    q = run_to_memory(
+        stateful_running_totals(stream_events(spark, SF_DIR)), "t_state", "update"
+    )
+    try:
+        got = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in spark.sql(
+                "SELECT user_id, n_events, total_value FROM t_state"
+            ).collect()
+            # in update mode each user may appear once per batch; keep max
+        }
+        final = spark.sql(
+            """SELECT user_id, max(n_events) n, max(total_value) v
+               FROM t_state GROUP BY user_id"""
+        ).collect()
+        want = {
+            r.user_id: (r.n, round(r.v, 2))
+            for r in batch_events.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("v"),
+            )
+            .collect()
+        }
+        assert {r.user_id: (r.n, round(r.v, 2)) for r in final} == want
+        assert len(got) == len(want)
+    finally:
+        q.stop()
