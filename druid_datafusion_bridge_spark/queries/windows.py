@@ -215,3 +215,39 @@ def o3b_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+@query(
+    "w4b_frame_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           SUM(CAST(l_quantity AS BIGINT)) OVER (
+             PARTITION BY l_returnflag ORDER BY l_quantity
+             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS qty_band_sum,
+           COUNT(*) OVER (
+             PARTITION BY l_returnflag ORDER BY l_quantity
+             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS qty_band_cnt
+    FROM lineitem
+    WHERE l_orderkey <= 3000
+    """,
+)
+def w4b_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE BETWEEN frame (W4, value-based bounds): peers are rows
+    whose quantity lies within 5 units below the current row's — frame
+    membership depends on ORDER BY *values*, so ties in the ordering
+    don't make the result order-sensitive (an exact oracle needs no
+    tiebreak column, unlike ROWS frames). Quantities are integral, so
+    BIGINT sums are exact."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 3000)
+    w = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rangeBetween(-5, W.currentRow)
+    )
+    q = F.col("l_quantity").cast("bigint")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(q).over(w).alias("qty_band_sum"),
+        F.count("*").over(w).alias("qty_band_cnt"),
+    )
