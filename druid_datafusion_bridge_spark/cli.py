@@ -89,11 +89,15 @@ def cmd_dump(path: str, columns: str | None, limit: int, fmt: str) -> None:
 
 
 def cmd_query(path: str, sql: str, show_rows: int = 100) -> None:
+    from .functions import register_druid_sql_functions
     from .session import get_spark
     from .sources import register_druid_datasource
 
     spark = get_spark(app_name="ddbs-cli")
     register_druid_datasource(spark)
+    # Druid SQL dialect functions (TIME_FLOOR, SAFE_DIVIDE, ...) are
+    # available in the CLI's SQL prompt, same as the table itself.
+    register_druid_sql_functions(spark)
     df = spark.read.format("druidsegment").option("path", path).load()
     df.createOrReplaceTempView("segment")
     spark.sql(sql).show(show_rows, truncate=False)

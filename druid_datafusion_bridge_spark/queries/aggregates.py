@@ -384,3 +384,46 @@ def a13_histogram_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("price_bin")
     )
+
+
+@query(
+    "a14_pivot",
+    oracle="""
+    SELECT year(o_orderdate) AS o_year,
+           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+             AS urgent,
+           SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+             AS high,
+           SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)
+             AS medium,
+           SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+             AS low
+    FROM orders
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def a14_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: priority classes become columns, one row per year. With
+    the pivot values listed explicitly Spark plans ONE aggregate pass
+    (no per-value scans) — same shape as the oracle's CASE sums. Counts
+    for absent (year, priority) cells come back NULL from pivot and are
+    coalesced to 0 to match SUM(CASE)."""
+    orders = table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy(F.year("o_orderdate").alias("o_year"))
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"])
+        .count()
+    )
+    return pivoted.select(
+        "o_year",
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(n)
+            for v, n in [
+                ("1-URGENT", "urgent"),
+                ("2-HIGH", "high"),
+                ("3-MEDIUM", "medium"),
+                ("5-LOW", "low"),
+            ]
+        ],
+    ).orderBy("o_year")
