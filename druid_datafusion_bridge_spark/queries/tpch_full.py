@@ -1,6 +1,7 @@
-"""The remaining TPC-H query shapes (Q8-Q21), adapted to the driver's
-columns — completing, with tpch.py and tpch_subqueries.py, all 21
-expressible TPC-H patterns (Q2 needs the absent partsupp table).
+"""The remaining TPC-H query shapes (Q2, Q8-Q21), adapted to the
+driver's columns — completing, with tpch.py and tpch_subqueries.py,
+all 22 TPC-H query patterns (Q2's correlated-MIN shape runs against a
+lineitem-derived stand-in for the absent partsupp table).
 
 These are DELEGATED surface in the reference: every one reaches the
 engine through ``ctx.sql`` (reference src/main.rs:186-195) and runs
@@ -510,5 +511,46 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE is_late = 1 AND n_supp > 1 AND n_late = 1
         GROUP BY s_name
         ORDER BY numwait DESC, s_name
+        """
+    )
+
+
+@query(
+    "q2_cheapest_supplier",
+    oracle="""
+    SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name, s_acctbal
+    FROM part
+    JOIN lineitem ON l_partkey = p_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_size <= 5
+      AND s_acctbal = (
+        SELECT MIN(s2.s_acctbal)
+        FROM lineitem l2
+        JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        WHERE l2.l_partkey = p_partkey)
+    ORDER BY p_partkey, s_suppkey
+    """,
+)
+def q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's pattern (adapted: min supplier account balance per
+    part stands in for the absent partsupp supplycost): for each small
+    part, the supplier(s) holding the minimum balance among those who
+    shipped it. Correlated scalar MIN over a join — Catalyst
+    decorrelates it to an aggregate + join, the shape Q2 exists to
+    exercise. With this, all 22 TPC-H query patterns are covered."""
+    _views(spark, sf_dir, "part", "lineitem", "supplier")
+    return spark.sql(
+        """
+        SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name, s_acctbal
+        FROM part
+        JOIN lineitem ON l_partkey = p_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        WHERE p_size <= 5
+          AND s_acctbal = (
+            SELECT MIN(s2.s_acctbal)
+            FROM lineitem l2
+            JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+            WHERE l2.l_partkey = p_partkey)
+        ORDER BY p_partkey, s_suppkey
         """
     )
