@@ -157,3 +157,24 @@ def test_druid_sql_udfs_stay_jvm_side(spark):
     for marker in ["BatchEvalPython", "ArrowEvalPython", "PythonUDF"]:
         assert marker not in plan
     assert "o_orderdate" in " ".join(pushed_filters(df))
+
+
+def test_every_query_compiles_jvm_side(spark):
+    """Sweeping audit of the whole registry: every query must compile
+    to a plan with zero Python eval nodes — UDFs are the slow path and
+    built-ins the rule. Exactly two operators are allowed Python, both
+    Arrow-batched by design: the multimodal decode stub (the image libs
+    live outside the JVM by nature) and two-phase TopN (bounded
+    per-partition candidates require imperative per-partition state).
+    A new query landing here unannounced is a performance bug."""
+    from druid_datafusion_bridge_spark.plans import formatted_plan
+
+    ALLOWED_PYTHON = {"mm_feature_extract", "tn_topn_two_phase"}
+    MARKERS = ["BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+               "FlatMapGroupsInPandas"]
+    offenders = []
+    for name, fn in sorted(all_queries().items()):
+        plan = formatted_plan(fn(spark, SF_DIR))
+        if any(m in plan for m in MARKERS) and name not in ALLOWED_PYTHON:
+            offenders.append(name)
+    assert not offenders, offenders
