@@ -178,3 +178,48 @@ def test_scalar_functions_differential(spark, a):
         FROM fa
     """
     _compare(spark.sql(sql.format("STRING")), con, sql.format("VARCHAR"))
+
+
+@pytest.mark.slow
+@given(
+    ts=st.lists(
+        st.datetimes(
+            min_value=pd.Timestamp("1960-01-01").to_pydatetime(),
+            max_value=pd.Timestamp("2030-12-28").to_pydatetime(),
+        ),
+        max_size=20,
+    )
+)
+@SET
+def test_date_functions_differential(spark, ts):
+    """Date/time family (SURVEY §2.8) fuzz: calendar field extraction
+    and truncation over arbitrary timestamps, including pre-epoch and
+    leap days. Engine spellings pinned: ISO day-of-week is weekday()+1
+    in Spark vs isodow() in DuckDB; DuckDB date_trunc returns DATE and
+    needs the TIMESTAMP cast."""
+    rows = [(t,) for t in ts]
+    ta = (
+        spark.createDataFrame(rows, "ts timestamp")
+        if rows
+        else spark.createDataFrame([], "ts timestamp")
+    )
+    ta.createOrReplaceTempView("da")
+    con = duckdb.connect()
+    pdf = pd.DataFrame(rows, columns=["ts"])
+    con.register("da_pdf", pdf)
+    con.execute("CREATE TABLE da AS SELECT CAST(ts AS TIMESTAMP) ts FROM da_pdf")
+    sql = """
+        SELECT year(ts) AS y, month(ts) AS mo, day(ts) AS d,
+               hour(ts) AS h, minute(ts) AS mi, second(ts) AS s,
+               dayofyear(ts) AS doy, quarter(ts) AS q,
+               {} AS dow,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS td,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS th,
+               CAST(date_trunc('month', ts) AS TIMESTAMP) AS tm
+        FROM da
+    """
+    _compare(
+        spark.sql(sql.format("weekday(ts) + 1")),
+        con,
+        sql.format("isodow(ts)"),
+    )
