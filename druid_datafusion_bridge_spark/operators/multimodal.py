@@ -111,3 +111,51 @@ def frame_sample(blobs: DataFrame, every_n_bytes: int = 32) -> DataFrame:
             F.lit(every_n_bytes), F.col("n_bytes") - F.col("frame_idx") * every_n_bytes
         ).alias("chunk_len"),
     )
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, modality string, width int, height int, "
+    "target_w int, target_h int, payload binary"
+)
+
+
+def resize(blobs: DataFrame, target_w: int = 32, target_h: int = 32) -> DataFrame:
+    """Arrow-batched image-resize plumbing over binary payloads.
+
+    STUB kernel (no codecs in this container): the "resized" payload is
+    a deterministic downsample of the raw bytes — every k-th byte so the
+    output length is ~target_w*target_h/64 — standing in for
+    PIL.Image.resize. The Spark side is the real thing: binary-in /
+    binary-out through mapInPandas, output metadata typed, batch shape
+    preserved, nothing collected.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Closure-shipped, no module references (driver may run outside
+        # this repo's sys.path).
+        import pandas as pd  # noqa: F811 — re-import for the worker
+
+        out_len = max(1, (target_w * target_h) // 64)
+
+        def shrink(payload: bytes) -> bytes:
+            n = len(payload)
+            if n == 0:
+                return b""
+            step = max(1, n // out_len)
+            return payload[::step][:out_len]
+
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "width": (n % 64 + 1).astype("int32"),
+                    "height": (n % 48 + 1).astype("int32"),
+                    "target_w": target_w,
+                    "target_h": target_h,
+                    "payload": pdf["payload"].map(shrink),
+                }
+            )
+
+    return blobs.mapInPandas(run, schema=RESIZE_SCHEMA)

@@ -64,3 +64,34 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     blobs = with_binary_payload(docs).select("doc_id", "n_bytes")
     return frame_sample(blobs, every_n_bytes=32)
+
+
+@query(
+    "mm_resize",
+    oracle="""
+    SELECT doc_id, 'image' AS modality,
+           CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
+           CAST(octet_length(encode(text)) % 48 + 1 AS INT) AS height,
+           32 AS target_w, 32 AS target_h,
+           octet_length(encode(text)) AS src_bytes
+    FROM documents
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (binary-in/binary-out mapInPandas). The oracle
+    checks everything deterministic EXCEPT the stub payload bytes:
+    per-doc metadata, dimensions, and that a payload of the expected
+    source length went through — the payload itself is surfaced as its
+    source length (the stub's output length is an implementation
+    detail, asserted in tests/test_multimodal_resize.py)."""
+    from ..operators.multimodal import resize
+
+    docs = table(spark, sf_dir, "documents")
+    blobs = with_binary_payload(docs)
+    resized = resize(blobs, 32, 32)
+    # join back to source length: proves each payload round-tripped
+    src = blobs.select("doc_id", F.col("n_bytes").alias("src_bytes"))
+    return resized.join(src, "doc_id").select(
+        "doc_id", "modality", "width", "height", "target_w", "target_h",
+        "src_bytes",
+    )

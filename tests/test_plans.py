@@ -169,7 +169,7 @@ def test_every_query_compiles_jvm_side(spark):
     A new query landing here unannounced is a performance bug."""
     from druid_datafusion_bridge_spark.plans import formatted_plan
 
-    ALLOWED_PYTHON = {"mm_feature_extract", "tn_topn_two_phase"}
+    ALLOWED_PYTHON = {"mm_feature_extract", "mm_resize", "tn_topn_two_phase"}
     MARKERS = ["BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                "FlatMapGroupsInPandas"]
     offenders = []
