@@ -223,3 +223,30 @@ def test_date_functions_differential(spark, ts):
         con,
         sql.format("isodow(ts)"),
     )
+
+
+@pytest.mark.slow
+@given(a=rows_st)
+@SET
+def test_rollup_cube_differential(spark, a):
+    """ROLLUP/CUBE fuzz (A6): subtotal rows carry NULL group keys that
+    can collide with genuine NULLs in the data — GROUPING() is the
+    disambiguator, and both engines must agree on the whole lattice.
+
+    Divergence found by this test and pinned: on an EMPTY relation
+    DuckDB emits the ()-grouping-set grand-total row (n=0), Spark emits
+    no rows at all (its Expand+groupBy lowering has no input rows to
+    expand). Empty inputs are skipped; the delta is documented here."""
+    if not a:
+        return
+    ta = spark.createDataFrame(a, SCHEMA)
+    ta.createOrReplaceTempView("ra")
+    con = _duck({"ra": a})
+    for clause in ["ROLLUP(k, s)", "CUBE(k, s)",
+                   "GROUPING SETS ((k), (s), ())"]:
+        sql = f"""
+            SELECT k, s, GROUPING(k) AS gk, GROUPING(s) AS gs,
+                   COUNT(*) AS n, SUM(v) AS sv
+            FROM ra GROUP BY {clause}
+        """
+        _compare(spark.sql(sql), con, sql)
