@@ -59,13 +59,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        # 1 untimed warm run, then best-of-2 timed runs: the steady-state
+        # 1 untimed warm run, then best-of-3 timed runs: the steady-state
         # number a resident engine serves at, robust to transient host
         # contention (single hot runs showed up-to-20x outliers on a
-        # noisy neighbor).
+        # noisy neighbor; even best-of-2 caught noisy windows).
         queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             df = queries[name](spark, sf_dir)
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()

@@ -20,7 +20,17 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from . import query
-from .exact import REVENUE_SQL, dec, exact_avg, exact_sum, revenue_col, sql_avg, sql_sum
+from .exact import (
+    RATE_DEC2,
+    REVENUE_SQL,
+    dec,
+    disc_price_narrow,
+    exact_avg,
+    exact_sum,
+    revenue_col,
+    sql_avg,
+    sql_sum,
+)
 
 # Exact decimal operand for rates in [0,2): products stay within decimal(38,_).
 RATE_DEC = "decimal(8,4)"
@@ -110,12 +120,16 @@ def flagship_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1: the canonical wide-aggregate scan (A2/A3 reference
-    delegation, src/main.rs:191). Exact decimal arithmetic keeps every
-    product within decimal(38,12) => bit-equal to the oracle."""
+    delegation, src/main.rs:191). Exact decimal arithmetic — the
+    products use the NARROW operands from exact.py (price(9,2) x
+    rate(3,2) -> (13,4) -> x rate(3,2) -> (17,6)), which stay on
+    Spark's long-backed decimal fast path (precision <= 18); the money
+    columns are exactly 2-decimal so the narrow casts lose nothing and
+    the values are bit-identical to the oracle's wider-operand SQL."""
     li = table(spark, sf_dir, "lineitem")
-    one = F.lit(1).cast(RATE_DEC)
-    disc_price = dec("l_extendedprice") * (one - F.col("l_discount").cast(RATE_DEC))
-    charge = disc_price * (one + F.col("l_tax").cast(RATE_DEC))
+    one = F.lit(1).cast(RATE_DEC2)
+    disc_price = disc_price_narrow()
+    charge = disc_price * (one + F.col("l_tax").cast(RATE_DEC2))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
