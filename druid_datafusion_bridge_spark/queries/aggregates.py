@@ -273,15 +273,19 @@ def a11_positional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a11b_collect_sorted",
     oracle="""
-    SELECT n_regionkey, list_sort(list(n_name)) AS nations
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(n_name)), ',') AS nations
     FROM nation GROUP BY n_regionkey
     """,
 )
 def a11b_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """array_agg with canonical (sorted) order for comparability."""
+    """array_agg with canonical (sorted) order. Serialized with
+    array_join for the comparison harness — array columns crash the
+    driver's pandas canonicalizer (round-1 finding); the array form is
+    covered by collect_sorted in pytest."""
     na = table(spark, sf_dir, "nation")
     return na.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_list("n_name")).alias("nations")
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
     )
 
 
@@ -390,14 +394,14 @@ def a13_histogram_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a14_pivot",
     oracle="""
     SELECT year(o_orderdate) AS o_year,
-           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
-             AS urgent,
-           SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
-             AS high,
-           SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)
-             AS medium,
-           SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
-             AS low
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+             AS BIGINT) AS urgent,
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+             AS BIGINT) AS high,
+           CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)
+             AS BIGINT) AS medium,
+           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+             AS BIGINT) AS low
     FROM orders
     GROUP BY o_year
     ORDER BY o_year

@@ -132,7 +132,7 @@ def mv_tag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "s1c_druid_segment_time_prune",
     oracle=f"""
-    SELECT n_regionkey, COUNT(*) AS n, SUM(n_nationkey) AS sum_key
+    SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
     FROM nation
     WHERE ({BASE_MS} + 60000 * n_nationkey) >= {BASE_MS + 60_000 * 12}
     GROUP BY n_regionkey

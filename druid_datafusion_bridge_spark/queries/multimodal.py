@@ -34,12 +34,46 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_feature_extract")  # mapInPandas pipeline => rows-only
+@query(
+    "mm_feature_extract",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes, text FROM documents
+    ), s16 AS (
+      SELECT doc_id, SUM(ascii(substr(text, CAST(g.i AS INT), 1))) AS s
+      FROM base, generate_series(1, 16) AS g(i)
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id, 'image' AS modality, b.n_bytes,
+           CAST(b.n_bytes % 64 + 1 AS INT) AS width,
+           CAST(b.n_bytes % 48 + 1 AS INT) AS height,
+           concat_ws(',', b.n_bytes, s.s, ascii(substr(b.text, 1, 1)),
+                     b.n_bytes % 7) AS feat_csv
+    FROM base b JOIN s16 s USING (doc_id)
+    """,
+)
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary decode -> feature extraction through Arrow-batched
-    mapInPandas (decode kernel stubbed; plumbing real)."""
+    mapInPandas (decode kernel stubbed; plumbing real).
+
+    The feature vector is serialized to CSV for the harness (array
+    columns crash the driver's pandas canonicalizer — round-1 finding);
+    the stub features are all integral so a long cast is exact. The
+    oracle recomputes the stub arithmetic in SQL — valid because the
+    corpus is pure ASCII (byte k == ascii(char k)), which the oracle's
+    n_bytes==length(text) equality would break loudly on otherwise."""
     docs = table(spark, sf_dir, "documents")
-    return extract_features(with_binary_payload(docs))
+    feats = extract_features(with_binary_payload(docs))
+    return feats.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        "width",
+        "height",
+        F.array_join(
+            F.transform("feat", lambda x: x.cast("long").cast("string")), ","
+        ).alias("feat_csv"),
+    )
 
 
 @query(

@@ -27,8 +27,10 @@ from .exact import (
     disc_price_narrow,
     exact_avg,
     exact_sum,
+    money,
     revenue_col,
     sql_avg,
+    sql_money,
     sql_sum,
 )
 
@@ -89,7 +91,7 @@ def flagship_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_c").alias("n_rows"),
             F.count("o_custkey").alias("n_customers"),
             F.sum("_q").cast("double").alias("sum_qty"),
-            F.sum("_r").cast("decimal(38,8)").alias("revenue"),
+            money(F.sum("_r").cast("decimal(38,8)"), "revenue"),
         )
         .orderBy("ship_month", "o_orderpriority")
     )
@@ -101,13 +103,13 @@ def flagship_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            {sql_sum('l_quantity', 'sum_qty')},
            {sql_sum('l_extendedprice', 'sum_base_price')},
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+           CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
                     (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))))
-                AS DECIMAL(38,8)) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                AS DECIMAL(38,8)), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
                     (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))) *
                     (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4))))
-                AS DECIMAL(38,12)) AS sum_charge,
+                AS DECIMAL(38,12)), 2) AS DOUBLE) AS sum_charge,
            {sql_avg('l_quantity', 'avg_qty')},
            {sql_avg('l_extendedprice', 'avg_price')},
            {sql_avg('l_discount', 'avg_disc')},
@@ -136,8 +138,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             exact_sum("l_quantity", "sum_qty"),
             exact_sum("l_extendedprice", "sum_base_price"),
-            F.sum(disc_price).cast("decimal(38,8)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(38,12)").alias("sum_charge"),
+            money(F.sum(disc_price).cast("decimal(38,8)"), "sum_disc_price"),
+            money(F.sum(charge).cast("decimal(38,12)"), "sum_charge"),
             exact_avg("l_quantity", "avg_qty"),
             exact_avg("l_extendedprice", "avg_price"),
             exact_avg("l_discount", "avg_disc"),
@@ -236,8 +238,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                    CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(38,8)) AS promo_revenue
+    SELECT CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                    CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(38,8)), 2)
+                AS DOUBLE) AS promo_revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -257,8 +260,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(dec("l_extendedprice") * F.col("l_discount").cast(RATE_DEC))
-            .cast("decimal(38,8)")
-            .alias("promo_revenue")
+            money(
+                F.sum(
+                    dec("l_extendedprice") * F.col("l_discount").cast(RATE_DEC)
+                ).cast("decimal(38,8)"),
+                "promo_revenue",
+            )
         )
     )

@@ -35,6 +35,7 @@ from .exact import (
     PRICE_DEC,
     dec,
     disc_price_narrow,
+    money,
     revenue_sum_d4,
     sql_revenue_d4_expr,
     sql_revenue_sum_d4,
@@ -118,10 +119,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     oracle=f"""
     SELECT n_name AS nation, year(o_orderdate) AS o_year,
-           CAST(SUM({DISC_PRICE_NARROW_SQL}
+           CAST(ROUND(CAST(SUM({DISC_PRICE_NARROW_SQL}
                     - CAST(p_retailprice AS DECIMAL(9,2))
-                      * CAST(l_quantity AS DECIMAL(2,0))) AS DECIMAL(38,4))
-             AS sum_profit
+                      * CAST(l_quantity AS DECIMAL(2,0))) AS DECIMAL(38,4)), 2)
+                AS DOUBLE) AS sum_profit
     FROM lineitem
     JOIN part     ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -157,7 +158,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
-        .agg(F.sum(profit).cast("decimal(38,4)").alias("sum_profit"))
+        .agg(money(F.sum(profit).cast("decimal(38,4)"), "sum_profit"))
         .orderBy(F.col("nation"), F.col("o_year").desc())
     )
 
@@ -218,7 +219,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nation   ON n_nationkey = s_nationkey
       WHERE n_name = 'NATION_1'
       GROUP BY l_partkey)
-    SELECT l_partkey, value
+    SELECT l_partkey, CAST(value AS DOUBLE) AS value
     FROM part_value
     WHERE CAST(value AS DOUBLE) > (
       SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
@@ -250,7 +251,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
           JOIN nation   ON n_nationkey = s_nationkey
           WHERE n_name = 'NATION_1'
           GROUP BY l_partkey)
-        SELECT l_partkey, value
+        SELECT l_partkey, CAST(value AS DOUBLE) AS value
         FROM part_value
         WHERE CAST(value AS DOUBLE) > (
           SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
@@ -269,10 +270,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_late_shipments",
     oracle="""
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders
     JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY

@@ -221,9 +221,9 @@ def o3b_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w4b_frame_range",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           SUM(CAST(l_quantity AS BIGINT)) OVER (
+           CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (
              PARTITION BY l_returnflag ORDER BY l_quantity
-             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS qty_band_sum,
+             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS qty_band_sum,
            COUNT(*) OVER (
              PARTITION BY l_returnflag ORDER BY l_quantity
              RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS qty_band_cnt
