@@ -13,12 +13,17 @@ from pyspark.sql import DataFrame
 
 
 def spread(df: DataFrame, factor: int = 1) -> DataFrame:
-    """Repartition to cluster parallelism before a CPU-heavy stage.
+    """Repartition to cluster parallelism before a CPU-heavy stage —
+    but ONLY when the input is under-partitioned.
 
     Small inputs (single parquet file => single partition) would
-    otherwise run hash/explode-heavy operators on one core; at real
-    scale input splits already provide parallelism and this is a cheap
-    rebalance. The shuffle moves only the narrow input columns.
+    otherwise run hash/explode-heavy operators on one core. At real
+    scale input splits already provide parallelism, so this is a no-op
+    there (round-1 verdict #6: the unconditional form added a full
+    shuffle a 100 TB scan never needs). The partition probe is
+    plan-side only — no job runs.
     """
     n = df.sparkSession.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n)

@@ -6,8 +6,11 @@ filter, projection, broadcast join, multi-agg groupBy, order-by and limit
 in one Catalyst plan.
 
 Scale notes (100 TB posture):
-- dimension side of every join is broadcast (orders at real scale would be
-  bucket/shuffle-joined; small dims region/nation/supplier always broadcast);
+- broadcast hints only on BOUNDED relations (region/nation: fixed 5/25
+  rows). Linearly-scaling tables (orders, customer, part, supplier) carry
+  NO hint: AQE's size-based planning broadcasts them while they fit under
+  autoBroadcastJoinThreshold (they do at bench scale) and falls back to
+  shuffle join at 100 TB where a forced hint would OOM executors;
 - aggregates are partial+final two-phase hash aggregates (map-side combine)
   by construction — groupBy on the already-filtered scan;
 - all filters sit directly on scan columns => parquet row-group pruning.
@@ -63,7 +66,7 @@ def flagship_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     ).join(
-        F.broadcast(orders.select("o_orderkey", "o_custkey", "o_orderpriority")),
+        orders.select("o_orderkey", "o_custkey", "o_orderpriority"),
         F.col("l_orderkey") == F.col("o_orderkey"),
         "inner",
     )
@@ -178,10 +181,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(orders.select("o_orderkey", "o_custkey", "o_orderdate")),
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cu.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cu.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(revenue_col("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -208,8 +211,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way star join. Every dimension is broadcast —
-    at 100 TB only lineitem x orders shuffles (co-partitioned on orderkey)."""
+    """TPC-H Q5 shape: 6-way star join. Bounded dims (nation/region)
+    broadcast by hint; orders/customer/supplier are left to AQE — at
+    100 TB lineitem x orders shuffle-joins (co-partitioned on orderkey)
+    while the sub-threshold sides still broadcast."""
     cu = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
@@ -220,10 +225,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = table(spark, sf_dir, "nation")
     re = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cu.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(su.select("s_suppkey", "s_nationkey")),
+            su.select("s_suppkey", "s_nationkey"),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

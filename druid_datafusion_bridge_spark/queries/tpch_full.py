@@ -16,11 +16,12 @@ products (narrow operands, no rounding step), decimal sums, and ratio
 queries divide *doubles cast from decimal(38,4)* whose scaled integers
 stay below 2^53 so the casts are correctly rounded in both engines.
 
-Scale notes: all dimension joins (part, supplier, nation, region,
-customer at TPC-H proportions) broadcast; each query's only large
-shuffle is the lineitem-side aggregate. Q21's CTE is referenced twice —
-identical subplans, so Spark's ReusedExchange materializes the shuffle
-once.
+Scale notes: broadcast hints only on bounded relations (nation/region,
+fixed 25/5 rows); part/supplier/orders/customer scale linearly with the
+data and carry no hint — AQE broadcasts them while small and shuffle-
+joins them at 100 TB. Each query's only unavoidable large exchange is
+the lineitem-side aggregate. Q21's CTE is referenced twice — identical
+subplans, so Spark's ReusedExchange materializes the shuffle once.
 """
 
 from __future__ import annotations
@@ -71,7 +72,8 @@ def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: national market share — one supplier nation's fraction
     of a region's ECONOMY-part import volume per year. 7-table star:
-    every dimension broadcasts, lineitem aggregates once."""
+    bounded dims (nation/region) broadcast by hint, the rest by AQE
+    size estimate; lineitem aggregates once."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     sup = table(spark, sf_dir, "supplier")
@@ -92,13 +94,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(13,4)")
     nation_prod = F.when(F.col("supp_nation") == "NATION_3", prod).otherwise(zero)
     return (
-        li.join(F.broadcast(part.select("p_partkey")),
+        li.join(part.select("p_partkey"),
                 F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+        .join(sup.select("s_suppkey", "s_nationkey"),
               F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(orders.select("o_orderkey", "o_custkey", "o_orderdate")),
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        .join(cust.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
         .join(F.broadcast(region.select("r_regionkey")),
@@ -147,11 +149,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity", "decimal(2,0)"
     )
     return (
-        li.join(F.broadcast(part.select("p_partkey", "p_retailprice")),
+        li.join(part.select("p_partkey", "p_retailprice"),
                 F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+        .join(sup.select("s_suppkey", "s_nationkey"),
               F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(orders.select("o_orderkey", "o_orderdate")),
+        .join(orders.select("o_orderkey", "o_orderdate"),
               F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(nation.select("n_nationkey", "n_name")),
               F.col("s_nationkey") == F.col("n_nationkey"))
@@ -193,7 +195,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+        li.join(orders.select("o_orderkey", "o_custkey"),
                 F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation.select("n_nationkey", "n_name")),
@@ -333,7 +335,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(13,4)")
     promo = F.when(F.col("p_type") == "PROMO", prod).otherwise(zero)
     return (
-        li.join(F.broadcast(part.select("p_partkey", "p_type")),
+        li.join(part.select("p_partkey", "p_type"),
                 F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
         .agg(
@@ -410,7 +412,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & sz.between(15, 50) & q.between(20, 30))
     )
     return (
-        li.join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        li.join(part.select("p_partkey", "p_brand", "p_size"),
                 F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(revenue_sum_d4("revenue"))

@@ -91,6 +91,37 @@ def test_bucketed_join_needs_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS ord_bucketed")
 
 
+def test_no_forced_broadcast_of_unbounded_tables(spark):
+    """100 TB guard (round-1 verdict #5): disabling size-based broadcast
+    leaves ONLY hint-forced broadcasts in the plan, so each TPC-H query
+    must show exactly as many BroadcastHashJoins as it has bounded-dim
+    hints (nation/region, fixed 25/5 rows) — a forced broadcast of
+    orders/customer/part/supplier would OOM a real cluster and shows up
+    here as an extra broadcast join."""
+    expected_hinted = {
+        "flagship_rollup": 0,   # lineitem x orders: both unbounded
+        "q3_shipping_priority": 0,
+        "q5_local_supplier_volume": 2,   # nation, region
+        "q8_market_share": 3,            # nation x2, region
+        "q9_product_profit": 1,          # nation
+        "q10_returned_items": 1,         # nation
+    }
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        qs = all_queries()
+        bad = {}
+        for name, want in expected_hinted.items():
+            got = join_strategies(qs[name](spark, SF_DIR)).count(
+                "BroadcastHashJoin"
+            )
+            if got != want:
+                bad[name] = (got, want)
+        assert not bad, f"(got, want) hinted broadcasts: {bad}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_minhash_has_no_python_in_plan(spark):
     """The dedup pipeline must stay JVM-side: no Python eval nodes."""
     from druid_datafusion_bridge_spark.operators.dedup import lsh_candidate_pairs
