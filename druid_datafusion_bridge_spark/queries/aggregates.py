@@ -198,29 +198,69 @@ def a8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a9_approx_count_distinct")  # approximate => no SQL oracle (rows-only)
+@query(
+    "a9_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS approx_within_rsd
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def a9_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL sketch — the query-time analog of Druid's hyperUnique complex
     column, which the reference exposes in schema but cannot read
     (src/column/mod.rs:59-61, README.md:16). Sketch values differ across
-    engines by design; correctness is bounded-error (tested in pytest
-    against exact distinct counts)."""
+    engines by design, so the oracle checks the deterministic part: the
+    exact count, plus the bounded-error CONTRACT as a flag — the HLL
+    estimate (rsd=0.02) must land within 3*rsd of exact. DuckDB asserts
+    the same flag as literal TRUE."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agged = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+    err = F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col("exact_parts")
+    return agged.select(
+        "l_returnflag", "exact_parts", (err <= 0.06).alias("approx_within_rsd")
+    )
 
 
-@query("a10_approx_percentile")  # approximate => no SQL oracle (rows-only)
+@query(
+    "a10_approx_percentile",
+    oracle="""
+    SELECT quantile_cont(l_extendedprice, 0.50) AS p50_exact,
+           quantile_cont(l_extendedprice, 0.95) AS p95_exact,
+           quantile_cont(l_extendedprice, 0.99) AS p99_exact,
+           TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+    FROM lineitem
+    """,
+)
 def a10_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ApproxHistogram analog (reference README.md:16, unreadable complex
-    column) via percentile_approx sketches."""
+    column) via percentile_approx sketches. Oracle-exact columns: the
+    exact interpolated percentiles (Spark percentile() and DuckDB
+    quantile_cont are bit-identical on this data — verified at
+    sf0.001/0.01/0.1) plus the sketch's error CONTRACT as flags — the
+    KLL-style estimate (accuracy=10000) must land within 0.5% of exact."""
     li = table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
-        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95"),
-        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99"),
+    agged = li.agg(
+        *[
+            F.percentile_approx("l_extendedprice", p, 10000).alias(f"a{i}")
+            for i, p in enumerate((0.5, 0.95, 0.99))
+        ],
+        *[
+            F.percentile("l_extendedprice", F.lit(p)).alias(f"p{n}_exact")
+            for n, p in (("50", 0.5), ("95", 0.95), ("99", 0.99))
+        ],
+    )
+    def ok(approx, exact):
+        return (F.abs(F.col(approx) - F.col(exact)) / F.col(exact) <= 0.005)
+    return agged.select(
+        "p50_exact", "p95_exact", "p99_exact",
+        ok("a0", "p50_exact").alias("p50_ok"),
+        ok("a1", "p95_exact").alias("p95_ok"),
+        ok("a2", "p99_exact").alias("p99_ok"),
     )
 
 

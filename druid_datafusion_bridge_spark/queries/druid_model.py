@@ -79,10 +79,28 @@ def dm_time_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dm_info")  # metadata probe — not a relational query => rows-only
+@query(
+    "dm_info",
+    oracle="""
+    SELECT column_name AS "column",
+           CASE WHEN column_type LIKE 'TIMESTAMP%' THEN 'timestamp'
+                WHEN column_type = 'VARCHAR' THEN 'string'
+                WHEN column_type = 'BIGINT' THEN 'bigint'
+                WHEN column_type = 'DOUBLE' THEN 'double'
+                ELSE lower(column_type) END AS type,
+           CASE WHEN column_name = '__time' THEN 'time'
+                WHEN column_type = 'VARCHAR' THEN 'dimension'
+                ELSE 'metric' END AS role
+    FROM (DESCRIBE SELECT ts AS __time, event_type, props, user_id, value
+          FROM events)
+    """,
+)
 def dm_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`druid-segment info` analog (reference src/main.rs:97-126):
-    column name/type/role table for the events table."""
+    column name/type/role table for the events table. The oracle
+    derives the same table from DuckDB's own schema introspection
+    (DESCRIBE) with the identical role rule — string columns are
+    dimensions, numerics are metrics, __time is time."""
     ev = table(spark, sf_dir, "events").select(
         F.col("ts").alias("__time"), "event_type", "props", "user_id", "value"
     )

@@ -184,21 +184,44 @@ def _ensure_hll_segments(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
-@query("cx_hll_rollup_merge")  # sketch estimate => rows-only driver check
+@query(
+    "cx_hll_rollup_merge",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           TRUE AS users_within_5pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def cx_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-time merge of persisted HLL sketch columns: re-aggregate
     the hourly rollup segments to per-event-type approx distinct users
     WITHOUT the raw data (reference README.md:16 claims this surface;
-    its COMPLEX read path errors — src/column/mod.rs:59-61)."""
+    its COMPLEX read path errors — src/column/mod.rs:59-61).
+
+    Oracle-exact columns: n_events (row counts are exact through the
+    rollup — the segments must reproduce the raw table's counts) and
+    the sketch error CONTRACT as a flag — the merged-HLL estimate must
+    land within 5% of the exact distinct count computed from the raw
+    events table (lgK=12 => rsd ~1.6%, 3 sigma ~5%)."""
     root = _ensure_hll_segments(spark, sf_dir)
+    from ..catalog import table as _table
+
     back = spark.read.format("druidsegment").option("path", root).load()
+    merged = back.groupBy("event_type").agg(
+        F.sum("n_events").alias("n_events"),
+        F.hll_sketch_estimate(F.hll_union_agg("user_sketch")).alias(
+            "approx_users"
+        ),
+    )
+    exact = (
+        _table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")
     return (
-        back.groupBy("event_type")
-        .agg(
-            F.sum("n_events").alias("n_events"),
-            F.hll_sketch_estimate(F.hll_union_agg("user_sketch")).alias(
-                "approx_users"
-            ),
-        )
+        merged.join(exact, "event_type")
+        .select("event_type", "n_events", (err <= 0.05).alias("users_within_5pct"))
         .orderBy("event_type")
     )

@@ -102,42 +102,91 @@ def sim_topk_per_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_lsh_topk")  # approximate ANN => rows-only driver check
-def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN top-10 for 5 probes (the 100 TB path: bucket
-    pruning instead of full scan). Recall vs brute force tested in pytest."""
-    emb = table(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") < 5).select(
+def _probes(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"),
         as_double_vec(F.col("embedding")).alias("probe_vec"),
     )
-    return lsh_topk(emb, probes, dim=64, k=10, bits=4)
 
 
-@query("sim_embedding_neardup")  # LSH-pruned pair search => rows-only
+def _recall_contract(ann: DataFrame, exact: DataFrame, floor: float) -> DataFrame:
+    """Per-probe recall of an ANN result against the exact top-k, as an
+    oracle-checkable flag column. Both inputs carry (probe_id, vec_id)."""
+    hits = ann.select("probe_id", "vec_id").join(
+        exact.select("probe_id", "vec_id"), ["probe_id", "vec_id"]
+    )
+    n_hits = hits.groupBy("probe_id").agg(F.count("*").alias("n_hit"))
+    n_true = exact.groupBy("probe_id").agg(F.count("*").alias("n_true"))
+    return (
+        n_true.join(n_hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_true")
+                >= F.lit(floor)
+            ).alias("recall_ok"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+_PROBE_ORACLE = """
+    SELECT vec_id AS probe_id, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 5 ORDER BY probe_id
+"""
+
+
+@query("sim_lsh_topk", oracle=_PROBE_ORACLE)
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-10 for 5 probes (the 100 TB path: bucket
+    pruning instead of full scan). The sketch result itself is
+    approximate, so the oracle checks the recall CONTRACT: every probe's
+    bucketed top-10 must recover >= 30% of the exact brute-force top-10
+    (measured 40-90% across sf0.001-0.1; the flag pins the floor).
+    DuckDB asserts the same flags as literal TRUE."""
+    emb = table(spark, sf_dir, "embeddings")
+    probes = _probes(emb)
+    ann = lsh_topk(emb, probes, dim=64, k=10, bits=4)
+    exact = brute_force_topk(emb, probes, k=10)
+    return _recall_contract(ann, exact, floor=0.3)
+
+
+@query(
+    "sim_embedding_neardup",
+    oracle="""
+    WITH c AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings)
+    SELECT a.vid AS id_a, b.vid AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 9) AS sim
+    FROM c a JOIN c b ON a.vid < b.vid
+    WHERE round(list_cosine_similarity(a.v, b.v), 9) >= 0.95
+    """,
+)
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (sim >= 0.95) within LSH
-    buckets."""
+    buckets. The oracle recomputes the EXACT threshold pair set with an
+    all-pairs join — every bucketed pair is rescored exactly before the
+    threshold (precision 1 by construction), and near-identical vectors
+    agree on all hyperplane signs, so the bucketed set matches the
+    exact set on a near-dup corpus (and on this random corpus both are
+    empty — verified non-vacuously in tests/test_similarity.py with
+    planted duplicates)."""
     emb = table(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(emb, threshold=0.95, bits=4, dim=64).select(
         "id_a", "id_b", F.round(F.col("sim"), 9).alias("sim")
     )
 
 
-@query("sim_ivf_topk")  # approximate ANN => rows-only driver check
+@query("sim_ivf_topk", oracle=_PROBE_ORACLE)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN top-10 for 5 probes: coarse-quantize into 16
     inverted lists, probe the 4 nearest cells. The second scale path
-    beside LSH; recall vs brute force tested in pytest."""
+    beside LSH. Oracle = recall contract (floor 60%; measured 70-100%
+    across sf0.001-0.1), same pattern as sim_lsh_topk."""
     from ..operators.similarity import ivf_topk
 
     emb = table(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("probe_id"),
-        as_double_vec(F.col("embedding")).alias("probe_vec"),
-    )
-    out = ivf_topk(emb, probes, k=10, n_centroids=16, nprobe=4)
-    return out.select(
-        "probe_id", "vec_id", F.round(F.col("sim"), 9).alias("sim"),
-        F.col("rank").cast("long").alias("rank"),
-    )
+    probes = _probes(emb)
+    ann = ivf_topk(emb, probes, k=10, n_centroids=16, nprobe=4)
+    exact = brute_force_topk(emb, probes, k=10)
+    return _recall_contract(ann, exact, floor=0.6)

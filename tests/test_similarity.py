@@ -74,3 +74,52 @@ def test_ivf_more_probes_more_recall(emb, probes, truth):
     rows = ivf_topk(emb, probes, k=10, n_centroids=16, nprobe=16).collect()
     got = {(r["probe_id"], r["vec_id"]) for r in rows}
     assert got == truth  # probing every cell must reproduce brute force
+
+
+def test_neardup_finds_planted_duplicates(spark):
+    """The testdata corpus has no pairs above 0.95, so the registry
+    oracle match is empty=empty; this test makes the operator's claim
+    non-vacuous — with planted near-identical vectors the bucketed
+    search must recover EXACTLY the thresholded pair set (near-dups
+    agree on every hyperplane sign, so LSH cannot split them)."""
+    import math
+    import random
+
+    from druid_datafusion_bridge_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    base = {}
+    for i in range(60):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, [float(x) for x in v]))
+        base[i] = v
+    # plant 5 near-identical copies of vectors 0..4 as ids 100..104
+    for i in range(5):
+        v = [x + rng.gauss(0, 0.01) for x in base[i]]
+        rows.append((100 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    vecs = dict(rows)
+    ids = sorted(vecs)
+    exact = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if round(cos(vecs[a], vecs[b]), 9) >= 0.95
+    }
+    assert len(exact) == 5  # the planted pairs, nothing accidental
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(
+            df, threshold=0.95, bits=4, dim=16
+        ).collect()
+    }
+    assert got == exact
