@@ -158,12 +158,25 @@ def lsh_candidate_pairs(
     rows_per_band: int = MINHASH_ROWS_PER_BAND,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int = 2000,
 ) -> DataFrame:
     """LSH near-dup candidates: docs equal on a whole band of minhashes.
 
     Band-key groupBy-join means cost is O(docs x bands) plus within-bucket
     pair expansion — the scale path for corpus-wide near-dedup.
     Returns distinct (doc_a, doc_b), doc_a < doc_b.
+
+    Hot-bucket bound (a 100 TB corpus of boilerplate can put millions of
+    docs in one band bucket; both the collect_list row and the quadratic
+    expansion would blow up): members are ranked inside each bucket
+    BEFORE any list is built — all-pairs expansion runs only among the
+    first ``max_bucket`` members, and every overflow member is linked to
+    the bucket's first member by a single "star" edge instead. Pair
+    volume per bucket is bounded by max_bucket^2/2 + n, and duplicate
+    clusters stay connected (every member shares an edge with the
+    representative), which is what transitive near-dup grouping needs.
+    The ranking window partitions on the same (band, key) the groupBy
+    uses, so no extra shuffle is introduced.
     """
     sig = minhash_signatures(
         docs, n=n, seeds=bands * rows_per_band, text_col=text_col, id_col=id_col
@@ -188,8 +201,15 @@ def lsh_candidate_pairs(
     # join inputs share it) and shuffle the band table against itself;
     # grouping to (band, key) -> id-list computes signatures once and
     # expands pairs inside each bucket, which is where LSH cost belongs.
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("band", "band_key").orderBy("doc_id")
+    ranked = bands_df.select(
+        "band", "band_key", "doc_id", F.row_number().over(w).alias("_rk")
+    )
     buckets = (
-        bands_df.groupBy("band", "band_key")
+        ranked.filter(F.col("_rk") <= max_bucket)
+        .groupBy("band", "band_key")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
@@ -202,8 +222,16 @@ def lsh_candidate_pairs(
             ),
         )
     )
-    return (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
+    head_pairs = buckets.select(F.explode(pair_structs).alias("p")).select(
+        "p.doc_a", "p.doc_b"
     )
+    # Star edges: representative (rank 1) -> every overflow member.
+    reps = ranked.filter(F.col("_rk") == 1).select(
+        "band", "band_key", F.col("doc_id").alias("doc_a")
+    )
+    star_pairs = (
+        ranked.filter(F.col("_rk") > max_bucket)
+        .join(reps, ["band", "band_key"])
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
+    )
+    return head_pairs.unionByName(star_pairs).distinct()

@@ -180,12 +180,25 @@ def embedding_neardup_pairs(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-duplicate embedding pairs (cosine >= threshold) via
     multi-table LSH self-bucket expansion: only pairs colliding in some
     table are scored, each pair once. Bucket-local pair generation (not
-    a self-join) computes the bucketing lineage a single time."""
-    c = spread(
+    a self-join) computes the bucketing lineage a single time.
+
+    Hot-bucket bound (round-1 verdict #6: a degenerate corpus — e.g.
+    all-identical embeddings — lands everything in one bucket, and an
+    unbounded collect_list of (id, vector) rows OOMs an executor):
+    members are ranked per bucket BEFORE any list is built; all-pairs
+    expansion runs among the first ``max_bucket`` members only, and each
+    overflow member is scored against the bucket representative as a
+    single "star" edge. Bucket cost is bounded by max_bucket^2/2 + n
+    while identical-vector clusters stay fully detected (every member
+    scores ~1.0 against the representative). The ranking window uses
+    the same (tbl, bucket) partitioning as the groupBy — no new
+    shuffle."""
+    exploded = spread(
         corpus.select(
             F.col(id_col).alias("vec_id"), as_double_vec(F.col(vec_col)).alias("v")
         )
@@ -195,6 +208,11 @@ def embedding_neardup_pairs(
             "tbl", "bucket"
         ),
     )
+    w = W.partitionBy("tbl", "bucket").orderBy("vec_id")
+    ranked = exploded.select(
+        "tbl", "bucket", "vec_id", "v", F.row_number().over(w).alias("_rk")
+    )
+    c = ranked.filter(F.col("_rk") <= max_bucket)
     buckets = c.groupBy("tbl", "bucket").agg(
         F.array_sort(
             F.collect_list(F.struct("vec_id", "v"))
@@ -212,11 +230,19 @@ def embedding_neardup_pairs(
             ),
         )
     )
-    pairs = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b", "p.va", "p.vb")
-        .dropDuplicates(["id_a", "id_b"])
+    head_pairs = buckets.select(F.explode(pair_structs).alias("p")).select(
+        "p.id_a", "p.id_b", "p.va", "p.vb"
     )
+    # Star edges: bucket representative (rank 1) scored against overflow.
+    reps = ranked.filter(F.col("_rk") == 1).select(
+        "tbl", "bucket", F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    star_pairs = (
+        ranked.filter(F.col("_rk") > max_bucket)
+        .join(reps, ["tbl", "bucket"])
+        .select("id_a", F.col("vec_id").alias("id_b"), "va", F.col("v").alias("vb"))
+    )
+    pairs = head_pairs.unionByName(star_pairs).dropDuplicates(["id_a", "id_b"])
     return pairs.select(
         "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim")
     ).filter(F.col("sim") >= threshold)
@@ -235,22 +261,31 @@ def ivf_topk(
     """IVF-style ANN: coarse-quantize the corpus into inverted lists,
     score a probe only against its nprobe nearest cells.
 
-    Centroids are deterministic (the n_centroids lowest-id corpus
-    vectors — a real pipeline would k-means them; the *structure* is
-    identical): tiny, broadcast everywhere. Cell assignment is one
-    broadcast-join argmax pass; at 100 TB the corpus would be written
-    partitioned by cell so probes prune input partitions (same storage
-    trick as the LSH variant).
+    Centroids come from Spark ML k-means|| (JVM-side, fixed seed for
+    determinism) fit on the corpus — real cluster centers, so cells
+    carve the space evenly instead of around arbitrary seed vectors.
+    The fitted centers are a (n_centroids x dim) table: tiny, broadcast
+    everywhere. Cell assignment is one broadcast-join argmax pass; at
+    100 TB the corpus would be written partitioned by cell so probes
+    prune input partitions (same storage trick as the LSH variant).
     """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
     c = spread(
         corpus.select(
             F.col(id_col).alias("vec_id"), as_double_vec(F.col(vec_col)).alias("v")
         )
     )
-    cents = (
-        c.orderBy("vec_id")
-        .limit(n_centroids)
-        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
+    model = KMeans(
+        k=n_centroids, seed=7, maxIter=20, distanceMeasure="cosine"
+    ).fit(c.select(array_to_vector(F.col("v")).alias("features")))
+    cents = c.sparkSession.createDataFrame(
+        [
+            (i, [float(x) for x in center])
+            for i, center in enumerate(model.clusterCenters())
+        ],
+        "cent_id long, cv array<double>",
     )
     # cell per corpus vector: argmax cosine over the broadcast centroids
     assigned = (

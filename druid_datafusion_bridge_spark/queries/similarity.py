@@ -179,14 +179,22 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("sim_ivf_topk", oracle=_PROBE_ORACLE)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN top-10 for 5 probes: coarse-quantize into 16
-    inverted lists, probe the 4 nearest cells. The second scale path
-    beside LSH. Oracle = recall contract (floor 60%; measured 70-100%
-    across sf0.001-0.1), same pattern as sim_lsh_topk."""
+    """IVF ANN top-10 for 5 probes: spherical-k-means coarse quantizer
+    (16 cells), probe the 8 nearest cells. The second scale path beside
+    LSH. Oracle = per-probe recall contract, floor 40% (measured
+    50-100% across sf0.001-0.1).
+
+    Why nprobe=8 and a 0.4 floor: the synthetic embeddings are i.i.d.
+    random in 64-d — there is NO cluster structure, so any honest IVF's
+    recall tracks the corpus fraction scored (nprobe/n_cells plus a
+    small directional gain). Round 1 showed 0.88-1.0 recall at nprobe=4
+    only because its placeholder centroids WERE the probe vectors (the
+    probe's own cell trivially contains its neighborhood); with real
+    k-means centroids that artifact disappears."""
     from ..operators.similarity import ivf_topk
 
     emb = table(spark, sf_dir, "embeddings")
     probes = _probes(emb)
-    ann = ivf_topk(emb, probes, k=10, n_centroids=16, nprobe=4)
+    ann = ivf_topk(emb, probes, k=10, n_centroids=16, nprobe=8)
     exact = brute_force_topk(emb, probes, k=10)
-    return _recall_contract(ann, exact, floor=0.6)
+    return _recall_contract(ann, exact, floor=0.4)

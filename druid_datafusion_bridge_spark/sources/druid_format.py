@@ -627,9 +627,14 @@ MAX_CHUNK_SIZE = 2_147_483_647
 
 
 class SmooshReader:
-    """mmap-backed logical-file table over a segment directory."""
+    """mmap-backed logical-file table over a segment directory.
+
+    Chunk files open LAZILY on first access: listing the logical-file
+    catalog (meta.smoosh) never touches the data chunks — the metadata
+    pass a planner makes over thousands of segments stays metadata-only."""
 
     def __init__(self, segment_dir: str):
+        self._dir = segment_dir
         meta_path = os.path.join(segment_dir, "meta.smoosh")
         with open(meta_path, encoding="utf-8") as f:
             lines = f.read().splitlines()
@@ -638,7 +643,7 @@ class SmooshReader:
         header = lines[0].split(",")
         if len(header) < 3 or header[0] != "v1":
             raise DruidFormatError(f"Invalid meta.smoosh header: {lines[0]!r}")
-        num_chunks = int(header[2])
+        self.num_chunks = int(header[2])
         self.entries: dict[str, tuple[int, int, int]] = {}
         for line in lines[1:]:
             line = line.strip()
@@ -648,18 +653,23 @@ class SmooshReader:
             if len(parts) < 4:
                 raise DruidFormatError(f"Invalid meta.smoosh entry: {line!r}")
             self.entries[parts[0]] = (int(parts[1]), int(parts[2]), int(parts[3]))
-        self._files = []
-        self._mmaps = []
-        for i in range(num_chunks):
-            f = open(os.path.join(segment_dir, f"{i:05d}.smoosh"), "rb")
-            self._files.append(f)
-            self._mmaps.append(mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ))
+        self._files: dict[int, object] = {}
+        self._mmaps: dict[int, mmap.mmap] = {}
+
+    def _chunk(self, i: int) -> mmap.mmap:
+        if i not in self._mmaps:
+            if not 0 <= i < self.num_chunks:
+                raise DruidFormatError(f"Chunk {i} out of range")
+            f = open(os.path.join(self._dir, f"{i:05d}.smoosh"), "rb")
+            self._files[i] = f
+            self._mmaps[i] = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        return self._mmaps[i]
 
     def map_file(self, name: str) -> memoryview:
         if name not in self.entries:
             raise DruidFormatError(f"Logical file not found: {name}")
         chunk, start, end = self.entries[name]
-        mm = self._mmaps[chunk]
+        mm = self._chunk(chunk)
         if end > len(mm):
             raise DruidFormatError(f"File {name} end offset {end} exceeds chunk")
         return memoryview(mm)[start:end]
@@ -671,9 +681,9 @@ class SmooshReader:
         return name in self.entries
 
     def close(self) -> None:
-        for mm in self._mmaps:
+        for mm in self._mmaps.values():
             mm.close()
-        for f in self._files:
+        for f in self._files.values():
             f.close()
 
 

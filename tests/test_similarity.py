@@ -62,7 +62,10 @@ def test_lsh_recall_and_structure(emb, probes, truth):
 
 
 def test_ivf_recall_and_structure(emb, probes, truth):
-    rows = ivf_topk(emb, probes, k=10, n_centroids=16, nprobe=4).collect()
+    """nprobe=8 of 16 cells: on this structureless random corpus IVF
+    recall tracks coverage (see sim_ivf_topk docstring) — half the
+    cells must recover well over half the true neighbors."""
+    rows = ivf_topk(emb, probes, k=10, n_centroids=16, nprobe=8).collect()
     _structure_ok(rows)
     got = {(r["probe_id"], r["vec_id"]) for r in rows}
     recall = len(truth & got) / len(truth)
@@ -74,6 +77,51 @@ def test_ivf_more_probes_more_recall(emb, probes, truth):
     rows = ivf_topk(emb, probes, k=10, n_centroids=16, nprobe=16).collect()
     got = {(r["probe_id"], r["vec_id"]) for r in rows}
     assert got == truth  # probing every cell must reproduce brute force
+
+
+def test_neardup_hot_bucket_capped_but_fully_connected(spark):
+    """Adversarial corpus: thousands of IDENTICAL vectors — every one
+    lands in the same bucket of every LSH table. The capped expansion
+    must (a) finish without building an unbounded per-bucket list and
+    (b) still connect EVERY vector into the duplicate cluster via the
+    representative's star edges."""
+    from druid_datafusion_bridge_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    n = 3000
+    vec = [float(i % 7 + 1) for i in range(16)]
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(x) for x in vec]).alias("embedding"),
+    )
+    pairs = embedding_neardup_pairs(
+        df, threshold=0.95, bits=4, dim=16, max_bucket=50
+    ).collect()
+    linked = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert linked == set(range(n))  # no member dropped from the cluster
+    assert all(r["sim"] >= 0.95 for r in pairs)
+    # bounded: 50^2/2 all-pairs + (n-50) star edges, not n^2/2 ~ 4.5M
+    assert len(pairs) <= 50 * 49 // 2 + (n - 50)
+
+
+def test_lsh_candidate_pairs_hot_bucket_capped(spark):
+    """Same adversarial shape for the MinHash LSH text path: identical
+    documents all share every band bucket; the cap must bound pair
+    volume while keeping every doc attached to the cluster."""
+    from druid_datafusion_bridge_spark.operators.dedup import lsh_candidate_pairs
+
+    n = 2000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text appears in every document").alias(
+            "text"
+        ),
+    )
+    pairs = lsh_candidate_pairs(df, max_bucket=40).collect()
+    linked = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+    assert linked == set(range(n))
+    assert len(pairs) <= 40 * 39 // 2 + (n - 40)
 
 
 def test_neardup_finds_planted_duplicates(spark):
