@@ -162,11 +162,11 @@ def test_scalar_functions_differential(spark, a):
     ta = spark.createDataFrame(a, SCHEMA) if a else spark.createDataFrame([], SCHEMA)
     ta.createOrReplaceTempView("fa")
     con = _duck({"fa": a})
-    # {} = the engine's string type name (Spark STRING, DuckDB VARCHAR)
+    # placeholders: {0} = string type name, {1} = split-join spelling
     sql = """
         SELECT upper(s) AS u, lower(s) AS l, trim(s) AS t,
                length(s) AS n, substr(s, 1, 2) AS s2,
-               s || '_' || CAST(k AS {}) AS c,
+               s || '_' || CAST(k AS {0}) AS c,
                instr(s, 'a') AS p,
                abs(v) AS av,
                CAST(ceil(v / 7.0) AS BIGINT) AS cv,
@@ -174,10 +174,23 @@ def test_scalar_functions_differential(spark, a):
                sqrt(abs(v)) AS sv, v % 7 AS mv,
                coalesce(k, 99) AS ck,
                CASE WHEN v > 0 THEN 'pos' WHEN v < 0 THEN 'neg'
-                    ELSE 'zero' END AS sign
+                    ELSE 'zero' END AS sign,
+               regexp_extract(s, '([abz]+)', 1) AS re1,
+               replace(s, 'z', '-') AS rep,
+               lpad(s, 6, '_') AS lp,
+               reverse(s) AS rv2,
+               CASE WHEN s LIKE '%a%' THEN 1 ELSE 0 END AS lk,
+               {1} AS sj
         FROM fa
     """
-    _compare(spark.sql(sql.format("STRING")), con, sql.format("VARCHAR"))
+    _compare(
+        spark.sql(sql.format("STRING", "array_join(split(s, 'b'), '|')")),
+        con,
+        # array_to_string drops NULL semantics differently on empty
+        # filtered lists elsewhere, but str_split never returns NULL
+        # elements, so the plain spelling is parity here.
+        sql.format("VARCHAR", "array_to_string(str_split(s, 'b'), '|')"),
+    )
 
 
 @pytest.mark.slow
@@ -212,16 +225,31 @@ def test_date_functions_differential(spark, ts):
         SELECT year(ts) AS y, month(ts) AS mo, day(ts) AS d,
                hour(ts) AS h, minute(ts) AS mi, second(ts) AS s,
                dayofyear(ts) AS doy, quarter(ts) AS q,
-               {} AS dow,
+               {0} AS dow,
                CAST(date_trunc('day', ts) AS TIMESTAMP) AS td,
                CAST(date_trunc('hour', ts) AS TIMESTAMP) AS th,
-               CAST(date_trunc('month', ts) AS TIMESTAMP) AS tm
+               CAST(date_trunc('month', ts) AS TIMESTAMP) AS tm,
+               {1} AS fmt,
+               {2} AS dd95,
+               ts + INTERVAL 7 DAY AS due,
+               CAST(last_day(CAST(ts AS DATE)) AS TIMESTAMP) AS ld
         FROM da
     """
     _compare(
-        spark.sql(sql.format("weekday(ts) + 1")),
+        spark.sql(
+            sql.format(
+                "weekday(ts) + 1",
+                "date_format(ts, 'yyyy-MM-dd HH:mm:ss')",
+                # Spark datediff(end, start); DuckDB datediff(part, start, end)
+                "CAST(datediff(CAST(ts AS DATE), DATE '1995-01-01') AS BIGINT)",
+            )
+        ),
         con,
-        sql.format("isodow(ts)"),
+        sql.format(
+            "isodow(ts)",
+            "strftime(ts, '%Y-%m-%d %H:%M:%S')",
+            "datediff('day', DATE '1995-01-01', CAST(ts AS DATE))",
+        ),
     )
 
 
