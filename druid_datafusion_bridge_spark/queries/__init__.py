@@ -52,6 +52,7 @@ def load_all() -> None:
         streaming,
         temporal,
         text_analysis,
+        text_pipeline,
         topn_search,
         tpch,
         tpch_full,
