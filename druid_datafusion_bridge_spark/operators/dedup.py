@@ -203,35 +203,39 @@ def lsh_candidate_pairs(
     # expands pairs inside each bucket, which is where LSH cost belongs.
     from pyspark.sql import Window as W
 
+    # Per-row edge emission from ONE window pass — no groupBy-side list,
+    # no union of branches (a union would scan and shuffle the band
+    # table twice). Each member within the cap pairs with the members
+    # before it via a BOUNDED sliding-frame collect_list (frame size
+    # <= max_bucket-1, so window state is bounded however hot the
+    # bucket); members past the cap emit one star edge to the bucket's
+    # first member. doc_a < doc_b falls out of the doc_id ordering.
     w = W.partitionBy("band", "band_key").orderBy("doc_id")
-    ranked = bands_df.select(
-        "band", "band_key", "doc_id", F.row_number().over(w).alias("_rk")
+    staged = bands_df.select(
+        "doc_id",
+        F.collect_list("doc_id")
+        .over(w.rowsBetween(-(max_bucket - 1), -1))
+        .alias("_prior"),
+        F.row_number().over(w).alias("_rk"),
+        F.first("doc_id").over(w).alias("_rep"),
     )
-    buckets = (
-        ranked.filter(F.col("_rk") <= max_bucket)
-        .groupBy("band", "band_key")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    pair_structs = F.flatten(
+    edges = F.when(
+        F.col("_rk") <= max_bucket,
         F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            F.col("_prior"),
+            lambda p: F.struct(
+                p.alias("doc_a"), F.col("doc_id").alias("doc_b")
             ),
+        ),
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
+            )
         )
     )
-    head_pairs = buckets.select(F.explode(pair_structs).alias("p")).select(
-        "p.doc_a", "p.doc_b"
+    return (
+        staged.select(F.explode(edges).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
     )
-    # Star edges: representative (rank 1) -> every overflow member.
-    reps = ranked.filter(F.col("_rk") == 1).select(
-        "band", "band_key", F.col("doc_id").alias("doc_a")
-    )
-    star_pairs = (
-        ranked.filter(F.col("_rk") > max_bucket)
-        .join(reps, ["band", "band_key"])
-        .select("doc_a", F.col("doc_id").alias("doc_b"))
-    )
-    return head_pairs.unionByName(star_pairs).distinct()

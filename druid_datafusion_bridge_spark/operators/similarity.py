@@ -208,41 +208,48 @@ def embedding_neardup_pairs(
             "tbl", "bucket"
         ),
     )
+    # Per-row edge emission from ONE window pass (see dedup.py
+    # lsh_candidate_pairs for the pattern): members within the cap pair
+    # against the BOUNDED sliding frame of members before them (frame
+    # carries (id, vector) structs, <= max_bucket-1 of them, so window
+    # state stays bounded however hot the bucket); members past the cap
+    # emit one star edge against the bucket's first member.
     w = W.partitionBy("tbl", "bucket").orderBy("vec_id")
-    ranked = exploded.select(
-        "tbl", "bucket", "vec_id", "v", F.row_number().over(w).alias("_rk")
+    staged = exploded.select(
+        "vec_id",
+        "v",
+        F.collect_list(F.struct("vec_id", "v"))
+        .over(w.rowsBetween(-(max_bucket - 1), -1))
+        .alias("_prior"),
+        F.row_number().over(w).alias("_rk"),
+        F.first(F.struct("vec_id", "v")).over(w).alias("_rep"),
     )
-    c = ranked.filter(F.col("_rk") <= max_bucket)
-    buckets = c.groupBy("tbl", "bucket").agg(
-        F.array_sort(
-            F.collect_list(F.struct("vec_id", "v"))
-        ).alias("members")
-    ).filter(F.size("members") > 1)
-    pair_structs = F.flatten(
+    edges = F.when(
+        F.col("_rk") <= max_bucket,
         F.transform(
-            F.col("members"),
-            lambda x, i: F.transform(
-                F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
-                lambda y: F.struct(
-                    x["vec_id"].alias("id_a"), y["vec_id"].alias("id_b"),
-                    x["v"].alias("va"), y["v"].alias("vb"),
-                ),
+            F.col("_prior"),
+            lambda p: F.struct(
+                p["vec_id"].alias("id_a"),
+                F.col("vec_id").alias("id_b"),
+                p["v"].alias("va"),
+                F.col("v").alias("vb"),
             ),
+        ),
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.col("_rep")["vec_id"].alias("id_a"),
+                F.col("vec_id").alias("id_b"),
+                F.col("_rep")["v"].alias("va"),
+                F.col("v").alias("vb"),
+            )
         )
     )
-    head_pairs = buckets.select(F.explode(pair_structs).alias("p")).select(
-        "p.id_a", "p.id_b", "p.va", "p.vb"
+    pairs = (
+        staged.select(F.explode(edges).alias("p"))
+        .select("p.id_a", "p.id_b", "p.va", "p.vb")
+        .dropDuplicates(["id_a", "id_b"])
     )
-    # Star edges: bucket representative (rank 1) scored against overflow.
-    reps = ranked.filter(F.col("_rk") == 1).select(
-        "tbl", "bucket", F.col("vec_id").alias("id_a"), F.col("v").alias("va")
-    )
-    star_pairs = (
-        ranked.filter(F.col("_rk") > max_bucket)
-        .join(reps, ["tbl", "bucket"])
-        .select("id_a", F.col("vec_id").alias("id_b"), "va", F.col("v").alias("vb"))
-    )
-    pairs = head_pairs.unionByName(star_pairs).dropDuplicates(["id_a", "id_b"])
     return pairs.select(
         "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim")
     ).filter(F.col("sim") >= threshold)
