@@ -20,10 +20,17 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     otherwise run hash/explode-heavy operators on one core. At real
     scale input splits already provide parallelism, so this is a no-op
     there (round-1 verdict #6: the unconditional form added a full
-    shuffle a 100 TB scan never needs). The partition probe is
-    plan-side only — no job runs.
+    shuffle a 100 TB scan never needs). The probe is df.inputFiles() —
+    pure metadata from the already-listed file index (df.rdd would
+    work too but pays ~0.5s of plan-to-RDD conversion per call). A
+    many-partition scan of FEW huge splittable files repartitions
+    unnecessarily — a cheap narrow-column shuffle, never a correctness
+    or memory hazard.
     """
     n = df.sparkSession.sparkContext.defaultParallelism * factor
-    if df.rdd.getNumPartitions() >= n:
-        return df
+    try:
+        if len(df.inputFiles()) >= n:
+            return df
+    except Exception:
+        pass  # non-file source: keep the rebalance
     return df.repartition(n)
