@@ -147,3 +147,64 @@ def st_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rk") == 1)
         .select("user_id", "n_events", "total_value")
     )
+
+
+@query(
+    "st_stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type,
+           n.n_name AS user_nation
+    FROM events e
+    LEFT JOIN nation n ON n.n_nationkey = e.user_id % 25
+    """,
+)
+def st_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (the Druid lookup-join analog):
+    the event stream joins a static dimension keyed off user_id.
+    Stateless per micro-batch; the final materialized rows must equal
+    the batch join exactly."""
+    from pyspark.sql import functions as F
+    from ..catalog import table
+    from ..streaming.events import stream_static_enrich
+
+    dim = (
+        table(spark, sf_dir, "nation")
+        .select(
+            F.col("n_nationkey").alias("_nk"),
+            F.col("n_name").alias("user_nation"),
+        )
+    )
+    ev = stream_events(spark, sf_dir).withColumn(
+        "_nk", F.pmod(F.col("user_id"), F.lit(25))
+    )
+    joined = ev.join(dim, "_nk", "left")
+    out = _finish(
+        joined.select("event_id", "user_id", "event_type", "user_nation"),
+        spark, "st_enrich_out", "append",
+    )
+    return out
+
+
+@query(
+    "st_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id AS p_user, p.ts AS purchase_ts, c.ts AS click_ts
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 10 MINUTE
+    """,
+)
+def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join with bounded state: purchases
+    matched to the same user's clicks within the preceding 10 minutes,
+    both sides watermarked. Run to completion, the result must equal
+    the batch interval self-join exactly."""
+    from ..streaming.events import stream_stream_click_purchase
+
+    return _finish(
+        stream_stream_click_purchase(stream_events(spark, sf_dir)),
+        spark, "st_ssjoin_out", "append",
+    )

@@ -139,6 +139,49 @@ def stateful_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join (Druid lookup-join analog): enrich each event
+    with a dimension row. Stateless — the static side is planned per
+    micro-batch (broadcast when small), so no streaming state at all."""
+    return events.join(dim, "user_id", "left")
+
+
+def stream_stream_click_purchase(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding 10 minutes. Both sides carry
+    watermarks, and the join condition bounds event-time distance, so
+    the join state is bounded (clicks expire once the purchase-side
+    watermark passes click_ts + 10 min)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            """
+            p_user = c_user AND
+            click_ts <= purchase_ts AND
+            click_ts > purchase_ts - INTERVAL 10 MINUTES
+            """
+        ),
+    ).select("purchase_id", "click_id", "p_user", "purchase_ts", "click_ts")
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming query over the (finite) file source to
     completion into an in-memory table; returns the StreamingQuery.
