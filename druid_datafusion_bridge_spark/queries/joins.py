@@ -167,6 +167,41 @@ def j7_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j10_salted_skew_join",
+    oracle="""
+    WITH pr AS (
+      SELECT o_orderpriority, COUNT(*) AS n_orders
+      FROM orders GROUP BY o_orderpriority)
+    SELECT l_returnflag, o_orderpriority,
+           CAST(SUM(n_orders) AS BIGINT) AS weight, COUNT(*) AS n
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN pr USING (o_orderpriority)
+    GROUP BY l_returnflag, o_orderpriority
+    """,
+)
+def j10_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join under pathological key skew (J-extension): the join
+    key o_orderpriority has only 5 values, so a plain shuffle join puts
+    ~20% of all lineitem rows in ONE task. salted_join splits each hot
+    key across 16 salted partitions and replicates the (tiny, but
+    deliberately not broadcast) right side — the explicit fallback for
+    skew AQE can't fix. Result must equal the plain join bit-for-bit."""
+    from ..operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    enriched = li.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select("l_returnflag", "o_orderpriority")
+    pr = orders.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+    joined = salted_join(enriched, pr, "o_orderpriority")
+    return joined.groupBy("l_returnflag", "o_orderpriority").agg(
+        F.sum("n_orders").alias("weight"), F.count("*").alias("n")
+    )
+
+
+@query(
     "j8_broadcast",
     oracle="""
     SELECT s_suppkey, s_name, n_name

@@ -177,6 +177,37 @@ def test_q21_scans_lineitem_once(spark):
     assert formatted_plan(df).count("lineitem.parquet") == 1
 
 
+def test_training_pipeline_plan_shapes(spark):
+    """Scale-shape pins for the training-pipeline operators:
+    - contamination joins the corpus stream against a BROADCAST
+      benchmark shingle set (corpus side must never shuffle for the
+      join);
+    - sequence packing is one shard-partitioned window => exactly one
+      exchange;
+    - LSH pair expansion is single-pass: ONE scan of the corpus and one
+      Window (a union-of-branches formulation would double the scans —
+      regression pinned here);
+    - repetition signals: two aggregation exchanges (doc+token, doc),
+      nothing else."""
+    from druid_datafusion_bridge_spark.plans import formatted_plan
+
+    qs = all_queries()
+    cont = qs["txp_contamination"](spark, SF_DIR)
+    assert join_strategies(cont) == ["BroadcastHashJoin"]
+
+    pack = qs["txp_sequence_pack"](spark, SF_DIR)
+    assert count_exchanges(pack) == 1
+
+    lsh = qs["dd_minhash_lsh_pairs"](spark, SF_DIR)
+    plan = formatted_plan(lsh)
+    # formatted explain mentions each scan node twice (tree + details)
+    assert plan.count("Scan parquet") == 2, "LSH must scan the corpus once"
+    assert plan.count("Window") >= 1
+
+    rep = qs["txp_repetition"](spark, SF_DIR)
+    assert count_exchanges(rep) == 2
+
+
 def test_druid_sql_udfs_stay_jvm_side(spark):
     """The Druid SQL compat functions are SQL UDFs Catalyst inlines —
     raw Druid SQL text must compile to a plan with zero Python eval
