@@ -7,7 +7,9 @@ both as Column helpers and as Catalyst-inlined SQL UDFs.
 from .druid_sql import (  # noqa: F401
     contains_string,
     div,
+    earliest,
     icontains_string,
+    latest,
     lookup,
     millis_to_timestamp,
     mv_contains,

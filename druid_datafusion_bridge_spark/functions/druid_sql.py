@@ -153,6 +153,18 @@ def timestamp_to_millis(col: Column | str) -> Column:
     return F.unix_millis(_col(col).cast("timestamp"))
 
 
+def latest(col: Column | str, time_col: Column | str) -> Column:
+    """Druid LATEST(expr): the value from the row with the max __time.
+    Ties on the time column are engine-undefined in Druid too — feed a
+    unique (or composite) time expression for determinism."""
+    return F.max_by(_col(col), _col(time_col))
+
+
+def earliest(col: Column | str, time_col: Column | str) -> Column:
+    """Druid EARLIEST(expr): the value from the row with the min __time."""
+    return F.min_by(_col(col), _col(time_col))
+
+
 def safe_divide(x: Column | str, y: Column | str) -> Column:
     """Druid SAFE_DIVIDE: NULL instead of error/inf on zero divisor."""
     xd, yd = _col(x), _col(y)

@@ -195,3 +195,34 @@ def fd_druid_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY next_day
         """
     )
+
+
+@query(
+    "fd_latest_earliest",
+    oracle="""
+    SELECT event_type,
+           max_by(value, ts) AS latest_value,
+           min_by(value, ts) AS earliest_value,
+           max_by(user_id, ts) AS latest_user,
+           MAX(ts) AS latest_ts
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def fd_latest_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid LATEST/EARLIEST aggregators (value at max/min __time) via
+    max_by/min_by. Deterministic here because event timestamps are
+    unique (verified at every SF); Druid's own tie behavior is
+    undefined."""
+    from ..functions import earliest, latest
+
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            latest("value", "ts").alias("latest_value"),
+            earliest("value", "ts").alias("earliest_value"),
+            latest("user_id", "ts").alias("latest_user"),
+            F.max("ts").alias("latest_ts"),
+        )
+        .orderBy("event_type")
+    )

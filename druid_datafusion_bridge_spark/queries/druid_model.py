@@ -111,3 +111,62 @@ def dm_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, typ in [(f.name, f.dataType.simpleString()) for f in ev.schema.fields]
     ]
     return spark.createDataFrame(rows, "column string, type string, role string")
+
+
+@query(
+    "dm_rollup_zerofill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS t0, date_trunc('hour', MAX(ts)) AS t1
+      FROM events),
+    buckets AS (
+      SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    rolled AS (
+      SELECT date_trunc('hour', ts) AS bucket, event_type,
+             COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sv
+      FROM events GROUP BY 1, 2)
+    SELECT b.bucket, t.event_type,
+           COALESCE(r.n, 0) AS n_events,
+           COALESCE(r.sv, 0.0) AS sum_value
+    FROM buckets b
+    CROSS JOIN types t
+    LEFT JOIN rolled r ON r.bucket = b.bucket AND r.event_type = t.event_type
+    """,
+)
+def dm_rollup_zerofill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid timeseries semantics: the timeseries query type ZERO-FILLS
+    empty time buckets (a plain GROUP BY drops them). The dense
+    (bucket x dimension) grid is generated from the data's own hour
+    bounds via sequence/explode — a tiny relation that left-joins the
+    rollup and coalesces misses to zero. At 100 TB the grid stays
+    buckets x dims (thousands of rows) while only the rollup aggregate
+    touches the data."""
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    buckets = bounds.select(
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket")
+    )
+    types = ev.select("event_type").distinct()
+    rolled = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("sv"),
+    )
+    return (
+        buckets.crossJoin(types)
+        .join(rolled, ["bucket", "event_type"], "left")
+        .select(
+            "bucket",
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce("sv", F.lit(0.0)).alias("sum_value"),
+        )
+    )
