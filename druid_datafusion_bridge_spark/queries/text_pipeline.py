@@ -117,3 +117,99 @@ def txp_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact(cu, "c_name", pattern="[0-9]{3,}").select(
         "c_custkey", "c_name_redacted", "n_redactions"
     )
+
+
+@query(
+    "txp_incremental_dedup",
+    oracle="""
+    WITH prior AS (
+      SELECT DISTINCT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id < 250),
+    batch AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id >= 250)
+    SELECT b.doc_id, b.fp
+    FROM batch b ANTI JOIN prior p ON b.fp = p.fp
+    """,
+)
+def txp_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a NEW batch (doc_id >= 250) deduplicated
+    against the fingerprint store of the prior corpus (doc_id < 250) —
+    the shape every continuously-ingesting pipeline runs. Left-anti
+    join on the normalized content fingerprint; at 100 TB the
+    fingerprint store is a compact table keyed on fp, and the join
+    shuffles only (fp, doc_id) pairs."""
+    docs = table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    prior = docs.filter(F.col("doc_id") < 250).select(fp.alias("fp")).distinct()
+    batch = docs.filter(F.col("doc_id") >= 250).select("doc_id", fp.alias("fp"))
+    return batch.join(prior, "fp", "left_anti").select("doc_id", "fp")
+
+
+@query(
+    "txp_training_set",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang, text,
+             length(text) AS nc,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS nt,
+             md5(text) AS fp
+      FROM documents),
+    keep_fp AS (SELECT fp, MIN(doc_id) AS keep_id FROM s GROUP BY fp),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM s),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' '
+               || t[i+4] AS g
+      FROM toks, unnest(generate_series(1, greatest(len(t) - 4, 0))) AS u(i)),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10),
+    contaminated AS (
+      SELECT DISTINCT c.doc_id FROM grams c JOIN bench USING (g)
+      WHERE c.doc_id >= 10)
+    SELECT s.doc_id, s.nt AS n_tokens
+    FROM s
+    JOIN keep_fp k ON k.fp = s.fp AND k.keep_id = s.doc_id
+    ANTI JOIN contaminated c ON c.doc_id = s.doc_id
+    WHERE s.lang = 'en'
+      AND s.doc_id >= 10
+      AND s.nt >= 20
+      AND s.nc BETWEEN 50 AND 600
+    """,
+)
+def txp_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-set assembly — the composition every
+    pretraining pipeline runs, as ONE Catalyst plan: language filter,
+    quality bands (token count, length), exact dedup (keep lowest
+    doc_id per content fingerprint), benchmark decontamination
+    (anti-join on shared 5-grams vs the doc_id<10 stand-in benchmark),
+    emitting (doc_id, n_tokens) ready for sequence packing. Everything
+    is built-ins: one agg for the fingerprint keeper, one broadcast
+    anti-join for contamination, filters pushed to the scan."""
+    docs = table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.length("text").cast("long").alias("nc"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z0-9]+"), 0))
+        .cast("long")
+        .alias("nt"),
+        F.md5("text").alias("fp"),
+    )
+    keep = s.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    bench = docs.filter(F.col("doc_id") < 10)
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    contaminated = contamination_check(corpus, bench, n=5).select("doc_id")
+    return (
+        s.filter(
+            (F.col("lang") == "en")
+            & (F.col("doc_id") >= 10)
+            & (F.col("nt") >= 20)
+            & F.col("nc").between(50, 600)
+        )
+        .join(keep, "fp")
+        .filter(F.col("keep_id") == F.col("doc_id"))
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .select("doc_id", F.col("nt").alias("n_tokens"))
+    )
