@@ -129,3 +129,72 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "modality", "width", "height", "target_w", "target_h",
         "src_bytes",
     )
+
+
+@query(
+    "mm_frame_energy",
+    oracle="""
+    WITH blobs AS (SELECT doc_id, text,
+                          octet_length(encode(text)) AS n_bytes
+                   FROM documents),
+    frames AS (
+      SELECT doc_id, text, n_bytes,
+             unnest(generate_series(0,
+               greatest(CAST(ceil(n_bytes / 32.0) AS INT), 1) - 1)) AS frame_idx
+      FROM blobs),
+    bytes AS (
+      SELECT doc_id, frame_idx,
+             ascii(substr(text, CAST(frame_idx * 32 + g.i AS INT), 1)) AS b
+      FROM frames, generate_series(1, 32) AS g(i)
+      WHERE frame_idx * 32 + g.i <= n_bytes)
+    SELECT doc_id, frame_idx,
+           CAST(SUM(b) AS BIGINT) AS energy,
+           COUNT(*) AS chunk_len,
+           CAST(MAX(b) AS BIGINT) AS peak
+    FROM bytes GROUP BY doc_id, frame_idx
+    """,
+)
+def mm_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame 'energy' over binary payloads — the audio-analysis
+    plumbing shape (windowed amplitude stats), computed JVM-side: the
+    payload explodes into fixed 32-byte frames and each frame
+    aggregates its byte values (sum/count/max via aggregate() over the
+    unbased byte array). The oracle recomputes byte values from the
+    ASCII corpus with ascii(substr(..)) — exact because payload bytes
+    == character codes here (asserted by mm_binary_meta's n_bytes
+    check)."""
+    docs = table(spark, sf_dir, "documents")
+    blobs = with_binary_payload(docs)
+    # bytes of the payload as an int array, JVM-side: unbase the binary
+    # through its hex string two chars at a time
+    hexes = F.hex(F.col("payload"))
+    byte_arr = F.transform(
+        F.sequence(F.lit(1), F.octet_length("payload")),
+        lambda i: F.conv(F.substring(hexes, (i - 1) * 2 + 1, 2), 16, 10).cast(
+            "long"
+        ),
+    )
+    frames = blobs.select(
+        "doc_id",
+        "n_bytes",
+        byte_arr.alias("bytes"),
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.ceil(F.col("n_bytes") / 32).cast("int"), F.lit(1)
+                )
+                - 1,
+            )
+        ).alias("frame_idx"),
+    )
+    chunk = F.slice("bytes", F.col("frame_idx") * 32 + 1, 32)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.aggregate(chunk, F.lit(0).cast("long"), lambda a, b: a + b).alias(
+            "energy"
+        ),
+        F.size(chunk).cast("long").alias("chunk_len"),
+        F.array_max(chunk).alias("peak"),
+    )

@@ -232,3 +232,35 @@ def f_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "f_bitwise_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255 AS b_and,
+           l_orderkey | 15 AS b_or,
+           xor(l_orderkey, l_linenumber) AS b_xor,
+           l_orderkey << 2 AS b_shl,
+           l_orderkey >> 3 AS b_shr,
+           CAST(bit_count(l_orderkey) AS INT) AS b_popcount,
+           ~l_orderkey AS b_not
+    FROM lineitem WHERE l_orderkey <= 1000
+    """,
+)
+def f_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family (Druid BITWISE_* analogs): and/or/xor/shifts/
+    popcount/complement over integer keys — all whole-stage-codegen
+    built-ins on both engines."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("l_orderkey & 255").alias("b_and"),
+        F.expr("l_orderkey | 15").alias("b_or"),
+        F.expr("l_orderkey ^ l_linenumber").alias("b_xor"),
+        F.expr("shiftleft(l_orderkey, 2)").alias("b_shl"),
+        F.expr("shiftright(l_orderkey, 3)").alias("b_shr"),
+        F.bit_count(F.col("l_orderkey")).alias("b_popcount"),
+        F.expr("~l_orderkey").alias("b_not"),
+    )

@@ -198,3 +198,43 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = ivf_topk(emb, probes, k=10, n_centroids=16, nprobe=8)
     exact = brute_force_topk(emb, probes, k=10)
     return _recall_contract(ann, exact, floor=0.4)
+
+
+@query(
+    "sim_group_centroid",
+    oracle="""
+    WITH pos AS (
+      SELECT d.lang,
+             generate_subscripts(CAST(e.embedding AS DOUBLE[]), 1) AS dim_idx,
+             unnest(CAST(e.embedding AS DOUBLE[])) AS x
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id)
+    SELECT lang, CAST(dim_idx AS BIGINT) AS dim_idx,
+           round(CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 9)
+             AS centroid_val
+    FROM pos GROUP BY lang, dim_idx
+    """,
+)
+def sim_group_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group embedding centroid (mean vector per language) — the
+    mean-pooling / class-centroid op of an embedding pipeline, as
+    posexplode + groupBy over (group, dim): fully JVM-side, shuffles
+    (lang, dim_idx, partial-sum) only. Emitted as one row per
+    dimension (no array output — harness-safe). Sums run in
+    decimal(38,18) on both engines (order-independent); float inputs
+    aren't exactly decimal-representable at that scale, so the final
+    mean is rounded to 9 decimals — the same cross-engine fp-stability
+    device the cosine oracles use."""
+    emb = table(spark, sf_dir, "embeddings")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    joined = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "lang", F.posexplode(as_double_vec(F.col("embedding"))).alias("p", "x")
+    )
+    return joined.groupBy(
+        "lang", (F.col("p") + 1).cast("long").alias("dim_idx")
+    ).agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+            / F.count("*"),
+            9,
+        ).alias("centroid_val")
+    )
