@@ -1,0 +1,102 @@
+"""Scale-stress harness for the training-pipeline operators.
+
+The driver's testdata tops out at thousands of documents — enough for
+correctness, far too small to expose shuffle/memory behavior. This
+harness GENERATES an n-row synthetic corpus executor-side (spark.range
++ hash-derived text; nothing collected, nothing written to testdata)
+and times the pipeline operators end-to-end with a noop sink, printing
+one JSON line like bench.py.
+
+    python bench_scale.py                  # 1M docs
+    SPARK_SCALE_ROWS=10000000 python bench_scale.py
+
+This is evidence for the 100 TB design claims, not a correctness gate:
+every operator here must complete in seconds-per-million-docs with flat
+executor memory — if one of them OOMs or goes quadratic, its scale
+notes were wrong.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from druid_datafusion_bridge_spark import get_spark
+from druid_datafusion_bridge_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from druid_datafusion_bridge_spark.operators.text_pipeline import (
+    repetition_signals,
+    sequence_pack,
+)
+
+
+def synthetic_docs(spark, n: int):
+    """n synthetic documents, generated executor-side: ~40 tokens drawn
+    deterministically from a small vocabulary via md5-seeded arithmetic,
+    with every 100th document an exact duplicate of a base doc (so the
+    dedup operators have real work)."""
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        # duplicate every 100th doc onto one of 1000 base texts
+        F.when(F.col("id") % 100 == 0, F.col("id") % 1000)
+        .otherwise(F.col("id"))
+        .alias("seed"),
+    )
+    tok = lambda i: F.concat(  # noqa: E731
+        F.lit("w"),
+        F.conv(
+            F.substring(F.md5(F.concat_ws("-", F.col("seed"), F.lit(i))), 1, 4),
+            16,
+            10,
+        )
+        % 5000,
+    )
+    return base.select(
+        "doc_id", F.concat_ws(" ", *[tok(i) for i in range(40)]).alias("text")
+    )
+
+
+def main() -> None:
+    n = int(os.environ.get("SPARK_SCALE_ROWS", "1000000"))
+    spark = get_spark(app_name="ddbs-bench-scale")
+    docs = synthetic_docs(spark, n)
+
+    ops = {
+        "exact_dedup": lambda d: exact_dedup(d),
+        "minhash_signatures": lambda d: minhash_signatures(d),
+        "lsh_candidate_pairs": lambda d: lsh_candidate_pairs(d),
+        "sequence_pack": lambda d: sequence_pack(d, budget=2048, n_shards=256),
+        "repetition_signals": lambda d: repetition_signals(d),
+    }
+    timings: dict[str, float] = {}
+    for name, fn in ops.items():
+        t0 = time.perf_counter()
+        fn(docs).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "pipeline_scale_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "rows": n,
+                "docs_per_sec": round(n * len(ops) / total),
+                "queries": timings,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
