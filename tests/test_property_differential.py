@@ -278,3 +278,76 @@ def test_rollup_cube_differential(spark, a):
             FROM ra GROUP BY {clause}
         """
         _compare(spark.sql(sql), con, sql)
+
+
+@pytest.mark.slow
+@given(
+    texts=st.lists(
+        st.text(alphabet=" abz", max_size=30),
+        max_size=15,
+    )
+)
+@SET
+def test_pipeline_ops_differential(spark, texts):
+    """sequence packing + repetition signals over adversarial generated
+    documents (empty strings, all-space strings, repeated tokens) —
+    pins the split('' ) -> [''] token-count edge agreeing across
+    engines, and the shard-local running-sum packing arithmetic."""
+    from druid_datafusion_bridge_spark.operators.text_pipeline import (
+        repetition_signals,
+        sequence_pack,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        if rows
+        else spark.createDataFrame([], "doc_id long, text string")
+    )
+    con = duckdb.connect()
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    con.register("docs_pdf", pdf)
+    con.execute(
+        "CREATE TABLE documents AS "
+        'SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(text AS VARCHAR) AS "text" '
+        "FROM docs_pdf"
+    )
+    _compare(
+        sequence_pack(docs, budget=7, n_shards=3),
+        con,
+        """
+        WITH toks AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 doc_id % 3 AS shard
+          FROM documents),
+        packed AS (
+          SELECT doc_id, shard, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS start_tok
+          FROM toks)
+        SELECT doc_id, shard, n_tokens,
+               CAST(floor(start_tok / 7.0) AS BIGINT) AS seq_in_shard,
+               CAST(start_tok % 7 AS BIGINT) AS offset_in_seq
+        FROM packed
+        """,
+    )
+    _compare(
+        repetition_signals(docs),
+        con,
+        """
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        per_tok AS (
+          SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+        per_doc AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_count
+          FROM per_tok GROUP BY doc_id)
+        SELECT doc_id, n_tokens, n_distinct, top_count,
+               CAST(top_count AS DOUBLE) / n_tokens AS top_token_share,
+               CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens AS dup_token_frac
+        FROM per_doc
+        """,
+    )
