@@ -30,7 +30,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every exactly-checkable query; queries
-    with approximate or non-SQL-expressible semantics are omitted
-    (driver records a rows-only check for those)."""
+    """DuckDB-equivalent SQL for EVERY registry query. Approximate
+    operators (sketches, ANN) check their deterministic columns plus
+    bounded-error contract flags both engines agree on, so nothing is
+    left rows-only."""
     return all_oracles()

@@ -251,3 +251,32 @@ def w4b_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(q).over(w).alias("qty_band_sum"),
         F.count("*").over(w).alias("qty_band_cnt"),
     )
+
+
+@query(
+    "w5_distribution_fns",
+    oracle="""
+    SELECT o_orderkey,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM orders
+    WHERE o_orderkey <= 2000
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def w5_distribution_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (W1's statistical siblings):
+    ntile/percent_rank/cume_dist per status partition. The o_orderkey
+    tiebreak makes every rank deterministic; percent_rank/cume_dist
+    are exact rational arithmetic on row positions, identical across
+    engines."""
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
