@@ -57,20 +57,22 @@ def main() -> None:
         "noop"
     ).save()
 
-    timings: dict[str, float] = {}
+    # 1 untimed warm run per query, then best-of-3 timed runs taken in
+    # ROUND-ROBIN passes (q1..qN, q1..qN, q1..qN) rather than 3 back-to-
+    # back runs per query: the host shows multi-second noisy-neighbor
+    # windows (up to 20x), and consecutive runs would let one window
+    # poison every sample of a single query — interleaving means a
+    # window has to persist across a whole pass to bias any min.
     for name in HEADLINE:
-        # 1 untimed warm run, then best-of-3 timed runs: the steady-state
-        # number a resident engine serves at, robust to transient host
-        # contention (single hot runs showed up-to-20x outliers on a
-        # noisy neighbor; even best-of-2 caught noisy windows).
         queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        best = float("inf")
-        for _ in range(3):
+    best: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    for _ in range(3):
+        for name in HEADLINE:
             df = queries[name](spark, sf_dir)
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            best[name] = min(best[name], time.perf_counter() - t0)
+    timings = {name: round(v, 3) for name, v in best.items()}
 
     total = round(sum(timings.values()), 3)
     print(
