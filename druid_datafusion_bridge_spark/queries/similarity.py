@@ -1,9 +1,11 @@
 """Similarity-search query registrations (embeddings table).
 
-The brute-force path carries a DuckDB oracle (explicit position-join dot
-product, both engines in double); the LSH/ANN paths are Spark-only
-(rows-only driver check) with recall verified against brute force in
-pytest.
+Every entry carries an exact DuckDB oracle: the brute-force paths check
+full scored results (cosines rounded to 9 decimals for cross-engine fp
+stability); the approximate ANN paths check their recall CONTRACT — a
+per-probe flag that the bucketed/IVF result recovers at least a floor
+fraction of the exact brute-force top-k, which DuckDB asserts as
+literal TRUE; near-dup checks the exact all-pairs threshold set.
 """
 
 from __future__ import annotations
