@@ -44,6 +44,7 @@ UNCOMPRESSED = 0xFF
 NONE = 0xFE
 
 _I32 = struct.Struct(">i")
+_U16BE = struct.Struct(">H")
 _I64 = struct.Struct(">q")
 
 GI_VERSION_V1 = 0x01
@@ -128,10 +129,102 @@ def lz4_block_compress_literal(data: bytes) -> bytes:
     return bytes(out)
 
 
+def lzf_raw_decompress(src: bytes | memoryview) -> bytes:
+    """Raw libLZF stream decode: control byte < 0x20 starts a literal
+    run of ctrl+1 bytes; otherwise a back-reference of (ctrl>>5)+2
+    bytes (+1 extension byte when the 3-bit length saturates at 7) at
+    offset ((ctrl & 0x1f) << 8 | next) + 1 behind the write position —
+    copied byte-by-byte because overlap is allowed (RLE through self-
+    reference)."""
+    src = bytes(src)
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        ctrl = src[i]
+        i += 1
+        if ctrl < 0x20:
+            run = ctrl + 1
+            if i + run > n:
+                raise DruidFormatError("LZF literal run past end of input")
+            out += src[i : i + run]
+            i += run
+        else:
+            length = ctrl >> 5
+            if length == 7:
+                if i >= n:
+                    raise DruidFormatError("LZF truncated length extension")
+                length += src[i]
+                i += 1
+            if i >= n:
+                raise DruidFormatError("LZF truncated back-reference")
+            ref = len(out) - (((ctrl & 0x1F) << 8) | src[i]) - 1
+            i += 1
+            if ref < 0:
+                raise DruidFormatError("LZF back-reference before start")
+            for _ in range(length + 2):
+                out.append(out[ref])
+                ref += 1
+    return bytes(out)
+
+
+# Ning-compress LZF chunk stream (what Druid's LZF strategy wraps raw
+# LZF in): "ZV" magic, 1-byte type, 2-byte payload length, and for
+# compressed chunks a further 2-byte uncompressed length.
+_LZF_MAGIC = b"ZV"
+_LZF_CHUNK_MAX = 0xFFFF
+
+
+def lzf_chunks_decompress(src: bytes | memoryview, out_size: int) -> bytes:
+    src = bytes(src)
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n and len(out) < out_size:
+        if src[i : i + 2] != _LZF_MAGIC or i + 5 > n:
+            raise DruidFormatError("LZF chunk: bad magic/truncated header")
+        ctype = src[i + 2]
+        (clen,) = _U16BE.unpack_from(src, i + 3)
+        i += 5
+        if ctype == 0:
+            out += src[i : i + clen]
+            i += clen
+        elif ctype == 1:
+            i += 2  # uncompressed-length field (validated via out_size)
+            out += lzf_raw_decompress(src[i : i + clen])
+            i += clen
+        else:
+            raise DruidFormatError(f"LZF chunk: unknown type {ctype}")
+    if len(out) < out_size:
+        raise DruidFormatError(
+            f"LZF: produced {len(out)} bytes, expected {out_size}"
+        )
+    return bytes(out[:out_size])
+
+
+def lzf_chunks_compress_literal(raw: bytes) -> bytes:
+    """Literal-only Ning LZF chunk stream (type-0 chunks) — same
+    trade as lz4_block_compress_literal: spec-valid output any LZF
+    decoder accepts, no match search."""
+    out = bytearray()
+    for pos in range(0, len(raw), _LZF_CHUNK_MAX):
+        chunk = raw[pos : pos + _LZF_CHUNK_MAX]
+        out += _LZF_MAGIC
+        out.append(0)
+        out += _U16BE.pack(len(chunk))
+        out += chunk
+    if not raw:  # zero-length payload still needs one empty chunk
+        out += _LZF_MAGIC + b"\x00" + _U16BE.pack(0)
+    return bytes(out)
+
+
 def decompress_block(strategy: int, compressed: bytes, out_size: int) -> bytes:
-    """compression/mod.rs:34-46 — LZ4 + uncompressed only; LZF/ZSTD error."""
+    """Block decode by strategy id. The reference supports LZ4 +
+    uncompressed and ERRORS on LZF/ZSTD (compression/mod.rs:34-46);
+    LZF is implemented here beyond reference parity so v1 (legacy
+    Druid) compressed columns decode too."""
     if strategy == LZ4:
         return lz4_block_decompress(compressed, out_size)
+    if strategy == LZF:
+        return lzf_chunks_decompress(compressed, out_size)
     if strategy in (UNCOMPRESSED, NONE):
         return bytes(compressed)
     raise DruidFormatError(f"Unsupported compression strategy {strategy:#x}")
@@ -140,6 +233,8 @@ def decompress_block(strategy: int, compressed: bytes, out_size: int) -> bytes:
 def compress_block(strategy: int, raw: bytes) -> bytes:
     if strategy == LZ4:
         return lz4_block_compress_literal(raw)
+    if strategy == LZF:
+        return lzf_chunks_compress_literal(raw)
     if strategy in (UNCOMPRESSED, NONE):
         return bytes(raw)
     raise DruidFormatError(f"Unsupported compression strategy {strategy:#x}")

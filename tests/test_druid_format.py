@@ -166,7 +166,7 @@ def test_lz4_literal_roundtrip_property(data):
 # --- Compressed columnar numerics ----------------------------------------
 
 
-@pytest.mark.parametrize("strategy", [fmt.LZ4, fmt.UNCOMPRESSED])
+@pytest.mark.parametrize("strategy", [fmt.LZ4, fmt.LZF, fmt.UNCOMPRESSED])
 def test_compressed_longs_multiblock(strategy):
     values = np.arange(-5000, 5000, dtype=np.int64) * 1_000_003
     data = fmt.write_compressed_longs(values, size_per=256, strategy=strategy)
@@ -174,7 +174,7 @@ def test_compressed_longs_multiblock(strategy):
     assert np.array_equal(out, values)
 
 
-@pytest.mark.parametrize("strategy", [fmt.LZ4, fmt.UNCOMPRESSED])
+@pytest.mark.parametrize("strategy", [fmt.LZ4, fmt.LZF, fmt.UNCOMPRESSED])
 def test_compressed_doubles_multiblock(strategy):
     rng = np.random.default_rng(42)
     values = rng.normal(size=3000)
@@ -317,7 +317,7 @@ def _sample_table() -> pa.Table:
     )
 
 
-@pytest.mark.parametrize("strategy", [fmt.LZ4, fmt.UNCOMPRESSED])
+@pytest.mark.parametrize("strategy", [fmt.LZ4, fmt.LZF, fmt.UNCOMPRESSED])
 def test_segment_roundtrip(tmp_path, strategy):
     path = str(tmp_path / "seg")
     t = _sample_table()
@@ -371,3 +371,51 @@ def test_segment_files_listing(tmp_path):
         }
     finally:
         seg.close()
+
+
+class TestLZF:
+    """LZF codec (beyond reference parity — the reference errors on LZF,
+    compression/mod.rs:43-44, but legacy Druid v1 compressed columns
+    imply it)."""
+
+    def test_raw_decompress_literals_and_backref(self):
+        from druid_datafusion_bridge_spark.sources.druid_format import (
+            lzf_raw_decompress,
+        )
+
+        # hand-assembled stream: literal run "abc", then a back-reference
+        # of length 4 (ctrl 3-bit len=2 => 2+2) at offset 2 ("bcab"...
+        # offset field 2 => ref = pos-3): "abc" + copy from 'a' => "abcabca"
+        stream = bytes([0x02]) + b"abc" + bytes([(2 << 5) | 0x00, 0x02])
+        assert lzf_raw_decompress(stream) == b"abcabca"
+
+    def test_raw_decompress_rle_overlap(self):
+        from druid_datafusion_bridge_spark.sources.druid_format import (
+            lzf_raw_decompress,
+        )
+
+        # single literal 'x' then a self-overlapping backref of 9 bytes
+        # (len ext: 7 saturated + 0 => 7+2) at offset 0 => ref=pos-1: RLE
+        stream = bytes([0x00]) + b"x" + bytes([(7 << 5) | 0x00, 0x00, 0x00])
+        assert lzf_raw_decompress(stream) == b"x" * 10
+
+    def test_chunk_roundtrip(self):
+        import os as _os
+        from druid_datafusion_bridge_spark.sources.druid_format import (
+            lzf_chunks_compress_literal,
+            lzf_chunks_decompress,
+        )
+
+        for payload in (b"", b"abc", _os.urandom(200_000)):
+            enc = lzf_chunks_compress_literal(payload)
+            assert lzf_chunks_decompress(enc, len(payload)) == payload
+
+    def test_block_strategy_roundtrip(self):
+        from druid_datafusion_bridge_spark.sources.druid_format import (
+            LZF,
+            compress_block,
+            decompress_block,
+        )
+
+        raw = bytes(range(256)) * 100
+        assert decompress_block(LZF, compress_block(LZF, raw), len(raw)) == raw
