@@ -36,6 +36,8 @@ import datetime as dt
 import os
 from dataclasses import dataclass
 
+import numpy as np
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
@@ -185,10 +187,24 @@ class DruidSegmentReader(DataSourceReader):
         # [lower_ms, upper_ms) bounds accumulated from pushed __time filters
         self.lower_ms: int | None = None
         self.upper_ms: int | None = None
+        # dimension equality predicates answered by the roaring inverted
+        # index at read time: col -> literal (conjunctive)
+        self.eq_filters: dict[str, str] = {}
 
     def pushFilters(self, filters: list[Filter]):
         for f in filters:
             handled = False
+            if (
+                isinstance(f, EqualTo)
+                and getattr(f, "attribute", None) != (TIME_COLUMN,)
+                and isinstance(f.value, str)
+                and len(getattr(f, "attribute", ())) == 1
+            ):
+                # bitmap-index acceleration; the filter is still yielded
+                # so Spark re-applies it (index use is a row-pruning
+                # fast path, not a correctness dependency — segments
+                # without an index scan as before)
+                self.eq_filters[f.attribute[0]] = f.value
             if getattr(f, "attribute", None) == (TIME_COLUMN,):
                 if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
                     ms = _to_millis(f.value)
@@ -230,7 +246,28 @@ class DruidSegmentReader(DataSourceReader):
     def read(self, partition: SegmentPartition):
         seg = DruidSegment(partition.segment_dir)
         try:
+            # roaring-index row selection for pushed dim equalities: the
+            # index answers "which rows" from the dictionary + bitmaps
+            # alone, BEFORE any value column decodes; conjunctive
+            # predicates intersect their row sets. None => no index on
+            # that column => plain scan (Spark re-applies the filter
+            # either way).
+            rows = None
+            for col, value in self.eq_filters.items():
+                r = seg.bitmap_rows_for(col, value)
+                if r is None:
+                    continue
+                rows = r if rows is None else np.intersect1d(rows, r)
+                if len(rows) == 0:
+                    return  # value absent from this segment: emit nothing
             batch = seg.read_batch(self.columns)
+            if rows is not None:
+                import pyarrow as pa_mod
+
+                batch = pa_mod.RecordBatch.from_arrays(
+                    [c.take(pa_mod.array(rows.astype("int64"))) for c in batch.columns],
+                    names=list(self.columns),
+                )
             # Spark timestamps are microseconds; dictionary columns flatten
             # at the Arrow boundary (Spark's Python DataSource consumes
             # plain arrays).

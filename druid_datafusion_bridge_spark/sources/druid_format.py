@@ -577,14 +577,30 @@ def read_string_column(data, base: int = 0) -> tuple[list[str | None], np.ndarra
 
 
 def write_string_column_v2(
-    dictionary: list[str | None], ids: np.ndarray, strategy: int = LZ4
+    dictionary: list[str | None],
+    ids: np.ndarray,
+    strategy: int = LZ4,
+    bitmap_index: bool = False,
 ) -> bytes:
+    """Dictionary string column; with ``bitmap_index`` a roaring
+    inverted index (one typed blob per dictionary id, listing the rows
+    holding that id) is appended as a GenericIndexed — the real-Druid
+    layout the reference parses the blobs of but never applies
+    (bitmap.rs:16-40). Readers that only want values skip it."""
     out = bytearray([0x02])
     out += _I32.pack(0)  # flags
     out += write_generic_indexed(
         [None if s is None else s.encode("utf-8") for s in dictionary]
     )
     out += write_compressed_ints(ids, strategy=strategy)
+    if bitmap_index:
+        arr = np.asarray(ids, np.int64)
+        out += write_generic_indexed(
+            [
+                write_bitmap_blob(np.flatnonzero(arr == i))
+                for i in range(len(dictionary))
+            ]
+        )
     return bytes(out)
 
 
@@ -651,6 +667,163 @@ def write_string_column_v0(dictionary: list[str | None], ids: np.ndarray) -> byt
     nb = min_bytes_for(int(arr.max()) if len(arr) else 0)
     out += write_vsize_ints(arr, nb)
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Roaring bitmaps (portable serialization) + Druid's typed bitmap blob.
+#
+# The reference READS roaring bitmaps (src/column/bitmap.rs:16-40, type
+# byte 0x01 = roaring, 0x00 = Concise unsupported there and here) but
+# never writes or APPLIES them. Here the inverted index is real end to
+# end: written per dictionary id, parsed back, and used for row
+# selection at scan time.
+#
+# Roaring portable format is LITTLE-endian (public spec), unlike the
+# rest of Druid's big-endian layout: cookie 12346 (no runs, followed by
+# u32 container count + per-container u32 offsets) or 12347 (run-capable,
+# count packed in the cookie, run bitset, offsets only when count >= 4);
+# then per container (u16 key, u16 cardinality-1) headers; containers are
+# sorted u16 arrays (card <= 4096), 8 KiB bitsets, or (start, len-1) run
+# lists.
+# ---------------------------------------------------------------------------
+
+_SERIAL_COOKIE_NO_RUN = 12346
+_SERIAL_COOKIE = 12347
+BITMAP_TYPE_CONCISE = 0x00
+BITMAP_TYPE_ROARING = 0x01
+
+
+def roaring_serialize(rows) -> bytes:
+    """Sorted distinct uint32 row ids -> portable roaring bytes
+    (cookie 12346, array/bitmap containers only)."""
+    arr = np.asarray(sorted(set(int(r) for r in rows)), dtype=np.uint32)
+    keys = (arr >> 16).astype(np.uint16)
+    lows = (arr & 0xFFFF).astype(np.uint16)
+    uniq_keys = np.unique(keys)
+    out = bytearray()
+    out += struct.pack("<II", _SERIAL_COOKIE_NO_RUN, len(uniq_keys))
+    containers = []
+    for k in uniq_keys:
+        vals = lows[keys == k]
+        out += struct.pack("<HH", int(k), len(vals) - 1)
+        if len(vals) <= 4096:
+            containers.append(vals.astype("<u2").tobytes())
+        else:
+            bits = np.zeros(1024, dtype="<u8")
+            idx = vals.astype(np.uint32)
+            np.bitwise_or.at(bits, idx >> 6, np.uint64(1) << (idx & 63).astype("u8"))
+            containers.append(bits.tobytes())
+    offset = len(out) + 4 * len(uniq_keys)
+    for c in containers:
+        out += struct.pack("<I", offset)
+        offset += len(c)
+    for c in containers:
+        out += c
+    return bytes(out)
+
+
+def roaring_deserialize(data: bytes | memoryview) -> np.ndarray:
+    """Portable roaring bytes -> sorted uint32 row ids. Handles both
+    cookies, array/bitmap/run containers."""
+    data = bytes(data)
+    if len(data) < 8:
+        raise DruidFormatError("Roaring: truncated header")
+    (cookie16,) = struct.unpack_from("<H", data, 0)
+    if cookie16 == _SERIAL_COOKIE:
+        (packed,) = struct.unpack_from("<I", data, 0)
+        n = (packed >> 16) + 1
+        pos = 4
+        run_bits = data[pos : pos + (n + 7) // 8]
+        pos += (n + 7) // 8
+        has_offsets = n >= 4
+    else:
+        cookie, n = struct.unpack_from("<II", data, 0)
+        if cookie != _SERIAL_COOKIE_NO_RUN:
+            raise DruidFormatError(f"Roaring: bad cookie {cookie}")
+        pos = 8
+        run_bits = b""
+        has_offsets = True
+    headers = []
+    for i in range(n):
+        key, card_m1 = struct.unpack_from("<HH", data, pos)
+        pos += 4
+        headers.append((key, card_m1 + 1))
+    if has_offsets:
+        pos += 4 * n  # offsets are redundant for sequential parse
+    parts = []
+    for i, (key, card) in enumerate(headers):
+        is_run = bool(run_bits) and bool(run_bits[i // 8] & (1 << (i % 8)))
+        base = np.uint32(key) << 16
+        if is_run:
+            (n_runs,) = struct.unpack_from("<H", data, pos)
+            pos += 2
+            runs = np.frombuffer(data, dtype="<u2", count=2 * n_runs, offset=pos)
+            pos += 4 * n_runs
+            vals = np.concatenate(
+                [
+                    np.arange(runs[2 * r], runs[2 * r] + runs[2 * r + 1] + 1,
+                              dtype=np.uint32)
+                    for r in range(n_runs)
+                ]
+            ) if n_runs else np.empty(0, np.uint32)
+        elif card <= 4096:
+            vals = np.frombuffer(
+                data, dtype="<u2", count=card, offset=pos
+            ).astype(np.uint32)
+            pos += 2 * card
+        else:
+            bits = np.frombuffer(data, dtype="<u8", count=1024, offset=pos)
+            pos += 8192
+            vals = np.flatnonzero(
+                np.unpackbits(bits.view(np.uint8), bitorder="little")
+            ).astype(np.uint32)
+        parts.append(base + vals)
+    return np.concatenate(parts) if parts else np.empty(0, np.uint32)
+
+
+def write_bitmap_blob(rows) -> bytes:
+    """Druid typed bitmap blob: 0x01 type byte + roaring bytes
+    (bitmap.rs:16-28)."""
+    return bytes([BITMAP_TYPE_ROARING]) + roaring_serialize(rows)
+
+
+def read_bitmap_blob(data: bytes | memoryview) -> np.ndarray:
+    data = bytes(data)
+    if not data:
+        return np.empty(0, np.uint32)
+    if data[0] == BITMAP_TYPE_ROARING:
+        return roaring_deserialize(data[1:])
+    if data[0] == BITMAP_TYPE_CONCISE:
+        # same posture as the reference (bitmap.rs:32-34)
+        raise DruidFormatError("Concise bitmap format not supported")
+    raise DruidFormatError(f"Unknown bitmap type {data[0]:#x}")
+
+
+def read_string_bitmap_index(data, base: int = 0) -> list[np.ndarray] | None:
+    """Parse the optional bitmap inverted index appended after a v2
+    string column's ids: a GenericIndexed of typed bitmap blobs, one
+    per dictionary id (rows where that value occurs). Returns None for
+    columns written without an index."""
+    version = data[base]
+    if version not in (0x02, 0x03):
+        return None
+    (flags,) = _I32.unpack_from(data, base + 1)
+    pos = base + 5
+    gi = GenericIndexedV1(data, pos)
+    pos += gi.total_size()
+    pos += _compressed_ints_size(data, pos)
+    if flags & 0x01:  # multi-value: offsets section precedes the ids
+        pos += _compressed_ints_size(data, pos)
+    if pos >= len(data):
+        return None
+    bm = GenericIndexedV1(data, pos)
+    out = []
+    for i in range(len(bm)):
+        blob = bm.get(i)
+        out.append(
+            np.empty(0, np.uint32) if blob is None else read_bitmap_blob(blob)
+        )
+    return out
 
 
 def read_complex_column(data, base: int = 0) -> list[bytes | None]:

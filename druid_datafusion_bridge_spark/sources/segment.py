@@ -101,6 +101,32 @@ class DruidSegment:
             return pa.array(fmt.read_complex_column(data, payload), type=pa.binary())
         raise fmt.DruidFormatError(f"Unsupported column type {vt} for {name}")
 
+    def bitmap_rows_for(self, name: str, value: str | None) -> np.ndarray | None:
+        """Row ids where dimension ``name`` equals ``value``, answered
+        from the roaring inverted index WITHOUT decoding the value
+        column. Returns None when the column has no index (caller falls
+        back to a scan); an empty array when the value simply never
+        occurs in this segment — which also lets a planner skip the
+        segment outright (value-level pruning, beyond the reference's
+        never-applied bitmap parsing)."""
+        if name not in self.metadata.columns:
+            return None
+        desc = self._descriptors[name]
+        if desc["valueType"].upper() != "STRING" or desc.get("hasMultipleValues"):
+            return None
+        data = self.smoosh.map_file(name)
+        _, payload = fmt.parse_column_header(data)
+        index = fmt.read_string_bitmap_index(data, payload)
+        if index is None:
+            return None
+        gi = fmt.GenericIndexedV1(data, payload + 5)
+        dictionary = [gi.get_str(i) for i in range(len(gi))]
+        try:
+            dict_id = dictionary.index(value)
+        except ValueError:
+            return np.empty(0, np.uint32)
+        return index[dict_id]
+
     def read_batch(self, columns: list[str] | None = None) -> pa.RecordBatch:
         """Projected decode — only named columns touch IO
         (the reference's sole optimization, table_provider.rs:63,70)."""
@@ -170,9 +196,12 @@ def write_segment(
                     "parts": [{"type": "longV2"}]}
         elif pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
             dictionary, ids = _dictionary_encode(col)
-            payload = fmt.write_string_column_v2(dictionary, ids, strategy=strategy)
+            payload = fmt.write_string_column_v2(
+                dictionary, ids, strategy=strategy, bitmap_index=True
+            )
             desc = {"valueType": "STRING", "hasMultipleValues": False,
-                    "parts": [{"type": "stringDictionary"}]}
+                    "parts": [{"type": "stringDictionary"}],
+                    "bitmapIndex": True}
             if dimensions is None or name in dimensions:
                 dims.append(name)
         elif pa.types.is_list(col.type) and (

@@ -119,3 +119,48 @@ def test_sql_over_segments(registered, segment_root):
     assert [(r["n_regionkey"], r["n"]) for r in got] == [
         (0, 5), (1, 5), (2, 5), (3, 5), (4, 5),
     ]
+
+
+def test_bitmap_index_accelerated_dim_filter(spark, tmp_path):
+    """Pushed dimension equality answered by the roaring inverted index:
+    the result must equal the unfiltered scan filtered in Spark, and a
+    value absent from the segment must yield zero rows without error
+    (segment-level value pruning). The reference parses bitmap blobs
+    but never applies them (bitmap.rs:16-40) — this closes that gap."""
+    import pyarrow as pa
+    from druid_datafusion_bridge_spark.sources.segment import (
+        DruidSegment,
+        write_segment,
+    )
+
+    n = 1000
+    table = pa.table(
+        {
+            "__time": pa.array(
+                [1704067200000 + i * 1000 for i in range(n)], pa.timestamp("ms")
+            ),
+            "color": pa.array([["red", "green", "blue"][i % 3] for i in range(n)]),
+            "v": pa.array([float(i) for i in range(n)]),
+        }
+    )
+    seg_dir = str(tmp_path / "seg")
+    write_segment(table, seg_dir)
+
+    # index answers without decoding the value column
+    seg = DruidSegment(seg_dir)
+    rows = seg.bitmap_rows_for("color", "green")
+    assert rows is not None and rows.tolist() == list(range(1, n, 3))
+    assert seg.bitmap_rows_for("color", "magenta").tolist() == []
+    assert seg.bitmap_rows_for("v", "x") is None  # not a string dim
+    seg.close()
+
+    df = spark.read.format("druidsegment").option("path", str(tmp_path)).load()
+    got = df.filter(F.col("color") == "green").select("__time", "v").collect()
+    assert len(got) == n // 3
+    assert sorted(r["v"] for r in got) == [float(i) for i in range(1, n, 3)]
+    assert df.filter(F.col("color") == "magenta").count() == 0
+    # conjunction with a non-indexed predicate still exact
+    assert (
+        df.filter((F.col("color") == "green") & (F.col("v") < 100)).count()
+        == len([i for i in range(1, 100, 3)])
+    )

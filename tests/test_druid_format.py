@@ -419,3 +419,65 @@ class TestLZF:
 
         raw = bytes(range(256)) * 100
         assert decompress_block(LZF, compress_block(LZF, raw), len(raw)) == raw
+
+
+class TestRoaringBitmaps:
+    """Roaring inverted index (beyond reference parity: bitmap.rs reads
+    roaring blobs but the reference never writes or applies them)."""
+
+    def test_roundtrip_array_and_bitmap_containers(self):
+        import numpy as np
+
+        cases = [
+            [],
+            [0],
+            [0, 1, 2, 65535, 65536, 131072 + 5],       # multi-key, array
+            list(range(5000)),                          # bitmap container
+            list(range(0, 200000, 3)),                  # bitmap + array mix
+        ]
+        for rows in cases:
+            enc = fmt.roaring_serialize(rows)
+            out = fmt.roaring_deserialize(enc)
+            assert out.tolist() == sorted(set(rows))
+            assert out.dtype == np.uint32
+
+    def test_run_container_decode(self):
+        import struct as _s
+
+        # hand-built cookie-12347 stream: 1 container, run flag set,
+        # runs [(10, len 5), (100, len 1)] => {10..15} | {100, 101}
+        data = bytearray()
+        data += _s.pack("<I", 12347 | (0 << 16))  # count-1 = 0
+        data += bytes([0x01])                     # run bitset: container 0
+        data += _s.pack("<HH", 0, 8 - 1)          # key 0, cardinality 8
+        data += _s.pack("<H", 2)                  # 2 runs
+        data += _s.pack("<HH", 10, 5)             # start 10, len-1 5
+        data += _s.pack("<HH", 100, 1)            # start 100, len-1 1
+        out = fmt.roaring_deserialize(bytes(data))
+        assert out.tolist() == [10, 11, 12, 13, 14, 15, 100, 101]
+
+    def test_typed_blob_and_concise_posture(self):
+        enc = fmt.write_bitmap_blob([3, 7, 11])
+        assert enc[0] == fmt.BITMAP_TYPE_ROARING
+        assert fmt.read_bitmap_blob(enc).tolist() == [3, 7, 11]
+        with pytest.raises(fmt.DruidFormatError, match="Concise"):
+            fmt.read_bitmap_blob(bytes([fmt.BITMAP_TYPE_CONCISE, 0, 0]))
+
+    def test_string_column_bitmap_index_roundtrip(self):
+        import numpy as np
+
+        dictionary = [None, "a", "b", "c"]
+        ids = np.array([1, 2, 1, 0, 3, 1, 2, 2], np.int64)
+        col = fmt.write_string_column_v2(dictionary, ids, bitmap_index=True)
+        # value read path is unchanged and ignores the index
+        d2, i2 = fmt.read_string_column(col)
+        assert d2 == dictionary and i2.tolist() == ids.tolist()
+        # the inverted index inverts exactly
+        index = fmt.read_string_bitmap_index(col)
+        assert index is not None and len(index) == len(dictionary)
+        for dict_id, rows in enumerate(index):
+            assert rows.tolist() == np.flatnonzero(ids == dict_id).tolist()
+        # a column without the index reports None
+        assert fmt.read_string_bitmap_index(
+            fmt.write_string_column_v2(dictionary, ids)
+        ) is None
