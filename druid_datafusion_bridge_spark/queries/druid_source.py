@@ -153,6 +153,31 @@ def s1c_druid_segment_time_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "s1d_druid_segment_dim_filter",
+    oracle="""
+    WITH r AS (
+      SELECT date_trunc('hour', ts) AS h, COUNT(*) AS c
+      FROM events WHERE event_type = 'click' GROUP BY h)
+    SELECT COUNT(*) AS n_buckets, CAST(SUM(c) AS BIGINT) AS n_events
+    FROM r
+    """,
+)
+def s1d_druid_segment_dim_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-equality scan over real segments: the pushed
+    event_type = 'click' predicate is answered by the roaring inverted
+    index (dictionary lookup + bitmap row selection before any value
+    column decodes) — the index path the reference parses but never
+    applies (bitmap.rs:16-40). The oracle recomputes the hourly rollup
+    from the raw events table."""
+    root = _ensure_hll_segments(spark, sf_dir)
+    df = spark.read.format("druidsegment").option("path", root).load()
+    return df.filter(F.col("event_type") == "click").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
 def _ensure_hll_segments(spark: SparkSession, sf_dir: str) -> str:
     """Hourly rollup of events with a Datasketches HLL sketch of
     user_id per (hour, event_type), persisted as real Druid segments
