@@ -129,6 +129,10 @@ def find_segment_dirs(path: str) -> list[str]:
 @dataclass
 class SegmentPartition(InputPartition):
     segment_dir: str
+    # sentinel: open the segment for its schema only, emit zero rows
+    # (Spark's Python DataSource calls read(None) if partitions() is
+    # empty, so full pruning still needs one no-op partition)
+    empty: bool = False
 
 
 class DruidSegmentDataSource(DataSource):
@@ -240,8 +244,30 @@ class DruidSegmentReader(DataSourceReader):
                     continue
                 if self.lower_ms is not None and end <= self.lower_ms:
                     continue
+            if self.eq_filters and self._value_pruned(seg_dir):
+                continue
             parts.append(SegmentPartition(seg_dir))
+        if not parts:
+            all_dirs = find_segment_dirs(self.path)
+            if all_dirs:
+                parts = [SegmentPartition(all_dirs[0], empty=True)]
         return parts
+
+    def _value_pruned(self, seg_dir: str) -> bool:
+        """Planner-side value pruning: a segment whose inverted index
+        proves a conjunctive dim equality matches NOTHING never gets a
+        task at all (the metadata pass touches only dictionary + bitmap
+        bytes, not value columns — same catalog-scale cost as the
+        __time interval check above)."""
+        seg = DruidSegment(seg_dir)
+        try:
+            for col, value in self.eq_filters.items():
+                rows = seg.bitmap_rows_for(col, value)
+                if rows is not None and len(rows) == 0:
+                    return True
+            return False
+        finally:
+            seg.close()
 
     def read(self, partition: SegmentPartition):
         seg = DruidSegment(partition.segment_dir)
@@ -252,14 +278,15 @@ class DruidSegmentReader(DataSourceReader):
             # predicates intersect their row sets. None => no index on
             # that column => plain scan (Spark re-applies the filter
             # either way).
-            rows = None
-            for col, value in self.eq_filters.items():
-                r = seg.bitmap_rows_for(col, value)
-                if r is None:
-                    continue
-                rows = r if rows is None else np.intersect1d(rows, r)
-                if len(rows) == 0:
-                    return  # value absent from this segment: emit nothing
+            rows = np.empty(0, np.uint32) if partition.empty else None
+            if not partition.empty:
+                for col, value in self.eq_filters.items():
+                    r = seg.bitmap_rows_for(col, value)
+                    if r is None:
+                        continue
+                    rows = r if rows is None else np.intersect1d(rows, r)
+                    if len(rows) == 0:
+                        break
             batch = seg.read_batch(self.columns)
             if rows is not None:
                 import pyarrow as pa_mod
