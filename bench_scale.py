@@ -33,6 +33,11 @@ from druid_datafusion_bridge_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
 )
+from druid_datafusion_bridge_spark.operators.similarity import (
+    as_double_vec,
+    brute_force_topk,
+    lsh_topk,
+)
 from druid_datafusion_bridge_spark.operators.text_pipeline import (
     repetition_signals,
     sequence_pack,
@@ -65,22 +70,47 @@ def synthetic_docs(spark, n: int):
     )
 
 
+def synthetic_embeddings(spark, n: int, dim: int = 64):
+    """n deterministic pseudo-random unit-cube vectors, generated
+    JVM-side (md5-derived coordinates, no Python in the plan)."""
+    coord = lambda i: (  # noqa: E731
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("id"), F.lit(i))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        % 1000
+    ) / 500.0 - 1.0
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[coord(i) for i in range(dim)]).alias("embedding"),
+    )
+
+
 def main() -> None:
     n = int(os.environ.get("SPARK_SCALE_ROWS", "1000000"))
+    n_vec = int(os.environ.get("SPARK_SCALE_VECTORS", "100000"))
     spark = get_spark(app_name="ddbs-bench-scale")
     docs = synthetic_docs(spark, n)
+    emb = synthetic_embeddings(spark, n_vec)
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"),
+        as_double_vec(F.col("embedding")).alias("probe_vec"),
+    )
 
     ops = {
-        "exact_dedup": lambda d: exact_dedup(d),
-        "minhash_signatures": lambda d: minhash_signatures(d),
-        "lsh_candidate_pairs": lambda d: lsh_candidate_pairs(d),
-        "sequence_pack": lambda d: sequence_pack(d, budget=2048, n_shards=256),
-        "repetition_signals": lambda d: repetition_signals(d),
+        "exact_dedup": lambda: exact_dedup(docs),
+        "minhash_signatures": lambda: minhash_signatures(docs),
+        "lsh_candidate_pairs": lambda: lsh_candidate_pairs(docs),
+        "sequence_pack": lambda: sequence_pack(docs, budget=2048, n_shards=256),
+        "repetition_signals": lambda: repetition_signals(docs),
+        "sim_bruteforce_topk": lambda: brute_force_topk(emb, probes, k=10),
+        "sim_lsh_topk": lambda: lsh_topk(emb, probes, dim=64, k=10, bits=4),
     }
     timings: dict[str, float] = {}
     for name, fn in ops.items():
         t0 = time.perf_counter()
-        fn(docs).write.mode("overwrite").format("noop").save()
+        fn().write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
@@ -91,7 +121,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "rows": n,
-                "docs_per_sec": round(n * len(ops) / total),
+                "vectors": n_vec,
                 "queries": timings,
             }
         )
