@@ -178,6 +178,41 @@ def s1d_druid_segment_dim_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "s2b_segment_compaction",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT (date_trunc('hour', ts), event_type)) AS BIGINT)
+             AS n_rollup_rows
+    FROM events
+    """,
+)
+def s2b_segment_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid compaction (a lifecycle operation the reference has no
+    write path for at all): the hourly-rollup segment forest is
+    rewritten at P1D granularity through compact_segments — a
+    distributed scan + distributed re-write, nothing through the
+    driver — and the compacted set must preserve every rollup row. The
+    oracle derives day count / rollup-row count from raw events."""
+    import shutil
+
+    root = _ensure_hll_segments(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    dst = os.path.join("/tmp", "ddbs_segments", tag, "events_hll_compacted")
+    from ..sources import compact_segments
+
+    if not os.path.isdir(dst) or not os.listdir(dst):
+        shutil.rmtree(dst, ignore_errors=True)
+        compact_segments(spark, root, dst, granularity="P1D").collect()
+    back = spark.read.format("druidsegment").option("path", dst).load()
+    return back.agg(
+        F.countDistinct(F.date_trunc("day", "__time")).alias("n_days"),
+        F.sum("n_events").alias("n_rows"),
+        F.count("*").alias("n_rollup_rows"),
+    )
+
+
 def _ensure_hll_segments(spark: SparkSession, sf_dir: str) -> str:
     """Hourly rollup of events with a Datasketches HLL sketch of
     user_id per (hour, event_type), persisted as real Druid segments

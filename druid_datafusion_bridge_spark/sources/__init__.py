@@ -18,3 +18,4 @@ own build-then-parse test style, generic_indexed.rs:258-299) without the
 
 from .segment import DruidSegment, write_segment  # noqa: F401
 from .datasource import DruidSegmentDataSource, register_druid_datasource  # noqa: F401
+from .ingest import compact_segments, write_druid_segments  # noqa: F401

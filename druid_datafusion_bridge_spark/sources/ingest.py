@@ -117,3 +117,31 @@ def write_druid_segments(
     return sharded.groupBy("__bucket", "__shard").applyInPandas(
         write_bucket, MANIFEST_SCHEMA
     )
+
+
+def compact_segments(
+    spark,
+    src_root: str,
+    dst_root: str,
+    granularity: str = "P1D",
+    dimensions: list[str] | None = None,
+    max_rows_per_segment: int = 5_000_000,
+) -> DataFrame:
+    """Druid compaction: rewrite a forest of small segments as a fresh,
+    coarser-granularity segment set (streaming ingest + late batches
+    leave many tiny segments per interval; compaction restores the
+    one-segment-per-interval layout queries want). The whole operation
+    is the engine's own primitives composed — distributed scan of the
+    source segments through the 'druidsegment' DataSource, then the
+    distributed segment writer — so nothing flows through the driver
+    and the rewrite parallelizes like any other query. Returns the new
+    manifest; the source tree is left untouched (Druid's atomic-swap
+    model: publish the new set, then drop the old)."""
+    df = spark.read.format("druidsegment").option("path", src_root).load()
+    return write_druid_segments(
+        df,
+        dst_root,
+        granularity=granularity,
+        dimensions=dimensions,
+        max_rows_per_segment=max_rows_per_segment,
+    )
