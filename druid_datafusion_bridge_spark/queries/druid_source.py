@@ -140,11 +140,22 @@ def mv_tag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def s1c_druid_segment_time_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """__time-filtered rollup over segments; the pushed filter prunes
-    segment 0 at planning time via its index.drd interval (the pruning
-    the reference never implemented — SURVEY §4.1)."""
-    df = _segments_df(spark, sf_dir)
-    cutoff = F.timestamp_millis(F.lit(BASE_MS + 60_000 * 12))
+    """__time-filtered rollup over segments; the time_lower_ms scan
+    option prunes segment 0 at planning time via its index.drd interval
+    (the pruning the reference never implemented — SURVEY §4.1).
+    Option-driven rather than pushFilters-driven: options are part of
+    the relation identity, so Spark's scan caching stays correct (see
+    register_druid_datasource); the df.filter below is still applied by
+    Spark — the option only skips IO."""
+    root = _ensure_segments(spark, sf_dir)
+    cutoff_ms = BASE_MS + 60_000 * 12
+    df = (
+        spark.read.format("druidsegment")
+        .option("path", root)
+        .option("time_lower_ms", str(cutoff_ms))
+        .load()
+    )
+    cutoff = F.timestamp_millis(F.lit(cutoff_ms))
     return (
         df.filter(F.col("__time") >= cutoff)
         .groupBy("n_regionkey")
@@ -171,7 +182,12 @@ def s1d_druid_segment_dim_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies (bitmap.rs:16-40). The oracle recomputes the hourly rollup
     from the raw events table."""
     root = _ensure_hll_segments(spark, sf_dir)
-    df = spark.read.format("druidsegment").option("path", root).load()
+    df = (
+        spark.read.format("druidsegment")
+        .option("path", root)
+        .option("dim_eq", '{"event_type": "click"}')
+        .load()
+    )
     return df.filter(F.col("event_type") == "click").agg(
         F.count("*").alias("n_buckets"),
         F.sum("n_events").alias("n_events"),

@@ -92,11 +92,25 @@ def ship_package(spark) -> None:
     sc._ddbs_pkg_shipped = True
 
 
-def register_druid_datasource(spark) -> None:
-    """Register the 'druidsegment' format (ships the package first)."""
+def register_druid_datasource(spark, enable_filter_pushdown: bool = False) -> None:
+    """Register the 'druidsegment' format (ships the package first).
+
+    Pruning is primarily OPTION-driven (`time_lower_ms`/`time_upper_ms`
+    for interval pruning, `dim_eq` JSON for bitmap-index equality) —
+    options are part of the relation identity, so Spark's plan caching
+    keys them correctly. ``enable_filter_pushdown=True`` additionally
+    turns on Spark 4.1's EXPERIMENTAL Python-source filter pushdown so
+    plain df.filter() predicates prune too — but that flag has a
+    wrong-results hazard on MULTI-query DataFrames: Spark caches the
+    first query's scan (partitions + pickled reader, pushed filters
+    baked in) on the shared relation and reuses it for later queries
+    that never pushed anything (verified empirically: a groupBy after a
+    filtered count returned the filtered subset; pushFilters/partitions
+    are simply not re-invoked). Only enable it for load-once/query-once
+    patterns."""
     ship_package(spark)
-    # required for DruidSegmentReader.pushFilters (off by default in 4.1)
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    if enable_filter_pushdown:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(DruidSegmentDataSource)
 
 
@@ -110,6 +124,29 @@ _SPARK_TYPES = {
     # multi-value string dimension (hasMultipleValues)
     "list<item: string>": ArrayType(StringType()),
 }
+
+
+def _arrow_of_spark(dt):
+    """Arrow type for a null-fill column of a Spark field (schema
+    evolution: the column exists in the union schema but not in this
+    segment)."""
+    import pyarrow as pa
+
+    if isinstance(dt, StringType):
+        return pa.string()
+    if isinstance(dt, LongType):
+        return pa.int64()
+    if isinstance(dt, FloatType):
+        return pa.float32()
+    if isinstance(dt, DoubleType):
+        return pa.float64()
+    if isinstance(dt, BinaryType):
+        return pa.binary()
+    if isinstance(dt, TimestampType):
+        return pa.timestamp("us")
+    if isinstance(dt, ArrayType):
+        return pa.list_(pa.string())
+    raise ValueError(f"No arrow mapping for spark type {dt}")
 
 
 def find_segment_dirs(path: str) -> list[str]:
@@ -133,6 +170,14 @@ class SegmentPartition(InputPartition):
     # (Spark's Python DataSource calls read(None) if partitions() is
     # empty, so full pruning still needs one no-op partition)
     empty: bool = False
+    # dim equalities the roaring index answers at read time. Carried ON
+    # THE PARTITION, not on the reader: Spark reuses one reader across
+    # query plannings on the same DataFrame and only invokes
+    # pushFilters when a query HAS filters, so reader-held state leaks
+    # into later unfiltered queries (observed: a groupBy after a
+    # filtered count losing rows). partitions() snapshots the current
+    # pushdown into each partition and resets the reader.
+    eq_filters: tuple = ()
 
 
 class DruidSegmentDataSource(DataSource):
@@ -144,21 +189,36 @@ class DruidSegmentDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("druidsegment requires .option('path', ...) or load(path)")
-        seg = DruidSegment(find_segment_dirs(path)[0])
-        try:
-            cols = _projected(self.options, seg.metadata.columns)
-            fields = []
-            for name in cols:
-                f = seg.schema.field(name)
-                key = str(f.type)
-                if key.startswith("dictionary"):
-                    key = "string"
-                fields.append(StructField(name, _SPARK_TYPES[key], True))
-            return StructType(fields)
-        finally:
-            seg.close()
+        # Union schema over ALL segments (segments are self-describing
+        # and a long-lived datasource accretes columns over time — real
+        # Druid's broker merges exactly like this): first-seen column
+        # order, identical types required, columns absent from an older
+        # segment surface as NULLs there.
+        merged: dict[str, str] = {}
+        for seg_dir in find_segment_dirs(path):
+            seg = DruidSegment(seg_dir)
+            try:
+                for name in seg.metadata.columns:
+                    f = seg.schema.field(name)
+                    key = str(f.type)
+                    if key.startswith("dictionary"):
+                        key = "string"
+                    if name in merged and merged[name] != key:
+                        raise ValueError(
+                            f"Conflicting types for column {name!r}: "
+                            f"{merged[name]} vs {key} ({seg_dir})"
+                        )
+                    merged.setdefault(name, key)
+            finally:
+                seg.close()
+        cols = _projected(self.options, list(merged))
+        return StructType(
+            [StructField(name, _SPARK_TYPES[merged[name]], True) for name in cols]
+        )
 
     def reader(self, schema: StructType) -> "DruidSegmentReader":
+        if str(self.options.get("filter_pushdown", "")).lower() == "true":
+            return DruidSegmentReaderWithPushdown(schema, self.options)
         return DruidSegmentReader(schema, self.options)
 
 
@@ -188,6 +248,20 @@ class DruidSegmentReader(DataSourceReader):
         self.spark_schema = schema
         self.path = options.get("path")
         self.columns = [f.name for f in schema.fields]
+        # Option-driven pruning (cache-safe: options are relation
+        # identity). Pruning is acceleration only — callers keep their
+        # df.filter(), which Spark applies on top.
+        self.opt_lower_ms = (
+            int(options.get("time_lower_ms")) if options.get("time_lower_ms") else None
+        )
+        self.opt_upper_ms = (
+            int(options.get("time_upper_ms")) if options.get("time_upper_ms") else None
+        )
+        import json as _json
+
+        self.opt_eq: dict[str, str] = (
+            _json.loads(options.get("dim_eq")) if options.get("dim_eq") else {}
+        )
         # [lower_ms, upper_ms) bounds accumulated from pushed __time filters
         self.lower_ms: int | None = None
         self.upper_ms: int | None = None
@@ -195,7 +269,137 @@ class DruidSegmentReader(DataSourceReader):
         # index at read time: col -> literal (conjunctive)
         self.eq_filters: dict[str, str] = {}
 
+    def partitions(self) -> list[SegmentPartition]:
+        lower = self.opt_lower_ms if self.lower_ms is None else max(
+            self.lower_ms, self.opt_lower_ms or self.lower_ms
+        )
+        upper = self.opt_upper_ms if self.upper_ms is None else min(
+            self.upper_ms, self.opt_upper_ms or self.upper_ms
+        )
+        eq = {**self.opt_eq, **self.eq_filters}
+        parts = []
+        for seg_dir in find_segment_dirs(self.path):
+            if lower is not None or upper is not None:
+                seg = DruidSegment(seg_dir)
+                start = seg.metadata.interval_start_ms
+                end = seg.metadata.interval_end_ms
+                seg.close()
+                # interval is [start, end); keep on any overlap with bounds
+                if upper is not None and start > upper:
+                    continue
+                if lower is not None and end <= lower:
+                    continue
+            if eq and self._value_pruned(seg_dir, eq):
+                continue
+            parts.append(SegmentPartition(seg_dir, eq_filters=tuple(eq.items())))
+        if not parts:
+            all_dirs = find_segment_dirs(self.path)
+            if all_dirs:
+                parts = [SegmentPartition(all_dirs[0], empty=True)]
+        # consume any pushFilters state: the next planning on this
+        # (possibly reused) reader starts from the options baseline
+        self.lower_ms = None
+        self.upper_ms = None
+        self.eq_filters = {}
+        return parts
+
+    def _value_pruned(self, seg_dir: str, eq: dict[str, str]) -> bool:
+        """Planner-side value pruning: a segment whose inverted index
+        proves a conjunctive dim equality matches NOTHING never gets a
+        task at all (the metadata pass touches only dictionary + bitmap
+        bytes, not value columns — same catalog-scale cost as the
+        __time interval check above)."""
+        seg = DruidSegment(seg_dir)
+        try:
+            for col, value in eq.items():
+                rows = seg.bitmap_rows_for(col, value)
+                if rows is not None and len(rows) == 0:
+                    return True
+            return False
+        finally:
+            seg.close()
+
+    def read(self, partition: SegmentPartition):
+        seg = DruidSegment(partition.segment_dir)
+        try:
+            # roaring-index row selection for pushed dim equalities: the
+            # index answers "which rows" from the dictionary + bitmaps
+            # alone, BEFORE any value column decodes; conjunctive
+            # predicates intersect their row sets. None => no index on
+            # that column => plain scan (Spark re-applies the filter
+            # either way).
+            rows = np.empty(0, np.uint32) if partition.empty else None
+            if not partition.empty:
+                for col, value in partition.eq_filters:
+                    r = seg.bitmap_rows_for(col, value)
+                    if r is None:
+                        continue
+                    rows = r if rows is None else np.intersect1d(rows, r)
+                    if len(rows) == 0:
+                        break
+            import pyarrow as pa_mod
+
+            # schema evolution: columns this (older) segment lacks
+            # surface as NULLs — decode only what exists
+            present = [c for c in self.columns if c in seg.metadata.columns]
+            batch = seg.read_batch(present or [TIME_COLUMN])
+            n_rows = batch.num_rows
+            by_name = {
+                name: batch.column(i) for i, name in enumerate(batch.schema.names)
+            }
+            arrays0 = []
+            for f in self.spark_schema.fields:
+                if f.name in by_name:
+                    arrays0.append(by_name[f.name])
+                else:
+                    arrays0.append(
+                        pa_mod.nulls(n_rows, type=_arrow_of_spark(f.dataType))
+                    )
+            batch = pa_mod.RecordBatch.from_arrays(
+                arrays0, names=list(self.columns)
+            )
+            if rows is not None:
+                batch = pa_mod.RecordBatch.from_arrays(
+                    [c.take(pa_mod.array(rows.astype("int64"))) for c in batch.columns],
+                    names=list(self.columns),
+                )
+            # Spark timestamps are microseconds; dictionary columns flatten
+            # at the Arrow boundary (Spark's Python DataSource consumes
+            # plain arrays).
+            import pyarrow as pa
+
+            arrays = []
+            for i, name in enumerate(self.columns):
+                col = batch.column(i)
+                if pa.types.is_dictionary(col.type):
+                    col = col.cast(pa.string())
+                elif pa.types.is_timestamp(col.type):
+                    col = col.cast(pa.timestamp("us"))
+                arrays.append(col)
+            yield pa.RecordBatch.from_arrays(arrays, names=list(self.columns))
+        finally:
+            seg.close()
+
+
+class DruidSegmentReaderWithPushdown(DruidSegmentReader):
+    """Opt-in variant implementing Spark 4.1's EXPERIMENTAL Python
+    filter pushdown (requires spark.sql.python.filterPushdown.enabled
+    AND .option("filter_pushdown", "true")). Spark REJECTS any reader
+    that merely defines pushFilters while the session flag is off, so
+    the method lives on this subclass only. See
+    register_druid_datasource for the multi-query scan-caching hazard
+    that makes option-driven pruning the default instead.
+    """
+
     def pushFilters(self, filters: list[Filter]):
+        # Spark reuses this reader across query plannings on the same
+        # DataFrame, so pushdown state MUST reset per invocation — the
+        # accumulate-only form leaked one query's filters into the next
+        # (caught by the schema-evolution test: a groupBy after a
+        # filtered count returned the filtered rows only).
+        self.lower_ms = None
+        self.upper_ms = None
+        self.eq_filters = {}
         for f in filters:
             handled = False
             if (
@@ -231,83 +435,3 @@ class DruidSegmentReader(DataSourceReader):
             _ = handled
             yield f
 
-    def partitions(self) -> list[SegmentPartition]:
-        parts = []
-        for seg_dir in find_segment_dirs(self.path):
-            if self.lower_ms is not None or self.upper_ms is not None:
-                seg = DruidSegment(seg_dir)
-                start = seg.metadata.interval_start_ms
-                end = seg.metadata.interval_end_ms
-                seg.close()
-                # interval is [start, end); keep on any overlap with bounds
-                if self.upper_ms is not None and start > self.upper_ms:
-                    continue
-                if self.lower_ms is not None and end <= self.lower_ms:
-                    continue
-            if self.eq_filters and self._value_pruned(seg_dir):
-                continue
-            parts.append(SegmentPartition(seg_dir))
-        if not parts:
-            all_dirs = find_segment_dirs(self.path)
-            if all_dirs:
-                parts = [SegmentPartition(all_dirs[0], empty=True)]
-        return parts
-
-    def _value_pruned(self, seg_dir: str) -> bool:
-        """Planner-side value pruning: a segment whose inverted index
-        proves a conjunctive dim equality matches NOTHING never gets a
-        task at all (the metadata pass touches only dictionary + bitmap
-        bytes, not value columns — same catalog-scale cost as the
-        __time interval check above)."""
-        seg = DruidSegment(seg_dir)
-        try:
-            for col, value in self.eq_filters.items():
-                rows = seg.bitmap_rows_for(col, value)
-                if rows is not None and len(rows) == 0:
-                    return True
-            return False
-        finally:
-            seg.close()
-
-    def read(self, partition: SegmentPartition):
-        seg = DruidSegment(partition.segment_dir)
-        try:
-            # roaring-index row selection for pushed dim equalities: the
-            # index answers "which rows" from the dictionary + bitmaps
-            # alone, BEFORE any value column decodes; conjunctive
-            # predicates intersect their row sets. None => no index on
-            # that column => plain scan (Spark re-applies the filter
-            # either way).
-            rows = np.empty(0, np.uint32) if partition.empty else None
-            if not partition.empty:
-                for col, value in self.eq_filters.items():
-                    r = seg.bitmap_rows_for(col, value)
-                    if r is None:
-                        continue
-                    rows = r if rows is None else np.intersect1d(rows, r)
-                    if len(rows) == 0:
-                        break
-            batch = seg.read_batch(self.columns)
-            if rows is not None:
-                import pyarrow as pa_mod
-
-                batch = pa_mod.RecordBatch.from_arrays(
-                    [c.take(pa_mod.array(rows.astype("int64"))) for c in batch.columns],
-                    names=list(self.columns),
-                )
-            # Spark timestamps are microseconds; dictionary columns flatten
-            # at the Arrow boundary (Spark's Python DataSource consumes
-            # plain arrays).
-            import pyarrow as pa
-
-            arrays = []
-            for i, name in enumerate(self.columns):
-                col = batch.column(i)
-                if pa.types.is_dictionary(col.type):
-                    col = col.cast(pa.string())
-                elif pa.types.is_timestamp(col.type):
-                    col = col.cast(pa.timestamp("us"))
-                arrays.append(col)
-            yield pa.RecordBatch.from_arrays(arrays, names=list(self.columns))
-        finally:
-            seg.close()

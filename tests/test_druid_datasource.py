@@ -91,16 +91,29 @@ def test_time_filter_correct_under_pruning(registered, segment_root):
 
 
 def test_reader_prunes_segments_by_interval(registered, segment_root):
+    from druid_datafusion_bridge_spark.sources.datasource import (
+        DruidSegmentReaderWithPushdown,
+    )
+
     df = registered.read.format("druidsegment").option("path", segment_root).load()
-    r = DruidSegmentReader(df.schema, {"path": segment_root})
+    # pushFilters path (opt-in subclass — the base reader deliberately
+    # has no pushFilters so Spark accepts it with the session flag off)
+    r = DruidSegmentReaderWithPushdown(df.schema, {"path": segment_root})
     # bound below the second segment's interval start => only seg_000 survives
     list(r.pushFilters([LessThan(("__time",), BASE_MS + 60_000 * 5)]))
     parts = r.partitions()
     assert [os.path.basename(p.segment_dir) for p in parts] == ["seg_000"]
 
-    r2 = DruidSegmentReader(df.schema, {"path": segment_root})
+    r2 = DruidSegmentReaderWithPushdown(df.schema, {"path": segment_root})
     list(r2.pushFilters([GreaterThanOrEqual(("__time",), BASE_MS + 60_000 * 20)]))
     assert [os.path.basename(p.segment_dir) for p in r2.partitions()] == ["seg_001"]
+
+    # option-driven path (the cache-safe default)
+    r3 = DruidSegmentReader(
+        df.schema,
+        {"path": segment_root, "time_upper_ms": str(BASE_MS + 60_000 * 5)},
+    )
+    assert [os.path.basename(p.segment_dir) for p in r3.partitions()] == ["seg_000"]
 
     # non-__time filters are passed through untouched and prune nothing
     r3 = DruidSegmentReader(df.schema, {"path": segment_root})
@@ -154,15 +167,35 @@ def test_bitmap_index_accelerated_dim_filter(registered, tmp_path):
     assert seg.bitmap_rows_for("v", "x") is None  # not a string dim
     seg.close()
 
-    df = registered.read.format("druidsegment").option("path", str(tmp_path)).load()
+    def load(**opts):
+        r = registered.read.format("druidsegment").option("path", str(tmp_path))
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    df = load(dim_eq='{"color": "green"}')
     got = df.filter(F.col("color") == "green").select("__time", "v").collect()
     assert len(got) == n // 3
     assert sorted(r["v"] for r in got) == [float(i) for i in range(1, n, 3)]
-    assert df.filter(F.col("color") == "magenta").count() == 0
+    assert (
+        load(dim_eq='{"color": "magenta"}')
+        .filter(F.col("color") == "magenta")
+        .count()
+        == 0
+    )
     # conjunction with a non-indexed predicate still exact
     assert (
-        df.filter((F.col("color") == "green") & (F.col("v") < 100)).count()
+        load(dim_eq='{"color": "green"}')
+        .filter((F.col("color") == "green") & (F.col("v") < 100))
+        .count()
         == len([i for i in range(1, 100, 3)])
+    )
+    # and the option is acceleration only: an unfiltered read through a
+    # plain load sees everything (cache-safe across queries)
+    plain = load()
+    assert plain.count() == n
+    assert plain.filter(F.col("color") == "red").count() == len(
+        range(0, n, 3)
     )
 
 
@@ -192,13 +225,63 @@ def test_value_pruning_skips_whole_segments(registered, tmp_path):
     write_segment(seg(["alpha"] * 10, 0), str(tmp_path / "seg_000"))
     write_segment(seg(["beta"] * 10, 10_000), str(tmp_path / "seg_001"))
 
-    df = registered.read.format("druidsegment").option("path", str(tmp_path)).load()
+    df = (
+        registered.read.format("druidsegment")
+        .option("path", str(tmp_path))
+        .option("dim_eq", '{"site": "beta"}')
+        .load()
+    )
     got = df.filter(F.col("site") == "beta")
     assert got.count() == 10
     assert {r["site"] for r in got.collect()} == {"beta"}
 
     # assert the partition count directly on the reader
-    reader = DruidSegmentReader(df.schema, {"path": str(tmp_path)})
-    reader.eq_filters = {"site": "beta"}
+    reader = DruidSegmentReader(
+        df.schema, {"path": str(tmp_path), "dim_eq": '{"site": "beta"}'}
+    )
     parts = reader.partitions()
     assert len(parts) == 1 and parts[0].segment_dir.endswith("seg_001")
+
+
+def test_schema_evolution_across_segments(registered, tmp_path):
+    """Segments are self-describing and accrete columns over time: the
+    datasource must expose the UNION schema, null-fill columns a
+    segment predates, and still answer filters on the new column
+    (old-segment rows have NULL there => dropped by equality, exactly
+    Druid's semantics)."""
+    import pyarrow as pa
+    from druid_datafusion_bridge_spark.sources.segment import write_segment
+
+    old = pa.table(
+        {
+            "__time": pa.array([1704067200000 + i for i in range(4)],
+                               pa.timestamp("ms")),
+            "site": pa.array(["a", "b", "a", "b"]),
+        }
+    )
+    new = pa.table(
+        {
+            "__time": pa.array([1704067300000 + i for i in range(3)],
+                               pa.timestamp("ms")),
+            "site": pa.array(["a", "c", "c"]),
+            "country": pa.array(["se", "no", "se"]),
+            "clicks": pa.array([1, 2, 3], pa.int64()),
+        }
+    )
+    write_segment(old, str(tmp_path / "seg_000"))
+    write_segment(new, str(tmp_path / "seg_001"))
+
+    df = registered.read.format("druidsegment").option("path", str(tmp_path)).load()
+    assert set(df.columns) == {"__time", "site", "country", "clicks"}
+    rows = df.orderBy("__time").collect()
+    assert len(rows) == 7
+    assert [r["country"] for r in rows[:4]] == [None] * 4
+    assert [r["clicks"] for r in rows[4:]] == [1, 2, 3]
+    # filter on the late-added column: old-segment rows are NULL => drop
+    assert df.filter(F.col("country") == "se").count() == 2
+    # aggregation across the union schema
+    got = {
+        (r["site"], r["n"])
+        for r in df.groupBy("site").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {("a", 3), ("b", 2), ("c", 2)}
