@@ -229,6 +229,69 @@ def s2b_segment_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_evolved_segments(spark: SparkSession, sf_dir: str) -> str:
+    """Two nation segments written at different 'schema generations':
+    the older half lacks the n_comment_len column the newer half has —
+    the accreting-datasource layout a long-lived Druid table ends up
+    with."""
+    from ..sources import register_druid_datasource, write_segment
+
+    if not getattr(spark, _REGISTERED_KEY, False):
+        register_druid_datasource(spark)
+        setattr(spark, _REGISTERED_KEY, True)
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join("/tmp", "ddbs_segments", tag, "nation_evolved")
+    if not os.path.isfile(os.path.join(root, "seg_000", "version.bin")):
+        t = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+        ms = pa.array(
+            [BASE_MS + 60_000 * int(k) for k in t.column("n_nationkey").to_pylist()],
+            pa.timestamp("ms"),
+        )
+        t = t.append_column("__time", ms)
+        half = t.num_rows // 2
+        old = t.slice(0, half)
+        new = t.slice(half)
+        new = new.append_column(
+            "n_name_len",
+            pa.array([len(s) for s in new.column("n_name").to_pylist()], pa.int64()),
+        )
+        write_segment(old, os.path.join(root, "seg_000"))
+        write_segment(new, os.path.join(root, "seg_001"))
+    return root
+
+
+@query(
+    "s2c_schema_evolution_scan",
+    oracle="""
+    SELECT n_regionkey,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN n_nationkey >= 12 THEN 1 END) AS n_with_len,
+           CAST(SUM(CASE WHEN n_nationkey >= 12 THEN length(n_name) END)
+                AS BIGINT) AS sum_len
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def s2c_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-schema scan across segments from different schema
+    generations: the older segment predates the n_name_len column, so
+    its rows surface NULL there (exactly Druid's broker-merge
+    semantics); counts and sums must therefore split along the
+    generation boundary (n_nationkey >= 12 = the newer segment). The
+    oracle recomputes the late-added column from the raw table."""
+    root = _ensure_evolved_segments(spark, sf_dir)
+    df = spark.read.format("druidsegment").option("path", root).load()
+    return (
+        df.groupBy("n_regionkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("n_name_len").alias("n_with_len"),
+            F.sum("n_name_len").alias("sum_len"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
 def _ensure_hll_segments(spark: SparkSession, sf_dir: str) -> str:
     """Hourly rollup of events with a Datasketches HLL sketch of
     user_id per (hour, event_type), persisted as real Druid segments
