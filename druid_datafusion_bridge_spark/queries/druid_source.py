@@ -26,6 +26,20 @@ BASE_MS = 1_700_000_000_000
 _REGISTERED_KEY = "_ddbs_druidsegment_registered"
 
 
+
+def _complete_marker(root: str) -> str:
+    return os.path.join(root, "_COMPLETE")
+
+
+def _cache_ready(root: str) -> bool:
+    return os.path.isfile(_complete_marker(root))
+
+
+def _mark_complete(root: str) -> None:
+    with open(_complete_marker(root), "w", encoding="utf-8") as f:
+        f.write("ok")
+
+
 def _segment_root(sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     return os.path.join("/tmp", "ddbs_segments", tag, "nation")
@@ -39,7 +53,13 @@ def _ensure_segments(spark: SparkSession, sf_dir: str) -> str:
         setattr(spark, _REGISTERED_KEY, True)
 
     root = _segment_root(sf_dir)
-    if not os.path.isfile(os.path.join(root, "seg_000", "version.bin")):
+    # the _COMPLETE marker lands only after EVERY segment is written, so
+    # a build killed midway (driver turn limits) rebuilds instead of
+    # scanning a half-written cache
+    if not _cache_ready(root):
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
         t = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
         ms = pa.array(
             [BASE_MS + 60_000 * int(k) for k in t.column("n_nationkey").to_pylist()],
@@ -49,6 +69,7 @@ def _ensure_segments(spark: SparkSession, sf_dir: str) -> str:
         half = t.num_rows // 2
         write_segment(t.slice(0, half), os.path.join(root, "seg_000"))
         write_segment(t.slice(half), os.path.join(root, "seg_001"))
+        _mark_complete(root)
     return root
 
 
@@ -85,7 +106,10 @@ def _ensure_mvd_segments(spark: SparkSession, sf_dir: str) -> str:
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     root = os.path.join("/tmp", "ddbs_segments", tag, "documents_mvd")
-    if not os.path.isfile(os.path.join(root, "seg_000", "version.bin")):
+    if not _cache_ready(root):
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
         t = pq.read_table(
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
         )
@@ -101,6 +125,7 @@ def _ensure_mvd_segments(spark: SparkSession, sf_dir: str) -> str:
             }
         )
         write_segment(t, os.path.join(root, "seg_000"))
+        _mark_complete(root)
     return root
 
 
@@ -218,9 +243,10 @@ def s2b_segment_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst = os.path.join("/tmp", "ddbs_segments", tag, "events_hll_compacted")
     from ..sources import compact_segments
 
-    if not os.path.isdir(dst) or not os.listdir(dst):
+    if not _cache_ready(dst):
         shutil.rmtree(dst, ignore_errors=True)
         compact_segments(spark, root, dst, granularity="P1D").collect()
+        _mark_complete(dst)
     back = spark.read.format("druidsegment").option("path", dst).load()
     return back.agg(
         F.countDistinct(F.date_trunc("day", "__time")).alias("n_days"),
@@ -242,7 +268,10 @@ def _ensure_evolved_segments(spark: SparkSession, sf_dir: str) -> str:
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     root = os.path.join("/tmp", "ddbs_segments", tag, "nation_evolved")
-    if not os.path.isfile(os.path.join(root, "seg_000", "version.bin")):
+    if not _cache_ready(root):
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
         t = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
         ms = pa.array(
             [BASE_MS + 60_000 * int(k) for k in t.column("n_nationkey").to_pylist()],
@@ -258,6 +287,7 @@ def _ensure_evolved_segments(spark: SparkSession, sf_dir: str) -> str:
         )
         write_segment(old, os.path.join(root, "seg_000"))
         write_segment(new, os.path.join(root, "seg_001"))
+        _mark_complete(root)
     return root
 
 
@@ -307,7 +337,10 @@ def _ensure_hll_segments(spark: SparkSession, sf_dir: str) -> str:
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     root = os.path.join("/tmp", "ddbs_segments", tag, "events_hll")
-    if not os.path.isdir(root) or not os.listdir(root):
+    if not _cache_ready(root):
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
         ev = table(spark, sf_dir, "events")
         rolled = (
             ev.groupBy(
@@ -320,6 +353,7 @@ def _ensure_hll_segments(spark: SparkSession, sf_dir: str) -> str:
             )
         )
         write_druid_segments(rolled, root, granularity="P1D").collect()
+        _mark_complete(root)
     return root
 
 
