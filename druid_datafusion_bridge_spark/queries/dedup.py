@@ -21,7 +21,6 @@ from ..operators.dedup import (
     MINHASH_BANDS,
     MINHASH_PRIME,
     MINHASH_ROWS_PER_BAND,
-    doc_word_ngrams,
     exact_dedup,
     minhash_signatures,
     lsh_candidate_pairs,

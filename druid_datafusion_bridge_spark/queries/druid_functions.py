@@ -24,10 +24,8 @@ from ..functions import (
     register_druid_sql_functions,
     safe_divide,
     textcat,
-    time_ceil,
     time_extract,
     time_floor,
-    time_shift,
 )
 from . import query
 

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from . import query
-from ..model.druid_model import DruidTable, granularity_trunc
+from ..model.druid_model import DruidTable
 
 
 @query(

@@ -165,7 +165,6 @@ def st_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch join exactly."""
     from pyspark.sql import functions as F
     from ..catalog import table
-    from ..streaming.events import stream_static_enrich
 
     dim = (
         table(spark, sf_dir, "nation")

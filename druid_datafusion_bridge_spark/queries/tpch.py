@@ -33,7 +33,6 @@ from .exact import (
     money,
     revenue_col,
     sql_avg,
-    sql_money,
     sql_sum,
 )
 

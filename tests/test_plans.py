@@ -8,8 +8,6 @@ broadcast, and bucketed fact-fact joins running with zero exchanges.
 
 from __future__ import annotations
 
-import pytest
-
 from pyspark.sql import functions as F
 
 from druid_datafusion_bridge_spark.catalog import table
