@@ -28,21 +28,38 @@ TABLES: tuple[str, ...] = (
 )
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """One parquet table as a DataFrame (lazy scan; pushdown-capable).
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Surface every temporal column as session-zoned TimestampType.
 
-    events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects; read nanos as long and convert to a microsecond timestamp
-    (values carry no sub-microsecond component, so this is lossless and
-    matches what DuckDB surfaces for the same file).
+    Testdata generations differ: events.ts has been TIMESTAMP(NANOS)
+    (unreadable by Spark's parquet reader except as long via
+    nanosAsLong) and plain micros TIMESTAMP_NTZ; date-ish columns are
+    isAdjustedToUTC=false so Spark infers TIMESTAMP_NTZ. The engine's
+    query surface (and the round-recorded oracles) is written against
+    TimestampType with session tz UTC — under which NTZ→TZ cast is a
+    value-identity — so normalize here once instead of per-query.
     """
+    out = df
+    for field in df.schema.fields:
+        type_name = field.dataType.typeName()
+        if field.name == "ts" and type_name in ("long", "bigint"):
+            # legacy nanos-as-long read: nanos → micros, lossless
+            # (generator emits whole-microsecond values)
+            out = out.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif type_name == "timestamp_ntz":
+            out = out.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    return out
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One parquet table as a DataFrame (lazy scan; pushdown-capable)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
+        # harmless when ts is already a micros timestamp; required when a
+        # testdata generation stores TIMESTAMP(NANOS)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return normalize_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -20,25 +20,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
-
-
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table.
 
-    ts is TIMESTAMP(NANOS) in the parquet file; read as long
-    (nanosAsLong) and convert, exactly like the batch catalog.
+    The file source needs an explicit schema; probe it from the parquet
+    footer with a batch read (one tiny driver-side metadata fetch), then
+    normalize ts exactly like the batch catalog so streaming and batch
+    queries see identical types regardless of testdata generation
+    (TIMESTAMP(NANOS)-as-long vs TIMESTAMP_NTZ micros).
     """
+    from ..catalog import normalize_timestamps
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    file_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(file_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_timestamps(raw)
 
 
 def tumbling_rollup(events: DataFrame, width: str = "15 minutes") -> DataFrame:
