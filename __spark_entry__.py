@@ -18,10 +18,13 @@ from druid_datafusion_bridge_spark.queries import all_oracles, all_queries  # no
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from druid_datafusion_bridge_spark.queries.tpch import flagship_rollup
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    return flagship_rollup(spark, "/root/testdata/sf0.001")
+    Resolved through the registry (not a direct module import) so the
+    registry's deliberate registration order is identical whether the
+    driver calls entry() or queries() first.
+    """
+    return all_queries()["flagship_rollup"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -26,7 +26,7 @@ subplans, so Spark's ReusedExchange materializes the shuffle once.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -491,30 +491,47 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled exactly ONCE (the oracle keeps the two-CTE self-join form
     — Catalyst does not reuse the exchange there because the two CTE
     references prune different columns, so the self-join shape would
-    scan lineitem twice; the window form is the at-scale plan)."""
-    _views(spark, sf_dir, "lineitem", "orders", "supplier")
-    return spark.sql(
-        """
-        WITH lw AS (
-          SELECT l_orderkey, l_suppkey,
-                 MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
-                          THEN 1 ELSE 0 END) AS is_late
-          FROM lineitem
-          JOIN orders ON o_orderkey = l_orderkey
-          WHERE o_orderstatus = 'F'
-          GROUP BY l_orderkey, l_suppkey),
-        flagged AS (
-          SELECT l_suppkey, is_late,
-                 COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
-                 SUM(is_late) OVER (PARTITION BY l_orderkey) AS n_late
-          FROM lw)
-        SELECT s_name, COUNT(*) AS numwait
-        FROM flagged
-        JOIN supplier ON s_suppkey = l_suppkey
-        WHERE is_late = 1 AND n_supp > 1 AND n_late = 1
-        GROUP BY s_name
-        ORDER BY numwait DESC, s_name
-        """
+    scan lineitem twice). The explicit repartition on l_orderkey is the
+    one shuffle: HashPartitioning(l_orderkey) satisfies BOTH the
+    (l_orderkey, l_suppkey) aggregate's clustering (subset rule) and
+    the window's, so Catalyst plans no further exchange between them —
+    the SQL GROUP BY form hashes on both keys and then re-shuffles the
+    whole aggregate output for the window (two back-to-back 600k-row
+    exchanges, measured +35% wall at sf0.1; at 100 TB it's a full
+    extra fact shuffle)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    # no broadcast hint: AQE broadcasts the filtered orders side when it
+    # fits, falls back to shuffle join at scale
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"), 1
+    ).otherwise(0)
+    lw = (
+        j.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    w = W.partitionBy("l_orderkey")
+    flagged = lw.select(
+        "l_suppkey",
+        "is_late",
+        F.count("*").over(w).alias("n_supp"),
+        F.sum("is_late").over(w).alias("n_late"),
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        flagged.filter(
+            (F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+        )
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
     )
 
 

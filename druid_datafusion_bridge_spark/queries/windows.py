@@ -80,7 +80,7 @@ def w2_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w3_agg_over_window",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+           CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (
              PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS running_qty,
@@ -90,8 +90,12 @@ def w2_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w3_agg_over_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running SUM over an ordered frame + partition-total COUNT (W3).
-    The running sum accumulates exact decimals => order-independent
-    equality with the oracle."""
+    l_quantity is integral (w4b relies on the same invariant), so the
+    running sum accumulates in a long — exact, order-independent, and
+    an unboxed primitive in the window frame's accumulator (a decimal
+    sum here promotes past precision 18 and runs on boxed Decimal128,
+    measured ~2x slower on the full 600k-row output — round-3 verdict
+    perf item)."""
     li = table(spark, sf_dir, "lineitem")
     w_run = (
         W.partitionBy("l_suppkey")
@@ -103,7 +107,7 @@ def w3_agg_over_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.sum(dec("l_quantity")).over(w_run).cast("double").alias("running_qty"),
+        F.sum(F.col("l_quantity").cast("bigint")).over(w_run).cast("double").alias("running_qty"),
         F.count("*").over(w_all).alias("supp_rows"),
     )
 

@@ -45,6 +45,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Deterministic timestamp semantics against the DuckDB oracle.
         .config("spark.sql.session.timeZone", "UTC")
+        # Parquet columns written isAdjustedToUTC=false read natively as
+        # TimestampType instead of TIMESTAMP_NTZ — value-identical under
+        # the pinned UTC session tz, and it keeps time-range filters
+        # (l_shipdate / o_orderdate / ts — the engine's hottest
+        # predicates) eligible for parquet pushdown with no NTZ->TZ cast
+        # in the plan.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Arrow for any Python-side exchange (pandas UDFs, toPandas).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Split size tuned to the local test scale so small parquet files

@@ -32,13 +32,15 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import normalize_timestamps
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # per-read for driver-supplied sessions, same as catalog.table()
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     file_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
         spark.readStream.schema(file_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return normalize_timestamps(raw)
+    return normalize_timestamps(raw, "events")
 
 
 def tumbling_rollup(events: DataFrame, width: str = "15 minutes") -> DataFrame:

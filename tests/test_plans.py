@@ -30,6 +30,25 @@ def test_q6_filters_reach_the_scan(spark):
         assert fragment in pf, f"{fragment} not pushed: {pf}"
 
 
+def test_time_filters_are_pushed_to_parquet(spark):
+    """NTZ pushdown guard (round-3 verdict #2): the session disables
+    parquet TIMESTAMP_NTZ inference, so temporal columns read natively
+    as TimestampType in every testdata generation and time-range
+    predicates — the engine's hottest filters — land in the scan's
+    PushedFilters with no NTZ->TZ cast in the way."""
+    li = table(spark, SF_DIR, "lineitem").filter(F.col("l_shipdate") >= "1995-01-01")
+    assert "l_shipdate" in " ".join(pushed_filters(li)), pushed_filters(li)
+    orders = table(spark, SF_DIR, "orders").filter(F.col("o_orderdate") < "1996-01-01")
+    assert "o_orderdate" in " ".join(pushed_filters(orders)), pushed_filters(orders)
+    ev = table(spark, SF_DIR, "events")
+    if ev.schema["ts"].dataType.typeName() == "timestamp":
+        # native-timestamp generation: ts must push down too (the
+        # nanos-as-long generation necessarily computes ts, so only
+        # the native path is pinned)
+        ev = ev.filter(F.col("ts") >= "2024-01-01")
+        assert "ts" in " ".join(pushed_filters(ev)), pushed_filters(ev)
+
+
 def test_q6_reads_only_needed_columns(spark):
     df = all_queries()["q6_forecast_revenue"](spark, SF_DIR)
     schemas = read_schemas(df)
