@@ -16,20 +16,19 @@ When to use which, at 100 TB:
   DISTINCT dimension values per task. Right up to ~10^7 distinct
   values.
 - ``topn_approximate`` — Druid's trade, for ultra-high-cardinality
-  dimensions (user IDs, URLs): each partition ships only its local
-  top-``candidates_per_partition`` rows to the merge, so shuffle volume
-  is partitions x K' rows regardless of cardinality. Arrow-batched
-  (mapInPandas); the merge input is tiny. Same error model as Druid:
-  a value missing from every partition's local top-K' is lost; with
-  additive metrics the true top-1 is always found if it is a local
-  top-1 anywhere... increase K' to tighten, as Druid does.
+  dimensions (user IDs, URLs): each input partition contributes only
+  its local top-``candidates_per_partition`` aggregates to the final
+  merge, so the merge input is partitions x K' rows regardless of
+  cardinality. Entirely JVM-side (spark_partition_id + partial agg +
+  per-partition window cap) — no Python worker in the path. Same error
+  model as Druid: a value missing from every partition's local top-K'
+  is lost; with additive metrics the true top-1 is always found if it
+  is a local top-1 anywhere... increase K' to tighten, as Druid does.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -53,47 +52,32 @@ def topn_approximate(
     k: int,
     candidates_per_partition: int | None = None,
 ) -> DataFrame:
-    """Two-phase Druid-style TopN over SUM(metric_col).
+    """Two-phase Druid-style TopN over SUM(metric_col), all JVM-side.
 
-    Phase 1 (per partition, Arrow-batched): hash-aggregate the
-    partition's rows and keep the local top-K' — the only rows that
-    cross the shuffle. Phase 2: exact merge of ≤ partitions x K'
-    candidates. Mirrors Druid's segment->broker merge
-    (druid TopNQuery semantics; reference reaches top-k via SQL only,
-    src/main.rs:191)."""
+    Phase 1: per-(input partition, dim) sums via
+    ``groupBy(spark_partition_id(), dim)`` — the map-side partial
+    aggregate is already the complete per-partition total because the
+    partition id is constant within a task, so the exchange carries one
+    row per (partition, dim) pair, pre-aggregated. A per-partition
+    window then keeps the local top-K' (row_number <= K'). Phase 2:
+    exact merge of <= partitions x K' candidates. Mirrors Druid's
+    segment->broker merge (druid TopNQuery semantics; reference reaches
+    top-k via SQL only, src/main.rs:191). No Python worker anywhere —
+    the whole plan is hash-agg + window + TakeOrderedAndProject inside
+    whole-stage codegen."""
     kprime = candidates_per_partition or max(1000, k)
-    dim_field = df.schema[dim]
-
-    def local_topn(batches: Iterator) -> Iterator:
-        # Self-contained: no module-level references (the grading
-        # driver unpickles this outside the repo's sys.path).
-        import heapq
-
-        import pandas as pd
-
-        totals: dict = {}
-        for pdf in batches:
-            part = pdf.groupby(dim, dropna=False, sort=False)[metric_col].sum()
-            for key, val in part.items():
-                # normalize pandas' NaN null-key so it accumulates once
-                if key is not None and isinstance(key, float) and key != key:
-                    key = None
-                totals[key] = totals.get(key, 0.0) + float(val)
-        top = heapq.nlargest(kprime, totals.items(), key=lambda kv: kv[1])
-        if top:
-            yield pd.DataFrame(
-                {dim: [t[0] for t in top], metric_col: [t[1] for t in top]}
-            )
-
-    import pyspark.sql.types as T
-
-    schema = T.StructType(
-        [dim_field, T.StructField(metric_col, T.DoubleType(), True)]
+    local = df.groupBy(
+        F.spark_partition_id().alias("_pid"), F.col(dim)
+    ).agg(F.sum(metric_col).cast("double").alias("_v"))
+    cap = Window.partitionBy("_pid").orderBy(F.col("_v").desc(), F.col(dim))
+    candidates = (
+        local.withColumn("_rn", F.row_number().over(cap))
+        .filter(F.col("_rn") <= kprime)
+        .drop("_rn", "_pid")
     )
-    candidates = df.select(dim, metric_col).mapInPandas(local_topn, schema)
     return (
         candidates.groupBy(dim)
-        .agg(F.sum(metric_col).alias("value"))
+        .agg(F.sum("_v").alias("value"))
         .orderBy(F.col("value").desc(), F.col(dim))
         .limit(k)
     )
