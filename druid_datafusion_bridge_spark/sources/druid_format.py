@@ -21,7 +21,9 @@ reference's build-then-parse unit-test style
 
 No lz4 library ships in this container, so LZ4 *block* format (not
 frame) is implemented here: a full decompressor, and a valid
-literal-only compressor for the write side.
+literal-only compressor for the write side. ZSTD blocks (standard
+zstd frames, as zstd-jni writes them) go through Arrow's bundled
+zstd codec — both directions, real compression.
 """
 
 from __future__ import annotations
@@ -216,15 +218,37 @@ def lzf_chunks_compress_literal(raw: bytes) -> bytes:
     return bytes(out)
 
 
+def _zstd_codec():
+    """Arrow's bundled zstd codec, or None if this build lacks it.
+    Druid's ZSTD strategy stores standard zstd frames per block
+    (zstd-jni `Zstd.compress`), which any frame decoder reads."""
+    try:
+        import pyarrow as pa
+
+        return pa.Codec("zstd")
+    except Exception:
+        return None
+
+
 def decompress_block(strategy: int, compressed: bytes, out_size: int) -> bytes:
     """Block decode by strategy id. The reference supports LZ4 +
     uncompressed and ERRORS on LZF/ZSTD (compression/mod.rs:34-46);
-    LZF is implemented here beyond reference parity so v1 (legacy
-    Druid) compressed columns decode too."""
+    LZF and ZSTD are implemented here beyond reference parity so
+    legacy-v1 (LZF) and modern production (ZSTD) Druid columns decode
+    too."""
     if strategy == LZ4:
         return lz4_block_decompress(compressed, out_size)
     if strategy == LZF:
         return lzf_chunks_decompress(compressed, out_size)
+    if strategy == ZSTD:
+        codec = _zstd_codec()
+        if codec is None:
+            raise DruidFormatError("ZSTD block but no zstd codec available")
+        try:
+            out = codec.decompress(bytes(compressed), decompressed_size=out_size)
+        except Exception as exc:
+            raise DruidFormatError(f"ZSTD: corrupt block ({exc})") from exc
+        return out.to_pybytes() if hasattr(out, "to_pybytes") else bytes(out)
     if strategy in (UNCOMPRESSED, NONE):
         return bytes(compressed)
     raise DruidFormatError(f"Unsupported compression strategy {strategy:#x}")
@@ -235,6 +259,12 @@ def compress_block(strategy: int, raw: bytes) -> bytes:
         return lz4_block_compress_literal(raw)
     if strategy == LZF:
         return lzf_chunks_compress_literal(raw)
+    if strategy == ZSTD:
+        codec = _zstd_codec()
+        if codec is None:
+            raise DruidFormatError("ZSTD write but no zstd codec available")
+        out = codec.compress(bytes(raw))
+        return out.to_pybytes() if hasattr(out, "to_pybytes") else bytes(out)
     if strategy in (UNCOMPRESSED, NONE):
         return bytes(raw)
     raise DruidFormatError(f"Unsupported compression strategy {strategy:#x}")

@@ -166,7 +166,7 @@ def test_lz4_literal_roundtrip_property(data):
 # --- Compressed columnar numerics ----------------------------------------
 
 
-@pytest.mark.parametrize("strategy", [fmt.LZ4, fmt.LZF, fmt.UNCOMPRESSED])
+@pytest.mark.parametrize("strategy", [fmt.LZ4, fmt.LZF, fmt.ZSTD, fmt.UNCOMPRESSED])
 def test_compressed_longs_multiblock(strategy):
     values = np.arange(-5000, 5000, dtype=np.int64) * 1_000_003
     data = fmt.write_compressed_longs(values, size_per=256, strategy=strategy)
@@ -174,12 +174,23 @@ def test_compressed_longs_multiblock(strategy):
     assert np.array_equal(out, values)
 
 
-@pytest.mark.parametrize("strategy", [fmt.LZ4, fmt.LZF, fmt.UNCOMPRESSED])
+@pytest.mark.parametrize("strategy", [fmt.LZ4, fmt.LZF, fmt.ZSTD, fmt.UNCOMPRESSED])
 def test_compressed_doubles_multiblock(strategy):
     rng = np.random.default_rng(42)
     values = rng.normal(size=3000)
     data = fmt.write_compressed_doubles(values, size_per=1024, strategy=strategy)
     assert np.array_equal(fmt.read_compressed_doubles(data), values)
+
+
+def test_zstd_block_roundtrip_and_real_compression():
+    """ZSTD is a real codec here (Arrow's), not literal-only: repetitive
+    input must actually shrink, and the frame round-trips bit-exactly.
+    The reference ERRORS on ZSTD (compression/mod.rs:43-44) — this is
+    beyond-parity surface for modern Druid deployments."""
+    raw = b"druid segment block " * 500
+    comp = fmt.compress_block(fmt.ZSTD, raw)
+    assert len(comp) < len(raw) // 10
+    assert fmt.decompress_block(fmt.ZSTD, comp, len(raw)) == raw
 
 
 def test_compressed_floats():
@@ -200,11 +211,15 @@ def test_compressed_empty():
     assert len(fmt.read_compressed_longs(data)) == 0
 
 
-def test_unsupported_compression_errors():
-    # LZF (0x00) and ZSTD (0x02) must error (compression/mod.rs:43-44)
+def test_corrupt_and_unknown_compression_errors():
+    # LZF/ZSTD are supported beyond reference parity (the reference
+    # errors on both, compression/mod.rs:43-44) but corrupt blocks must
+    # fail loudly as DruidFormatError, and unknown strategy ids too.
     for strat in (fmt.LZF, fmt.ZSTD):
         with pytest.raises(fmt.DruidFormatError):
             fmt.decompress_block(strat, b"xx", 2)
+    with pytest.raises(fmt.DruidFormatError):
+        fmt.decompress_block(0x7A, b"xx", 2)
 
 
 # --- String column --------------------------------------------------------
