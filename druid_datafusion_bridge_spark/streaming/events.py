@@ -27,14 +27,23 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     footer with a batch read (one tiny driver-side metadata fetch), then
     normalize ts exactly like the batch catalog so streaming and batch
     queries see identical types regardless of testdata generation
-    (TIMESTAMP(NANOS)-as-long vs TIMESTAMP_NTZ micros).
+    (TIMESTAMP(NANOS)-as-long vs TIMESTAMP_NTZ micros). If the file
+    does not exist yet (a directory that fills over time — the normal
+    streaming deployment), fall back to the canonical events schema so
+    the stream can be defined before the first file lands.
     """
     from ..catalog import normalize_timestamps
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # per-read for driver-supplied sessions, same as catalog.table()
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    file_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    try:
+        file_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    except Exception:
+        file_schema = (  # canonical events schema (TESTDATA.md)
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
     raw = (
         spark.readStream.schema(file_schema)
         .option("pathGlobFilter", "events.parquet")

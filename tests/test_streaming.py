@@ -160,3 +160,28 @@ def test_stateful_running_totals_match_batch(spark, batch_events):
         assert len(got) == len(want)
     finally:
         q.stop()
+
+
+def test_stream_definable_before_source_exists(spark, tmp_path):
+    """A stream over a not-yet-populated directory must be definable
+    (schema falls back to the canonical events schema) and must pick up
+    files that land after definition — the normal streaming deployment
+    shape, where the source directory fills over time."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    stream = stream_events(spark, str(src))
+    assert [f.name for f in stream.schema.fields] == [
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ]
+    batch = table(spark, SF_DIR, "events")
+    batch.write.mode("overwrite").parquet(str(tmp_path / "staged"))
+    import shutil
+
+    staged = next((tmp_path / "staged").glob("*.parquet"))
+    shutil.copy(staged, src / "events.parquet")
+    q = run_to_memory(tumbling_rollup(stream), "t_late_source")
+    try:
+        got = spark.sql("SELECT SUM(n_events) FROM t_late_source").collect()[0][0]
+        assert got == batch.count()
+    finally:
+        q.stop()
