@@ -1,0 +1,61 @@
+"""Hot-bucket cap semantics for the LSH pair expansions
+(operators/dedup.py, operators/similarity.py): in a bucket larger than
+``max_bucket``, the first max_bucket members (by id) run all-pairs and
+every later member contributes exactly one star edge to the bucket's
+smallest-id member — so pair volume per bucket is bounded by
+max_bucket^2/2 + n while clusters stay connected."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from druid_datafusion_bridge_spark.operators.dedup import lsh_candidate_pairs
+from druid_datafusion_bridge_spark.operators.similarity import (
+    embedding_neardup_pairs,
+)
+
+
+def test_oversized_bucket_head_pairs_plus_stars(spark):
+    """60 identical docs with cap 10: every band bucket holds all 60, so
+    the distinct pair set must be C(10,2) head pairs + 50 star edges,
+    with stars all anchored at the smallest doc_id."""
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon zeta eta theta").alias("text"),
+    ).repartition(8)
+    pairs = lsh_candidate_pairs(docs, n=3, max_bucket=10).collect()
+    assert len(pairs) == 45 + 50
+    stars = [p for p in pairs if p.doc_b >= 10]
+    assert len(stars) == 50
+    assert all(p.doc_a == 0 for p in stars)
+    head = {(p.doc_a, p.doc_b) for p in pairs if p.doc_b < 10}
+    assert head == {(a, b) for a in range(10) for b in range(10) if a < b}
+
+
+def test_small_bucket_unaffected_by_cap(spark):
+    """Buckets at or under the cap keep plain all-pairs semantics."""
+    docs = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon zeta eta theta").alias("text"),
+    ).repartition(4)
+    pairs = lsh_candidate_pairs(docs, n=3, max_bucket=10).collect()
+    assert {(p.doc_a, p.doc_b) for p in pairs} == {
+        (a, b) for a in range(10) for b in range(10) if a < b
+    }
+
+
+def test_embedding_hot_bucket_members_all_detected(spark):
+    """40 identical embeddings with cap 8: every member appears in at
+    least one >=0.99 pair (star edges keep clusters connected), and no
+    unbounded per-bucket list is needed to find them."""
+    vec = [1.0, 0.0, 0.5, 0.25] * 4
+    emb = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(x) for x in vec]).cast("array<float>").alias("embedding"),
+    ).repartition(8)
+    pairs = embedding_neardup_pairs(
+        emb, threshold=0.99, bits=2, tables=2, dim=16, max_bucket=8
+    ).collect()
+    seen = {p.id_a for p in pairs} | {p.id_b for p in pairs}
+    assert seen == set(range(40))
+    assert all(p.sim >= 0.99 for p in pairs)

@@ -201,9 +201,13 @@ def test_training_pipeline_plan_shapes(spark):
       join);
     - sequence packing is one shard-partitioned window => exactly one
       exchange;
-    - LSH pair expansion is single-pass: ONE scan of the corpus and one
-      Window (a union-of-branches formulation would double the scans —
-      regression pinned here);
+    - LSH pair expansion is one O(1)-state ranking window feeding a
+      two-branch union (cap-bounded head all-pairs / overflow star
+      edges): the static plan repeats the ranked-band lineage once per
+      branch (2 scan mentions x2 in formatted output) — the window
+      exchange is identical in both so AQE reuses it at runtime; a
+      grown 3rd branch, a join, or a broadcast of the band table would
+      move these counts and gets caught here;
     - repetition signals: two aggregation exchanges (doc+token, doc),
       nothing else."""
     from druid_datafusion_bridge_spark.plans import formatted_plan
@@ -218,8 +222,11 @@ def test_training_pipeline_plan_shapes(spark):
     lsh = qs["dd_minhash_lsh_pairs"](spark, SF_DIR)
     plan = formatted_plan(lsh)
     # formatted explain mentions each scan node twice (tree + details)
-    assert plan.count("Scan parquet") == 2, "LSH must scan the corpus once"
-    assert plan.count("Window") >= 1
+    assert plan.count("Scan parquet") == 4, "LSH: 2 gate branches x 1 scan"
+    assert plan.count("Union") >= 1
+    assert plan.count("Window") >= 1, "row_number bucket rank"
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, "gate must not reintroduce a counts join"
 
     rep = qs["txp_repetition"](spark, SF_DIR)
     assert count_exchanges(rep) == 2
