@@ -332,7 +332,7 @@ def _sample_table() -> pa.Table:
     )
 
 
-@pytest.mark.parametrize("strategy", [fmt.LZ4, fmt.LZF, fmt.UNCOMPRESSED])
+@pytest.mark.parametrize("strategy", [fmt.LZ4, fmt.LZF, fmt.ZSTD, fmt.UNCOMPRESSED])
 def test_segment_roundtrip(tmp_path, strategy):
     path = str(tmp_path / "seg")
     t = _sample_table()
