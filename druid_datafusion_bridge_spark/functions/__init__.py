@@ -6,6 +6,7 @@ both as Column helpers and as Catalyst-inlined SQL UDFs.
 
 from .druid_sql import (  # noqa: F401
     contains_string,
+    decode_base64_utf8,
     div,
     earliest,
     icontains_string,
@@ -21,11 +22,13 @@ from .druid_sql import (  # noqa: F401
     mv_overlap,
     mv_to_string,
     parse_period,
+    regexp_like,
     register_druid_sql_functions,
     safe_divide,
     string_to_mv,
     textcat,
     time_ceil,
+    time_in_interval,
     time_extract,
     time_floor,
     time_format,

@@ -188,6 +188,23 @@ def contains_string(col: Column | str, substr: str) -> Column:
     return _col(col).contains(substr)
 
 
+def time_in_interval(col: Column | str, interval: str) -> Column:
+    """Druid TIME_IN_INTERVAL: ISO slash interval, start inclusive /
+    end exclusive."""
+    start, end = interval.split("/", 1)
+    c = _col(col)
+    return (c >= F.to_timestamp(F.lit(start))) & (c < F.to_timestamp(F.lit(end)))
+
+
+def regexp_like(col: Column | str, pattern: str) -> Column:
+    """Druid REGEXP_LIKE: partial (find-anywhere) regex match."""
+    return _col(col).rlike(pattern)
+
+
+def decode_base64_utf8(col: Column | str) -> Column:
+    return F.unbase64(_col(col)).cast("string")
+
+
 def icontains_string(col: Column | str, substr: str) -> Column:
     return F.lower(_col(col)).contains(substr.lower())
 
@@ -303,8 +320,15 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
     ("ICONTAINS_STRING", "s STRING, sub STRING", "BOOLEAN",
      "instr(lower(s), lower(sub)) > 0"),
     ("STRPOS", "s STRING, sub STRING", "INT", "instr(s, sub)"),
-    # DIV is omitted: Spark ships a built-in DIV with Druid's exact
-    # truncating-integer-division semantics (and refuses to shadow it).
+    # Druid TIME_IN_INTERVAL: ISO-8601 slash interval, start inclusive,
+    # end exclusive.
+    ("TIME_IN_INTERVAL", "ts TIMESTAMP, iv STRING", "BOOLEAN",
+     "ts >= to_timestamp(split_part(iv, '/', 1)) "
+     "AND ts < to_timestamp(split_part(iv, '/', 2))"),
+    ("DECODE_BASE64_UTF8", "s STRING", "STRING", "CAST(unbase64(s) AS STRING)"),
+    # DIV and REGEXP_LIKE are omitted: Spark ships built-ins with
+    # Druid's exact semantics (truncating integer division; partial
+    # regex match) and refuses to shadow them with SQL UDFs.
 ]
 
 

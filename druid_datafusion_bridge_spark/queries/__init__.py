@@ -4,7 +4,7 @@ Every operator from SURVEY.md §2 registers here via the ``@query``
 decorator. ``__spark_entry__.queries()`` / ``oracle_sql()`` are thin
 re-exports of these dicts. Policy: every query carries an oracle that
 matches the DuckDB result EXACTLY (bit-identical values) — enforced by
-tests/test_oracle.py; all 140 registered queries are exactly oracled
+tests/test_oracle.py; every registered query is exactly oracled
 (approximate operators are oracled via their exactness contract, e.g.
 a recall bound or an rsd flag, not left rows-only).
 """

@@ -196,6 +196,42 @@ def fd_druid_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fd_interval_regex_base64",
+    oracle="""
+    SELECT o_orderpriority,
+           o_orderpriority AS roundtrip,
+           COUNT(*) AS n
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o_orderdate <  TIMESTAMP '1999-01-01'
+      AND regexp_matches(o_orderpriority, '^[1-3]-')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def fd_interval_regex_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid TIME_IN_INTERVAL (ISO slash interval, start-inclusive /
+    end-exclusive), REGEXP_LIKE (partial match) and DECODE_BASE64_UTF8,
+    as raw SQL text through the registered dialect. The base64
+    round-trip must reproduce the source string byte-for-byte, which
+    the oracle checks by simply selecting the original."""
+    register_druid_sql_functions(spark)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               DECODE_BASE64_UTF8(base64(o_orderpriority)) AS roundtrip,
+               COUNT(*) AS n
+        FROM orders
+        WHERE TIME_IN_INTERVAL(o_orderdate, '1998-01-01/1999-01-01')
+          AND REGEXP_LIKE(o_orderpriority, '^[1-3]-')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@query(
     "fd_latest_earliest",
     oracle="""
     SELECT event_type,

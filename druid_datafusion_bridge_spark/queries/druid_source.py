@@ -220,6 +220,62 @@ def s1d_druid_segment_dim_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s1e_druid_segment_zstd_scan",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+    FROM supplier
+    GROUP BY s_nationkey
+    ORDER BY s_nationkey
+    """,
+)
+def s1e_druid_segment_zstd_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan of a ZSTD-compressed Druid segment end-to-end: supplier is
+    written with compression strategy 0x02 (standard zstd frames per
+    block, as zstd-jni emits) and decoded back through the DataSource.
+    The reference ERRORS on ZSTD blocks (src/compression/mod.rs:43-44)
+    even though modern Druid deployments default to it — beyond-parity
+    surface, exercised here through the full scan path rather than only
+    codec unit tests. The balance sum goes through exact decimal on
+    both engines (float summation is order-dependent; exact.py
+    pattern)."""
+    from ..sources import register_druid_datasource, write_segment
+    from ..sources.druid_format import ZSTD
+
+    if not getattr(spark, _REGISTERED_KEY, False):
+        register_druid_datasource(spark)
+        setattr(spark, _REGISTERED_KEY, True)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join("/tmp", "ddbs_segments", tag, "supplier_zstd")
+    if not _cache_ready(root):
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        t = pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+        )
+        ms = pa.array(
+            [BASE_MS + 1000 * int(k) for k in t.column("s_suppkey").to_pylist()],
+            pa.timestamp("ms"),
+        )
+        t = t.append_column("__time", ms)
+        write_segment(t, os.path.join(root, "seg_000"), strategy=ZSTD)
+        _mark_complete(root)
+    df = spark.read.format("druidsegment").option("path", root).load()
+    return (
+        df.groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("bal"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+@query(
     "s2b_segment_compaction",
     oracle="""
     SELECT CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
