@@ -253,3 +253,69 @@ def lsh_candidate_pairs(
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
+
+
+def duplicate_clusters(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: every doc gets
+    ``cluster_id`` = the smallest doc_id reachable through candidate
+    pairs (singletons label themselves). This is the step that turns
+    pair lists into actionable dedup groups — pick the canonical doc
+    per cluster, drop the rest.
+
+    Iterative min-label propagation: each round, every node lowers its
+    label to the min of its own and its neighbors' labels; converged
+    when the global label sum stops changing (labels only decrease, so
+    the sum is a monotone fixpoint witness — one cheap agg per round,
+    no row-level diff join). Rounds needed = graph diameter, which LSH
+    pair graphs keep small by construction (head members form cliques,
+    overflow members attach by star edges to the representative).
+    Per round: one shuffle join edges x labels + one agg;
+    ``localCheckpoint`` truncates the growing lineage so round N's plan
+    does not replay rounds 1..N-1. Scale: state is one (doc, label) row
+    per doc and the edge list — both partitioned, nothing driver-side
+    except the 1-row convergence scalar.
+    """
+    if pairs is None:
+        pairs = lsh_candidate_pairs(docs, id_col=id_col)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+        )
+    ).localCheckpoint(eager=True)
+    labels = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(id_col).alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nb_min"))
+        )
+        labels = (
+            labels.join(
+                neighbor_min, labels.doc_id == neighbor_min.src, "left"
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nb_min", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"duplicate_clusters did not converge in {max_iter} rounds "
+        "(pair graph diameter exceeds the bound)"
+    )

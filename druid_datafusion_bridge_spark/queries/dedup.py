@@ -202,3 +202,42 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bits.groupBy("doc_id").agg(
         F.expr("SUM(bitval * shiftleft(CAST(1 AS BIGINT), bit))").alias("simhash16")
     )
+
+
+@query(
+    "dd_duplicate_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_ORACLE_GRAMS},
+    {_ORACLE_HASHES},
+    sig AS (SELECT doc_id, seed, MIN(h) AS mh FROM hashes GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, seed // {MINHASH_ROWS_PER_BAND} AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_key
+      FROM sig GROUP BY doc_id, band),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL SELECT doc_b, doc_a FROM cand),
+    reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT re.doc_id, e.dst FROM reach re JOIN edges e ON re.r = e.src)
+    SELECT doc_id, MIN(r) AS cluster_id
+    FROM reach GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the LSH
+    candidate-pair graph via iterative min-label propagation
+    (operators/dedup.py duplicate_clusters); every doc labeled with the
+    smallest doc_id in its component, singletons labeling themselves.
+    The oracle computes the same fixpoint as a DuckDB recursive-CTE
+    transitive closure — an iterative Spark operator that still carries
+    an exact SQL oracle."""
+    from ..operators.dedup import duplicate_clusters
+
+    docs = table(spark, sf_dir, "documents")
+    return duplicate_clusters(docs).orderBy("doc_id")

@@ -59,3 +59,31 @@ def test_embedding_hot_bucket_members_all_detected(spark):
     seen = {p.id_a for p in pairs} | {p.id_b for p in pairs}
     assert seen == set(range(40))
     assert all(p.sim >= 0.99 for p in pairs)
+
+
+def test_duplicate_clusters_chain_and_singletons(spark):
+    """Min-label propagation must follow multi-hop chains (0-1, 1-2,
+    2-3, ... all collapse to cluster 0) and label untouched docs as
+    their own singleton clusters."""
+    from pyspark.sql import functions as F
+
+    from druid_datafusion_bridge_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    docs = spark.range(12).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (5, 6), (8, 9)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in duplicate_clusters(docs, pairs=pairs).collect()
+    }
+    assert got == {
+        0: 0, 1: 0, 2: 0, 3: 0, 4: 0,
+        5: 5, 6: 5,
+        7: 7,
+        8: 8, 9: 8,
+        10: 10, 11: 11,
+    }
