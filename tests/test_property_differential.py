@@ -152,6 +152,58 @@ def test_windows_differential(spark, a):
 @pytest.mark.slow
 @given(a=rows_st)
 @SET
+def test_window_frames_differential(spark, a):
+    """Frame-spec fuzz (W4/W5): explicit ROWS and RANGE bounds,
+    positional window functions and distribution functions over
+    adversarial rows (null keys, ties). Frames are written explicitly
+    everywhere — last_value over each engine's DEFAULT frame is a
+    classic divergence trap, pinned here by never relying on it."""
+    rows = [(i, *r) for i, r in enumerate(a)]
+    ta = (
+        spark.createDataFrame(rows, "rid long, " + SCHEMA)
+        if rows
+        else spark.createDataFrame([], "rid long, " + SCHEMA)
+    )
+    ta.createOrReplaceTempView("wf")
+    con = duckdb.connect()
+    pdf = pd.DataFrame(rows, columns=["rid", "k", "v", "s"])
+    if rows:
+        pdf = pdf.astype({"rid": "int64", "k": "Int64", "v": "int64", "s": "object"})
+    con.register("wf_pdf", pdf)
+    con.execute(
+        "CREATE TABLE wf AS SELECT CAST(rid AS BIGINT) rid, CAST(k AS INT) k, "
+        "CAST(v AS BIGINT) v, CAST(s AS VARCHAR) s FROM wf_pdf"
+    )
+    sql = """
+        SELECT rid,
+               SUM(v) OVER (PARTITION BY k ORDER BY v, rid
+                            ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS roll4,
+               COUNT(*) OVER (PARTITION BY k ORDER BY v
+                              RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS band,
+               SUM(v) OVER (PARTITION BY k ORDER BY v
+                            RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS band2,
+               FIRST_VALUE(v) OVER (PARTITION BY k ORDER BY v, rid
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS fv,
+               LAST_VALUE(v) OVER (PARTITION BY k ORDER BY v, rid
+                                   ROWS BETWEEN CURRENT ROW
+                                            AND UNBOUNDED FOLLOWING) AS lv,
+               NTH_VALUE(v, 2) OVER (PARTITION BY k ORDER BY v, rid
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS nv2,
+               DENSE_RANK() OVER (PARTITION BY k ORDER BY v) AS drk,
+               NTILE(3) OVER (PARTITION BY k ORDER BY v, rid) AS nt,
+               PERCENT_RANK() OVER (PARTITION BY k ORDER BY v) AS pr,
+               CUME_DIST() OVER (PARTITION BY k ORDER BY v) AS cd,
+               LEAD(v, 2, -1) OVER (PARTITION BY k ORDER BY v, rid) AS ld2
+        FROM wf
+    """
+    _compare(spark.sql(sql), con, sql)
+
+
+@pytest.mark.slow
+@given(a=rows_st)
+@SET
 def test_scalar_functions_differential(spark, a):
     """String/math scalar families (SURVEY §2.8) over adversarial
     generated rows. Dialect deltas found by this very test and pinned
