@@ -454,3 +454,95 @@ def cx_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_events", (err <= 0.05).alias("users_within_5pct"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "s9_json_sink_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def s9_json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink round-trip (S9, reference src/main.rs:170-174):
+    write a projection of orders as JSON, read it back, aggregate, and
+    the oracle checks against the source table — proving the sink loses
+    nothing. Money goes through the decimal pattern: a double written
+    as JSON text and re-read can drop ULPs, a decimal(12,2) string
+    cannot."""
+    from ..catalog import table as _table
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join("/tmp", "ddbs_sinks", tag, "orders_json")
+    (
+        _table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+        )
+        .write.mode("overwrite")
+        .json(out)
+    )
+    back = spark.read.schema(
+        "o_orderkey long, o_orderstatus string, o_totalprice decimal(12,2)"
+    ).json(out)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "s10_csv_sink_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def s10_csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV-with-header sink round-trip (S10, reference
+    src/main.rs:175-180), same decimal-exactness discipline as the JSON
+    sink."""
+    from ..catalog import table as _table
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join("/tmp", "ddbs_sinks", tag, "orders_csv")
+    (
+        _table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+        )
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(out)
+    )
+    back = (
+        spark.read.option("header", True)
+        .schema("o_orderkey long, o_orderstatus string, o_totalprice decimal(12,2)")
+        .csv(out)
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
