@@ -47,6 +47,10 @@ def load_all() -> None:
     topn_search/streaming (never sampled in r1-r3); aggregates/dedup/
     druid_*/joins — driver-green in r2/r3 on unchanged code — move to
     the back of the rotation.
+
+    NEXT ROTATION (r5, after the r4 driver has run): front-load the
+    still-never-sampled modules — text_pipeline, multimodal, tpch,
+    tpch_full, tpch_subqueries — then whatever r4's sample missed.
     """
     from . import (  # noqa: F401
         windows,
