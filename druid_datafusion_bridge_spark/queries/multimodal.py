@@ -198,3 +198,40 @@ def mm_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("long").alias("chunk_len"),
         F.array_max(chunk).alias("peak"),
     )
+
+
+@query(
+    "mm_ppm_decode",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(4 + d.doc_id % 5 AS INT) AS width,
+           CAST(3 + d.doc_id % 4 AS INT) AS height,
+           CAST(SUM((d.doc_id * 7 + (g.p * 3 + 0) * 13) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((d.doc_id * 7 + (g.p * 3 + 1) * 13) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((d.doc_id * 7 + (g.p * 3 + 2) * 13) % 256) AS BIGINT) AS sum_b,
+           CAST(SUM((d.doc_id * 7 + (g.p * 3 + 0) * 13) % 256) AS DOUBLE)
+             / ((4 + d.doc_id % 5) * (3 + d.doc_id % 4)) AS mean_r,
+           CAST(SUM((d.doc_id * 7 + (g.p * 3 + 1) * 13) % 256) AS DOUBLE)
+             / ((4 + d.doc_id % 5) * (3 + d.doc_id % 4)) AS mean_g,
+           CAST(SUM((d.doc_id * 7 + (g.p * 3 + 2) * 13) % 256) AS DOUBLE)
+             / ((4 + d.doc_id % 5) * (3 + d.doc_id % 4)) AS mean_b
+    FROM documents d,
+         unnest(generate_series(0,
+           (4 + d.doc_id % 5) * (3 + d.doc_id % 4) - 1)) AS g(p)
+    GROUP BY d.doc_id
+    """,
+)
+def mm_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: every doc gets a valid binary P6
+    PPM (deterministic pixel law, doc-dependent dimensions), and a pure
+    numpy parser decodes header + pixel planes to per-channel sums and
+    means inside Arrow-batched mapInPandas. The oracle recomputes the
+    expected channel statistics in closed form from the pixel law — a
+    header mis-parse or pixel offset bug in the decoder shows up as a
+    value mismatch. This upgrades one modality from stub to working
+    decoder; compressed formats (JPEG/PNG) stay stubbed since the
+    container ships no codecs."""
+    from ..operators.multimodal import ppm_channel_stats, with_ppm_payload
+
+    docs = table(spark, sf_dir, "documents")
+    return ppm_channel_stats(with_ppm_payload(docs))

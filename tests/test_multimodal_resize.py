@@ -38,3 +38,24 @@ def test_resize_is_deterministic(spark):
     for k, v in a.items():
         it = iter(src[k])
         assert all(ch in it for ch in v)
+
+
+def test_ppm_decoder_exact_pixels():
+    """The real P6 parser must handle arbitrary header whitespace and
+    return exact pixel planes."""
+    import numpy as np
+
+    from druid_datafusion_bridge_spark.operators.multimodal import decode_ppm
+
+    pix = bytes(range(18))
+    for header in (b"P6\n3 2\n255\n", b"P6 3 2 255 ", b"P6\n3\n2\n255\t"):
+        w, h, arr = decode_ppm(header + pix)
+        assert (w, h) == (3, 2)
+        assert arr.shape == (2, 3, 3)
+        assert arr.flatten().tolist() == list(range(18))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P5\n3 2\n255\n" + pix)  # not P6
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P6\n3 2\n65535\n" + pix)  # 16-bit unsupported

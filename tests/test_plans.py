@@ -248,13 +248,13 @@ def test_druid_sql_udfs_stay_jvm_side(spark):
 def test_every_query_compiles_jvm_side(spark):
     """Sweeping audit of the whole registry: every query must compile
     to a plan with zero Python eval nodes — UDFs are the slow path and
-    built-ins the rule. Only the multimodal decode stubs are allowed
-    Python (Arrow-batched; the image/audio libs live outside the JVM by
-    nature). A new query landing here unannounced is a performance
-    bug."""
+    built-ins the rule. Only the multimodal decode kernels are allowed
+    Python (Arrow-batched; image/audio decoding lives outside the JVM
+    by nature — two stubs plus the real PPM decoder). A new query
+    landing here unannounced is a performance bug."""
     from druid_datafusion_bridge_spark.plans import formatted_plan
 
-    ALLOWED_PYTHON = {"mm_feature_extract", "mm_resize"}
+    ALLOWED_PYTHON = {"mm_feature_extract", "mm_resize", "mm_ppm_decode"}
     MARKERS = ["BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                "FlatMapGroupsInPandas"]
     offenders = []
