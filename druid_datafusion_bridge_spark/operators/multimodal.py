@@ -273,3 +273,129 @@ def ppm_channel_stats(blobs: DataFrame) -> DataFrame:
             )
 
     return blobs.mapInPandas(run, schema=PPM_STATS_SCHEMA)
+
+
+WAV_STATS_SCHEMA = (
+    "doc_id long, n_samples long, sample_rate long, "
+    "sum_amp long, sum_sq long, peak long, mean_amp double"
+)
+
+
+def with_wav_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL mono 16-bit PCM WAV per doc — deterministic
+    samples sample(i) = ((doc_id*31 + i*17) % 65536) - 32768 over a
+    doc-dependent length (64 + id % 129), canonical 44-byte RIFF
+    header. Valid audio any WAV reader opens; the closed-form sample
+    law lets a SQL oracle verify the decoder independently."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def make(doc_id: int) -> bytes:
+            n = 64 + doc_id % 129
+            i = np.arange(n, dtype=np.int64)
+            samples = ((doc_id * 31 + i * 17) % 65536 - 32768).astype("<i2")
+            data = samples.tobytes()
+            hdr = (
+                b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                + b"data" + struct.pack("<I", len(data))
+            )
+            return hdr + data
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda d: make(int(d))),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(run, schema="doc_id long, payload binary")
+
+
+def decode_wav(data: bytes):
+    """REAL WAV decoder, pure numpy: RIFF validation, chunk walk to
+    fmt/data (tolerates extra chunks), 16-bit mono PCM samples.
+    Returns (sample_rate, samples int16 ndarray)."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = pos + 8
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", data, body)
+            (bits,) = struct.unpack_from("<H", data, body + 14)
+            if fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError("only 16-bit mono PCM supported")
+        elif cid == b"data":
+            samples = np.frombuffer(data, dtype="<i2", count=size // 2, offset=body)
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, samples
+
+
+def wav_amplitude_stats(blobs: DataFrame) -> DataFrame:
+    """Decode PCM WAV payloads (REAL decoder) and emit amplitude
+    statistics — integer sums exact, mean as double. Arrow-batched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Closure-shipped decoder copy (driver may unpickle outside the
+        # repo's sys.path).
+        import struct
+
+        import numpy as np
+
+        def decode(data: bytes):
+            if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE file")
+            pos, rate, samples = 12, None, None
+            while pos + 8 <= len(data):
+                cid = data[pos : pos + 4]
+                (size,) = struct.unpack_from("<I", data, pos + 4)
+                body = pos + 8
+                if cid == b"fmt ":
+                    fmt, channels, rate = struct.unpack_from("<HHI", data, body)
+                    (bits,) = struct.unpack_from("<H", data, body + 14)
+                    if fmt != 1 or channels != 1 or bits != 16:
+                        raise ValueError("only 16-bit mono PCM supported")
+                elif cid == b"data":
+                    samples = np.frombuffer(
+                        data, dtype="<i2", count=size // 2, offset=body
+                    )
+                pos = body + size + (size & 1)
+            if rate is None or samples is None:
+                raise ValueError("missing fmt or data chunk")
+            return rate, samples
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, s = decode(bytes(payload))
+                s64 = s.astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id), len(s), rate,
+                        int(s64.sum()), int((s64 * s64).sum()),
+                        int(np.abs(s64).max()) if len(s) else 0,
+                        s64.sum() / len(s) if len(s) else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "sample_rate",
+                    "sum_amp", "sum_sq", "peak", "mean_amp",
+                ],
+            )
+
+    return blobs.mapInPandas(run, schema=WAV_STATS_SCHEMA)

@@ -235,3 +235,36 @@ def mm_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return ppm_channel_stats(with_ppm_payload(docs))
+
+
+@query(
+    "mm_wav_decode",
+    oracle="""
+    WITH s AS (
+      SELECT d.doc_id,
+             (d.doc_id * 31 + g.i * 17) % 65536 - 32768 AS amp
+      FROM documents d,
+           unnest(generate_series(0, 64 + d.doc_id % 129 - 1)) AS g(i))
+    SELECT doc_id,
+           COUNT(*) AS n_samples,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(SUM(amp) AS BIGINT) AS sum_amp,
+           CAST(SUM(amp * amp) AS BIGINT) AS sum_sq,
+           CAST(MAX(ABS(amp)) AS BIGINT) AS peak,
+           CAST(SUM(amp) AS DOUBLE) / COUNT(*) AS mean_amp
+    FROM s GROUP BY doc_id
+    """,
+)
+def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: every doc gets a valid mono 16-bit
+    PCM WAV (canonical RIFF header, deterministic sample law,
+    doc-dependent length), and a pure numpy RIFF chunk-walking parser
+    decodes it to amplitude statistics inside Arrow-batched
+    mapInPandas. The oracle recomputes expected stats in closed form
+    from the sample law — a header mis-parse, endianness bug, or
+    off-by-one in the chunk walk fails the hash check. Compressed
+    audio (MP3/AAC) stays stubbed — no codecs in the container."""
+    from ..operators.multimodal import wav_amplitude_stats, with_wav_payload
+
+    docs = table(spark, sf_dir, "documents")
+    return wav_amplitude_stats(with_wav_payload(docs))

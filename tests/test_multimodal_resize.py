@@ -59,3 +59,32 @@ def test_ppm_decoder_exact_pixels():
         decode_ppm(b"P5\n3 2\n255\n" + pix)  # not P6
     with _pytest.raises(ValueError):
         decode_ppm(b"P6\n3 2\n65535\n" + pix)  # 16-bit unsupported
+
+
+def test_wav_decoder_exact_samples():
+    """The real RIFF/PCM parser must handle canonical and
+    extra-chunk layouts and reject non-PCM forms."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from druid_datafusion_bridge_spark.operators.multimodal import decode_wav
+
+    samples = np.array([0, 100, -200, 32767, -32768, 7], "<i2")
+    data = samples.tobytes()
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    dat = b"data" + struct.pack("<I", len(data)) + data
+    canonical = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE" + fmt + dat
+    extra = (b"RIFF" + struct.pack("<I", 48 + len(data)) + b"WAVE" + fmt
+             + b"LIST" + struct.pack("<I", 4) + b"INFO" + dat)
+    for wav in (canonical, extra):
+        rate, s = decode_wav(wav)
+        assert rate == 8000
+        assert s.tolist() == samples.tolist()
+    stereo_fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                   + stereo_fmt + dat)
+    with _pytest.raises(ValueError):
+        decode_wav(b"OggS" + bytes(40))

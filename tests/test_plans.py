@@ -254,7 +254,8 @@ def test_every_query_compiles_jvm_side(spark):
     landing here unannounced is a performance bug."""
     from druid_datafusion_bridge_spark.plans import formatted_plan
 
-    ALLOWED_PYTHON = {"mm_feature_extract", "mm_resize", "mm_ppm_decode"}
+    ALLOWED_PYTHON = {"mm_feature_extract", "mm_resize", "mm_ppm_decode",
+                      "mm_wav_decode"}
     MARKERS = ["BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                "FlatMapGroupsInPandas"]
     offenders = []
