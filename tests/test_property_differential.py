@@ -403,3 +403,131 @@ def test_pipeline_ops_differential(spark, texts):
         FROM per_doc
         """,
     )
+
+
+@pytest.mark.slow
+@given(
+    lft=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)), max_size=20
+    ),
+    rgt=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(-50, 50)),
+        max_size=20,
+    ),
+)
+@SET
+def test_asof_join_differential(spark, lft, rgt):
+    """asof_join (operators/temporal.py) vs DuckDB's native ASOF JOIN
+    over adversarial key/timestamp sets: duplicate timestamps, keys
+    with no matches, empty sides. At-or-before semantics with ties
+    resolving to the equal-timestamp right row must agree exactly.
+    DuckDB's ASOF picks an arbitrary right row among exact right-side
+    ts duplicates, so right (k, ts) pairs are deduplicated to keep both
+    engines deterministic."""
+    from druid_datafusion_bridge_spark.operators.temporal import asof_join
+
+    seen = set()
+    rgt_d = []
+    for k, ts, v in rgt:
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            rgt_d.append((k, ts, v))
+    left = (
+        spark.createDataFrame(
+            [(i, k, ts) for i, (k, ts) in enumerate(lft)],
+            "lid long, k long, ts long",
+        )
+        if lft
+        else spark.createDataFrame([], "lid long, k long, ts long")
+    )
+    right = (
+        spark.createDataFrame(rgt_d, "k long, ts long, v long")
+        if rgt_d
+        else spark.createDataFrame([], "k long, ts long, v long")
+    )
+    got = asof_join(left, right, on="k").select(
+        "lid", "k", "ts", "v_right", "ts_right"
+    )
+    con = duckdb.connect()
+    con.register(
+        "l_pdf",
+        pd.DataFrame(
+            [(i, k, ts) for i, (k, ts) in enumerate(lft)],
+            columns=["lid", "k", "ts"],
+        ).astype("int64", errors="ignore"),
+    )
+    con.register(
+        "r_pdf", pd.DataFrame(rgt_d, columns=["k", "ts", "v"]).astype("int64", errors="ignore")
+    )
+    con.execute("CREATE TABLE l AS SELECT * FROM l_pdf")
+    con.execute("CREATE TABLE r AS SELECT * FROM r_pdf")
+    sql = """
+        SELECT l.lid, l.k, l.ts, r.v AS v_right, r.ts AS ts_right
+        FROM l ASOF LEFT JOIN r
+          ON l.k = r.k AND l.ts >= r.ts
+    """
+    _compare(got, con, sql)
+
+
+@pytest.mark.slow
+@given(
+    lft=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 200)), max_size=20
+    ),
+    rgt=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 200), st.integers(-50, 50)),
+        max_size=20,
+    ),
+)
+@SET
+def test_range_join_differential(spark, lft, rgt):
+    """range_join (banded equi-join formulation) vs a plain DuckDB
+    interval-predicate join: every (left, right) pair with the same key
+    and right.ts - left.ts in [0, 60] must appear exactly once — the
+    bucket-and-neighbor candidate generation must neither drop boundary
+    pairs nor duplicate ones that land in two buckets."""
+    from druid_datafusion_bridge_spark.operators.temporal import range_join
+
+    left = (
+        spark.createDataFrame(
+            [(i, k, ts) for i, (k, ts) in enumerate(lft)],
+            "lid long, k long, ts long",
+        )
+        if lft
+        else spark.createDataFrame([], "lid long, k long, ts long")
+    )
+    right = (
+        spark.createDataFrame(
+            [(i, k, ts, v) for i, (k, ts, v) in enumerate(rgt)],
+            "rid long, k long, ts long, v long",
+        )
+        if rgt
+        else spark.createDataFrame([], "rid long, k long, ts long, v long")
+    )
+    got = range_join(
+        left, right, on="k", lower_seconds=0.0, upper_seconds=60.0
+    ).select("lid", "rid_right", "k", "ts", "ts_right", "v_right")
+    con = duckdb.connect()
+    con.register(
+        "l_pdf",
+        pd.DataFrame(
+            [(i, k, ts) for i, (k, ts) in enumerate(lft)],
+            columns=["lid", "k", "ts"],
+        ),
+    )
+    con.register(
+        "r_pdf",
+        pd.DataFrame(
+            [(i, k, ts, v) for i, (k, ts, v) in enumerate(rgt)],
+            columns=["rid", "k", "ts", "v"],
+        ),
+    )
+    con.execute("CREATE TABLE l AS SELECT * FROM l_pdf")
+    con.execute("CREATE TABLE r AS SELECT * FROM r_pdf")
+    sql = """
+        SELECT l.lid, r.rid AS rid_right, l.k, l.ts, r.ts AS ts_right,
+               r.v AS v_right
+        FROM l JOIN r ON l.k = r.k
+         AND r.ts - l.ts BETWEEN 0 AND 60
+    """
+    _compare(got, con, sql)
