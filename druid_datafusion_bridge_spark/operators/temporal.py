@@ -123,3 +123,43 @@ def range_join(
             *[F.col("__r")[c].alias(c + suffix) for c in r_cols],
         )
     )
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): within each key, a new
+    session starts when the gap to the previous event exceeds
+    ``gap_seconds``; the session id is the running count of such breaks.
+    The batch counterpart of Structured Streaming's session window
+    (streaming/events.py), for backfills over historical data.
+
+    Scale shape: ONE shuffle on the key, then two linear window passes
+    per partition (lag -> break flag, running sum -> session ordinal).
+    Per-key state is a single row; key cardinality (users) provides the
+    parallelism, so the plan survives 100x data with the same shape.
+    Returns one row per (key, session) with start/end/count.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    mic = F.unix_micros(F.col(ts_col))
+    gap = mic - F.lag(mic).over(w)
+    is_break = F.when(
+        gap.isNull() | (gap > F.lit(gap_seconds * 1_000_000)), 1
+    ).otherwise(0)
+    sessions = events.withColumn(
+        "session_seq",
+        F.sum(is_break).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sessions.groupBy(key_col, "session_seq")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy(key_col, "session_seq")
+    )

@@ -140,3 +140,120 @@ def redact(
     ).withColumn(
         "n_redactions", F.regexp_count(F.col(col), F.lit(pattern)).cast("long")
     )
+
+
+def hash_unit(*cols) -> F.Column:
+    """Deterministic uniform-[0,1) value from row keys: first 15 hex
+    chars of md5 over the ':'-joined keys, scaled by 16^15. Engine- and
+    run-independent (md5 of UTF-8 bytes is identical everywhere), so a
+    sampling decision is reproducible across Spark, DuckDB, and reruns —
+    the property RNG-based sampling (rand(), TABLESAMPLE) cannot give a
+    pipeline that must be re-runnable over a growing 100 TB corpus."""
+    h = F.substring(F.md5(F.concat_ws(":", *[F.col(c) for c in cols])), 1, 15)
+    return F.conv(h, 16, 10).cast("long") / F.lit(float(16**15))
+
+
+def domain_mix(
+    docs: DataFrame,
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-weighted domain mixing (the multilingual-sampling rule
+    of XLM-R / mT5, alpha<1 flattens the domain distribution): domain d
+    with n_d docs is downsampled at rate (n_min/n_d)^(1-alpha), so the
+    rarest domain keeps everything and head domains shrink toward the
+    flattened mix. Membership is decided per row by ``hash_unit`` — no
+    RNG, reproducible, and the filter is a stateless map.
+
+    Scale shape: the rate table is one tiny aggregate (|domains| rows)
+    broadcast back onto the corpus; the corpus itself is never shuffled.
+    Returns per-domain totals, kept counts, and the applied rate.
+    """
+    counts = docs.groupBy(domain_col).agg(F.count("*").alias("n_docs"))
+    min_n = counts.agg(F.min("n_docs").alias("min_n"))
+    ratio = F.col("min_n") / F.col("n_docs")
+    # sqrt is IEEE-correctly-rounded in every engine; pow(x, 0.5) is not
+    # guaranteed to be (Java Math.pow is 1-ulp) — and rate is an output
+    # column compared bit-exactly against the DuckDB oracle.
+    exponent = 1.0 - alpha
+    rate = F.sqrt(ratio) if exponent == 0.5 else F.pow(ratio, F.lit(exponent))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        domain_col, "n_docs", rate.alias("rate")
+    )
+    kept = (
+        docs.join(F.broadcast(rates), domain_col)
+        .filter(hash_unit(id_col) < F.col("rate"))
+        .groupBy(domain_col)
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, domain_col, "left")
+        .select(
+            domain_col,
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            "rate",
+        )
+        .orderBy(domain_col)
+    )
+
+
+def stratified_split(
+    docs: DataFrame,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    val_frac: float = 0.1,
+) -> DataFrame:
+    """Deterministic train/validation split with per-stratum accounting:
+    a row lands in 'val' iff hash_unit(id) < val_frac, which is stable
+    under corpus growth (adding documents never moves an existing one
+    between splits — the property a random split lacks and incremental
+    training pipelines require). Returns per (stratum, split) counts so
+    stratification quality is visible. Stateless map + one aggregate."""
+    split = F.when(hash_unit(id_col) < F.lit(val_frac), "val").otherwise("train")
+    return (
+        docs.select(F.col(strata_col).alias("stratum"), split.alias("split"))
+        .groupBy("stratum", "split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("stratum", "split")
+    )
+
+
+def vocab_top_coverage(
+    docs: DataFrame,
+    top_k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary head analysis for tokenizer budgeting: global
+    whitespace-token frequencies, top-``top_k`` by (count desc, token
+    asc — the tie-break makes rank deterministic), each with its
+    cumulative share of ALL token occurrences (Zipf coverage curve).
+
+    Scale shape: explode -> two-level count on the token key (map-side
+    partial aggregation absorbs the per-partition duplicates, so the
+    shuffle carries one row per distinct token per partition, not one
+    per occurrence); the top-k is orderBy+limit, which Spark executes as
+    a distributed TakeOrderedAndProject (per-partition heaps merged on
+    the driver — NOT a single-partition sort of the vocabulary); only
+    the k surviving rows see a window. No global sort anywhere."""
+    toks = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("token")).limit(top_k)
+    w = W.orderBy(F.col("cnt").desc(), F.col("token"))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "token",
+            "cnt",
+            (
+                F.sum("cnt").over(w.rowsBetween(W.unboundedPreceding, 0))
+                / F.col("total")
+            ).alias("cum_share"),
+        )
+        .orderBy("rank")
+    )

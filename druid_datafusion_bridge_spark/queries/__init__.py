@@ -64,6 +64,7 @@ def load_all() -> None:
         streaming,
         text_pipeline,
         multimodal,
+        embedding_ops,
         tpch,
         tpch_full,
         tpch_subqueries,

@@ -1,0 +1,140 @@
+"""Embedding-column operators beyond search (build mandate: the
+embedding half of a training-data pipeline): int8 scalar quantization
+with reconstruction-error accounting, and per-dimension corpus
+statistics (the calibration input asymmetric quantizers and whitening
+transforms need).
+
+Everything is JVM higher-order array functions (transform / array_max /
+aggregate) — no Python in the path, whole-stage codegen applies, and
+each row is processed independently (quantization) or via one
+posexplode + aggregate shuffle keyed on the 64 dimension ordinals
+(dim stats), so both shapes are trivially 100 TB-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from . import query
+
+
+@query(
+    "em_int8_quantize",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+             embedding
+      FROM embeddings)
+    SELECT vec_id, scale,
+           CAST(CASE WHEN scale = 0 THEN 0 ELSE
+             list_sum(list_transform(embedding,
+                      x -> round(CAST(x AS DOUBLE) / scale))) END
+             AS BIGINT) AS q_sum,
+           CAST(CASE WHEN scale = 0 THEN 0 ELSE
+             list_sum(list_transform(embedding,
+                      x -> abs(round(CAST(x AS DOUBLE) / scale)))) END
+             AS BIGINT) AS q_l1,
+           CASE WHEN scale = 0 THEN 0.0 ELSE
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)
+                               - round(CAST(x AS DOUBLE) / scale) * scale)))
+             END AS max_abs_err
+    FROM q ORDER BY vec_id
+    """,
+)
+def em_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization (the faiss
+    SQ8-style storage layout ANN indexes use to cut vector memory 4x):
+    scale = max|x|/127, q_i = round(x_i/scale), with the quantized
+    checksums and the max reconstruction error per vector. Stateless
+    row-local map over array built-ins — quantizing 100 TB of vectors
+    is a pure scan with no shuffle at all.
+
+    Exactness contract with the oracle: float->double widening is
+    exact, scale/round/mul/sub are IEEE-identical in both engines, and
+    the checksum sums are integer-valued doubles (exact under any
+    summation order)."""
+    emb = table(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    scale = (
+        F.array_max(F.transform("embedding", lambda x: F.abs(xd(x)))) / F.lit(127.0)
+    ).alias("scale")
+    emb = emb.select("vec_id", "embedding", scale)
+    qi = lambda x: F.round(xd(x) / F.col("scale"))  # noqa: E731
+    zero = F.col("scale") == 0
+    return emb.select(
+        "vec_id",
+        "scale",
+        F.when(zero, F.lit(0))
+        .otherwise(
+            F.aggregate(
+                F.transform("embedding", qi), F.lit(0.0), lambda a, x: a + x
+            )
+        )
+        .cast("long")
+        .alias("q_sum"),
+        F.when(zero, F.lit(0))
+        .otherwise(
+            F.aggregate(
+                F.transform("embedding", lambda x: F.abs(qi(x))),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+        .cast("long")
+        .alias("q_l1"),
+        F.when(zero, F.lit(0.0))
+        .otherwise(
+            F.array_max(
+                F.transform(
+                    "embedding",
+                    lambda x: F.abs(xd(x) - qi(x) * F.col("scale")),
+                )
+            )
+        )
+        .alias("max_abs_err"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "em_dim_stats",
+    oracle="""
+    SELECT CAST(s.i - 1 AS INTEGER) AS dim,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(floor(CAST(embedding[s.i] AS DOUBLE) * 1048576)
+                         AS BIGINT)) AS DOUBLE) / 1048576 AS sum_val,
+           MIN(CAST(embedding[s.i] AS DOUBLE)) AS min_val,
+           MAX(CAST(embedding[s.i] AS DOUBLE)) AS max_val
+    FROM embeddings,
+         unnest(generate_series(1, len(embedding))) AS s(i)
+    GROUP BY dim ORDER BY dim
+    """,
+)
+def em_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics over the embedding column
+    (quantizer calibration / whitening input): posexplode to
+    (dim, value) rows, one aggregate keyed on the 64 dimension
+    ordinals. The sum is a 2^-20 fixed-point accumulator: multiplying
+    a float32-derived double by a power of two is EXACT, floor is
+    exact, and integer sums are order-independent — so the result is
+    bit-identical regardless of partitioning, which a raw double sum
+    is not (and a double->DECIMAL cast rounds ties differently across
+    engines). Map-side partial aggregation means the shuffle carries
+    64 rows per partition regardless of corpus size."""
+    emb = table(spark, sf_dir, "embeddings")
+    fx = F.floor(F.col("x").cast("double") * F.lit(1048576)).cast("long")
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(fx).cast("double") / F.lit(1048576)).alias("sum_val"),
+            F.min(F.col("x").cast("double")).alias("min_val"),
+            F.max(F.col("x").cast("double")).alias("max_val"),
+        )
+        .orderBy("dim")
+    )

@@ -207,3 +207,44 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_stream_click_purchase(stream_events(spark, sf_dir)),
         spark, "st_ssjoin_out", "append",
     )
+
+
+@query(
+    "st_batch_sessionize",
+    oracle="""
+    WITH laged AS (
+      SELECT user_id, event_id, ts,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events),
+    marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_break
+      FROM laged),
+    numbered AS (
+      SELECT user_id, ts,
+             CAST(SUM(is_break) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM marked)
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+)
+def st_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gaps-and-islands sessionization (30-min inactivity gap) —
+    the backfill counterpart of st_session_rollup's streaming session
+    window, over the same events table. One shuffle on user_id, two
+    linear window passes; see operators/temporal.sessionize for the
+    scale shape."""
+    from ..catalog import table
+    from ..operators.temporal import sessionize
+
+    return sessionize(
+        table(spark, sf_dir, "events"), key_col="user_id", gap_seconds=1800
+    )

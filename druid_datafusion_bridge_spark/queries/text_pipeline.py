@@ -12,9 +12,12 @@ from ..catalog import table
 from . import query
 from ..operators.text_pipeline import (
     contamination_check,
+    domain_mix,
     redact,
     repetition_signals,
     sequence_pack,
+    stratified_split,
+    vocab_top_coverage,
 )
 
 
@@ -213,3 +216,86 @@ def txp_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(contaminated), "doc_id", "left_anti")
         .select("doc_id", F.col("nt").alias("n_tokens"))
     )
+
+
+@query(
+    "txp_domain_mix",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    rates AS (
+      SELECT lang, n_docs,
+             sqrt((SELECT MIN(n_docs) FROM counts) / CAST(n_docs AS DOUBLE))
+               AS rate
+      FROM counts),
+    kept AS (
+      SELECT d.lang, COUNT(*) AS n_kept
+      FROM documents d JOIN rates r ON d.lang = r.lang
+      WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
+                 AS BIGINT) / 1152921504606846976.0 < r.rate
+      GROUP BY d.lang)
+    SELECT r.lang, CAST(r.n_docs AS BIGINT) AS n_docs,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept, r.rate
+    FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+    ORDER BY r.lang
+    """,
+)
+def txp_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted language mixing (alpha=0.5, the XLM-R
+    sampling rule): head languages are deterministically downsampled at
+    rate (n_min/n_lang)^0.5 via the md5 hash-unit — reproducible across
+    engines and reruns, no RNG. See operators/text_pipeline.domain_mix
+    for the 100 TB shape (tiny broadcast rate table; corpus never
+    shuffles)."""
+    docs = table(spark, sf_dir, "documents")
+    return domain_mix(docs, domain_col="lang", alpha=0.5)
+
+
+@query(
+    "txp_stratified_split",
+    oracle="""
+    SELECT lang AS stratum,
+           CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) / 1152921504606846976.0 < 0.1
+                THEN 'val' ELSE 'train' END AS split,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY stratum, split
+    ORDER BY stratum, split
+    """,
+)
+def txp_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/val split with per-language accounting.
+    Hash-based membership is stable under corpus growth — an existing
+    document never migrates between splits when new data arrives, the
+    invariant incremental training needs (rand()/TABLESAMPLE cannot
+    give it)."""
+    docs = table(spark, sf_dir, "documents")
+    return stratified_split(docs, strata_col="lang", val_frac=0.1)
+
+
+@query(
+    "txp_vocab_coverage",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    top AS (
+      SELECT token, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank
+      FROM counts ORDER BY cnt DESC, token LIMIT 100)
+    SELECT CAST(rank AS INTEGER) AS rank, token, cnt,
+           CAST(SUM(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+                AS DOUBLE)
+             / (SELECT SUM(cnt) FROM counts) AS cum_share
+    FROM top ORDER BY rank
+    """,
+)
+def txp_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget analysis: top-100 corpus tokens by global
+    frequency with the cumulative share of all token occurrences (the
+    Zipf coverage curve). The top-k is a distributed
+    TakeOrderedAndProject, not a vocabulary-wide sort — see
+    operators/text_pipeline.vocab_top_coverage."""
+    docs = table(spark, sf_dir, "documents")
+    return vocab_top_coverage(docs, top_k=100)
