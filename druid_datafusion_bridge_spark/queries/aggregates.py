@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from . import query
-from .exact import dec, exact_avg, exact_sum, sql_avg, sql_sum
+from .exact import SUM_DEC, dec, exact_avg, exact_sum, sql_avg, sql_sum
 
 
 @query(
@@ -343,14 +343,25 @@ def a11b_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a12_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Druid's signature time-bucketed rollup (queryGranularity semantics,
     reference metadata.drd / tests/wikipedia_segment_test.rs:106) on the
-    events table."""
+    events table.
+
+    Two-level aggregate instead of countDistinct alongside the other
+    aggs: mixing distinct and non-distinct aggregates makes Spark plan
+    an Expand that doubles every input row before the shuffle; grouping
+    by (bucket, type, user) first then re-aggregating computes the same
+    result with no row expansion (the flagship query's pattern,
+    tpch.py)."""
     ev = table(spark, sf_dir, "events")
-    return ev.groupBy(
-        F.date_trunc("hour", "ts").alias("bucket_hour"), "event_type"
+    l1 = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_hour"), "event_type", "user_id"
     ).agg(
-        F.count("*").alias("n_events"),
-        exact_sum("value", "sum_value"),
-        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n"),
+        F.sum(dec("value", SUM_DEC)).alias("s"),
+    )
+    return l1.groupBy("bucket_hour", "event_type").agg(
+        F.sum("n").alias("n_events"),
+        F.sum("s").cast("double").alias("sum_value"),
+        F.count("*").alias("n_users"),
     )
 
 

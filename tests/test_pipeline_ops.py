@@ -1,0 +1,174 @@
+"""Tests for the dataset-curation operators: differential fuzz for
+batch sessionization (random gaps/ties vs DuckDB), growth-stability
+properties of the hash-based split/mix (the invariant that justifies
+hash sampling over RNG sampling), and the mathematical reconstruction
+bound of int8 quantization."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from druid_datafusion_bridge_spark.catalog import table
+from druid_datafusion_bridge_spark.operators.temporal import sessionize
+from druid_datafusion_bridge_spark.operators.text_pipeline import (
+    domain_mix,
+    hash_unit,
+    stratified_split,
+)
+
+from .conftest import SF_DIR
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# (user, epoch_second, event_id) — tight second range forces gap ties,
+# duplicate timestamps, and single-event sessions
+events_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=7200),
+        st.integers(min_value=0, max_value=10**6),
+    ),
+    max_size=30,
+    unique_by=lambda t: t[2],
+)
+
+
+@pytest.mark.slow
+@given(rows=events_st)
+@SET
+def test_sessionize_differential(spark, rows):
+    schema = "user_id long, sec long, event_id long"
+    df = (
+        spark.createDataFrame(rows or [], schema)
+        .select("user_id", "event_id", F.timestamp_seconds("sec").alias("ts"))
+    )
+    got = sessionize(df, gap_seconds=600)
+    con = duckdb.connect()
+    pdf = pd.DataFrame(rows, columns=["user_id", "sec", "event_id"])
+    con.register("raw", pdf)
+    exp = con.execute(
+        """
+        WITH ev AS (
+          SELECT user_id, event_id, to_timestamp(sec) AS ts FROM raw),
+        laged AS (
+          SELECT user_id, event_id, ts,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          FROM ev),
+        numbered AS (
+          SELECT user_id, ts,
+                 CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 600000000
+                               THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+          FROM laged)
+        SELECT user_id, session_seq,
+               MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us,
+               COUNT(*) AS n_events
+        FROM numbered GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
+        """
+    ).fetchall()
+    got_rows = [
+        (
+            r["user_id"],
+            r["session_seq"],
+            int(r["session_start"].timestamp() * 1_000_000),
+            int(r["session_end"].timestamp() * 1_000_000),
+            r["n_events"],
+        )
+        for r in got.collect()
+    ]
+    assert got_rows == [tuple(r) for r in exp]
+
+
+def test_sessionize_invariants(spark):
+    """Sessions partition the events: counts sum to the table size, and
+    every session respects the gap bound between start and end."""
+    ev = table(spark, SF_DIR, "events")
+    s = sessionize(ev, gap_seconds=1800).cache()
+    try:
+        assert s.agg(F.sum("n_events")).first()[0] == ev.count()
+        # within one session, total span < gap * n_events (each
+        # consecutive hop is <= gap)
+        bad = s.filter(
+            F.unix_micros("session_end") - F.unix_micros("session_start")
+            > F.lit(1800 * 1_000_000) * (F.col("n_events") - 1)
+        )
+        assert bad.count() == 0
+    finally:
+        s.unpersist()
+
+
+def test_split_stable_under_growth(spark):
+    """The defining property of hash-based splitting: restricting the
+    corpus to any subset never changes an existing row's split."""
+    docs = table(spark, SF_DIR, "documents")
+    full = {
+        r["doc_id"]: r["split"]
+        for r in docs.select(
+            "doc_id",
+            F.when(hash_unit("doc_id") < 0.1, "val").otherwise("train").alias(
+                "split"
+            ),
+        ).collect()
+    }
+    subset = docs.filter(F.col("doc_id") % 3 == 0)
+    for r in subset.select(
+        "doc_id",
+        F.when(hash_unit("doc_id") < 0.1, "val").otherwise("train").alias("split"),
+    ).collect():
+        assert full[r["doc_id"]] == r["split"]
+
+
+def test_stratified_split_covers_all_rows(spark):
+    docs = table(spark, SF_DIR, "documents")
+    out = stratified_split(docs, strata_col="lang", val_frac=0.1)
+    assert out.agg(F.sum("n_docs")).first()[0] == docs.count()
+
+
+def test_domain_mix_rates(spark):
+    """Rarest domain keeps rate 1.0; every rate in (0, 1]; kept <= total."""
+    docs = table(spark, SF_DIR, "documents")
+    rows = domain_mix(docs, domain_col="lang", alpha=0.5).collect()
+    assert any(abs(r["rate"] - 1.0) < 1e-12 for r in rows)
+    for r in rows:
+        assert 0.0 < r["rate"] <= 1.0 + 1e-12
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+
+
+def test_int8_quantize_error_bound(spark):
+    """Rounding to the nearest int8 level can be off by at most half a
+    quantization step: max_abs_err <= scale/2 for every vector."""
+    from druid_datafusion_bridge_spark.queries.embedding_ops import (
+        em_int8_quantize,
+    )
+
+    q = em_int8_quantize(spark, SF_DIR)
+    bad = q.filter(F.col("max_abs_err") > F.col("scale") / 2 + 1e-15)
+    assert bad.count() == 0
+    # q_l1 bounds: |q_i| <= 127 per dim, 64 dims
+    assert q.agg(F.max("q_l1")).first()[0] <= 127 * 64
+
+
+def test_vocab_coverage_monotone(spark):
+    from druid_datafusion_bridge_spark.queries.text_pipeline import (
+        txp_vocab_coverage,
+    )
+
+    rows = txp_vocab_coverage(spark, SF_DIR).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    shares = [r["cum_share"] for r in rows]
+    assert all(b >= a for a, b in zip(shares, shares[1:]))
+    counts = [r["cnt"] for r in rows]
+    assert all(b <= a for a, b in zip(counts, counts[1:]))
+    assert shares[-1] <= 1.0 + 1e-12
