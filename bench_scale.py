@@ -38,9 +38,13 @@ from druid_datafusion_bridge_spark.operators.similarity import (
     brute_force_topk,
     lsh_topk,
 )
+from druid_datafusion_bridge_spark.operators.temporal import sessionize
 from druid_datafusion_bridge_spark.operators.text_pipeline import (
+    domain_mix,
     repetition_signals,
     sequence_pack,
+    stratified_split,
+    vocab_top_coverage,
 )
 
 
@@ -87,11 +91,35 @@ def synthetic_embeddings(spark, n: int, dim: int = 64):
     )
 
 
+def synthetic_events(spark, n: int, n_users: int = 50_000):
+    """n deterministic events over n_users users spanning ~30 days, with
+    md5-jittered inter-arrival times so sessionization sees real gaps."""
+    jitter = (
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 7200
+    )
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % n_users).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (F.col("id") / n_users).cast("long") * 600 + jitter
+        ).alias("ts"),
+    )
+
+
 def main() -> None:
     n = int(os.environ.get("SPARK_SCALE_ROWS", "1000000"))
     n_vec = int(os.environ.get("SPARK_SCALE_VECTORS", "100000"))
     spark = get_spark(app_name="ddbs-bench-scale")
     docs = synthetic_docs(spark, n)
+    # skewed synthetic domain label (head domains much larger) so the
+    # temperature mix has real downsampling work
+    docs_dom = docs.withColumn(
+        "lang",
+        F.concat(F.lit("l"), (F.floor(F.sqrt(F.col("doc_id") % 900))).cast("long")),
+    )
+    events = synthetic_events(spark, n)
     emb = synthetic_embeddings(spark, n_vec)
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"),
@@ -106,6 +134,10 @@ def main() -> None:
         "repetition_signals": lambda: repetition_signals(docs),
         "sim_bruteforce_topk": lambda: brute_force_topk(emb, probes, k=10),
         "sim_lsh_topk": lambda: lsh_topk(emb, probes, dim=64, k=10, bits=4),
+        "domain_mix": lambda: domain_mix(docs_dom, domain_col="lang"),
+        "stratified_split": lambda: stratified_split(docs_dom, strata_col="lang"),
+        "vocab_top_coverage": lambda: vocab_top_coverage(docs, top_k=1000),
+        "sessionize": lambda: sessionize(events, gap_seconds=1800),
     }
     timings: dict[str, float] = {}
     for name, fn in ops.items():

@@ -138,3 +138,82 @@ def em_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+@query(
+    "em_truncate_rerank",
+    oracle="""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS q
+      FROM embeddings WHERE vec_id < 5),
+    corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    coarse AS (
+      SELECT p.probe_id, c.vec_id, c.v, p.q,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.probe_id
+               ORDER BY round(list_cosine_similarity(c.v[1:16], p.q[1:16]), 9)
+                          DESC,
+                        c.vec_id) AS crank
+      FROM corpus c CROSS JOIN probes p
+      WHERE c.vec_id <> p.probe_id),
+    rerank AS (
+      SELECT probe_id, vec_id,
+             round(list_cosine_similarity(v, q), 9) AS sim
+      FROM coarse WHERE crank <= 20)
+    SELECT probe_id, vec_id, sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY sim DESC, vec_id) AS BIGINT)
+             AS rank
+    FROM rerank
+    QUALIFY rank <= 5
+    ORDER BY probe_id, rank
+    """,
+)
+def em_truncate_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-to-fine ANN via dimension truncation (the Matryoshka /
+    MRL serving pattern): a first pass scores cosine on only the first
+    16 of 64 dimensions — 4x less arithmetic and memory traffic per
+    candidate — keeps the top-20 per probe, then reranks just those 20
+    with the exact full-dimension cosine for the final top-5.
+
+    Scale shape: probes broadcast; the corpus is scanned ONCE computing
+    the cheap truncated score; the expensive full-dim cosine touches 20
+    rows per probe instead of the whole corpus. Both phases are
+    per-probe windows over (probe_id)-partitioned candidates. Ranking
+    happens on 9-decimal-rounded sims with a vec_id tie-break, so the
+    selection is bit-deterministic cross-engine."""
+    from ..operators.similarity import as_double_vec, cosine
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"),
+        as_double_vec(F.col("embedding")).alias("q"),
+    )
+    corpus = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+    from pyspark.sql import Window as W
+
+    coarse_sim = F.round(
+        cosine(F.slice(F.col("v"), 1, 16), F.slice(F.col("q"), 1, 16)), 9
+    )
+    wc = W.partitionBy("probe_id").orderBy(
+        F.col("csim").desc(), F.col("vec_id")
+    )
+    cand = (
+        corpus.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("csim", coarse_sim)
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= 20)
+    )
+    wr = W.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        cand.select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("q")), 9).alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .orderBy("probe_id", "rank")
+    )
