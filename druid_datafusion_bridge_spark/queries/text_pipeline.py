@@ -299,3 +299,113 @@ def txp_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/text_pipeline.vocab_top_coverage."""
     docs = table(spark, sf_dir, "documents")
     return vocab_top_coverage(docs, top_k=100)
+
+
+@query(
+    "txp_trigram_familiarity",
+    oracle="""
+    WITH tri AS (
+      SELECT doc_id, substr(text, s.i, 3) AS g
+      FROM documents, unnest(generate_series(1, length(text) - 2)) AS s(i)
+      WHERE length(text) >= 3),
+    model AS (
+      SELECT g FROM (
+        SELECT g, COUNT(*) AS c FROM tri GROUP BY g
+        ORDER BY c DESC, g LIMIT 500)),
+    scored AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_tri,
+             CAST(SUM(CASE WHEN m.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits
+      FROM tri t LEFT JOIN model m ON t.g = m.g
+      GROUP BY t.doc_id)
+    SELECT doc_id, n_tri, n_hits,
+           n_hits / CAST(n_tri AS DOUBLE) AS familiarity
+    FROM scored ORDER BY doc_id
+    """,
+)
+def txp_trigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring, CCNet-shaped but exact: a character
+    trigram model is TRAINED on the corpus itself (global trigram
+    counts, top-500 head kept), then every document is scored by the
+    fraction of its trigrams that the model recognizes — unfamiliar
+    character soup scores low, prose in the corpus's languages scores
+    high. Integer hit-counting instead of log-probabilities keeps the
+    score bit-exact across engines (one final double division).
+
+    Scale shape: train = explode + count on the trigram key (map-side
+    partials; key space is bounded by charset^3) + distributed top-k;
+    score = ONE corpus pass joined against the BROADCAST model head.
+    Nothing quadratic, nothing collected."""
+    docs = table(spark, sf_dir, "documents")
+    tri = docs.filter(F.length("text") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+        ).alias("g"),
+    )
+    model = (
+        tri.groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "g")
+        .limit(500)
+        .select("g", F.lit(1).alias("hit"))
+    )
+    return (
+        tri.join(F.broadcast(model), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tri"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_tri",
+            "n_hits",
+            (F.col("n_hits") / F.col("n_tri")).alias("familiarity"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "txp_token_budget",
+    oracle="""
+    WITH per AS (
+      SELECT source, lang, COUNT(*) AS n_docs,
+             CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+')))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source, lang)
+    SELECT source, lang, n_docs, n_tokens,
+           n_tokens / CAST((SELECT SUM(n_tokens) FROM per) AS DOUBLE)
+             AS token_share
+    FROM per ORDER BY source, lang
+    """,
+)
+def txp_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture accounting: per (source, language) document and
+    token totals with each cell's share of the whole token budget — the
+    table every dataset card and mixture-rebalancing decision starts
+    from. One aggregate over integer token counts (exact under any
+    partitioning) plus a broadcast of the single-row grand total."""
+    docs = table(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z0-9]+"), 0))
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("total_tokens"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens") / F.col("total_tokens")).alias("token_share"),
+        )
+        .orderBy("source", "lang")
+    )
