@@ -1,7 +1,9 @@
 """Training-data pipeline operators beyond analysis: sequence packing,
-repetition signals, benchmark-contamination checks, and PII-style
-redaction. All pure DataFrame compositions over JVM built-ins — these
-run inside whole-stage codegen and distribute by construction.
+repetition signals, benchmark-contamination checks, PII-style
+redaction, and the curation layer (hash-unit sampling, temperature
+domain mixing, stratified splits, vocabulary coverage). All pure
+DataFrame compositions over JVM built-ins — these run inside
+whole-stage codegen and distribute by construction.
 
 Scale posture (100 TB):
 - sequence packing is shard-local: a window keyed on (shard) packs each

@@ -1,7 +1,10 @@
 """Registry queries for the training-data pipeline operators (build
 mandate, beyond the reference's surface): sequence packing, repetition
-signals, contamination checks, redaction. Each carries an exact DuckDB
-oracle that recomputes the same deterministic result in SQL."""
+signals, contamination checks, redaction, temperature domain mixing,
+deterministic stratified splits, vocabulary coverage, corpus-trained
+trigram quality scoring, token-budget accounting, and the composed
+end-to-end curation pipeline. Each carries an exact DuckDB oracle that
+recomputes the same deterministic result in SQL."""
 
 from __future__ import annotations
 
@@ -408,4 +411,83 @@ def txp_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_tokens") / F.col("total_tokens")).alias("token_share"),
         )
         .orderBy("source", "lang")
+    )
+
+
+@query(
+    "txp_curation_pipeline",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang, text, md5(text) AS fp,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+               AS nt
+      FROM documents),
+    keep_fp AS (SELECT fp, MIN(doc_id) AS keep_id FROM s GROUP BY fp),
+    counts AS (SELECT lang, COUNT(*) AS n_docs FROM s GROUP BY lang),
+    rates AS (
+      SELECT lang,
+             sqrt((SELECT MIN(n_docs) FROM counts) / CAST(n_docs AS DOUBLE))
+               AS rate
+      FROM counts)
+    SELECT s.doc_id, s.lang,
+           CASE WHEN CAST('0x' || substr(md5('split:' ||
+                        CAST(s.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                     / 1152921504606846976.0 < 0.1
+                THEN 'val' ELSE 'train' END AS split,
+           s.nt AS n_tokens
+    FROM s
+    JOIN keep_fp k ON k.fp = s.fp AND k.keep_id = s.doc_id
+    JOIN rates r ON r.lang = s.lang
+    WHERE s.nt >= 20
+      AND CAST('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) / 1152921504606846976.0 < r.rate
+    ORDER BY s.doc_id
+    """,
+)
+def txp_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern curation recipe as ONE Catalyst plan: exact dedup
+    (keep lowest doc_id per content fingerprint) -> quality floor
+    (>= 20 tokens) -> temperature language mix (alpha=0.5, md5
+    hash-unit membership) -> deterministic 90/10 train/val split on an
+    INDEPENDENTLY-salted hash (the 'split:' salt decorrelates split
+    membership from mix membership — reusing one hash would make val
+    systematically under-sampled from downsampled languages). Emits
+    (doc_id, lang, split, n_tokens) ready for sequence packing.
+
+    Scale shape: one aggregate for the fingerprint keeper, one tiny
+    broadcast rate table, stateless hash filters — the corpus is
+    shuffled exactly once (on fp)."""
+    docs = table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("fp"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z0-9]+"), 0))
+        .cast("long")
+        .alias("nt"),
+    )
+    keep = s.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    counts = s.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    min_n = counts.agg(F.min("n_docs").alias("min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        "lang", F.sqrt(F.col("min_n") / F.col("n_docs")).alias("rate")
+    )
+    unit = lambda c: (  # noqa: E731
+        F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+        / F.lit(float(16**15))
+    )
+    mix_u = unit(F.col("doc_id").cast("string"))
+    split_u = unit(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+    return (
+        s.join(keep, "fp")
+        .filter(F.col("keep_id") == F.col("doc_id"))
+        .join(F.broadcast(rates), "lang")
+        .filter((F.col("nt") >= 20) & (mix_u < F.col("rate")))
+        .select(
+            "doc_id",
+            "lang",
+            F.when(split_u < 0.1, "val").otherwise("train").alias("split"),
+            F.col("nt").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
     )
