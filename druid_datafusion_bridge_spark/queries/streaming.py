@@ -248,3 +248,35 @@ def st_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(
         table(spark, sf_dir, "events"), key_col="user_id", gap_seconds=1800
     )
+
+
+@query(
+    "st_topn_rollup",
+    oracle="""
+    WITH agg AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY user_id)
+    SELECT user_id, n_events, sum_value
+    FROM agg ORDER BY sum_value DESC, user_id LIMIT 10
+    """,
+)
+def st_topn_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming leaderboard: complete-mode per-user rollup over the
+    stream, with the final top-10 by accumulated value taken on the
+    materialized complete-mode table (Structured Streaming cannot sort
+    an unbounded aggregate mid-stream; the top-N is a query over the
+    result table, mirroring how Druid brokers serve topN over
+    ingest-time rollups). Run to completion it must equal the batch
+    top-10 exactly; the tie-break on user_id makes the cut
+    deterministic."""
+    from pyspark.sql import functions as F
+
+    from ..queries.exact import exact_sum
+
+    ev = stream_events(spark, sf_dir)
+    rollup = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), exact_sum("value", "sum_value")
+    )
+    done = _finish(rollup, spark, "st_topn_out", "complete")
+    return done.orderBy(F.col("sum_value").desc(), "user_id").limit(10)

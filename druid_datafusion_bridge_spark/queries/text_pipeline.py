@@ -491,3 +491,43 @@ def txp_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "txp_group_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 15) AS BIGINT),
+                        doc_id) AS rnk
+      FROM documents)
+    SELECT lang, doc_id, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 10
+    ORDER BY lang, rnk
+    """,
+)
+def txp_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k sample per stratum (k=10 docs per
+    language): rank rows inside each stratum by their md5 hash value
+    and keep the k smallest — a reproducible per-domain holdout that,
+    unlike reservoir sampling, yields the SAME k documents on every
+    engine, run, and (mostly) under corpus growth. One window per
+    stratum; stratum cardinality provides the parallelism, and per-row
+    window state is a single counter."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = W.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        docs.select(
+            "lang", "doc_id", F.row_number().over(w).cast("long").alias("rnk")
+        )
+        .filter(F.col("rnk") <= 10)
+        .orderBy("lang", "rnk")
+    )
