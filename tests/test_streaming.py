@@ -185,3 +185,62 @@ def test_stream_definable_before_source_exists(spark, tmp_path):
         assert got == batch.count()
     finally:
         q.stop()
+
+
+def test_checkpoint_restart_exactly_once(spark, batch_events, tmp_path):
+    """Kill-and-resume semantics: the same aggregation restarted from
+    its checkpoint after a partial run must converge to exactly the
+    batch answer — no dropped or double-counted micro-batches. The
+    events table is re-staged as multiple files with
+    maxFilesPerTrigger=1 so the first run genuinely stops mid-stream."""
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    batch_events.repartition(5).write.parquet(str(src))
+
+    def stream():
+        ev = (
+            spark.readStream.schema(batch_events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        return ev.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+
+    # phase 1: process a strict prefix of the files, then stop
+    q1 = (
+        stream()
+        .writeStream.format("memory")
+        .queryName("ckpt_phase1")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    import time as _t
+
+    while len(q1.recentProgress) < 2:  # at least 2 of 5 micro-batches
+        _t.sleep(0.2)
+    q1.stop()
+    q1.awaitTermination()
+
+    # phase 2: resume from the SAME checkpoint, drain to the end
+    q2 = (
+        stream()
+        .writeStream.format("memory")
+        .queryName("ckpt_phase2")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+
+    got = _rows(spark.table("ckpt_phase2"))
+    want = _rows(
+        batch_events.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    assert got == want
