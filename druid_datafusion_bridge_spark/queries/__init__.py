@@ -49,8 +49,12 @@ def load_all() -> None:
     the back of the rotation.
 
     NEXT ROTATION (r5, after the r4 driver has run): front-load the
-    still-never-sampled modules — text_pipeline, multimodal, tpch,
-    tpch_full, tpch_subqueries — then whatever r4's sample missed.
+    still-never-sampled modules — text_pipeline (incl. the curation
+    queries added in r4), multimodal, embedding_ops, tpch, tpch_full,
+    tpch_subqueries, plus streaming's tail (st_stream_static_join,
+    st_stream_stream_join, st_batch_sessionize, st_topn_rollup sit
+    past position 50 in the r4 order) — then whatever r4's sample
+    missed.
     """
     from . import (  # noqa: F401
         windows,

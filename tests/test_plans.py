@@ -264,3 +264,13 @@ def test_every_query_compiles_jvm_side(spark):
         if any(m in plan for m in MARKERS) and name not in ALLOWED_PYTHON:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_a12_distinct_rollup_has_no_expand(spark):
+    """a12 counts distinct users alongside plain aggregates; the naive
+    countDistinct formulation makes Spark insert an Expand node that
+    doubles every input row before the shuffle. The two-level rewrite
+    must keep the plan Expand-free."""
+    df = all_queries()["a12_time_bucket"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
