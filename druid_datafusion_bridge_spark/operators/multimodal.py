@@ -399,3 +399,65 @@ def wav_amplitude_stats(blobs: DataFrame) -> DataFrame:
             )
 
     return blobs.mapInPandas(run, schema=WAV_STATS_SCHEMA)
+
+
+PPM_RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, out_w int, out_h int, "
+    "sum_resized long, mean_resized double"
+)
+
+
+def ppm_resize_stats(blobs: DataFrame, out_w: int = 2, out_h: int = 2) -> DataFrame:
+    """REAL image resize: decode each P6 payload (pure-numpy decoder),
+    nearest-neighbor downsample to (out_w, out_h) with the floor
+    mapping sy = ty*h // out_h, sx = tx*w // out_w, and emit the
+    resized image's integer pixel sum + mean. Because nearest-neighbor
+    selects exact source pixels, the generator's closed-form pixel law
+    predicts every output byte — a SQL oracle can check a real resize
+    end-to-end. Arrow-batched mapInPandas; nothing collected."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Closure-shipped decoder copy (driver unpickles off-sys.path).
+        import numpy as np
+
+        def decode(data: bytes):
+            if data[:2] != b"P6":
+                raise ValueError("not a P6 PPM")
+            pos, tokens = 2, []
+            while len(tokens) < 3:
+                while pos < len(data) and data[pos : pos + 1].isspace():
+                    pos += 1
+                start = pos
+                while pos < len(data) and not data[pos : pos + 1].isspace():
+                    pos += 1
+                tokens.append(int(data[start:pos]))
+            pos += 1
+            w, h, maxval = tokens
+            if maxval != 255:
+                raise ValueError(f"unsupported maxval {maxval}")
+            pix = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+            return w, h, pix.reshape(h, w, 3)
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, pix = decode(bytes(payload))
+                sy = (np.arange(out_h) * h) // out_h
+                sx = (np.arange(out_w) * w) // out_w
+                small = pix[sy][:, sx]
+                s = int(small.sum(dtype=np.int64))
+                rows.append(
+                    (
+                        int(doc_id), w, h, out_w, out_h,
+                        s, s / (out_w * out_h * 3),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "out_w", "out_h",
+                    "sum_resized", "mean_resized",
+                ],
+            )
+
+    return blobs.mapInPandas(run, schema=PPM_RESIZE_SCHEMA)

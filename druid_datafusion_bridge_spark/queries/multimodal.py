@@ -268,3 +268,41 @@ def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return wav_amplitude_stats(with_wav_payload(docs))
+
+
+@query(
+    "mm_ppm_resize",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      FROM documents),
+    cells AS (
+      SELECT d.doc_id, d.w, d.h,
+             (ty.o * d.h) // 2 AS sy, (tx.o * d.w) // 2 AS sx, ch.o AS ch
+      FROM d,
+           (VALUES (0), (1)) ty(o),
+           (VALUES (0), (1)) tx(o),
+           (VALUES (0), (1), (2)) ch(o))
+    SELECT doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(2 AS INT) AS out_w, CAST(2 AS INT) AS out_h,
+           CAST(SUM((doc_id * 7 + ((sy * w + sx) * 3 + ch) * 13) % 256)
+                AS BIGINT) AS sum_resized,
+           CAST(SUM((doc_id * 7 + ((sy * w + sx) * 3 + ch) * 13) % 256)
+                AS DOUBLE) / 12 AS mean_resized
+    FROM cells
+    GROUP BY doc_id, w, h
+    ORDER BY doc_id
+    """,
+)
+def mm_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL end-to-end image resize: generate a valid P6 PPM per doc
+    (closed-form pixel law), decode it with the pure-numpy decoder,
+    nearest-neighbor downsample to 2x2, and report the resized pixel
+    sum/mean. Nearest-neighbor picks exact source pixels, so the SQL
+    oracle recomputes every output byte from the pixel law — the decode
+    AND the resample arithmetic are both verified, not just plumbing."""
+    from ..operators.multimodal import ppm_resize_stats, with_ppm_payload
+
+    docs = table(spark, sf_dir, "documents")
+    return ppm_resize_stats(with_ppm_payload(docs), out_w=2, out_h=2)
