@@ -461,3 +461,69 @@ def ppm_resize_stats(blobs: DataFrame, out_w: int = 2, out_h: int = 2) -> DataFr
             )
 
     return blobs.mapInPandas(run, schema=PPM_RESIZE_SCHEMA)
+
+
+WAV_RESAMPLE_SCHEMA = (
+    "doc_id long, sample_rate long, out_rate long, n_in long, n_out long, "
+    "sum_out long, peak_out long"
+)
+
+
+def wav_resample_stats(blobs: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL audio resample by integer decimation: decode each PCM WAV
+    (pure-numpy RIFF walker), keep every ``factor``-th sample, and emit
+    the downsampled stream's stats at the reduced rate. Decimation
+    selects exact source samples, so the generator's closed-form sample
+    law predicts every output value — a SQL oracle verifies the decode
+    AND the resampling. Arrow-batched mapInPandas; nothing collected."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Closure-shipped decoder copy (driver may unpickle outside the
+        # repo's sys.path).
+        import struct
+
+        import numpy as np
+
+        def decode(data: bytes):
+            if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE file")
+            pos, rate, samples = 12, None, None
+            while pos + 8 <= len(data):
+                cid = data[pos : pos + 4]
+                (size,) = struct.unpack_from("<I", data, pos + 4)
+                body = pos + 8
+                if cid == b"fmt ":
+                    fmt, channels, rate = struct.unpack_from("<HHI", data, body)
+                    (bits,) = struct.unpack_from("<H", data, body + 14)
+                    if fmt != 1 or channels != 1 or bits != 16:
+                        raise ValueError("only 16-bit mono PCM supported")
+                elif cid == b"data":
+                    samples = np.frombuffer(
+                        data, dtype="<i2", count=size // 2, offset=body
+                    )
+                pos = body + size + (size & 1)
+            if rate is None or samples is None:
+                raise ValueError("missing fmt or data chunk")
+            return rate, samples
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, samples = decode(bytes(payload))
+                out = samples[::factor].astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id), int(rate), int(rate // factor),
+                        int(len(samples)), int(len(out)),
+                        int(out.sum()), int(np.abs(out).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "out_rate", "n_in", "n_out",
+                    "sum_out", "peak_out",
+                ],
+            )
+
+    return blobs.mapInPandas(run, schema=WAV_RESAMPLE_SCHEMA)

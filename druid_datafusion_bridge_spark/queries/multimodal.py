@@ -306,3 +306,36 @@ def mm_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return ppm_resize_stats(with_ppm_payload(docs), out_w=2, out_h=2)
+
+
+@query(
+    "mm_wav_resample",
+    oracle="""
+    WITH d AS (SELECT doc_id, 64 + doc_id % 129 AS n FROM documents),
+    j AS (
+      SELECT doc_id, n, unnest(generate_series(0, (n + 1) // 2 - 1)) AS j
+      FROM d),
+    s AS (
+      SELECT doc_id, n,
+             (doc_id * 31 + (2 * j) * 17) % 65536 - 32768 AS v
+      FROM j)
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(4000 AS BIGINT) AS out_rate,
+           CAST(MAX(n) AS BIGINT) AS n_in,
+           COUNT(*) AS n_out,
+           CAST(SUM(v) AS BIGINT) AS sum_out,
+           CAST(MAX(abs(v)) AS BIGINT) AS peak_out
+    FROM s GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def mm_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL end-to-end audio resample: generate a valid 8 kHz PCM WAV
+    per doc (closed-form sample law), decode it with the pure-numpy
+    RIFF walker, decimate 2:1 to 4 kHz, and report the downsampled
+    stream's integer stats. Decimation keeps exact source samples, so
+    the oracle recomputes every output value from the sample law."""
+    from ..operators.multimodal import wav_resample_stats, with_wav_payload
+
+    docs = table(spark, sf_dir, "documents")
+    return wav_resample_stats(with_wav_payload(docs), factor=2)

@@ -255,7 +255,8 @@ def test_every_query_compiles_jvm_side(spark):
     from druid_datafusion_bridge_spark.plans import formatted_plan
 
     ALLOWED_PYTHON = {"mm_feature_extract", "mm_resize", "mm_ppm_decode",
-                      "mm_ppm_resize", "mm_wav_decode"}
+                      "mm_ppm_resize", "mm_wav_decode",
+                      "mm_wav_resample"}
     MARKERS = ["BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                "FlatMapGroupsInPandas"]
     offenders = []
