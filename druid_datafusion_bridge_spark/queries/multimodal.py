@@ -339,3 +339,39 @@ def mm_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return wav_resample_stats(with_wav_payload(docs), factor=2)
+
+
+@query(
+    "mm_video_frames",
+    oracle="""
+    WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS n_frames FROM documents),
+    f AS (
+      SELECT doc_id, unnest(generate_series(0, n_frames - 1)) AS frame_idx
+      FROM d),
+    sampled AS (SELECT doc_id, frame_idx FROM f WHERE frame_idx % 2 = 0),
+    px AS (
+      SELECT doc_id, frame_idx, unnest(generate_series(0, 35)) AS i
+      FROM sampled)
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(4 AS INT) AS width, CAST(3 AS INT) AS height,
+           CAST(SUM((doc_id * 7 + frame_idx * 11 + i * 13) % 256) AS BIGINT)
+             AS sum_pix,
+           CAST(SUM((doc_id * 7 + frame_idx * 11 + i * 13) % 256) AS DOUBLE)
+             / 36 AS mean_pix
+    FROM px
+    GROUP BY doc_id, frame_idx
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-pipeline shape end-to-end: a multi-frame container of
+    concatenated P6 frames per doc is walked frame-by-frame (each
+    header parsed to find the next boundary), every 2nd frame is kept
+    (temporal sampling) and decoded, and per-frame pixel stats come
+    out — one output row per sampled frame. The closed-form frame/pixel
+    law lets the oracle recompute every byte of every sampled frame, so
+    container parsing, frame sampling, AND decode are all verified."""
+    from ..operators.multimodal import video_frame_stats, with_video_payload
+
+    docs = table(spark, sf_dir, "documents")
+    return video_frame_stats(with_video_payload(docs), every=2)
