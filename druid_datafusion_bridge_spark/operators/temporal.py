@@ -133,8 +133,13 @@ def sessionize(
     tiebreak_col: str = "event_id",
 ) -> DataFrame:
     """Batch sessionization (gaps-and-islands): within each key, a new
-    session starts when the gap to the previous event exceeds
-    ``gap_seconds``; the session id is the running count of such breaks.
+    session starts when the gap to the previous event EXCEEDS
+    ``gap_seconds`` (strict >: an event at exactly last_ts + gap merges
+    into the running session — verified against Spark's own
+    session_window, which merges while next_start <= prev_end, in
+    tests/test_temporal.py; so this operator is a drop-in batch
+    backfill for the streaming session rollup); the session id is the
+    running count of such breaks.
     The batch counterpart of Structured Streaming's session window
     (streaming/events.py), for backfills over historical data.
 

@@ -239,9 +239,11 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def st_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch gaps-and-islands sessionization (30-min inactivity gap) —
     the backfill counterpart of st_session_rollup's streaming session
-    window, over the same events table. One shuffle on user_id, two
-    linear window passes; see operators/temporal.sessionize for the
-    scale shape."""
+    window, over the same events table, with the same gap convention
+    (strict >: a gap of exactly the threshold merges, Spark's
+    session_window semantics — tests/test_temporal.py). One
+    shuffle on user_id, two linear window passes; see
+    operators/temporal.sessionize for the scale shape."""
     from ..catalog import table
     from ..operators.temporal import sessionize
 

@@ -77,3 +77,47 @@ def test_range_join_crosses_band_boundary(spark):
         left, right, on="user_id", lower_seconds=0, upper_seconds=30
     ).collect()
     assert [r["event_id_right"] for r in got] == [200]
+
+
+def test_sessionize_matches_spark_session_window(spark):
+    """The batch gaps-and-islands operator must reproduce Spark's own
+    session_window partitioning exactly: same sessions, same starts,
+    same event counts — so a batch backfill and the streaming session
+    rollup agree on every boundary. The planted edge rows pin the
+    subtle case: an event at precisely last_ts + gap MERGES into the
+    running session (session_window merges while next_start <=
+    prev_end), so the break test must be strict >."""
+    from pyspark.sql import functions as F
+
+    from druid_datafusion_bridge_spark.catalog import table
+    from druid_datafusion_bridge_spark.operators.temporal import sessionize
+
+    from .conftest import SF_DIR
+
+    ev = table(spark, SF_DIR, "events")
+    # exact-boundary rows: user 999999 with events exactly 300 s apart
+    edge = spark.createDataFrame(
+        [(10**9 + i, dt.datetime(2024, 1, 1, 0, 5 * i), 999999, "x", 0.0, "{}")
+         for i in range(3)],
+        ev.schema,
+    )
+    ev = ev.unionByName(edge)
+    ours = sessionize(ev, gap_seconds=300)
+    want = (
+        ev.groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    a = sorted(
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in ours.collect()
+    )
+    b = sorted(
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in want.collect()
+    )
+    assert a == b
