@@ -304,6 +304,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     probe_id_col: str = "probe_id",
+    fit_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into inverted lists,
     score a probe only against its nprobe nearest cells.
@@ -315,6 +316,14 @@ def ivf_topk(
     everywhere. Cell assignment is one broadcast-join argmax pass; at
     100 TB the corpus would be written partitioned by cell so probes
     prune input partitions (same storage trick as the LSH variant).
+
+    ``fit_corpus`` (optional) trains the quantizer on a different — in
+    practice, earlier — corpus than the one indexed: the index-
+    MAINTENANCE path. Appending a new batch assigns it to the FROZEN
+    centroids (one stateless broadcast-argmax pass over just the new
+    rows, unioned into the cell-partitioned store); re-clustering 100 TB
+    on every append would be absurd, and frozen centroids keep existing
+    cell assignments (hence the on-disk partition layout) stable.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -324,9 +333,19 @@ def ivf_topk(
             F.col(id_col).alias("vec_id"), as_double_vec(F.col(vec_col)).alias("v")
         )
     )
+    fit_c = (
+        c
+        if fit_corpus is None
+        else spread(
+            fit_corpus.select(
+                F.col(id_col).alias("vec_id"),
+                as_double_vec(F.col(vec_col)).alias("v"),
+            )
+        )
+    )
     model = KMeans(
         k=n_centroids, seed=7, maxIter=20, distanceMeasure="cosine"
-    ).fit(c.select(array_to_vector(F.col("v")).alias("features")))
+    ).fit(fit_c.select(array_to_vector(F.col("v")).alias("features")))
     cents = c.sparkSession.createDataFrame(
         [
             (i, [float(x) for x in center])

@@ -217,3 +217,31 @@ def em_truncate_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .orderBy("probe_id", "rank")
     )
+
+
+@query(
+    "sim_ivf_incremental",
+    oracle="""
+    SELECT vec_id AS probe_id, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 5 ORDER BY probe_id
+    """,
+)
+def sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index MAINTENANCE: the coarse quantizer is trained only on
+    the prior corpus (vec_id < 400) and FROZEN; the new batch
+    (vec_id >= 400) is appended by assigning it to the existing
+    centroids — one stateless broadcast-argmax pass over just the new
+    rows, no re-clustering, existing cell assignments (and hence the
+    cell-partitioned storage layout) untouched. Search runs over the
+    combined index and must still meet the same per-probe recall
+    contract as the from-scratch IVF (floor 0.4 vs the exact
+    brute-force top-10 over the FULL corpus, old + new)."""
+    from ..operators.similarity import brute_force_topk, ivf_topk
+    from .similarity import _probes, _recall_contract
+
+    emb = table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") < 400)
+    probes = _probes(emb)
+    ann = ivf_topk(emb, probes, k=10, n_centroids=16, nprobe=8, fit_corpus=old)
+    exact = brute_force_topk(emb, probes, k=10)
+    return _recall_contract(ann, exact, floor=0.4)
