@@ -259,3 +259,53 @@ def vocab_top_coverage(
         )
         .orderBy("rank")
     )
+
+
+def trigram_familiarity(
+    docs: DataFrame,
+    model_size: int = 500,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-trained character-trigram quality score: global trigram
+    counts, top-``model_size`` head kept (count desc, trigram asc — the
+    tie-break makes the model deterministic), each document scored by
+    the fraction of its trigram occurrences the model recognizes.
+    Integer hit counting keeps the score bit-exact across engines; the
+    only float op is one final division.
+
+    Scale shape: train = explode + count on the trigram key (bounded by
+    charset^3, map-side partials) + distributed top-k; score = ONE
+    corpus pass against the BROADCAST model head. Docs shorter than 3
+    chars have no trigrams and are excluded (score undefined)."""
+    tri = docs.filter(F.length(text_col) >= 3).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({text_col}) - 2),"
+                f" i -> substring({text_col}, i, 3))"
+            )
+        ).alias("g"),
+    )
+    model = (
+        tri.groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "g")
+        .limit(model_size)
+        .select("g", F.lit(1).alias("hit"))
+    )
+    return (
+        tri.join(F.broadcast(model), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tri"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_tri",
+            "n_hits",
+            (F.col("n_hits") / F.col("n_tri")).alias("familiarity"),
+        )
+        .orderBy("doc_id")
+    )

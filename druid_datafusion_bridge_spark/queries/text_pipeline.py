@@ -17,6 +17,7 @@ from ..operators.text_pipeline import (
     contamination_check,
     domain_mix,
     redact,
+    trigram_familiarity,
     repetition_signals,
     sequence_pack,
     stratified_split,
@@ -341,34 +342,7 @@ def txp_trigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = ONE corpus pass joined against the BROADCAST model head.
     Nothing quadratic, nothing collected."""
     docs = table(spark, sf_dir, "documents")
-    tri = docs.filter(F.length("text") >= 3).select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
-        ).alias("g"),
-    )
-    model = (
-        tri.groupBy("g")
-        .agg(F.count("*").alias("c"))
-        .orderBy(F.col("c").desc(), "g")
-        .limit(500)
-        .select("g", F.lit(1).alias("hit"))
-    )
-    return (
-        tri.join(F.broadcast(model), "g", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tri"),
-            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
-        )
-        .select(
-            "doc_id",
-            "n_tri",
-            "n_hits",
-            (F.col("n_hits") / F.col("n_tri")).alias("familiarity"),
-        )
-        .orderBy("doc_id")
-    )
+    return trigram_familiarity(docs, model_size=500)
 
 
 @query(

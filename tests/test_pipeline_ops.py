@@ -172,3 +172,63 @@ def test_vocab_coverage_monotone(spark):
     counts = [r["cnt"] for r in rows]
     assert all(b <= a for a, b in zip(counts, counts[1:]))
     assert shares[-1] <= 1.0 + 1e-12
+
+
+# short/empty/duplicate texts force the len<3 exclusion, tie-heavy
+# models, and 100%-familiar docs
+docs_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10**6),
+        st.sampled_from(
+            ["", "ab", "abc", "abcabc", "the cat sat", "zzzzzz", "q",
+             "the cat sat on the mat", "xy xy xy"]
+        ),
+    ),
+    max_size=20,
+    unique_by=lambda t: t[0],
+)
+
+
+@pytest.mark.slow
+@given(rows=docs_st)
+@SET
+def test_trigram_familiarity_differential(spark, rows):
+    from druid_datafusion_bridge_spark.operators.text_pipeline import (
+        trigram_familiarity,
+    )
+
+    df = spark.createDataFrame(rows or [], "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["n_tri"], r["n_hits"], round(r["familiarity"], 12))
+        for r in trigram_familiarity(df, model_size=3).collect()
+    )
+    if not rows:
+        # empty corpus: nothing scored (DuckDB can't type an empty
+        # registered frame for the oracle query)
+        assert got == []
+        return
+    con = duckdb.connect()
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    con.register("documents", pdf)
+    exp = con.execute(
+        """
+        WITH tri AS (
+          SELECT doc_id, substr(text, s.i, 3) AS g
+          FROM documents, unnest(generate_series(1, length(text) - 2)) AS s(i)
+          WHERE length(text) >= 3),
+        model AS (
+          SELECT g FROM (
+            SELECT g, COUNT(*) AS c FROM tri GROUP BY g
+            ORDER BY c DESC, g LIMIT 3)),
+        scored AS (
+          SELECT t.doc_id, COUNT(*) AS n_tri,
+                 CAST(SUM(CASE WHEN m.g IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_hits
+          FROM tri t LEFT JOIN model m ON t.g = m.g
+          GROUP BY t.doc_id)
+        SELECT doc_id, n_tri, n_hits,
+               round(n_hits / CAST(n_tri AS DOUBLE), 12) AS familiarity
+        FROM scored ORDER BY doc_id
+        """
+    ).fetchall()
+    assert got == [tuple(r) for r in exp]
