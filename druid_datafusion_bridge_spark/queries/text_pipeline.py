@@ -505,3 +505,50 @@ def txp_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .orderBy("lang", "rnk")
     )
+
+
+@query(
+    "txp_bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    pairs AS (
+      SELECT substr(w, s.i, 2) AS pair
+      FROM words, unnest(generate_series(1, length(w) - 1)) AS s(i)
+      WHERE length(w) >= 2),
+    counts AS (SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY pair)
+    SELECT pair, cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank
+    FROM counts
+    ORDER BY cnt DESC, pair LIMIT 20
+    """,
+)
+def txp_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-training primitive: global adjacent character-pair
+    frequencies within words — each top pair is what a BPE trainer
+    would merge next. One explode to word-internal pairs, one count on
+    the pair key (bounded by charset^2, map-side partials absorb
+    duplicates), distributed top-20 with a deterministic (count desc,
+    pair asc) tie-break. The iterative merge loop is a driver-side
+    re-run of this primitive on re-tokenized text; the heavy lifting —
+    this counting pass — is the distributed part."""
+    words = table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    pairs = words.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count("*").alias("cnt"))
+    top = counts.orderBy(F.col("cnt").desc(), "pair").limit(20)
+    from pyspark.sql import Window as W
+
+    return top.select(
+        "pair",
+        "cnt",
+        F.row_number()
+        .over(W.orderBy(F.col("cnt").desc(), "pair"))
+        .cast("long")
+        .alias("rank"),
+    ).orderBy("rank")
