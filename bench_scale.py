@@ -44,6 +44,7 @@ from druid_datafusion_bridge_spark.operators.text_pipeline import (
     repetition_signals,
     sequence_pack,
     stratified_split,
+    trigram_familiarity,
     vocab_top_coverage,
 )
 
@@ -138,6 +139,7 @@ def main() -> None:
         "stratified_split": lambda: stratified_split(docs_dom, strata_col="lang"),
         "vocab_top_coverage": lambda: vocab_top_coverage(docs, top_k=1000),
         "sessionize": lambda: sessionize(events, gap_seconds=1800),
+        "trigram_familiarity": lambda: trigram_familiarity(docs, model_size=500),
     }
     timings: dict[str, float] = {}
     for name, fn in ops.items():

@@ -88,3 +88,68 @@ def test_wav_decoder_exact_samples():
                    + stereo_fmt + dat)
     with _pytest.raises(ValueError):
         decode_wav(b"OggS" + bytes(40))
+
+
+def test_decoders_reject_malformed_input():
+    """Every real decoder must fail loudly on garbage, truncation, and
+    unsupported variants — silent misdecodes would poison a pipeline."""
+    import numpy as np
+    import pytest
+
+    from druid_datafusion_bridge_spark.operators.multimodal import (
+        decode_ppm,
+        decode_wav,
+    )
+
+    with pytest.raises(ValueError):
+        decode_ppm(b"JFIF not a ppm")
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n65535\n" + b"\x00" * 12)  # 16-bit maxval
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS not a riff")
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x24\x00\x00\x00WAVE")  # no fmt/data chunks
+    # stereo fmt chunk must be rejected (only mono supported)
+    import struct
+
+    stereo = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError):
+        decode_wav(stereo)
+
+
+def test_video_walker_parses_variable_frame_streams():
+    """The container walker must locate frame boundaries by parsing each
+    header — verified with frames of DIFFERENT sizes back to back, which
+    any fixed-stride assumption would misparse."""
+    import numpy as np
+
+    from druid_datafusion_bridge_spark.operators.multimodal import (
+        video_frame_stats,
+    )
+
+    # build via the internal generator shape: two frames, 1x1 then 2x2
+    f0 = b"P6\n1 1\n255\n" + bytes([1, 2, 3])
+    f1 = b"P6\n2 2\n255\n" + bytes(range(12))
+    f2 = b"P6\n1 2\n255\n" + bytes([9] * 6)
+    payload = f0 + f1 + f2
+
+    # run the walker's inner logic through the public operator on a
+    # one-row DataFrame
+    from druid_datafusion_bridge_spark.session import get_spark
+
+    spark = get_spark()
+    blobs = spark.createDataFrame(
+        [(7, bytearray(payload))], "doc_id long, payload binary"
+    )
+    rows = {r["frame_idx"]: r for r in video_frame_stats(blobs, every=1).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert (rows[0]["width"], rows[0]["height"]) == (1, 1)
+    assert rows[0]["sum_pix"] == 6
+    assert (rows[1]["width"], rows[1]["height"]) == (2, 2)
+    assert rows[1]["sum_pix"] == sum(range(12))
+    assert (rows[2]["width"], rows[2]["height"]) == (1, 2)
+    assert rows[2]["sum_pix"] == 54
