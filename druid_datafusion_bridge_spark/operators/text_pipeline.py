@@ -261,6 +261,85 @@ def vocab_top_coverage(
     )
 
 
+def chunk_with_stride(
+    docs: DataFrame,
+    window: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split long documents into fixed ``window``-token chunks advancing
+    by ``stride`` tokens (overlap = window - stride) — the long-document
+    splitting step a context-length-bounded training pipeline runs before
+    packing. A document of n tokens yields 1 + ceil(max(n - window, 0) /
+    stride) chunks; the final chunk is short iff the tail is, and every
+    token appears in at least one chunk.
+
+    Scale shape: a pure per-row array program (split -> sequence ->
+    transform/slice -> explode) — no shuffle at all; output size is
+    input size x ~(window/stride) and streams through whole-stage
+    codegen. Returns (doc_id, chunk_id, start_tok, chunk_len,
+    chunk_text) with start_tok 0-based.
+    """
+    t = F.split(F.col(text_col), " ")
+    n = F.size(t)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - window, F.lit(0)) / F.lit(float(stride))
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            (i * stride).alias("start_tok"),
+            F.least(F.lit(window), n - i * stride).cast("long").alias("chunk_len"),
+            F.concat_ws(
+                " ", F.slice(t, (i * stride + 1).cast("int"), window)
+            ).alias("chunk_text"),
+        ),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c")
+    ).select("doc_id", "c.*")
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    seed: int = 0,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle for one epoch: every
+    document gets a pseudorandom 60-bit sort key from md5(seed:doc_id),
+    a shard = key mod ``n_shards``, and a dense position within its
+    shard. Changing ``seed`` reshuffles the whole corpus; the same seed
+    always reproduces the same order on any engine — the property
+    ``df.orderBy(rand())`` cannot give a resumable pipeline.
+
+    Scale shape: the only heavy operation is the per-shard rank, a
+    window partitioned on ``shard`` — i.e. exactly the shuffle-then-
+    sort-within-partition layout the epoch writer needs anyway (one
+    sorted file per shard). Set ``n_shards`` to the output shard count
+    (thousands at 100 TB) and each shard's sort fits one task; no
+    global sort or single-partition stage exists.
+    """
+    from .dedup import md5_hash60
+
+    key = md5_hash60(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    ranked = docs.select(
+        F.col(id_col).alias("doc_id"),
+        key.alias("sort_key"),
+        F.pmod(key, F.lit(n_shards)).cast("long").alias("shard"),
+    )
+    w = W.partitionBy("shard").orderBy("sort_key", "doc_id")
+    return ranked.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos_in_shard"),
+    )
+
+
 def trigram_familiarity(
     docs: DataFrame,
     model_size: int = 500,

@@ -14,8 +14,10 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from . import query
 from ..operators.text_pipeline import (
+    chunk_with_stride,
     contamination_check,
     domain_mix,
+    epoch_shuffle,
     redact,
     trigram_familiarity,
     repetition_signals,
@@ -23,6 +25,57 @@ from ..operators.text_pipeline import (
     stratified_split,
     vocab_top_coverage,
 )
+
+
+@query(
+    "txp_chunk_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    meta AS (
+      SELECT doc_id, t,
+             CAST(1 + ceil(greatest(len(t) - 32, 0) / 24.0) AS BIGINT)
+               AS n_chunks
+      FROM toks)
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           CAST(i * 24 AS BIGINT) AS start_tok,
+           CAST(least(32, len(t) - i * 24) AS BIGINT) AS chunk_len,
+           array_to_string(t[i*24 + 1 : i*24 + 32], ' ') AS chunk_text
+    FROM meta, unnest(generate_series(0, n_chunks - 1)) AS u(i)
+    """,
+)
+def txp_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-document splitting: 32-token windows advancing by 24 tokens
+    (8-token overlap), the context-length chunking step before packing.
+    Pure per-row array program — zero shuffles."""
+    docs = table(spark, sf_dir, "documents")
+    return chunk_with_stride(docs, window=32, stride=24)
+
+
+@query(
+    "txp_epoch_shuffle",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS sort_key
+      FROM documents)
+    SELECT doc_id,
+           CAST(sort_key % 8 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY sort_key % 8
+                                   ORDER BY sort_key, doc_id) AS BIGINT)
+             AS pos_in_shard
+    FROM k
+    """,
+)
+def txp_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (seed 7, 8 shards): md5-keyed global
+    training order, reproducible across engines and reruns — what
+    orderBy(rand()) cannot give a resumable pipeline. Per-shard rank is
+    the epoch writer's shuffle-then-sort layout."""
+    docs = table(spark, sf_dir, "documents")
+    return epoch_shuffle(docs, seed=7, n_shards=8)
 
 
 @query(

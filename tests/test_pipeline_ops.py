@@ -232,3 +232,60 @@ def test_trigram_familiarity_differential(spark, rows):
         """
     ).fetchall()
     assert got == [tuple(r) for r in exp]
+
+
+def test_chunk_with_stride_covers_every_token(spark):
+    """Every token index lands in >=1 chunk; chunks are window-sized
+    except possibly the last; consecutive chunks overlap by
+    window - stride; a short doc yields exactly one whole-doc chunk."""
+    from druid_datafusion_bridge_spark.operators.text_pipeline import (
+        chunk_with_stride,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(33))),  # one token past window
+            (2, " ".join(f"t{i}" for i in range(32))),  # exactly window
+            (3, "a b c"),  # short
+            (4, " ".join(f"t{i}" for i in range(80))),  # several chunks
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunk_with_stride(docs, window=32, stride=24).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert sorted(by_doc) == [1, 2, 3, 4]
+    assert len(by_doc[2]) == 1 and len(by_doc[3]) == 1
+    assert by_doc[3][0].chunk_text == "a b c" and by_doc[3][0].chunk_len == 3
+    # doc 1: chunks [0..32) and [24..33) — covers token 32, overlap 8
+    assert [c.chunk_len for c in sorted(by_doc[1], key=lambda c: c.chunk_id)] == [32, 9]
+    for doc_id, n_tokens in [(1, 33), (4, 80)]:
+        covered = set()
+        for c in by_doc[doc_id]:
+            assert c.chunk_text.split(" ") == [
+                f"t{i}" for i in range(c.start_tok, c.start_tok + c.chunk_len)
+            ]
+            covered.update(range(c.start_tok, c.start_tok + c.chunk_len))
+        assert covered == set(range(n_tokens))
+
+
+def test_epoch_shuffle_deterministic_and_seed_sensitive(spark):
+    """Same seed reproduces the identical order; a different seed
+    permutes it; positions are dense 1..n within each shard."""
+    from druid_datafusion_bridge_spark.operators.text_pipeline import (
+        epoch_shuffle,
+    )
+
+    docs = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    a = sorted(epoch_shuffle(docs, seed=1, n_shards=4).collect())
+    b = sorted(epoch_shuffle(docs, seed=1, n_shards=4).collect())
+    c = sorted(epoch_shuffle(docs, seed=2, n_shards=4).collect())
+    assert a == b
+    assert a != c  # a 200-doc collision across all shards is impossible
+    shard_pos: dict[int, list[int]] = {}
+    for r in a:
+        shard_pos.setdefault(r.shard, []).append(r.pos_in_shard)
+    assert set(shard_pos) == {0, 1, 2, 3}
+    for positions in shard_pos.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
