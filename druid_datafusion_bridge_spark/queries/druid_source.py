@@ -546,3 +546,120 @@ def s10_csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "cx_theta_set_ops",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, user_id,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM events WHERE event_type IN ('click', 'error')),
+    d AS (SELECT DISTINCT event_type, h FROM ev),
+    rk AS (SELECT event_type, h,
+                  row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+           FROM d),
+    sk AS (SELECT event_type, list(h ORDER BY h) AS s
+           FROM rk WHERE r <= 64 GROUP BY event_type),
+    ab AS (SELECT
+             (SELECT s FROM sk WHERE event_type = 'click') AS a,
+             (SELECT s FROM sk WHERE event_type = 'error') AS b),
+    comb AS (SELECT a, b, list_sort(list_distinct(a || b)) AS c FROM ab),
+    th AS (SELECT a, b, c,
+                  CASE WHEN len(c) >= 64 THEN CAST(c[64] AS DOUBLE)
+                       ELSE 1152921504606846976.0 END AS theta,
+                  len(c) >= 64 AS is_full
+           FROM comb),
+    nb AS (SELECT theta, is_full, c,
+                  len(list_filter(list_intersect(a, b),
+                                  x -> CAST(x AS DOUBLE) < theta)) AS n_inter
+           FROM th),
+    exact AS (SELECT
+        COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)
+          AS exact_a,
+        COUNT(DISTINCT CASE WHEN event_type = 'error' THEN user_id END)
+          AS exact_b,
+        COUNT(DISTINCT user_id) AS exact_union
+      FROM ev),
+    inter AS (SELECT COUNT(*) AS exact_intersection FROM (
+        SELECT user_id FROM ev
+        GROUP BY user_id HAVING COUNT(DISTINCT event_type) = 2))
+    SELECT exact_a, exact_b, exact_union, exact_intersection,
+           n2.est_union, n2.est_intersection,
+           abs(n2.est_union - exact_union)
+             <= (3.0 / sqrt(62.0)) * exact_union AS union_within_contract,
+           abs(n2.est_intersection - exact_intersection)
+             <= (3.0 / sqrt(62.0)) * exact_union AS inter_within_contract
+    FROM exact, inter,
+         (SELECT nb.theta, nb.is_full,
+                 CASE WHEN nb.is_full
+                      THEN 63.0 * 1152921504606846976.0 / nb.theta
+                      ELSE CAST(len(nb.c) AS DOUBLE) END AS est_union,
+                 CASE WHEN nb.is_full
+                      THEN CAST(nb.n_inter AS DOUBLE)
+                           * (63.0 * 1152921504606846976.0 / nb.theta) / 63.0
+                      ELSE CAST(nb.n_inter AS DOUBLE) END AS est_intersection
+          FROM nb) AS n2
+    """,
+)
+def cx_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ThetaSketch-style set algebra (§2.9 beyond-parity): KMV k=64
+    sketches of distinct click-users and error-users, merged for union
+    and intersection distinct-count estimates, next to the exact
+    answers and 3-sigma contract flags (rsd ~ 1/sqrt(k-2)). The sketch
+    hash is md5-derived, so the DuckDB oracle reproduces every bit —
+    estimates included. Reference context: COMPLEX sketch columns fail
+    on read in the reference (src/column/mod.rs:59-61); this is the
+    query-time set-algebra capability Druid ships ThetaSketch for."""
+    import math
+
+    from ..catalog import table as _table
+    from ..operators.sketches import kmv_sketch, theta_set_estimates
+
+    k = 64
+    ev = _table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    sk = kmv_sketch(ev, "event_type", "user_id", k=k)
+    ska = sk.filter(F.col("g") == "click").select(F.col("sketch").alias("ska"))
+    skb = sk.filter(F.col("g") == "error").select(F.col("sketch").alias("skb"))
+    exact = ev.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("exact_a"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "error", F.col("user_id"))
+        ).alias("exact_b"),
+        F.countDistinct("user_id").alias("exact_union"),
+    )
+    inter = (
+        ev.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("nt"))
+        .filter(F.col("nt") == 2)
+        .agg(F.count("*").alias("exact_intersection"))
+    )
+    est = ska.crossJoin(skb).select(
+        *theta_set_estimates(F.col("ska"), F.col("skb"), k=k)
+    )
+    bound = 3.0 / math.sqrt(k - 2.0)
+    return (
+        exact.crossJoin(inter)
+        .crossJoin(est)
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_intersection",
+            "est_union",
+            "est_intersection",
+            (
+                F.abs(F.col("est_union") - F.col("exact_union"))
+                <= F.lit(bound) * F.col("exact_union")
+            ).alias("union_within_contract"),
+            (
+                F.abs(F.col("est_intersection") - F.col("exact_intersection"))
+                <= F.lit(bound) * F.col("exact_union")
+            ).alias("inter_within_contract"),
+        )
+    )

@@ -1,0 +1,73 @@
+"""KMV theta-sketch tests: losslessness of the two-phase partial-merge
+against a brute-force reference, exactness below k, and the 3-sigma
+accuracy contract at a cardinality well past the sketch size."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from druid_datafusion_bridge_spark.operators.sketches import (
+    HASH_SPACE,
+    kmv_sketch,
+    theta_set_estimates,
+)
+
+
+def _h60(v: int) -> int:
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+
+def test_kmv_two_phase_matches_bruteforce(spark):
+    """The partition-partial + merge pipeline must yield exactly the k
+    smallest distinct hashes — the KMV merge-losslessness argument —
+    regardless of how rows are partitioned."""
+    k = 16
+    vals = [(g, v % 200) for g in ("x", "y") for v in range(1000)]
+    df = spark.createDataFrame(vals, "g string, v long").repartition(13)
+    got = {
+        r.g: list(r.sketch) for r in kmv_sketch(df, "g", "v", k=k).collect()
+    }
+    expected = sorted({_h60(v) for v in range(200)})[:k]
+    assert got == {"x": expected, "y": expected}
+
+
+def test_kmv_exact_below_k(spark):
+    """With fewer than k distinct values the sketch keeps them all and
+    the union/intersection estimates are exact counts."""
+    a = [("a", v) for v in range(10)]
+    b = [("b", v) for v in range(5, 17)]
+    df = spark.createDataFrame(a + b, "g string, v long")
+    sk = kmv_sketch(df, "g", "v", k=64)
+    ska = sk.filter(F.col("g") == "a").select(F.col("sketch").alias("ska"))
+    skb = sk.filter(F.col("g") == "b").select(F.col("sketch").alias("skb"))
+    row = ska.crossJoin(skb).select(
+        *theta_set_estimates(F.col("ska"), F.col("skb"), k=64)
+    ).collect()[0]
+    assert row.est_union == 17.0  # |0..16|
+    assert row.est_intersection == 5.0  # {5..9}
+
+
+def test_kmv_contract_at_scale(spark):
+    """At 40x the sketch size the estimates stay inside the 3-sigma
+    KMV bound (rsd ~ 1/sqrt(k-2)) for both union and intersection."""
+    k = 64
+    n, overlap = 2560, 640
+    a = [("a", v) for v in range(n)]
+    b = [("b", v) for v in range(n - overlap, 2 * n - overlap)]
+    df = spark.createDataFrame(a + b, "g string, v long").repartition(32)
+    sk = kmv_sketch(df, "g", "v", k=k)
+    ska = sk.filter(F.col("g") == "a").select(F.col("sketch").alias("ska"))
+    skb = sk.filter(F.col("g") == "b").select(F.col("sketch").alias("skb"))
+    row = ska.crossJoin(skb).select(
+        *theta_set_estimates(F.col("ska"), F.col("skb"), k=k)
+    ).collect()[0]
+    exact_union = 2 * n - overlap
+    bound = 3.0 / math.sqrt(k - 2.0)
+    assert abs(row.est_union - exact_union) <= bound * exact_union
+    assert abs(row.est_intersection - overlap) <= bound * exact_union
+    # sketches are full, so the estimate is genuinely approximate here
+    assert row.est_union != float(exact_union)
+    assert 0 < row.est_intersection < HASH_SPACE
