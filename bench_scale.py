@@ -38,9 +38,12 @@ from druid_datafusion_bridge_spark.operators.similarity import (
     brute_force_topk,
     lsh_topk,
 )
+from druid_datafusion_bridge_spark.operators.sketches import kmv_sketch
 from druid_datafusion_bridge_spark.operators.temporal import sessionize
 from druid_datafusion_bridge_spark.operators.text_pipeline import (
+    chunk_with_stride,
     domain_mix,
+    epoch_shuffle,
     repetition_signals,
     sequence_pack,
     stratified_split,
@@ -140,6 +143,9 @@ def main() -> None:
         "vocab_top_coverage": lambda: vocab_top_coverage(docs, top_k=1000),
         "sessionize": lambda: sessionize(events, gap_seconds=1800),
         "trigram_familiarity": lambda: trigram_familiarity(docs, model_size=500),
+        "chunk_with_stride": lambda: chunk_with_stride(docs, window=32, stride=24),
+        "epoch_shuffle": lambda: epoch_shuffle(docs, seed=3, n_shards=256),
+        "kmv_sketch": lambda: kmv_sketch(docs_dom, "lang", "doc_id", k=4096),
     }
     timings: dict[str, float] = {}
     for name, fn in ops.items():

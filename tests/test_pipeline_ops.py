@@ -289,3 +289,51 @@ def test_epoch_shuffle_deterministic_and_seed_sensitive(spark):
     assert set(shard_pos) == {0, 1, 2, 3}
     for positions in shard_pos.values():
         assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+# random token counts around the window/stride boundaries, including
+# docs shorter than one window and exact-multiple lengths
+chunk_docs_st = st.lists(
+    st.integers(min_value=1, max_value=90),
+    min_size=1,
+    max_size=12,
+)
+
+
+@pytest.mark.slow
+@given(n_tokens=chunk_docs_st, window=st.integers(8, 40), stride=st.integers(4, 40))
+@SET
+def test_chunk_with_stride_differential(spark, n_tokens, window, stride):
+    """chunk_with_stride must agree with a direct DuckDB recomputation
+    for arbitrary document lengths, windows, and strides (stride may
+    exceed window — disjoint chunks with gaps is a valid layout only
+    when stride <= window, so clamp like the operator's contract)."""
+    from druid_datafusion_bridge_spark.operators.text_pipeline import (
+        chunk_with_stride,
+    )
+
+    stride = min(stride, window)  # operator contract: overlap >= 0
+    rows = [
+        (i, " ".join(f"x{i}_{j}" for j in range(nt)))
+        for i, nt in enumerate(n_tokens)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in chunk_with_stride(df, window=window, stride=stride).collect()
+    )
+    con = duckdb.connect()
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    con.register("documents", pdf)
+    exp = con.execute(
+        f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        meta AS (SELECT doc_id, t,
+                 CAST(1 + ceil(greatest(len(t) - {window}, 0) / {stride}.0) AS BIGINT)
+                   AS n_chunks FROM toks)
+        SELECT doc_id, CAST(i AS BIGINT), CAST(i * {stride} AS BIGINT),
+               CAST(least({window}, len(t) - i * {stride}) AS BIGINT),
+               array_to_string(t[i*{stride} + 1 : i*{stride} + {window}], ' ')
+        FROM meta, unnest(generate_series(0, n_chunks - 1)) AS u(i)
+        """
+    ).fetchall()
+    assert got == sorted(tuple(r) for r in exp)
