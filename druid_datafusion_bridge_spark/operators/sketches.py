@@ -13,15 +13,22 @@ recomputes every output bit-exactly (the same property the dedup /
 sampling operators rely on). No RNG, no Python, no UDF.
 
 Scale posture (100 TB):
-- phase 1 computes a PARTIAL sketch per (input partition x group):
-  collect_set of the partition's hashes for the group, sorted, sliced
-  to k. Memory is bounded by the split size (a task holds at most its
-  own partition's distinct hashes for the groups it sees), exactly the
-  map-side-partial shape of real sketch libraries;
-- the only shuffle carries partial sketches — at most k longs per
-  (partition, group), NOT the raw data and NOT a global distinct;
-- phase 2 merges <= k x n_partitions hashes per group and re-slices to
-  k. Set algebra then runs on single sketch rows (k longs each).
+- phase 1 aggregates on (spark_partition_id, group), so its map-side
+  partial collect_set dedupes within each input partition BEFORE the
+  exchange and every aggregation state is bounded by one split's
+  distinct hashes — shuffle volume is COUNT(DISTINCT)-class (each
+  partition's deduped hash set crosses the wire once), memory is
+  sketch-class (no task ever holds a whole group);
+- phase 2 is the true sketch merge: its shuffle carries at most k
+  longs per (partition, group), and per-group merge state is bounded
+  by k x n_partitions. Set algebra then runs on single sketch rows
+  (k longs each).
+- a map-side k-slice BEFORE the phase-1 exchange would cut shuffle to
+  k per partition-group (the DataSketches shape), but needs either a
+  per-partition top-k primitive Spark's aggregate layer lacks or a
+  threshold pre-filter derived from approx_count_distinct — whose HLL
+  is not bit-reproducible in other engines, which would forfeit the
+  exact oracle this module exists to keep. Deliberately not done.
 """
 
 from __future__ import annotations
@@ -45,11 +52,12 @@ def kmv_sketch(
     ``value_col``, as a sorted array. Groups with fewer than k distinct
     values keep them all (the sketch is then exact).
 
-    Two-phase: per-partition partial sketch (bounded by split size),
-    then a merge of partials whose input is <= k hashes per partition
-    per group. Every hash that is among the k smallest globally is
-    among the k smallest of its own partition, so the merge is lossless
-    for the head — the standard KMV merge argument.
+    Two-phase: per-partition partial sketch (aggregation state bounded
+    by split size), then a merge whose input is <= k hashes per
+    partition per group. Every hash that is among the k smallest
+    globally is among the k smallest of its own partition, so the merge
+    is lossless for the head — the standard KMV merge argument. See the
+    module docstring for what each exchange actually carries.
     """
     h = md5_hash60(F.col(value_col).cast("string"))
     partial = (
