@@ -1,0 +1,151 @@
+"""Sessionized-workload analytics: ordered funnels and retention
+cohorts — the two classic Druid event-analytics workloads (beyond the
+reference's surface, which delegates all SQL and ships no event
+analytics; delegation point `/root/reference/src/main.rs:186-195`).
+
+Both are pure built-in compositions:
+- the funnel is three filtered scans joined on the user key (each
+  filter pushed to the parquet scan; every join and aggregate keys on
+  the high-cardinality skew-free user_id);
+- retention is one user-keyed first-seen aggregate joined back to the
+  event stream, then a distinct + count on (cohort, offset).
+Lag averages are computed as exact long microsecond sums with a single
+final division, so results are bit-identical to the DuckDB oracle
+(a distributed double sum would not be order-stable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from . import query
+
+
+@query(
+    "an_funnel_steps",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2, min(v.t1) AS t1
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3, min(c.t2) AS t2
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id)
+    SELECT * FROM (
+      SELECT 1 AS step, 'view' AS step_name,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(NULL AS DOUBLE) AS avg_lag_us
+      FROM v
+      UNION ALL
+      SELECT 2, 'view>click', CAST(count(*) AS BIGINT),
+             CAST(SUM(epoch_us(t2) - epoch_us(t1)) AS DOUBLE) / count(*)
+      FROM c
+      UNION ALL
+      SELECT 3, 'view>click>purchase', CAST(count(*) AS BIGINT),
+             CAST(SUM(epoch_us(t3) - epoch_us(t2)) AS DOUBLE) / count(*)
+      FROM p)
+    ORDER BY step
+    """,
+)
+def an_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel view -> click -> purchase: users
+    counted at each step only if the step's FIRST qualifying event
+    strictly follows the previous step's, plus the average conversion
+    lag in microseconds (exact long sum, one final division)."""
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.min("t2").alias("t2"))
+    )
+
+    def level(df: DataFrame, step: int, name: str, a: str, b: str | None) -> DataFrame:
+        lag = (
+            (F.sum(F.unix_micros(F.col(a)) - F.unix_micros(F.col(b)))
+             .cast("double") / F.count("*"))
+            if b is not None
+            else F.lit(None).cast("double")
+        )
+        return df.agg(
+            F.lit(step).cast("int").alias("step"),
+            F.lit(name).alias("step_name"),
+            F.count("*").alias("n_users"),
+            lag.alias("avg_lag_us"),
+        )
+
+    return (
+        level(v, 1, "view", "t1", None)
+        .unionByName(level(c, 2, "view>click", "t2", "t1"))
+        .unionByName(level(p, 3, "view>click>purchase", "t3", "t2"))
+        .orderBy("step")
+    )
+
+
+@query(
+    "an_retention_cohorts",
+    oracle="""
+    WITH fs AS (
+      SELECT user_id,
+             CAST(min(date_trunc('day', ts)) AS TIMESTAMP) AS cohort_day
+      FROM events GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT e.user_id, fs.cohort_day,
+             date_diff('day', fs.cohort_day,
+                       CAST(date_trunc('day', e.ts) AS TIMESTAMP))
+               AS day_offset
+      FROM events e JOIN fs ON e.user_id = fs.user_id)
+    SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM act WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def an_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users cohorted by first-seen day, then
+    counted as active per (cohort, day-offset) for the first week —
+    Druid's canonical retention query, expressed as first-seen agg +
+    user-keyed join-back + distinct count."""
+    ev = table(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    act = (
+        ev.join(fs, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= 7)
+        .distinct()
+    )
+    return (
+        act.groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
