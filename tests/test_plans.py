@@ -275,3 +275,36 @@ def test_a12_distinct_rollup_has_no_expand(spark):
     df = all_queries()["a12_time_bucket"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
+
+
+def test_new_curation_and_sketch_plan_shapes(spark):
+    """Scale-shape pins for the r4 additions:
+    - stride chunking is a pure per-row array program: ZERO exchanges;
+    - epoch shuffle is exactly one exchange (the shard-keyed rank
+      window — the epoch writer's own sort layout);
+    - KMV sketching is exactly two exchanges (partition-partial
+      aggregate, then the k-bounded merge) and no join;
+    - the funnel's event_type filters reach the parquet scans as
+      pushed filters."""
+    qs = all_queries()
+
+    chunk = qs["txp_chunk_overlap"](spark, SF_DIR)
+    assert count_exchanges(chunk) == 0
+
+    ep = qs["txp_epoch_shuffle"](spark, SF_DIR)
+    assert count_exchanges(ep) == 1
+
+    from druid_datafusion_bridge_spark.catalog import table as _table
+    from druid_datafusion_bridge_spark.operators.sketches import kmv_sketch
+
+    sk = kmv_sketch(
+        _table(spark, SF_DIR, "events"), "event_type", "user_id", k=64
+    )
+    assert count_exchanges(sk) == 2
+    assert join_strategies(sk) == []
+
+    from druid_datafusion_bridge_spark.plans import formatted_plan
+
+    funnel_plan = formatted_plan(qs["an_funnel_steps"](spark, SF_DIR))
+    for step in ("view", "click", "purchase"):
+        assert f"EqualTo(event_type,{step})" in funnel_plan, step
