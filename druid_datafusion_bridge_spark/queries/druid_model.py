@@ -170,3 +170,120 @@ def dm_rollup_zerofill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("sv", F.lit(0.0)).alias("sum_value"),
         )
     )
+
+
+@query(
+    "dm_rollup_interpolate",
+    oracle="""
+    WITH ev AS (SELECT ts, value FROM events WHERE event_type = 'purchase'),
+    bounds AS (
+      SELECT time_bucket(INTERVAL 5 MINUTE, MIN(ts)) AS t0,
+             time_bucket(INTERVAL 5 MINUTE, MAX(ts)) AS t1
+      FROM ev),
+    buckets AS (
+      SELECT unnest(generate_series(t0, t1, INTERVAL 5 MINUTE)) AS bucket
+      FROM bounds),
+    rolled AS (
+      SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS bucket,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
+               AS v
+      FROM ev GROUP BY 1),
+    grid AS (
+      SELECT b.bucket, COALESCE(r.n, 0) AS n_events, r.v
+      FROM buckets b LEFT JOIN rolled r ON r.bucket = b.bucket),
+    ctx AS (
+      SELECT bucket, n_events, v,
+        last_value(v IGNORE NULLS) OVER
+          (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN epoch_us(bucket) END
+                   IGNORE NULLS) OVER
+          (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS pt,
+        first_value(v IGNORE NULLS) OVER
+          (ORDER BY bucket ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+          AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN epoch_us(bucket) END
+                    IGNORE NULLS) OVER
+          (ORDER BY bucket ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+          AS nt
+      FROM grid)
+    SELECT bucket, CAST(n_events AS BIGINT) AS n_events,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NOT NULL AND nv IS NOT NULL
+                THEN pv + (nv - pv)
+                     * (CAST(epoch_us(bucket) - pt AS DOUBLE)
+                        / CAST(nt - pt AS DOUBLE))
+                ELSE NULL END AS avg_value,
+           v IS NULL AS interpolated
+    FROM ctx ORDER BY bucket
+    """,
+)
+def dm_rollup_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeseries gap fill by LINEAR INTERPOLATION (the companion to
+    dm_rollup_zerofill's zero fill): sparse purchase events rolled to a
+    5-minute grain, empty buckets filled by interpolating between the
+    nearest populated neighbors; leading/trailing gaps stay NULL.
+
+    Scale shape: the heavy data passes through ONE rollup aggregate;
+    the interpolation windows run over the bucket GRID, whose row count
+    is time-range / granularity — independent of data volume (8,640
+    rows per month at PT5M), so the global-ordered window is over a
+    tiny axis, never over events. Arithmetic is exact-long epoch
+    micros with a fixed double expression tree, bit-identical to the
+    DuckDB oracle."""
+    from ..functions.druid_sql import time_floor
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    bounds = ev.agg(
+        time_floor(F.min("ts"), "PT5M").alias("t0"),
+        time_floor(F.max("ts"), "PT5M").alias("t1"),
+    )
+    buckets = bounds.select(
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 5 MINUTES"))
+        ).alias("bucket")
+    )
+    rolled = ev.groupBy(time_floor(F.col("ts"), "PT5M").alias("bucket")).agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(38,4)")).cast("double")
+            / F.count("*")
+        ).alias("v"),
+    )
+    grid = buckets.join(rolled, "bucket", "left").select(
+        "bucket", F.coalesce("n", F.lit(0)).alias("n_events"), "v"
+    )
+    t_us = F.when(F.col("v").isNotNull(), F.unix_micros("bucket"))
+    w_prev = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    w_next = W.orderBy("bucket").rowsBetween(1, W.unboundedFollowing)
+    ctx = grid.select(
+        "bucket",
+        "n_events",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(t_us, ignorenulls=True).over(w_prev).alias("pt"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(t_us, ignorenulls=True).over(w_next).alias("nt"),
+    )
+    ratio = (F.unix_micros("bucket") - F.col("pt")).cast("double") / (
+        F.col("nt") - F.col("pt")
+    ).cast("double")
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * ratio,
+        )
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return ctx.select(
+        "bucket",
+        "n_events",
+        filled.alias("avg_value"),
+        F.col("v").isNull().alias("interpolated"),
+    ).orderBy("bucket")
