@@ -121,3 +121,63 @@ def theta_set_estimates(
         full, inter_below.cast("double") * est_union / F.lit(float(k - 1))
     ).otherwise(inter_below.cast("double"))
     return [est_union.alias("est_union"), est_inter.alias("est_intersection")]
+
+
+def cms_buckets(value: Column, depth: int, width: int) -> Column:
+    """Array of ``depth`` bucket indices for one value — row j uses the
+    md5-derived hash of ``"j:" + value`` (independent-enough rows, and
+    deterministic, so the DuckDB oracle reproduces every counter)."""
+    return F.array(
+        *[
+            md5_hash60(F.concat(F.lit(f"{j}:"), value)) % width
+            for j in range(depth)
+        ]
+    )
+
+
+def count_min_sketch(
+    df: DataFrame, value_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-min sketch of ``value_col`` frequencies, as its flat
+    counter table ``(j, bucket, c)`` — Druid ships this family as the
+    datasketches frequency aggregators; the reference cannot read any
+    COMPLEX column (src/column/mod.rs:59-61).
+
+    One scan, one exchange: each row contributes to ``depth`` buckets
+    (the posexplode multiplies rows depth-x BEFORE the map-side partial
+    aggregate, which then collapses each input partition to at most
+    depth x width counter rows — so the shuffle carries <= depth*width
+    longs per partition no matter the input size or cardinality, the
+    whole point of the sketch at 100 TB). The merged table is
+    depth x width rows, broadcastable for the estimate join.
+    """
+    v = F.col(value_col).cast("string")
+    pairs = df.select(
+        F.posexplode(cms_buckets(v, depth, width)).alias("j", "bucket")
+    )
+    return pairs.groupBy("j", "bucket").agg(F.count("*").alias("c"))
+
+
+def cms_estimate(
+    items: DataFrame,
+    sketch: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-estimate counts for candidate ``items`` against a
+    count-min ``sketch``: est(v) = min over rows j of the counter at
+    (j, hash_j(v)) — the classic CMS upper bound (never underestimates;
+    overestimates only by colliding mass). The sketch is tiny
+    (depth x width) and is broadcast; the candidate side never
+    shuffles more than items x depth rows."""
+    v = F.col(value_col).cast("string")
+    probes = items.select(
+        value_col,
+        F.posexplode(cms_buckets(v, depth, width)).alias("j", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy(value_col)
+        .agg(F.min("c").alias("est_count"))
+    )

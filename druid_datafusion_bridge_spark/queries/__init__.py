@@ -53,8 +53,10 @@ def load_all() -> None:
     queries added in r4), multimodal, embedding_ops, tpch, tpch_full,
     tpch_subqueries, plus streaming's tail (st_stream_static_join,
     st_stream_stream_join, st_batch_sessionize, st_topn_rollup sit
-    past position 50 in the r4 order), analytics (funnel/retention,
-    added late in r4) — then whatever r4's sample missed.
+    past position 50 in the r4 order), analytics (funnel/retention/
+    windowed funnel), profiling, and the sketch additions
+    (cx_count_min_heavy, fd_string_array_agg, fd_unnest) — then
+    whatever r4's sample missed.
     """
     from . import (  # noqa: F401
         windows,
@@ -79,6 +81,7 @@ def load_all() -> None:
         druid_model,
         druid_source,
         analytics,
+        profiling,
     )
 
 

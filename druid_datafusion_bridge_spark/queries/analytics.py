@@ -149,3 +149,89 @@ def an_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_active"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@query(
+    "an_funnel_windowed",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2, min(v.t1) AS t1
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 72 HOUR
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3, min(c.t2) AS t2
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 72 HOUR
+      GROUP BY e.user_id)
+    SELECT * FROM (
+      SELECT 1 AS step, 'view' AS step_name,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(NULL AS DOUBLE) AS avg_lag_us
+      FROM v
+      UNION ALL
+      SELECT 2, 'view>click<=72h', CAST(count(*) AS BIGINT),
+             CAST(SUM(epoch_us(t2) - epoch_us(t1)) AS DOUBLE) / count(*)
+      FROM c
+      UNION ALL
+      SELECT 3, 'view>click>purchase<=72h', CAST(count(*) AS BIGINT),
+             CAST(SUM(epoch_us(t3) - epoch_us(t2)) AS DOUBLE) / count(*)
+      FROM p)
+    ORDER BY step
+    """,
+)
+def an_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel (the Amplitude/Mixpanel semantics Druid
+    deployments build on top of its event rollups): each step counts
+    only if its first qualifying event falls within 72 hours of the
+    previous step's. Identical plan shape to an_funnel_steps — three
+    pushed-filter scans joined on the skew-free user key — the window
+    is one extra predicate per level, evaluated inside the same join
+    filter (no new exchange)."""
+    ev = table(spark, sf_dir, "events")
+    win = F.expr("INTERVAL 72 HOURS")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.min("t2").alias("t2"))
+    )
+
+    def level(df: DataFrame, step: int, name: str, a: str, b: str | None) -> DataFrame:
+        lag = (
+            (F.sum(F.unix_micros(F.col(a)) - F.unix_micros(F.col(b)))
+             .cast("double") / F.count("*"))
+            if b is not None
+            else F.lit(None).cast("double")
+        )
+        return df.agg(
+            F.lit(step).cast("int").alias("step"),
+            F.lit(name).alias("step_name"),
+            F.count("*").alias("n_users"),
+            lag.alias("avg_lag_us"),
+        )
+
+    return (
+        level(v, 1, "view", "t1", None)
+        .unionByName(level(c, 2, "view>click<=72h", "t2", "t1"))
+        .unionByName(level(p, 3, "view>click>purchase<=72h", "t3", "t2"))
+        .orderBy("step")
+    )

@@ -260,3 +260,73 @@ def fd_latest_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "fd_string_array_agg",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+           array_to_string(list_sort(list(DISTINCT substr(n_name, 1, 1))),
+                           '|') AS initials,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+)
+def fd_string_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid SQL STRING_AGG / ARRAY_AGG(DISTINCT) aggregators (Druid
+    24+; the reference's DataFusion delegation has no ordered-list
+    aggregate in its README surface). Spark's collect_list is
+    order-nondeterministic across shuffles, so both aggregates are made
+    deterministic with array_sort BEFORE serialization — the same
+    discipline every other list-producing query here follows (a11b;
+    arrays themselves are serialized because raw array columns crash
+    the driver's pandas canonicalizer). One broadcast-joined dimension
+    aggregate; no fact-table state."""
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        nation.join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), ","
+            ).alias("nations_csv"),
+            F.array_join(
+                F.array_sort(F.collect_set(F.substring("n_name", 1, 1))), "|"
+            ).alias("initials"),
+            F.count("*").alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@query(
+    "fd_unnest",
+    oracle="""
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 10
+    """,
+)
+def fd_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid UNNEST table function (Druid 26+): flatten a multi-value
+    dimension to one row per value, then aggregate — here the top-10
+    words of part names. explode() is Spark's UNNEST: generated
+    JVM-side inside whole-stage codegen, then a plain hash aggregate;
+    the top-10 is TakeOrderedAndProject, not a global sort."""
+    part = table(spark, sf_dir, "part")
+    return (
+        part.select(F.explode(F.split(F.col("p_name"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(10)
+    )

@@ -663,3 +663,61 @@ def cx_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("inter_within_contract"),
         )
     )
+
+
+@query(
+    "cx_count_min_heavy",
+    oracle="""
+    WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events),
+    pairs AS (
+      SELECT item, j,
+             CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || item),
+                                 1, 15) AS BIGINT) % 256 AS bucket
+      FROM ev, (SELECT unnest([0, 1, 2, 3]) AS j) seeds),
+    sketch AS (SELECT j, bucket, COUNT(*) AS c FROM pairs GROUP BY 1, 2),
+    truec AS (SELECT item, COUNT(*) AS true_count FROM ev GROUP BY 1),
+    cand AS (SELECT DISTINCT item, j, bucket FROM pairs),
+    est AS (SELECT item, MIN(c) AS est_count
+            FROM cand JOIN sketch USING (j, bucket) GROUP BY item)
+    SELECT CAST(item AS BIGINT) AS user_id, est_count, true_count,
+           est_count >= true_count AS never_underestimates
+    FROM est JOIN truec USING (item)
+    ORDER BY est_count DESC, user_id
+    LIMIT 20
+    """,
+)
+def cx_count_min_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over events.user_id (§2.9
+    beyond-parity: Druid's datasketches frequency aggregator family;
+    the reference cannot read any COMPLEX column,
+    src/column/mod.rs:59-61). Depth 4 x width 256, md5-derived row
+    hashes, so the DuckDB oracle reproduces EVERY counter — estimates
+    are compared bit-exactly, plus the CMS contract column (estimates
+    never underestimate). The sketch shuffle is bounded at
+    depth x width counters per input partition regardless of input
+    size; the estimate join broadcasts the 1024-row counter table.
+    The exact per-user counts here exist only to exhibit the contract
+    — at 100 TB only the sketch pass scans the fact table."""
+    from ..catalog import table as _table
+    from ..operators.sketches import cms_estimate, count_min_sketch
+
+    depth, width = 4, 256
+    ev = _table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("item")
+    )
+    sketch = count_min_sketch(ev, "item", depth=depth, width=width)
+    truec = ev.groupBy("item").agg(F.count("*").alias("true_count"))
+    est = cms_estimate(truec, sketch, "item", depth=depth, width=width)
+    return (
+        est.join(truec, "item")
+        .select(
+            F.col("item").cast("bigint").alias("user_id"),
+            "est_count",
+            "true_count",
+            (F.col("est_count") >= F.col("true_count")).alias(
+                "never_underestimates"
+            ),
+        )
+        .orderBy(F.desc("est_count"), "user_id")
+        .limit(20)
+    )
