@@ -215,3 +215,94 @@ def j8_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return su.join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey")).select(
         "s_suppkey", "s_name", "n_name"
     )
+
+
+@query(
+    "j11_bloom_semi_reduction",
+    oracle="""
+    WITH keys AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders
+      WHERE o_orderstatus = 'F' AND o_totalprice > 150000),
+    pos AS (
+      SELECT CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                                     || CAST(k AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 15360 AS pos
+      FROM keys, (SELECT unnest([0, 1, 2]) AS j) s),
+    words AS (
+      SELECT pos // 60 AS w,
+             bit_or(1::BIGINT << CAST(pos % 60 AS INTEGER)) AS word
+      FROM pos GROUP BY 1),
+    dk AS (SELECT DISTINCT l_orderkey FROM lineitem),
+    kp AS (
+      SELECT l_orderkey, CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                                     || CAST(l_orderkey AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 15360 AS pos
+      FROM dk, (SELECT unnest([0, 1, 2]) AS j) s),
+    kh AS (
+      SELECT l_orderkey, count(*) AS nbits
+      FROM kp JOIN words
+        ON words.w = kp.pos // 60
+       AND (words.word >> CAST(kp.pos % 60 AS INTEGER)) & 1 = 1
+      GROUP BY 1),
+    ok AS (
+      SELECT l_orderkey, COALESCE(nbits, 0) = 3 AS bloom_pass
+      FROM dk LEFT JOIN kh USING (l_orderkey)),
+    flags AS (
+      SELECT bloom_pass, (k.k IS NOT NULL) AS matched
+      FROM lineitem l
+      JOIN ok USING (l_orderkey)
+      LEFT JOIN keys k ON k.k = l.l_orderkey)
+    SELECT CAST(count(*) AS BIGINT) AS n_fact,
+           CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_pass,
+           CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(sum(CASE WHEN matched AND NOT bloom_pass THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_negatives,
+           CAST(sum(CASE WHEN bloom_pass AND NOT matched THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positives
+    FROM flags
+    """,
+)
+def j11_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom-filter semi-join reduction (operators/bloom.py)
+    — the runtime-filter move that gates a 100 TB fact scan before the
+    join shuffle. The filtered orders keys build a 15360-bit broadcast
+    bitmap; every lineitem row is tested with in-codegen map lookups
+    (no probe-side exchange). Reported against the exact semi join:
+    total rows, bloom survivors, true matches, false negatives (the
+    contract — must be 0) and false positives (colliding mass). The
+    exact-join columns exist only for the contract; production keeps
+    just the bloom_pass gate. md5-derived bits, so the DuckDB oracle
+    reproduces the bitmap bit-for-bit."""
+    from ..operators.bloom import bloom_build, bloom_probe_flag
+
+    orders = table(spark, sf_dir, "orders")
+    keys = (
+        orders.filter(
+            (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000)
+        )
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    bitmap = bloom_build(keys, "k", m_words=256, depth=3)
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    probed = bloom_probe_flag(li, bitmap, "l_orderkey", m_words=256, depth=3)
+    flagged = probed.join(
+        F.broadcast(keys), probed["l_orderkey"] == keys["k"], "left"
+    ).select("bloom_pass", F.col("k").isNotNull().alias("matched"))
+    one = F.lit(1)
+    zero = F.lit(0)
+    return flagged.agg(
+        F.count("*").alias("n_fact"),
+        F.sum(F.when(F.col("bloom_pass"), one).otherwise(zero)).alias(
+            "n_bloom_pass"
+        ),
+        F.sum(F.when(F.col("matched"), one).otherwise(zero)).alias("n_exact"),
+        F.sum(
+            F.when(F.col("matched") & ~F.col("bloom_pass"), one).otherwise(zero)
+        ).alias("n_false_negatives"),
+        F.sum(
+            F.when(F.col("bloom_pass") & ~F.col("matched"), one).otherwise(zero)
+        ).alias("n_false_positives"),
+    )

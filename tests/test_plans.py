@@ -308,3 +308,17 @@ def test_new_curation_and_sketch_plan_shapes(spark):
     funnel_plan = formatted_plan(qs["an_funnel_steps"](spark, SF_DIR))
     for step in ("view", "click", "purchase"):
         assert f"EqualTo(event_type,{step})" in funnel_plan, step
+
+
+def test_bloom_probe_has_no_factside_shuffle(spark):
+    """The Bloom semi-join reduction must test fact rows inside the
+    scan's own stage: the bitmap arrives by broadcast (nested-loop on a
+    single row), and the ONLY exchanges in the whole plan belong to the
+    tiny build side and the final 1-row aggregate — never a fact-side
+    sort-merge join."""
+    from druid_datafusion_bridge_spark.plans import formatted_plan
+
+    df = all_queries()["j11_bloom_semi_reduction"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
