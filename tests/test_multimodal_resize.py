@@ -153,3 +153,60 @@ def test_video_walker_parses_variable_frame_streams():
     assert rows[1]["sum_pix"] == sum(range(12))
     assert (rows[2]["width"], rows[2]["height"]) == (1, 2)
     assert rows[2]["sum_pix"] == 54
+
+
+def test_png_decoder_exact_pixels():
+    """The PNG path must reproduce the pixel law byte-for-byte through
+    DEFLATE + all five scanline filters: the encoder assigns filter
+    type row % 5, and heights run 3-6, so across these doc ids every
+    filter type (None/Sub/Up/Average/Paeth) is exercised — a height-6
+    doc covers all five in one image."""
+    from druid_datafusion_bridge_spark.operators.multimodal import (
+        _png_encode,
+        decode_png,
+    )
+
+    for d in [0, 1, 2, 3, 4, 7, 11, 19, 123, 4567]:
+        w, h, pix = decode_png(_png_encode(d))
+        assert (w, h) == (4 + d % 5, 3 + d % 4)
+        flat = pix.reshape(-1)
+        assert all(
+            int(v) == (d * 7 + i * 13) % 256 for i, v in enumerate(flat)
+        )
+
+
+def test_png_decoder_rejects_malformed_input():
+    import struct
+
+    import pytest
+
+    from druid_datafusion_bridge_spark.operators.multimodal import (
+        _png_encode,
+        decode_png,
+    )
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"GIF89a" + b"\x00" * 32)
+
+    data = bytearray(_png_encode(5))
+    # flip one byte inside the IHDR body -> CRC must catch it
+    data[20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(data))
+
+    # valid chunks but 16-bit depth declared -> unsupported layout
+    import zlib
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 16, 2, 0, 0, 0))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(bad)
