@@ -57,16 +57,18 @@ def main() -> None:
         "noop"
     ).save()
 
-    # 1 untimed warm run per query, then best-of-3 timed runs taken in
-    # ROUND-ROBIN passes (q1..qN, q1..qN, q1..qN) rather than 3 back-to-
-    # back runs per query: the host shows multi-second noisy-neighbor
-    # windows (up to 20x), and consecutive runs would let one window
-    # poison every sample of a single query — interleaving means a
-    # window has to persist across a whole pass to bias any min.
+    # 1 untimed warm run per query, then best-of-5 timed runs taken in
+    # ROUND-ROBIN passes (q1..qN, q1..qN, ...) rather than back-to-back
+    # runs per query: the host shows multi-second noisy-neighbor windows
+    # (measured: an identical full-scan noop swings 0.34-0.70 s run to
+    # run), and consecutive runs would let one window poison every
+    # sample of a single query — interleaving means a window has to
+    # persist across a whole pass to bias any min, and five passes give
+    # each query five independent draws against the noise.
     for name in HEADLINE:
         queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
     best: dict[str, float] = {name: float("inf") for name in HEADLINE}
-    for _ in range(3):
+    for _ in range(5):
         for name in HEADLINE:
             df = queries[name](spark, sf_dir)
             t0 = time.perf_counter()
