@@ -181,3 +181,138 @@ def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("fp_md5"),
         md5_hash60(norm).alias("fp_60bit"),
     )
+
+
+@query(
+    "txt_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             CAST(tf.tf AS DOUBLE)
+               * (CAST(n.n_docs AS DOUBLE) / (dfreq.df + 1)) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+      FROM scored)
+    SELECT doc_id, term, tf, df, score, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def txt_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf weighting.
+
+    The idf factor is the rational surrogate N/(df+1), not ln(N/df):
+    division on exactly-aggregated integers is correctly-rounded IEEE in
+    every engine (bit-identical to the DuckDB oracle), whereas ln() is
+    only ~1-ulp-reproducible across libm builds — an exactness contract,
+    same spirit as the engine's integer-cents money arithmetic. Ranking
+    quality is the tf-idf family's; only the score scale differs.
+
+    Scale shape (100 TB): tokenize -> map-side-combined (doc, term)
+    counts -> term document frequencies (second partial agg, |vocab|
+    rows) -> join back on term (AQE broadcasts the vocab side when it
+    fits) -> per-doc top-3 via a row_number window partitioned by
+    doc_id (high-cardinality partitions, no global sort anywhere).
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * (F.col("n_docs").cast("double") / (F.col("df") + F.lit(1)))
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rn")
+    )
+
+
+@query(
+    "txt_keyword_search",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    hits AS (
+      SELECT tf.doc_id,
+             count(*) AS n_terms,
+             sum(CAST(tf.tf AS DOUBLE)
+                 * (CAST(n.n_docs AS DOUBLE) / (dfreq.df + 1))) AS rank_score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+      WHERE tf.term IN ('vector', 'stream')
+      GROUP BY tf.doc_id
+      HAVING count(*) = 2)
+    SELECT doc_id, n_terms, rank_score
+    FROM hits ORDER BY rank_score DESC, doc_id LIMIT 20
+    """,
+)
+def txt_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive keyword search over the inverted index: documents
+    containing ALL query terms ('vector' AND 'stream'), ranked by summed
+    tf-idf (same rational-idf contract as txt_tfidf_top_terms; the sum
+    spans exactly two doubles, so it is order-independent — IEEE
+    addition is commutative — and cross-engine exact).
+
+    Scale shape: the term filter is pushed below the (doc, term) count
+    (only posting lists for query terms survive the first shuffle), the
+    per-doc AND is a count over <= |query| rows, and the final top-20 is
+    a TakeOrdered over the tiny hit set — no global sort of the corpus.
+    """
+    docs = table(spark, sf_dir, "documents")
+    terms = ("vector", "stream")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    score = F.col("tf").cast("double") * (
+        F.col("n_docs").cast("double") / (F.col("df") + F.lit(1))
+    )
+    return (
+        tf.filter(F.col("term").isin(*terms))
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_terms"), F.sum(score).alias("rank_score"))
+        .filter(F.col("n_terms") == len(terms))
+        .orderBy(F.col("rank_score").desc(), "doc_id")
+        .limit(20)
+    )
