@@ -235,3 +235,79 @@ def an_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(level(p, 3, "view>click>purchase<=72h", "t3", "t2"))
         .orderBy("step")
     )
+
+
+@query(
+    "an_anomaly_zscore",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(SUM(CAST(value AS DECIMAL(38,4))) * 10000 AS BIGINT) AS vu
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    s AS (
+      SELECT event_type, count(*) AS nb,
+             SUM(vu) AS sv, SUM(vu * vu) AS ssv
+      FROM b GROUP BY event_type),
+    z AS (
+      SELECT b.event_type, b.bucket, b.vu,
+             (CAST(b.vu AS DOUBLE) - CAST(s.sv AS DOUBLE) / s.nb)
+               / sqrt(greatest(
+                   (CAST(s.ssv AS DOUBLE)
+                    - (CAST(s.sv AS DOUBLE) * CAST(s.sv AS DOUBLE)) / s.nb)
+                   / s.nb,
+                   CAST(0 AS DOUBLE))) AS zscore
+      FROM b JOIN s ON b.event_type = s.event_type
+      WHERE s.nb > 1)
+    SELECT event_type, bucket, CAST(vu AS DOUBLE) / 10000 AS bucket_value,
+           zscore
+    FROM z WHERE abs(zscore) > 2
+    """,
+)
+def an_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket anomaly detection: hourly value totals per event
+    type whose population z-score exceeds |2|.
+
+    Exactness contract: per-bucket totals accumulate as DECIMAL(38,4)
+    (order-independent) and convert to integer 1e-4 units, so the
+    mean/variance inputs are exact int64 sums and every double op after
+    them (div, mul, sub, sqrt) is correctly-rounded IEEE — bit-identical
+    to the DuckDB oracle with the same expression shape. Range contract:
+    unit totals < ~3e9 keep squares and their int64 sums exact (holds
+    through sf1; widen to DECIMAL(38,0) beyond).
+
+    Scale shape: map-side-combined (type, hour) rollup -> tiny per-type
+    stats table (one row per event type) joined back broadcast — no
+    window over the full bucket stream, no global sort.
+    """
+    ev = table(spark, sf_dir, "events")
+    b = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            (F.sum(F.col("value").cast("decimal(38,4)")) * 10000)
+            .cast("bigint")
+            .alias("vu")
+        )
+    )
+    s = b.groupBy("event_type").agg(
+        F.count("*").alias("nb"),
+        F.sum("vu").alias("sv"),
+        F.sum(F.col("vu") * F.col("vu")).alias("ssv"),
+    )
+    mean = F.col("sv").cast("double") / F.col("nb")
+    var = (
+        F.col("ssv").cast("double")
+        - (F.col("sv").cast("double") * F.col("sv").cast("double")) / F.col("nb")
+    ) / F.col("nb")
+    zscore = (F.col("vu").cast("double") - mean) / F.sqrt(
+        F.greatest(var, F.lit(0.0))
+    )
+    return (
+        b.join(F.broadcast(s.filter(F.col("nb") > 1)), "event_type")
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("vu").cast("double") / 10000).alias("bucket_value"),
+            zscore.alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) > 2)
+    )

@@ -721,3 +721,53 @@ def cx_count_min_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_count"), "user_id")
         .limit(20)
     )
+
+
+@query(
+    "s11b_partition_prune_scan",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS d, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+    GROUP BY CAST(ts AS DATE), event_type
+    ORDER BY d, event_type
+    """,
+)
+def s11b_partition_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout + partition-pruned read-back: events are
+    written partitioned by event date (the layout a 100 TB event store
+    uses — one directory per day, Druid's segment-per-interval analog,
+    reference interval metadata at src/segment/metadata.rs:22-23 which
+    the reference parses but never prunes with), then a one-week query
+    reads back ONLY those directories: the date predicate binds to the
+    partition column, so Catalyst prunes at file-listing time
+    (PartitionFilters in the scan — asserted in tests/test_plans.py)
+    and the other 23 days are never opened. The oracle runs the same
+    week over the unpartitioned source, proving the layout round-trips
+    losslessly. Money via the decimal pattern; partition count is
+    bounded (days), values high-cardinality-free."""
+    from ..catalog import table as _table
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join("/tmp", "ddbs_sinks", tag, "events_by_day")
+    ev = _table(spark, sf_dir, "events")
+    (
+        ev.select("event_id", "ts", "event_type", "value", F.to_date("ts").alias("d"))
+        .write.mode("overwrite")
+        .partitionBy("d")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.filter(
+            F.col("d").between(F.lit("2024-01-08").cast("date"), F.lit("2024-01-14").cast("date"))
+        )
+        .groupBy(F.col("d").cast("timestamp").alias("d"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("total"),
+        )
+        .orderBy("d", "event_type")
+    )

@@ -323,3 +323,25 @@ def test_bloom_probe_has_no_factside_shuffle(spark):
     plan = formatted_plan(df)
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_partitioned_layout_prunes_at_file_listing(spark):
+    """s11b: the date predicate must bind to the hive partition column
+    (PartitionFilters on the scan) so non-matching day directories are
+    never opened, and it must NOT appear as a post-scan row filter."""
+    from druid_datafusion_bridge_spark.plans import formatted_plan
+
+    df = all_queries()["s11b_partition_prune_scan"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "events_by_day" in plan
+    pf_line = next(
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    )
+    assert "2024-01-08" in pf_line and "2024-01-14" in pf_line, pf_line
+    # the date predicate must be fully absorbed by partition pruning —
+    # no residual post-scan row filter on d
+    data_filters = [
+        line for line in plan.splitlines()
+        if "PushedFilters" in line or "DataFilters" in line
+    ]
+    assert not any("d#" in line for line in data_filters), data_filters
