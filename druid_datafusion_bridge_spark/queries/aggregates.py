@@ -482,3 +482,72 @@ def a14_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ],
     ).orderBy("o_year")
+
+
+@query(
+    "a13b_equidepth_histogram",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             COUNT(*) AS cnt
+      FROM orders GROUP BY 1),
+    c AS (
+      SELECT cents, cnt,
+             COALESCE(SUM(cnt) OVER (
+               ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below,
+             SUM(cnt) OVER () AS n_total
+      FROM h)
+    SELECT CAST((10 * below) // n_total AS BIGINT) AS bucket,
+           CAST(SUM(cnt) AS BIGINT) AS n,
+           CAST(MIN(cents) AS DOUBLE) / 100 AS lo,
+           CAST(MAX(cents) AS DOUBLE) / 100 AS hi
+    FROM c GROUP BY 1 ORDER BY bucket
+    """,
+)
+def a13b_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of order totals, defined exactly
+    and convention-free: bucket(v) = floor(10 * |rows below v| / N) —
+    pure int64 arithmetic, bit-identical to the DuckDB oracle. (Both
+    engines' percentile_disc AND percentile/quantile_cont were measured
+    to disagree on a decile whenever p*N lands on/near an integer —
+    index-convention drift, not float rounding — so no quantile
+    function appears anywhere here.) Ties share one rank and land in
+    one bucket together.
+
+    Scale shape: the naive exact formulation — ntile(10) over a global
+    ORDER BY — funnels every ROW through one window partition. Here the
+    cumulative sum runs over the distinct-VALUE histogram (map-side
+    combined groupBy first), smaller than the table by the duplication
+    factor; for unbounded value domains swap the single-partition
+    cum-sum for a range-partitioned two-pass prefix sum — either way
+    the histogram, never the table, is what gets totally ordered."""
+    from pyspark.sql import Window as W
+
+    h = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_below = W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
+    c = h.select(
+        "cents",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_below), F.lit(0)).alias("below"),
+        F.sum("cnt").over(W.partitionBy()).alias("n_total"),
+    )
+    return (
+        c.groupBy(F.expr("10 * below div n_total").alias("bucket"))
+        .agg(
+            F.sum("cnt").alias("n"),
+            (F.min("cents").cast("double") / 100).alias("lo"),
+            (F.max("cents").cast("double") / 100).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -311,3 +311,72 @@ def an_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.abs(F.col("zscore")) > 2)
     )
+
+
+@query(
+    "an_weighted_moving_avg",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(SUM(CAST(value AS DECIMAL(38,4))) * 10000 AS BIGINT) AS vu
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    l AS (
+      SELECT event_type, bucket, vu,
+             lag(vu, 1) OVER w AS x1,
+             lag(vu, 2) OVER w AS x2,
+             lag(vu, 3) OVER w AS x3
+      FROM b
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket))
+    SELECT event_type, bucket,
+           CAST(vu AS DOUBLE) / 10000 AS bucket_value,
+           CAST(4 * vu + 3 * COALESCE(x1, 0)
+                + 2 * COALESCE(x2, 0) + 1 * COALESCE(x3, 0) AS DOUBLE)
+             / ((4 + CASE WHEN x1 IS NULL THEN 0 ELSE 3 END
+                   + CASE WHEN x2 IS NULL THEN 0 ELSE 2 END
+                   + CASE WHEN x3 IS NULL THEN 0 ELSE 1 END) * 10000) AS wma
+    FROM l
+    """,
+)
+def an_weighted_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted moving average (weights 4:3:2:1 over the last
+    four observed buckets) of hourly value totals per event type — the
+    trend-smoothing twin of an_anomaly_zscore.
+
+    Exactness: numerator and denominator are pure int64 arithmetic on
+    the exact bucket units; ONE double division at the end, so results
+    are bit-identical to the DuckDB oracle (a float EWMA would leak
+    libm pow() differences). Series heads shrink the window (weights of
+    absent lags drop out of the denominator) rather than zero-padding.
+
+    Scale: O(1) window state (three lags, no frame buffering);
+    partitions are event types — bounded; for a corpus whose per-key
+    series outgrows one task, sub-partition by coarse time range and
+    stitch the 3-row boundaries."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket")).agg(
+        (F.sum(F.col("value").cast("decimal(38,4)")) * 10000)
+        .cast("bigint")
+        .alias("vu")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy("bucket")
+    x1, x2, x3 = (F.lag("vu", k).over(w) for k in (1, 2, 3))
+    num = (
+        F.lit(4) * F.col("vu")
+        + F.lit(3) * F.coalesce(x1, F.lit(0))
+        + F.lit(2) * F.coalesce(x2, F.lit(0))
+        + F.lit(1) * F.coalesce(x3, F.lit(0))
+    )
+    den = (
+        F.lit(4)
+        + F.when(x1.isNull(), 0).otherwise(3)
+        + F.when(x2.isNull(), 0).otherwise(2)
+        + F.when(x3.isNull(), 0).otherwise(1)
+    ) * 10000
+    return b.select(
+        "event_type",
+        "bucket",
+        (F.col("vu").cast("double") / 10000).alias("bucket_value"),
+        (num.cast("double") / den).alias("wma"),
+    )
