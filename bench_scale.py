@@ -44,9 +44,11 @@ from druid_datafusion_bridge_spark.operators.text_pipeline import (
     chunk_with_stride,
     domain_mix,
     epoch_shuffle,
+    keyword_search,
     repetition_signals,
     sequence_pack,
     stratified_split,
+    tfidf_top_terms,
     trigram_familiarity,
     vocab_top_coverage,
 )
@@ -146,6 +148,8 @@ def main() -> None:
         "chunk_with_stride": lambda: chunk_with_stride(docs, window=32, stride=24),
         "epoch_shuffle": lambda: epoch_shuffle(docs, seed=3, n_shards=256),
         "kmv_sketch": lambda: kmv_sketch(docs_dom, "lang", "doc_id", k=4096),
+        "tfidf_top_terms": lambda: tfidf_top_terms(docs, k=3),
+        "keyword_search": lambda: keyword_search(docs, terms=("w37", "w41")),
     }
     timings: dict[str, float] = {}
     for name, fn in ops.items():

@@ -215,45 +215,11 @@ def txt_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     only ~1-ulp-reproducible across libm builds — an exactness contract,
     same spirit as the engine's integer-cents money arithmetic. Ranking
     quality is the tf-idf family's; only the score scale differs.
+    Implementation + scale shape: operators/text_pipeline.py
+    tfidf_top_terms (stressed at 1M docs in bench_scale.py)."""
+    from ..operators.text_pipeline import tfidf_top_terms
 
-    Scale shape (100 TB): tokenize -> map-side-combined (doc, term)
-    counts -> term document frequencies (second partial agg, |vocab|
-    rows) -> join back on term (AQE broadcasts the vocab side when it
-    fits) -> per-doc top-3 via a row_number window partitioned by
-    doc_id (high-cardinality partitions, no global sort anywhere).
-    """
-    docs = table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
-        ).alias("term"),
-    )
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n = docs.agg(F.count("*").alias("n_docs"))
-    scored = (
-        tf.join(dfreq, "term")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "term",
-            "tf",
-            "df",
-            (
-                F.col("tf").cast("double")
-                * (F.col("n_docs").cast("double") / (F.col("df") + F.lit(1)))
-            ).alias("score"),
-        )
-    )
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
-    return (
-        scored.select("*", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") <= 3)
-        .select("doc_id", "term", "tf", "df", "score", "rn")
-    )
+    return tfidf_top_terms(table(spark, sf_dir, "documents"), k=3)
 
 
 @query(
@@ -286,33 +252,10 @@ def txt_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf-idf (same rational-idf contract as txt_tfidf_top_terms; the sum
     spans exactly two doubles, so it is order-independent — IEEE
     addition is commutative — and cross-engine exact).
+    Implementation + scale shape: operators/text_pipeline.py
+    keyword_search."""
+    from ..operators.text_pipeline import keyword_search
 
-    Scale shape: the term filter is pushed below the (doc, term) count
-    (only posting lists for query terms survive the first shuffle), the
-    per-doc AND is a count over <= |query| rows, and the final top-20 is
-    a TakeOrdered over the tiny hit set — no global sort of the corpus.
-    """
-    docs = table(spark, sf_dir, "documents")
-    terms = ("vector", "stream")
-    tok = docs.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
-        ).alias("term"),
-    )
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n = docs.agg(F.count("*").alias("n_docs"))
-    score = F.col("tf").cast("double") * (
-        F.col("n_docs").cast("double") / (F.col("df") + F.lit(1))
-    )
-    return (
-        tf.filter(F.col("term").isin(*terms))
-        .join(dfreq, "term")
-        .crossJoin(F.broadcast(n))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_terms"), F.sum(score).alias("rank_score"))
-        .filter(F.col("n_terms") == len(terms))
-        .orderBy(F.col("rank_score").desc(), "doc_id")
-        .limit(20)
+    return keyword_search(
+        table(spark, sf_dir, "documents"), terms=("vector", "stream"), limit=20
     )
