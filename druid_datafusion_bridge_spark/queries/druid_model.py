@@ -287,3 +287,88 @@ def dm_rollup_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         filled.alias("avg_value"),
         F.col("v").isNull().alias("interpolated"),
     ).orderBy("bucket")
+
+
+@query(
+    "dm_segment_metadata",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS interval_start,
+             COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(user_id) AS nulls_user_id,
+             COUNT(DISTINCT user_id) AS nd_user_id,
+             CAST(MIN(user_id) AS VARCHAR) AS min_user_id,
+             CAST(MAX(user_id) AS VARCHAR) AS max_user_id,
+             SUM(length(CAST(user_id AS VARCHAR))) AS sz_user_id,
+             COUNT(*) - COUNT(event_type) AS nulls_event_type,
+             COUNT(DISTINCT event_type) AS nd_event_type,
+             MIN(event_type) AS min_event_type,
+             MAX(event_type) AS max_event_type,
+             SUM(length(event_type)) AS sz_event_type
+      FROM events GROUP BY 1)
+    SELECT interval_start, column_name,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(null_count AS BIGINT) AS null_count,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           min_value, max_value,
+           CAST(byte_size AS BIGINT) AS byte_size
+    FROM (
+      SELECT interval_start, 'user_id' AS column_name, n_rows,
+             nulls_user_id AS null_count, nd_user_id AS n_distinct,
+             min_user_id AS min_value, max_user_id AS max_value,
+             sz_user_id AS byte_size
+      FROM g
+      UNION ALL
+      SELECT interval_start, 'event_type', n_rows,
+             nulls_event_type, nd_event_type,
+             min_event_type, max_event_type, sz_event_type
+      FROM g)
+    ORDER BY interval_start, column_name
+    """,
+)
+def dm_segment_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid segmentMetadata query analog: per time chunk (day = the
+    segment granularity s11b writes), per column — row count, null
+    count, exact cardinality, min/max, and the UTF-8 size of the
+    rendered values (Druid reports per-column size estimates the same
+    spirit). The reference exposes segment metadata only through its
+    info CLI (src/main.rs:97-127, mirrored by dm_info); this is the
+    queryable per-interval form a Druid broker serves.
+
+    One scan, one aggregate: every column's statistics are expressions
+    of the same per-day Aggregate node, pivoted long with an explode
+    over literal structs. The two exact COUNT(DISTINCT)s cost one
+    Expand (rows x columns) — swap for approx_count_distinct at 100 TB
+    (kept exact for the bit-exact oracle); byte sizes render integers
+    and strings identically in both engines."""
+    ev = table(spark, sf_dir, "events")
+    cols = ["user_id", "event_type"]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"nulls_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"min_{c}"),
+            F.max(c).cast("string").alias(f"max_{c}"),
+            F.sum(F.length(F.col(c).cast("string"))).alias(f"sz_{c}"),
+        ]
+    wide = ev.groupBy(F.date_trunc("day", "ts").alias("interval_start")).agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows"),
+                F.col(f"nulls_{c}").alias("null_count"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"min_{c}").alias("min_value"),
+                F.col(f"max_{c}").alias("max_value"),
+                F.col(f"sz_{c}").alias("byte_size"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        wide.select("interval_start", F.explode(rows).alias("s"))
+        .select("interval_start", "s.*")
+        .orderBy("interval_start", "column_name")
+    )
