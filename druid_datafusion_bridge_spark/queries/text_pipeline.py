@@ -605,3 +605,115 @@ def txp_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rank"),
     ).orderBy("rank")
+
+
+@query(
+    "txp_markup_strip",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, text,
+             '<div class="doc" id="d' || CAST(doc_id AS VARCHAR)
+               || '"><p>' || replace(text, ' ', '&#32;')
+               || '</p><br/></div>' AS html
+      FROM documents),
+    c AS (
+      SELECT doc_id, text, html,
+             replace(regexp_replace(html, '<[^>]*>', '', 'g'),
+                     '&#32;', ' ') AS cleaned
+      FROM h)
+    SELECT doc_id,
+           CAST(length(html) AS BIGINT) AS n_html,
+           CAST(length(cleaned) AS BIGINT) AS n_clean,
+           CAST(cleaned = text AS BIGINT) AS roundtrip_ok
+    FROM c
+    """,
+)
+def txp_markup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup stripping for web-corpus cleaning: tag removal + entity
+    decoding as a stateless regexp map — no shuffle at all, the shape
+    an HTML-heavy crawl cleanup runs over every page. The testdata has
+    no markup, so the query first wraps each document in deterministic
+    tags/entities (same expression both engines) and then proves the
+    cleaner inverts it exactly (roundtrip_ok = 1 for every row)."""
+    docs = table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<div class="doc" id="d'),
+        F.col("doc_id").cast("string"),
+        F.lit('"><p>'),
+        F.replace(F.col("text"), F.lit(" "), F.lit("&#32;")),
+        F.lit("</p><br/></div>"),
+    )
+    h = docs.select("doc_id", "text", html.alias("html"))
+    cleaned = F.replace(
+        F.regexp_replace(F.col("html"), "<[^>]*>", ""),
+        F.lit("&#32;"),
+        F.lit(" "),
+    )
+    return h.select(
+        "doc_id",
+        F.length("html").cast("bigint").alias("n_html"),
+        F.length(cleaned).cast("bigint").alias("n_clean"),
+        (cleaned == F.col("text")).cast("bigint").alias("roundtrip_ok"),
+    )
+
+
+@query(
+    "txp_url_extract",
+    oracle="""
+    WITH pages AS (
+      SELECT doc_id,
+             'Fetched from https://' || source || '.example.com/corpus/'
+               || CAST(doc_id AS VARCHAR) || '?lang=' || lang
+               || ' and mirrored at http://mirror.' || source
+               || '.example.org/' || CAST(doc_id AS VARCHAR)
+               || ' ' || text AS page
+      FROM documents),
+    u AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(page, 'https?://[^ ]+')) AS url
+      FROM pages)
+    SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM u
+    GROUP BY 1 ORDER BY domain
+    """,
+)
+def txp_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + per-domain rollup — the provenance census a
+    web-corpus curation pass runs before domain filtering. URLs are
+    synthesized deterministically from document metadata (the testdata
+    carries none), extracted with regexp_extract_all, and the host
+    comes from Spark's native parse_url (a built-in DuckDB lacks — the
+    oracle proves the regexp form is value-identical). Scale: stateless
+    extract + one map-side-combined groupBy on the bounded domain key."""
+    docs = table(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("Fetched from https://"),
+        F.col("source"),
+        F.lit(".example.com/corpus/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit(" and mirrored at http://mirror."),
+        F.col("source"),
+        F.lit(".example.org/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    u = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(page, F.lit("https?://[^ ]+"), 0)
+        ).alias("url"),
+    )
+    return (
+        u.select("doc_id", F.parse_url(F.col("url"), F.lit("HOST")).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("bigint").alias("n_urls"),
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("domain")
+    )
