@@ -36,12 +36,20 @@ def write_druid_segments(
     granularity: str = "P1D",
     dimensions: list[str] | None = None,
     max_rows_per_segment: int = 5_000_000,
+    version: str = "",
 ) -> DataFrame:
     """Write `df` as a directory of Druid v9 segments, one (or more, for
     hot intervals) per `granularity` bucket of `__time`.
 
     Returns the manifest DataFrame (segment_dir, interval bounds,
     num_rows); collecting it triggers the distributed write.
+
+    ``version`` suffixes every segment directory name (Druid's segment
+    version tag, stamped at handoff time): streaming ingestion hands
+    off one batch per trigger into the SAME datasource root, so batch
+    k's segments must not collide with batch j's for a shared interval.
+    Same-name re-writes (a retried batch with the same version) simply
+    overwrite — which is what makes the streaming handoff idempotent.
     """
     if TIME_COLUMN not in df.columns:
         raise ValueError(f"write_druid_segments requires a {TIME_COLUMN} column")
@@ -71,7 +79,7 @@ def write_druid_segments(
             # epoch millis — reference src/column/time.rs:10-14)
             table.column(TIME_COLUMN).cast(pa.timestamp("ms"), safe=False),
         )
-        name = f"segment_{bucket_ms}_{shard:04d}"
+        name = f"segment_{bucket_ms}_{shard:04d}" + (f"_{version}" if version else "")
         seg_dir = os.path.join(path, name)
         write_segment(table, seg_dir, dimensions=dimensions)
         import pyarrow.compute as pc

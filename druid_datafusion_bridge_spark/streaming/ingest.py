@@ -1,64 +1,60 @@
-"""Streaming ingestion into Druid segments — the reference's parent
-system's core real-time path (stream -> time-partitioned immutable
-segments), absent from the reference itself (strictly batch/bounded,
-SURVEY §1.7), re-expressed as Structured Streaming + foreachBatch.
+"""Streaming ingestion into Druid v9 segments — the realtime-node path.
 
-Each micro-batch runs the same distributed segment writer as batch
-ingestion (sources/ingest.py); segment directories are namespaced by
-batch id, so a restart re-running batch N overwrites N's own segments
-instead of duplicating data (foreachBatch's replay contract =>
-idempotent sink). Downstream, the 'druidsegment' reader scans the
-accumulating segment forest with one partition per segment.
+Druid's realtime ingestion model: events stream in, accumulate briefly,
+and are periodically handed off as immutable, versioned segments that
+historical queries then serve. Structured Streaming reproduces that
+split exactly: ``foreachBatch`` is the handoff boundary — each
+micro-batch runs the engine's own distributed segment writer
+(sources/ingest.py write_druid_segments: one granularity-bucket shuffle,
+hot-interval sharding, executor-side encode) with the batch id stamped
+as the segment VERSION, so successive batches land beside each other in
+one datasource root and a retried batch overwrites its own files
+(idempotent handoff — exactly-once on top of the checkpointed source).
+
+Late batches leave many small same-interval segments; that is by design
+(Druid appending mode) — ``sources/ingest.py compact_segments`` restores
+the one-segment-per-interval layout, exactly like Druid compaction after
+realtime handoff.
+
+The reference has no write path at all (read-only mmap,
+src/segment/mod.rs:19-24); this composes the repo's beyond-parity writer
+with the streaming mandate.
 """
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
-
-from ..sources.ingest import write_druid_segments
 
 
 def stream_to_segments(
     stream_df: DataFrame,
-    path: str,
-    granularity: str = "PT1H",
-    checkpoint: str | None = None,
-    trigger_available_now: bool = True,
+    out_root: str,
+    checkpoint_dir: str,
+    granularity: str = "P1D",
+    dimensions: list[str] | None = None,
+    max_rows_per_segment: int = 5_000_000,
 ) -> StreamingQuery:
-    """Start a streaming query writing each micro-batch as Druid
-    segments under `path`. `stream_df` must carry a `__time` timestamp
-    column. Returns the StreamingQuery (caller stops/awaits)."""
+    """Start a streaming query that hands every micro-batch off as
+    Druid segments under ``out_root``. The input stream must already
+    carry the Druid ``__time`` column. Returns the StreamingQuery;
+    callers pick the trigger cadence via the builder default
+    (availableNow semantics come from the source running dry)."""
+    from ..sources.ingest import write_druid_segments
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        batch_dir = os.path.join(path, f"batch_{batch_id:06d}")
-        write_druid_segments(batch_df, batch_dir, granularity=granularity).collect()
+    def handoff(batch_df: DataFrame, batch_id: int) -> None:
+        write_druid_segments(
+            batch_df,
+            out_root,
+            granularity=granularity,
+            dimensions=dimensions,
+            max_rows_per_segment=max_rows_per_segment,
+            version=f"b{batch_id}",
+        ).collect()  # driver sees only the tiny manifest
 
-    writer = stream_df.writeStream.foreachBatch(sink).outputMode("append")
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
-
-
-def read_segment_forest(spark, path: str) -> DataFrame:
-    """Scan every segment under a streaming output tree (batch_*/seg_*)."""
-    from ..sources.datasource import find_segment_dirs  # noqa: F401
-
-    roots = sorted(
-        os.path.join(path, d)
-        for d in os.listdir(path)
-        if os.path.isdir(os.path.join(path, d))
+    return (
+        stream_df.writeStream.foreachBatch(handoff)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )
-    dfs = [
-        spark.read.format("druidsegment").option("path", r).load() for r in roots
-    ]
-    out = dfs[0]
-    for df in dfs[1:]:
-        out = out.unionByName(df)
-    return out

@@ -92,38 +92,6 @@ def test_dedup_within_watermark(spark, batch_events):
         q.stop()
 
 
-def test_streaming_ingestion_to_segments(spark, batch_events, tmp_path):
-    """Stream -> foreachBatch segment writer -> segment forest readable
-    through the druidsegment source with batch-exact totals."""
-    from druid_datafusion_bridge_spark.sources import register_druid_datasource
-    from druid_datafusion_bridge_spark.streaming.ingest import (
-        read_segment_forest,
-        stream_to_segments,
-    )
-
-    register_druid_datasource(spark)
-    out = str(tmp_path / "stream_segments")
-    stream = stream_events(spark, SF_DIR).select(
-        F.col("ts").alias("__time"), "event_type", "value"
-    )
-    q = stream_to_segments(
-        stream, out, granularity="P1D", checkpoint=str(tmp_path / "ckpt")
-    )
-    q.awaitTermination(120)
-    q.stop()
-
-    back = read_segment_forest(spark, out)
-    got = back.agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(38,4)")).alias("sv"),
-    ).collect()[0]
-    want = batch_events.agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(38,4)")).alias("sv"),
-    ).collect()[0]
-    assert (got["n"], got["sv"]) == (want["n"], want["sv"])
-
-
 def test_stateful_running_totals_match_batch(spark, batch_events):
     """applyInPandasWithState custom stateful operator: the last update
     per user must equal the batch aggregate exactly (state accumulates
@@ -244,3 +212,58 @@ def test_checkpoint_restart_exactly_once(spark, batch_events, tmp_path):
         )
     )
     assert got == want
+
+
+def test_stream_to_segments_realtime_handoff(spark, tmp_path):
+    """Realtime-node path: stream events -> foreachBatch handoff ->
+    versioned Druid segments -> the druidsegment DataSource serves the
+    same totals the batch table gives. Exactly-once: re-running the
+    stream from the same checkpoint must hand off nothing new."""
+    import pyspark.sql.functions as F
+
+    from druid_datafusion_bridge_spark.catalog import table as cat_table
+    from druid_datafusion_bridge_spark.sources.datasource import (
+        register_druid_datasource,
+    )
+    from druid_datafusion_bridge_spark.streaming.events import stream_events
+    from druid_datafusion_bridge_spark.streaming.ingest import stream_to_segments
+
+    register_druid_datasource(spark)
+    out = str(tmp_path / "rt_segments")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        ev = stream_events(spark, SF_DIR).select(
+            F.col("ts").alias("__time"),
+            "event_type",
+            F.col("user_id").cast("long").alias("user_id"),
+            "value",
+        )
+        return stream_to_segments(ev, out, ckpt, granularity="P1D")
+
+    q = start()
+    q.awaitTermination(120)
+
+    back = spark.read.format("druidsegment").option("path", out).load()
+    batch = cat_table(spark, SF_DIR, "events")
+    got = back.agg(
+        F.count("*").alias("n"),
+        F.sum("user_id").alias("su"),
+        F.sum(F.col("value").cast("decimal(38,4)")).alias("sv"),
+    ).collect()[0]
+    want = batch.agg(
+        F.count("*").alias("n"),
+        F.sum("user_id").alias("su"),
+        F.sum(F.col("value").cast("decimal(38,4)")).alias("sv"),
+    ).collect()[0]
+    assert tuple(got) == tuple(want)
+    # every segment dir carries its handoff version tag
+    import os
+
+    segs = sorted(os.listdir(out))
+    assert segs and all("_b" in s for s in segs)
+
+    # restart from the same checkpoint: source is dry, no new segments
+    q2 = start()
+    q2.awaitTermination(120)
+    assert sorted(os.listdir(out)) == segs
