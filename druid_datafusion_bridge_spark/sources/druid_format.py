@@ -611,12 +611,15 @@ def write_string_column_v2(
     ids: np.ndarray,
     strategy: int = LZ4,
     bitmap_index: bool = False,
+    bitmap_type: int | None = None,
 ) -> bytes:
-    """Dictionary string column; with ``bitmap_index`` a roaring
-    inverted index (one typed blob per dictionary id, listing the rows
-    holding that id) is appended as a GenericIndexed — the real-Druid
-    layout the reference parses the blobs of but never applies
-    (bitmap.rs:16-40). Readers that only want values skip it."""
+    """Dictionary string column; with ``bitmap_index`` an inverted
+    index (one typed blob per dictionary id, listing the rows holding
+    that id) is appended as a GenericIndexed — the real-Druid layout
+    the reference parses the blobs of but never applies
+    (bitmap.rs:16-40). ``bitmap_type`` picks roaring (default) or
+    CONCISE blobs (legacy-segment layout). Readers that only want
+    values skip it."""
     out = bytearray([0x02])
     out += _I32.pack(0)  # flags
     out += write_generic_indexed(
@@ -624,10 +627,11 @@ def write_string_column_v2(
     )
     out += write_compressed_ints(ids, strategy=strategy)
     if bitmap_index:
+        bt = BITMAP_TYPE_ROARING if bitmap_type is None else bitmap_type
         arr = np.asarray(ids, np.int64)
         out += write_generic_indexed(
             [
-                write_bitmap_blob(np.flatnonzero(arr == i))
+                write_bitmap_blob(np.flatnonzero(arr == i), bt)
                 for i in range(len(dictionary))
             ]
         )
@@ -811,10 +815,116 @@ def roaring_deserialize(data: bytes | memoryview) -> np.ndarray:
     return np.concatenate(parts) if parts else np.empty(0, np.uint32)
 
 
-def write_bitmap_blob(rows) -> bytes:
-    """Druid typed bitmap blob: 0x01 type byte + roaring bytes
-    (bitmap.rs:16-28)."""
-    return bytes([BITMAP_TYPE_ROARING]) + roaring_serialize(rows)
+# ---------------------------------------------------------------------------
+# CONCISE bitmaps (Colantonio & Di Pietro 2010; Druid's original/legacy
+# bitmap type, extendedset word layout). The reference ERRORS on type
+# byte 0x00 (src/column/bitmap.rs:32-34); implementing it means legacy
+# concise-indexed segments read here that read nowhere else.
+#
+# 32-bit words, big-endian in the blob (Druid's byte order):
+#   1 b30..b0      literal: 31-bit bitmap covering the next 31 ints
+#   00 ppppp n*25  0-sequence: (n+1) blocks of 31 zeros; p>0 flips bit
+#                  p-1 of the FIRST block to one
+#   01 ppppp n*25  1-sequence: (n+1) blocks of 31 ones; p>0 flips bit
+#                  p-1 of the FIRST block to zero
+# The encoder emits pure fills and literals (flip position 0); the
+# decoder honors flipped bits, so sets written by real ConciseSet
+# (which uses them) still decode.
+# ---------------------------------------------------------------------------
+
+_CONCISE_LITERAL = 0x80000000
+_CONCISE_ALL31 = 0x7FFFFFFF
+_CONCISE_ONE_SEQ = 0x40000000
+_CONCISE_MAX_BLOCKS = 1 << 25  # fill counter is 25 bits (n+1 blocks)
+
+
+def concise_serialize(rows) -> bytes:
+    """Sorted distinct uint32 row ids -> CONCISE words (big-endian)."""
+    arr = np.asarray(sorted(set(int(r) for r in rows)), dtype=np.uint64)
+    words: list[int] = []
+
+    def flush_fill(kind_ones: bool, blocks: int) -> None:
+        while blocks > 0:
+            n = min(blocks, _CONCISE_MAX_BLOCKS)
+            words.append((_CONCISE_ONE_SEQ if kind_ones else 0) | (n - 1))
+            blocks -= n
+
+    if len(arr):
+        blk = (arr // 31).astype(np.int64)
+        bit = (arr % 31).astype(np.int64)
+        ublk, starts = np.unique(blk, return_index=True)
+        groups = np.split(bit, starts[1:])
+        prev = 0  # next block index to cover
+        pend_ones = 0
+        for b, grp in zip(ublk, groups):
+            b = int(b)
+            lit = 0
+            for x in grp:
+                lit |= 1 << int(x)
+            if b > prev:
+                flush_fill(True, pend_ones)
+                pend_ones = 0
+                flush_fill(False, b - prev)
+            if lit == _CONCISE_ALL31:
+                pend_ones += 1
+            else:
+                flush_fill(True, pend_ones)
+                pend_ones = 0
+                words.append(_CONCISE_LITERAL | lit)
+            prev = b + 1
+        flush_fill(True, pend_ones)
+    out = bytearray()
+    for w in words:
+        out += _I32.pack(w - (1 << 32) if w >= 1 << 31 else w)
+    return bytes(out)
+
+
+def concise_deserialize(data: bytes | memoryview) -> np.ndarray:
+    """CONCISE words -> sorted uint32 row ids."""
+    data = bytes(data)
+    if len(data) % 4:
+        raise DruidFormatError("Concise: byte length not a multiple of 4")
+    parts: list[np.ndarray] = []
+    base = 0  # int covered so far (multiple of 31)
+    for i in range(0, len(data), 4):
+        (sw,) = _I32.unpack_from(data, i)
+        w = sw & 0xFFFFFFFF
+        if w & _CONCISE_LITERAL:
+            bits = w & _CONCISE_ALL31
+            if bits:
+                parts.append(
+                    base
+                    + np.array(
+                        [k for k in range(31) if (bits >> k) & 1], np.uint32
+                    )
+                )
+            base += 31
+        else:
+            blocks = (w & (_CONCISE_MAX_BLOCKS - 1)) + 1
+            flip = (w >> 25) & 0x1F
+            if w & _CONCISE_ONE_SEQ:
+                ids = np.arange(base, base + 31 * blocks, dtype=np.uint32)
+                if flip:
+                    ids = ids[ids != base + flip - 1]
+                parts.append(ids)
+            elif flip:
+                parts.append(np.array([base + flip - 1], np.uint32))
+            base += 31 * blocks
+    return (
+        np.concatenate(parts).astype(np.uint32)
+        if parts
+        else np.empty(0, np.uint32)
+    )
+
+
+def write_bitmap_blob(rows, bitmap_type: int = BITMAP_TYPE_ROARING) -> bytes:
+    """Druid typed bitmap blob: type byte + payload (bitmap.rs:16-28).
+    0x01 roaring (Druid's default) or 0x00 CONCISE (legacy segments)."""
+    if bitmap_type == BITMAP_TYPE_ROARING:
+        return bytes([BITMAP_TYPE_ROARING]) + roaring_serialize(rows)
+    if bitmap_type == BITMAP_TYPE_CONCISE:
+        return bytes([BITMAP_TYPE_CONCISE]) + concise_serialize(rows)
+    raise DruidFormatError(f"Unknown bitmap type {bitmap_type:#x}")
 
 
 def read_bitmap_blob(data: bytes | memoryview) -> np.ndarray:
@@ -824,8 +934,8 @@ def read_bitmap_blob(data: bytes | memoryview) -> np.ndarray:
     if data[0] == BITMAP_TYPE_ROARING:
         return roaring_deserialize(data[1:])
     if data[0] == BITMAP_TYPE_CONCISE:
-        # same posture as the reference (bitmap.rs:32-34)
-        raise DruidFormatError("Concise bitmap format not supported")
+        # beyond the reference, which errors here (bitmap.rs:32-34)
+        return concise_deserialize(data[1:])
     raise DruidFormatError(f"Unknown bitmap type {data[0]:#x}")
 
 

@@ -471,12 +471,77 @@ class TestRoaringBitmaps:
         out = fmt.roaring_deserialize(bytes(data))
         assert out.tolist() == [10, 11, 12, 13, 14, 15, 100, 101]
 
-    def test_typed_blob_and_concise_posture(self):
+    def test_typed_blob_both_bitmap_types(self):
         enc = fmt.write_bitmap_blob([3, 7, 11])
         assert enc[0] == fmt.BITMAP_TYPE_ROARING
         assert fmt.read_bitmap_blob(enc).tolist() == [3, 7, 11]
-        with pytest.raises(fmt.DruidFormatError, match="Concise"):
+        # CONCISE: the reference errors on type 0x00 (bitmap.rs:32-34);
+        # here legacy blobs read AND write
+        enc0 = fmt.write_bitmap_blob([3, 7, 11], fmt.BITMAP_TYPE_CONCISE)
+        assert enc0[0] == fmt.BITMAP_TYPE_CONCISE
+        assert fmt.read_bitmap_blob(enc0).tolist() == [3, 7, 11]
+        with pytest.raises(fmt.DruidFormatError, match="multiple of 4"):
             fmt.read_bitmap_blob(bytes([fmt.BITMAP_TYPE_CONCISE, 0, 0]))
+
+    def test_concise_roundtrip_shapes(self):
+        import random
+
+        random.seed(7)
+        cases = [
+            [],
+            [0],
+            [30],
+            [31],
+            list(range(31)),          # one full literal -> 1-fill
+            list(range(62)),          # two full blocks -> one 2-block fill
+            [0, 10_000_000],          # huge zero gap -> multi-word fills
+            list(range(5, 5000)),
+            sorted(random.sample(range(100_000), 5000)),
+            sorted(random.sample(range(10_000_000), 300)),
+        ]
+        for c in cases:
+            words = fmt.concise_serialize(c)
+            assert len(words) % 4 == 0
+            assert fmt.concise_deserialize(words).tolist() == sorted(set(c))
+        # fills must compress: 62 consecutive ones = ONE word
+        assert len(fmt.concise_serialize(range(62))) == 4
+
+    def test_concise_flipped_bit_decode(self):
+        import struct
+
+        # real ConciseSet emits mixed fills: 0-seq of 3 blocks with
+        # position 5 -> only bit 4 of the first block is set
+        w = (5 << 25) | (3 - 1)
+        assert fmt.concise_deserialize(struct.pack(">i", w)).tolist() == [4]
+        # 1-seq of 2 blocks, position 1 -> bit 0 of first block cleared
+        w = 0x40000000 | (1 << 25) | (2 - 1)
+        got = fmt.concise_deserialize(struct.pack(">i", w)).tolist()
+        assert got == [x for x in range(62) if x != 0]
+
+    def test_concise_matches_roaring_decode(self):
+        import random
+
+        random.seed(11)
+        rows = sorted(random.sample(range(1_000_000), 10_000))
+        via_concise = fmt.read_bitmap_blob(
+            fmt.write_bitmap_blob(rows, fmt.BITMAP_TYPE_CONCISE)
+        )
+        via_roaring = fmt.read_bitmap_blob(fmt.write_bitmap_blob(rows))
+        assert via_concise.tolist() == via_roaring.tolist() == rows
+
+    def test_string_column_concise_index_scans(self):
+        dictionary = ["a", "b", "c"]
+        ids = np.array([0, 1, 2, 1, 0, 2, 2, 1], np.int64)
+        payload = fmt.write_string_column_v2(
+            dictionary,
+            ids,
+            bitmap_index=True,
+            bitmap_type=fmt.BITMAP_TYPE_CONCISE,
+        )
+        index = fmt.read_string_bitmap_index(payload)
+        assert index is not None
+        for dict_id, rows in enumerate(index):
+            assert rows.tolist() == np.flatnonzero(ids == dict_id).tolist()
 
     def test_string_column_bitmap_index_roundtrip(self):
         import numpy as np
