@@ -21,6 +21,7 @@ from ..operators.dedup import (
     MINHASH_BANDS,
     MINHASH_PRIME,
     MINHASH_ROWS_PER_BAND,
+    doc_word_ngrams,
     exact_dedup,
     minhash_signatures,
     lsh_candidate_pairs,
@@ -241,3 +242,63 @@ def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return duplicate_clusters(docs).orderBy("doc_id")
+
+
+@query(
+    "dd_shared_passages",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(toks[i : i + 19], ' ') AS passage
+      FROM t, unnest(range(1, len(toks) - 18)) AS r(i)
+      WHERE len(toks) >= 20),
+    s AS (
+      SELECT passage,
+             COUNT(*) AS n_docs,
+             MIN(doc_id) AS first_doc,
+             MAX(doc_id) AS last_doc
+      FROM g GROUP BY passage HAVING COUNT(*) >= 2)
+    SELECT md5(passage) AS passage_fp,
+           CAST(length(passage) AS BIGINT) AS passage_chars,
+           n_docs, first_doc, last_doc
+    FROM s
+    ORDER BY n_docs DESC, passage_fp
+    LIMIT 50
+    """,
+)
+def dd_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-passage detection (training-data substring
+    dedup at shingle granularity, the distributed approximation of
+    suffix-array substring dedup): every 20-token window shared
+    verbatim by >= 2 documents, ranked by how many documents carry it.
+    Catches boilerplate and license blocks that document-level
+    fingerprints miss because the surrounding text differs.
+
+    Scale shape: shingle explode (distinct per doc) -> one
+    map-side-combined groupBy on the passage key -> HAVING >= 2 keeps
+    only actually-shared passages -> top-50 by TakeOrdered. Passages
+    leave the shuffle as md5 fingerprints in the output; the groupBy
+    key is the passage text itself so counts are exact (hashing before
+    the count would make collisions conflate passages)."""
+    docs = table(spark, sf_dir, "documents")
+    grams = doc_word_ngrams(docs, n=20)
+    return (
+        grams.groupBy(F.col("g").alias("passage"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            F.md5("passage").alias("passage_fp"),
+            F.length("passage").cast("bigint").alias("passage_chars"),
+            "n_docs",
+            "first_doc",
+            "last_doc",
+        )
+        .orderBy(F.col("n_docs").desc(), "passage_fp")
+        .limit(50)
+    )

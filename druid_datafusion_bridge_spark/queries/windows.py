@@ -287,3 +287,51 @@ def w5_distribution_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+@query(
+    "w2b_ignore_nulls",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CASE WHEN o_orderstatus = 'O' THEN NULL
+                  ELSE o_totalprice END AS settled_price
+      FROM orders)
+    SELECT o_custkey, o_orderkey, settled_price,
+           LAST_VALUE(settled_price IGNORE NULLS) OVER w AS last_settled,
+           FIRST_VALUE(settled_price IGNORE NULLS) OVER w2 AS first_settled
+    FROM o
+    WINDOW
+      w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def w2b_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS navigation (W2 family): carry the last settled
+    price forward past open (NULL) orders — the gap-filling
+    last-observation-carried-forward idiom — plus the partition's first
+    settled value. O(1) frame state; same shuffle profile as any
+    per-customer window."""
+    orders = table(spark, sf_dir, "orders")
+    settled = F.when(F.col("o_orderstatus") == "O", None).otherwise(
+        F.col("o_totalprice")
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w2 = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        settled.alias("settled_price"),
+        F.last(settled, ignorenulls=True).over(w).alias("last_settled"),
+        F.first(settled, ignorenulls=True).over(w2).alias("first_settled"),
+    )
