@@ -561,3 +561,20 @@ class TestRoaringBitmaps:
         assert fmt.read_string_bitmap_index(
             fmt.write_string_column_v2(dictionary, ids)
         ) is None
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=500_000), max_size=400),
+    st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=150, deadline=None)
+def test_concise_fuzz_roundtrip_and_cross_codec(rows, pad):
+    """Any id set round-trips through CONCISE and agrees with the
+    roaring codec; appending dense runs exercises fill words."""
+    if pad:
+        start = (max(rows) if rows else 0) + 31 * pad
+        rows = rows + list(range(start, start + 31 * pad))
+    want = sorted(set(rows))
+    assert fmt.concise_deserialize(fmt.concise_serialize(rows)).tolist() == want
+    via_roaring = fmt.roaring_deserialize(fmt.roaring_serialize(rows)).tolist()
+    assert via_roaring == want
