@@ -404,3 +404,80 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", "vec_id", "sim", "rank")
     )
+
+
+def pq_quantize(
+    emb: DataFrame,
+    dim: int = 64,
+    n_subspaces: int = 4,
+    codebook_size: int = 16,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product quantization (the faiss PQ storage layout): split each
+    vector into ``n_subspaces`` contiguous subvectors, train one
+    ``codebook_size``-centroid k-means codebook per subspace (Spark ML
+    k-means||, fixed seed, JVM-side), and encode every vector as one
+    code per subspace — dim*4 bytes shrink to n_subspaces bytes (64x
+    here), the standard memory layout for billion-vector ANN.
+
+    Returns (vec_id, codes array<int> ordered by subspace, sq_err
+    double = squared reconstruction error of the whole vector).
+
+    Scale shape: codebooks are (n_subspaces x codebook_size x subdim) —
+    tiny, broadcast; encoding is subvector-explode -> broadcast-join ->
+    per-(vector, subspace) argmin — a stateless scan of the corpus, no
+    shuffle beyond the explode's map-side regrouping. Training sees the
+    corpus ``n_subspaces`` times (bounded, small k); at 100 TB train on
+    a hash-sample and freeze, like the IVF maintenance path."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if dim % n_subspaces:
+        raise ValueError("dim must divide evenly into subspaces")
+    w = dim // n_subspaces
+    v = spread(
+        emb.select(
+            F.col(id_col).alias("vec_id"), as_double_vec(F.col(vec_col)).alias("v")
+        )
+    )
+    books = []
+    for s_i in range(n_subspaces):
+        sub = v.select(F.slice("v", s_i * w + 1, w).alias("sv"))
+        model = KMeans(k=codebook_size, seed=seed + s_i, maxIter=10).fit(
+            sub.select(array_to_vector(F.col("sv")).alias("features"))
+        )
+        books += [
+            (s_i, c_i, [float(x) for x in cen])
+            for c_i, cen in enumerate(model.clusterCenters())
+        ]
+    cb = v.sparkSession.createDataFrame(
+        books, "sub_id int, code int, cv array<double>"
+    )
+    subs = v.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("v", i * w + 1, w) for i in range(n_subspaces)])
+        ).alias("sub_id", "sv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        subs.join(F.broadcast(cb), "sub_id")
+        .select("vec_id", "sub_id", "code", d2.alias("d2"))
+        .groupBy("vec_id", "sub_id")
+        .agg(F.min_by(F.struct("code", "d2"), F.struct("d2", "code")).alias("b"))
+    )
+    return best.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("sub_id", F.col("b.code").alias("code")))
+            ),
+            lambda s: s["code"],
+        ).alias("codes"),
+        F.sum("b.d2").alias("sq_err"),
+    )

@@ -245,3 +245,75 @@ def sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = ivf_topk(emb, probes, k=10, n_centroids=16, nprobe=8, fit_corpus=old)
     exact = brute_force_topk(emb, probes, k=10)
     return _recall_contract(ann, exact, floor=0.4)
+
+
+@query(
+    "em_pq_quantize",
+    oracle="""
+    WITH pos AS (
+      SELECT generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS d,
+             unnest(CAST(embedding AS DOUBLE[])) AS x
+      FROM embeddings),
+    dimagg AS (
+      SELECT d, COUNT(*) AS n,
+             SUM(CAST(x AS DECIMAL(38,18))) AS s,
+             SUM(CAST(x * x AS DECIMAL(38,18))) AS ss
+      FROM pos GROUP BY d),
+    tot AS (
+      SELECT MAX(n) AS n,
+             CAST(SUM(ss) AS DOUBLE) AS tss,
+             CAST(SUM(CAST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                           AS DECIMAL(38,10))) AS DOUBLE) AS sq
+      FROM dimagg)
+    SELECT CAST(n AS BIGINT) AS n_vectors,
+           round((tss - sq / n) / n, 9) AS mse_mean,
+           TRUE AS pq_improves
+    FROM tot
+    """,
+)
+def em_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (operators/similarity.py pq_quantize: 4
+    subspaces x 16 centroids = 4-byte codes, 64x smaller than float32)
+    with a distortion-dominance contract: the corpus-average PQ
+    reconstruction error must beat the 1-centroid-per-subspace baseline
+    — whose distortion is exactly the summed per-dimension variance,
+    which the oracle computes bit-for-bit (decimal-exact moment sums,
+    then the identical double expression; k-means training itself is
+    Spark-side and not SQL-reproducible, hence the contract form, same
+    pattern as the IVF/LSH recall oracles). n_vectors and mse_mean are
+    exact outputs; pq_improves pins the contract."""
+    from ..operators.similarity import as_double_vec, pq_quantize
+
+    emb = table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        F.posexplode(as_double_vec(F.col("embedding"))).alias("d", "x")
+    )
+    dimagg = pos.groupBy("d").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,18)")).alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,18)")).alias("ss"),
+    )
+    tot = dimagg.agg(
+        F.max("n").alias("n"),
+        F.sum("ss").cast("double").alias("tss"),
+        F.sum(
+            (F.col("s").cast("double") * F.col("s").cast("double")).cast(
+                "decimal(38,10)"
+            )
+        )
+        .cast("double")
+        .alias("sq"),
+    )
+    pq = pq_quantize(emb, dim=64, n_subspaces=4, codebook_size=16)
+    mse_pq = pq.agg(
+        (F.sum("sq_err") / F.count("*")).alias("mse_pq")
+    )
+    mse_mean = (F.col("tss") - F.col("sq") / F.col("n")) / F.col("n")
+    return (
+        tot.crossJoin(F.broadcast(mse_pq))
+        .select(
+            F.col("n").cast("bigint").alias("n_vectors"),
+            F.round(mse_mean, 9).alias("mse_mean"),
+            (F.col("mse_pq") < mse_mean).alias("pq_improves"),
+        )
+    )

@@ -209,3 +209,20 @@ def test_neardup_finds_planted_duplicates(spark):
         ).collect()
     }
     assert got == exact
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    from druid_datafusion_bridge_spark.catalog import table
+    from druid_datafusion_bridge_spark.operators.similarity import pq_quantize
+
+    emb = table(spark, SF_DIR, "embeddings")
+    pq = pq_quantize(emb, dim=64, n_subspaces=4, codebook_size=16)
+    rows = {r["vec_id"]: r for r in pq.collect()}
+    assert len(rows) == emb.count()
+    for r in rows.values():
+        assert len(r["codes"]) == 4  # 4 bytes per 256-byte vector: 64x
+        assert all(0 <= c < 16 for c in r["codes"])
+        assert r["sq_err"] >= 0.0
+    # fixed seed => byte-identical codes on a re-run
+    again = {r["vec_id"]: r for r in pq_quantize(emb, dim=64).collect()}
+    assert all(rows[k]["codes"] == again[k]["codes"] for k in rows)
