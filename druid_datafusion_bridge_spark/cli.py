@@ -88,7 +88,9 @@ def cmd_dump(path: str, columns: str | None, limit: int, fmt: str) -> None:
         seg.close()
 
 
-def cmd_query(path: str, sql: str, show_rows: int = 100) -> None:
+def cmd_query(
+    path: str, sql: str, show_rows: int = 100, explain: bool = False
+) -> None:
     from .functions import register_druid_sql_functions
     from .session import get_spark
     from .sources import register_druid_datasource
@@ -100,7 +102,15 @@ def cmd_query(path: str, sql: str, show_rows: int = 100) -> None:
     register_druid_sql_functions(spark)
     df = spark.read.format("druidsegment").option("path", path).load()
     df.createOrReplaceTempView("segment")
-    spark.sql(sql).show(show_rows, truncate=False)
+    out = spark.sql(sql)
+    if explain:
+        # the reference's EXPLAIN surface comes free from DataFusion;
+        # ours comes free from Catalyst (formatted physical plan)
+        from .plans import formatted_plan
+
+        print(formatted_plan(out))
+    else:
+        out.show(show_rows, truncate=False)
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -127,6 +137,10 @@ def main(argv: list[str] | None = None) -> None:
     p_query = sub.add_parser("query", help="run SQL over the segment table")
     p_query.add_argument("path")
     p_query.add_argument("--sql", "-s", required=True)
+    p_query.add_argument(
+        "--explain", action="store_true",
+        help="print the formatted physical plan instead of rows",
+    )
 
     args = parser.parse_args(argv)
     if args.command == "info":
@@ -136,7 +150,7 @@ def main(argv: list[str] | None = None) -> None:
     elif args.command == "dump":
         cmd_dump(args.path, args.columns, args.limit, args.format)
     elif args.command == "query":
-        cmd_query(args.path, args.sql)
+        cmd_query(args.path, args.sql, explain=args.explain)
 
 
 if __name__ == "__main__":

@@ -330,3 +330,43 @@ def fd_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "word")
         .limit(10)
     )
+
+
+@query(
+    "fd_json_value",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+    SELECT event_type,
+           CAST(k // 10 AS BIGINT) AS k_band,
+           COUNT(*) AS n,
+           CAST(MIN(k) AS BIGINT) AS k_min,
+           CAST(MAX(k) AS BIGINT) AS k_max
+    FROM e
+    GROUP BY event_type, k // 10
+    ORDER BY event_type, k_band
+    """,
+)
+def fd_json_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid nested-column JSON functions (JSON_VALUE, Druid 24+) over
+    the events ``props`` payload: extract a typed field from every
+    row's JSON and aggregate on it. Spark side uses get_json_object —
+    the scan stays columnar and the extraction is a stateless row map,
+    so at 100 TB this is scan-bound exactly like any other projection
+    (a production layout would materialize hot JSON paths to real
+    columns at ingest, which is precisely what Druid nested columns
+    do)."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type", F.expr("k div 10").alias("k_band"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type", "k_band")
+    )

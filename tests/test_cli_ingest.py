@@ -175,3 +175,17 @@ def test_hll_sketch_rollup_roundtrip(spark, tmp_path):
         exact_n, exact_d = want[et]
         assert n == exact_n  # row counts are exact through the rollup
         assert abs(approx - exact_d) <= max(2, 0.05 * exact_d), (et, approx, exact_d)
+
+
+def test_cli_query_explain(seg_dir, capsys):
+    from druid_datafusion_bridge_spark.cli import cmd_query
+
+    cmd_query(
+        seg_dir,
+        "SELECT channel, COUNT(*) AS n FROM segment GROUP BY channel",
+        explain=True,
+    )
+    plan = capsys.readouterr().out
+    # formatted physical plan, scanning our datasource, aggregated
+    assert "HashAggregate" in plan
+    assert "druidsegment" in plan or "BatchEvalPython" in plan or "Scan" in plan
