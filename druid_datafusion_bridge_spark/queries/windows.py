@@ -335,3 +335,47 @@ def w2b_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(settled, ignorenulls=True).over(w).alias("last_settled"),
         F.first(settled, ignorenulls=True).over(w2).alias("first_settled"),
     )
+
+
+@query(
+    "w4c_time_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+             AS trailing_7d_total,
+           COUNT(*) OVER w AS trailing_7d_orders
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey ORDER BY o_orderdate
+      RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+    """,
+)
+def w4c_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame (W4 family): each order's trailing-7-day
+    order total and count for its customer — the time-decayed feature
+    window every event-driven feature store computes. RANGE over an
+    INTERVAL bound means same-date peers aggregate together and the
+    frame is defined by time distance, not row position (ROWS frames
+    cannot express this). Money through the decimal pattern; the frame
+    state is bounded by the 7-day span per key."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.expr(
+            """
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate
+              RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+            AS DOUBLE)
+            """
+        ).alias("trailing_7d_total"),
+        F.expr(
+            """
+            COUNT(*) OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate
+              RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+            """
+        ).alias("trailing_7d_orders"),
+    )
