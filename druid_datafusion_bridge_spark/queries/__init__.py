@@ -49,14 +49,18 @@ def load_all() -> None:
     the back of the rotation.
 
     NEXT ROTATION (r5, after the r4 driver has run): front-load the
-    still-never-sampled modules — text_pipeline (incl. the curation
-    queries added in r4), multimodal, embedding_ops, tpch, tpch_full,
-    tpch_subqueries, plus streaming's tail (st_stream_static_join,
-    st_stream_stream_join, st_batch_sessionize, st_topn_rollup sit
-    past position 50 in the r4 order), analytics (funnel/retention/
-    windowed funnel), profiling, and the sketch additions
-    (cx_count_min_heavy, fd_string_array_agg, fd_unnest) — then
-    whatever r4's sample missed.
+    still-never-sampled modules — text_pipeline (incl. curation +
+    markup/URL cleaning), multimodal, embedding_ops (incl.
+    em_pq_quantize), tpch, tpch_full, tpch_subqueries, plus
+    streaming's tail (st_stream_static_join, st_stream_stream_join,
+    st_batch_sessionize, st_topn_rollup sit past position 50 in the
+    r4 order), analytics (funnels/retention + the r4 additions
+    an_anomaly_zscore / an_weighted_moving_avg), profiling, the
+    sketch additions (cx_count_min_heavy, fd_string_array_agg,
+    fd_unnest, fd_json_value), and the r4 additions appended to
+    back-of-rotation modules (dd_shared_passages,
+    a13b_equidepth_histogram, dm_segment_metadata,
+    s11b_partition_prune_scan) — then whatever r4's sample missed.
     """
     from . import (  # noqa: F401
         windows,
