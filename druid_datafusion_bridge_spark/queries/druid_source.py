@@ -771,3 +771,39 @@ def s11b_partition_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d", "event_type")
     )
+
+
+@query(
+    "s1f_druid_segment_in_filter",
+    oracle="""
+    WITH r AS (
+      SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS c
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY h, event_type)
+    SELECT event_type, COUNT(*) AS n_buckets, CAST(SUM(c) AS BIGINT) AS n_events
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+)
+def s1f_druid_segment_in_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list scan over real segments: event_type IN (click, purchase)
+    is answered by UNIONING the two values' inverted-index bitmaps
+    before any value column decodes (the disjunctive extension of
+    s1d's single-value path; the reference parses bitmap blobs but
+    never applies them, bitmap.rs:16-40). The oracle recomputes the
+    rollup from the raw events table."""
+    root = _ensure_hll_segments(spark, sf_dir)
+    df = (
+        spark.read.format("druidsegment")
+        .option("path", root)
+        .option("dim_eq", '{"event_type": ["click", "purchase"]}')
+        .load()
+    )
+    return (
+        df.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

@@ -45,6 +45,7 @@ from pyspark.sql.datasource import (
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     LessThan,
     LessThanOrEqual,
@@ -259,15 +260,19 @@ class DruidSegmentReader(DataSourceReader):
         )
         import json as _json
 
-        self.opt_eq: dict[str, str] = (
-            _json.loads(options.get("dim_eq")) if options.get("dim_eq") else {}
-        )
+        raw_eq = _json.loads(options.get("dim_eq")) if options.get("dim_eq") else {}
+        # value may be a scalar (equality) or a list (IN) — normalize
+        # to value tuples so the bitmap path is uniformly a union
+        self.opt_eq: dict[str, tuple] = {
+            c: tuple(v) if isinstance(v, list) else (v,) for c, v in raw_eq.items()
+        }
         # [lower_ms, upper_ms) bounds accumulated from pushed __time filters
         self.lower_ms: int | None = None
         self.upper_ms: int | None = None
-        # dimension equality predicates answered by the roaring inverted
-        # index at read time: col -> literal (conjunctive)
-        self.eq_filters: dict[str, str] = {}
+        # dimension predicates answered by the inverted index at read
+        # time: col -> accepted-value tuple (conjunctive across cols,
+        # disjunctive within a tuple — covers = and IN)
+        self.eq_filters: dict[str, tuple] = {}
 
     def partitions(self) -> list[SegmentPartition]:
         lower = self.opt_lower_ms if self.lower_ms is None else max(
@@ -311,8 +316,8 @@ class DruidSegmentReader(DataSourceReader):
         __time interval check above)."""
         seg = DruidSegment(seg_dir)
         try:
-            for col, value in eq.items():
-                rows = seg.bitmap_rows_for(col, value)
+            for col, values in eq.items():
+                rows = seg.bitmap_rows_for_any(col, values)
                 if rows is not None and len(rows) == 0:
                     return True
             return False
@@ -330,8 +335,8 @@ class DruidSegmentReader(DataSourceReader):
             # either way).
             rows = np.empty(0, np.uint32) if partition.empty else None
             if not partition.empty:
-                for col, value in partition.eq_filters:
-                    r = seg.bitmap_rows_for(col, value)
+                for col, values in partition.eq_filters:
+                    r = seg.bitmap_rows_for_any(col, values)
                     if r is None:
                         continue
                     rows = r if rows is None else np.intersect1d(rows, r)
@@ -400,6 +405,14 @@ class DruidSegmentReaderWithPushdown(DruidSegmentReader):
         self.lower_ms = None
         self.upper_ms = None
         self.eq_filters = {}
+        def merge_dim(col: str, values: tuple) -> None:
+            # conjunction with any earlier predicate on the same column:
+            # intersect the accepted-value sets (can go empty — then the
+            # bitmap union matches nothing and the segment prunes)
+            if col in self.eq_filters:
+                values = tuple(v for v in self.eq_filters[col] if v in values)
+            self.eq_filters[col] = values
+
         for f in filters:
             handled = False
             if (
@@ -412,7 +425,15 @@ class DruidSegmentReaderWithPushdown(DruidSegmentReader):
                 # so Spark re-applies it (index use is a row-pruning
                 # fast path, not a correctness dependency — segments
                 # without an index scan as before)
-                self.eq_filters[f.attribute[0]] = f.value
+                merge_dim(f.attribute[0], (f.value,))
+            elif (
+                isinstance(f, In)
+                and getattr(f, "attribute", None) != (TIME_COLUMN,)
+                and len(getattr(f, "attribute", ())) == 1
+                and all(isinstance(v, str) for v in f.values)
+            ):
+                # IN-list: union of the per-value bitmaps
+                merge_dim(f.attribute[0], tuple(f.values))
             if getattr(f, "attribute", None) == (TIME_COLUMN,):
                 if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
                     ms = _to_millis(f.value)

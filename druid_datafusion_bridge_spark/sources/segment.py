@@ -127,6 +127,22 @@ class DruidSegment:
             return np.empty(0, np.uint32)
         return index[dict_id]
 
+    def bitmap_rows_for_any(self, name: str, values) -> np.ndarray | None:
+        """Row ids where dimension ``name`` equals ANY of ``values``
+        (the IN-list form: union of the per-value bitmaps). None when
+        the column has no index; an empty array when no value occurs —
+        including the degenerate empty ``values`` (a contradictory
+        conjunction upstream), which matches no rows by definition.
+        Small IN lists re-walk the index per value; a long list would
+        batch the dictionary lookups in one pass."""
+        out: np.ndarray | None = None
+        for v in values:
+            r = self.bitmap_rows_for(name, v)
+            if r is None:
+                return None
+            out = r if out is None else np.union1d(out, r)
+        return out if out is not None else np.empty(0, np.uint32)
+
     def read_batch(self, columns: list[str] | None = None) -> pa.RecordBatch:
         """Projected decode — only named columns touch IO
         (the reference's sole optimization, table_provider.rs:63,70)."""

