@@ -37,6 +37,7 @@ from druid_datafusion_bridge_spark.operators.similarity import (
     as_double_vec,
     brute_force_topk,
     lsh_topk,
+    pq_quantize,
 )
 from druid_datafusion_bridge_spark.operators.sketches import kmv_sketch
 from druid_datafusion_bridge_spark.operators.temporal import sessionize
@@ -149,6 +150,7 @@ def main() -> None:
         "epoch_shuffle": lambda: epoch_shuffle(docs, seed=3, n_shards=256),
         "kmv_sketch": lambda: kmv_sketch(docs_dom, "lang", "doc_id", k=4096),
         "tfidf_top_terms": lambda: tfidf_top_terms(docs, k=3),
+        "pq_quantize": lambda: pq_quantize(emb, dim=64),
         "keyword_search": lambda: keyword_search(docs, terms=("w37", "w41")),
     }
     timings: dict[str, float] = {}
