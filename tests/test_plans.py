@@ -345,3 +345,23 @@ def test_partitioned_layout_prunes_at_file_listing(spark):
         if "PushedFilters" in line or "DataFilters" in line
     ]
     assert not any("d#" in line for line in data_filters), data_filters
+
+
+def test_tfidf_folds_without_a_window(spark):
+    """txt_tfidf_top_terms must keep the per-doc top-k as a bounded
+    array fold: a Window node here means the corpus-wide sort
+    regression came back (94s vs 45s at 1M docs)."""
+    from druid_datafusion_bridge_spark.plans import formatted_plan
+
+    plan = formatted_plan(all_queries()["txt_tfidf_top_terms"](spark, SF_DIR))
+    assert "Window" not in plan, "tf-idf top-k regressed to a window sort"
+
+
+def test_anomaly_stats_join_broadcasts(spark):
+    """an_anomaly_zscore joins the tiny per-type stats table back to
+    the bucket stream: that side must broadcast, never sort-merge."""
+    from druid_datafusion_bridge_spark.plans import formatted_plan
+
+    plan = formatted_plan(all_queries()["an_anomaly_zscore"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -531,3 +531,43 @@ def test_range_join_differential(spark, lft, rgt):
          AND r.ts - l.ts BETWEEN 0 AND 60
     """
     _compare(got, con, sql)
+
+
+@pytest.mark.slow
+@given(
+    kv=st.lists(
+        st.tuples(
+            st.sampled_from(["k", "key", "x y", "nüm"]),
+            st.one_of(
+                st.integers(min_value=-5000, max_value=5000),
+                st.sampled_from(["abc", "", "with space", 'tr"ick']),
+                st.none(),
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SET
+def test_json_extraction_differential(spark, kv):
+    """fd_json_value's extraction primitive over adversarial generated
+    JSON: get_json_object must agree with DuckDB's json_extract_string
+    for string/number/null values, including keys needing quoting and
+    values with quotes/spaces."""
+    import json
+
+    docs = [(i, json.dumps({k: v})) for i, (k, v) in enumerate(kv)]
+    ta = spark.createDataFrame(docs, "i long, j string")
+    ta.createOrReplaceTempView("jt")
+    con = duckdb.connect()
+    pdf = pd.DataFrame(docs, columns=["i", "j"])
+    con.register("jt_pdf", pdf)
+    con.execute("CREATE TABLE jt AS SELECT i, CAST(j AS VARCHAR) j FROM jt_pdf")
+    for key in {k for k, _ in kv}:
+        # dialect delta found BY this test: Spark's JsonPath parses
+        # unquoted non-ASCII keys ($.nüm) to NULL where DuckDB
+        # resolves them — so keys are always quoted, bracket-style for
+        # Spark, double-quote-style for DuckDB
+        sql_s = f"SELECT i, get_json_object(j, '$[''{key}'']') AS v FROM jt"
+        sql_d = f'SELECT i, json_extract_string(j, \'$."{key}"\') AS v FROM jt'
+        _compare(spark.sql(sql_s), con, sql_d)

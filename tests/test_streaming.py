@@ -267,3 +267,71 @@ def test_stream_to_segments_realtime_handoff(spark, tmp_path):
     q2 = start()
     q2.awaitTermination(120)
     assert sorted(os.listdir(out)) == segs
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Watermark semantics end-to-end: a row arriving after its window
+    was finalized must be dropped, and the finalized aggregate never
+    re-emits. Three parquet files processed as separate micro-batches
+    (maxFilesPerTrigger=1, mtime-ordered): batch 0 builds window
+    [00:00, 00:15) = 3 rows and advances the watermark to 00:50,
+    batch 1 finalizes and emits it, batch 2 smuggles a late 00:05 row —
+    append mode must drop it (a late row landing in the SAME batch as
+    finalization still merges; the emission boundary is what seals the
+    window, which is why the schedule separates them)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "events_late"
+    src.mkdir()
+    base = 1704067200000  # 2024-01-01T00:00Z, ms
+
+    def write(name, times_ms, mtime):
+        t = pa.table(
+            {
+                "ts": pa.array(times_ms, pa.timestamp("ms")),
+                "v": pa.array([1] * len(times_ms), pa.int64()),
+            }
+        )
+        p = str(src / name)
+        pq.write_table(t, p)
+        os.utime(p, (mtime, mtime))
+
+    m = lambda mins: base + mins * 60_000  # noqa: E731
+    # batch 0: three on-time rows + 01:00 -> watermark becomes 00:50
+    write("a.parquet", [m(1), m(5), m(9), m(60)], 1_000_000)
+    # batch 1: 01:10 -> [00:00, 00:15) (end 00:15 < 00:50) finalizes
+    write("b.parquet", [m(70)], 2_000_000)
+    # batch 2: LATE 00:05 row (window already emitted) + 02:00
+    write("c.parquet", [m(5), m(120)], 3_000_000)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, v long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("bucket"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_drop")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM late_drop").collect()
+    got = {r["bucket"].isoformat(): r["n"] for r in rows}
+    assert len(rows) == len(got), "a finalized window re-emitted"
+    # [00:00, 00:15) sealed at 3 — the late row dropped; [01:00, 01:15)
+    # carries the 01:00 and 01:10 rows
+    assert got.get("2024-01-01T00:00:00") == 3, got
+    assert got.get("2024-01-01T01:00:00") == 2, got
