@@ -56,7 +56,8 @@ def load_all() -> None:
     st_batch_sessionize, st_topn_rollup sit past position 50 in the
     r4 order), analytics (funnels/retention + the r4 additions
     an_anomaly_zscore / an_weighted_moving_avg), profiling, the
-    sketch additions (cx_count_min_heavy, fd_string_array_agg,
+    sketch additions (cx_count_min_heavy, cx_qhist_rollup_merge,
+    fd_string_array_agg,
     fd_unnest, fd_json_value), and the r4 additions appended to
     back-of-rotation modules (dd_shared_passages,
     a13b_equidepth_histogram, dm_segment_metadata,

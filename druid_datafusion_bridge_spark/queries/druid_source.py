@@ -807,3 +807,168 @@ def s1f_druid_segment_in_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- fixed-buckets quantile histogram (Druid fixedBucketsHistogram) ----
+
+QHIST_BUCKETS = 64
+QHIST_WIDTH = 16.0  # covers events.value (~[0, 600]); overflow clips to last
+
+
+def _ensure_qhist_segments(spark: SparkSession, sf_dir: str) -> str:
+    """Hourly rollup of events with a fixed-buckets value histogram per
+    (hour, event_type), persisted as Druid segments. The digest is
+    Druid's fixedBucketsHistogram aggregator (lowerLimit=0,
+    upperLimit=1024, numBuckets=64, outlier mode "clip"): 64 exact
+    bucket counts, serialized as the COMPLEX column's opaque payload
+    (comma-joined longs). Counts merge by addition, so the raw rows can
+    be dropped at ingest and quantiles stay answerable forever — and
+    unlike KLL/t-digest the digest is fully deterministic, so every
+    merged counter is bit-checkable against an oracle."""
+    from ..catalog import table
+    from ..sources import register_druid_datasource
+    from ..sources.ingest import write_druid_segments
+
+    if not getattr(spark, _REGISTERED_KEY, False):
+        register_druid_datasource(spark)
+        setattr(spark, _REGISTERED_KEY, True)
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join("/tmp", "ddbs_segments", tag, "events_qhist")
+    if not _cache_ready(root):
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        ev = table(spark, sf_dir, "events")
+        pos = F.least(
+            F.floor(F.col("value") / F.lit(QHIST_WIDTH)),
+            F.lit(QHIST_BUCKETS - 1),
+        )
+        # One pass, map-side combined: 64 conditional counts per group
+        # (a groupBy-bucket-then-pivot would add a second shuffle).
+        rolled = ev.groupBy(
+            F.date_trunc("hour", "ts").alias("__time"), "event_type"
+        ).agg(
+            F.count("*").alias("n_rows"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.sum(F.when(pos == b, 1).otherwise(0)).cast("string")
+                    for b in range(QHIST_BUCKETS)
+                ],
+            ).alias("value_hist"),
+        )
+        write_druid_segments(rolled, root, granularity="P1D").collect()
+        _mark_complete(root)
+    return root
+
+
+@query(
+    "cx_qhist_rollup_merge",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             LEAST(CAST(FLOOR(value / {QHIST_WIDTH}) AS BIGINT),
+                   {QHIST_BUCKETS - 1}) AS pos,
+             COUNT(*) AS cnt
+      FROM events GROUP BY event_type, pos),
+    t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+          FROM b GROUP BY event_type),
+    c AS (
+      SELECT event_type, pos, CAST(cnt AS BIGINT) AS cnt,
+             CAST(SUM(cnt) OVER (
+               PARTITION BY event_type ORDER BY pos) AS BIGINT) AS cum
+      FROM b)
+    SELECT c.event_type, t.n AS n_events,
+           (pos + ((0.5 * t.n) - (cum - cnt)) / cnt) * {QHIST_WIDTH}
+             AS p50_est,
+           TRUE AS within_one_bucket
+    FROM c JOIN t USING (event_type)
+    WHERE cum >= 0.5 * t.n AND (cum - cnt) < 0.5 * t.n
+    ORDER BY event_type
+    """,
+)
+def cx_qhist_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time merge of persisted quantile digests (§2.9: the Druid
+    sketch-column family — HLL, theta, count-min, and now quantiles via
+    fixedBucketsHistogram; the reference cannot read any COMPLEX
+    column, src/column/mod.rs:59-61). Hourly rollup segments carry 64
+    exact bucket counts of `value` per event type; this query never
+    touches a raw row: it splits each digest back into counters,
+    merges by addition, and interpolates the median inside the first
+    bucket whose cumulative count crosses 0.5*n.
+
+    Every output is bit-exact against the oracle (counts are integers;
+    the interpolation is the same IEEE double expression both engines
+    evaluate over exactly-representable inputs). `within_one_bucket`
+    additionally asserts the digest's error contract — the estimate
+    sits within one bucket width of the true median — computed
+    genuinely on the Spark side from percentile() over raw events.
+
+    Scale: the merge shuffles |hours x types x 64| counters, never the
+    fact table; the digest column is ~1 KB per rollup row regardless of
+    raw cardinality. The contract's exact-percentile pass exists only
+    to exhibit the bound."""
+    root = _ensure_qhist_segments(spark, sf_dir)
+    from ..catalog import table as _table
+
+    back = spark.read.format("druidsegment").option("path", root).load()
+    counters = back.select(
+        "event_type",
+        "n_rows",
+        F.posexplode(
+            F.transform(
+                F.split("value_hist", ","), lambda x: x.cast("long")
+            )
+        ).alias("pos", "cnt"),
+    )
+    merged = counters.groupBy("event_type", "pos").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy("pos")
+    cum = merged.select(
+        "event_type",
+        "pos",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+    )
+    totals = merged.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    target = F.lit(0.5) * F.col("n")
+    est = (
+        cum.join(totals, "event_type")
+        .filter(
+            (F.col("cum") >= target)
+            & ((F.col("cum") - F.col("cnt")) < target)
+        )
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            (
+                (
+                    F.col("pos")
+                    + (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+                )
+                * F.lit(QHIST_WIDTH)
+            ).alias("p50_est"),
+        )
+    )
+    exact = (
+        _table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("exact_p50"))
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "p50_est",
+            (
+                F.abs(F.col("p50_est") - F.col("exact_p50"))
+                <= F.lit(QHIST_WIDTH)
+            ).alias("within_one_bucket"),
+        )
+        .orderBy("event_type")
+    )
