@@ -53,8 +53,8 @@ def load_all() -> None:
     markup/URL cleaning), multimodal, embedding_ops (incl.
     em_pq_quantize), tpch, tpch_full, tpch_subqueries, plus
     streaming's tail (st_stream_static_join, st_stream_stream_join,
-    st_batch_sessionize, st_topn_rollup sit past position 50 in the
-    r4 order), analytics (funnels/retention + the r4 additions
+    st_batch_sessionize, st_topn_rollup, st_segment_handoff_query sit
+    past position 50 in the r4 order), analytics (funnels/retention + the r4 additions
     an_anomaly_zscore / an_weighted_moving_avg), profiling, the
     sketch additions (cx_count_min_heavy, cx_qhist_rollup_merge,
     fd_string_array_agg,

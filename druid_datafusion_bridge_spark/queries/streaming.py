@@ -282,3 +282,67 @@ def st_topn_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     done = _finish(rollup, spark, "st_topn_out", "complete")
     return done.orderBy(F.col("sum_value").desc(), "user_id").limit(10)
+
+
+@query(
+    "st_segment_handoff_query",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_hour,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def st_segment_handoff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full realtime-ingestion lifecycle as one registry entry: stream
+    the events source, hand every micro-batch off as versioned Druid
+    segments (foreachBatch -> the engine's own distributed segment
+    writer; the reference has no write path at all, read-only mmap per
+    src/segment/mod.rs:19-24), then serve an hourly rollup FROM THE
+    SEGMENTS through the druidsegment DataSource. Exactly-once handoff
+    (checkpointed source + batch-id-versioned segments, so a retried
+    batch overwrites its own files) means the segment-side rollup must
+    equal the batch rollup over the raw parquet bit-for-bit — which is
+    what the oracle checks. The handoff is cached per testdata
+    generation (same fingerprint discipline as the other segment
+    builds); the serving query itself never touches raw events."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..sources import register_druid_datasource
+    from ..streaming.ingest import stream_to_segments
+    from .druid_source import _REGISTERED_KEY, _cache_ready, _mark_complete
+
+    if not getattr(spark, _REGISTERED_KEY, False):
+        register_druid_datasource(spark)
+        setattr(spark, _REGISTERED_KEY, True)
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join("/tmp", "ddbs_segments", tag, "events_rt_handoff")
+    data = os.path.join(root, "data")
+    if not _cache_ready(root, sf_dir, "events"):
+        shutil.rmtree(root, ignore_errors=True)
+        ev = stream_events(spark, sf_dir).select(
+            F.col("ts").alias("__time"), "event_type", "value"
+        )
+        q = stream_to_segments(
+            ev, data, os.path.join(root, "ckpt"), granularity="P1D"
+        )
+        q.awaitTermination(300)
+        _mark_complete(root, sf_dir, "events")
+    back = spark.read.format("druidsegment").option("path", data).load()
+    return (
+        back.groupBy(
+            F.date_trunc("hour", "__time").alias("bucket_hour"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("bucket_hour", "event_type")
+    )
