@@ -59,7 +59,7 @@ def load_all() -> None:
     sketch additions (cx_count_min_heavy, cx_qhist_rollup_merge,
     fd_string_array_agg,
     fd_unnest, fd_json_value), and the r4 additions appended to
-    back-of-rotation modules (dd_shared_passages,
+    back-of-rotation modules (dd_shared_passages, dd_cluster_keep_best,
     a13b_equidepth_histogram, dm_segment_metadata,
     s11b_partition_prune_scan) — then whatever r4's sample missed.
     """

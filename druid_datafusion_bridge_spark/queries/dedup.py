@@ -205,11 +205,9 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dd_duplicate_clusters",
-    oracle=f"""
-    WITH RECURSIVE {_ORACLE_GRAMS},
-    {_ORACLE_HASHES},
+# LSH band-bucket edges -> transitive closure: the shared CTE chain for
+# every cluster-level oracle (assignment below, keep-best retention).
+_ORACLE_CLUSTERS = f"""
     sig AS (SELECT doc_id, seed, MIN(h) AS mh FROM hashes GROUP BY doc_id, seed),
     bands AS (
       SELECT doc_id, seed // {MINHASH_ROWS_PER_BAND} AS band,
@@ -225,9 +223,18 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     reach(doc_id, r) AS (
       SELECT doc_id, doc_id FROM documents
       UNION
-      SELECT re.doc_id, e.dst FROM reach re JOIN edges e ON re.r = e.src)
-    SELECT doc_id, MIN(r) AS cluster_id
-    FROM reach GROUP BY doc_id ORDER BY doc_id
+      SELECT re.doc_id, e.dst FROM reach re JOIN edges e ON re.r = e.src),
+    clusters AS (
+      SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id)"""
+
+
+@query(
+    "dd_duplicate_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_ORACLE_GRAMS},
+    {_ORACLE_HASHES},
+    {_ORACLE_CLUSTERS}
+    SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id
     """,
 )
 def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,4 +308,73 @@ def dd_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_docs").desc(), "passage_fp")
         .limit(50)
+    )
+
+
+@query(
+    "dd_cluster_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_ORACLE_GRAMS},
+    {_ORACLE_HASHES},
+    {_ORACLE_CLUSTERS},
+    q AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+               AS nt
+      FROM documents),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, q.nt,
+             COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.nt DESC, c.doc_id) AS rn
+      FROM clusters c JOIN q USING (doc_id))
+    SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+           doc_id AS keep_doc, nt AS keep_tokens,
+           CAST(n_members - 1 AS BIGINT) AS n_dropped
+    FROM ranked WHERE rn = 1 ORDER BY cluster_id
+    """,
+)
+def dd_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention policy over near-dup clusters — the curation step that
+    follows cluster assignment: per cluster keep the member with the
+    most alphanumeric tokens (the fullest version of the duplicated
+    content), tie-broken on lowest doc_id; report what was kept and how
+    many copies were dropped.
+
+    Spark shape: cluster labels from the iterative min-label
+    propagation (operators/dedup.py duplicate_clusters), token counts
+    from built-in regexp_extract_all, then ONE agg shuffle on
+    cluster_id where MAX over a (nt, -doc_id, doc_id) struct does the
+    argmax with map-side partial aggregation — no window sort over the
+    full corpus, no per-cluster list state; at 100 TB the retention
+    pass costs one bounded shuffle beyond clustering. The oracle
+    re-derives the clusters via the recursive-CTE closure and ranks
+    members with a window."""
+    from ..operators.dedup import duplicate_clusters
+
+    docs = table(spark, sf_dir, "documents")
+    clusters = duplicate_clusters(docs)
+    nt = docs.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(text, '[A-Za-z0-9]+', 0)"))
+        .cast("bigint")
+        .alias("nt"),
+    )
+    best = F.max(
+        F.struct(
+            F.col("nt"), (-F.col("doc_id")).alias("nd"), F.col("doc_id")
+        )
+    ).alias("w")
+    return (
+        clusters.join(nt, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n_members"), best)
+        .select(
+            "cluster_id",
+            "n_members",
+            F.col("w.doc_id").alias("keep_doc"),
+            F.col("w.nt").alias("keep_tokens"),
+            (F.col("n_members") - 1).alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
     )
