@@ -159,6 +159,47 @@ def main() -> None:
         fn().write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Druid-segment ingest + serve at the same scale. Not a noop write:
+    # the writer encodes real segment files (dictionary dims, LZF value
+    # chunks, smoosh concat), which IS the cost being measured — this is
+    # the kernel every streaming micro-batch handoff runs
+    # (streaming/ingest.py), so its throughput is the realtime-ingest
+    # throughput. The scan-back aggregates straight off the segment
+    # files through the druidsegment DataSource.
+    import shutil
+    import tempfile
+
+    from druid_datafusion_bridge_spark.sources import register_druid_datasource
+    from druid_datafusion_bridge_spark.sources.ingest import write_druid_segments
+
+    register_druid_datasource(spark)
+    seg_root = tempfile.mkdtemp(prefix="ddbs_scale_seg_")
+    ev_seg = events.select(
+        F.col("ts").alias("__time"),
+        F.concat(F.lit("e"), (F.col("event_id") % 8).cast("string")).alias(
+            "event_type"
+        ),
+        ((F.col("event_id") % 1000) / 10.0).alias("value"),
+    )
+    try:
+        t0 = time.perf_counter()
+        write_druid_segments(ev_seg, seg_root, granularity="P1D").collect()
+        timings["segment_write"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        (
+            spark.read.format("druidsegment")
+            .option("path", seg_root)
+            .load()
+            .groupBy("event_type")
+            .agg(F.count("*"), F.sum("value"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        timings["segment_scan_rollup"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(seg_root, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
