@@ -181,3 +181,66 @@ def cms_estimate(
         .groupBy(value_col)
         .agg(F.min("c").alias("est_count"))
     )
+
+
+# --- fixed-buckets histogram (Druid fixedBucketsHistogram) -------------
+#
+# Deterministic mergeable quantile digest: `buckets` exact counts over
+# [0, buckets*width) with "clip" outlier handling (Druid's mode of the
+# same name — everything below clamps into bucket 0, everything above
+# into the last bucket). Counts merge by addition, so per-slice digests
+# roll up losslessly; quantiles come from linear interpolation inside
+# the bucket whose cumulative count crosses the target rank. All
+# arithmetic is integer counts + one IEEE-double expression over
+# exactly-representable inputs, so every estimate is bit-reproducible
+# in any engine evaluating the same formula (the exact-oracle property
+# this module exists to keep).
+
+
+def hist_bucket(value: Column, buckets: int, width: float) -> Column:
+    """Clip-mode bucket index for `value`: 0 <= pos < buckets."""
+    return (
+        F.greatest(
+            F.lit(0),
+            F.least(F.floor(value / F.lit(width)), F.lit(buckets - 1)),
+        )
+    ).cast("long")
+
+
+def median_from_counters(
+    counters: DataFrame, group_cols: list[str], width: float
+) -> DataFrame:
+    """Median estimate per group from merged (group..., pos, cnt)
+    counters: the first bucket whose cumulative count reaches 0.5*n,
+    interpolated linearly inside the bucket. Output:
+    (group..., n, p50_est).
+
+    Scale: one window + one agg over the counter table, whose size is
+    |groups| x buckets regardless of how many raw rows were digested —
+    the whole point of the digest."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*group_cols).orderBy("pos")
+    cum = counters.select(
+        *group_cols, "pos", "cnt", F.sum("cnt").over(w).alias("cum")
+    )
+    totals = counters.groupBy(*group_cols).agg(F.sum("cnt").alias("n"))
+    target = F.lit(0.5) * F.col("n")
+    return (
+        cum.join(totals, list(group_cols))
+        .filter(
+            (F.col("cum") >= target)
+            & ((F.col("cum") - F.col("cnt")) < target)
+        )
+        .select(
+            *group_cols,
+            F.col("n"),
+            (
+                (
+                    F.col("pos")
+                    + (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+                )
+                * F.lit(width)
+            ).alias("p50_est"),
+        )
+    )

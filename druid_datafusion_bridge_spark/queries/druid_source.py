@@ -854,11 +854,10 @@ def _ensure_qhist_segments(spark: SparkSession, sf_dir: str) -> str:
         import shutil
 
         shutil.rmtree(root, ignore_errors=True)
+        from ..operators.sketches import hist_bucket
+
         ev = table(spark, sf_dir, "events")
-        pos = F.least(
-            F.floor(F.col("value") / F.lit(QHIST_WIDTH)),
-            F.lit(QHIST_BUCKETS - 1),
-        )
+        pos = hist_bucket(F.col("value"), QHIST_BUCKETS, QHIST_WIDTH)
         # One pass, map-side combined: 64 conditional counts per group
         # (a groupBy-bucket-then-pivot would add a second shuffle).
         rolled = ev.groupBy(
@@ -883,8 +882,8 @@ def _ensure_qhist_segments(spark: SparkSession, sf_dir: str) -> str:
     oracle=f"""
     WITH b AS (
       SELECT event_type,
-             LEAST(CAST(FLOOR(value / {QHIST_WIDTH}) AS BIGINT),
-                   {QHIST_BUCKETS - 1}) AS pos,
+             GREATEST(0, LEAST(CAST(FLOOR(value / {QHIST_WIDTH}) AS BIGINT),
+                               {QHIST_BUCKETS - 1})) AS pos,
              COUNT(*) AS cnt
       FROM events GROUP BY event_type, pos),
     t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
@@ -937,38 +936,14 @@ def cx_qhist_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "cnt"),
     )
+    from ..operators.sketches import median_from_counters
+
     merged = counters.groupBy("event_type", "pos").agg(
         F.sum("cnt").alias("cnt")
     )
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("event_type").orderBy("pos")
-    cum = merged.select(
-        "event_type",
-        "pos",
-        "cnt",
-        F.sum("cnt").over(w).alias("cum"),
-    )
-    totals = merged.groupBy("event_type").agg(F.sum("cnt").alias("n"))
-    target = F.lit(0.5) * F.col("n")
-    est = (
-        cum.join(totals, "event_type")
-        .filter(
-            (F.col("cum") >= target)
-            & ((F.col("cum") - F.col("cnt")) < target)
-        )
-        .select(
-            "event_type",
-            F.col("n").alias("n_events"),
-            (
-                (
-                    F.col("pos")
-                    + (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
-                )
-                * F.lit(QHIST_WIDTH)
-            ).alias("p50_est"),
-        )
-    )
+    est = median_from_counters(
+        merged, ["event_type"], QHIST_WIDTH
+    ).withColumnRenamed("n", "n_events")
     exact = (
         _table(spark, sf_dir, "events")
         .groupBy("event_type")

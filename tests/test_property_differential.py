@@ -571,3 +571,68 @@ def test_json_extraction_differential(spark, kv):
         sql_s = f"SELECT i, get_json_object(j, '$[''{key}'']') AS v FROM jt"
         sql_d = f'SELECT i, json_extract_string(j, \'$."{key}"\') AS v FROM jt'
         _compare(spark.sql(sql_s), con, sql_d)
+
+
+@pytest.mark.slow
+@given(
+    a=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            # i/64 is exact in binary, so v/width and the bucket floor
+            # are bit-deterministic; range straddles below-zero (clip
+            # to bucket 0), exact bucket boundaries, and above-range
+            # (clip to the last bucket)
+            st.integers(min_value=-2048, max_value=70000).map(lambda i: i / 64),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SET
+def test_fixed_hist_median_differential(spark, a):
+    """fixedBucketsHistogram digest (operators/sketches.py hist_bucket +
+    median_from_counters) vs the same formula in DuckDB over adversarial
+    values: negatives clip into bucket 0, overflow clips into the last
+    bucket, values landing exactly ON a bucket edge, and cumulative
+    counts landing exactly ON the 0.5*n target (frac 0/1 boundary) must
+    all agree bit-exactly — counts are integers and the interpolation
+    is one IEEE expression over exactly-representable inputs."""
+    from druid_datafusion_bridge_spark.operators.sketches import (
+        hist_bucket,
+        median_from_counters,
+    )
+
+    import pyspark.sql.functions as F
+
+    buckets, width = 64, 16.0
+    df = spark.createDataFrame(a, "k long, v double")
+    counters = df.groupBy(
+        "k", hist_bucket(F.col("v"), buckets, width).alias("pos")
+    ).agg(F.count("*").alias("cnt"))
+    got = median_from_counters(counters, ["k"], width)
+
+    con = duckdb.connect()
+    pdf = pd.DataFrame(a, columns=["k", "v"])
+    con.register("h_pdf", pdf)
+    con.execute(
+        "CREATE TABLE h AS SELECT CAST(k AS BIGINT) k, CAST(v AS DOUBLE) v FROM h_pdf"
+    )
+    sql = f"""
+        WITH b AS (
+          SELECT k,
+                 GREATEST(0, LEAST(CAST(FLOOR(v / {width}) AS BIGINT),
+                                   {buckets - 1})) AS pos,
+                 COUNT(*) AS cnt
+          FROM h GROUP BY k, pos),
+        t AS (SELECT k, CAST(SUM(cnt) AS BIGINT) AS n FROM b GROUP BY k),
+        c AS (
+          SELECT k, pos, CAST(cnt AS BIGINT) AS cnt,
+                 CAST(SUM(cnt) OVER (PARTITION BY k ORDER BY pos)
+                      AS BIGINT) AS cum
+          FROM b)
+        SELECT c.k, t.n,
+               (pos + ((0.5 * t.n) - (cum - cnt)) / cnt) * {width} AS p50_est
+        FROM c JOIN t USING (k)
+        WHERE cum >= 0.5 * t.n AND (cum - cnt) < 0.5 * t.n
+    """
+    _compare(got, con, sql)
