@@ -207,17 +207,23 @@ def hist_bucket(value: Column, buckets: int, width: float) -> Column:
     ).cast("long")
 
 
-def median_from_counters(
-    counters: DataFrame, group_cols: list[str], width: float
+def quantile_from_counters(
+    counters: DataFrame,
+    group_cols: list[str],
+    width: float,
+    q: float = 0.5,
+    out_col: str = "p50_est",
 ) -> DataFrame:
-    """Median estimate per group from merged (group..., pos, cnt)
-    counters: the first bucket whose cumulative count reaches 0.5*n,
+    """Quantile estimate per group from merged (group..., pos, cnt)
+    counters: the first bucket whose cumulative count reaches q*n,
     interpolated linearly inside the bucket. Output:
-    (group..., n, p50_est).
+    (group..., n, <out_col>).
 
     Scale: one window + one agg over the counter table, whose size is
     |groups| x buckets regardless of how many raw rows were digested —
-    the whole point of the digest."""
+    the whole point of the digest. Asking for several quantiles reuses
+    the same counter table (each ask is another scan of |groups| x
+    buckets rows, never of the raw data)."""
     from pyspark.sql import Window as W
 
     w = W.partitionBy(*group_cols).orderBy("pos")
@@ -225,7 +231,7 @@ def median_from_counters(
         *group_cols, "pos", "cnt", F.sum("cnt").over(w).alias("cum")
     )
     totals = counters.groupBy(*group_cols).agg(F.sum("cnt").alias("n"))
-    target = F.lit(0.5) * F.col("n")
+    target = F.lit(q) * F.col("n")
     return (
         cum.join(totals, list(group_cols))
         .filter(
@@ -241,6 +247,13 @@ def median_from_counters(
                     + (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
                 )
                 * F.lit(width)
-            ).alias("p50_est"),
+            ).alias(out_col),
         )
     )
+
+
+def median_from_counters(
+    counters: DataFrame, group_cols: list[str], width: float
+) -> DataFrame:
+    """Median shorthand for quantile_from_counters(q=0.5)."""
+    return quantile_from_counters(counters, group_cols, width, q=0.5)

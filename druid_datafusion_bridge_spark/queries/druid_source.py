@@ -892,13 +892,22 @@ def _ensure_qhist_segments(spark: SparkSession, sf_dir: str) -> str:
       SELECT event_type, pos, CAST(cnt AS BIGINT) AS cnt,
              CAST(SUM(cnt) OVER (
                PARTITION BY event_type ORDER BY pos) AS BIGINT) AS cum
-      FROM b)
-    SELECT c.event_type, t.n AS n_events,
-           (pos + ((0.5 * t.n) - (cum - cnt)) / cnt) * {QHIST_WIDTH}
-             AS p50_est,
+      FROM b),
+    med AS (
+      SELECT c.event_type,
+             (pos + ((CAST(0.5 AS DOUBLE) * t.n) - (cum - cnt)) / cnt) * {QHIST_WIDTH}
+               AS p50_est
+      FROM c JOIN t USING (event_type)
+      WHERE cum >= CAST(0.5 AS DOUBLE) * t.n AND (cum - cnt) < CAST(0.5 AS DOUBLE) * t.n),
+    hi AS (
+      SELECT c.event_type,
+             (pos + ((CAST(0.95 AS DOUBLE) * t.n) - (cum - cnt)) / cnt) * {QHIST_WIDTH}
+               AS p95_est
+      FROM c JOIN t USING (event_type)
+      WHERE cum >= CAST(0.95 AS DOUBLE) * t.n AND (cum - cnt) < CAST(0.95 AS DOUBLE) * t.n)
+    SELECT t.event_type, t.n AS n_events, med.p50_est, hi.p95_est,
            TRUE AS within_one_bucket
-    FROM c JOIN t USING (event_type)
-    WHERE cum >= 0.5 * t.n AND (cum - cnt) < 0.5 * t.n
+    FROM t JOIN med USING (event_type) JOIN hi USING (event_type)
     ORDER BY event_type
     """,
 )
@@ -909,14 +918,17 @@ def cx_qhist_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     column, src/column/mod.rs:59-61). Hourly rollup segments carry 64
     exact bucket counts of `value` per event type; this query never
     touches a raw row: it splits each digest back into counters,
-    merges by addition, and interpolates the median inside the first
-    bucket whose cumulative count crosses 0.5*n.
+    merges by addition, and interpolates the median and the p95 inside
+    the bucket whose cumulative count crosses each target rank (both
+    quantile asks re-scan only the |types x 64| counter table, never
+    raw data).
 
     Every output is bit-exact against the oracle (counts are integers;
     the interpolation is the same IEEE double expression both engines
     evaluate over exactly-representable inputs). `within_one_bucket`
     additionally asserts the digest's error contract — the estimate
-    sits within one bucket width of the true median — computed
+    sits within one bucket width of the true quantile (p50 AND p95) —
+    computed
     genuinely on the Spark side from percentile() over raw events.
 
     Scale: the merge shuffles |hours x types x 64| counters, never the
@@ -936,28 +948,42 @@ def cx_qhist_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "cnt"),
     )
-    from ..operators.sketches import median_from_counters
+    from ..operators.sketches import quantile_from_counters
 
     merged = counters.groupBy("event_type", "pos").agg(
         F.sum("cnt").alias("cnt")
     )
-    est = median_from_counters(
-        merged, ["event_type"], QHIST_WIDTH
+    est = quantile_from_counters(
+        merged, ["event_type"], QHIST_WIDTH, q=0.5, out_col="p50_est"
     ).withColumnRenamed("n", "n_events")
+    est95 = quantile_from_counters(
+        merged, ["event_type"], QHIST_WIDTH, q=0.95, out_col="p95_est"
+    ).select("event_type", "p95_est")
     exact = (
         _table(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.expr("percentile(value, 0.5)").alias("exact_p50"))
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("exact_p50"),
+            F.expr("percentile(value, 0.95)").alias("exact_p95"),
+        )
     )
     return (
-        est.join(exact, "event_type")
+        est.join(est95, "event_type")
+        .join(exact, "event_type")
         .select(
             "event_type",
             "n_events",
             "p50_est",
+            "p95_est",
             (
-                F.abs(F.col("p50_est") - F.col("exact_p50"))
-                <= F.lit(QHIST_WIDTH)
+                (
+                    F.abs(F.col("p50_est") - F.col("exact_p50"))
+                    <= F.lit(QHIST_WIDTH)
+                )
+                & (
+                    F.abs(F.col("p95_est") - F.col("exact_p95"))
+                    <= F.lit(QHIST_WIDTH)
+                )
             ).alias("within_one_bucket"),
         )
         .orderBy("event_type")

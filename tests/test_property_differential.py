@@ -631,8 +631,8 @@ def test_fixed_hist_median_differential(spark, a):
                       AS BIGINT) AS cum
           FROM b)
         SELECT c.k, t.n,
-               (pos + ((0.5 * t.n) - (cum - cnt)) / cnt) * {width} AS p50_est
+               (pos + ((CAST(0.5 AS DOUBLE) * t.n) - (cum - cnt)) / cnt) * {width} AS p50_est
         FROM c JOIN t USING (k)
-        WHERE cum >= 0.5 * t.n AND (cum - cnt) < 0.5 * t.n
+        WHERE cum >= CAST(0.5 AS DOUBLE) * t.n AND (cum - cnt) < CAST(0.5 AS DOUBLE) * t.n
     """
     _compare(got, con, sql)
