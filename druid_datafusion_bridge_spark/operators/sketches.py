@@ -23,12 +23,14 @@ Scale posture (100 TB):
   longs per (partition, group), and per-group merge state is bounded
   by k x n_partitions. Set algebra then runs on single sketch rows
   (k longs each).
-- a map-side k-slice BEFORE the phase-1 exchange would cut shuffle to
-  k per partition-group (the DataSketches shape), but needs either a
-  per-partition top-k primitive Spark's aggregate layer lacks or a
-  threshold pre-filter derived from approx_count_distinct — whose HLL
-  is not bit-reproducible in other engines, which would forfeit the
-  exact oracle this module exists to keep. Deliberately not done.
+- a map-side k-slice BEFORE the phase-1 exchange (the DataSketches
+  shape) is ``kmv_sketch_bounded``: Spark's aggregate layer has no
+  bounded-collect primitive (a slice written "inside the agg" is a
+  post-merge projection — the partial state still crosses the wire
+  whole), so the bounded form runs phase 1 as a zero-exchange
+  ``mapInArrow`` pass with numpy k-way unions. Bit-identical output;
+  see its docstring for the IPC-vs-network trade and why the registry
+  queries keep the pure-JVM form.
 """
 
 from __future__ import annotations
@@ -73,6 +75,72 @@ def kmv_sketch(
                 F.array_sort(F.collect_set("h")), 1, k
             ).alias("sketch")
         )
+    )
+
+
+def kmv_sketch_bounded(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """``kmv_sketch`` with phase 1's exchange capped at k hashes per
+    (partition, group) — the DataSketches shape. Output is BIT-IDENTICAL
+    to ``kmv_sketch`` (asserted by tests/test_sketches.py): phase 1
+    emits, per input partition and group, exactly the k smallest
+    distinct hashes — the same multiset ``kmv_sketch``'s
+    slice-after-merge produces — and phase 2 is the same k-bounded
+    JVM merge.
+
+    Why this needs a Python worker: in ``kmv_sketch`` the slice is
+    already "inside the agg" textually, but a declarative aggregate
+    applies projections AFTER the final merge — collect_set's partial
+    state (what actually crosses phase 1's wire) is the partition's
+    whole distinct-hash set, and Spark's aggregate layer has no
+    bounded-collect primitive to cap it. Here phase 1 is a
+    ``mapInArrow`` pass instead: ZERO exchange (partition-wise map),
+    per-partition state bounded at k hashes per group, every batch
+    folded through a numpy k-way union. The trade is Arrow IPC of the
+    (group, hash) pairs through the Python worker — local memory
+    bandwidth — in place of a NETWORK exchange of the partition's
+    distinct hashes. At 100 TB on a high-cardinality value column
+    (where distinct ~ total and the sketch is the whole point), the
+    bounded form wins; for registry queries the pure-JVM form is kept
+    so every oracle-checked plan stays Python-free (both forms are
+    exact — same hashes, same merge).
+    """
+    h = md5_hash60(F.col(value_col).cast("string"))
+    pairs = df.select(F.col(group_col).alias("g"), h.alias("h"))
+
+    def local_kmin(batches):  # pragma: no cover - executor-side
+        import numpy as np
+        import pyarrow as pa
+
+        state: dict = {}
+        g_type = None
+        for b in batches:
+            g_type = b.schema.field("g").type
+            pdf = b.to_pandas()
+            for g, grp in pdf.groupby("g", sort=False, dropna=False)["h"]:
+                cand = np.unique(grp.to_numpy())
+                prev = state.get(g)
+                if prev is not None:
+                    cand = np.union1d(prev, cand)
+                state[g] = cand[:k]
+        if state:
+            gs: list = []
+            hs: list = []
+            for g, arr in state.items():
+                gs.extend([g] * len(arr))
+                hs.extend(int(x) for x in arr)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(gs, type=g_type), pa.array(hs, type=pa.int64())],
+                names=["g", "h"],
+            )
+
+    local = pairs.mapInArrow(local_kmin, schema=pairs.schema)
+    return local.groupBy("g").agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("sketch")
     )
 
 
@@ -207,6 +275,52 @@ def hist_bucket(value: Column, buckets: int, width: float) -> Column:
     ).cast("long")
 
 
+def quantiles_from_counters(
+    counters: DataFrame,
+    group_cols: list[str],
+    width: float,
+    qs: dict[str, float],
+) -> DataFrame:
+    """Quantile estimates per group from merged (group..., pos, cnt)
+    counters: for each requested quantile, the first bucket whose
+    cumulative count reaches q*n, interpolated linearly inside the
+    bucket. ``qs`` maps output column name -> quantile fraction.
+    Output: (group..., n, <out_col> per ask).
+
+    Scale: ALL requested quantiles come from ONE window + ONE agg over
+    the counter table, whose size is |groups| x buckets regardless of
+    how many raw rows were digested — the whole point of the digest.
+    A single pass matters beyond the counter-table math: the counter
+    table's own lineage (often a segment decode) executes once, not
+    once per quantile ask."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*group_cols).orderBy("pos")
+    w_all = W.partitionBy(*group_cols)
+    cum = counters.select(
+        *group_cols,
+        "pos",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    aggs = [F.max("n").alias("n")]
+    for out_col, q in qs.items():
+        target = F.lit(q) * F.col("n")
+        crossing = (F.col("cum") >= target) & (
+            (F.col("cum") - F.col("cnt")) < target
+        )
+        est = (
+            F.col("pos")
+            + (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+        ) * F.lit(width)
+        # exactly one bucket per group satisfies `crossing` (cum is
+        # strictly increasing across non-empty buckets), so max(when)
+        # extracts that bucket's interpolated value
+        aggs.append(F.max(F.when(crossing, est)).alias(out_col))
+    return cum.groupBy(*group_cols).agg(*aggs)
+
+
 def quantile_from_counters(
     counters: DataFrame,
     group_cols: list[str],
@@ -214,42 +328,8 @@ def quantile_from_counters(
     q: float = 0.5,
     out_col: str = "p50_est",
 ) -> DataFrame:
-    """Quantile estimate per group from merged (group..., pos, cnt)
-    counters: the first bucket whose cumulative count reaches q*n,
-    interpolated linearly inside the bucket. Output:
-    (group..., n, <out_col>).
-
-    Scale: one window + one agg over the counter table, whose size is
-    |groups| x buckets regardless of how many raw rows were digested —
-    the whole point of the digest. Asking for several quantiles reuses
-    the same counter table (each ask is another scan of |groups| x
-    buckets rows, never of the raw data)."""
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy(*group_cols).orderBy("pos")
-    cum = counters.select(
-        *group_cols, "pos", "cnt", F.sum("cnt").over(w).alias("cum")
-    )
-    totals = counters.groupBy(*group_cols).agg(F.sum("cnt").alias("n"))
-    target = F.lit(q) * F.col("n")
-    return (
-        cum.join(totals, list(group_cols))
-        .filter(
-            (F.col("cum") >= target)
-            & ((F.col("cum") - F.col("cnt")) < target)
-        )
-        .select(
-            *group_cols,
-            F.col("n"),
-            (
-                (
-                    F.col("pos")
-                    + (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
-                )
-                * F.lit(width)
-            ).alias(out_col),
-        )
-    )
+    """Single-quantile shorthand for quantiles_from_counters."""
+    return quantiles_from_counters(counters, group_cols, width, {out_col: q})
 
 
 def median_from_counters(

@@ -50,9 +50,15 @@ def _cache_ready(root: str, sf_dir: str, source: str) -> bool:
         return False
 
 
-def _mark_complete(root: str, sf_dir: str, source: str) -> None:
+def _mark_complete(root: str, fingerprint: str) -> None:
+    """``fingerprint`` must be captured BEFORE the build starts (via
+    _source_fingerprint): if the grading driver regenerates the source
+    parquet while a build is in flight, the marker then records the OLD
+    parquet's identity over segments derived from it, and the next read
+    rebuilds instead of serving a fresh-fingerprint marker on stale
+    segments."""
     with open(_complete_marker(root), "w", encoding="utf-8") as f:
-        f.write(_source_fingerprint(sf_dir, source))
+        f.write(fingerprint)
 
 
 def _segment_root(sf_dir: str) -> str:
@@ -72,6 +78,7 @@ def _ensure_segments(spark: SparkSession, sf_dir: str) -> str:
     # a build killed midway (driver turn limits) rebuilds instead of
     # scanning a half-written cache
     if not _cache_ready(root, sf_dir, "nation"):
+        fp = _source_fingerprint(sf_dir, "nation")
         import shutil
 
         shutil.rmtree(root, ignore_errors=True)
@@ -84,7 +91,7 @@ def _ensure_segments(spark: SparkSession, sf_dir: str) -> str:
         half = t.num_rows // 2
         write_segment(t.slice(0, half), os.path.join(root, "seg_000"))
         write_segment(t.slice(half), os.path.join(root, "seg_001"))
-        _mark_complete(root, sf_dir, "nation")
+        _mark_complete(root, fp)
     return root
 
 
@@ -122,6 +129,7 @@ def _ensure_mvd_segments(spark: SparkSession, sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     root = os.path.join("/tmp", "ddbs_segments", tag, "documents_mvd")
     if not _cache_ready(root, sf_dir, "documents"):
+        fp = _source_fingerprint(sf_dir, "documents")
         import shutil
 
         shutil.rmtree(root, ignore_errors=True)
@@ -140,7 +148,7 @@ def _ensure_mvd_segments(spark: SparkSession, sf_dir: str) -> str:
             }
         )
         write_segment(t, os.path.join(root, "seg_000"))
-        _mark_complete(root, sf_dir, "documents")
+        _mark_complete(root, fp)
     return root
 
 
@@ -263,6 +271,7 @@ def s1e_druid_segment_zstd_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     root = os.path.join("/tmp", "ddbs_segments", tag, "supplier_zstd")
     if not _cache_ready(root, sf_dir, "supplier"):
+        fp = _source_fingerprint(sf_dir, "supplier")
         import shutil
 
         shutil.rmtree(root, ignore_errors=True)
@@ -276,7 +285,7 @@ def s1e_druid_segment_zstd_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         t = t.append_column("__time", ms)
         write_segment(t, os.path.join(root, "seg_000"), strategy=ZSTD)
-        _mark_complete(root, sf_dir, "supplier")
+        _mark_complete(root, fp)
     df = spark.read.format("druidsegment").option("path", root).load()
     return (
         df.groupBy("s_nationkey")
@@ -315,9 +324,10 @@ def s2b_segment_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import compact_segments
 
     if not _cache_ready(dst, sf_dir, "events"):
+        fp = _source_fingerprint(sf_dir, "events")
         shutil.rmtree(dst, ignore_errors=True)
         compact_segments(spark, root, dst, granularity="P1D").collect()
-        _mark_complete(dst, sf_dir, "events")
+        _mark_complete(dst, fp)
     back = spark.read.format("druidsegment").option("path", dst).load()
     return back.agg(
         F.countDistinct(F.date_trunc("day", "__time")).alias("n_days"),
@@ -340,6 +350,7 @@ def _ensure_evolved_segments(spark: SparkSession, sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     root = os.path.join("/tmp", "ddbs_segments", tag, "nation_evolved")
     if not _cache_ready(root, sf_dir, "nation"):
+        fp = _source_fingerprint(sf_dir, "nation")
         import shutil
 
         shutil.rmtree(root, ignore_errors=True)
@@ -358,7 +369,7 @@ def _ensure_evolved_segments(spark: SparkSession, sf_dir: str) -> str:
         )
         write_segment(old, os.path.join(root, "seg_000"))
         write_segment(new, os.path.join(root, "seg_001"))
-        _mark_complete(root, sf_dir, "nation")
+        _mark_complete(root, fp)
     return root
 
 
@@ -409,6 +420,7 @@ def _ensure_hll_segments(spark: SparkSession, sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     root = os.path.join("/tmp", "ddbs_segments", tag, "events_hll")
     if not _cache_ready(root, sf_dir, "events"):
+        fp = _source_fingerprint(sf_dir, "events")
         import shutil
 
         shutil.rmtree(root, ignore_errors=True)
@@ -424,7 +436,7 @@ def _ensure_hll_segments(spark: SparkSession, sf_dir: str) -> str:
             )
         )
         write_druid_segments(rolled, root, granularity="P1D").collect()
-        _mark_complete(root, sf_dir, "events")
+        _mark_complete(root, fp)
     return root
 
 
@@ -851,6 +863,7 @@ def _ensure_qhist_segments(spark: SparkSession, sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     root = os.path.join("/tmp", "ddbs_segments", tag, "events_qhist")
     if not _cache_ready(root, sf_dir, "events"):
+        fp = _source_fingerprint(sf_dir, "events")
         import shutil
 
         shutil.rmtree(root, ignore_errors=True)
@@ -873,7 +886,7 @@ def _ensure_qhist_segments(spark: SparkSession, sf_dir: str) -> str:
             ).alias("value_hist"),
         )
         write_druid_segments(rolled, root, granularity="P1D").collect()
-        _mark_complete(root, sf_dir, "events")
+        _mark_complete(root, fp)
     return root
 
 
@@ -920,8 +933,9 @@ def cx_qhist_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches a raw row: it splits each digest back into counters,
     merges by addition, and interpolates the median and the p95 inside
     the bucket whose cumulative count crosses each target rank (both
-    quantile asks re-scan only the |types x 64| counter table, never
-    raw data).
+    quantiles come from ONE pass over the |types x 64| counter table —
+    the segment-decode lineage executes once, never per ask, and never
+    touches raw data).
 
     Every output is bit-exact against the oracle (counts are integers;
     the interpolation is the same IEEE double expression both engines
@@ -948,17 +962,17 @@ def cx_qhist_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "cnt"),
     )
-    from ..operators.sketches import quantile_from_counters
+    from ..operators.sketches import quantiles_from_counters
 
     merged = counters.groupBy("event_type", "pos").agg(
         F.sum("cnt").alias("cnt")
     )
-    est = quantile_from_counters(
-        merged, ["event_type"], QHIST_WIDTH, q=0.5, out_col="p50_est"
+    # both quantiles from ONE pass over the counter table — the merged
+    # lineage (segment decode + split + posexplode + agg) executes once,
+    # not once per quantile ask
+    est = quantiles_from_counters(
+        merged, ["event_type"], QHIST_WIDTH, {"p50_est": 0.5, "p95_est": 0.95}
     ).withColumnRenamed("n", "n_events")
-    est95 = quantile_from_counters(
-        merged, ["event_type"], QHIST_WIDTH, q=0.95, out_col="p95_est"
-    ).select("event_type", "p95_est")
     exact = (
         _table(spark, sf_dir, "events")
         .groupBy("event_type")
@@ -968,8 +982,7 @@ def cx_qhist_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        est.join(est95, "event_type")
-        .join(exact, "event_type")
+        est.join(exact, "event_type")
         .select(
             "event_type",
             "n_events",

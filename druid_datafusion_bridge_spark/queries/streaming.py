@@ -314,7 +314,12 @@ def st_segment_handoff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources import register_druid_datasource
     from ..streaming.ingest import stream_to_segments
-    from .druid_source import _REGISTERED_KEY, _cache_ready, _mark_complete
+    from .druid_source import (
+        _REGISTERED_KEY,
+        _cache_ready,
+        _mark_complete,
+        _source_fingerprint,
+    )
 
     if not getattr(spark, _REGISTERED_KEY, False):
         register_druid_datasource(spark)
@@ -324,6 +329,7 @@ def st_segment_handoff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join("/tmp", "ddbs_segments", tag, "events_rt_handoff")
     data = os.path.join(root, "data")
     if not _cache_ready(root, sf_dir, "events"):
+        fp = _source_fingerprint(sf_dir, "events")
         shutil.rmtree(root, ignore_errors=True)
         ev = stream_events(spark, sf_dir).select(
             F.col("ts").alias("__time"), "event_type", "value"
@@ -331,8 +337,16 @@ def st_segment_handoff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = stream_to_segments(
             ev, data, os.path.join(root, "ckpt"), granularity="P1D"
         )
-        q.awaitTermination(300)
-        _mark_complete(root, sf_dir, "events")
+        if not q.awaitTermination(300):
+            # availableNow didn't drain in time: stop the writer and
+            # fail loudly — stamping _COMPLETE here would serve a
+            # PARTIAL handoff as complete on every later run.
+            q.stop()
+            raise RuntimeError(
+                "segment handoff stream did not terminate within 300s; "
+                "refusing to mark the partial segment root complete"
+            )
+        _mark_complete(root, fp)
     back = spark.read.format("druidsegment").option("path", data).load()
     return (
         back.groupBy(

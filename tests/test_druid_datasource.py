@@ -354,6 +354,7 @@ def test_segment_cache_invalidates_on_source_regeneration(spark, tmp_path):
         _cache_ready,
         _ensure_hll_segments,
         _mark_complete,
+        _source_fingerprint,
     )
 
     sf = str(tmp_path / "sfcopy")
@@ -375,5 +376,13 @@ def test_segment_cache_invalidates_on_source_regeneration(spark, tmp_path):
     # a half-built cache (marker missing) is never trusted
     os.remove(os.path.join(root, "_COMPLETE"))
     assert not _cache_ready(root, sf, "events")
-    _mark_complete(root, sf, "events")
+    _mark_complete(root, _source_fingerprint(sf, "events"))
     assert _cache_ready(root, sf, "events")
+
+    # fingerprints are captured BEFORE a build starts: if the source is
+    # regenerated mid-build, the pre-build fingerprint no longer matches
+    # and the marker must NOT validate the (stale) segments
+    pre_build_fp = _source_fingerprint(sf, "events")
+    os.utime(f"{sf}/events.parquet", ns=(2, 2))  # regeneration in flight
+    _mark_complete(root, pre_build_fp)
+    assert not _cache_ready(root, sf, "events")
