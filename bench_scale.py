@@ -39,7 +39,10 @@ from druid_datafusion_bridge_spark.operators.similarity import (
     lsh_topk,
     pq_quantize,
 )
-from druid_datafusion_bridge_spark.operators.sketches import kmv_sketch
+from druid_datafusion_bridge_spark.operators.sketches import (
+    kmv_sketch,
+    kmv_sketch_bounded,
+)
 from druid_datafusion_bridge_spark.operators.temporal import sessionize
 from druid_datafusion_bridge_spark.operators.text_pipeline import (
     chunk_with_stride,
@@ -149,6 +152,9 @@ def main() -> None:
         "chunk_with_stride": lambda: chunk_with_stride(docs, window=32, stride=24),
         "epoch_shuffle": lambda: epoch_shuffle(docs, seed=3, n_shards=256),
         "kmv_sketch": lambda: kmv_sketch(docs_dom, "lang", "doc_id", k=4096),
+        "kmv_sketch_bounded": lambda: kmv_sketch_bounded(
+            docs_dom, "lang", "doc_id", k=4096
+        ),
         "tfidf_top_terms": lambda: tfidf_top_terms(docs, k=3),
         "pq_quantize": lambda: pq_quantize(emb, dim=64),
         "keyword_search": lambda: keyword_search(docs, terms=("w37", "w41")),

@@ -108,6 +108,12 @@ def kmv_sketch_bounded(
     bounded form wins; for registry queries the pure-JVM form is kept
     so every oracle-checked plan stays Python-free (both forms are
     exact — same hashes, same merge).
+
+    Measured (bench_scale.py, 1M rows / 900 groups / k=4096,
+    local[32]): bounded 2.5 s vs JVM 1.4 s — on a single node the
+    "network" is free so the Arrow IPC overhead shows; the term the
+    bound removes (each partition's full distinct-hash set crossing a
+    real network) is exactly the term local mode cannot measure.
     """
     h = md5_hash60(F.col(value_col).cast("string"))
     pairs = df.select(F.col(group_col).alias("g"), h.alias("h"))

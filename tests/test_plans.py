@@ -365,3 +365,22 @@ def test_anomaly_stats_join_broadcasts(spark):
     plan = formatted_plan(all_queries()["an_anomaly_zscore"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_j12_bucketed_registry_query_zero_exchange(spark):
+    """The registry's co-located join must run with ZERO shuffle
+    exchanges end-to-end — the persisted bucketing serves both the
+    fact-fact join and the per-orderkey aggregation. Broadcast is
+    forbidden so the plan can't dodge the co-location claim."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        from druid_datafusion_bridge_spark.plans import formatted_plan
+
+        df = all_queries()["j12_bucketed_colocated_join"](spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert count_exchanges(df) == 0, "co-located join must not shuffle"
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -636,3 +636,78 @@ def test_fixed_hist_median_differential(spark, a):
         WHERE cum >= CAST(0.5 AS DOUBLE) * t.n AND (cum - cnt) < CAST(0.5 AS DOUBLE) * t.n
     """
     _compare(got, con, sql)
+
+
+@pytest.mark.slow
+@given(
+    a=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=-2048, max_value=70000).map(lambda i: i / 64),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SET
+def test_fixed_hist_two_quantiles_one_pass_differential(spark, a):
+    """quantiles_from_counters asking p50 AND p95 in its single
+    window+agg pass must agree bit-exactly with DuckDB computing each
+    quantile independently — same adversarial inputs as the median
+    fuzz (clipping, bucket-edge values, cum==target boundaries), plus
+    the single-pass max(when(crossing)) extraction being fuzzed for
+    BOTH targets at once (a wrong crossing-uniqueness assumption would
+    surface here as a null or a wrong bucket's interpolation)."""
+    from druid_datafusion_bridge_spark.operators.sketches import (
+        hist_bucket,
+        quantiles_from_counters,
+    )
+
+    import pyspark.sql.functions as F
+
+    buckets, width = 64, 16.0
+    df = spark.createDataFrame(a, "k long, v double")
+    counters = df.groupBy(
+        "k", hist_bucket(F.col("v"), buckets, width).alias("pos")
+    ).agg(F.count("*").alias("cnt"))
+    got = quantiles_from_counters(
+        counters, ["k"], width, {"p50_est": 0.5, "p95_est": 0.95}
+    )
+
+    con = duckdb.connect()
+    pdf = pd.DataFrame(a, columns=["k", "v"])
+    con.register("h_pdf", pdf)
+    con.execute(
+        "CREATE TABLE h AS SELECT CAST(k AS BIGINT) k, CAST(v AS DOUBLE) v FROM h_pdf"
+    )
+    sql = f"""
+        WITH b AS (
+          SELECT k,
+                 GREATEST(0, LEAST(CAST(FLOOR(v / {width}) AS BIGINT),
+                                   {buckets - 1})) AS pos,
+                 COUNT(*) AS cnt
+          FROM h GROUP BY k, pos),
+        t AS (SELECT k, CAST(SUM(cnt) AS BIGINT) AS n FROM b GROUP BY k),
+        c AS (
+          SELECT k, pos, CAST(cnt AS BIGINT) AS cnt,
+                 CAST(SUM(cnt) OVER (PARTITION BY k ORDER BY pos)
+                      AS BIGINT) AS cum
+          FROM b),
+        med AS (
+          SELECT c.k,
+                 (pos + ((CAST(0.5 AS DOUBLE) * t.n) - (cum - cnt)) / cnt)
+                   * {width} AS p50_est
+          FROM c JOIN t USING (k)
+          WHERE cum >= CAST(0.5 AS DOUBLE) * t.n
+            AND (cum - cnt) < CAST(0.5 AS DOUBLE) * t.n),
+        hi AS (
+          SELECT c.k,
+                 (pos + ((CAST(0.95 AS DOUBLE) * t.n) - (cum - cnt)) / cnt)
+                   * {width} AS p95_est
+          FROM c JOIN t USING (k)
+          WHERE cum >= CAST(0.95 AS DOUBLE) * t.n
+            AND (cum - cnt) < CAST(0.95 AS DOUBLE) * t.n)
+        SELECT t.k, t.n, med.p50_est, hi.p95_est
+        FROM t JOIN med USING (k) JOIN hi USING (k)
+    """
+    _compare(got, con, sql)
