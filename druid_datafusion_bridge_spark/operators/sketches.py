@@ -43,6 +43,10 @@ from .dedup import md5_hash60
 # 60-bit hash space (md5_hash60 yields uniform values in [0, 2^60)).
 HASH_SPACE = float(1 << 60)
 
+# kmv_sketch_bounded emits its per-partition state in batches of this
+# many groups (bounds the Python-side materialization at emit time).
+_EMIT_GROUPS_PER_BATCH = 1024
+
 
 def kmv_sketch(
     df: DataFrame,
@@ -115,30 +119,58 @@ def kmv_sketch_bounded(
     bound removes (each partition's full distinct-hash set crossing a
     real network) is exactly the term local mode cannot measure.
     """
+    # NULL values hash to NULL; a null in an int64 Arrow batch would
+    # force a float64 conversion Python-side (silently rounding hashes
+    # past 2^53), so null hashes are dropped JVM-side BEFORE the map.
+    # That reproduces kmv_sketch exactly: its collect_set drops null
+    # elements and its explode([]) drops groups whose every value is
+    # NULL, so such groups are absent from BOTH forms' output.
     h = md5_hash60(F.col(value_col).cast("string"))
-    pairs = df.select(F.col(group_col).alias("g"), h.alias("h"))
+    pairs = df.select(F.col(group_col).alias("g"), h.alias("h")).filter(
+        F.col("h").isNotNull()
+    )
 
     def local_kmin(batches):  # pragma: no cover - executor-side
         import numpy as np
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         state: dict = {}
         g_type = None
         for b in batches:
             g_type = b.schema.field("g").type
-            pdf = b.to_pandas()
-            for g, grp in pdf.groupby("g", sort=False, dropna=False)["h"]:
-                cand = np.unique(grp.to_numpy())
-                prev = state.get(g)
+            if b.num_rows == 0:
+                continue
+            # dictionary-encode the group column instead of pandas
+            # round-tripping: group VALUES stay in Arrow (no int64 ->
+            # float64 null coercion, no >2^53 rounding) and grouping
+            # runs on the int32 codes. Null groups code to -1.
+            enc = pc.dictionary_encode(b.column("g"))
+            codes = enc.indices.fill_null(-1).to_numpy(zero_copy_only=False)
+            keys = enc.dictionary.to_pylist()
+            h_np = b.column("h").to_numpy(zero_copy_only=False)
+            order = np.argsort(codes, kind="stable")
+            codes_s, h_s = codes[order], h_np[order]
+            bounds = np.flatnonzero(np.diff(codes_s)) + 1
+            for code_grp, h_grp in zip(
+                np.split(codes_s, bounds), np.split(h_s, bounds)
+            ):
+                gkey = None if code_grp[0] < 0 else keys[code_grp[0]]
+                cand = np.unique(h_grp)
+                prev = state.get(gkey)
                 if prev is not None:
                     cand = np.union1d(prev, cand)
-                state[g] = cand[:k]
-        if state:
+                state[gkey] = cand[:k]
+        # emit in bounded chunks — one monolithic batch over millions of
+        # groups would be an unspillable Python-side memory spike
+        items = list(state.items())
+        for i in range(0, len(items), _EMIT_GROUPS_PER_BATCH):
+            part = items[i : i + _EMIT_GROUPS_PER_BATCH]
             gs: list = []
             hs: list = []
-            for g, arr in state.items():
+            for g, arr in part:
                 gs.extend([g] * len(arr))
-                hs.extend(int(x) for x in arr)
+                hs.extend(arr.tolist())
             yield pa.RecordBatch.from_arrays(
                 [pa.array(gs, type=g_type), pa.array(hs, type=pa.int64())],
                 names=["g", "h"],

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from . import query
+from .exact import REVENUE_SQL, exact_sum, revenue_col, sql_sum
 
 
 @query(
@@ -323,10 +324,17 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
     from ..plans.bucketing import write_bucketed
     from .druid_source import _source_fingerprint
 
+    import hashlib
+
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    # identifier-safe AND collision-free: 'sf0.01' and 'sf0_01' sanitize
+    # to the same token, so the raw tag's digest keeps their catalog
+    # entries (which point at per-tag roots) from aliasing each other
     safe = "".join(c if c.isalnum() else "_" for c in tag)
+    digest = hashlib.md5(tag.encode()).hexdigest()[:6]
     root = os.path.join("/tmp", "ddbs_bucketed", tag)
-    li_name, ord_name = f"ddbs_li16_{safe}", f"ddbs_ord16_{safe}"
+    li_name = f"ddbs_li16_{safe}_{digest}"
+    ord_name = f"ddbs_ord16_{safe}_{digest}"
     marker = os.path.join(root, "_COMPLETE")
     fp = (
         _source_fingerprint(sf_dir, "lineitem")
@@ -379,13 +387,11 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
 
 @query(
     "j12_bucketed_colocated_join",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey AS orderkey, o_orderpriority,
            COUNT(*) AS n_items,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
-           CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                    (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))))
-                AS DECIMAL(38,8)), 2) AS DOUBLE) AS revenue
+           {sql_sum('l_quantity', 'sum_qty')},
+           {REVENUE_SQL} AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY l_orderkey, o_orderpriority
     """,
@@ -402,24 +408,15 @@ def j12_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     lives. Deliberately no ORDER BY: a global sort would add the only
     exchange in the plan, and the driver's hash compare is
     order-insensitive. Aggregates use the exact-decimal discipline
-    (exact.py) so values are bit-identical to the oracle."""
-    from .exact import dec, money
-
+    (exact.py helpers, the same ones every TPC-H shape builds from)."""
     li_name, ord_name = _ensure_bucketed_tables(spark, sf_dir)
-    li = spark.table(li_name)
-    o = spark.table(ord_name)
-    one = F.lit(1).cast("decimal(8,4)")
-    disc_price = dec("l_extendedprice", "decimal(18,4)") * (
-        one - dec("l_discount", "decimal(8,4)")
-    )
     return (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        spark.table(li_name)
+        .join(spark.table(ord_name), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("l_orderkey").alias("orderkey"), F.col("o_orderpriority"))
         .agg(
             F.count("*").alias("n_items"),
-            F.sum(dec("l_quantity", "decimal(38,4)"))
-            .cast("double")
-            .alias("sum_qty"),
-            money(F.sum(disc_price).cast("decimal(38,8)"), "revenue"),
+            exact_sum("l_quantity", "sum_qty"),
+            revenue_col("revenue"),
         )
     )

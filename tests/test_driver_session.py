@@ -41,6 +41,7 @@ SAMPLE = [
     "sim_lsh_topk",           # recall-contract oracle
     "q21_waiting_suppliers",  # multi-join + window TPC-H shape
     "f_cast_functions",       # cast semantics under default ANSI
+    "j12_bucketed_colocated_join",  # catalog DDL + bucketed read path
 ]
 
 

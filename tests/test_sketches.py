@@ -89,9 +89,16 @@ def test_kmv_bounded_bit_identical_and_one_exchange(spark):
     )
 
     k = 16
-    vals = [("big", v % 500) for v in range(2000)] + [
-        ("small", v) for v in range(7)
-    ]
+    vals = (
+        [("big", v % 500) for v in range(2000)]
+        + [("small", v) for v in range(7)]
+        # null-hash edges: NULL values inside a real group (dropped from
+        # the sketch), a group that is ONLY nulls (must still appear,
+        # with an empty sketch), and a NULL group key
+        + [("big", None), ("small", None)]
+        + [("allnull", None), ("allnull", None)]
+        + [(None, 42)]
+    )
     df = spark.createDataFrame(vals, "g string, v long").repartition(13)
     bounded = kmv_sketch_bounded(df, "g", "v", k=k)
     # plan shape BEFORE execution (AQE's finalized rendering prints the
