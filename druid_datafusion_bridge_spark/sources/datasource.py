@@ -236,8 +236,12 @@ def _projected(options, all_columns: list[str]) -> list[str]:
 
 def _to_millis(value) -> int | None:
     if isinstance(value, dt.datetime):
-        if value.tzinfo is None:
-            value = value.replace(tzinfo=dt.timezone.utc)
+        # pyspark's TimestampType.fromInternal builds pushed filter
+        # values with datetime.fromtimestamp() — NAIVE, in the MACHINE's
+        # local timezone. value.timestamp() is its exact inverse (local
+        # interpretation), so the epoch millis are recovered correctly
+        # on any host; forcing tzinfo=UTC here would shift the bound by
+        # the host's UTC offset and wrongly prune segments.
         return int(value.timestamp() * 1000)
     if isinstance(value, (int, float)):
         return int(value)
@@ -275,12 +279,12 @@ class DruidSegmentReader(DataSourceReader):
         self.eq_filters: dict[str, tuple] = {}
 
     def partitions(self) -> list[SegmentPartition]:
-        lower = self.opt_lower_ms if self.lower_ms is None else max(
-            self.lower_ms, self.opt_lower_ms or self.lower_ms
-        )
-        upper = self.opt_upper_ms if self.upper_ms is None else min(
-            self.upper_ms, self.opt_upper_ms or self.upper_ms
-        )
+        # explicit None checks — `x or y` would drop a legitimate bound
+        # of 0 (the epoch) or interact wrongly with negative epochs
+        bounds_lo = [b for b in (self.lower_ms, self.opt_lower_ms) if b is not None]
+        bounds_hi = [b for b in (self.upper_ms, self.opt_upper_ms) if b is not None]
+        lower = max(bounds_lo) if bounds_lo else None
+        upper = min(bounds_hi) if bounds_hi else None
         eq = {**self.opt_eq, **self.eq_filters}
         parts = []
         for seg_dir in find_segment_dirs(self.path):
@@ -343,6 +347,21 @@ class DruidSegmentReader(DataSourceReader):
                     if len(rows) == 0:
                         break
             import pyarrow as pa_mod
+
+            if rows is not None and len(rows) == 0:
+                # fully pruned — the empty sentinel partition, or a
+                # bitmap intersection that proved zero matches: emit an
+                # empty typed batch WITHOUT decoding any value column
+                # (a take() on a decoded batch would pay the whole
+                # segment's decompression for a zero-row answer)
+                yield pa_mod.RecordBatch.from_arrays(
+                    [
+                        pa_mod.array([], type=_arrow_of_spark(f.dataType))
+                        for f in self.spark_schema.fields
+                    ],
+                    names=list(self.columns),
+                )
+                return
 
             # schema evolution: columns this (older) segment lacks
             # surface as NULLs — decode only what exists
@@ -438,7 +457,11 @@ class DruidSegmentReaderWithPushdown(DruidSegmentReader):
                 if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
                     ms = _to_millis(f.value)
                     if ms is not None:
-                        self.lower_ms = max(self.lower_ms or ms, ms)
+                        self.lower_ms = (
+                            ms
+                            if self.lower_ms is None
+                            else max(self.lower_ms, ms)
+                        )
                         handled = True
                 elif isinstance(f, (LessThan, LessThanOrEqual)):
                     ms = _to_millis(f.value)

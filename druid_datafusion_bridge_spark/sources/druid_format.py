@@ -629,10 +629,22 @@ def write_string_column_v2(
     if bitmap_index:
         bt = BITMAP_TYPE_ROARING if bitmap_type is None else bitmap_type
         arr = np.asarray(ids, np.int64)
+        # One argsort + boundary split yields every dictionary id's row
+        # list in O(N log N) total; a flatnonzero(arr == i) per id would
+        # rescan all rows once PER DISTINCT VALUE — quadratic for
+        # high-cardinality dimensions (100k values x 5M rows is 5e11
+        # comparisons), which is exactly the shape segment ingest sees.
+        order = np.argsort(arr, kind="stable")  # row ids, grouped by value
+        sorted_ids = arr[order]
+        # searchsorted over the (sorted) present ids gives each
+        # dictionary id's [start, end) slice; absent ids get an empty one
+        starts = np.searchsorted(sorted_ids, np.arange(len(dictionary)), "left")
+        ends = np.searchsorted(sorted_ids, np.arange(len(dictionary)), "right")
         out += write_generic_indexed(
             [
-                write_bitmap_blob(np.flatnonzero(arr == i), bt)
-                for i in range(len(dictionary))
+                # rows within a value arrive ascending (stable argsort)
+                write_bitmap_blob(order[s:e], bt)
+                for s, e in zip(starts, ends)
             ]
         )
     return bytes(out)
@@ -730,7 +742,10 @@ BITMAP_TYPE_ROARING = 0x01
 def roaring_serialize(rows) -> bytes:
     """Sorted distinct uint32 row ids -> portable roaring bytes
     (cookie 12346, array/bitmap containers only)."""
-    arr = np.asarray(sorted(set(int(r) for r in rows)), dtype=np.uint32)
+    # vectorized sort+dedup — a Python-level sorted(set(...)) walks
+    # every row id through boxed ints, which multiplies segment-ingest
+    # cost for high-cardinality dimensions
+    arr = np.unique(np.asarray(rows)).astype(np.uint32)
     keys = (arr >> 16).astype(np.uint16)
     lows = (arr & 0xFFFF).astype(np.uint16)
     uniq_keys = np.unique(keys)
@@ -939,11 +954,11 @@ def read_bitmap_blob(data: bytes | memoryview) -> np.ndarray:
     raise DruidFormatError(f"Unknown bitmap type {data[0]:#x}")
 
 
-def read_string_bitmap_index(data, base: int = 0) -> list[np.ndarray] | None:
-    """Parse the optional bitmap inverted index appended after a v2
-    string column's ids: a GenericIndexed of typed bitmap blobs, one
-    per dictionary id (rows where that value occurs). Returns None for
-    columns written without an index."""
+def locate_string_bitmap_index(data, base: int = 0) -> GenericIndexedV1 | None:
+    """Locate (WITHOUT decoding) the optional bitmap inverted index
+    appended after a v2 string column's ids. Only section sizes are
+    walked; no bitmap blob is deserialized. Returns the blob-table
+    GenericIndexed, or None for columns written without an index."""
     version = data[base]
     if version not in (0x02, 0x03):
         return None
@@ -956,7 +971,18 @@ def read_string_bitmap_index(data, base: int = 0) -> list[np.ndarray] | None:
         pos += _compressed_ints_size(data, pos)
     if pos >= len(data):
         return None
-    bm = GenericIndexedV1(data, pos)
+    return GenericIndexedV1(data, pos)
+
+
+def read_string_bitmap_index(data, base: int = 0) -> list[np.ndarray] | None:
+    """Parse the optional bitmap inverted index appended after a v2
+    string column's ids: a GenericIndexed of typed bitmap blobs, one
+    per dictionary id (rows where that value occurs). Returns None for
+    columns written without an index. Decodes EVERY value's bitmap —
+    for a single-value lookup use ``read_string_bitmap_blob``."""
+    bm = locate_string_bitmap_index(data, base)
+    if bm is None:
+        return None
     out = []
     for i in range(len(bm)):
         blob = bm.get(i)
@@ -964,6 +990,17 @@ def read_string_bitmap_index(data, base: int = 0) -> list[np.ndarray] | None:
             np.empty(0, np.uint32) if blob is None else read_bitmap_blob(blob)
         )
     return out
+
+
+def read_string_bitmap_blob(
+    bm: GenericIndexedV1, dict_id: int
+) -> np.ndarray:
+    """Decode ONLY ``dict_id``'s row bitmap from a located index —
+    O(1) element access via the GenericIndexed offsets, instead of
+    materializing every dictionary value's bitmap (which multiplies
+    one lookup's cost by the dictionary cardinality)."""
+    blob = bm.get(dict_id)
+    return np.empty(0, np.uint32) if blob is None else read_bitmap_blob(blob)
 
 
 def read_complex_column(data, base: int = 0) -> list[bytes | None]:

@@ -4,7 +4,8 @@ The reference is read-only (no write path anywhere, SURVEY §1.1); this is
 the Druid *ingestion* side re-expressed on Spark: partition rows by a
 time granularity (Druid's segmentGranularity), then every executor
 writes its interval's rows as a real Druid v9 segment directory via
-applyInPandas — the driver never sees the data, so ingestion throughput
+applyInArrow (type-exact — no pandas float64 coercion of nullable
+ints) — the driver never sees the data, so ingestion throughput
 scales with the cluster, and the output is readable back through the
 'druidsegment' data source (and by the reference itself).
 
@@ -60,17 +61,24 @@ def write_druid_segments(
     os.makedirs(path, exist_ok=True)
     data_cols = list(df.columns)
 
-    def write_bucket(key, pdf):
+    def write_bucket(key, table):
         # Runs on executors; import from the shipped package zip.
-        import pandas as pd
+        # applyInArrow (not applyInPandas): a pandas round-trip coerces
+        # nullable int64 columns to float64 (nulls -> NaN), which would
+        # drift the written column type to DOUBLE for the batch that
+        # happens to contain a null — poisoning the datasource root's
+        # schema — and silently round int values past 2^53. Arrow
+        # preserves every column's type and null mask exactly;
+        # write_segment owns the null semantics (numeric null -> 0,
+        # Druid v9 legacy).
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         from druid_datafusion_bridge_spark.sources.segment import write_segment
 
-        bucket_ms, shard = int(key[0].timestamp() * 1000), int(key[1])
-        pdf = pdf.drop(columns=["__bucket", "__shard"]).sort_values(TIME_COLUMN)
-        table = pa.Table.from_pandas(pdf, preserve_index=False)
-        # pandas datetime64[ns/us] -> timestamp(ms), Druid's time unit
+        bucket_ms = key[0].cast(pa.timestamp("ms")).cast(pa.int64()).as_py()
+        shard = int(key[1].as_py())
+        table = table.drop_columns(["__bucket", "__shard"]).sort_by(TIME_COLUMN)
         t_idx = table.column_names.index(TIME_COLUMN)
         table = table.set_column(
             t_idx,
@@ -82,22 +90,19 @@ def write_druid_segments(
         name = f"segment_{bucket_ms}_{shard:04d}" + (f"_{version}" if version else "")
         seg_dir = os.path.join(path, name)
         write_segment(table, seg_dir, dimensions=dimensions)
-        import pyarrow.compute as pc
 
-        if len(pdf):
+        if table.num_rows:
             mm = pc.min_max(table.column(TIME_COLUMN).cast(pa.int64())).as_py()
             lo, hi = mm["min"], mm["max"]
         else:
             lo = hi = 0
-        return pd.DataFrame(
-            [
-                {
-                    "segment_dir": seg_dir,
-                    "interval_start_ms": lo,
-                    "interval_end_ms": hi + 1,
-                    "num_rows": len(pdf),
-                }
-            ]
+        return pa.table(
+            {
+                "segment_dir": pa.array([seg_dir], pa.string()),
+                "interval_start_ms": pa.array([lo], pa.int64()),
+                "interval_end_ms": pa.array([hi + 1], pa.int64()),
+                "num_rows": pa.array([table.num_rows], pa.int64()),
+            }
         )
 
     bucketed = df.select(
@@ -122,7 +127,7 @@ def write_druid_segments(
             "int"
         ),
     ).drop("__n_shards")
-    return sharded.groupBy("__bucket", "__shard").applyInPandas(
+    return sharded.groupBy("__bucket", "__shard").applyInArrow(
         write_bucket, MANIFEST_SCHEMA
     )
 
@@ -145,6 +150,12 @@ def compact_segments(
     and the rewrite parallelizes like any other query. Returns the new
     manifest; the source tree is left untouched (Druid's atomic-swap
     model: publish the new set, then drop the old)."""
+    from . import register_druid_datasource
+
+    # self-contained: the read half needs the datasource registered, and
+    # a standalone call on a fresh session would otherwise fail with
+    # "Failed to find data source: druidsegment"
+    register_druid_datasource(spark)
     df = spark.read.format("druidsegment").option("path", src_root).load()
     return write_druid_segments(
         df,

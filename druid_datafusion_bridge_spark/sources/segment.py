@@ -116,16 +116,46 @@ class DruidSegment:
             return None
         data = self.smoosh.map_file(name)
         _, payload = fmt.parse_column_header(data)
-        index = fmt.read_string_bitmap_index(data, payload)
-        if index is None:
+        bm = fmt.locate_string_bitmap_index(data, payload)
+        if bm is None:
             return None
         gi = fmt.GenericIndexedV1(data, payload + 5)
-        dictionary = [gi.get_str(i) for i in range(len(gi))]
-        try:
-            dict_id = dictionary.index(value)
-        except ValueError:
+        dict_id = self._dict_id_of(gi, value)
+        if dict_id is None:
             return np.empty(0, np.uint32)
-        return index[dict_id]
+        # decode exactly ONE blob — eager-decoding the whole index made
+        # each lookup O(dictionary size), which at planning time ran on
+        # the driver once per segment per filtered value
+        return fmt.read_string_bitmap_blob(bm, dict_id)
+
+    @staticmethod
+    def _dict_id_of(gi: "fmt.GenericIndexedV1", value: str | None) -> int | None:
+        """Dictionary id of ``value``: binary search when the
+        GenericIndexed carries Druid's sorted/allowReverseLookup flag
+        (null sorts first, then UTF-8 order — identical to Python str
+        order), linear scan otherwise. None when absent."""
+        n = len(gi)
+        if n == 0:
+            return None
+        has_null = gi.get_str(0) is None
+        if value is None:
+            return 0 if has_null else None
+        if not (gi.flags & 0x01):  # unsorted: reverse lookup not allowed
+            for i in range(1 if has_null else 0, n):
+                if gi.get_str(i) == value:
+                    return i
+            return None
+        lo, hi = (1 if has_null else 0), n
+        while lo < hi:
+            mid = (lo + hi) // 2
+            s = gi.get_str(mid)
+            if s == value:
+                return mid
+            if s < value:
+                lo = mid + 1
+            else:
+                hi = mid
+        return None
 
     def bitmap_rows_for_any(self, name: str, values) -> np.ndarray | None:
         """Row ids where dimension ``name`` equals ANY of ``values``
@@ -203,6 +233,11 @@ def write_segment(
         if isinstance(col, pa.ChunkedArray):
             col = col.chunk(0)
         if name == TIME_COLUMN:
+            if col.null_count:
+                raise fmt.DruidFormatError(
+                    "__time must not contain nulls (every Druid row has a "
+                    "timestamp, src/segment/mod.rs:103-109)"
+                )
             # safe=False: sub-millisecond precision truncates to Druid's
             # epoch-millis unit (src/column/time.rs:10-14)
             millis = col.cast(pa.timestamp("ms"), safe=False).cast(pa.int64())
@@ -242,21 +277,39 @@ def write_segment(
             if dimensions is None or name in dimensions:
                 dims.append(name)
         elif pa.types.is_int64(col.type) or pa.types.is_int32(col.type):
-            vals = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            import pyarrow.compute as pc
+
+            ints = col.cast(pa.int64())
+            if ints.null_count:
+                # Druid v9 legacy numeric nulls read back as 0 — fill
+                # Arrow-side so the values stay int64 end-to-end (a
+                # numpy round-trip through float64+NaN would silently
+                # round values past 2^53)
+                ints = pc.fill_null(ints, 0)
             payload = fmt.write_compressed_longs(
-                np.nan_to_num(vals).astype(np.int64) if vals.dtype.kind == "f" else vals,
-                strategy=strategy,
+                ints.to_numpy(zero_copy_only=False), strategy=strategy
             )
             desc = {"valueType": "LONG", "hasMultipleValues": False,
                     "parts": [{"type": "longV2"}]}
         elif pa.types.is_float64(col.type):
             vals = col.to_numpy(zero_copy_only=False)
-            payload = fmt.write_compressed_doubles(np.nan_to_num(vals), strategy=strategy)
+            if col.null_count:
+                # only NULLS become 0 (legacy Druid numeric-null
+                # semantics); genuine NaN / +-Inf are legal IEEE values
+                # and must round-trip unchanged
+                mask = col.is_null().to_numpy(zero_copy_only=False)
+                vals = vals.copy()
+                vals[mask] = 0.0
+            payload = fmt.write_compressed_doubles(vals, strategy=strategy)
             desc = {"valueType": "DOUBLE", "hasMultipleValues": False,
                     "parts": [{"type": "doubleV2"}]}
         elif pa.types.is_float32(col.type):
             vals = col.to_numpy(zero_copy_only=False)
-            payload = fmt.write_compressed_floats(np.nan_to_num(vals), strategy=strategy)
+            if col.null_count:
+                mask = col.is_null().to_numpy(zero_copy_only=False)
+                vals = vals.copy()
+                vals[mask] = 0.0
+            payload = fmt.write_compressed_floats(vals, strategy=strategy)
             desc = {"valueType": "FLOAT", "hasMultipleValues": False,
                     "parts": [{"type": "floatV2"}]}
         elif pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):

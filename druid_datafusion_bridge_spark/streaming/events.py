@@ -40,7 +40,15 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         file_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     except Exception:
-        file_schema = (  # canonical events schema (TESTDATA.md)
+        # Canonical events schema (TESTDATA.md). Known limit: a legacy
+        # TIMESTAMP(NANOS) generation surfaces ts as INT64 under
+        # nanosAsLong, which this fallback cannot anticipate without the
+        # file — a stream defined before such a file lands would fail
+        # its first batch with a parquet type mismatch. Current
+        # generations store micros (matching this schema), and every
+        # registry/streaming entry point probes the existing file first,
+        # so the fallback only covers the fill-over-time deployment.
+        file_schema = (
             "event_id long, ts timestamp, user_id long, "
             "event_type string, value double, props string"
         )
@@ -130,8 +138,12 @@ def stateful_running_totals(events: DataFrame) -> DataFrame:
 
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
-            n += len(pdf)
-            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            n += len(pdf)  # COUNT(*) semantics: null values still count
+            # SUM semantics: nulls contribute nothing — dropping them
+            # BEFORE the cents cast also keeps astype('int64') from
+            # raising on NaN and killing the whole streaming query
+            vals = pdf["value"].dropna()
+            cents += int((vals * 100).round().astype("int64").sum())
         state.update((n, cents))
         yield pd.DataFrame(
             {

@@ -189,3 +189,44 @@ def test_cli_query_explain(seg_dir, capsys):
     # formatted physical plan, scanning our datasource, aggregated
     assert "HashAggregate" in plan
     assert "druidsegment" in plan or "BatchEvalPython" in plan or "Scan" in plan
+
+
+def test_ingest_preserves_nullable_int_and_ieee_doubles(spark, tmp_path):
+    """Type-exactness of the Arrow write path: a nullable int64 column
+    (with a value past 2^53) must stay LONG with null -> 0 — never
+    drift to DOUBLE through a pandas NaN coercion, which would poison
+    the datasource root's schema and round big ints — and genuine
+    NaN / +-Inf doubles must round-trip unchanged (only NULLs become 0,
+    the Druid v9 legacy null semantic)."""
+    import math
+
+    register_druid_datasource(spark)
+    big = (1 << 60) + 1  # not representable in float64
+    rows = [
+        (1_700_000_000_000, big, 1.5),
+        (1_700_000_000_001, None, float("nan")),
+        (1_700_000_000_002, 7, float("inf")),
+        (1_700_000_000_003, 8, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "t long, n_long long, m_double double"
+    ).select(
+        F.timestamp_millis("t").alias("__time"), "n_long", "m_double"
+    )
+    out = str(tmp_path / "segs")
+    write_druid_segments(df, out, granularity="P1D").collect()
+    back = (
+        spark.read.format("druidsegment")
+        .option("path", out)
+        .load()
+        .orderBy("__time")
+    )
+    assert dict(back.dtypes)["n_long"] == "bigint"
+    assert dict(back.dtypes)["m_double"] == "double"
+    got = back.collect()
+    assert [r["n_long"] for r in got] == [big, 0, 7, 8]
+    vals = [r["m_double"] for r in got]
+    assert vals[0] == 1.5
+    assert math.isnan(vals[1])
+    assert math.isinf(vals[2]) and vals[2] > 0
+    assert vals[3] == 0.0

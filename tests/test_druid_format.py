@@ -562,6 +562,44 @@ class TestRoaringBitmaps:
             fmt.write_string_column_v2(dictionary, ids)
         ) is None
 
+    def test_single_blob_lookup_and_dict_binary_search(self):
+        """The lazy lookup path (locate + one-blob decode + dictionary
+        binary search) must agree with the eager index for every value,
+        including the null slot, absent values, and probes that sort
+        before/after the whole dictionary; the linear fallback must
+        kick in when the sorted/allowReverseLookup flag is off."""
+        import numpy as np
+
+        from druid_datafusion_bridge_spark.sources.segment import DruidSegment
+
+        dictionary = [None, "apple", "mango", "pear", "zebra"]
+        ids = np.array([1, 4, 2, 0, 3, 1, 2, 2, 4, 0], np.int64)
+        col = fmt.write_string_column_v2(dictionary, ids, bitmap_index=True)
+        bm = fmt.locate_string_bitmap_index(col)
+        assert bm is not None
+        gi = fmt.GenericIndexedV1(col, 5)
+        assert gi.flags & 0x01  # writer stamps sorted/allowReverseLookup
+        lookup = DruidSegment._dict_id_of
+        for dict_id, value in enumerate(dictionary):
+            assert lookup(gi, value) == dict_id
+            assert fmt.read_string_bitmap_blob(bm, dict_id).tolist() == (
+                np.flatnonzero(ids == dict_id).tolist()
+            )
+        for absent in ("aaa", "banana", "zz", ""):
+            assert lookup(gi, absent) is None
+        # unsorted dictionary (flag off): binary search is invalid, the
+        # linear fallback must still find every value
+        unsorted = ["mango", "apple", "zebra"]
+        raw = bytearray([0x02]) + b"\x00\x00\x00\x00"
+        raw += fmt.write_generic_indexed(
+            [v.encode() for v in unsorted], sorted_flag=False
+        )
+        gi_u = fmt.GenericIndexedV1(bytes(raw), 5)
+        assert not (gi_u.flags & 0x01)
+        for i, v in enumerate(unsorted):
+            assert lookup(gi_u, v) == i
+        assert lookup(gi_u, "pear") is None
+
 
 @given(
     st.lists(st.integers(min_value=0, max_value=500_000), max_size=400),
