@@ -66,22 +66,54 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+#: Default anchor for week-based periods: the Monday preceding the
+#: epoch. Druid (ISO chronology) floors P1W to MONDAY boundaries; the
+#: raw epoch is a Thursday, which would bucket the same rows into
+#: different "weeks" than Druid and this repo's own
+#: model.granularity_trunc (date_trunc('week') = Monday).
+_MONDAY_EPOCH = "1969-12-29 00:00:00"
+
+
 def time_floor(col: Column | str, period: str, origin: str | None = None) -> Column:
     """Druid TIME_FLOOR: floor a timestamp to an ISO-period grain,
-    optionally anchored at ``origin`` (default epoch).
+    optionally anchored at ``origin`` (default: the epoch for duration
+    periods, the Monday before the epoch for week periods — ISO weeks,
+    Druid's chronology).
 
     Inputs may be TIMESTAMP or TIMESTAMP_NTZ; epoch arithmetic casts to
     TIMESTAMP (unix_millis rejects NTZ), which is value-preserving under
     the engine's pinned UTC session timezone (session.py)."""
     c = _col(col).cast("timestamp")
     months, millis = parse_period(period)
-    org = F.lit(origin or _EPOCH).cast("timestamp")
+    if origin is None:
+        origin = _MONDAY_EPOCH if _is_week_period(period) else _EPOCH
+    org = F.lit(origin).cast("timestamp")
     if months:
-        n = F.floor(F.months_between(F.date_trunc("month", c), org) / months) * months
-        return F.to_timestamp(F.add_months(org, n.cast("int")))
+        # origin-anchored month grid: boundary k = origin + k*months (one
+        # calendar addition, preserving origin's day-of-month and
+        # time-of-day — add_months would return a DATE and drop both).
+        # months_between can report an integer k when c shares origin's
+        # day-of-month but sits EARLIER in the day, so step back one
+        # period if the candidate overshoots.
+        n = (F.floor(F.months_between(c, org) / months) * months).cast("int")
+        cand = org + F.make_interval(F.lit(0), n)
+        return F.when(cand <= c, cand).otherwise(
+            org + F.make_interval(F.lit(0), n - F.lit(months).cast("int"))
+        )
     o = F.unix_millis(org)
     return F.timestamp_millis(
         o + F.floor((F.unix_millis(c) - o) / millis).cast("long") * millis
+    )
+
+
+def _is_week_period(period: str) -> bool:
+    """True for pure week periods (P1W, P2W, ...)."""
+    m = _PERIOD_RE.match(period)
+    if not m:
+        return False
+    g = {k: int(v) if v else 0 for k, v in m.groupdict().items()}
+    return g["w"] > 0 and not any(
+        g[k] for k in ("y", "mo", "d", "h", "mi", "s")
     )
 
 
@@ -135,9 +167,16 @@ def time_extract(col: Column | str, unit: str) -> Column:
 
 
 def time_parse(col: Column | str, pattern: str | None = None) -> Column:
-    """Druid TIME_PARSE: string -> timestamp (ISO-8601 by default)."""
+    """Druid TIME_PARSE: string -> timestamp (ISO-8601 by default).
+    Malformed input yields NULL, as in Druid — under the session's
+    ANSI default, plain to_timestamp would kill the whole query on the
+    first bad row."""
     c = _col(col)
-    return F.to_timestamp(c, pattern) if pattern else F.to_timestamp(c)
+    return (
+        F.try_to_timestamp(c, F.lit(pattern))
+        if pattern
+        else F.try_to_timestamp(c)
+    )
 
 
 def time_format(col: Column | str, pattern: str = "yyyy-MM-dd'T'HH:mm:ss") -> Column:
@@ -172,11 +211,11 @@ def safe_divide(x: Column | str, y: Column | str) -> Column:
 
 
 def div(x: Column | str, y: Column | str) -> Column:
-    """Druid DIV: integer division truncating toward zero. `%` follows
-    the dividend's sign in both Spark and Java, so (x - x%y)/y is the
-    truncated quotient."""
+    """Druid DIV: integer division truncating toward zero — Spark's own
+    integral `div` (exact on longs; a (x - x%y)/y double round-trip
+    silently loses precision past 2^53)."""
     xl, yl = _col(x).cast("long"), _col(y).cast("long")
-    return ((xl - (xl % yl)) / yl).cast("long")
+    return F.call_function("div", xl, yl).cast("long")
 
 
 def textcat(x: Column | str, y: Column | str) -> Column:
@@ -241,13 +280,20 @@ def mv_overlap(col: Column | str, other: Column) -> Column:
 
 
 def mv_offset(col: Column | str, i: int) -> Column:
-    """0-based element access (Druid MV_OFFSET)."""
-    return F.element_at(_col(col), i + 1)
+    """0-based element access (Druid MV_OFFSET): NULL when the index is
+    negative or past the end — ANSI element_at would throw on both, and
+    element_at(arr, 0) is an error in Spark even outside ANSI."""
+    if i < 0:
+        return F.lit(None)
+    return F.try_element_at(_col(col), F.lit(i + 1))
 
 
 def mv_ordinal(col: Column | str, i: int) -> Column:
-    """1-based element access (Druid MV_ORDINAL)."""
-    return F.element_at(_col(col), i)
+    """1-based element access (Druid MV_ORDINAL): NULL when the index
+    is < 1 or past the end (same rationale as mv_offset)."""
+    if i < 1:
+        return F.lit(None)
+    return F.try_element_at(_col(col), F.lit(i))
 
 
 def mv_filter_only(col: Column | str, allow: list) -> Column:
@@ -286,11 +332,18 @@ _PERIOD_MS = (
 _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
     ("DDBS_PERIOD_MS", "period STRING", "BIGINT",
      f"CASE WHEN period = 'P1D' THEN 86400000 WHEN period = 'P1W' THEN 604800000 "
-     f"WHEN period RLIKE '^PT[0-9]+[SMH]$' THEN {_PERIOD_MS} END"),
+     f"WHEN period RLIKE '^PT[0-9]+[SMH]$' THEN {_PERIOD_MS} "
+     # no silent NULL arm: an unsupported period would otherwise
+     # collapse a whole GROUP BY into one NULL bucket with no error
+     f"ELSE CAST(raise_error(concat('unsupported period for SQL TIME_* "
+     f"functions: ', period)) AS BIGINT) END"),
     ("TIME_FLOOR", "ts TIMESTAMP, period STRING", "TIMESTAMP",
      "CASE WHEN period = 'P1M' THEN date_trunc('MONTH', ts) "
      "WHEN period = 'P3M' THEN date_trunc('QUARTER', ts) "
      "WHEN period = 'P1Y' THEN date_trunc('YEAR', ts) "
+     # ISO weeks (Monday), Druid's chronology — the epoch-anchored
+     # DDBS_PERIOD_MS grid would yield Thursday-aligned "weeks"
+     "WHEN period = 'P1W' THEN date_trunc('WEEK', ts) "
      "ELSE timestamp_millis(CAST(floor(unix_millis(ts) / DDBS_PERIOD_MS(period)) "
      "AS BIGINT) * DDBS_PERIOD_MS(period)) END"),
     ("TIME_SHIFT", "ts TIMESTAMP, period STRING, step INT", "TIMESTAMP",
@@ -309,7 +362,7 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
      "WHEN 'DOW' THEN weekday(ts) + 1 WHEN 'DOY' THEN dayofyear(ts) "
      "WHEN 'WEEK' THEN weekofyear(ts) WHEN 'MONTH' THEN month(ts) "
      "WHEN 'QUARTER' THEN quarter(ts) WHEN 'YEAR' THEN year(ts) END"),
-    ("TIME_PARSE", "s STRING", "TIMESTAMP", "to_timestamp(s)"),
+    ("TIME_PARSE", "s STRING", "TIMESTAMP", "try_to_timestamp(s)"),
     ("TIME_FORMAT", "ts TIMESTAMP, fmt STRING", "STRING", "date_format(ts, fmt)"),
     ("MILLIS_TO_TIMESTAMP", "m BIGINT", "TIMESTAMP", "timestamp_millis(m)"),
     ("TIMESTAMP_TO_MILLIS", "ts TIMESTAMP", "BIGINT", "unix_millis(ts)"),

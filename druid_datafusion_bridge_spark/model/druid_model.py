@@ -34,7 +34,10 @@ _PERIOD_SECONDS = {
     "PT30M": 1800,
     "PT1H": 3600,
     "PT6H": 21600,
-    "P1D": 86400,
+    # no P1D here: it is a CALENDAR unit (checked first below) — an
+    # epoch-seconds duplicate would be dead code whose semantics
+    # silently diverge under non-UTC session zones if the lookup order
+    # ever changed
 }
 # Calendar granularities that need date_trunc, not epoch math.
 _CALENDAR_UNIT = {"P1D": "day", "P1W": "week", "P1M": "month", "P3M": "quarter", "P1Y": "year"}
@@ -64,8 +67,12 @@ class SegmentInfo:
     columns: list[tuple[str, str]]  # (name, spark type simpleString)
     dimensions: list[str]
     metrics: list[str]
-    interval_start: object
-    interval_end: object
+    # Druid timeBoundary semantics: INCLUSIVE min/max row timestamps.
+    # (A segment INTERVAL's exclusive end is max_time + 1 ms — that
+    # convention lives in the segment writer/reader, sources/segment.py;
+    # naming these min/max keeps the two from being conflated.)
+    min_time: object
+    max_time: object
 
 
 class DruidTable:
@@ -115,8 +122,8 @@ class DruidTable:
             columns=[(f.name, f.dataType.simpleString()) for f in self.df.schema.fields],
             dimensions=self.dimensions,
             metrics=self.metrics,
-            interval_start=row["t0"],
-            interval_end=row["t1"],
+            min_time=row["t0"],
+            max_time=row["t1"],
         )
 
     def rollup(

@@ -52,7 +52,11 @@ def bloom_build(
     """
     total_bits = m_words * BITS_PER_WORD
     pos = (
-        keys.select(
+        # a NULL key can never match a join, so it contributes no bits —
+        # and unfiltered it would produce a NULL map key, which
+        # map_from_entries rejects at runtime
+        keys.filter(F.col(key_col).isNotNull())
+        .select(
             F.explode(
                 F.array(*_positions(F.col(key_col), depth, total_bits))
             ).alias("pos")
@@ -97,5 +101,9 @@ def bloom_probe_flag(
             f"cast(0 as bigint)), cast(_pos{j} % {BITS_PER_WORD} as int))"
             f" & 1) = 1"
         )
-    out = out.withColumn(flag_name, F.expr(" AND ".join(tests)))
+    # NULL probe keys yield NULL tests; a join can't match NULL, so the
+    # flag is false (mirrors the build side dropping NULL keys)
+    out = out.withColumn(
+        flag_name, F.coalesce(F.expr(" AND ".join(tests)), F.lit(False))
+    )
     return out.drop("bm", *[f"_pos{j}" for j in range(depth)])

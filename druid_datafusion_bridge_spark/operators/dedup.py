@@ -269,9 +269,12 @@ def duplicate_clusters(
 
     Iterative min-label propagation: each round, every node lowers its
     label to the min of its own and its neighbors' labels; converged
-    when the global label sum stops changing (labels only decrease, so
-    the sum is a monotone fixpoint witness — one cheap agg per round,
-    no row-level diff join). Rounds needed = graph diameter, which LSH
+    when NO row's label changed — counted exactly, in the same pass
+    that computes the update (the old label rides along as a column, so
+    the witness is one filter+count over the checkpointed round, works
+    for ANY id type, and cannot false-converge the way a numeric
+    label-sum would for string ids, where SUM silently returns NULL).
+    Rounds needed = graph diameter, which LSH
     pair graphs keep small by construction (head members form cliques,
     overflow members attach by star edges to the representative).
     Per round: one shuffle join edges x labels + one agg;
@@ -292,7 +295,6 @@ def duplicate_clusters(
     labels = docs.select(
         F.col(id_col).alias("doc_id"), F.col(id_col).alias("cluster_id")
     ).localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -305,16 +307,19 @@ def duplicate_clusters(
             )
             .select(
                 "doc_id",
+                F.col("cluster_id").alias("_prev"),
                 F.least(
                     F.col("cluster_id"), F.coalesce("nb_min", "cluster_id")
                 ).alias("cluster_id"),
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
-        if cur_sum == prev_sum:
+        n_changed = labels.filter(
+            F.col("_prev") != F.col("cluster_id")
+        ).count()
+        labels = labels.drop("_prev")
+        if n_changed == 0:
             return labels
-        prev_sum = cur_sum
     raise RuntimeError(
         f"duplicate_clusters did not converge in {max_iter} rounds "
         "(pair graph diameter exceeds the bound)"

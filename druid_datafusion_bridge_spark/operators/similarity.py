@@ -11,6 +11,13 @@ Two paths, mirroring what a 100 TB training-data pipeline needs:
 
 All vector math uses built-in higher-order functions (zip_with /
 aggregate) in DOUBLE — JVM-side, no Python serialization.
+
+Zero-norm vectors (all-zero embeddings: padding rows, failed encoder
+outputs) are EXCLUDED on both corpus and probe sides everywhere cosine
+is computed: their similarity is 0/0 = NaN, and Spark's descending sort
+ranks NaN above every real double, which would make a single zero
+vector the rank-1 "neighbor" of every probe (they also crash cosine
+k-means in the IVF path).
 """
 
 from __future__ import annotations
@@ -67,10 +74,10 @@ def brute_force_topk(
         corpus.select(
             F.col(id_col).alias("vec_id"), as_double_vec(F.col(vec_col)).alias("v")
         )
-    ).withColumn("nv", norm(F.col("v")))
+    ).withColumn("nv", norm(F.col("v"))).filter(F.col("nv") > 0)
     p = probes.select(
         F.col(probe_id_col).alias("probe_id"), F.col("probe_vec").alias("q")
-    ).withColumn("nq", norm(F.col("q")))
+    ).withColumn("nq", norm(F.col("q"))).filter(F.col("nq") > 0)
     scored = (
         c.crossJoin(F.broadcast(p))
         .filter(F.col("vec_id") != F.col("probe_id"))
@@ -154,7 +161,7 @@ def lsh_topk(
         corpus.select(
             F.col(id_col).alias("vec_id"), as_double_vec(F.col(vec_col)).alias("v")
         )
-    ).withColumn("nv", norm(F.col("v"))).select(
+    ).withColumn("nv", norm(F.col("v"))).filter(F.col("nv") > 0).select(
         "vec_id", "v", "nv",
         F.posexplode(multitable_buckets(F.col("v"), dim, bits, tables)).alias(
             "tbl", "bucket"
@@ -162,7 +169,7 @@ def lsh_topk(
     )
     p = probes.select(
         F.col(probe_id_col).alias("probe_id"), F.col("probe_vec").alias("q")
-    ).withColumn("nq", norm(F.col("q"))).select(
+    ).withColumn("nq", norm(F.col("q"))).filter(F.col("nq") > 0).select(
         "probe_id", "q", "nq",
         F.posexplode(multitable_buckets(F.col("q"), dim, bits, tables)).alias(
             "tbl", "bucket"
@@ -225,7 +232,7 @@ def embedding_neardup_pairs(
         corpus.select(
             F.col(id_col).alias("vec_id"), as_double_vec(F.col(vec_col)).alias("v")
         )
-    ).withColumn("nv", norm(F.col("v"))).select(
+    ).withColumn("nv", norm(F.col("v"))).filter(F.col("nv") > 0).select(
         "vec_id", "v", "nv",
         F.posexplode(multitable_buckets(F.col("v"), dim, bits, tables)).alias(
             "tbl", "bucket"
@@ -345,7 +352,12 @@ def ivf_topk(
     )
     model = KMeans(
         k=n_centroids, seed=7, maxIter=20, distanceMeasure="cosine"
-    ).fit(fit_c.select(array_to_vector(F.col("v")).alias("features")))
+    ).fit(
+        # zero-norm vectors crash cosine k-means and are excluded from
+        # scoring everywhere else too
+        fit_c.filter(norm(F.col("v")) > 0)
+        .select(array_to_vector(F.col("v")).alias("features"))
+    )
     cents = c.sparkSession.createDataFrame(
         [
             (i, [float(x) for x in center])
@@ -355,7 +367,7 @@ def ivf_topk(
     ).withColumn("ncv", norm(F.col("cv")))
     # cell per corpus vector: argmax cosine over the broadcast
     # centroids. Norms once per vector/centroid, dot per combination.
-    c = c.withColumn("nv", norm(F.col("v")))
+    c = c.withColumn("nv", norm(F.col("v"))).filter(F.col("nv") > 0)
     assigned = (
         c.join(F.broadcast(cents))
         .select(
@@ -373,7 +385,7 @@ def ivf_topk(
     )
     p = probes.select(
         F.col(probe_id_col).alias("probe_id"), F.col("probe_vec").alias("q")
-    ).withColumn("nq", norm(F.col("q")))
+    ).withColumn("nq", norm(F.col("q"))).filter(F.col("nq") > 0)
     probe_cells = (
         p.join(F.broadcast(cents))
         .select(

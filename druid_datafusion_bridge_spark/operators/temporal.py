@@ -54,7 +54,11 @@ def asof_join(
         F.lit(None).cast(r_struct_t).alias("__r"),
         F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
     )
-    rhs = right.select(
+    # a right row with a NULL timestamp can never be "at or before" any
+    # left timestamp (DuckDB ASOF agrees: no match) — unfiltered it
+    # would sort nulls-first into every window AND desynchronize the two
+    # last(ignorenulls) carries (__r non-null, __rts null)
+    rhs = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),

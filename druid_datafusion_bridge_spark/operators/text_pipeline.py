@@ -281,6 +281,12 @@ def chunk_with_stride(
     codegen. Returns (doc_id, chunk_id, start_tok, chunk_len,
     chunk_text) with start_tok 0-based.
     """
+    if stride > window:
+        raise ValueError(
+            f"stride ({stride}) > window ({window}) would silently drop "
+            "the tokens between chunk ends and the next chunk start, "
+            "breaking the every-token-covered invariant"
+        )
     t = F.split(F.col(text_col), " ")
     n = F.size(t)
     n_chunks = F.lit(1) + F.ceil(
@@ -479,6 +485,13 @@ def keyword_search(
     count via inferred join filters — only the query terms' posting
     lists survive the first shuffle — and the final top-``limit`` is a
     TakeOrdered over the hit set, never a corpus sort."""
+    # normalize the query the same way the corpus is tokenized:
+    # lowercase (tokens are lowered below, so 'Spark' could never hit)
+    # and dedupe (a repeated term would make the conjunctive n_terms ==
+    # len(terms) check impossible to satisfy)
+    terms = tuple(dict.fromkeys(t.lower() for t in terms))
+    if not terms:
+        raise ValueError("keyword_search requires at least one term")
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(

@@ -15,13 +15,35 @@ def formatted_plan(df: DataFrame) -> str:
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
-    """Every PushedFilters entry across the plan's scans, flattened."""
+    """Every PushedFilters entry across the plan's scans, flattened.
+
+    Parsed bracket-aware: an entry like ``In(x, [1,2,3])`` contains
+    both ']' and ',', so a first-']' regex + naive comma split would
+    truncate the list at the In-list's bracket and shred the entry
+    into fragments."""
     plan = formatted_plan(df)
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
-        body = m.group(1).strip()
-        if body:
-            out.extend(p.strip() for p in body.split(","))
+    for m in re.finditer(r"PushedFilters: \[", plan):
+        depth = 1
+        start = m.end()
+        i = start
+        entry_start = start
+        while i < len(plan) and depth:
+            ch = plan[i]
+            if ch in "[(":
+                depth += 1
+            elif ch in "])":
+                depth -= 1
+                if depth == 0:
+                    tail = plan[entry_start:i].strip()
+                    if tail:
+                        out.append(tail)
+            elif ch == "," and depth == 1:
+                entry = plan[entry_start:i].strip()
+                if entry:
+                    out.append(entry)
+                entry_start = i + 1
+            i += 1
     return out
 
 

@@ -58,8 +58,11 @@ def fd_time_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "fd_time_floor_custom_grain",
     oracle="""
-    SELECT make_timestamp(CAST(floor(epoch_ms(l_shipdate) / 1209600000) AS BIGINT)
-                          * 1209600000 * 1000) AS bucket_2w,
+    SELECT make_timestamp((CAST(floor((epoch_ms(l_shipdate)
+                                       - epoch_ms(TIMESTAMP '1969-12-29'))
+                                      / 1209600000) AS BIGINT) * 1209600000
+                           + epoch_ms(TIMESTAMP '1969-12-29')) * 1000)
+             AS bucket_2w,
            make_timestamp((CAST(floor((epoch_ms(l_shipdate)
                                        - epoch_ms(TIMESTAMP '1995-01-02'))
                                       / 604800000) AS BIGINT) * 604800000
@@ -73,9 +76,11 @@ def fd_time_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fd_time_floor_custom_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-period flooring the SQL date_trunc can't express:
-    2-week buckets from epoch, and weeks anchored to a Monday origin
-    (1995-01-02) — Druid's origin-anchored granularity. Oracle is raw
-    epoch arithmetic in DuckDB."""
+    2-week buckets (default-anchored at the pre-epoch Monday — ISO
+    weeks, Druid's chronology; the raw epoch is a Thursday), and weeks
+    anchored to an explicit Monday origin (1995-01-02) — Druid's
+    origin-anchored granularity. Oracle is raw epoch arithmetic in
+    DuckDB with the same anchors."""
     li = table(spark, sf_dir, "lineitem")
     return (
         li.groupBy(

@@ -61,17 +61,27 @@ def _mark_complete(root: str, fingerprint: str) -> None:
         f.write(fingerprint)
 
 
-def _segment_root(sf_dir: str) -> str:
+def _segment_root(sf_dir: str, name: str = "nation") -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return os.path.join("/tmp", "ddbs_segments", tag, "nation")
+    return os.path.join("/tmp", "ddbs_segments", tag, name)
 
 
-def _ensure_segments(spark: SparkSession, sf_dir: str) -> str:
-    from ..sources import register_druid_datasource, write_segment
+def _ensure_registered(spark: SparkSession) -> None:
+    """Register the druidsegment DataSource once per session (guarded by
+    a session attribute so repeated query calls skip the package
+    re-ship). One definition for the six segment-backed query families
+    — the registration protocol changes in ONE place."""
+    from ..sources import register_druid_datasource
 
     if not getattr(spark, _REGISTERED_KEY, False):
         register_druid_datasource(spark)
         setattr(spark, _REGISTERED_KEY, True)
+
+
+def _ensure_segments(spark: SparkSession, sf_dir: str) -> str:
+    from ..sources import write_segment
+
+    _ensure_registered(spark)
 
     root = _segment_root(sf_dir)
     # the _COMPLETE marker lands only after EVERY segment is written, so
@@ -120,14 +130,14 @@ def s1b_druid_segment_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ensure_mvd_segments(spark: SparkSession, sf_dir: str) -> str:
     """documents with a multi-value tags dim (first 3 words of text)."""
-    from ..sources import register_druid_datasource, write_segment
+    from ..sources import write_segment
 
-    if not getattr(spark, _REGISTERED_KEY, False):
-        register_druid_datasource(spark)
-        setattr(spark, _REGISTERED_KEY, True)
+    _ensure_registered(spark)
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    root = os.path.join("/tmp", "ddbs_segments", tag, "documents_mvd")
+    # "_v2" suffix: the fingerprint tracks SOURCE identity only, so a
+    # builder-semantics change (here: ''.split now yields [''], matching
+    # DuckDB string_split) must rename the root to invalidate old builds
+    root = _segment_root(sf_dir, "documents_mvd_v2")
     if not _cache_ready(root, sf_dir, "documents"):
         fp = _source_fingerprint(sf_dir, "documents")
         import shutil
@@ -136,7 +146,12 @@ def _ensure_mvd_segments(spark: SparkSession, sf_dir: str) -> str:
         t = pq.read_table(
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
         )
-        words = [s.split(" ")[:3] if s else [] for s in t.column("text").to_pylist()]
+        # None -> [] (no tags); but '' -> [''] — DuckDB's
+        # string_split('', ' ') yields [''], and the oracle must agree
+        words = [
+            [] if s is None else s.split(" ")[:3]
+            for s in t.column("text").to_pylist()
+        ]
         t = pa.table(
             {
                 "__time": pa.array(
@@ -262,14 +277,11 @@ def s1e_druid_segment_zstd_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec unit tests. The balance sum goes through exact decimal on
     both engines (float summation is order-dependent; exact.py
     pattern)."""
-    from ..sources import register_druid_datasource, write_segment
+    from ..sources import write_segment
     from ..sources.druid_format import ZSTD
 
-    if not getattr(spark, _REGISTERED_KEY, False):
-        register_druid_datasource(spark)
-        setattr(spark, _REGISTERED_KEY, True)
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    root = os.path.join("/tmp", "ddbs_segments", tag, "supplier_zstd")
+    _ensure_registered(spark)
+    root = _segment_root(sf_dir, "supplier_zstd")
     if not _cache_ready(root, sf_dir, "supplier"):
         fp = _source_fingerprint(sf_dir, "supplier")
         import shutil
@@ -319,8 +331,7 @@ def s2b_segment_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     root = _ensure_hll_segments(spark, sf_dir)
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    dst = os.path.join("/tmp", "ddbs_segments", tag, "events_hll_compacted")
+    dst = _segment_root(sf_dir, "events_hll_compacted")
     from ..sources import compact_segments
 
     if not _cache_ready(dst, sf_dir, "events"):
@@ -338,17 +349,14 @@ def s2b_segment_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ensure_evolved_segments(spark: SparkSession, sf_dir: str) -> str:
     """Two nation segments written at different 'schema generations':
-    the older half lacks the n_comment_len column the newer half has —
+    the older half lacks the n_name_len column the newer half has —
     the accreting-datasource layout a long-lived Druid table ends up
     with."""
-    from ..sources import register_druid_datasource, write_segment
+    from ..sources import write_segment
 
-    if not getattr(spark, _REGISTERED_KEY, False):
-        register_druid_datasource(spark)
-        setattr(spark, _REGISTERED_KEY, True)
+    _ensure_registered(spark)
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    root = os.path.join("/tmp", "ddbs_segments", tag, "nation_evolved")
+    root = _segment_root(sf_dir, "nation_evolved")
     if not _cache_ready(root, sf_dir, "nation"):
         fp = _source_fingerprint(sf_dir, "nation")
         import shutil
@@ -410,15 +418,11 @@ def _ensure_hll_segments(spark: SparkSession, sf_dir: str) -> str:
     with a COMPLEX sketch column — Druid's ingest-time rollup pattern:
     raw rows are gone, distinct counts remain mergeable."""
     from ..catalog import table
-    from ..sources import register_druid_datasource
     from ..sources.ingest import write_druid_segments
 
-    if not getattr(spark, _REGISTERED_KEY, False):
-        register_druid_datasource(spark)
-        setattr(spark, _REGISTERED_KEY, True)
+    _ensure_registered(spark)
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    root = os.path.join("/tmp", "ddbs_segments", tag, "events_hll")
+    root = _segment_root(sf_dir, "events_hll")
     if not _cache_ready(root, sf_dir, "events"):
         fp = _source_fingerprint(sf_dir, "events")
         import shutil
@@ -853,15 +857,11 @@ def _ensure_qhist_segments(spark: SparkSession, sf_dir: str) -> str:
     unlike KLL/t-digest the digest is fully deterministic, so every
     merged counter is bit-checkable against an oracle."""
     from ..catalog import table
-    from ..sources import register_druid_datasource
     from ..sources.ingest import write_druid_segments
 
-    if not getattr(spark, _REGISTERED_KEY, False):
-        register_druid_datasource(spark)
-        setattr(spark, _REGISTERED_KEY, True)
+    _ensure_registered(spark)
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    root = os.path.join("/tmp", "ddbs_segments", tag, "events_qhist")
+    root = _segment_root(sf_dir, "events_qhist")
     if not _cache_ready(root, sf_dir, "events"):
         fp = _source_fingerprint(sf_dir, "events")
         import shutil
@@ -955,7 +955,6 @@ def cx_qhist_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.format("druidsegment").option("path", root).load()
     counters = back.select(
         "event_type",
-        "n_rows",
         F.posexplode(
             F.transform(
                 F.split("value_hist", ","), lambda x: x.cast("long")

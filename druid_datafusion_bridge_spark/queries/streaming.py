@@ -312,21 +312,17 @@ def st_segment_handoff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    from ..sources import register_druid_datasource
     from ..streaming.ingest import stream_to_segments
     from .druid_source import (
-        _REGISTERED_KEY,
         _cache_ready,
+        _ensure_registered,
         _mark_complete,
+        _segment_root,
         _source_fingerprint,
     )
 
-    if not getattr(spark, _REGISTERED_KEY, False):
-        register_druid_datasource(spark)
-        setattr(spark, _REGISTERED_KEY, True)
-
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    root = os.path.join("/tmp", "ddbs_segments", tag, "events_rt_handoff")
+    _ensure_registered(spark)
+    root = _segment_root(sf_dir, "events_rt_handoff")
     data = os.path.join(root, "data")
     if not _cache_ready(root, sf_dir, "events"):
         fp = _source_fingerprint(sf_dir, "events")

@@ -87,3 +87,29 @@ def test_duplicate_clusters_chain_and_singletons(spark):
         8: 8, 9: 8,
         10: 10, 11: 11,
     }
+
+
+def test_duplicate_clusters_string_ids_converge(spark):
+    """The convergence witness must work for NON-numeric doc ids: a
+    label-sum witness silently returns NULL for strings (None == None
+    after round one) and stops before the chain collapses."""
+    from druid_datafusion_bridge_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    docs = spark.createDataFrame(
+        [("doc1",), ("doc2",), ("doc3",), ("doc9",)], "doc_id string"
+    )
+    pairs = spark.createDataFrame(
+        [("doc1", "doc2"), ("doc2", "doc3")], "doc_a string, doc_b string"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in duplicate_clusters(docs, pairs).collect()
+    }
+    assert got == {
+        "doc1": "doc1",
+        "doc2": "doc1",
+        "doc3": "doc1",  # needs 2 propagation rounds through the chain
+        "doc9": "doc9",
+    }

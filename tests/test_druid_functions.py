@@ -143,3 +143,89 @@ def test_sql_registration_matches_column_helpers(spark):
     assert got.sh == helper.sh == dt.datetime(2023, 5, 17, 13, 47, 21)
     assert got.dow == helper.dow == 5  # Friday
     assert got.sd is None and got.dv == 3 and got.sp == 3 and got.ic is True
+
+
+def test_week_flooring_is_iso_monday_everywhere(spark):
+    """P1W must floor to MONDAY (Druid's ISO chronology) in the Column
+    helper, the SQL TIME_FLOOR, and the model layer's granularity_trunc
+    alike — an epoch-anchored week grid lands on Thursdays (the epoch's
+    weekday) and buckets the same rows into different 'weeks'."""
+    from druid_datafusion_bridge_spark.model.druid_model import (
+        granularity_trunc,
+    )
+
+    df = spark.createDataFrame([("2024-01-09 10:00:00",)], "s string").select(
+        F.col("s").cast("timestamp").alias("ts")
+    )
+    register_druid_sql_functions(spark)
+    df.createOrReplaceTempView("wk_t")
+    monday = dt.datetime(2024, 1, 8, 0, 0)
+    row = df.select(
+        time_floor("ts", "P1W").alias("helper"),
+        granularity_trunc(F.col("ts"), "P1W").alias("model"),
+    ).collect()[0]
+    assert row["helper"] == monday and row["model"] == monday
+    assert (
+        spark.sql("SELECT TIME_FLOOR(ts, 'P1W') FROM wk_t").collect()[0][0]
+        == monday
+    )
+
+
+def test_time_floor_origin_keeps_day_and_time(spark):
+    """Origin-anchored month grids: boundaries are origin + k months —
+    the origin's day-of-month and time-of-day are part of the grid
+    (an add_months/date_trunc formulation drops both)."""
+    df = spark.createDataFrame([("1970-02-20 12:00:00",)], "s string").select(
+        F.col("s").cast("timestamp").alias("ts")
+    )
+    row = df.select(
+        time_floor("ts", "P1M", origin="1970-01-15").alias("d15"),
+        time_floor("ts", "P1M", origin="1970-01-01 06:00:00").alias("h6"),
+    ).collect()[0]
+    assert row["d15"] == dt.datetime(1970, 2, 15, 0, 0)
+    assert row["h6"] == dt.datetime(1970, 2, 1, 6, 0)
+
+
+def test_druid_error_semantics_return_null_not_ansi_crash(spark):
+    """Druid returns NULL where ANSI Spark would throw: TIME_PARSE on a
+    malformed string, MV_OFFSET/MV_ORDINAL out of range / index zero /
+    negative, and DIV must stay exact past 2^53 (a double round-trip
+    silently rounds)."""
+    from druid_datafusion_bridge_spark.functions import (
+        div,
+        mv_offset,
+        mv_ordinal,
+        time_parse,
+    )
+
+    bad = spark.createDataFrame(
+        [("not-a-date",), ("2024-01-01",)], "s string"
+    )
+    got = [r[0] for r in bad.select(time_parse("s")).collect()]
+    assert got[0] is None and got[1] == dt.datetime(2024, 1, 1)
+
+    arr = spark.createDataFrame([([10, 20],)], "a array<int>")
+    row = arr.select(
+        mv_offset("a", 5).alias("past"),
+        mv_ordinal("a", 0).alias("zero"),
+        mv_offset("a", -1).alias("neg"),
+        mv_offset("a", 1).alias("ok"),
+    ).collect()[0]
+    assert (row["past"], row["zero"], row["neg"], row["ok"]) == (
+        None, None, None, 20,
+    )
+
+    big = spark.createDataFrame([(3000000000000000003, 3)], "x long, y long")
+    assert big.select(div("x", "y")).collect()[0][0] == 1000000000000000001
+
+
+def test_sql_time_floor_rejects_unsupported_period(spark):
+    """An unsupported period must FAIL, not silently produce one big
+    NULL bucket (the pre-fix CASE had no ELSE arm)."""
+    register_druid_sql_functions(spark)
+    df = spark.createDataFrame([("2024-01-09",)], "s string").select(
+        F.col("s").cast("timestamp").alias("ts")
+    )
+    df.createOrReplaceTempView("bad_period_t")
+    with pytest.raises(Exception, match="unsupported period"):
+        spark.sql("SELECT TIME_FLOOR(ts, 'P2D') FROM bad_period_t").collect()

@@ -337,3 +337,56 @@ def test_chunk_with_stride_differential(spark, n_tokens, window, stride):
         """
     ).fetchall()
     assert got == sorted(tuple(r) for r in exp)
+
+
+def test_keyword_search_normalizes_terms(spark):
+    """Mixed-case and duplicate query terms must not silently match
+    nothing: tokens are lowercased, so the query must be too, and a
+    duplicated term must not make the ALL-terms check unsatisfiable."""
+    from druid_datafusion_bridge_spark.operators.text_pipeline import (
+        keyword_search,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark shuffles data fast"), (2, "ducks quack")],
+        "doc_id long, text string",
+    )
+    got = keyword_search(docs, terms=("Spark", "DATA", "spark"))
+    assert [r.doc_id for r in got.collect()] == [1]
+
+
+def test_chunk_with_stride_rejects_coverage_gap(spark):
+    """stride > window would silently drop the tokens between one
+    chunk's end and the next chunk's start — the documented
+    every-token-covered invariant requires a loud error instead."""
+    import pytest
+
+    from druid_datafusion_bridge_spark.operators.text_pipeline import (
+        chunk_with_stride,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="stride"):
+        chunk_with_stride(docs, window=16, stride=24)
+
+
+def test_bloom_tolerates_null_keys(spark):
+    """NULL join keys: the build side must not crash map_from_entries
+    with a NULL map key, and a NULL probe key must flag bloom_pass =
+    False (a join can't match NULL), not NULL."""
+    from druid_datafusion_bridge_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe_flag,
+    )
+
+    keys = spark.createDataFrame([(1,), (None,), (7,)], "k long")
+    bitmap = bloom_build(keys, "k")
+    probe = spark.createDataFrame([(1,), (None,), (99,)], "k long")
+    got = {
+        r.k: r.bloom_pass
+        for r in bloom_probe_flag(probe, bitmap, "k").collect()
+    }
+    assert got[1] is True
+    assert got[None] is False  # not NULL
+    # 99 was never inserted; bloom may false-positive but must be bool
+    assert isinstance(got[99], bool)

@@ -226,3 +226,32 @@ def test_pq_codes_shape_and_determinism(spark):
     # fixed seed => byte-identical codes on a re-run
     again = {r["vec_id"]: r for r in pq_quantize(emb, dim=64).collect()}
     assert all(rows[k]["codes"] == again[k]["codes"] for k in rows)
+
+
+def test_zero_norm_vectors_are_excluded(spark):
+    """An all-zero embedding yields sim = 0/0 = NaN, and NaN sorts
+    ABOVE every real double in a descending window — unguarded, a
+    single padding row becomes every probe's rank-1 neighbor."""
+    from druid_datafusion_bridge_spark.operators.similarity import (
+        as_double_vec,
+        brute_force_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 0.0]),  # zero-norm: must never appear as a neighbor
+        (3, [0.5, 0.5]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        as_double_vec(F.col("embedding")).alias("probe_vec"),
+    )
+    import math
+
+    got = brute_force_topk(emb, probes, k=3).collect()
+    ids = [r.vec_id for r in got]
+    assert 2 not in ids
+    assert ids[0] == 1  # the true nearest neighbor holds rank 1
+    assert all(not math.isnan(r.sim) for r in got)

@@ -121,3 +121,25 @@ def test_sessionize_matches_spark_session_window(spark):
         for r in want.collect()
     )
     assert a == b
+
+
+def test_asof_join_ignores_null_right_timestamps(spark):
+    """A right row with a NULL timestamp can never be 'at or before'
+    any left row (DuckDB ASOF agrees) — it must not be carried as a
+    match, and it must not desynchronize the value/ts carries."""
+    from druid_datafusion_bridge_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([("k", 5)], "k string, ts long")
+    right = spark.createDataFrame(
+        [("k", None, "ghost"), ("k", 3, "real")],
+        "k string, ts long, val string",
+    )
+    row = asof_join(left, right, on="k").collect()[0]
+    assert row["val_right"] == "real" and row["ts_right"] == 3
+
+    # only a null-ts right row => no match at all
+    right2 = spark.createDataFrame(
+        [("k", None, "ghost")], "k string, ts long, val string"
+    )
+    row2 = asof_join(left, right2, on="k").collect()[0]
+    assert row2["val_right"] is None and row2["ts_right"] is None
