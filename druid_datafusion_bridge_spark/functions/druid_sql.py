@@ -86,6 +86,13 @@ def time_floor(col: Column | str, period: str, origin: str | None = None) -> Col
     c = _col(col).cast("timestamp")
     months, millis = parse_period(period)
     if origin is None:
+        # epoch-anchored calendar grains are plain truncations — keep
+        # them on the cheap single-function date_trunc path (identical
+        # results; the general origin-grid arithmetic below costs a
+        # months_between + interval add + branch per row)
+        trunc_unit = {1: "month", 3: "quarter", 12: "year"}.get(months)
+        if trunc_unit:
+            return F.date_trunc(trunc_unit, c)
         origin = _MONDAY_EPOCH if _is_week_period(period) else _EPOCH
     org = F.lit(origin).cast("timestamp")
     if months:
