@@ -24,6 +24,9 @@ from . import spread
 MINHASH_BANDS = 4
 MINHASH_ROWS_PER_BAND = 4
 MINHASH_SEEDS = MINHASH_BANDS * MINHASH_ROWS_PER_BAND
+# Hot-bucket bound for LSH pair expansion (see lsh_candidate_pairs);
+# module-level so query oracles can mirror the cap semantics exactly.
+LSH_MAX_BUCKET = 2000
 
 # Universal-hash family for the minhash permutations: one md5 base hash
 # per gram, then per-seed affine maps (a*hi + b*lo + s) mod (2^61 - 1)
@@ -158,7 +161,7 @@ def lsh_candidate_pairs(
     rows_per_band: int = MINHASH_ROWS_PER_BAND,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_bucket: int = 2000,
+    max_bucket: int = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """LSH near-dup candidates: docs equal on a whole band of minhashes.
 

@@ -59,6 +59,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     probe_id_col: str = "probe_id",
+    round_sim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each probe vector.
 
@@ -66,6 +67,12 @@ def brute_force_topk(
     corpus in one distributed pass; per-probe top-k via window limit.
     Excludes self-matches (same id). Ties broken by vec_id for
     determinism.
+
+    ``round_sim``: round similarities to this many decimals BEFORE the
+    ranking window. Cross-engine oracles must rank in the rounded
+    universe — two sims equal to 9 decimals but apart beyond tie-break
+    differently raw (vec_id there) vs unrounded (the 10th decimal
+    here), flipping rows at the rank-k cut.
     """
     # Norms computed ONCE per corpus row / probe row, not once per
     # (corpus x probe) pair — at k probes that removes k redundant
@@ -87,6 +94,8 @@ def brute_force_topk(
             (dot(F.col("v"), F.col("q")) / (F.col("nv") * F.col("nq"))).alias("sim"),
         )
     )
+    if round_sim is not None:
+        scored = scored.withColumn("sim", F.round(F.col("sim"), round_sim))
     w = W.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -361,7 +361,10 @@ def a12_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l1.groupBy("bucket_hour", "event_type").agg(
         F.sum("n").alias("n_events"),
         F.sum("s").cast("double").alias("sum_value"),
-        F.count("*").alias("n_users"),
+        # count(user_id), not count(*): COUNT(DISTINCT x) ignores NULLs,
+        # so a NULL-user group surviving level 1 must not count as a
+        # user (flagship_rollup's count('o_custkey') pattern)
+        F.count("user_id").alias("n_users"),
     )
 
 

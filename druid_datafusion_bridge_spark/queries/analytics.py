@@ -23,6 +23,26 @@ from ..catalog import table
 from . import query
 
 
+def _funnel_level(
+    df: DataFrame, step: int, name: str, a: str, b: str | None
+) -> DataFrame:
+    """One funnel step's summary row: user count plus mean lag from the
+    previous step's timestamp (NULL for the entry step). Shared by both
+    funnel variants so the lag arithmetic can't drift between them."""
+    lag = (
+        (F.sum(F.unix_micros(F.col(a)) - F.unix_micros(F.col(b)))
+         .cast("double") / F.count("*"))
+        if b is not None
+        else F.lit(None).cast("double")
+    )
+    return df.agg(
+        F.lit(step).cast("int").alias("step"),
+        F.lit(name).alias("step_name"),
+        F.count("*").alias("n_users"),
+        lag.alias("avg_lag_us"),
+    )
+
+
 @query(
     "an_funnel_steps",
     oracle="""
@@ -81,24 +101,10 @@ def an_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("t3"), F.min("t2").alias("t2"))
     )
 
-    def level(df: DataFrame, step: int, name: str, a: str, b: str | None) -> DataFrame:
-        lag = (
-            (F.sum(F.unix_micros(F.col(a)) - F.unix_micros(F.col(b)))
-             .cast("double") / F.count("*"))
-            if b is not None
-            else F.lit(None).cast("double")
-        )
-        return df.agg(
-            F.lit(step).cast("int").alias("step"),
-            F.lit(name).alias("step_name"),
-            F.count("*").alias("n_users"),
-            lag.alias("avg_lag_us"),
-        )
-
     return (
-        level(v, 1, "view", "t1", None)
-        .unionByName(level(c, 2, "view>click", "t2", "t1"))
-        .unionByName(level(p, 3, "view>click>purchase", "t3", "t2"))
+        _funnel_level(v, 1, "view", "t1", None)
+        .unionByName(_funnel_level(c, 2, "view>click", "t2", "t1"))
+        .unionByName(_funnel_level(p, 3, "view>click>purchase", "t3", "t2"))
         .orderBy("step")
     )
 
@@ -215,24 +221,10 @@ def an_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("t3"), F.min("t2").alias("t2"))
     )
 
-    def level(df: DataFrame, step: int, name: str, a: str, b: str | None) -> DataFrame:
-        lag = (
-            (F.sum(F.unix_micros(F.col(a)) - F.unix_micros(F.col(b)))
-             .cast("double") / F.count("*"))
-            if b is not None
-            else F.lit(None).cast("double")
-        )
-        return df.agg(
-            F.lit(step).cast("int").alias("step"),
-            F.lit(name).alias("step_name"),
-            F.count("*").alias("n_users"),
-            lag.alias("avg_lag_us"),
-        )
-
     return (
-        level(v, 1, "view", "t1", None)
-        .unionByName(level(c, 2, "view>click<=72h", "t2", "t1"))
-        .unionByName(level(p, 3, "view>click>purchase<=72h", "t3", "t2"))
+        _funnel_level(v, 1, "view", "t1", None)
+        .unionByName(_funnel_level(c, 2, "view>click<=72h", "t2", "t1"))
+        .unionByName(_funnel_level(p, 3, "view>click>purchase<=72h", "t3", "t2"))
         .orderBy("step")
     )
 

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from . import query
 from ..operators.dedup import (
+    LSH_MAX_BUCKET,
     MINHASH_BANDS,
     MINHASH_PRIME,
     MINHASH_ROWS_PER_BAND,
@@ -143,17 +144,33 @@ def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, seed // {MINHASH_ROWS_PER_BAND} AS band,
              string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_key
       FROM sig GROUP BY doc_id, band),
+    ranked AS (
+      SELECT doc_id, band, band_key,
+             row_number() OVER (PARTITION BY band, band_key
+                                ORDER BY doc_id) AS rk,
+             MIN(doc_id) OVER (PARTITION BY band, band_key) AS rep
+      FROM bands),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+      FROM ranked a JOIN ranked b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+       AND a.rk <= {LSH_MAX_BUCKET} AND b.rk <= {LSH_MAX_BUCKET}
+      UNION
+      SELECT rep AS doc_a, doc_id AS doc_b
+      FROM ranked WHERE rk > {LSH_MAX_BUCKET})
     SELECT doc_a, doc_b FROM cand
     """,
 )
 def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: equal band-signature in >=1 of the bands.
     This is the 100 TB-scale near-dup path — cost is O(docs x bands) plus
-    bucket-local pair expansion, never all-pairs."""
+    bucket-local pair expansion, never all-pairs. The oracle mirrors the
+    operator's hot-bucket bound EXACTLY (all-pairs among each bucket's
+    {LSH_MAX_BUCKET} smallest doc_ids + star edges from the bucket
+    representative to every overflow member), so it stays bit-exact on
+    any corpus — including one with a boilerplate bucket past the cap,
+    which an unbounded all-pairs oracle would over-enumerate."""
     docs = table(spark, sf_dir, "documents")
     return lsh_candidate_pairs(docs)
 

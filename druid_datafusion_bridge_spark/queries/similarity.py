@@ -97,9 +97,14 @@ def sim_topk_per_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"),
         as_double_vec(F.col("embedding")).alias("probe_vec"),
     )
-    out = brute_force_topk(emb, probes, k=5)
+    # round BEFORE ranking (round_sim=9): the oracle ranks by
+    # round(sim, 9) with vec_id tie-break, so Spark must rank in the
+    # same rounded universe — two sims equal to 9 decimals would
+    # otherwise tie-break by their raw 10th decimal here but by vec_id
+    # there, flipping rows at the rank-5 cut
+    out = brute_force_topk(emb, probes, k=5, round_sim=9)
     return out.select(
-        "probe_id", "vec_id", F.round(F.col("sim"), 9).alias("sim"),
+        "probe_id", "vec_id", "sim",
         F.col("rank").cast("long").alias("rank"),
     )
 

@@ -52,7 +52,7 @@ def st_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH gaps AS (
       SELECT user_id, ts, value,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_session
+                       > INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_session
       FROM events
     ), sessions AS (
       SELECT user_id, ts, value,
@@ -71,7 +71,9 @@ def st_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def st_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows (5-min gap) via session_window; the
     oracle rebuilds identical sessions with a gap-and-island window
-    query (session_end = last event + gap, Spark's definition)."""
+    query (session_end = last event + gap, Spark's definition; the
+    split condition is STRICT > — an event at exactly last_ts + gap
+    merges in session_window, verified empirically)."""
     return _finish(
         session_rollup(stream_events(spark, sf_dir)),
         spark, "st_session_out", "complete",

@@ -20,11 +20,7 @@ from pyspark.sql.window import Window
 from ..catalog import table
 from . import query
 from .exact import REVENUE_SQL, dec, revenue_col, sql_sum
-
-
-def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
-    for n in names:
-        table(spark, sf_dir, n).createOrReplaceTempView(n)
+from .tpch_full import _views
 
 
 @query(

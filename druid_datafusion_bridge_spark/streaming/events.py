@@ -142,8 +142,17 @@ def stateful_running_totals(events: DataFrame) -> DataFrame:
             # SUM semantics: nulls contribute nothing — dropping them
             # BEFORE the cents cast also keeps astype('int64') from
             # raising on NaN and killing the whole streaming query
-            vals = pdf["value"].dropna()
-            cents += int((vals * 100).round().astype("int64").sum())
+            vals = pdf["value"].dropna().to_numpy()
+            # half-AWAY-FROM-ZERO, matching SQL round() (DuckDB oracle,
+            # Spark round): numpy/pandas .round() is banker's half-even,
+            # which differs on exact half-cents (122.5 -> 122 vs 123)
+            import numpy as np
+
+            cents += int(
+                (np.sign(vals) * np.floor(np.abs(vals) * 100 + 0.5))
+                .astype("int64")
+                .sum()
+            )
         state.update((n, cents))
         yield pd.DataFrame(
             {

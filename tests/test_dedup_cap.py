@@ -113,3 +113,41 @@ def test_duplicate_clusters_string_ids_converge(spark):
         "doc3": "doc1",  # needs 2 propagation rounds through the chain
         "doc9": "doc9",
     }
+
+
+def test_lsh_oracle_mirrors_cap_past_the_bound(spark):
+    """The dd_minhash_lsh_pairs ORACLE must reproduce the operator's
+    hot-bucket bound bit-for-bit PAST the cap: 2100 identical docs put
+    every band bucket over LSH_MAX_BUCKET=2000, where an unbounded
+    all-pairs oracle would over-enumerate (~2.2M pairs vs the bounded
+    ~2M head pairs + 100 star edges)."""
+    import duckdb
+    import pandas as pd
+
+    from druid_datafusion_bridge_spark.operators.dedup import (
+        LSH_MAX_BUCKET,
+        lsh_candidate_pairs,
+    )
+    from druid_datafusion_bridge_spark.queries import all_oracles
+
+    n = LSH_MAX_BUCKET + 100
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(text).alias("text")
+    ).repartition(8)
+    got = {
+        (r.doc_a, r.doc_b) for r in lsh_candidate_pairs(docs).collect()
+    }
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(n), "text": [text] * n}),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(all_oracles()["dd_minhash_lsh_pairs"]).fetchall()
+    }
+    assert got == want
+    # and the bound actually bit: star members pair only with doc 0
+    assert (2000, 2001) not in got and (0, 2001) in got
