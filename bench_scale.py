@@ -206,6 +206,26 @@ def main() -> None:
     finally:
         shutil.rmtree(seg_root, ignore_errors=True)
 
+    # High-cardinality dimension ingest: ~n/10 distinct values in one
+    # string dim, the shape that makes the inverted-index build the
+    # dominant segment-write cost (one bitmap blob per dictionary id).
+    # This is the case the argsort+searchsorted index build exists for —
+    # a per-value row scan is quadratic here.
+    seg_root2 = tempfile.mkdtemp(prefix="ddbs_scale_seg_hc_")
+    ev_hc = events.select(
+        F.col("ts").alias("__time"),
+        F.concat(F.lit("u"), (F.col("event_id") % (n // 10)).cast("string")).alias(
+            "user_dim"
+        ),
+        ((F.col("event_id") % 1000) / 10.0).alias("value"),
+    )
+    try:
+        t0 = time.perf_counter()
+        write_druid_segments(ev_hc, seg_root2, granularity="P1D").collect()
+        timings["segment_write_hicard"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(seg_root2, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -147,10 +147,12 @@ def _ensure_mvd_segments(spark: SparkSession, sf_dir: str) -> str:
 
     _ensure_registered(spark)
 
-    # "_v2" suffix: the fingerprint tracks SOURCE identity only, so a
-    # builder-semantics change (here: ''.split now yields [''], matching
-    # DuckDB string_split) must rename the root to invalidate old builds
-    root = _segment_root(sf_dir, "documents_mvd_v2")
+    # versioned suffix: the fingerprint tracks SOURCE identity only, so
+    # a builder-semantics change must rename the root to invalidate old
+    # builds (v2: ''.split yields [''] matching DuckDB string_split;
+    # v3: the tags column now carries a bitmap inverted index, which
+    # s1g's dim_eq pruning requires)
+    root = _segment_root(sf_dir, "documents_mvd_v3")
     def _build() -> None:
         t = pq.read_table(
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
@@ -847,6 +849,43 @@ def s1f_druid_segment_in_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").alias("n_events"),
         )
         .orderBy("event_type")
+    )
+
+
+@query(
+    "s1g_druid_segment_mvd_in_filter",
+    oracle="""
+    SELECT COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+           CAST(SUM(CASE WHEN list_contains(tags, 'hash') THEN 1 ELSE 0 END) AS BIGINT) AS n_hash,
+           CAST(SUM(CASE WHEN list_contains(tags, 'merge') THEN 1 ELSE 0 END) AS BIGINT) AS n_merge
+    FROM (SELECT doc_id, string_split(text, ' ')[1:3] AS tags FROM documents)
+    WHERE list_has_any(tags, ['hash', 'merge'])
+    """,
+)
+def s1g_druid_segment_mvd_in_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list filter on a MULTI-VALUE dimension, answered by the
+    inverted index: tags-contains-any-of(hash, merge) unions the two
+    values' bitmaps on the MVD column itself — Druid's selector
+    semantics on multi-value dims (a value filter matches a row when
+    ANY of its values matches). Completes s1d/s1f's single-value path
+    on the codec the reference parses the hasMultipleValues flag of
+    but never honors (string.rs:27-44); row selection happens before
+    the offsets/flat-ids sections decode. Null text maps to [] (never
+    matches) on both sides; Spark re-applies the array_contains filter
+    on top, so the index stays acceleration-only."""
+    root = _ensure_mvd_segments(spark, sf_dir)
+    df = (
+        spark.read.format("druidsegment")
+        .option("path", root)
+        .option("dim_eq", '{"tags": ["hash", "merge"]}')
+        .load()
+    )
+    matched = F.array_contains("tags", "hash") | F.array_contains("tags", "merge")
+    return df.filter(matched).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("sum_id"),
+        F.sum(F.array_contains("tags", "hash").cast("bigint")).alias("n_hash"),
+        F.sum(F.array_contains("tags", "merge").cast("bigint")).alias("n_merge"),
     )
 
 

@@ -695,7 +695,15 @@ def write_string_multi_column(
     offsets: np.ndarray,
     ids: np.ndarray,
     strategy: int = LZ4,
+    bitmap_index: bool = False,
+    bitmap_type: int | None = None,
 ) -> bytes:
+    """Multi-value string column; with ``bitmap_index`` an inverted
+    index is appended exactly as in the single-value v2 layout — one
+    blob per dictionary id, listing the ROWS in which that value
+    occurs (Druid's MVD selector semantics: a value filter matches a
+    row when ANY of its values matches). ``locate_string_bitmap_index``
+    already walks past the extra offsets section to find it."""
     out = bytearray([0x02])
     out += _I32.pack(0x01)  # flags: multi-value bit
     out += write_generic_indexed(
@@ -703,6 +711,33 @@ def write_string_multi_column(
     )
     out += write_compressed_ints(offsets, num_bytes=4, strategy=strategy)
     out += write_compressed_ints(ids, strategy=strategy)
+    if bitmap_index:
+        bt = BITMAP_TYPE_ROARING if bitmap_type is None else bitmap_type
+        arr = np.asarray(ids, np.int64)
+        row_ends = np.asarray(offsets, np.int64)
+        # flat position -> owning row (offsets are row-END positions)
+        row_of = np.repeat(
+            np.arange(len(row_ends), dtype=np.int64),
+            np.diff(row_ends, prepend=0),
+        )
+        # same argsort+searchsorted O(N log N) build as the
+        # single-value path (see write_string_column_v2) — per-value
+        # flat scans would be quadratic in dictionary cardinality
+        order = np.argsort(arr, kind="stable")
+        sorted_ids = arr[order]
+        rows_sorted = row_of[order]
+        rng = np.arange(len(dictionary))
+        starts = np.searchsorted(sorted_ids, rng, "left")
+        ends = np.searchsorted(sorted_ids, rng, "right")
+        out += write_generic_indexed(
+            [
+                # slices arrive row-ascending (stable argsort preserves
+                # flat = row order), but one row may repeat a value
+                # ("the the ..."): blobs hold each row once
+                write_bitmap_blob(np.unique(rows_sorted[s:e]), bt)
+                for s, e in zip(starts, ends)
+            ]
+        )
     return bytes(out)
 
 

@@ -108,11 +108,18 @@ class DruidSegment:
         back to a scan); an empty array when the value simply never
         occurs in this segment — which also lets a planner skip the
         segment outright (value-level pruning, beyond the reference's
-        never-applied bitmap parsing)."""
+        never-applied bitmap parsing).
+
+        Works for multi-value dimensions too — there "equals" means
+        "contains" (Druid's MVD selector semantics: a value filter
+        matches a row when ANY of its values matches), and the index
+        layout is identical (one blob of row ids per dictionary id,
+        appended after the flat-ids section —
+        locate_string_bitmap_index walks past the extra offsets)."""
         if name not in self.metadata.columns:
             return None
         desc = self._descriptors[name]
-        if desc["valueType"].upper() != "STRING" or desc.get("hasMultipleValues"):
+        if desc["valueType"].upper() != "STRING":
             return None
         data = self.smoosh.map_file(name)
         _, payload = fmt.parse_column_header(data)
@@ -270,10 +277,12 @@ def write_segment(
             flat = col.flatten()  # values of non-null rows, in row order
             dictionary, ids = _dictionary_encode(flat.cast(pa.string()))
             payload = fmt.write_string_multi_column(
-                dictionary, row_ends.astype(np.uint32), ids, strategy=strategy
+                dictionary, row_ends.astype(np.uint32), ids, strategy=strategy,
+                bitmap_index=True,
             )
             desc = {"valueType": "STRING", "hasMultipleValues": True,
-                    "parts": [{"type": "stringDictionary"}]}
+                    "parts": [{"type": "stringDictionary"}],
+                    "bitmapIndex": True}
             if dimensions is None or name in dimensions:
                 dims.append(name)
         elif pa.types.is_int64(col.type) or pa.types.is_int32(col.type):

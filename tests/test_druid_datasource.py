@@ -341,6 +341,84 @@ def test_bitmap_index_in_list_union(registered, tmp_path):
     )
 
 
+def test_bitmap_index_multi_value_dimension(registered, tmp_path):
+    """Bitmap filters on a MULTI-VALUE dimension: the index blob for a
+    value lists every row CONTAINING it (Druid's MVD selector
+    semantics), a row repeating a value appears once, empty/null rows
+    never match, IN-lists union across values, and the dim_eq option
+    drives planner-side value pruning + executor row selection on the
+    list<string> column end-to-end."""
+    import pyarrow as pa
+
+    from druid_datafusion_bridge_spark.sources.segment import (
+        DruidSegment,
+        write_segment,
+    )
+
+    n = 600
+    tag_rows: list[list[str] | None] = []
+    for i in range(n):
+        if i % 5 == 0:
+            tag_rows.append([])  # no tags
+        elif i % 5 == 1:
+            tag_rows.append(None)  # null row == no tags (Druid MVD model)
+        elif i % 5 == 2:
+            tag_rows.append(["red", "red", "green"])  # in-row duplicate
+        elif i % 5 == 3:
+            tag_rows.append(["blue"])
+        else:
+            tag_rows.append(["green", "blue"])
+    table = pa.table(
+        {
+            "__time": pa.array(
+                [1704067200000 + i * 1000 for i in range(n)], pa.timestamp("ms")
+            ),
+            "tags": pa.array(tag_rows, pa.list_(pa.string())),
+            "v": pa.array([float(i) for i in range(n)]),
+        }
+    )
+    seg_dir = str(tmp_path / "seg")
+    write_segment(table, seg_dir)
+
+    seg = DruidSegment(seg_dir)
+    # contains-semantics, one entry per row even with in-row duplicates
+    assert seg.bitmap_rows_for("tags", "red").tolist() == list(range(2, n, 5))
+    assert seg.bitmap_rows_for("tags", "green").tolist() == sorted(
+        set(range(2, n, 5)) | set(range(4, n, 5))
+    )
+    assert seg.bitmap_rows_for("tags", "magenta").tolist() == []
+    rows = seg.bitmap_rows_for_any("tags", ("red", "blue"))
+    assert rows.tolist() == sorted(
+        set(range(2, n, 5)) | set(range(3, n, 5)) | set(range(4, n, 5))
+    )
+    seg.close()
+
+    def load(**opts):
+        r = registered.read.format("druidsegment").option("path", str(tmp_path))
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    df = load(dim_eq='{"tags": ["red", "blue"]}')
+    matched = F.array_contains("tags", "red") | F.array_contains("tags", "blue")
+    got = df.filter(matched).select("v").collect()
+    assert sorted(r["v"] for r in got) == [
+        float(i) for i in range(n) if i % 5 in (2, 3, 4)
+    ]
+    # absent value => planner prunes the segment to zero rows
+    assert (
+        load(dim_eq='{"tags": "magenta"}')
+        .filter(F.array_contains("tags", "magenta"))
+        .count()
+        == 0
+    )
+    # acceleration only: a plain load still sees every row, null/empty
+    # tag rows read back as []
+    plain = load()
+    assert plain.count() == n
+    assert plain.filter(F.size("tags") == 0).count() == 2 * n // 5
+
+
 def test_segment_cache_invalidates_on_source_regeneration(spark, tmp_path):
     """The /tmp segment caches must be keyed to the SOURCE parquet's
     identity: the grading driver regenerates testdata between rounds
