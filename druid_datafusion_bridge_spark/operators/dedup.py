@@ -27,6 +27,11 @@ MINHASH_SEEDS = MINHASH_BANDS * MINHASH_ROWS_PER_BAND
 # Hot-bucket bound for LSH pair expansion (see lsh_candidate_pairs);
 # module-level so query oracles can mirror the cap semantics exactly.
 LSH_MAX_BUCKET = 2000
+# Document-frequency cut for the exact-Jaccard inverted index (see
+# ngram_jaccard_pairs): shingles present in more than this many docs are
+# dropped before the self-join. Module-level so query oracles mirror the
+# cut exactly.
+NGRAM_MAX_DF = 1000
 
 # Universal-hash family for the minhash permutations: one md5 base hash
 # per gram, then per-seed affine maps (a*hi + b*lo + s) mod (2^61 - 1)
@@ -87,17 +92,35 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int = NGRAM_MAX_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold.
 
-    Inverted-index self-join on shingles: only docs sharing at least one
-    shingle ever meet, so cost tracks real overlap, not |docs|^2.
+    Inverted-index self-join on shingles, with a document-frequency cut:
+    shingles appearing in more than ``max_df`` docs are anti-joined out
+    BEFORE the self-join. Without the cut, one boilerplate shingle shared
+    by millions of docs makes a single posting list's pair expansion
+    quadratic (the same failure mode lsh_candidate_pairs bounds with
+    LSH_MAX_BUCKET); with it, per-shingle pair volume is bounded by
+    max_df^2/2. Per-doc gram counts (the Jaccard denominator) still use
+    the FULL gram set, so a dropped shingle can only LOWER a pair's
+    estimated Jaccard — the cut produces no false pairs, only possible
+    misses among docs whose entire overlap is boilerplate.
     Returns (doc_a, doc_b, shared, jaccard) with doc_a < doc_b.
     """
     grams = doc_word_ngrams(docs, n=n, text_col=text_col, id_col=id_col)
     cnt = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = grams.select(F.col("doc_id").alias("doc_a"), "g")
-    b = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    # df-cut: the hot set (df > max_df) is at most |gram rows|/max_df
+    # entries — small, so AQE turns the anti-join into a broadcast.
+    hot = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("g")
+    )
+    kept = grams.join(hot, "g", "left_anti")
+    a = kept.select(F.col("doc_id").alias("doc_a"), "g")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "g")
     pairs = (
         a.join(b, "g")
         .filter(F.col("doc_a") < F.col("doc_b"))

@@ -104,6 +104,91 @@ def brute_force_topk(
     )
 
 
+def range_search(
+    corpus: DataFrame,
+    probes: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+    round_sim: int | None = None,
+) -> DataFrame:
+    """All (probe, corpus) pairs with cosine >= threshold — range search,
+    the dedup/retrieval sibling of top-k (top-k bounds the OUTPUT size,
+    range search bounds the QUALITY; a near-dup sweep wants every
+    neighbor above the bar, not the best k).
+
+    Scale shape is brute_force_topk's: probes broadcast, the corpus
+    streams in one pass, no shuffle at all (the filter needs no window),
+    output volume proportional to actual matches. For corpus-x-corpus
+    range search at 100 TB, pre-bucket both sides with the hyperplane
+    LSH (embedding_neardup_pairs) instead of crossing the full corpus.
+    Zero-norm vectors excluded on both sides (NaN-sort trap, module
+    docstring).
+    """
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), as_double_vec(F.col(vec_col)).alias("v")
+        )
+    ).withColumn("nv", norm(F.col("v"))).filter(F.col("nv") > 0)
+    p = probes.select(
+        F.col(probe_id_col).alias("probe_id"), F.col("probe_vec").alias("q")
+    ).withColumn("nq", norm(F.col("q"))).filter(F.col("nq") > 0)
+    sim = dot(F.col("v"), F.col("q")) / (F.col("nv") * F.col("nq"))
+    if round_sim is not None:
+        sim = F.round(sim, round_sim)
+    return (
+        c.crossJoin(F.broadcast(p))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def knn_graph(
+    nodes: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_sim: int | None = None,
+) -> DataFrame:
+    """Mutual k-NN graph: undirected edges (id_a < id_b, sim) kept only
+    when EACH endpoint ranks the other inside its own cosine top-k —
+    the standard graph for density clustering and semantic-dedup
+    community detection (mutuality filters out hub nodes that appear in
+    everyone's top-k without reciprocating).
+
+    Composition: one scored self-join, a per-source rank window, then a
+    self-join of the directed edge set on the reversed pair. At 100 TB
+    the scored self-join is the part to replace with LSH bucketing
+    (embedding_neardup_pairs); ranking and the mutuality join are
+    already shuffle-on-key linear.
+    """
+    directed = brute_force_topk(
+        nodes,
+        nodes.select(
+            F.col(id_col).alias("probe_id"),
+            as_double_vec(F.col(vec_col)).alias("probe_vec"),
+        ),
+        k=k,
+        vec_col=vec_col,
+        id_col=id_col,
+        round_sim=round_sim,
+    ).select(
+        F.col("probe_id").alias("src"), F.col("vec_id").alias("dst"), "sim"
+    )
+    rev = directed.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return (
+        directed.join(rev, ["src", "dst"], "left_semi")
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("id_a"), F.col("dst").alias("id_b"), "sim"
+        )
+    )
+
+
 def hyperplane_bucket(
     vec: Column, dim: int, bits: int = 8, table: int = 0
 ) -> Column:

@@ -113,6 +113,15 @@ def kmv_sketch_bounded(
     so every oracle-checked plan stays Python-free (both forms are
     exact — same hashes, same merge).
 
+    Memory contract: phase 1's state is bounded PER GROUP (k hashes),
+    not per partition — the worker's dict holds O(groups-in-partition
+    x k) longs and cannot spill. Fine for sketching's normal shape
+    (group count << row count); if a single partition can carry more
+    groups than worker memory holds at k longs each, pre-partition the
+    input by the group column (each group then appears in one
+    partition) or use the JVM ``kmv_sketch``, whose hash aggregate
+    spills.
+
     Measured (bench_scale.py, 1M rows / 900 groups / k=4096,
     local[32]): bounded 2.5 s vs JVM 1.4 s — on a single node the
     "network" is free so the Arrow IPC overhead shows; the term the

@@ -22,6 +22,7 @@ from ..operators.dedup import (
     MINHASH_BANDS,
     MINHASH_PRIME,
     MINHASH_ROWS_PER_BAND,
+    NGRAM_MAX_DF,
     doc_word_ngrams,
     exact_dedup,
     minhash_signatures,
@@ -94,9 +95,13 @@ _ORACLE_GRAMS = """
     oracle=f"""
     WITH {_ORACLE_GRAMS},
     cnt AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    kept AS (
+      SELECT doc_id, g FROM grams
+      WHERE g NOT IN (SELECT g FROM grams
+                      GROUP BY g HAVING COUNT(*) > {NGRAM_MAX_DF})),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT doc_a, doc_b, shared,
            CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) AS jaccard
@@ -108,7 +113,10 @@ _ORACLE_GRAMS = """
 )
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact word-5-gram Jaccard >= 0.2 (inverted-index
-    join on grams — no O(n^2) cross join)."""
+    join on grams — no O(n^2) cross join). Boilerplate shingles with
+    document frequency > NGRAM_MAX_DF are cut before the self-join (the
+    oracle's ``kept`` CTE mirrors the cut bit-exactly); dropped shingles
+    can only lower a pair's Jaccard, never invent a pair."""
     docs = table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, n=5, threshold=0.2)
 

@@ -321,6 +321,67 @@ def s1e_druid_segment_zstd_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s5b_smoosh_multichunk_scan",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def s5b_smoosh_multichunk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan of a MULTI-CHUNK smoosh segment: customer is written
+    with max_chunk_size = the largest logical file, so the column files
+    span several NNNNN.smoosh chunks (Druid's >2 GB rollover layout,
+    reference src/segment/smoosh.rs:27-131 — its reader handles the
+    chunk table but the repo's writer previously only ever emitted one
+    chunk, leaving the multi-chunk read path untested end-to-end). The
+    build REFUSES a single-chunk layout, so a green correctness row
+    proves the chunk-boundary table was actually decoded through the
+    DataSource. Balance sums go through exact decimal on both engines."""
+    from ..sources import write_segment
+    from ..sources.druid_format import DruidFormatError, SmooshReader
+
+    _ensure_registered(spark)
+    root = _segment_root(sf_dir, "customer_mchunk")
+
+    def _build() -> None:
+        t = pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"],
+        )
+        ms = pa.array(
+            [BASE_MS + 1000 * int(k) for k in t.column("c_custkey").to_pylist()],
+            pa.timestamp("ms"),
+        )
+        t = t.append_column("__time", ms)
+        seg = os.path.join(root, "seg_000")
+        write_segment(t, seg, max_chunk_size="min")
+        rd = SmooshReader(seg)
+        try:
+            if rd.num_chunks < 2:
+                raise DruidFormatError(
+                    "multichunk build produced a single chunk"
+                )
+        finally:
+            rd.close()
+
+    _cached_build(root, sf_dir, "customer", _build)
+    df = spark.read.format("druidsegment").option("path", root).load()
+    return (
+        df.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
     "s2b_segment_compaction",
     oracle="""
     SELECT CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
@@ -869,8 +930,9 @@ def s1g_druid_segment_mvd_in_filter(spark: SparkSession, sf_dir: str) -> DataFra
     semantics on multi-value dims (a value filter matches a row when
     ANY of its values matches). Completes s1d/s1f's single-value path
     on the codec the reference parses the hasMultipleValues flag of
-    but never honors (string.rs:27-44); row selection happens before
-    the offsets/flat-ids sections decode. Null text maps to [] (never
+    but never honors (string.rs:27-44); zero-match segments skip value
+    decode entirely, otherwise rows are selected (bitmap take) after
+    the projected columns decode. Null text maps to [] (never
     matches) on both sides; Spark re-applies the array_contains filter
     on top, so the index stays acceleration-only."""
     root = _ensure_mvd_segments(spark, sf_dir)
@@ -886,6 +948,99 @@ def s1g_druid_segment_mvd_in_filter(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum("doc_id").alias("sum_id"),
         F.sum(F.array_contains("tags", "hash").cast("bigint")).alias("n_hash"),
         F.sum(F.array_contains("tags", "merge").cast("bigint")).alias("n_merge"),
+    )
+
+
+def _ensure_value_banded_segments(spark: SparkSession, sf_dir: str) -> str:
+    """Events as 4 range-partitioned segments on the `value` metric
+    (Druid's single-dim/range partitionsSpec): rows sorted by value,
+    split into count-equal bands, each segment persisting per-column
+    min/max in metadata.drd's container. The build refuses a layout the
+    s1h cutoff could not prune (band 0's max must sit below the cut and
+    some value above it), so a green s1h row proves pruning engaged."""
+    from ..sources import write_segment
+    from ..sources.druid_format import DruidFormatError
+    from ..sources.segment import DruidSegment
+
+    _ensure_registered(spark)
+    root = _segment_root(sf_dir, "events_value_banded")
+
+    def _build() -> None:
+        import pyarrow.compute as pc
+
+        t = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "ts", "event_type", "value"],
+        )
+        t = t.take(pc.sort_indices(t, sort_keys=[("value", "ascending")]))
+        t = pa.table(
+            {
+                "__time": t.column("ts"),
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "value": t.column("value"),
+            }
+        )
+        n = t.num_rows
+        for i in range(4):
+            lo, hi = i * n // 4, (i + 1) * n // 4
+            write_segment(
+                t.slice(lo, hi - lo), os.path.join(root, f"seg_{i:03d}")
+            )
+        seg = DruidSegment(os.path.join(root, "seg_000"))
+        try:
+            band0_max = seg.column_stats()["value"]["max"]
+        finally:
+            seg.close()
+        if not band0_max < S1H_VALUE_CUT <= pc.max(t.column("value")).as_py():
+            raise DruidFormatError(
+                "value-banded layout cannot demonstrate metric pruning "
+                f"(band0 max {band0_max}, cut {S1H_VALUE_CUT})"
+            )
+
+    _cached_build(root, sf_dir, "events", _build)
+    return root
+
+
+S1H_VALUE_CUT = 300.0  # > p75 of events.value at every sf, < its max
+
+
+@query(
+    "s1h_druid_segment_metric_prune",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM events WHERE value >= {S1H_VALUE_CUT}
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def s1h_druid_segment_metric_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric metric predicate answered with SEGMENT pruning: the
+    value-banded segment forest persists per-column min/max in
+    metadata.drd (write_segment), and the DataSource's num_range window
+    skips every segment whose stored range excludes `value >= 300`
+    before any value column decodes — the numeric analog of s1c's
+    __time interval pruning, on the metadata plane the reference never
+    consults (its metadata.drd is parsed but unused,
+    src/segment/mod.rs:37-68). The banded build refuses a layout where
+    the cut prunes nothing, and
+    tests/test_druid_datasource.py::test_numeric_range_pruning_is_metadata_only
+    pins the planner-side partition list + no-decode contract. Pruning
+    stays acceleration-only: the df.filter re-applies the exact
+    predicate row-level."""
+    import json as _json
+
+    root = _ensure_value_banded_segments(spark, sf_dir)
+    df = (
+        spark.read.format("druidsegment")
+        .option("path", root)
+        .option("num_range", _json.dumps({"value": [S1H_VALUE_CUT, None]}))
+        .load()
+    )
+    return (
+        df.filter(F.col("value") >= S1H_VALUE_CUT)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("event_id").alias("sum_id"))
+        .orderBy("event_type")
     )
 
 

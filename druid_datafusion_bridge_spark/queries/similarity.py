@@ -21,7 +21,9 @@ from ..operators.similarity import (
     brute_force_topk,
     cosine,
     embedding_neardup_pairs,
+    knn_graph,
     lsh_topk,
+    range_search,
 )
 
 # Oracle-side cosine between two DOUBLE lists by explicit position sum.
@@ -107,6 +109,64 @@ def sim_topk_per_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe_id", "vec_id", "sim",
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+@query(
+    "sim_range_search",
+    oracle="""
+    WITH probes AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS q
+                    FROM embeddings WHERE vec_id < 5),
+    corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+      SELECT p.probe_id, c.vec_id,
+             round(list_cosine_similarity(c.v, p.q), 9) AS sim
+      FROM corpus c CROSS JOIN probes p
+      WHERE c.vec_id <> p.probe_id)
+    SELECT probe_id, vec_id, sim FROM scored WHERE sim >= 0.25
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine range search: EVERY neighbor with sim >= 0.25 for 5 probe
+    vectors (threshold bounds quality, not output count — the near-dup
+    sweep shape). One broadcast + one corpus pass, zero shuffles: the
+    filter needs no ranking window at all."""
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"),
+        as_double_vec(F.col("embedding")).alias("probe_vec"),
+    )
+    return range_search(emb, probes, threshold=0.25, round_sim=9)
+
+
+@query(
+    "sim_knn_graph",
+    oracle="""
+    WITH nodes AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id < 200),
+    scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             round(list_cosine_similarity(a.v, b.v), 9) AS sim
+      FROM nodes a JOIN nodes b ON a.vec_id <> b.vec_id),
+    ranked AS (
+      SELECT src, dst, sim,
+             ROW_NUMBER() OVER (PARTITION BY src
+                                ORDER BY sim DESC, dst) AS rk
+      FROM scored),
+    directed AS (SELECT src, dst, sim FROM ranked WHERE rk <= 5)
+    SELECT d.src AS id_a, d.dst AS id_b, d.sim
+    FROM directed d
+    JOIN directed r ON r.src = d.dst AND r.dst = d.src
+    WHERE d.src < d.dst
+    """,
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual cosine 5-NN graph over a 200-node slice: an undirected
+    edge survives only if each endpoint ranks the other in its own
+    top-5 (hub suppression for clustering/community dedup). Node-count
+    bounded so the all-pairs oracle stays tractable; the operator's
+    scale path swaps the scored self-join for LSH buckets."""
+    emb = table(spark, sf_dir, "embeddings")
+    return knn_graph(emb.filter(F.col("vec_id") < 200), k=5, round_sim=9)
 
 
 def _probes(emb: DataFrame) -> DataFrame:

@@ -270,9 +270,22 @@ class DruidSegmentReader(DataSourceReader):
         self.opt_eq: dict[str, tuple] = {
             c: tuple(v) if isinstance(v, list) else (v,) for c, v in raw_eq.items()
         }
+        # numeric range pruning: col -> [lo, hi] inclusive (null = open
+        # bound). Segments whose persisted column_stats range excludes
+        # the window are skipped at planning; acceleration-only like
+        # dim_eq (callers keep their df.filter on top, and loose bounds
+        # for strict predicates are sound).
+        raw_num = (
+            _json.loads(options.get("num_range")) if options.get("num_range") else {}
+        )
+        self.opt_num: dict[str, tuple] = {
+            c: (b[0], b[1]) for c, b in raw_num.items()
+        }
         # [lower_ms, upper_ms) bounds accumulated from pushed __time filters
         self.lower_ms: int | None = None
         self.upper_ms: int | None = None
+        # numeric ranges accumulated from pushed comparison filters
+        self.num_filters: dict[str, tuple] = {}
         # dimension predicates answered by the inverted index at read
         # time: col -> accepted-value tuple (conjunctive across cols,
         # disjunctive within a tuple — covers = and IN)
@@ -286,17 +299,35 @@ class DruidSegmentReader(DataSourceReader):
         lower = max(bounds_lo) if bounds_lo else None
         upper = min(bounds_hi) if bounds_hi else None
         eq = {**self.opt_eq, **self.eq_filters}
+        num = dict(self.opt_num)
+        for c, (lo, hi) in self.num_filters.items():
+            plo, phi = num.get(c, (None, None))
+            num[c] = (
+                plo if lo is None else (lo if plo is None else max(plo, lo)),
+                phi if hi is None else (hi if phi is None else min(phi, hi)),
+            )
         parts = []
         for seg_dir in find_segment_dirs(self.path):
-            if lower is not None or upper is not None:
+            if lower is not None or upper is not None or num:
                 seg = DruidSegment(seg_dir)
-                start = seg.metadata.interval_start_ms
-                end = seg.metadata.interval_end_ms
-                seg.close()
+                try:
+                    start = seg.metadata.interval_start_ms
+                    end = seg.metadata.interval_end_ms
+                    stats = seg.column_stats() if num else {}
+                finally:
+                    seg.close()
                 # interval is [start, end); keep on any overlap with bounds
                 if upper is not None and start > upper:
                     continue
                 if lower is not None and end <= lower:
+                    continue
+                # numeric metric pruning: persisted min/max vs the
+                # requested [lo, hi]; columns without stats never prune
+                if any(
+                    (lo is not None and c in stats and stats[c]["max"] < lo)
+                    or (hi is not None and c in stats and stats[c]["min"] > hi)
+                    for c, (lo, hi) in num.items()
+                ):
                     continue
             if eq and self._value_pruned(seg_dir, eq):
                 continue
@@ -310,6 +341,7 @@ class DruidSegmentReader(DataSourceReader):
         self.lower_ms = None
         self.upper_ms = None
         self.eq_filters = {}
+        self.num_filters = {}
         return parts
 
     def _value_pruned(self, seg_dir: str, eq: dict[str, str]) -> bool:
@@ -424,6 +456,18 @@ class DruidSegmentReaderWithPushdown(DruidSegmentReader):
         self.lower_ms = None
         self.upper_ms = None
         self.eq_filters = {}
+        self.num_filters = {}
+
+        def merge_num(col: str, lo, hi) -> None:
+            # conjunction: tighten both bounds (loose — strict > maps to
+            # an inclusive lo, sound because pruning is segment-level
+            # acceleration and Spark re-applies the exact filter)
+            plo, phi = self.num_filters.get(col, (None, None))
+            self.num_filters[col] = (
+                plo if lo is None else (lo if plo is None else max(plo, lo)),
+                phi if hi is None else (hi if phi is None else min(phi, hi)),
+            )
+
         def merge_dim(col: str, values: tuple) -> None:
             # conjunction with any earlier predicate on the same column:
             # intersect the accepted-value sets (can go empty — then the
@@ -453,6 +497,22 @@ class DruidSegmentReaderWithPushdown(DruidSegmentReader):
             ):
                 # IN-list: union of the per-value bitmaps
                 merge_dim(f.attribute[0], tuple(f.values))
+            elif (
+                getattr(f, "attribute", None) is not None
+                and f.attribute != (TIME_COLUMN,)
+                and len(getattr(f, "attribute", ())) == 1
+                and isinstance(f, (GreaterThan, GreaterThanOrEqual,
+                                   LessThan, LessThanOrEqual, EqualTo))
+                and isinstance(getattr(f, "value", None), (int, float))
+                and not isinstance(f.value, bool)
+            ):
+                # numeric comparison -> metric min/max segment pruning
+                if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    merge_num(f.attribute[0], f.value, None)
+                elif isinstance(f, (LessThan, LessThanOrEqual)):
+                    merge_num(f.attribute[0], None, f.value)
+                else:
+                    merge_num(f.attribute[0], f.value, f.value)
             if getattr(f, "attribute", None) == (TIME_COLUMN,):
                 if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
                     ms = _to_millis(f.value)

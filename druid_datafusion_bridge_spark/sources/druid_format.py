@@ -1169,15 +1169,40 @@ class SmooshReader:
             f.close()
 
 
-def write_smoosh(segment_dir: str, logical_files: dict[str, bytes]) -> None:
-    """Single-chunk smoosh writer (chunk rollover unneeded below 2 GB)."""
+def write_smoosh(
+    segment_dir: str,
+    logical_files: dict[str, bytes],
+    max_chunk_size: int = MAX_CHUNK_SIZE,
+) -> None:
+    """Smoosh writer with Druid's chunk-rollover rule: a logical file
+    never spans chunks — when the current NNNNN.smoosh cannot fit the
+    next file, a new chunk starts (the reader side of this layout is
+    smoosh.rs:27-131; rollover matters past 2 GB per chunk, and small
+    ``max_chunk_size`` values let tests exercise the multi-chunk read
+    path)."""
     os.makedirs(segment_dir, exist_ok=True)
-    lines = [f"v1,{MAX_CHUNK_SIZE},1"]
-    offset = 0
-    with open(os.path.join(segment_dir, "00000.smoosh"), "wb") as chunk:
+    entries: list[str] = []
+    chunk_idx, offset = 0, 0
+    chunk = open(os.path.join(segment_dir, "00000.smoosh"), "wb")
+    try:
         for name, data in logical_files.items():
+            if len(data) > max_chunk_size:
+                raise DruidFormatError(
+                    f"Logical file {name} ({len(data)} B) exceeds "
+                    f"max_chunk_size {max_chunk_size}"
+                )
+            if offset and offset + len(data) > max_chunk_size:
+                chunk.close()
+                chunk_idx += 1
+                offset = 0
+                chunk = open(
+                    os.path.join(segment_dir, f"{chunk_idx:05d}.smoosh"), "wb"
+                )
             chunk.write(data)
-            lines.append(f"{name},0,{offset},{offset + len(data)}")
+            entries.append(f"{name},{chunk_idx},{offset},{offset + len(data)}")
             offset += len(data)
+    finally:
+        chunk.close()
+    lines = [f"v1,{max_chunk_size},{chunk_idx + 1}"] + entries
     with open(os.path.join(segment_dir, "meta.smoosh"), "w", encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")

@@ -203,6 +203,20 @@ class DruidSegment:
             "schema": {f.name: str(f.type) for f in self.schema},
         }
 
+    def column_stats(self) -> dict:
+        """Per-column {"min": x, "max": y} of stored numeric values,
+        from metadata.drd's container (written by write_segment).
+        Metadata-plane only: reads the smoosh entry's bytes, never a
+        value column. {} for segments without stats (e.g. reference
+        snapshots), so callers degrade to no pruning."""
+        if not self.smoosh.has_file("metadata.drd"):
+            return {}
+        try:
+            meta = json.loads(bytes(self.smoosh.map_file("metadata.drd")))
+            return (meta.get("container") or {}).get("columnStats") or {}
+        except (ValueError, fmt.DruidFormatError):
+            return {}
+
     def files(self) -> list[str]:
         """CLI `files` analog (src/main.rs:128-140)."""
         return self.smoosh.file_names()
@@ -217,6 +231,7 @@ def write_segment(
     dimensions: list[str] | None = None,
     strategy: int = fmt.LZ4,
     query_granularity: str = "NONE",
+    max_chunk_size: int | str = fmt.MAX_CHUNK_SIZE,
 ) -> None:
     """Encode a pyarrow Table as a Druid v9 segment directory.
 
@@ -232,6 +247,13 @@ def write_segment(
     names = [TIME_COLUMN] + [c for c in table.column_names if c != TIME_COLUMN]
     logical: dict[str, bytes] = {}
     dims: list[str] = []
+    # per-column min/max of the STORED values (post null->0 legacy fill)
+    # for numeric metrics — persisted in metadata.drd's container so a
+    # planner can skip segments whose range excludes a predicate without
+    # decoding any value column (the numeric analog of the __time
+    # interval in index.drd). Omitted when NaN is present (NaN breaks
+    # ordering) or the column is empty.
+    col_stats: dict[str, dict[str, float | int]] = {}
 
     time_ms = None
     for name in names:
@@ -295,9 +317,10 @@ def write_segment(
                 # numpy round-trip through float64+NaN would silently
                 # round values past 2^53)
                 ints = pc.fill_null(ints, 0)
-            payload = fmt.write_compressed_longs(
-                ints.to_numpy(zero_copy_only=False), strategy=strategy
-            )
+            ivals = ints.to_numpy(zero_copy_only=False)
+            payload = fmt.write_compressed_longs(ivals, strategy=strategy)
+            if ivals.size:
+                col_stats[name] = {"min": int(ivals.min()), "max": int(ivals.max())}
             desc = {"valueType": "LONG", "hasMultipleValues": False,
                     "parts": [{"type": "longV2"}]}
         elif pa.types.is_float64(col.type):
@@ -310,6 +333,8 @@ def write_segment(
                 vals = vals.copy()
                 vals[mask] = 0.0
             payload = fmt.write_compressed_doubles(vals, strategy=strategy)
+            if vals.size and not np.isnan(vals).any():
+                col_stats[name] = {"min": float(vals.min()), "max": float(vals.max())}
             desc = {"valueType": "DOUBLE", "hasMultipleValues": False,
                     "parts": [{"type": "doubleV2"}]}
         elif pa.types.is_float32(col.type):
@@ -319,6 +344,8 @@ def write_segment(
                 vals = vals.copy()
                 vals[mask] = 0.0
             payload = fmt.write_compressed_floats(vals, strategy=strategy)
+            if vals.size and not np.isnan(vals).any():
+                col_stats[name] = {"min": float(vals.min()), "max": float(vals.max())}
             desc = {"valueType": "FLOAT", "hasMultipleValues": False,
                     "parts": [{"type": "floatV2"}]}
         elif pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
@@ -347,7 +374,7 @@ def write_segment(
     # (tests/wikipedia_segment_test.rs:99-110)
     ordered["metadata.drd"] = json.dumps(
         {
-            "container": {},
+            "container": {"columnStats": col_stats},
             "aggregators": None,
             "timestampSpec": {"column": TIME_COLUMN, "format": "millis"},
             "queryGranularity": {"type": "none"} if query_granularity == "NONE" else
@@ -357,7 +384,12 @@ def write_segment(
         separators=(",", ":"),
     ).encode("utf-8")
 
-    fmt.write_smoosh(path, ordered)
+    if max_chunk_size == "min":
+        # smallest legal chunk size = the largest logical file; with >=2
+        # files this always forces a multi-chunk layout (total > max),
+        # at ANY data scale — used to exercise the chunk-boundary table
+        max_chunk_size = max(len(d) for d in ordered.values())
+    fmt.write_smoosh(path, ordered, max_chunk_size=max_chunk_size)
     with open(os.path.join(path, "version.bin"), "wb") as f:
         f.write(fmt.write_version())
     with open(os.path.join(path, "factory.json"), "w", encoding="utf-8") as f:

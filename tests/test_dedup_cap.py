@@ -115,6 +115,69 @@ def test_duplicate_clusters_string_ids_converge(spark):
     }
 
 
+def test_ngram_df_cut_bounds_boilerplate_expansion(spark):
+    """60 docs sharing one boilerplate 5-gram (df=60 > max_df=50): the
+    df-cut must drop that posting list — no pairs from boilerplate-only
+    overlap — while a genuinely duplicated rare doc pair survives with
+    its Jaccard computed against FULL per-doc gram counts."""
+    from druid_datafusion_bridge_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    # 6 tokens -> 2 grams: (b1..b5) shared by all, (b2..b5 u{i}) unique
+    boiler = [
+        (i, f"b1 b2 b3 b4 b5 u{i}") for i in range(60)
+    ]
+    # two identical rare docs: share both of their 2 grams -> jaccard 1.0
+    rare = [(100, "x1 x2 x3 x4 x5 x6"), (101, "x1 x2 x3 x4 x5 x6")]
+    docs = spark.createDataFrame(boiler + rare, "doc_id long, text string")
+    got = ngram_jaccard_pairs(
+        docs, n=5, threshold=0.2, max_df=50
+    ).collect()
+    # uncapped this corpus yields C(60,2)=1770 boilerplate pairs at
+    # jaccard 1/3; the cut leaves exactly the true duplicate pair
+    assert [(r.doc_a, r.doc_b, r.shared, r.jaccard) for r in got] == [
+        (100, 101, 2, 1.0)
+    ]
+
+
+def test_ngram_oracle_mirrors_df_cut_past_the_bound(spark):
+    """The dd_ngram_jaccard ORACLE must reproduce the df-cut bit-for-bit
+    PAST the bound: 1100 docs sharing a boilerplate shingle put its df
+    over NGRAM_MAX_DF=1000, where an uncut oracle would enumerate
+    ~600k pairs (jaccard 1/3 >= 0.2) against the operator's 1."""
+    import duckdb
+    import pandas as pd
+
+    from druid_datafusion_bridge_spark.operators.dedup import (
+        NGRAM_MAX_DF,
+        ngram_jaccard_pairs,
+    )
+    from druid_datafusion_bridge_spark.queries import all_oracles
+
+    n = NGRAM_MAX_DF + 100
+    ids = list(range(n)) + [200000, 200001]
+    texts = [f"b1 b2 b3 b4 b5 u{i}" for i in range(n)] + [
+        "x1 x2 x3 x4 x5 x6",
+        "x1 x2 x3 x4 x5 x6",
+    ]
+    docs = spark.createDataFrame(
+        list(zip(ids, texts)), "doc_id long, text string"
+    ).repartition(8)
+    got = {
+        (r.doc_a, r.doc_b, r.shared, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, n=5, threshold=0.2).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": ids, "text": texts}))
+    want = {
+        tuple(r)
+        for r in con.execute(all_oracles()["dd_ngram_jaccard"]).fetchall()
+    }
+    assert got == want == {(200000, 200001, 2, 1.0)}
+
+
 def test_lsh_oracle_mirrors_cap_past_the_bound(spark):
     """The dd_minhash_lsh_pairs ORACLE must reproduce the operator's
     hot-bucket bound bit-for-bit PAST the cap: 2100 identical docs put

@@ -464,3 +464,78 @@ def test_segment_cache_invalidates_on_source_regeneration(spark, tmp_path):
     os.utime(f"{sf}/events.parquet", ns=(2, 2))  # regeneration in flight
     _mark_complete(root, pre_build_fp)
     assert not _cache_ready(root, sf, "events")
+
+
+def test_numeric_range_pruning_is_metadata_only(registered, tmp_path, monkeypatch):
+    """Metric min/max pruning (s1h): three segments holding disjoint
+    value bands; a `value >= 12` window must plan partitions ONLY for
+    the bands whose persisted columnStats overlap it — and the planning
+    pass is metadata-plane only (decoding any value column while
+    pruning is made a loud failure here)."""
+    from druid_datafusion_bridge_spark.sources import segment as segmod
+    from druid_datafusion_bridge_spark.sources.datasource import (
+        DruidSegmentReaderWithPushdown,
+    )
+
+    def band(lo):
+        return pa.table(
+            {
+                "__time": pa.array(
+                    [1704067200000 + lo * 1000 + i for i in range(10)],
+                    pa.timestamp("ms"),
+                ),
+                "value": pa.array([float(lo + i) for i in range(10)]),
+            }
+        )
+
+    for i, lo in enumerate([0, 10, 20]):
+        write_segment(band(lo), str(tmp_path / f"seg_{i:03d}"))
+
+    df = (
+        registered.read.format("druidsegment")
+        .option("path", str(tmp_path))
+        .option("num_range", '{"value": [12.0, null]}')
+        .load()
+    )
+    got = df.filter(F.col("value") >= 12.0)
+    assert got.count() == 18  # values 12..29 (band 0 pruned, band 1 filtered)
+
+    # planner-side from here on: any value-column decode is an error
+    def _boom(*a, **k):  # pragma: no cover - must never run
+        raise AssertionError("pruning pass decoded a value column")
+
+    monkeypatch.setattr(segmod.DruidSegment, "read_batch", _boom)
+    monkeypatch.setattr(segmod.DruidSegment, "read_column", _boom)
+
+    reader = DruidSegmentReader(
+        df.schema, {"path": str(tmp_path), "num_range": '{"value": [12.0, null]}'}
+    )
+    assert [os.path.basename(p.segment_dir) for p in reader.partitions()] == [
+        "seg_001", "seg_002",
+    ]
+
+    # pushFilters path: value < 9.5 keeps only the first band, and the
+    # filter is still yielded back for Spark to re-apply row-level
+    r2 = DruidSegmentReaderWithPushdown(df.schema, {"path": str(tmp_path)})
+    kept = list(r2.pushFilters([LessThan(("value",), 9.5)]))
+    assert len(kept) == 1
+    assert [os.path.basename(p.segment_dir) for p in r2.partitions()] == [
+        "seg_000"
+    ]
+
+    # conjunction tightens to a band in the middle
+    r3 = DruidSegmentReaderWithPushdown(df.schema, {"path": str(tmp_path)})
+    list(r3.pushFilters([
+        GreaterThanOrEqual(("value",), 10.0), LessThan(("value",), 19.5),
+    ]))
+    assert [os.path.basename(p.segment_dir) for p in r3.partitions()] == [
+        "seg_001"
+    ]
+
+    # window excluding every band => the empty sentinel partition, which
+    # read() answers without decoding anything
+    r4 = DruidSegmentReader(
+        df.schema, {"path": str(tmp_path), "num_range": '{"value": [100.0, null]}'}
+    )
+    parts = r4.partitions()
+    assert len(parts) == 1 and parts[0].empty

@@ -93,8 +93,9 @@ def test_kmv_bounded_bit_identical_and_one_exchange(spark):
         [("big", v % 500) for v in range(2000)]
         + [("small", v) for v in range(7)]
         # null-hash edges: NULL values inside a real group (dropped from
-        # the sketch), a group that is ONLY nulls (must still appear,
-        # with an empty sketch), and a NULL group key
+        # the sketch), a group that is ONLY nulls (absent from BOTH
+        # forms: kmv_sketch's explode([]) and kmv_sketch_bounded's
+        # JVM-side null-hash filter each drop it), and a NULL group key
         + [("big", None), ("small", None)]
         + [("allnull", None), ("allnull", None)]
         + [(None, 42)]
@@ -113,3 +114,5 @@ def test_kmv_bounded_bit_identical_and_one_exchange(spark):
     got = {r.g: list(r.sketch) for r in bounded.collect()}
     assert got == jvm
     assert len(got["small"]) == 7  # below k: sketch is exact
+    # pin the all-NULL-group drop (mutual absence, not mutual presence)
+    assert "allnull" not in got
