@@ -42,11 +42,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # are exactly the 44 entries that had never produced a driver
 # correctness row after r5 (computed from CORRECTNESS_r01..r05.json),
 # slots 45-50 are this round's new queries (s1h metric pruning, s5b
-# multi-chunk smoosh, sim_range_search, sim_knn_graph) plus deliberate
-# re-samples of dd_ngram_jaccard (its df-cut changed this round) and
-# flagship_rollup (the entry query, re-pinned every round). After r6
-# every registry entry has a driver row — r7 needs no rotation and this
-# list can simply pin the new round's additions.
+# multi-chunk smoosh, s1i dim bound filter, sim_range_search,
+# sim_knn_graph) plus a deliberate re-sample of dd_ngram_jaccard (its
+# df-cut changed this round). flagship_rollup needs no slot: the driver
+# smoke-checks it every round through entry(). After r6 every registry
+# entry has a driver row — r7 needs no rotation and this list can
+# simply pin the new round's additions.
 ROTATION: tuple[str, ...] = (
     # never-sampled backlog (44) — streaming first (incl. the full
     # stream->segment->serve lifecycle), then sketches and the rest
@@ -97,10 +98,10 @@ ROTATION: tuple[str, ...] = (
     # round-6 additions + deliberate re-samples (6)
     "s1h_druid_segment_metric_prune",
     "s5b_smoosh_multichunk_scan",
+    "s1i_druid_segment_dim_bound_filter",
     "sim_range_search",
     "sim_knn_graph",
     "dd_ngram_jaccard",
-    "flagship_rollup",
 )
 
 

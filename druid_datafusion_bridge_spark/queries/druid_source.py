@@ -931,8 +931,10 @@ def s1g_druid_segment_mvd_in_filter(spark: SparkSession, sf_dir: str) -> DataFra
     ANY of its values matches). Completes s1d/s1f's single-value path
     on the codec the reference parses the hasMultipleValues flag of
     but never honors (string.rs:27-44); zero-match segments skip value
-    decode entirely, otherwise rows are selected (bitmap take) after
-    the projected columns decode. Null text maps to [] (never
+    decode entirely, and matched row sets push into the decode itself
+    (only blocks holding selected rows decompress; the MVD layout is
+    the one variable-width exception — it decodes then takes). Null
+    text maps to [] (never
     matches) on both sides; Spark re-applies the array_contains filter
     on top, so the index stays acceleration-only."""
     root = _ensure_mvd_segments(spark, sf_dir)
@@ -948,6 +950,40 @@ def s1g_druid_segment_mvd_in_filter(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum("doc_id").alias("sum_id"),
         F.sum(F.array_contains("tags", "hash").cast("bigint")).alias("n_hash"),
         F.sum(F.array_contains("tags", "merge").cast("bigint")).alias("n_merge"),
+    )
+
+
+@query(
+    "s1i_druid_segment_dim_bound_filter",
+    oracle="""
+    SELECT COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+           MIN(n_name) AS first_name, MAX(n_name) AS last_name
+    FROM nation
+    WHERE n_name >= 'E' AND n_name < 'N'
+    """,
+)
+def s1i_druid_segment_dim_bound_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicographic BOUND filter answered by the inverted index:
+    'E' <= n_name < 'N' binary-searches the SORTED dictionary for the
+    contiguous id range inside the bound and unions those ids' row
+    bitmaps — Druid's BoundFilter, the range sibling of s1d/s1f's
+    selector/IN path, on index structures the reference parses but
+    never applies (bitmap.rs:16-40). Strictness is exact in the index
+    (no loose hull); a segment whose dictionary has no id in range is
+    pruned planner-side. Spark re-applies the predicate row-level, so
+    the index stays acceleration-only."""
+    root = _ensure_segments(spark, sf_dir)
+    df = (
+        spark.read.format("druidsegment")
+        .option("path", root)
+        .option("dim_bound", '{"n_name": ["E", "N", false, true]}')
+        .load()
+    )
+    return df.filter((F.col("n_name") >= "E") & (F.col("n_name") < "N")).agg(
+        F.count("*").alias("n"),
+        F.sum("n_nationkey").alias("sum_key"),
+        F.min("n_name").alias("first_name"),
+        F.max("n_name").alias("last_name"),
     )
 
 

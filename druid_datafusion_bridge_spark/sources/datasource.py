@@ -179,6 +179,9 @@ class SegmentPartition(InputPartition):
     # filtered count losing rows). partitions() snapshots the current
     # pushdown into each partition and resets the reader.
     eq_filters: tuple = ()
+    # lexicographic bounds the index answers at read time:
+    # (col, lower, upper, lower_strict, upper_strict) tuples
+    bound_filters: tuple = ()
 
 
 class DruidSegmentDataSource(DataSource):
@@ -281,11 +284,23 @@ class DruidSegmentReader(DataSourceReader):
         self.opt_num: dict[str, tuple] = {
             c: (b[0], b[1]) for c, b in raw_num.items()
         }
+        # lexicographic dimension bounds (Druid BoundFilter): col ->
+        # [lower, upper, lower_strict, upper_strict]; answered by the
+        # sorted dictionary + inverted index (segment skipped when the
+        # bound matches nothing, rows index-selected otherwise)
+        raw_bound = (
+            _json.loads(options.get("dim_bound")) if options.get("dim_bound") else {}
+        )
+        self.opt_bound: dict[str, tuple] = {
+            c: (b[0], b[1], bool(b[2]), bool(b[3])) for c, b in raw_bound.items()
+        }
         # [lower_ms, upper_ms) bounds accumulated from pushed __time filters
         self.lower_ms: int | None = None
         self.upper_ms: int | None = None
         # numeric ranges accumulated from pushed comparison filters
         self.num_filters: dict[str, tuple] = {}
+        # lexicographic bounds accumulated from pushed string comparisons
+        self.bound_filters: dict[str, tuple] = {}
         # dimension predicates answered by the inverted index at read
         # time: col -> accepted-value tuple (conjunctive across cols,
         # disjunctive within a tuple — covers = and IN)
@@ -299,6 +314,7 @@ class DruidSegmentReader(DataSourceReader):
         lower = max(bounds_lo) if bounds_lo else None
         upper = min(bounds_hi) if bounds_hi else None
         eq = {**self.opt_eq, **self.eq_filters}
+        bound = {**self.opt_bound, **self.bound_filters}
         num = dict(self.opt_num)
         for c, (lo, hi) in self.num_filters.items():
             plo, phi = num.get(c, (None, None))
@@ -329,9 +345,18 @@ class DruidSegmentReader(DataSourceReader):
                     for c, (lo, hi) in num.items()
                 ):
                     continue
-            if eq and self._value_pruned(seg_dir, eq):
+            if (eq or bound) and self._value_pruned(seg_dir, eq, bound):
                 continue
-            parts.append(SegmentPartition(seg_dir, eq_filters=tuple(eq.items())))
+            parts.append(
+                SegmentPartition(
+                    seg_dir,
+                    eq_filters=tuple(eq.items()),
+                    bound_filters=tuple(
+                        (c, lo, hi, ls, us)
+                        for c, (lo, hi, ls, us) in bound.items()
+                    ),
+                )
+            )
         if not parts:
             all_dirs = find_segment_dirs(self.path)
             if all_dirs:
@@ -342,19 +367,30 @@ class DruidSegmentReader(DataSourceReader):
         self.upper_ms = None
         self.eq_filters = {}
         self.num_filters = {}
+        self.bound_filters = {}
         return parts
 
-    def _value_pruned(self, seg_dir: str, eq: dict[str, str]) -> bool:
+    def _value_pruned(
+        self, seg_dir: str, eq: dict[str, str], bound: dict[str, tuple] | None = None
+    ) -> bool:
         """Planner-side value pruning: a segment whose inverted index
-        proves a conjunctive dim equality matches NOTHING never gets a
-        task at all (the metadata pass touches only dictionary + bitmap
-        bytes, not value columns — same catalog-scale cost as the
-        __time interval check above)."""
+        proves a conjunctive dim equality (or lexicographic bound)
+        matches NOTHING never gets a task at all (the metadata pass
+        touches only dictionary + bitmap bytes, not value columns —
+        same catalog-scale cost as the __time interval check above)."""
         seg = DruidSegment(seg_dir)
         try:
             for col, values in eq.items():
                 rows = seg.bitmap_rows_for_any(col, values)
                 if rows is not None and len(rows) == 0:
+                    return True
+            for col, (lo, hi, ls, us) in (bound or {}).items():
+                # emptiness needs only the dictionary-id window (every
+                # dictionary id owns >=1 row in a freshly-built segment;
+                # a stale empty-blob id merely keeps the segment — sound,
+                # pruning is acceleration-only)
+                rng = seg.bound_id_range(col, lo, hi, ls, us)
+                if rng is not None and rng[0] >= rng[1]:
                     return True
             return False
         finally:
@@ -378,6 +414,13 @@ class DruidSegmentReader(DataSourceReader):
                     rows = r if rows is None else np.intersect1d(rows, r)
                     if len(rows) == 0:
                         break
+                for col, lo, hi, ls, us in partition.bound_filters:
+                    if rows is not None and len(rows) == 0:
+                        break
+                    r = seg.bitmap_rows_for_bound(col, lo, hi, ls, us)
+                    if r is None:
+                        continue
+                    rows = r if rows is None else np.intersect1d(rows, r)
             import pyarrow as pa_mod
 
             if rows is not None and len(rows) == 0:
@@ -396,9 +439,14 @@ class DruidSegmentReader(DataSourceReader):
                 return
 
             # schema evolution: columns this (older) segment lacks
-            # surface as NULLs — decode only what exists
+            # surface as NULLs — decode only what exists. A bitmap row
+            # set pushes INTO the decode: only the compressed blocks
+            # holding selected rows decompress (read_batch(rows=...)),
+            # so an index that keeps 0.1% of rows skips ~99.9% of the
+            # segment's block decompression instead of decoding
+            # everything and take()-ing afterwards.
             present = [c for c in self.columns if c in seg.metadata.columns]
-            batch = seg.read_batch(present or [TIME_COLUMN])
+            batch = seg.read_batch(present or [TIME_COLUMN], rows=rows)
             n_rows = batch.num_rows
             by_name = {
                 name: batch.column(i) for i, name in enumerate(batch.schema.names)
@@ -414,11 +462,6 @@ class DruidSegmentReader(DataSourceReader):
             batch = pa_mod.RecordBatch.from_arrays(
                 arrays0, names=list(self.columns)
             )
-            if rows is not None:
-                batch = pa_mod.RecordBatch.from_arrays(
-                    [c.take(pa_mod.array(rows.astype("int64"))) for c in batch.columns],
-                    names=list(self.columns),
-                )
             # Spark timestamps are microseconds; dictionary columns flatten
             # at the Arrow boundary (Spark's Python DataSource consumes
             # plain arrays).
@@ -457,6 +500,25 @@ class DruidSegmentReaderWithPushdown(DruidSegmentReader):
         self.upper_ms = None
         self.eq_filters = {}
         self.num_filters = {}
+        self.bound_filters = {}
+
+        def merge_bound(col: str, lo, hi, ls: bool, us: bool) -> None:
+            # conjunction: tighten lexicographic bounds; equal bound
+            # values keep the stricter comparison
+            plo, phi, pls, pus = self.bound_filters.get(
+                col, (None, None, False, False)
+            )
+            if lo is not None:
+                if plo is None or lo > plo:
+                    plo, pls = lo, ls
+                elif lo == plo:
+                    pls = pls or ls
+            if hi is not None:
+                if phi is None or hi < phi:
+                    phi, pus = hi, us
+                elif hi == phi:
+                    pus = pus or us
+            self.bound_filters[col] = (plo, phi, pls, pus)
 
         def merge_num(col: str, lo, hi) -> None:
             # conjunction: tighten both bounds (loose — strict > maps to
@@ -513,6 +575,25 @@ class DruidSegmentReaderWithPushdown(DruidSegmentReader):
                     merge_num(f.attribute[0], None, f.value)
                 else:
                     merge_num(f.attribute[0], f.value, f.value)
+            elif (
+                getattr(f, "attribute", None) is not None
+                and f.attribute != (TIME_COLUMN,)
+                and len(getattr(f, "attribute", ())) == 1
+                and isinstance(f, (GreaterThan, GreaterThanOrEqual,
+                                   LessThan, LessThanOrEqual))
+                and isinstance(getattr(f, "value", None), str)
+            ):
+                # string comparison -> BoundFilter via the sorted
+                # dictionary + inverted index (exact strictness kept:
+                # the index answers the bound itself, not a loose hull)
+                if isinstance(f, GreaterThan):
+                    merge_bound(f.attribute[0], f.value, None, True, False)
+                elif isinstance(f, GreaterThanOrEqual):
+                    merge_bound(f.attribute[0], f.value, None, False, False)
+                elif isinstance(f, LessThan):
+                    merge_bound(f.attribute[0], None, f.value, False, True)
+                else:
+                    merge_bound(f.attribute[0], None, f.value, False, False)
             if getattr(f, "attribute", None) == (TIME_COLUMN,):
                 if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
                     ms = _to_millis(f.value)

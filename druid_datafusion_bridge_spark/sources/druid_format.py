@@ -389,7 +389,7 @@ def write_generic_indexed(elements: list[bytes | None], sorted_flag: bool = True
 # ---------------------------------------------------------------------------
 
 
-def read_vsize_ints(data, base: int = 0) -> np.ndarray:
+def read_vsize_ints(data, base: int = 0, rows=None) -> np.ndarray:
     if len(data) - base < 6:
         raise DruidFormatError("VSizeColumnarInts: too short")
     if data[base] != 0x00:
@@ -399,6 +399,15 @@ def read_vsize_ints(data, base: int = 0) -> np.ndarray:
         raise DruidFormatError(f"VSizeColumnarInts: invalid num_bytes {num_bytes}")
     (buffer_size,) = _I32.unpack_from(data, base + 2)
     buf = bytes(data[base + 6 : base + 6 + buffer_size])
+    if rows is not None:
+        # fixed-width + uncompressed => pure positional gather, no
+        # full decode (the v0 analog of the blockwise sliced path)
+        rows = np.asarray(rows, np.int64)
+        if rows.size and (rows[0] < 0 or rows[-1] * num_bytes >= buffer_size):
+            raise DruidFormatError("VSizeColumnarInts: row ids out of range")
+        idx = (rows[:, None] * num_bytes + np.arange(num_bytes)).ravel()
+        gathered = np.frombuffer(buf, np.uint8)[idx].tobytes()
+        return _unpack_be_uints(gathered, num_bytes)
     return _unpack_be_uints(buf, num_bytes)
 
 
@@ -452,8 +461,20 @@ def min_bytes_for(max_value: int) -> int:
 
 
 def _read_compressed_blocks(
-    data, base: int, value_width: int, dtype: str, has_num_bytes: bool
+    data,
+    base: int,
+    value_width: int,
+    dtype: str,
+    has_num_bytes: bool,
+    rows: np.ndarray | None = None,
 ) -> np.ndarray:
+    """``rows`` (sorted ascending row ids) switches to SLICED decode:
+    only the compressed blocks that contain a selected row are
+    decompressed, and the result holds exactly those rows' values in
+    ``rows`` order. This is what makes an index-selected read cheap —
+    a bitmap that keeps 0.1% of a segment's rows should not pay the
+    whole column's decompression (blocks are fixed ``size_per`` values,
+    so block membership is pure integer division)."""
     version = data[base]
     (total_size,) = _I32.unpack_from(data, base + 1)
     (size_per,) = _I32.unpack_from(data, base + 5)
@@ -472,21 +493,38 @@ def _read_compressed_blocks(
     else:
         raise DruidFormatError(f"Compressed column: unsupported version {version:#x}")
     blocks = GenericIndexedV1(data, pos)
-    chunks = []
-    produced = 0
-    for b in range(len(blocks)):
+    # sliced output is assembled by assignment, so make it NATIVE-endian
+    # (pyarrow rejects byte-swapped arrays); the big-endian source
+    # values convert on assignment
+    out_dtype = np.uint32 if has_num_bytes else np.dtype(dtype).newbyteorder("=")
+
+    def _block_values(b: int) -> np.ndarray:
         block = blocks.get(b)
         if block is None:
             raise DruidFormatError(f"Compressed column: null block {b}")
-        n = min(total_size - produced, size_per)
+        n = min(total_size - b * size_per, size_per)
         raw = decompress_block(strategy, block, n * num_bytes)
         if has_num_bytes:
-            chunks.append(_unpack_be_uints(raw, num_bytes))
-        else:
-            chunks.append(np.frombuffer(raw, dtype=dtype))
-        produced += n
+            return _unpack_be_uints(raw, num_bytes)
+        return np.frombuffer(raw, dtype=dtype)
+
+    if rows is not None:
+        rows = np.asarray(rows, np.int64)
+        if rows.size and (rows[0] < 0 or rows[-1] >= total_size):
+            raise DruidFormatError(
+                f"Sliced decode: row ids out of range 0..{total_size}"
+            )
+        out = np.empty(len(rows), dtype=out_dtype)
+        blk_ids = rows // size_per if size_per else rows
+        for b in np.unique(blk_ids):
+            vals = _block_values(int(b))
+            sel = blk_ids == b
+            out[sel] = vals[rows[sel] - int(b) * size_per]
+        return out
+
+    chunks = [_block_values(b) for b in range(len(blocks))]
     if not chunks:
-        return np.empty(0, dtype=dtype if not has_num_bytes else np.uint32)
+        return np.empty(0, dtype=out_dtype)
     return np.concatenate(chunks)
 
 
@@ -517,32 +555,32 @@ def _write_compressed_blocks(
     return bytes(out)
 
 
-def read_compressed_longs(data, base: int = 0) -> np.ndarray:
-    return _read_compressed_blocks(data, base, 8, ">i8", has_num_bytes=False)
+def read_compressed_longs(data, base: int = 0, rows=None) -> np.ndarray:
+    return _read_compressed_blocks(data, base, 8, ">i8", has_num_bytes=False, rows=rows)
 
 
 def write_compressed_longs(values, size_per: int = 0x2000, strategy: int = LZ4) -> bytes:
     return _write_compressed_blocks(np.asarray(values, np.int64), ">i8", size_per, strategy)
 
 
-def read_compressed_doubles(data, base: int = 0) -> np.ndarray:
-    return _read_compressed_blocks(data, base, 8, ">f8", has_num_bytes=False)
+def read_compressed_doubles(data, base: int = 0, rows=None) -> np.ndarray:
+    return _read_compressed_blocks(data, base, 8, ">f8", has_num_bytes=False, rows=rows)
 
 
 def write_compressed_doubles(values, size_per: int = 0x2000, strategy: int = LZ4) -> bytes:
     return _write_compressed_blocks(np.asarray(values, np.float64), ">f8", size_per, strategy)
 
 
-def read_compressed_floats(data, base: int = 0) -> np.ndarray:
-    return _read_compressed_blocks(data, base, 4, ">f4", has_num_bytes=False)
+def read_compressed_floats(data, base: int = 0, rows=None) -> np.ndarray:
+    return _read_compressed_blocks(data, base, 4, ">f4", has_num_bytes=False, rows=rows)
 
 
 def write_compressed_floats(values, size_per: int = 0x4000, strategy: int = LZ4) -> bytes:
     return _write_compressed_blocks(np.asarray(values, np.float32), ">f4", size_per, strategy)
 
 
-def read_compressed_ints(data, base: int = 0) -> np.ndarray:
-    return _read_compressed_blocks(data, base, 0, "", has_num_bytes=True)
+def read_compressed_ints(data, base: int = 0, rows=None) -> np.ndarray:
+    return _read_compressed_blocks(data, base, 0, "", has_num_bytes=True, rows=rows)
 
 
 def write_compressed_ints(
@@ -586,9 +624,14 @@ def build_column(descriptor: dict, payload: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def read_string_column(data, base: int = 0) -> tuple[list[str | None], np.ndarray]:
+def read_string_column(
+    data, base: int = 0, rows=None
+) -> tuple[list[str | None], np.ndarray]:
     """Returns (dictionary, ids) — kept dictionary-encoded for Arrow
-    (the reference eagerly flattens, string.rs:116-125; we do better)."""
+    (the reference eagerly flattens, string.rs:116-125; we do better).
+    ``rows`` slices the id section (blockwise for v2/v3 compressed ids,
+    positional gather for v0 vsize ids); the dictionary always decodes
+    in full — it is the small side by construction."""
     version = data[base]
     if version == 0x00:
         pos = base + 1
@@ -600,9 +643,9 @@ def read_string_column(data, base: int = 0) -> tuple[list[str | None], np.ndarra
     dictionary = [gi.get_str(i) for i in range(len(gi))]
     pos += gi.total_size()
     if version == 0x00:
-        ids = read_vsize_ints(data, pos)
+        ids = read_vsize_ints(data, pos, rows=rows)
     else:
-        ids = read_compressed_ints(data, pos)
+        ids = read_compressed_ints(data, pos, rows=rows)
     return dictionary, ids
 
 
@@ -1040,7 +1083,7 @@ def read_string_bitmap_blob(
     return np.empty(0, np.uint32) if blob is None else read_bitmap_blob(blob)
 
 
-def read_complex_column(data, base: int = 0) -> list[bytes | None]:
+def read_complex_column(data, base: int = 0, rows=None) -> list[bytes | None]:
     """COMPLEX column -> list of opaque binary blobs (HLL sketches,
     histograms...). Layout: [0x01][GenericIndexed of byte elements].
 
@@ -1054,6 +1097,10 @@ def read_complex_column(data, base: int = 0) -> list[bytes | None]:
             f"Complex column: unsupported version {data[base]:#x}"
         )
     gi = GenericIndexedV1(data, base + 1)
+    if rows is not None:
+        # GenericIndexed is an offset table — random access per row,
+        # no need to materialize the unselected blobs
+        return [gi.get(int(r)) for r in rows]
     return gi.to_list()
 
 

@@ -69,12 +69,19 @@ class DruidSegment:
         """COUNT(*) == length of __time (src/segment/mod.rs:103-109)."""
         return len(self.read_column(TIME_COLUMN))
 
-    def read_column(self, name: str) -> pa.Array:
+    def read_column(self, name: str, rows: np.ndarray | None = None) -> pa.Array:
+        """Decode one column; ``rows`` (sorted ascending row ids, e.g.
+        from the inverted index) switches every fixed-width layout to
+        SLICED decode — only the compressed blocks holding selected
+        rows decompress, so an index-selected read costs O(selected
+        blocks), not O(segment). Multi-value strings are the one
+        variable-width layout: their offsets+flat-ids decode fully and
+        the row set applies as a take afterwards."""
         data = self.smoosh.map_file(name)
         desc, payload = fmt.parse_column_header(data)
         vt = desc["valueType"].upper()
         if name == TIME_COLUMN:
-            millis = fmt.read_compressed_longs(data, payload)
+            millis = fmt.read_compressed_longs(data, payload, rows=rows)
             return pa.array(millis, type=pa.timestamp("ms"))
         if vt == "STRING" and desc.get("hasMultipleValues"):
             dictionary, offsets, ids = fmt.read_string_multi_column(data, payload)
@@ -82,23 +89,28 @@ class DruidSegment:
                 pa.array(ids.astype(np.int32)), pa.array(dictionary, type=pa.string())
             ).cast(pa.string())
             all_offsets = np.concatenate([[0], offsets]).astype(np.int32)
-            return pa.ListArray.from_arrays(pa.array(all_offsets), values)
+            arr = pa.ListArray.from_arrays(pa.array(all_offsets), values)
+            if rows is not None:
+                arr = arr.take(pa.array(np.asarray(rows, np.int64)))
+            return arr
         if vt == "STRING":
-            dictionary, ids = fmt.read_string_column(data, payload)
+            dictionary, ids = fmt.read_string_column(data, payload, rows=rows)
             return pa.DictionaryArray.from_arrays(
                 pa.array(ids.astype(np.int32)), pa.array(dictionary, type=pa.string())
             )
         if vt == "LONG":
-            return pa.array(fmt.read_compressed_longs(data, payload))
+            return pa.array(fmt.read_compressed_longs(data, payload, rows=rows))
         if vt == "DOUBLE":
-            return pa.array(fmt.read_compressed_doubles(data, payload))
+            return pa.array(fmt.read_compressed_doubles(data, payload, rows=rows))
         if vt == "FLOAT":
-            return pa.array(fmt.read_compressed_floats(data, payload))
+            return pa.array(fmt.read_compressed_floats(data, payload, rows=rows))
         if vt == "COMPLEX":
             # the reference errors here (src/column/mod.rs:59-61); we
             # return the opaque blobs (HLL sketches etc.) for query-time
             # merge via Spark's Datasketches functions
-            return pa.array(fmt.read_complex_column(data, payload), type=pa.binary())
+            return pa.array(
+                fmt.read_complex_column(data, payload, rows=rows), type=pa.binary()
+            )
         raise fmt.DruidFormatError(f"Unsupported column type {vt} for {name}")
 
     def bitmap_rows_for(self, name: str, value: str | None) -> np.ndarray | None:
@@ -180,13 +192,106 @@ class DruidSegment:
             out = r if out is None else np.union1d(out, r)
         return out if out is not None else np.empty(0, np.uint32)
 
-    def read_batch(self, columns: list[str] | None = None) -> pa.RecordBatch:
+    # Bounds spanning more ids than this fall back to a scan: unioning
+    # thousands of bitmap blobs costs more than decoding the column,
+    # and Spark re-applies the predicate anyway (acceleration-only).
+    BOUND_MAX_IDS = 4096
+
+    def bound_id_range(
+        self,
+        name: str,
+        lower: str | None,
+        upper: str | None,
+        lower_strict: bool = False,
+        upper_strict: bool = False,
+    ) -> tuple[int, int] | None:
+        """Contiguous dictionary-id window [lo_id, hi_id) whose values
+        satisfy ``lower (<|<=) value (<|<=) upper`` lexicographically —
+        two binary searches over the SORTED dictionary, no bitmap or
+        value decode at all. NULL (slot 0 when present) never matches.
+        None when the column has no usable index (missing, non-string,
+        or unsorted dictionary). An empty window proves the segment
+        matches nothing — what planner-side pruning needs, at pure
+        metadata cost."""
+        if name not in self.metadata.columns:
+            return None
+        desc = self._descriptors[name]
+        if desc["valueType"].upper() != "STRING":
+            return None
+        data = self.smoosh.map_file(name)
+        _, payload = fmt.parse_column_header(data)
+        if fmt.locate_string_bitmap_index(data, payload) is None:
+            return None
+        gi = fmt.GenericIndexedV1(data, payload + 5)
+        n = len(gi)
+        if n == 0:
+            return (0, 0)
+        if not (gi.flags & 0x01):
+            return None  # unsorted: no reverse lookup — scan instead
+        has_null = gi.get_str(0) is None
+        first = 1 if has_null else 0
+
+        def bisect(value: str, take_greater: bool) -> int:
+            # first id in [first, n) whose value is > value (take_greater)
+            # or >= value; dictionary is null-first then UTF-8 ascending
+            lo, hi = first, n
+            while lo < hi:
+                mid = (lo + hi) // 2
+                s = gi.get_str(mid)
+                if s < value or (take_greater and s == value):
+                    lo = mid + 1
+                else:
+                    hi = mid
+            return lo
+
+        lo_id = first if lower is None else bisect(lower, take_greater=lower_strict)
+        hi_id = n if upper is None else bisect(upper, take_greater=not upper_strict)
+        return (lo_id, max(lo_id, hi_id))
+
+    def bitmap_rows_for_bound(
+        self,
+        name: str,
+        lower: str | None,
+        upper: str | None,
+        lower_strict: bool = False,
+        upper_strict: bool = False,
+    ) -> np.ndarray | None:
+        """Row ids satisfying the lexicographic bound — Druid's
+        BoundFilter: the bound_id_range window's per-id row bitmaps
+        union. None when the column has no usable index OR the window
+        exceeds BOUND_MAX_IDS (wide bounds scan instead — see the class
+        constant). On multi-value dimensions the same index gives
+        Druid's MVD semantics: a row matches when ANY of its values
+        falls inside the bound."""
+        rng = self.bound_id_range(name, lower, upper, lower_strict, upper_strict)
+        if rng is None:
+            return None
+        lo_id, hi_id = rng
+        if hi_id - lo_id > self.BOUND_MAX_IDS:
+            return None
+        data = self.smoosh.map_file(name)
+        _, payload = fmt.parse_column_header(data)
+        bm = fmt.locate_string_bitmap_index(data, payload)
+        out: np.ndarray | None = None
+        for dict_id in range(lo_id, hi_id):
+            r = fmt.read_string_bitmap_blob(bm, dict_id)
+            out = r if out is None else np.union1d(out, r)
+        return out if out is not None else np.empty(0, np.uint32)
+
+    def read_batch(
+        self,
+        columns: list[str] | None = None,
+        rows: np.ndarray | None = None,
+    ) -> pa.RecordBatch:
         """Projected decode — only named columns touch IO
-        (the reference's sole optimization, table_provider.rs:63,70)."""
+        (the reference's sole optimization, table_provider.rs:63,70).
+        ``rows`` additionally slices the decode to the selected row ids
+        (see read_column) — projection prunes columns, the row set
+        prunes blocks within them."""
         names = list(columns) if columns is not None else list(self.metadata.columns)
         if not names:
             raise fmt.DruidFormatError("read_batch requires at least one column")
-        arrays = [self.read_column(n) for n in names]
+        arrays = [self.read_column(n, rows=rows) for n in names]
         return pa.RecordBatch.from_arrays(
             arrays, schema=pa.schema([self.schema.field(n) for n in names])
         )

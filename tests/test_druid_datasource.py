@@ -539,3 +539,74 @@ def test_numeric_range_pruning_is_metadata_only(registered, tmp_path, monkeypatc
     )
     parts = r4.partitions()
     assert len(parts) == 1 and parts[0].empty
+
+
+def test_dim_bound_filter_index_and_pruning(registered, tmp_path):
+    """Lexicographic BoundFilter (s1i): the sorted dictionary's binary
+    search must honor strict/inclusive bounds exactly, a segment whose
+    dictionary has no value in range must be pruned planner-side, and
+    the end-to-end query must select the right rows."""
+    from druid_datafusion_bridge_spark.sources.datasource import (
+        DruidSegmentReaderWithPushdown,
+    )
+    from druid_datafusion_bridge_spark.sources.segment import DruidSegment
+    from pyspark.sql.datasource import GreaterThan, LessThanOrEqual
+
+    def seg(values, offset):
+        return pa.table(
+            {
+                "__time": pa.array(
+                    [1704067200000 + offset + i for i in range(len(values))],
+                    pa.timestamp("ms"),
+                ),
+                "site": pa.array(values),
+            }
+        )
+
+    write_segment(seg(["alpha", "bravo", "charlie", "delta", None], 0),
+                  str(tmp_path / "seg_000"))
+    write_segment(seg(["mike", "november", "oscar", "zulu"], 10_000),
+                  str(tmp_path / "seg_001"))
+
+    # operator-level strictness on the segment itself
+    s = DruidSegment(str(tmp_path / "seg_000"))
+    try:
+        rows = s.bitmap_rows_for_bound("site", "bravo", "delta", False, False)
+        assert rows.tolist() == [1, 2, 3]  # inclusive both ends
+        rows = s.bitmap_rows_for_bound("site", "bravo", "delta", True, True)
+        assert rows.tolist() == [2]  # strict both ends
+        rows = s.bitmap_rows_for_bound("site", None, "alpha", False, False)
+        assert rows.tolist() == [0]  # open lower; NULL never matches
+        assert len(s.bitmap_rows_for_bound("site", "zz", None, False, False)) == 0
+    finally:
+        s.close()
+
+    # option-driven: bound ["m", null] proves seg_000 empty -> pruned
+    reader = DruidSegmentReader(
+        registered.read.format("druidsegment")
+        .option("path", str(tmp_path)).load().schema,
+        {"path": str(tmp_path), "dim_bound": '{"site": ["m", null, false, false]}'},
+    )
+    parts = reader.partitions()
+    assert [os.path.basename(p.segment_dir) for p in parts] == ["seg_001"]
+
+    # pushFilters path: site > 'delta' AND site <= 'oscar'
+    df = (
+        registered.read.format("druidsegment")
+        .option("path", str(tmp_path)).load()
+    )
+    r2 = DruidSegmentReaderWithPushdown(df.schema, {"path": str(tmp_path)})
+    kept = list(r2.pushFilters([
+        GreaterThan(("site",), "delta"), LessThanOrEqual(("site",), "oscar"),
+    ]))
+    assert len(kept) == 2  # both yielded back for Spark to re-apply
+    parts2 = r2.partitions()
+    assert [os.path.basename(p.segment_dir) for p in parts2] == ["seg_001"]
+
+    # end-to-end rows through the DataSource + re-applied filter
+    got = (
+        df.filter((F.col("site") >= "bravo") & (F.col("site") < "november"))
+        .select("site")
+        .collect()
+    )
+    assert sorted(r.site for r in got) == ["bravo", "charlie", "delta", "mike"]

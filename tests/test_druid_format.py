@@ -666,3 +666,80 @@ def test_concise_fuzz_roundtrip_and_cross_codec(rows, pad):
     assert fmt.concise_deserialize(fmt.concise_serialize(rows)).tolist() == want
     via_roaring = fmt.roaring_deserialize(fmt.roaring_serialize(rows)).tolist()
     assert via_roaring == want
+
+
+# --- sliced (index-selected) decode ----------------------------------------
+
+
+def test_sliced_decode_matches_full_then_take():
+    """rows= must return exactly full_decode[rows] for every fixed-width
+    layout, across block boundaries (tiny size_per forces many blocks)."""
+    rng = np.random.default_rng(7)
+    rows = np.array([0, 1, 63, 64, 65, 500, 998, 999], np.int64)
+
+    longs = rng.integers(-(2**40), 2**40, 1000, dtype=np.int64)
+    data = fmt.write_compressed_longs(longs, size_per=64)
+    assert fmt.read_compressed_longs(data, rows=rows).tolist() == longs[rows].tolist()
+
+    dbls = rng.normal(size=1000)
+    data = fmt.write_compressed_doubles(dbls, size_per=64)
+    assert np.array_equal(fmt.read_compressed_doubles(data, rows=rows), dbls[rows])
+
+    flts = rng.normal(size=1000).astype(np.float32)
+    data = fmt.write_compressed_floats(flts, size_per=64)
+    assert np.array_equal(fmt.read_compressed_floats(data, rows=rows), flts[rows])
+
+    ints = rng.integers(0, 1 << 20, 1000).astype(np.uint32)
+    data = fmt.write_compressed_ints(ints, size_per=64)
+    assert fmt.read_compressed_ints(data, rows=rows).tolist() == ints[rows].tolist()
+
+    # v0 vsize layout: positional gather
+    data = fmt.write_vsize_ints(ints, 3)
+    assert fmt.read_vsize_ints(data, rows=rows).tolist() == ints[rows].tolist()
+
+    # complex blobs: offset-table random access
+    blobs = [bytes([i % 251]) * (i % 7 + 1) for i in range(100)]
+    data = fmt.write_complex_column(blobs)
+    got = fmt.read_complex_column(data, rows=[0, 42, 99])
+    assert got == [blobs[0], blobs[42], blobs[99]]
+
+    # out-of-range row ids fail loudly, not silently wrap
+    data = fmt.write_compressed_longs(longs, size_per=64)
+    with pytest.raises(fmt.DruidFormatError):
+        fmt.read_compressed_longs(data, rows=np.array([1000]))
+
+
+def test_sliced_decode_decompresses_only_needed_blocks(monkeypatch):
+    """The point of the slice: 1000 values in 16 blocks, two selected
+    rows in two distinct blocks => exactly 2 block decompressions (a
+    decode-then-take would pay all 16)."""
+    longs = np.arange(1000, dtype=np.int64)
+    data = fmt.write_compressed_longs(longs, size_per=64)
+    calls = []
+    real = fmt.decompress_block
+
+    def counting(strategy, block, out_size):
+        calls.append(out_size)
+        return real(strategy, block, out_size)
+
+    monkeypatch.setattr(fmt, "decompress_block", counting)
+    got = fmt.read_compressed_longs(data, rows=np.array([5, 999]))
+    assert got.tolist() == [5, 999]
+    assert len(calls) == 2
+
+
+def test_segment_read_batch_rows_slices_all_column_types(tmp_path):
+    """End-to-end: a segment's read_batch(rows=...) must equal the full
+    batch take()n to the same rows for string/long/double/float/time."""
+    path = str(tmp_path / "seg")
+    t = _sample_table()
+    write_segment(t, path)
+    seg = DruidSegment(path)
+    try:
+        rows = np.array([1, 3, 4], np.int64)
+        sliced = seg.read_batch(rows=rows).to_pydict()
+        full = seg.read_batch().to_pydict()
+        for col, vals in sliced.items():
+            assert vals == [full[col][i] for i in rows], col
+    finally:
+        seg.close()

@@ -26,10 +26,10 @@ def test_driver_sample_window_matches_rotation_plan():
         "cx_qhist_rollup_merge",
         "s1h_druid_segment_metric_prune",
         "s5b_smoosh_multichunk_scan",
+        "s1i_druid_segment_dim_bound_filter",
         "sim_range_search",
         "sim_knn_graph",
         "dd_ngram_jaccard",
-        "flagship_rollup",
     ):
         assert must in names[:50], must
 
