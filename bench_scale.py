@@ -223,6 +223,40 @@ def main() -> None:
         t0 = time.perf_counter()
         write_druid_segments(ev_hc, seg_root2, granularity="P1D").collect()
         timings["segment_write_hicard"] = round(time.perf_counter() - t0, 3)
+
+        # Point lookup on the high-cardinality dim, indexed vs not: the
+        # pushed equality answers from the inverted index AND decode-time
+        # row slicing decompresses only the blocks holding the ~10
+        # matching rows; the unpushed form decodes every value chunk and
+        # filters in Spark. The delta is what bitmap row selection +
+        # sliced decode buy on selective predicates.
+        hc = (
+            spark.read.format("druidsegment")
+            .option("path", seg_root2)
+            .option("dim_eq", '{"user_dim": "u12345"}')
+            .load()
+        )
+        t0 = time.perf_counter()
+        (
+            hc.filter(F.col("user_dim") == "u12345")
+            .agg(F.count("*"), F.sum("value"))
+            .write.mode("overwrite").format("noop").save()
+        )
+        timings["segment_point_lookup_indexed"] = round(
+            time.perf_counter() - t0, 3
+        )
+        hc_full = (
+            spark.read.format("druidsegment").option("path", seg_root2).load()
+        )
+        t0 = time.perf_counter()
+        (
+            hc_full.filter(F.col("user_dim") == "u12345")
+            .agg(F.count("*"), F.sum("value"))
+            .write.mode("overwrite").format("noop").save()
+        )
+        timings["segment_point_lookup_fullscan"] = round(
+            time.perf_counter() - t0, 3
+        )
     finally:
         shutil.rmtree(seg_root2, ignore_errors=True)
 

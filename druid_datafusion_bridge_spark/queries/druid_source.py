@@ -1057,7 +1057,11 @@ def s1h_druid_segment_metric_prune(spark: SparkSession, sf_dir: str) -> DataFram
     before any value column decodes — the numeric analog of s1c's
     __time interval pruning, on the metadata plane the reference never
     consults (its metadata.drd is parsed but unused,
-    src/segment/mod.rs:37-68). The banded build refuses a layout where
+    src/segment/mod.rs:37-68). Surviving segments further restrict the
+    decode to candidate COMPRESSED BLOCKS via per-block min/max zone
+    maps (write_segment persists them; block-skip contract pinned in
+    tests/test_druid_datasource.py::test_numeric_zone_maps_decode_only_candidate_blocks).
+    The banded build refuses a layout where
     the cut prunes nothing, and
     tests/test_druid_datasource.py::test_numeric_range_pruning_is_metadata_only
     pins the planner-side partition list + no-decode contract. Pruning

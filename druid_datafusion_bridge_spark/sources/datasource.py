@@ -182,6 +182,10 @@ class SegmentPartition(InputPartition):
     # lexicographic bounds the index answers at read time:
     # (col, lower, upper, lower_strict, upper_strict) tuples
     bound_filters: tuple = ()
+    # numeric windows answered by per-block zone maps at read time:
+    # (col, lo, hi) tuples — candidate-block row sets are SUPERSETS of
+    # the matching rows (Spark re-applies the predicate)
+    num_filters: tuple = ()
 
 
 class DruidSegmentDataSource(DataSource):
@@ -355,6 +359,9 @@ class DruidSegmentReader(DataSourceReader):
                         (c, lo, hi, ls, us)
                         for c, (lo, hi, ls, us) in bound.items()
                     ),
+                    num_filters=tuple(
+                        (c, lo, hi) for c, (lo, hi) in num.items()
+                    ),
                 )
             )
         if not parts:
@@ -418,6 +425,16 @@ class DruidSegmentReader(DataSourceReader):
                     if rows is not None and len(rows) == 0:
                         break
                     r = seg.bitmap_rows_for_bound(col, lo, hi, ls, us)
+                    if r is None:
+                        continue
+                    rows = r if rows is None else np.intersect1d(rows, r)
+                # numeric zone maps: restrict to candidate blocks (a
+                # superset of matching rows — the re-applied filter
+                # finishes the job); composes with the bitmap row sets
+                for col, lo, hi in partition.num_filters:
+                    if rows is not None and len(rows) == 0:
+                        break
+                    r = seg.block_candidate_rows(col, lo, hi)
                     if r is None:
                         continue
                     rows = r if rows is None else np.intersect1d(rows, r)

@@ -46,6 +46,7 @@ class DruidSegment:
             self.smoosh.map_file("index.drd")
         )
         self._descriptors: dict[str, dict] = {}
+        self._column_stats: dict | None = None
         fields = []
         for name in self.metadata.columns:
             desc, _ = fmt.parse_column_header(self.smoosh.map_file(name))
@@ -309,18 +310,54 @@ class DruidSegment:
         }
 
     def column_stats(self) -> dict:
-        """Per-column {"min": x, "max": y} of stored numeric values,
-        from metadata.drd's container (written by write_segment).
-        Metadata-plane only: reads the smoosh entry's bytes, never a
-        value column. {} for segments without stats (e.g. reference
-        snapshots), so callers degrade to no pruning."""
-        if not self.smoosh.has_file("metadata.drd"):
-            return {}
-        try:
-            meta = json.loads(bytes(self.smoosh.map_file("metadata.drd")))
-            return (meta.get("container") or {}).get("columnStats") or {}
-        except (ValueError, fmt.DruidFormatError):
-            return {}
+        """Per-column stats of stored numeric values from metadata.drd's
+        container (written by write_segment): segment-level {"min",
+        "max"} plus block-granular zone maps {"blockSize", "blockMins",
+        "blockMaxs", "rows"}. Metadata-plane only: reads the smoosh
+        entry's bytes, never a value column. {} for segments without
+        stats (e.g. reference snapshots), so callers degrade to no
+        pruning."""
+        if self._column_stats is None:
+            self._column_stats = {}
+            if self.smoosh.has_file("metadata.drd"):
+                try:
+                    meta = json.loads(bytes(self.smoosh.map_file("metadata.drd")))
+                    self._column_stats = (
+                        (meta.get("container") or {}).get("columnStats") or {}
+                    )
+                except (ValueError, fmt.DruidFormatError):
+                    pass
+        return self._column_stats
+
+    def block_candidate_rows(
+        self, name: str, lo: float | None, hi: float | None
+    ) -> np.ndarray | None:
+        """Row ids of the compressed blocks whose zone map OVERLAPS
+        [lo, hi] — a SUPERSET of the rows matching the predicate
+        (callers re-apply it row-level), shaped for read_batch(rows=...)
+        so non-candidate blocks never decompress. None when the column
+        has no zone maps or when skipping wouldn't pay (more than half
+        the blocks are candidates — materializing most row ids costs
+        more than decoding straight through)."""
+        st = self.column_stats().get(name)
+        if not st or "blockMins" not in st:
+            return None
+        mins = np.asarray(st["blockMins"])
+        maxs = np.asarray(st["blockMaxs"])
+        sp, n = int(st["blockSize"]), int(st["rows"])
+        keep = np.ones(len(mins), bool)
+        if lo is not None:
+            keep &= maxs >= lo
+        if hi is not None:
+            keep &= mins <= hi
+        idx = np.flatnonzero(keep)
+        if len(idx) > len(mins) // 2:
+            return None
+        if len(idx) == 0:
+            return np.empty(0, np.uint32)
+        return np.concatenate(
+            [np.arange(b * sp, min((b + 1) * sp, n), dtype=np.int64) for b in idx]
+        )
 
     def files(self) -> list[str]:
         """CLI `files` analog (src/main.rs:128-140)."""
@@ -328,6 +365,33 @@ class DruidSegment:
 
     def close(self) -> None:
         self.smoosh.close()
+
+
+# Block sizes (values per compressed block) shared by the codec writers
+# and the zone-map stats so block ids in blockMins/blockMaxs line up
+# with the physical blocks sliced decode skips to.
+_LONG_SIZE_PER = 0x2000
+_DOUBLE_SIZE_PER = 0x2000
+_FLOAT_SIZE_PER = 0x4000
+
+
+def _block_minmax(arr: np.ndarray, size_per: int, cast) -> dict:
+    """Per-block [min, max] zone maps for a numeric column — the
+    block-granular analog of the segment-level min/max: a numeric
+    predicate decodes only blocks whose range overlaps it (standard
+    columnar zone-map technique, as in Parquet/ORC page stats; Druid
+    itself stores none, so this is beyond-reference surface)."""
+    mins, maxs = [], []
+    for i in range(0, len(arr), size_per):
+        c = arr[i : i + size_per]
+        mins.append(cast(c.min()))
+        maxs.append(cast(c.max()))
+    return {
+        "blockSize": size_per,
+        "blockMins": mins,
+        "blockMaxs": maxs,
+        "rows": len(arr),
+    }
 
 
 def write_segment(
@@ -423,9 +487,15 @@ def write_segment(
                 # round values past 2^53)
                 ints = pc.fill_null(ints, 0)
             ivals = ints.to_numpy(zero_copy_only=False)
-            payload = fmt.write_compressed_longs(ivals, strategy=strategy)
+            payload = fmt.write_compressed_longs(
+                ivals, size_per=_LONG_SIZE_PER, strategy=strategy
+            )
             if ivals.size:
-                col_stats[name] = {"min": int(ivals.min()), "max": int(ivals.max())}
+                col_stats[name] = {
+                    "min": int(ivals.min()),
+                    "max": int(ivals.max()),
+                    **_block_minmax(ivals, _LONG_SIZE_PER, int),
+                }
             desc = {"valueType": "LONG", "hasMultipleValues": False,
                     "parts": [{"type": "longV2"}]}
         elif pa.types.is_float64(col.type):
@@ -437,9 +507,15 @@ def write_segment(
                 mask = col.is_null().to_numpy(zero_copy_only=False)
                 vals = vals.copy()
                 vals[mask] = 0.0
-            payload = fmt.write_compressed_doubles(vals, strategy=strategy)
+            payload = fmt.write_compressed_doubles(
+                vals, size_per=_DOUBLE_SIZE_PER, strategy=strategy
+            )
             if vals.size and not np.isnan(vals).any():
-                col_stats[name] = {"min": float(vals.min()), "max": float(vals.max())}
+                col_stats[name] = {
+                    "min": float(vals.min()),
+                    "max": float(vals.max()),
+                    **_block_minmax(vals, _DOUBLE_SIZE_PER, float),
+                }
             desc = {"valueType": "DOUBLE", "hasMultipleValues": False,
                     "parts": [{"type": "doubleV2"}]}
         elif pa.types.is_float32(col.type):
@@ -448,9 +524,15 @@ def write_segment(
                 mask = col.is_null().to_numpy(zero_copy_only=False)
                 vals = vals.copy()
                 vals[mask] = 0.0
-            payload = fmt.write_compressed_floats(vals, strategy=strategy)
+            payload = fmt.write_compressed_floats(
+                vals, size_per=_FLOAT_SIZE_PER, strategy=strategy
+            )
             if vals.size and not np.isnan(vals).any():
-                col_stats[name] = {"min": float(vals.min()), "max": float(vals.max())}
+                col_stats[name] = {
+                    "min": float(vals.min()),
+                    "max": float(vals.max()),
+                    **_block_minmax(vals, _FLOAT_SIZE_PER, float),
+                }
             desc = {"valueType": "FLOAT", "hasMultipleValues": False,
                     "parts": [{"type": "floatV2"}]}
         elif pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):

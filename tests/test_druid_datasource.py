@@ -610,3 +610,66 @@ def test_dim_bound_filter_index_and_pruning(registered, tmp_path):
         .collect()
     )
     assert sorted(r.site for r in got) == ["bravo", "charlie", "delta", "mike"]
+
+
+def test_numeric_zone_maps_decode_only_candidate_blocks(
+    registered, tmp_path, monkeypatch
+):
+    """Per-block min/max zone maps: ascending values span 3 long blocks;
+    a window inside the middle block must (a) emit exactly that block's
+    rows as candidates, (b) decompress ONLY candidate blocks during the
+    read, and (c) stay exact through the re-applied filter."""
+    from druid_datafusion_bridge_spark.sources import druid_format as fmtmod
+    from druid_datafusion_bridge_spark.sources.segment import DruidSegment
+
+    n = 20000
+    t = pa.table(
+        {
+            "__time": pa.array(
+                [1704067200000 + i for i in range(n)], pa.timestamp("ms")
+            ),
+            "v": pa.array(list(range(n)), pa.int64()),
+        }
+    )
+    write_segment(t, str(tmp_path / "seg_000"))
+
+    s = DruidSegment(str(tmp_path / "seg_000"))
+    try:
+        st = s.column_stats()["v"]
+        assert st["blockSize"] == 8192 and len(st["blockMins"]) == 3
+        r = s.block_candidate_rows("v", 9000, 9100)
+        assert r.tolist() == list(range(8192, 16384))  # the middle block
+        assert s.block_candidate_rows("v", None, -1).size == 0
+        # window covering every block: skipping wouldn't pay -> None
+        assert s.block_candidate_rows("v", 0, None) is None
+    finally:
+        s.close()
+
+    df = (
+        registered.read.format("druidsegment")
+        .option("path", str(tmp_path))
+        .option("num_range", '{"v": [9000, 9100]}')
+        .load()
+    )
+    got = df.filter((F.col("v") >= 9000) & (F.col("v") <= 9100))
+    assert got.count() == 101
+
+    # driver-side read of the planned partition with decompression
+    # counted: one candidate block per projected column => 2 calls
+    reader = DruidSegmentReader(
+        df.schema,
+        {"path": str(tmp_path), "num_range": '{"v": [9000, 9100]}'},
+    )
+    parts = reader.partitions()
+    assert len(parts) == 1
+    calls = []
+    real = fmtmod.decompress_block
+
+    def counting(strategy, block, out_size):
+        calls.append(out_size)
+        return real(strategy, block, out_size)
+
+    monkeypatch.setattr(fmtmod, "decompress_block", counting)
+    batches = list(reader.read(parts[0]))
+    assert sum(b.num_rows for b in batches) == 8192
+    assert len(calls) == 2

@@ -743,3 +743,23 @@ def test_segment_read_batch_rows_slices_all_column_types(tmp_path):
             assert vals == [full[col][i] for i in rows], col
     finally:
         seg.close()
+
+
+@given(
+    st.lists(st.integers(-(2**50), 2**50), min_size=1, max_size=300),
+    st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_sliced_decode_property(values, data):
+    """For ANY value sequence, block size, and sorted row subset, the
+    sliced decode must equal full_decode[rows] exactly."""
+    arr = np.array(values, np.int64)
+    size_per = data.draw(st.integers(1, len(arr) + 8))
+    rows = sorted(
+        data.draw(
+            st.sets(st.integers(0, len(arr) - 1), min_size=1, max_size=20)
+        )
+    )
+    payload = fmt.write_compressed_longs(arr, size_per=size_per)
+    got = fmt.read_compressed_longs(payload, rows=np.array(rows, np.int64))
+    assert got.tolist() == arr[rows].tolist()
