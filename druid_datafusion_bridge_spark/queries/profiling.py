@@ -92,3 +92,81 @@ def prof_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s.*")
         .orderBy("column_name")
     )
+
+
+@query(
+    "prof_column_stats_approx",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'l_orderkey' AS column_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS null_count,
+             TRUE AS approx_within_rsd,
+             CAST(MIN(l_orderkey) AS VARCHAR) AS min_value,
+             CAST(MAX(l_orderkey) AS VARCHAR) AS max_value
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_suppkey', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) - COUNT(l_suppkey) AS BIGINT),
+             TRUE, CAST(MIN(l_suppkey) AS VARCHAR),
+             CAST(MAX(l_suppkey) AS VARCHAR)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_returnflag', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT),
+             TRUE, MIN(l_returnflag), MAX(l_returnflag)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_linestatus', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) - COUNT(l_linestatus) AS BIGINT),
+             TRUE, MIN(l_linestatus), MAX(l_linestatus)
+      FROM lineitem)
+    ORDER BY column_name
+    """,
+)
+def prof_column_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB profiler: prof_column_stats with HLL approx distinct
+    counts — the profile aggregate compiles WITHOUT Expand (input rows
+    cross the exchange once, not once per profiled column; plan-pinned
+    on the bare operator in tests/test_plans.py). Deterministic columns
+    (counts/nulls/min/max) are exactly oracled; the approximate
+    distinct count is checked through its error CONTRACT — the HLL
+    estimate (rsd=0.02) must land within 3*rsd of the exact count,
+    emitted as a flag DuckDB asserts as literal TRUE. The exact counts
+    feeding the flag are verification scaffolding a production run
+    drops (that branch is where the Expand lives)."""
+    from ..operators.profiling import approx_column_profile
+
+    li = table(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus"]
+    prof = approx_column_profile(li, cols, rsd=0.02)
+    exact = li.agg(*[F.countDistinct(c).alias(c) for c in cols])
+    exact_long = exact.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(c).alias("nd_exact"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    flag = (
+        F.abs(F.col("nd_approx") - F.col("nd_exact")) / F.col("nd_exact")
+        <= 0.06
+    )
+    return (
+        prof.join(F.broadcast(exact_long), "column_name")
+        .select(
+            "column_name",
+            "n_rows",
+            "null_count",
+            flag.alias("approx_within_rsd"),
+            "min_value",
+            "max_value",
+        )
+        .orderBy("column_name")
+    )

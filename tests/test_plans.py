@@ -384,3 +384,29 @@ def test_j12_bucketed_registry_query_zero_exchange(spark):
         assert "Bucketed: true" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_approx_profile_compiles_without_expand(spark):
+    """approx_column_profile is the 100 TB profiler: its single
+    aggregate must plan WITHOUT Expand (the exact profiler's
+    multi-column COUNT(DISTINCT) replicates every scan row once per
+    profiled column before the exchange; HLL registers don't), over
+    exactly one scan of the table."""
+    from druid_datafusion_bridge_spark.operators.profiling import (
+        approx_column_profile,
+    )
+    from druid_datafusion_bridge_spark.plans import formatted_plan
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    plan = formatted_plan(
+        approx_column_profile(
+            li, ["l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus"]
+        )
+    )
+    assert "Expand" not in plan, "approx profile regressed to Expand"
+    assert plan.count("lineitem.parquet") == 1
+    # the exact profiler DOES pay the Expand (documented trade)
+    exact_plan = formatted_plan(
+        all_queries()["prof_column_stats"](spark, SF_DIR)
+    )
+    assert "Expand" in exact_plan
