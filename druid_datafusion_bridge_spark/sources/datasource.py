@@ -361,6 +361,15 @@ class DruidSegmentReader(DataSourceReader):
                     ),
                     num_filters=tuple(
                         (c, lo, hi) for c, (lo, hi) in num.items()
+                    )
+                    + (
+                        # __time zone maps: the interval that pruned
+                        # whole segments above also skips blocks WITHIN
+                        # the survivors ([lower, upper] loose bounds —
+                        # superset rows, Spark re-applies the filter)
+                        ((TIME_COLUMN, lower, upper),)
+                        if (lower is not None or upper is not None)
+                        else ()
                     ),
                 )
             )

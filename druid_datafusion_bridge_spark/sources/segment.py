@@ -440,7 +440,18 @@ def write_segment(
             # epoch-millis unit (src/column/time.rs:10-14)
             millis = col.cast(pa.timestamp("ms"), safe=False).cast(pa.int64())
             time_ms = millis.to_numpy(zero_copy_only=False)
-            payload = fmt.write_compressed_longs(time_ms, strategy=strategy)
+            payload = fmt.write_compressed_longs(
+                time_ms, size_per=_LONG_SIZE_PER, strategy=strategy
+            )
+            if time_ms.size:
+                # __time zone maps: interval predicates skip blocks
+                # WITHIN a surviving segment (segments are usually
+                # time-ordered, so a narrow interval touches few blocks)
+                col_stats[name] = {
+                    "min": int(time_ms.min()),
+                    "max": int(time_ms.max()),
+                    **_block_minmax(time_ms, _LONG_SIZE_PER, int),
+                }
             desc = {"valueType": "LONG", "hasMultipleValues": False,
                     "parts": [{"type": "longV2"}]}
         elif pa.types.is_string(col.type) or pa.types.is_large_string(col.type):

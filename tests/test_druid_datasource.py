@@ -673,3 +673,63 @@ def test_numeric_zone_maps_decode_only_candidate_blocks(
     batches = list(reader.read(parts[0]))
     assert sum(b.num_rows for b in batches) == 8192
     assert len(calls) == 2
+
+
+def test_time_interval_skips_blocks_within_segment(
+    registered, tmp_path, monkeypatch
+):
+    """__time zone maps: an interval that keeps a segment must still
+    skip the segment's non-overlapping compressed blocks — 20000
+    ascending-timestamp rows span 3 blocks; a window inside the middle
+    block decodes exactly one block per projected column."""
+    from druid_datafusion_bridge_spark.sources import druid_format as fmtmod
+
+    n = 20000
+    base = 1704067200000
+    t = pa.table(
+        {
+            "__time": pa.array(
+                [base + 1000 * i for i in range(n)], pa.timestamp("ms")
+            ),
+            "v": pa.array(list(range(n)), pa.int64()),
+        }
+    )
+    write_segment(t, str(tmp_path / "seg_000"))
+    df = (
+        registered.read.format("druidsegment")
+        .option("path", str(tmp_path))
+        .option("time_lower_ms", str(base + 1000 * 9000))
+        .option("time_upper_ms", str(base + 1000 * 9100))
+        .load()
+    )
+    import datetime as dt
+
+    lo = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(
+        seconds=9000
+    )
+    hi = lo + dt.timedelta(seconds=100)
+    got = df.filter((F.col("__time") >= lo.replace(tzinfo=None)) &
+                    (F.col("__time") <= hi.replace(tzinfo=None)))
+    assert got.count() == 101
+
+    reader = DruidSegmentReader(
+        df.schema,
+        {
+            "path": str(tmp_path),
+            "time_lower_ms": str(base + 1000 * 9000),
+            "time_upper_ms": str(base + 1000 * 9100),
+        },
+    )
+    parts = reader.partitions()
+    assert len(parts) == 1
+    calls = []
+    real = fmtmod.decompress_block
+
+    def counting(strategy, block, out_size):
+        calls.append(out_size)
+        return real(strategy, block, out_size)
+
+    monkeypatch.setattr(fmtmod, "decompress_block", counting)
+    batches = list(reader.read(parts[0]))
+    assert sum(b.num_rows for b in batches) == 8192  # the middle block
+    assert len(calls) == 2  # __time + v, one block each
