@@ -581,10 +581,12 @@ class DruidSegmentReaderWithPushdown(DruidSegmentReader):
                 isinstance(f, In)
                 and getattr(f, "attribute", None) != (TIME_COLUMN,)
                 and len(getattr(f, "attribute", ())) == 1
-                and all(isinstance(v, str) for v in f.values)
+                and all(isinstance(v, str) for v in f.value)
             ):
-                # IN-list: union of the per-value bitmaps
-                merge_dim(f.attribute[0], tuple(f.values))
+                # IN-list: union of the per-value bitmaps (the Filter
+                # dataclass field is `value` — a tuple — despite the
+                # plural semantics, pyspark.sql.datasource.In)
+                merge_dim(f.attribute[0], tuple(f.value))
             elif (
                 getattr(f, "attribute", None) is not None
                 and f.attribute != (TIME_COLUMN,)
@@ -601,6 +603,20 @@ class DruidSegmentReaderWithPushdown(DruidSegmentReader):
                     merge_num(f.attribute[0], None, f.value)
                 else:
                     merge_num(f.attribute[0], f.value, f.value)
+            elif (
+                isinstance(f, In)
+                and getattr(f, "attribute", None) != (TIME_COLUMN,)
+                and len(getattr(f, "attribute", ())) == 1
+                and f.value
+                and all(
+                    isinstance(v, (int, float)) and not isinstance(v, bool)
+                    for v in f.value
+                )
+            ):
+                # numeric IN-list -> its [min, max] hull as a zone-map
+                # window (superset semantics; exact membership is
+                # Spark's re-applied filter)
+                merge_num(f.attribute[0], min(f.value), max(f.value))
             elif (
                 getattr(f, "attribute", None) is not None
                 and f.attribute != (TIME_COLUMN,)

@@ -733,3 +733,69 @@ def test_time_interval_skips_blocks_within_segment(
     batches = list(reader.read(parts[0]))
     assert sum(b.num_rows for b in batches) == 8192  # the middle block
     assert len(calls) == 2  # __time + v, one block each
+
+
+def test_numeric_in_list_hull_feeds_zone_maps(registered, tmp_path):
+    """A numeric IN-list pushes its [min, max] hull as a zone-map
+    window: values from one block => only that block's rows planned as
+    candidates (membership itself is Spark's re-applied filter)."""
+    from druid_datafusion_bridge_spark.sources.datasource import (
+        DruidSegmentReaderWithPushdown,
+    )
+    from pyspark.sql.datasource import In
+
+    n = 20000
+    t = pa.table(
+        {
+            "__time": pa.array(
+                [1704067200000 + i for i in range(n)], pa.timestamp("ms")
+            ),
+            "v": pa.array(list(range(n)), pa.int64()),
+        }
+    )
+    write_segment(t, str(tmp_path / "seg_000"))
+    df = (
+        registered.read.format("druidsegment")
+        .option("path", str(tmp_path)).load()
+    )
+    got = df.filter(F.col("v").isin(9000, 9050))
+    assert got.count() == 2
+
+    r = DruidSegmentReaderWithPushdown(df.schema, {"path": str(tmp_path)})
+    kept = list(r.pushFilters([In(("v",), (9000, 9050))]))
+    assert len(kept) == 1
+    parts = r.partitions()
+    assert parts[0].num_filters == (("v", 9000, 9050),)
+
+
+def test_string_in_list_pushfilters_uses_bitmap_union(registered, tmp_path):
+    """pushFilters IN on a string dim (the Filter dataclass field is
+    `value`, despite plural semantics — this path raised AttributeError
+    before) must land in eq_filters as the value tuple."""
+    from druid_datafusion_bridge_spark.sources.datasource import (
+        DruidSegmentReaderWithPushdown,
+    )
+    from pyspark.sql.datasource import In
+
+    t = pa.table(
+        {
+            "__time": pa.array(
+                [1704067200000 + i for i in range(4)], pa.timestamp("ms")
+            ),
+            "site": pa.array(["alpha", "bravo", "charlie", "delta"]),
+        }
+    )
+    write_segment(t, str(tmp_path / "seg_000"))
+    df = (
+        registered.read.format("druidsegment")
+        .option("path", str(tmp_path)).load()
+    )
+    r = DruidSegmentReaderWithPushdown(df.schema, {"path": str(tmp_path)})
+    kept = list(r.pushFilters([In(("site",), ("bravo", "delta"))]))
+    assert len(kept) == 1
+    parts = r.partitions()
+    assert parts[0].eq_filters == (("site", ("bravo", "delta")),)
+    rows = sorted(
+        sum((list(b.column(1).to_pylist()) for b in r.read(parts[0])), [])
+    )
+    assert rows == ["bravo", "delta"]
