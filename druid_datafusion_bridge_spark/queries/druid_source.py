@@ -1084,6 +1084,48 @@ def s1h_druid_segment_metric_prune(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "dm_segment_stats_plane",
+    oracle="""
+    WITH ranked AS (
+      SELECT value, row_number() OVER (ORDER BY value) - 1 AS r,
+             COUNT(*) OVER () AS n
+      FROM events)
+    SELECT CASE WHEN r < n//4 THEN 0 WHEN r < (2*n)//4 THEN 1
+                WHEN r < (3*n)//4 THEN 2 ELSE 3 END AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM ranked GROUP BY 1 ORDER BY 1
+    """,
+)
+def dm_segment_stats_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted stats PLANE itself, verified against the data: one
+    row per value-banded segment holding the min/max/row-count that
+    write_segment stored in metadata.drd — the numbers s1h's pruning
+    and the zone maps trust. The oracle independently recomputes each
+    band's extrema from raw events (row_number cuts mirroring the
+    builder's integer-division slicing bit-exactly), so a green row
+    proves the metadata plane tells the truth. Reads are
+    metadata-only — column_stats() never touches a value chunk; the
+    4-row result is driver-side by nature (it IS planner metadata, the
+    same bytes partitions() consults)."""
+    from ..sources.datasource import find_segment_dirs
+    from ..sources.segment import DruidSegment
+
+    root = _ensure_value_banded_segments(spark, sf_dir)
+    rows = []
+    for band, seg_dir in enumerate(sorted(find_segment_dirs(root))):
+        seg = DruidSegment(seg_dir)
+        try:
+            st = seg.column_stats()["value"]
+        finally:
+            seg.close()
+        rows.append((band, st["rows"], st["min"], st["max"]))
+    return spark.createDataFrame(
+        rows, "band int, n_rows bigint, min_value double, max_value double"
+    ).orderBy("band")
+
+
 # --- fixed-buckets quantile histogram (Druid fixedBucketsHistogram) ----
 
 QHIST_BUCKETS = 64

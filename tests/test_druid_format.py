@@ -410,7 +410,10 @@ def test_segment_multichunk_column_decode(tmp_path):
     chunk table exactly as in the single-chunk layout."""
     path = str(tmp_path / "seg")
     t = _sample_table()
-    write_segment(t, path, max_chunk_size=512)
+    # "min" = largest logical file: always a legal multi-chunk layout,
+    # whatever metadata.drd grows to (a fixed byte budget broke when
+    # columnStats zone maps were added)
+    write_segment(t, path, max_chunk_size="min")
     seg = DruidSegment(path)
     try:
         assert seg.smoosh.num_chunks > 1
