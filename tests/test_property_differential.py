@@ -711,3 +711,122 @@ def test_fixed_hist_two_quantiles_one_pass_differential(spark, a):
         FROM t JOIN med USING (k) JOIN hi USING (k)
     """
     _compare(got, con, sql)
+
+
+@given(data=st.data())
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_segment_filter_pruning_never_loses_rows(data):
+    """Fuzz the whole acceleration stack (segment pruning, bitmap
+    equality, dictionary bounds, numeric + __time zone maps) WITHOUT
+    Spark: for ANY table split into ANY number of segments and ANY
+    combination of pushed windows, the rows the DataSource emits must
+    be a SUPERSET of the rows matching the exact predicates (Spark
+    re-applies them), drawn only from the true table. This is the
+    acceleration-only contract the options document."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+
+    from druid_datafusion_bridge_spark.sources.datasource import (
+        DruidSegmentReader,
+    )
+    from druid_datafusion_bridge_spark.sources.segment import write_segment
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    n = data.draw(st.integers(1, 120))
+    base = 1_700_000_000_000
+    v = data.draw(
+        st.lists(st.integers(-50, 50), min_size=n, max_size=n)
+    )
+    sites = data.draw(
+        st.lists(st.sampled_from(["a", "b", "c", "dd", "e"]), min_size=n, max_size=n)
+    )
+    t = pa.table(
+        {
+            "__time": pa.array(
+                [base + 1000 * i for i in range(n)], pa.timestamp("ms")
+            ),
+            "v": pa.array(v, pa.int64()),
+            "site": pa.array(sites),
+        }
+    )
+    root = tempfile.mkdtemp(prefix="ddbs_fuzz_seg_")
+    n_segs = data.draw(st.integers(1, 3))
+    cuts = sorted(
+        data.draw(
+            st.lists(st.integers(0, n), min_size=n_segs - 1, max_size=n_segs - 1)
+        )
+    ) + [n]
+    lo_row = 0
+    for i, hi_row in enumerate(cuts):
+        if hi_row > lo_row:
+            write_segment(t.slice(lo_row, hi_row - lo_row),
+                          f"{root}/seg_{i:03d}")
+        lo_row = hi_row
+
+    import json as _json
+
+    options: dict = {"path": root}
+    mask = np.ones(n, bool)
+    varr = np.array(v)
+    if data.draw(st.booleans()):  # numeric window on v
+        lo = data.draw(st.one_of(st.none(), st.integers(-60, 60)))
+        hi = data.draw(st.one_of(st.none(), st.integers(-60, 60)))
+        options["num_range"] = _json.dumps({"v": [lo, hi]})
+        if lo is not None:
+            mask &= varr >= lo
+        if hi is not None:
+            mask &= varr <= hi
+    if data.draw(st.booleans()):  # dim equality on site
+        val = data.draw(st.sampled_from(["a", "b", "c", "dd", "e", "zz"]))
+        options["dim_eq"] = _json.dumps({"site": val})
+        mask &= np.array([s == val for s in sites])
+    if data.draw(st.booleans()):  # lexicographic bound on site
+        blo = data.draw(st.one_of(st.none(), st.sampled_from(["a", "b", "c", "d"])))
+        bhi = data.draw(st.one_of(st.none(), st.sampled_from(["b", "c", "d", "z"])))
+        ls = data.draw(st.booleans())
+        us = data.draw(st.booleans())
+        options["dim_bound"] = _json.dumps({"site": [blo, bhi, ls, us]})
+        for i, s in enumerate(sites):
+            if blo is not None and (s < blo or (ls and s == blo)):
+                mask[i] = False
+            if bhi is not None and (s > bhi or (us and s == bhi)):
+                mask[i] = False
+    if data.draw(st.booleans()):  # time interval
+        lo_i = data.draw(st.integers(0, n))
+        hi_i = data.draw(st.integers(0, n))
+        options["time_lower_ms"] = str(base + 1000 * lo_i)
+        options["time_upper_ms"] = str(base + 1000 * hi_i)
+        idx = np.arange(n)
+        mask &= (idx >= lo_i) & (idx <= hi_i)
+
+    schema = StructType(
+        [
+            StructField("__time", TimestampType()),
+            StructField("v", LongType()),
+            StructField("site", StringType()),
+        ]
+    )
+    reader = DruidSegmentReader(schema, options)
+    batches = [b for p in reader.partitions() for b in reader.read(p)]
+    emitted_v = [x for b in batches for x in b.column(1).to_pylist()]
+    emitted_times = {
+        x for b in batches for x in b.column(0).cast(pa.int64()).to_pylist()
+    }
+    # microsecond timestamps out of the reader
+    expected_times = {(base + 1000 * i) * 1000 for i in np.flatnonzero(mask)}
+    all_times = {(base + 1000 * i) * 1000 for i in range(n)}
+    assert expected_times <= emitted_times, "acceleration lost matching rows"
+    assert emitted_times <= all_times, "reader invented rows"
+    assert len(emitted_v) == len(emitted_times)
