@@ -987,6 +987,37 @@ def s1i_druid_segment_dim_bound_filter(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+@query(
+    "s1k_druid_segment_prefix_filter",
+    oracle="""
+    SELECT COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+           MIN(n_name) AS first_name, MAX(n_name) AS last_name
+    FROM nation
+    WHERE n_name LIKE 'I%'
+    """,
+)
+def s1k_druid_segment_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid PrefixFilter (LIKE 'I%') answered by the sorted
+    dictionary: a prefix is exactly the bound [p, next_prefix(p)), so
+    the same binary-search + bitmap-union machinery as s1i serves it —
+    the dim_prefix option is pure sugar over dim_bound, and pushed
+    StringStartsWith filters take the identical route. Acceleration
+    only; the startswith filter re-applies row-level."""
+    root = _ensure_segments(spark, sf_dir)
+    df = (
+        spark.read.format("druidsegment")
+        .option("path", root)
+        .option("dim_prefix", '{"n_name": "I"}')
+        .load()
+    )
+    return df.filter(F.col("n_name").startswith("I")).agg(
+        F.count("*").alias("n"),
+        F.sum("n_nationkey").alias("sum_key"),
+        F.min("n_name").alias("first_name"),
+        F.max("n_name").alias("last_name"),
+    )
+
+
 def _ensure_value_banded_segments(spark: SparkSession, sf_dir: str) -> str:
     """Events as 4 range-partitioned segments on the `value` metric
     (Druid's single-dim/range partitionsSpec): rows sorted by value,

@@ -47,9 +47,25 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNull,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
 )
+
+
+def _next_prefix(p: str) -> str | None:
+    """Smallest string lexicographically greater than every string with
+    prefix ``p`` — so startswith(p) == (p <= s < _next_prefix(p)) and a
+    prefix filter reduces to a dictionary BOUND. None when no finite
+    upper bound exists (prefix of all U+10FFFF)."""
+    maxc = chr(0x10FFFF)
+    i = len(p) - 1
+    while i >= 0 and p[i] == maxc:
+        i -= 1
+    if i < 0:
+        return None
+    return p[:i] + chr(ord(p[i]) + 1)
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -298,6 +314,14 @@ class DruidSegmentReader(DataSourceReader):
         self.opt_bound: dict[str, tuple] = {
             c: (b[0], b[1], bool(b[2]), bool(b[3])) for c, b in raw_bound.items()
         }
+        # dim_prefix is pure sugar: startswith(p) == the dictionary
+        # bound [p, _next_prefix(p)) — Druid's PrefixFilter
+        raw_prefix = (
+            _json.loads(options.get("dim_prefix")) if options.get("dim_prefix") else {}
+        )
+        for c, p in raw_prefix.items():
+            if c not in self.opt_bound:
+                self.opt_bound[c] = (p, _next_prefix(p), False, True)
         # [lower_ms, upper_ms) bounds accumulated from pushed __time filters
         self.lower_ms: int | None = None
         self.upper_ms: int | None = None
@@ -636,6 +660,23 @@ class DruidSegmentReaderWithPushdown(DruidSegmentReader):
                     merge_bound(f.attribute[0], None, f.value, False, True)
                 else:
                     merge_bound(f.attribute[0], None, f.value, False, False)
+            elif (
+                isinstance(f, StringStartsWith)
+                and getattr(f, "attribute", None) != (TIME_COLUMN,)
+                and len(getattr(f, "attribute", ())) == 1
+            ):
+                # Druid PrefixFilter == the dictionary bound
+                # [prefix, next_prefix) — LIKE 'p%' pushdown
+                merge_bound(
+                    f.attribute[0], f.value, _next_prefix(f.value), False, True
+                )
+            elif (
+                isinstance(f, IsNull)
+                and getattr(f, "attribute", None) != (TIME_COLUMN,)
+                and len(getattr(f, "attribute", ())) == 1
+            ):
+                # IS NULL == equality with the dictionary's null slot
+                merge_dim(f.attribute[0], (None,))
             if getattr(f, "attribute", None) == (TIME_COLUMN,):
                 if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
                     ms = _to_millis(f.value)

@@ -799,3 +799,69 @@ def test_string_in_list_pushfilters_uses_bitmap_union(registered, tmp_path):
         sum((list(b.column(1).to_pylist()) for b in r.read(parts[0])), [])
     )
     assert rows == ["bravo", "delta"]
+
+
+def test_prefix_filter_and_is_null_pushdown(registered, tmp_path):
+    """PrefixFilter (s1k): startswith(p) must reduce to the dictionary
+    bound [p, next_prefix(p)) — correct rows selected, non-overlapping
+    segments pruned — and pushed IsNull must hit the null bitmap."""
+    from druid_datafusion_bridge_spark.sources.datasource import (
+        DruidSegmentReaderWithPushdown,
+        _next_prefix,
+    )
+    from pyspark.sql.datasource import IsNull, StringStartsWith
+
+    assert _next_prefix("ab") == "ac"
+    assert _next_prefix("a" + chr(0x10FFFF)) == "b"
+    assert _next_prefix(chr(0x10FFFF)) is None
+
+    def seg(values, offset):
+        return pa.table(
+            {
+                "__time": pa.array(
+                    [1704067200000 + offset + i for i in range(len(values))],
+                    pa.timestamp("ms"),
+                ),
+                "site": pa.array(values),
+            }
+        )
+
+    write_segment(seg(["app", "apple", "apricot", None], 0),
+                  str(tmp_path / "seg_000"))
+    write_segment(seg(["banana", "berry"], 10_000),
+                  str(tmp_path / "seg_001"))
+
+    df = (
+        registered.read.format("druidsegment")
+        .option("path", str(tmp_path))
+        .option("dim_prefix", '{"site": "ap"}')
+        .load()
+    )
+    got = df.filter(F.col("site").startswith("ap")).select("site").collect()
+    assert sorted(r.site for r in got) == ["app", "apple", "apricot"]
+
+    # option path prunes the non-overlapping segment planner-side
+    reader = DruidSegmentReader(
+        df.schema, {"path": str(tmp_path), "dim_prefix": '{"site": "ba"}'}
+    )
+    parts = reader.partitions()
+    assert [os.path.basename(p.segment_dir) for p in parts] == ["seg_001"]
+
+    # pushFilters: StringStartsWith routes to the same bound
+    r2 = DruidSegmentReaderWithPushdown(df.schema, {"path": str(tmp_path)})
+    kept = list(r2.pushFilters([StringStartsWith(("site",), "ap")]))
+    assert len(kept) == 1
+    parts2 = r2.partitions()
+    assert [os.path.basename(p.segment_dir) for p in parts2] == ["seg_000"]
+    sites = sorted(
+        s for b in r2.read(parts2[0]) for s in b.column(1).to_pylist()
+    )
+    assert sites == ["app", "apple", "apricot"]
+
+    # IsNull -> null-slot bitmap: only the null row of seg_000
+    r3 = DruidSegmentReaderWithPushdown(df.schema, {"path": str(tmp_path)})
+    list(r3.pushFilters([IsNull(("site",))]))
+    parts3 = r3.partitions()
+    assert [os.path.basename(p.segment_dir) for p in parts3] == ["seg_000"]
+    rows = [s for b in r3.read(parts3[0]) for s in b.column(1).to_pylist()]
+    assert rows == [None]
