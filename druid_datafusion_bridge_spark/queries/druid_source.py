@@ -1314,3 +1314,85 @@ def cx_qhist_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "s1l_druid_segment_regex_filter",
+    oracle="""
+    WITH r AS (
+      SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS c
+      FROM events WHERE regexp_matches(event_type, '^(cl|pu)')
+      GROUP BY h, event_type)
+    SELECT event_type, COUNT(*) AS n_buckets, CAST(SUM(c) AS BIGINT) AS n_events
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+)
+def s1l_druid_segment_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid RegexDimFilter over real segments: the pattern is
+    evaluated ONCE PER DISTINCT VALUE against each segment's sorted
+    dictionary — O(cardinality), never O(rows) — and the surviving
+    ids' row bitmaps union into the row selection that slices value
+    decode to matching blocks (zero-match segments are pruned at
+    planning, matched ones skip non-candidate block decompression).
+    Completes the filter-family ladder s1d (=), s1f (IN), s1i (bound),
+    s1k (prefix) with the predicate form the sorted dictionary canNOT
+    bisect; the reference parses these dictionaries (string.rs:27-44)
+    but applies no filter of any kind (bitmap.rs:16-40 dead code).
+    Acceleration only: the rlike filter re-applies row-level, and the
+    pattern stays in the re/Java-regex common subset (docstring of
+    _compile_pred)."""
+    root = _ensure_hll_segments(spark, sf_dir)
+    df = (
+        spark.read.format("druidsegment")
+        .option("path", root)
+        .option("dim_regex", '{"event_type": "^(cl|pu)"}')
+        .load()
+    )
+    return (
+        df.filter(F.col("event_type").rlike("^(cl|pu)"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "s1m_druid_segment_search_filter",
+    oracle="""
+    WITH r AS (
+      SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS c
+      FROM events WHERE contains(lower(event_type), 'rchas')
+      GROUP BY h, event_type)
+    SELECT event_type, COUNT(*) AS n_buckets, CAST(SUM(c) AS BIGINT) AS n_events
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+)
+def s1m_druid_segment_search_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid search filter (ContainsSearchQuerySpec, caseSensitive=
+    false) over real segments: case-insensitive substring match runs
+    once per distinct dictionary value, then bitmap-union row
+    selection — the same dictionary-predicate machinery as s1l with a
+    non-regex matcher. The Spark-side residual filter is an EXPRESSION
+    (lower() + contains), so no Filter pushdown exists even in theory;
+    the dim_icontains option is how the engine's own planner layer
+    hands the search spec to the scan — exactly Druid's split between
+    filter spec (query JSON) and per-segment evaluation."""
+    root = _ensure_hll_segments(spark, sf_dir)
+    df = (
+        spark.read.format("druidsegment")
+        .option("path", root)
+        .option("dim_icontains", '{"event_type": "RCHAS"}')
+        .load()
+    )
+    return (
+        df.filter(F.lower(F.col("event_type")).contains("rchas"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

@@ -23,6 +23,14 @@ with three upgrades over the reference's scan:
   Pruned filters are still returned to Spark for row-level re-evaluation,
   so correctness never depends on the pruning.
 
+Filter families (each both option-driven and, where a Spark Filter
+class exists, pushFilters-driven; all acceleration-only): __time
+intervals, dim equality/IN (bitmap union), lexicographic bounds +
+prefixes (sorted-dictionary bisect), numeric ranges (segment min/max +
+per-block zone maps), and dictionary predicates regex/contains/
+icontains/endswith (one pass over the value dictionary — Druid's
+RegexDimFilter / search filter evaluation model).
+
 Scale posture: partitions() touches only meta.smoosh + index.drd +
 column JSON headers (a few KB per segment); column bytes are decoded on
 executors inside read(), which yields Arrow RecordBatches (zero row
@@ -50,8 +58,34 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    StringContains,
+    StringEndsWith,
     StringStartsWith,
 )
+
+
+def _compile_pred(kind: str, arg: str):
+    """``str -> bool`` predicate for a dictionary pass (the segment
+    evaluates it once per DISTINCT value, never per row). ``regex`` is
+    UNANCHORED search — the semantics Spark's rlike and Druid's
+    RegexDimFilter (java find(), druid RegexDimFilter docs) share with
+    Python re.search on the portable pattern subset; pruning is
+    acceleration-only and callers keep their own df.filter on top, so
+    patterns must stay inside that common subset (no engine-specific
+    escapes)."""
+    if kind == "regex":
+        import re
+
+        rx = re.compile(arg)
+        return lambda s: rx.search(s) is not None
+    if kind == "contains":
+        return lambda s: arg in s
+    if kind == "icontains":
+        low = arg.lower()
+        return lambda s: low in s.lower()
+    if kind == "endswith":
+        return lambda s: s.endswith(arg)
+    raise ValueError(f"unknown predicate kind {kind!r}")
 
 
 def _next_prefix(p: str) -> str | None:
@@ -202,6 +236,9 @@ class SegmentPartition(InputPartition):
     # (col, lo, hi) tuples — candidate-block row sets are SUPERSETS of
     # the matching rows (Spark re-applies the predicate)
     num_filters: tuple = ()
+    # dictionary predicates (regex/contains/…) answered by one
+    # dictionary pass + bitmap union at read time: (col, kind, arg)
+    pred_filters: tuple = ()
 
 
 class DruidSegmentDataSource(DataSource):
@@ -322,6 +359,21 @@ class DruidSegmentReader(DataSourceReader):
         for c, p in raw_prefix.items():
             if c not in self.opt_bound:
                 self.opt_bound[c] = (p, _next_prefix(p), False, True)
+        # dictionary-predicate filters (Druid RegexDimFilter /
+        # search-contains analogs): evaluated once per distinct value
+        # against the segment's sorted dictionary, then the surviving
+        # ids' row bitmaps union — O(cardinality + selected blocks),
+        # never O(rows). Conjunctive across entries like every other
+        # filter family here; acceleration-only (callers keep their
+        # rlike/contains df.filter on top).
+        self.opt_pred: list[tuple[str, str, str]] = []
+        for opt, kind in (
+            ("dim_regex", "regex"),
+            ("dim_contains", "contains"),
+            ("dim_icontains", "icontains"),
+        ):
+            raw = _json.loads(options.get(opt)) if options.get(opt) else {}
+            self.opt_pred += [(c, kind, a) for c, a in raw.items()]
         # [lower_ms, upper_ms) bounds accumulated from pushed __time filters
         self.lower_ms: int | None = None
         self.upper_ms: int | None = None
@@ -329,6 +381,8 @@ class DruidSegmentReader(DataSourceReader):
         self.num_filters: dict[str, tuple] = {}
         # lexicographic bounds accumulated from pushed string comparisons
         self.bound_filters: dict[str, tuple] = {}
+        # dictionary predicates accumulated from pushed contains/endswith
+        self.pred_filters: list[tuple[str, str, str]] = []
         # dimension predicates answered by the inverted index at read
         # time: col -> accepted-value tuple (conjunctive across cols,
         # disjunctive within a tuple — covers = and IN)
@@ -343,6 +397,7 @@ class DruidSegmentReader(DataSourceReader):
         upper = min(bounds_hi) if bounds_hi else None
         eq = {**self.opt_eq, **self.eq_filters}
         bound = {**self.opt_bound, **self.bound_filters}
+        preds = tuple(self.opt_pred) + tuple(self.pred_filters)
         num = dict(self.opt_num)
         for c, (lo, hi) in self.num_filters.items():
             plo, phi = num.get(c, (None, None))
@@ -373,7 +428,9 @@ class DruidSegmentReader(DataSourceReader):
                     for c, (lo, hi) in num.items()
                 ):
                     continue
-            if (eq or bound) and self._value_pruned(seg_dir, eq, bound):
+            if (eq or bound or preds) and self._value_pruned(
+                seg_dir, eq, bound, preds
+            ):
                 continue
             parts.append(
                 SegmentPartition(
@@ -383,6 +440,7 @@ class DruidSegmentReader(DataSourceReader):
                         (c, lo, hi, ls, us)
                         for c, (lo, hi, ls, us) in bound.items()
                     ),
+                    pred_filters=preds,
                     num_filters=tuple(
                         (c, lo, hi) for c, (lo, hi) in num.items()
                     )
@@ -408,10 +466,15 @@ class DruidSegmentReader(DataSourceReader):
         self.eq_filters = {}
         self.num_filters = {}
         self.bound_filters = {}
+        self.pred_filters = []
         return parts
 
     def _value_pruned(
-        self, seg_dir: str, eq: dict[str, str], bound: dict[str, tuple] | None = None
+        self,
+        seg_dir: str,
+        eq: dict[str, str],
+        bound: dict[str, tuple] | None = None,
+        preds: tuple = (),
     ) -> bool:
         """Planner-side value pruning: a segment whose inverted index
         proves a conjunctive dim equality (or lexicographic bound)
@@ -431,6 +494,14 @@ class DruidSegmentReader(DataSourceReader):
                 # pruning is acceleration-only)
                 rng = seg.bound_id_range(col, lo, hi, ls, us)
                 if rng is not None and rng[0] >= rng[1]:
+                    return True
+            for col, kind, arg in preds:
+                # one dictionary pass proves no value matches — the
+                # segment never gets a task (same metadata-only cost
+                # class as the bound check: dictionary bytes, no value
+                # column decode)
+                ids = seg.matching_value_ids(col, _compile_pred(kind, arg))
+                if ids is not None and len(ids) == 0:
                     return True
             return False
         finally:
@@ -458,6 +529,15 @@ class DruidSegmentReader(DataSourceReader):
                     if rows is not None and len(rows) == 0:
                         break
                     r = seg.bitmap_rows_for_bound(col, lo, hi, ls, us)
+                    if r is None:
+                        continue
+                    rows = r if rows is None else np.intersect1d(rows, r)
+                for col, kind, arg in partition.pred_filters:
+                    if rows is not None and len(rows) == 0:
+                        break
+                    r = seg.bitmap_rows_for_predicate(
+                        col, _compile_pred(kind, arg)
+                    )
                     if r is None:
                         continue
                     rows = r if rows is None else np.intersect1d(rows, r)
@@ -551,6 +631,7 @@ class DruidSegmentReaderWithPushdown(DruidSegmentReader):
         self.eq_filters = {}
         self.num_filters = {}
         self.bound_filters = {}
+        self.pred_filters = []
 
         def merge_bound(col: str, lo, hi, ls: bool, us: bool) -> None:
             # conjunction: tighten lexicographic bounds; equal bound
@@ -677,6 +758,21 @@ class DruidSegmentReaderWithPushdown(DruidSegmentReader):
             ):
                 # IS NULL == equality with the dictionary's null slot
                 merge_dim(f.attribute[0], (None,))
+            elif (
+                isinstance(f, (StringContains, StringEndsWith))
+                and getattr(f, "attribute", None) != (TIME_COLUMN,)
+                and len(getattr(f, "attribute", ())) == 1
+            ):
+                # LIKE '%x%' / LIKE '%x' -> dictionary predicate
+                # (Druid's search/contains filter family): evaluated
+                # once per distinct value, surviving ids' bitmaps union
+                self.pred_filters.append(
+                    (
+                        f.attribute[0],
+                        "contains" if isinstance(f, StringContains) else "endswith",
+                        f.value,
+                    )
+                )
             if getattr(f, "attribute", None) == (TIME_COLUMN,):
                 if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
                     ms = _to_millis(f.value)

@@ -198,6 +198,70 @@ class DruidSegment:
     # and Spark re-applies the predicate anyway (acceleration-only).
     BOUND_MAX_IDS = 4096
 
+    def _string_index(self, name: str):
+        """(GenericIndexed dictionary, bitmap-index section, header
+        payload offset, mmapped bytes) for a STRING column that carries
+        an inverted index — None otherwise. The shared entry point of
+        every dictionary-side acceleration path."""
+        if name not in self.metadata.columns:
+            return None
+        if self._descriptors[name]["valueType"].upper() != "STRING":
+            return None
+        data = self.smoosh.map_file(name)
+        _, payload = fmt.parse_column_header(data)
+        bm = fmt.locate_string_bitmap_index(data, payload)
+        if bm is None:
+            return None
+        return fmt.GenericIndexedV1(data, payload + 5), bm
+
+    def matching_value_ids(self, name: str, predicate) -> np.ndarray | None:
+        """Dictionary ids whose STRING value satisfies ``predicate``
+        (a ``str -> bool`` callable) — ONE pass over the dictionary,
+        O(cardinality) and never O(rows). This is exactly how Druid
+        answers predicate-style filters (RegexDimFilter, search/contains
+        specs): evaluate against the value dictionary once, then union
+        the surviving ids' row bitmaps. NULL (slot 0 when present)
+        never matches a predicate. None when the column has no usable
+        index (caller falls back to a scan)."""
+        idx = self._string_index(name)
+        if idx is None:
+            return None
+        gi, _ = idx
+        n = len(gi)
+        first = 1 if (n > 0 and gi.get_str(0) is None) else 0
+        return np.array(
+            [i for i in range(first, n) if predicate(gi.get_str(i))],
+            dtype=np.int64,
+        )
+
+    def bitmap_rows_for_ids(self, name: str, ids) -> np.ndarray | None:
+        """Union of the row bitmaps of the given dictionary ids. None
+        when the column has no index OR the id set exceeds
+        BOUND_MAX_IDS (unioning that many blobs costs more than
+        decoding the column — scan instead; acceleration-only, Spark
+        re-applies the predicate)."""
+        idx = self._string_index(name)
+        if idx is None or len(ids) > self.BOUND_MAX_IDS:
+            return None
+        _, bm = idx
+        out: np.ndarray | None = None
+        for dict_id in ids:
+            r = fmt.read_string_bitmap_blob(bm, int(dict_id))
+            out = r if out is None else np.union1d(out, r)
+        return out if out is not None else np.empty(0, np.uint32)
+
+    def bitmap_rows_for_predicate(self, name: str, predicate) -> np.ndarray | None:
+        """Row ids whose value satisfies ``predicate`` — the
+        dictionary-predicate path end-to-end: matching_value_ids (one
+        dictionary pass) then the surviving ids' bitmap union. On
+        multi-value dimensions this gives Druid's MVD semantics (a row
+        matches when ANY of its values matches). None when no usable
+        index or too many ids match (scan instead)."""
+        ids = self.matching_value_ids(name, predicate)
+        if ids is None:
+            return None
+        return self.bitmap_rows_for_ids(name, ids)
+
     def bound_id_range(
         self,
         name: str,
@@ -268,16 +332,7 @@ class DruidSegment:
         if rng is None:
             return None
         lo_id, hi_id = rng
-        if hi_id - lo_id > self.BOUND_MAX_IDS:
-            return None
-        data = self.smoosh.map_file(name)
-        _, payload = fmt.parse_column_header(data)
-        bm = fmt.locate_string_bitmap_index(data, payload)
-        out: np.ndarray | None = None
-        for dict_id in range(lo_id, hi_id):
-            r = fmt.read_string_bitmap_blob(bm, dict_id)
-            out = r if out is None else np.union1d(out, r)
-        return out if out is not None else np.empty(0, np.uint32)
+        return self.bitmap_rows_for_ids(name, range(lo_id, hi_id))
 
     def read_batch(
         self,

@@ -865,3 +865,87 @@ def test_prefix_filter_and_is_null_pushdown(registered, tmp_path):
     assert [os.path.basename(p.segment_dir) for p in parts3] == ["seg_000"]
     rows = [s for b in r3.read(parts3[0]) for s in b.column(1).to_pylist()]
     assert rows == [None]
+
+
+def test_dictionary_predicate_filters(registered, tmp_path):
+    """Regex / contains / icontains (s1l, s1m): evaluated once per
+    DISTINCT dictionary value, answered via bitmap union — correct
+    rows selected, zero-match segments pruned planner-side, NULL never
+    matching, and pushed StringContains/StringEndsWith routed to the
+    same path."""
+    from druid_datafusion_bridge_spark.sources.datasource import (
+        DruidSegmentReader,
+        DruidSegmentReaderWithPushdown,
+    )
+    from druid_datafusion_bridge_spark.sources.segment import DruidSegment
+    from pyspark.sql.datasource import StringContains, StringEndsWith
+
+    def seg(values, offset):
+        return pa.table(
+            {
+                "__time": pa.array(
+                    [1704067200000 + offset + i for i in range(len(values))],
+                    pa.timestamp("ms"),
+                ),
+                "site": pa.array(values),
+            }
+        )
+
+    write_segment(seg(["app", "apple", "apricot", None], 0),
+                  str(tmp_path / "seg_000"))
+    write_segment(seg(["banana", "berry"], 10_000),
+                  str(tmp_path / "seg_001"))
+
+    # segment-level: one dictionary pass yields matching ids; NULL slot
+    # (id 0 of seg_000) is never offered to the predicate
+    s = DruidSegment(str(tmp_path / "seg_000"))
+    try:
+        rows = s.bitmap_rows_for_predicate("site", lambda x: "pp" in x)
+        vals = s.read_column("site", rows=rows).to_pylist()
+        assert sorted(vals) == ["app", "apple"]
+        assert list(s.matching_value_ids("site", lambda x: False)) == []
+    finally:
+        s.close()
+
+    df = (
+        registered.read.format("druidsegment")
+        .option("path", str(tmp_path))
+        .option("dim_regex", '{"site": "^ap(p|r)"}')
+        .load()
+    )
+    got = df.filter(F.col("site").rlike("^ap(p|r)")).select("site").collect()
+    assert sorted(r.site for r in got) == ["app", "apple", "apricot"]
+
+    # planner-side pruning: a predicate no dictionary value of seg_000
+    # satisfies drops that segment without a task
+    reader = DruidSegmentReader(
+        df.schema, {"path": str(tmp_path), "dim_contains": '{"site": "err"}'}
+    )
+    parts = reader.partitions()
+    assert [os.path.basename(p.segment_dir) for p in parts] == ["seg_001"]
+    vals = [x for b in reader.read(parts[0]) for x in b.column(1).to_pylist()]
+    assert vals == ["berry"]
+
+    # case-insensitive contains via option
+    r_i = DruidSegmentReader(
+        df.schema, {"path": str(tmp_path), "dim_icontains": '{"site": "RICOT"}'}
+    )
+    parts_i = r_i.partitions()
+    assert [os.path.basename(p.segment_dir) for p in parts_i] == ["seg_000"]
+    vals = [x for b in r_i.read(parts_i[0]) for x in b.column(1).to_pylist()]
+    assert vals == ["apricot"]
+
+    # pushFilters: StringContains / StringEndsWith take the same route
+    r2 = DruidSegmentReaderWithPushdown(df.schema, {"path": str(tmp_path)})
+    kept = list(
+        r2.pushFilters(
+            [StringContains(("site",), "an"), StringEndsWith(("site",), "a")]
+        )
+    )
+    assert len(kept) == 2  # acceleration-only: Spark re-applies both
+    parts2 = r2.partitions()
+    assert [os.path.basename(p.segment_dir) for p in parts2] == ["seg_001"]
+    vals = [x for b in r2.read(parts2[0]) for x in b.column(1).to_pylist()]
+    assert vals == ["banana"]
+    # state reset: the next unfiltered planning sees every segment
+    assert len(r2.partitions()) == 2

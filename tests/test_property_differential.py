@@ -721,7 +721,8 @@ def test_fixed_hist_two_quantiles_one_pass_differential(spark, a):
 )
 def test_segment_filter_pruning_never_loses_rows(data):
     """Fuzz the whole acceleration stack (segment pruning, bitmap
-    equality, dictionary bounds, numeric + __time zone maps) WITHOUT
+    equality, dictionary bounds, dictionary predicates
+    (regex/contains), numeric + __time zone maps) WITHOUT
     Spark: for ANY table split into ANY number of segments and ANY
     combination of pushed windows, the rows the DataSource emits must
     be a SUPERSET of the rows matching the exact predicates (Spark
@@ -803,6 +804,21 @@ def test_segment_filter_pruning_never_loses_rows(data):
                 mask[i] = False
             if bhi is not None and (s > bhi or (us and s == bhi)):
                 mask[i] = False
+    if data.draw(st.booleans()):  # dictionary predicate on site
+        opt, needle, match = data.draw(
+            st.sampled_from(
+                [
+                    ("dim_regex", "^[abd]", lambda s: s[0] in "abd"),
+                    ("dim_regex", "d", lambda s: "d" in s),
+                    ("dim_regex", "q", lambda s: False),
+                    ("dim_contains", "d", lambda s: "d" in s),
+                    ("dim_contains", "zz", lambda s: False),
+                    ("dim_icontains", "D", lambda s: "d" in s),
+                ]
+            )
+        )
+        options[opt] = _json.dumps({"site": needle})
+        mask &= np.array([match(s) for s in sites])
     if data.draw(st.booleans()):  # time interval
         lo_i = data.draw(st.integers(0, n))
         hi_i = data.draw(st.integers(0, n))
