@@ -174,3 +174,64 @@ class DruidTable:
             .partitionBy("__interval")
             .parquet(path)
         )
+
+
+def search_dimension(
+    spark, root: str, column: str, kind: str, arg: str
+) -> DataFrame:
+    """Druid Search query over real segment directories: matching
+    dimension VALUES with their row counts — the query type that never
+    touches a value chunk. Topology mirrors Druid's
+    historical-fanout + broker-merge: one task per segment evaluates
+    the spec against the sorted dictionary and sums bitmap
+    CARDINALITIES (search_value_counts — O(dictionary + matching
+    bitmaps) per segment, independent of row count), and the only
+    exchange is the final groupBy over (value, n) pairs, bounded by
+    matching-cardinality × segments, not rows. ``kind``/``arg`` name a
+    _compile_pred spec (regex/contains/icontains/like).
+
+    Requires an indexed string dimension (every Druid dimension has
+    one); a segment without the index raises rather than silently
+    scanning — search is defined as an index-plane query."""
+    from ..sources.datasource import _compile_pred, find_segment_dirs
+
+    dirs = find_segment_dirs(root)
+    if not dirs:
+        raise ValueError(f"no segments under {root!r}")
+
+    def scan(batches):
+        import pyarrow as pa
+
+        from ..sources.segment import DruidSegment
+
+        pred = _compile_pred(kind, arg)
+        for b in batches:
+            vals: list = []
+            counts: list = []
+            for seg_dir in b.column(0).to_pylist():
+                seg = DruidSegment(seg_dir)
+                try:
+                    pairs = seg.search_value_counts(column, pred)
+                finally:
+                    seg.close()
+                if pairs is None:
+                    raise ValueError(
+                        f"search_dimension: {column!r} has no inverted "
+                        f"index in {seg_dir!r}"
+                    )
+                for v, c in pairs:
+                    vals.append(v)
+                    counts.append(c)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(vals, pa.string()), pa.array(counts, pa.int64())],
+                names=["value", "n"],
+            )
+
+    per_seg = (
+        spark.createDataFrame([(d,) for d in sorted(dirs)], "seg_dir string")
+        # one task per segment, Druid's scan granularity (capped so a
+        # 100k-segment table doesn't schedule 100k single-row tasks)
+        .repartition(min(len(dirs), 2048))
+        .mapInArrow(scan, "value string, n bigint")
+    )
+    return per_seg.groupBy("value").agg(F.sum("n").alias("n"))

@@ -1396,3 +1396,67 @@ def s1m_druid_segment_search_filter(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "s1n_druid_segment_like_filter",
+    oracle="""
+    WITH r AS (
+      SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS c
+      FROM events WHERE event_type LIKE '_i%'
+      GROUP BY h, event_type)
+    SELECT event_type, COUNT(*) AS n_buckets, CAST(SUM(c) AS BIGINT) AS n_events
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+)
+def s1n_druid_segment_like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid LikeDimFilter over real segments: the SQL pattern
+    ('_i%' — one-char wildcard then any run) compiles to an anchored
+    regex evaluated once per distinct dictionary value
+    (_like_to_regex), bitmap-union row selection after. Spark and
+    DuckDB agree on LIKE semantics (whole-string, backslash escape),
+    so the residual row-level filter is the plain .like() the user
+    would write anyway — the option only accelerates it."""
+    root = _ensure_hll_segments(spark, sf_dir)
+    df = (
+        spark.read.format("druidsegment")
+        .option("path", root)
+        .option("dim_like", '{"event_type": "_i%"}')
+        .load()
+    )
+    return (
+        df.filter(F.col("event_type").like("_i%"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "dm_search_query",
+    oracle="""
+    SELECT event_type AS value, COUNT(*) AS n
+    FROM events WHERE contains(event_type, 'i')
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def dm_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid Search query (the native query type, not a filter): which
+    values of a dimension match a spec, with row counts — answered
+    WITHOUT decoding a single value chunk. Each segment task walks the
+    sorted dictionary once and sums bitmap cardinalities; the broker
+    merge is a groupBy over (value, n) pairs whose volume is matching
+    cardinality × segments, independent of row count. The oracle
+    recomputes the counts the slow way from the raw events table, so a
+    green row proves dictionary + bitmap cardinalities tell the truth
+    on every segment. Runs over the 4 value-banded raw-event segments
+    (each holding all 5 event types, so every segment contributes)."""
+    from ..model.druid_model import search_dimension
+
+    root = _ensure_value_banded_segments(spark, sf_dir)
+    return search_dimension(
+        spark, root, "event_type", "contains", "i"
+    ).orderBy("value")

@@ -28,8 +28,8 @@ class exists, pushFilters-driven; all acceleration-only): __time
 intervals, dim equality/IN (bitmap union), lexicographic bounds +
 prefixes (sorted-dictionary bisect), numeric ranges (segment min/max +
 per-block zone maps), and dictionary predicates regex/contains/
-icontains/endswith (one pass over the value dictionary — Druid's
-RegexDimFilter / search filter evaluation model).
+icontains/endswith/like (one pass over the value dictionary — Druid's
+RegexDimFilter / search / LikeDimFilter evaluation model).
 
 Scale posture: partitions() touches only meta.smoosh + index.drd +
 column JSON headers (a few KB per segment); column bytes are decoded on
@@ -85,7 +85,35 @@ def _compile_pred(kind: str, arg: str):
         return lambda s: low in s.lower()
     if kind == "endswith":
         return lambda s: s.endswith(arg)
+    if kind == "like":
+        import re
+
+        rx = re.compile(_like_to_regex(arg), re.DOTALL)
+        return lambda s: rx.match(s) is not None
     raise ValueError(f"unknown predicate kind {kind!r}")
+
+
+def _like_to_regex(pattern: str) -> str:
+    """SQL LIKE pattern -> anchored regex (Druid LikeDimFilter
+    semantics: % = any run, _ = any one char, backslash escapes the
+    next char). Everything else is matched literally."""
+    import re
+
+    out, i = [], 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+        i += 1
+    return "".join(out) + r"\Z"
 
 
 def _next_prefix(p: str) -> str | None:
@@ -371,6 +399,7 @@ class DruidSegmentReader(DataSourceReader):
             ("dim_regex", "regex"),
             ("dim_contains", "contains"),
             ("dim_icontains", "icontains"),
+            ("dim_like", "like"),
         ):
             raw = _json.loads(options.get(opt)) if options.get(opt) else {}
             self.opt_pred += [(c, kind, a) for c, a in raw.items()]

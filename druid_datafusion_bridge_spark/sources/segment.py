@@ -250,6 +250,24 @@ class DruidSegment:
             out = r if out is None else np.union1d(out, r)
         return out if out is not None else np.empty(0, np.uint32)
 
+    def search_value_counts(self, name: str, predicate) -> list | None:
+        """Druid Search-query kernel, per segment: (matching value,
+        row count) pairs answered ENTIRELY index-side — one dictionary
+        pass picks the ids, each id's bitmap contributes its
+        CARDINALITY; value chunks are never decoded, so cost is
+        O(dictionary + matching bitmaps) regardless of row count. On
+        multi-value dimensions the count is rows CONTAINING the value
+        (Druid's search semantics). None when the column has no usable
+        index."""
+        ids = self.matching_value_ids(name, predicate)
+        if ids is None:
+            return None
+        gi, bm = self._string_index(name)
+        return [
+            (gi.get_str(int(i)), int(len(fmt.read_string_bitmap_blob(bm, int(i)))))
+            for i in ids
+        ]
+
     def bitmap_rows_for_predicate(self, name: str, predicate) -> np.ndarray | None:
         """Row ids whose value satisfies ``predicate`` — the
         dictionary-predicate path end-to-end: matching_value_ids (one

@@ -949,3 +949,57 @@ def test_dictionary_predicate_filters(registered, tmp_path):
     assert vals == ["banana"]
     # state reset: the next unfiltered planning sees every segment
     assert len(r2.partitions()) == 2
+
+
+def test_like_filter_and_search_query(registered, tmp_path):
+    """LikeDimFilter translation + the Search query type: LIKE patterns
+    compile to anchored dictionary predicates, and search_dimension
+    answers (value, count) from dictionary + bitmap cardinalities only
+    — including MVD contains-counting — matching a brute-force
+    recount."""
+    from druid_datafusion_bridge_spark.model.druid_model import search_dimension
+    from druid_datafusion_bridge_spark.sources.datasource import _like_to_regex
+
+    # translator corners: escape, one-char, anchoring
+    import re
+    assert re.match(_like_to_regex(r"100\%"), "100%")
+    assert not re.match(_like_to_regex(r"100\%"), "100x")
+    assert not re.match(_like_to_regex("a_c"), "abcc")
+
+    sites = ["app", "apple", "apricot", "banana", "berry", "app"]
+    tags = [["red", "blue"], ["red"], [], None, ["blue"], ["red"]]
+    t = pa.table(
+        {
+            "__time": pa.array(
+                [1704067200000 + i for i in range(len(sites))],
+                pa.timestamp("ms"),
+            ),
+            "site": pa.array(sites),
+            "tags": pa.array(tags, pa.list_(pa.string())),
+        }
+    )
+    write_segment(t.slice(0, 3), str(tmp_path / "seg_000"))
+    write_segment(t.slice(3), str(tmp_path / "seg_001"))
+
+    df = (
+        registered.read.format("druidsegment")
+        .option("path", str(tmp_path))
+        .option("dim_like", '{"site": "ap%"}')
+        .load()
+    )
+    got = df.filter(F.col("site").like("ap%")).select("site").collect()
+    assert sorted(r.site for r in got) == ["app", "app", "apple", "apricot"]
+
+    # search query: values LIKE '%p%' with per-value ROW counts, merged
+    # across both segments ("app" occurs in both)
+    rows = search_dimension(
+        registered, str(tmp_path), "site", "like", "%p%"
+    ).collect()
+    assert {(r.value, r.n) for r in rows} == {("app", 2), ("apple", 1), ("apricot", 1)}
+
+    # MVD search: count = rows CONTAINING the value; nulls/empties
+    # never counted
+    rows = search_dimension(
+        registered, str(tmp_path), "tags", "regex", "^(red|blue)$"
+    ).collect()
+    assert {(r.value, r.n) for r in rows} == {("red", 3), ("blue", 2)}
