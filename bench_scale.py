@@ -257,6 +257,50 @@ def main() -> None:
         timings["segment_point_lookup_fullscan"] = round(
             time.perf_counter() - t0, 3
         )
+
+        # Search query (index plane) vs row-plane recount on the same
+        # 100k-value dictionary: LIKE 'u1234_' matches 10 values. The
+        # index plane walks each segment's dictionary once and sums 10
+        # bitmap cardinalities — value chunks never decode; the row
+        # plane decodes every chunk and groups. The same pattern as a
+        # dictionary-predicate FILTER (dim_like) measures what sliced
+        # decode buys when the predicate is a pattern, not an equality.
+        from druid_datafusion_bridge_spark.model.druid_model import (
+            search_dimension,
+        )
+
+        t0 = time.perf_counter()
+        (
+            search_dimension(spark, seg_root2, "user_dim", "like", "u1234_")
+            .write.mode("overwrite").format("noop").save()
+        )
+        timings["segment_search_index_plane"] = round(
+            time.perf_counter() - t0, 3
+        )
+        t0 = time.perf_counter()
+        (
+            hc_full.filter(F.col("user_dim").like("u1234_"))
+            .groupBy("user_dim").agg(F.count("*").alias("n"))
+            .write.mode("overwrite").format("noop").save()
+        )
+        timings["segment_search_row_plane"] = round(
+            time.perf_counter() - t0, 3
+        )
+        hc_like = (
+            spark.read.format("druidsegment")
+            .option("path", seg_root2)
+            .option("dim_like", '{"user_dim": "u1234_"}')
+            .load()
+        )
+        t0 = time.perf_counter()
+        (
+            hc_like.filter(F.col("user_dim").like("u1234_"))
+            .agg(F.count("*"), F.sum("value"))
+            .write.mode("overwrite").format("noop").save()
+        )
+        timings["segment_like_filter_indexed"] = round(
+            time.perf_counter() - t0, 3
+        )
     finally:
         shutil.rmtree(seg_root2, ignore_errors=True)
 

@@ -6,9 +6,11 @@
     python -m druid_datafusion_bridge_spark.cli dump  <segment-path> \
         [--columns a,b] [--limit N] [--format table|json|csv]
     python -m druid_datafusion_bridge_spark.cli query <segment-path> --sql SQL
+    python -m druid_datafusion_bridge_spark.cli search <segment-path> \
+        -d DIM [-m contains|icontains|regex|like] -q VALUE
 
-`info`, `files` and `dump` are engine-bypass paths straight over the
-decode layer (the reference's cmd_info/cmd_files/cmd_dump read the
+`info`, `files`, `dump` and `search` are engine-bypass paths straight
+over the decode layer (the reference's cmd_info/cmd_files/cmd_dump read the
 segment without DataFusion, src/main.rs:97-184) — no Spark session is
 started for them, so they answer in milliseconds. `query` registers the
 segment(s) as the SQL table `segment` and hands the statement to Spark
@@ -113,6 +115,29 @@ def cmd_query(
         out.show(show_rows, truncate=False)
 
 
+def cmd_search(path: str, dimension: str, matcher: str, value: str) -> None:
+    """Druid Search query from the CLI, engine-bypass: matching values
+    of a dimension + row counts, summed over the segment(s) straight
+    from dictionaries and bitmap cardinalities (no Spark session, no
+    value-chunk decode — milliseconds like info/dump). The distributed
+    form of the same query is model.druid_model.search_dimension."""
+    from .sources.datasource import find_segment_dirs
+
+    totals: dict[str, int] = {}
+    for d in find_segment_dirs(path):
+        seg = DruidSegment(d)
+        try:
+            pairs = seg.search_value_counts(dimension, (matcher, value))
+        finally:
+            seg.close()
+        if pairs is None:
+            sys.exit(f"column {dimension!r} has no inverted index in {d}")
+        for v, c in pairs:
+            totals[v] = totals.get(v, 0) + c
+    for v in sorted(totals):
+        print(f"{v}\t{totals[v]}")
+
+
 def main(argv: list[str] | None = None) -> None:
     parser = argparse.ArgumentParser(
         prog="druid-segment-spark",
@@ -142,6 +167,19 @@ def main(argv: list[str] | None = None) -> None:
         help="print the formatted physical plan instead of rows",
     )
 
+    p_search = sub.add_parser(
+        "search", help="matching dimension values + row counts (index-only)"
+    )
+    p_search.add_argument("path")
+    p_search.add_argument("--dimension", "-d", required=True)
+    p_search.add_argument(
+        "--matcher",
+        "-m",
+        default="contains",
+        choices=["contains", "icontains", "regex", "like"],
+    )
+    p_search.add_argument("--value", "-q", required=True)
+
     args = parser.parse_args(argv)
     if args.command == "info":
         cmd_info(args.path)
@@ -151,6 +189,8 @@ def main(argv: list[str] | None = None) -> None:
         cmd_dump(args.path, args.columns, args.limit, args.format)
     elif args.command == "query":
         cmd_query(args.path, args.sql, explain=args.explain)
+    elif args.command == "search":
+        cmd_search(args.path, args.dimension, args.matcher, args.value)
 
 
 if __name__ == "__main__":

@@ -193,7 +193,7 @@ def search_dimension(
     Requires an indexed string dimension (every Druid dimension has
     one); a segment without the index raises rather than silently
     scanning — search is defined as an index-plane query."""
-    from ..sources.datasource import _compile_pred, find_segment_dirs
+    from ..sources.datasource import find_segment_dirs
 
     dirs = find_segment_dirs(root)
     if not dirs:
@@ -204,14 +204,13 @@ def search_dimension(
 
         from ..sources.segment import DruidSegment
 
-        pred = _compile_pred(kind, arg)
         for b in batches:
             vals: list = []
             counts: list = []
             for seg_dir in b.column(0).to_pylist():
                 seg = DruidSegment(seg_dir)
                 try:
-                    pairs = seg.search_value_counts(column, pred)
+                    pairs = seg.search_value_counts(column, (kind, arg))
                 finally:
                     seg.close()
                 if pairs is None:

@@ -529,7 +529,7 @@ class DruidSegmentReader(DataSourceReader):
                 # segment never gets a task (same metadata-only cost
                 # class as the bound check: dictionary bytes, no value
                 # column decode)
-                ids = seg.matching_value_ids(col, _compile_pred(kind, arg))
+                ids = seg.matching_value_ids(col, (kind, arg))
                 if ids is not None and len(ids) == 0:
                     return True
             return False
@@ -564,9 +564,7 @@ class DruidSegmentReader(DataSourceReader):
                 for col, kind, arg in partition.pred_filters:
                     if rows is not None and len(rows) == 0:
                         break
-                    r = seg.bitmap_rows_for_predicate(
-                        col, _compile_pred(kind, arg)
-                    )
+                    r = seg.bitmap_rows_for_predicate(col, (kind, arg))
                     if r is None:
                         continue
                     rows = r if rows is None else np.intersect1d(rows, r)

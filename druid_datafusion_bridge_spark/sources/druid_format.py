@@ -361,6 +361,68 @@ class GenericIndexedV1:
     def to_list(self) -> list[bytes | None]:
         return [self.get(i) for i in range(self.num_elements)]
 
+    def to_arrow_strings(self) -> "pa.Array":
+        """The whole dictionary decoded in ONE vectorized pass (numpy
+        offset math + gather, assembled straight into an Arrow utf8
+        array). The per-value get_str loop costs ~1 µs of Python per
+        element, which at 100k-value dictionaries dominated both the
+        scan path's dictionary materialization and every
+        dictionary-predicate evaluation; this path is O(bytes) in C.
+        Layout per element: [len i32 BE][utf8], len == -1 => null
+        (same wire format get() reads one element of)."""
+        import pyarrow as pa
+
+        n = self.num_elements
+        if n == 0:
+            return pa.array([], type=pa.string())
+        raw = np.frombuffer(self.data, np.uint8)
+        off = np.frombuffer(
+            self.data, dtype=">i4", count=n, offset=self.base + GI_HEADER_SIZE
+        ).astype(np.int64)
+        ends = self.values_start + off
+        if ends[-1] > len(raw):
+            raise DruidFormatError("GenericIndexed: values overflow buffer")
+        starts = np.empty(n, np.int64)
+        starts[0] = self.values_start + 4
+        starts[1:] = self.values_start + off[:-1] + 4
+        lens = ends - starts
+        if n and int(lens.min()) < 0:
+            raise DruidFormatError("GenericIndexed: negative element length")
+        # only zero-payload elements can be null (their length prefix
+        # is -1 instead of 0) — read just those prefixes
+        null_mask = np.zeros(n, bool)
+        zero = np.flatnonzero(lens == 0)
+        if len(zero):
+            pref = raw[(starts[zero] - 4)[:, None] + np.arange(4)].astype(np.uint32)
+            word = (pref[:, 0] << 24) | (pref[:, 1] << 16) | (pref[:, 2] << 8) | pref[:, 3]
+            null_mask[zero] = word == 0xFFFFFFFF
+        total = int(lens.sum())
+        if total > np.iinfo(np.int32).max:
+            raise DruidFormatError("GenericIndexed: dictionary exceeds 2 GiB")
+        out_off = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=out_off[1:])
+        if total:
+            gather = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(out_off[:-1], lens)
+                + np.repeat(starts, lens)
+            )
+            payload = raw[gather]
+        else:
+            payload = np.empty(0, np.uint8)
+        arr = pa.Array.from_buffers(
+            pa.utf8(),
+            n,
+            [
+                pa.py_buffer(np.packbits(~null_mask, bitorder="little").tobytes()),
+                pa.py_buffer(out_off.astype(np.int32).tobytes()),
+                pa.py_buffer(payload.tobytes()),
+            ],
+            null_count=int(null_mask.sum()),
+        )
+        arr.validate(full=True)  # utf8 well-formedness (C-side)
+        return arr
+
 
 def write_generic_indexed(elements: list[bytes | None], sorted_flag: bool = True) -> bytes:
     values = bytearray()
@@ -624,14 +686,15 @@ def build_column(descriptor: dict, payload: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def read_string_column(
-    data, base: int = 0, rows=None
-) -> tuple[list[str | None], np.ndarray]:
-    """Returns (dictionary, ids) — kept dictionary-encoded for Arrow
-    (the reference eagerly flattens, string.rs:116-125; we do better).
-    ``rows`` slices the id section (blockwise for v2/v3 compressed ids,
-    positional gather for v0 vsize ids); the dictionary always decodes
-    in full — it is the small side by construction."""
+def read_string_column(data, base: int = 0, rows=None):
+    """Returns (dictionary: pa.Array[utf8], ids) — kept
+    dictionary-encoded for Arrow (the reference eagerly flattens,
+    string.rs:116-125; we do better), dictionary decoded via the
+    vectorized bulk path (to_arrow_strings — a per-value Python loop
+    here dominated high-cardinality scans). ``rows`` slices the id
+    section (blockwise for v2/v3 compressed ids, positional gather for
+    v0 vsize ids); the dictionary always decodes in full — it is the
+    small side by construction."""
     version = data[base]
     if version == 0x00:
         pos = base + 1
@@ -640,7 +703,7 @@ def read_string_column(
     else:
         raise DruidFormatError(f"String column: unsupported version {version:#x}")
     gi = GenericIndexedV1(data, pos)
-    dictionary = [gi.get_str(i) for i in range(len(gi))]
+    dictionary = gi.to_arrow_strings()
     pos += gi.total_size()
     if version == 0x00:
         ids = read_vsize_ints(data, pos, rows=rows)
@@ -695,10 +758,9 @@ def write_string_column_v2(
     return bytes(out)
 
 
-def read_string_multi_column(
-    data, base: int = 0
-) -> tuple[list[str | None], np.ndarray, np.ndarray]:
-    """Multi-value string column -> (dictionary, row_end_offsets, flat_ids).
+def read_string_multi_column(data, base: int = 0):
+    """Multi-value string column -> (dictionary: pa.Array[utf8],
+    row_end_offsets, flat_ids).
 
     Layout: [0x02][flags i32, bit0 = multi-value][dict GenericIndexed]
     [row-end offsets CompressedColumnarInts][flat ids
@@ -718,7 +780,7 @@ def read_string_multi_column(
         raise DruidFormatError("Multi-value string column: multi bit not set")
     pos = base + 5
     gi = GenericIndexedV1(data, pos)
-    dictionary = [gi.get_str(i) for i in range(len(gi))]
+    dictionary = gi.to_arrow_strings()
     pos += gi.total_size()
     offsets = read_compressed_ints(data, pos)
     pos += _compressed_ints_size(data, pos)

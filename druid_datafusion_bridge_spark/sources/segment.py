@@ -47,6 +47,7 @@ class DruidSegment:
         )
         self._descriptors: dict[str, dict] = {}
         self._column_stats: dict | None = None
+        self._dict_arrays: dict[str, pa.Array] = {}
         fields = []
         for name in self.metadata.columns:
             desc, _ = fmt.parse_column_header(self.smoosh.map_file(name))
@@ -87,7 +88,7 @@ class DruidSegment:
         if vt == "STRING" and desc.get("hasMultipleValues"):
             dictionary, offsets, ids = fmt.read_string_multi_column(data, payload)
             values = pa.DictionaryArray.from_arrays(
-                pa.array(ids.astype(np.int32)), pa.array(dictionary, type=pa.string())
+                pa.array(ids.astype(np.int32)), dictionary
             ).cast(pa.string())
             all_offsets = np.concatenate([[0], offsets]).astype(np.int32)
             arr = pa.ListArray.from_arrays(pa.array(all_offsets), values)
@@ -97,7 +98,7 @@ class DruidSegment:
         if vt == "STRING":
             dictionary, ids = fmt.read_string_column(data, payload, rows=rows)
             return pa.DictionaryArray.from_arrays(
-                pa.array(ids.astype(np.int32)), pa.array(dictionary, type=pa.string())
+                pa.array(ids.astype(np.int32)), dictionary
             )
         if vt == "LONG":
             return pa.array(fmt.read_compressed_longs(data, payload, rows=rows))
@@ -214,23 +215,59 @@ class DruidSegment:
             return None
         return fmt.GenericIndexedV1(data, payload + 5), bm
 
+    def _dict_array(self, name: str, gi) -> pa.Array:
+        """Cached bulk decode of ``name``'s value dictionary (one
+        vectorized pass, see GenericIndexedV1.to_arrow_strings)."""
+        arr = self._dict_arrays.get(name)
+        if arr is None:
+            arr = self._dict_arrays[name] = gi.to_arrow_strings()
+        return arr
+
     def matching_value_ids(self, name: str, predicate) -> np.ndarray | None:
-        """Dictionary ids whose STRING value satisfies ``predicate``
-        (a ``str -> bool`` callable) — ONE pass over the dictionary,
-        O(cardinality) and never O(rows). This is exactly how Druid
-        answers predicate-style filters (RegexDimFilter, search/contains
-        specs): evaluate against the value dictionary once, then union
-        the surviving ids' row bitmaps. NULL (slot 0 when present)
-        never matches a predicate. None when the column has no usable
-        index (caller falls back to a scan)."""
+        """Dictionary ids whose STRING value satisfies ``predicate`` —
+        ONE pass over the dictionary, O(cardinality) and never O(rows).
+        This is exactly how Druid answers predicate-style filters
+        (RegexDimFilter, search/contains specs): evaluate against the
+        value dictionary once, then union the surviving ids' row
+        bitmaps. NULL never matches a predicate. None when the column
+        has no usable index (caller falls back to a scan).
+
+        ``predicate`` is either a ``(kind, arg)`` spec — regex /
+        contains / icontains / endswith / like, evaluated by ONE Arrow
+        compute kernel over the bulk-decoded dictionary (C-side; the
+        per-value Python form made the dictionary pass slower than a
+        row scan at 100k values) — or a ``str -> bool`` callable as
+        the generic fallback. Kernel semantics note: regex is RE2,
+        like follows SQL %/_/backslash, icontains is Unicode-aware
+        case folding; all agree with the residual Spark filter on the
+        portable subset the option contract documents."""
         idx = self._string_index(name)
         if idx is None:
             return None
         gi, _ = idx
-        n = len(gi)
-        first = 1 if (n > 0 and gi.get_str(0) is None) else 0
+        arr = self._dict_array(name, gi)
+        if isinstance(predicate, tuple):
+            import pyarrow.compute as pc
+
+            kind, arg = predicate
+            if kind == "regex":
+                mask = pc.match_substring_regex(arr, arg)
+            elif kind == "contains":
+                mask = pc.match_substring(arr, arg)
+            elif kind == "icontains":
+                mask = pc.match_substring(arr, arg, ignore_case=True)
+            elif kind == "endswith":
+                mask = pc.ends_with(arr, arg)
+            elif kind == "like":
+                mask = pc.match_like(arr, arg)
+            else:
+                raise ValueError(f"unknown predicate kind {kind!r}")
+            return np.flatnonzero(
+                pc.fill_null(mask, False).to_numpy(zero_copy_only=False)
+            ).astype(np.int64)
+        vals = arr.to_pylist()
         return np.array(
-            [i for i in range(first, n) if predicate(gi.get_str(i))],
+            [i for i, s in enumerate(vals) if s is not None and predicate(s)],
             dtype=np.int64,
         )
 
@@ -263,9 +300,10 @@ class DruidSegment:
         if ids is None:
             return None
         gi, bm = self._string_index(name)
+        vals = self._dict_array(name, gi).take(pa.array(ids)).to_pylist()
         return [
-            (gi.get_str(int(i)), int(len(fmt.read_string_bitmap_blob(bm, int(i)))))
-            for i in ids
+            (v, int(len(fmt.read_string_bitmap_blob(bm, int(i)))))
+            for v, i in zip(vals, ids)
         ]
 
     def bitmap_rows_for_predicate(self, name: str, predicate) -> np.ndarray | None:

@@ -230,3 +230,16 @@ def test_ingest_preserves_nullable_int_and_ieee_doubles(spark, tmp_path):
     assert math.isnan(vals[1])
     assert math.isinf(vals[2]) and vals[2] > 0
     assert vals[3] == 0.0
+
+
+def test_cli_search(seg_dir):
+    from druid_datafusion_bridge_spark.cli import cmd_search
+
+    out = _capture(cmd_search, seg_dir, "channel", "contains", "#")
+    assert out.splitlines() == ["#en\t1", "#fr\t1"]
+    out = _capture(cmd_search, seg_dir, "channel", "regex", "en$")
+    assert out.splitlines() == ["#en\t1"]
+    out = _capture(cmd_search, seg_dir, "channel", "like", "#_n")
+    assert out.splitlines() == ["#en\t1"]
+    # no match -> empty output, not an error; NULL never matches
+    assert _capture(cmd_search, seg_dir, "channel", "icontains", "ZZ") == ""

@@ -230,6 +230,7 @@ def test_string_column_v2_roundtrip():
     ids = np.array([2, 0, 3, 2, 1], np.uint32)
     data = fmt.write_string_column_v2(dictionary, ids)
     d, i = fmt.read_string_column(data)
+    d = d.to_pylist()
     assert d == dictionary
     assert i.tolist() == ids.tolist()
     # standard-SQL nulls: '' stays a string, None stays null (SURVEY §1.6)
@@ -244,7 +245,7 @@ def test_string_multi_column_roundtrip():
     ids = np.array([1, 2, 2, 2, 3, 0], np.uint32)
     data = fmt.write_string_multi_column(dictionary, offsets, ids)
     d, offs, i = fmt.read_string_multi_column(data)
-    assert d == dictionary
+    assert d.to_pylist() == dictionary
     assert offs.tolist() == offsets.tolist()
     assert i.tolist() == ids.tolist()
 
@@ -282,7 +283,7 @@ def test_string_column_v0_roundtrip():
     ids = np.array([2, 1, 0, 1], np.uint32)
     data = fmt.write_string_column_v0(dictionary, ids)
     d, i = fmt.read_string_column(data)
-    assert d == dictionary
+    assert d.to_pylist() == dictionary
     assert i.tolist() == ids.tolist()
 
 
@@ -604,7 +605,7 @@ class TestRoaringBitmaps:
         col = fmt.write_string_column_v2(dictionary, ids, bitmap_index=True)
         # value read path is unchanged and ignores the index
         d2, i2 = fmt.read_string_column(col)
-        assert d2 == dictionary and i2.tolist() == ids.tolist()
+        assert d2.to_pylist() == dictionary and i2.tolist() == ids.tolist()
         # the inverted index inverts exactly
         index = fmt.read_string_bitmap_index(col)
         assert index is not None and len(index) == len(dictionary)
