@@ -1460,3 +1460,32 @@ def dm_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_dimension(
         spark, root, "event_type", "contains", "i"
     ).orderBy("value")
+
+
+@query(
+    "s1o_druid_segment_split_scan",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def s1o_druid_segment_split_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split scan: split_rows=5 fans the two nation segments into ~6
+    row-window partitions (planning reads only the __time header for
+    the row count), each decoding just its own windows' blocks — scan
+    parallelism beyond segment count, which Druid itself (one segment
+    per processing thread) and the reference (ONE partition for the
+    whole table, execution_plan.rs:42) both lack. The oracle proves
+    the windows tile the table exactly: no row lost, none duplicated."""
+    root = _ensure_segments(spark, sf_dir)
+    df = (
+        spark.read.format("druidsegment")
+        .option("path", root)
+        .option("split_rows", "5")
+        .load()
+    )
+    return (
+        df.groupBy("n_regionkey")
+        .agg(F.count("*").alias("n"), F.sum("n_nationkey").alias("sum_key"))
+        .orderBy("n_regionkey")
+    )

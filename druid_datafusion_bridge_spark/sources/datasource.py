@@ -13,7 +13,10 @@ with three upgrades over the reference's scan:
 
 - one InputPartition PER SEGMENT (the reference advertises exactly one
   partition for the whole table, execution_plan.rs:42), so a directory of
-  N segments scans on N cores/executors;
+  N segments scans on N cores/executors — and `split_rows` fans a big
+  segment out into row-window partitions on top (beyond Druid itself,
+  which processes one segment per thread), sliced decode keeping each
+  window O(its blocks);
 - projection honored at decode time via the `columns` option (the Python
   DataSource API does not push projections, so it's an explicit option —
   SURVEY.md §4.1);
@@ -267,6 +270,9 @@ class SegmentPartition(InputPartition):
     # dictionary predicates (regex/contains/…) answered by one
     # dictionary pass + bitmap union at read time: (col, kind, arg)
     pred_filters: tuple = ()
+    # [start, stop) row window for split scans (several partitions per
+    # big segment); None = the whole segment
+    row_range: tuple | None = None
 
 
 class DruidSegmentDataSource(DataSource):
@@ -373,6 +379,17 @@ class DruidSegmentReader(DataSourceReader):
         # [lower, upper, lower_strict, upper_strict]; answered by the
         # sorted dictionary + inverted index (segment skipped when the
         # bound matches nothing, rows index-selected otherwise)
+        # split scans: target rows per partition. A segment with more
+        # rows fans out into ceil(n/split) [start, stop) windows, each
+        # its own InputPartition — scan parallelism beyond segment
+        # count (Druid itself processes one segment per thread; a
+        # 4-big-segment table on 32 cores leaves 28 idle without this).
+        # Sliced decode keeps each window O(its blocks).
+        self.opt_split = (
+            int(options.get("split_rows")) if options.get("split_rows") else None
+        )
+        if self.opt_split is not None and self.opt_split <= 0:
+            raise ValueError("split_rows must be a positive row count")
         raw_bound = (
             _json.loads(options.get("dim_bound")) if options.get("dim_bound") else {}
         )
@@ -461,29 +478,45 @@ class DruidSegmentReader(DataSourceReader):
                 seg_dir, eq, bound, preds
             ):
                 continue
-            parts.append(
-                SegmentPartition(
-                    seg_dir,
-                    eq_filters=tuple(eq.items()),
-                    bound_filters=tuple(
-                        (c, lo, hi, ls, us)
-                        for c, (lo, hi, ls, us) in bound.items()
-                    ),
-                    pred_filters=preds,
-                    num_filters=tuple(
-                        (c, lo, hi) for c, (lo, hi) in num.items()
+            # split scans: fan one big segment out into row windows
+            # (row count read from the __time header — planning cost)
+            ranges: list = [None]
+            if self.opt_split is not None:
+                seg = DruidSegment(seg_dir)
+                try:
+                    n_rows = seg.num_rows_meta()
+                finally:
+                    seg.close()
+                if n_rows > self.opt_split:
+                    ranges = [
+                        (s, min(n_rows, s + self.opt_split))
+                        for s in range(0, n_rows, self.opt_split)
+                    ]
+            for rng in ranges:
+                parts.append(
+                    SegmentPartition(
+                        seg_dir,
+                        eq_filters=tuple(eq.items()),
+                        bound_filters=tuple(
+                            (c, lo, hi, ls, us)
+                            for c, (lo, hi, ls, us) in bound.items()
+                        ),
+                        pred_filters=preds,
+                        num_filters=tuple(
+                            (c, lo, hi) for c, (lo, hi) in num.items()
+                        )
+                        + (
+                            # __time zone maps: the interval that pruned
+                            # whole segments above also skips blocks WITHIN
+                            # the survivors ([lower, upper] loose bounds —
+                            # superset rows, Spark re-applies the filter)
+                            ((TIME_COLUMN, lower, upper),)
+                            if (lower is not None or upper is not None)
+                            else ()
+                        ),
+                        row_range=rng,
                     )
-                    + (
-                        # __time zone maps: the interval that pruned
-                        # whole segments above also skips blocks WITHIN
-                        # the survivors ([lower, upper] loose bounds —
-                        # superset rows, Spark re-applies the filter)
-                        ((TIME_COLUMN, lower, upper),)
-                        if (lower is not None or upper is not None)
-                        else ()
-                    ),
                 )
-            )
         if not parts:
             all_dirs = find_segment_dirs(self.path)
             if all_dirs:
@@ -547,6 +580,14 @@ class DruidSegmentReader(DataSourceReader):
             # either way).
             rows = np.empty(0, np.uint32) if partition.empty else None
             if not partition.empty:
+                if partition.row_range is not None:
+                    # split scan: this partition owns [start, stop);
+                    # index/zone-map selections intersect into it below
+                    rows = np.arange(
+                        partition.row_range[0],
+                        partition.row_range[1],
+                        dtype=np.uint32,
+                    )
                 for col, values in partition.eq_filters:
                     r = seg.bitmap_rows_for_any(col, values)
                     if r is None:

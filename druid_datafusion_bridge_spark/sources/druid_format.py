@@ -621,6 +621,14 @@ def read_compressed_longs(data, base: int = 0, rows=None) -> np.ndarray:
     return _read_compressed_blocks(data, base, 8, ">i8", has_num_bytes=False, rows=rows)
 
 
+def compressed_num_elements(data, base: int = 0) -> int:
+    """Element count of any compressed-blocks column from its HEADER
+    alone (the total_size i32 every layout carries at base+1,
+    compressed_longs.rs header) — planning-cost, zero block decode."""
+    (total_size,) = _I32.unpack_from(data, base + 1)
+    return total_size
+
+
 def write_compressed_longs(values, size_per: int = 0x2000, strategy: int = LZ4) -> bytes:
     return _write_compressed_blocks(np.asarray(values, np.int64), ">i8", size_per, strategy)
 

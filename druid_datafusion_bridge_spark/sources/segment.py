@@ -71,6 +71,13 @@ class DruidSegment:
         """COUNT(*) == length of __time (src/segment/mod.rs:103-109)."""
         return len(self.read_column(TIME_COLUMN))
 
+    def num_rows_meta(self) -> int:
+        """Row count from the __time column HEADER alone — planning
+        cost (no block decode), what split-scan partitioning consults."""
+        data = self.smoosh.map_file(TIME_COLUMN)
+        _, payload = fmt.parse_column_header(data)
+        return fmt.compressed_num_elements(data, payload)
+
     def read_column(self, name: str, rows: np.ndarray | None = None) -> pa.Array:
         """Decode one column; ``rows`` (sorted ascending row ids, e.g.
         from the inverted index) switches every fixed-width layout to

@@ -1003,3 +1003,60 @@ def test_like_filter_and_search_query(registered, tmp_path):
         registered, str(tmp_path), "tags", "regex", "^(red|blue)$"
     ).collect()
     assert {(r.value, r.n) for r in rows} == {("red", 3), ("blue", 2)}
+
+
+def test_split_rows_partitions_within_segment(registered, tmp_path):
+    """split_rows: a big segment fans out into [start, stop) windows —
+    partition count, lossless union, and composition with index row
+    selection."""
+    from druid_datafusion_bridge_spark.sources.datasource import (
+        DruidSegmentReader,
+    )
+
+    def seg(values, offset):
+        return pa.table(
+            {
+                "__time": pa.array(
+                    [1704067200000 + offset + i for i in range(len(values))],
+                    pa.timestamp("ms"),
+                ),
+                "site": pa.array(values),
+            }
+        )
+
+    write_segment(seg(["a", "b", "a", "c", "a"], 0), str(tmp_path / "seg_000"))
+    write_segment(seg(["b", "a"], 10_000), str(tmp_path / "seg_001"))
+
+    df = (
+        registered.read.format("druidsegment")
+        .option("path", str(tmp_path))
+        .option("split_rows", "2")
+        .load()
+    )
+    reader = DruidSegmentReader(
+        df.schema, {"path": str(tmp_path), "split_rows": "2"}
+    )
+    parts = reader.partitions()
+    # 5 rows -> windows [0,2),[2,4),[4,5); 2 rows -> unsplit
+    assert [
+        (os.path.basename(p.segment_dir), p.row_range) for p in parts
+    ] == [
+        ("seg_000", (0, 2)),
+        ("seg_000", (2, 4)),
+        ("seg_000", (4, 5)),
+        ("seg_001", None),
+    ]
+    assert sorted(r.site for r in df.collect()) == sorted(
+        ["a", "b", "a", "c", "a", "b", "a"]
+    )
+    # composes with bitmap row selection: equality filter inside the
+    # split windows still selects exactly the matching rows
+    df_f = (
+        registered.read.format("druidsegment")
+        .option("path", str(tmp_path))
+        .option("split_rows", "2")
+        .option("dim_eq", '{"site": "a"}')
+        .load()
+    )
+    got = df_f.filter(F.col("site") == "a").select("site").collect()
+    assert [r.site for r in got] == ["a", "a", "a", "a"]

@@ -819,6 +819,9 @@ def test_segment_filter_pruning_never_loses_rows(data):
         )
         options[opt] = _json.dumps({"site": needle})
         mask &= np.array([match(s) for s in sites])
+    if data.draw(st.booleans()):  # split scan (mask unchanged: pure
+        # repartitioning — union over windows must equal the unsplit read)
+        options["split_rows"] = str(data.draw(st.integers(1, n + 5)))
     if data.draw(st.booleans()):  # time interval
         lo_i = data.draw(st.integers(0, n))
         hi_i = data.draw(st.integers(0, n))
