@@ -1489,3 +1489,81 @@ def s1o_druid_segment_split_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.sum("n_nationkey").alias("sum_key"))
         .orderBy("n_regionkey")
     )
+
+
+def _ensure_event_time_segments(spark: SparkSession, sf_dir: str) -> str:
+    """Events as 6 time-sliced segments (rows sorted by ts, count-equal
+    slices) — disjoint ascending intervals, the layout a granularity
+    bucket writer produces and the one ordered-limit planning prunes."""
+    from ..sources import write_segment
+
+    _ensure_registered(spark)
+    root = _segment_root(sf_dir, "events_time_sliced")
+
+    def _build() -> None:
+        import pyarrow.compute as pc
+
+        t = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "ts", "event_type", "value"],
+        )
+        t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+        t = pa.table(
+            {
+                "__time": t.column("ts"),
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "value": t.column("value"),
+            }
+        )
+        n = t.num_rows
+        for i in range(6):
+            lo, hi = i * n // 6, (i + 1) * n // 6
+            write_segment(
+                t.slice(lo, hi - lo), os.path.join(root, f"seg_{i:03d}")
+            )
+
+    _cached_build(root, sf_dir, "events", _build)
+    return root
+
+
+@query(
+    "s1p_druid_segment_ordered_limit",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+           epoch_ms(date_trunc('milliseconds', ts)) AS t_ms
+    FROM events
+    ORDER BY t_ms, event_id
+    LIMIT 50
+    """,
+)
+def s1p_druid_segment_ordered_limit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Druid Scan-query time ordering + limit as PLANNING-level IO
+    pruning: order_limit=50 keeps only the earliest segments whose
+    header row counts cover 50 rows (here 1 of the 6 time slices —
+    metadata-plane cost, no value decode for the other 5), a provable
+    top-k superset; Spark's orderBy+limit does the exact cut. Druid
+    streams segments time-ordered and stops at the limit
+    (ScanQueryEngine); the reference plans the whole table as one
+    partition and has no limit pushdown at all (execution_plan.rs:42).
+    The oracle orders by the SAME key the segment stores — ms-truncated
+    time (sub-ms truncates at write, src/column/time.rs:10-14) with
+    event_id tie-break."""
+    root = _ensure_event_time_segments(spark, sf_dir)
+    df = (
+        spark.read.format("druidsegment")
+        .option("path", root)
+        .option("order_limit", "50")
+        .load()
+    )
+    return (
+        df.select(
+            "event_id",
+            "event_type",
+            F.unix_millis("__time").alias("t_ms"),
+        )
+        .orderBy("t_ms", "event_id")
+        .limit(50)
+    )

@@ -390,6 +390,24 @@ class DruidSegmentReader(DataSourceReader):
         )
         if self.opt_split is not None and self.opt_split <= 0:
             raise ValueError("split_rows must be a positive row count")
+        # time-ordered limit (Druid Scan "order": asc/desc + "limit"):
+        # plan only the earliest (latest) segments whose HEADER row
+        # counts cover k rows, plus any interval-overlapping stragglers
+        # (same-interval shards/versions). A provable top-k superset —
+        # excluded segments start at/after the taken span's end, so
+        # every one of their rows sorts strictly after k already-taken
+        # rows; Spark's own orderBy+limit on top does the exact cut.
+        # Engages only when no other filter is pushed or set (a
+        # row-dropping filter would invalidate the header-count cover);
+        # takes precedence over split_rows.
+        self.opt_order_limit = (
+            int(options.get("order_limit")) if options.get("order_limit") else None
+        )
+        if self.opt_order_limit is not None and self.opt_order_limit <= 0:
+            raise ValueError("order_limit must be a positive row count")
+        self.opt_order_desc = (
+            str(options.get("order_desc", "false")).lower() == "true"
+        )
         raw_bound = (
             _json.loads(options.get("dim_bound")) if options.get("dim_bound") else {}
         )
@@ -451,7 +469,87 @@ class DruidSegmentReader(DataSourceReader):
                 plo if lo is None else (lo if plo is None else max(plo, lo)),
                 phi if hi is None else (hi if phi is None else min(phi, hi)),
             )
-        parts = []
+        if (
+            self.opt_order_limit is not None
+            and lower is None
+            and upper is None
+            and not eq
+            and not bound
+            and not preds
+            and not num
+        ):
+            parts = self._ordered_limit_partitions()
+        else:
+            parts = self._filtered_partitions(
+                lower, upper, eq, bound, preds, num
+            )
+        if not parts:
+            all_dirs = find_segment_dirs(self.path)
+            if all_dirs:
+                parts = [SegmentPartition(all_dirs[0], empty=True)]
+        # consume any pushFilters state: the next planning on this
+        # (possibly reused) reader starts from the options baseline
+        self.lower_ms = None
+        self.upper_ms = None
+        self.eq_filters = {}
+        self.num_filters = {}
+        self.bound_filters = {}
+        self.pred_filters = []
+        return parts
+
+    def _ordered_limit_partitions(self) -> list[SegmentPartition]:
+        """Minimal interval-ordered segment prefix covering
+        ``order_limit`` rows. Metadata-plane only: per segment, one
+        index.drd interval + the __time column header's element count
+        (no block decode). Correctness: every excluded segment's
+        interval starts at/after the taken span's end (ends at/before
+        its start, descending), so each of its rows is strictly
+        later (earlier) than ALL rows of the taken prefix — which
+        already holds >= k rows."""
+        k = self.opt_order_limit
+        infos = []
+        for seg_dir in find_segment_dirs(self.path):
+            seg = DruidSegment(seg_dir)
+            try:
+                start = seg.metadata.interval_start_ms
+                end = seg.metadata.interval_end_ms
+                n_rows = seg.num_rows_meta()
+            finally:
+                seg.close()
+            if n_rows:
+                infos.append((start, end, n_rows, seg_dir))
+        if self.opt_order_desc:
+            infos.sort(key=lambda t: (-t[1], -t[0], t[3]))
+        else:
+            infos.sort(key=lambda t: (t[0], t[1], t[3]))
+        taken: list = []
+        cum = 0
+        i = 0
+        while i < len(infos) and cum < k:
+            taken.append(infos[i])
+            cum += infos[i][2]
+            i += 1
+        # stragglers: same-interval shards / overlapping versions behind
+        # the prefix can still hold top-k rows — keep any remaining
+        # segment overlapping the taken span
+        if self.opt_order_desc:
+            span_start = min((t[0] for t in taken), default=0)
+            taken += [t for t in infos[i:] if t[1] > span_start]
+        else:
+            span_end = max((t[1] for t in taken), default=0)
+            taken += [t for t in infos[i:] if t[0] < span_end]
+        return [SegmentPartition(t[3]) for t in taken]
+
+    def _filtered_partitions(
+        self,
+        lower,
+        upper,
+        eq: dict,
+        bound: dict,
+        preds: tuple,
+        num: dict,
+    ) -> list[SegmentPartition]:
+        parts: list[SegmentPartition] = []
         for seg_dir in find_segment_dirs(self.path):
             if lower is not None or upper is not None or num:
                 seg = DruidSegment(seg_dir)
@@ -517,18 +615,6 @@ class DruidSegmentReader(DataSourceReader):
                         row_range=rng,
                     )
                 )
-        if not parts:
-            all_dirs = find_segment_dirs(self.path)
-            if all_dirs:
-                parts = [SegmentPartition(all_dirs[0], empty=True)]
-        # consume any pushFilters state: the next planning on this
-        # (possibly reused) reader starts from the options baseline
-        self.lower_ms = None
-        self.upper_ms = None
-        self.eq_filters = {}
-        self.num_filters = {}
-        self.bound_filters = {}
-        self.pred_filters = []
         return parts
 
     def _value_pruned(

@@ -1060,3 +1060,63 @@ def test_split_rows_partitions_within_segment(registered, tmp_path):
     )
     got = df_f.filter(F.col("site") == "a").select("site").collect()
     assert [r.site for r in got] == ["a", "a", "a", "a"]
+
+
+def test_order_limit_plans_segment_prefix(registered, tmp_path):
+    """order_limit: interval-ordered prefix covering k header rows,
+    overlapping shards kept as stragglers, and the read result is a
+    top-k superset in both directions."""
+    from druid_datafusion_bridge_spark.sources.datasource import (
+        DruidSegmentReader,
+    )
+
+    def seg(times, name):
+        write_segment(
+            pa.table(
+                {
+                    "__time": pa.array(
+                        [1704067200000 + t for t in times], pa.timestamp("ms")
+                    ),
+                    "v": pa.array(list(times), pa.int64()),
+                }
+            ),
+            str(tmp_path / name),
+        )
+
+    seg(range(0, 10), "seg_a")        # interval [0, 10)
+    seg(range(10, 20), "seg_b")       # interval [10, 20)
+    seg(range(12, 18), "seg_c")       # shard overlapping seg_b
+
+    def plan(**opts):
+        options = {"path": str(tmp_path), **{k: str(v) for k, v in opts.items()}}
+        df = (
+            registered.read.format("druidsegment")
+            .options(**options)
+            .load()
+        )
+        reader = DruidSegmentReader(df.schema, options)
+        return sorted(
+            os.path.basename(p.segment_dir) for p in reader.partitions()
+        ), df
+
+    # asc k=5: seg_a alone covers it; nothing overlaps [0, 10)
+    names, df = plan(order_limit=5)
+    assert names == ["seg_a"]
+    got = sorted(r.v for r in df.collect())
+    assert got[:5] == [0, 1, 2, 3, 4]  # top-5 superset
+    # asc k=12: prefix a+b, c straggles in (starts inside [0, 20))
+    names, _ = plan(order_limit=12)
+    assert names == ["seg_a", "seg_b", "seg_c"]
+    # desc k=5: seg_b covers it, c overlaps (ends past span start 10)
+    names, df = plan(order_limit=5, order_desc="true")
+    assert names == ["seg_b", "seg_c"]
+    got = sorted((r.v for r in df.collect()), reverse=True)
+    assert got[:5] == [19, 18, 17, 17, 16]
+    # a pushed filter disables the prefix (header counts no longer
+    # cover k MATCHING rows) — full plan, every segment present
+    names, _ = plan(order_limit=5, num_range='{"v": [3, null]}')
+    assert names == ["seg_a", "seg_b", "seg_c"]
+    # k >= total rows: everything planned, nothing lost
+    names, df = plan(order_limit=999)
+    assert names == ["seg_a", "seg_b", "seg_c"]
+    assert df.count() == 26

@@ -829,6 +829,17 @@ def test_segment_filter_pruning_never_loses_rows(data):
         options["time_upper_ms"] = str(base + 1000 * hi_i)
         idx = np.arange(n)
         mask &= (idx >= lo_i) & (idx <= hi_i)
+    # ordered-limit planning engages only on an otherwise-unfiltered
+    # scan (a row-dropping filter invalidates the header-count cover);
+    # contract: emitted rows are a SUPERSET of the k earliest (latest)
+    order_k = None
+    order_desc = False
+    if len(options) == 1 and data.draw(st.booleans()):
+        order_k = data.draw(st.integers(1, n + 3))
+        options["order_limit"] = str(order_k)
+        order_desc = data.draw(st.booleans())
+        if order_desc:
+            options["order_desc"] = "true"
 
     schema = StructType(
         [
@@ -846,6 +857,13 @@ def test_segment_filter_pruning_never_loses_rows(data):
     # microsecond timestamps out of the reader
     expected_times = {(base + 1000 * i) * 1000 for i in np.flatnonzero(mask)}
     all_times = {(base + 1000 * i) * 1000 for i in range(n)}
-    assert expected_times <= emitted_times, "acceleration lost matching rows"
+    if order_k is not None:
+        sel = range(n - min(order_k, n), n) if order_desc else range(min(order_k, n))
+        topk = {(base + 1000 * i) * 1000 for i in sel}
+        assert topk <= emitted_times, "ordered-limit lost top-k rows"
+    else:
+        assert (
+            expected_times <= emitted_times
+        ), "acceleration lost matching rows"
     assert emitted_times <= all_times, "reader invented rows"
     assert len(emitted_v) == len(emitted_times)
