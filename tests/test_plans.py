@@ -410,3 +410,15 @@ def test_approx_profile_compiles_without_expand(spark):
         all_queries()["prof_column_stats"](spark, SF_DIR)
     )
     assert "Expand" in exact_plan
+
+
+def test_lookup_enrich_broadcasts_both_maps(spark):
+    """LOOKUP = heap-resident map on Spark: both apply_lookup joins
+    must be broadcast (the fact side never shuffles for them; the only
+    exchange left is the aggregation's)."""
+    df = all_queries()["lk_lookup_enrich"](spark, SF_DIR)
+    strategies = join_strategies(df)
+    assert len(strategies) == 2 and all(
+        s == "BroadcastHashJoin" for s in strategies
+    ), strategies
+    assert count_exchanges(df) <= 2  # partial->final agg + final sort
