@@ -359,12 +359,18 @@ def trigram_familiarity(
     Integer hit counting keeps the score bit-exact across engines; the
     only float op is one final division.
 
-    Scale shape: train = explode + count on the trigram key (bounded by
-    charset^3, map-side partials) + distributed top-k; score = ONE
-    corpus pass against the BROADCAST model head. Docs shorter than 3
-    chars have no trigrams and are excluded (score undefined)."""
+    Scale shape: train = ONE explode + count on the trigram key
+    (bounded by charset^3, map-side partials) + distributed top-k;
+    score = a zero-shuffle, zero-explode scan folding each document's
+    trigrams against the model head as a literal map (element_at hash
+    probe inside codegen). The head is collected driver-side — bounded
+    by ``model_size``, never by corpus size: the same heap-resident
+    posture as a Druid lookup (operators/lookup.py), and what removes
+    the old second explode (corpus chars × 3 rows) plus its per-trigram
+    join and per-doc aggregation shuffle from the hot path. Docs
+    shorter than 3 chars have no trigrams and are excluded (score
+    undefined)."""
     tri = docs.filter(F.length(text_col) >= 3).select(
-        F.col(id_col).alias("doc_id"),
         F.explode(
             F.expr(
                 f"transform(sequence(1, length({text_col}) - 2),"
@@ -372,19 +378,40 @@ def trigram_familiarity(
             )
         ).alias("g"),
     )
-    model = (
-        tri.groupBy("g")
-        .agg(F.count("*").alias("c"))
-        .orderBy(F.col("c").desc(), "g")
-        .limit(model_size)
-        .select("g", F.lit(1).alias("hit"))
+    head = [
+        r[0]
+        for r in (
+            tri.groupBy("g")
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.col("c").desc(), "g")
+            .limit(model_size)
+            .select("g")
+            .collect()
+        )
+    ]
+    if head:
+        gmap = F.create_map(
+            *[lit for g in head for lit in (F.lit(g), F.lit(1))]
+        )
+        hit = lambda g: F.coalesce(  # noqa: E731
+            F.element_at(gmap, g).cast("long"), F.lit(0).cast("long")
+        )
+    else:  # corpus with no trigrams at all: every score is 0
+        hit = lambda g: F.lit(0).cast("long")  # noqa: E731
+    tri_arr = F.transform(
+        F.sequence(F.lit(1), F.length(text_col) - 2),
+        lambda i: F.col(text_col).substr(i, F.lit(3)),
     )
     return (
-        tri.join(F.broadcast(model), "g", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tri"),
-            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        docs.filter(F.length(text_col) >= 3)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            (F.length(text_col) - 2).cast("long").alias("n_tri"),
+            F.aggregate(
+                tri_arr,
+                F.lit(0).cast("long"),
+                lambda acc, g: acc + hit(g),
+            ).alias("n_hits"),
         )
         .select(
             "doc_id",
