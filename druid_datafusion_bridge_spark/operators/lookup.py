@@ -8,7 +8,8 @@ support at all — its SQL surface is whatever DataFusion 44 ships
 (src/lib.rs SessionContext::sql delegation), and DataFusion has no
 lookup extension registered there.
 
-Spark-first mapping:
+Two Spark-first forms (complementary; the scalar literal-map form for
+driver-known dictionaries lives in functions/druid_sql.py ``lookup``):
 
 - ``apply_lookup``: ``F.broadcast`` left join. Spark's
   BroadcastHashJoinExec IS the heap-resident map Druid keeps on every

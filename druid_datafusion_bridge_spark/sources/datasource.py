@@ -245,6 +245,88 @@ def find_segment_dirs(path: str) -> list[str]:
     return out
 
 
+PLANMETA_NAME = "_planmeta.json"
+
+
+def load_plan_meta(root: str, seg_dirs: list[str]) -> dict[str, dict]:
+    """Per-segment planning metadata, amortized to ONE file read.
+
+    Every planning decision (interval pruning, metric min/max pruning,
+    split sizing, ordered-limit prefixes) needs only (interval, row
+    count, column min/max) per segment — but reading them from the
+    segments means O(N) directory opens in the driver per query, the
+    broker-without-a-metadata-store anti-pattern (Druid brokers plan
+    from the coordinator's segment metadata, never by opening segments;
+    at 100k segments per 100 TB datasource the difference is the whole
+    planning budget). So the first planning that needs metadata writes
+    ``root/_planmeta.json`` and every later planning reads that single
+    file, re-opening ONLY segments whose identity (meta.smoosh size +
+    mtime_ns — every rewrite rewrites meta.smoosh) changed, with the
+    refresh rewritten atomically. Read-only roots degrade gracefully:
+    the cache write is best-effort, correctness never depends on it.
+
+    Returns {segment_dir -> {"start", "end", "rows", "stats"}} where
+    stats is {col -> {"min", "max"}} (segment-level only — block zone
+    maps stay in the segment, they are read-time state)."""
+    import json as _json
+
+    cache_path = os.path.join(root, PLANMETA_NAME)
+    cached: dict = {}
+    try:
+        with open(cache_path) as f:
+            raw = _json.load(f)
+        if isinstance(raw, dict) and raw.get("v") == 1:
+            cached = raw.get("segments", {})
+    except (OSError, ValueError):
+        cached = {}
+
+    def identity(seg_dir: str) -> list | None:
+        try:
+            st = os.stat(os.path.join(seg_dir, "meta.smoosh"))
+        except OSError:
+            return None
+        return [st.st_size, st.st_mtime_ns]
+
+    out: dict[str, dict] = {}
+    fresh: dict[str, dict] = {}
+    dirty = False
+    for seg_dir in seg_dirs:
+        name = os.path.basename(seg_dir)
+        ident = identity(seg_dir)
+        entry = cached.get(name)
+        if entry is None or ident is None or entry.get("id") != ident:
+            seg = DruidSegment(seg_dir)
+            try:
+                entry = {
+                    "id": ident,
+                    "start": seg.metadata.interval_start_ms,
+                    "end": seg.metadata.interval_end_ms,
+                    "rows": seg.num_rows_meta(),
+                    "stats": {
+                        c: {"min": s["min"], "max": s["max"]}
+                        for c, s in seg.column_stats().items()
+                        if "min" in s and "max" in s
+                    },
+                }
+            finally:
+                seg.close()
+            dirty = True
+        out[seg_dir] = entry
+        fresh[name] = entry
+    if dirty or set(fresh) != set(cached):
+        tmp = f"{cache_path}.tmp.{os.getpid()}"
+        try:
+            with open(tmp, "w") as f:
+                _json.dump({"v": 1, "segments": fresh}, f)
+            os.replace(tmp, cache_path)
+        except OSError:  # read-only root: plan without the cache
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+    return out
+
+
 @dataclass
 class SegmentPartition(InputPartition):
     segment_dir: str
@@ -507,17 +589,13 @@ class DruidSegmentReader(DataSourceReader):
         later (earlier) than ALL rows of the taken prefix — which
         already holds >= k rows."""
         k = self.opt_order_limit
-        infos = []
-        for seg_dir in find_segment_dirs(self.path):
-            seg = DruidSegment(seg_dir)
-            try:
-                start = seg.metadata.interval_start_ms
-                end = seg.metadata.interval_end_ms
-                n_rows = seg.num_rows_meta()
-            finally:
-                seg.close()
-            if n_rows:
-                infos.append((start, end, n_rows, seg_dir))
+        dirs = find_segment_dirs(self.path)
+        metas = load_plan_meta(self.path, dirs)
+        infos = [
+            (m["start"], m["end"], m["rows"], seg_dir)
+            for seg_dir, m in ((d, metas[d]) for d in dirs)
+            if m["rows"]
+        ]
         if self.opt_order_desc:
             infos.sort(key=lambda t: (-t[1], -t[0], t[3]))
         else:
@@ -550,15 +628,25 @@ class DruidSegmentReader(DataSourceReader):
         num: dict,
     ) -> list[SegmentPartition]:
         parts: list[SegmentPartition] = []
-        for seg_dir in find_segment_dirs(self.path):
+        dirs = find_segment_dirs(self.path)
+        # planning metadata (interval / row count / column min-max)
+        # comes from the root's cached manifest — one file read instead
+        # of one segment open per dir (see load_plan_meta)
+        metas = (
+            load_plan_meta(self.path, dirs)
+            if (
+                lower is not None
+                or upper is not None
+                or num
+                or self.opt_split is not None
+            )
+            else {}
+        )
+        for seg_dir in dirs:
             if lower is not None or upper is not None or num:
-                seg = DruidSegment(seg_dir)
-                try:
-                    start = seg.metadata.interval_start_ms
-                    end = seg.metadata.interval_end_ms
-                    stats = seg.column_stats() if num else {}
-                finally:
-                    seg.close()
+                meta = metas[seg_dir]
+                start, end = meta["start"], meta["end"]
+                stats = meta["stats"] if num else {}
                 # interval is [start, end); keep on any overlap with bounds
                 if upper is not None and start > upper:
                     continue
@@ -577,14 +665,9 @@ class DruidSegmentReader(DataSourceReader):
             ):
                 continue
             # split scans: fan one big segment out into row windows
-            # (row count read from the __time header — planning cost)
             ranges: list = [None]
             if self.opt_split is not None:
-                seg = DruidSegment(seg_dir)
-                try:
-                    n_rows = seg.num_rows_meta()
-                finally:
-                    seg.close()
+                n_rows = metas[seg_dir]["rows"]
                 if n_rows > self.opt_split:
                     ranges = [
                         (s, min(n_rows, s + self.opt_split))

@@ -1120,3 +1120,84 @@ def test_order_limit_plans_segment_prefix(registered, tmp_path):
     names, df = plan(order_limit=999)
     assert names == ["seg_a", "seg_b", "seg_c"]
     assert df.count() == 26
+
+
+def test_plan_meta_cache_amortizes_segment_opens(registered, tmp_path, monkeypatch):
+    """load_plan_meta: planning metadata comes from _planmeta.json after
+    the first pass — zero segment opens on re-planning; a rewritten
+    segment refreshes only its own entry; removed/added segments
+    reconcile."""
+    import json as _json
+
+    from druid_datafusion_bridge_spark.sources import segment as segmod
+    from druid_datafusion_bridge_spark.sources.datasource import (
+        PLANMETA_NAME,
+        find_segment_dirs,
+        load_plan_meta,
+    )
+
+    def seg(lo, name, n=5):
+        write_segment(
+            pa.table(
+                {
+                    "__time": pa.array(
+                        [1704067200000 + lo + i for i in range(n)],
+                        pa.timestamp("ms"),
+                    ),
+                    "v": pa.array([float(lo + i) for i in range(n)]),
+                }
+            ),
+            str(tmp_path / name),
+        )
+
+    seg(0, "seg_a")
+    seg(100, "seg_b")
+    dirs = find_segment_dirs(str(tmp_path))
+
+    opens = []
+    orig_init = segmod.DruidSegment.__init__
+
+    def counting_init(self, path, *a, **k):
+        opens.append(os.path.basename(path))
+        return orig_init(self, path, *a, **k)
+
+    monkeypatch.setattr(segmod.DruidSegment, "__init__", counting_init)
+
+    metas = load_plan_meta(str(tmp_path), dirs)
+    assert sorted(opens) == ["seg_a", "seg_b"]  # cold: every segment
+    assert os.path.exists(tmp_path / PLANMETA_NAME)
+    assert metas[dirs[0]]["rows"] == 5
+    assert metas[dirs[0]]["stats"]["v"] == {"min": 0.0, "max": 4.0}
+
+    opens.clear()
+    again = load_plan_meta(str(tmp_path), dirs)
+    assert opens == []  # warm: one file read, zero segment opens
+    assert again == metas
+
+    # rewrite seg_b with more rows: only IT re-opens, entry refreshes
+    seg(100, "seg_b", n=7)
+    opens.clear()
+    metas = load_plan_meta(str(tmp_path), dirs)
+    assert opens == ["seg_b"]
+    assert metas[dirs[1]]["rows"] == 7
+
+    # remove a segment: cache reconciles without opening the survivor
+    import shutil
+
+    shutil.rmtree(tmp_path / "seg_a")
+    dirs = find_segment_dirs(str(tmp_path))
+    opens.clear()
+    metas = load_plan_meta(str(tmp_path), dirs)
+    assert opens == [] and list(metas) == dirs
+    names = _json.load(open(tmp_path / PLANMETA_NAME))["segments"]
+    assert sorted(names) == ["seg_b"]
+
+    # end-to-end: a filtered read planned purely from the cache
+    opens.clear()
+    df = (
+        registered.read.format("druidsegment")
+        .option("path", str(tmp_path))
+        .option("num_range", '{"v": [105.0, null]}')
+        .load()
+    )
+    assert df.filter(F.col("v") >= 105.0).count() == 2  # 105, 106
