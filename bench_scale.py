@@ -223,6 +223,32 @@ def main() -> None:
             .save()
         )
         timings["segment_scan_rollup_split"] = round(time.perf_counter() - t0, 3)
+
+        # Planning-metadata amortization at catalog scale: a PT1M
+        # granularity re-bucket of the same stream yields ~100 segments;
+        # cold planning opens each one, warm planning reads ONE
+        # manifest. The cold/warm ratio is what _planmeta.json buys per
+        # query at 100k-segment datasources (driver-side, no Spark job).
+        from druid_datafusion_bridge_spark.sources.datasource import (
+            find_segment_dirs,
+            load_plan_meta,
+        )
+
+        seg_root_many = tempfile.mkdtemp(prefix="ddbs_scale_seg_many_")
+        try:
+            write_druid_segments(
+                ev_seg.limit(200_000), seg_root_many, granularity="PT1M"
+            ).collect()
+            dirs = find_segment_dirs(seg_root_many)
+            t0 = time.perf_counter()
+            load_plan_meta(seg_root_many, dirs)
+            timings["plan_meta_cold"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            load_plan_meta(seg_root_many, dirs)
+            timings["plan_meta_warm"] = round(time.perf_counter() - t0, 3)
+            timings["plan_meta_segments"] = len(dirs)
+        finally:
+            shutil.rmtree(seg_root_many, ignore_errors=True)
     finally:
         shutil.rmtree(seg_root, ignore_errors=True)
 
