@@ -53,9 +53,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # s1l_druid_segment_regex_filter, s1m_druid_segment_search_filter,
 # s1n_druid_segment_like_filter, dm_search_query,
 # s1o_druid_segment_split_scan, s1p_druid_segment_ordered_limit,
-# lk_lookup_enrich, lk_reverse_lookup_filter) sit outside it and are
-# what r7's ROTATION should front-load, together with r7's own new
-# queries.
+# s1q_druid_segment_recent_limit, lk_lookup_enrich,
+# lk_reverse_lookup_filter) sit outside it and are what r7's ROTATION
+# should front-load, together with r7's own new queries.
 ROTATION: tuple[str, ...] = (
     # never-sampled backlog (44) — streaming first (incl. the full
     # stream->segment->serve lifecycle), then sketches and the rest

@@ -1567,3 +1567,49 @@ def s1p_druid_segment_ordered_limit(
         .orderBy("t_ms", "event_id")
         .limit(50)
     )
+
+
+S1Q_CUTOFF_MS = 1705708800000  # 2024-01-20T00:00:00Z, inside the events span
+
+
+@query(
+    "s1q_druid_segment_recent_limit",
+    oracle=f"""
+    SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+           epoch_ms(date_trunc('milliseconds', ts)) AS t_ms
+    FROM events
+    WHERE epoch_ms(date_trunc('milliseconds', ts)) >= {S1Q_CUTOFF_MS}
+    ORDER BY t_ms DESC, event_id DESC
+    LIMIT 40
+    """,
+)
+def s1q_druid_segment_recent_limit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Druid's canonical recency query — latest k within an interval —
+    as composed planning-level pruning: the interval drops
+    out-of-range segments, then the DESCENDING ordered-limit prefix
+    keeps only the latest segments whose header counts cover k (a
+    partially-overlapping boundary segment rides along without
+    counting, so the superset stays provable). Spark re-applies the
+    time filter row-level and lands the exact cut; surviving segments
+    skip non-candidate blocks via the __time zone maps."""
+    root = _ensure_event_time_segments(spark, sf_dir)
+    df = (
+        spark.read.format("druidsegment")
+        .option("path", root)
+        .option("order_limit", "40")
+        .option("order_desc", "true")
+        .option("time_lower_ms", str(S1Q_CUTOFF_MS))
+        .load()
+    )
+    return (
+        df.filter(F.col("__time") >= F.timestamp_millis(F.lit(S1Q_CUTOFF_MS)))
+        .select(
+            "event_id",
+            "event_type",
+            F.unix_millis("__time").alias("t_ms"),
+        )
+        .orderBy(F.desc("t_ms"), F.desc("event_id"))
+        .limit(40)
+    )

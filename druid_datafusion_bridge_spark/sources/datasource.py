@@ -553,14 +553,12 @@ class DruidSegmentReader(DataSourceReader):
             )
         if (
             self.opt_order_limit is not None
-            and lower is None
-            and upper is None
             and not eq
             and not bound
             and not preds
             and not num
         ):
-            parts = self._ordered_limit_partitions()
+            parts = self._ordered_limit_partitions(lower, upper)
         else:
             parts = self._filtered_partitions(
                 lower, upper, eq, bound, preds, num
@@ -579,23 +577,43 @@ class DruidSegmentReader(DataSourceReader):
         self.pred_filters = []
         return parts
 
-    def _ordered_limit_partitions(self) -> list[SegmentPartition]:
+    def _ordered_limit_partitions(
+        self, lower=None, upper=None
+    ) -> list[SegmentPartition]:
         """Minimal interval-ordered segment prefix covering
-        ``order_limit`` rows. Metadata-plane only: per segment, one
-        index.drd interval + the __time column header's element count
-        (no block decode). Correctness: every excluded segment's
-        interval starts at/after the taken span's end (ends at/before
-        its start, descending), so each of its rows is strictly
-        later (earlier) than ALL rows of the taken prefix — which
-        already holds >= k rows."""
+        ``order_limit`` rows (metadata-plane only, served from the
+        root's planning manifest). Correctness: every excluded
+        segment's interval starts at/after the taken span's end (ends
+        at/before its start, descending), so each of its rows is
+        strictly later (earlier) than ALL counted rows of the taken
+        prefix — which already number >= k.
+
+        Composes with a __time interval (Druid's recency query: latest
+        k in the last day): out-of-interval segments drop first, and
+        only FULLY-contained segments count toward k — a partially
+        overlapping segment contributes an unknown in-interval row
+        count, so it rides along without counting. Spark still
+        re-applies the time filter row-level; surviving partitions
+        carry the interval as a __time zone-map hint exactly like the
+        filtered path."""
         k = self.opt_order_limit
         dirs = find_segment_dirs(self.path)
         metas = load_plan_meta(self.path, dirs)
-        infos = [
-            (m["start"], m["end"], m["rows"], seg_dir)
-            for seg_dir, m in ((d, metas[d]) for d in dirs)
-            if m["rows"]
-        ]
+        infos = []
+        for seg_dir in dirs:
+            m = metas[seg_dir]
+            start, end, rows = m["start"], m["end"], m["rows"]
+            if not rows:
+                continue
+            # interval is [start, end); bounds are inclusive [lower, upper]
+            if upper is not None and start > upper:
+                continue
+            if lower is not None and end <= lower:
+                continue
+            contained = (lower is None or start >= lower) and (
+                upper is None or end - 1 <= upper
+            )
+            infos.append((start, end, rows if contained else 0, seg_dir))
         if self.opt_order_desc:
             infos.sort(key=lambda t: (-t[1], -t[0], t[3]))
         else:
@@ -616,7 +634,14 @@ class DruidSegmentReader(DataSourceReader):
         else:
             span_end = max((t[1] for t in taken), default=0)
             taken += [t for t in infos[i:] if t[0] < span_end]
-        return [SegmentPartition(t[3]) for t in taken]
+        time_hint = (
+            ((TIME_COLUMN, lower, upper),)
+            if (lower is not None or upper is not None)
+            else ()
+        )
+        return [
+            SegmentPartition(t[3], num_filters=time_hint) for t in taken
+        ]
 
     def _filtered_partitions(
         self,

@@ -1112,10 +1112,25 @@ def test_order_limit_plans_segment_prefix(registered, tmp_path):
     assert names == ["seg_b", "seg_c"]
     got = sorted((r.v for r in df.collect()), reverse=True)
     assert got[:5] == [19, 18, 17, 17, 16]
-    # a pushed filter disables the prefix (header counts no longer
-    # cover k MATCHING rows) — full plan, every segment present
+    # a pushed value filter disables the prefix (header counts no
+    # longer cover k MATCHING rows) — full plan, every segment present
     names, _ = plan(order_limit=5, num_range='{"v": [3, null]}')
     assert names == ["seg_a", "seg_b", "seg_c"]
+    # composed with a time interval (recency query): lower bound 11
+    # drops seg_a; seg_b overlaps partially so it rides without
+    # counting; fully-contained seg_c covers k
+    names, df = plan(order_limit=3, time_lower_ms=1704067200000 + 11)
+    assert names == ["seg_b", "seg_c"]
+    got = sorted(r.v for r in df.collect() if r.v >= 11)
+    assert got[:3] == [11, 12, 12]
+    # descending with an upper bound: seg_c is out of range entirely,
+    # seg_b rides uncounted, seg_a covers k
+    names, df = plan(
+        order_limit=2, order_desc="true", time_upper_ms=1704067200000 + 11
+    )
+    assert names == ["seg_a", "seg_b"]
+    got = sorted((r.v for r in df.collect() if r.v <= 11), reverse=True)
+    assert got[:2] == [11, 10]
     # k >= total rows: everything planned, nothing lost
     names, df = plan(order_limit=999)
     assert names == ["seg_a", "seg_b", "seg_c"]

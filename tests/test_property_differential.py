@@ -829,12 +829,17 @@ def test_segment_filter_pruning_never_loses_rows(data):
         options["time_upper_ms"] = str(base + 1000 * hi_i)
         idx = np.arange(n)
         mask &= (idx >= lo_i) & (idx <= hi_i)
-    # ordered-limit planning engages only on an otherwise-unfiltered
-    # scan (a row-dropping filter invalidates the header-count cover);
-    # contract: emitted rows are a SUPERSET of the k earliest (latest)
+    # ordered-limit planning engages on scans with no VALUE filters (a
+    # row-dropping dim/metric filter invalidates the header-count
+    # cover) and composes with the time interval; contract: emitted
+    # rows are a SUPERSET of the k earliest (latest) in-interval rows
     order_k = None
     order_desc = False
-    if len(options) == 1 and data.draw(st.booleans()):
+    if set(options) <= {
+        "path",
+        "time_lower_ms",
+        "time_upper_ms",
+    } and data.draw(st.booleans()):
         order_k = data.draw(st.integers(1, n + 3))
         options["order_limit"] = str(order_k)
         order_desc = data.draw(st.booleans())
@@ -858,8 +863,9 @@ def test_segment_filter_pruning_never_loses_rows(data):
     expected_times = {(base + 1000 * i) * 1000 for i in np.flatnonzero(mask)}
     all_times = {(base + 1000 * i) * 1000 for i in range(n)}
     if order_k is not None:
-        sel = range(n - min(order_k, n), n) if order_desc else range(min(order_k, n))
-        topk = {(base + 1000 * i) * 1000 for i in sel}
+        sel_idx = np.flatnonzero(mask)  # in-interval rows, time order
+        sel = sel_idx[-order_k:] if order_desc else sel_idx[:order_k]
+        topk = {(base + 1000 * int(i)) * 1000 for i in sel}
         assert topk <= emitted_times, "ordered-limit lost top-k rows"
     else:
         assert (
