@@ -188,7 +188,8 @@ def search_dimension(
     bitmaps) per segment, independent of row count), and the only
     exchange is the final groupBy over (value, n) pairs, bounded by
     matching-cardinality × segments, not rows. ``kind``/``arg`` name a
-    _compile_pred spec (regex/contains/icontains/like).
+    dictionary-predicate spec (regex/contains/icontains/endswith/like),
+    evaluated by the Arrow kernels in DruidSegment.matching_value_ids.
 
     Requires an indexed string dimension (every Druid dimension has
     one); a segment without the index raises rather than silently

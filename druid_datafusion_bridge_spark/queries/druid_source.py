@@ -1339,8 +1339,9 @@ def s1l_druid_segment_regex_filter(spark: SparkSession, sf_dir: str) -> DataFram
     bisect; the reference parses these dictionaries (string.rs:27-44)
     but applies no filter of any kind (bitmap.rs:16-40 dead code).
     Acceleration only: the rlike filter re-applies row-level, and the
-    pattern stays in the re/Java-regex common subset (docstring of
-    _compile_pred)."""
+    pattern stays in the RE2/Java-regex common subset
+    (DruidSegment.matching_value_ids evaluates it with Arrow's
+    match_substring_regex kernel)."""
     root = _ensure_hll_segments(spark, sf_dir)
     df = (
         spark.read.format("druidsegment")
@@ -1412,8 +1413,9 @@ def s1m_druid_segment_search_filter(spark: SparkSession, sf_dir: str) -> DataFra
 def s1n_druid_segment_like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Druid LikeDimFilter over real segments: the SQL pattern
     ('_i%' — one-char wildcard then any run) compiles to an anchored
-    regex evaluated once per distinct dictionary value
-    (_like_to_regex), bitmap-union row selection after. Spark and
+    match evaluated once per distinct dictionary value (Arrow's
+    match_like kernel, SQL %/_/backslash), bitmap-union row selection
+    after. Spark and
     DuckDB agree on LIKE semantics (whole-string, backslash escape),
     so the residual row-level filter is the plain .like() the user
     would write anyway — the option only accelerates it."""

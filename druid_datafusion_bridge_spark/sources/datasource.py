@@ -67,56 +67,19 @@ from pyspark.sql.datasource import (
 )
 
 
-def _compile_pred(kind: str, arg: str):
-    """``str -> bool`` predicate for a dictionary pass (the segment
-    evaluates it once per DISTINCT value, never per row). ``regex`` is
-    UNANCHORED search — the semantics Spark's rlike and Druid's
-    RegexDimFilter (java find(), druid RegexDimFilter docs) share with
-    Python re.search on the portable pattern subset; pruning is
-    acceleration-only and callers keep their own df.filter on top, so
-    patterns must stay inside that common subset (no engine-specific
-    escapes)."""
-    if kind == "regex":
-        import re
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
-        rx = re.compile(arg)
-        return lambda s: rx.search(s) is not None
-    if kind == "contains":
-        return lambda s: arg in s
-    if kind == "icontains":
-        low = arg.lower()
-        return lambda s: low in s.lower()
-    if kind == "endswith":
-        return lambda s: s.endswith(arg)
-    if kind == "like":
-        import re
-
-        rx = re.compile(_like_to_regex(arg), re.DOTALL)
-        return lambda s: rx.match(s) is not None
-    raise ValueError(f"unknown predicate kind {kind!r}")
-
-
-def _like_to_regex(pattern: str) -> str:
-    """SQL LIKE pattern -> anchored regex (Druid LikeDimFilter
-    semantics: % = any run, _ = any one char, backslash escapes the
-    next char). Everything else is matched literally."""
-    import re
-
-    out, i = [], 0
-    while i < len(pattern):
-        ch = pattern[i]
-        if ch == "\\" and i + 1 < len(pattern):
-            out.append(re.escape(pattern[i + 1]))
-            i += 2
-            continue
-        if ch == "%":
-            out.append(".*")
-        elif ch == "_":
-            out.append(".")
-        else:
-            out.append(re.escape(ch))
-        i += 1
-    return "".join(out) + r"\Z"
+from .segment import TIME_COLUMN, DruidSegment
 
 
 def _next_prefix(p: str) -> str | None:
@@ -131,19 +94,7 @@ def _next_prefix(p: str) -> str | None:
     if i < 0:
         return None
     return p[:i] + chr(ord(p[i]) + 1)
-from pyspark.sql.types import (
-    ArrayType,
-    BinaryType,
-    DoubleType,
-    FloatType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-    TimestampType,
-)
 
-from .segment import TIME_COLUMN, DruidSegment
 
 def ship_package(spark) -> None:
     """Make this package importable on Python workers (addPyFile of a
@@ -246,6 +197,12 @@ def find_segment_dirs(path: str) -> list[str]:
 
 
 PLANMETA_NAME = "_planmeta.json"
+
+# Driver-side value-pruning budget: above this many segments, inverted-
+# index emptiness proofs move wholly to the executors (see
+# _filtered_partitions). 64 keeps small/medium roots snappy while a
+# catalog-scale root never serializes 100k index opens in the driver.
+VALUE_PRUNE_MAX_SEGMENTS = 64
 
 
 def load_plan_meta(root: str, seg_dirs: list[str]) -> dict[str, dict]:
@@ -516,6 +473,7 @@ class DruidSegmentReader(DataSourceReader):
             ("dim_regex", "regex"),
             ("dim_contains", "contains"),
             ("dim_icontains", "icontains"),
+            ("dim_endswith", "endswith"),
             ("dim_like", "like"),
         ):
             raw = _json.loads(options.get(opt)) if options.get(opt) else {}
@@ -667,6 +625,18 @@ class DruidSegmentReader(DataSourceReader):
             )
             else {}
         )
+        # driver-side value pruning (inverted-index emptiness proofs)
+        # opens each surviving segment and, for dictionary predicates,
+        # decodes its dictionary — unlike interval/min-max pruning it
+        # cannot be served from the manifest (emptiness depends on the
+        # filter). Worth it while the per-query win (an elided task)
+        # exceeds the planning cost; past this many segments skip it and
+        # let executors do the same index check inside read(), where it
+        # parallelizes — correctness is identical either way (read()
+        # re-derives the row set; empty segments just cost a no-op task).
+        value_prune = (eq or bound or preds) and len(
+            dirs
+        ) <= VALUE_PRUNE_MAX_SEGMENTS
         for seg_dir in dirs:
             if lower is not None or upper is not None or num:
                 meta = metas[seg_dir]
@@ -685,9 +655,7 @@ class DruidSegmentReader(DataSourceReader):
                     for c, (lo, hi) in num.items()
                 ):
                     continue
-            if (eq or bound or preds) and self._value_pruned(
-                seg_dir, eq, bound, preds
-            ):
+            if value_prune and self._value_pruned(seg_dir, eq, bound, preds):
                 continue
             # split scans: fan one big segment out into row windows
             ranges: list = [None]
@@ -734,9 +702,12 @@ class DruidSegmentReader(DataSourceReader):
     ) -> bool:
         """Planner-side value pruning: a segment whose inverted index
         proves a conjunctive dim equality (or lexicographic bound)
-        matches NOTHING never gets a task at all (the metadata pass
-        touches only dictionary + bitmap bytes, not value columns —
-        same catalog-scale cost as the __time interval check above)."""
+        matches NOTHING never gets a task at all. The pass touches only
+        dictionary + bitmap bytes, never value columns, but unlike the
+        manifest-served interval/min-max checks it opens each surviving
+        segment (and bulk-decodes its dictionary for predicate kinds),
+        so _filtered_partitions gates it behind
+        VALUE_PRUNE_MAX_SEGMENTS."""
         seg = DruidSegment(seg_dir)
         try:
             for col, values in eq.items():

@@ -451,6 +451,22 @@ def write_generic_indexed(elements: list[bytes | None], sorted_flag: bool = True
 # ---------------------------------------------------------------------------
 
 
+def _check_rows(rows, total: int, what: str) -> np.ndarray:
+    """Validate a sliced-decode row-id selection: sorted ascending (the
+    contract every caller documents — bitmap/index row sets and split
+    windows are built sorted) and inside [0, total). Checked up front
+    so a bad selection fails as DruidFormatError, not as a misleading
+    downstream index/unpack error (endpoint-only checks let an unsorted
+    or mid-array-negative selection through)."""
+    rows = np.asarray(rows, np.int64)
+    if rows.size:
+        if rows.size > 1 and np.any(np.diff(rows) < 0):
+            raise DruidFormatError(f"{what}: row ids must be sorted ascending")
+        if rows[0] < 0 or rows[-1] >= total:
+            raise DruidFormatError(f"{what}: row ids out of range 0..{total}")
+    return rows
+
+
 def read_vsize_ints(data, base: int = 0, rows=None) -> np.ndarray:
     if len(data) - base < 6:
         raise DruidFormatError("VSizeColumnarInts: too short")
@@ -464,9 +480,7 @@ def read_vsize_ints(data, base: int = 0, rows=None) -> np.ndarray:
     if rows is not None:
         # fixed-width + uncompressed => pure positional gather, no
         # full decode (the v0 analog of the blockwise sliced path)
-        rows = np.asarray(rows, np.int64)
-        if rows.size and (rows[0] < 0 or rows[-1] * num_bytes >= buffer_size):
-            raise DruidFormatError("VSizeColumnarInts: row ids out of range")
+        rows = _check_rows(rows, buffer_size // num_bytes, "VSizeColumnarInts")
         idx = (rows[:, None] * num_bytes + np.arange(num_bytes)).ravel()
         gathered = np.frombuffer(buf, np.uint8)[idx].tobytes()
         return _unpack_be_uints(gathered, num_bytes)
@@ -571,11 +585,7 @@ def _read_compressed_blocks(
         return np.frombuffer(raw, dtype=dtype)
 
     if rows is not None:
-        rows = np.asarray(rows, np.int64)
-        if rows.size and (rows[0] < 0 or rows[-1] >= total_size):
-            raise DruidFormatError(
-                f"Sliced decode: row ids out of range 0..{total_size}"
-            )
+        rows = _check_rows(rows, total_size, "Sliced decode")
         out = np.empty(len(rows), dtype=out_dtype)
         blk_ids = rows // size_per if size_per else rows
         for b in np.unique(blk_ids):

@@ -48,6 +48,7 @@ class DruidSegment:
         self._descriptors: dict[str, dict] = {}
         self._column_stats: dict | None = None
         self._dict_arrays: dict[str, pa.Array] = {}
+        self._string_indexes: dict[str, tuple | None] = {}
         fields = []
         for name in self.metadata.columns:
             desc, _ = fmt.parse_column_header(self.smoosh.map_file(name))
@@ -210,17 +211,24 @@ class DruidSegment:
         """(GenericIndexed dictionary, bitmap-index section, header
         payload offset, mmapped bytes) for a STRING column that carries
         an inverted index — None otherwise. The shared entry point of
-        every dictionary-side acceleration path."""
-        if name not in self.metadata.columns:
-            return None
-        if self._descriptors[name]["valueType"].upper() != "STRING":
-            return None
-        data = self.smoosh.map_file(name)
-        _, payload = fmt.parse_column_header(data)
-        bm = fmt.locate_string_bitmap_index(data, payload)
-        if bm is None:
-            return None
-        return fmt.GenericIndexedV1(data, payload + 5), bm
+        every dictionary-side acceleration path; memoized per instance
+        (a Search query or multi-predicate filter would otherwise
+        re-parse the same column header and re-walk its section sizes
+        once per predicate per call)."""
+        if name in self._string_indexes:
+            return self._string_indexes[name]
+        out = None
+        if (
+            name in self.metadata.columns
+            and self._descriptors[name]["valueType"].upper() == "STRING"
+        ):
+            data = self.smoosh.map_file(name)
+            _, payload = fmt.parse_column_header(data)
+            bm = fmt.locate_string_bitmap_index(data, payload)
+            if bm is not None:
+                out = (fmt.GenericIndexedV1(data, payload + 5), bm)
+        self._string_indexes[name] = out
+        return out
 
     def _dict_array(self, name: str, gi) -> pa.Array:
         """Cached bulk decode of ``name``'s value dictionary (one
@@ -482,6 +490,10 @@ class DruidSegment:
         return self.smoosh.file_names()
 
     def close(self) -> None:
+        # the memoized string indexes hold views over the mmaps being
+        # closed (GenericIndexedV1 keeps the buffer; mmap.close refuses
+        # while exported pointers exist) — drop them first
+        self._string_indexes.clear()
         self.smoosh.close()
 
 

@@ -904,6 +904,17 @@ def test_dictionary_predicate_filters(registered, tmp_path):
         vals = s.read_column("site", rows=rows).to_pylist()
         assert sorted(vals) == ["app", "apple"]
         assert list(s.matching_value_ids("site", lambda x: False)) == []
+
+        # LIKE kernel corners on the LIVE evaluation path (pc.match_like):
+        # one-char wildcard, anchoring (no partial match), %-run
+        def like_vals(pat):
+            ids = s.matching_value_ids("site", ("like", pat))
+            gi, _ = s._string_index("site")
+            return sorted(gi.get(int(i)).decode() for i in ids)
+
+        assert like_vals("app") == ["app"]        # anchored: not apple
+        assert like_vals("app_e") == ["apple"]    # _ is exactly one char
+        assert like_vals("ap%") == ["app", "apple", "apricot"]
     finally:
         s.close()
 
@@ -915,6 +926,16 @@ def test_dictionary_predicate_filters(registered, tmp_path):
     )
     got = df.filter(F.col("site").rlike("^ap(p|r)")).select("site").collect()
     assert sorted(r.site for r in got) == ["app", "apple", "apricot"]
+
+    # the dim_endswith option routes through the same pred machinery
+    df_e = (
+        registered.read.format("druidsegment")
+        .option("path", str(tmp_path))
+        .option("dim_endswith", '{"site": "e"}')
+        .load()
+    )
+    got = df_e.filter(F.col("site").endswith("e")).select("site").collect()
+    assert sorted(r.site for r in got) == ["apple"]
 
     # planner-side pruning: a predicate no dictionary value of seg_000
     # satisfies drops that segment without a task
@@ -958,13 +979,6 @@ def test_like_filter_and_search_query(registered, tmp_path):
     — including MVD contains-counting — matching a brute-force
     recount."""
     from druid_datafusion_bridge_spark.model.druid_model import search_dimension
-    from druid_datafusion_bridge_spark.sources.datasource import _like_to_regex
-
-    # translator corners: escape, one-char, anchoring
-    import re
-    assert re.match(_like_to_regex(r"100\%"), "100%")
-    assert not re.match(_like_to_regex(r"100\%"), "100x")
-    assert not re.match(_like_to_regex("a_c"), "abcc")
 
     sites = ["app", "apple", "apricot", "banana", "berry", "app"]
     tags = [["red", "blue"], ["red"], [], None, ["blue"], ["red"]]

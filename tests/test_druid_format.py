@@ -767,3 +767,29 @@ def test_sliced_decode_property(values, data):
     payload = fmt.write_compressed_longs(arr, size_per=size_per)
     got = fmt.read_compressed_longs(payload, rows=np.array(rows, np.int64))
     assert got.tolist() == arr[rows].tolist()
+
+
+def test_sliced_decode_rejects_unsorted_and_negative_rows():
+    """Row-id selections must be sorted ascending and in range — an
+    unsorted or mid-array-negative selection fails as DruidFormatError
+    up front, never as a misleading downstream unpack/index error."""
+    import numpy as np
+    import pytest
+
+    from druid_datafusion_bridge_spark.sources.druid_format import (
+        DruidFormatError,
+        read_compressed_longs,
+        read_vsize_ints,
+        write_compressed_longs,
+        write_vsize_ints,
+    )
+
+    longs = write_compressed_longs(np.arange(1000))
+    vsize = write_vsize_ints(np.arange(300), 2)
+    for bad in ([5000, 3], [3, -5], [900, 2]):
+        with pytest.raises(DruidFormatError):
+            read_compressed_longs(longs, rows=np.array(bad))
+        with pytest.raises(DruidFormatError):
+            read_vsize_ints(vsize, rows=np.array(bad))
+    assert list(read_compressed_longs(longs, rows=np.array([2, 900]))) == [2, 900]
+    assert list(read_vsize_ints(vsize, rows=np.array([0, 299]))) == [0, 299]
