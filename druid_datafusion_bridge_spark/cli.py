@@ -5,11 +5,13 @@
     python -m druid_datafusion_bridge_spark.cli files <segment-path>
     python -m druid_datafusion_bridge_spark.cli dump  <segment-path> \
         [--columns a,b] [--limit N] [--format table|json|csv]
+    python -m druid_datafusion_bridge_spark.cli scan  <root-or-segment> \
+        [--columns a,b] [--limit N] [--order asc|desc] [--format ...]
     python -m druid_datafusion_bridge_spark.cli query <segment-path> --sql SQL
     python -m druid_datafusion_bridge_spark.cli search <segment-path> \
         -d DIM [-m contains|icontains|regex|like] -q VALUE
 
-`info`, `files`, `dump` and `search` are engine-bypass paths straight
+`info`, `files`, `dump`, `scan` and `search` are engine-bypass paths straight
 over the decode layer (the reference's cmd_info/cmd_files/cmd_dump read the
 segment without DataFusion, src/main.rs:97-184) — no Spark session is
 started for them, so they answer in milliseconds. `query` registers the
@@ -67,6 +69,100 @@ def cmd_files(path: str) -> None:
         print(f"Total: {len(seg.smoosh.entries)} files")
     finally:
         seg.close()
+
+
+def _emit_batch(batch, fmt: str) -> None:
+    if fmt == "table":
+        print(batch.to_pandas().to_string(index=False))
+    elif fmt == "json":  # line-delimited JSON sink (main.rs:170-174)
+        for row in batch.to_pylist():
+            print(json.dumps(row, default=str))
+    elif fmt == "csv":  # CSV-with-header sink (main.rs:175-180)
+        import pyarrow.csv as pacsv
+
+        pacsv.write_csv(batch, sys.stdout.buffer)
+    else:
+        raise SystemExit(f"unknown format {fmt!r}")
+
+
+def cmd_scan(
+    path: str,
+    columns: str | None,
+    limit: int,
+    order: str,
+    fmt: str,
+) -> None:
+    """Druid Scan query over a segment ROOT, no Spark and no SQL
+    engine: the first (last) ``limit`` rows by __time across every
+    segment. Plans the ordered-limit segment prefix from the root's
+    planning manifest (load_plan_meta — one file read when warm), then
+    per planned segment finds its top-``limit`` rows by decoding ONLY
+    the __time column (argpartition, no full sort) and slice-decodes
+    just those rows of the projected columns; candidates merge across
+    segments and the exact cut is one bounded sort over
+    <= limit x planned_segments rows. The reference has no multi-
+    segment reads at all; Druid itself streams segments time-ordered
+    and stops at the limit (ScanQueryEngine)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .sources.datasource import find_segment_dirs, load_plan_meta
+    from .sources.segment import TIME_COLUMN
+
+    desc = order == "desc"
+    dirs = find_segment_dirs(path)
+    metas = load_plan_meta(path, dirs)
+    infos = [
+        (metas[d]["start"], metas[d]["end"], metas[d]["rows"], d)
+        for d in dirs
+        if metas[d]["rows"]
+    ]
+    infos.sort(key=lambda t: (-t[1], -t[0]) if desc else (t[0], t[1]))
+    taken, cum = [], 0
+    for info in infos:
+        if cum >= limit:
+            # stragglers: interval overlaps the taken span
+            span = (
+                min(t[0] for t in taken) if desc else max(t[1] for t in taken)
+            )
+            if (info[1] <= span) if desc else (info[0] >= span):
+                break
+        taken.append(info)
+        cum += info[2]
+
+    cols = [c.strip() for c in columns.split(",")] if columns else None
+    read_cols = cols
+    if cols is not None and TIME_COLUMN not in cols:
+        read_cols = [TIME_COLUMN] + cols  # merge key rides along
+    batches = []
+    for _, _, n_rows, seg_dir in taken:
+        seg = DruidSegment(seg_dir)
+        try:
+            # rows within a segment are not guaranteed time-sorted:
+            # decode __time alone, argpartition the top-k, then
+            # slice-decode only those rows of the projection
+            times = seg.read_column(TIME_COLUMN).cast(pa.int64()).to_numpy()
+            k = min(limit, len(times))
+            part = (
+                np.argpartition(-times, k - 1) if desc
+                else np.argpartition(times, k - 1)
+            )[:k]
+            rows = np.sort(part.astype(np.int64))
+            batches.append(seg.read_batch(read_cols, rows=rows))
+        finally:
+            seg.close()
+    if not batches:
+        raise SystemExit(f"no rows under {path}")
+    import pyarrow.compute as pc
+
+    merged = pa.Table.from_batches(batches)
+    idx = pc.sort_indices(
+        merged, sort_keys=[(TIME_COLUMN, "descending" if desc else "ascending")]
+    )
+    merged = merged.take(idx.slice(0, limit))
+    if read_cols is not cols:
+        merged = merged.drop_columns([TIME_COLUMN])
+    _emit_batch(merged.combine_chunks().to_batches()[0], fmt)
 
 
 def cmd_dump(path: str, columns: str | None, limit: int, fmt: str) -> None:
@@ -166,6 +262,17 @@ def main(argv: list[str] | None = None) -> None:
         "--format", default="table", choices=["table", "json", "csv"]
     )
 
+    p_scan = sub.add_parser(
+        "scan", help="time-ordered limit scan over a segment root (no Spark)"
+    )
+    p_scan.add_argument("path")
+    p_scan.add_argument("--columns", default=None, help="comma-separated list")
+    p_scan.add_argument("--limit", type=int, default=10)
+    p_scan.add_argument("--order", default="asc", choices=["asc", "desc"])
+    p_scan.add_argument(
+        "--format", default="table", choices=["table", "json", "csv"]
+    )
+
     p_query = sub.add_parser("query", help="run SQL over the segment table")
     p_query.add_argument("path")
     p_query.add_argument("--sql", "-s", required=True)
@@ -194,6 +301,8 @@ def main(argv: list[str] | None = None) -> None:
         cmd_files(args.path)
     elif args.command == "dump":
         cmd_dump(args.path, args.columns, args.limit, args.format)
+    elif args.command == "scan":
+        cmd_scan(args.path, args.columns, args.limit, args.order, args.format)
     elif args.command == "query":
         cmd_query(args.path, args.sql, explain=args.explain)
     elif args.command == "search":

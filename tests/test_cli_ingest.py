@@ -243,3 +243,46 @@ def test_cli_search(seg_dir):
     assert out.splitlines() == ["#en\t1"]
     # no match -> empty output, not an error; NULL never matches
     assert _capture(cmd_search, seg_dir, "channel", "icontains", "ZZ") == ""
+
+
+def test_cli_scan_ordered_limit(tmp_path, capsys):
+    """scan: time-ordered limit across a segment ROOT without Spark —
+    ascending/descending cuts, projection without __time, and rows
+    within a segment NOT stored time-sorted (the per-segment
+    argpartition must still find them)."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from druid_datafusion_bridge_spark.cli import cmd_scan
+    from druid_datafusion_bridge_spark.sources.segment import write_segment
+
+    def seg(times, vals, name):
+        write_segment(
+            pa.table(
+                {
+                    "__time": pa.array(
+                        [1704067200000 + t for t in times], pa.timestamp("ms")
+                    ),
+                    "v": pa.array(vals, pa.int64()),
+                }
+            ),
+            str(tmp_path / name),
+        )
+
+    seg([3, 1, 2], [3, 1, 2], "seg_000")     # unsorted within segment
+    seg([11, 10, 12], [11, 10, 12], "seg_001")
+
+    def scan(**kw):
+        cmd_scan(str(tmp_path), kw.get("columns"), kw["limit"],
+                 kw.get("order", "asc"), "json")
+        out = capsys.readouterr().out.strip().splitlines()
+        return [_json.loads(line) for line in out]
+
+    rows = scan(limit=2)
+    assert [r["v"] for r in rows] == [1, 2]
+    rows = scan(limit=2, order="desc")
+    assert [r["v"] for r in rows] == [12, 11]
+    rows = scan(limit=4, order="desc", columns="v")
+    assert [r["v"] for r in rows] == [12, 11, 10, 3]
+    assert "__time" not in rows[0]
