@@ -9,7 +9,7 @@
         [--columns a,b] [--limit N] [--order asc|desc] [--format ...]
     python -m druid_datafusion_bridge_spark.cli query <segment-path> --sql SQL
     python -m druid_datafusion_bridge_spark.cli search <segment-path> \
-        -d DIM [-m contains|icontains|regex|like] -q VALUE
+        -d DIM [-m contains|icontains|regex|like|endswith] -q VALUE
 
 `info`, `files`, `dump`, `scan` and `search` are engine-bypass paths straight
 over the decode layer (the reference's cmd_info/cmd_files/cmd_dump read the
@@ -178,17 +178,7 @@ def cmd_dump(path: str, columns: str | None, limit: int, fmt: str) -> None:
 
         n = min(limit, seg.num_rows_meta())
         batch = seg.read_batch(cols, rows=np.arange(n, dtype=np.int64))
-        if fmt == "table":
-            print(batch.to_pandas().to_string(index=False))
-        elif fmt == "json":  # line-delimited JSON sink (main.rs:170-174)
-            for row in batch.to_pylist():
-                print(json.dumps(row, default=str))
-        elif fmt == "csv":  # CSV-with-header sink (main.rs:175-180)
-            import pyarrow.csv as pacsv
-
-            pacsv.write_csv(batch, sys.stdout.buffer)
-        else:
-            raise SystemExit(f"unknown format {fmt!r}")
+        _emit_batch(batch, fmt)
     finally:
         seg.close()
 
@@ -290,7 +280,7 @@ def main(argv: list[str] | None = None) -> None:
         "--matcher",
         "-m",
         default="contains",
-        choices=["contains", "icontains", "regex", "like"],
+        choices=["contains", "icontains", "regex", "like", "endswith"],
     )
     p_search.add_argument("--value", "-q", required=True)
 
