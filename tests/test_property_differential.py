@@ -873,3 +873,65 @@ def test_segment_filter_pruning_never_loses_rows(data):
         ), "acceleration lost matching rows"
     assert emitted_times <= all_times, "reader invented rows"
     assert len(emitted_v) == len(emitted_times)
+
+
+@given(data=st.data())
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cli_scan_matches_brute_force(data):
+    """cli scan == decode-everything-then-sort, for random segment
+    layouts (unsorted rows within segments, overlapping intervals),
+    both orders, any limit. Pure decode plane — no Spark."""
+    import contextlib
+    import io
+    import json as _json
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from druid_datafusion_bridge_spark.cli import cmd_scan
+    from druid_datafusion_bridge_spark.sources.segment import write_segment
+
+    n = data.draw(st.integers(1, 60))
+    # a permutation of distinct times, sliced into segments: slices of
+    # an unsorted permutation give overlapping intervals AND
+    # non-time-sorted rows within each segment
+    perm = data.draw(st.permutations(list(range(n))))
+    base = 1_700_000_000_000
+    n_segs = data.draw(st.integers(1, 4))
+    cuts = sorted(
+        data.draw(st.lists(st.integers(0, n), min_size=n_segs - 1, max_size=n_segs - 1))
+    ) + [n]
+    root = tempfile.mkdtemp(prefix="ddbs_fuzz_scan_")
+    try:
+        lo = 0
+        for i, hi in enumerate(cuts):
+            if hi > lo:
+                part = perm[lo:hi]
+                write_segment(
+                    pa.table(
+                        {
+                            "__time": pa.array(
+                                [base + 1000 * t for t in part],
+                                pa.timestamp("ms"),
+                            ),
+                            "v": pa.array(part, pa.int64()),
+                        }
+                    ),
+                    f"{root}/seg_{i:03d}",
+                )
+            lo = hi
+        limit = data.draw(st.integers(1, n + 3))
+        desc = data.draw(st.booleans())
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            cmd_scan(root, "v", limit, "desc" if desc else "asc", "json")
+        got = [_json.loads(line)["v"] for line in buf.getvalue().strip().splitlines()]
+        want = sorted(range(n), reverse=desc)[:limit]
+        assert got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
