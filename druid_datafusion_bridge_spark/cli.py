@@ -106,38 +106,42 @@ def cmd_scan(
     import numpy as np
     import pyarrow as pa
 
-    from .sources.datasource import find_segment_dirs, load_plan_meta
+    from .sources.datasource import (
+        find_segment_dirs,
+        load_plan_meta,
+        plan_ordered_limit_prefix,
+    )
     from .sources.segment import TIME_COLUMN
 
+    if limit <= 0:
+        raise SystemExit("--limit must be a positive row count")
     desc = order == "desc"
     dirs = find_segment_dirs(path)
     metas = load_plan_meta(path, dirs)
-    infos = [
-        (metas[d]["start"], metas[d]["end"], metas[d]["rows"], d)
-        for d in dirs
-        if metas[d]["rows"]
-    ]
-    infos.sort(key=lambda t: (-t[1], -t[0]) if desc else (t[0], t[1]))
-    taken, cum = [], 0
-    for info in infos:
-        if cum >= limit:
-            # stragglers: interval overlaps the taken span
-            span = (
-                min(t[0] for t in taken) if desc else max(t[1] for t in taken)
-            )
-            if (info[1] <= span) if desc else (info[0] >= span):
-                break
-        taken.append(info)
-        cum += info[2]
+    # same prefix + straggler plan the Spark DataSource uses, so the
+    # CLI and the engine cannot disagree on which segments a top-k
+    # scan reads
+    taken = plan_ordered_limit_prefix(
+        [
+            (metas[d]["start"], metas[d]["end"], metas[d]["rows"], d)
+            for d in dirs
+            if metas[d]["rows"]
+        ],
+        limit,
+        desc,
+    )
 
     cols = [c.strip() for c in columns.split(",")] if columns else None
-    read_cols = cols
-    if cols is not None and TIME_COLUMN not in cols:
-        read_cols = [TIME_COLUMN] + cols  # merge key rides along
-    batches = []
+    batches = []  # (batch, present column set) per planned segment
     for _, _, n_rows, seg_dir in taken:
         seg = DruidSegment(seg_dir)
         try:
+            # schema evolution: a long-lived root accretes columns over
+            # time — decode only what this segment has, NULL-fill the
+            # rest after the merge (mirrors DruidSegmentReader.read)
+            seg_cols = list(seg.metadata.columns)
+            want = seg_cols if cols is None else [c for c in cols if c in seg_cols]
+            read_cols = want if TIME_COLUMN in want else [TIME_COLUMN] + want
             # rows within a segment are not guaranteed time-sorted:
             # decode __time alone, argpartition the top-k, then
             # slice-decode only those rows of the projection
@@ -148,20 +152,64 @@ def cmd_scan(
                 else np.argpartition(times, k - 1)
             )[:k]
             rows = np.sort(part.astype(np.int64))
-            batches.append(seg.read_batch(read_cols, rows=rows))
+            batch = seg.read_batch(read_cols, rows=rows)
+            # flatten dictionary columns: per-segment dictionaries
+            # differ, plain values merge uniformly
+            arrays = [
+                a.dictionary_decode() if pa.types.is_dictionary(a.type) else a
+                for a in batch.columns
+            ]
+            batches.append(
+                pa.RecordBatch.from_arrays(arrays, names=batch.schema.names)
+            )
         finally:
             seg.close()
     if not batches:
         raise SystemExit(f"no rows under {path}")
+    # union schema in requested (or first-seen) order; NULL-fill columns
+    # a segment lacks. Conflicting types across segments are a root
+    # corruption — refuse loudly, same as the DataSource's schema().
+    union: dict[str, pa.DataType] = {}
+    for b in batches:
+        for fld in b.schema:
+            prev = union.get(fld.name)
+            if prev is None:
+                union[fld.name] = fld.type
+            elif prev != fld.type:
+                raise SystemExit(
+                    f"conflicting types for column {fld.name!r}: "
+                    f"{prev} vs {fld.type}"
+                )
+    if cols is not None:
+        unknown = [c for c in cols if c not in union]
+        if unknown:
+            raise SystemExit(
+                f"unknown column(s) {', '.join(unknown)} under {path}"
+            )
+        out_names = [TIME_COLUMN] + cols if TIME_COLUMN not in cols else cols
+    else:
+        out_names = list(union)
+    filled = []
+    for b in batches:
+        by_name = {n: b.column(i) for i, n in enumerate(b.schema.names)}
+        filled.append(
+            pa.RecordBatch.from_arrays(
+                [
+                    by_name.get(n, pa.nulls(b.num_rows, type=union[n]))
+                    for n in out_names
+                ],
+                names=out_names,
+            )
+        )
     import pyarrow.compute as pc
 
-    merged = pa.Table.from_batches(batches)
+    merged = pa.Table.from_batches(filled)
     idx = pc.sort_indices(
         merged, sort_keys=[(TIME_COLUMN, "descending" if desc else "ascending")]
     )
     merged = merged.take(idx.slice(0, limit))
-    if read_cols is not cols:
-        merged = merged.drop_columns([TIME_COLUMN])
+    if cols is not None and TIME_COLUMN not in cols:
+        merged = merged.drop_columns([TIME_COLUMN])  # merge key only
     _emit_batch(merged.combine_chunks().to_batches()[0], fmt)
 
 

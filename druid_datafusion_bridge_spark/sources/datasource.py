@@ -284,6 +284,45 @@ def load_plan_meta(root: str, seg_dirs: list[str]) -> dict[str, dict]:
     return out
 
 
+def plan_ordered_limit_prefix(
+    infos: list[tuple], k: int, desc: bool
+) -> list[tuple]:
+    """Minimal interval-ordered segment prefix covering ``k`` rows,
+    plus stragglers. ``infos`` are ``(start, end, countable_rows,
+    seg_dir)`` tuples — ``countable_rows`` may be 0 for segments that
+    must ride along without counting toward ``k`` (e.g. partial
+    interval overlap, see _ordered_limit_partitions). Shared by the
+    DataSource planner and the no-Spark scan CLI so the two cannot
+    disagree on which segments a top-k scan reads.
+
+    Correctness: every excluded segment's interval starts at/after the
+    taken span's end (ends at/before its start, descending), so each of
+    its rows is strictly later (earlier) than ALL counted rows of the
+    taken prefix — which already number >= k. Same-interval shards /
+    overlapping versions behind the prefix can still hold top-k rows,
+    so any remaining segment overlapping the taken span rides along."""
+    if k <= 0:
+        raise ValueError("order_limit must be a positive row count")
+    if desc:
+        infos = sorted(infos, key=lambda t: (-t[1], -t[0], t[3]))
+    else:
+        infos = sorted(infos, key=lambda t: (t[0], t[1], t[3]))
+    taken: list = []
+    cum = 0
+    i = 0
+    while i < len(infos) and cum < k:
+        taken.append(infos[i])
+        cum += infos[i][2]
+        i += 1
+    if desc:
+        span_start = min((t[0] for t in taken), default=0)
+        taken += [t for t in infos[i:] if t[1] > span_start]
+    else:
+        span_end = max((t[1] for t in taken), default=0)
+        taken += [t for t in infos[i:] if t[0] < span_end]
+    return taken
+
+
 @dataclass
 class SegmentPartition(InputPartition):
     segment_dir: str
@@ -540,11 +579,8 @@ class DruidSegmentReader(DataSourceReader):
     ) -> list[SegmentPartition]:
         """Minimal interval-ordered segment prefix covering
         ``order_limit`` rows (metadata-plane only, served from the
-        root's planning manifest). Correctness: every excluded
-        segment's interval starts at/after the taken span's end (ends
-        at/before its start, descending), so each of its rows is
-        strictly later (earlier) than ALL counted rows of the taken
-        prefix — which already number >= k.
+        root's planning manifest; prefix + straggler rule and its
+        correctness argument: plan_ordered_limit_prefix).
 
         Composes with a __time interval (Druid's recency query: latest
         k in the last day): out-of-interval segments drop first, and
@@ -572,26 +608,7 @@ class DruidSegmentReader(DataSourceReader):
                 upper is None or end - 1 <= upper
             )
             infos.append((start, end, rows if contained else 0, seg_dir))
-        if self.opt_order_desc:
-            infos.sort(key=lambda t: (-t[1], -t[0], t[3]))
-        else:
-            infos.sort(key=lambda t: (t[0], t[1], t[3]))
-        taken: list = []
-        cum = 0
-        i = 0
-        while i < len(infos) and cum < k:
-            taken.append(infos[i])
-            cum += infos[i][2]
-            i += 1
-        # stragglers: same-interval shards / overlapping versions behind
-        # the prefix can still hold top-k rows — keep any remaining
-        # segment overlapping the taken span
-        if self.opt_order_desc:
-            span_start = min((t[0] for t in taken), default=0)
-            taken += [t for t in infos[i:] if t[1] > span_start]
-        else:
-            span_end = max((t[1] for t in taken), default=0)
-            taken += [t for t in infos[i:] if t[0] < span_end]
+        taken = plan_ordered_limit_prefix(infos, k, self.opt_order_desc)
         time_hint = (
             ((TIME_COLUMN, lower, upper),)
             if (lower is not None or upper is not None)

@@ -348,23 +348,26 @@ class DruidSegment:
         None when the column has no usable index (missing, non-string,
         or unsorted dictionary). An empty window proves the segment
         matches nothing — what planner-side pruning needs, at pure
-        metadata cost."""
-        if name not in self.metadata.columns:
+        metadata cost. Header/section parsing comes from the memoized
+        _string_index (a bound+predicate conjunction, or several bounds
+        on one column, parses the column once); each bisect probe reads
+        one dictionary value — from the _dict_array cache when another
+        path already bulk-decoded it, else straight off the mmap."""
+        idx = self._string_index(name)
+        if idx is None:
             return None
-        desc = self._descriptors[name]
-        if desc["valueType"].upper() != "STRING":
-            return None
-        data = self.smoosh.map_file(name)
-        _, payload = fmt.parse_column_header(data)
-        if fmt.locate_string_bitmap_index(data, payload) is None:
-            return None
-        gi = fmt.GenericIndexedV1(data, payload + 5)
+        gi, _bm = idx
         n = len(gi)
         if n == 0:
             return (0, 0)
         if not (gi.flags & 0x01):
             return None  # unsorted: no reverse lookup — scan instead
-        has_null = gi.get_str(0) is None
+        cached = self._dict_arrays.get(name)
+
+        def value_at(i: int):
+            return cached[i].as_py() if cached is not None else gi.get_str(i)
+
+        has_null = value_at(0) is None
         first = 1 if has_null else 0
 
         def bisect(value: str, take_greater: bool) -> int:
@@ -373,7 +376,7 @@ class DruidSegment:
             lo, hi = first, n
             while lo < hi:
                 mid = (lo + hi) // 2
-                s = gi.get_str(mid)
+                s = value_at(mid)
                 if s < value or (take_greater and s == value):
                     lo = mid + 1
                 else:

@@ -286,3 +286,54 @@ def test_cli_scan_ordered_limit(tmp_path, capsys):
     rows = scan(limit=4, order="desc", columns="v")
     assert [r["v"] for r in rows] == [12, 11, 10, 3]
     assert "__time" not in rows[0]
+
+
+def test_cli_scan_schema_evolved_root(tmp_path, capsys):
+    """scan over a root whose later segment ADDS a column (the s2c
+    union-schema layout the DataSource supports): the missing column
+    NULL-fills instead of crashing the Arrow merge, both for the
+    full-row scan and for a projection naming only the new column."""
+    import json as _json
+
+    import pyarrow as pa
+    import pytest
+
+    from druid_datafusion_bridge_spark.cli import cmd_scan
+    from druid_datafusion_bridge_spark.sources.segment import write_segment
+
+    write_segment(
+        pa.table(
+            {
+                "__time": pa.array([1704067200000], pa.timestamp("ms")),
+                "v": pa.array([1], pa.int64()),
+            }
+        ),
+        str(tmp_path / "seg_000"),
+    )
+    write_segment(
+        pa.table(
+            {
+                "__time": pa.array([1704067201000], pa.timestamp("ms")),
+                "v": pa.array([2], pa.int64()),
+                "w": pa.array(["new"], pa.string()),
+            }
+        ),
+        str(tmp_path / "seg_001"),
+    )
+
+    def scan(**kw):
+        cmd_scan(str(tmp_path), kw.get("columns"), kw["limit"],
+                 kw.get("order", "asc"), "json")
+        out = capsys.readouterr().out.strip().splitlines()
+        return [_json.loads(line) for line in out]
+
+    rows = scan(limit=2)
+    assert [r["v"] for r in rows] == [1, 2]
+    assert [r["w"] for r in rows] == [None, "new"]
+    rows = scan(limit=2, columns="w")
+    assert [r["w"] for r in rows] == [None, "new"]
+    assert "__time" not in rows[0]
+    with pytest.raises(SystemExit, match="unknown column"):
+        scan(limit=1, columns="nope")
+    with pytest.raises(SystemExit, match="positive"):
+        scan(limit=0)
