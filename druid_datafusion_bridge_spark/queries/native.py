@@ -1,0 +1,210 @@
+"""Registry queries for the Druid NATIVE query JSON surface
+(native_query.py): each entry feeds a literal native spec — the JSON a
+Druid user POSTs to /druid/v2 — through the interpreter over the
+events table, with an exact DuckDB oracle mirroring the semantics.
+
+The reference answers SQL over one segment (src/main.rs:186-195); real
+Druid's primary API is these JSON specs. Every spec here compiles to a
+declarative Catalyst plan (see native_query.py's scale notes); nothing
+below runs Python per row.
+
+Determinism: doubleSum aggregations accumulate in decimal(38,8) (see
+_numeric_agg), so value hashes match DuckDB bit-for-bit regardless of
+partitioning; every limit/topN cut orders by a UNIQUE key combination
+(metric + dimension) so both engines cut identically."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import table
+from ..native_query import native_query
+from . import query
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "events")
+
+
+@query(
+    "nq_timeseries_hourly",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS "timestamp",
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS total,
+           CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) / COUNT(*)
+             AS avg_value
+    FROM events
+    WHERE event_type = 'click'
+      AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-12'
+    GROUP BY 1
+    """,
+)
+def nq_timeseries_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid native timeseries: hourly rollup of click value inside an
+    interval, with an arithmetic postAggregation."""
+    spec = {
+        "queryType": "timeseries",
+        "granularity": "hour",
+        "intervals": ["2024-01-05T00:00:00Z/2024-01-12T00:00:00Z"],
+        "filter": {"type": "selector", "dimension": "event_type",
+                   "value": "click"},
+        "aggregations": [
+            {"type": "count", "name": "n_rows"},
+            {"type": "doubleSum", "name": "total", "fieldName": "value"},
+        ],
+        "postAggregations": [
+            {"type": "arithmetic", "name": "avg_value", "fn": "quotient",
+             "fields": [{"type": "fieldAccess", "fieldName": "total"},
+                        {"type": "fieldAccess", "fieldName": "n_rows"}]},
+        ],
+    }
+    return native_query(_events(spark, sf_dir), spec, time_col="ts")
+
+
+@query(
+    "nq_groupby_filtered_limit",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN value >= 100
+                         THEN CAST(value AS DECIMAL(38,8)) END)
+                AS DOUBLE) AS big_total,
+           COUNT(DISTINCT user_id) AS users
+    FROM events
+    GROUP BY event_type
+    HAVING COUNT(*) > 10
+    ORDER BY n DESC, event_type ASC
+    LIMIT 3
+    """,
+)
+def nq_groupby_filtered_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid native groupBy: filtered aggregator + exact cardinality +
+    having + limitSpec with numeric ordering (cut is deterministic —
+    the order columns (n desc, event_type asc) form a unique key)."""
+    spec = {
+        "queryType": "groupBy",
+        "granularity": "all",
+        "dimensions": ["event_type"],
+        "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "filtered",
+             "filter": {"type": "bound", "dimension": "value",
+                        "lower": "100", "ordering": "numeric"},
+             "aggregator": {"type": "doubleSum", "name": "big_total",
+                            "fieldName": "value"}},
+            {"type": "cardinality", "name": "users",
+             "fieldNames": ["user_id"]},
+        ],
+        "having": {"type": "greaterThan", "aggregation": "n", "value": 10},
+        "limitSpec": {
+            "type": "default", "limit": 3,
+            "columns": [
+                {"dimension": "n", "direction": "descending",
+                 "dimensionOrder": {"type": "numeric"}},
+                {"dimension": "event_type", "direction": "ascending"},
+            ],
+        },
+    }
+    return native_query(_events(spark, sf_dir), spec, time_col="ts")
+
+
+@query(
+    "nq_topn_daily_revenue",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS "timestamp",
+             event_type,
+             CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS total
+      FROM events
+      WHERE event_type IN ('click', 'view', 'purchase')
+      GROUP BY 1, 2),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY "timestamp"
+        ORDER BY total DESC, event_type ASC) AS rk
+      FROM a)
+    SELECT "timestamp", event_type, total FROM r WHERE rk <= 2
+    """,
+)
+def nq_topn_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid native topN: top-2 event types by exact-decimal value sum
+    per day (ties break by dimension ascending, Druid's rule)."""
+    spec = {
+        "queryType": "topN",
+        "granularity": "day",
+        "dimension": "event_type",
+        "metric": "total",
+        "threshold": 2,
+        "filter": {"type": "in", "dimension": "event_type",
+                   "values": ["click", "view", "purchase"]},
+        "aggregations": [
+            {"type": "doubleSum", "name": "total", "fieldName": "value"},
+        ],
+    }
+    return native_query(_events(spark, sf_dir), spec, time_col="ts")
+
+
+@query(
+    "nq_scan_filtered",
+    oracle="""
+    SELECT ts, event_type, value FROM events
+    WHERE value >= 480
+      AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+    """,
+)
+def nq_scan_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid native scan: projected filtered row read (the unordered
+    form — an ordered+limit scan's cut on non-unique timestamps is
+    engine-dependent, pinned instead by tests/test_native_query.py on
+    unique-time data)."""
+    spec = {
+        "queryType": "scan",
+        "columns": ["ts", "event_type", "value"],
+        "intervals": ["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
+        "filter": {"type": "bound", "dimension": "value", "lower": "480",
+                   "ordering": "numeric"},
+    }
+    return native_query(_events(spark, sf_dir), spec, time_col="ts")
+
+
+@query(
+    "nq_search_digits",
+    oracle="""
+    WITH pairs AS (
+      SELECT 'event_type' AS dimension, event_type AS value FROM events
+      UNION ALL
+      SELECT 'props' AS dimension, props AS value FROM events)
+    SELECT dimension, value, COUNT(*) AS n
+    FROM pairs
+    WHERE contains(lower(value), '2')
+    GROUP BY dimension, value
+    """,
+)
+def nq_search_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid native search: case-insensitive substring match across two
+    dimensions, returning per-value match counts from ONE scan."""
+    spec = {
+        "queryType": "search",
+        "searchDimensions": ["event_type", "props"],
+        "query": {"type": "insensitive_contains", "value": "2"},
+    }
+    out = native_query(_events(spark, sf_dir), spec, time_col="ts")
+    return out.withColumnRenamed("count", "n")
+
+
+@query(
+    "nq_time_boundary",
+    oracle="""
+    SELECT MIN(ts) AS minTime, MAX(ts) AS maxTime
+    FROM events WHERE event_type = 'signup'
+    """,
+)
+def nq_time_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid native timeBoundary under a filter."""
+    spec = {
+        "queryType": "timeBoundary",
+        "filter": {"type": "selector", "dimension": "event_type",
+                   "value": "signup"},
+    }
+    return native_query(_events(spark, sf_dir), spec, time_col="ts")

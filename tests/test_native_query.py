@@ -1,0 +1,379 @@
+"""Druid native query JSON interpreter (native_query.py): every
+queryType, filter kind, granularity form, aggregator family,
+postAggregation, having, limitSpec, and extractionFn subset against
+hand-computed expectations on a small deterministic frame — plus an
+end-to-end run over the druidsegment DataSource (a native query on a
+REAL segment root, the full Druid emulation path)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from druid_datafusion_bridge_spark.native_query import native_query
+
+T0 = "2024-01-01T00:00:00Z"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # (__time, user, etype, value, props)
+        ("2024-01-01 00:10:00", 1, "click", 1.0, "a=1"),
+        ("2024-01-01 00:20:00", 2, "click", 2.0, "b=2"),
+        ("2024-01-01 01:10:00", 1, "view", 3.0, None),
+        ("2024-01-01 01:40:00", 3, "purchase", 10.0, "a=9"),
+        ("2024-01-02 00:05:00", 2, "click", 4.0, "c=3"),
+        ("2024-01-02 02:00:00", 2, "view", 5.0, "a=2"),
+        ("2024-01-02 03:00:00", 4, None, 6.0, "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("__time", F.col("ts").cast("timestamp")).drop("ts")
+    df.cache().count()
+    return df
+
+
+def run(df, spec, **kw):
+    return native_query(df, spec, **kw)
+
+
+def test_timeseries_hourly_sum_and_postagg(events):
+    spec = {
+        "queryType": "timeseries",
+        "granularity": "hour",
+        "intervals": ["2024-01-01T00:00:00Z/2024-01-02T00:00:00Z"],
+        "filter": {"type": "selector", "dimension": "event_type", "value": "click"},
+        "aggregations": [
+            {"type": "count", "name": "rows"},
+            {"type": "doubleSum", "name": "total", "fieldName": "value"},
+        ],
+        "postAggregations": [
+            {
+                "type": "arithmetic", "name": "avg_value", "fn": "/",
+                "fields": [
+                    {"type": "fieldAccess", "fieldName": "total"},
+                    {"type": "fieldAccess", "fieldName": "rows"},
+                ],
+            }
+        ],
+    }
+    got = {
+        str(r["timestamp"]): (r["rows"], r["total"], r["avg_value"])
+        for r in run(events, spec).collect()
+    }
+    assert got == {"2024-01-01 00:00:00": (2, 3.0, 1.5)}
+
+
+def test_timeseries_all_granularity_one_row(events):
+    spec = {
+        "queryType": "timeseries",
+        "granularity": "all",
+        "aggregations": [{"type": "longSum", "name": "s", "fieldName": "user_id"}],
+    }
+    rows = run(events, spec).collect()
+    assert len(rows) == 1 and rows[0]["s"] == 15
+
+
+def test_timeseries_duration_granularity_origin(events):
+    spec = {
+        "queryType": "timeseries",
+        "granularity": {"type": "duration", "duration": 86_400_000,
+                        "origin": "2024-01-01T12:00:00Z"},
+        "aggregations": [{"type": "count", "name": "n"}],
+    }
+    got = {str(r["timestamp"]): r["n"] for r in run(events, spec).collect()}
+    # day buckets anchored at noon: [12-31 12:00, 01-01 12:00) has the 4
+    # morning rows of Jan 1... wait: Jan 1 rows are 00:10-01:40 -> the
+    # PREVIOUS noon bucket; Jan 2 rows 00:05-03:00 -> Jan 1 noon bucket
+    assert got == {"2023-12-31 12:00:00": 4, "2024-01-01 12:00:00": 3}
+
+
+def test_groupby_having_limitspec_extraction(events):
+    spec = {
+        "queryType": "groupBy",
+        "granularity": "all",
+        "dimensions": [
+            {"type": "extraction", "dimension": "event_type",
+             "outputName": "ETYPE",
+             "extractionFn": {"type": "upper"}},
+        ],
+        "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total", "fieldName": "value"},
+        ],
+        "having": {"type": "greaterThan", "aggregation": "n", "value": 1},
+        "limitSpec": {
+            "type": "default", "limit": 2,
+            "columns": [{"dimension": "total", "direction": "descending",
+                         "dimensionOrder": {"type": "numeric"}}],
+        },
+    }
+    rows = run(events, spec).collect()
+    assert [(r["ETYPE"], r["n"], r["total"]) for r in rows] == [
+        ("VIEW", 2, 8.0),
+        ("CLICK", 3, 7.0),
+    ]
+
+
+def test_groupby_null_dimension_grouped(events):
+    spec = {
+        "queryType": "groupBy",
+        "dimensions": ["event_type"],
+        "aggregations": [{"type": "count", "name": "n"}],
+    }
+    got = {r["event_type"]: r["n"] for r in run(events, spec).collect()}
+    assert got == {"click": 3, "view": 2, "purchase": 1, None: 1}
+
+
+def test_topn_per_day_with_ties_and_inverted(events):
+    spec = {
+        "queryType": "topN",
+        "granularity": "day",
+        "dimension": "event_type",
+        "metric": "total",
+        "threshold": 1,
+        "aggregations": [
+            {"type": "doubleSum", "name": "total", "fieldName": "value"}
+        ],
+    }
+    got = {
+        str(r["timestamp"]): (r["event_type"], r["total"])
+        for r in run(events, spec).collect()
+    }
+    assert got == {
+        "2024-01-01 00:00:00": ("purchase", 10.0),
+        "2024-01-02 00:00:00": (None, 6.0),
+    }
+    inv = dict(spec, metric={"type": "inverted", "metric": "total"})
+    got = {
+        str(r["timestamp"]): (r["event_type"], r["total"])
+        for r in run(events, inv).collect()
+    }
+    assert got == {
+        "2024-01-01 00:00:00": ("click", 3.0),
+        "2024-01-02 00:00:00": ("click", 4.0),
+    }
+
+
+def test_topn_all_granularity_is_take_ordered(events):
+    spec = {
+        "queryType": "topN",
+        "granularity": "all",
+        "dimension": "event_type",
+        "metric": "n",
+        "threshold": 2,
+        "aggregations": [{"type": "count", "name": "n"}],
+    }
+    df = run(events, spec)
+    rows = df.collect()
+    assert [(r["event_type"], r["n"]) for r in rows] == [("click", 3), ("view", 2)]
+    # plan shape: global top-k must be TakeOrderedAndProject, not Window
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_filters_bound_in_like_regex_search_logic(events):
+    def n(filt):
+        spec = {"queryType": "timeseries", "granularity": "all",
+                "filter": filt,
+                "aggregations": [{"type": "count", "name": "n"}]}
+        return run(events, spec).collect()[0]["n"]
+
+    assert n({"type": "in", "dimension": "event_type",
+              "values": ["click", None]}) == 4
+    assert n({"type": "bound", "dimension": "value", "lower": "2",
+              "upper": "5", "ordering": "numeric"}) == 4
+    assert n({"type": "bound", "dimension": "value", "lower": "2",
+              "upper": "5", "lowerStrict": True, "upperStrict": True,
+              "ordering": "numeric"}) == 2
+    assert n({"type": "bound", "dimension": "event_type",
+              "lower": "click", "upper": "purchase"}) == 4
+    assert n({"type": "like", "dimension": "props", "pattern": "a=%"}) == 3
+    assert n({"type": "regex", "dimension": "props", "pattern": "=[0-9]$"}) == 5
+    assert n({"type": "search", "dimension": "event_type",
+              "query": {"type": "insensitive_contains", "value": "CLI"}}) == 3
+    assert n({"type": "and", "fields": [
+        {"type": "selector", "dimension": "event_type", "value": "click"},
+        {"type": "bound", "dimension": "value", "lower": "2",
+         "ordering": "numeric"}]}) == 2
+    # SQL-compatible nulls: NOT(= 'click') does not match the null row
+    assert n({"type": "not", "field":
+              {"type": "selector", "dimension": "event_type",
+               "value": "click"}}) == 3
+    assert n({"type": "selector", "dimension": "event_type",
+              "value": None}) == 1
+    assert n({"type": "null", "column": "event_type"}) == 1
+    assert n({"type": "equals", "column": "user_id",
+              "matchValue": 2}) == 3
+    assert n({"type": "range", "column": "value", "lower": 4,
+              "matchValueType": "DOUBLE"}) == 4
+    assert n({"type": "interval", "dimension": "__time", "intervals":
+              ["2024-01-01T01:00:00Z/2024-01-02T00:00:00Z"]}) == 2
+
+
+def test_filtered_aggregator_and_cardinality(events):
+    spec = {
+        "queryType": "timeseries",
+        "granularity": "all",
+        "aggregations": [
+            {"type": "filtered",
+             "filter": {"type": "selector", "dimension": "event_type",
+                        "value": "click"},
+             "aggregator": {"type": "doubleSum", "name": "click_value",
+                            "fieldName": "value"}},
+            {"type": "filtered", "name": "click_rows",
+             "filter": {"type": "selector", "dimension": "event_type",
+                        "value": "click"},
+             "aggregator": {"type": "count", "name": "ignored"}},
+            {"type": "cardinality", "name": "users",
+             "fieldNames": ["user_id"]},
+            {"type": "hyperUnique", "name": "types",
+             "fieldName": "event_type"},
+        ],
+    }
+    r = run(events, spec).collect()[0]
+    assert (r["click_value"], r["click_rows"], r["users"], r["types"]) == (
+        7.0, 3, 4, 3,
+    )
+
+
+def test_first_last_aggregators(events):
+    spec = {
+        "queryType": "groupBy",
+        "dimensions": ["user_id"],
+        "aggregations": [
+            {"type": "doubleFirst", "name": "first_v", "fieldName": "value"},
+            {"type": "stringLast", "name": "last_t", "fieldName": "event_type"},
+        ],
+    }
+    got = {r["user_id"]: (r["first_v"], r["last_t"])
+           for r in run(events, spec).collect()}
+    assert got[1] == (1.0, "view")
+    assert got[2] == (2.0, "view")
+
+
+def test_scan_order_limit_offset(events):
+    spec = {
+        "queryType": "scan",
+        "columns": ["__time", "value"],
+        "order": "descending",
+        "limit": 3,
+        "offset": 1,
+        "filter": {"type": "bound", "dimension": "value", "lower": "2",
+                   "ordering": "numeric"},
+    }
+    rows = run(events, spec).collect()
+    assert [r["value"] for r in rows] == [5.0, 4.0, 10.0]
+    with pytest.raises(ValueError, match="time column"):
+        run(events, {"queryType": "scan", "columns": ["value"],
+                     "order": "ascending"})
+
+
+def test_search_query_fragment_and_limit(events):
+    spec = {
+        "queryType": "search",
+        "searchDimensions": ["event_type", "props"],
+        "query": {"type": "fragment", "values": ["a=", "1"]},
+    }
+    got = {(r["dimension"], r["value"]): r["count"]
+           for r in run(events, spec).collect()}
+    assert got == {("props", "a=1"): 1}
+    spec2 = {
+        "queryType": "search",
+        "searchDimensions": ["event_type"],
+        "query": {"type": "contains", "value": "c", "caseSensitive": True},
+        "limit": 1,
+    }
+    rows = run(events, spec2).collect()
+    assert [(r["dimension"], r["value"], r["count"]) for r in rows] == [
+        ("event_type", "click", 3)
+    ]
+
+
+def test_time_boundary_and_datasource_metadata(events):
+    r = run(events, {"queryType": "timeBoundary"}).collect()[0]
+    assert str(r["minTime"]) == "2024-01-01 00:10:00"
+    assert str(r["maxTime"]) == "2024-01-02 03:00:00"
+    r = run(events, {"queryType": "timeBoundary", "bound": "maxTime"}).collect()[0]
+    assert str(r["maxTime"]) == "2024-01-02 03:00:00"
+    r = run(events, {"queryType": "dataSourceMetadata"}).collect()[0]
+    assert str(r["maxIngestedEventTime"]) == "2024-01-02 03:00:00"
+
+
+def test_extraction_fns(events):
+    def one(extraction, dim="event_type"):
+        spec = {
+            "queryType": "groupBy",
+            "dimensions": [{"type": "extraction", "dimension": dim,
+                            "outputName": "d", "extractionFn": extraction}],
+            "aggregations": [{"type": "count", "name": "n"}],
+        }
+        return {r["d"]: r["n"] for r in run(events, spec).collect()}
+
+    assert one({"type": "substring", "index": 0, "length": 2}) == {
+        "cl": 3, "vi": 2, "pu": 1, None: 1}
+    assert one({"type": "strlen"}) == {"5": 3, "4": 2, "8": 1, None: 1}
+    got = one({"type": "regex", "expr": "([a-z])=", "index": 1,
+               "replaceMissingValue": True,
+               "replaceMissingValueWith": "none"}, dim="props")
+    assert got == {"a": 3, "b": 1, "c": 1, "none": 2}
+    assert one({"type": "lookup",
+                "lookup": {"type": "map", "map": {"click": "CLICK!"}},
+                "retainMissingValue": True}) == {
+        "CLICK!": 3, "view": 2, "purchase": 1, None: 1}
+    got = one({"type": "timeFormat", "format": "yyyy-MM-dd"}, dim="__time")
+    assert got == {"2024-01-01": 4, "2024-01-02": 3}
+
+
+def test_json_string_spec_and_unsupported_errors(events):
+    import json as _json
+
+    spec = _json.dumps({"queryType": "timeBoundary", "bound": "minTime"})
+    assert str(run(events, spec).collect()[0]["minTime"]).startswith("2024-01-01")
+    with pytest.raises(ValueError, match="queryType"):
+        run(events, {"queryType": "movingAverage"})
+    with pytest.raises(ValueError, match="filter type"):
+        run(events, {"queryType": "timeBoundary",
+                     "filter": {"type": "spatial"}})
+    with pytest.raises(ValueError, match="aggregator type"):
+        run(events, {"queryType": "timeseries",
+                     "aggregations": [{"type": "javascript", "name": "x"}]})
+
+
+def test_native_query_over_druid_segment_root(spark, tmp_path):
+    """End to end: ingest rows into REAL Druid segments, read them back
+    through the druidsegment DataSource, and answer a native topN spec
+    — the complete Druid-API-on-Spark path."""
+    import pyarrow as pa
+
+    from druid_datafusion_bridge_spark.sources import register_druid_datasource
+    from druid_datafusion_bridge_spark.sources.segment import write_segment
+
+    write_segment(
+        pa.table({
+            "__time": pa.array(
+                [1704067200000 + i * 3_600_000 for i in range(6)],
+                pa.timestamp("ms"),
+            ),
+            "channel": pa.array(["en", "en", "de", "de", "de", "fr"]),
+            "delta": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        }),
+        str(tmp_path / "seg_000"),
+    )
+    register_druid_datasource(spark)
+    df = spark.read.format("druidsegment").option(
+        "path", str(tmp_path)
+    ).load()
+    spec = {
+        "queryType": "topN",
+        "granularity": "all",
+        "dimension": "channel",
+        "metric": "total",
+        "threshold": 2,
+        "aggregations": [
+            {"type": "longSum", "name": "total", "fieldName": "delta"}
+        ],
+    }
+    rows = native_query(df, spec).collect()
+    assert [(r["channel"], r["total"]) for r in rows] == [("de", 12), ("fr", 6)]
