@@ -8,6 +8,8 @@
     python -m druid_datafusion_bridge_spark.cli scan  <root-or-segment> \
         [--columns a,b] [--limit N] [--order asc|desc] [--format ...]
     python -m druid_datafusion_bridge_spark.cli query <segment-path> --sql SQL
+    python -m druid_datafusion_bridge_spark.cli native <root-or-segment> \
+        -s '{"queryType": "topN", ...}'   # or -f spec.json
     python -m druid_datafusion_bridge_spark.cli search <segment-path> \
         -d DIM [-m contains|icontains|regex|like|endswith] -q VALUE
 
@@ -256,6 +258,46 @@ def cmd_query(
         out.show(show_rows, truncate=False)
 
 
+def cmd_native(
+    path: str,
+    spec: str | None,
+    spec_file: str | None,
+    show_rows: int = 100,
+    explain: bool = False,
+) -> None:
+    """Druid NATIVE query JSON over the segment(s) — the body a Druid
+    user POSTs to /druid/v2, answered by this engine (native_query.py
+    compiles the spec to a Catalyst plan over the druidsegment
+    DataSource). ``dataSource`` in the spec is ignored: the path IS the
+    datasource."""
+    from .native_query import native_query
+    from .session import get_spark
+    from .sources import register_druid_datasource
+
+    if spec is None and spec_file is None:
+        sys.exit("native: provide --spec JSON or --file PATH")
+    if spec is None:
+        with open(spec_file) as f:
+            spec = f.read()
+    try:
+        parsed = json.loads(spec)
+    except ValueError as e:
+        sys.exit(f"native: invalid JSON spec: {e}")
+    spark = get_spark(app_name="ddbs-cli")
+    register_druid_datasource(spark)
+    df = spark.read.format("druidsegment").option("path", path).load()
+    try:
+        out = native_query(df, parsed)
+    except ValueError as e:
+        sys.exit(f"native: {e}")
+    if explain:
+        from .plans import formatted_plan
+
+        print(formatted_plan(out))
+    else:
+        out.show(show_rows, truncate=False)
+
+
 def cmd_search(path: str, dimension: str, matcher: str, value: str) -> None:
     """Druid Search query from the CLI, engine-bypass: matching values
     of a dimension + row counts, summed over the segment(s) straight
@@ -319,6 +361,19 @@ def main(argv: list[str] | None = None) -> None:
         help="print the formatted physical plan instead of rows",
     )
 
+    p_native = sub.add_parser(
+        "native", help="run a Druid native query JSON spec over the segments"
+    )
+    p_native.add_argument("path")
+    p_native.add_argument("--spec", "-s", default=None,
+                          help="the native query JSON (a /druid/v2 body)")
+    p_native.add_argument("--file", "-f", default=None,
+                          help="read the JSON spec from a file")
+    p_native.add_argument(
+        "--explain", action="store_true",
+        help="print the formatted physical plan instead of rows",
+    )
+
     p_search = sub.add_parser(
         "search", help="matching dimension values + row counts (index-only)"
     )
@@ -343,6 +398,8 @@ def main(argv: list[str] | None = None) -> None:
         cmd_scan(args.path, args.columns, args.limit, args.order, args.format)
     elif args.command == "query":
         cmd_query(args.path, args.sql, explain=args.explain)
+    elif args.command == "native":
+        cmd_native(args.path, args.spec, args.file, explain=args.explain)
     elif args.command == "search":
         cmd_search(args.path, args.dimension, args.matcher, args.value)
 

@@ -58,7 +58,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from .functions.druid_sql import time_floor
+from .functions.druid_sql import parse_period, time_floor
 
 __all__ = ["native_query"]
 
@@ -452,10 +452,15 @@ def _base(df: DataFrame, spec: dict, time_col: str) -> DataFrame:
 
 
 def _agg_select(
-    df: DataFrame, spec: dict, time_col: str, dims: list[tuple[str, Column]]
+    df: DataFrame,
+    spec: dict,
+    time_col: str,
+    dims: list[tuple[str, Column]],
+    defer_post: bool = False,
 ) -> DataFrame:
     """Shared groupBy/timeseries/topN aggregation core: bucket +
-    dimensions -> aggregators -> postAggregations."""
+    dimensions -> aggregators -> postAggregations (deferred by the
+    timeseries zero-fill path, which must fill before computing)."""
     bucket = _granularity_col(spec.get("granularity", "all"), time_col)
     keys = []
     if bucket is not None:
@@ -467,12 +472,99 @@ def _agg_select(
         drop_count = True
     else:
         drop_count = False
-    out = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    subtotals = spec.get("subtotalsSpec")
+    if subtotals is not None:
+        # Druid subtotalsSpec == SQL GROUPING SETS: one Expand pass,
+        # every set carries the granularity bucket, dimensions outside
+        # a set surface as NULL. Key expressions pre-project under
+        # collision-proof names so set references stay unambiguous.
+        key_names = (["timestamp"] if bucket is not None else []) + [
+            n for n, _ in dims
+        ]
+        safe = {n: f"__k_{i}" for i, n in enumerate(key_names)}
+        projected = df.select(
+            "*",
+            *[
+                expr.alias(safe[name])
+                for name, expr in (
+                    ([("timestamp", bucket)] if bucket is not None else [])
+                    + dims
+                )
+            ],
+        )
+        sets = [
+            [F.col(safe["timestamp"])] if bucket is not None else []
+            for _ in subtotals
+        ]
+        for i, names in enumerate(subtotals):
+            sets[i] = sets[i] + [F.col(safe[n]) for n in names]
+        out = projected.groupingSets(
+            sets, *[F.col(safe[n]) for n in key_names]
+        ).agg(*aggs)
+        out = out.select(
+            *[F.col(safe[n]).alias(n) for n in key_names],
+            *[c for c in out.columns if not c.startswith("__k_")],
+        )
+    else:
+        out = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
     if drop_count:
         out = out.drop("__count")
-    for p in spec.get("postAggregations", []):
-        out = out.withColumn(p["name"], _post_agg(p))
+    if not defer_post:
+        for p in spec.get("postAggregations", []):
+            out = out.withColumn(p["name"], _post_agg(p))
     return out
+
+
+def _bucket_grid(spark, intervals, g) -> DataFrame | None:
+    """All granularity buckets intersecting the query intervals — a
+    one-column ``timestamp`` frame built from literals (explode of a
+    sequence; bounded by bucket count, no data scan). Druid's grid
+    starts at bucketStart(interval start), i.e. the floor."""
+    if g in (None, "all", "none"):
+        return None
+    if isinstance(g, str):
+        period = _SIMPLE_GRANULARITIES.get(g)
+        if period is None:
+            return None
+        months, millis = parse_period(period)
+        gran: Any = g
+    elif g.get("type") == "period":
+        months, millis = parse_period(g["period"])
+        gran = g
+    elif g.get("type") == "duration":
+        months, millis = 0, int(g["duration"])
+        gran = g
+    else:
+        return None
+    if isinstance(intervals, str):
+        intervals = [intervals]
+    bounds = [tuple(iv.split("/")) for iv in intervals]
+    base = spark.createDataFrame(
+        [(s.replace("Z", "").replace("T", " "),
+          e.replace("Z", "").replace("T", " ")) for s, e in bounds],
+        "s string, e string",
+    ).select(
+        F.col("s").cast("timestamp").alias("__t"),
+        F.col("e").cast("timestamp").alias("__e"),
+    )
+    start = _granularity_col(gran, "__t")
+    step = (
+        F.make_interval(F.lit(0), F.lit(months))
+        if months
+        else F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0),
+                                F.lit(millis / 1000.0))
+    )
+    return (
+        base.select(
+            F.explode(F.sequence(start, F.col("__e"), step)).alias(
+                "timestamp"
+            ),
+            "__e",
+        )
+        .filter(F.col("timestamp") < F.col("__e"))
+        .select("timestamp")
+        .distinct()
+    )
 
 
 def native_query(
@@ -496,7 +588,48 @@ def native_query(
 
     if qt == "timeseries":
         base = _base(df, spec, time_col)
-        out = _agg_select(base, spec, time_col, dims=[])
+        out = _agg_select(base, spec, time_col, dims=[], defer_post=True)
+        # Druid timeseries ZERO-FILLS empty buckets inside the queried
+        # intervals unless context.skipEmptyBuckets — the grid is a
+        # bounded bucket-count frame built from literals (one explode,
+        # no data scan) left-joined onto the aggregate; count and sum
+        # aggregators fill with their identity (0), everything else
+        # stays NULL (SQL-compatible mode)
+        skip_empty = bool(spec.get("context", {}).get("skipEmptyBuckets", False))
+        if (
+            not skip_empty
+            and "timestamp" in out.columns
+            and spec.get("intervals")
+        ):
+            grid = _bucket_grid(
+                df.sparkSession, spec["intervals"], spec.get("granularity")
+            )
+            if grid is not None:
+                fills = []
+                for a in spec.get("aggregations", []):
+                    k, nm = a["type"], a.get("name") or a.get(
+                        "aggregator", {}
+                    ).get("name")
+                    if k == "filtered":
+                        k = a["aggregator"]["type"]
+                    if k == "count" or k.endswith("Sum"):
+                        fills.append(
+                            F.coalesce(
+                                F.col(nm),
+                                F.lit(0).cast(
+                                    "long"
+                                    if k in ("count", "longSum")
+                                    else "double"
+                                ),
+                            ).alias(nm)
+                        )
+                    else:
+                        fills.append(F.col(nm))
+                out = grid.join(out, "timestamp", "left").select(
+                    "timestamp", *fills
+                )
+        for p in spec.get("postAggregations", []):
+            out = out.withColumn(p["name"], _post_agg(p))
         if spec.get("descending") and "timestamp" in out.columns:
             return out.orderBy(F.col("timestamp").desc())
         return out

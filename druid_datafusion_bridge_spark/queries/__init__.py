@@ -55,10 +55,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # s1o_druid_segment_split_scan, s1p_druid_segment_ordered_limit,
 # s1q_druid_segment_recent_limit, lk_lookup_enrich,
 # lk_reverse_lookup_filter, and the native-query surface nq_timeseries_
-# hourly / nq_groupby_filtered_limit / nq_topn_daily_revenue /
-# nq_scan_filtered / nq_search_digits / nq_time_boundary) sit outside
-# it and are what r7's ROTATION should front-load, together with r7's
-# own new queries.
+# hourly / nq_timeseries_zerofill / nq_groupby_filtered_limit /
+# nq_groupby_subtotals / nq_topn_daily_revenue / nq_scan_filtered /
+# nq_search_digits / nq_time_boundary) sit outside it and are what
+# r7's ROTATION should front-load, together with r7's own new queries.
 ROTATION: tuple[str, ...] = (
     # never-sampled backlog (44) — streaming first (incl. the full
     # stream->segment->serve lifecycle), then sketches and the rest

@@ -58,6 +58,82 @@ def nq_timeseries_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
              "fields": [{"type": "fieldAccess", "fieldName": "total"},
                         {"type": "fieldAccess", "fieldName": "n_rows"}]},
         ],
+        # data buckets only here; the zero-filled default is its own
+        # registry entry (nq_timeseries_zerofill) with a grid oracle
+        "context": {"skipEmptyBuckets": True},
+    }
+    return native_query(_events(spark, sf_dir), spec, time_col="ts")
+
+
+@query(
+    "nq_timeseries_zerofill",
+    oracle="""
+    WITH grid AS (
+      SELECT ts AS "timestamp"
+      FROM generate_series(TIMESTAMP '2024-01-05',
+                           TIMESTAMP '2024-01-12' - INTERVAL 1 HOUR,
+                           INTERVAL 1 HOUR) AS t(ts)),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS h,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(38,8))) AS s
+      FROM events
+      WHERE event_type = 'purchase'
+        AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-12'
+      GROUP BY 1)
+    SELECT g."timestamp",
+           COALESCE(a.n, 0) AS n_rows,
+           CAST(COALESCE(a.s, 0) AS DOUBLE) AS total
+    FROM grid g LEFT JOIN agg a ON a.h = g."timestamp"
+    """,
+)
+def nq_timeseries_zerofill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid native timeseries DEFAULT semantics: empty buckets inside
+    the queried interval zero-fill (count and sums get their identity).
+    The bucket grid is literal-built — bounded by bucket count, no
+    second data scan."""
+    spec = {
+        "queryType": "timeseries",
+        "granularity": "hour",
+        "intervals": ["2024-01-05T00:00:00Z/2024-01-12T00:00:00Z"],
+        "filter": {"type": "selector", "dimension": "event_type",
+                   "value": "purchase"},
+        "aggregations": [
+            {"type": "count", "name": "n_rows"},
+            {"type": "doubleSum", "name": "total", "fieldName": "value"},
+        ],
+    }
+    return native_query(_events(spark, sf_dir), spec, time_col="ts")
+
+
+@query(
+    "nq_groupby_subtotals",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY GROUPING SETS ((day, event_type), (day), ())
+    """,
+)
+def nq_groupby_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid native groupBy subtotalsSpec == GROUPING SETS: detail rows
+    per (day, event_type), per-day subtotals, and the grand total from
+    ONE Expand pass — with a timeFormat extraction dimension."""
+    spec = {
+        "queryType": "groupBy",
+        "granularity": "all",
+        "dimensions": [
+            {"type": "extraction", "dimension": "ts", "outputName": "day",
+             "extractionFn": {"type": "timeFormat", "format": "yyyy-MM-dd"}},
+            "event_type",
+        ],
+        "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total", "fieldName": "value"},
+        ],
+        "subtotalsSpec": [["day", "event_type"], ["day"], []],
     }
     return native_query(_events(spark, sf_dir), spec, time_col="ts")
 

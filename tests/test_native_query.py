@@ -58,9 +58,21 @@ def test_timeseries_hourly_sum_and_postagg(events):
             }
         ],
     }
+    rows = run(events, spec).collect()
+    # Druid zero-fills empty buckets inside the interval by default: 24
+    # hourly buckets, count/sum filled with 0 ('/' maps x/0 to 0.0)
+    assert len(rows) == 24
     got = {
         str(r["timestamp"]): (r["rows"], r["total"], r["avg_value"])
-        for r in run(events, spec).collect()
+        for r in rows
+    }
+    assert got["2024-01-01 00:00:00"] == (2, 3.0, 1.5)
+    assert got["2024-01-01 05:00:00"] == (0, 0.0, 0.0)
+
+    skip = dict(spec, context={"skipEmptyBuckets": True})
+    got = {
+        str(r["timestamp"]): (r["rows"], r["total"], r["avg_value"])
+        for r in run(events, skip).collect()
     }
     assert got == {"2024-01-01 00:00:00": (2, 3.0, 1.5)}
 
@@ -114,6 +126,33 @@ def test_groupby_having_limitspec_extraction(events):
         ("VIEW", 2, 8.0),
         ("CLICK", 3, 7.0),
     ]
+
+
+def test_groupby_subtotals_spec(events):
+    """subtotalsSpec == GROUPING SETS: every set carries the
+    granularity bucket; dimensions outside a set are NULL."""
+    spec = {
+        "queryType": "groupBy",
+        "granularity": "day",
+        "dimensions": ["event_type"],
+        "aggregations": [{"type": "count", "name": "n"}],
+        "subtotalsSpec": [["event_type"], []],
+    }
+    rows = run(events, spec).collect()
+    got = {(str(r["timestamp"]), r["event_type"]): r["n"] for r in rows}
+    # detail rows (set ["event_type"])
+    assert got[("2024-01-01 00:00:00", "click")] == 2
+    assert got[("2024-01-02 00:00:00", "view")] == 1
+    # per-day subtotal rows (set []) — NULL dim, full-day counts; the
+    # day-2 NULL event_type detail row and the day-2 subtotal are
+    # separate rows with different counts
+    day2 = sorted(
+        r["n"] for r in rows
+        if str(r["timestamp"]) == "2024-01-02 00:00:00"
+        and r["event_type"] is None
+    )
+    assert day2 == [1, 3]
+    assert got[("2024-01-01 00:00:00", None)] == 4
 
 
 def test_groupby_null_dimension_grouped(events):
@@ -377,3 +416,15 @@ def test_native_query_over_druid_segment_root(spark, tmp_path):
     }
     rows = native_query(df, spec).collect()
     assert [(r["channel"], r["total"]) for r in rows] == [("de", 12), ("fr", 6)]
+
+    # the same spec through the CLI entry point (`cli native -s ...`)
+    import json as _json
+
+    from druid_datafusion_bridge_spark.cli import main as cli_main
+
+    cli_main(["native", str(tmp_path), "-s", _json.dumps(spec)])
+    cli_main(["native", str(tmp_path), "-s", _json.dumps(spec), "--explain"])
+    with pytest.raises(SystemExit, match="invalid JSON"):
+        cli_main(["native", str(tmp_path), "-s", "{not json"])
+    with pytest.raises(SystemExit, match="queryType"):
+        cli_main(["native", str(tmp_path), "-s", '{"queryType": "nope"}'])
