@@ -10,6 +10,8 @@
     python -m druid_datafusion_bridge_spark.cli query <segment-path> --sql SQL
     python -m druid_datafusion_bridge_spark.cli native <root-or-segment> \
         -s '{"queryType": "topN", ...}'   # or -f spec.json
+    python -m druid_datafusion_bridge_spark.cli ingest \
+        -f task.json -o <deep-storage-root>
     python -m druid_datafusion_bridge_spark.cli search <segment-path> \
         -d DIM [-m contains|icontains|regex|like|endswith] -q VALUE
 
@@ -298,6 +300,34 @@ def cmd_native(
         out.show(show_rows, truncate=False)
 
 
+def cmd_ingest(spec_file: str, deep_storage: str) -> None:
+    """Execute a Druid index_parallel ingestion spec (the task JSON a
+    Druid user submits to the overlord) on Spark: real v9 segments land
+    under <deep-storage>/<dataSource> (ingestion_spec.py). Prints the
+    write manifest, one segment per line."""
+    from .ingestion_spec import ingest
+    from .session import get_spark
+
+    with open(spec_file) as f:
+        raw = f.read()
+    try:
+        spec = json.loads(raw)
+    except ValueError as e:
+        sys.exit(f"ingest: invalid JSON spec: {e}")
+    spark = get_spark(app_name="ddbs-cli")
+    try:
+        manifest = ingest(spark, spec, deep_storage).collect()
+    except (ValueError, KeyError) as e:
+        sys.exit(f"ingest: {e}")
+    for m in sorted(manifest, key=lambda m: m["segment_dir"]):
+        print(
+            f"{m['segment_dir']}\t"
+            f"{_format_millis(m['interval_start_ms'])}/"
+            f"{_format_millis(m['interval_end_ms'])}\t"
+            f"{m['num_rows']} rows"
+        )
+
+
 def cmd_search(path: str, dimension: str, matcher: str, value: str) -> None:
     """Druid Search query from the CLI, engine-bypass: matching values
     of a dimension + row counts, summed over the segment(s) straight
@@ -374,6 +404,14 @@ def main(argv: list[str] | None = None) -> None:
         help="print the formatted physical plan instead of rows",
     )
 
+    p_ingest = sub.add_parser(
+        "ingest", help="execute a Druid ingestion spec; write v9 segments"
+    )
+    p_ingest.add_argument("--file", "-f", required=True,
+                          help="the index_parallel task JSON")
+    p_ingest.add_argument("--deep-storage", "-o", required=True,
+                          help="output root; segments land under <root>/<dataSource>")
+
     p_search = sub.add_parser(
         "search", help="matching dimension values + row counts (index-only)"
     )
@@ -400,6 +438,8 @@ def main(argv: list[str] | None = None) -> None:
         cmd_query(args.path, args.sql, explain=args.explain)
     elif args.command == "native":
         cmd_native(args.path, args.spec, args.file, explain=args.explain)
+    elif args.command == "ingest":
+        cmd_ingest(args.file, args.deep_storage)
     elif args.command == "search":
         cmd_search(args.path, args.dimension, args.matcher, args.value)
 

@@ -16,6 +16,7 @@ partitioning; every limit/topN cut orders by a UNIQUE key combination
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..native_query import native_query
@@ -267,6 +268,82 @@ def nq_search_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     out = native_query(_events(spark, sf_dir), spec, time_col="ts")
     return out.withColumnRenamed("count", "n")
+
+
+@query(
+    "nq_ingest_spec_rollup",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS total
+    FROM events
+    WHERE event_type IN ('click', 'view', 'purchase')
+    GROUP BY event_type
+    """,
+)
+def nq_ingest_spec_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full keep-your-specs lifecycle: a Druid index_parallel task JSON
+    ingests events.parquet into REAL v9 segments (hourly rollup, day
+    segmentGranularity), then the rollup re-aggregates per event_type
+    from the stored metrics — and matches the direct aggregation over
+    the raw parquet exactly.
+
+    Exactness: values carry <= 2 fractional digits, so every stored
+    per-(hour, type) doubleSum is an exact decimal; casting the stored
+    double back to decimal(38,8) recovers it bit-exactly (double
+    round-trip error ~1e-12 absolute, far under the 0.5e-8 rounding
+    step), so the sum of stored metrics equals DuckDB's direct decimal
+    sum. Segments cache under /tmp with the standard source
+    fingerprint discipline (druid_source._cached_build)."""
+    import os
+
+    from ..ingestion_spec import ingest
+    from .druid_source import _cached_build, _ensure_registered, _segment_root
+
+    root = _segment_root(sf_dir, "ingest_spec")
+    spec = {
+        "type": "index_parallel",
+        "spec": {
+            "dataSchema": {
+                "dataSource": "events_rollup",
+                "timestampSpec": {"column": "ts", "format": "auto"},
+                "dimensionsSpec": {"dimensions": ["event_type"]},
+                "transformSpec": {
+                    "filter": {"type": "in", "dimension": "event_type",
+                               "values": ["click", "view", "purchase"]},
+                },
+                "metricsSpec": [
+                    {"type": "count", "name": "n"},
+                    {"type": "doubleSum", "name": "total",
+                     "fieldName": "value"},
+                ],
+                "granularitySpec": {"segmentGranularity": "day",
+                                    "queryGranularity": "hour",
+                                    "rollup": True},
+            },
+            "ioConfig": {
+                "inputSource": {"type": "local", "baseDir": sf_dir,
+                                "filter": "events.parquet"},
+                "inputFormat": {"type": "parquet"},
+            },
+        },
+    }
+    _ensure_registered(spark)
+    _cached_build(
+        root, sf_dir, "events",
+        lambda: ingest(spark, spec, root).collect(),
+    )
+    segs = (
+        spark.read.format("druidsegment")
+        .option("path", os.path.join(root, "events_rollup"))
+        .load()
+    )
+    return segs.groupBy("event_type").agg(
+        F.sum("n").alias("n_events"),
+        F.sum(F.col("total").cast("decimal(38,8)")).cast("double").alias(
+            "total"
+        ),
+    )
 
 
 @query(

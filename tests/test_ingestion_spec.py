@@ -1,0 +1,196 @@
+"""Druid ingestion-spec execution (ingestion_spec.py): an
+index_parallel JSON task body reads files, applies timestampSpec /
+transformSpec / dimensionsSpec, rolls up by queryGranularity with
+metricsSpec, and writes real Druid v9 segments partitioned by
+segmentGranularity — verified by reading the segments back through the
+druidsegment DataSource and answering a NATIVE query over them (the
+full keep-your-specs lifecycle)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from druid_datafusion_bridge_spark.ingestion_spec import ingest
+from druid_datafusion_bridge_spark.native_query import native_query
+
+
+def _write_json_input(tmp_path):
+    rows = [
+        {"time": "2024-01-01T00:10:00Z", "channel": "en", "delta": 5, "bot": "t"},
+        {"time": "2024-01-01T00:20:00Z", "channel": "en", "delta": 7, "bot": "f"},
+        {"time": "2024-01-01T00:40:00Z", "channel": "en", "delta": 5, "bot": "f"},
+        {"time": "2024-01-01T02:00:00Z", "channel": "de", "delta": 11, "bot": "f"},
+        {"time": "2024-01-02T09:30:00Z", "channel": "de", "delta": 2, "bot": "f"},
+        {"time": "2024-01-02T09:45:00Z", "channel": "fr", "delta": 3, "bot": "t"},
+    ]
+    src = tmp_path / "input"
+    src.mkdir()
+    with open(src / "wiki.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return str(src)
+
+
+def _spec(base_dir, rollup=True):
+    return {
+        "type": "index_parallel",
+        "spec": {
+            "dataSchema": {
+                "dataSource": "wikipedia",
+                "timestampSpec": {"column": "time", "format": "iso"},
+                "dimensionsSpec": {"dimensions": ["channel"]},
+                "transformSpec": {
+                    "transforms": [
+                        {"type": "expression", "name": "channel",
+                         "expression": "upper(channel)"},
+                    ],
+                    "filter": {"type": "selector", "dimension": "bot",
+                               "value": "f"},
+                },
+                "metricsSpec": [
+                    {"type": "count", "name": "count"},
+                    {"type": "longSum", "name": "delta_sum",
+                     "fieldName": "delta"},
+                ],
+                "granularitySpec": {
+                    "segmentGranularity": "day",
+                    "queryGranularity": "hour",
+                    "rollup": rollup,
+                    "intervals": ["2024-01-01T00:00:00Z/2024-01-03T00:00:00Z"],
+                },
+            },
+            "ioConfig": {
+                "inputSource": {"type": "local", "baseDir": base_dir,
+                                "filter": "*.json"},
+                "inputFormat": {"type": "json"},
+            },
+            "tuningConfig": {
+                "partitionsSpec": {"type": "dynamic",
+                                   "maxRowsPerSegment": 1000}
+            },
+        },
+    }
+
+
+def test_ingest_spec_rollup_segments_and_native_query(spark, tmp_path):
+    base = _write_json_input(tmp_path)
+    storage = str(tmp_path / "deep")
+    manifest = ingest(spark, _spec(base), storage).collect()
+    # day granularity, non-bot rows on both days -> 2 segments
+    assert len(manifest) == 2
+    assert all(m["segment_dir"].startswith(storage) for m in manifest)
+
+    from druid_datafusion_bridge_spark.sources import register_druid_datasource
+
+    register_druid_datasource(spark)
+    df = spark.read.format("druidsegment").option(
+        "path", storage + "/wikipedia"
+    ).load()
+    rows = {
+        (str(r["__time"]), r["channel"]): (r["count"], r["delta_sum"])
+        for r in df.collect()
+    }
+    # bot rows dropped (the 00:10 EN row and the fr row); channel
+    # uppercased by the transform; hourly rollup folded the two
+    # surviving 00:xx EN rows into one stored row
+    assert rows == {
+        ("2024-01-01 00:00:00", "EN"): (2, 12),
+        ("2024-01-01 02:00:00", "DE"): (1, 11),
+        ("2024-01-02 09:00:00", "DE"): (1, 2),
+    }
+
+    # native query over the ingested segments: Druid spec in, Druid
+    # query out — re-aggregating stored metrics per channel
+    out = native_query(df, {
+        "queryType": "groupBy",
+        "granularity": "all",
+        "dimensions": ["channel"],
+        "aggregations": [
+            {"type": "longSum", "name": "total", "fieldName": "delta_sum"},
+        ],
+    })
+    assert {(r["channel"], r["total"]) for r in out.collect()} == {
+        ("EN", 12), ("DE", 13),
+    }
+
+
+def test_ingest_spec_no_rollup_keeps_rows(spark, tmp_path):
+    base = _write_json_input(tmp_path)
+    storage = str(tmp_path / "deep2")
+    spec = _spec(base, rollup=False)
+    spec["spec"]["dataSchema"]["metricsSpec"] = []
+    # schemaless dimensions: drop the explicit list
+    spec["spec"]["dataSchema"]["dimensionsSpec"] = {"dimensions": []}
+    ingest(spark, spec, storage).collect()
+    df = (
+        spark.read.format("druidsegment")
+        .option("path", storage + "/wikipedia")
+        .load()
+    )
+    got = df.select("channel", "delta", "bot").orderBy("delta").collect()
+    # every non-bot row kept (no rollup), all source columns ride along
+    assert [(r["channel"], r["delta"], r["bot"]) for r in got] == [
+        ("DE", 2, "f"), ("EN", 5, "f"), ("EN", 7, "f"), ("DE", 11, "f"),
+    ]
+    # queryGranularity still truncates stored timestamps
+    hours = {str(r["__time"]) for r in df.select("__time").collect()}
+    assert hours == {
+        "2024-01-01 00:00:00", "2024-01-01 02:00:00", "2024-01-02 09:00:00",
+    }
+
+
+def test_ingest_spec_csv_and_millis_timestamp(spark, tmp_path):
+    src = tmp_path / "csv"
+    src.mkdir()
+    with open(src / "data.csv", "w") as f:
+        f.write("1704067200000,alpha,3\n1704070800000,beta,4\n")
+    spec = {
+        "spec": {
+            "dataSchema": {
+                "dataSource": "csvsource",
+                "timestampSpec": {"column": "t", "format": "millis"},
+                "dimensionsSpec": {"dimensions": [
+                    "name", {"type": "long", "name": "v"},
+                ]},
+                "granularitySpec": {"segmentGranularity": "day",
+                                    "queryGranularity": "none",
+                                    "rollup": False},
+            },
+            "ioConfig": {
+                "inputSource": {"type": "local", "baseDir": str(src),
+                                "filter": "*.csv"},
+                "inputFormat": {"type": "csv", "columns": ["t", "name", "v"]},
+            },
+        },
+    }
+    storage = str(tmp_path / "deep3")
+    ingest(spark, spec, storage).collect()
+    df = (
+        spark.read.format("druidsegment")
+        .option("path", storage + "/csvsource")
+        .load()
+    )
+    got = sorted((str(r["__time"]), r["name"], r["v"]) for r in df.collect())
+    assert got == [
+        ("2024-01-01 00:00:00", "alpha", 3),
+        ("2024-01-01 01:00:00", "beta", 4),
+    ]
+
+
+def test_ingest_spec_loud_on_unsupported(spark, tmp_path):
+    base = _write_json_input(tmp_path)
+    spec = _spec(base)
+    spec["spec"]["ioConfig"]["inputSource"] = {"type": "s3"}
+    with pytest.raises(ValueError, match="inputSource"):
+        ingest(spark, spec, str(tmp_path / "x")).collect()
+    spec = _spec(base)
+    spec["spec"]["ioConfig"]["inputFormat"] = {"type": "orc"}
+    with pytest.raises(ValueError, match="inputFormat"):
+        ingest(spark, spec, str(tmp_path / "x")).collect()
+    spec = _spec(base)
+    spec["type"] = "kafka"
+    with pytest.raises(ValueError, match="task type"):
+        ingest(spark, spec, str(tmp_path / "x")).collect()
