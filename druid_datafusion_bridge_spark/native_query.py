@@ -439,7 +439,20 @@ def _dimensions(spec: dict) -> list[tuple[str, Column]]:
 
 
 def _base(df: DataFrame, spec: dict, time_col: str) -> DataFrame:
-    """Apply intervals + filter — shared head of every query type."""
+    """Apply virtualColumns + intervals + filter — shared head of every
+    query type. Virtual columns are Spark SQL expressions (same posture
+    as ingestion transformSpec: the common arithmetic / concat /
+    function-call Druid expressions parse unchanged, and the Druid SQL
+    dialect functions are registered session-wide by the CLI paths;
+    exotic Druid-expression forms fail at parse time, never silently).
+    They stay narrow projections, so a filter on a virtual column still
+    evaluates inside the scan stage."""
+    for vc in spec.get("virtualColumns", []):
+        if vc.get("type", "expression") != "expression":
+            raise ValueError(
+                f"unsupported virtualColumn type {vc.get('type')!r}"
+            )
+        df = df.withColumn(vc["name"], F.expr(vc["expression"]))
     if spec.get("intervals"):
         ivs = spec["intervals"]
         if isinstance(ivs, str):

@@ -225,19 +225,25 @@ def nq_topn_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "nq_scan_filtered",
     oracle="""
-    SELECT ts, event_type, value FROM events
+    SELECT ts, event_type, value,
+           CAST(floor(value / 100) AS BIGINT) AS value_bucket
+    FROM events
     WHERE value >= 480
       AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
     """,
 )
 def nq_scan_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Druid native scan: projected filtered row read (the unordered
-    form — an ordered+limit scan's cut on non-unique timestamps is
-    engine-dependent, pinned instead by tests/test_native_query.py on
-    unique-time data)."""
+    """Druid native scan with an expression virtualColumn: projected
+    filtered row read (the unordered form — an ordered+limit scan's
+    cut on non-unique timestamps is engine-dependent, pinned instead by
+    tests/test_native_query.py on unique-time data)."""
     spec = {
         "queryType": "scan",
-        "columns": ["ts", "event_type", "value"],
+        "virtualColumns": [
+            {"type": "expression", "name": "value_bucket",
+             "expression": "CAST(floor(value / 100) AS BIGINT)"},
+        ],
+        "columns": ["ts", "event_type", "value", "value_bucket"],
         "intervals": ["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
         "filter": {"type": "bound", "dimension": "value", "lower": "480",
                    "ordering": "numeric"},

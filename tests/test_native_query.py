@@ -365,6 +365,35 @@ def test_extraction_fns(events):
     assert got == {"2024-01-01": 4, "2024-01-02": 3}
 
 
+def test_virtual_columns(events):
+    """expression virtualColumns are usable as dimension, aggregator
+    input, and filter target."""
+    spec = {
+        "queryType": "groupBy",
+        "virtualColumns": [
+            {"type": "expression", "name": "etype_up",
+             "expression": "upper(event_type)"},
+            {"type": "expression", "name": "value2",
+             "expression": "value * 2"},
+        ],
+        "dimensions": ["etype_up"],
+        "filter": {"type": "bound", "dimension": "value2", "lower": "4",
+                   "ordering": "numeric"},
+        "aggregations": [
+            {"type": "doubleSum", "name": "v2", "fieldName": "value2"},
+        ],
+    }
+    got = {r["etype_up"]: r["v2"] for r in run(events, spec).collect()}
+    # rows with value*2 >= 4: click 2.0/4.0, view 3.0/5.0, purchase 10,
+    # null-type 6.0
+    assert got == {"CLICK": 12.0, "VIEW": 16.0, "PURCHASE": 20.0,
+                   None: 12.0}
+    with pytest.raises(ValueError, match="virtualColumn"):
+        run(events, {"queryType": "timeBoundary",
+                     "virtualColumns": [{"type": "nested-field",
+                                         "name": "x"}]})
+
+
 def test_json_string_spec_and_unsupported_errors(events):
     import json as _json
 
@@ -378,6 +407,164 @@ def test_json_string_spec_and_unsupported_errors(events):
     with pytest.raises(ValueError, match="aggregator type"):
         run(events, {"queryType": "timeseries",
                      "aggregations": [{"type": "javascript", "name": "x"}]})
+
+
+def test_filter_tree_fuzz_vs_kleene_evaluator(events):
+    """Differential fuzz: 60 seeded random filter trees (depth <= 3,
+    every leaf kind) evaluated in ONE Spark action against an
+    independent Python three-valued-logic evaluator — rows are kept iff
+    the tree evaluates to definite TRUE, exactly SQL/Druid
+    SQL-compatible semantics."""
+    import random
+
+    rng = random.Random(20240815)
+    STR_COLS = ["event_type", "props"]
+    NUM_COLS = ["value", "user_id"]
+    STR_VALS = ["click", "view", "purchase", "a=1", "x", None]
+    REGEXES = ["^c", "i", "e.w", "=[0-9]$"]
+
+    def gen(depth):
+        if depth > 0 and rng.random() < 0.4:
+            kind = rng.choice(["and", "or", "not"])
+            if kind == "not":
+                return {"type": "not", "field": gen(depth - 1)}
+            return {
+                "type": kind,
+                "fields": [gen(depth - 1) for _ in range(rng.randint(2, 3))],
+            }
+        leaf = rng.choice(
+            ["selector", "in", "bound_num", "bound_lex", "like", "regex",
+             "search", "null", "true"]
+        )
+        if leaf == "selector":
+            return {"type": "selector", "dimension": rng.choice(STR_COLS),
+                    "value": rng.choice(STR_VALS)}
+        if leaf == "in":
+            return {"type": "in", "dimension": rng.choice(STR_COLS),
+                    "values": rng.sample(STR_VALS, rng.randint(1, 3))}
+        if leaf == "bound_num":
+            lo, hi = sorted([rng.uniform(0, 8), rng.uniform(0, 8)])
+            return {"type": "bound", "dimension": rng.choice(NUM_COLS),
+                    "lower": str(round(lo, 1)), "upper": str(round(hi, 1)),
+                    "lowerStrict": rng.random() < 0.5,
+                    "upperStrict": rng.random() < 0.5,
+                    "ordering": "numeric"}
+        if leaf == "bound_lex":
+            lo, hi = sorted([rng.choice("abcpvx"), rng.choice("abcpvx")])
+            return {"type": "bound", "dimension": rng.choice(STR_COLS),
+                    "lower": lo, "upper": hi, "ordering": "lexicographic"}
+        if leaf == "like":
+            return {"type": "like", "dimension": rng.choice(STR_COLS),
+                    "pattern": rng.choice(["c%", "%w", "%=%", "_=_", "a%1"])}
+        if leaf == "regex":
+            return {"type": "regex", "dimension": rng.choice(STR_COLS),
+                    "pattern": rng.choice(REGEXES)}
+        if leaf == "search":
+            return {"type": "search", "dimension": rng.choice(STR_COLS),
+                    "query": {"type": "insensitive_contains",
+                              "value": rng.choice(["C", "1", "w", "="])}}
+        if leaf == "null":
+            return {"type": "null", "column": rng.choice(STR_COLS)}
+        return {"type": "true"}
+
+    def ev(f, row):
+        """Kleene three-valued evaluation -> True / False / None."""
+        import re
+
+        k = f["type"]
+        if k == "true":
+            return True
+        if k == "null":
+            return row[f["column"]] is None
+        if k == "selector":
+            x = row[f["dimension"]]
+            if f["value"] is None:
+                return x is None
+            return None if x is None else x == f["value"]
+        if k == "in":
+            x = row[f["dimension"]]
+            non_null = [v for v in f["values"] if v is not None]
+            if not non_null:
+                base = False  # compiles to lit(False), null-proof
+            else:
+                base = None if x is None else x in non_null
+            if any(v is None for v in f["values"]):
+                # base OR isNull(x)
+                is_null = x is None
+                if is_null:
+                    return True
+                return base
+            return base
+        if k == "bound":
+            x = row[f["dimension"]]
+            if x is None:
+                return None
+            if f.get("ordering") == "numeric":
+                x = float(x)
+                lo = float(f["lower"]) if f.get("lower") is not None else None
+                hi = float(f["upper"]) if f.get("upper") is not None else None
+            else:
+                x = str(x)
+                lo, hi = f.get("lower"), f.get("upper")
+            ok = True
+            if lo is not None:
+                ok = ok and (x > lo if f.get("lowerStrict") else x >= lo)
+            if hi is not None:
+                ok = ok and (x < hi if f.get("upperStrict") else x <= hi)
+            return ok
+        if k == "like":
+            x = row[f["dimension"]]
+            if x is None:
+                return None
+            pat = "^" + "".join(
+                ".*" if ch == "%" else "." if ch == "_" else re.escape(ch)
+                for ch in f["pattern"]
+            ) + "$"
+            return re.match(pat, x) is not None
+        if k == "regex":
+            x = row[f["dimension"]]
+            return None if x is None else re.search(f["pattern"], x) is not None
+        if k == "search":
+            x = row[f["dimension"]]
+            if x is None:
+                return None
+            return f["query"]["value"].lower() in x.lower()
+        if k == "and":
+            vals = [ev(x, row) for x in f["fields"]]
+            if any(v is False for v in vals):
+                return False
+            if any(v is None for v in vals):
+                return None
+            return True
+        if k == "or":
+            vals = [ev(x, row) for x in f["fields"]]
+            if any(v is True for v in vals):
+                return True
+            if any(v is None for v in vals):
+                return None
+            return False
+        if k == "not":
+            v = ev(f["field"], row)
+            return None if v is None else (not v)
+        raise AssertionError(k)
+
+    from druid_datafusion_bridge_spark.native_query import _filter_pred
+
+    trees = [gen(3) for _ in range(60)]
+    cols = ["event_type", "props", "value", "user_id"]
+    sel = events.select(
+        *cols,
+        *[
+            F.coalesce(_filter_pred(t, "__time").cast("boolean"), F.lit(False))
+            .alias(f"f{i}")
+            for i, t in enumerate(trees)
+        ],
+    )
+    for r in sel.collect():
+        row = {c: r[c] for c in cols}
+        for i, t in enumerate(trees):
+            expected = ev(t, row) is True
+            assert r[f"f{i}"] == expected, (t, row, r[f"f{i}"], expected)
 
 
 def test_native_query_over_druid_segment_root(spark, tmp_path):
