@@ -125,6 +125,8 @@ def ingest(
     distributed write (sources/ingest.py contract)."""
     if isinstance(spec, str):
         spec = json.loads(spec)
+    if spec.get("type") == "compact":
+        return _compact_task(spark, spec, deep_storage)
     if spec.get("type") not in (None, "index", "index_parallel"):
         raise ValueError(f"unsupported task type {spec.get('type')!r}")
     inner = spec.get("spec", spec)
@@ -200,4 +202,34 @@ def ingest(
     out_dir = os.path.join(deep_storage, schema["dataSource"])
     return write_druid_segments(
         df, out_dir, granularity=period, max_rows_per_segment=int(max_rows)
+    )
+
+
+def _compact_task(
+    spark: SparkSession, spec: dict, deep_storage: str
+) -> DataFrame:
+    """Druid ``compact`` task JSON (public Druid compaction.md): rewrite
+    the dataSource's segment forest at a (usually coarser)
+    segmentGranularity. Follows Druid's atomic-swap model — the new set
+    publishes beside the old under ``<dataSource>_compacted`` (or
+    ``dstDataSource``); sources are never touched."""
+    ds = spec["dataSource"]
+    gran_spec = spec.get("granularitySpec", {})
+    seg_gran = gran_spec.get("segmentGranularity", "day")
+    period = _SIMPLE_GRANULARITIES.get(seg_gran, seg_gran)
+    tuning = spec.get("tuningConfig", {})
+    max_rows = (
+        tuning.get("partitionsSpec", {}).get("maxRowsPerSegment")
+        or tuning.get("maxRowsPerSegment")
+        or 5_000_000
+    )
+    from .sources.ingest import compact_segments
+
+    dst = spec.get("dstDataSource", f"{ds}_compacted")
+    return compact_segments(
+        spark,
+        os.path.join(deep_storage, ds),
+        os.path.join(deep_storage, dst),
+        granularity=period,
+        max_rows_per_segment=int(max_rows),
     )

@@ -589,7 +589,8 @@ def native_query(
     tables).
 
     Supported queryTypes: timeseries, topN, groupBy, scan, search,
-    timeBoundary, dataSourceMetadata. Output schemas (flattened from
+    timeBoundary, dataSourceMetadata, segmentMetadata (merged form).
+    Output schemas (flattened from
     Druid's envelope): bucketed queries carry a ``timestamp`` column
     (absent for granularity 'all'), then dimension outputNames, then
     aggregator/postAggregator names; scan returns the selected
@@ -786,5 +787,48 @@ def native_query(
                 "maxIngestedEventTime"
             )
         )
+
+    if qt == "segmentMetadata":
+        # merged-analysis form, flattened: one row per column with
+        # type / cardinality / min / max / null count (the envelope's
+        # per-segment nesting is a transport detail; Druid itself is
+        # usually queried with merge=true). min/max surface as strings
+        # so the schema is uniform across column types, matching the
+        # JSON the real endpoint returns. ONE aggregate over one scan;
+        # the multi-column exact COUNT(DISTINCT) pays Catalyst's Expand
+        # — same documented trade as prof_column_stats, right-sized for
+        # a metadata query.
+        base = _base(df, spec, time_col)
+        include = spec.get("toInclude", {})
+        if include.get("type") == "list":
+            cols = [c for c in base.columns if c in set(include["columns"])]
+        else:
+            cols = list(base.columns)
+        if not cols:
+            raise ValueError("segmentMetadata: no columns to analyze")
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for i, c in enumerate(cols):
+            aggs += [
+                F.count_distinct(F.col(c)).alias(f"__card_{i}"),
+                F.min(F.col(c)).cast("string").alias(f"__min_{i}"),
+                F.max(F.col(c)).cast("string").alias(f"__max_{i}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{i}"),
+            ]
+        one = base.agg(*aggs)
+        types = dict(zip(base.columns, [f.dataType.simpleString()
+                                        for f in base.schema.fields]))
+        entries = F.array(*[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(types[c]).alias("type"),
+                F.col(f"__card_{i}").alias("cardinality"),
+                F.col(f"__min_{i}").alias("min_value"),
+                F.col(f"__max_{i}").alias("max_value"),
+                F.col(f"__nulls_{i}").alias("null_count"),
+                F.col("__rows").alias("num_rows"),
+            )
+            for i, c in enumerate(cols)
+        ])
+        return one.select(F.explode(entries).alias("m")).select("m.*")
 
     raise ValueError(f"unsupported queryType {qt!r}")

@@ -180,6 +180,59 @@ def test_ingest_spec_csv_and_millis_timestamp(spark, tmp_path):
     ]
 
 
+def test_compact_task_rewrites_forest(spark, tmp_path):
+    """A Druid `compact` task JSON rewrites the hourly-rolled-up,
+    day-partitioned forest at month granularity: fewer segments, same
+    rows, sources untouched (atomic-swap model)."""
+    base = _write_json_input(tmp_path)
+    storage = str(tmp_path / "deepc")
+    ingest(spark, _spec(base), storage).collect()
+    manifest = ingest(spark, {
+        "type": "compact",
+        "dataSource": "wikipedia",
+        "granularitySpec": {"segmentGranularity": "month"},
+    }, storage).collect()
+    assert len(manifest) == 1  # both days fold into one P1M segment
+    df = (
+        spark.read.format("druidsegment")
+        .option("path", storage + "/wikipedia_compacted")
+        .load()
+    )
+    assert df.count() == 3
+    # source forest untouched
+    src = (
+        spark.read.format("druidsegment")
+        .option("path", storage + "/wikipedia")
+        .load()
+    )
+    assert src.count() == 3
+
+
+def test_segment_metadata_query_type(spark, tmp_path):
+    """native segmentMetadata (merged form): per-column type /
+    cardinality / min / max / null count over the datasource."""
+    from druid_datafusion_bridge_spark.native_query import native_query
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "en", 5), ("2024-01-01 01:00:00", "de", None),
+         ("2024-01-01 02:00:00", "en", 7)],
+        "ts string, channel string, delta long",
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS __time", "channel", "delta")
+    out = native_query(df, {
+        "queryType": "segmentMetadata",
+        "toInclude": {"type": "list", "columns": ["channel", "delta"]},
+    })
+    got = {r["column"]: r for r in out.collect()}
+    assert set(got) == {"channel", "delta"}
+    assert (got["channel"]["type"], got["channel"]["cardinality"],
+            got["channel"]["min_value"], got["channel"]["max_value"],
+            got["channel"]["null_count"], got["channel"]["num_rows"]) == (
+        "string", 2, "de", "en", 0, 3)
+    assert (got["delta"]["cardinality"], got["delta"]["min_value"],
+            got["delta"]["max_value"], got["delta"]["null_count"]) == (
+        2, "5", "7", 1)
+
+
 def test_ingest_spec_loud_on_unsupported(spark, tmp_path):
     base = _write_json_input(tmp_path)
     spec = _spec(base)
