@@ -44,9 +44,12 @@ Deliberate upgrades, documented:
   variant exists as the no-Spark CLI (cli.py search) and the
   dictionary-index paths (sources/segment.py matching_value_ids).
 
-Unsupported spec pieces (Druid-native expression virtual columns,
-javascript aggregators/extractions, geo filters) raise ValueError
-naming the offending type — a loud contract, not silent misreading.
+Datasource forms (table / inline / query-as-subquery / union / join
+with prefixed right columns) resolve in `_resolve_datasource`;
+expression virtualColumns apply in `_base`. Unsupported spec pieces
+(javascript aggregators/extractions, geo filters, exotic Druid
+expression forms) raise ValueError naming the offending type — a loud
+contract, not silent misreading.
 """
 
 from __future__ import annotations
@@ -86,6 +89,14 @@ def _ts_lit(iso: str) -> Column:
     """Timestamp literal from an ISO-8601 instant (Z == UTC, the
     engine's pinned session timezone)."""
     return F.lit(iso.replace("Z", "").replace("T", " ")).cast("timestamp")
+
+
+def _c(name: str) -> Column:
+    """Column reference for a user-supplied name. Joined-datasource
+    columns carry their rightPrefix (e.g. ``l.category``) — backtick
+    names containing dots so Spark resolves the COLUMN, not a struct
+    field."""
+    return F.col(f"`{name}`") if "." in name else F.col(name)
 
 
 def _interval_pred(time_col: str, intervals: list[str]) -> Column:
@@ -187,16 +198,16 @@ def _filter_pred(f: dict | None, time_col: str) -> Column | None:
         return None
     kind = f.get("type")
     if kind == "selector":
-        col = F.col(f["dimension"])
+        col = _c(f["dimension"])
         return col.isNull() if f.get("value") is None else col == F.lit(f["value"])
     if kind == "equals":  # Druid 24+ form
-        col = F.col(f["column"])
+        col = _c(f["column"])
         v = f.get("matchValue")
         return col.isNull() if v is None else col == F.lit(v)
     if kind == "null":
-        return F.col(f["column"]).isNull()
+        return _c(f["column"]).isNull()
     if kind == "in":
-        col = F.col(f["dimension"])
+        col = _c(f["dimension"])
         values = f["values"]
         non_null = [v for v in values if v is not None]
         pred = col.isin(non_null) if non_null else F.lit(False)
@@ -205,7 +216,7 @@ def _filter_pred(f: dict | None, time_col: str) -> Column | None:
         return pred
     if kind in ("bound", "range"):
         # bound: legacy form with ordering; range: Druid 24+ typed form
-        col = F.col(f.get("dimension") or f["column"])
+        col = _c(f.get("dimension") or f["column"])
         if kind == "bound":
             numeric = f.get("ordering", "lexicographic") == "numeric"
             lo, hi = f.get("lower"), f.get("upper")
@@ -231,13 +242,13 @@ def _filter_pred(f: dict | None, time_col: str) -> Column | None:
             out = out & p
         return out
     if kind == "like":
-        return F.col(f["dimension"]).like(f["pattern"])
+        return _c(f["dimension"]).like(f["pattern"])
     if kind == "regex":
         # Druid RegexDimFilter: unanchored java-regex find — Spark
         # rlike has identical semantics
-        return F.col(f["dimension"]).rlike(f["pattern"])
+        return _c(f["dimension"]).rlike(f["pattern"])
     if kind == "search":
-        return _search_query_pred(F.col(f["dimension"]), f["query"])
+        return _search_query_pred(_c(f["dimension"]), f["query"])
     if kind == "interval":
         col_name = f.get("dimension", time_col)
         return _interval_pred(col_name, f["intervals"])
@@ -276,14 +287,14 @@ def _aggregator(a: dict, time_col: str) -> Column:
     if kind in ("longSum", "longMin", "longMax", "doubleSum", "doubleMin",
                 "doubleMax", "floatSum", "floatMin", "floatMax",
                 "doubleMean"):
-        return _numeric_agg(kind, F.col(field)).alias(name)
+        return _numeric_agg(kind, _c(field)).alias(name)
     if kind in ("longFirst", "doubleFirst", "floatFirst", "stringFirst"):
         return F.min_by(field, time_col).alias(name)
     if kind in ("longLast", "doubleLast", "floatLast", "stringLast"):
         return F.max_by(field, time_col).alias(name)
     if kind in ("cardinality", "hyperUnique", "thetaSketch"):
         fields = a.get("fieldNames") or [field]
-        return F.count_distinct(*[F.col(c) for c in fields]).alias(name)
+        return F.count_distinct(*[_c(c) for c in fields]).alias(name)
     if kind == "filtered":
         # fold the filter into the input expression — stays ONE
         # map-side-combined aggregate, no second scan
@@ -293,7 +304,7 @@ def _aggregator(a: dict, time_col: str) -> Column:
         k = inner["type"]
         if k == "count":
             return F.count(F.when(cond, F.lit(1))).alias(out_name)
-        col = F.when(cond, F.col(inner["fieldName"]))
+        col = F.when(cond, _c(inner["fieldName"]))
         if k in ("longSum", "longMin", "longMax", "doubleSum", "doubleMin",
                  "doubleMax", "floatSum", "floatMin", "floatMax",
                  "doubleMean"):
@@ -428,13 +439,13 @@ def _dimensions(spec: dict) -> list[tuple[str, Column]]:
     out = []
     for d in spec.get("dimensions", []):
         if isinstance(d, str):
-            out.append((d, F.col(d)))
+            out.append((d, _c(d)))
             continue
         kind = d.get("type", "default")
         if kind not in ("default", "extraction"):
             raise ValueError(f"unsupported dimension spec type {kind!r}")
         name = d.get("outputName", d["dimension"])
-        out.append((name, _dim_value(d, F.col(d["dimension"]))))
+        out.append((name, _dim_value(d, _c(d["dimension"]))))
     return out
 
 
@@ -580,13 +591,98 @@ def _bucket_grid(spark, intervals, g) -> DataFrame | None:
     )
 
 
+def _resolve_datasource(
+    ds: Any,
+    df: DataFrame | None,
+    time_col: str,
+    tables: dict[str, DataFrame] | None,
+) -> DataFrame:
+    """Druid dataSource forms (public Druid datasource.md):
+
+    - a name / {"type": "table"}: looked up in ``tables`` (falls back
+      to the supplied ``df`` — the common single-datasource call);
+    - {"type": "inline"}: literal rows, built driver-side (Druid uses
+      inline datasources for exactly this — tiny lookup-ish relations);
+    - {"type": "query"}: a full native query as a subquery — recursion;
+    - {"type": "union"}: unionByName over the member datasources;
+    - {"type": "join"}: left/right resolved recursively; the right
+      side's columns surface under ``rightPrefix`` (Druid's contract —
+      the outer query addresses them as e.g. ``l.category``, which
+      `_c` backticks for Spark). Conditions are `&&`-conjoined
+      equalities; the right side of each equality carries the prefix.
+      A plain equi-join compiles to a Spark join — broadcast by AQE
+      when the right side is small (the only join shape Druid itself
+      allows: the right side must be broadcastable)."""
+    if ds is None:
+        if df is None:
+            raise ValueError("no datasource: pass df or spec.dataSource")
+        return df
+    if isinstance(ds, str):
+        if tables and ds in tables:
+            return tables[ds]
+        if df is None:
+            raise ValueError(f"unknown datasource {ds!r}")
+        return df
+    kind = ds.get("type")
+    if kind == "table":
+        return _resolve_datasource(ds["name"], df, time_col, tables)
+    if kind == "inline":
+        if df is None and not tables:
+            raise ValueError("inline datasource needs a session source")
+        session = (df or next(iter(tables.values()))).sparkSession
+        return session.createDataFrame(
+            [tuple(r) for r in ds["rows"]], list(ds["columnNames"])
+        )
+    if kind == "query":
+        return native_query(df, ds["query"], time_col, tables=tables)
+    if kind == "union":
+        members = [
+            _resolve_datasource(m, df, time_col, tables)
+            for m in ds["dataSources"]
+        ]
+        out = members[0]
+        for m in members[1:]:
+            out = out.unionByName(m, allowMissingColumns=True)
+        return out
+    if kind == "join":
+        left = _resolve_datasource(ds["left"], df, time_col, tables)
+        right = _resolve_datasource(ds["right"], df, time_col, tables)
+        prefix = ds.get("rightPrefix", "j0.")
+        right = right.select(
+            *[F.col(c).alias(f"{prefix}{c}") for c in right.columns]
+        )
+        cond = None
+        for part in ds["condition"].split("&&"):
+            lhs, rhs = part.split("==")
+            lhs = lhs.strip().strip('"')
+            rhs = rhs.strip().strip('"')
+            # Druid writes the prefixed side on either end
+            if not rhs.startswith(prefix) and lhs.startswith(prefix):
+                lhs, rhs = rhs, lhs
+            eq = _c(lhs) == _c(rhs)
+            cond = eq if cond is None else (cond & eq)
+        if cond is None:
+            raise ValueError("join datasource requires a condition")
+        how = ds.get("joinType", "INNER").lower()
+        if how not in ("inner", "left"):
+            raise ValueError(f"unsupported joinType {ds.get('joinType')!r}")
+        return left.join(right, cond, how)
+    raise ValueError(f"unsupported dataSource type {kind!r}")
+
+
 def native_query(
-    df: DataFrame, spec: dict | str, time_col: str = "__time"
+    df: DataFrame | None,
+    spec: dict | str,
+    time_col: str = "__time",
+    tables: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Compile a Druid native query ``spec`` (dict or JSON string)
     against ``df``. ``time_col`` names the primary timestamp column
     (``__time`` on real segments; any timestamp column on plain
-    tables).
+    tables). ``tables`` optionally names datasources for specs whose
+    ``dataSource`` is a table name or a join/union over several; the
+    inline / query / join / union datasource forms are resolved by
+    `_resolve_datasource`.
 
     Supported queryTypes: timeseries, topN, groupBy, scan, search,
     timeBoundary, dataSourceMetadata, segmentMetadata (merged form).
@@ -598,6 +694,7 @@ def native_query(
     returns minTime/maxTime."""
     if isinstance(spec, str):
         spec = json.loads(spec)
+    df = _resolve_datasource(spec.get("dataSource"), df, time_col, tables)
     qt = spec.get("queryType")
 
     if qt == "timeseries":

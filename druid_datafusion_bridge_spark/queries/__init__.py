@@ -57,9 +57,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # lk_reverse_lookup_filter, and the native-query surface nq_timeseries_
 # hourly / nq_timeseries_zerofill / nq_groupby_filtered_limit /
 # nq_groupby_subtotals / nq_topn_daily_revenue / nq_scan_filtered /
-# nq_search_digits / nq_time_boundary / nq_ingest_spec_rollup) sit
-# outside it and are what r7's ROTATION should front-load, together
-# with r7's own new queries.
+# nq_search_digits / nq_time_boundary / nq_ingest_spec_rollup /
+# nq_join_datasource) sit outside it and are what r7's ROTATION should
+# front-load, together with r7's own new queries.
 ROTATION: tuple[str, ...] = (
     # never-sampled backlog (44) — streaming first (incl. the full
     # stream->segment->serve lifecycle), then sketches and the rest

@@ -277,6 +277,53 @@ def nq_search_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "nq_join_datasource",
+    oracle="""
+    WITH lut(etype, category) AS (VALUES
+      ('click', 'engage'), ('view', 'engage'), ('purchase', 'convert'),
+      ('signup', 'convert'), ('error', 'ops'))
+    SELECT lut.category AS "l.category",
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS total
+    FROM events JOIN lut ON events.event_type = lut.etype
+    GROUP BY 1
+    """,
+)
+def nq_join_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid native JOIN datasource: events joined to an inline
+    category lookup, grouped by the prefixed right column (Druid's
+    addressing contract). The inline side is tiny and broadcast by
+    AQE — the only join shape Druid itself allows (right side must be
+    broadcastable), so this plan is Druid's own, distributed."""
+    spec = {
+        "queryType": "groupBy",
+        "dataSource": {
+            "type": "join",
+            "left": "events",
+            "right": {
+                "type": "inline",
+                "columnNames": ["etype", "category"],
+                "rows": [["click", "engage"], ["view", "engage"],
+                         ["purchase", "convert"], ["signup", "convert"],
+                         ["error", "ops"]],
+            },
+            "rightPrefix": "l.",
+            "condition": '"event_type" == "l.etype"',
+        },
+        "granularity": "all",
+        "dimensions": ["l.category"],
+        "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total", "fieldName": "value"},
+        ],
+    }
+    return native_query(
+        None, spec, time_col="ts",
+        tables={"events": _events(spark, sf_dir)},
+    )
+
+
+@query(
     "nq_ingest_spec_rollup",
     oracle="""
     SELECT event_type,

@@ -409,6 +409,80 @@ def test_json_string_spec_and_unsupported_errors(events):
                      "aggregations": [{"type": "javascript", "name": "x"}]})
 
 
+def test_datasource_forms(events):
+    """dataSource resolution: inline, join with prefixed right columns,
+    query-as-subquery, union, and named tables."""
+    # join: events x inline category lookup; outer query addresses the
+    # right columns through the prefix, Druid's contract
+    spec = {
+        "queryType": "groupBy",
+        "dataSource": {
+            "type": "join",
+            "left": "events",
+            "right": {
+                "type": "inline",
+                "columnNames": ["etype", "category"],
+                "rows": [["click", "engage"], ["view", "engage"],
+                         ["purchase", "convert"]],
+            },
+            "rightPrefix": "l.",
+            "condition": '"event_type" == "l.etype"',
+        },
+        "dimensions": ["l.category"],
+        "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total", "fieldName": "value"},
+        ],
+    }
+    got = {
+        r["l.category"]: (r["n"], r["total"])
+        for r in run(events, spec, tables={"events": events}).collect()
+    }
+    assert got == {"engage": (5, 15.0), "convert": (1, 10.0)}
+
+    # query datasource: aggregate over an inner groupBy's output
+    spec = {
+        "queryType": "timeseries",
+        "dataSource": {"type": "query", "query": {
+            "queryType": "groupBy",
+            "dimensions": ["user_id"],
+            "aggregations": [
+                {"type": "doubleSum", "name": "user_total",
+                 "fieldName": "value"},
+            ],
+        }},
+        "granularity": "all",
+        "aggregations": [
+            {"type": "doubleMax", "name": "max_user_total",
+             "fieldName": "user_total"},
+        ],
+    }
+    assert run(events, spec).collect()[0]["max_user_total"] == 11.0
+
+    # union datasource
+    spec = {
+        "queryType": "timeseries",
+        "dataSource": {"type": "union", "dataSources": ["a", "b"]},
+        "granularity": "all",
+        "aggregations": [{"type": "count", "name": "n"}],
+    }
+    half = events.limit(3)
+    assert run(
+        None, spec, tables={"a": half, "b": events}
+    ).collect()[0]["n"] == 10
+
+    with pytest.raises(ValueError, match="dataSource type"):
+        run(events, {"queryType": "timeBoundary",
+                     "dataSource": {"type": "lookup"}})
+    with pytest.raises(ValueError, match="joinType"):
+        run(events, {"queryType": "timeBoundary",
+                     "dataSource": {"type": "join", "left": "events",
+                                    "right": "events",
+                                    "condition": '"x" == "j0.x"',
+                                    "joinType": "FULL"}},
+            tables={"events": events})
+
+
 def test_filter_tree_fuzz_vs_kleene_evaluator(events):
     """Differential fuzz: 60 seeded random filter trees (depth <= 3,
     every leaf kind) evaluated in ONE Spark action against an
