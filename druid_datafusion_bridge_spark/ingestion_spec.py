@@ -116,6 +116,27 @@ _DIM_TYPES = {
 }
 
 
+def _row_metric(a: dict) -> Column:
+    """A metricsSpec aggregator applied to ONE row (the rollup=false
+    storage semantics): count stores 1, sum/min/max/first/last store
+    the field value in the aggregator's type."""
+    kind, name = a["type"], a["name"]
+    if kind == "count":
+        return F.lit(1).cast("long").alias(name)
+    base = (
+        kind.replace("long", "").replace("double", "")
+        .replace("float", "").replace("string", "")
+    )
+    if base in ("Sum", "Min", "Max", "First", "Last", "Mean"):
+        if kind.startswith("string"):
+            return F.col(a["fieldName"]).cast("string").alias(name)
+        cast = "long" if kind.startswith("long") else "double"
+        return F.col(a["fieldName"]).cast(cast).alias(name)
+    raise ValueError(
+        f"unsupported metricsSpec aggregator {kind!r} with rollup disabled"
+    )
+
+
 def ingest(
     spark: SparkSession, spec: dict | str, deep_storage: str
 ) -> DataFrame:
@@ -149,10 +170,11 @@ def ingest(
         df = df.filter(_filter_pred(transform["filter"], TIME_COLUMN))
 
     gran_spec = schema.get("granularitySpec", {})
-    if gran_spec.get("intervals"):
-        from .native_query import _interval_pred
+    from .native_query import _interval_pred, _normalize_intervals
 
-        df = df.filter(_interval_pred(TIME_COLUMN, gran_spec["intervals"]))
+    ivs = _normalize_intervals(gran_spec.get("intervals"))
+    if ivs:
+        df = df.filter(_interval_pred(TIME_COLUMN, ivs))
 
     dims_spec = schema.get("dimensionsSpec", {}).get("dimensions", [])
     dims: list[tuple[str, Column]] = []
@@ -175,25 +197,29 @@ def ingest(
     bucket = _granularity_col(
         None if query_gran in ("none", None) else query_gran, TIME_COLUMN
     )
-    if rollup and schema.get("metricsSpec"):
-        aggs = [_aggregator(a, TIME_COLUMN) for a in schema["metricsSpec"]]
-        df = df.groupBy(
-            (bucket if bucket is not None else F.col(TIME_COLUMN)).alias(
-                TIME_COLUMN
-            ),
-            *[c.alias(n) for n, c in dims],
-        ).agg(*aggs)
+    keys = [
+        (bucket if bucket is not None else F.col(TIME_COLUMN)).alias(
+            TIME_COLUMN
+        ),
+        *[c.alias(n) for n, c in dims],
+    ]
+    metrics = schema.get("metricsSpec") or []
+    if rollup:
+        # rollup means GROUP duplicate (time, dims) rows — with no
+        # metrics that is still a distinct, not a pass-through
+        if metrics:
+            aggs = [_aggregator(a, TIME_COLUMN) for a in metrics]
+            df = df.groupBy(*keys).agg(*aggs)
+        else:
+            df = df.select(*keys).distinct()
     else:
-        cols = [
-            (bucket if bucket is not None else F.col(TIME_COLUMN)).alias(
-                TIME_COLUMN
-            ),
-            *[c.alias(n) for n, c in dims],
-        ]
-        df = df.select(*cols)
+        # rollup disabled: every row stores as-is; metric columns hold
+        # the aggregator applied to that single row (count -> 1,
+        # sum/min/max/first/last -> the field value)
+        df = df.select(*keys, *[_row_metric(a) for a in metrics])
 
     seg_gran = gran_spec.get("segmentGranularity", "day")
-    period = _SIMPLE_GRANULARITIES.get(seg_gran, seg_gran)
+    period = _SIMPLE_GRANULARITIES.get(str(seg_gran).lower(), seg_gran)
     max_rows = (
         tuning.get("partitionsSpec", {}).get("maxRowsPerSegment")
         or tuning.get("maxRowsPerSegment")
@@ -216,7 +242,7 @@ def _compact_task(
     ds = spec["dataSource"]
     gran_spec = spec.get("granularitySpec", {})
     seg_gran = gran_spec.get("segmentGranularity", "day")
-    period = _SIMPLE_GRANULARITIES.get(seg_gran, seg_gran)
+    period = _SIMPLE_GRANULARITIES.get(str(seg_gran).lower(), seg_gran)
     tuning = spec.get("tuningConfig", {})
     max_rows = (
         tuning.get("partitionsSpec", {}).get("maxRowsPerSegment")

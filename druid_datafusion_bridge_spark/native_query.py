@@ -193,12 +193,19 @@ def _search_query_pred(col: Column, q: dict) -> Column:
 
 def _filter_pred(f: dict | None, time_col: str) -> Column | None:
     """Compile a Druid filter tree to ONE Catalyst predicate (public
-    Druid filters.md). SQL-compatible null handling throughout."""
+    Druid filters.md). SQL-compatible null handling throughout. The
+    legacy dimension filters accept an ``extractionFn``, applied to the
+    column BEFORE matching (still a narrow expression — pushdown is
+    lost only for the extracted predicate, exactly as in Druid)."""
     if f is None:
         return None
+
+    def dim_col(name: str) -> Column:
+        return _dim_value({"extractionFn": f.get("extractionFn")}, _c(name))
+
     kind = f.get("type")
     if kind == "selector":
-        col = _c(f["dimension"])
+        col = dim_col(f["dimension"])
         return col.isNull() if f.get("value") is None else col == F.lit(f["value"])
     if kind == "equals":  # Druid 24+ form
         col = _c(f["column"])
@@ -207,7 +214,7 @@ def _filter_pred(f: dict | None, time_col: str) -> Column | None:
     if kind == "null":
         return _c(f["column"]).isNull()
     if kind == "in":
-        col = _c(f["dimension"])
+        col = dim_col(f["dimension"])
         values = f["values"]
         non_null = [v for v in values if v is not None]
         pred = col.isin(non_null) if non_null else F.lit(False)
@@ -216,7 +223,9 @@ def _filter_pred(f: dict | None, time_col: str) -> Column | None:
         return pred
     if kind in ("bound", "range"):
         # bound: legacy form with ordering; range: Druid 24+ typed form
-        col = _c(f.get("dimension") or f["column"])
+        col = (
+            dim_col(f["dimension"]) if kind == "bound" else _c(f["column"])
+        )
         if kind == "bound":
             numeric = f.get("ordering", "lexicographic") == "numeric"
             lo, hi = f.get("lower"), f.get("upper")
@@ -242,16 +251,16 @@ def _filter_pred(f: dict | None, time_col: str) -> Column | None:
             out = out & p
         return out
     if kind == "like":
-        return _c(f["dimension"]).like(f["pattern"])
+        return dim_col(f["dimension"]).like(f["pattern"])
     if kind == "regex":
         # Druid RegexDimFilter: unanchored java-regex find — Spark
         # rlike has identical semantics
-        return _c(f["dimension"]).rlike(f["pattern"])
+        return dim_col(f["dimension"]).rlike(f["pattern"])
     if kind == "search":
-        return _search_query_pred(_c(f["dimension"]), f["query"])
+        return _search_query_pred(dim_col(f["dimension"]), f["query"])
     if kind == "interval":
         col_name = f.get("dimension", time_col)
-        return _interval_pred(col_name, f["intervals"])
+        return _interval_pred(col_name, _normalize_intervals(f["intervals"]))
     if kind == "true":
         return F.lit(True)
     if kind == "false":
@@ -289,9 +298,9 @@ def _aggregator(a: dict, time_col: str) -> Column:
                 "doubleMean"):
         return _numeric_agg(kind, _c(field)).alias(name)
     if kind in ("longFirst", "doubleFirst", "floatFirst", "stringFirst"):
-        return F.min_by(field, time_col).alias(name)
+        return F.min_by(_c(field), _c(time_col)).alias(name)
     if kind in ("longLast", "doubleLast", "floatLast", "stringLast"):
-        return F.max_by(field, time_col).alias(name)
+        return F.max_by(_c(field), _c(time_col)).alias(name)
     if kind in ("cardinality", "hyperUnique", "thetaSketch"):
         fields = a.get("fieldNames") or [field]
         return F.count_distinct(*[_c(c) for c in fields]).alias(name)
@@ -300,7 +309,9 @@ def _aggregator(a: dict, time_col: str) -> Column:
         # map-side-combined aggregate, no second scan
         inner = a["aggregator"]
         cond = _filter_pred(a["filter"], time_col)
-        out_name = a.get("name", inner["name"])
+        out_name = a.get("name") or inner.get("name")
+        if out_name is None:
+            raise ValueError("filtered aggregator needs a name")
         k = inner["type"]
         if k == "count":
             return F.count(F.when(cond, F.lit(1))).alias(out_name)
@@ -376,13 +387,13 @@ def _having_pred(h: dict) -> Column:
     """groupBy HAVING spec -> predicate over aggregate output columns."""
     kind = h["type"]
     if kind == "greaterThan":
-        return F.col(h["aggregation"]).cast("double") > float(h["value"])
+        return _c(h["aggregation"]).cast("double") > float(h["value"])
     if kind == "lessThan":
-        return F.col(h["aggregation"]).cast("double") < float(h["value"])
+        return _c(h["aggregation"]).cast("double") < float(h["value"])
     if kind == "equalTo":
-        return F.col(h["aggregation"]).cast("double") == float(h["value"])
+        return _c(h["aggregation"]).cast("double") == float(h["value"])
     if kind == "dimSelector":
-        return F.col(h["dimension"]) == F.lit(h["value"])
+        return _c(h["dimension"]) == F.lit(h["value"])
     if kind == "and":
         parts = [_having_pred(x) for x in h["havingSpecs"]]
         out = parts[0]
@@ -403,11 +414,14 @@ def _having_pred(h: dict) -> Column:
 
 
 def _granularity_col(g: Any, time_col: str) -> Column | None:
-    """granularity spec -> bucket column, or None for 'all'."""
-    if g is None or g == "all":
+    """granularity spec -> bucket column, or None for 'all'. Simple
+    strings are case-insensitive (Druid accepts \"DAY\"); the object
+    forms {\"type\": \"all\"/\"none\"} are legal spellings too."""
+    if g is None or (isinstance(g, str) and g.lower() == "all"):
         return None
     c = F.col(time_col).cast("timestamp")
     if isinstance(g, str):
+        g = g.lower()
         if g == "none":
             return c
         period = _SIMPLE_GRANULARITIES.get(g)
@@ -415,6 +429,10 @@ def _granularity_col(g: Any, time_col: str) -> Column | None:
             raise ValueError(f"unsupported granularity {g!r}")
         return time_floor(c, period)
     kind = g.get("type")
+    if kind == "all":
+        return None
+    if kind == "none":
+        return c
     if kind == "period":
         origin = g.get("origin")
         if origin is not None:
@@ -449,6 +467,21 @@ def _dimensions(spec: dict) -> list[tuple[str, Column]]:
     return out
 
 
+def _normalize_intervals(ivs: Any) -> list[str] | None:
+    """Accept every legal spelling of the intervals field: a single
+    "start/end" string, a list of them, or the object form
+    {"type": "intervals", "intervals": [...]} Druid's console emits."""
+    if not ivs:
+        return None
+    if isinstance(ivs, dict):
+        ivs = ivs.get("intervals")
+        if not ivs:
+            return None
+    if isinstance(ivs, str):
+        ivs = [ivs]
+    return list(ivs)
+
+
 def _base(df: DataFrame, spec: dict, time_col: str) -> DataFrame:
     """Apply virtualColumns + intervals + filter — shared head of every
     query type. Virtual columns are Spark SQL expressions (same posture
@@ -464,10 +497,8 @@ def _base(df: DataFrame, spec: dict, time_col: str) -> DataFrame:
                 f"unsupported virtualColumn type {vc.get('type')!r}"
             )
         df = df.withColumn(vc["name"], F.expr(vc["expression"]))
-    if spec.get("intervals"):
-        ivs = spec["intervals"]
-        if isinstance(ivs, str):
-            ivs = [ivs]
+    ivs = _normalize_intervals(spec.get("intervals"))
+    if ivs:
         df = df.filter(_interval_pred(time_col, ivs))
     pred = _filter_pred(spec.get("filter"), time_col)
     if pred is not None:
@@ -544,14 +575,14 @@ def _bucket_grid(spark, intervals, g) -> DataFrame | None:
     one-column ``timestamp`` frame built from literals (explode of a
     sequence; bounded by bucket count, no data scan). Druid's grid
     starts at bucketStart(interval start), i.e. the floor."""
-    if g in (None, "all", "none"):
+    if g is None or (isinstance(g, str) and g.lower() in ("all", "none")):
         return None
     if isinstance(g, str):
-        period = _SIMPLE_GRANULARITIES.get(g)
+        period = _SIMPLE_GRANULARITIES.get(g.lower())
         if period is None:
             return None
         months, millis = parse_period(period)
-        gran: Any = g
+        gran: Any = g.lower()
     elif g.get("type") == "period":
         months, millis = parse_period(g["period"])
         gran = g
@@ -572,20 +603,43 @@ def _bucket_grid(spark, intervals, g) -> DataFrame | None:
         F.col("e").cast("timestamp").alias("__e"),
     )
     start = _granularity_col(gran, "__t")
-    step = (
-        F.make_interval(F.lit(0), F.lit(months))
-        if months
-        else F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0),
-                                F.lit(millis / 1000.0))
-    )
+    if months:
+        # Month buckets are origin + k*months (ONE clamped calendar
+        # addition per bucket — time_floor's exact grid). Stepping a
+        # sequence by an interval would re-add from each clamped
+        # boundary and drift off the data's buckets (origin Jan 31:
+        # floor+1mo = Feb 29, +1mo again = Mar 29, but the data
+        # buckets to origin+2mo = Mar 31).
+        origin = None
+        if isinstance(gran, dict):
+            origin = gran.get("origin")
+            if origin is not None:
+                origin = origin.replace("Z", "").replace("T", " ")
+        org = F.lit(origin).cast("timestamp") if origin else F.lit(
+            "1970-01-01 00:00:00"
+        ).cast("timestamp")
+        k0 = (
+            F.floor(F.months_between(F.col("__t"), org) / months) * months
+        ).cast("int")
+        k1 = (
+            F.floor(F.months_between(F.col("__e"), org) / months) * months
+        ).cast("int") + F.lit(2 * months)
+        buckets = F.transform(
+            F.sequence(k0 - F.lit(months), k1, F.lit(months)),
+            lambda k: org + F.make_interval(F.lit(0), k),
+        )
+    else:
+        step = F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0),
+                                  F.lit(millis / 1000.0))
+        buckets = F.sequence(start, F.col("__e"), step)
     return (
         base.select(
-            F.explode(F.sequence(start, F.col("__e"), step)).alias(
-                "timestamp"
-            ),
-            "__e",
+            F.explode(buckets).alias("timestamp"), "__t", "__e", start.alias("__s0"),
         )
-        .filter(F.col("timestamp") < F.col("__e"))
+        .filter(
+            (F.col("timestamp") < F.col("__e"))
+            & (F.col("timestamp") >= F.col("__s0"))
+        )
         .select("timestamp")
         .distinct()
     )
@@ -618,8 +672,10 @@ def _resolve_datasource(
             raise ValueError("no datasource: pass df or spec.dataSource")
         return df
     if isinstance(ds, str):
-        if tables and ds in tables:
-            return tables[ds]
+        if tables is not None:
+            if ds in tables:
+                return tables[ds]
+            raise ValueError(f"unknown datasource {ds!r}")
         if df is None:
             raise ValueError(f"unknown datasource {ds!r}")
         return df
@@ -707,13 +763,10 @@ def native_query(
         # aggregators fill with their identity (0), everything else
         # stays NULL (SQL-compatible mode)
         skip_empty = bool(spec.get("context", {}).get("skipEmptyBuckets", False))
-        if (
-            not skip_empty
-            and "timestamp" in out.columns
-            and spec.get("intervals")
-        ):
+        ts_ivs = _normalize_intervals(spec.get("intervals"))
+        if not skip_empty and "timestamp" in out.columns and ts_ivs:
             grid = _bucket_grid(
-                df.sparkSession, spec["intervals"], spec.get("granularity")
+                df.sparkSession, ts_ivs, spec.get("granularity")
             )
             if grid is not None:
                 fills = []
@@ -761,7 +814,7 @@ def native_query(
             for c in limit_spec.get("columns", []):
                 if isinstance(c, str):
                     c = {"dimension": c}
-                col = F.col(c["dimension"])
+                col = _c(c["dimension"])
                 ordering = c.get("dimensionOrder", "lexicographic")
                 if isinstance(ordering, dict):
                     ordering = ordering.get("type", "lexicographic")
@@ -771,6 +824,18 @@ def native_query(
                     order_cols.append(col.desc_nulls_last())
                 else:
                     order_cols.append(col.asc_nulls_first())
+            if not order_cols and (
+                limit_spec.get("limit") is not None
+                or limit_spec.get("offset")
+            ):
+                # Druid's DefaultLimitSpec cut without explicit columns
+                # is dimension-ordered — an unordered Spark limit would
+                # cut partitioning-dependently
+                order_cols = (
+                    [F.col("timestamp").asc()]
+                    if "timestamp" in out.columns
+                    else []
+                ) + [_c(n).asc_nulls_first() for n, _ in dims]
             if order_cols:
                 out = out.orderBy(*order_cols)
             if limit_spec.get("offset"):
@@ -785,25 +850,35 @@ def native_query(
         if isinstance(dim_spec, str):
             dim_spec = {"type": "default", "dimension": dim_spec}
         name = dim_spec.get("outputName", dim_spec["dimension"])
-        dims = [(name, _dim_value(dim_spec, F.col(dim_spec["dimension"])))]
+        dims = [(name, _dim_value(dim_spec, _c(dim_spec["dimension"])))]
         out = _agg_select(base, spec, time_col, dims)
         metric = spec["metric"]
         inverted = False
-        if isinstance(metric, dict):
-            if metric.get("type") == "inverted":
+        by_dimension = False
+        while isinstance(metric, dict):
+            mtype = metric.get("type")
+            if mtype == "inverted":
                 inverted = True
                 metric = metric["metric"]
-                if isinstance(metric, dict):
-                    metric = metric["metric"]
-            elif metric.get("type") in ("numeric", "dimension"):
-                metric = metric.get("metric", name)
+            elif mtype == "numeric":
+                metric = metric["metric"]
+            elif mtype in ("dimension", "lexicographic", "alphaNumeric"):
+                # DimensionTopNMetricSpec: rank by the dimension VALUE,
+                # ascending (descending when inverted-wrapped)
+                by_dimension = True
+                metric = name
             else:
                 raise ValueError(
-                    f"unsupported topN metric type {metric.get('type')!r}"
+                    f"unsupported topN metric type {mtype!r}"
                 )
-        m = F.col(metric)
-        order = [m.asc_nulls_last() if inverted else m.desc_nulls_last(),
-                 F.col(name).asc_nulls_first()]  # Druid ties: dim asc
+        m = _c(metric)
+        if by_dimension:
+            order = [m.desc_nulls_last() if inverted else m.asc_nulls_first()]
+        else:
+            order = [
+                m.asc_nulls_last() if inverted else m.desc_nulls_last(),
+                _c(name).asc_nulls_first(),  # Druid ties: dim asc
+            ]
         threshold = int(spec["threshold"])
         if "timestamp" not in out.columns:
             # granularity 'all': a global top-k is TakeOrderedAndProject
@@ -821,7 +896,7 @@ def native_query(
         base = _base(df, spec, time_col)
         cols = spec.get("columns")
         if cols:
-            base = base.select(*cols)
+            base = base.select(*[_c(c).alias(c) for c in cols])
         order = spec.get("order", "none")
         if order in ("ascending", "descending"):
             if cols and time_col not in cols:
@@ -849,7 +924,7 @@ def native_query(
             *[
                 F.struct(
                     F.lit(d).alias("dimension"),
-                    F.col(d).cast("string").alias("value"),
+                    _c(d).cast("string").alias("value"),
                 )
                 for d in dims
             ]
@@ -906,10 +981,10 @@ def native_query(
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for i, c in enumerate(cols):
             aggs += [
-                F.count_distinct(F.col(c)).alias(f"__card_{i}"),
-                F.min(F.col(c)).cast("string").alias(f"__min_{i}"),
-                F.max(F.col(c)).cast("string").alias(f"__max_{i}"),
-                F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{i}"),
+                F.count_distinct(_c(c)).alias(f"__card_{i}"),
+                F.min(_c(c)).cast("string").alias(f"__min_{i}"),
+                F.max(_c(c)).cast("string").alias(f"__max_{i}"),
+                F.sum(_c(c).isNull().cast("long")).alias(f"__nulls_{i}"),
             ]
         one = base.agg(*aggs)
         types = dict(zip(base.columns, [f.dataType.simpleString()

@@ -365,6 +365,123 @@ def test_extraction_fns(events):
     assert got == {"2024-01-01": 4, "2024-01-02": 3}
 
 
+def test_topn_dimension_metric_spec(events):
+    """DimensionTopNMetricSpec ranks by the dimension VALUE ascending;
+    inverted-wrapped descends — never by an aggregate."""
+    spec = {
+        "queryType": "topN",
+        "granularity": "all",
+        "dimension": "event_type",
+        "metric": {"type": "dimension"},
+        "threshold": 2,
+        "aggregations": [{"type": "count", "name": "n"}],
+    }
+    rows = run(events, spec).collect()
+    # lexicographic ascending, null smallest (Druid's comparator)
+    assert [r["event_type"] for r in rows] == [None, "click"]
+    inv = dict(spec, metric={"type": "inverted",
+                             "metric": {"type": "dimension"}})
+    rows = run(events, inv).collect()
+    assert [r["event_type"] for r in rows] == ["view", "purchase"]
+
+
+def test_filter_extraction_fn(events):
+    """Legacy dimension filters apply their extractionFn BEFORE
+    matching (Druid's contract) instead of silently ignoring it."""
+    spec = {
+        "queryType": "timeseries",
+        "granularity": "all",
+        "filter": {"type": "selector", "dimension": "event_type",
+                   "value": "CLICK",
+                   "extractionFn": {"type": "upper"}},
+        "aggregations": [{"type": "count", "name": "n"}],
+    }
+    assert run(events, spec).collect()[0]["n"] == 3
+    spec["filter"] = {"type": "search", "dimension": "event_type",
+                      "query": {"type": "contains", "value": "CLI",
+                                "caseSensitive": True},
+                      "extractionFn": {"type": "upper"}}
+    assert run(events, spec).collect()[0]["n"] == 3
+
+
+def test_filtered_aggregator_wrapper_name_only(events):
+    """A filtered aggregator named on the wrapper whose inner
+    aggregator is anonymous must not crash."""
+    spec = {
+        "queryType": "timeseries",
+        "granularity": "all",
+        "aggregations": [
+            {"type": "filtered", "name": "clicks",
+             "filter": {"type": "selector", "dimension": "event_type",
+                        "value": "click"},
+             "aggregator": {"type": "count"}},
+        ],
+    }
+    assert run(events, spec).collect()[0]["clicks"] == 3
+
+
+def test_granularity_spelling_variants(events):
+    """Druid accepts case-variant simple strings and the object forms
+    of all/none; the intervals field also comes in object form."""
+    spec = {
+        "queryType": "timeseries",
+        "granularity": "DAY",
+        "intervals": {"type": "intervals",
+                      "intervals": ["2024-01-01T00:00:00Z/2024-01-03T00:00:00Z"]},
+        "aggregations": [{"type": "count", "name": "n"}],
+    }
+    got = {str(r["timestamp"]): r["n"] for r in run(events, spec).collect()}
+    assert got == {"2024-01-01 00:00:00": 4, "2024-01-02 00:00:00": 3}
+    spec["granularity"] = {"type": "all"}
+    rows = run(events, spec).collect()
+    assert len(rows) == 1 and rows[0]["n"] == 7
+
+
+def test_zerofill_grid_matches_origin_anchored_month_buckets(spark):
+    """The zero-fill grid must be the SAME clamped-calendar grid the
+    data buckets to: origin Jan 31 makes origin+2mo = Mar 31, which a
+    sequence stepping +1mo from the clamped Feb 29 would miss."""
+    from druid_datafusion_bridge_spark.native_query import native_query
+
+    df = spark.createDataFrame(
+        [("2024-03-31 12:00:00", 1.0)], "ts string, v double"
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS __time", "v")
+    spec = {
+        "queryType": "timeseries",
+        "granularity": {"type": "period", "period": "P1M",
+                        "origin": "2024-01-31T00:00:00Z"},
+        "intervals": ["2024-03-01T00:00:00Z/2024-05-01T00:00:00Z"],
+        "aggregations": [{"type": "count", "name": "n"}],
+    }
+    got = {str(r["timestamp"]): r["n"] for r in native_query(df, spec).collect()}
+    # data row buckets to origin+2mo = Mar 31 (a sequence stepping +1mo
+    # from the clamped Feb 29 would emit Mar 29 and drop this row);
+    # Feb 29 = bucketStart(interval start) covers Mar 1-30 and
+    # zero-fills, as does Apr's bucket (origin+3mo = Apr 30)
+    assert got == {"2024-02-29 00:00:00": 0, "2024-03-31 00:00:00": 1,
+                   "2024-04-30 00:00:00": 0}
+
+
+def test_groupby_default_limit_is_dimension_ordered(events):
+    """limitSpec with a limit but no columns cuts dimension-ordered
+    (Druid's DefaultLimitSpec), not partitioning-dependently."""
+    spec = {
+        "queryType": "groupBy",
+        "dimensions": ["event_type"],
+        "aggregations": [{"type": "count", "name": "n"}],
+        "limitSpec": {"type": "default", "limit": 2},
+    }
+    rows = run(events, spec).collect()
+    # nulls first, then lexicographic
+    assert [r["event_type"] for r in rows] == [None, "click"]
+
+
+def test_unknown_named_datasource_is_loud(events):
+    with pytest.raises(ValueError, match="unknown datasource"):
+        run(events, {"queryType": "timeBoundary", "dataSource": "nope"},
+            tables={"events": events})
+
+
 def test_virtual_columns(events):
     """expression virtualColumns are usable as dimension, aggregator
     input, and filter target."""
