@@ -1,0 +1,179 @@
+"""A Druid-broker-compatible HTTP shim over the engine (stdlib only).
+
+Druid clients talk to a broker over two endpoints (public Druid docs,
+api-reference.md): ``POST /druid/v2`` with a native query JSON body and
+``POST /druid/v2/sql`` with ``{"query": "..."}``. This module serves
+both from a SparkSession, so existing client code — curl scripts,
+dashboards, language SDKs pointed at a broker URL — runs against this
+engine without modification:
+
+- native bodies route through :func:`native_query` (the spec's
+  ``dataSource`` resolves against the registered table map);
+- SQL bodies run through ``spark.sql`` with the Druid dialect functions
+  registered (TIME_FLOOR, LOOKUP, ...), over the same table names;
+- responses are JSON arrays of row objects (the flattened result
+  format; ``/druid/v2/sql`` returns exactly Druid's default
+  ``resultFormat: "object"`` shape);
+- errors return Druid's error envelope
+  ``{"error", "errorMessage"}`` with HTTP 400/500, so client error
+  handling keeps working;
+- ``GET /status/health`` answers ``true`` (Druid's liveness probe) and
+  ``GET /druid/v2/datasources`` lists the registered names.
+
+Deliberately a THIN shim: one process, synchronous handlers (Spark
+queries already parallelize internally; the ThreadingHTTPServer keeps
+slow queries from blocking health probes). It is the integration
+surface, not a resource manager — run it next to the driver the way
+Druid runs a broker next to historicals.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .native_query import native_query
+
+__all__ = ["DruidBrokerShim"]
+
+
+def _rows_json(df: DataFrame, limit: int) -> list[dict[str, Any]]:
+    """Collect as JSON-safe row dicts (timestamps -> ISO strings,
+    Decimals -> floats). ``limit`` bounds the driver-side collect —
+    the broker is a serving endpoint, not an export path."""
+    out = []
+    for row in df.limit(limit).collect():
+        d = {}
+        for k, v in row.asDict(recursive=True).items():
+            if hasattr(v, "isoformat"):
+                v = v.isoformat(sep="T")
+            elif type(v).__name__ == "Decimal":
+                v = float(v)
+            elif isinstance(v, bytes):
+                import base64
+
+                v = base64.b64encode(v).decode("ascii")
+            d[k] = v
+        out.append(d)
+    return out
+
+
+class DruidBrokerShim:
+    """Serve /druid/v2 + /druid/v2/sql for a table map.
+
+    >>> shim = DruidBrokerShim(spark, {"events": events_df})
+    >>> port = shim.start()          # 0 -> ephemeral port
+    >>> ... POST http://localhost:{port}/druid/v2 ...
+    >>> shim.stop()
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        tables: dict[str, DataFrame],
+        time_col: str = "__time",
+        max_rows: int = 100_000,
+    ):
+        self.spark = spark
+        self.tables = dict(tables)
+        self.time_col = time_col
+        self.max_rows = max_rows
+        self._server: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+        from .functions import register_druid_sql_functions
+
+        register_druid_sql_functions(spark)
+        for name, df in self.tables.items():
+            df.createOrReplaceTempView(name)
+
+    # -- request handling ------------------------------------------------
+    def _handle_native(self, body: dict) -> list[dict]:
+        df = native_query(
+            None, body, time_col=self.time_col, tables=self.tables
+        )
+        return _rows_json(df, self.max_rows)
+
+    def _handle_sql(self, body: dict) -> list[dict]:
+        fmt = body.get("resultFormat", "object")
+        if fmt != "object":
+            raise ValueError(f"unsupported resultFormat {fmt!r}")
+        return _rows_json(self.spark.sql(body["query"]), self.max_rows)
+
+    def _make_handler(shim) -> type:  # noqa: N805 - handler factory
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code: int, payload) -> None:
+                data = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                if self.path == "/status/health":
+                    self._send(200, True)
+                elif self.path == "/druid/v2/datasources":
+                    self._send(200, sorted(shim.tables))
+                else:
+                    self._send(404, {"error": "Unknown path",
+                                     "errorMessage": self.path})
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                except ValueError as e:
+                    self._send(400, {"error": "Invalid JSON",
+                                     "errorMessage": str(e)})
+                    return
+                try:
+                    if self.path == "/druid/v2/sql":
+                        rows = shim._handle_sql(body)
+                    elif self.path in ("/druid/v2", "/druid/v2/"):
+                        rows = shim._handle_native(body)
+                    else:
+                        self._send(404, {"error": "Unknown path",
+                                         "errorMessage": self.path})
+                        return
+                except (ValueError, KeyError) as e:
+                    # bad spec: Druid's error envelope, HTTP 400
+                    self._send(400, {"error": "Query not supported",
+                                     "errorMessage": str(e)})
+                    return
+                except Exception as e:  # execution failure -> 500
+                    self._send(500, {"error": "Unknown exception",
+                                     "errorMessage": str(e)[:2000]})
+                    return
+                self._send(200, rows)
+
+        return Handler
+
+    # -- lifecycle -------------------------------------------------------
+    def start(self, port: int = 0, host: str = "127.0.0.1") -> int:
+        """Start serving on ``host:port`` (0 picks a free port);
+        returns the bound port."""
+        if self._server is not None:
+            raise RuntimeError("broker already started")
+        self._server = ThreadingHTTPServer(
+            (host, port), self._make_handler()
+        )
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self._server.server_address[1]
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None
+            self._thread = None

@@ -328,6 +328,31 @@ def cmd_ingest(spec_file: str, deep_storage: str) -> None:
         )
 
 
+def cmd_serve(path: str, name: str, port: int) -> None:
+    """Serve the Druid broker HTTP surface (POST /druid/v2 native JSON,
+    POST /druid/v2/sql, GET /status/health, /druid/v2/datasources) over
+    a segment root — existing Druid clients point their broker URL here
+    (broker.py). Blocks until interrupted."""
+    from .broker import DruidBrokerShim
+    from .session import get_spark
+    from .sources import register_druid_datasource
+
+    spark = get_spark(app_name="ddbs-broker")
+    register_druid_datasource(spark)
+    df = spark.read.format("druidsegment").option("path", path).load()
+    shim = DruidBrokerShim(spark, {name: df})
+    bound = shim.start(port=port)
+    print(f"serving Druid API on http://127.0.0.1:{bound} "
+          f"(datasource {name!r}); Ctrl-C to stop")
+    try:
+        import time as _time
+
+        while True:
+            _time.sleep(3600)
+    except KeyboardInterrupt:
+        shim.stop()
+
+
 def cmd_search(path: str, dimension: str, matcher: str, value: str) -> None:
     """Druid Search query from the CLI, engine-bypass: matching values
     of a dimension + row counts, summed over the segment(s) straight
@@ -412,6 +437,15 @@ def main(argv: list[str] | None = None) -> None:
     p_ingest.add_argument("--deep-storage", "-o", required=True,
                           help="output root; segments land under <root>/<dataSource>")
 
+    p_serve = sub.add_parser(
+        "serve", help="serve the Druid broker HTTP API over a segment root"
+    )
+    p_serve.add_argument("path")
+    p_serve.add_argument("--name", default="segments",
+                         help="datasource name clients query")
+    p_serve.add_argument("--port", type=int, default=8082,
+                         help="bind port (Druid's broker default)")
+
     p_search = sub.add_parser(
         "search", help="matching dimension values + row counts (index-only)"
     )
@@ -440,6 +474,8 @@ def main(argv: list[str] | None = None) -> None:
         cmd_native(args.path, args.spec, args.file, explain=args.explain)
     elif args.command == "ingest":
         cmd_ingest(args.file, args.deep_storage)
+    elif args.command == "serve":
+        cmd_serve(args.path, args.name, args.port)
     elif args.command == "search":
         cmd_search(args.path, args.dimension, args.matcher, args.value)
 

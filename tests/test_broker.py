@@ -1,0 +1,83 @@
+"""Druid-broker HTTP shim (broker.py): the two client endpoints a Druid
+deployment exposes — POST /druid/v2 (native JSON) and /druid/v2/sql —
+answered by this engine over plain urllib, plus the health and
+datasource-listing probes and Druid's error envelope."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from druid_datafusion_bridge_spark.broker import DruidBrokerShim
+
+
+@pytest.fixture(scope="module")
+def shim(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:10:00", "en", 5), ("2024-01-01 00:20:00", "en", 7),
+         ("2024-01-01 02:00:00", "de", 11)],
+        "ts string, channel string, delta long",
+    ).select(F.col("ts").cast("timestamp").alias("__time"), "channel", "delta")
+    s = DruidBrokerShim(spark, {"wikipedia": df})
+    port = s.start()
+    yield f"http://127.0.0.1:{port}"
+    s.stop()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as r:
+        return json.loads(r.read())
+
+
+def test_native_endpoint(shim):
+    rows = _post(shim + "/druid/v2", {
+        "queryType": "topN",
+        "dataSource": "wikipedia",
+        "granularity": "all",
+        "dimension": "channel",
+        "metric": "total",
+        "threshold": 1,
+        "aggregations": [
+            {"type": "longSum", "name": "total", "fieldName": "delta"},
+        ],
+    })
+    assert rows == [{"channel": "en", "total": 12}]
+
+
+def test_sql_endpoint_with_druid_dialect(shim):
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "SELECT TIME_FLOOR(__time, 'PT1H') AS h, "
+                 "SUM(delta) AS total FROM wikipedia GROUP BY 1 ORDER BY 1",
+    })
+    assert [(r["h"], r["total"]) for r in rows] == [
+        ("2024-01-01T00:00:00", 12), ("2024-01-01T02:00:00", 11),
+    ]
+
+
+def test_health_and_datasources(shim):
+    with urllib.request.urlopen(shim + "/status/health") as r:
+        assert json.loads(r.read()) is True
+    with urllib.request.urlopen(shim + "/druid/v2/datasources") as r:
+        assert json.loads(r.read()) == ["wikipedia"]
+
+
+def test_error_envelope(shim):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(shim + "/druid/v2", {"queryType": "movingAverage",
+                                   "dataSource": "wikipedia"})
+    assert ei.value.code == 400
+    body = json.loads(ei.value.read())
+    assert body["error"] == "Query not supported"
+    assert "movingAverage" in body["errorMessage"]
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(shim + "/druid/v2/unknown", {})
+    assert ei.value.code == 404
