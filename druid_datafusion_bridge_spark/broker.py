@@ -38,28 +38,50 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .native_query import native_query
 
+try:
+    from pyspark.errors import AnalysisException
+
+    _ANALYSIS_ERRORS: tuple = (AnalysisException,)
+except ImportError:  # pragma: no cover - very old pyspark
+    _ANALYSIS_ERRORS = ()
+
 __all__ = ["DruidBrokerShim"]
 
 
-def _rows_json(df: DataFrame, limit: int) -> list[dict[str, Any]]:
-    """Collect as JSON-safe row dicts (timestamps -> ISO strings,
-    Decimals -> floats). ``limit`` bounds the driver-side collect —
-    the broker is a serving endpoint, not an export path."""
-    out = []
-    for row in df.limit(limit).collect():
-        d = {}
-        for k, v in row.asDict(recursive=True).items():
-            if hasattr(v, "isoformat"):
-                v = v.isoformat(sep="T")
-            elif type(v).__name__ == "Decimal":
-                v = float(v)
-            elif isinstance(v, bytes):
-                import base64
+def _json_safe(v: Any) -> Any:
+    """Recursive JSON coercion for collected Spark values: datetimes ->
+    ISO strings (date/time have no sep argument), Decimals -> floats,
+    bytes -> base64, arrays/maps/structs element-wise; anything else
+    falls back to str() so a response can never die inside json.dumps
+    after the handler's error envelope has been bypassed."""
+    import base64
+    import datetime
+    import decimal
 
-                v = base64.b64encode(v).decode("ascii")
-            d[k] = v
-        out.append(d)
-    return out
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep="T")
+    if isinstance(v, (datetime.date, datetime.time)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(v).decode("ascii")
+    if isinstance(v, (list, tuple)):
+        return [_json_safe(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _json_safe(x) for k, x in v.items()}
+    return str(v)
+
+
+def _rows_json(df: DataFrame, limit: int) -> list[dict[str, Any]]:
+    """Collect as JSON-safe row dicts. ``limit`` bounds the driver-side
+    collect — the broker is a serving endpoint, not an export path."""
+    return [
+        {k: _json_safe(v) for k, v in row.asDict(recursive=True).items()}
+        for row in df.limit(limit).collect()
+    ]
 
 
 class DruidBrokerShim:
@@ -147,6 +169,12 @@ class DruidBrokerShim:
                     # bad spec: Druid's error envelope, HTTP 400
                     self._send(400, {"error": "Query not supported",
                                      "errorMessage": str(e)})
+                    return
+                except _ANALYSIS_ERRORS as e:
+                    # unknown column / unparsable SQL: still the
+                    # CLIENT's query at fault -> 400, like Druid
+                    self._send(400, {"error": "Query not supported",
+                                     "errorMessage": str(e)[:2000]})
                     return
                 except Exception as e:  # execution failure -> 500
                     self._send(500, {"error": "Unknown exception",

@@ -194,9 +194,18 @@ def ingest(
 
     query_gran: Any = gran_spec.get("queryGranularity", "none")
     rollup = bool(gran_spec.get("rollup", True))
-    bucket = _granularity_col(
-        None if query_gran in ("none", None) else query_gran, TIME_COLUMN
-    )
+    seg_gran_str = str(gran_spec.get("segmentGranularity", "day")).lower()
+    if isinstance(query_gran, str) and query_gran.lower() == "all":
+        # Druid's ALL queryGranularity collapses every row of a segment
+        # into one time bucket — the segment's own interval start
+        query_gran = _SIMPLE_GRANULARITIES.get(seg_gran_str, seg_gran_str)
+        bucket = _granularity_col({"type": "period", "period": query_gran},
+                                  TIME_COLUMN)
+    else:
+        bucket = _granularity_col(
+            None if query_gran in ("none", None) else query_gran,
+            TIME_COLUMN,
+        )
     keys = [
         (bucket if bucket is not None else F.col(TIME_COLUMN)).alias(
             TIME_COLUMN
@@ -238,7 +247,18 @@ def _compact_task(
     the dataSource's segment forest at a (usually coarser)
     segmentGranularity. Follows Druid's atomic-swap model — the new set
     publishes beside the old under ``<dataSource>_compacted`` (or
-    ``dstDataSource``); sources are never touched."""
+    ``dstDataSource``); sources are never touched. An
+    ``ioConfig.inputSpec`` of type ``interval`` scopes the rewrite to
+    that interval (rows outside it are NOT carried over — publish the
+    result beside the untouched out-of-interval source segments, as
+    Druid's coordinator does). Re-typing fields (``dimensionsSpec`` /
+    ``metricsSpec`` on a compact task) are unsupported and loud."""
+    for unsupported in ("dimensionsSpec", "metricsSpec"):
+        if spec.get(unsupported):
+            raise ValueError(
+                f"compact task {unsupported} is unsupported (segments "
+                "are rewritten with their stored schema)"
+            )
     ds = spec["dataSource"]
     gran_spec = spec.get("granularitySpec", {})
     seg_gran = gran_spec.get("segmentGranularity", "day")
@@ -249,6 +269,16 @@ def _compact_task(
         or tuning.get("maxRowsPerSegment")
         or 5_000_000
     )
+    input_spec = spec.get("ioConfig", {}).get("inputSpec", {})
+    intervals = None
+    if input_spec:
+        if input_spec.get("type") != "interval":
+            raise ValueError(
+                f"unsupported compact inputSpec type "
+                f"{input_spec.get('type')!r}"
+            )
+        iv = input_spec.get("interval") or input_spec.get("intervals")
+        intervals = [iv] if isinstance(iv, str) else list(iv or [])
     from .sources.ingest import compact_segments
 
     dst = spec.get("dstDataSource", f"{ds}_compacted")
@@ -258,4 +288,5 @@ def _compact_task(
         os.path.join(deep_storage, dst),
         granularity=period,
         max_rows_per_segment=int(max_rows),
+        intervals=intervals,
     )

@@ -106,8 +106,8 @@ def _interval_pred(time_col: str, intervals: list[str]) -> Column:
     for iv in intervals:
         start, end = iv.split("/")
         preds.append(
-            (F.col(time_col) >= _ts_lit(start))
-            & (F.col(time_col) < _ts_lit(end))
+            (_c(time_col) >= _ts_lit(start))
+            & (_c(time_col) < _ts_lit(end))
         )
     out = preds[0]
     for p in preds[1:]:
@@ -260,7 +260,10 @@ def _filter_pred(f: dict | None, time_col: str) -> Column | None:
         return _search_query_pred(dim_col(f["dimension"]), f["query"])
     if kind == "interval":
         col_name = f.get("dimension", time_col)
-        return _interval_pred(col_name, _normalize_intervals(f["intervals"]))
+        ivs = _normalize_intervals(f["intervals"])
+        if not ivs:
+            return F.lit(False)  # Druid: empty intervals match nothing
+        return _interval_pred(col_name, ivs)
     if kind == "true":
         return F.lit(True)
     if kind == "false":
@@ -634,7 +637,7 @@ def _bucket_grid(spark, intervals, g) -> DataFrame | None:
         buckets = F.sequence(start, F.col("__e"), step)
     return (
         base.select(
-            F.explode(buckets).alias("timestamp"), "__t", "__e", start.alias("__s0"),
+            F.explode(buckets).alias("timestamp"), "__e", start.alias("__s0"),
         )
         .filter(
             (F.col("timestamp") < F.col("__e"))
@@ -650,6 +653,7 @@ def _resolve_datasource(
     df: DataFrame | None,
     time_col: str,
     tables: dict[str, DataFrame] | None,
+    _fallback_names: set | None = None,
 ) -> DataFrame:
     """Druid dataSource forms (public Druid datasource.md):
 
@@ -678,10 +682,24 @@ def _resolve_datasource(
             raise ValueError(f"unknown datasource {ds!r}")
         if df is None:
             raise ValueError(f"unknown datasource {ds!r}")
+        # no tables mapping: the one named datasource IS the supplied
+        # df. TWO different names cannot both be it — a union/join over
+        # distinct names without a mapping would silently read the
+        # same data twice, so that is a loud error instead.
+        if _fallback_names is not None:
+            _fallback_names.add(ds)
+            if len(_fallback_names) > 1:
+                raise ValueError(
+                    f"datasources {sorted(_fallback_names)} need a "
+                    "tables mapping — only one name can resolve to "
+                    "the supplied DataFrame"
+                )
         return df
     kind = ds.get("type")
     if kind == "table":
-        return _resolve_datasource(ds["name"], df, time_col, tables)
+        return _resolve_datasource(
+            ds["name"], df, time_col, tables, _fallback_names
+        )
     if kind == "inline":
         if df is None and not tables:
             raise ValueError("inline datasource needs a session source")
@@ -692,8 +710,9 @@ def _resolve_datasource(
     if kind == "query":
         return native_query(df, ds["query"], time_col, tables=tables)
     if kind == "union":
+        names = _fallback_names if _fallback_names is not None else set()
         members = [
-            _resolve_datasource(m, df, time_col, tables)
+            _resolve_datasource(m, df, time_col, tables, names)
             for m in ds["dataSources"]
         ]
         out = members[0]
@@ -701,11 +720,12 @@ def _resolve_datasource(
             out = out.unionByName(m, allowMissingColumns=True)
         return out
     if kind == "join":
-        left = _resolve_datasource(ds["left"], df, time_col, tables)
-        right = _resolve_datasource(ds["right"], df, time_col, tables)
+        names = _fallback_names if _fallback_names is not None else set()
+        left = _resolve_datasource(ds["left"], df, time_col, tables, names)
+        right = _resolve_datasource(ds["right"], df, time_col, tables, names)
         prefix = ds.get("rightPrefix", "j0.")
         right = right.select(
-            *[F.col(c).alias(f"{prefix}{c}") for c in right.columns]
+            *[_c(c).alias(f"{prefix}{c}") for c in right.columns]
         )
         cond = None
         for part in ds["condition"].split("&&"):
@@ -862,7 +882,7 @@ def native_query(
                 metric = metric["metric"]
             elif mtype == "numeric":
                 metric = metric["metric"]
-            elif mtype in ("dimension", "lexicographic", "alphaNumeric"):
+            elif mtype in ("dimension", "lexicographic"):
                 # DimensionTopNMetricSpec: rank by the dimension VALUE,
                 # ascending (descending when inverted-wrapped)
                 by_dimension = True

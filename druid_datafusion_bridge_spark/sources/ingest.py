@@ -139,6 +139,7 @@ def compact_segments(
     granularity: str = "P1D",
     dimensions: list[str] | None = None,
     max_rows_per_segment: int = 5_000_000,
+    intervals: list[str] | None = None,
 ) -> DataFrame:
     """Druid compaction: rewrite a forest of small segments as a fresh,
     coarser-granularity segment set (streaming ingest + late batches
@@ -157,6 +158,13 @@ def compact_segments(
     # "Failed to find data source: druidsegment"
     register_druid_datasource(spark)
     df = spark.read.format("druidsegment").option("path", src_root).load()
+    if intervals:
+        # interval-scoped compaction (Druid's ioConfig.inputSpec):
+        # the pushed __time bounds prune whole source segments at
+        # planning, so an out-of-interval forest costs nothing to skip
+        from ..native_query import _interval_pred
+
+        df = df.filter(_interval_pred(TIME_COLUMN, intervals))
     return write_druid_segments(
         df,
         dst_root,

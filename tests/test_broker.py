@@ -69,6 +69,34 @@ def test_health_and_datasources(shim):
         assert json.loads(r.read()) == ["wikipedia"]
 
 
+def test_temporal_and_nested_values_serialize(shim):
+    """DATE casts and array<timestamp> results serialize instead of
+    dying inside json.dumps after the error envelope."""
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "SELECT CAST(__time AS DATE) AS d, "
+                 "collect_list(__time) AS times FROM wikipedia "
+                 "GROUP BY 1 ORDER BY 1",
+    })
+    assert rows[0]["d"] == "2024-01-01"
+    assert all(t.startswith("2024-01-01T") for t in rows[0]["times"])
+
+
+def test_analysis_errors_are_client_errors(shim):
+    """Unknown columns are the CLIENT's fault: 400 with Druid's
+    envelope, not a 500."""
+    for path, payload in [
+        ("/druid/v2/sql", {"query": "SELECT no_such_col FROM wikipedia"}),
+        ("/druid/v2", {"queryType": "timeseries", "dataSource": "wikipedia",
+                       "granularity": "all",
+                       "aggregations": [{"type": "longSum", "name": "x",
+                                         "fieldName": "no_such_col"}]}),
+    ]:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(shim + path, payload)
+        assert ei.value.code == 400
+        assert "no_such_col" in json.loads(ei.value.read())["errorMessage"]
+
+
 def test_error_envelope(shim):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(shim + "/druid/v2", {"queryType": "movingAverage",

@@ -233,6 +233,54 @@ def test_segment_metadata_query_type(spark, tmp_path):
         2, "5", "7", 1)
 
 
+def test_compact_task_interval_scope_and_loud_fields(spark, tmp_path):
+    """ioConfig.inputSpec interval scopes the rewrite; re-typing fields
+    raise instead of being ignored."""
+    base = _write_json_input(tmp_path)
+    storage = str(tmp_path / "deepi")
+    ingest(spark, _spec(base), storage).collect()
+    ingest(spark, {
+        "type": "compact",
+        "dataSource": "wikipedia",
+        "ioConfig": {"type": "compact", "inputSpec": {
+            "type": "interval",
+            "interval": "2024-01-01T00:00:00Z/2024-01-02T00:00:00Z"}},
+        "granularitySpec": {"segmentGranularity": "month"},
+    }, storage).collect()
+    df = (
+        spark.read.format("druidsegment")
+        .option("path", storage + "/wikipedia_compacted")
+        .load()
+    )
+    assert df.count() == 2  # only day-1 rows rewritten
+    with pytest.raises(ValueError, match="dimensionsSpec"):
+        ingest(spark, {"type": "compact", "dataSource": "wikipedia",
+                       "dimensionsSpec": {"dimensions": ["channel"]}},
+               storage).collect()
+
+
+def test_ingest_query_granularity_all_buckets_to_segment_start(spark, tmp_path):
+    """queryGranularity ALL collapses each segment's rows into one time
+    bucket (the segment interval start) — not per-row timestamps."""
+    base = _write_json_input(tmp_path)
+    storage = str(tmp_path / "deepall")
+    spec = _spec(base)
+    spec["spec"]["dataSchema"]["granularitySpec"]["queryGranularity"] = "all"
+    ingest(spark, spec, storage).collect()
+    df = (
+        spark.read.format("druidsegment")
+        .option("path", storage + "/wikipedia")
+        .load()
+    )
+    got = {(str(r["__time"]), r["channel"]): (r["count"], r["delta_sum"])
+           for r in df.collect()}
+    assert got == {
+        ("2024-01-01 00:00:00", "EN"): (2, 12),
+        ("2024-01-01 00:00:00", "DE"): (1, 11),
+        ("2024-01-02 00:00:00", "DE"): (1, 2),
+    }
+
+
 def test_ingest_spec_loud_on_unsupported(spark, tmp_path):
     base = _write_json_input(tmp_path)
     spec = _spec(base)

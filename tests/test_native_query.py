@@ -480,6 +480,63 @@ def test_unknown_named_datasource_is_loud(events):
     with pytest.raises(ValueError, match="unknown datasource"):
         run(events, {"queryType": "timeBoundary", "dataSource": "nope"},
             tables={"events": events})
+    # without a tables mapping, ONE name resolves to the supplied df;
+    # two DISTINCT names cannot both be it — that would silently
+    # double-count
+    spec = {
+        "queryType": "timeseries",
+        "dataSource": {"type": "union", "dataSources": ["a", "b"]},
+        "granularity": "all",
+        "aggregations": [{"type": "count", "name": "n"}],
+    }
+    with pytest.raises(ValueError, match="tables mapping"):
+        run(events, spec)
+    one = dict(spec, dataSource={"type": "union", "dataSources": ["a", "a"]})
+    assert run(events, one).collect()[0]["n"] == 14
+
+
+def test_nested_join_datasource_prefixed_columns(events):
+    """A join whose right side is itself a join carries already-dotted
+    column names — the second prefixing must backtick them."""
+    inline = {"type": "inline", "columnNames": ["etype", "category"],
+              "rows": [["click", "engage"]]}
+    inner = {"type": "join", "left": "events", "right": inline,
+             "rightPrefix": "j0.", "condition": '"event_type" == "j0.etype"'}
+    spec = {
+        "queryType": "groupBy",
+        "dataSource": {"type": "join", "left": "events", "right": inner,
+                       "rightPrefix": "k.",
+                       "condition": '"event_type" == "k.event_type"'},
+        "dimensions": ["k.j0.category"],
+        "aggregations": [{"type": "count", "name": "n"}],
+    }
+    got = {r["k.j0.category"]: r["n"]
+           for r in run(events, spec, tables={"events": events}).collect()}
+    assert got == {"engage": 9}  # 3 click rows x 3 click rows
+
+
+def test_empty_interval_filter_matches_nothing(events):
+    spec = {
+        "queryType": "timeseries",
+        "granularity": "all",
+        "filter": {"type": "interval", "dimension": "__time",
+                   "intervals": {"type": "intervals", "intervals": []}},
+        "aggregations": [{"type": "count", "name": "n"}],
+    }
+    assert run(events, spec).collect()[0]["n"] == 0
+
+
+def test_alphanumeric_topn_metric_is_loud(events):
+    spec = {
+        "queryType": "topN",
+        "granularity": "all",
+        "dimension": "event_type",
+        "metric": {"type": "alphaNumeric"},
+        "threshold": 2,
+        "aggregations": [{"type": "count", "name": "n"}],
+    }
+    with pytest.raises(ValueError, match="topN metric"):
+        run(events, spec)
 
 
 def test_virtual_columns(events):
