@@ -124,7 +124,18 @@ class DruidBrokerShim:
         fmt = body.get("resultFormat", "object")
         if fmt != "object":
             raise ValueError(f"unsupported resultFormat {fmt!r}")
-        return _rows_json(self.spark.sql(body["query"]), self.max_rows)
+        # Druid SQL API parameters: positional ?-placeholders with
+        # typed {"type", "value"} objects — Spark's parameterized SQL
+        # binds the same positional form
+        params = body.get("parameters")
+        args = (
+            [p.get("value") if isinstance(p, dict) else p for p in params]
+            if params
+            else None
+        )
+        return _rows_json(
+            self.spark.sql(body["query"], args=args), self.max_rows
+        )
 
     def _make_handler(shim) -> type:  # noqa: N805 - handler factory
         class Handler(BaseHTTPRequestHandler):

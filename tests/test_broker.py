@@ -62,6 +62,17 @@ def test_sql_endpoint_with_druid_dialect(shim):
     ]
 
 
+def test_sql_parameters(shim):
+    """Druid SQL API positional ?-parameters bind through Spark's
+    parameterized SQL."""
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "SELECT SUM(delta) AS total FROM wikipedia "
+                 "WHERE channel = ?",
+        "parameters": [{"type": "VARCHAR", "value": "en"}],
+    })
+    assert rows == [{"total": 12}]
+
+
 def test_health_and_datasources(shim):
     with urllib.request.urlopen(shim + "/status/health") as r:
         assert json.loads(r.read()) is True

@@ -75,6 +75,50 @@ def test_native_query_filters_reach_the_scan(spark):
         assert fragment in pf, f"{fragment} not pushed: {pf}"
 
 
+def test_native_groupby_plan_matches_handwritten(spark):
+    """The native JSON surface is plan-neutral: a groupBy spec and the
+    equivalent hand-written DataFrame code optimize to the same shape —
+    one exchange, same aggregation structure. Druid users pay nothing
+    for keeping their specs."""
+    from pyspark.sql import functions as F
+
+    from druid_datafusion_bridge_spark.native_query import native_query
+    from druid_datafusion_bridge_spark.plans import formatted_plan
+
+    ev = table(spark, SF_DIR, "events")
+    spec = {
+        "queryType": "groupBy",
+        "granularity": "all",
+        "dimensions": ["event_type"],
+        "filter": {"type": "bound", "dimension": "value", "lower": "10",
+                   "ordering": "numeric"},
+        "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "longSum", "name": "s", "fieldName": "user_id"},
+        ],
+    }
+    native = native_query(ev, spec, time_col="ts")
+    hand = (
+        ev.filter(F.col("value").cast("double") >= 10.0)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("user_id").cast("long")).alias("s"))
+    )
+
+    def shape(df):
+        # formatted plans list each node twice (tree + detail section);
+        # count the numbered detail headers only
+        import re
+
+        plan = formatted_plan(df)
+        return (
+            len(re.findall(r"^\(\d+\) Exchange", plan, re.M)),
+            len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)),
+        )
+
+    assert shape(native) == shape(hand) == (1, 2)
+
+
 def test_q6_reads_only_needed_columns(spark):
     df = all_queries()["q6_forecast_revenue"](spark, SF_DIR)
     schemas = read_schemas(df)
