@@ -11,9 +11,10 @@ engine without modification:
   ``dataSource`` resolves against the registered table map);
 - SQL bodies run through ``spark.sql`` with the Druid dialect functions
   registered (TIME_FLOOR, LOOKUP, ...), over the same table names;
-- responses are JSON arrays of row objects (the flattened result
-  format; ``/druid/v2/sql`` returns exactly Druid's default
-  ``resultFormat: "object"`` shape);
+- native responses are JSON arrays of row objects (the flattened
+  result format); ``/druid/v2/sql`` serves every documented
+  resultFormat — object (default), array, objectLines, arrayLines,
+  csv — plus ``header`` and positional ``parameters``;
 - errors return Druid's error envelope
   ``{"error", "errorMessage"}`` with HTTP 400/500, so client error
   handling keeps working;
@@ -120,9 +121,20 @@ class DruidBrokerShim:
         )
         return _rows_json(df, self.max_rows)
 
-    def _handle_sql(self, body: dict) -> list[dict]:
+    def _handle_sql(self, body: dict) -> tuple[bytes, str]:
+        """Run a SQL body; return (payload bytes, content type).
+
+        Serves every documented resultFormat of Druid's SQL API
+        (api-reference.md): object (default), array, objectLines,
+        arrayLines, csv — plus ``header: true``, which prepends the
+        column-name row in the format's own shape. Line formats end
+        with a blank line (Druid's completion marker) and csv quotes
+        per RFC 4180 with NULL as the empty field.
+        """
         fmt = body.get("resultFormat", "object")
-        if fmt != "object":
+        if fmt not in (
+            "object", "array", "objectLines", "arrayLines", "csv"
+        ):
             raise ValueError(f"unsupported resultFormat {fmt!r}")
         # Druid SQL API parameters: positional ?-placeholders with
         # typed {"type", "value"} objects — Spark's parameterized SQL
@@ -133,9 +145,37 @@ class DruidBrokerShim:
             if params
             else None
         )
-        return _rows_json(
-            self.spark.sql(body["query"], args=args), self.max_rows
-        )
+        df = self.spark.sql(body["query"], args=args)
+        cols = df.columns
+        rows = _rows_json(df, self.max_rows)
+        header = bool(body.get("header", False))
+
+        if fmt in ("object", "objectLines"):
+            out: list[Any] = (
+                [{c: None for c in cols}] if header else []
+            ) + rows
+        else:
+            out = ([cols] if header else []) + [
+                [r[c] for c in cols] for r in rows
+            ]
+
+        if fmt in ("object", "array"):
+            return json.dumps(out).encode(), "application/json"
+        if fmt == "csv":
+            import csv
+            import io
+
+            buf = io.StringIO()
+            w = csv.writer(buf, lineterminator="\r\n")
+            for row in out:
+                w.writerow(
+                    ["" if v is None else v for v in row]
+                )
+            buf.write("\r\n")
+            return buf.getvalue().encode(), "text/csv"
+        # objectLines / arrayLines: NDJSON + trailing blank line
+        lines = "".join(json.dumps(r) + "\n" for r in out) + "\n"
+        return lines.encode(), "text/plain"
 
     def _make_handler(shim) -> type:  # noqa: N805 - handler factory
         class Handler(BaseHTTPRequestHandler):
@@ -143,9 +183,13 @@ class DruidBrokerShim:
                 pass
 
             def _send(self, code: int, payload) -> None:
-                data = json.dumps(payload).encode()
+                self._send_raw(code, json.dumps(payload).encode(),
+                               "application/json")
+
+            def _send_raw(self, code: int, data: bytes,
+                          ctype: str) -> None:
                 self.send_response(code)
-                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(data)))
                 self.end_headers()
                 self.wfile.write(data)
@@ -169,7 +213,9 @@ class DruidBrokerShim:
                     return
                 try:
                     if self.path == "/druid/v2/sql":
-                        rows = shim._handle_sql(body)
+                        data, ctype = shim._handle_sql(body)
+                        self._send_raw(200, data, ctype)
+                        return
                     elif self.path in ("/druid/v2", "/druid/v2/"):
                         rows = shim._handle_native(body)
                     else:

@@ -73,6 +73,56 @@ def test_sql_parameters(shim):
     assert rows == [{"total": 12}]
 
 
+def _post_raw(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as r:
+        return r.read().decode(), r.headers.get("Content-Type")
+
+
+def test_sql_result_formats(shim):
+    """The SQL endpoint serves Druid's five documented resultFormats
+    with the right content types, header rows, and the blank-line
+    completion marker on line formats."""
+    q = {"query": "SELECT channel, SUM(delta) AS total FROM wikipedia "
+                  "GROUP BY 1 ORDER BY 1"}
+
+    body, ctype = _post_raw(shim + "/druid/v2/sql",
+                            {**q, "resultFormat": "array", "header": True})
+    assert ctype == "application/json"
+    assert json.loads(body) == [["channel", "total"], ["de", 11], ["en", 12]]
+
+    body, ctype = _post_raw(shim + "/druid/v2/sql",
+                            {**q, "resultFormat": "objectLines"})
+    assert ctype == "text/plain"
+    assert body.endswith("\n\n")
+    lines = [json.loads(x) for x in body.split("\n") if x]
+    assert lines == [{"channel": "de", "total": 11},
+                     {"channel": "en", "total": 12}]
+
+    body, ctype = _post_raw(shim + "/druid/v2/sql",
+                            {**q, "resultFormat": "arrayLines",
+                             "header": True})
+    assert [json.loads(x) for x in body.split("\n") if x] == [
+        ["channel", "total"], ["de", 11], ["en", 12]]
+
+    body, ctype = _post_raw(shim + "/druid/v2/sql",
+                            {**q, "resultFormat": "csv", "header": True})
+    assert ctype == "text/csv"
+    assert body == "channel,total\r\nde,11\r\nen,12\r\n\r\n"
+
+    # header on the default object format: a column-name row of nulls
+    body, ctype = _post_raw(shim + "/druid/v2/sql",
+                            {**q, "resultFormat": "object", "header": True})
+    assert json.loads(body)[0] == {"channel": None, "total": None}
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(shim + "/druid/v2/sql", {**q, "resultFormat": "protobuf"})
+    assert ei.value.code == 400
+
+
 def test_health_and_datasources(shim):
     with urllib.request.urlopen(shim + "/status/health") as r:
         assert json.loads(r.read()) is True
