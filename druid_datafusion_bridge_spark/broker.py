@@ -49,6 +49,40 @@ except ImportError:  # pragma: no cover - very old pyspark
 __all__ = ["DruidBrokerShim"]
 
 
+import re
+
+# Druid's EXPLAIN PLAN FOR <query> (sql.md) — not Spark syntax, so the
+# prefix is intercepted and the wrapped query planned instead
+_EXPLAIN_RE = re.compile(r"\s*EXPLAIN\s+PLAN\s+FOR\s+", re.I)
+
+
+def _word_in_sql(name: str, sql: str) -> bool:
+    return re.search(rf"\b{re.escape(name)}\b", sql, re.I) is not None
+
+
+def _druid_types(dt) -> tuple[str, str]:
+    """Spark DataType -> (Druid column type, SQL type) for the
+    typesHeader/sqlTypesHeader rows (sql-data-types.md)."""
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "LONG", "BIGINT"
+    if s == "boolean":
+        return "LONG", "BOOLEAN"
+    if s == "float":
+        return "FLOAT", "FLOAT"
+    if s == "double" or s.startswith("decimal"):
+        return "DOUBLE", "DOUBLE"
+    if s.startswith("timestamp"):
+        return "LONG", "TIMESTAMP"
+    if s == "date":
+        return "STRING", "DATE"
+    if s == "string":
+        return "STRING", "VARCHAR"
+    if s.startswith("array"):
+        return "ARRAY", "ARRAY"
+    return "COMPLEX", "OTHER"
+
+
 def _json_safe(v: Any) -> Any:
     """Recursive JSON coercion for collected Spark values: datetimes ->
     ISO strings (date/time have no sep argument), Decimals -> floats,
@@ -127,9 +161,12 @@ class DruidBrokerShim:
         Serves every documented resultFormat of Druid's SQL API
         (api-reference.md): object (default), array, objectLines,
         arrayLines, csv — plus ``header: true``, which prepends the
-        column-name row in the format's own shape. Line formats end
+        column-name row in the format's own shape, and
+        ``typesHeader``/``sqlTypesHeader`` type rows. Line formats end
         with a blank line (Druid's completion marker) and csv quotes
-        per RFC 4180 with NULL as the empty field.
+        per RFC 4180 with NULL as the empty field. ``EXPLAIN PLAN
+        FOR <query>`` answers Druid's plan-introspection shape
+        (PLAN/RESOURCES/ATTRIBUTES) with the engine's physical plan.
         """
         fmt = body.get("resultFormat", "object")
         if fmt not in (
@@ -145,19 +182,53 @@ class DruidBrokerShim:
             if params
             else None
         )
-        df = self.spark.sql(body["query"], args=args)
-        cols = df.columns
-        rows = _rows_json(df, self.max_rows)
+        sql = body["query"]
+        m = _EXPLAIN_RE.match(sql)
+        if m:
+            from .plans import formatted_plan
+
+            df = self.spark.sql(sql[m.end():], args=args)
+            cols = ["PLAN", "RESOURCES", "ATTRIBUTES"]
+            rows = [{
+                "PLAN": formatted_plan(df),
+                "RESOURCES": json.dumps([
+                    {"name": t, "type": "DATASOURCE"}
+                    for t in sorted(self.tables)
+                    if _word_in_sql(t, sql)
+                ]),
+                "ATTRIBUTES": json.dumps({"statementType": "SELECT"}),
+            }]
+            types = [("STRING", "VARCHAR")] * 3
+        else:
+            df = self.spark.sql(sql, args=args)
+            cols = df.columns
+            rows = _rows_json(df, self.max_rows)
+            types = [_druid_types(f.dataType) for f in df.schema.fields]
         header = bool(body.get("header", False))
+        want_t = header and bool(body.get("typesHeader", False))
+        want_s = header and bool(body.get("sqlTypesHeader", False))
 
         if fmt in ("object", "objectLines"):
-            out: list[Any] = (
-                [{c: None for c in cols}] if header else []
-            ) + rows
+            # object-shaped header: one row mapping name -> null, or to
+            # a {type, sqlType} object when type headers are requested
+            head_obj: dict[str, Any] = {}
+            for c, (dt, st) in zip(cols, types):
+                v: Any = None
+                if want_t or want_s:
+                    v = {}
+                    if want_t:
+                        v["type"] = dt
+                    if want_s:
+                        v["sqlType"] = st
+                head_obj[c] = v
+            out: list[Any] = ([head_obj] if header else []) + rows
         else:
-            out = ([cols] if header else []) + [
-                [r[c] for c in cols] for r in rows
-            ]
+            head_rows: list[list[Any]] = [cols] if header else []
+            if want_t:
+                head_rows.append([t for t, _ in types])
+            if want_s:
+                head_rows.append([s for _, s in types])
+            out = head_rows + [[r[c] for c in cols] for r in rows]
 
         if fmt in ("object", "array"):
             return json.dumps(out).encode(), "application/json"

@@ -123,6 +123,42 @@ def test_sql_result_formats(shim):
     assert ei.value.code == 400
 
 
+def test_sql_type_headers(shim):
+    """typesHeader/sqlTypesHeader add Druid-type and SQL-type rows in
+    the format's own shape (array: extra rows; object: a {type,
+    sqlType} object per column)."""
+    q = {"query": "SELECT channel, SUM(delta) AS total, __time "
+                  "FROM wikipedia GROUP BY 1, 3 ORDER BY 3, 1 LIMIT 1"}
+    body, _ = _post_raw(shim + "/druid/v2/sql",
+                        {**q, "resultFormat": "array", "header": True,
+                         "typesHeader": True, "sqlTypesHeader": True})
+    head = json.loads(body)[:3]
+    assert head == [
+        ["channel", "total", "__time"],
+        ["STRING", "LONG", "LONG"],
+        ["VARCHAR", "BIGINT", "TIMESTAMP"],
+    ]
+
+    body, _ = _post_raw(shim + "/druid/v2/sql",
+                        {**q, "header": True, "typesHeader": True})
+    assert json.loads(body)[0]["total"] == {"type": "LONG"}
+
+
+def test_sql_explain_plan_for(shim):
+    """Druid's EXPLAIN PLAN FOR introspection: one row with PLAN /
+    RESOURCES / ATTRIBUTES; PLAN carries the engine's physical plan,
+    RESOURCES the referenced datasources."""
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "EXPLAIN PLAN FOR SELECT channel, SUM(delta) AS t "
+                 "FROM wikipedia GROUP BY 1",
+    })
+    assert len(rows) == 1
+    assert "HashAggregate" in rows[0]["PLAN"]
+    assert json.loads(rows[0]["RESOURCES"]) == [
+        {"name": "wikipedia", "type": "DATASOURCE"}]
+    assert json.loads(rows[0]["ATTRIBUTES"])["statementType"] == "SELECT"
+
+
 def test_health_and_datasources(shim):
     with urllib.request.urlopen(shim + "/status/health") as r:
         assert json.loads(r.read()) is True
