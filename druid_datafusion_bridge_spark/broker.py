@@ -134,6 +134,7 @@ class DruidBrokerShim:
         tables: dict[str, DataFrame],
         time_col: str = "__time",
         max_rows: int = 100_000,
+        lookups: dict[str, dict[str, str]] | None = None,
     ):
         self.spark = spark
         self.tables = dict(tables)
@@ -142,9 +143,14 @@ class DruidBrokerShim:
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
-        from .functions import register_druid_sql_functions
+        from .functions import (
+            register_druid_sql_functions,
+            register_sql_lookups,
+        )
 
         register_druid_sql_functions(spark)
+        if lookups:
+            register_sql_lookups(spark, lookups)
         for name, df in self.tables.items():
             df.createOrReplaceTempView(name)
 

@@ -24,6 +24,7 @@ from .druid_sql import (  # noqa: F401
     parse_period,
     regexp_like,
     register_druid_sql_functions,
+    register_sql_lookups,
     safe_divide,
     string_to_mv,
     textcat,

@@ -386,6 +386,27 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
      "ts >= to_timestamp(split_part(iv, '/', 1)) "
      "AND ts < to_timestamp(split_part(iv, '/', 2))"),
     ("DECODE_BASE64_UTF8", "s STRING", "STRING", "CAST(unbase64(s) AS STRING)"),
+    # MV_* over ARRAY<STRING> (Druid MVDs are string-typed): SQL-text
+    # twins of the Column helpers above, same null/index semantics
+    ("MV_LENGTH", "a ARRAY<STRING>", "INT",
+     "CASE WHEN a IS NOT NULL THEN size(a) END"),
+    ("MV_CONTAINS", "a ARRAY<STRING>, v STRING", "BOOLEAN",
+     "array_contains(a, v)"),
+    ("MV_OVERLAP", "a ARRAY<STRING>, b ARRAY<STRING>", "BOOLEAN",
+     "arrays_overlap(a, b)"),
+    ("MV_OFFSET", "a ARRAY<STRING>, i INT", "STRING",
+     "CASE WHEN i >= 0 THEN try_element_at(a, i + 1) END"),
+    ("MV_ORDINAL", "a ARRAY<STRING>, i INT", "STRING",
+     "CASE WHEN i >= 1 THEN try_element_at(a, i) END"),
+    ("MV_FILTER_ONLY", "a ARRAY<STRING>, allow ARRAY<STRING>",
+     "ARRAY<STRING>", "filter(a, e -> array_contains(allow, e))"),
+    ("MV_FILTER_NONE", "a ARRAY<STRING>, deny ARRAY<STRING>",
+     "ARRAY<STRING>", "filter(a, e -> NOT array_contains(deny, e))"),
+    ("MV_TO_STRING", "a ARRAY<STRING>, sep STRING", "STRING",
+     "array_join(a, sep)"),
+    # literal (non-regex) separator, like Druid: \Q...\E-quote it
+    ("STRING_TO_MV", "s STRING, sep STRING", "ARRAY<STRING>",
+     r"split(s, concat('\\Q', sep, '\\E'))"),
     # DIV and REGEXP_LIKE are omitted: Spark ships built-ins with
     # Druid's exact semantics (truncating integer division; partial
     # regex match) and refuses to shadow them with SQL UDFs.
@@ -403,3 +424,41 @@ def register_druid_sql_functions(spark: SparkSession) -> None:
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) "
             f"RETURNS {ret} RETURN {body}"
         )
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def register_sql_lookups(
+    spark: SparkSession, lookups: Mapping[str, Mapping[str, str]]
+) -> None:
+    """Register Druid SQL's ``LOOKUP(expr, 'name')`` over a set of named
+    dictionaries.
+
+    Each mapping becomes a map literal inside ONE name-dispatching SQL
+    function, so Catalyst constant-folds the dispatch when the name is a
+    literal (the only form Druid allows) and the plan stays
+    codegen-friendly — the SQL-text twin of :func:`lookup`, sized for
+    Druid lookup tables (heap-resident dictionaries, not dimension
+    tables). Unmapped keys return NULL, matching Druid; an unknown
+    lookup name raises, matching Druid's "Unknown lookup" error.
+    """
+    arms = []
+    for name, mapping in lookups.items():
+        pairs = ", ".join(
+            f"{_sql_str(k)}, {_sql_str(v)}" for k, v in mapping.items()
+        )
+        arms.append(
+            f"WHEN {_sql_str(name)} THEN try_element_at(map({pairs}), k)"
+        )
+    body = (
+        "CASE name "
+        + " ".join(arms)
+        + " ELSE CAST(raise_error(concat('unknown lookup: ', name)) "
+        "AS STRING) END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION LOOKUP"
+        f"(k STRING, name STRING) RETURNS STRING RETURN {body}"
+    )

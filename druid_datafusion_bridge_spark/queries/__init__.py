@@ -54,7 +54,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # s1n_druid_segment_like_filter, dm_search_query,
 # s1o_druid_segment_split_scan, s1p_druid_segment_ordered_limit,
 # s1q_druid_segment_recent_limit, lk_lookup_enrich,
-# lk_reverse_lookup_filter, and the native-query surface nq_timeseries_
+# lk_reverse_lookup_filter, fd_mv_sql_text, fd_lookup_sql_text,
+# and the native-query surface nq_timeseries_
 # hourly / nq_timeseries_zerofill / nq_groupby_filtered_limit /
 # nq_groupby_subtotals / nq_topn_daily_revenue / nq_scan_filtered /
 # nq_search_digits / nq_time_boundary / nq_ingest_spec_rollup /

@@ -375,3 +375,86 @@ def fd_json_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "k_band")
     )
+
+
+@query(
+    "fd_mv_sql_text",
+    oracle="""
+    SELECT p_partkey,
+           len(string_split(p_name, ' ')) AS n_words,
+           list_contains(string_split(p_name, ' '), 'red') AS has_red,
+           string_split(p_name, ' ')[2] AS second_word,
+           COALESCE(array_to_string(list_filter(string_split(p_name, ' '),
+                                    w -> w IN ('red', 'blue', 'hot', 'cold')), '|'),
+                    '') AS color_words
+    FROM part
+    WHERE p_partkey <= 500
+    ORDER BY p_partkey
+    """,
+)
+def fd_mv_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MV_* family as raw Druid SQL *text* (STRING_TO_MV /
+    MV_LENGTH / MV_CONTAINS / MV_ORDINAL / MV_FILTER_ONLY /
+    MV_TO_STRING as Catalyst-inlined SQL UDFs) — a Druid user's
+    multi-value SQL runs verbatim through spark.sql and the broker's
+    /druid/v2/sql, not just through the Column helpers."""
+    register_druid_sql_functions(spark)
+    table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_partkey,
+               MV_LENGTH(STRING_TO_MV(p_name, ' ')) AS n_words,
+               MV_CONTAINS(STRING_TO_MV(p_name, ' '), 'red') AS has_red,
+               MV_ORDINAL(STRING_TO_MV(p_name, ' '), 2) AS second_word,
+               MV_TO_STRING(MV_FILTER_ONLY(STRING_TO_MV(p_name, ' '),
+                            array('red', 'blue', 'hot', 'cold')), '|')
+                 AS color_words
+        FROM part
+        WHERE p_partkey <= 500
+        ORDER BY p_partkey
+        """
+    )
+
+
+@query(
+    "fd_lookup_sql_text",
+    oracle="""
+    SELECT n_name,
+           r_name,
+           CASE r_name WHEN 'ASIA' THEN 'east' WHEN 'EUROPE' THEN 'west'
+                       WHEN 'AFRICA' THEN 'south' END AS zone,
+           COALESCE(CASE r_name WHEN 'ASIA' THEN 'east'
+                                WHEN 'EUROPE' THEN 'west'
+                                WHEN 'AFRICA' THEN 'south' END,
+                    'other') AS zone_filled,
+           CASE r_name WHEN 'ASIA' THEN 'AS' WHEN 'EUROPE' THEN 'EU' END
+             AS abbrev
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    ORDER BY n_name
+    """,
+)
+def fd_lookup_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid SQL's LOOKUP(expr, 'name') as raw SQL text: two named
+    dictionaries registered via register_sql_lookups dispatch inside
+    one constant-foldable SQL function; unmapped keys stay NULL
+    (COALESCE supplies Druid's replaceMissingValueWith)."""
+    from ..functions import register_sql_lookups
+
+    register_druid_sql_functions(spark)
+    register_sql_lookups(spark, {
+        "zone": {"ASIA": "east", "EUROPE": "west", "AFRICA": "south"},
+        "abbrev": {"ASIA": "AS", "EUROPE": "EU"},
+    })
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    table(spark, sf_dir, "region").createOrReplaceTempView("region")
+    return spark.sql(
+        """
+        SELECT n_name,
+               r_name,
+               LOOKUP(r_name, 'zone') AS zone,
+               COALESCE(LOOKUP(r_name, 'zone'), 'other') AS zone_filled,
+               LOOKUP(r_name, 'abbrev') AS abbrev
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        ORDER BY n_name
+        """
+    )

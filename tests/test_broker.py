@@ -22,7 +22,8 @@ def shim(spark):
          ("2024-01-01 02:00:00", "de", 11)],
         "ts string, channel string, delta long",
     ).select(F.col("ts").cast("timestamp").alias("__time"), "channel", "delta")
-    s = DruidBrokerShim(spark, {"wikipedia": df})
+    s = DruidBrokerShim(spark, {"wikipedia": df},
+                        lookups={"lang": {"en": "English", "de": "German"}})
     port = s.start()
     yield f"http://127.0.0.1:{port}"
     s.stop()
@@ -121,6 +122,19 @@ def test_sql_result_formats(shim):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(shim + "/druid/v2/sql", {**q, "resultFormat": "protobuf"})
     assert ei.value.code == 400
+
+
+def test_sql_lookup_and_mv_text(shim):
+    """LOOKUP('name') dictionaries and the MV_* family run as raw SQL
+    text through the endpoint — a Druid user's query verbatim."""
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "SELECT LOOKUP(channel, 'lang') AS lang, "
+                 "MV_LENGTH(STRING_TO_MV('a,b,c', ',')) AS n, "
+                 "SUM(delta) AS total FROM wikipedia "
+                 "GROUP BY 1 ORDER BY 1",
+    })
+    assert rows == [{"lang": "English", "n": 3, "total": 12},
+                    {"lang": "German", "n": 3, "total": 11}]
 
 
 def test_sql_type_headers(shim):
