@@ -245,14 +245,33 @@ class DruidBrokerShim:
             buf = io.StringIO()
             w = csv.writer(buf, lineterminator="\r\n")
             for row in out:
-                w.writerow(
-                    ["" if v is None else v for v in row]
-                )
+                w.writerow([
+                    "" if v is None
+                    else json.dumps(v) if isinstance(v, (list, dict))
+                    else v
+                    for v in row
+                ])
             buf.write("\r\n")
             return buf.getvalue().encode(), "text/csv"
         # objectLines / arrayLines: NDJSON + trailing blank line
         lines = "".join(json.dumps(r) + "\n" for r in out) + "\n"
         return lines.encode(), "text/plain"
+
+    def _datasource_detail(self, name: str) -> dict:
+        """GET /druid/v2/datasources/{name}: Druid's dimensions/metrics
+        split, classified from the schema the way Druid's segment
+        metadata does — string-ish columns are dimensions, numeric
+        columns metrics, the time column neither."""
+        dims, mets = [], []
+        for f in self.tables[name].schema.fields:
+            if f.name == self.time_col:
+                continue
+            s = f.dataType.simpleString()
+            if s in ("string", "date") or s.startswith("array"):
+                dims.append(f.name)
+            else:
+                mets.append(f.name)
+        return {"dimensions": dims, "metrics": mets}
 
     def _make_handler(shim) -> type:  # noqa: N805 - handler factory
         class Handler(BaseHTTPRequestHandler):
@@ -276,6 +295,13 @@ class DruidBrokerShim:
                     self._send(200, True)
                 elif self.path == "/druid/v2/datasources":
                     self._send(200, sorted(shim.tables))
+                elif self.path.startswith("/druid/v2/datasources/"):
+                    name = self.path.split("/druid/v2/datasources/", 1)[1]
+                    if name in shim.tables:
+                        self._send(200, shim._datasource_detail(name))
+                    else:
+                        self._send(404, {"error": "Unknown datasource",
+                                         "errorMessage": name})
                 else:
                     self._send(404, {"error": "Unknown path",
                                      "errorMessage": self.path})

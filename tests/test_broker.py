@@ -178,6 +178,14 @@ def test_health_and_datasources(shim):
         assert json.loads(r.read()) is True
     with urllib.request.urlopen(shim + "/druid/v2/datasources") as r:
         assert json.loads(r.read()) == ["wikipedia"]
+    with urllib.request.urlopen(
+        shim + "/druid/v2/datasources/wikipedia"
+    ) as r:
+        assert json.loads(r.read()) == {
+            "dimensions": ["channel"], "metrics": ["delta"]}
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(shim + "/druid/v2/datasources/nope")
+    assert ei.value.code == 404
 
 
 def test_temporal_and_nested_values_serialize(shim):
