@@ -229,3 +229,57 @@ def test_sql_time_floor_rejects_unsupported_period(spark):
     df.createOrReplaceTempView("bad_period_t")
     with pytest.raises(Exception, match="unsupported period"):
         spark.sql("SELECT TIME_FLOOR(ts, 'P2D') FROM bad_period_t").collect()
+
+
+def test_mv_sql_twins_match_column_helpers(spark):
+    """The MV_* SQL-text UDFs and the Column helpers are the same
+    function: seeded random arrays (with NULLs, empties, duplicates,
+    regex-special separators in the data) answer identically through
+    both paths."""
+    import random
+
+    from druid_datafusion_bridge_spark.functions import (
+        mv_contains,
+        mv_filter_none,
+        mv_filter_only,
+        mv_offset,
+        mv_ordinal,
+        mv_overlap,
+        mv_to_string,
+        string_to_mv,
+    )
+
+    rng = random.Random(42)
+    vocab = ["red", "blue", "a.b", "x|y", "", "dup", "dup", "q*"]
+    rows = []
+    for _ in range(200):
+        n = rng.randrange(0, 6)
+        arr = [rng.choice(vocab) for _ in range(n)] if n else []
+        rows.append((arr if rng.random() > 0.1 else None,
+                     "|".join(rng.choices(vocab, k=3))))
+    df = spark.createDataFrame(rows, "a array<string>, s string")
+    register_druid_sql_functions(spark)
+
+    py = df.select(
+        mv_length("a").alias("n"),
+        mv_contains("a", "red").alias("c"),
+        mv_overlap("a", F.array(F.lit("red"), F.lit("dup"))).alias("o"),
+        mv_offset("a", 1).alias("off"),
+        mv_ordinal("a", 2).alias("ordn"),
+        mv_filter_only("a", ["red", "dup"]).alias("only"),
+        mv_filter_none("a", ["red", "dup"]).alias("none"),
+        mv_to_string("a", ",").alias("j"),
+        string_to_mv("s", "|").alias("sp"),
+    ).collect()
+    sql = df.selectExpr(
+        "MV_LENGTH(a) AS n",
+        "MV_CONTAINS(a, 'red') AS c",
+        "MV_OVERLAP(a, array('red', 'dup')) AS o",
+        "MV_OFFSET(a, 1) AS off",
+        "MV_ORDINAL(a, 2) AS ordn",
+        "MV_FILTER_ONLY(a, array('red', 'dup')) AS only",
+        "MV_FILTER_NONE(a, array('red', 'dup')) AS none",
+        "MV_TO_STRING(a, ',') AS j",
+        "STRING_TO_MV(s, '|') AS sp",
+    ).collect()
+    assert [r.asDict() for r in py] == [r.asDict() for r in sql]
