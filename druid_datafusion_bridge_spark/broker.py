@@ -83,6 +83,62 @@ def _druid_types(dt) -> tuple[str, str]:
     return "COMPLEX", "OTHER"
 
 
+def sys_segments_frame(spark: SparkSession,
+                       segment_roots: dict[str, str]) -> DataFrame:
+    """Druid's ``sys.segments`` metadata table over segment roots.
+
+    Built from each root's planning manifest (``load_plan_meta`` — one
+    file read per root on the warm path, no segment opens: the broker
+    plans from coordinator-style metadata, it does not walk deep
+    storage). Served columns are the subset of Druid's sys.segments
+    (sql-metadata-tables.md) this architecture has truthful values
+    for: all segments here are published, available, and historical.
+    """
+    import datetime
+    import os
+
+    from .sources.datasource import find_segment_dirs, load_plan_meta
+
+    def iso(ms: int) -> str:
+        return (
+            datetime.datetime.fromtimestamp(
+                ms / 1000.0, tz=datetime.timezone.utc
+            ).strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
+        )
+
+    rows = []
+    for ds, root in segment_roots.items():
+        seg_dirs = find_segment_dirs(root)
+        meta = load_plan_meta(root, seg_dirs)
+        for seg_dir in seg_dirs:
+            m = meta.get(seg_dir)
+            if m is None:
+                continue
+            size = 0
+            for base, _, files in os.walk(seg_dir):
+                for fn in files:
+                    try:
+                        size += os.path.getsize(os.path.join(base, fn))
+                    except OSError:
+                        pass
+            start, end = iso(m["start"]), iso(m["end"])
+            rows.append((
+                f"{ds}_{start}_{end}_{os.path.basename(seg_dir)}",
+                ds, start, end, size, int(m["rows"]), 1, 1, 0,
+            ))
+    return spark.createDataFrame(
+        rows,
+        "segment_id string, datasource string, start string, "
+        "end string, size bigint, num_rows bigint, "
+        "is_published int, is_available int, is_realtime int",
+    )
+
+
+# sys.segments is a qualified name Spark's temp views cannot carry; the
+# SQL text is rewritten to the registered flat view (documented shim)
+_SYS_SEGMENTS_RE = re.compile(r"\bsys\.segments\b", re.I)
+
+
 def _json_safe(v: Any) -> Any:
     """Recursive JSON coercion for collected Spark values: datetimes ->
     ISO strings (date/time have no sep argument), Decimals -> floats,
@@ -135,6 +191,7 @@ class DruidBrokerShim:
         time_col: str = "__time",
         max_rows: int = 100_000,
         lookups: dict[str, dict[str, str]] | None = None,
+        segment_roots: dict[str, str] | None = None,
     ):
         self.spark = spark
         self.tables = dict(tables)
@@ -151,6 +208,10 @@ class DruidBrokerShim:
         register_druid_sql_functions(spark)
         if lookups:
             register_sql_lookups(spark, lookups)
+        if segment_roots:
+            sys_segments_frame(spark, segment_roots).createOrReplaceTempView(
+                "sys_segments"
+            )
         for name, df in self.tables.items():
             df.createOrReplaceTempView(name)
 
@@ -188,7 +249,7 @@ class DruidBrokerShim:
             if params
             else None
         )
-        sql = body["query"]
+        sql = _SYS_SEGMENTS_RE.sub("sys_segments", body["query"])
         m = _EXPLAIN_RE.match(sql)
         if m:
             from .plans import formatted_plan

@@ -340,7 +340,7 @@ def cmd_serve(path: str, name: str, port: int) -> None:
     spark = get_spark(app_name="ddbs-broker")
     register_druid_datasource(spark)
     df = spark.read.format("druidsegment").option("path", path).load()
-    shim = DruidBrokerShim(spark, {name: df})
+    shim = DruidBrokerShim(spark, {name: df}, segment_roots={name: path})
     bound = shim.start(port=port)
     print(f"serving Druid API on http://127.0.0.1:{bound} "
           f"(datasource {name!r}); Ctrl-C to stop")

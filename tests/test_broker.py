@@ -216,6 +216,47 @@ def test_analysis_errors_are_client_errors(shim):
         assert "no_such_col" in json.loads(ei.value.read())["errorMessage"]
 
 
+def test_sys_segments_table(spark, tmp_path):
+    """Druid's sys.segments metadata table: built from the planning
+    manifest over a segment root, queried through the SQL endpoint with
+    Druid's own qualified name."""
+    from pyspark.sql import functions as F
+
+    from druid_datafusion_bridge_spark.sources import (
+        register_druid_datasource,
+    )
+    from druid_datafusion_bridge_spark.sources.ingest import (
+        write_druid_segments,
+    )
+
+    register_druid_datasource(spark)
+    ev = spark.createDataFrame(
+        [("2024-01-01 00:10:00", 5), ("2024-01-01 02:20:00", 7)],
+        "ts string, v long",
+    ).select(F.col("ts").cast("timestamp").alias("__time"), "v")
+    root = str(tmp_path / "segs")
+    write_druid_segments(ev, root, granularity="PT1H").collect()
+
+    back = spark.read.format("druidsegment").option("path", root).load()
+    s = DruidBrokerShim(spark, {"ev": back}, segment_roots={"ev": root})
+    port = s.start()
+    try:
+        rows = _post(f"http://127.0.0.1:{port}" + "/druid/v2/sql", {
+            "query": "SELECT datasource, start, num_rows, is_realtime "
+                     "FROM sys.segments ORDER BY start",
+        })
+    finally:
+        s.stop()
+    # start is the segment's true data interval (what metadata.drd
+    # stores), not the granularity bucket floor
+    assert rows == [
+        {"datasource": "ev", "start": "2024-01-01T00:10:00.000Z",
+         "num_rows": 1, "is_realtime": 0},
+        {"datasource": "ev", "start": "2024-01-01T02:20:00.000Z",
+         "num_rows": 1, "is_realtime": 0},
+    ]
+
+
 def test_error_envelope(shim):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(shim + "/druid/v2", {"queryType": "movingAverage",
