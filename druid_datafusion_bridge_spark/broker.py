@@ -134,9 +134,20 @@ def sys_segments_frame(spark: SparkSession,
     )
 
 
-# sys.segments is a qualified name Spark's temp views cannot carry; the
-# SQL text is rewritten to the registered flat view (documented shim)
+# sys.segments / INFORMATION_SCHEMA.* are qualified names Spark's temp
+# views cannot carry; the SQL text is rewritten to registered flat
+# views (documented shim)
 _SYS_SEGMENTS_RE = re.compile(r"\bsys\.segments\b", re.I)
+_INFO_SCHEMA_RE = re.compile(
+    r"\bINFORMATION_SCHEMA\.(TABLES|COLUMNS)\b", re.I
+)
+
+
+def _rewrite_system_tables(sql: str) -> str:
+    sql = _SYS_SEGMENTS_RE.sub("sys_segments", sql)
+    return _INFO_SCHEMA_RE.sub(
+        lambda m: f"information_schema_{m.group(1).lower()}", sql
+    )
 
 
 def _json_safe(v: Any) -> Any:
@@ -212,6 +223,32 @@ class DruidBrokerShim:
             sys_segments_frame(spark, segment_roots).createOrReplaceTempView(
                 "sys_segments"
             )
+        self._register_information_schema()
+
+    def _register_information_schema(self) -> None:
+        """INFORMATION_SCHEMA.TABLES / .COLUMNS (sql-metadata-tables.md)
+        — what JDBC drivers and BI tools issue first against a broker.
+        Built from the registered table map's schemas; Druid's schema
+        name for datasources is 'druid'."""
+        tab_rows = [("druid", "druid", n, "TABLE")
+                    for n in sorted(self.tables)]
+        col_rows = []
+        for n in sorted(self.tables):
+            for i, f in enumerate(self.tables[n].schema.fields, start=1):
+                col_rows.append((
+                    "druid", n, f.name, i, _druid_types(f.dataType)[1],
+                    "YES" if f.nullable else "NO",
+                ))
+        self.spark.createDataFrame(
+            tab_rows,
+            "TABLE_CATALOG string, TABLE_SCHEMA string, "
+            "TABLE_NAME string, TABLE_TYPE string",
+        ).createOrReplaceTempView("information_schema_tables")
+        self.spark.createDataFrame(
+            col_rows,
+            "TABLE_SCHEMA string, TABLE_NAME string, COLUMN_NAME string, "
+            "ORDINAL_POSITION int, DATA_TYPE string, IS_NULLABLE string",
+        ).createOrReplaceTempView("information_schema_columns")
         for name, df in self.tables.items():
             df.createOrReplaceTempView(name)
 
@@ -249,7 +286,7 @@ class DruidBrokerShim:
             if params
             else None
         )
-        sql = _SYS_SEGMENTS_RE.sub("sys_segments", body["query"])
+        sql = _rewrite_system_tables(body["query"])
         m = _EXPLAIN_RE.match(sql)
         if m:
             from .plans import formatted_plan

@@ -216,6 +216,29 @@ def test_analysis_errors_are_client_errors(shim):
         assert "no_such_col" in json.loads(ei.value.read())["errorMessage"]
 
 
+def test_information_schema(shim):
+    """INFORMATION_SCHEMA.TABLES / .COLUMNS — the first queries a JDBC
+    driver or BI tool issues — answer from the registered table map."""
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "SELECT TABLE_NAME, TABLE_TYPE FROM "
+                 "INFORMATION_SCHEMA.TABLES",
+    })
+    assert rows == [{"TABLE_NAME": "wikipedia", "TABLE_TYPE": "TABLE"}]
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "SELECT COLUMN_NAME, DATA_TYPE, ORDINAL_POSITION "
+                 "FROM INFORMATION_SCHEMA.COLUMNS "
+                 "WHERE TABLE_NAME = 'wikipedia' ORDER BY 3",
+    })
+    assert rows == [
+        {"COLUMN_NAME": "__time", "DATA_TYPE": "TIMESTAMP",
+         "ORDINAL_POSITION": 1},
+        {"COLUMN_NAME": "channel", "DATA_TYPE": "VARCHAR",
+         "ORDINAL_POSITION": 2},
+        {"COLUMN_NAME": "delta", "DATA_TYPE": "BIGINT",
+         "ORDINAL_POSITION": 3},
+    ]
+
+
 def test_sys_segments_table(spark, tmp_path):
     """Druid's sys.segments metadata table: built from the planning
     manifest over a segment root, queried through the SQL endpoint with
