@@ -18,8 +18,16 @@ engine without modification:
 - errors return Druid's error envelope
   ``{"error", "errorMessage"}`` with HTTP 400/500, so client error
   handling keeps working;
-- ``GET /status/health`` answers ``true`` (Druid's liveness probe) and
-  ``GET /druid/v2/datasources`` lists the registered names.
+- ``GET /status/health`` answers ``true`` (Druid's liveness probe);
+  ``GET /druid/v2/datasources[/{name}]`` lists names / the
+  dimensions-metrics split;
+- SQL can introspect ``sys.segments`` and
+  ``INFORMATION_SCHEMA.TABLES/.COLUMNS`` (qualified names rewritten
+  onto registered views);
+- ``POST /druid/indexer/v1/task`` + ``GET
+  /druid/indexer/v1/task/{id}/status`` run the overlord workflow:
+  ingestion task in, segments to deep storage, datasource
+  auto-registered for querying.
 
 Deliberately a THIN shim: one process, synchronous handlers (Spark
 queries already parallelize internally; the ThreadingHTTPServer keeps
@@ -88,9 +96,10 @@ def sys_segments_frame(spark: SparkSession,
     """Druid's ``sys.segments`` metadata table over segment roots.
 
     Built from each root's planning manifest (``load_plan_meta`` — one
-    file read per root on the warm path, no segment opens: the broker
-    plans from coordinator-style metadata, it does not walk deep
-    storage). Served columns are the subset of Druid's sys.segments
+    file read per root on the warm path; no segment DECODE ever
+    happens, though the ``size`` column costs one stat-walk per segment
+    dir at registration time — metadata the manifest does not carry).
+    Served columns are the subset of Druid's sys.segments
     (sql-metadata-tables.md) this architecture has truthful values
     for: all segments here are published, available, and historical.
     """
@@ -203,11 +212,17 @@ class DruidBrokerShim:
         max_rows: int = 100_000,
         lookups: dict[str, dict[str, str]] | None = None,
         segment_roots: dict[str, str] | None = None,
+        deep_storage: str | None = None,
     ):
         self.spark = spark
         self.tables = dict(tables)
         self.time_col = time_col
         self.max_rows = max_rows
+        self.deep_storage = deep_storage
+        self._segment_roots = dict(segment_roots or {})
+        self._tasks: dict[str, dict] = {}
+        self._task_seq = 0
+        self._lock = threading.Lock()
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -219,11 +234,14 @@ class DruidBrokerShim:
         register_druid_sql_functions(spark)
         if lookups:
             register_sql_lookups(spark, lookups)
-        if segment_roots:
-            sys_segments_frame(spark, segment_roots).createOrReplaceTempView(
-                "sys_segments"
-            )
+        if self._segment_roots:
+            self._refresh_sys_segments()
         self._register_information_schema()
+
+    def _refresh_sys_segments(self) -> None:
+        sys_segments_frame(
+            self.spark, self._segment_roots
+        ).createOrReplaceTempView("sys_segments")
 
     def _register_information_schema(self) -> None:
         """INFORMATION_SCHEMA.TABLES / .COLUMNS (sql-metadata-tables.md)
@@ -355,6 +373,70 @@ class DruidBrokerShim:
         lines = "".join(json.dumps(r) + "\n" for r in out) + "\n"
         return lines.encode(), "text/plain"
 
+    def _handle_task(self, body: dict) -> dict:
+        """POST /druid/indexer/v1/task — the overlord's task-submission
+        endpoint (api-reference.md). index_parallel and compact task
+        JSON executes synchronously on Spark (segments land under
+        ``deep_storage/<dataSource>``); on success the datasource
+        (re)registers for querying and sys.segments refreshes, so the
+        Druid workflow — submit task, poll status, query — works
+        end-to-end against one process. Druid returns the id before
+        running; a synchronous shim returns it after, and the status
+        endpoint reports the terminal state either way."""
+        if self.deep_storage is None:
+            raise ValueError(
+                "task submission disabled: broker started without "
+                "deep_storage"
+            )
+        from .ingestion_spec import ingest
+        from .sources import register_druid_datasource
+
+        inner = body.get("spec", body)
+        ds = (
+            (inner.get("dataSchema") or {}).get("dataSource")
+            or body.get("dataSource")
+        )
+        if not ds:
+            raise ValueError("task has no dataSource")
+        with self._lock:
+            self._task_seq += 1
+            task_id = f"{body.get('type', 'index_parallel')}_{ds}_{self._task_seq}"
+        import os
+        import time
+
+        t0 = time.monotonic()
+        try:
+            manifest = ingest(self.spark, body, self.deep_storage).collect()
+            root = os.path.join(self.deep_storage, ds)
+            register_druid_datasource(self.spark)
+            df = (
+                self.spark.read.format("druidsegment")
+                .option("path", root).load()
+            )
+            self.tables[ds] = df
+            df.createOrReplaceTempView(ds)
+            self._segment_roots[ds] = root
+            self._refresh_sys_segments()
+            status = {
+                "id": task_id, "status": "SUCCESS", "dataSource": ds,
+                "duration": int((time.monotonic() - t0) * 1000),
+                "segments": len(manifest), "errorMsg": None,
+            }
+        except Exception as e:
+            status = {
+                "id": task_id, "status": "FAILED", "dataSource": ds,
+                "duration": int((time.monotonic() - t0) * 1000),
+                "segments": 0, "errorMsg": str(e)[:2000],
+            }
+        with self._lock:
+            self._tasks[task_id] = status
+        return {"task": task_id}
+
+    def _task_status(self, task_id: str) -> dict | None:
+        with self._lock:
+            st = self._tasks.get(task_id)
+        return {"task": task_id, "status": st} if st else None
+
     def _datasource_detail(self, name: str) -> dict:
         """GET /druid/v2/datasources/{name}: Druid's dimensions/metrics
         split, classified from the schema the way Druid's segment
@@ -400,6 +482,16 @@ class DruidBrokerShim:
                     else:
                         self._send(404, {"error": "Unknown datasource",
                                          "errorMessage": name})
+                elif self.path.startswith("/druid/indexer/v1/task/") and \
+                        self.path.endswith("/status"):
+                    task_id = self.path.split("/druid/indexer/v1/task/",
+                                              1)[1][:-len("/status")]
+                    st = shim._task_status(task_id)
+                    if st is not None:
+                        self._send(200, st)
+                    else:
+                        self._send(404, {"error": "Unknown task",
+                                         "errorMessage": task_id})
                 else:
                     self._send(404, {"error": "Unknown path",
                                      "errorMessage": self.path})
@@ -416,6 +508,9 @@ class DruidBrokerShim:
                     if self.path == "/druid/v2/sql":
                         data, ctype = shim._handle_sql(body)
                         self._send_raw(200, data, ctype)
+                        return
+                    elif self.path == "/druid/indexer/v1/task":
+                        self._send(200, shim._handle_task(body))
                         return
                     elif self.path in ("/druid/v2", "/druid/v2/"):
                         rows = shim._handle_native(body)

@@ -280,6 +280,74 @@ def test_sys_segments_table(spark, tmp_path):
     ]
 
 
+def test_overlord_task_submission(spark, tmp_path):
+    """The overlord workflow end-to-end against one process: POST an
+    index_parallel task to /druid/indexer/v1/task, poll the status
+    endpoint, then query the freshly ingested datasource over SQL and
+    see it in sys.segments."""
+    src = tmp_path / "input"
+    src.mkdir()
+    with open(src / "w.json", "w") as f:
+        f.write(json.dumps({"time": "2024-01-01T00:10:00Z",
+                            "channel": "en", "delta": 5}) + "\n")
+        f.write(json.dumps({"time": "2024-01-01T00:20:00Z",
+                            "channel": "en", "delta": 7}) + "\n")
+    task = {
+        "type": "index_parallel",
+        "spec": {
+            "dataSchema": {
+                "dataSource": "wiki2",
+                "timestampSpec": {"column": "time", "format": "iso"},
+                "dimensionsSpec": {"dimensions": ["channel"]},
+                "metricsSpec": [
+                    {"type": "longSum", "name": "delta_sum",
+                     "fieldName": "delta"}],
+                "granularitySpec": {"segmentGranularity": "day",
+                                    "queryGranularity": "hour",
+                                    "rollup": True},
+            },
+            "ioConfig": {
+                "inputSource": {"type": "local", "baseDir": str(src),
+                                "filter": "*.json"},
+                "inputFormat": {"type": "json"},
+            },
+        },
+    }
+    s = DruidBrokerShim(spark, {},
+                        deep_storage=str(tmp_path / "deep"))
+    port = s.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        out = _post(base + "/druid/indexer/v1/task", task)
+        task_id = out["task"]
+        with urllib.request.urlopen(
+            base + f"/druid/indexer/v1/task/{task_id}/status"
+        ) as r:
+            st = json.loads(r.read())["status"]
+        assert st["status"] == "SUCCESS", st
+        assert st["dataSource"] == "wiki2" and st["segments"] == 1
+        rows = _post(base + "/druid/v2/sql", {
+            "query": "SELECT channel, SUM(delta_sum) AS total "
+                     "FROM wiki2 GROUP BY 1"})
+        assert rows == [{"channel": "en", "total": 12}]
+        segs = _post(base + "/druid/v2/sql", {
+            "query": "SELECT datasource, num_rows FROM sys.segments"})
+        assert segs == [{"datasource": "wiki2", "num_rows": 1}]
+        with urllib.request.urlopen(base + "/druid/v2/datasources") as r:
+            assert json.loads(r.read()) == ["wiki2"]
+    finally:
+        s.stop()
+
+
+def test_task_submission_disabled_without_deep_storage(shim):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(shim + "/druid/indexer/v1/task",
+              {"type": "index_parallel",
+               "spec": {"dataSchema": {"dataSource": "x"}}})
+    assert ei.value.code == 400
+    assert "deep_storage" in json.loads(ei.value.read())["errorMessage"]
+
+
 def test_error_envelope(shim):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(shim + "/druid/v2", {"queryType": "movingAverage",
