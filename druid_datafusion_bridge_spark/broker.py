@@ -195,6 +195,10 @@ def _rows_json(df: DataFrame, limit: int) -> list[dict[str, Any]]:
     ]
 
 
+class _QueryTimeout(Exception):
+    """A query exceeded its context.timeout (HTTP 504, Druid's shape)."""
+
+
 class DruidBrokerShim:
     """Serve /druid/v2 + /druid/v2/sql for a table map.
 
@@ -373,6 +377,43 @@ class DruidBrokerShim:
         lines = "".join(json.dumps(r) + "\n" for r in out) + "\n"
         return lines.encode(), "text/plain"
 
+    def _run_with_timeout(self, fn, timeout_ms):
+        """Run ``fn`` under a cancellable Spark job group, cancelled
+        after ``timeout_ms`` (Druid's ``context.timeout``). Each HTTP
+        request runs in its own handler thread and job groups are
+        thread-local, so concurrent queries cancel independently —
+        the serving posture a broker needs: one runaway query must not
+        be able to hold the endpoint."""
+        if not timeout_ms:
+            return fn()
+        sc = self.spark.sparkContext
+        with self._lock:
+            self._task_seq += 1
+            gid = f"ddbs-broker-q{self._task_seq}"
+        sc.setJobGroup(gid, "broker query", interruptOnCancel=True)
+        fired = threading.Event()
+
+        def cancel() -> None:
+            fired.set()
+            sc.cancelJobGroup(gid)
+
+        timer = threading.Timer(int(timeout_ms) / 1000.0, cancel)
+        timer.start()
+        try:
+            return fn()
+        except Exception:
+            if fired.is_set():
+                raise _QueryTimeout(
+                    f"Query timed out after {timeout_ms} ms"
+                ) from None
+            raise
+        finally:
+            timer.cancel()
+            try:
+                sc._jsc.clearJobGroup()
+            except Exception:  # pragma: no cover - JVM API drift
+                pass
+
     def _handle_task(self, body: dict) -> dict:
         """POST /druid/indexer/v1/task — the overlord's task-submission
         endpoint (api-reference.md). index_parallel and compact task
@@ -504,20 +545,31 @@ class DruidBrokerShim:
                     self._send(400, {"error": "Invalid JSON",
                                      "errorMessage": str(e)})
                     return
+                timeout_ms = (body.get("context") or {}).get("timeout") \
+                    if isinstance(body, dict) else None
                 try:
                     if self.path == "/druid/v2/sql":
-                        data, ctype = shim._handle_sql(body)
+                        data, ctype = shim._run_with_timeout(
+                            lambda: shim._handle_sql(body), timeout_ms
+                        )
                         self._send_raw(200, data, ctype)
                         return
                     elif self.path == "/druid/indexer/v1/task":
                         self._send(200, shim._handle_task(body))
                         return
                     elif self.path in ("/druid/v2", "/druid/v2/"):
-                        rows = shim._handle_native(body)
+                        rows = shim._run_with_timeout(
+                            lambda: shim._handle_native(body), timeout_ms
+                        )
                     else:
                         self._send(404, {"error": "Unknown path",
                                          "errorMessage": self.path})
                         return
+                except _QueryTimeout as e:
+                    # Druid's timeout envelope, HTTP 504
+                    self._send(504, {"error": "Query timed out",
+                                     "errorMessage": str(e)})
+                    return
                 except (ValueError, KeyError) as e:
                     # bad spec: Druid's error envelope, HTTP 400
                     self._send(400, {"error": "Query not supported",

@@ -348,6 +348,31 @@ def test_task_submission_disabled_without_deep_storage(shim):
     assert "deep_storage" in json.loads(ei.value.read())["errorMessage"]
 
 
+def test_context_timeout_cancels_query(shim):
+    """context.timeout cancels the Spark job group and answers Druid's
+    504 timeout envelope; the session stays healthy for the next
+    query."""
+    import time
+
+    t0 = time.monotonic()
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(shim + "/druid/v2/sql", {
+            # interruptible 20 s of work without data: reflect sleeps
+            # per row across tasks
+            "query": "SELECT reflect('java.lang.Thread', 'sleep', "
+                     "20000L) AS x FROM range(4)",
+            "context": {"timeout": 400},
+        })
+    assert ei.value.code == 504
+    assert json.loads(ei.value.read())["error"] == "Query timed out"
+    assert time.monotonic() - t0 < 15  # cancelled, not ran to the end
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "SELECT SUM(delta) AS total FROM wikipedia",
+        "context": {"timeout": 60000},
+    })
+    assert rows == [{"total": 23}]
+
+
 def test_error_envelope(shim):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(shim + "/druid/v2", {"queryType": "movingAverage",
