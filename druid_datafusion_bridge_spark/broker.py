@@ -65,7 +65,11 @@ _EXPLAIN_RE = re.compile(r"\s*EXPLAIN\s+PLAN\s+FOR\s+", re.I)
 
 
 def _word_in_sql(name: str, sql: str) -> bool:
-    return re.search(rf"\b{re.escape(name)}\b", sql, re.I) is not None
+    """Best-effort table-reference detection for EXPLAIN's RESOURCES:
+    a word match outside string literals. Aliases shadowing a table
+    name can still false-positive — acceptable for an advisory field."""
+    outside = _SQL_LITERAL_RE.sub(" ", sql)
+    return re.search(rf"\b{re.escape(name)}\b", outside, re.I) is not None
 
 
 def _druid_types(dt) -> tuple[str, str]:
@@ -103,17 +107,10 @@ def sys_segments_frame(spark: SparkSession,
     (sql-metadata-tables.md) this architecture has truthful values
     for: all segments here are published, available, and historical.
     """
-    import datetime
     import os
 
+    from .cli import _format_millis as iso
     from .sources.datasource import find_segment_dirs, load_plan_meta
-
-    def iso(ms: int) -> str:
-        return (
-            datetime.datetime.fromtimestamp(
-                ms / 1000.0, tz=datetime.timezone.utc
-            ).strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
-        )
 
     rows = []
     for ds, root in segment_roots.items():
@@ -150,13 +147,31 @@ _SYS_SEGMENTS_RE = re.compile(r"\bsys\.segments\b", re.I)
 _INFO_SCHEMA_RE = re.compile(
     r"\bINFORMATION_SCHEMA\.(TABLES|COLUMNS)\b", re.I
 )
+# single-quoted SQL string literals ('' = escaped quote) — system-table
+# rewriting must not touch text inside them
+_SQL_LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def _sub_outside_literals(sql: str, fn) -> str:
+    """Apply ``fn(chunk) -> chunk`` to the parts of ``sql`` that are
+    NOT inside single-quoted string literals."""
+    out, pos = [], 0
+    for m in _SQL_LITERAL_RE.finditer(sql):
+        out.append(fn(sql[pos:m.start()]))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(fn(sql[pos:]))
+    return "".join(out)
 
 
 def _rewrite_system_tables(sql: str) -> str:
-    sql = _SYS_SEGMENTS_RE.sub("sys_segments", sql)
-    return _INFO_SCHEMA_RE.sub(
-        lambda m: f"information_schema_{m.group(1).lower()}", sql
-    )
+    def rw(chunk: str) -> str:
+        chunk = _SYS_SEGMENTS_RE.sub("sys_segments", chunk)
+        return _INFO_SCHEMA_RE.sub(
+            lambda m: f"information_schema_{m.group(1).lower()}", chunk
+        )
+
+    return _sub_outside_literals(sql, rw)
 
 
 def _json_safe(v: Any) -> Any:
@@ -179,6 +194,8 @@ def _json_safe(v: Any) -> Any:
         return float(v)
     if isinstance(v, (bytes, bytearray)):
         return base64.b64encode(v).decode("ascii")
+    if isinstance(v, tuple) and hasattr(v, "asDict"):  # nested Row
+        return {k: _json_safe(x) for k, x in v.asDict().items()}
     if isinstance(v, (list, tuple)):
         return [_json_safe(x) for x in v]
     if isinstance(v, dict):
@@ -238,8 +255,10 @@ class DruidBrokerShim:
         register_druid_sql_functions(spark)
         if lookups:
             register_sql_lookups(spark, lookups)
-        if self._segment_roots:
-            self._refresh_sys_segments()
+        # always registered (empty without roots): a client's
+        # SELECT * FROM sys.segments answers zero rows like a real
+        # broker, never an unknown-view error
+        self._refresh_sys_segments()
         self._register_information_schema()
 
     def _refresh_sys_segments(self) -> None:
@@ -315,21 +334,28 @@ class DruidBrokerShim:
 
             df = self.spark.sql(sql[m.end():], args=args)
             cols = ["PLAN", "RESOURCES", "ATTRIBUTES"]
-            rows = [{
-                "PLAN": formatted_plan(df),
-                "RESOURCES": json.dumps([
+            vals = [[
+                formatted_plan(df),
+                json.dumps([
                     {"name": t, "type": "DATASOURCE"}
                     for t in sorted(self.tables)
                     if _word_in_sql(t, sql)
                 ]),
-                "ATTRIBUTES": json.dumps({"statementType": "SELECT"}),
-            }]
+                json.dumps({"statementType": "SELECT"}),
+            ]]
             types = [("STRING", "VARCHAR")] * 3
         else:
             df = self.spark.sql(sql, args=args)
             cols = df.columns
-            rows = _rows_json(df, self.max_rows)
+            # positional materialization: duplicate output column names
+            # (SELECT a AS x, b AS x) must survive into the array-shaped
+            # formats; only JSON objects inherently collapse them
+            vals = [
+                [_json_safe(v) for v in row]
+                for row in df.limit(self.max_rows).collect()
+            ]
             types = [_druid_types(f.dataType) for f in df.schema.fields]
+        rows = [dict(zip(cols, r)) for r in vals]
         header = bool(body.get("header", False))
         want_t = header and bool(body.get("typesHeader", False))
         want_s = header and bool(body.get("sqlTypesHeader", False))
@@ -354,7 +380,7 @@ class DruidBrokerShim:
                 head_rows.append([t for t, _ in types])
             if want_s:
                 head_rows.append([s for _, s in types])
-            out = head_rows + [[r[c] for c in cols] for r in rows]
+            out = head_rows + vals
 
         if fmt in ("object", "array"):
             return json.dumps(out).encode(), "application/json"
@@ -367,6 +393,10 @@ class DruidBrokerShim:
             for row in out:
                 w.writerow([
                     "" if v is None
+                    # Druid csv: lowercase booleans, JSON-encoded
+                    # arrays/objects (bool checked first — it IS an int)
+                    else ("true" if v else "false")
+                    if isinstance(v, bool)
                     else json.dumps(v) if isinstance(v, (list, dict))
                     else v
                     for v in row
@@ -383,7 +413,13 @@ class DruidBrokerShim:
         request runs in its own handler thread and job groups are
         thread-local, so concurrent queries cancel independently —
         the serving posture a broker needs: one runaway query must not
-        be able to hold the endpoint."""
+        be able to hold the endpoint.
+
+        Bounds Spark JOB time: driver-side planning and JSON
+        serialization are not cancellable and run to completion. A
+        genuine failure racing the timer within its firing window is
+        reported as a timeout; the original exception stays chained
+        for diagnosis."""
         if not timeout_ms:
             return fn()
         sc = self.spark.sparkContext
@@ -401,11 +437,11 @@ class DruidBrokerShim:
         timer.start()
         try:
             return fn()
-        except Exception:
+        except Exception as e:
             if fired.is_set():
                 raise _QueryTimeout(
                     f"Query timed out after {timeout_ms} ms"
-                ) from None
+                ) from e
             raise
         finally:
             timer.cancel()
@@ -458,6 +494,7 @@ class DruidBrokerShim:
             df.createOrReplaceTempView(ds)
             self._segment_roots[ds] = root
             self._refresh_sys_segments()
+            self._register_information_schema()
             status = {
                 "id": task_id, "status": "SUCCESS", "dataSource": ds,
                 "duration": int((time.monotonic() - t0) * 1000),

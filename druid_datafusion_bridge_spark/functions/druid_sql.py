@@ -427,7 +427,11 @@ def register_druid_sql_functions(spark: SparkSession) -> None:
 
 
 def _sql_str(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"
+    """A Spark SQL string literal: backslashes doubled BEFORE quotes
+    are escaped (the default parser processes backslash escapes, so an
+    unescaped backslash would corrupt the key — 'C:\\tmp' becoming a
+    TAB — or swallow the closing quote)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
 def register_sql_lookups(
@@ -452,11 +456,15 @@ def register_sql_lookups(
         arms.append(
             f"WHEN {_sql_str(name)} THEN try_element_at(map({pairs}), k)"
         )
+    unknown = (
+        "CAST(raise_error(concat('unknown lookup: ', name)) AS STRING)"
+    )
+    # zero lookups: a bare CASE with no WHEN arm is unparsable — the
+    # function then raises on ANY name, which is the right semantics
     body = (
-        "CASE name "
-        + " ".join(arms)
-        + " ELSE CAST(raise_error(concat('unknown lookup: ', name)) "
-        "AS STRING) END"
+        f"CASE name {' '.join(arms)} ELSE {unknown} END"
+        if arms
+        else unknown
     )
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION LOOKUP"

@@ -348,6 +348,56 @@ def test_task_submission_disabled_without_deep_storage(shim):
     assert "deep_storage" in json.loads(ei.value.read())["errorMessage"]
 
 
+def test_review_fixes(shim):
+    """Regression pins for review findings: duplicate output columns
+    survive array formats, csv booleans are lowercase, system-table
+    names inside string literals are not rewritten, and sys.segments
+    answers empty (not unknown-view) without segment roots."""
+    body, _ = _post_raw(shim + "/druid/v2/sql", {
+        "query": "SELECT channel AS x, delta AS x FROM wikipedia "
+                 "WHERE delta = 11",
+        "resultFormat": "array", "header": True})
+    assert json.loads(body) == [["x", "x"], ["de", 11]]
+
+    body, _ = _post_raw(shim + "/druid/v2/sql", {
+        "query": "SELECT delta > 6 AS big FROM wikipedia ORDER BY delta",
+        "resultFormat": "csv"})
+    assert body == "false\r\ntrue\r\ntrue\r\n\r\n"
+
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "SELECT 'sys.segments' AS src, COUNT(*) AS n "
+                 "FROM wikipedia GROUP BY 1"})
+    assert rows == [{"src": "sys.segments", "n": 3}]
+
+    # answers (possibly empty), never an unknown-view error; the
+    # roots-less shim contributes no rows (other tests' shims share
+    # the session and may have registered rows for their datasources)
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "SELECT COUNT(*) AS n FROM sys.segments "
+                 "WHERE datasource = 'wikipedia'"})
+    assert rows == [{"n": 0}]
+
+
+def test_sql_lookup_escaping(spark):
+    """Lookup keys/values with backslashes and quotes round-trip
+    through the generated SQL literal."""
+    from druid_datafusion_bridge_spark.functions import (
+        register_sql_lookups,
+    )
+
+    register_sql_lookups(spark, {
+        "weird": {"C:\\tmp": "back\\slash", "o'brien": "quo'te"},
+    })
+    got = spark.sql(
+        r"SELECT LOOKUP('C:\\tmp', 'weird') AS a, "
+        r"LOOKUP('o\'brien', 'weird') AS b"
+    ).collect()[0]
+    assert (got["a"], got["b"]) == ("back\\slash", "quo'te")
+    register_sql_lookups(spark, {})  # zero lookups must still parse
+    with pytest.raises(Exception, match="unknown lookup"):
+        spark.sql("SELECT LOOKUP('x', 'nope')").collect()
+
+
 def test_context_timeout_cancels_query(shim):
     """context.timeout cancels the Spark job group and answers Druid's
     504 timeout envelope; the session stays healthy for the next
