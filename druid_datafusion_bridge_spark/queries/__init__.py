@@ -61,6 +61,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # nq_search_digits / nq_time_boundary / nq_ingest_spec_rollup /
 # nq_join_datasource) sit outside it and are what r7's ROTATION should
 # front-load, together with r7's own new queries.
+#
+# r7 FLIP (do this FIRST at round-7 start, same commit as the
+# test_rotation.py update): replace ROTATION with exactly these 24
+# never-driver-sampled r6 late additions, then pad the remaining 26
+# slots with r7's new queries as they land:
+#   nq_timeseries_hourly, nq_timeseries_zerofill,
+#   nq_groupby_filtered_limit, nq_groupby_subtotals,
+#   nq_topn_daily_revenue, nq_scan_filtered, nq_search_digits,
+#   nq_time_boundary, nq_ingest_spec_rollup, nq_join_datasource,
+#   s1k_druid_segment_prefix_filter, s1l_druid_segment_regex_filter,
+#   s1m_druid_segment_search_filter, s1n_druid_segment_like_filter,
+#   s1o_druid_segment_split_scan, s1p_druid_segment_ordered_limit,
+#   s1q_druid_segment_recent_limit, dm_segment_stats_plane,
+#   dm_search_query, prof_column_stats_approx, lk_lookup_enrich,
+#   lk_reverse_lookup_filter, fd_mv_sql_text, fd_lookup_sql_text
 ROTATION: tuple[str, ...] = (
     # never-sampled backlog (44) — streaming first (incl. the full
     # stream->segment->serve lifecycle), then sketches and the rest
