@@ -37,99 +37,44 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The grading driver samples the FIRST 50 registry entries in
-# registration order. r1-r5 rotated at MODULE granularity; r6 rotates at
-# ENTRY granularity so one round retires the whole backlog: slots 1-44
-# are exactly the 44 entries that had never produced a driver
-# correctness row after r5 (computed from CORRECTNESS_r01..r05.json),
-# slots 45-50 are this round's new queries (s1h metric pruning, s5b
-# multi-chunk smoosh, s1i dim bound filter, sim_range_search,
-# sim_knn_graph) plus a deliberate re-sample of dd_ngram_jaccard (its
-# df-cut changed this round). flagship_rollup needs no slot: the driver
-# smoke-checks it every round through entry(). After r6 every registry
-# entry has a driver row — r7 needs no rotation and this list can
-# simply pin the new round's additions. Queries added after this window
-# was fixed (r6 late additions: prof_column_stats_approx,
-# dm_segment_stats_plane, s1k_druid_segment_prefix_filter,
-# s1l_druid_segment_regex_filter, s1m_druid_segment_search_filter,
-# s1n_druid_segment_like_filter, dm_search_query,
-# s1o_druid_segment_split_scan, s1p_druid_segment_ordered_limit,
-# s1q_druid_segment_recent_limit, lk_lookup_enrich,
-# lk_reverse_lookup_filter, fd_mv_sql_text, fd_lookup_sql_text,
-# and the native-query surface nq_timeseries_
-# hourly / nq_timeseries_zerofill / nq_groupby_filtered_limit /
-# nq_groupby_subtotals / nq_topn_daily_revenue / nq_scan_filtered /
-# nq_search_digits / nq_time_boundary / nq_ingest_spec_rollup /
-# nq_join_datasource) sit outside it and are what r7's ROTATION should
-# front-load, together with r7's own new queries.
-#
-# r7 FLIP (do this FIRST at round-7 start, same commit as the
-# test_rotation.py update): replace ROTATION with exactly these 24
-# never-driver-sampled r6 late additions, then pad the remaining 26
-# slots with r7's new queries as they land:
-#   nq_timeseries_hourly, nq_timeseries_zerofill,
-#   nq_groupby_filtered_limit, nq_groupby_subtotals,
-#   nq_topn_daily_revenue, nq_scan_filtered, nq_search_digits,
-#   nq_time_boundary, nq_ingest_spec_rollup, nq_join_datasource,
-#   s1k_druid_segment_prefix_filter, s1l_druid_segment_regex_filter,
-#   s1m_druid_segment_search_filter, s1n_druid_segment_like_filter,
-#   s1o_druid_segment_split_scan, s1p_druid_segment_ordered_limit,
-#   s1q_druid_segment_recent_limit, dm_segment_stats_plane,
-#   dm_search_query, prof_column_stats_approx, lk_lookup_enrich,
-#   lk_reverse_lookup_filter, fd_mv_sql_text, fd_lookup_sql_text
+# registration order. r1-r5 rotated at MODULE granularity; r6 rotated at
+# ENTRY granularity and retired the 44-entry backlog. r7 ROTATION
+# (fixed at round-7 start, 2026-08-15): slots 1-24 are exactly the 24
+# r6 late additions that have never produced a driver correctness row
+# (added after r6's window was fixed); the remaining slots are round
+# 7's OWN new queries, appended here in the same commit that registers
+# them (a new query either enters the window when it lands or waits for
+# r8 — appending never-sampled names burns nothing). flagship_rollup
+# needs no slot: the driver smoke-checks it every round through
+# entry(). After r7's driver run, every pre-r7 registry entry has a
+# driver correctness row.
 ROTATION: tuple[str, ...] = (
-    # never-sampled backlog (44) — streaming first (incl. the full
-    # stream->segment->serve lifecycle), then sketches and the rest
-    "st_segment_handoff_query",
-    "st_session_rollup",
-    "st_dedup_within_watermark",
-    "st_sliding_rollup",
-    "st_stateful_user_totals",
-    "st_stream_static_join",
-    "st_stream_stream_join",
-    "st_batch_sessionize",
-    "st_topn_rollup",
-    "cx_theta_set_ops",
-    "cx_count_min_heavy",
-    "cx_qhist_rollup_merge",
-    "s1e_druid_segment_zstd_scan",
-    "s1f_druid_segment_in_filter",
-    "s1g_druid_segment_mvd_in_filter",
-    "s9_json_sink_roundtrip",
-    "s10_csv_sink_roundtrip",
-    "s11b_partition_prune_scan",
-    "dm_rollup_interpolate",
-    "dm_segment_metadata",
-    "q18_large_volume_customer",
-    "q22_dormant_customers",
-    "em_int8_quantize",
-    "em_dim_stats",
-    "em_truncate_rerank",
-    "em_pq_quantize",
-    "sim_ivf_incremental",
-    "an_funnel_steps",
-    "an_retention_cohorts",
-    "an_funnel_windowed",
-    "an_anomaly_zscore",
-    "an_weighted_moving_avg",
-    "prof_column_stats",
-    "dd_duplicate_clusters",
-    "dd_shared_passages",
-    "dd_cluster_keep_best",
-    "fd_interval_regex_base64",
-    "fd_string_array_agg",
-    "fd_unnest",
-    "fd_json_value",
-    "j10_salted_skew_join",
-    "j11_bloom_semi_reduction",
-    "j12_bucketed_colocated_join",
-    "a13b_equidepth_histogram",
-    # round-6 additions + deliberate re-samples (6)
-    "s1h_druid_segment_metric_prune",
-    "s5b_smoosh_multichunk_scan",
-    "s1i_druid_segment_dim_bound_filter",
-    "sim_range_search",
-    "sim_knn_graph",
-    "dd_ngram_jaccard",
+    # r6 late additions, never driver-sampled (24)
+    "nq_timeseries_hourly",
+    "nq_timeseries_zerofill",
+    "nq_groupby_filtered_limit",
+    "nq_groupby_subtotals",
+    "nq_topn_daily_revenue",
+    "nq_scan_filtered",
+    "nq_search_digits",
+    "nq_time_boundary",
+    "nq_ingest_spec_rollup",
+    "nq_join_datasource",
+    "s1k_druid_segment_prefix_filter",
+    "s1l_druid_segment_regex_filter",
+    "s1m_druid_segment_search_filter",
+    "s1n_druid_segment_like_filter",
+    "s1o_druid_segment_split_scan",
+    "s1p_druid_segment_ordered_limit",
+    "s1q_druid_segment_recent_limit",
+    "dm_segment_stats_plane",
+    "dm_search_query",
+    "prof_column_stats_approx",
+    "lk_lookup_enrich",
+    "lk_reverse_lookup_filter",
+    "fd_mv_sql_text",
+    "fd_lookup_sql_text",
+    # r7 new queries, appended as they land (window capacity 50)
 )
 
 

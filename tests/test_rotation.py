@@ -1,10 +1,11 @@
 """Pin the driver-sample rotation: the grading driver runs the FIRST 50
 registry entries in registration order. Since r6 the rotation is
-ENTRY-level (queries/__init__.py ROTATION): slots 1-44 are exactly the
-44 entries that had never produced a driver correctness row after r5,
-slots 45-50 the round's new queries + deliberate re-samples. An
-accidental reorder would silently burn the round's 50 correctness slots
-on already-green queries — this test makes that a loud failure.
+ENTRY-level (queries/__init__.py ROTATION). r7's rotation front-loads
+the 24 r6 late additions that have never produced a driver correctness
+row; round-7's own new queries are appended to ROTATION in the same
+commit that registers them, up to the 50-slot window capacity. An
+accidental reorder would silently burn the round's correctness slots on
+already-green queries — this test makes that a loud failure.
 
 UPDATE DELIBERATELY each rotation, together with ROTATION itself."""
 
@@ -15,23 +16,25 @@ from druid_datafusion_bridge_spark.queries import ROTATION, all_queries
 
 def test_driver_sample_window_matches_rotation_plan():
     names = list(all_queries())
-    assert len(ROTATION) == 50
-    # the window IS the plan, in plan order
-    assert names[:50] == list(ROTATION)
-    # spot-pin the high-priority heads and the round's additions
-    assert names[0] == "st_segment_handoff_query"
+    # 24 backlog entries fixed at round start; r7 additions append.
+    assert 24 <= len(ROTATION) <= 50
+    # the window prefix IS the plan, in plan order
+    assert names[: len(ROTATION)] == list(ROTATION)
+    # spot-pin the backlog heads (the r6 late additions)
+    assert names[0] == "nq_timeseries_hourly"
     for must in (
-        "cx_theta_set_ops",
-        "cx_count_min_heavy",
-        "cx_qhist_rollup_merge",
-        "s1h_druid_segment_metric_prune",
-        "s5b_smoosh_multichunk_scan",
-        "s1i_druid_segment_dim_bound_filter",
-        "sim_range_search",
-        "sim_knn_graph",
-        "dd_ngram_jaccard",
+        "nq_join_datasource",
+        "s1k_druid_segment_prefix_filter",
+        "s1q_druid_segment_recent_limit",
+        "dm_segment_stats_plane",
+        "dm_search_query",
+        "prof_column_stats_approx",
+        "lk_lookup_enrich",
+        "lk_reverse_lookup_filter",
+        "fd_mv_sql_text",
+        "fd_lookup_sql_text",
     ):
-        assert must in names[:50], must
+        assert must in names[:24], must
 
 
 def test_rotation_wastes_no_window_slot():
@@ -52,10 +55,10 @@ def test_rotation_wastes_no_window_slot():
     for f in files:
         with open(f, encoding="utf-8") as fh:
             sampled |= set(json.load(fh))
-    deliberate_resamples = {"dd_ngram_jaccard"}  # df-cut changed in r6
+    deliberate_resamples: set[str] = set()  # none this round
     names = list(all_queries())
     wasted = [
-        n for n in names[:50]
+        n for n in names[: len(ROTATION)]
         if n in sampled and n not in deliberate_resamples
     ]
     assert not wasted, wasted
