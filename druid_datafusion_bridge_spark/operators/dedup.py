@@ -127,12 +127,19 @@ def ngram_jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("shared"))
     )
+    # NO broadcast hint on the denominator joins: cnt has one row PER
+    # DOCUMENT (unbounded — billions of rows at 100 TB), so forcing a
+    # broadcast here would ship the whole corpus's count table to every
+    # executor and remove Spark's size-based fallback. Left unhinted,
+    # AQE broadcasts when the corpus is actually small and shuffles on
+    # doc_id otherwise — the shuffle is keyed the same as `pairs`'
+    # groupBy output, so it stays a well-partitioned hash join.
     ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
     return (
-        pairs.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
         .select("doc_a", "doc_b", "shared", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
