@@ -11,23 +11,28 @@ engine without modification:
   ``dataSource`` resolves against the registered table map);
 - SQL bodies run through ``spark.sql`` with the Druid dialect functions
   registered (TIME_FLOOR, LOOKUP, ...), over the same table names;
-- native responses are JSON arrays of row objects (the flattened
-  result format); ``/druid/v2/sql`` serves every documented
+- native responses carry Druid's per-queryType result envelope
+  (timeseries/groupBy ``{timestamp, result|event}`` entries, topN
+  per-bucket result lists, scan event batches — see
+  :func:`_native_envelope`); ``/druid/v2/sql`` serves every documented
   resultFormat — object (default), array, objectLines, arrayLines,
   csv — plus ``header`` and positional ``parameters``;
 - errors return Druid's error envelope
   ``{"error", "errorMessage"}`` with HTTP 400/500, so client error
-  handling keeps working;
+  handling keeps working; a result exceeding ``max_rows`` errors with
+  Druid's Resource-limit shape instead of silently truncating;
+- SQL can introspect ``sys.segments`` / ``sys.tasks`` /
+  ``sys.datasources`` and ``INFORMATION_SCHEMA.TABLES/.COLUMNS``
+  (qualified names rewritten onto registered views);
 - ``GET /status/health`` answers ``true`` (Druid's liveness probe);
   ``GET /druid/v2/datasources[/{name}]`` lists names / the
   dimensions-metrics split;
-- SQL can introspect ``sys.segments`` and
-  ``INFORMATION_SCHEMA.TABLES/.COLUMNS`` (qualified names rewritten
-  onto registered views);
 - ``POST /druid/indexer/v1/task`` + ``GET
   /druid/indexer/v1/task/{id}/status`` run the overlord workflow:
   ingestion task in, segments to deep storage, datasource
-  auto-registered for querying.
+  auto-registered for querying (a ``compact`` task registers its
+  DESTINATION datasource — ``dstDataSource`` or
+  ``<dataSource>_compacted``).
 
 Deliberately a THIN shim: one process, synchronous handlers (Spark
 queries already parallelize internally; the ThreadingHTTPServer keeps
@@ -140,10 +145,10 @@ def sys_segments_frame(spark: SparkSession,
     )
 
 
-# sys.segments / INFORMATION_SCHEMA.* are qualified names Spark's temp
+# sys.* / INFORMATION_SCHEMA.* are qualified names Spark's temp
 # views cannot carry; the SQL text is rewritten to registered flat
 # views (documented shim)
-_SYS_SEGMENTS_RE = re.compile(r"\bsys\.segments\b", re.I)
+_SYS_TABLE_RE = re.compile(r"\bsys\.(segments|tasks|datasources)\b", re.I)
 _INFO_SCHEMA_RE = re.compile(
     r"\bINFORMATION_SCHEMA\.(TABLES|COLUMNS)\b", re.I
 )
@@ -166,7 +171,9 @@ def _sub_outside_literals(sql: str, fn) -> str:
 
 def _rewrite_system_tables(sql: str) -> str:
     def rw(chunk: str) -> str:
-        chunk = _SYS_SEGMENTS_RE.sub("sys_segments", chunk)
+        chunk = _SYS_TABLE_RE.sub(
+            lambda m: f"sys_{m.group(1).lower()}", chunk
+        )
         return _INFO_SCHEMA_RE.sub(
             lambda m: f"information_schema_{m.group(1).lower()}", chunk
         )
@@ -205,15 +212,101 @@ def _json_safe(v: Any) -> Any:
 
 def _rows_json(df: DataFrame, limit: int) -> list[dict[str, Any]]:
     """Collect as JSON-safe row dicts. ``limit`` bounds the driver-side
-    collect — the broker is a serving endpoint, not an export path."""
+    collect — the broker is a serving endpoint, not an export path. A
+    result that EXCEEDS the limit raises (Druid's resource-limit
+    posture: all rows or an error, never a silently partial response)
+    — detected by collecting limit+1, so at most one extra row crosses
+    the driver boundary."""
+    rows = df.limit(limit + 1).collect()
+    if len(rows) > limit:
+        raise _ResourceLimitExceeded(
+            f"result exceeds maxRows limit of {limit}; add a LIMIT or "
+            f"raise the broker's max_rows"
+        )
     return [
         {k: _json_safe(v) for k, v in row.asDict(recursive=True).items()}
-        for row in df.limit(limit).collect()
+        for row in rows
     ]
+
+
+def _native_envelope(spec: dict, rows: list[dict]) -> list[dict]:
+    """Wrap flat result rows in Druid's per-queryType native response
+    envelope (querying/timeseriesquery.md et al.): timeseries/groupBy
+    rows carry {timestamp, result|event}, topN groups rows per time
+    bucket, scan returns column-listed event batches, search/
+    timeBoundary/dataSourceMetadata return single {timestamp, result}
+    entries, segmentMetadata a merged column analysis. Rows arrive
+    _json_safe'd (timestamps already ISO strings). For granularity
+    'all' (no timestamp column) the bucket timestamp is the queried
+    interval's start when intervals were given, else null."""
+    qt = spec.get("queryType")
+    ivs = spec.get("intervals")
+    default_ts = (
+        str(ivs[0]).split("/")[0] if isinstance(ivs, list) and ivs else None
+    )
+
+    def ts_of(r: dict) -> Any:
+        return r.pop("timestamp", default_ts)
+
+    if qt == "timeseries":
+        return [{"timestamp": ts_of(r), "result": r} for r in rows]
+    if qt == "topN":
+        out: list[dict] = []
+        buckets: dict[Any, dict] = {}
+        for r in rows:
+            ts = ts_of(r)
+            if ts not in buckets:
+                buckets[ts] = {"timestamp": ts, "result": []}
+                out.append(buckets[ts])
+            buckets[ts]["result"].append(r)
+        return out
+    if qt == "groupBy":
+        return [
+            {"version": "v1", "timestamp": ts_of(r), "event": r}
+            for r in rows
+        ]
+    if qt == "scan":
+        if not rows:
+            return []
+        cols = spec.get("columns") or list(rows[0])
+        events: Any = (
+            [[r.get(c) for c in cols] for r in rows]
+            if spec.get("resultFormat") == "compactedList"
+            else rows
+        )
+        return [{"segmentId": None, "columns": cols, "events": events}]
+    if qt == "search":
+        return [{"timestamp": default_ts, "result": rows}]
+    if qt in ("timeBoundary", "dataSourceMetadata"):
+        if not rows:
+            return []
+        r = rows[0]
+        ts = (
+            r.get("minTime") or r.get("maxTime")
+            or r.get("maxIngestedEventTime")
+        )
+        return [{"timestamp": ts, "result": r}]
+    if qt == "segmentMetadata":
+        if not rows:
+            return []
+        return [{
+            "id": "merged",
+            "numRows": rows[0].get("num_rows"),
+            "columns": {
+                r["column"]: {k: v for k, v in r.items() if k != "column"}
+                for r in rows
+            },
+        }]
+    return rows
 
 
 class _QueryTimeout(Exception):
     """A query exceeded its context.timeout (HTTP 504, Druid's shape)."""
+
+
+class _ResourceLimitExceeded(Exception):
+    """A result exceeded the broker's max_rows (HTTP 400, Druid's
+    Resource-limit-exceeded error shape)."""
 
 
 class DruidBrokerShim:
@@ -255,16 +348,44 @@ class DruidBrokerShim:
         register_druid_sql_functions(spark)
         if lookups:
             register_sql_lookups(spark, lookups)
-        # always registered (empty without roots): a client's
-        # SELECT * FROM sys.segments answers zero rows like a real
-        # broker, never an unknown-view error
+        # always registered (empty without roots/tasks): a client's
+        # SELECT * FROM sys.segments/tasks/datasources answers zero
+        # rows like a real broker, never an unknown-view error
         self._refresh_sys_segments()
+        self._refresh_sys_tasks()
+        self._refresh_sys_datasources()
         self._register_information_schema()
 
     def _refresh_sys_segments(self) -> None:
         sys_segments_frame(
             self.spark, self._segment_roots
         ).createOrReplaceTempView("sys_segments")
+
+    def _refresh_sys_tasks(self) -> None:
+        """``sys.tasks`` (sql-metadata-tables.md): the documented
+        columns this synchronous overlord has truthful values for.
+        Completed tasks have runner_status NONE, like real Druid."""
+        rows = [
+            (
+                t["id"], t["id"], t.get("type", "index_parallel"),
+                t["dataSource"], t.get("createdTime"), t["status"],
+                "NONE", t["duration"], t["errorMsg"],
+            )
+            for t in self._tasks.values()
+        ]
+        self.spark.createDataFrame(
+            rows,
+            "task_id string, group_id string, type string, "
+            "datasource string, created_time string, status string, "
+            "runner_status string, duration bigint, error_msg string",
+        ).createOrReplaceTempView("sys_tasks")
+
+    def _refresh_sys_datasources(self) -> None:
+        """``sys.datasources`` (sql-metadata-tables.md): one row per
+        queryable datasource — the registered table map."""
+        self.spark.createDataFrame(
+            [(n,) for n in sorted(self.tables)], "datasource string"
+        ).createOrReplaceTempView("sys_datasources")
 
     def _register_information_schema(self) -> None:
         """INFORMATION_SCHEMA.TABLES / .COLUMNS (sql-metadata-tables.md)
@@ -298,7 +419,7 @@ class DruidBrokerShim:
         df = native_query(
             None, body, time_col=self.time_col, tables=self.tables
         )
-        return _rows_json(df, self.max_rows)
+        return _native_envelope(body, _rows_json(df, self.max_rows))
 
     def _handle_sql(self, body: dict) -> tuple[bytes, str]:
         """Run a SQL body; return (payload bytes, content type).
@@ -350,10 +471,15 @@ class DruidBrokerShim:
             # positional materialization: duplicate output column names
             # (SELECT a AS x, b AS x) must survive into the array-shaped
             # formats; only JSON objects inherently collapse them
-            vals = [
-                [_json_safe(v) for v in row]
-                for row in df.limit(self.max_rows).collect()
-            ]
+            # collect max_rows+1: a result that exceeds the cap errors
+            # (Druid's resource-limit posture), never silently truncates
+            collected = df.limit(self.max_rows + 1).collect()
+            if len(collected) > self.max_rows:
+                raise _ResourceLimitExceeded(
+                    f"result exceeds maxRows limit of {self.max_rows}; "
+                    f"add a LIMIT or raise the broker's max_rows"
+                )
+            vals = [[_json_safe(v) for v in row] for row in collected]
             types = [_druid_types(f.dataType) for f in df.schema.fields]
         rows = [dict(zip(cols, r)) for r in vals]
         header = bool(body.get("header", False))
@@ -481,33 +607,59 @@ class DruidBrokerShim:
         import os
         import time
 
+        import datetime
+
+        created = datetime.datetime.now(datetime.timezone.utc).isoformat()
+        # a compact task WRITES to dstDataSource (default
+        # <dataSource>_compacted) — that destination, not the untouched
+        # source root, is what must register for querying
+        reg_ds = (
+            body.get("dstDataSource", f"{ds}_compacted")
+            if body.get("type") == "compact" else ds
+        )
         t0 = time.monotonic()
         try:
             manifest = ingest(self.spark, body, self.deep_storage).collect()
-            root = os.path.join(self.deep_storage, ds)
+            root = os.path.join(self.deep_storage, reg_ds)
             register_druid_datasource(self.spark)
             df = (
                 self.spark.read.format("druidsegment")
                 .option("path", root).load()
             )
-            self.tables[ds] = df
-            df.createOrReplaceTempView(ds)
-            self._segment_roots[ds] = root
-            self._refresh_sys_segments()
-            self._register_information_schema()
+            # mutate shared maps under the lock and by atomic dict
+            # rebind: concurrent GET /druid/v2/datasources and SQL
+            # metadata queries iterate self.tables from other handler
+            # threads — they either see the old map or the new one,
+            # never a dict mid-mutation
+            with self._lock:
+                tables = dict(self.tables)
+                tables[reg_ds] = df
+                self.tables = tables
+                roots = dict(self._segment_roots)
+                roots[reg_ds] = root
+                self._segment_roots = roots
+                df.createOrReplaceTempView(reg_ds)
+                self._refresh_sys_segments()
+                self._refresh_sys_datasources()
+                self._register_information_schema()
             status = {
-                "id": task_id, "status": "SUCCESS", "dataSource": ds,
+                "id": task_id, "status": "SUCCESS", "dataSource": reg_ds,
+                "type": body.get("type", "index_parallel"),
+                "createdTime": created,
                 "duration": int((time.monotonic() - t0) * 1000),
                 "segments": len(manifest), "errorMsg": None,
             }
         except Exception as e:
             status = {
                 "id": task_id, "status": "FAILED", "dataSource": ds,
+                "type": body.get("type", "index_parallel"),
+                "createdTime": created,
                 "duration": int((time.monotonic() - t0) * 1000),
                 "segments": 0, "errorMsg": str(e)[:2000],
             }
         with self._lock:
             self._tasks[task_id] = status
+            self._refresh_sys_tasks()
         return {"task": task_id}
 
     def _task_status(self, task_id: str) -> dict | None:
@@ -605,6 +757,12 @@ class DruidBrokerShim:
                 except _QueryTimeout as e:
                     # Druid's timeout envelope, HTTP 504
                     self._send(504, {"error": "Query timed out",
+                                     "errorMessage": str(e)})
+                    return
+                except _ResourceLimitExceeded as e:
+                    # Druid's ResourceLimitExceeded envelope, HTTP 400:
+                    # a capped result errors, never silently truncates
+                    self._send(400, {"error": "Resource limit exceeded",
                                      "errorMessage": str(e)})
                     return
                 except (ValueError, KeyError) as e:

@@ -236,7 +236,11 @@ def _filter_pred(f: dict | None, time_col: str) -> Column | None:
             lo, hi = f.get("lower"), f.get("upper")
             lo_strict = f.get("lowerOpen", False)
             hi_strict = f.get("upperOpen", False)
-        side = col.cast("double") if numeric else col.cast("string")
+        # try_cast, not cast: Druid treats a string value that fails
+        # numeric parsing as null (the row simply doesn't match). Under
+        # Spark's ANSI mode a plain cast would instead throw
+        # CAST_INVALID_INPUT and kill the whole query on one bad value.
+        side = col.try_cast("double") if numeric else col.cast("string")
         preds = []
         if lo is not None:
             lv = F.lit(float(lo)) if numeric else F.lit(str(lo))
@@ -839,7 +843,10 @@ def native_query(
                 if isinstance(ordering, dict):
                     ordering = ordering.get("type", "lexicographic")
                 if ordering == "numeric":
-                    col = col.cast("double")
+                    # try_cast: unparsable values order as null instead
+                    # of failing the query under ANSI mode (Druid's
+                    # numeric ordering treats them as null).
+                    col = col.try_cast("double")
                 if c.get("direction", "ascending") == "descending":
                     order_cols.append(col.desc_nulls_last())
                 else:

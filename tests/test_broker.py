@@ -50,7 +50,60 @@ def test_native_endpoint(shim):
             {"type": "longSum", "name": "total", "fieldName": "delta"},
         ],
     })
-    assert rows == [{"channel": "en", "total": 12}]
+    # Druid's native topN envelope: per-bucket {timestamp, result}
+    assert rows == [
+        {"timestamp": None, "result": [{"channel": "en", "total": 12}]}
+    ]
+
+
+def test_native_envelopes_per_query_type(shim):
+    """POST /druid/v2 answers Druid's per-queryType result envelope
+    (timeseries {timestamp,result}, groupBy v1 {timestamp,event}, scan
+    column-listed event batches, timeBoundary single entry) — what real
+    native-API clients parse."""
+    ts = _post(shim + "/druid/v2", {
+        "queryType": "timeseries", "dataSource": "wikipedia",
+        "granularity": "hour",
+        "intervals": ["2024-01-01T00:00:00/2024-01-01T03:00:00"],
+        "aggregations": [
+            {"type": "longSum", "name": "total", "fieldName": "delta"}],
+    })
+    assert [e["result"]["total"] for e in ts] == [12, 0, 11]
+    assert all(set(e) == {"timestamp", "result"} for e in ts)
+    gb = _post(shim + "/druid/v2", {
+        "queryType": "groupBy", "dataSource": "wikipedia",
+        "granularity": "all", "dimensions": ["channel"],
+        "intervals": ["2024-01-01T00:00:00/2024-01-02T00:00:00"],
+        "aggregations": [{"type": "count", "name": "n"}],
+    })
+    assert sorted(e["event"]["channel"] for e in gb) == ["de", "en"]
+    assert all(
+        e["version"] == "v1"
+        and e["timestamp"] == "2024-01-01T00:00:00" for e in gb
+    )
+    sc = _post(shim + "/druid/v2", {
+        "queryType": "scan", "dataSource": "wikipedia",
+        "columns": ["channel", "delta"], "limit": 2,
+        "resultFormat": "compactedList",
+    })
+    assert len(sc) == 1 and sc[0]["columns"] == ["channel", "delta"]
+    assert all(len(ev) == 2 for ev in sc[0]["events"])
+    tb = _post(shim + "/druid/v2", {
+        "queryType": "timeBoundary", "dataSource": "wikipedia"})
+    assert tb[0]["result"]["minTime"] == "2024-01-01T00:10:00"
+    assert tb[0]["timestamp"] == tb[0]["result"]["minTime"]
+
+
+def test_sys_tasks_and_datasources(shim):
+    """sys.tasks / sys.datasources (sql-metadata-tables.md) answer over
+    /druid/v2/sql: datasources lists the table map; tasks is empty on a
+    broker that never ran one (zero rows, not an unknown-view error)."""
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "SELECT datasource FROM sys.datasources"})
+    assert rows == [{"datasource": "wikipedia"}]
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "SELECT task_id, status FROM sys.tasks"})
+    assert rows == []
 
 
 def test_sql_endpoint_with_druid_dialect(shim):
@@ -335,6 +388,34 @@ def test_overlord_task_submission(spark, tmp_path):
         assert segs == [{"datasource": "wiki2", "num_rows": 1}]
         with urllib.request.urlopen(base + "/druid/v2/datasources") as r:
             assert json.loads(r.read()) == ["wiki2"]
+        # compact task: the DESTINATION datasource (not the untouched
+        # source root) registers for querying and shows up in
+        # sys.datasources / sys.tasks
+        out = _post(base + "/druid/indexer/v1/task",
+                    {"type": "compact", "dataSource": "wiki2",
+                     "granularitySpec": {"segmentGranularity": "day"}})
+        with urllib.request.urlopen(
+            base + f"/druid/indexer/v1/task/{out['task']}/status"
+        ) as r:
+            st = json.loads(r.read())["status"]
+        assert st["status"] == "SUCCESS", st
+        assert st["dataSource"] == "wiki2_compacted"
+        rows = _post(base + "/druid/v2/sql", {
+            "query": "SELECT SUM(delta_sum) AS total FROM wiki2_compacted"})
+        assert rows == [{"total": 12}]
+        dss = _post(base + "/druid/v2/sql", {
+            "query": "SELECT datasource FROM sys.datasources ORDER BY 1"})
+        assert dss == [{"datasource": "wiki2"},
+                       {"datasource": "wiki2_compacted"}]
+        tasks = _post(base + "/druid/v2/sql", {
+            "query": "SELECT type, datasource, status FROM sys.tasks "
+                     "ORDER BY type"})
+        assert tasks == [
+            {"type": "compact", "datasource": "wiki2_compacted",
+             "status": "SUCCESS"},
+            {"type": "index_parallel", "datasource": "wiki2",
+             "status": "SUCCESS"},
+        ]
     finally:
         s.stop()
 
@@ -435,3 +516,31 @@ def test_error_envelope(shim):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(shim + "/druid/v2/unknown", {})
     assert ei.value.code == 404
+
+
+def test_result_over_max_rows_errors_not_truncates(spark):
+    """A result exceeding max_rows must raise Druid's Resource-limit
+    error (HTTP 400), never return a silently partial response."""
+    df = spark.range(10).select(
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("__time"),
+        F.col("id"),
+    )
+    s = DruidBrokerShim(spark, {"t10": df}, max_rows=5)
+    port = s.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/druid/v2/sql", {"query": "SELECT id FROM t10"})
+        assert ei.value.code == 400
+        err = json.loads(ei.value.read())
+        assert err["error"] == "Resource limit exceeded"
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/druid/v2", {
+                "queryType": "scan", "dataSource": "t10"})
+        assert ei.value.code == 400
+        # under the cap still answers completely
+        rows = _post(base + "/druid/v2/sql", {
+            "query": "SELECT id FROM t10 WHERE id < 5"})
+        assert len(rows) == 5
+    finally:
+        s.stop()

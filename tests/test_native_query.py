@@ -863,3 +863,37 @@ def test_native_query_over_druid_segment_root(spark, tmp_path):
         cli_main(["native", str(tmp_path), "-s", "{not json"])
     with pytest.raises(SystemExit, match="queryType"):
         cli_main(["native", str(tmp_path), "-s", '{"queryType": "nope"}'])
+
+
+def test_numeric_bound_on_unparsable_strings_ansi(events):
+    """Druid treats a string that fails numeric parsing as null (row
+    doesn't match a numeric bound). Under Spark's ANSI mode a plain
+    cast would throw CAST_INVALID_INPUT on 'a=1' and kill the query —
+    the filter must use try_cast. Same for numeric limitSpec ordering."""
+    spark = events.sparkSession
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        # props holds 'a=1', 'b=2', ..., 'x', None — none parse as
+        # numbers, so a numeric bound matches nothing (and must not
+        # throw).
+        spec = {"queryType": "timeseries", "granularity": "all",
+                "filter": {"type": "bound", "dimension": "props",
+                           "lower": "0", "ordering": "numeric"},
+                "aggregations": [{"type": "count", "name": "n"}]}
+        assert run(events, spec).collect()[0]["n"] == 0
+        # range filter (typed form) takes the same path
+        spec["filter"] = {"type": "range", "column": "props",
+                          "matchValueType": "DOUBLE", "lower": 0}
+        assert run(events, spec).collect()[0]["n"] == 0
+        # numeric limitSpec ordering over an unparsable string dim:
+        # all keys cast to null -> stable, no throw
+        spec2 = {"queryType": "groupBy", "granularity": "all",
+                 "dimensions": ["props"],
+                 "aggregations": [{"type": "count", "name": "n"}],
+                 "limitSpec": {"type": "default", "limit": 3,
+                               "columns": [{"dimension": "props",
+                                            "dimensionOrder": "numeric"}]}}
+        assert len(run(events, spec2).collect()) == 3
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
