@@ -335,6 +335,7 @@ class DruidBrokerShim:
         self.deep_storage = deep_storage
         self._segment_roots = dict(segment_roots or {})
         self._tasks: dict[str, dict] = {}
+        self._supervisors: dict[str, Any] = {}
         self._task_seq = 0
         self._lock = threading.Lock()
         self._server: ThreadingHTTPServer | None = None
@@ -592,7 +593,6 @@ class DruidBrokerShim:
                 "deep_storage"
             )
         from .ingestion_spec import ingest
-        from .sources import register_druid_datasource
 
         inner = body.get("spec", body)
         ds = (
@@ -604,10 +604,8 @@ class DruidBrokerShim:
         with self._lock:
             self._task_seq += 1
             task_id = f"{body.get('type', 'index_parallel')}_{ds}_{self._task_seq}"
-        import os
-        import time
-
         import datetime
+        import time
 
         created = datetime.datetime.now(datetime.timezone.utc).isoformat()
         # a compact task WRITES to dstDataSource (default
@@ -620,28 +618,7 @@ class DruidBrokerShim:
         t0 = time.monotonic()
         try:
             manifest = ingest(self.spark, body, self.deep_storage).collect()
-            root = os.path.join(self.deep_storage, reg_ds)
-            register_druid_datasource(self.spark)
-            df = (
-                self.spark.read.format("druidsegment")
-                .option("path", root).load()
-            )
-            # mutate shared maps under the lock and by atomic dict
-            # rebind: concurrent GET /druid/v2/datasources and SQL
-            # metadata queries iterate self.tables from other handler
-            # threads — they either see the old map or the new one,
-            # never a dict mid-mutation
-            with self._lock:
-                tables = dict(self.tables)
-                tables[reg_ds] = df
-                self.tables = tables
-                roots = dict(self._segment_roots)
-                roots[reg_ds] = root
-                self._segment_roots = roots
-                df.createOrReplaceTempView(reg_ds)
-                self._refresh_sys_segments()
-                self._refresh_sys_datasources()
-                self._register_information_schema()
+            self._register_datasource_root(reg_ds)
             status = {
                 "id": task_id, "status": "SUCCESS", "dataSource": reg_ds,
                 "type": body.get("type", "index_parallel"),
@@ -661,6 +638,86 @@ class DruidBrokerShim:
             self._tasks[task_id] = status
             self._refresh_sys_tasks()
         return {"task": task_id}
+
+    def _register_datasource_root(self, ds: str) -> None:
+        """(Re)register ``deep_storage/<ds>`` for querying: table map,
+        temp view, sys views, INFORMATION_SCHEMA — under the lock, by
+        atomic dict rebind (concurrent readers see old or new map,
+        never one mid-mutation). The handoff-then-serve moment for both
+        the overlord task path and streaming supervisors."""
+        import os
+
+        from .sources import register_druid_datasource
+
+        root = os.path.join(self.deep_storage, ds)
+        register_druid_datasource(self.spark)
+        df = (
+            self.spark.read.format("druidsegment")
+            .option("path", root).load()
+        )
+        with self._lock:
+            tables = dict(self.tables)
+            tables[ds] = df
+            self.tables = tables
+            roots = dict(self._segment_roots)
+            roots[ds] = root
+            self._segment_roots = roots
+            df.createOrReplaceTempView(ds)
+            self._refresh_sys_segments()
+            self._refresh_sys_datasources()
+            self._register_information_schema()
+
+    def _handle_supervisor_submit(self, body: dict) -> dict:
+        """POST /druid/indexer/v1/supervisor (supervisor-api.md): start
+        (or replace, Druid's resubmit semantics) a streaming ingestion
+        supervisor; every segment handoff auto-registers the datasource
+        for querying. Returns ``{"id": ...}`` like the real overlord."""
+        if self.deep_storage is None:
+            raise ValueError(
+                "supervisor submission disabled: broker started "
+                "without deep_storage"
+            )
+        from .streaming.supervisor import StreamingSupervisor
+
+        sup = StreamingSupervisor(
+            self.spark, body, self.deep_storage,
+            on_handoff=self._register_datasource_root,
+        )
+        with self._lock:
+            prev = self._supervisors.get(sup.id)
+        if prev is not None:
+            prev.terminate()
+        sup.start()
+        with self._lock:
+            sups = dict(self._supervisors)
+            sups[sup.id] = sup
+            self._supervisors = sups
+        return {"id": sup.id}
+
+    def _supervisor_action(self, sup_id: str, action: str) -> dict | None:
+        with self._lock:
+            sup = self._supervisors.get(sup_id)
+        if sup is None:
+            return None
+        if action == "status":
+            import datetime
+
+            return {
+                "id": sup_id,
+                "generationTime": datetime.datetime.now(
+                    datetime.timezone.utc
+                ).isoformat(),
+                "payload": sup.status(),
+            }
+        if action == "terminate":
+            sup.terminate()
+        elif action == "suspend":
+            sup.suspend()
+        elif action == "resume":
+            sup.resume()
+        else:
+            return None
+        return {"id": sup_id}
 
     def _task_status(self, task_id: str) -> dict | None:
         with self._lock:
@@ -712,6 +769,21 @@ class DruidBrokerShim:
                     else:
                         self._send(404, {"error": "Unknown datasource",
                                          "errorMessage": name})
+                elif self.path == "/druid/indexer/v1/supervisor":
+                    with shim._lock:
+                        self._send(200, sorted(shim._supervisors))
+                elif self.path.startswith(
+                    "/druid/indexer/v1/supervisor/"
+                ) and self.path.endswith("/status"):
+                    sup_id = self.path.split(
+                        "/druid/indexer/v1/supervisor/", 1
+                    )[1][:-len("/status")]
+                    st = shim._supervisor_action(sup_id, "status")
+                    if st is not None:
+                        self._send(200, st)
+                    else:
+                        self._send(404, {"error": "Unknown supervisor",
+                                         "errorMessage": sup_id})
                 elif self.path.startswith("/druid/indexer/v1/task/") and \
                         self.path.endswith("/status"):
                     task_id = self.path.split("/druid/indexer/v1/task/",
@@ -745,6 +817,30 @@ class DruidBrokerShim:
                         return
                     elif self.path == "/druid/indexer/v1/task":
                         self._send(200, shim._handle_task(body))
+                        return
+                    elif self.path == "/druid/indexer/v1/supervisor":
+                        self._send(200,
+                                   shim._handle_supervisor_submit(body))
+                        return
+                    elif self.path.startswith(
+                        "/druid/indexer/v1/supervisor/"
+                    ):
+                        rest = self.path.split(
+                            "/druid/indexer/v1/supervisor/", 1
+                        )[1]
+                        sup_id, _, action = rest.rpartition("/")
+                        out = (
+                            shim._supervisor_action(sup_id, action)
+                            if sup_id and action in (
+                                "terminate", "suspend", "resume"
+                            ) else None
+                        )
+                        if out is not None:
+                            self._send(200, out)
+                        else:
+                            self._send(404, {
+                                "error": "Unknown supervisor",
+                                "errorMessage": rest})
                         return
                     elif self.path in ("/druid/v2", "/druid/v2/"):
                         rows = shim._run_with_timeout(
@@ -800,6 +896,10 @@ class DruidBrokerShim:
         return self._server.server_address[1]
 
     def stop(self) -> None:
+        with self._lock:
+            sups = list(self._supervisors.values())
+        for sup in sups:
+            sup.terminate()
         if self._server is not None:
             self._server.shutdown()
             self._server.server_close()

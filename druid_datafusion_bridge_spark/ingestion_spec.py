@@ -47,7 +47,7 @@ from .native_query import _SIMPLE_GRANULARITIES, _filter_pred, _aggregator, _gra
 from .sources.ingest import write_druid_segments
 from .sources.segment import TIME_COLUMN
 
-__all__ = ["ingest"]
+__all__ = ["ingest", "transform_rows"]
 
 
 def _read_input(spark: SparkSession, io_config: dict) -> DataFrame:
@@ -159,6 +159,31 @@ def ingest(
 
     register_druid_sql_functions(spark)
     df = _read_input(spark, io_config)
+    df = transform_rows(df, schema)
+
+    gran_spec = schema.get("granularitySpec", {})
+    seg_gran = gran_spec.get("segmentGranularity", "day")
+    period = _SIMPLE_GRANULARITIES.get(str(seg_gran).lower(), seg_gran)
+    max_rows = (
+        tuning.get("partitionsSpec", {}).get("maxRowsPerSegment")
+        or tuning.get("maxRowsPerSegment")
+        or 5_000_000
+    )
+    out_dir = os.path.join(deep_storage, schema["dataSource"])
+    return write_druid_segments(
+        df, out_dir, granularity=period, max_rows_per_segment=int(max_rows)
+    )
+
+
+def transform_rows(df: DataFrame, schema: dict) -> DataFrame:
+    """Apply a ``dataSchema``'s row pipeline to a DataFrame: timestamp
+    parsing, transformSpec expressions + filter, granularitySpec
+    interval clip, dimension typing, queryGranularity bucketing, and
+    rollup (or per-row metric storage). Shared verbatim between batch
+    ingestion (:func:`ingest`) and streaming supervisors
+    (streaming/supervisor.py), which run it inside ``foreachBatch`` —
+    one ingestion semantics for both paths, exactly as Druid specs
+    promise."""
     df = _apply_timestamp(df, schema.get("timestampSpec", {}))
 
     transform = schema.get("transformSpec", {})
@@ -226,18 +251,7 @@ def ingest(
         # the aggregator applied to that single row (count -> 1,
         # sum/min/max/first/last -> the field value)
         df = df.select(*keys, *[_row_metric(a) for a in metrics])
-
-    seg_gran = gran_spec.get("segmentGranularity", "day")
-    period = _SIMPLE_GRANULARITIES.get(str(seg_gran).lower(), seg_gran)
-    max_rows = (
-        tuning.get("partitionsSpec", {}).get("maxRowsPerSegment")
-        or tuning.get("maxRowsPerSegment")
-        or 5_000_000
-    )
-    out_dir = os.path.join(deep_storage, schema["dataSource"])
-    return write_druid_segments(
-        df, out_dir, granularity=period, max_rows_per_segment=int(max_rows)
-    )
+    return df
 
 
 def _compact_task(

@@ -544,3 +544,97 @@ def test_result_over_max_rows_errors_not_truncates(spark):
         assert len(rows) == 5
     finally:
         s.stop()
+
+
+def test_streaming_supervisor_roundtrip(spark, tmp_path):
+    """Druid's streaming ingestion family end-to-end: POST an
+    index_kafka-shaped supervisor spec (local drop-dir standing in for
+    the topic), watch segments hand off and the datasource register,
+    query it over SQL, drop MORE data and see it arrive, then
+    suspend/resume/terminate through the documented endpoints."""
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    with open(drop / "one.json", "w") as f:
+        f.write(json.dumps({"time": "2024-01-01T00:10:00Z",
+                            "channel": "en", "delta": 5}) + "\n")
+    spec = {
+        "type": "kafka",
+        "spec": {
+            "dataSchema": {
+                "dataSource": "wikistream",
+                "timestampSpec": {"column": "time", "format": "iso"},
+                "dimensionsSpec": {"dimensions": ["channel"]},
+                "metricsSpec": [
+                    {"type": "longSum", "name": "delta_sum",
+                     "fieldName": "delta"}],
+                "granularitySpec": {"segmentGranularity": "day",
+                                    "queryGranularity": "hour",
+                                    "rollup": True},
+            },
+            "ioConfig": {
+                "inputSource": {"type": "local", "baseDir": str(drop),
+                                "filter": "*.json"},
+                "inputFormat": {"type": "json"},
+            },
+        },
+    }
+    s = DruidBrokerShim(spark, {}, deep_storage=str(tmp_path / "deep"))
+    port = s.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        out = _post(base + "/druid/indexer/v1/supervisor", spec)
+        assert out == {"id": "wikistream"}
+        with urllib.request.urlopen(
+            base + "/druid/indexer/v1/supervisor"
+        ) as r:
+            assert json.loads(r.read()) == ["wikistream"]
+        sup = s._supervisors["wikistream"]
+        sup.process_available()  # deterministic: drain what's there now
+        with urllib.request.urlopen(
+            base + "/druid/indexer/v1/supervisor/wikistream/status"
+        ) as r:
+            st = json.loads(r.read())
+        assert st["id"] == "wikistream"
+        assert st["payload"]["state"] == "RUNNING"
+        assert st["payload"]["segmentsPublished"] >= 1
+        assert st["payload"]["recentErrors"] == []
+        rows = _post(base + "/druid/v2/sql", {
+            "query": "SELECT channel, SUM(delta_sum) AS total "
+                     "FROM wikistream GROUP BY 1"})
+        assert rows == [{"channel": "en", "total": 5}]
+        # native query answers from the handed-off segments too
+        nat = _post(base + "/druid/v2", {
+            "queryType": "timeseries", "dataSource": "wikistream",
+            "granularity": "all",
+            "aggregations": [{"type": "longSum", "name": "total",
+                              "fieldName": "delta_sum"}]})
+        assert nat[0]["result"]["total"] == 5
+        # more data arrives in the drop dir -> next trigger ingests it
+        with open(drop / "two.json", "w") as f:
+            f.write(json.dumps({"time": "2024-01-01T02:00:00Z",
+                                "channel": "de", "delta": 11}) + "\n")
+        sup.process_available()
+        rows = _post(base + "/druid/v2/sql", {
+            "query": "SELECT SUM(delta_sum) AS total FROM wikistream"})
+        assert rows == [{"total": 16}]
+        segs = _post(base + "/druid/v2/sql", {
+            "query": "SELECT COUNT(*) AS n FROM sys.segments "
+                     "WHERE datasource = 'wikistream'"})
+        assert segs[0]["n"] >= 1
+        # suspend stops the stream; resume continues from the
+        # checkpoint; terminate is final
+        for action, state in (("suspend", "SUSPENDED"),
+                              ("resume", "RUNNING"),
+                              ("terminate", "TERMINATED")):
+            assert _post(
+                base + f"/druid/indexer/v1/supervisor/wikistream/{action}",
+                {}) == {"id": "wikistream"}
+            with urllib.request.urlopen(
+                base + "/druid/indexer/v1/supervisor/wikistream/status"
+            ) as r:
+                assert json.loads(r.read())["payload"]["state"] == state
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/druid/indexer/v1/supervisor/nope/terminate", {})
+        assert ei.value.code == 404
+    finally:
+        s.stop()

@@ -335,3 +335,52 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # carries the 01:00 and 01:10 rows
     assert got.get("2024-01-01T00:00:00") == 3, got
     assert got.get("2024-01-01T01:00:00") == 2, got
+
+
+def test_supervisor_starts_before_data_arrives(spark, tmp_path):
+    """A streaming supervisor submitted against an EMPTY drop directory
+    derives its input schema from the dataSchema (like a Kafka topic
+    with no sample available) and ingests files that arrive later —
+    Druid's start-supervisor-then-stream order."""
+    import json as _json
+
+    from druid_datafusion_bridge_spark.sources.datasource import (
+        find_segment_dirs,
+    )
+    from druid_datafusion_bridge_spark.streaming.supervisor import (
+        StreamingSupervisor,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    sup = StreamingSupervisor(
+        spark,
+        {"type": "kafka", "spec": {
+            "dataSchema": {
+                "dataSource": "late",
+                "timestampSpec": {"column": "time", "format": "iso"},
+                "dimensionsSpec": {"dimensions": ["channel"]},
+                "metricsSpec": [{"type": "longSum", "name": "delta_sum",
+                                 "fieldName": "delta"}],
+                "granularitySpec": {"segmentGranularity": "day",
+                                    "queryGranularity": "hour"},
+            },
+            "ioConfig": {
+                "inputSource": {"type": "local", "baseDir": str(drop)},
+                "inputFormat": {"type": "json"},
+            },
+        }},
+        str(tmp_path / "deep"),
+    ).start()
+    try:
+        sup.process_available()
+        assert sup.segments_published == 0
+        with open(drop / "later.json", "w") as f:
+            f.write(_json.dumps({"time": "2024-01-01T00:10:00Z",
+                                 "channel": "en", "delta": 7}) + "\n")
+        sup.process_available()
+        assert sup.segments_published == 1, sup.status()
+        assert len(find_segment_dirs(str(tmp_path / "deep" / "late"))) == 1
+    finally:
+        sup.terminate()
+    assert sup.status()["state"] == "TERMINATED"
