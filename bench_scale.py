@@ -365,5 +365,141 @@ def main() -> None:
     )
 
 
+# --------------------------------------------------------------------
+# Scale-slope calibration: `python bench_scale.py slope`
+#
+# The structural claim "these plans survive 100×" gets a measured data
+# point here: materialize an sf1-equivalent directory (a key-shifted
+# FACTOR× scale-up of sf0.1 — referential integrity preserved, so joins
+# keep their selectivity; document text is token-suffixed per copy so
+# near-dup clusters stay copy-local and dedup work grows linearly, the
+# way a real 10× corpus grows), then time the most expensive headline
+# queries at both scales and report seconds-per-row slope
+# big/(factor*small). slope <= ~1 means the plan scales linearly or
+# better (fixed costs amortizing); materially above 1 means superlinear
+# work crept in and the plan needs an audit.
+
+SLOPE_QUERIES = [
+    "flagship_rollup",
+    "q1_pricing_summary",
+    "dd_minhash_lsh_pairs",
+    "q21_waiting_suppliers",
+    "o3b_topk_per_group",
+    "dd_ngram_jaccard",
+]
+
+# per-table key columns to shift by copy*KEY_SHIFT (foreign keys shift
+# with their parents, so every copy is a disjoint consistent universe)
+_SCALE_KEYS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+_FIXED_TABLES = ("region", "nation")  # TPC-H dims don't scale with sf
+KEY_SHIFT = 100_000_000
+
+
+def make_scaled_dir(spark, src_dir: str, out_dir: str, factor: int) -> None:
+    """Write a factor× scale-up of src_dir's parquet tables to out_dir,
+    executor-side (nothing collected): each table is crossed with a
+    broadcast `copy` index and its keys shifted per copy."""
+    copies = F.broadcast(
+        spark.range(factor).select(F.col("id").alias("_copy"))
+    )
+    for t in _FIXED_TABLES:
+        spark.read.parquet(f"{src_dir}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{t}.parquet")
+    for t, keys in _SCALE_KEYS.items():
+        df = spark.read.parquet(f"{src_dir}/{t}.parquet").crossJoin(copies)
+        for k in keys:
+            df = df.withColumn(k, F.col(k) + F.col("_copy") * KEY_SHIFT)
+        if t == "documents":
+            # suffix every token per copy>0: within-copy duplicate
+            # structure is preserved exactly, across copies nothing
+            # shingles together — dedup work is factor disjoint corpora
+            df = df.withColumn(
+                "text",
+                F.when(F.col("_copy") == 0, F.col("text")).otherwise(
+                    F.array_join(
+                        F.transform(
+                            F.split(F.col("text"), " "),
+                            lambda w: F.concat(
+                                w, F.lit("_c"),
+                                F.col("_copy").cast("string"),
+                            ),
+                        ),
+                        " ",
+                    )
+                ),
+            )
+        # factor files per table: a real factor× dataset arrives as
+        # factor× the files, and a single-file write would produce one
+        # giant unsplittable row group (parquet splits only at row-group
+        # boundaries), serializing every downstream scan onto one core
+        df.drop("_copy").repartition(factor).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{t}.parquet")
+
+
+def slope_main() -> None:
+    import shutil
+    import tempfile
+
+    from druid_datafusion_bridge_spark.queries import all_queries
+
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    factor = int(os.environ.get("SPARK_SLOPE_FACTOR", "10"))
+    spark = get_spark(app_name="ddbs-bench-slope")
+    queries = all_queries()
+    big_dir = tempfile.mkdtemp(prefix="ddbs_slope_sf1_")
+    try:
+        t0 = time.perf_counter()
+        make_scaled_dir(spark, src, big_dir, factor)
+        build_sec = round(time.perf_counter() - t0, 3)
+
+        def best_of(name: str, sf_dir: str, runs: int = 3) -> float:
+            fn = queries[name]
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = float("inf")
+            for _ in range(runs):
+                df = fn(spark, sf_dir)
+                t = time.perf_counter()
+                df.write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t)
+            return best
+
+        out: dict[str, dict] = {}
+        for name in SLOPE_QUERIES:
+            small = best_of(name, src)
+            big = best_of(name, big_dir)
+            out[name] = {
+                "small_sec": round(small, 3),
+                "big_sec": round(big, 3),
+                "slope": round(big / (factor * small), 3),
+            }
+        print(
+            json.dumps(
+                {
+                    "metric": "scale_slope_vs_factor",
+                    "factor": factor,
+                    "small_dir": src,
+                    "build_sec": build_sec,
+                    "queries": out,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(big_dir, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "slope":
+        slope_main()
+    else:
+        main()
