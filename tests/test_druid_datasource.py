@@ -1230,3 +1230,95 @@ def test_plan_meta_cache_amortizes_segment_opens(registered, tmp_path, monkeypat
         .load()
     )
     assert df.filter(F.col("v") >= 105.0).count() == 2  # 105, 106
+
+
+def test_stale_plan_manifest_never_prunes_wrong(registered, tmp_path):
+    """Compaction-swap vs a stale planning manifest: a planner reading
+    `_planmeta.json` written BEFORE a root was rewritten must re-open
+    identity-changed segments, never trust stale stats. Two hazards:
+    (1) the swap replaces segment dirs under an old manifest (new names
+    absent, old names gone); (2) a same-named segment is rewritten with
+    values OUTSIDE the stale min/max, where trusting the manifest would
+    metric-prune the segment into a silently wrong empty result."""
+    import json as _json
+    import shutil
+
+    from druid_datafusion_bridge_spark.sources.ingest import (
+        compact_segments,
+    )
+    from druid_datafusion_bridge_spark.sources.datasource import (
+        PLANMETA_NAME,
+    )
+
+    root = tmp_path / "root"
+    root.mkdir()
+
+    def seg(name: str, day: int, vals: list[float]) -> None:
+        day_ms = 1704067200000 + day * 86_400_000
+        write_segment(
+            pa.table(
+                {
+                    "__time": pa.array(
+                        [day_ms + i for i in range(len(vals))],
+                        pa.timestamp("ms"),
+                    ),
+                    "v": pa.array(vals),
+                }
+            ),
+            str(root / name),
+        )
+
+    seg("seg_000", 0, [float(i) for i in range(10)])
+    seg("seg_001", 1, [float(10 + i) for i in range(10)])
+
+    def read_ge(lo: float):
+        return (
+            registered.read.format("druidsegment")
+            .option("path", str(root))
+            .option("num_range", _json.dumps({"v": [lo, None]}))
+            .load()
+            .filter(F.col("v") >= lo)
+        )
+
+    # plan once: manifest now describes seg_000/seg_001
+    assert read_ge(15.0).count() == 5
+    old_manifest = _json.load(open(root / PLANMETA_NAME))["segments"]
+    assert sorted(old_manifest) == ["seg_000", "seg_001"]
+
+    # compaction swap: rewrite the forest at P1M into a staging dir,
+    # then replace the root's segment dirs — the manifest is NOT
+    # updated by the swap, exactly the window a second planner holding
+    # (or re-reading) the old file sees
+    staging = tmp_path / "staging"
+    compact_segments(
+        registered, str(root), str(staging), granularity="P1M"
+    ).collect()
+    shutil.rmtree(root / "seg_000")
+    shutil.rmtree(root / "seg_001")
+    moved = []
+    for d in sorted(os.listdir(staging)):
+        if (staging / d / "meta.smoosh").exists():
+            os.rename(staging / d, root / d)
+            moved.append(d)
+    assert moved, "compaction produced no segments"
+    assert sorted(
+        _json.load(open(root / PLANMETA_NAME))["segments"]
+    ) == ["seg_000", "seg_001"]  # manifest is stale on purpose
+
+    # stale manifest -> reconcile, answer from the NEW segments
+    assert read_ge(15.0).count() == 5
+    assert read_ge(0.0).count() == 20
+    refreshed = _json.load(open(root / PLANMETA_NAME))["segments"]
+    assert sorted(refreshed) == moved  # planning healed the manifest
+
+    # same-name rewrite with values OUTSIDE the recorded min/max: the
+    # manifest still says this name holds v<=19, so trusting it would
+    # prune v>=100 to an empty result — identity (meta.smoosh size +
+    # mtime_ns) must force the re-open instead
+    name = moved[0]
+    stats = refreshed[name]["stats"]["v"]
+    assert stats["max"] <= 19.0
+    shutil.rmtree(root / name)
+    seg(name, 0, [float(100 + i) for i in range(10)])
+    got = sorted(r["v"] for r in read_ge(100.0).collect())
+    assert got == [float(100 + i) for i in range(10)]
