@@ -22,8 +22,9 @@ engine without modification:
   handling keeps working; a result exceeding ``max_rows`` errors with
   Druid's Resource-limit shape instead of silently truncating;
 - SQL can introspect ``sys.segments`` / ``sys.tasks`` /
-  ``sys.datasources`` and ``INFORMATION_SCHEMA.TABLES/.COLUMNS``
-  (qualified names rewritten onto registered views);
+  ``sys.datasources`` / ``sys.supervisors`` and
+  ``INFORMATION_SCHEMA.TABLES/.COLUMNS`` (qualified names rewritten
+  onto registered views);
 - ``GET /status/health`` answers ``true`` (Druid's liveness probe);
   ``GET /druid/v2/datasources[/{name}]`` lists names / the
   dimensions-metrics split;
@@ -148,7 +149,9 @@ def sys_segments_frame(spark: SparkSession,
 # sys.* / INFORMATION_SCHEMA.* are qualified names Spark's temp
 # views cannot carry; the SQL text is rewritten to registered flat
 # views (documented shim)
-_SYS_TABLE_RE = re.compile(r"\bsys\.(segments|tasks|datasources)\b", re.I)
+_SYS_TABLE_RE = re.compile(
+    r"\bsys\.(segments|tasks|datasources|supervisors)\b", re.I
+)
 _INFO_SCHEMA_RE = re.compile(
     r"\bINFORMATION_SCHEMA\.(TABLES|COLUMNS)\b", re.I
 )
@@ -355,6 +358,7 @@ class DruidBrokerShim:
         self._refresh_sys_segments()
         self._refresh_sys_tasks()
         self._refresh_sys_datasources()
+        self._refresh_sys_supervisors()
         self._register_information_schema()
 
     def _refresh_sys_segments(self) -> None:
@@ -380,6 +384,29 @@ class DruidBrokerShim:
             "datasource string, created_time string, status string, "
             "runner_status string, duration bigint, error_msg string",
         ).createOrReplaceTempView("sys_tasks")
+
+    def _refresh_sys_supervisors(self) -> None:
+        """``sys.supervisors`` (sql-metadata-tables.md): one row per
+        submitted supervisor — the documented columns this controller
+        has truthful values for (spec_id/datasource/state/healthy plus
+        the spec payload as JSON)."""
+        import json as _json
+
+        rows = [
+            (
+                sup.id, sup.data_source,
+                sup.status()["state"],
+                "RUNNING" if sup.state == "RUNNING" else sup.state,
+                1 if sup.status()["healthy"] else 0,
+                _json.dumps(sup.spec, sort_keys=True),
+            )
+            for sup in self._supervisors.values()
+        ]
+        self.spark.createDataFrame(
+            rows,
+            "supervisor_id string, datasource string, state string, "
+            "detailed_state string, healthy int, spec string",
+        ).createOrReplaceTempView("sys_supervisors")
 
     def _refresh_sys_datasources(self) -> None:
         """``sys.datasources`` (sql-metadata-tables.md): one row per
@@ -692,6 +719,7 @@ class DruidBrokerShim:
             sups = dict(self._supervisors)
             sups[sup.id] = sup
             self._supervisors = sups
+            self._refresh_sys_supervisors()
         return {"id": sup.id}
 
     def _supervisor_action(self, sup_id: str, action: str) -> dict | None:
@@ -717,6 +745,8 @@ class DruidBrokerShim:
             sup.resume()
         else:
             return None
+        with self._lock:
+            self._refresh_sys_supervisors()
         return {"id": sup_id}
 
     def _task_status(self, task_id: str) -> dict | None:

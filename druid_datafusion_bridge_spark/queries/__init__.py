@@ -75,6 +75,7 @@ ROTATION: tuple[str, ...] = (
     "fd_mv_sql_text",
     "fd_lookup_sql_text",
     # r7 new queries, appended as they land (window capacity 50)
+    "st_supervisor_ingest",
 )
 
 

@@ -358,3 +358,112 @@ def st_segment_handoff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_hour", "event_type")
     )
+
+
+@query(
+    "st_supervisor_ingest",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_hour,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def st_supervisor_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid's streaming-ingestion supervisor lifecycle as one registry
+    entry: stage the events table as parquet drops (the sandbox's
+    stand-in for a topic), submit an index_kafka-shaped supervisor spec
+    whose dataSchema rolls up to hourly (count + doubleSum through the
+    decimal-accumulating aggregator compiler), drain it, terminate, and
+    serve the rollup FROM THE HANDED-OFF SEGMENTS. The supervisor runs
+    batch ingestion's exact row pipeline inside foreachBatch
+    (ingestion_spec.transform_rows), so the segment-side result must
+    equal plain SQL over raw events bit-for-bit — the oracle. Real
+    Druid's realtime path (the reference reads only what that path
+    wrote; it has no ingestion at all, src/segment/mod.rs:19-24), built
+    from Structured Streaming + the distributed segment writer. Build
+    is cached per testdata fingerprint; the serving query never touches
+    raw events."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import table
+    from ..streaming.supervisor import StreamingSupervisor
+    from .druid_source import (
+        _cache_ready,
+        _ensure_registered,
+        _mark_complete,
+        _segment_root,
+        _source_fingerprint,
+    )
+
+    _ensure_registered(spark)
+    root = _segment_root(sf_dir, "events_supervisor")
+    deep = os.path.join(root, "deep")
+    if not _cache_ready(root, sf_dir, "events"):
+        fp = _source_fingerprint(sf_dir, "events")
+        shutil.rmtree(root, ignore_errors=True)
+        drop = os.path.join(root, "drop")
+        table(spark, sf_dir, "events").select(
+            "ts", "event_type", "value"
+        ).write.parquet(drop)
+        sup = StreamingSupervisor(
+            spark,
+            {
+                "type": "kafka",
+                "spec": {
+                    "dataSchema": {
+                        "dataSource": "events_sup",
+                        "timestampSpec": {"column": "ts", "format": "iso"},
+                        "dimensionsSpec": {"dimensions": ["event_type"]},
+                        "metricsSpec": [
+                            {"type": "count", "name": "n_events"},
+                            {
+                                "type": "doubleSum",
+                                "name": "sum_value",
+                                "fieldName": "value",
+                            },
+                        ],
+                        "granularitySpec": {
+                            "segmentGranularity": "day",
+                            "queryGranularity": "hour",
+                            "rollup": True,
+                        },
+                    },
+                    "ioConfig": {
+                        "inputSource": {"type": "local", "baseDir": drop},
+                        "inputFormat": {"type": "parquet"},
+                    },
+                },
+            },
+            deep,
+        ).start()
+        try:
+            sup.process_available()
+        finally:
+            sup.terminate()
+        if sup.recent_errors:
+            raise RuntimeError(
+                f"supervisor ingest failed: {sup.recent_errors}"
+            )
+        _mark_complete(root, fp)
+    back = (
+        spark.read.format("druidsegment")
+        .option("path", os.path.join(deep, "events_sup"))
+        .load()
+    )
+    return (
+        back.groupBy(
+            F.col("__time").alias("bucket_hour"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum(F.col("sum_value").cast("decimal(38,8)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("bucket_hour", "event_type")
+    )

@@ -621,6 +621,12 @@ def test_streaming_supervisor_roundtrip(spark, tmp_path):
             "query": "SELECT COUNT(*) AS n FROM sys.segments "
                      "WHERE datasource = 'wikistream'"})
         assert segs[0]["n"] >= 1
+        svs = _post(base + "/druid/v2/sql", {
+            "query": "SELECT supervisor_id, datasource, state, healthy "
+                     "FROM sys.supervisors"})
+        assert svs == [{"supervisor_id": "wikistream",
+                        "datasource": "wikistream",
+                        "state": "RUNNING", "healthy": 1}]
         # suspend stops the stream; resume continues from the
         # checkpoint; terminate is final
         for action, state in (("suspend", "SUSPENDED"),
@@ -633,6 +639,9 @@ def test_streaming_supervisor_roundtrip(spark, tmp_path):
                 base + "/druid/indexer/v1/supervisor/wikistream/status"
             ) as r:
                 assert json.loads(r.read())["payload"]["state"] == state
+            svs = _post(base + "/druid/v2/sql", {
+                "query": "SELECT state FROM sys.supervisors"})
+            assert svs == [{"state": state}]  # sys view tracks actions
         with pytest.raises(urllib.error.HTTPError) as ei:
             _post(base + "/druid/indexer/v1/supervisor/nope/terminate", {})
         assert ei.value.code == 404
