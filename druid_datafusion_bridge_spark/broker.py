@@ -33,7 +33,14 @@ engine without modification:
   ingestion task in, segments to deep storage, datasource
   auto-registered for querying (a ``compact`` task registers its
   DESTINATION datasource — ``dstDataSource`` or
-  ``<dataSource>_compacted``).
+  ``<dataSource>_compacted``);
+- a whole-query result cache (using-caching.md; context
+  ``useCache``/``populateCache``) serves repeated queries over
+  segment-root datasources without touching Spark — keys carry a
+  digest of the root's segment state, so ingestion, compaction, and
+  handoff invalidate implicitly; the same digest re-registers a root
+  whose segments moved under it (externally published segments are
+  visible on the next request, like a real broker's view sync).
 
 Deliberately a THIN shim: one process, synchronous handlers (Spark
 queries already parallelize internally; the ThreadingHTTPServer keeps
@@ -303,6 +310,100 @@ def _native_envelope(spec: dict, rows: list[dict]) -> list[dict]:
     return rows
 
 
+class _ResultCache:
+    """Whole-query result cache (Druid's broker result-level cache,
+    using-caching.md): entries key on the query plus a DIGEST OF THE
+    DATASOURCE'S SEGMENT STATE, so ingestion/compaction/handoff
+    invalidate implicitly — the next lookup's digest differs and
+    misses. LRU-bounded; thread-safe under the caller's lock."""
+
+    def __init__(self, max_entries: int = 64):
+        from collections import OrderedDict
+
+        self.max_entries = max_entries
+        self._d: "OrderedDict[tuple, Any]" = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key: tuple) -> Any | None:
+        v = self._d.get(key)
+        if v is None:
+            self.misses += 1
+            return None
+        self._d.move_to_end(key)
+        self.hits += 1
+        return v
+
+    def put(self, key: tuple, value: Any) -> None:
+        self._d[key] = value
+        self._d.move_to_end(key)
+        while len(self._d) > self.max_entries:
+            self._d.popitem(last=False)
+
+
+def _segment_state_digest(root: str) -> str | None:
+    """Identity of a segment root's current state: sorted (segment
+    name, meta.smoosh size, mtime_ns) — the same identity the planning
+    manifest uses, O(#segments) stats with zero segment opens. Any
+    rewrite, handoff, or compaction swap changes it."""
+    import hashlib
+    import os
+
+    from .sources.datasource import find_segment_dirs
+
+    try:
+        parts = []
+        for seg_dir in find_segment_dirs(root):
+            st = os.stat(os.path.join(seg_dir, "meta.smoosh"))
+            parts.append(
+                f"{os.path.basename(seg_dir)}:{st.st_size}:{st.st_mtime_ns}"
+            )
+    except OSError:
+        return None
+    return hashlib.md5("|".join(sorted(parts)).encode()).hexdigest()
+
+
+def _native_datasource_names(ds: Any) -> list[str] | None:
+    """Every concrete table name a native dataSource tree references,
+    or None if a form that cannot be resolved to names appears."""
+    if isinstance(ds, str):
+        return [ds]
+    if isinstance(ds, dict):
+        t = ds.get("type")
+        if t == "table":
+            return [ds["name"]] if isinstance(ds.get("name"), str) else None
+        if t == "union":
+            out: list[str] = []
+            for child in ds.get("dataSources") or []:
+                names = _native_datasource_names(child)
+                if names is None:
+                    return None
+                out.extend(names)
+            return out
+        if t == "join":
+            left = _native_datasource_names(ds.get("left"))
+            right = _native_datasource_names(ds.get("right"))
+            if left is None or right is None:
+                return None
+            return left + right
+        if t == "query":
+            inner = ds.get("query") or {}
+            return _native_datasource_names(inner.get("dataSource"))
+        if t == "lookup":
+            return []  # lookups are broker state, not segment state
+    return None
+
+
+# SQL whose result can change without the data changing must never be
+# served from cache (conservative token scan outside string literals)
+_VOLATILE_SQL_RE = re.compile(
+    r"\b(rand|randn|random|uuid|shuffle|now|unix_timestamp|"
+    r"monotonically_increasing_id|current_timestamp|current_date|"
+    r"current_timezone|localtimestamp)\b",
+    re.I,
+)
+
+
 class _QueryTimeout(Exception):
     """A query exceeded its context.timeout (HTTP 504, Druid's shape)."""
 
@@ -330,13 +431,22 @@ class DruidBrokerShim:
         lookups: dict[str, dict[str, str]] | None = None,
         segment_roots: dict[str, str] | None = None,
         deep_storage: str | None = None,
+        result_cache_entries: int = 64,
     ):
         self.spark = spark
         self.tables = dict(tables)
         self.time_col = time_col
         self.max_rows = max_rows
         self.deep_storage = deep_storage
+        self._result_cache = _ResultCache(result_cache_entries)
         self._segment_roots = dict(segment_roots or {})
+        # digest of the segment state each root's registration serves;
+        # a moved digest re-registers before serving (_ensure_fresh_roots)
+        self._root_digests: dict[str, str] = {
+            n: d
+            for n, r in self._segment_roots.items()
+            if (d := _segment_state_digest(r)) is not None
+        }
         self._tasks: dict[str, dict] = {}
         self._supervisors: dict[str, Any] = {}
         self._task_seq = 0
@@ -443,13 +553,133 @@ class DruidBrokerShim:
             df.createOrReplaceTempView(name)
 
     # -- request handling ------------------------------------------------
+    def _ensure_fresh_roots(
+        self, names: list[str] | None
+    ) -> dict[str, str]:
+        """Serve-fresh check for root-backed datasources (a loaded
+        druidsegment DataFrame freezes its segment list, but a real
+        broker sees segments the moment they publish): compute each
+        referenced root's state digest, re-register any whose digest
+        moved since registration, and return {name: digest}. ``names``
+        None (unresolvable reference set) checks every root. One
+        O(#segments) stat walk per root per request — the same
+        metadata walk planning itself performs, far below query cost."""
+        if names is None:
+            names = list(self._segment_roots)
+        out: dict[str, str] = {}
+        for n in dict.fromkeys(names):  # stable de-dup
+            root = self._segment_roots.get(n)
+            if root is None:
+                continue
+            d = _segment_state_digest(root)
+            if d is None:
+                continue
+            if self._root_digests.get(n) != d:
+                self._register_datasource_root(n, digest=d)
+            out[n] = d
+        return out
+
+    def _datasource_digests(
+        self, names: list[str] | None, fresh: dict[str, str]
+    ) -> tuple | None:
+        """(name, digest) per referenced datasource, or None when any
+        referenced datasource is not a segment root (no invalidation
+        signal exists for plain registered DataFrames — don't cache)."""
+        if not names:
+            return None
+        uniq = list(dict.fromkeys(names))
+        if any(n not in fresh for n in uniq):
+            return None
+        return tuple((n, fresh[n]) for n in uniq)
+
     def _handle_native(self, body: dict) -> list[dict]:
+        ctx = body.get("context") or {}
+        use = bool(ctx.get("useCache", True))
+        populate = bool(ctx.get("populateCache", True))
+        names = _native_datasource_names(body.get("dataSource"))
+        fresh = self._ensure_fresh_roots(names)
+        key = None
+        if (use or populate) and self._result_cache.max_entries:
+            digs = (
+                self._datasource_digests(names, fresh)
+                if names is not None else None
+            )
+            if digs is not None:
+                key = (
+                    "native",
+                    json.dumps(
+                        {k: v for k, v in body.items() if k != "context"},
+                        sort_keys=True,
+                    ),
+                    digs,
+                )
+        if key is not None and use:
+            with self._lock:
+                cached = self._result_cache.get(key)
+            if cached is not None:
+                return cached
         df = native_query(
             None, body, time_col=self.time_col, tables=self.tables
         )
-        return _native_envelope(body, _rows_json(df, self.max_rows))
+        out = _native_envelope(body, _rows_json(df, self.max_rows))
+        if key is not None and populate:
+            with self._lock:
+                self._result_cache.put(key, out)
+        return out
 
     def _handle_sql(self, body: dict) -> tuple[bytes, str]:
+        """Result-level cache wrapper around :meth:`_render_sql`
+        (Druid's broker result cache, using-caching.md; context flags
+        ``useCache``/``populateCache``, default true). Cacheable iff
+        every referenced table is a segment root (the root-state digest
+        in the key makes ingest/compaction invalidate implicitly), the
+        query references no sys./INFORMATION_SCHEMA view, isn't
+        EXPLAIN, and contains no volatile function token."""
+        ctx = body.get("context") or {}
+        use = bool(ctx.get("useCache", True))
+        populate = bool(ctx.get("populateCache", True))
+        key = None
+        sql_text = body.get("query", "")
+        stripped = _SQL_LITERAL_RE.sub(" ", sql_text)
+        names = [t for t in self.tables if _word_in_sql(t, sql_text)]
+        # a sys.* introspection must also see externally-published
+        # segments, so it refreshes every root
+        fresh = self._ensure_fresh_roots(
+            None if _SYS_TABLE_RE.search(stripped) else names
+        )
+        if (use or populate) and self._result_cache.max_entries:
+            if not (
+                _EXPLAIN_RE.match(sql_text)
+                or _VOLATILE_SQL_RE.search(stripped)
+                or _SYS_TABLE_RE.search(stripped)
+                or _INFO_SCHEMA_RE.search(stripped)
+            ):
+                digs = self._datasource_digests(names, fresh)
+                if digs is not None:
+                    key = (
+                        "sql",
+                        sql_text,
+                        body.get("resultFormat", "object"),
+                        bool(body.get("header", False)),
+                        bool(body.get("typesHeader", False)),
+                        bool(body.get("sqlTypesHeader", False)),
+                        json.dumps(
+                            body.get("parameters"), sort_keys=True
+                        ),
+                        digs,
+                    )
+        if key is not None and use:
+            with self._lock:
+                cached = self._result_cache.get(key)
+            if cached is not None:
+                return cached
+        out = self._render_sql(body)
+        if key is not None and populate:
+            with self._lock:
+                self._result_cache.put(key, out)
+        return out
+
+    def _render_sql(self, body: dict) -> tuple[bytes, str]:
         """Run a SQL body; return (payload bytes, content type).
 
         Serves every documented resultFormat of Druid's SQL API
@@ -666,22 +896,31 @@ class DruidBrokerShim:
             self._refresh_sys_tasks()
         return {"task": task_id}
 
-    def _register_datasource_root(self, ds: str) -> None:
-        """(Re)register ``deep_storage/<ds>`` for querying: table map,
-        temp view, sys views, INFORMATION_SCHEMA — under the lock, by
-        atomic dict rebind (concurrent readers see old or new map,
-        never one mid-mutation). The handoff-then-serve moment for both
-        the overlord task path and streaming supervisors."""
+    def _register_datasource_root(
+        self, ds: str, digest: str | None = None
+    ) -> None:
+        """(Re)register a segment root for querying: table map, temp
+        view, sys views, INFORMATION_SCHEMA — under the lock, by atomic
+        dict rebind (concurrent readers see old or new map, never one
+        mid-mutation). The handoff-then-serve moment for the overlord
+        task path and streaming supervisors, and the refresh point when
+        a root's segment state moves under an already-registered
+        datasource (_ensure_fresh_roots). The recorded digest pins WHICH
+        state this registration serves."""
         import os
 
         from .sources import register_druid_datasource
 
-        root = os.path.join(self.deep_storage, ds)
+        root = self._segment_roots.get(ds) or os.path.join(
+            self.deep_storage, ds
+        )
         register_druid_datasource(self.spark)
         df = (
             self.spark.read.format("druidsegment")
             .option("path", root).load()
         )
+        if digest is None:
+            digest = _segment_state_digest(root)
         with self._lock:
             tables = dict(self.tables)
             tables[ds] = df
@@ -689,6 +928,10 @@ class DruidBrokerShim:
             roots = dict(self._segment_roots)
             roots[ds] = root
             self._segment_roots = roots
+            digests = dict(self._root_digests)
+            if digest is not None:
+                digests[ds] = digest
+            self._root_digests = digests
             df.createOrReplaceTempView(ds)
             self._refresh_sys_segments()
             self._refresh_sys_datasources()

@@ -647,3 +647,75 @@ def test_streaming_supervisor_roundtrip(spark, tmp_path):
         assert ei.value.code == 404
     finally:
         s.stop()
+
+
+def test_result_cache_hits_and_invalidates(spark, tmp_path):
+    """Broker result-level cache (using-caching.md): identical SQL and
+    native queries over a segment-root datasource serve from cache;
+    useCache=false bypasses; a segment-state change (new handoff into
+    the root) invalidates implicitly and the next run returns the FRESH
+    result; queries over plain registered DataFrames (no invalidation
+    signal) are never cached."""
+    from pyspark.sql import functions as F
+
+    from druid_datafusion_bridge_spark.sources import (
+        register_druid_datasource,
+    )
+    from druid_datafusion_bridge_spark.sources.ingest import (
+        write_druid_segments,
+    )
+
+    register_druid_datasource(spark)
+
+    def ev(*pairs):
+        return spark.createDataFrame(
+            list(pairs), "ts string, v long"
+        ).select(F.col("ts").cast("timestamp").alias("__time"), "v")
+
+    root = str(tmp_path / "segs")
+    write_druid_segments(
+        ev(("2024-01-01 00:10:00", 5), ("2024-01-01 02:20:00", 7)),
+        root, granularity="PT1H",
+    ).collect()
+    back = spark.read.format("druidsegment").option("path", root).load()
+    plain = spark.createDataFrame([(1,)], "x long")
+    s = DruidBrokerShim(
+        spark, {"ev": back, "plain": plain}, segment_roots={"ev": root}
+    )
+    port = s.start()
+    base = f"http://127.0.0.1:{port}"
+    sql = {"query": "SELECT SUM(v) AS total FROM ev"}
+    nat = {"queryType": "timeseries", "dataSource": "ev",
+           "granularity": "all",
+           "aggregations": [{"type": "longSum", "name": "total",
+                             "fieldName": "v"}]}
+    try:
+        cache = s._result_cache
+        assert _post(base + "/druid/v2/sql", sql) == [{"total": 12}]
+        assert (cache.hits, cache.misses) == (0, 1)
+        assert _post(base + "/druid/v2/sql", sql) == [{"total": 12}]
+        assert (cache.hits, cache.misses) == (1, 1)
+        # native path caches independently under its envelope
+        assert _post(base + "/druid/v2", nat)[0]["result"]["total"] == 12
+        assert _post(base + "/druid/v2", nat)[0]["result"]["total"] == 12
+        assert (cache.hits, cache.misses) == (2, 2)
+        # context opt-out: neither served from nor populating
+        hits, misses = cache.hits, cache.misses
+        bypass = dict(sql, context={"useCache": False,
+                                    "populateCache": False})
+        assert _post(base + "/druid/v2/sql", bypass) == [{"total": 12}]
+        assert (cache.hits, cache.misses) == (hits, misses)
+        # plain DataFrame tables have no segment-state signal: no cache
+        assert _post(base + "/druid/v2/sql", {
+            "query": "SELECT COUNT(*) AS n FROM plain"}) == [{"n": 1}]
+        assert _post(base + "/druid/v2/sql", {
+            "query": "SELECT COUNT(*) AS n FROM plain"}) == [{"n": 1}]
+        assert (cache.hits, cache.misses) == (hits, misses)
+        # new segment lands in the root -> digest changes -> fresh rows
+        write_druid_segments(
+            ev(("2024-01-01 05:30:00", 100)), root, granularity="PT1H"
+        ).collect()
+        assert _post(base + "/druid/v2/sql", sql) == [{"total": 112}]
+        assert _post(base + "/druid/v2", nat)[0]["result"]["total"] == 112
+    finally:
+        s.stop()
