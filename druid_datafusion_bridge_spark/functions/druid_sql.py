@@ -74,15 +74,32 @@ def _col(c: Column | str) -> Column:
 _MONDAY_EPOCH = "1969-12-29 00:00:00"
 
 
-def time_floor(col: Column | str, period: str, origin: str | None = None) -> Column:
+def time_floor(
+    col: Column | str,
+    period: str,
+    origin: str | None = None,
+    tz: str | None = None,
+) -> Column:
     """Druid TIME_FLOOR: floor a timestamp to an ISO-period grain,
     optionally anchored at ``origin`` (default: the epoch for duration
     periods, the Monday before the epoch for week periods — ISO weeks,
     Druid's chronology).
 
+    ``tz`` floors in that zone's local chronology (Druid's period
+    granularity ``timeZone``): the instant converts to wall-clock time
+    in ``tz``, floors on the local grid, and converts back — so a P1D
+    bucket in America/Los_Angeles starts at local midnight (07:00/08:00
+    UTC depending on DST). When both are given, ``origin`` anchors the
+    grid as a wall-clock time in ``tz``. Boundaries landing inside a
+    DST fold take Spark's offset choice for the repeated hour — the
+    same instant for every row, so grouping is always consistent.
+
     Inputs may be TIMESTAMP or TIMESTAMP_NTZ; epoch arithmetic casts to
     TIMESTAMP (unix_millis rejects NTZ), which is value-preserving under
     the engine's pinned UTC session timezone (session.py)."""
+    if tz:
+        wall = F.from_utc_timestamp(_col(col).cast("timestamp"), tz)
+        return F.to_utc_timestamp(time_floor(wall, period, origin), tz)
     c = _col(col).cast("timestamp")
     months, millis = parse_period(period)
     if origin is None:
@@ -124,8 +141,16 @@ def _is_week_period(period: str) -> bool:
     )
 
 
-def time_ceil(col: Column | str, period: str, origin: str | None = None) -> Column:
+def time_ceil(
+    col: Column | str,
+    period: str,
+    origin: str | None = None,
+    tz: str | None = None,
+) -> Column:
     """Druid TIME_CEIL: smallest period boundary >= the timestamp."""
+    if tz:
+        wall = F.from_utc_timestamp(_col(col).cast("timestamp"), tz)
+        return F.to_utc_timestamp(time_ceil(wall, period, origin), tz)
     c = _col(col).cast("timestamp")
     fl = time_floor(c, period, origin)
     return F.when(fl == c, c).otherwise(time_shift(fl, period, 1))

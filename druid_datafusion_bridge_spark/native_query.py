@@ -444,7 +444,9 @@ def _granularity_col(g: Any, time_col: str) -> Column | None:
         origin = g.get("origin")
         if origin is not None:
             origin = origin.replace("Z", "").replace("T", " ")
-        return time_floor(c, g["period"], origin)
+        # timeZone (granularities.md): bucket on that zone's LOCAL
+        # chronology — LA days start at local midnight, not 00:00 UTC
+        return time_floor(c, g["period"], origin, g.get("timeZone"))
     if kind == "duration":
         ms = int(g["duration"])
         org = g.get("origin")

@@ -76,6 +76,7 @@ ROTATION: tuple[str, ...] = (
     "fd_lookup_sql_text",
     # r7 new queries, appended as they land (window capacity 50)
     "st_supervisor_ingest",
+    "nq_period_granularity_tz",
 )
 
 

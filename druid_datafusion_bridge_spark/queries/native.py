@@ -414,3 +414,35 @@ def nq_time_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "value": "signup"},
     }
     return native_query(_events(spark, sf_dir), spec, time_col="ts")
+
+
+@query(
+    "nq_period_granularity_tz",
+    oracle="""
+    SELECT CAST((date_trunc('day',
+             (ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/Los_Angeles')
+             AT TIME ZONE 'America/Los_Angeles') AT TIME ZONE 'UTC'
+             AS TIMESTAMP) AS "timestamp",
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS total
+    FROM events GROUP BY 1
+    """,
+)
+def nq_period_granularity_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid period granularity with a timeZone (granularities.md):
+    daily buckets on America/Los_Angeles's LOCAL chronology — each
+    bucket starts at LA midnight (08:00 UTC in winter, 07:00 in
+    summer), returned as the UTC instant of that boundary, exactly as
+    real Druid reports tz-bucketed timeseries. The oracle mirrors the
+    round trip with DuckDB's AT TIME ZONE chain."""
+    spec = {
+        "queryType": "timeseries",
+        "granularity": {"type": "period", "period": "P1D",
+                        "timeZone": "America/Los_Angeles"},
+        "aggregations": [
+            {"type": "count", "name": "n_rows"},
+            {"type": "doubleSum", "name": "total", "fieldName": "value"},
+        ],
+        "context": {"skipEmptyBuckets": True},
+    }
+    return native_query(_events(spark, sf_dir), spec, time_col="ts")

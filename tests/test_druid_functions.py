@@ -283,3 +283,40 @@ def test_mv_sql_twins_match_column_helpers(spark):
         "STRING_TO_MV(s, '|') AS sp",
     ).collect()
     assert [r.asDict() for r in py] == [r.asDict() for r in sql]
+
+
+def test_time_floor_timezone_local_chronology(spark):
+    """time_floor with tz (period granularity timeZone): buckets start
+    at LOCAL midnight across a DST change — 08:00 UTC under PST, 07:00
+    UTC under PDT — and the boundary instant is returned in UTC."""
+    tz = "America/Los_Angeles"
+    # winter (PST, UTC-8): 2024-01-15 10:30 UTC = 02:30 local
+    assert _one(
+        spark, "2024-01-15T10:30:00", time_floor("ts", "P1D", tz=tz)
+    ) == dt.datetime(2024, 1, 15, 8, 0)
+    # 07:59 UTC is still LOCAL Jan 14 (23:59) -> previous bucket
+    assert _one(
+        spark, "2024-01-15T07:59:00", time_floor("ts", "P1D", tz=tz)
+    ) == dt.datetime(2024, 1, 14, 8, 0)
+    # summer (PDT, UTC-7): 2024-06-15 09:30 UTC = 02:30 local
+    assert _one(
+        spark, "2024-06-15T09:30:00", time_floor("ts", "P1D", tz=tz)
+    ) == dt.datetime(2024, 6, 15, 7, 0)
+    # spring-forward day (2024-03-10): local midnight is still PST
+    # (-8), so the bucket boundary is 08:00 UTC even though most of
+    # that local day runs on PDT
+    assert _one(
+        spark, "2024-03-10T23:00:00", time_floor("ts", "P1D", tz=tz)
+    ) == dt.datetime(2024, 3, 10, 8, 0)
+    # ...and the NEXT local midnight is PDT: boundary at 07:00 UTC
+    assert _one(
+        spark, "2024-03-11T07:00:00", time_floor("ts", "P1D", tz=tz)
+    ) == dt.datetime(2024, 3, 11, 7, 0)
+    # monthly grid in local time
+    assert _one(
+        spark, "2024-06-01T05:00:00", time_floor("ts", "P1M", tz=tz)
+    ) == dt.datetime(2024, 5, 1, 7, 0)  # local 2024-05-31 22:00 -> May
+    # ceil shares the local chronology
+    assert _one(
+        spark, "2024-06-15T09:30:00", time_ceil("ts", "P1D", tz=tz)
+    ) == dt.datetime(2024, 6, 16, 7, 0)
