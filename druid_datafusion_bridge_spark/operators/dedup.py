@@ -288,6 +288,72 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_verified_pairs(
+    docs: DataFrame,
+    n: int = 5,
+    threshold: float = 0.5,
+    bands: int = MINHASH_BANDS,
+    rows_per_band: int = MINHASH_ROWS_PER_BAND,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """Candidate -> verify near-dup pipeline, the production shape at
+    100 TB: LSH proposes candidate pairs (cost linear in docs x bands,
+    never all-pairs), then EXACT word-n-gram Jaccard is computed ONLY
+    on the candidates and pairs below ``threshold`` are discarded.
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    Verification cost is candidate-bounded: each candidate pair expands
+    by doc_a's distinct grams, the (doc_b, gram) hash join keeps the
+    matches, and one groupBy counts the intersection — O(pairs x
+    grams-per-doc) rows through two keyed shuffles. Denominator counts
+    join WITHOUT a broadcast hint (one row per candidate endpoint is
+    unbounded at corpus scale; AQE broadcasts when actually small).
+    Candidates that share no gram (possible under banding collisions)
+    drop out of the inner intersection join — their Jaccard is 0, below
+    any positive threshold, so the inner join is not a semantics cut.
+    """
+    cand = lsh_candidate_pairs(
+        docs, n=n, bands=bands, rows_per_band=rows_per_band,
+        text_col=text_col, id_col=id_col, max_bucket=max_bucket,
+    )
+    grams = doc_word_ngrams(docs, n=n, text_col=text_col, id_col=id_col)
+    inter = (
+        cand.join(
+            grams.select(F.col("doc_id").alias("doc_a"), "g"), "doc_a"
+        )
+        .join(
+            grams.select(F.col("doc_id").alias("doc_b"), "g"),
+            ["doc_b", "g"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    cnt = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    return (
+        inter.join(
+            cnt.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na")
+            ),
+            "doc_a",
+        )
+        .join(
+            cnt.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb")
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def duplicate_clusters(
     docs: DataFrame,
     pairs: DataFrame | None = None,

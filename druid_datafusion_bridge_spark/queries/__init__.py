@@ -77,6 +77,7 @@ ROTATION: tuple[str, ...] = (
     # r7 new queries, appended as they land (window capacity 50)
     "st_supervisor_ingest",
     "nq_period_granularity_tz",
+    "dd_lsh_verified_pairs",
 )
 
 

@@ -403,3 +403,56 @@ def dd_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "dd_lsh_verified_pairs",
+    oracle=f"""
+    WITH {_ORACLE_GRAMS},
+    {_ORACLE_HASHES},
+    sig AS (SELECT doc_id, seed, MIN(h) AS mh FROM hashes GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, seed // {MINHASH_ROWS_PER_BAND} AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_key
+      FROM sig GROUP BY doc_id, band),
+    ranked AS (
+      SELECT doc_id, band, band_key,
+             row_number() OVER (PARTITION BY band, band_key
+                                ORDER BY doc_id) AS rk,
+             MIN(doc_id) OVER (PARTITION BY band, band_key) AS rep
+      FROM bands),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ranked a JOIN ranked b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+       AND a.rk <= {LSH_MAX_BUCKET} AND b.rk <= {LSH_MAX_BUCKET}
+      UNION
+      SELECT rep AS doc_a, doc_id AS doc_b
+      FROM ranked WHERE rk > {LSH_MAX_BUCKET}),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN grams ga ON ga.doc_id = c.doc_a
+      JOIN grams gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+      GROUP BY c.doc_a, c.doc_b),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id)
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common)
+             AS jaccard
+    FROM inter i
+    JOIN cnt ca ON ca.doc_id = i.doc_a
+    JOIN cnt cb ON cb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) >= 0.5
+    """,
+)
+def dd_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate -> verify: LSH proposes, exact n-gram Jaccard (computed
+    ONLY on candidates) confirms pairs >= 0.5 — the standard production
+    near-dup pipeline (never all-pairs, never trusting banding alone).
+    The oracle replays the full chain: minhash -> capped band buckets ->
+    exact Jaccard on the candidate set."""
+    from ..operators.dedup import lsh_verified_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    return lsh_verified_pairs(docs, threshold=0.5)

@@ -198,6 +198,7 @@ def test_no_forced_broadcast_of_unbounded_tables(spark):
         "dd_ngram_jaccard": 0,
         "dd_minhash_lsh_pairs": 0,
         "dd_duplicate_clusters": 0,
+        "dd_lsh_verified_pairs": 0,
     }
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
