@@ -78,6 +78,7 @@ ROTATION: tuple[str, ...] = (
     "st_supervisor_ingest",
     "nq_period_granularity_tz",
     "dd_lsh_verified_pairs",
+    "s12_orc_sink_roundtrip",
 )
 
 

@@ -641,6 +641,49 @@ def s10_csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s12_orc_sink_roundtrip",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE l_quantity >= 25
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def s12_orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source round-trip (S11-family file formats): write a
+    lineitem projection as ORC, read it back with a pushdown-eligible
+    predicate, aggregate, and check against the source table. ORC is a
+    binary columnar format — doubles round-trip bit-exactly (unlike the
+    text sinks, which go through the decimal pattern for money), and
+    the quantity predicate reaches the ORC reader as a PushedFilter the
+    same way parquet predicates do."""
+    from ..catalog import table as _table
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join("/tmp", "ddbs_sinks", tag, "lineitem_orc")
+    (
+        _table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite")
+        .orc(out)
+    )
+    back = spark.read.orc(out).filter(F.col("l_quantity") >= 25)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "cx_theta_set_ops",
     oracle="""
     WITH ev AS (
