@@ -79,6 +79,8 @@ ROTATION: tuple[str, ...] = (
     "nq_period_granularity_tz",
     "dd_lsh_verified_pairs",
     "s12_orc_sink_roundtrip",
+    "an_event_transitions",
+    "em_binary_quantize",
 )
 
 

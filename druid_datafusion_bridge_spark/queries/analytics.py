@@ -372,3 +372,57 @@ def an_weighted_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vu").cast("double") / 10000).alias("bucket_value"),
         (num.cast("double") / den).alias("wma"),
     )
+
+
+@query(
+    "an_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    t AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY from_type) AS p
+    FROM t
+    """,
+)
+def an_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: consecutive (event_type -> next) pairs per user (lead over
+    a unique ts+event_id ordering), counted globally, with row-
+    normalized transition probabilities. One user-keyed shuffle for the
+    sequence pass, one type-keyed aggregation — both linear; the window
+    carries O(1) state per row. The probability divides two exact
+    counts, identical IEEE division in both engines."""
+    from pyspark.sql import Window as W
+
+    seq = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    )
+    t = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    return t.select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy("from_type"))
+        ).alias("p"),
+    )

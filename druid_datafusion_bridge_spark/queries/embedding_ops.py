@@ -317,3 +317,95 @@ def em_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mse_pq") < mse_mean).alias("pq_improves"),
         )
     )
+
+
+@query(
+    "em_binary_quantize",
+    oracle="""
+    WITH bits AS (
+      SELECT vec_id, i,
+             CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+                  THEN 1::BIGINT ELSE 0::BIGINT END AS b
+      FROM embeddings, unnest(generate_series(1, 64)) AS u(i)),
+    words AS (
+      SELECT vec_id,
+             SUM(CASE WHEN i <= 32 THEN b * (1::BIGINT << (i - 1))
+                      ELSE 0 END) AS w0,
+             SUM(CASE WHEN i > 32 THEN b * (1::BIGINT << (i - 33))
+                      ELSE 0 END) AS w1
+      FROM bits GROUP BY vec_id),
+    probes AS (SELECT vec_id AS probe_id, w0 AS p0, w1 AS p1
+               FROM words WHERE vec_id < 5),
+    dists AS (
+      SELECT p.probe_id, w.vec_id,
+             bit_count(xor(w.w0, p.p0))
+               + bit_count(xor(w.w1, p.p1)) AS hamming
+      FROM probes p, words w WHERE w.vec_id <> p.probe_id),
+    ranked AS (
+      SELECT probe_id, vec_id, hamming,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY hamming, vec_id) AS rank
+      FROM dists)
+    SELECT probe_id, vec_id, CAST(hamming AS BIGINT) AS hamming,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def em_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit (binary) quantization + Hamming-distance top-k: each
+    64-dim vector packs into two 32-bit sign words (32x memory cut, the
+    coarse tier of modern two-stage retrieval — binary prefilter, then
+    exact rerank like em_truncate_rerank), and the 5 probe vectors rank
+    the corpus by XOR popcount. Quantization is a stateless scan (no
+    shuffle at 100 TB); search broadcasts the bounded probe codes and
+    streams the corpus through JVM-side bit_count, one window cut per
+    probe. Exact in both engines: bit packing and popcounts are integer
+    arithmetic, ties broken by vec_id."""
+    from pyspark.sql import Window as W
+
+    emb = table(spark, sf_dir, "embeddings")
+    bits = F.transform(
+        "embedding",
+        lambda x: F.when(x.cast("double") > 0, F.lit(1).cast("long"))
+        .otherwise(F.lit(0).cast("long")),
+    )
+    # b * 2^i via pow: exact (2^31 < 2^53), since shiftleft's bit count
+    # must be a literal int, not a per-element column
+    word = lambda arr: F.aggregate(  # noqa: E731
+        F.zip_with(
+            arr,
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda b, i: b * F.pow(F.lit(2.0), i).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    words = emb.select(
+        "vec_id",
+        word(F.slice(bits, 1, 32)).alias("w0"),
+        word(F.slice(bits, 33, 32)).alias("w1"),
+    )
+    probes = words.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("w0").alias("p0"),
+        F.col("w1").alias("p1"),
+    )
+    dists = (
+        words.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            (
+                F.bit_count(F.col("w0").bitwiseXOR(F.col("p0")))
+                + F.bit_count(F.col("w1").bitwiseXOR(F.col("p1")))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy("hamming", "vec_id")
+    return (
+        dists.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("probe_id", "vec_id", "hamming", "rank")
+    )
