@@ -451,6 +451,9 @@ class DruidBrokerShim:
         self._supervisors: dict[str, Any] = {}
         self._task_seq = 0
         self._lock = threading.Lock()
+        # serializes supervisor replace sequences (terminate prev +
+        # start next); self._lock stays for fast map/view updates
+        self._submit_lock = threading.Lock()
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -605,10 +608,29 @@ class DruidBrokerShim:
                 if names is not None else None
             )
             if digs is not None:
+                # execution-only context keys stay OUT of the key;
+                # result-shaping ones (skipEmptyBuckets, grandTotal, ...)
+                # stay IN — two semantically different queries must
+                # never share a cache entry
+                ctx_key = {
+                    k: v
+                    for k, v in ctx.items()
+                    if k not in (
+                        "useCache", "populateCache", "timeout",
+                        "priority", "queryId",
+                    )
+                }
                 key = (
                     "native",
                     json.dumps(
-                        {k: v for k, v in body.items() if k != "context"},
+                        {
+                            **{
+                                k: v
+                                for k, v in body.items()
+                                if k != "context"
+                            },
+                            "context": ctx_key,
+                        },
                         sort_keys=True,
                     ),
                     digs,
@@ -647,6 +669,12 @@ class DruidBrokerShim:
         fresh = self._ensure_fresh_roots(
             None if _SYS_TABLE_RE.search(stripped) else names
         )
+        if re.search(r"\bsys\.supervisors\b", stripped, re.I):
+            # healthy/recentErrors flip on the streaming handoff
+            # thread; rebuild the view at read time so SQL agrees
+            # with the /status endpoint
+            with self._lock:
+                self._refresh_sys_supervisors()
         if (use or populate) and self._result_cache.max_entries:
             if not (
                 _EXPLAIN_RE.match(sql_text)
@@ -953,16 +981,21 @@ class DruidBrokerShim:
             self.spark, body, self.deep_storage,
             on_handoff=self._register_datasource_root,
         )
-        with self._lock:
-            prev = self._supervisors.get(sup.id)
-        if prev is not None:
-            prev.terminate()
-        sup.start()
-        with self._lock:
-            sups = dict(self._supervisors)
-            sups[sup.id] = sup
-            self._supervisors = sups
-            self._refresh_sys_supervisors()
+        # the whole replace sequence is serialized: two concurrent
+        # resubmits of one id would otherwise both terminate the same
+        # prev and start two streams sharing a checkpoint dir (one of
+        # them leaking untracked)
+        with self._submit_lock:
+            with self._lock:
+                prev = self._supervisors.get(sup.id)
+            if prev is not None:
+                prev.terminate()
+            sup.start()
+            with self._lock:
+                sups = dict(self._supervisors)
+                sups[sup.id] = sup
+                self._supervisors = sups
+                self._refresh_sys_supervisors()
         return {"id": sup.id}
 
     def _supervisor_action(self, sup_id: str, action: str) -> dict | None:

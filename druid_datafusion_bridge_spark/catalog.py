@@ -128,7 +128,18 @@ def _scan_mirror(
         spark.conf.set("spark.sql.parquet.outputTimestampType", old_tt)
     with open(os.path.join(tmp, "_FINGERPRINT"), "w", encoding="utf-8") as f:
         f.write(fp)
-    shutil.rmtree(dest, ignore_errors=True)  # stale fingerprint
+    # re-check before clearing dest: a concurrent builder may have
+    # completed the SAME fingerprint while we built — deleting its copy
+    # would yank files out from under queries already reading it. Only
+    # a genuinely stale dest (fingerprint mismatch) is replaced.
+    try:
+        with open(stamp, encoding="utf-8") as f:
+            if f.read() == fp:
+                shutil.rmtree(tmp, ignore_errors=True)
+                return spark.read.parquet(dest)
+    except OSError:
+        pass
+    shutil.rmtree(dest, ignore_errors=True)  # stale or absent
     try:
         os.rename(tmp, dest)
     except OSError:

@@ -442,11 +442,30 @@ def _granularity_col(g: Any, time_col: str) -> Column | None:
         return c
     if kind == "period":
         origin = g.get("origin")
-        if origin is not None:
+        tz = g.get("timeZone")
+        if origin is not None and tz:
+            # Druid parses origin as an INSTANT (UTC when no offset)
+            # and anchors the grid at that instant's local time in
+            # timeZone — convert here so the wall-clock floor sees the
+            # local anchor, not the UTC digits re-read as local
+            import datetime as _dt
+            from zoneinfo import ZoneInfo
+
+            inst = _dt.datetime.fromisoformat(
+                origin.replace("Z", "+00:00")
+            )
+            if inst.tzinfo is None:
+                inst = inst.replace(tzinfo=_dt.timezone.utc)
+            origin = (
+                inst.astimezone(ZoneInfo(tz))
+                .replace(tzinfo=None)
+                .isoformat(sep=" ")
+            )
+        elif origin is not None:
             origin = origin.replace("Z", "").replace("T", " ")
         # timeZone (granularities.md): bucket on that zone's LOCAL
         # chronology — LA days start at local midnight, not 00:00 UTC
-        return time_floor(c, g["period"], origin, g.get("timeZone"))
+        return time_floor(c, g["period"], origin, tz)
     if kind == "duration":
         ms = int(g["duration"])
         org = g.get("origin")

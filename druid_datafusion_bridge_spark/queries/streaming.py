@@ -310,25 +310,21 @@ def st_segment_handoff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation (same fingerprint discipline as the other segment
     builds); the serving query itself never touches raw events."""
     import os
-    import shutil
 
     from pyspark.sql import functions as F
 
     from ..streaming.ingest import stream_to_segments
     from .druid_source import (
-        _cache_ready,
+        _cached_build,
         _ensure_registered,
-        _mark_complete,
         _segment_root,
-        _source_fingerprint,
     )
 
     _ensure_registered(spark)
     root = _segment_root(sf_dir, "events_rt_handoff")
     data = os.path.join(root, "data")
-    if not _cache_ready(root, sf_dir, "events"):
-        fp = _source_fingerprint(sf_dir, "events")
-        shutil.rmtree(root, ignore_errors=True)
+
+    def _build() -> None:
         ev = stream_events(spark, sf_dir).select(
             F.col("ts").alias("__time"), "event_type", "value"
         )
@@ -337,14 +333,15 @@ def st_segment_handoff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if not q.awaitTermination(300):
             # availableNow didn't drain in time: stop the writer and
-            # fail loudly — stamping _COMPLETE here would serve a
-            # PARTIAL handoff as complete on every later run.
+            # fail loudly — a raise here means _cached_build never
+            # stamps the PARTIAL handoff as complete.
             q.stop()
             raise RuntimeError(
                 "segment handoff stream did not terminate within 300s; "
                 "refusing to mark the partial segment root complete"
             )
-        _mark_complete(root, fp)
+
+    _cached_build(root, sf_dir, "events", _build)
     back = spark.read.format("druidsegment").option("path", data).load()
     return (
         back.groupBy(
@@ -386,26 +383,22 @@ def st_supervisor_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     is cached per testdata fingerprint; the serving query never touches
     raw events."""
     import os
-    import shutil
 
     from pyspark.sql import functions as F
 
     from ..catalog import table
     from ..streaming.supervisor import StreamingSupervisor
     from .druid_source import (
-        _cache_ready,
+        _cached_build,
         _ensure_registered,
-        _mark_complete,
         _segment_root,
-        _source_fingerprint,
     )
 
     _ensure_registered(spark)
     root = _segment_root(sf_dir, "events_supervisor")
     deep = os.path.join(root, "deep")
-    if not _cache_ready(root, sf_dir, "events"):
-        fp = _source_fingerprint(sf_dir, "events")
-        shutil.rmtree(root, ignore_errors=True)
+
+    def _build() -> None:
         drop = os.path.join(root, "drop")
         table(spark, sf_dir, "events").select(
             "ts", "event_type", "value"
@@ -446,10 +439,13 @@ def st_supervisor_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             sup.terminate()
         if sup.recent_errors:
+            # raising skips the completion stamp, so a failed ingest
+            # can never serve as a complete cache
             raise RuntimeError(
                 f"supervisor ingest failed: {sup.recent_errors}"
             )
-        _mark_complete(root, fp)
+
+    _cached_build(root, sf_dir, "events", _build)
     back = (
         spark.read.format("druidsegment")
         .option("path", os.path.join(deep, "events_sup"))

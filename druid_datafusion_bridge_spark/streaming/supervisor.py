@@ -80,11 +80,15 @@ def _read_stream_input(
         base = src["baseDir"]
         fmt = io_config.get("inputFormat", {})
         kind = fmt.get("type", "json")
+        if kind not in ("json", "csv", "tsv", "parquet"):
+            raise ValueError(f"unsupported inputFormat type {kind!r}")
         glob = src.get("filter")
         path = os.path.join(base, glob) if glob else base
         # file stream sources need a fixed schema up front: infer from
         # whatever is already in the directory, else derive from the
-        # dataSchema (so a supervisor can start BEFORE data arrives)
+        # dataSchema (so a supervisor can start BEFORE data arrives, or
+        # against a directory holding only schemaless marker files)
+        inferred = None
         try:
             if kind == "json":
                 inferred = spark.read.json(path).schema
@@ -95,15 +99,11 @@ def _read_stream_input(
                         "header", bool(fmt.get("findColumnsFromHeader"))
                     ).option("sep", sep).csv(path).schema
                 )
-            elif kind == "parquet":
-                inferred = spark.read.parquet(path).schema
             else:
-                raise ValueError(f"unsupported inputFormat type {kind!r}")
-            if not inferred.fields:
-                raise ValueError("empty dir")
-        except ValueError:
-            raise
+                inferred = spark.read.parquet(path).schema
         except Exception:
+            inferred = None
+        if inferred is None or not inferred.fields:
             inferred = _schema_from_dataschema(schema)
         if kind == "json":
             reader = spark.readStream.schema(inferred).json(path)
@@ -257,11 +257,21 @@ class StreamingSupervisor:
                     )[-5:]
                 raise
 
-        trigger_s = (self._io.get("period") or "PT1S").lstrip("PT").lower()
+        # ioConfig.period is an ISO clock period (PT30S, PT1M, PT1H...);
+        # parse it properly — naive string slicing turned PT1M into an
+        # invalid Spark interval
+        from ..functions.druid_sql import parse_period
+
+        months, millis = parse_period(self._io.get("period") or "PT1S")
+        if months:
+            raise ValueError(
+                "supervisor ioConfig.period must be a clock period "
+                "(PT...), not a calendar period"
+            )
         self._query = (
             stream.writeStream.foreachBatch(handoff)
             .option("checkpointLocation", self.checkpoint)
-            .trigger(processingTime=f"{trigger_s.rstrip('s') or '1'} seconds")
+            .trigger(processingTime=f"{max(1, millis // 1000)} seconds")
             .start()
         )
         self.state = "RUNNING"
@@ -276,8 +286,12 @@ class StreamingSupervisor:
             self._query = None
 
     def suspend(self) -> None:
-        self._stop_query()
-        self.state = "SUSPENDED"
+        # only a running supervisor suspends: TERMINATED is final (real
+        # Druid rejects actions on terminated supervisors), so a
+        # suspend-then-resume can never resurrect a dead stream
+        if self.state == "RUNNING":
+            self._stop_query()
+            self.state = "SUSPENDED"
 
     def resume(self) -> None:
         if self.state == "SUSPENDED":

@@ -719,3 +719,48 @@ def test_result_cache_hits_and_invalidates(spark, tmp_path):
         assert _post(base + "/druid/v2", nat)[0]["result"]["total"] == 112
     finally:
         s.stop()
+
+
+def test_result_cache_keys_on_result_shaping_context(spark, tmp_path):
+    """Two native queries identical except for a RESULT-SHAPING context
+    flag (skipEmptyBuckets) must not share a cache entry; execution-only
+    flags (timeout, priority) must not fragment the cache."""
+    from pyspark.sql import functions as F
+
+    from druid_datafusion_bridge_spark.sources import (
+        register_druid_datasource,
+    )
+    from druid_datafusion_bridge_spark.sources.ingest import (
+        write_druid_segments,
+    )
+
+    register_druid_datasource(spark)
+    ev = spark.createDataFrame(
+        [("2024-01-01 00:10:00", 5), ("2024-01-01 02:20:00", 7)],
+        "ts string, v long",
+    ).select(F.col("ts").cast("timestamp").alias("__time"), "v")
+    root = str(tmp_path / "segs")
+    write_druid_segments(ev, root, granularity="PT1H").collect()
+    back = spark.read.format("druidsegment").option("path", root).load()
+    s = DruidBrokerShim(spark, {"ev": back}, segment_roots={"ev": root})
+    port = s.start()
+    base = f"http://127.0.0.1:{port}"
+    nat = {"queryType": "timeseries", "dataSource": "ev",
+           "granularity": "hour",
+           "intervals": ["2024-01-01T00:00:00/2024-01-01T03:00:00"],
+           "aggregations": [{"type": "longSum", "name": "total",
+                             "fieldName": "v"}]}
+    try:
+        full = _post(base + "/druid/v2", nat)
+        assert len(full) == 3  # zero-filled hour grid
+        skip = _post(base + "/druid/v2", dict(
+            nat, context={"skipEmptyBuckets": True}))
+        assert len(skip) == 2  # data buckets only, NOT the cached grid
+        assert (s._result_cache.hits, s._result_cache.misses) == (0, 2)
+        # execution-only context keys reuse the same entry
+        again = _post(base + "/druid/v2", dict(
+            nat, context={"timeout": 60000, "priority": 10}))
+        assert again == full
+        assert s._result_cache.hits == 1
+    finally:
+        s.stop()

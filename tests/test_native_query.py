@@ -897,3 +897,36 @@ def test_numeric_bound_on_unparsable_strings_ansi(events):
         assert len(run(events, spec2).collect()) == 3
     finally:
         spark.conf.set("spark.sql.ansi.enabled", old)
+
+
+def test_period_granularity_timezone_and_origin(events):
+    """Period granularity timeZone buckets on LOCAL chronology; an
+    origin is an INSTANT (UTC unless offset given) whose grid anchors
+    at its local time in that zone — not the UTC digits re-read as
+    local wall-clock time (review regression)."""
+    # LA days: 2024-01-01 00:10..01:40 local is 2023-12-31 16:10..17:40
+    rows = run(events, {
+        "queryType": "timeseries",
+        "granularity": {"type": "period", "period": "P1D",
+                        "timeZone": "America/Los_Angeles"},
+        "aggregations": [{"type": "count", "name": "n"}],
+        "context": {"skipEmptyBuckets": True},
+    }).collect()
+    got = {str(r["timestamp"]): r["n"] for r in rows}
+    # all 7 rows are 00:05..03:00 UTC -> local previous day 16:05-19:00
+    assert got == {"2023-12-31 08:00:00": 4, "2024-01-01 08:00:00": 3}
+
+    # origin 1970-01-01T04:20:00Z = 1969-12-31 20:20 LA local; PT6H
+    # local grid ...20:20, 02:20, 08:20, 14:20. 00:10Z = 16:10 local
+    # (floor 14:20 local = 22:20Z prev day); 01:40Z = 17:40 local.
+    rows = run(events, {
+        "queryType": "timeseries",
+        "granularity": {"type": "period", "period": "PT6H",
+                        "origin": "1970-01-01T04:20:00Z",
+                        "timeZone": "America/Los_Angeles"},
+        "intervals": ["2024-01-01T00:00:00/2024-01-01T02:00:00"],
+        "aggregations": [{"type": "count", "name": "n"}],
+        "context": {"skipEmptyBuckets": True},
+    }).collect()
+    got = {str(r["timestamp"]): r["n"] for r in rows}
+    assert got == {"2023-12-31 22:20:00": 4}

@@ -384,3 +384,61 @@ def test_supervisor_starts_before_data_arrives(spark, tmp_path):
     finally:
         sup.terminate()
     assert sup.status()["state"] == "TERMINATED"
+
+
+def test_supervisor_minute_period_and_terminated_is_final(spark, tmp_path):
+    """Review regressions: (1) ioConfig.period parses as a real ISO
+    clock period (PT1M used to become an invalid Spark trigger and kill
+    the submission); (2) an empty drop dir with a marker file whose
+    rows carry no fields still falls back to the dataSchema-derived
+    schema; (3) TERMINATED is final — suspend/resume can't resurrect."""
+    import json as _json
+
+    from druid_datafusion_bridge_spark.streaming.supervisor import (
+        StreamingSupervisor,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    with open(drop / "marker.json", "w") as f:
+        f.write("{}\n")  # schemaless heartbeat file
+    spec = {"type": "kafka", "spec": {
+        "dataSchema": {
+            "dataSource": "minute",
+            "timestampSpec": {"column": "time", "format": "iso"},
+            "dimensionsSpec": {"dimensions": ["channel"]},
+            "metricsSpec": [{"type": "longSum", "name": "delta_sum",
+                             "fieldName": "delta"}],
+            "granularitySpec": {"segmentGranularity": "day",
+                                "queryGranularity": "hour"},
+        },
+        "ioConfig": {
+            "inputSource": {"type": "local", "baseDir": str(drop)},
+            "inputFormat": {"type": "json"},
+            "period": "PT1M",
+        },
+    }}
+    sup = StreamingSupervisor(spark, spec, str(tmp_path / "deep")).start()
+    try:
+        assert sup.state == "RUNNING"
+        with open(drop / "one.json", "w") as f:
+            f.write(_json.dumps({"time": "2024-01-01T00:10:00Z",
+                                 "channel": "en", "delta": 3}) + "\n")
+        sup.process_available()
+        assert sup.segments_published == 1, sup.status()
+    finally:
+        sup.terminate()
+    assert sup.status()["state"] == "TERMINATED"
+    sup.suspend()
+    assert sup.status()["state"] == "TERMINATED"  # final, not SUSPENDED
+    sup.resume()
+    assert sup.status()["state"] == "TERMINATED"
+    # calendar periods are rejected loudly, not mis-parsed
+    import pytest as _pytest
+
+    bad = {"type": "kafka", "spec": {
+        "dataSchema": spec["spec"]["dataSchema"] | {"dataSource": "cal"},
+        "ioConfig": dict(spec["spec"]["ioConfig"], period="P1M"),
+    }}
+    with _pytest.raises(ValueError, match="clock period"):
+        StreamingSupervisor(spark, bad, str(tmp_path / "deep2")).start()
