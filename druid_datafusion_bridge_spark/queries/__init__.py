@@ -81,6 +81,8 @@ ROTATION: tuple[str, ...] = (
     "s12_orc_sink_roundtrip",
     "an_event_transitions",
     "em_binary_quantize",
+    "nq_union_datasource",
+    "fd_window_sql_text",
 )
 
 

@@ -458,3 +458,51 @@ def fd_lookup_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_name
         """
     )
+
+
+@query(
+    "fd_window_sql_text",
+    oracle="""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+           CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS day_total,
+           CAST(SUM(SUM(CAST(value AS DECIMAL(38,8))))
+                  OVER (PARTITION BY event_type ORDER BY date_trunc('day', ts)
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             AS running_total,
+           CAST(rank() OVER (PARTITION BY event_type
+                             ORDER BY SUM(CAST(value AS DECIMAL(38,8))) DESC,
+                                      date_trunc('day', ts)) AS BIGINT)
+             AS day_rank
+    FROM events
+    GROUP BY event_type, date_trunc('day', ts)
+    """,
+)
+def fd_window_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid SQL WINDOW functions (sql-window-functions.md, Druid 28+)
+    as raw SQL text — aggregate-over-window composed with GROUP BY and
+    the TIME_FLOOR dialect function, the shape Druid's windowing docs
+    lead with (running totals and ranks over daily rollups). Decimal
+    accumulation keeps both engines' sums bit-identical; the rank's
+    ORDER BY carries the day as a unique tiebreak."""
+    register_druid_sql_functions(spark)
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               TIME_FLOOR(ts, 'P1D') AS d,
+               CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE)
+                 AS day_total,
+               CAST(SUM(SUM(CAST(value AS DECIMAL(38,8))))
+                      OVER (PARTITION BY event_type
+                            ORDER BY TIME_FLOOR(ts, 'P1D')
+                            ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 AS running_total,
+               CAST(rank() OVER (PARTITION BY event_type
+                                 ORDER BY SUM(CAST(value AS DECIMAL(38,8)))
+                                   DESC, TIME_FLOOR(ts, 'P1D')) AS BIGINT)
+                 AS day_rank
+        FROM events
+        GROUP BY event_type, TIME_FLOOR(ts, 'P1D')
+        """
+    )

@@ -446,3 +446,43 @@ def nq_period_granularity_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
         "context": {"skipEmptyBuckets": True},
     }
     return native_query(_events(spark, sf_dir), spec, time_col="ts")
+
+
+@query(
+    "nq_union_datasource",
+    oracle="""
+    WITH unioned AS (
+      SELECT event_type, value FROM events WHERE user_id % 2 = 0
+      UNION ALL
+      SELECT event_type, value FROM events WHERE user_id % 2 = 1)
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS total
+    FROM unioned GROUP BY event_type
+    """,
+)
+def nq_union_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid native UNION datasource (datasource.md): one query over
+    several same-schema tables — the per-tenant / per-region datasource
+    layout. Members resolve from the table map and append with
+    unionByName; Spark plans one scan per member with the groupBy's
+    partial aggregation pushed below the union, so the shape stays a
+    single shuffle at any member count."""
+    ev = _events(spark, sf_dir)
+    spec = {
+        "queryType": "groupBy",
+        "dataSource": {"type": "union",
+                       "dataSources": ["events_even", "events_odd"]},
+        "granularity": "all",
+        "dimensions": ["event_type"],
+        "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total", "fieldName": "value"},
+        ],
+    }
+    return native_query(
+        None, spec, time_col="ts",
+        tables={
+            "events_even": ev.filter(F.col("user_id") % 2 == 0),
+            "events_odd": ev.filter(F.col("user_id") % 2 == 1),
+        },
+    )
