@@ -34,6 +34,11 @@ engine without modification:
   auto-registered for querying (a ``compact`` task registers its
   DESTINATION datasource — ``dstDataSource`` or
   ``<dataSource>_compacted``);
+- ``POST /druid/v2/sql/task`` runs Druid's SQL-based (MSQ) ingestion
+  statements — ``INSERT INTO ds SELECT ... PARTITIONED BY <grain>
+  [CLUSTERED BY cols]`` appends version-tagged segments, ``REPLACE
+  INTO ds OVERWRITE ALL ...`` swaps the datasource — synchronously on
+  Spark, recorded in sys.tasks;
 - a whole-query result cache (using-caching.md; context
   ``useCache``/``populateCache``) serves repeated queries over
   segment-root datasources without touching Spark — keys carry a
@@ -165,6 +170,23 @@ _INFO_SCHEMA_RE = re.compile(
 # single-quoted SQL string literals ('' = escaped quote) — system-table
 # rewriting must not touch text inside them
 _SQL_LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
+
+# Druid SQL-based ingestion statements (sql-ingestion.md), served by
+# POST /druid/v2/sql/task: INSERT appends, REPLACE OVERWRITE ALL swaps
+_INGEST_SQL_RE = re.compile(
+    r"^\s*(?P<verb>INSERT|REPLACE)\s+INTO\s+\"?(?P<ds>[\w.\-]+)\"?\s+"
+    r"(?P<overwrite>OVERWRITE\s+ALL\s+)?"
+    r"(?P<select>SELECT\b.*?)\s+"
+    r"PARTITIONED\s+BY\s+(?P<grain>\w+|'[^']+')"
+    r"(?:\s+CLUSTERED\s+BY\s+(?P<cluster>[^;]+?))?\s*;?\s*$",
+    re.I | re.S,
+)
+# PARTITIONED BY keywords -> ISO periods; ALL = one bucket for all time
+# (a millennium period floors every post-epoch timestamp together)
+_PARTITIONED_BY = {
+    "HOUR": "PT1H", "DAY": "P1D", "WEEK": "P1W", "MONTH": "P1M",
+    "YEAR": "P1Y", "ALL": "P1000Y", "ALL TIME": "P1000Y",
+}
 
 
 def _sub_outside_literals(sql: str, fn) -> str:
@@ -662,6 +684,13 @@ class DruidBrokerShim:
         populate = bool(ctx.get("populateCache", True))
         key = None
         sql_text = body.get("query", "")
+        if re.match(r"\s*(INSERT|REPLACE)\s+INTO\b", sql_text, re.I):
+            # same split as real Druid: the interactive SQL endpoint
+            # rejects ingestion statements and points at the task API
+            raise ValueError(
+                "INSERT/REPLACE statements must be submitted to "
+                "POST /druid/v2/sql/task"
+            )
         stripped = _SQL_LITERAL_RE.sub(" ", sql_text)
         names = [t for t in self.tables if _word_in_sql(t, sql_text)]
         # a sys.* introspection must also see externally-published
@@ -706,6 +735,108 @@ class DruidBrokerShim:
             with self._lock:
                 self._result_cache.put(key, out)
         return out
+
+    def _handle_sql_ingest(self, body: dict) -> dict:
+        """POST /druid/v2/sql/task — Druid's SQL-based (MSQ) ingestion
+        (sql-ingestion.md): ``INSERT INTO ds SELECT ... PARTITIONED BY
+        <grain>`` appends version-tagged segments; ``REPLACE INTO ds
+        OVERWRITE ALL SELECT ... PARTITIONED BY <grain>`` swaps the
+        datasource's contents. ``CLUSTERED BY cols`` orders rows inside
+        each segment (after __time, Druid's layout). Runs synchronously
+        on Spark — the returned task is already terminal, and it shows
+        up in sys.tasks and /druid/indexer/v1/task/{id}/status like any
+        overlord task. The SELECT must produce a __time column."""
+        if self.deep_storage is None:
+            raise ValueError(
+                "SQL ingestion disabled: broker started without "
+                "deep_storage"
+            )
+        import datetime
+        import os
+        import shutil
+        import time
+
+        sql_text = body.get("query", "")
+        m = _INGEST_SQL_RE.match(sql_text)
+        if m is None:
+            raise ValueError(
+                "sql/task accepts INSERT INTO <ds> SELECT ... "
+                "PARTITIONED BY <grain> [CLUSTERED BY cols] or "
+                "REPLACE INTO <ds> OVERWRITE ALL SELECT ..."
+            )
+        verb = m.group("verb").upper()
+        ds = m.group("ds")
+        overwrite = m.group("overwrite") is not None
+        if verb == "REPLACE" and not overwrite:
+            raise ValueError("REPLACE requires OVERWRITE ALL")
+        if verb == "INSERT" and overwrite:
+            raise ValueError("INSERT cannot OVERWRITE; use REPLACE")
+        grain = m.group("grain").strip("'\"").upper()
+        period = _PARTITIONED_BY.get(grain, grain if grain.startswith("P") else None)
+        if period is None:
+            raise ValueError(
+                f"unsupported PARTITIONED BY {m.group('grain')!r}"
+            )
+        cluster = [
+            c.strip().strip('"')
+            for c in (m.group("cluster") or "").split(",")
+            if c.strip()
+        ]
+        params = body.get("parameters")
+        args = (
+            [p.get("value") if isinstance(p, dict) else p for p in params]
+            if params
+            else None
+        )
+        df = self.spark.sql(
+            _rewrite_system_tables(m.group("select")), args=args
+        )
+        if "__time" not in df.columns:
+            raise ValueError(
+                "INSERT/REPLACE queries must provide a __time column"
+            )
+        from .sources.ingest import write_druid_segments
+
+        with self._lock:
+            self._task_seq += 1
+            task_id = f"query_controller_{ds}_{self._task_seq}"
+        created = datetime.datetime.now(datetime.timezone.utc).isoformat()
+        root = os.path.join(self.deep_storage, ds)
+        t0 = time.monotonic()
+        try:
+            if verb == "REPLACE":
+                shutil.rmtree(root, ignore_errors=True)
+            write_druid_segments(
+                df,
+                root,
+                granularity=period,
+                sort_by=cluster or None,
+                # INSERT appends: version-tag by task so repeated
+                # inserts into one interval never collide
+                version=f"t{self._task_seq}" if verb == "INSERT" else "",
+            ).collect()
+            self._register_datasource_root(ds)
+            status = {
+                "id": task_id, "status": "SUCCESS", "dataSource": ds,
+                "type": "query_controller", "createdTime": created,
+                "duration": int((time.monotonic() - t0) * 1000),
+                "errorMsg": None,
+            }
+        except Exception as e:
+            status = {
+                "id": task_id, "status": "FAILED", "dataSource": ds,
+                "type": "query_controller", "createdTime": created,
+                "duration": int((time.monotonic() - t0) * 1000),
+                "errorMsg": str(e)[:800],
+            }
+        with self._lock:
+            tasks = dict(self._tasks)
+            tasks[task_id] = status
+            self._tasks = tasks
+            self._refresh_sys_tasks()
+        if status["status"] == "FAILED":
+            raise ValueError(status["errorMsg"])
+        return {"taskId": task_id, "state": "SUCCESS"}
 
     def _render_sql(self, body: dict) -> tuple[bytes, str]:
         """Run a SQL body; return (payload bytes, content type).
@@ -1120,6 +1251,9 @@ class DruidBrokerShim:
                             lambda: shim._handle_sql(body), timeout_ms
                         )
                         self._send_raw(200, data, ctype)
+                        return
+                    elif self.path == "/druid/v2/sql/task":
+                        self._send(200, shim._handle_sql_ingest(body))
                         return
                     elif self.path == "/druid/indexer/v1/task":
                         self._send(200, shim._handle_task(body))

@@ -38,6 +38,7 @@ def write_druid_segments(
     dimensions: list[str] | None = None,
     max_rows_per_segment: int = 5_000_000,
     version: str = "",
+    sort_by: list[str] | None = None,
 ) -> DataFrame:
     """Write `df` as a directory of Druid v9 segments, one (or more, for
     hot intervals) per `granularity` bucket of `__time`.
@@ -78,7 +79,12 @@ def write_druid_segments(
 
         bucket_ms = key[0].cast(pa.timestamp("ms")).cast(pa.int64()).as_py()
         shard = int(key[1].as_py())
-        table = table.drop_columns(["__bucket", "__shard"]).sort_by(TIME_COLUMN)
+        # rows sort by __time then the caller's cluster keys (Druid's
+        # CLUSTERED BY: segment-local row order for locality/rollup)
+        order = [(TIME_COLUMN, "ascending")] + [
+            (c, "ascending") for c in (sort_by or [])
+        ]
+        table = table.drop_columns(["__bucket", "__shard"]).sort_by(order)
         t_idx = table.column_names.index(TIME_COLUMN)
         table = table.set_column(
             t_idx,

@@ -764,3 +764,66 @@ def test_result_cache_keys_on_result_shaping_context(spark, tmp_path):
         assert s._result_cache.hits == 1
     finally:
         s.stop()
+
+
+def test_sql_task_insert_replace_ingestion(spark, tmp_path):
+    """Druid SQL-based (MSQ) ingestion through POST /druid/v2/sql/task:
+    INSERT INTO ... PARTITIONED BY DAY creates a queryable datasource,
+    a second INSERT appends (version-tagged segments), REPLACE
+    OVERWRITE ALL swaps the contents, CLUSTERED BY orders rows inside
+    segments, the tasks land in sys.tasks, and the interactive SQL
+    endpoint rejects ingestion statements like real Druid."""
+    s = DruidBrokerShim(spark, {}, deep_storage=str(tmp_path / "deep"))
+    port = s.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        out = _post(base + "/druid/v2/sql/task", {
+            "query": """
+              INSERT INTO sales
+              SELECT TIMESTAMP '2024-01-01 01:00:00' AS __time,
+                     'red' AS color, 5 AS qty
+              UNION ALL
+              SELECT TIMESTAMP '2024-01-02 01:00:00', 'blue', 7
+              PARTITIONED BY DAY CLUSTERED BY color
+            """})
+        assert out["state"] == "SUCCESS"
+        rows = _post(base + "/druid/v2/sql", {
+            "query": "SELECT SUM(qty) AS total FROM sales"})
+        assert rows == [{"total": 12}]
+        # second INSERT appends into an already-covered interval
+        _post(base + "/druid/v2/sql/task", {
+            "query": "INSERT INTO sales SELECT "
+                     "TIMESTAMP '2024-01-01 02:00:00' AS __time, "
+                     "'red' AS color, 3 AS qty PARTITIONED BY DAY"})
+        rows = _post(base + "/druid/v2/sql", {
+            "query": "SELECT SUM(qty) AS total FROM sales"})
+        assert rows == [{"total": 15}]
+        # REPLACE OVERWRITE ALL swaps the datasource contents
+        _post(base + "/druid/v2/sql/task", {
+            "query": "REPLACE INTO sales OVERWRITE ALL SELECT "
+                     "TIMESTAMP '2024-02-01 00:30:00' AS __time, "
+                     "'green' AS color, 100 AS qty PARTITIONED BY MONTH"})
+        rows = _post(base + "/druid/v2/sql", {
+            "query": "SELECT color, SUM(qty) AS total FROM sales "
+                     "GROUP BY 1"})
+        assert rows == [{"color": "green", "total": 100}]
+        tasks = _post(base + "/druid/v2/sql", {
+            "query": "SELECT type, status FROM sys.tasks"})
+        assert {(t["type"], t["status"]) for t in tasks} == {
+            ("query_controller", "SUCCESS")}
+        assert len(tasks) == 3
+        # ingestion statements are rejected on the interactive endpoint
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/druid/v2/sql", {
+                "query": "INSERT INTO sales SELECT 1"})
+        assert ei.value.code == 400
+        assert "sql/task" in ei.value.read().decode()
+        # REPLACE without OVERWRITE ALL is rejected
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/druid/v2/sql/task", {
+                "query": "REPLACE INTO sales SELECT "
+                         "TIMESTAMP '2024-01-01' AS __time, 1 AS x "
+                         "PARTITIONED BY DAY"})
+        assert ei.value.code == 400
+    finally:
+        s.stop()
