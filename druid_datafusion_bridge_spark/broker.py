@@ -34,6 +34,10 @@ engine without modification:
   auto-registered for querying (a ``compact`` task registers its
   DESTINATION datasource — ``dstDataSource`` or
   ``<dataSource>_compacted``);
+- ``kill`` tasks delete a datasource's segments wholly contained in an
+  interval (an emptied datasource deregisters);
+  ``GET /druid/coordinator/v1/datasources[/{ds}[/intervals]]`` serves
+  the coordinator's segment metadata from the planning manifest;
 - ``POST /druid/v2/sql/task`` runs Druid's SQL-based (MSQ) ingestion
   statements — ``INSERT INTO ds SELECT ... PARTITIONED BY <grain>
   [CLUSTERED BY cols]`` appends version-tagged segments, ``REPLACE
@@ -736,6 +740,114 @@ class DruidBrokerShim:
                 self._result_cache.put(key, out)
         return out
 
+    def _coordinator_datasource(self, name: str, sub: str):
+        """GET /druid/coordinator/v1/datasources/{ds}[/intervals] — the
+        coordinator's datasource metadata (api-reference.md subset with
+        truthful values here): segment count/size/min-max time for the
+        bare form, the sorted "start/end" interval list for
+        /intervals. Served from the planning manifest plus one
+        stat-walk; no segment decodes."""
+        root = self._segment_roots.get(name)
+        if root is None:
+            return None
+        import os
+
+        from .cli import _format_millis as iso
+        from .sources.datasource import find_segment_dirs, load_plan_meta
+
+        dirs = find_segment_dirs(root)
+        metas = load_plan_meta(root, dirs)
+        if sub.startswith("intervals"):
+            return sorted(
+                {
+                    f"{iso(m['start'])}/{iso(m['end'])}"
+                    for m in metas.values()
+                },
+                reverse=True,
+            )
+        size = 0
+        for d in dirs:
+            for base, _, files in os.walk(d):
+                for fn in files:
+                    try:
+                        size += os.path.getsize(os.path.join(base, fn))
+                    except OSError:
+                        pass
+        starts = [m["start"] for m in metas.values()]
+        ends = [m["end"] for m in metas.values()]
+        return {
+            "name": name,
+            "properties": {
+                "segments": {
+                    "count": len(dirs),
+                    "size": size,
+                    "minTime": iso(min(starts)) if starts else None,
+                    "maxTime": iso(max(ends)) if ends else None,
+                }
+            },
+        }
+
+    def _kill_task(self, ds: str, interval: str) -> int:
+        """``{"type": "kill"}`` task (api-reference.md): permanently
+        delete the datasource's segments WHOLLY CONTAINED in the given
+        "start/end" ISO interval (Druid's containment rule — partially
+        overlapping segments survive). Deletes from deep storage, then
+        re-registers (or deregisters an emptied datasource) so
+        sys.segments, the table map, and the result cache all move in
+        the same step. Returns the number of segments killed."""
+        import datetime
+        import os
+        import shutil
+
+        from .sources.datasource import find_segment_dirs, load_plan_meta
+
+        root = self._segment_roots.get(ds)
+        if root is None:
+            raise ValueError(f"unknown datasource {ds!r}")
+
+        def ms(s: str) -> int:
+            d = datetime.datetime.fromisoformat(s.replace("Z", "+00:00"))
+            if d.tzinfo is None:
+                d = d.replace(tzinfo=datetime.timezone.utc)
+            return int(d.timestamp() * 1000)
+
+        lo_s, hi_s = interval.split("/")
+        lo, hi = ms(lo_s), ms(hi_s)
+        dirs = find_segment_dirs(root)
+        metas = load_plan_meta(root, dirs)
+        killed = [
+            d for d in dirs
+            if lo <= metas[d]["start"] and metas[d]["end"] <= hi
+        ]
+        for d in killed:
+            shutil.rmtree(d, ignore_errors=True)
+        try:
+            os.unlink(os.path.join(root, "_planmeta.json"))
+        except OSError:
+            pass
+        try:
+            remaining = find_segment_dirs(root)
+        except Exception:  # an emptied root raises, not []
+            remaining = []
+        if remaining:
+            self._register_datasource_root(ds)
+        else:
+            with self._lock:
+                tables = dict(self.tables)
+                tables.pop(ds, None)
+                self.tables = tables
+                roots = dict(self._segment_roots)
+                roots.pop(ds, None)
+                self._segment_roots = roots
+                digests = dict(self._root_digests)
+                digests.pop(ds, None)
+                self._root_digests = digests
+                self.spark.catalog.dropTempView(ds)
+                self._refresh_sys_segments()
+                self._refresh_sys_datasources()
+                self._register_information_schema()
+        return len(killed)
+
     def _handle_sql_ingest(self, body: dict) -> dict:
         """POST /druid/v2/sql/task — Druid's SQL-based (MSQ) ingestion
         (sql-ingestion.md): ``INSERT INTO ds SELECT ... PARTITIONED BY
@@ -1033,6 +1145,20 @@ class DruidBrokerShim:
         )
         t0 = time.monotonic()
         try:
+            if body.get("type") == "kill":
+                n = self._kill_task(ds, body["interval"])
+                status = {
+                    "id": task_id, "status": "SUCCESS", "dataSource": ds,
+                    "type": "kill", "createdTime": created,
+                    "duration": int((time.monotonic() - t0) * 1000),
+                    "errorMsg": None, "numSegmentsKilled": n,
+                }
+                with self._lock:
+                    tasks = dict(self._tasks)
+                    tasks[task_id] = status
+                    self._tasks = tasks
+                    self._refresh_sys_tasks()
+                return {"task": task_id}
             manifest = ingest(self.spark, body, self.deep_storage).collect()
             self._register_datasource_root(reg_ds)
             status = {
@@ -1203,6 +1329,22 @@ class DruidBrokerShim:
                     name = self.path.split("/druid/v2/datasources/", 1)[1]
                     if name in shim.tables:
                         self._send(200, shim._datasource_detail(name))
+                    else:
+                        self._send(404, {"error": "Unknown datasource",
+                                         "errorMessage": name})
+                elif self.path == "/druid/coordinator/v1/datasources":
+                    self._send(200, sorted(shim._segment_roots))
+                elif self.path.startswith(
+                    "/druid/coordinator/v1/datasources/"
+                ):
+                    rest = self.path.split(
+                        "/druid/coordinator/v1/datasources/", 1
+                    )[1]
+                    name, _, sub = rest.partition("/")
+                    name = name.split("?")[0]
+                    out = shim._coordinator_datasource(name, sub)
+                    if out is not None:
+                        self._send(200, out)
                     else:
                         self._send(404, {"error": "Unknown datasource",
                                          "errorMessage": name})

@@ -827,3 +827,77 @@ def test_sql_task_insert_replace_ingestion(spark, tmp_path):
         assert ei.value.code == 400
     finally:
         s.stop()
+
+
+def test_kill_task_and_coordinator_endpoints(spark, tmp_path):
+    """Segment lifecycle completion: the coordinator datasource
+    endpoints report segment metadata from the planning manifest, and a
+    kill task permanently deletes the segments WHOLLY CONTAINED in its
+    interval (partial overlaps survive); killing the rest deregisters
+    the emptied datasource everywhere."""
+    s = DruidBrokerShim(spark, {}, deep_storage=str(tmp_path / "deep"))
+    port = s.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        _post(base + "/druid/v2/sql/task", {
+            "query": "INSERT INTO life SELECT * FROM VALUES "
+                     "(TIMESTAMP '2024-01-01 01:00:00', 1), "
+                     "(TIMESTAMP '2024-01-02 01:00:00', 2), "
+                     "(TIMESTAMP '2024-01-03 01:00:00', 3) "
+                     "AS t(__time, v) PARTITIONED BY DAY"})
+        with urllib.request.urlopen(
+            base + "/druid/coordinator/v1/datasources"
+        ) as r:
+            assert json.loads(r.read()) == ["life"]
+        with urllib.request.urlopen(
+            base + "/druid/coordinator/v1/datasources/life"
+        ) as r:
+            meta = json.loads(r.read())
+        assert meta["name"] == "life"
+        assert meta["properties"]["segments"]["count"] == 3
+        assert meta["properties"]["segments"]["size"] > 0
+        assert meta["properties"]["segments"]["minTime"].startswith(
+            "2024-01-01T01:00:00")
+        with urllib.request.urlopen(
+            base + "/druid/coordinator/v1/datasources/life/intervals"
+        ) as r:
+            assert len(json.loads(r.read())) == 3
+        # kill day 2 only: the interval contains exactly that segment
+        out = _post(base + "/druid/indexer/v1/task", {
+            "type": "kill", "dataSource": "life",
+            "interval": "2024-01-02T00:00:00Z/2024-01-03T00:00:00Z"})
+        tid = out["task"]
+        with urllib.request.urlopen(
+            base + f"/druid/indexer/v1/task/{tid}/status"
+        ) as r:
+            st = json.loads(r.read())["status"]
+        assert st["status"] == "SUCCESS" and st["numSegmentsKilled"] == 1
+        rows = _post(base + "/druid/v2/sql", {
+            "query": "SELECT SUM(v) AS total FROM life"})
+        assert rows == [{"total": 4}]  # 1 + 3 survive
+        segs = _post(base + "/druid/v2/sql", {
+            "query": "SELECT COUNT(*) AS n FROM sys.segments "
+                     "WHERE datasource = 'life'"})
+        assert segs == [{"n": 2}]
+        # a partially-overlapping interval kills nothing
+        out = _post(base + "/druid/indexer/v1/task", {
+            "type": "kill", "dataSource": "life",
+            "interval": "2024-01-01T12:00:00Z/2024-01-02T00:00:00Z"})
+        with urllib.request.urlopen(
+            base + f"/druid/indexer/v1/task/{out['task']}/status"
+        ) as r:
+            assert json.loads(
+                r.read())["status"]["numSegmentsKilled"] == 0
+        # killing everything deregisters the datasource
+        _post(base + "/druid/indexer/v1/task", {
+            "type": "kill", "dataSource": "life",
+            "interval": "2024-01-01T00:00:00Z/2025-01-01T00:00:00Z"})
+        with urllib.request.urlopen(
+            base + "/druid/coordinator/v1/datasources"
+        ) as r:
+            assert json.loads(r.read()) == []
+        rows = _post(base + "/druid/v2/sql", {
+            "query": "SELECT datasource FROM sys.datasources"})
+        assert rows == []
+    finally:
+        s.stop()
