@@ -386,6 +386,7 @@ SLOPE_QUERIES = [
     "q21_waiting_suppliers",
     "o3b_topk_per_group",
     "dd_ngram_jaccard",
+    "dd_lsh_verified_pairs",
 ]
 
 # per-table key columns to shift by copy*KEY_SHIFT (foreign keys shift
