@@ -43,6 +43,13 @@ engine without modification:
   [CLUSTERED BY cols]`` appends version-tagged segments, ``REPLACE
   INTO ds OVERWRITE ALL ...`` swaps the datasource — synchronously on
   Spark, recorded in sys.tasks;
+- the coordinator lookup-config family
+  (``/druid/coordinator/v1/lookups/config[...]``) lists, fetches,
+  creates/updates (versioned envelope or bare map), and deletes map
+  lookups — the SQL ``LOOKUP()`` dispatcher re-registers immediately;
+- query laning (query-scheduler lanes): ``context.lane`` claims a slot
+  in a bounded lane; a full lane rejects with HTTP 429 instead of
+  queueing, protecting interactive traffic from batch floods;
 - a whole-query result cache (using-caching.md; context
   ``useCache``/``populateCache``) serves repeated queries over
   segment-root datasources without touching Spark — keys carry a
@@ -434,6 +441,11 @@ class _QueryTimeout(Exception):
     """A query exceeded its context.timeout (HTTP 504, Druid's shape)."""
 
 
+class _CapacityExceeded(Exception):
+    """A query lane is at capacity (HTTP 429, Druid's
+    QueryCapacityExceededException shape — query laning docs)."""
+
+
 class _ResourceLimitExceeded(Exception):
     """A result exceeded the broker's max_rows (HTTP 400, Druid's
     Resource-limit-exceeded error shape)."""
@@ -458,6 +470,7 @@ class DruidBrokerShim:
         segment_roots: dict[str, str] | None = None,
         deep_storage: str | None = None,
         result_cache_entries: int = 64,
+        lanes: dict[str, int] | None = None,
     ):
         self.spark = spark
         self.tables = dict(tables)
@@ -480,6 +493,13 @@ class DruidBrokerShim:
         # serializes supervisor replace sequences (terminate prev +
         # start next); self._lock stays for fast map/view updates
         self._submit_lock = threading.Lock()
+        # query laning (Druid's query-scheduler lanes): context.lane
+        # picks a lane; a full lane rejects with HTTP 429 instead of
+        # queueing, protecting interactive traffic from batch floods
+        self._lanes: dict[str, threading.BoundedSemaphore] = {
+            name: threading.BoundedSemaphore(int(cap))
+            for name, cap in (lanes or {}).items()
+        }
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -489,6 +509,12 @@ class DruidBrokerShim:
         )
 
         register_druid_sql_functions(spark)
+        self._lookups: dict[str, dict[str, str]] = {
+            n: dict(m) for n, m in (lookups or {}).items()
+        }
+        self._lookup_versions: dict[str, str] = {
+            n: "0" for n in self._lookups
+        }
         if lookups:
             register_sql_lookups(spark, lookups)
         # always registered (empty without roots/tasks): a client's
@@ -739,6 +765,92 @@ class DruidBrokerShim:
             with self._lock:
                 self._result_cache.put(key, out)
         return out
+
+    def _lane_slot(self, body):
+        """Context manager claiming a slot in the query's lane (from
+        context.lane). No lane -> no limit; an unknown lane is a client
+        error; a FULL lane rejects immediately (Druid lanes shed load,
+        they don't queue)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def slot():
+            lane = None
+            if isinstance(body, dict):
+                lane = (body.get("context") or {}).get("lane")
+            if lane is None:
+                yield
+                return
+            sem = self._lanes.get(lane)
+            if sem is None:
+                raise ValueError(f"unknown query lane {lane!r}")
+            if not sem.acquire(blocking=False):
+                raise _CapacityExceeded(
+                    f"too many concurrent queries for lane '{lane}'"
+                )
+            try:
+                yield
+            finally:
+                sem.release()
+
+        return slot()
+
+    def _lookup_spec(self, name: str) -> dict | None:
+        with self._lock:
+            m = self._lookups.get(name)
+            if m is None:
+                return None
+            return {
+                "version": self._lookup_versions.get(name, "0"),
+                "lookupExtractorFactory": {"type": "map", "map": dict(m)},
+            }
+
+    def _lookup_update(self, name: str, body: dict) -> dict:
+        """POST /druid/coordinator/v1/lookups/config/__default/{name}
+        (lookups-api.md): create or replace a map lookup and re-register
+        the SQL LOOKUP() dispatcher so the next query sees it. Accepts
+        Druid's versioned envelope or a bare map."""
+        from .functions import register_sql_lookups
+
+        if "lookupExtractorFactory" in body:
+            fac = body["lookupExtractorFactory"]
+            if fac.get("type") != "map":
+                raise ValueError(
+                    f"unsupported lookup type {fac.get('type')!r} "
+                    "(only 'map' lookups exist in-process)"
+                )
+            mapping = fac.get("map") or {}
+            version = str(body.get("version", ""))
+        else:
+            mapping, version = body, ""
+        if not isinstance(mapping, dict):
+            raise ValueError("lookup map must be a JSON object")
+        with self._lock:
+            lookups = dict(self._lookups)
+            lookups[name] = {str(k): str(v) for k, v in mapping.items()}
+            self._lookups = lookups
+            versions = dict(self._lookup_versions)
+            versions[name] = version or str(
+                int(versions.get(name, "0") or 0) + 1
+            )
+            self._lookup_versions = versions
+            register_sql_lookups(self.spark, self._lookups)
+        return {"status": "accepted"}
+
+    def _lookup_delete(self, name: str) -> bool:
+        from .functions import register_sql_lookups
+
+        with self._lock:
+            if name not in self._lookups:
+                return False
+            lookups = dict(self._lookups)
+            del lookups[name]
+            self._lookups = lookups
+            versions = dict(self._lookup_versions)
+            versions.pop(name, None)
+            self._lookup_versions = versions
+            register_sql_lookups(self.spark, self._lookups)
+        return True
 
     def _coordinator_datasource(self, name: str, sub: str):
         """GET /druid/coordinator/v1/datasources/{ds}[/intervals] — the
@@ -1332,6 +1444,23 @@ class DruidBrokerShim:
                     else:
                         self._send(404, {"error": "Unknown datasource",
                                          "errorMessage": name})
+                elif self.path == "/druid/coordinator/v1/lookups/config":
+                    self._send(200, ["__default"])
+                elif self.path == (
+                    "/druid/coordinator/v1/lookups/config/__default"
+                ):
+                    with shim._lock:
+                        self._send(200, sorted(shim._lookups))
+                elif self.path.startswith(
+                    "/druid/coordinator/v1/lookups/config/__default/"
+                ):
+                    name = self.path.rsplit("/", 1)[1]
+                    spec = shim._lookup_spec(name)
+                    if spec is not None:
+                        self._send(200, spec)
+                    else:
+                        self._send(404, {"error": "Unknown lookup",
+                                         "errorMessage": name})
                 elif self.path == "/druid/coordinator/v1/datasources":
                     self._send(200, sorted(shim._segment_roots))
                 elif self.path.startswith(
@@ -1377,6 +1506,20 @@ class DruidBrokerShim:
                     self._send(404, {"error": "Unknown path",
                                      "errorMessage": self.path})
 
+            def do_DELETE(self):
+                if self.path.startswith(
+                    "/druid/coordinator/v1/lookups/config/__default/"
+                ):
+                    name = self.path.rsplit("/", 1)[1]
+                    if shim._lookup_delete(name):
+                        self._send(202, {"status": "accepted"})
+                    else:
+                        self._send(404, {"error": "Unknown lookup",
+                                         "errorMessage": name})
+                else:
+                    self._send(404, {"error": "Unknown URI",
+                                     "errorMessage": self.path})
+
             def do_POST(self):
                 n = int(self.headers.get("Content-Length", 0))
                 try:
@@ -1389,13 +1532,21 @@ class DruidBrokerShim:
                     if isinstance(body, dict) else None
                 try:
                     if self.path == "/druid/v2/sql":
-                        data, ctype = shim._run_with_timeout(
-                            lambda: shim._handle_sql(body), timeout_ms
-                        )
+                        with shim._lane_slot(body):
+                            data, ctype = shim._run_with_timeout(
+                                lambda: shim._handle_sql(body),
+                                timeout_ms,
+                            )
                         self._send_raw(200, data, ctype)
                         return
                     elif self.path == "/druid/v2/sql/task":
                         self._send(200, shim._handle_sql_ingest(body))
+                        return
+                    elif self.path.startswith(
+                        "/druid/coordinator/v1/lookups/config/__default/"
+                    ):
+                        name = self.path.rsplit("/", 1)[1]
+                        self._send(202, shim._lookup_update(name, body))
                         return
                     elif self.path == "/druid/indexer/v1/task":
                         self._send(200, shim._handle_task(body))
@@ -1425,9 +1576,11 @@ class DruidBrokerShim:
                                 "errorMessage": rest})
                         return
                     elif self.path in ("/druid/v2", "/druid/v2/"):
-                        rows = shim._run_with_timeout(
-                            lambda: shim._handle_native(body), timeout_ms
-                        )
+                        with shim._lane_slot(body):
+                            rows = shim._run_with_timeout(
+                                lambda: shim._handle_native(body),
+                                timeout_ms,
+                            )
                     else:
                         self._send(404, {"error": "Unknown path",
                                          "errorMessage": self.path})
@@ -1435,6 +1588,11 @@ class DruidBrokerShim:
                 except _QueryTimeout as e:
                     # Druid's timeout envelope, HTTP 504
                     self._send(504, {"error": "Query timed out",
+                                     "errorMessage": str(e)})
+                    return
+                except _CapacityExceeded as e:
+                    # Druid's query-laning rejection, HTTP 429
+                    self._send(429, {"error": "Query capacity exceeded",
                                      "errorMessage": str(e)})
                     return
                 except _ResourceLimitExceeded as e:

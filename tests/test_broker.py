@@ -901,3 +901,93 @@ def test_kill_task_and_coordinator_endpoints(spark, tmp_path):
         assert rows == []
     finally:
         s.stop()
+
+
+def test_lookup_management_api(spark):
+    """The coordinator lookup-config family (lookups-api.md): list
+    tiers and names, fetch a spec, POST a new/updated map lookup (the
+    SQL LOOKUP() dispatcher re-registers immediately), DELETE one."""
+    df = spark.createDataFrame([("en", 1)], "channel string, delta long")
+    s = DruidBrokerShim(spark, {"wiki2": df},
+                        lookups={"lang": {"en": "English"}})
+    port = s.start()
+    base = f"http://127.0.0.1:{port}"
+    cfg = base + "/druid/coordinator/v1/lookups/config"
+    try:
+        with urllib.request.urlopen(cfg) as r:
+            assert json.loads(r.read()) == ["__default"]
+        with urllib.request.urlopen(cfg + "/__default") as r:
+            assert json.loads(r.read()) == ["lang"]
+        with urllib.request.urlopen(cfg + "/__default/lang") as r:
+            spec = json.loads(r.read())
+        assert spec["lookupExtractorFactory"]["map"] == {"en": "English"}
+        # update through Druid's versioned envelope -> queries see it
+        _post(cfg + "/__default/lang", {
+            "version": "v2",
+            "lookupExtractorFactory": {
+                "type": "map", "map": {"en": "ENGLISH", "de": "GERMAN"}}})
+        rows = _post(base + "/druid/v2/sql", {
+            "query": "SELECT LOOKUP(channel, 'lang') AS lang FROM wiki2"})
+        assert rows == [{"lang": "ENGLISH"}]
+        # create a brand-new lookup from a bare map
+        _post(cfg + "/__default/region", {"en": "amer"})
+        rows = _post(base + "/druid/v2/sql", {
+            "query": "SELECT LOOKUP(channel, 'region') AS r FROM wiki2"})
+        assert rows == [{"r": "amer"}]
+        # delete -> unknown-lookup error from SQL, 404 on re-delete
+        req = urllib.request.Request(cfg + "/__default/region",
+                                     method="DELETE")
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 202
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/druid/v2/sql", {
+                "query": "SELECT LOOKUP(channel, 'region') FROM wiki2"})
+        assert ei.value.code in (400, 500)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                urllib.request.Request(cfg + "/__default/region",
+                                       method="DELETE"))
+        assert ei.value.code == 404
+    finally:
+        s.stop()
+
+
+def test_query_laning_sheds_load(spark):
+    """Query laning (Druid's query-scheduler lanes): context.lane
+    claims a slot in a bounded lane; a FULL lane rejects with HTTP 429
+    (Druid's QueryCapacityExceeded posture — shed, don't queue);
+    unlaned queries are unlimited; unknown lanes are a client error."""
+    import threading
+
+    df = spark.createDataFrame([(1,)], "v long")
+    s = DruidBrokerShim(spark, {"t": df}, lanes={"batch": 1})
+    port = s.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        # a healthy laned query works and releases its slot
+        q = {"query": "SELECT SUM(v) AS n FROM t",
+             "context": {"lane": "batch", "useCache": False,
+                         "populateCache": False}}
+        assert _post(base + "/druid/v2/sql", q) == [{"n": 1}]
+        assert _post(base + "/druid/v2/sql", q) == [{"n": 1}]
+        # hold the lane's only slot, then a concurrent laned query 429s
+        assert s._lanes["batch"].acquire(blocking=False)
+        try:
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _post(base + "/druid/v2/sql", q)
+            assert ei.value.code == 429
+            assert json.loads(ei.value.read())["error"] == (
+                "Query capacity exceeded")
+            # unlaned queries still run
+            assert _post(base + "/druid/v2/sql", {
+                "query": "SELECT COUNT(*) AS n FROM t"}) == [{"n": 1}]
+        finally:
+            s._lanes["batch"].release()
+        # slot released by the 429 path and by completions: works again
+        assert _post(base + "/druid/v2/sql", q) == [{"n": 1}]
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/druid/v2/sql", dict(
+                q, context={"lane": "nope"}))
+        assert ei.value.code == 400
+    finally:
+        s.stop()
