@@ -935,3 +935,127 @@ def test_cli_scan_matches_brute_force(data):
         assert got == want
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------
+# Native filter trees: hypothesis builds random Druid filter JSON
+# (and/or/not over selector/in/bound/like), the tree compiles through
+# native_query's scan path, and an independent tree->SQL translation
+# runs in DuckDB. Exercises the 3-valued-logic corners (NOT over NULL
+# comparisons) and the try_cast numeric-bound path (unparsable strings
+# must silently not match, never throw under ANSI mode).
+
+def _leaf_selector():
+    return st.builds(
+        lambda v: {"type": "selector", "dimension": "s", "value": v},
+        st.one_of(st.none(), st.sampled_from(["a", "b", "zz", "7", ""])),
+    )
+
+
+def _leaf_in():
+    return st.builds(
+        lambda vs: {"type": "in", "dimension": "s", "values": vs},
+        st.lists(
+            st.one_of(st.none(), st.sampled_from(["a", "b", "7"])),
+            min_size=1, max_size=3,
+        ),
+    )
+
+
+def _leaf_bound():
+    # numeric ordering over the STRING column: non-numeric values must
+    # not match (try_cast path); plus plain numeric bounds on v
+    return st.one_of(
+        st.builds(
+            lambda lo, hi, ls, hs: {
+                "type": "bound", "dimension": "s", "ordering": "numeric",
+                **({"lower": str(lo)} if lo is not None else {}),
+                **({"upper": str(hi)} if hi is not None else {}),
+                "lowerStrict": ls, "upperStrict": hs,
+            },
+            st.one_of(st.none(), st.integers(0, 9)),
+            st.one_of(st.none(), st.integers(0, 9)),
+            st.booleans(), st.booleans(),
+        ),
+        st.builds(
+            lambda lo: {"type": "bound", "dimension": "v",
+                        "ordering": "numeric", "lower": str(lo)},
+            st.integers(-5, 5),
+        ),
+    )
+
+
+def _leaf_like():
+    return st.builds(
+        lambda p: {"type": "like", "dimension": "s", "pattern": p},
+        st.sampled_from(["a%", "%z", "_", "%7%"]),
+    )
+
+
+filter_tree = st.recursive(
+    st.one_of(_leaf_selector(), _leaf_in(), _leaf_bound(), _leaf_like()),
+    lambda kids: st.one_of(
+        st.builds(lambda fs: {"type": "and", "fields": fs},
+                  st.lists(kids, min_size=1, max_size=3)),
+        st.builds(lambda fs: {"type": "or", "fields": fs},
+                  st.lists(kids, min_size=1, max_size=3)),
+        st.builds(lambda f: {"type": "not", "field": f}, kids),
+    ),
+    max_leaves=6,
+)
+
+
+def _tree_sql(f) -> str:
+    k = f["type"]
+    if k == "and":
+        return "(" + " AND ".join(_tree_sql(x) for x in f["fields"]) + ")"
+    if k == "or":
+        return "(" + " OR ".join(_tree_sql(x) for x in f["fields"]) + ")"
+    if k == "not":
+        return f"(NOT {_tree_sql(f['field'])})"
+    if k == "selector":
+        v = f["value"]
+        if v is None:
+            return f"({f['dimension']} IS NULL)"
+        return f"({f['dimension']} = '{v}')"
+    if k == "in":
+        non_null = [v for v in f["values"] if v is not None]
+        terms = []
+        if non_null:
+            vals = ", ".join(f"'{v}'" for v in non_null)
+            terms.append(f"{f['dimension']} IN ({vals})")
+        else:
+            terms.append("FALSE")
+        if any(v is None for v in f["values"]):
+            terms.append(f"{f['dimension']} IS NULL")
+        return "(" + " OR ".join(terms) + ")"
+    if k == "bound":
+        side = f"TRY_CAST({f['dimension']} AS DOUBLE)"
+        preds = []
+        if "lower" in f:
+            op = ">" if f.get("lowerStrict") else ">="
+            preds.append(f"{side} {op} {float(f['lower'])}")
+        if "upper" in f:
+            op = "<" if f.get("upperStrict") else "<="
+            preds.append(f"{side} {op} {float(f['upper'])}")
+        if not preds:
+            return f"({side} IS NOT NULL)"
+        return "(" + " AND ".join(preds) + ")"
+    if k == "like":
+        return f"({f['dimension']} LIKE '{f['pattern']}')"
+    raise AssertionError(k)
+
+
+@given(rows_st, filter_tree)
+@SET
+def test_native_filter_tree_differential(spark, a, tree):
+    from druid_datafusion_bridge_spark.native_query import native_query
+
+    df = spark.createDataFrame(a, SCHEMA)
+    got = native_query(
+        df,
+        {"queryType": "scan", "filter": tree, "columns": ["k", "v", "s"]},
+        time_col="v",
+    )
+    con = _duck({"t": a})
+    _compare(got, con, f"SELECT k, v, s FROM t WHERE {_tree_sql(tree)}")
