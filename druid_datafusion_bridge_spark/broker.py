@@ -185,18 +185,22 @@ _SQL_LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
 # Druid SQL-based ingestion statements (sql-ingestion.md), served by
 # POST /druid/v2/sql/task: INSERT appends, REPLACE OVERWRITE ALL swaps
 _INGEST_SQL_RE = re.compile(
+    # select is GREEDY so the PARTITIONED BY clause binds to the LAST
+    # occurrence (a string literal containing the phrase can't truncate
+    # the SELECT); WITH-CTE ingestion (the form Druid's docs lead with)
+    # is accepted alongside plain SELECT; ALL TIME is two words
     r"^\s*(?P<verb>INSERT|REPLACE)\s+INTO\s+\"?(?P<ds>[\w.\-]+)\"?\s+"
     r"(?P<overwrite>OVERWRITE\s+ALL\s+)?"
-    r"(?P<select>SELECT\b.*?)\s+"
-    r"PARTITIONED\s+BY\s+(?P<grain>\w+|'[^']+')"
+    r"(?P<select>(?:WITH|SELECT)\b.*)\s+"
+    r"PARTITIONED\s+BY\s+(?P<grain>ALL\s+TIME|\w+|'[^']+')"
     r"(?:\s+CLUSTERED\s+BY\s+(?P<cluster>[^;]+?))?\s*;?\s*$",
     re.I | re.S,
 )
-# PARTITIONED BY keywords -> ISO periods; ALL = one bucket for all time
-# (a millennium period floors every post-epoch timestamp together)
+# PARTITIONED BY keywords -> granularity periods; ALL [TIME] = the
+# engine's ALL granularity (one segment bucket for all time)
 _PARTITIONED_BY = {
     "HOUR": "PT1H", "DAY": "P1D", "WEEK": "P1W", "MONTH": "P1M",
-    "YEAR": "P1Y", "ALL": "P1000Y", "ALL TIME": "P1000Y",
+    "YEAR": "P1Y", "ALL": "ALL", "ALL TIME": "ALL",
 }
 
 
@@ -829,12 +833,24 @@ class DruidBrokerShim:
             lookups = dict(self._lookups)
             lookups[name] = {str(k): str(v) for k, v in mapping.items()}
             self._lookups = lookups
+            if not version:
+                # auto-version: numeric predecessors increment; any
+                # client-set string (e.g. "v2") restarts at "1" instead
+                # of crashing int()
+                try:
+                    version = str(
+                        int(self._lookup_versions.get(name, "0")) + 1
+                    )
+                except ValueError:
+                    version = "1"
             versions = dict(self._lookup_versions)
-            versions[name] = version or str(
-                int(versions.get(name, "0") or 0) + 1
-            )
+            versions[name] = version
             self._lookup_versions = versions
-            register_sql_lookups(self.spark, self._lookups)
+            snapshot = self._lookups
+        # the Spark UDF re-registration is a JVM round-trip — run it
+        # OUTSIDE the fast map/view lock so concurrent queries don't
+        # stall behind it (last registration wins either way)
+        register_sql_lookups(self.spark, snapshot)
         return {"status": "accepted"}
 
     def _lookup_delete(self, name: str) -> bool:
@@ -849,7 +865,8 @@ class DruidBrokerShim:
             versions = dict(self._lookup_versions)
             versions.pop(name, None)
             self._lookup_versions = versions
-            register_sql_lookups(self.spark, self._lookups)
+            snapshot = self._lookups
+        register_sql_lookups(self.spark, snapshot)  # outside the lock
         return True
 
     def _coordinator_datasource(self, name: str, sub: str):
@@ -908,7 +925,6 @@ class DruidBrokerShim:
         sys.segments, the table map, and the result cache all move in
         the same step. Returns the number of segments killed."""
         import datetime
-        import os
         import shutil
 
         from .sources.datasource import find_segment_dirs, load_plan_meta
@@ -933,10 +949,9 @@ class DruidBrokerShim:
         ]
         for d in killed:
             shutil.rmtree(d, ignore_errors=True)
-        try:
-            os.unlink(os.path.join(root, "_planmeta.json"))
-        except OSError:
-            pass
+        # the planning manifest self-heals (load_plan_meta reconciles
+        # removed entries), so it is NOT unlinked — deleting it would
+        # force an O(N) segment re-open on the next planning pass
         try:
             remaining = find_segment_dirs(root)
         except Exception:  # an emptied root raises, not []
@@ -995,12 +1010,18 @@ class DruidBrokerShim:
             raise ValueError("REPLACE requires OVERWRITE ALL")
         if verb == "INSERT" and overwrite:
             raise ValueError("INSERT cannot OVERWRITE; use REPLACE")
-        grain = m.group("grain").strip("'\"").upper()
+        grain = " ".join(m.group("grain").strip("'\"").upper().split())
         period = _PARTITIONED_BY.get(grain, grain if grain.startswith("P") else None)
         if period is None:
             raise ValueError(
                 f"unsupported PARTITIONED BY {m.group('grain')!r}"
             )
+        # pre-flight the period BEFORE any storage is touched: a bogus
+        # 'PFOO' must be a clean 400, not a failure deep in the writer
+        if period != "ALL":
+            from .functions.druid_sql import parse_period
+
+            parse_period(period)
         cluster = [
             c.strip().strip('"')
             for c in (m.group("cluster") or "").split(",")
@@ -1019,26 +1040,45 @@ class DruidBrokerShim:
             raise ValueError(
                 "INSERT/REPLACE queries must provide a __time column"
             )
+        missing = [c for c in cluster if c not in df.columns]
+        if missing:
+            raise ValueError(f"CLUSTERED BY columns not in SELECT: {missing}")
         from .sources.ingest import write_druid_segments
 
         with self._lock:
             self._task_seq += 1
-            task_id = f"query_controller_{ds}_{self._task_seq}"
+            task_seq = self._task_seq  # version tag: race-free snapshot
+            task_id = f"query_controller_{ds}_{task_seq}"
         created = datetime.datetime.now(datetime.timezone.utc).isoformat()
         root = os.path.join(self.deep_storage, ds)
         t0 = time.monotonic()
         try:
             if verb == "REPLACE":
-                shutil.rmtree(root, ignore_errors=True)
-            write_druid_segments(
-                df,
-                root,
-                granularity=period,
-                sort_by=cluster or None,
-                # INSERT appends: version-tag by task so repeated
-                # inserts into one interval never collide
-                version=f"t{self._task_seq}" if verb == "INSERT" else "",
-            ).collect()
+                # atomic swap: write the NEW segments to a staging dir
+                # while the old root keeps serving (a self-referential
+                # REPLACE ... SELECT FROM ds reads it during the write),
+                # then swap. A failed write leaves the old data intact.
+                staging = f"{root}.staging.{task_seq}"
+                shutil.rmtree(staging, ignore_errors=True)
+                try:
+                    write_druid_segments(
+                        df, staging, granularity=period,
+                        sort_by=cluster or None,
+                    ).collect()
+                    shutil.rmtree(root, ignore_errors=True)
+                    os.rename(staging, root)
+                finally:
+                    shutil.rmtree(staging, ignore_errors=True)
+            else:
+                write_druid_segments(
+                    df,
+                    root,
+                    granularity=period,
+                    sort_by=cluster or None,
+                    # INSERT appends: version-tag by task so repeated
+                    # inserts into one interval never collide
+                    version=f"t{task_seq}",
+                ).collect()
             self._register_datasource_root(ds)
             status = {
                 "id": task_id, "status": "SUCCESS", "dataSource": ds,
@@ -1051,16 +1091,22 @@ class DruidBrokerShim:
                 "id": task_id, "status": "FAILED", "dataSource": ds,
                 "type": "query_controller", "createdTime": created,
                 "duration": int((time.monotonic() - t0) * 1000),
-                "errorMsg": str(e)[:800],
+                "errorMsg": str(e)[:2000],
             }
-        with self._lock:
-            tasks = dict(self._tasks)
-            tasks[task_id] = status
-            self._tasks = tasks
-            self._refresh_sys_tasks()
+        self._record_task(status)
         if status["status"] == "FAILED":
             raise ValueError(status["errorMsg"])
         return {"taskId": task_id, "state": "SUCCESS"}
+
+    def _record_task(self, status: dict) -> None:
+        """Store a terminal task status (atomic map rebind) and refresh
+        sys.tasks — the one bookkeeping path for batch, kill, and SQL
+        ingestion tasks."""
+        with self._lock:
+            tasks = dict(self._tasks)
+            tasks[status["id"]] = status
+            self._tasks = tasks
+            self._refresh_sys_tasks()
 
     def _render_sql(self, body: dict) -> tuple[bytes, str]:
         """Run a SQL body; return (payload bytes, content type).
@@ -1259,17 +1305,12 @@ class DruidBrokerShim:
         try:
             if body.get("type") == "kill":
                 n = self._kill_task(ds, body["interval"])
-                status = {
+                self._record_task({
                     "id": task_id, "status": "SUCCESS", "dataSource": ds,
                     "type": "kill", "createdTime": created,
                     "duration": int((time.monotonic() - t0) * 1000),
                     "errorMsg": None, "numSegmentsKilled": n,
-                }
-                with self._lock:
-                    tasks = dict(self._tasks)
-                    tasks[task_id] = status
-                    self._tasks = tasks
-                    self._refresh_sys_tasks()
+                })
                 return {"task": task_id}
             manifest = ingest(self.spark, body, self.deep_storage).collect()
             self._register_datasource_root(reg_ds)
@@ -1433,57 +1474,60 @@ class DruidBrokerShim:
                 self.wfile.write(data)
 
             def do_GET(self):
-                if self.path == "/status/health":
+                # route on the path alone: documented query params
+                # (?simple, ?discover=true, ...) select detail levels
+                # this shim serves uniformly, and must never 404
+                path = self.path.split("?", 1)[0]
+                if path == "/status/health":
                     self._send(200, True)
-                elif self.path == "/druid/v2/datasources":
+                elif path == "/druid/v2/datasources":
                     self._send(200, sorted(shim.tables))
-                elif self.path.startswith("/druid/v2/datasources/"):
-                    name = self.path.split("/druid/v2/datasources/", 1)[1]
+                elif path.startswith("/druid/v2/datasources/"):
+                    name = path.split("/druid/v2/datasources/", 1)[1]
                     if name in shim.tables:
                         self._send(200, shim._datasource_detail(name))
                     else:
                         self._send(404, {"error": "Unknown datasource",
                                          "errorMessage": name})
-                elif self.path == "/druid/coordinator/v1/lookups/config":
+                elif path == "/druid/coordinator/v1/lookups/config":
                     self._send(200, ["__default"])
-                elif self.path == (
+                elif path == (
                     "/druid/coordinator/v1/lookups/config/__default"
                 ):
                     with shim._lock:
                         self._send(200, sorted(shim._lookups))
-                elif self.path.startswith(
+                elif path.startswith(
                     "/druid/coordinator/v1/lookups/config/__default/"
                 ):
-                    name = self.path.rsplit("/", 1)[1]
+                    name = path.rsplit("/", 1)[1]
                     spec = shim._lookup_spec(name)
                     if spec is not None:
                         self._send(200, spec)
                     else:
                         self._send(404, {"error": "Unknown lookup",
                                          "errorMessage": name})
-                elif self.path == "/druid/coordinator/v1/datasources":
+                elif path == "/druid/coordinator/v1/datasources":
                     self._send(200, sorted(shim._segment_roots))
-                elif self.path.startswith(
+                elif path.startswith(
                     "/druid/coordinator/v1/datasources/"
                 ):
-                    rest = self.path.split(
+                    rest = path.split(
                         "/druid/coordinator/v1/datasources/", 1
                     )[1]
                     name, _, sub = rest.partition("/")
-                    name = name.split("?")[0]
                     out = shim._coordinator_datasource(name, sub)
                     if out is not None:
                         self._send(200, out)
                     else:
                         self._send(404, {"error": "Unknown datasource",
                                          "errorMessage": name})
-                elif self.path == "/druid/indexer/v1/supervisor":
+                elif path == "/druid/indexer/v1/supervisor":
                     with shim._lock:
                         self._send(200, sorted(shim._supervisors))
-                elif self.path.startswith(
+                elif path.startswith(
                     "/druid/indexer/v1/supervisor/"
-                ) and self.path.endswith("/status"):
-                    sup_id = self.path.split(
+                ) and path.endswith("/status"):
+                    sup_id = path.split(
                         "/druid/indexer/v1/supervisor/", 1
                     )[1][:-len("/status")]
                     st = shim._supervisor_action(sup_id, "status")
@@ -1492,9 +1536,9 @@ class DruidBrokerShim:
                     else:
                         self._send(404, {"error": "Unknown supervisor",
                                          "errorMessage": sup_id})
-                elif self.path.startswith("/druid/indexer/v1/task/") and \
-                        self.path.endswith("/status"):
-                    task_id = self.path.split("/druid/indexer/v1/task/",
+                elif path.startswith("/druid/indexer/v1/task/") and \
+                        path.endswith("/status"):
+                    task_id = path.split("/druid/indexer/v1/task/",
                                               1)[1][:-len("/status")]
                     st = shim._task_status(task_id)
                     if st is not None:
@@ -1507,10 +1551,11 @@ class DruidBrokerShim:
                                      "errorMessage": self.path})
 
             def do_DELETE(self):
-                if self.path.startswith(
+                path = self.path.split("?", 1)[0]
+                if path.startswith(
                     "/druid/coordinator/v1/lookups/config/__default/"
                 ):
-                    name = self.path.rsplit("/", 1)[1]
+                    name = path.rsplit("/", 1)[1]
                     if shim._lookup_delete(name):
                         self._send(202, {"status": "accepted"})
                     else:

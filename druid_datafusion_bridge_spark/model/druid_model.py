@@ -51,6 +51,10 @@ def granularity_trunc(col: Column | str, period: str) -> Column:
     ``CAST(to_timestamp(floor(epoch(ts)/N)*N) AS TIMESTAMP)``.
     """
     c = F.col(col) if isinstance(col, str) else col
+    if str(period).upper() == "ALL":
+        # Druid's ALL granularity: one bucket for all time (the epoch
+        # stands in as its timestamp, as in Druid's result rows)
+        return F.to_timestamp(F.lit("1970-01-01 00:00:00"))
     if period in _CALENDAR_UNIT:
         return F.date_trunc(_CALENDAR_UNIT[period], c)
     if period in _PERIOD_SECONDS:

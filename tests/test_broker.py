@@ -991,3 +991,59 @@ def test_query_laning_sheds_load(spark):
         assert ei.value.code == 400
     finally:
         s.stop()
+
+
+def test_sql_task_replace_is_atomic_and_parses_druid_forms(spark, tmp_path):
+    """Review regressions for SQL ingestion: (1) REPLACE writes to a
+    staging dir and swaps, so a self-referential reindex (REPLACE ...
+    SELECT FROM the same datasource) works and a FAILED replace leaves
+    the old data intact; (2) WITH-CTE ingestion and the two-word
+    PARTITIONED BY ALL TIME parse; (3) a bogus period is a clean 400
+    BEFORE any storage is touched; (4) lookup auto-versioning survives
+    a client-set non-numeric version (covered here for endpoint
+    adjacency)."""
+    s = DruidBrokerShim(spark, {}, deep_storage=str(tmp_path / "deep"))
+    port = s.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        _post(base + "/druid/v2/sql/task", {
+            "query": "INSERT INTO m SELECT "
+                     "TIMESTAMP '2024-01-01 01:00:00' AS __time, 5 AS v "
+                     "PARTITIONED BY DAY"})
+        # WITH-CTE REPLACE reading from the datasource it replaces
+        _post(base + "/druid/v2/sql/task", {
+            "query": "REPLACE INTO m OVERWRITE ALL "
+                     "WITH doubled AS (SELECT __time, v * 2 AS v FROM m) "
+                     "SELECT __time, v FROM doubled "
+                     "PARTITIONED BY ALL TIME"})
+        rows = _post(base + "/druid/v2/sql", {
+            "query": "SELECT SUM(v) AS total FROM m"})
+        assert rows == [{"total": 10}]
+        # failed REPLACE (CLUSTERED BY column absent) leaves data intact
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/druid/v2/sql/task", {
+                "query": "REPLACE INTO m OVERWRITE ALL SELECT "
+                         "TIMESTAMP '2024-01-01' AS __time, 1 AS v "
+                         "PARTITIONED BY DAY CLUSTERED BY nope"})
+        assert ei.value.code == 400
+        # bogus period: clean 400, storage untouched
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/druid/v2/sql/task", {
+                "query": "REPLACE INTO m OVERWRITE ALL SELECT "
+                         "TIMESTAMP '2024-01-01' AS __time, 1 AS v "
+                         "PARTITIONED BY PFOO"})
+        assert ei.value.code == 400
+        rows = _post(base + "/druid/v2/sql", {
+            "query": "SELECT SUM(v) AS total FROM m",
+            "context": {"useCache": False}})
+        assert rows == [{"total": 10}]  # the old contents survived
+        # lookup versioning: envelope version then bare-map update
+        cfg = base + "/druid/coordinator/v1/lookups/config/__default"
+        _post(cfg + "/l1", {"version": "v2", "lookupExtractorFactory": {
+            "type": "map", "map": {"a": "1"}}})
+        _post(cfg + "/l1", {"a": "2"})  # must not crash on int('v2')
+        with urllib.request.urlopen(cfg + "/l1") as r:
+            spec = json.loads(r.read())
+        assert spec["lookupExtractorFactory"]["map"] == {"a": "2"}
+    finally:
+        s.stop()
