@@ -50,6 +50,11 @@ engine without modification:
 - query laning (query-scheduler lanes): ``context.lane`` claims a slot
   in a bounded lane; a full lane rejects with HTTP 429 instead of
   queueing, protecting interactive traffic from batch floods;
+- auto-compaction (automatic-compaction.md): per-datasource configs on
+  ``/druid/coordinator/v1/config/compaction``; a coordinator-style duty
+  cycle rewrites fragmented datasources (more segments than
+  target-granularity buckets — streaming handoff's natural debris) at
+  the target granularity and swaps them in;
 - a whole-query result cache (using-caching.md; context
   ``useCache``/``populateCache``) serves repeated queries over
   segment-root datasources without touching Spark — keys carry a
@@ -504,6 +509,14 @@ class DruidBrokerShim:
             name: threading.BoundedSemaphore(int(cap))
             for name, cap in (lanes or {}).items()
         }
+        # auto-compaction (coordinator duty): per-datasource configs
+        # submitted over /druid/coordinator/v1/config/compaction; a
+        # daemon duty thread (started on first config) heals
+        # fragmentation the way Druid's coordinator compaction duty does
+        self._compaction_configs: dict[str, dict] = {}
+        self._compaction_period_s = 30.0
+        self._compaction_stop = threading.Event()
+        self._compaction_thread: threading.Thread | None = None
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -798,6 +811,113 @@ class DruidBrokerShim:
                 sem.release()
 
         return slot()
+
+    def _set_compaction_config(self, body: dict) -> dict:
+        """POST /druid/coordinator/v1/config/compaction
+        (automatic-compaction.md): store a per-datasource config and
+        make sure the duty thread is running. Supported fields:
+        ``dataSource`` (required), ``segmentGranularity`` (target
+        bucket, default day)."""
+        ds = body.get("dataSource")
+        if not ds:
+            raise ValueError("compaction config needs a dataSource")
+        with self._lock:
+            cfgs = dict(self._compaction_configs)
+            cfgs[ds] = {
+                "dataSource": ds,
+                "segmentGranularity": (
+                    body.get("granularitySpec", {}).get(
+                        "segmentGranularity"
+                    )
+                    or body.get("segmentGranularity", "day")
+                ),
+            }
+            self._compaction_configs = cfgs
+        if self._compaction_thread is None:
+            def duty() -> None:
+                while not self._compaction_stop.wait(
+                    self._compaction_period_s
+                ):
+                    try:
+                        self.run_auto_compaction()
+                    except Exception:
+                        pass  # next cycle retries; queries unaffected
+
+            self._compaction_thread = threading.Thread(
+                target=duty, daemon=True, name="compaction-duty"
+            )
+            self._compaction_thread.start()
+        return {"status": "accepted"}
+
+    def _delete_compaction_config(self, ds: str) -> bool:
+        with self._lock:
+            if ds not in self._compaction_configs:
+                return False
+            cfgs = dict(self._compaction_configs)
+            del cfgs[ds]
+            self._compaction_configs = cfgs
+        return True
+
+    def run_auto_compaction(self) -> dict[str, int]:
+        """One duty cycle (tests call this directly for determinism):
+        for each configured datasource whose root holds MORE segments
+        than target-granularity buckets (streaming handoff's natural
+        fragmentation), rewrite the whole root at the target granularity
+        through the engine's distributed compaction, swap it in, and
+        re-register. Returns {datasource: segments_after} for the
+        datasources it compacted."""
+        import os
+        import shutil
+
+        from .native_query import _SIMPLE_GRANULARITIES
+        from .sources.datasource import find_segment_dirs, load_plan_meta
+        from .sources.ingest import compact_segments
+
+        with self._lock:
+            cfgs = dict(self._compaction_configs)
+        out: dict[str, int] = {}
+        for ds, cfg in cfgs.items():
+            root = self._segment_roots.get(ds)
+            if root is None:
+                continue
+            gran = str(cfg.get("segmentGranularity", "day"))
+            period = _SIMPLE_GRANULARITIES.get(gran.lower(), gran)
+            try:
+                dirs = find_segment_dirs(root)
+            except Exception:
+                continue
+            metas = load_plan_meta(root, dirs)
+            # bucket each segment by its interval start at the target
+            # granularity — pure metadata, no decodes
+            import datetime as _dt
+
+            def bucket(ms: int) -> str:
+                d = _dt.datetime.fromtimestamp(
+                    ms / 1000, _dt.timezone.utc
+                )
+                if period == "PT1H":
+                    return d.strftime("%Y-%m-%dT%H")
+                if period == "P1M":
+                    return d.strftime("%Y-%m")
+                if period == "P1Y":
+                    return d.strftime("%Y")
+                return d.strftime("%Y-%m-%d")  # day default
+            buckets = {bucket(m["start"]) for m in metas.values()}
+            if len(dirs) <= len(buckets):
+                continue  # one segment per bucket: healthy
+            staging = f"{root}.compacting.{os.getpid()}"
+            shutil.rmtree(staging, ignore_errors=True)
+            try:
+                compact_segments(
+                    self.spark, root, staging, granularity=period
+                ).collect()
+                shutil.rmtree(root, ignore_errors=True)
+                os.rename(staging, root)
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
+            self._register_datasource_root(ds)
+            out[ds] = len(find_segment_dirs(root))
+        return out
 
     def _lookup_spec(self, name: str) -> dict | None:
         with self._lock:
@@ -1489,6 +1609,13 @@ class DruidBrokerShim:
                     else:
                         self._send(404, {"error": "Unknown datasource",
                                          "errorMessage": name})
+                elif path == "/druid/coordinator/v1/config/compaction":
+                    with shim._lock:
+                        self._send(200, {
+                            "compactionConfigs": sorted(
+                                shim._compaction_configs.values(),
+                                key=lambda c: c["dataSource"],
+                            )})
                 elif path == "/druid/coordinator/v1/lookups/config":
                     self._send(200, ["__default"])
                 elif path == (
@@ -1553,6 +1680,15 @@ class DruidBrokerShim:
             def do_DELETE(self):
                 path = self.path.split("?", 1)[0]
                 if path.startswith(
+                    "/druid/coordinator/v1/config/compaction/"
+                ):
+                    ds = path.rsplit("/", 1)[1]
+                    if shim._delete_compaction_config(ds):
+                        self._send(200, {"status": "accepted"})
+                    else:
+                        self._send(404, {"error": "Unknown datasource",
+                                         "errorMessage": ds})
+                elif path.startswith(
                     "/druid/coordinator/v1/lookups/config/__default/"
                 ):
                     name = path.rsplit("/", 1)[1]
@@ -1586,6 +1722,13 @@ class DruidBrokerShim:
                         return
                     elif self.path == "/druid/v2/sql/task":
                         self._send(200, shim._handle_sql_ingest(body))
+                        return
+                    elif self.path.split("?", 1)[0] == (
+                        "/druid/coordinator/v1/config/compaction"
+                    ):
+                        self._send(
+                            200, shim._set_compaction_config(body)
+                        )
                         return
                     elif self.path.startswith(
                         "/druid/coordinator/v1/lookups/config/__default/"
@@ -1681,6 +1824,7 @@ class DruidBrokerShim:
         return self._server.server_address[1]
 
     def stop(self) -> None:
+        self._compaction_stop.set()
         with self._lock:
             sups = list(self._supervisors.values())
         for sup in sups:

@@ -1047,3 +1047,56 @@ def test_sql_task_replace_is_atomic_and_parses_druid_forms(spark, tmp_path):
         assert spec["lookupExtractorFactory"]["map"] == {"a": "2"}
     finally:
         s.stop()
+
+
+def test_auto_compaction_duty_heals_fragmentation(spark, tmp_path):
+    """Coordinator auto-compaction (automatic-compaction.md): streaming
+    handoff leaves many small segments per interval; submitting a
+    compaction config makes the duty cycle rewrite fragmented
+    datasources at the target granularity — same rows, fewer segments —
+    while a healthy datasource is left alone."""
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    s = DruidBrokerShim(spark, {}, deep_storage=str(tmp_path / "deep"))
+    port = s.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        # three INSERTs into the same day -> 3 version-tagged segments
+        for i, v in enumerate((5, 7, 9)):
+            _post(base + "/druid/v2/sql/task", {
+                "query": f"INSERT INTO frag SELECT "
+                         f"TIMESTAMP '2024-01-01 0{i}:00:00' AS __time, "
+                         f"{v} AS v PARTITIONED BY DAY"})
+        segs = _post(base + "/druid/v2/sql", {
+            "query": "SELECT COUNT(*) AS n FROM sys.segments "
+                     "WHERE datasource = 'frag'"})
+        assert segs == [{"n": 3}]
+        out = _post(base + "/druid/coordinator/v1/config/compaction", {
+            "dataSource": "frag", "segmentGranularity": "day"})
+        assert out == {"status": "accepted"}
+        with urllib.request.urlopen(
+            base + "/druid/coordinator/v1/config/compaction"
+        ) as r:
+            cfgs = json.loads(r.read())["compactionConfigs"]
+        assert [c["dataSource"] for c in cfgs] == ["frag"]
+        compacted = s.run_auto_compaction()  # deterministic duty cycle
+        assert compacted == {"frag": 1}
+        segs = _post(base + "/druid/v2/sql", {
+            "query": "SELECT COUNT(*) AS n FROM sys.segments "
+                     "WHERE datasource = 'frag'"})
+        assert segs == [{"n": 1}]
+        rows = _post(base + "/druid/v2/sql", {
+            "query": "SELECT SUM(v) AS total FROM frag",
+            "context": {"useCache": False}})
+        assert rows == [{"total": 21}]  # nothing lost in the rewrite
+        # a healthy (1 segment per bucket) datasource is left alone
+        assert s.run_auto_compaction() == {}
+        # delete the config; the duty has nothing to do
+        req = urllib.request.Request(
+            base + "/druid/coordinator/v1/config/compaction/frag",
+            method="DELETE")
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+        assert s.run_auto_compaction() == {}
+    finally:
+        s.stop()
