@@ -41,8 +41,9 @@ engine without modification:
 - ``POST /druid/v2/sql/task`` runs Druid's SQL-based (MSQ) ingestion
   statements — ``INSERT INTO ds SELECT ... PARTITIONED BY <grain>
   [CLUSTERED BY cols]`` appends version-tagged segments, ``REPLACE
-  INTO ds OVERWRITE ALL ...`` swaps the datasource — synchronously on
-  Spark, recorded in sys.tasks;
+  INTO ds OVERWRITE ALL ...`` swaps the datasource, and
+  ``TABLE(EXTERN(...))`` reads external files exactly as MSQ's
+  external-input form — synchronously on Spark, recorded in sys.tasks;
 - the coordinator lookup-config family
   (``/druid/coordinator/v1/lookups/config[...]``) lists, fetches,
   creates/updates (versioned envelope or bare map), and deletes map
@@ -201,6 +202,17 @@ _INGEST_SQL_RE = re.compile(
     r"(?:\s+CLUSTERED\s+BY\s+(?P<cluster>[^;]+?))?\s*;?\s*$",
     re.I | re.S,
 )
+# MSQ's external-input table function (sql-ingestion.md):
+# TABLE(EXTERN('<inputSource json>', '<inputFormat json>',
+# '<signature json>')) — rewritten to a registered temp view
+_EXTERN_RE = re.compile(
+    r"TABLE\s*\(\s*EXTERN\s*\(\s*"
+    r"'(?P<src>(?:[^']|'')*)'\s*,\s*"
+    r"'(?P<fmt>(?:[^']|'')*)'\s*,\s*"
+    r"'(?P<sig>(?:[^']|'')*)'\s*\)\s*\)",
+    re.I | re.S,
+)
+
 # PARTITIONED BY keywords -> granularity periods; ALL [TIME] = the
 # engine's ALL granularity (one segment bucket for all time)
 _PARTITIONED_BY = {
@@ -1154,7 +1166,8 @@ class DruidBrokerShim:
             else None
         )
         df = self.spark.sql(
-            _rewrite_system_tables(m.group("select")), args=args
+            _rewrite_system_tables(self._resolve_extern(m.group("select"))),
+            args=args,
         )
         if "__time" not in df.columns:
             raise ValueError(
@@ -1217,6 +1230,46 @@ class DruidBrokerShim:
         if status["status"] == "FAILED":
             raise ValueError(status["errorMsg"])
         return {"taskId": task_id, "state": "SUCCESS"}
+
+    def _resolve_extern(self, sql: str) -> str:
+        """Rewrite every ``TABLE(EXTERN('<inputSource>', '<inputFormat>',
+        '<signature>'))`` call (MSQ's external-input form,
+        sql-ingestion.md) into a registered temp view reading that
+        input through the ingestion reader, with the signature's columns
+        cast to their declared types (absent columns surface as typed
+        NULLs, matching MSQ)."""
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        from .ingestion_spec import _read_input
+
+        types = {"string": "string", "long": "long", "double": "double",
+                 "float": "float", "bigint": "long"}
+
+        def replace(m: re.Match) -> str:
+            src = json.loads(m.group("src").replace("''", "'"))
+            fmt = json.loads(m.group("fmt").replace("''", "'"))
+            sig = json.loads(m.group("sig").replace("''", "'"))
+            df = _read_input(
+                self.spark, {"inputSource": src, "inputFormat": fmt}
+            )
+            cols = []
+            for c in sig:
+                name = c["name"]
+                t = types.get(str(c.get("type", "string")).lower(),
+                              "string")
+                cols.append(
+                    (df[name] if name in df.columns
+                     else F.lit(None)).cast(t).alias(name)
+                )
+            view = "ddbs_extern_" + hashlib.md5(
+                m.group(0).encode()
+            ).hexdigest()[:12]
+            df.select(*cols).createOrReplaceTempView(view)
+            return view
+
+        return _EXTERN_RE.sub(replace, sql)
 
     def _record_task(self, status: dict) -> None:
         """Store a terminal task status (atomic map rebind) and refresh

@@ -1100,3 +1100,50 @@ def test_auto_compaction_duty_heals_fragmentation(spark, tmp_path):
         assert s.run_auto_compaction() == {}
     finally:
         s.stop()
+
+
+def test_sql_task_extern_input(spark, tmp_path):
+    """MSQ's external-input form: INSERT ... SELECT ... FROM
+    TABLE(EXTERN('<inputSource>', '<inputFormat>', '<signature>'))
+    reads raw files, applies the declared signature (absent columns as
+    typed NULLs), and lands queryable segments."""
+    drop = tmp_path / "ext"
+    drop.mkdir()
+    with open(drop / "a.json", "w") as f:
+        f.write(json.dumps({"t": "2024-03-01T00:10:00Z",
+                            "page": "x", "delta": 4}) + "\n")
+        f.write(json.dumps({"t": "2024-03-02T05:00:00Z",
+                            "page": "y", "delta": 6}) + "\n")
+    s = DruidBrokerShim(spark, {}, deep_storage=str(tmp_path / "deep"))
+    port = s.start()
+    base = f"http://127.0.0.1:{port}"
+    src = json.dumps({"type": "local", "baseDir": str(drop),
+                      "filter": "*.json"})
+    fmt = json.dumps({"type": "json"})
+    sig = json.dumps([{"name": "t", "type": "string"},
+                      {"name": "page", "type": "string"},
+                      {"name": "delta", "type": "long"},
+                      {"name": "missing", "type": "double"}])
+    try:
+        out = _post(base + "/druid/v2/sql/task", {
+            "query": f"""
+              INSERT INTO ext
+              SELECT CAST(t AS TIMESTAMP) AS __time, page, delta, missing
+              FROM TABLE(EXTERN('{src}', '{fmt}', '{sig}'))
+              PARTITIONED BY DAY
+            """})
+        assert out["state"] == "SUCCESS"
+        # the signature's absent column arrives as NULL and stores as
+        # 0.0 per the segment writer's Druid-v9 legacy null semantics
+        rows = _post(base + "/druid/v2/sql", {
+            "query": "SELECT page, SUM(delta) AS total, "
+                     "SUM(missing) AS m "
+                     "FROM ext GROUP BY 1 ORDER BY 1"})
+        assert rows == [{"page": "x", "total": 4, "m": 0.0},
+                        {"page": "y", "total": 6, "m": 0.0}]
+        segs = _post(base + "/druid/v2/sql", {
+            "query": "SELECT COUNT(*) AS n FROM sys.segments "
+                     "WHERE datasource = 'ext'"})
+        assert segs == [{"n": 2}]
+    finally:
+        s.stop()
