@@ -56,6 +56,13 @@ engine without modification:
   cycle rewrites fragmented datasources (more segments than
   target-granularity buckets — streaming handoff's natural debris) at
   the target granularity and swaps them in;
+- retention rules (rule-configuration.md): per-datasource chains and
+  the cluster ``_default`` chain on ``/druid/coordinator/v1/rules``
+  decide which segments are SERVED (first match wins; drop* rules
+  exclude segments from scans and flip ``sys.segments.is_available``
+  to 0 without deleting them — ``kill`` remains the permanent
+  delete); manual ``markUnused``/``markUsed`` (by interval or
+  segmentIds) composes on top — rule semantics in ``retention.py``;
 - a whole-query result cache (using-caching.md; context
   ``useCache``/``populateCache``) serves repeated queries over
   segment-root datasources without touching Spark — keys carry a
@@ -130,8 +137,11 @@ def _druid_types(dt) -> tuple[str, str]:
     return "COMPLEX", "OTHER"
 
 
-def sys_segments_frame(spark: SparkSession,
-                       segment_roots: dict[str, str]) -> DataFrame:
+def sys_segments_frame(
+    spark: SparkSession,
+    segment_roots: dict[str, str],
+    unused: dict[str, frozenset[str]] | None = None,
+) -> DataFrame:
     """Druid's ``sys.segments`` metadata table over segment roots.
 
     Built from each root's planning manifest (``load_plan_meta`` — one
@@ -140,7 +150,11 @@ def sys_segments_frame(spark: SparkSession,
     dir at registration time — metadata the manifest does not carry).
     Served columns are the subset of Druid's sys.segments
     (sql-metadata-tables.md) this architecture has truthful values
-    for: all segments here are published, available, and historical.
+    for: all segments here are published and historical. ``unused``
+    maps datasource -> segment-dir basenames dropped by retention
+    rules or markUnused: those stay published (kill is the permanent
+    delete) but report ``is_available = 0``, like real Druid's
+    unserved segments.
     """
     import os
 
@@ -151,6 +165,7 @@ def sys_segments_frame(spark: SparkSession,
     for ds, root in segment_roots.items():
         seg_dirs = find_segment_dirs(root)
         meta = load_plan_meta(root, seg_dirs)
+        dropped = (unused or {}).get(ds) or frozenset()
         for seg_dir in seg_dirs:
             m = meta.get(seg_dir)
             if m is None:
@@ -163,9 +178,11 @@ def sys_segments_frame(spark: SparkSession,
                     except OSError:
                         pass
             start, end = iso(m["start"]), iso(m["end"])
+            base_name = os.path.basename(seg_dir)
             rows.append((
-                f"{ds}_{start}_{end}_{os.path.basename(seg_dir)}",
-                ds, start, end, size, int(m["rows"]), 1, 1, 0,
+                f"{ds}_{start}_{end}_{base_name}",
+                ds, start, end, size, int(m["rows"]), 1,
+                0 if base_name in dropped else 1, 0,
             ))
     return spark.createDataFrame(
         rows,
@@ -529,6 +546,23 @@ class DruidBrokerShim:
         self._compaction_period_s = 30.0
         self._compaction_stop = threading.Event()
         self._compaction_thread: threading.Thread | None = None
+        # retention rules (rule-configuration.md, retention.py): per-
+        # datasource chains + the cluster default chain under the
+        # "_default" key of the rules API; manual markUnused/markUsed
+        # overrides compose on top (manual-unused wins over rules).
+        # _retention_epoch bumps on every rules/mark change and folds
+        # into result-cache keys — a rule flip changes what a query
+        # answers WITHOUT moving any segment-state digest, so the
+        # digest alone must never validate a cached result.
+        from .retention import DEFAULT_RULES
+
+        self._rules: dict[str, list[dict]] = {}
+        self._default_rules: list[dict] = list(DEFAULT_RULES)
+        self._manual_unused: dict[str, frozenset[str]] = {}
+        # unused set each root's CURRENT registration excludes (what
+        # sys.segments reports); maintained by _register_datasource_root
+        self._unused: dict[str, frozenset[str]] = {}
+        self._retention_epoch = 0
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -557,7 +591,7 @@ class DruidBrokerShim:
 
     def _refresh_sys_segments(self) -> None:
         sys_segments_frame(
-            self.spark, self._segment_roots
+            self.spark, self._segment_roots, self._unused
         ).createOrReplaceTempView("sys_segments")
 
     def _refresh_sys_tasks(self) -> None:
@@ -674,7 +708,11 @@ class DruidBrokerShim:
         uniq = list(dict.fromkeys(names))
         if any(n not in fresh for n in uniq):
             return None
-        return tuple((n, fresh[n]) for n in uniq)
+        # retention epoch rides in the key: a rule/markUnused flip
+        # changes served rows without moving any root digest
+        return tuple((n, fresh[n]) for n in uniq) + (
+            ("__retention_epoch__", str(self._retention_epoch)),
+        )
 
     def _handle_native(self, body: dict) -> list[dict]:
         ctx = body.get("context") or {}
@@ -1102,10 +1140,125 @@ class DruidBrokerShim:
                 digests.pop(ds, None)
                 self._root_digests = digests
                 self.spark.catalog.dropTempView(ds)
+                unused_map = dict(self._unused)
+                unused_map.pop(ds, None)
+                self._unused = unused_map
+                self._manual_unused.pop(ds, None)
                 self._refresh_sys_segments()
                 self._refresh_sys_datasources()
                 self._register_information_schema()
         return len(killed)
+
+    # -- retention rules (rule-configuration.md) --------------------------
+    def _retention_unused(self, ds: str, root: str) -> frozenset[str]:
+        """Segment-dir basenames the current rule chains + manual marks
+        drop for this datasource. Metadata-plane only (one manifest
+        read); the no-rules/default-loadForever fast path skips even
+        that, so datasources that never touch retention pay nothing."""
+        import time
+
+        from .retention import DEFAULT_RULES, unused_segments
+        from .sources.datasource import find_segment_dirs, load_plan_meta
+
+        with self._lock:
+            rules = list(self._rules.get(ds) or ())
+            default = list(self._default_rules)
+            manual = self._manual_unused.get(ds) or frozenset()
+        if not rules and not manual and default == list(DEFAULT_RULES):
+            return frozenset()
+        try:
+            dirs = find_segment_dirs(root)
+        except ValueError:  # empty root: nothing to drop
+            return frozenset(manual)
+        metas = load_plan_meta(root, dirs)
+        now_ms = int(time.time() * 1000)
+        dropped = unused_segments(rules, default, metas, now_ms)
+        return frozenset(dropped) | manual
+
+    def _get_rules(self, ds: str | None = None, full: bool = False):
+        """GET /druid/coordinator/v1/rules[/{ds}[?full]] — the full
+        rules map, or one datasource's chain (?full appends the
+        cluster default chain, as the real coordinator does)."""
+        with self._lock:
+            if ds is None:
+                out = {n: list(c) for n, c in self._rules.items()}
+                out["_default"] = list(self._default_rules)
+                return out
+            chain = list(self._rules.get(ds) or ())
+            if full:
+                chain += list(self._default_rules)
+            return chain
+
+    def _set_rules(self, ds: str, rules: list[dict]) -> None:
+        """POST /druid/coordinator/v1/rules/{ds} — validate, install,
+        and apply immediately: affected roots re-register with the new
+        exclusion set (real Druid converges on the next coordinator
+        run; this synchronous coordinator applies in-line so the next
+        query already serves the new rule state)."""
+        from .retention import validate_rules
+
+        validate_rules(rules)
+        with self._lock:
+            if ds == "_default":
+                self._default_rules = list(rules)
+                affected = list(self._segment_roots)
+            else:
+                rmap = dict(self._rules)
+                if rules:
+                    rmap[ds] = list(rules)
+                else:
+                    rmap.pop(ds, None)
+                self._rules = rmap
+                affected = [ds] if ds in self._segment_roots else []
+            self._retention_epoch += 1
+        for name in affected:
+            self._register_datasource_root(name)
+
+    def _mark_segments(self, ds: str, body: dict, used: bool) -> int:
+        """POST /druid/coordinator/v1/datasources/{ds}/markUnused (or
+        markUsed) — manual segment lifecycle (api-reference.md): body
+        carries ``{"interval": "start/end"}`` (containment rule, like
+        kill) or ``{"segmentIds": [...]}`` (segment-dir basenames).
+        markUsed clears manual marks; it cannot resurrect a segment a
+        drop RULE excludes (rules re-apply on registration), exactly
+        like real Druid. Returns the number of marks changed."""
+        import os
+
+        from .retention import interval_ms
+        from .sources.datasource import find_segment_dirs, load_plan_meta
+
+        root = self._segment_roots.get(ds)
+        if root is None:
+            raise ValueError(f"unknown datasource {ds!r}")
+        if "interval" in body:
+            lo, hi = interval_ms(body["interval"])
+            dirs = find_segment_dirs(root)
+            metas = load_plan_meta(root, dirs)
+            targets = {
+                os.path.basename(d)
+                for d in dirs
+                if lo <= metas[d]["start"] and metas[d]["end"] <= hi
+            }
+        elif "segmentIds" in body:
+            targets = {str(s) for s in body["segmentIds"]}
+        else:
+            raise ValueError(
+                "markUnused/markUsed requires 'interval' or 'segmentIds'"
+            )
+        with self._lock:
+            manual = dict(self._manual_unused)
+            cur = set(manual.get(ds) or ())
+            before = len(cur)
+            cur = (cur | targets) if not used else (cur - targets)
+            changed = abs(len(cur) - before)
+            if cur:
+                manual[ds] = frozenset(cur)
+            else:
+                manual.pop(ds, None)
+            self._manual_unused = manual
+            self._retention_epoch += 1
+        self._register_datasource_root(ds)
+        return changed
 
     def _handle_sql_ingest(self, body: dict) -> dict:
         """POST /druid/v2/sql/task — Druid's SQL-based (MSQ) ingestion
@@ -1526,10 +1679,18 @@ class DruidBrokerShim:
             self.deep_storage, ds
         )
         register_druid_datasource(self.spark)
-        df = (
-            self.spark.read.format("druidsegment")
-            .option("path", root).load()
+        # retention: drop-rule / markUnused segments are excluded in
+        # the relation's OPTIONS (relation identity), so every query
+        # path — SQL, native, sys-free scans — serves the same set
+        unused = self._retention_unused(ds, root)
+        reader = (
+            self.spark.read.format("druidsegment").option("path", root)
         )
+        if unused:
+            reader = reader.option(
+                "exclude_segments", json.dumps(sorted(unused))
+            )
+        df = reader.load()
         if digest is None:
             digest = _segment_state_digest(root)
         with self._lock:
@@ -1543,6 +1704,12 @@ class DruidBrokerShim:
             if digest is not None:
                 digests[ds] = digest
             self._root_digests = digests
+            unused_map = dict(self._unused)
+            if unused:
+                unused_map[ds] = unused
+            else:
+                unused_map.pop(ds, None)
+            self._unused = unused_map
             df.createOrReplaceTempView(ds)
             self._refresh_sys_segments()
             self._refresh_sys_datasources()
@@ -1669,6 +1836,12 @@ class DruidBrokerShim:
                                 shim._compaction_configs.values(),
                                 key=lambda c: c["dataSource"],
                             )})
+                elif path == "/druid/coordinator/v1/rules":
+                    self._send(200, shim._get_rules())
+                elif path.startswith("/druid/coordinator/v1/rules/"):
+                    ds = path.rsplit("/", 1)[1]
+                    _, _, qs = self.path.partition("?")
+                    self._send(200, shim._get_rules(ds, full="full" in qs))
                 elif path == "/druid/coordinator/v1/lookups/config":
                     self._send(200, ["__default"])
                 elif path == (
@@ -1788,6 +1961,30 @@ class DruidBrokerShim:
                     ):
                         name = self.path.rsplit("/", 1)[1]
                         self._send(202, shim._lookup_update(name, body))
+                        return
+                    elif self.path.startswith(
+                        "/druid/coordinator/v1/rules/"
+                    ):
+                        ds = self.path.split("?", 1)[0].rsplit("/", 1)[1]
+                        shim._set_rules(ds, body)
+                        self._send(200, {"status": "accepted"})
+                        return
+                    elif self.path.startswith(
+                        "/druid/coordinator/v1/datasources/"
+                    ) and self.path.split("?", 1)[0].endswith(
+                        ("/markUnused", "/markUsed")
+                    ):
+                        p = self.path.split("?", 1)[0]
+                        rest = p.split(
+                            "/druid/coordinator/v1/datasources/", 1
+                        )[1]
+                        ds, _, action = rest.partition("/")
+                        n_changed = shim._mark_segments(
+                            ds, body, used=(action == "markUsed")
+                        )
+                        self._send(
+                            200, {"numChangedSegments": n_changed}
+                        )
                         return
                     elif self.path == "/druid/indexer/v1/task":
                         self._send(200, shim._handle_task(body))

@@ -83,6 +83,8 @@ ROTATION: tuple[str, ...] = (
     "em_binary_quantize",
     "nq_union_datasource",
     "fd_window_sql_text",
+    "lr_retention_drop_interval",
+    "lr_retention_period_load",
 )
 
 

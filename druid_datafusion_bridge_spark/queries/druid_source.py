@@ -1658,3 +1658,150 @@ def s1q_druid_segment_recent_limit(
         .orderBy(F.desc("t_ms"), F.desc("event_id"))
         .limit(40)
     )
+
+
+def _ensure_daily_event_segments(spark: SparkSession, sf_dir: str) -> str:
+    """Events as one segment per UTC day (30 for the generator's
+    January span) — the layout a DAY segmentGranularity writer
+    produces, and the one retention rules act on: every segment's
+    interval sits inside a single day, so a day-aligned rule's
+    segment-level keep/drop is row-level expressible for the oracle."""
+    from ..sources import write_segment
+
+    _ensure_registered(spark)
+    root = _segment_root(sf_dir, "events_daily")
+
+    def _build() -> None:
+        import pyarrow.compute as pc
+
+        t = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "ts", "event_type", "value"],
+        )
+        t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+        t = pa.table(
+            {
+                "__time": t.column("ts"),
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "value": t.column("value"),
+            }
+        )
+        days = pc.strftime(t.column("__time"), format="%Y%m%d").to_pylist()
+        lo = 0
+        for i in range(1, t.num_rows + 1):
+            if i == t.num_rows or days[i] != days[lo]:
+                write_segment(
+                    t.slice(lo, i - lo),
+                    os.path.join(root, f"seg_{days[lo]}"),
+                )
+                lo = i
+
+    _cached_build(root, sf_dir, "events", _build)
+    return root
+
+
+def _retention_scan(
+    spark: SparkSession, sf_dir: str, rules: list[dict], now_ms: int
+) -> DataFrame:
+    """Shared retention plumbing: evaluate ``rules`` against the daily
+    root's planning manifest (metadata plane — no segment opens beyond
+    the one cached manifest read), then scan with the dropped segments
+    excluded in the relation's options — the same mechanism the broker
+    bakes into its registrations (broker.py _register_datasource_root)."""
+    import json as _json
+
+    from ..retention import unused_segments
+    from ..sources.datasource import find_segment_dirs, load_plan_meta
+
+    root = _ensure_daily_event_segments(spark, sf_dir)
+    dirs = find_segment_dirs(root)
+    dropped = unused_segments(
+        rules, [], load_plan_meta(root, dirs), now_ms
+    )
+    reader = spark.read.format("druidsegment").option("path", root)
+    if dropped:
+        reader = reader.option(
+            "exclude_segments", _json.dumps(sorted(dropped))
+        )
+    return reader.load()
+
+
+#: Fixed "now" for period-rule evaluation in the registry queries: the
+#: day after the events generator's span ends, so the oracle's
+#: equivalent row cut is a constant. The broker uses real wall-clock.
+LR_NOW_MS = 1706745600000  # 2024-02-01T00:00:00Z
+
+
+@query(
+    "lr_retention_drop_interval",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE NOT (ts >= TIMESTAMP '2024-01-10 00:00:00'
+               AND ts < TIMESTAMP '2024-01-15 00:00:00')
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def lr_retention_drop_interval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Coordinator retention: ``[dropByInterval 2024-01-10/01-15,
+    loadForever]`` over day-granularity segments (rule-configuration.md
+    — first match wins; the interval rule's CONTAINMENT test drops
+    exactly the five January days inside it, everything else falls
+    through to loadForever). The drop happens at PLANNING (excluded
+    segments never open — at 100 TB that is retention deleting IO, not
+    filtering rows); day alignment makes the segment-level drop
+    row-expressible for the oracle."""
+    from .exact import exact_sum
+
+    rules = [
+        {"type": "dropByInterval",
+         "interval": "2024-01-10T00:00:00Z/2024-01-15T00:00:00Z"},
+        {"type": "loadForever"},
+    ]
+    df = _retention_scan(spark, sf_dir, rules, LR_NOW_MS)
+    return (
+        df.groupBy(F.date_format("__time", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum("value", "sum_value"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "lr_retention_period_load",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def lr_retention_period_load(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Retention's canonical idiom — "serve the last week": a single
+    ``loadByPeriod P7D`` chain with an EMPTY default; a segment
+    matching no rule is not served (Druid's coordinator leaves it
+    unassigned), so everything older than now-P7D drops. Period rules
+    anchor at "now" (fixed here at 2024-02-01T00:00:00Z so the oracle
+    is a constant cut; the broker anchors at wall-clock): the window
+    [2024-01-25, inf) keeps the six final generator days. Overlap
+    matching keeps boundary-straddling segments WHOLE — with
+    day-contained segments that reduces to the oracle's day cut."""
+    rules = [{"type": "loadByPeriod", "period": "P7D",
+              "includeFuture": True}]
+    df = _retention_scan(spark, sf_dir, rules, LR_NOW_MS)
+    return (
+        df.groupBy(F.date_format("__time", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("day")
+    )

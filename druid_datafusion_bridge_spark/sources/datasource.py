@@ -463,6 +463,16 @@ class DruidSegmentReader(DataSourceReader):
         # count (Druid itself processes one segment per thread; a
         # 4-big-segment table on 32 cores leaves 28 idle without this).
         # Sliced decode keeps each window O(its blocks).
+        # retention: segment-dir basenames this relation must NOT serve
+        # (coordinator drop rules / markUnused — retention.py). Planning
+        # drops them before any metadata read; unlike the acceleration
+        # options above this is a SEMANTIC filter (the rows genuinely
+        # disappear), which is exactly Druid's unused-segment behavior.
+        self.opt_exclude: frozenset[str] = (
+            frozenset(_json.loads(options.get("exclude_segments")))
+            if options.get("exclude_segments")
+            else frozenset()
+        )
         self.opt_split = (
             int(options.get("split_rows")) if options.get("split_rows") else None
         )
@@ -574,6 +584,20 @@ class DruidSegmentReader(DataSourceReader):
         self.pred_filters = []
         return parts
 
+    def _served_dirs(self) -> list[str]:
+        """Segment dirs minus retention-dropped ones (exclude_segments)
+        — every partition planner starts from this list so an unused
+        segment can never contribute rows through any planning path."""
+        import os as _os
+
+        dirs = find_segment_dirs(self.path)
+        if self.opt_exclude:
+            dirs = [
+                d for d in dirs
+                if _os.path.basename(d) not in self.opt_exclude
+            ]
+        return dirs
+
     def _ordered_limit_partitions(
         self, lower=None, upper=None
     ) -> list[SegmentPartition]:
@@ -591,7 +615,7 @@ class DruidSegmentReader(DataSourceReader):
         carry the interval as a __time zone-map hint exactly like the
         filtered path."""
         k = self.opt_order_limit
-        dirs = find_segment_dirs(self.path)
+        dirs = self._served_dirs()
         metas = load_plan_meta(self.path, dirs)
         infos = []
         for seg_dir in dirs:
@@ -628,7 +652,7 @@ class DruidSegmentReader(DataSourceReader):
         num: dict,
     ) -> list[SegmentPartition]:
         parts: list[SegmentPartition] = []
-        dirs = find_segment_dirs(self.path)
+        dirs = self._served_dirs()
         # planning metadata (interval / row count / column min-max)
         # comes from the root's cached manifest — one file read instead
         # of one segment open per dir (see load_plan_meta)

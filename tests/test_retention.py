@@ -1,0 +1,233 @@
+"""Coordinator retention rules (retention.py + broker endpoints):
+rule-chain semantics (rule-configuration.md — first match wins,
+containment vs overlap per rule class, calendar periods), and the
+serving side: drop rules exclude segments from every query path, flip
+sys.segments.is_available, invalidate the result cache, and reverse
+cleanly — all without deleting anything (kill stays the only delete)."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from druid_datafusion_bridge_spark.retention import (
+    DEFAULT_RULES,
+    interval_ms,
+    period_ago,
+    rule_matches,
+    segment_used,
+    unused_segments,
+    validate_rules,
+)
+
+# 2024-02-01T00:00:00Z
+NOW = 1706745600000
+DAY = 86_400_000
+JAN = {d: interval_ms(f"2024-01-{d:02d}T00:00:00Z/"
+                      f"2024-01-{d + 1:02d}T00:00:00Z")
+       for d in range(1, 30)}
+
+
+def test_interval_rules_match_on_containment():
+    rule = {"type": "dropByInterval",
+            "interval": "2024-01-10T00:00:00Z/2024-01-15T00:00:00Z"}
+    s, e = JAN[10]
+    assert rule_matches(rule, s, e, NOW)
+    # straddling the boundary -> NOT contained -> falls through
+    assert not rule_matches(rule, s - 1, e, NOW)
+    assert not rule_matches(rule, *JAN[15], NOW)
+
+
+def test_period_load_matches_on_overlap():
+    rule = {"type": "loadByPeriod", "period": "P7D"}
+    # window [Jan 25, inf): Jan 24 misses, Jan 25 hits, and a segment
+    # straddling the edge is kept WHOLE
+    assert not rule_matches(rule, *JAN[24], NOW)
+    assert rule_matches(rule, *JAN[25], NOW)
+    assert rule_matches(rule, JAN[24][0], JAN[25][1], NOW)
+    # includeFuture=False caps the window at now
+    capped = {"type": "loadByPeriod", "period": "P7D",
+              "includeFuture": False}
+    assert rule_matches(capped, *JAN[28], NOW)
+    assert not rule_matches(capped, NOW, NOW + DAY, NOW)
+
+
+def test_period_drop_matches_on_containment():
+    rule = {"type": "dropByPeriod", "period": "P7D"}
+    assert rule_matches(rule, *JAN[26], NOW)
+    # straddles the window edge -> not contained -> survives
+    assert not rule_matches(rule, JAN[24][0], JAN[25][1], NOW)
+
+
+def test_drop_before_by_period():
+    rule = {"type": "dropBeforeByPeriod", "period": "P7D"}
+    assert rule_matches(rule, *JAN[20], NOW)          # old -> dropped
+    assert not rule_matches(rule, *JAN[26], NOW)      # recent -> kept
+    assert not rule_matches(rule, JAN[24][0], JAN[25][1], NOW)
+
+
+def test_calendar_period_clamps_month_end():
+    # Mar 31 minus P1M clamps to Feb 29 (2024 is a leap year) — Joda
+    # calendar arithmetic, not 30-day approximation
+    mar31 = interval_ms("2024-03-31T00:00:00Z/2024-04-01T00:00:00Z")[0]
+    assert period_ago("P1M", mar31) == interval_ms(
+        "2024-02-29T00:00:00Z/2024-03-01T00:00:00Z")[0]
+    assert period_ago("P1Y", mar31) == interval_ms(
+        "2023-03-31T00:00:00Z/2023-04-01T00:00:00Z")[0]
+
+
+def test_first_match_wins_and_default_chain():
+    drop10 = {"type": "dropByInterval",
+              "interval": "2024-01-10T00:00:00Z/2024-01-11T00:00:00Z"}
+    # ds chain decides before the default chain sees the segment
+    assert not segment_used([drop10], list(DEFAULT_RULES), *JAN[10], NOW)
+    assert segment_used([drop10], list(DEFAULT_RULES), *JAN[11], NOW)
+    # no rule matches anywhere -> not served
+    assert not segment_used([drop10], [], *JAN[11], NOW)
+
+
+def test_unused_segments_maps_basenames():
+    metas = {
+        f"/x/seg_{d:02d}": {"start": JAN[d][0], "end": JAN[d][1]}
+        for d in (9, 10, 14, 15)
+    }
+    rules = [
+        {"type": "dropByInterval",
+         "interval": "2024-01-10T00:00:00Z/2024-01-15T00:00:00Z"},
+        {"type": "loadForever"},
+    ]
+    assert unused_segments(rules, [], metas, NOW) == {"seg_10", "seg_14"}
+
+
+def test_validate_rules_rejects_malformed():
+    with pytest.raises(ValueError):
+        validate_rules([{"type": "loadByWhim"}])
+    with pytest.raises(ValueError):
+        validate_rules([{"type": "loadByInterval"}])  # missing interval
+    with pytest.raises(ValueError):
+        validate_rules([{"type": "dropByPeriod"}])  # missing period
+    with pytest.raises(ValueError):
+        validate_rules({"type": "loadForever"})  # not a list
+    validate_rules([
+        {"type": "loadByPeriod", "period": "P1M"},
+        {"type": "dropForever"},
+    ])
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as r:
+        return json.loads(r.read())
+
+
+def _get(url):
+    with urllib.request.urlopen(url) as r:
+        return json.loads(r.read())
+
+
+def _sql(base, q):
+    return _post(base + "/druid/v2/sql", {"query": q})
+
+
+@pytest.fixture()
+def retention_shim(spark, tmp_path):
+    from druid_datafusion_bridge_spark.broker import DruidBrokerShim
+
+    s = DruidBrokerShim(spark, {}, deep_storage=str(tmp_path / "deep"))
+    port = s.start()
+    base = f"http://127.0.0.1:{port}"
+    _post(base + "/druid/v2/sql/task", {
+        "query": "INSERT INTO ret SELECT * FROM VALUES "
+                 "(TIMESTAMP '2024-01-01 01:00:00', 1), "
+                 "(TIMESTAMP '2024-01-02 01:00:00', 2), "
+                 "(TIMESTAMP '2024-01-03 01:00:00', 3) "
+                 "AS t(__time, v) PARTITIONED BY DAY"})
+    yield s, base
+    s.stop()
+
+
+def test_rules_api_drop_serve_and_reverse(retention_shim):
+    """POST a drop rule -> the day's rows vanish from SQL and its
+    segment reports is_available=0 (still published: retention is not
+    kill); clearing the rules restores both. The result cache must not
+    serve the pre-rule answer after the flip (retention epoch keys)."""
+    s, base = retention_shim
+    q = "SELECT SUM(v) AS s FROM ret"
+    assert _sql(base, q) == [{"s": 6}]
+    _post(base + "/druid/coordinator/v1/rules/ret", [
+        {"type": "dropByInterval",
+         "interval": "2024-01-02T00:00:00Z/2024-01-03T00:00:00Z"},
+        {"type": "loadForever"},
+    ])
+    # same SQL text, same segment digests — only the rules moved
+    assert _sql(base, q) == [{"s": 4}]
+    avail = _sql(base, "SELECT \"start\", is_available, is_published "
+                       "FROM sys.segments ORDER BY \"start\"")
+    assert [r["is_available"] for r in avail] == [1, 0, 1]
+    assert [r["is_published"] for r in avail] == [1, 1, 1]
+    rules = _get(base + "/druid/coordinator/v1/rules")
+    assert rules["ret"][0]["type"] == "dropByInterval"
+    assert rules["_default"] == [{"type": "loadForever"}]
+    full = _get(base + "/druid/coordinator/v1/rules/ret?full")
+    assert full[-1] == {"type": "loadForever"}
+    # clearing the chain restores service — nothing was deleted
+    _post(base + "/druid/coordinator/v1/rules/ret", [])
+    assert _sql(base, q) == [{"s": 6}]
+
+
+def test_default_chain_applies_to_every_datasource(retention_shim):
+    """POST to rules/_default governs datasources with no own chain:
+    loadByPeriod anchored at wall-clock drops the 2024 fixture days
+    (they are far older than P30D); restoring loadForever reverses."""
+    s, base = retention_shim
+    _post(base + "/druid/coordinator/v1/rules/_default",
+          [{"type": "loadByPeriod", "period": "P30D"}])
+    try:
+        assert _sql(base, "SELECT COUNT(*) AS n FROM ret") == [{"n": 0}]
+    finally:
+        _post(base + "/druid/coordinator/v1/rules/_default",
+              [{"type": "loadForever"}])
+    assert _sql(base, "SELECT COUNT(*) AS n FROM ret") == [{"n": 3}]
+
+
+def test_mark_unused_and_used(retention_shim):
+    """Manual lifecycle: markUnused by interval excludes the matched
+    segments (containment rule, like kill — but reversible); markUsed
+    restores them. Native queries see the same serving state as SQL."""
+    s, base = retention_shim
+    out = _post(
+        base + "/druid/coordinator/v1/datasources/ret/markUnused",
+        {"interval": "2024-01-01T00:00:00Z/2024-01-03T00:00:00Z"})
+    assert out == {"numChangedSegments": 2}
+    assert _sql(base, "SELECT SUM(v) AS s FROM ret") == [{"s": 3}]
+    ts = _post(base + "/druid/v2", {
+        "queryType": "timeseries", "dataSource": "ret",
+        "granularity": "all",
+        "intervals": ["2024-01-01T00:00:00/2024-02-01T00:00:00"],
+        "aggregations": [
+            {"type": "longSum", "name": "total", "fieldName": "v"}],
+    })
+    assert ts[0]["result"]["total"] == 3
+    out = _post(
+        base + "/druid/coordinator/v1/datasources/ret/markUsed",
+        {"interval": "2024-01-01T00:00:00Z/2024-01-03T00:00:00Z"})
+    assert out == {"numChangedSegments": 2}
+    assert _sql(base, "SELECT SUM(v) AS s FROM ret") == [{"s": 6}]
+
+
+def test_bad_rules_rejected_with_400(retention_shim):
+    s, base = retention_shim
+    req = urllib.request.Request(
+        base + "/druid/coordinator/v1/rules/ret",
+        data=json.dumps([{"type": "loadByWhim"}]).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 400
