@@ -537,9 +537,6 @@ def pq_quantize(
     shuffle beyond the explode's map-side regrouping. Training sees the
     corpus ``n_subspaces`` times (bounded, small k); at 100 TB train on
     a hash-sample and freeze, like the IVF maintenance path."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     if dim % n_subspaces:
         raise ValueError("dim must divide evenly into subspaces")
     w = dim // n_subspaces
@@ -548,6 +545,28 @@ def pq_quantize(
             F.col(id_col).alias("vec_id"), as_double_vec(F.col(vec_col)).alias("v")
         )
     )
+    cb = _pq_train(v, w, n_subspaces, codebook_size, seed)
+    best = _pq_assign(v, cb, w, n_subspaces)
+    return best.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("sub_id", F.col("b.code").alias("code")))
+            ),
+            lambda s: s["code"],
+        ).alias("codes"),
+        F.sum("b.d2").alias("sq_err"),
+    )
+
+
+def _pq_train(
+    v: DataFrame, w: int, n_subspaces: int, codebook_size: int, seed: int
+) -> DataFrame:
+    """Per-subspace k-means codebooks over (vec_id, v array<double>):
+    (sub_id, code, cv array<double>). Tiny (n_subspaces x
+    codebook_size rows) — always broadcast at use sites."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
     books = []
     for s_i in range(n_subspaces):
         sub = v.select(F.slice("v", s_i * w + 1, w).alias("sv"))
@@ -558,32 +577,141 @@ def pq_quantize(
             (s_i, c_i, [float(x) for x in cen])
             for c_i, cen in enumerate(model.clusterCenters())
         ]
-    cb = v.sparkSession.createDataFrame(
+    return v.sparkSession.createDataFrame(
         books, "sub_id int, code int, cv array<double>"
     )
+
+
+def _pq_sqdist(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_assign(
+    v: DataFrame, cb: DataFrame, w: int, n_subspaces: int
+) -> DataFrame:
+    """Nearest codebook centroid per (vector, subspace): (vec_id,
+    sub_id, b struct<code, d2>). Subvector-explode -> broadcast-join
+    -> argmin; a stateless corpus scan, no shuffle beyond the
+    explode's map-side regrouping."""
     subs = v.select(
         "vec_id",
         F.posexplode(
             F.array(*[F.slice("v", i * w + 1, w) for i in range(n_subspaces)])
         ).alias("sub_id", "sv"),
     )
-    d2 = F.aggregate(
-        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    best = (
+    return (
         subs.join(F.broadcast(cb), "sub_id")
-        .select("vec_id", "sub_id", "code", d2.alias("d2"))
+        .select("vec_id", "sub_id", "code", _pq_sqdist("sv", "cv").alias("d2"))
         .groupBy("vec_id", "sub_id")
         .agg(F.min_by(F.struct("code", "d2"), F.struct("d2", "code")).alias("b"))
     )
-    return best.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct("sub_id", F.col("b.code").alias("code")))
-            ),
-            lambda s: s["code"],
-        ).alias("codes"),
-        F.sum("b.d2").alias("sq_err"),
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    shortlist: int = 100,
+    dim: int = 64,
+    n_subspaces: int = 4,
+    codebook_size: int = 16,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k with exact rerank — the
+    billion-vector serving pattern (faiss IndexPQ search): per-probe
+    distance to a CODED vector is a sum of n_subspaces precomputed
+    lookup-table entries, so the corpus scan touches codes (bytes),
+    never floats; the float vectors are read only for the per-probe
+    ``shortlist`` finalists, which an exact cosine pass reranks to
+    top-k.
+
+    Vectors are L2-normalized first, making subspace-summed L2 a
+    monotone proxy for cosine (||a-b||^2 = 2 - 2cos on the unit
+    sphere), so the ADC shortlist chases the same ranking the exact
+    rerank scores.
+
+    Scale shape: LUT = probes x subspaces x codebook_size partial
+    distances — tiny, broadcast; scoring is one scan of the code
+    table with a broadcast join (no shuffle of the corpus floats);
+    rerank joins only shortlist x probes rows back to the vectors.
+    Returns (probe_id, vec_id, sim, rank).
+    """
+    if dim % n_subspaces:
+        raise ValueError("dim must divide evenly into subspaces")
+    w = dim // n_subspaces
+    unit = F.transform("raw", lambda x: x / F.col("nv"))
+    v = (
+        spread(
+            corpus.select(
+                F.col(id_col).alias("vec_id"),
+                as_double_vec(F.col(vec_col)).alias("raw"),
+            )
+        )
+        .withColumn("nv", norm(F.col("raw")))
+        .filter(F.col("nv") > 0)
+        .select("vec_id", unit.alias("v"))
+    )
+    cb = _pq_train(v, w, n_subspaces, codebook_size, seed)
+    codes = _pq_assign(v, cb, w, n_subspaces).select(
+        "vec_id", "sub_id", F.col("b.code").alias("code")
+    )
+    p = (
+        probes.select(
+            F.col("probe_id"), F.col("probe_vec").alias("raw")
+        )
+        .withColumn("nv", norm(F.col("raw")))
+        .filter(F.col("nv") > 0)
+        .select("probe_id", unit.alias("q"))
+    )
+    # ADC lookup table: partial squared distance from each probe's
+    # subvector to every codebook centroid
+    lut = (
+        p.select(
+            "probe_id",
+            F.posexplode(
+                F.array(
+                    *[F.slice("q", i * w + 1, w) for i in range(n_subspaces)]
+                )
+            ).alias("sub_id", "qv"),
+        )
+        .join(F.broadcast(cb), "sub_id")
+        .select(
+            "probe_id", "sub_id", "code", _pq_sqdist("qv", "cv").alias("pd")
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub_id", "code"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum("pd").alias("adc_d2"))
+    )
+    wnd = W.partitionBy("probe_id").orderBy(
+        F.col("adc_d2").asc(), F.col("vec_id").asc()
+    )
+    short = (
+        adc.withColumn("r", F.row_number().over(wnd))
+        .filter(F.col("r") <= shortlist)
+        .select("probe_id", "vec_id")
+    )
+    # exact rerank: only shortlist x probe rows touch the float vectors
+    sim = F.aggregate(
+        F.zip_with("v", "q", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rw = W.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        short.join(v, "vec_id")
+        .join(F.broadcast(p), "probe_id")
+        .select("probe_id", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
     )

@@ -85,6 +85,7 @@ ROTATION: tuple[str, ...] = (
     "fd_window_sql_text",
     "lr_retention_drop_interval",
     "lr_retention_period_load",
+    "sim_pq_adc_topk",
 )
 
 

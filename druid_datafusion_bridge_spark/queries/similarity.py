@@ -305,3 +305,26 @@ def sim_group_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("centroid_val")
     )
+
+
+@query("sim_pq_adc_topk", oracle=_PROBE_ORACLE)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-10 for 5 probes with exact rerank
+    (operators/similarity.py pq_adc_topk) — the third ANN scale path
+    beside LSH and IVF, and the one that serves when the FLOATS don't
+    fit: the corpus scan reads 4-byte codes and sums broadcast
+    lookup-table entries; only the per-probe 200-row shortlist touches
+    float vectors for the exact cosine rerank. Oracle = per-probe
+    recall contract, floor 40% like IVF: the synthetic embeddings are
+    i.i.d. random in 64-d, the hardest case for a product code (no
+    subspace structure to exploit), so the shortlist's recall tracks
+    how sharply 8 coded subdistances order 2000 random points
+    (measured: min-probe recall 0.5 at sf0.1, 0.8-0.9 at
+    sf0.001/0.01; k-means seeds fixed, so these are stable margins)."""
+    from ..operators.similarity import pq_adc_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = _probes(emb)
+    ann = pq_adc_topk(emb, probes, k=10, shortlist=200, n_subspaces=8)
+    exact = brute_force_topk(emb, probes, k=10)
+    return _recall_contract(ann, exact, floor=0.4)

@@ -255,3 +255,45 @@ def test_zero_norm_vectors_are_excluded(spark):
     assert 2 not in ids
     assert ids[0] == 1  # the true nearest neighbor holds rank 1
     assert all(not math.isnan(r.sim) for r in got)
+
+
+def test_pq_adc_recall_structure_and_plan(emb, probes, truth, spark):
+    """ADC search: ranked structure, recall above the registry floor,
+    and the scale contract — the corpus-code scan must join a
+    BROADCAST lookup table (the corpus side is never shuffled into a
+    hash-join build, and no Python worker appears in the plan)."""
+    from druid_datafusion_bridge_spark.operators.similarity import (
+        pq_adc_topk,
+    )
+
+    ann = pq_adc_topk(emb, probes, k=10, shortlist=200, n_subspaces=8)
+    rows = ann.collect()
+    _structure_ok(rows)
+    got = {(r["probe_id"], r["vec_id"]) for r in rows}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.4
+    plan = ann._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pq_adc_shortlist_monotone(emb, probes, truth):
+    """A larger ADC shortlist can only improve recall (the rerank is
+    exact over the shortlist) — the tuning contract a user relies on."""
+    from druid_datafusion_bridge_spark.operators.similarity import (
+        pq_adc_topk,
+    )
+
+    small = {
+        (r["probe_id"], r["vec_id"])
+        for r in pq_adc_topk(
+            emb, probes, k=10, shortlist=25, n_subspaces=8
+        ).collect()
+    }
+    big = {
+        (r["probe_id"], r["vec_id"])
+        for r in pq_adc_topk(
+            emb, probes, k=10, shortlist=400, n_subspaces=8
+        ).collect()
+    }
+    assert len(truth & big) >= len(truth & small)
