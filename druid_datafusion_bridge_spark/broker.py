@@ -27,7 +27,9 @@ engine without modification:
   onto registered views);
 - ``GET /status/health`` answers ``true`` (Druid's liveness probe);
   ``GET /druid/v2/datasources[/{name}]`` lists names / the
-  dimensions-metrics split;
+  dimensions-metrics split; ``GET /druid/v2/candidates`` lists the
+  segments a query over given intervals would touch, with candidate
+  server locations (segment-aware routing metadata);
 - ``POST /druid/indexer/v1/task`` + ``GET
   /druid/indexer/v1/task/{id}/status`` run the overlord workflow:
   ingestion task in, segments to deep storage, datasource
@@ -883,21 +885,67 @@ class DruidBrokerShim:
                 ),
             }
             self._compaction_configs = cfgs
-        if self._compaction_thread is None:
-            def duty() -> None:
-                while not self._compaction_stop.wait(
-                    self._compaction_period_s
-                ):
-                    try:
-                        self.run_auto_compaction()
-                    except Exception:
-                        pass  # next cycle retries; queries unaffected
-
-            self._compaction_thread = threading.Thread(
-                target=duty, daemon=True, name="compaction-duty"
-            )
-            self._compaction_thread.start()
+        self._ensure_duty_thread()
         return {"status": "accepted"}
+
+    def _ensure_duty_thread(self) -> None:
+        """Start the coordinator duty thread once: each cycle runs
+        auto-compaction AND retention re-evaluation (period rules
+        anchor at wall-clock, so what a chain drops MOVES as time
+        passes — the real coordinator re-applies rules every run)."""
+        if self._compaction_thread is not None:
+            return
+
+        def duty() -> None:
+            while not self._compaction_stop.wait(
+                self._compaction_period_s
+            ):
+                try:
+                    self.run_auto_compaction()
+                except Exception:
+                    pass  # next cycle retries; queries unaffected
+                try:
+                    self.run_retention_duty()
+                except Exception:
+                    pass
+
+        self._compaction_thread = threading.Thread(
+            target=duty, daemon=True, name="coordinator-duty"
+        )
+        self._compaction_thread.start()
+
+    def run_retention_duty(self) -> dict[str, int]:
+        """One retention pass (tests call this directly): re-evaluate
+        rules for every datasource whose effective chain contains a
+        PERIOD rule — interval/forever rules can't drift with time, so
+        roots governed only by those are skipped — and re-register any
+        root whose unused set moved. Returns {datasource: n_unused}
+        for the datasources that changed."""
+        with self._lock:
+            period_default = any(
+                "Period" in r.get("type", "") for r in self._default_rules
+            )
+            names = [
+                ds for ds in self._segment_roots
+                if period_default
+                or any(
+                    "Period" in r.get("type", "")
+                    for r in self._rules.get(ds, ())
+                )
+            ]
+        out: dict[str, int] = {}
+        for ds in names:
+            root = self._segment_roots.get(ds)
+            if root is None:
+                continue
+            unused = self._retention_unused(ds, root)
+            with self._lock:
+                if self._unused.get(ds, frozenset()) == unused:
+                    continue
+                self._retention_epoch += 1
+            self._register_datasource_root(ds)
+            out[ds] = len(unused)
+        return out
 
     def _delete_compaction_config(self, ds: str) -> bool:
         with self._lock:
@@ -1211,8 +1259,15 @@ class DruidBrokerShim:
                 self._rules = rmap
                 affected = [ds] if ds in self._segment_roots else []
             self._retention_epoch += 1
+            has_period = any(
+                "Period" in r.get("type", "") for r in rules
+            )
         for name in affected:
             self._register_datasource_root(name)
+        if has_period:
+            # period rules drift with wall-clock — the duty cycle must
+            # re-evaluate them even with no compaction config submitted
+            self._ensure_duty_thread()
 
     def _mark_segments(self, ds: str, body: dict, used: bool) -> int:
         """POST /druid/coordinator/v1/datasources/{ds}/markUnused (or
@@ -1780,6 +1835,62 @@ class DruidBrokerShim:
             st = self._tasks.get(task_id)
         return {"task": task_id, "status": st} if st else None
 
+    def _query_candidates(
+        self, ds: str, intervals: list[str] | None
+    ) -> list[dict] | None:
+        """GET /druid/v2/candidates?datasource=ds[&intervals=a/b,...]
+        (api-reference.md query-server section): the segments a query
+        over these intervals would touch, with their candidate
+        servers — what Druid's router uses for segment-aware routing.
+        Served from the planning manifest (no decodes); retention-
+        unused segments are not candidates (they are not served).
+        This single-process engine reports one historical location."""
+        import os
+
+        from .cli import _format_millis as iso
+        from .retention import interval_ms
+        from .sources.datasource import find_segment_dirs, load_plan_meta
+
+        root = self._segment_roots.get(ds)
+        if root is None:
+            return None
+        windows = [interval_ms(i) for i in (intervals or [])]
+        with self._lock:
+            dropped = self._unused.get(ds) or frozenset()
+        dirs = find_segment_dirs(root)
+        metas = load_plan_meta(root, dirs)
+        out = []
+        for d in dirs:
+            base = os.path.basename(d)
+            if base in dropped:
+                continue
+            m = metas[d]
+            if windows and not any(
+                m["start"] < hi and m["end"] > lo for lo, hi in windows
+            ):
+                continue
+            size = 0
+            for b, _, files in os.walk(d):
+                for fn in files:
+                    try:
+                        size += os.path.getsize(os.path.join(b, fn))
+                    except OSError:
+                        pass
+            out.append({
+                "interval": f"{iso(m['start'])}/{iso(m['end'])}",
+                "version": base,
+                "partitionNumber": 0,
+                "size": size,
+                "locations": [{
+                    "name": "historical:local",
+                    "host": "localhost",
+                    "type": "historical",
+                    "priority": 0,
+                }],
+            })
+        out.sort(key=lambda c: c["interval"])
+        return out
+
     def _datasource_detail(self, name: str) -> dict:
         """GET /druid/v2/datasources/{name}: Druid's dimensions/metrics
         split, classified from the schema the way Druid's segment
@@ -1820,6 +1931,27 @@ class DruidBrokerShim:
                 path = self.path.split("?", 1)[0]
                 if path == "/status/health":
                     self._send(200, True)
+                elif path == "/druid/v2/candidates":
+                    from urllib.parse import parse_qs, urlparse
+
+                    q = parse_qs(urlparse(self.path).query)
+                    ds = (q.get("datasource") or [None])[0]
+                    raw = ",".join(q.get("intervals") or [])
+                    ivals = [i for i in raw.split(",") if i]
+                    try:
+                        cands = (
+                            shim._query_candidates(ds, ivals or None)
+                            if ds else None
+                        )
+                    except ValueError as e:  # malformed interval
+                        self._send(400, {"error": "Bad request",
+                                         "errorMessage": str(e)})
+                        return
+                    if cands is not None:
+                        self._send(200, cands)
+                    else:
+                        self._send(404, {"error": "Unknown datasource",
+                                         "errorMessage": str(ds)})
                 elif path == "/druid/v2/datasources":
                     self._send(200, sorted(shim.tables))
                 elif path.startswith("/druid/v2/datasources/"):

@@ -71,7 +71,32 @@ def normalize_timestamps(df: DataFrame, name: str) -> DataFrame:
 # SPARK_GRAFT_MIRROR_MIN_BYTES (tables below it read raw — scheduling
 # overhead beats parallelism for tiny dims like nation/region).
 MIRROR_ROOT = "/tmp/ddbs_mirror"
-MIRROR_MIN_BYTES = 256 * 1024
+# Engage only when one row group is genuinely more than one core should
+# own. Measured at sf0.1 (10 MB lineitem, 32 cores): mirroring every
+# table was a net LOSS — the per-task overhead of 13-16 tiny files
+# exceeded the parallelism gain on all the sub-second join queries
+# (q3/q5/q8/q21 +0.1-0.2 s each) even though the two compute-bound
+# scans (q1, o3b) got 1.3-2x faster. A single-row-group file a core
+# scans in well under a second needs no re-layout; a 32 MB+ row group
+# is where serialization starts to dominate.
+MIRROR_MIN_BYTES = 32 * 1024 * 1024
+
+# The column each mirrored table is RANGE-partitioned and sorted by —
+# its dominant pushed-down predicate (ship/order dates, event time) or
+# its join/primary key. Keeps every mirror file's min/max tight on the
+# column queries actually filter, so the re-layout adds cores without
+# surrendering parquet zone-map pruning. Tables absent here fall back
+# to round-robin (no hot filter column to protect).
+_MIRROR_RANGE_KEY: dict[str, str] = {
+    "lineitem": "l_shipdate",
+    "orders": "o_orderdate",
+    "events": "ts",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
 
 
 def _scan_mirror(
@@ -95,7 +120,10 @@ def _scan_mirror(
     )
     if st.st_size < min_bytes:
         return None
-    fp = f"{st.st_size}:{st.st_mtime_ns}"
+    # v2: layout version rides in the fingerprint — a mirror built by an
+    # older layout policy (round-robin repartition) must rebuild, not
+    # serve (same bytes, different pruning behavior)
+    fp = f"v2:{st.st_size}:{st.st_mtime_ns}"
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     dest = os.path.join(MIRROR_ROOT, tag, name)
     stamp = os.path.join(dest, "_FINGERPRINT")
@@ -110,7 +138,25 @@ def _scan_mirror(
     # completed mirror is never observable half-built; losing a build
     # race to a concurrent process just means using the winner's copy.
     df = normalize_timestamps(spark.read.parquet(src), name)
-    n_files = 16 if st.st_size >= 2 * 1024 * 1024 else 8
+    # ~8 MB per mirror file: each file is one row group (the atomic
+    # read unit), so file count IS scan parallelism — but every file
+    # also costs a task, so fan-out stays proportional to size instead
+    # of a fixed count (a fixed 16 over a 2 MB table measured as pure
+    # scheduler overhead on every small-table query).
+    n_files = max(4, min(256, st.st_size // (8 * 1024 * 1024)))
+    key = _MIRROR_RANGE_KEY.get(name)
+    if key is not None:
+        # RANGE-partition by the table's dominant filter column and sort
+        # within files: a plain repartition() round-robins rows, which
+        # widens every file's min/max to the full domain and kills
+        # parquet zone-map pruning for the date/time predicates the
+        # TPC-H and events queries push down — re-layout must buy
+        # parallelism WITHOUT giving back pruning (the same rule a
+        # 100 TB table's cluster-by serves)
+        df = df.repartitionByRange(n_files, F.col(key)) \
+               .sortWithinPartitions(key)
+    else:
+        df = df.repartition(n_files)
     tmp = f"{dest}.tmp.{os.getpid()}"
     old_tt = spark.conf.get("spark.sql.parquet.outputTimestampType")
     try:
@@ -120,7 +166,7 @@ def _scan_mirror(
         spark.conf.set(
             "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
         )
-        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        df.write.mode("overwrite").parquet(tmp)
     except Exception:
         shutil.rmtree(tmp, ignore_errors=True)
         return None  # e.g. read-only /tmp: serve the raw file

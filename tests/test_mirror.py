@@ -1,0 +1,73 @@
+"""Scan-mirror layer (catalog._scan_mirror): forced on via the
+threshold env, the mirror must serve bit-identical values from a
+multi-file, range-partitioned layout whose per-file min/max stay tight
+on the table's hot filter column (the re-layout adds cores without
+surrendering parquet zone-map pruning)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from druid_datafusion_bridge_spark import catalog
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture()
+def forced_mirror(monkeypatch, spark):
+    monkeypatch.setenv("SPARK_GRAFT_SCAN_MIRROR", "1")
+    monkeypatch.setenv("SPARK_GRAFT_MIRROR_MIN_BYTES", "1")
+    yield
+
+
+def test_mirror_values_identical_and_layout(forced_mirror, spark):
+    raw = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    mirrored = catalog.table(spark, SF_DIR, "lineitem")
+    # multi-file: the relation reads the mirror dir, not the source file
+    files = mirrored.inputFiles()
+    assert len(files) >= 4
+    assert all(catalog.MIRROR_ROOT in f for f in files)
+    # bit-identical multiset of rows
+    a = sorted(map(str, raw.collect()))
+    b = sorted(map(str, mirrored.collect()))
+    assert a == b
+
+
+def test_mirror_files_keep_tight_ranges(forced_mirror, spark):
+    """Every mirror file's l_shipdate min/max must cover a DISJOINT
+    slice of the domain (range partitioning), not the full span a
+    round-robin shuffle produces — this is what keeps date-filter
+    pushdown pruning files."""
+    mirrored = catalog.table(spark, SF_DIR, "lineitem")
+    spans = []
+    for f in mirrored.inputFiles():
+        t = pq.read_table(f.replace("file:", ""), columns=["l_shipdate"])
+        col = t.column("l_shipdate").to_pylist()
+        spans.append((min(col), max(col)))
+    spans.sort()
+    # non-overlapping except at boundaries: each file's max <= the next
+    # file's min (range partitioning puts equal keys in one partition)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
+    # and collectively they must NOT all span the whole domain
+    whole = (min(s[0] for s in spans), max(s[1] for s in spans))
+    assert any((lo, hi) != whole for lo, hi in spans)
+
+
+def test_mirror_disabled_serves_source(monkeypatch, spark):
+    monkeypatch.setenv("SPARK_GRAFT_SCAN_MIRROR", "0")
+    df = catalog.table(spark, SF_DIR, "lineitem")
+    assert all("lineitem.parquet" in f for f in df.inputFiles())
+
+
+def test_mirror_default_threshold_skips_small_tables(monkeypatch, spark):
+    """At the default 32 MB threshold the sf0.001-0.1 testdata reads
+    raw: re-layout pays only when one row group exceeds what one core
+    should own (measured: mirroring 10 MB tables was a net loss)."""
+    monkeypatch.setenv("SPARK_GRAFT_SCAN_MIRROR", "1")
+    monkeypatch.delenv("SPARK_GRAFT_MIRROR_MIN_BYTES", raising=False)
+    df = catalog.table(spark, SF_DIR, "lineitem")
+    assert all("lineitem.parquet" in f for f in df.inputFiles())

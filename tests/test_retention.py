@@ -231,3 +231,61 @@ def test_bad_rules_rejected_with_400(retention_shim):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(req)
     assert ei.value.code == 400
+
+
+def test_retention_duty_reapplies_period_rules(retention_shim):
+    """Period rules anchor at wall-clock, so what they drop MOVES as
+    time passes; the coordinator duty re-evaluates each cycle. Install
+    a period chain directly (simulating a chain applied long ago whose
+    effect has since drifted): the duty pass must detect the changed
+    unused set, re-register, and bump the cache epoch so no stale
+    cached result survives."""
+    s, base = retention_shim
+    assert _sql(base, "SELECT COUNT(*) AS n FROM ret") == [{"n": 3}]
+    with s._lock:
+        # installed WITHOUT _set_rules: the serving state still thinks
+        # nothing is dropped — exactly the drift the duty reconciles
+        s._rules = {**s._rules,
+                    "ret": [{"type": "dropBeforeByPeriod",
+                             "period": "P30D"},
+                            {"type": "loadForever"}]}
+    epoch_before = s._retention_epoch
+    changed = s.run_retention_duty()
+    assert changed == {"ret": 3}  # 2024 fixture days are long past
+    assert s._retention_epoch > epoch_before
+    assert _sql(base, "SELECT COUNT(*) AS n FROM ret") == [{"n": 0}]
+    # a second pass is a no-op: nothing moved
+    assert s.run_retention_duty() == {}
+    # interval/forever-only datasources are never re-evaluated
+    with s._lock:
+        s._rules = {}
+    s.run_retention_duty()  # period_default=false, ret has no rules
+    # (state unchanged until rules are POSTed properly)
+    _post(base + "/druid/coordinator/v1/rules/ret", [])
+    assert _sql(base, "SELECT COUNT(*) AS n FROM ret") == [{"n": 3}]
+
+
+def test_query_candidates_endpoint(retention_shim):
+    """GET /druid/v2/candidates: per-segment interval/size/locations
+    for the segments a query over the intervals would touch; interval
+    filtering prunes, and a retention-unused segment is no candidate."""
+    s, base = retention_shim
+    cands = _get(base + "/druid/v2/candidates?datasource=ret")
+    assert len(cands) == 3
+    assert all(c["locations"][0]["type"] == "historical" for c in cands)
+    assert all(c["size"] > 0 for c in cands)
+    two = _get(
+        base + "/druid/v2/candidates?datasource=ret&intervals="
+        "2024-01-01T00:00:00Z/2024-01-03T00:00:00Z")
+    assert len(two) == 2
+    _post(base + "/druid/coordinator/v1/datasources/ret/markUnused",
+          {"interval": "2024-01-01T00:00:00Z/2024-01-02T00:00:00Z"})
+    try:
+        assert len(_get(
+            base + "/druid/v2/candidates?datasource=ret")) == 2
+    finally:
+        _post(base + "/druid/coordinator/v1/datasources/ret/markUsed",
+              {"interval": "2024-01-01T00:00:00Z/2024-01-02T00:00:00Z"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(base + "/druid/v2/candidates?datasource=nope")
+    assert ei.value.code == 404
