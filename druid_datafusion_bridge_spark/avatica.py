@@ -1,0 +1,278 @@
+"""Avatica JSON RPC over the engine — Druid's JDBC endpoint.
+
+Real Druid serves JDBC through Apache Calcite Avatica at
+``POST /druid/v2/sql/avatica`` (public docs: druid api-reference.md
+"JDBC" + calcite.apache.org/avatica/docs/json_reference.html). A JDBC
+client speaks a JSON RPC: open a connection, create a statement,
+prepareAndExecute SQL, page frames with fetch, close. This module
+implements the request surface that drives that whole lifecycle:
+
+- ``openConnection`` / ``closeConnection`` / ``connectionSync``
+- ``createStatement`` / ``closeStatement``
+- ``prepareAndExecute`` (direct SQL -> executeResults with a typed
+  signature + first frame)
+- ``prepare`` + ``execute`` (PreparedStatement: positional ``?``
+  parameters arrive as Avatica TypedValues and bind through the same
+  parameterized-SQL path as the REST API)
+- ``fetch`` (server-side cursor paging over the statement's rows)
+- ``syncResults`` (acknowledged; cursors here are always replayable)
+
+Value encoding follows Avatica's JSON conventions: rows are arrays in
+column order; TIMESTAMP columns travel as epoch millis with rep
+JAVA_SQL_TIMESTAMP (the encoding the Avatica JDBC driver decodes back
+into java.sql.Timestamp); DATE as epoch days (JAVA_SQL_DATE).
+
+State is per-server: connections and statements live in maps guarded
+by one lock; statement results are collected ONCE at execute (bounded
+by the broker's max_rows resource limit) and paged from memory —
+Avatica's own model (frames page a materialized result on the
+server). An unknown connection/statement answers the protocol's
+missingStatement/error shape rather than an HTTP error, like the real
+server.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import threading
+from typing import Any, Callable
+
+__all__ = ["AvaticaEndpoint"]
+
+# java.sql.Types ids (public JDBC constants) for the signature's
+# ColumnMetaData.type.id, keyed by Spark simpleString
+_JDBC_TYPES: dict[str, tuple[int, str, str]] = {
+    # spark type -> (java.sql.Types id, Avatica type name, rep)
+    "tinyint": (-5, "BIGINT", "PRIMITIVE_LONG"),
+    "smallint": (-5, "BIGINT", "PRIMITIVE_LONG"),
+    "int": (-5, "BIGINT", "PRIMITIVE_LONG"),
+    "bigint": (-5, "BIGINT", "PRIMITIVE_LONG"),
+    "boolean": (16, "BOOLEAN", "PRIMITIVE_BOOLEAN"),
+    "float": (6, "FLOAT", "PRIMITIVE_DOUBLE"),
+    "double": (8, "DOUBLE", "PRIMITIVE_DOUBLE"),
+    "string": (12, "VARCHAR", "STRING"),
+    "date": (91, "DATE", "JAVA_SQL_DATE"),
+}
+
+
+def _jdbc_type(dt) -> tuple[int, str, str]:
+    s = dt.simpleString()
+    if s.startswith("timestamp"):
+        return (93, "TIMESTAMP", "JAVA_SQL_TIMESTAMP")
+    if s.startswith("decimal"):
+        return (8, "DOUBLE", "PRIMITIVE_DOUBLE")
+    if s.startswith("array"):
+        return (2003, "ARRAY", "ARRAY")
+    return _JDBC_TYPES.get(s, (1111, "OTHER", "OBJECT"))
+
+
+def _wire_value(v: Any) -> Any:
+    """Avatica wire encoding: timestamps -> epoch millis, dates ->
+    epoch days; everything else as-is (JSON-safe scalars)."""
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return int(v.timestamp() * 1000)
+    if isinstance(v, _dt.date):
+        return (v - _dt.date(1970, 1, 1)).days
+    if isinstance(v, bytes):
+        import base64
+
+        return base64.b64encode(v).decode()
+    return v
+
+
+class AvaticaEndpoint:
+    """The JSON RPC dispatcher. ``run_sql(sql, args)`` is supplied by
+    the broker and must return a collected, resource-limited Spark
+    DataFrame result as ``(schema_fields, rows)``."""
+
+    def __init__(self, run_sql: Callable[[str, list | None], tuple]):
+        self._run_sql = run_sql
+        self._lock = threading.Lock()
+        self._connections: set[str] = set()
+        # (connection_id, statement_id) -> {"sig": ..., "rows": [...]}
+        self._statements: dict[tuple[str, int], dict] = {}
+        self._next_stmt = 0
+
+    # -- protocol plumbing -------------------------------------------------
+    @staticmethod
+    def _rpc_meta() -> dict:
+        return {"response": "rpcMetadata", "serverAddress": "local"}
+
+    def _signature(self, fields, sql: str) -> dict:
+        cols = []
+        for i, f in enumerate(fields):
+            tid, tname, rep = _jdbc_type(f.dataType)
+            cols.append({
+                "ordinal": i,
+                "autoIncrement": False,
+                "caseSensitive": False,
+                "searchable": True,
+                "currency": False,
+                "nullable": 1 if f.nullable else 0,
+                "signed": True,
+                "displaySize": -1,
+                "label": f.name,
+                "columnName": f.name,
+                "schemaName": "druid",
+                "precision": 0,
+                "scale": 0,
+                "tableName": "",
+                "catalogName": "",
+                "type": {
+                    "type": "scalar", "id": tid,
+                    "name": tname, "rep": rep,
+                },
+                "readOnly": True,
+                "writable": False,
+                "definitelyWritable": False,
+                "columnClassName": "",
+            })
+        return {
+            "columns": cols,
+            "sql": sql,
+            "parameters": [],
+            "cursorFactory": {"style": "LIST", "clazz": None,
+                              "fieldNames": None},
+            "statementType": "SELECT",
+        }
+
+    def _frame(self, rows: list, offset: int, limit: int | None) -> dict:
+        take = rows[offset:] if limit in (None, -1, 0) \
+            else rows[offset:offset + limit]
+        return {
+            "offset": offset,
+            "done": offset + len(take) >= len(rows),
+            "rows": take,
+        }
+
+    def _result_set(
+        self, cid: str, sid: int, sql: str, args: list | None,
+        first_frame_rows: int | None,
+    ) -> dict:
+        fields, collected = self._run_sql(sql, args)
+        rows = [[_wire_value(v) for v in r] for r in collected]
+        sig = self._signature(fields, sql)
+        with self._lock:
+            self._statements[(cid, sid)] = {"sig": sig, "rows": rows}
+        return {
+            "response": "resultSet",
+            "connectionId": cid,
+            "statementId": sid,
+            "ownStatement": True,
+            "signature": sig,
+            "firstFrame": self._frame(rows, 0, first_frame_rows),
+            "updateCount": -1,
+            "rpcMetadata": self._rpc_meta(),
+        }
+
+    def _new_statement_id(self) -> int:
+        with self._lock:
+            self._next_stmt += 1
+            return self._next_stmt
+
+    # -- dispatch ----------------------------------------------------------
+    def handle(self, body: dict) -> dict:
+        req = body.get("request")
+        cid = body.get("connectionId", "")
+        if req == "openConnection":
+            with self._lock:
+                self._connections.add(cid)
+            return {"response": "openConnection",
+                    "rpcMetadata": self._rpc_meta()}
+        if req == "closeConnection":
+            with self._lock:
+                self._connections.discard(cid)
+                self._statements = {
+                    k: v for k, v in self._statements.items()
+                    if k[0] != cid
+                }
+            return {"response": "closeConnection",
+                    "rpcMetadata": self._rpc_meta()}
+        if req == "connectionSync":
+            return {"response": "connectionSync",
+                    "connProps": body.get("connProps") or {
+                        "connProps": "connPropsImpl",
+                        "autoCommit": True, "readOnly": True,
+                    },
+                    "rpcMetadata": self._rpc_meta()}
+        if req == "createStatement":
+            sid = self._new_statement_id()
+            return {"response": "createStatement", "connectionId": cid,
+                    "statementId": sid, "rpcMetadata": self._rpc_meta()}
+        if req == "closeStatement":
+            with self._lock:
+                self._statements.pop(
+                    (cid, body.get("statementId")), None
+                )
+            return {"response": "closeStatement",
+                    "rpcMetadata": self._rpc_meta()}
+        if req == "prepareAndExecute":
+            sid = body.get("statementId") or self._new_statement_id()
+            first = body.get("maxRowsInFirstFrame",
+                             body.get("maxRowCount", -1))
+            rs = self._result_set(
+                cid, sid, body["sql"], None,
+                int(first) if first is not None else -1,
+            )
+            return {"response": "executeResults",
+                    "missingStatement": False,
+                    "rpcMetadata": self._rpc_meta(),
+                    "results": [rs]}
+        if req == "prepare":
+            sid = self._new_statement_id()
+            # the signature's parameter list is advisory; execution
+            # re-binds at execute time
+            return {"response": "prepare",
+                    "statement": {"connectionId": cid, "id": sid,
+                                  "signature": {
+                                      "columns": [], "sql": body["sql"],
+                                      "parameters": [],
+                                      "cursorFactory": {"style": "LIST"},
+                                      "statementType": "SELECT"}},
+                    "rpcMetadata": self._rpc_meta()}
+        if req == "execute":
+            h = body.get("statementHandle") or {}
+            cid = h.get("connectionId", cid)
+            sid = h.get("id")
+            sql = (h.get("signature") or {}).get("sql")
+            if sql is None:
+                return self._missing_statement()
+            args = [
+                p.get("value") if isinstance(p, dict) else p
+                for p in body.get("parameterValues") or []
+            ]
+            first = body.get("maxRowsInFirstFrame",
+                             body.get("maxRowCount", -1))
+            rs = self._result_set(
+                cid, sid, sql, args or None,
+                int(first) if first is not None else -1,
+            )
+            return {"response": "executeResults",
+                    "missingStatement": False,
+                    "rpcMetadata": self._rpc_meta(),
+                    "results": [rs]}
+        if req == "fetch":
+            with self._lock:
+                st = self._statements.get(
+                    (cid, body.get("statementId"))
+                )
+            if st is None:
+                return self._missing_statement()
+            return {"response": "fetch",
+                    "missingStatement": False,
+                    "frame": self._frame(
+                        st["rows"], int(body.get("offset", 0)),
+                        int(body.get("fetchMaxRowCount", -1)),
+                    ),
+                    "rpcMetadata": self._rpc_meta()}
+        if req == "syncResults":
+            return {"response": "syncResults", "moreResults": False,
+                    "missingStatement": False,
+                    "rpcMetadata": self._rpc_meta()}
+        raise ValueError(f"unsupported Avatica request {req!r}")
+
+    def _missing_statement(self) -> dict:
+        return {"response": "executeResults", "missingStatement": True,
+                "rpcMetadata": self._rpc_meta(), "results": []}

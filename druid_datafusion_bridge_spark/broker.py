@@ -58,6 +58,10 @@ engine without modification:
   cycle rewrites fragmented datasources (more segments than
   target-granularity buckets — streaming handoff's natural debris) at
   the target granularity and swaps them in;
+- JDBC: ``POST /druid/v2/sql/avatica`` speaks the Avatica JSON RPC
+  (openConnection / createStatement / prepareAndExecute / prepare +
+  execute with TypedValue parameters / fetch paging / close), the
+  protocol Druid's JDBC driver uses — see ``avatica.py``;
 - retention rules (rule-configuration.md): per-datasource chains and
   the cluster ``_default`` chain on ``/druid/coordinator/v1/rules``
   decide which segments are SERVED (first match wins; drop* rules
@@ -567,6 +571,10 @@ class DruidBrokerShim:
         self._retention_epoch = 0
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+        # JDBC surface: Avatica JSON RPC at /druid/v2/sql/avatica
+        from .avatica import AvaticaEndpoint
+
+        self._avatica = AvaticaEndpoint(self._avatica_run_sql)
 
         from .functions import (
             register_druid_sql_functions,
@@ -834,6 +842,25 @@ class DruidBrokerShim:
             with self._lock:
                 self._result_cache.put(key, out)
         return out
+
+    def _avatica_run_sql(self, sql: str, args: list | None) -> tuple:
+        """SQL execution for the Avatica endpoint: the same
+        serve-fresh, system-table-rewrite, and resource-limit
+        discipline as /druid/v2/sql, returning (schema fields,
+        collected rows) for the RPC layer to encode."""
+        stripped = _SQL_LITERAL_RE.sub(" ", sql)
+        names = [t for t in self.tables if _word_in_sql(t, sql)]
+        self._ensure_fresh_roots(
+            None if _SYS_TABLE_RE.search(stripped) else names
+        )
+        df = self.spark.sql(_rewrite_system_tables(sql), args=args)
+        collected = df.limit(self.max_rows + 1).collect()
+        if len(collected) > self.max_rows:
+            raise _ResourceLimitExceeded(
+                f"result exceeds maxRows limit of {self.max_rows}; "
+                f"add a LIMIT or raise the broker's max_rows"
+            )
+        return df.schema.fields, collected
 
     def _lane_slot(self, body):
         """Context manager claiming a slot in the query's lane (from
@@ -2080,6 +2107,25 @@ class DruidBrokerShim:
                         return
                     elif self.path == "/druid/v2/sql/task":
                         self._send(200, shim._handle_sql_ingest(body))
+                        return
+                    elif self.path == "/druid/v2/sql/avatica":
+                        try:
+                            self._send(200, shim._avatica.handle(body))
+                        except Exception as e:
+                            # Avatica transports failures in-band: an
+                            # ErrorResponse body with HTTP 500
+                            # (json_reference.html)
+                            self._send(500, {
+                                "response": "error",
+                                "exceptions": [],
+                                "errorMessage": str(e)[:2000],
+                                "errorCode": -1,
+                                "sqlState": "00000",
+                                "rpcMetadata": {
+                                    "response": "rpcMetadata",
+                                    "serverAddress": "local",
+                                },
+                            })
                         return
                     elif self.path.split("?", 1)[0] == (
                         "/druid/coordinator/v1/config/compaction"

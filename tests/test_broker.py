@@ -1147,3 +1147,78 @@ def test_sql_task_extern_input(spark, tmp_path):
         assert segs == [{"n": 2}]
     finally:
         s.stop()
+
+
+def test_avatica_jdbc_lifecycle(shim):
+    """POST /druid/v2/sql/avatica: the full Avatica JSON RPC lifecycle
+    a JDBC client drives — open, createStatement, prepareAndExecute
+    (typed signature + first frame), fetch paging, prepared-statement
+    parameters, close. Timestamps travel as epoch millis with rep
+    JAVA_SQL_TIMESTAMP (what the JDBC driver decodes)."""
+    url = shim + "/druid/v2/sql/avatica"
+    cid = "test-conn-1"
+    assert _post(url, {"request": "openConnection",
+                       "connectionId": cid})["response"] == "openConnection"
+    st = _post(url, {"request": "createStatement", "connectionId": cid})
+    sid = st["statementId"]
+    out = _post(url, {
+        "request": "prepareAndExecute", "connectionId": cid,
+        "statementId": sid,
+        "sql": "SELECT channel, delta, __time FROM wikipedia "
+               "ORDER BY delta",
+        "maxRowsInFirstFrame": 2,
+    })
+    assert out["response"] == "executeResults"
+    rs = out["results"][0]
+    sig = rs["signature"]
+    assert [c["columnName"] for c in sig["columns"]] == [
+        "channel", "delta", "__time"]
+    assert [c["type"]["name"] for c in sig["columns"]] == [
+        "VARCHAR", "BIGINT", "TIMESTAMP"]
+    assert sig["columns"][2]["type"]["rep"] == "JAVA_SQL_TIMESTAMP"
+    f0 = rs["firstFrame"]
+    assert f0["offset"] == 0 and not f0["done"] and len(f0["rows"]) == 2
+    assert f0["rows"][0][:2] == ["en", 5]
+    # ts wire value = epoch millis of 2024-01-01T00:10:00Z
+    assert f0["rows"][0][2] == 1704067800000
+    nxt = _post(url, {"request": "fetch", "connectionId": cid,
+                      "statementId": sid, "offset": 2,
+                      "fetchMaxRowCount": 10})
+    assert nxt["frame"]["done"] and len(nxt["frame"]["rows"]) == 1
+    assert nxt["frame"]["rows"][0][1] == 11
+    # prepared statement with a positional parameter
+    prep = _post(url, {"request": "prepare", "connectionId": cid,
+                       "sql": "SELECT COUNT(*) AS n FROM wikipedia "
+                              "WHERE channel = ?"})
+    handle = prep["statement"]
+    ex = _post(url, {"request": "execute", "statementHandle": handle,
+                     "parameterValues": [
+                         {"type": "STRING", "value": "en"}]})
+    assert ex["results"][0]["firstFrame"]["rows"] == [[2]]
+    assert _post(url, {"request": "closeStatement", "connectionId": cid,
+                       "statementId": sid})["response"] == "closeStatement"
+    # fetch on a closed statement answers missingStatement, not HTTP 500
+    miss = _post(url, {"request": "fetch", "connectionId": cid,
+                       "statementId": sid, "offset": 0})
+    assert miss["missingStatement"] is True
+    assert _post(url, {"request": "closeConnection",
+                       "connectionId": cid})["response"] == "closeConnection"
+
+
+def test_avatica_error_shape(shim):
+    """A failing query answers Avatica's in-band ErrorResponse with
+    HTTP 500 — what the JDBC driver surfaces as SQLException."""
+    req = urllib.request.Request(
+        shim + "/druid/v2/sql/avatica",
+        data=json.dumps({
+            "request": "prepareAndExecute", "connectionId": "c",
+            "statementId": 1, "sql": "SELECT * FROM no_such_table",
+        }).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 500
+    body = json.loads(ei.value.read())
+    assert body["response"] == "error"
+    assert "no_such_table" in body["errorMessage"]
