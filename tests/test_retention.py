@@ -289,3 +289,84 @@ def test_query_candidates_endpoint(retention_shim):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(base + "/druid/v2/candidates?datasource=nope")
     assert ei.value.code == 404
+
+
+# -- property-based differential: the rules engine vs a transparent
+# reference evaluator over generated chains and segment intervals ------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_seg_st = st.tuples(
+    st.integers(min_value=0, max_value=40),
+    st.integers(min_value=1, max_value=10),
+).map(lambda t: (JAN[1][0] + t[0] * DAY, JAN[1][0] + (t[0] + t[1]) * DAY))
+
+_interval_st = st.tuples(
+    st.integers(min_value=0, max_value=40),
+    st.integers(min_value=1, max_value=10),
+).map(lambda t: (JAN[1][0] + t[0] * DAY, JAN[1][0] + (t[0] + t[1]) * DAY))
+
+
+def _iso(ms: int) -> str:
+    import datetime
+
+    return datetime.datetime.fromtimestamp(
+        ms / 1000, datetime.timezone.utc
+    ).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+_rule_st = st.one_of(
+    st.sampled_from([{"type": "loadForever"}, {"type": "dropForever"}]),
+    _interval_st.flatmap(lambda iv: st.sampled_from([
+        {"type": "loadByInterval",
+         "interval": f"{_iso(iv[0])}/{_iso(iv[1])}"},
+        {"type": "dropByInterval",
+         "interval": f"{_iso(iv[0])}/{_iso(iv[1])}"},
+    ])),
+    st.tuples(
+        st.integers(min_value=1, max_value=60), st.booleans()
+    ).map(lambda t: {"type": "loadByPeriod", "period": f"P{t[0]}D",
+                     "includeFuture": t[1]}),
+    st.integers(min_value=1, max_value=60).map(
+        lambda d: {"type": "dropByPeriod", "period": f"P{d}D"}),
+    st.integers(min_value=1, max_value=60).map(
+        lambda d: {"type": "dropBeforeByPeriod", "period": f"P{d}D"}),
+)
+
+
+def _ref_matches(rule: dict, s: int, e: int, now: int) -> bool:
+    """Independent, transparently-literal re-statement of the documented
+    matching semantics (rule-configuration.md), used as the reference."""
+    t = rule["type"]
+    if t.endswith("Forever"):
+        return True
+    if t.endswith("ByInterval"):
+        a, b = rule["interval"].split("/")
+        lo, hi = interval_ms(f"{a}/{b}")
+        return lo <= s and e <= hi
+    days = int(rule["period"][1:-1])
+    lo = now - days * DAY
+    if t == "loadByPeriod":
+        hi = None if rule.get("includeFuture", True) else now
+        return e > lo and (hi is None or s < hi)
+    if t == "dropByPeriod":
+        hi = None if rule.get("includeFuture", True) else now
+        return s >= lo and (hi is None or e <= hi)
+    return e <= lo  # dropBeforeByPeriod
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    chain=st.lists(_rule_st, max_size=5),
+    default=st.lists(_rule_st, max_size=2),
+    seg=_seg_st,
+)
+def test_rules_engine_matches_reference(chain, default, seg):
+    s, e = seg
+    expect = None
+    for r in list(chain) + list(default):
+        if _ref_matches(r, s, e, NOW):
+            expect = r["type"].startswith("load")
+            break
+    got = segment_used(chain, default, s, e, NOW)
+    assert got == (expect if expect is not None else False)
