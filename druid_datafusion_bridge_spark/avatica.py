@@ -16,6 +16,9 @@ implements the request surface that drives that whole lifecycle:
   parameterized-SQL path as the REST API)
 - ``fetch`` (server-side cursor paging over the statement's rows)
 - ``syncResults`` (acknowledged; cursors here are always replayable)
+- DatabaseMetaData requests — ``catalogs`` / ``schemas`` / ``tables``
+  / ``columns`` (what BI tools issue through JDBC's getTables and
+  getColumns), answered from the engine's INFORMATION_SCHEMA views
 
 Value encoding follows Avatica's JSON conventions: rows are arrays in
 column order; TIMESTAMP columns travel as epoch millis with rep
@@ -271,7 +274,43 @@ class AvaticaEndpoint:
             return {"response": "syncResults", "moreResults": False,
                     "missingStatement": False,
                     "rpcMetadata": self._rpc_meta()}
+        if req in ("catalogs", "schemas", "tables", "columns"):
+            return self._metadata(req, cid, body)
         raise ValueError(f"unsupported Avatica request {req!r}")
+
+    def _metadata(self, req: str, cid: str, body: dict) -> dict:
+        """JDBC DatabaseMetaData: answered as ResultSetResponses over
+        the engine's INFORMATION_SCHEMA views, with JDBC's documented
+        column names. ``tableNamePattern`` filters via SQL LIKE (bound
+        as a parameter, never spliced)."""
+        pat = body.get("tableNamePattern") or "%"
+        if req == "catalogs":
+            sql, args = "SELECT 'druid' AS TABLE_CAT", None
+        elif req == "schemas":
+            sql, args = (
+                "SELECT 'druid' AS TABLE_SCHEM, "
+                "'druid' AS TABLE_CATALOG", None,
+            )
+        elif req == "tables":
+            sql = (
+                "SELECT TABLE_CATALOG AS TABLE_CAT, "
+                "TABLE_SCHEMA AS TABLE_SCHEM, TABLE_NAME, TABLE_TYPE "
+                "FROM INFORMATION_SCHEMA.TABLES "
+                "WHERE TABLE_NAME LIKE ? ORDER BY TABLE_NAME"
+            )
+            args = [pat]
+        else:  # columns
+            sql = (
+                "SELECT 'druid' AS TABLE_CAT, "
+                "TABLE_SCHEMA AS TABLE_SCHEM, TABLE_NAME, COLUMN_NAME, "
+                "DATA_TYPE AS TYPE_NAME, ORDINAL_POSITION, IS_NULLABLE "
+                "FROM INFORMATION_SCHEMA.COLUMNS "
+                "WHERE TABLE_NAME LIKE ? "
+                "ORDER BY TABLE_NAME, ORDINAL_POSITION"
+            )
+            args = [pat]
+        sid = self._new_statement_id()
+        return self._result_set(cid, sid, sql, args, -1)
 
     def _missing_statement(self) -> dict:
         return {"response": "executeResults", "missingStatement": True,

@@ -563,6 +563,8 @@ class DruidBrokerShim:
         from .retention import DEFAULT_RULES
 
         self._rules: dict[str, list[dict]] = {}
+        # audit log served by GET /druid/coordinator/v1/rules/history
+        self._rules_history: list[dict] = []
         self._default_rules: list[dict] = list(DEFAULT_RULES)
         self._manual_unused: dict[str, frozenset[str]] = {}
         # unused set each root's CURRENT registration excludes (what
@@ -1270,9 +1272,20 @@ class DruidBrokerShim:
         exclusion set (real Druid converges on the next coordinator
         run; this synchronous coordinator applies in-line so the next
         query already serves the new rule state)."""
+        import datetime as _dtm
+
         from .retention import validate_rules
 
         validate_rules(rules)
+        audit = {
+            "key": ds,
+            "type": "rules",
+            "auditInfo": {"author": "", "comment": ""},
+            "payload": json.dumps(rules, sort_keys=True),
+            "auditTime": _dtm.datetime.now(
+                _dtm.timezone.utc
+            ).isoformat(),
+        }
         with self._lock:
             if ds == "_default":
                 self._default_rules = list(rules)
@@ -1286,6 +1299,7 @@ class DruidBrokerShim:
                 self._rules = rmap
                 affected = [ds] if ds in self._segment_roots else []
             self._retention_epoch += 1
+            self._rules_history = self._rules_history + [audit]
             has_period = any(
                 "Period" in r.get("type", "") for r in rules
             )
@@ -1851,6 +1865,8 @@ class DruidBrokerShim:
             sup.suspend()
         elif action == "resume":
             sup.resume()
+        elif action == "reset":
+            sup.reset()
         else:
             return None
         with self._lock:
@@ -1997,6 +2013,18 @@ class DruidBrokerShim:
                             )})
                 elif path == "/druid/coordinator/v1/rules":
                     self._send(200, shim._get_rules())
+                elif path == "/druid/coordinator/v1/rules/history":
+                    with shim._lock:
+                        self._send(200, list(shim._rules_history))
+                elif path.startswith(
+                    "/druid/coordinator/v1/rules/"
+                ) and path.endswith("/history"):
+                    ds = path.rsplit("/", 2)[1]
+                    with shim._lock:
+                        self._send(200, [
+                            h for h in shim._rules_history
+                            if h["key"] == ds
+                        ])
                 elif path.startswith("/druid/coordinator/v1/rules/"):
                     ds = path.rsplit("/", 1)[1]
                     _, _, qs = self.path.partition("?")
@@ -2181,7 +2209,8 @@ class DruidBrokerShim:
                         out = (
                             shim._supervisor_action(sup_id, action)
                             if sup_id and action in (
-                                "terminate", "suspend", "resume"
+                                "terminate", "suspend", "resume",
+                                "reset",
                             ) else None
                         )
                         if out is not None:

@@ -301,6 +301,25 @@ class StreamingSupervisor:
         self._stop_query()
         self.state = "TERMINATED"
 
+    def reset(self) -> None:
+        """POST /druid/indexer/v1/supervisor/{id}/reset
+        (supervisor-api.md): clear stored offsets and restart from the
+        inputSource's beginning — stop + delete the streaming
+        checkpoint + start. Carries the same documented hazard as real
+        Druid's reset ("may result in missing or duplicate data"): a
+        replay whose micro-batches chunk differently than the original
+        run publishes same-interval segments under new batch versions
+        alongside the old ones. Use it for what Druid uses it for —
+        recovering a wedged stream — not as a reprocessing tool.
+        TERMINATED stays final."""
+        if self.state == "TERMINATED":
+            return
+        import shutil
+
+        self._stop_query()
+        shutil.rmtree(self.checkpoint, ignore_errors=True)
+        self.start()
+
     def process_available(self) -> None:
         """Block until everything currently readable has handed off —
         the test/CLI hook for deterministic 'ingest what's there now'."""

@@ -1222,3 +1222,28 @@ def test_avatica_error_shape(shim):
     body = json.loads(ei.value.read())
     assert body["response"] == "error"
     assert "no_such_table" in body["errorMessage"]
+
+
+def test_avatica_database_metadata(shim):
+    """JDBC DatabaseMetaData requests (catalogs/schemas/tables/columns)
+    answer ResultSetResponses with the documented JDBC column names —
+    what BI tools call through getTables()/getColumns() right after
+    connecting."""
+    url = shim + "/druid/v2/sql/avatica"
+    cats = _post(url, {"request": "catalogs", "connectionId": "m"})
+    assert cats["firstFrame"]["rows"] == [["druid"]]
+    tabs = _post(url, {"request": "tables", "connectionId": "m"})
+    names = [c["columnName"] for c in tabs["signature"]["columns"]]
+    assert names == ["TABLE_CAT", "TABLE_SCHEM", "TABLE_NAME",
+                     "TABLE_TYPE"]
+    assert ["druid", "druid", "wikipedia", "TABLE"] in \
+        tabs["firstFrame"]["rows"]
+    cols = _post(url, {"request": "columns", "connectionId": "m",
+                       "tableNamePattern": "wikipedia"})
+    got = {r[3]: (r[4], r[5]) for r in cols["firstFrame"]["rows"]}
+    assert got["__time"] == ("TIMESTAMP", 1)
+    assert got["delta"][0] == "BIGINT"
+    # pattern filters
+    none = _post(url, {"request": "tables", "connectionId": "m",
+                       "tableNamePattern": "zz%"})
+    assert none["firstFrame"]["rows"] == []

@@ -370,3 +370,20 @@ def test_rules_engine_matches_reference(chain, default, seg):
             break
     got = segment_used(chain, default, s, e, NOW)
     assert got == (expect if expect is not None else False)
+
+
+def test_rules_history_audit_log(retention_shim):
+    """GET /druid/coordinator/v1/rules/history[/{ds}] returns the audit
+    entries rule POSTs append (key, payload JSON, auditTime) — Druid's
+    rule audit surface."""
+    s, base = retention_shim
+    _post(base + "/druid/coordinator/v1/rules/ret",
+          [{"type": "loadForever"}])
+    _post(base + "/druid/coordinator/v1/rules/_default",
+          [{"type": "loadForever"}])
+    hist = _get(base + "/druid/coordinator/v1/rules/history")
+    assert [h["key"] for h in hist] == ["ret", "_default"]
+    assert json.loads(hist[0]["payload"]) == [{"type": "loadForever"}]
+    assert hist[0]["auditTime"]
+    only = _get(base + "/druid/coordinator/v1/rules/ret/history")
+    assert [h["key"] for h in only] == ["ret"]

@@ -442,3 +442,57 @@ def test_supervisor_minute_period_and_terminated_is_final(spark, tmp_path):
     }}
     with _pytest.raises(ValueError, match="clock period"):
         StreamingSupervisor(spark, bad, str(tmp_path / "deep2")).start()
+
+
+def test_supervisor_reset_clears_offsets_and_reingests(spark, tmp_path):
+    """POST .../reset semantics (supervisor-api.md): stop, clear the
+    stored offsets (checkpoint), restart from the input's beginning.
+    After reset the already-processed file is read AGAIN (offsets are
+    gone) — the recover-a-wedged-stream operation, carrying real
+    Druid's documented duplicate-data hazard. TERMINATED stays final."""
+    import json as _json
+    import os
+
+    from druid_datafusion_bridge_spark.streaming.supervisor import (
+        StreamingSupervisor,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    with open(drop / "a.json", "w") as f:
+        f.write(_json.dumps({"time": "2024-01-01T00:10:00Z",
+                             "channel": "en", "delta": 7}) + "\n")
+    sup = StreamingSupervisor(
+        spark,
+        {"type": "kafka", "spec": {
+            "dataSchema": {
+                "dataSource": "resettable",
+                "timestampSpec": {"column": "time", "format": "iso"},
+                "dimensionsSpec": {"dimensions": ["channel"]},
+                "metricsSpec": [{"type": "longSum", "name": "delta_sum",
+                                 "fieldName": "delta"}],
+                "granularitySpec": {"segmentGranularity": "day",
+                                    "queryGranularity": "hour"},
+            },
+            "ioConfig": {
+                "inputSource": {"type": "local", "baseDir": str(drop)},
+                "inputFormat": {"type": "json"},
+            },
+        }},
+        str(tmp_path / "deep"),
+    ).start()
+    try:
+        sup.process_available()
+        assert sup.batches_processed >= 1
+        before = sup.batches_processed
+        assert os.path.isdir(sup.checkpoint)
+        sup.reset()
+        assert sup.state == "RUNNING"
+        sup.process_available()
+        # offsets were cleared: the SAME file produced a fresh batch
+        assert sup.batches_processed > before
+    finally:
+        sup.terminate()
+    # reset on a terminated supervisor is a no-op (final state)
+    sup.reset()
+    assert sup.state == "TERMINATED"
