@@ -158,6 +158,12 @@ class AvaticaEndpoint:
         rows = [[_wire_value(v) for v in r] for r in collected]
         sig = self._signature(fields, sql)
         with self._lock:
+            # bound server-side cursor state: a client that never
+            # closes statements evicts its oldest ones (a fetch on an
+            # evicted statement answers missingStatement, which the
+            # JDBC driver surfaces as a recoverable cursor error)
+            while len(self._statements) >= 256:
+                self._statements.pop(next(iter(self._statements)))
             self._statements[(cid, sid)] = {"sig": sig, "rows": rows}
         return {
             "response": "resultSet",

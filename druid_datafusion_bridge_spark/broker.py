@@ -1261,6 +1261,8 @@ class DruidBrokerShim:
                 out = {n: list(c) for n, c in self._rules.items()}
                 out["_default"] = list(self._default_rules)
                 return out
+            if ds == "_default":
+                return list(self._default_rules)
             chain = list(self._rules.get(ds) or ())
             if full:
                 chain += list(self._default_rules)
@@ -1907,7 +1909,9 @@ class DruidBrokerShim:
             base = os.path.basename(d)
             if base in dropped:
                 continue
-            m = metas[d]
+            m = metas.get(d)
+            if m is None:
+                continue
             if windows and not any(
                 m["start"] < hi and m["end"] > lo for lo, hi in windows
             ):

@@ -387,3 +387,11 @@ def test_rules_history_audit_log(retention_shim):
     assert hist[0]["auditTime"]
     only = _get(base + "/druid/coordinator/v1/rules/ret/history")
     assert [h["key"] for h in only] == ["ret"]
+
+
+def test_get_default_rules_endpoint(retention_shim):
+    """GET /druid/coordinator/v1/rules/_default returns the cluster
+    default chain itself (not an empty per-datasource chain)."""
+    s, base = retention_shim
+    assert _get(base + "/druid/coordinator/v1/rules/_default") == [
+        {"type": "loadForever"}]
