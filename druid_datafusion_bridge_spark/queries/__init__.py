@@ -86,6 +86,7 @@ ROTATION: tuple[str, ...] = (
     "lr_retention_drop_interval",
     "lr_retention_period_load",
     "sim_pq_adc_topk",
+    "nq_datasource_metadata",
 )
 
 

@@ -486,3 +486,19 @@ def nq_union_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             "events_odd": ev.filter(F.col("user_id") % 2 == 1),
         },
     )
+
+
+@query(
+    "nq_datasource_metadata",
+    oracle="""
+    SELECT MAX(ts) AS maxIngestedEventTime FROM events
+    """,
+)
+def nq_datasource_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid native dataSourceMetadata query
+    (querying/datasourcemetadataquery.md): the latest ingested event
+    time for a datasource — what ingestion monitors poll to confirm a
+    stream is advancing. One MAX aggregate; no scan wider than the
+    time column after pruning."""
+    spec = {"queryType": "dataSourceMetadata"}
+    return native_query(_events(spark, sf_dir), spec, time_col="ts")

@@ -395,3 +395,32 @@ def test_get_default_rules_endpoint(retention_shim):
     s, base = retention_shim
     assert _get(base + "/druid/coordinator/v1/rules/_default") == [
         {"type": "loadForever"}]
+
+
+def test_retention_survives_compaction_rewrite(retention_shim):
+    """Auto-compaction rewrites a root's segments (new dir names); rule
+    chains must re-apply to the REWRITTEN segments at re-registration —
+    the dropped day stays dropped across the swap. Manual markUnused is
+    different by design: it names segment ids, and compaction's new
+    segments are new (real Druid's marks don't transfer either)."""
+    s, base = retention_shim
+    # fragment the datasource: a second INSERT adds same-day segments
+    _post(base + "/druid/v2/sql/task", {
+        "query": "INSERT INTO ret SELECT * FROM VALUES "
+                 "(TIMESTAMP '2024-01-01 02:00:00', 10), "
+                 "(TIMESTAMP '2024-01-02 02:00:00', 20) "
+                 "AS t(__time, v) PARTITIONED BY DAY"})
+    _post(base + "/druid/coordinator/v1/rules/ret", [
+        {"type": "dropByInterval",
+         "interval": "2024-01-02T00:00:00Z/2024-01-03T00:00:00Z"},
+        {"type": "loadForever"},
+    ])
+    assert _sql(base, "SELECT SUM(v) AS s FROM ret") == [{"s": 14}]
+    _post(base + "/druid/coordinator/v1/config/compaction",
+          {"dataSource": "ret", "segmentGranularity": "day"})
+    compacted = s.run_auto_compaction()
+    assert compacted.get("ret", 0) >= 1  # 5 segments -> 3 day buckets
+    # the rewritten Jan-2 segment is still rule-dropped
+    assert _sql(base, "SELECT SUM(v) AS s FROM ret") == [{"s": 14}]
+    _post(base + "/druid/coordinator/v1/rules/ret", [])
+    assert _sql(base, "SELECT SUM(v) AS s FROM ret") == [{"s": 36}]
