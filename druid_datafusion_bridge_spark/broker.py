@@ -600,6 +600,74 @@ class DruidBrokerShim:
         self._refresh_sys_datasources()
         self._refresh_sys_supervisors()
         self._register_information_schema()
+        # real Druid keeps rules in the metadata store, so a restarted
+        # coordinator still enforces them; this broker persists them
+        # under deep storage (same atomic-replace discipline as the
+        # planning manifest), reloads here, and re-registers any root
+        # the loaded rules affect so the first query already serves
+        # the persisted retention state
+        self._load_persisted_rules()
+
+    def _rules_path(self) -> str | None:
+        import os
+
+        if self.deep_storage is None:
+            return None
+        return os.path.join(self.deep_storage, "_coordinator",
+                            "rules.json")
+
+    def _load_persisted_rules(self) -> None:
+        from .retention import DEFAULT_RULES
+
+        path = self._rules_path()
+        if path is None:
+            return
+        try:
+            with open(path, encoding="utf-8") as f:
+                state = json.load(f)
+        except (OSError, ValueError):
+            return
+        with self._lock:
+            self._rules = {
+                ds: list(c) for ds, c in (state.get("rules") or {}).items()
+            }
+            self._default_rules = list(
+                state.get("default") or self._default_rules
+            )
+            self._manual_unused = {
+                ds: frozenset(v)
+                for ds, v in (state.get("manualUnused") or {}).items()
+            }
+            self._rules_history = list(state.get("history") or ())
+        nondefault = self._default_rules != list(DEFAULT_RULES)
+        for ds in list(self._segment_roots):
+            if nondefault or self._rules.get(ds) \
+                    or self._manual_unused.get(ds):
+                self._register_datasource_root(ds)
+
+    def _persist_rules(self) -> None:
+        """Write the retention state atomically (call OUTSIDE the
+        lock; reads its own consistent snapshot under it)."""
+        import os
+
+        path = self._rules_path()
+        if path is None:
+            return
+        with self._lock:
+            state = {
+                "rules": {ds: list(c) for ds, c in self._rules.items()},
+                "default": list(self._default_rules),
+                "manualUnused": {
+                    ds: sorted(v)
+                    for ds, v in self._manual_unused.items()
+                },
+                "history": list(self._rules_history),
+            }
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(state, f)
+        os.replace(tmp, path)
 
     def _refresh_sys_segments(self) -> None:
         sys_segments_frame(
@@ -807,12 +875,9 @@ class DruidBrokerShim:
         fresh = self._ensure_fresh_roots(
             None if _SYS_TABLE_RE.search(stripped) else names
         )
-        if re.search(r"\bsys\.supervisors\b", stripped, re.I):
-            # healthy/recentErrors flip on the streaming handoff
-            # thread; rebuild the view at read time so SQL agrees
-            # with the /status endpoint
-            with self._lock:
-                self._refresh_sys_supervisors()
+        # also rebuilds sys.supervisors at read time, so SQL agrees
+        # with the /status endpoint when handoff-thread state flips
+        self._reclaim_meta_views(stripped)
         if (use or populate) and self._result_cache.max_entries:
             if not (
                 _EXPLAIN_RE.match(sql_text)
@@ -845,6 +910,23 @@ class DruidBrokerShim:
                 self._result_cache.put(key, out)
         return out
 
+    def _reclaim_meta_views(self, stripped_sql: str) -> None:
+        """The sys_* / information_schema_* temp views are
+        session-global, so with several shims on ONE SparkSession the
+        last registrar wins — a metadata query through this shim could
+        read another shim's catalog. Re-register THIS shim's views
+        before any query that references them (tiny createDataFrame
+        calls; no segment IO)."""
+        if _INFO_SCHEMA_RE.search(stripped_sql):
+            with self._lock:
+                self._register_information_schema()
+        if _SYS_TABLE_RE.search(stripped_sql):
+            with self._lock:
+                self._refresh_sys_segments()
+                self._refresh_sys_tasks()
+                self._refresh_sys_datasources()
+                self._refresh_sys_supervisors()
+
     def _avatica_run_sql(self, sql: str, args: list | None) -> tuple:
         """SQL execution for the Avatica endpoint: the same
         serve-fresh, system-table-rewrite, and resource-limit
@@ -855,6 +937,7 @@ class DruidBrokerShim:
         self._ensure_fresh_roots(
             None if _SYS_TABLE_RE.search(stripped) else names
         )
+        self._reclaim_meta_views(stripped)
         df = self.spark.sql(_rewrite_system_tables(sql), args=args)
         collected = df.limit(self.max_rows + 1).collect()
         if len(collected) > self.max_rows:
@@ -1307,6 +1390,7 @@ class DruidBrokerShim:
             )
         for name in affected:
             self._register_datasource_root(name)
+        self._persist_rules()
         if has_period:
             # period rules drift with wall-clock — the duty cycle must
             # re-evaluate them even with no compaction config submitted
@@ -1356,6 +1440,7 @@ class DruidBrokerShim:
             self._manual_unused = manual
             self._retention_epoch += 1
         self._register_datasource_root(ds)
+        self._persist_rules()
         return changed
 
     def _handle_sql_ingest(self, body: dict) -> dict:

@@ -424,3 +424,49 @@ def test_retention_survives_compaction_rewrite(retention_shim):
     assert _sql(base, "SELECT SUM(v) AS s FROM ret") == [{"s": 14}]
     _post(base + "/druid/coordinator/v1/rules/ret", [])
     assert _sql(base, "SELECT SUM(v) AS s FROM ret") == [{"s": 36}]
+
+
+def test_rules_persist_across_broker_restart(spark, tmp_path):
+    """Real Druid keeps rules in its metadata store; a restarted
+    coordinator still enforces them. This broker persists rule chains,
+    manual marks, and the audit history under deep storage and reloads
+    them at construction — the first query of the new broker already
+    serves the drop."""
+    from druid_datafusion_bridge_spark.broker import DruidBrokerShim
+
+    deep = str(tmp_path / "deep")
+    s1 = DruidBrokerShim(spark, {}, deep_storage=deep)
+    port = s1.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        _post(base + "/druid/v2/sql/task", {
+            "query": "INSERT INTO persist SELECT * FROM VALUES "
+                     "(TIMESTAMP '2024-01-01 01:00:00', 1), "
+                     "(TIMESTAMP '2024-01-02 01:00:00', 2) "
+                     "AS t(__time, v) PARTITIONED BY DAY"})
+        _post(base + "/druid/coordinator/v1/rules/persist", [
+            {"type": "dropByInterval",
+             "interval": "2024-01-02T00:00:00Z/2024-01-03T00:00:00Z"},
+            {"type": "loadForever"},
+        ])
+        assert _sql(base, "SELECT SUM(v) AS s FROM persist") == [{"s": 1}]
+    finally:
+        s1.stop()
+    # a NEW broker over the same deep storage: rules reload and apply
+    import os
+
+    s2 = DruidBrokerShim(
+        spark, {},
+        segment_roots={"persist": os.path.join(deep, "persist")},
+        deep_storage=deep,
+    )
+    port2 = s2.start()
+    base2 = f"http://127.0.0.1:{port2}"
+    try:
+        assert _get(base2 + "/druid/coordinator/v1/rules")[
+            "persist"][0]["type"] == "dropByInterval"
+        assert _sql(base2, "SELECT SUM(v) AS s FROM persist") == [{"s": 1}]
+        hist = _get(base2 + "/druid/coordinator/v1/rules/history")
+        assert [h["key"] for h in hist] == ["persist"]
+    finally:
+        s2.stop()
