@@ -600,13 +600,14 @@ class DruidBrokerShim:
         self._refresh_sys_datasources()
         self._refresh_sys_supervisors()
         self._register_information_schema()
-        # real Druid keeps rules in the metadata store, so a restarted
-        # coordinator still enforces them; this broker persists them
-        # under deep storage (same atomic-replace discipline as the
-        # planning manifest), reloads here, and re-registers any root
-        # the loaded rules affect so the first query already serves
-        # the persisted retention state
+        # real Druid keeps rules and lookup configs in the metadata
+        # store, so a restarted coordinator still enforces them; this
+        # broker persists both under deep storage (same atomic-replace
+        # discipline as the planning manifest), reloads here, and
+        # re-registers any root / SQL dispatcher the loaded state
+        # affects so the first query already serves it
         self._load_persisted_rules()
+        self._load_persisted_lookups()
 
     def _rules_path(self) -> str | None:
         import os
@@ -644,6 +645,56 @@ class DruidBrokerShim:
             if nondefault or self._rules.get(ds) \
                     or self._manual_unused.get(ds):
                 self._register_datasource_root(ds)
+
+    def _lookups_path(self) -> str | None:
+        import os
+
+        if self.deep_storage is None:
+            return None
+        return os.path.join(self.deep_storage, "_coordinator",
+                            "lookups.json")
+
+    def _load_persisted_lookups(self) -> None:
+        """Persisted lookup configs win over constructor-passed ones
+        (they are the NEWER coordinator state); the SQL ``LOOKUP()``
+        dispatcher re-registers so the first query sees them."""
+        path = self._lookups_path()
+        if path is None:
+            return
+        try:
+            with open(path, encoding="utf-8") as f:
+                state = json.load(f)
+        except (OSError, ValueError):
+            return
+        from .functions import register_sql_lookups
+
+        with self._lock:
+            self._lookups = {
+                n: {str(k): str(v) for k, v in m.items()}
+                for n, m in (state.get("lookups") or {}).items()
+            }
+            self._lookup_versions = {
+                str(n): str(v)
+                for n, v in (state.get("versions") or {}).items()
+            }
+        register_sql_lookups(self.spark, self._lookups)
+
+    def _persist_lookups(self) -> None:
+        import os
+
+        path = self._lookups_path()
+        if path is None:
+            return
+        with self._lock:
+            state = {
+                "lookups": {n: dict(m) for n, m in self._lookups.items()},
+                "versions": dict(self._lookup_versions),
+            }
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(state, f)
+        os.replace(tmp, path)
 
     def _persist_rules(self) -> None:
         """Write the retention state atomically (call OUTSIDE the
@@ -1181,6 +1232,7 @@ class DruidBrokerShim:
         # OUTSIDE the fast map/view lock so concurrent queries don't
         # stall behind it (last registration wins either way)
         register_sql_lookups(self.spark, snapshot)
+        self._persist_lookups()
         return {"status": "accepted"}
 
     def _lookup_delete(self, name: str) -> bool:
@@ -1197,6 +1249,7 @@ class DruidBrokerShim:
             self._lookup_versions = versions
             snapshot = self._lookups
         register_sql_lookups(self.spark, snapshot)  # outside the lock
+        self._persist_lookups()
         return True
 
     def _coordinator_datasource(self, name: str, sub: str):

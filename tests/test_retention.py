@@ -470,3 +470,34 @@ def test_rules_persist_across_broker_restart(spark, tmp_path):
         assert [h["key"] for h in hist] == ["persist"]
     finally:
         s2.stop()
+
+
+def test_lookups_persist_across_broker_restart(spark, tmp_path):
+    """Coordinator lookup configs live in real Druid's metadata store;
+    a restarted broker must re-serve them. Persisted configs win over
+    constructor-passed ones (they are the newer coordinator state)."""
+    from druid_datafusion_bridge_spark.broker import DruidBrokerShim
+
+    deep = str(tmp_path / "deep")
+    s1 = DruidBrokerShim(spark, {}, deep_storage=deep,
+                         lookups={"color": {"r": "red"}})
+    port = s1.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        _post(base + "/druid/coordinator/v1/lookups/config/__default/"
+                     "color", {"r": "rouge", "g": "vert"})
+    finally:
+        s1.stop()
+    s2 = DruidBrokerShim(spark, {}, deep_storage=deep,
+                         lookups={"color": {"r": "red"}})
+    port2 = s2.start()
+    base2 = f"http://127.0.0.1:{port2}"
+    try:
+        spec = _get(base2 + "/druid/coordinator/v1/lookups/config/"
+                            "__default/color")
+        assert spec["lookupExtractorFactory"]["map"] == {
+            "r": "rouge", "g": "vert"}
+        rows = _sql(base2, "SELECT LOOKUP('g', 'color') AS v")
+        assert rows == [{"v": "vert"}]
+    finally:
+        s2.stop()
