@@ -571,6 +571,11 @@ class DruidBrokerShim:
         # sys.segments reports); maintained by _register_datasource_root
         self._unused: dict[str, frozenset[str]] = {}
         self._retention_epoch = 0
+        # segment dirs are immutable once written (compaction and
+        # ingestion create NEW dirs), so their on-disk size is cached
+        # forever per shim — /druid/v2/candidates over a 100k-segment
+        # datasource must not stat-walk every segment per request
+        self._size_cache: dict[str, int] = {}
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         # JDBC surface: Avatica JSON RPC at /druid/v2/sql/avatica
@@ -2054,13 +2059,16 @@ class DruidBrokerShim:
                 m["start"] < hi and m["end"] > lo for lo, hi in windows
             ):
                 continue
-            size = 0
-            for b, _, files in os.walk(d):
-                for fn in files:
-                    try:
-                        size += os.path.getsize(os.path.join(b, fn))
-                    except OSError:
-                        pass
+            size = self._size_cache.get(d)
+            if size is None:
+                size = 0
+                for b, _, files in os.walk(d):
+                    for fn in files:
+                        try:
+                            size += os.path.getsize(os.path.join(b, fn))
+                        except OSError:
+                            pass
+                self._size_cache[d] = size
             out.append({
                 "interval": f"{iso(m['start'])}/{iso(m['end'])}",
                 "version": base,
