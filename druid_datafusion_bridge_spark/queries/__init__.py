@@ -87,6 +87,7 @@ ROTATION: tuple[str, ...] = (
     "lr_retention_period_load",
     "sim_pq_adc_topk",
     "nq_datasource_metadata",
+    "lr_retention_drop_before",
 )
 
 

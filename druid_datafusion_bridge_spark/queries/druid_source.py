@@ -1805,3 +1805,37 @@ def lr_retention_period_load(
         .agg(F.count("*").alias("n_events"))
         .orderBy("day")
     )
+
+
+@query(
+    "lr_retention_drop_before",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def lr_retention_drop_before(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The age-out idiom — ``dropBeforeByPeriod P10D`` then
+    ``loadForever``: every segment whose interval ENDS at or before
+    now-P10D drops; everything newer falls through to loadForever and
+    stays whole (a boundary-straddling segment survives, unlike
+    dropByPeriod's containment test). Anchored at the fixed
+    2024-02-01 now: a day-d segment's interval ends within day d, so
+    end <= Jan 22 00:00 exactly when d <= Jan 21 — the oracle's
+    ts >= 2024-01-22 row cut. Like every retention query, the drop is
+    PLANNING-level: aged-out segments never open."""
+    rules = [
+        {"type": "dropBeforeByPeriod", "period": "P10D"},
+        {"type": "loadForever"},
+    ]
+    df = _retention_scan(spark, sf_dir, rules, LR_NOW_MS)
+    return (
+        df.groupBy(F.date_format("__time", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("day")
+    )

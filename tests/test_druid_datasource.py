@@ -1322,3 +1322,53 @@ def test_stale_plan_manifest_never_prunes_wrong(registered, tmp_path):
     seg(name, 0, [float(100 + i) for i in range(10)])
     got = sorted(r["v"] for r in read_ge(100.0).collect())
     assert got == [float(100 + i) for i in range(10)]
+
+
+def test_exclude_segments_removes_planning_io(registered, segment_root):
+    """Retention's serving mechanism: exclude_segments drops segment
+    dirs at PLANNING — an excluded segment contributes no partition
+    through the filtered path, the ordered-limit path, or row results;
+    all-excluded still answers an empty frame (not an error)."""
+    import json as _json
+
+    from druid_datafusion_bridge_spark.sources.datasource import (
+        DruidSegmentReader,
+    )
+
+    df = registered.read.format("druidsegment").option(
+        "path", segment_root).load()
+    r = DruidSegmentReader(
+        df.schema,
+        {"path": segment_root,
+         "exclude_segments": _json.dumps(["seg_000"])},
+    )
+    assert [os.path.basename(p.segment_dir) for p in r.partitions()] == [
+        "seg_001"]
+    # ordered-limit planning starts from the served list too
+    r2 = DruidSegmentReader(
+        df.schema,
+        {"path": segment_root, "order_limit": "5",
+         "exclude_segments": _json.dumps(["seg_000"])},
+    )
+    assert [os.path.basename(p.segment_dir) for p in r2.partitions()] == [
+        "seg_001"]
+    # end-to-end rows: seg_000 holds nationkeys 0..11
+    kept = (
+        registered.read.format("druidsegment")
+        .option("path", segment_root)
+        .option("exclude_segments", _json.dumps(["seg_000"]))
+        .load()
+    )
+    keys = sorted(r["n_nationkey"] for r in kept.select(
+        "n_nationkey").collect())
+    assert keys == list(range(12, 25))
+    # everything excluded -> zero rows, stable schema
+    none = (
+        registered.read.format("druidsegment")
+        .option("path", segment_root)
+        .option("exclude_segments",
+                _json.dumps(["seg_000", "seg_001"]))
+        .load()
+    )
+    assert none.count() == 0
+    assert none.columns == kept.columns
