@@ -58,6 +58,10 @@ engine without modification:
   cycle rewrites fragmented datasources (more segments than
   target-granularity buckets — streaming handoff's natural debris) at
   the target granularity and swaps them in;
+- async SQL: ``POST /druid/v2/sql/statements`` runs a query
+  asynchronously under a cancellable job group (the MSQ statements
+  surface) — GET reports state/schema/result pages, ``/results``
+  returns the rows, DELETE cancels;
 - JDBC: ``POST /druid/v2/sql/avatica`` speaks the Avatica JSON RPC
   (openConnection / createStatement / prepareAndExecute / prepare +
   execute with TypedValue parameters / fetch paging / close), the
@@ -531,6 +535,8 @@ class DruidBrokerShim:
             if (d := _segment_state_digest(r)) is not None
         }
         self._tasks: dict[str, dict] = {}
+        # async SQL statements (POST /druid/v2/sql/statements)
+        self._sql_statements: dict[str, dict] = {}
         self._supervisors: dict[str, Any] = {}
         self._task_seq = 0
         self._lock = threading.Lock()
@@ -1787,6 +1793,153 @@ class DruidBrokerShim:
         lines = "".join(json.dumps(r) + "\n" for r in out) + "\n"
         return lines.encode(), "text/plain"
 
+    # -- async SQL statements (sql-api.md "SQL statements") ---------------
+    def _statement_submit(self, body: dict) -> dict:
+        """POST /druid/v2/sql/statements: run the SQL asynchronously
+        and return immediately with a queryId + state — Druid's async
+        (MSQ task) query surface. The statement executes on a daemon
+        thread under its own Spark job group so DELETE can cancel it
+        without touching other queries; results are retained on the
+        broker (bounded by max_rows) until the process ends, which is
+        the durable-results subset this single-process engine can
+        honor."""
+        import datetime as _dtm
+
+        sql = body.get("query")
+        if not sql:
+            raise ValueError("statements submission requires 'query'")
+        with self._lock:
+            self._task_seq += 1
+            sid = f"query-{self._task_seq}"
+            gid = f"ddbs-stmt-{sid}"
+            st = {
+                "queryId": sid,
+                "state": "RUNNING",
+                "createdAt": _dtm.datetime.now(
+                    _dtm.timezone.utc
+                ).isoformat(),
+                "sql": sql,
+                "gid": gid,
+            }
+            stmts = dict(getattr(self, "_sql_statements", {}))
+            stmts[sid] = st
+            self._sql_statements = stmts
+
+        params = body.get("parameters")
+        args = (
+            [p.get("value") if isinstance(p, dict) else p for p in params]
+            if params else None
+        )
+
+        def run() -> None:
+            import time as _time
+
+            t0 = _time.perf_counter()
+            sc = self.spark.sparkContext
+            sc.setJobGroup(gid, f"sql statement {sid}",
+                           interruptOnCancel=True)
+            try:
+                fields, rows = self._avatica_run_sql(sql, args)
+                with self._lock:
+                    if st["state"] == "RUNNING":
+                        st["state"] = "SUCCESS"
+                        st["fields"] = fields
+                        st["rows"] = [
+                            [_json_safe(v) for v in r] for r in rows
+                        ]
+                        st["durationMs"] = int(
+                            (_time.perf_counter() - t0) * 1000
+                        )
+            except Exception as e:
+                with self._lock:
+                    if st["state"] == "RUNNING":
+                        st["state"] = "FAILED"
+                        st["errorMessage"] = str(e)[:2000]
+            finally:
+                try:
+                    sc._jsc.clearJobGroup()
+                except Exception:
+                    pass
+
+        threading.Thread(target=run, daemon=True,
+                         name=f"stmt-{sid}").start()
+        return {"queryId": sid, "state": "RUNNING",
+                "createdAt": st["createdAt"]}
+
+    def _statement_status(self, sid: str) -> dict | None:
+        """GET /druid/v2/sql/statements/{id}: the documented
+        SqlStatementResult subset (queryId/state/createdAt/durationMs,
+        per-column schema, a one-page result descriptor on SUCCESS,
+        errorDetails on FAILED)."""
+        with self._lock:
+            st = getattr(self, "_sql_statements", {}).get(sid)
+            if st is None:
+                return None
+            out = {
+                "queryId": st["queryId"],
+                "state": st["state"],
+                "createdAt": st["createdAt"],
+            }
+            if st["state"] == "SUCCESS":
+                out["durationMs"] = st.get("durationMs", 0)
+                out["schema"] = [
+                    {
+                        "name": f.name,
+                        "type": _druid_types(f.dataType)[1],
+                        "nativeType": _druid_types(f.dataType)[0],
+                    }
+                    for f in st.get("fields", [])
+                ]
+                n = len(st.get("rows", []))
+                out["result"] = {
+                    "numTotalRows": n,
+                    "pages": [{"id": 0, "numRows": n}],
+                }
+            if st["state"] == "FAILED":
+                out["errorDetails"] = {
+                    "error": "druidException",
+                    "errorMessage": st.get("errorMessage", ""),
+                }
+            return out
+
+    def _statement_results(self, sid: str, page: int = 0):
+        """GET /druid/v2/sql/statements/{id}/results[?page=] — rows as
+        a JSON array of objects (the default resultFormat). Results
+        exist only for SUCCESS; asking earlier or for a page that
+        doesn't exist is the client's error."""
+        with self._lock:
+            st = getattr(self, "_sql_statements", {}).get(sid)
+            if st is None:
+                return None
+            if st["state"] != "SUCCESS":
+                raise ValueError(
+                    f"statement {sid} is {st['state']}; results exist "
+                    "only for SUCCESS"
+                )
+            if page != 0:
+                raise ValueError(f"no page {page}; result has one page")
+            cols = [f.name for f in st.get("fields", [])]
+            return [dict(zip(cols, r)) for r in st.get("rows", [])]
+
+    def _statement_delete(self, sid: str) -> bool:
+        """DELETE /druid/v2/sql/statements/{id}: cancel a RUNNING
+        statement's job group (finished ones just acknowledge)."""
+        with self._lock:
+            st = getattr(self, "_sql_statements", {}).get(sid)
+            if st is None:
+                return False
+            if st["state"] == "RUNNING":
+                st["state"] = "CANCELED"
+                gid = st["gid"]
+            else:
+                gid = None
+        if gid is not None:
+            try:
+                self.spark.sparkContext.cancelJobGroup(gid)
+            except Exception:
+                pass
+        return True
+
     def _run_with_timeout(self, fn, timeout_ms):
         """Run ``fn`` under a cancellable Spark job group, cancelled
         after ``timeout_ms`` (Druid's ``context.timeout``). Each HTTP
@@ -2226,6 +2379,29 @@ class DruidBrokerShim:
                     else:
                         self._send(404, {"error": "Unknown supervisor",
                                          "errorMessage": sup_id})
+                elif path.startswith("/druid/v2/sql/statements/"):
+                    rest = path.split("/druid/v2/sql/statements/", 1)[1]
+                    sid, _, sub = rest.partition("/")
+                    try:
+                        if sub == "results":
+                            from urllib.parse import parse_qs, urlparse
+
+                            q = parse_qs(urlparse(self.path).query)
+                            page = int((q.get("page") or ["0"])[0])
+                            out = shim._statement_results(sid, page)
+                        elif sub == "":
+                            out = shim._statement_status(sid)
+                        else:
+                            out = None
+                    except ValueError as e:
+                        self._send(400, {"error": "Bad request",
+                                         "errorMessage": str(e)})
+                        return
+                    if out is not None:
+                        self._send(200, out)
+                    else:
+                        self._send(404, {"error": "Unknown statement",
+                                         "errorMessage": sid})
                 elif path.startswith("/druid/indexer/v1/task/") and \
                         path.endswith("/status"):
                     task_id = path.split("/druid/indexer/v1/task/",
@@ -2242,7 +2418,14 @@ class DruidBrokerShim:
 
             def do_DELETE(self):
                 path = self.path.split("?", 1)[0]
-                if path.startswith(
+                if path.startswith("/druid/v2/sql/statements/"):
+                    sid = path.rsplit("/", 1)[1]
+                    if shim._statement_delete(sid):
+                        self._send(202, {"queryId": sid})
+                    else:
+                        self._send(404, {"error": "Unknown statement",
+                                         "errorMessage": sid})
+                elif path.startswith(
                     "/druid/coordinator/v1/config/compaction/"
                 ):
                     ds = path.rsplit("/", 1)[1]
@@ -2285,6 +2468,9 @@ class DruidBrokerShim:
                         return
                     elif self.path == "/druid/v2/sql/task":
                         self._send(200, shim._handle_sql_ingest(body))
+                        return
+                    elif self.path == "/druid/v2/sql/statements":
+                        self._send(202, shim._statement_submit(body))
                         return
                     elif self.path == "/druid/v2/sql/avatica":
                         try:

@@ -1247,3 +1247,60 @@ def test_avatica_database_metadata(shim):
     none = _post(url, {"request": "tables", "connectionId": "m",
                        "tableNamePattern": "zz%"})
     assert none["firstFrame"]["rows"] == []
+
+
+def _get(url):
+    with urllib.request.urlopen(url) as r:
+        return json.loads(r.read())
+
+
+def test_sql_statements_async_lifecycle(shim):
+    """POST /druid/v2/sql/statements (sql-api.md "SQL statements", the
+    async MSQ query surface): submit returns a queryId immediately;
+    GET reports state, schema, and a result descriptor on SUCCESS; the
+    results endpoint pages the rows; DELETE cancels/acknowledges; an
+    unknown id is a 404 and a bad SQL fails with errorDetails."""
+    import time
+
+    sub = _post(shim + "/druid/v2/sql/statements", {
+        "query": "SELECT channel, SUM(delta) AS total FROM wikipedia "
+                 "WHERE channel = ? GROUP BY 1",
+        "parameters": [{"type": "VARCHAR", "value": "en"}],
+    })
+    sid = sub["queryId"]
+    assert sub["state"] == "RUNNING"
+    for _ in range(120):
+        st = _get(shim + f"/druid/v2/sql/statements/{sid}")
+        if st["state"] != "RUNNING":
+            break
+        time.sleep(0.25)
+    assert st["state"] == "SUCCESS"
+    assert [c["name"] for c in st["schema"]] == ["channel", "total"]
+    assert st["result"] == {"numTotalRows": 1,
+                            "pages": [{"id": 0, "numRows": 1}]}
+    rows = _get(shim + f"/druid/v2/sql/statements/{sid}/results")
+    assert rows == [{"channel": "en", "total": 12}]
+    # explicit page 0 works; a missing page is the client's error
+    assert _get(shim + f"/druid/v2/sql/statements/{sid}/results?page=0"
+                ) == rows
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(shim + f"/druid/v2/sql/statements/{sid}/results?page=3")
+    assert ei.value.code == 400
+    # DELETE acknowledges a finished statement
+    req = urllib.request.Request(
+        shim + f"/druid/v2/sql/statements/{sid}", method="DELETE")
+    with urllib.request.urlopen(req) as r:
+        assert json.loads(r.read()) == {"queryId": sid}
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(shim + "/druid/v2/sql/statements/nope")
+    assert ei.value.code == 404
+    # failure surfaces as FAILED + errorDetails, not a broken broker
+    bad = _post(shim + "/druid/v2/sql/statements", {
+        "query": "SELECT * FROM no_such_table"})
+    for _ in range(120):
+        st = _get(shim + f"/druid/v2/sql/statements/{bad['queryId']}")
+        if st["state"] != "RUNNING":
+            break
+        time.sleep(0.25)
+    assert st["state"] == "FAILED"
+    assert "no_such_table" in st["errorDetails"]["errorMessage"]
