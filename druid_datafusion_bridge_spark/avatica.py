@@ -37,6 +37,8 @@ server.
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
+import re as _re
 import threading
 from typing import Any, Callable
 
@@ -71,17 +73,27 @@ def _jdbc_type(dt) -> tuple[int, str, str]:
 
 def _wire_value(v: Any) -> Any:
     """Avatica wire encoding: timestamps -> epoch millis, dates ->
-    epoch days; everything else as-is (JSON-safe scalars)."""
+    epoch days, decimals -> double, binary -> base64 — applied
+    RECURSIVELY so array/struct columns (which collect as lists and
+    Rows) encode their elements instead of crashing json.dumps."""
     if isinstance(v, _dt.datetime):
         if v.tzinfo is None:
             v = v.replace(tzinfo=_dt.timezone.utc)
         return int(v.timestamp() * 1000)
     if isinstance(v, _dt.date):
         return (v - _dt.date(1970, 1, 1)).days
+    if isinstance(v, _decimal.Decimal):
+        return float(v)
     if isinstance(v, bytes):
         import base64
 
         return base64.b64encode(v).decode()
+    if isinstance(v, (list, tuple)):
+        return [_wire_value(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _wire_value(x) for k, x in v.items()}
+    if hasattr(v, "asDict"):  # pyspark Row (struct column)
+        return {k: _wire_value(x) for k, x in v.asDict().items()}
     return v
 
 
@@ -231,13 +243,27 @@ class AvaticaEndpoint:
                     "results": [rs]}
         if req == "prepare":
             sid = self._new_statement_id()
-            # the signature's parameter list is advisory; execution
-            # re-binds at execute time
+            # the Avatica JDBC driver derives the prepared statement's
+            # parameter COUNT from this list (setLong(i, ...) throws
+            # client-side past it), so emit one AvaticaParameter per
+            # ``?`` outside string literals — typed VARCHAR/OTHER,
+            # which the driver accepts for any setXxx (the engine
+            # re-types at bind time)
+            stripped = _re.sub(r"'(?:[^']|'')*'", " ", body["sql"])
+            params = [
+                {
+                    "signed": False, "precision": 0, "scale": 0,
+                    "parameterType": 12, "typeName": "VARCHAR",
+                    "className": "java.lang.String",
+                    "name": f"?{i + 1}",
+                }
+                for i in range(stripped.count("?"))
+            ]
             return {"response": "prepare",
                     "statement": {"connectionId": cid, "id": sid,
                                   "signature": {
                                       "columns": [], "sql": body["sql"],
-                                      "parameters": [],
+                                      "parameters": params,
                                       "cursorFactory": {"style": "LIST"},
                                       "statementType": "SELECT"}},
                     "rpcMetadata": self._rpc_meta()}

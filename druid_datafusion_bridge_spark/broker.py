@@ -151,6 +151,7 @@ def sys_segments_frame(
     spark: SparkSession,
     segment_roots: dict[str, str],
     unused: dict[str, frozenset[str]] | None = None,
+    size_cache: dict[str, int] | None = None,
 ) -> DataFrame:
     """Druid's ``sys.segments`` metadata table over segment roots.
 
@@ -180,13 +181,22 @@ def sys_segments_frame(
             m = meta.get(seg_dir)
             if m is None:
                 continue
-            size = 0
-            for base, _, files in os.walk(seg_dir):
-                for fn in files:
-                    try:
-                        size += os.path.getsize(os.path.join(base, fn))
-                    except OSError:
-                        pass
+            # segment dirs are immutable once written, so sizes cache
+            # forever — without this, every sys.segments rebuild
+            # stat-walks every file of every segment
+            size = (size_cache or {}).get(seg_dir)
+            if size is None:
+                size = 0
+                for base, _, files in os.walk(seg_dir):
+                    for fn in files:
+                        try:
+                            size += os.path.getsize(
+                                os.path.join(base, fn)
+                            )
+                        except OSError:
+                            pass
+                if size_cache is not None:
+                    size_cache[seg_dir] = size
             start, end = iso(m["start"]), iso(m["end"])
             base_name = os.path.basename(seg_dir)
             rows.append((
@@ -656,6 +666,15 @@ class DruidBrokerShim:
             if nondefault or self._rules.get(ds) \
                     or self._manual_unused.get(ds):
                 self._register_datasource_root(ds)
+        # period rules drift with wall-clock: a restarted coordinator
+        # must resume re-evaluating them, not just apply the load-time
+        # "now" once
+        if any(
+            "Period" in r.get("type", "")
+            for chain in list(self._rules.values()) + [self._default_rules]
+            for r in chain
+        ):
+            self._ensure_duty_thread()
 
     def _lookups_path(self) -> str | None:
         import os
@@ -702,7 +721,11 @@ class DruidBrokerShim:
                 "versions": dict(self._lookup_versions),
             }
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = f"{path}.tmp.{os.getpid()}"
+        # pid+thread-unique tmp: two HTTP handler threads persisting
+        # concurrently must not truncate each other's half-written tmp
+        # (each writes its own snapshot; os.replace keeps the last one
+        # whole)
+        tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(state, f)
         os.replace(tmp, path)
@@ -726,14 +749,15 @@ class DruidBrokerShim:
                 "history": list(self._rules_history),
             }
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = f"{path}.tmp.{os.getpid()}"
+        tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(state, f)
         os.replace(tmp, path)
 
     def _refresh_sys_segments(self) -> None:
         sys_segments_frame(
-            self.spark, self._segment_roots, self._unused
+            self.spark, self._segment_roots, self._unused,
+            self._size_cache,
         ).createOrReplaceTempView("sys_segments")
 
     def _refresh_sys_tasks(self) -> None:
@@ -982,12 +1006,22 @@ class DruidBrokerShim:
         if _INFO_SCHEMA_RE.search(stripped_sql):
             with self._lock:
                 self._register_information_schema()
-        if _SYS_TABLE_RE.search(stripped_sql):
+        # rebuild only the views the SQL references: sys.segments
+        # costs a per-root manifest read (size-cached), and a query
+        # over sys.tasks must not pay it
+        referenced = {
+            m.lower() for m in _SYS_TABLE_RE.findall(stripped_sql)
+        }
+        if referenced:
             with self._lock:
-                self._refresh_sys_segments()
-                self._refresh_sys_tasks()
-                self._refresh_sys_datasources()
-                self._refresh_sys_supervisors()
+                if "segments" in referenced:
+                    self._refresh_sys_segments()
+                if "tasks" in referenced:
+                    self._refresh_sys_tasks()
+                if "datasources" in referenced:
+                    self._refresh_sys_datasources()
+                if "supervisors" in referenced:
+                    self._refresh_sys_supervisors()
 
     def _avatica_run_sql(self, sql: str, args: list | None) -> tuple:
         """SQL execution for the Avatica endpoint: the same
@@ -1116,8 +1150,9 @@ class DruidBrokerShim:
             with self._lock:
                 if self._unused.get(ds, frozenset()) == unused:
                     continue
-                self._retention_epoch += 1
             self._register_datasource_root(ds)
+            with self._lock:  # after registration — see _set_rules
+                self._retention_epoch += 1
             out[ds] = len(unused)
         return out
 
@@ -1447,13 +1482,19 @@ class DruidBrokerShim:
                     rmap.pop(ds, None)
                 self._rules = rmap
                 affected = [ds] if ds in self._segment_roots else []
-            self._retention_epoch += 1
             self._rules_history = self._rules_history + [audit]
             has_period = any(
                 "Period" in r.get("type", "") for r in rules
             )
         for name in affected:
             self._register_datasource_root(name)
+        # epoch bumps AFTER registration: a query racing the window
+        # between rule install and the re-registered relation executes
+        # against the OLD relation — caching that result under the old
+        # epoch is correct; caching it under the new epoch would serve
+        # pre-flip rows forever
+        with self._lock:
+            self._retention_epoch += 1
         self._persist_rules()
         if has_period:
             # period rules drift with wall-clock — the duty cycle must
@@ -1502,8 +1543,9 @@ class DruidBrokerShim:
             else:
                 manual.pop(ds, None)
             self._manual_unused = manual
-            self._retention_epoch += 1
         self._register_datasource_root(ds)
+        with self._lock:  # after registration — see _set_rules
+            self._retention_epoch += 1
         self._persist_rules()
         return changed
 

@@ -625,6 +625,12 @@ def _pq_train_local(
     import numpy as np
 
     rows = train.select("vec_id", "v").orderBy("vec_id").collect()
+    if not rows:
+        # empty (or all-zero-norm) corpus: no codebooks -> downstream
+        # joins produce the same empty result brute_force_topk returns
+        return spark.createDataFrame(
+            [], "sub_id int, code int, cv array<double>"
+        )
     x = np.array([r["v"] for r in rows], dtype=np.float64)
     books = []
     for s_i in range(n_subspaces):

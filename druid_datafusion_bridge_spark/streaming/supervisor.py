@@ -316,9 +316,14 @@ class StreamingSupervisor:
             return
         import shutil
 
+        was_running = self.state == "RUNNING"
         self._stop_query()
         shutil.rmtree(self.checkpoint, ignore_errors=True)
-        self.start()
+        # a SUSPENDED supervisor stays suspended (real Druid's reset
+        # does not resume ingestion the operator paused — it resumes
+        # from the cleared offsets only when THEY resume it)
+        if was_running:
+            self.start()
 
     def process_available(self) -> None:
         """Block until everything currently readable has handed off —

@@ -1304,3 +1304,31 @@ def test_sql_statements_async_lifecycle(shim):
         time.sleep(0.25)
     assert st["state"] == "FAILED"
     assert "no_such_table" in st["errorDetails"]["errorMessage"]
+
+
+def test_avatica_decimal_and_array_columns(shim):
+    """Review regression: DECIMAL and ARRAY columns must wire-encode
+    (decimal -> double, arrays element-wise) instead of crashing
+    json.dumps into an HTTP 500."""
+    out = _post(shim + "/druid/v2/sql/avatica", {
+        "request": "prepareAndExecute", "connectionId": "dec",
+        "statementId": 999,
+        "sql": "SELECT CAST(1.5 AS DECIMAL(10,2)) AS d, "
+               "ARRAY(__time) AS ts_arr FROM wikipedia LIMIT 1",
+    })
+    row = out["results"][0]["firstFrame"]["rows"][0]
+    assert row[0] == 1.5
+    assert row[1] == [1704067800000]
+
+
+def test_avatica_prepare_reports_parameters(shim):
+    """Review regression: the JDBC driver derives the prepared
+    statement's parameter count from signature.parameters — one entry
+    per ? outside string literals (a literal '?' must not count)."""
+    prep = _post(shim + "/druid/v2/sql/avatica", {
+        "request": "prepare", "connectionId": "p",
+        "sql": "SELECT '?' AS lit FROM wikipedia "
+               "WHERE channel = ? AND delta > ?"})
+    params = prep["statement"]["signature"]["parameters"]
+    assert len(params) == 2
+    assert params[0]["name"] == "?1" and params[1]["name"] == "?2"

@@ -501,3 +501,38 @@ def test_lookups_persist_across_broker_restart(spark, tmp_path):
         assert rows == [{"v": "vert"}]
     finally:
         s2.stop()
+
+
+def test_persisted_period_rules_restart_duty_thread(spark, tmp_path):
+    """Review regression: a restarted broker that loads period rules
+    must resume the duty cycle — otherwise wall-clock drift is never
+    re-evaluated and the persistence claim is hollow."""
+    from druid_datafusion_bridge_spark.broker import DruidBrokerShim
+
+    deep = str(tmp_path / "deep")
+    s1 = DruidBrokerShim(spark, {}, deep_storage=deep)
+    port = s1.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        _post(base + "/druid/v2/sql/task", {
+            "query": "INSERT INTO dp SELECT * FROM VALUES "
+                     "(TIMESTAMP '2024-01-01 01:00:00', 1) "
+                     "AS t(__time, v) PARTITIONED BY DAY"})
+        _post(base + "/druid/coordinator/v1/rules/dp", [
+            {"type": "loadByPeriod", "period": "P100Y"}])
+        assert s1._compaction_thread is not None
+    finally:
+        s1.stop()
+    import os
+
+    s2 = DruidBrokerShim(
+        spark, {}, segment_roots={"dp": os.path.join(deep, "dp")},
+        deep_storage=deep)
+    try:
+        assert s2._compaction_thread is not None
+        assert _post(
+            f"http://127.0.0.1:{s2.start()}" + "/druid/v2/sql",
+            {"query": "SELECT COUNT(*) AS n FROM dp"},
+        ) == [{"n": 1}]
+    finally:
+        s2.stop()

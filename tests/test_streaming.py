@@ -496,3 +496,49 @@ def test_supervisor_reset_clears_offsets_and_reingests(spark, tmp_path):
     # reset on a terminated supervisor is a no-op (final state)
     sup.reset()
     assert sup.state == "TERMINATED"
+
+
+def test_reset_keeps_suspended_supervisor_suspended(spark, tmp_path):
+    """Review regression: reset on a SUSPENDED supervisor clears the
+    offsets but must NOT resume ingestion the operator paused."""
+    import json as _json
+    import os
+
+    from druid_datafusion_bridge_spark.streaming.supervisor import (
+        StreamingSupervisor,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    with open(drop / "a.json", "w") as f:
+        f.write(_json.dumps({"time": "2024-01-01T00:10:00Z",
+                             "channel": "en", "delta": 7}) + "\n")
+    sup = StreamingSupervisor(
+        spark,
+        {"type": "kafka", "spec": {
+            "dataSchema": {
+                "dataSource": "suspreset",
+                "timestampSpec": {"column": "time", "format": "iso"},
+                "dimensionsSpec": {"dimensions": ["channel"]},
+                "metricsSpec": [],
+                "granularitySpec": {"segmentGranularity": "day",
+                                    "queryGranularity": "hour"},
+            },
+            "ioConfig": {
+                "inputSource": {"type": "local", "baseDir": str(drop)},
+                "inputFormat": {"type": "json"},
+            },
+        }},
+        str(tmp_path / "deep"),
+    ).start()
+    try:
+        sup.process_available()
+        sup.suspend()
+        assert sup.state == "SUSPENDED"
+        sup.reset()
+        assert sup.state == "SUSPENDED"
+        assert not os.path.isdir(sup.checkpoint)  # offsets cleared
+        sup.resume()  # resumes from the beginning when THEY choose
+        assert sup.state == "RUNNING"
+    finally:
+        sup.terminate()
