@@ -37,58 +37,82 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The grading driver samples the FIRST 50 registry entries in
-# registration order. r1-r5 rotated at MODULE granularity; r6 rotated at
-# ENTRY granularity and retired the 44-entry backlog. r7 ROTATION
-# (fixed at round-7 start, 2026-08-15): slots 1-24 are exactly the 24
-# r6 late additions that have never produced a driver correctness row
-# (added after r6's window was fixed); the remaining slots are round
-# 7's OWN new queries, appended here in the same commit that registers
-# them (a new query either enters the window when it lands or waits for
-# r8 — appending never-sampled names burns nothing). flagship_rollup
-# needs no slot: the driver smoke-checks it every round through
-# entry(). After r7's driver run, every pre-r7 registry entry has a
-# driver correctness row.
-ROTATION: tuple[str, ...] = (
-    # r6 late additions, never driver-sampled (24)
-    "nq_timeseries_hourly",
-    "nq_timeseries_zerofill",
-    "nq_groupby_filtered_limit",
-    "nq_groupby_subtotals",
-    "nq_topn_daily_revenue",
-    "nq_scan_filtered",
-    "nq_search_digits",
-    "nq_time_boundary",
-    "nq_ingest_spec_rollup",
-    "nq_join_datasource",
-    "s1k_druid_segment_prefix_filter",
-    "s1l_druid_segment_regex_filter",
-    "s1m_druid_segment_search_filter",
-    "s1n_druid_segment_like_filter",
-    "s1o_druid_segment_split_scan",
-    "s1p_druid_segment_ordered_limit",
-    "s1q_druid_segment_recent_limit",
-    "dm_segment_stats_plane",
-    "dm_search_query",
-    "prof_column_stats_approx",
-    "lk_lookup_enrich",
-    "lk_reverse_lookup_filter",
-    "fd_mv_sql_text",
-    "fd_lookup_sql_text",
-    # r7 new queries, appended as they land (window capacity 50)
-    "st_supervisor_ingest",
-    "nq_period_granularity_tz",
-    "dd_lsh_verified_pairs",
-    "s12_orc_sink_roundtrip",
-    "an_event_transitions",
-    "em_binary_quantize",
-    "nq_union_datasource",
-    "fd_window_sql_text",
-    "lr_retention_drop_interval",
-    "lr_retention_period_load",
-    "sim_pq_adc_topk",
-    "nq_datasource_metadata",
-    "lr_retention_drop_before",
+# registration order. r1-r5 rotated at MODULE granularity; r6-r7 rotated
+# at ENTRY granularity and retired the never-sampled backlog: after
+# r7's driver run EVERY registry entry has at least one driver
+# correctness row. r8 ROTATION (fixed at round-8 start, 2026-08-15):
+# with the backlog at zero the window's job flips to keeping the
+# evidence FRESH — slots go first to round 8's OWN new queries
+# (never sampled; appended to NEW_IN_R8 in the same commit that
+# registers them), then to DELIBERATE RE-SAMPLES of the entries whose
+# newest driver rows are OLDEST (staleness policy: r1 evidence first —
+# j6/j7/j8 — then the 49 r3 entries in registry order), trimmed to the
+# 50-slot window capacity. Entries squeezed out by new r8 queries stay
+# the stalest and lead r9's window. flagship_rollup needs no slot: the
+# driver smoke-checks it every round through entry().
+NEW_IN_R8: tuple[str, ...] = (
+    # r8 new queries, appended as they land (they take priority slots)
 )
+
+# Re-samples ordered by evidence age (oldest driver row first).
+STALE_RESAMPLES: tuple[str, ...] = (
+    # newest driver row is r1
+    "j6_theta_nonequi",
+    "j7_sort_merge",
+    "j8_broadcast",
+    # newest driver row is r3 (registry order)
+    "s1b_druid_segment_scan",
+    "mv_tag_counts",
+    "s1c_druid_segment_time_prune",
+    "s1d_druid_segment_dim_filter",
+    "s2b_segment_compaction",
+    "s2c_schema_evolution_scan",
+    "cx_hll_rollup_merge",
+    "dm_rollup_pt15m",
+    "dm_rollup_hour_multi",
+    "dm_time_boundary",
+    "dm_info",
+    "dm_rollup_zerofill",
+    "dd_exact",
+    "dd_exact_normalized",
+    "dd_minhash_signatures",
+    "dd_minhash_lsh_pairs",
+    "dd_simhash",
+    "fd_time_functions",
+    "fd_time_floor_custom_grain",
+    "fd_scalar_functions",
+    "fd_mv_functions",
+    "fd_druid_sql_text",
+    "fd_latest_earliest",
+    "j1_inner_equi",
+    "j2_left_outer",
+    "j2b_right_outer",
+    "j2c_full_outer",
+    "j3_left_semi",
+    "j4_left_anti",
+    "j5_cross",
+    "a1_count",
+    "a2_sum_min_max_avg",
+    "a3_groupby_multi",
+    "a4_count_distinct_grouped",
+    "a5_select_distinct",
+    "a6_rollup",
+    "a6b_cube",
+    "a7_filtered_agg",
+    "a8_stats",
+    "a9_approx_count_distinct",
+    "a10_approx_percentile",
+    "a10b_exact_median",
+    "a11_positional_aggs",
+    "a11b_collect_sorted",
+    "a12_time_bucket",
+    "a6c_grouping_sets",
+    "a10c_exact_percentiles",
+    "a13_histogram_binning",
+    "a14_pivot",
+)
+
+ROTATION: tuple[str, ...] = (NEW_IN_R8 + STALE_RESAMPLES)[:50]
 
 
 def _apply_rotation() -> None:
