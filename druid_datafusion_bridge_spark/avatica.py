@@ -16,6 +16,13 @@ implements the request surface that drives that whole lifecycle:
   parameterized-SQL path as the REST API)
 - ``fetch`` (server-side cursor paging over the statement's rows)
 - ``syncResults`` (acknowledged; cursors here are always replayable)
+- ``prepareAndExecuteBatch`` / ``executeBatch`` (JDBC addBatch +
+  executeBatch: each command/binding-set executes in order and reports
+  a per-command update count — 0 for this read-only engine, matching
+  real Druid's read-only JDBC where batches never mutate rows)
+- ``commit`` / ``rollback`` (acknowledged no-ops: a JDBC client with
+  autocommit=false sends them unconditionally; a read-only autocommit
+  server acknowledges rather than erroring, so such clients work)
 - DatabaseMetaData requests — ``catalogs`` / ``schemas`` / ``tables``
   / ``columns`` (what BI tools issue through JDBC's getTables and
   getColumns), answered from the engine's INFORMATION_SCHEMA views
@@ -108,6 +115,10 @@ class AvaticaEndpoint:
         self._connections: set[str] = set()
         # (connection_id, statement_id) -> {"sig": ..., "rows": [...]}
         self._statements: dict[tuple[str, int], dict] = {}
+        # (connection_id, statement_id) -> prepared SQL text, so
+        # executeBatch (which carries only the statement id, not the
+        # SQL) can re-bind each parameter row
+        self._prepared: dict[tuple[str, int], str] = {}
         self._next_stmt = 0
 
     # -- protocol plumbing -------------------------------------------------
@@ -171,11 +182,21 @@ class AvaticaEndpoint:
         sig = self._signature(fields, sql)
         with self._lock:
             # bound server-side cursor state: a client that never
-            # closes statements evicts its oldest ones (a fetch on an
-            # evicted statement answers missingStatement, which the
-            # JDBC driver surfaces as a recoverable cursor error)
+            # closes statements evicts ITS OWN oldest ones first (a
+            # fetch on an evicted statement answers missingStatement,
+            # which the JDBC driver surfaces as a recoverable cursor
+            # error). Evicting per-connection keeps one chatty client
+            # from killing another connection's live cursor mid-fetch;
+            # the global-oldest fallback still bounds total state when
+            # the pressure comes from many connections.
             while len(self._statements) >= 256:
-                self._statements.pop(next(iter(self._statements)))
+                own = next(
+                    (k for k in self._statements if k[0] == cid), None
+                )
+                self._statements.pop(
+                    own if own is not None
+                    else next(iter(self._statements))
+                )
             self._statements[(cid, sid)] = {"sig": sig, "rows": rows}
         return {
             "response": "resultSet",
@@ -209,6 +230,10 @@ class AvaticaEndpoint:
                     k: v for k, v in self._statements.items()
                     if k[0] != cid
                 }
+                self._prepared = {
+                    k: v for k, v in self._prepared.items()
+                    if k[0] != cid
+                }
             return {"response": "closeConnection",
                     "rpcMetadata": self._rpc_meta()}
         if req == "connectionSync":
@@ -227,10 +252,15 @@ class AvaticaEndpoint:
                 self._statements.pop(
                     (cid, body.get("statementId")), None
                 )
+                self._prepared.pop(
+                    (cid, body.get("statementId")), None
+                )
             return {"response": "closeStatement",
                     "rpcMetadata": self._rpc_meta()}
         if req == "prepareAndExecute":
-            sid = body.get("statementId") or self._new_statement_id()
+            sid = body.get("statementId")
+            if sid is None:  # 0 is a valid client-chosen statement id
+                sid = self._new_statement_id()
             first = body.get("maxRowsInFirstFrame",
                              body.get("maxRowCount", -1))
             rs = self._result_set(
@@ -259,6 +289,10 @@ class AvaticaEndpoint:
                 }
                 for i in range(stripped.count("?"))
             ]
+            with self._lock:
+                while len(self._prepared) >= 256:
+                    self._prepared.pop(next(iter(self._prepared)))
+                self._prepared[(cid, sid)] = body["sql"]
             return {"response": "prepare",
                     "statement": {"connectionId": cid, "id": sid,
                                   "signature": {
@@ -301,6 +335,52 @@ class AvaticaEndpoint:
                         st["rows"], int(body.get("offset", 0)),
                         int(body.get("fetchMaxRowCount", -1)),
                     ),
+                    "rpcMetadata": self._rpc_meta()}
+        if req == "prepareAndExecuteBatch":
+            # JDBC Statement.addBatch(sql)+executeBatch(): run each SQL
+            # command in order; the response is one update count per
+            # command. This engine is read-only (like real Druid JDBC),
+            # so every command executes for effect-checking but reports
+            # 0 rows updated.
+            sid = body.get("statementId")
+            if sid is None:
+                sid = self._new_statement_id()
+            counts = []
+            for sql in body.get("sqlCommands") or []:
+                self._run_sql(sql, None)  # validates; read-only
+                counts.append(0)
+            return {"response": "executeBatch", "connectionId": cid,
+                    "statementId": sid, "updateCounts": counts,
+                    "missingStatement": False,
+                    "rpcMetadata": self._rpc_meta()}
+        if req == "executeBatch":
+            # PreparedStatement.addBatch()+executeBatch(): the request
+            # carries only the statement id plus one TypedValue row per
+            # batch entry — the SQL was stored at prepare time.
+            sid = body.get("statementId")
+            with self._lock:
+                sql = self._prepared.get((cid, sid))
+            if sql is None:
+                return self._missing_statement()
+            counts = []
+            for prow in body.get("parameterValues") or []:
+                args = [
+                    p.get("value") if isinstance(p, dict) else p
+                    for p in (prow or [])
+                ]
+                self._run_sql(sql, args or None)
+                counts.append(0)
+            return {"response": "executeBatch", "connectionId": cid,
+                    "statementId": sid, "updateCounts": counts,
+                    "missingStatement": False,
+                    "rpcMetadata": self._rpc_meta()}
+        if req == "commit":
+            # autocommit=false clients send commit unconditionally; a
+            # read-only engine has nothing to commit — acknowledge.
+            return {"response": "commit",
+                    "rpcMetadata": self._rpc_meta()}
+        if req == "rollback":
+            return {"response": "rollback",
                     "rpcMetadata": self._rpc_meta()}
         if req == "syncResults":
             return {"response": "syncResults", "moreResults": False,

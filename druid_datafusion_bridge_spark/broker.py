@@ -685,9 +685,13 @@ class DruidBrokerShim:
                             "lookups.json")
 
     def _load_persisted_lookups(self) -> None:
-        """Persisted lookup configs win over constructor-passed ones
-        (they are the NEWER coordinator state); the SQL ``LOOKUP()``
-        dispatcher re-registers so the first query sees them."""
+        """Persisted lookup configs OVERLAY constructor-passed ones
+        per name (persisted entries are the NEWER coordinator state
+        and win on collision), but a constructor lookup absent from
+        the persisted file survives — a broker restarted with a newly
+        added constructor lookup must not silently lose it. The SQL
+        ``LOOKUP()`` dispatcher re-registers so the first query sees
+        the merged map."""
         path = self._lookups_path()
         if path is None:
             return
@@ -699,14 +703,14 @@ class DruidBrokerShim:
         from .functions import register_sql_lookups
 
         with self._lock:
-            self._lookups = {
+            self._lookups.update({
                 n: {str(k): str(v) for k, v in m.items()}
                 for n, m in (state.get("lookups") or {}).items()
-            }
-            self._lookup_versions = {
+            })
+            self._lookup_versions.update({
                 str(n): str(v)
                 for n, v in (state.get("versions") or {}).items()
-            }
+            })
         register_sql_lookups(self.spark, self._lookups)
 
     def _persist_lookups(self) -> None:
@@ -2234,13 +2238,23 @@ class DruidBrokerShim:
         from .retention import interval_ms
         from .sources.datasource import find_segment_dirs, load_plan_meta
 
+        # parse intervals FIRST: a malformed interval is the only
+        # client error here and surfaces as 400 from the handler
+        windows = [interval_ms(i) for i in (intervals or [])]
         root = self._segment_roots.get(ds)
         if root is None:
-            return None
-        windows = [interval_ms(i) for i in (intervals or [])]
+            # a datasource registered as a plain DataFrame is
+            # queryable but has no segments to route to — an empty
+            # candidate list, not a 404 (reserve 404 for unknown names)
+            return [] if ds in self.tables else None
         with self._lock:
             dropped = self._unused.get(ds) or frozenset()
-        dirs = find_segment_dirs(root)
+        try:
+            dirs = find_segment_dirs(root)
+        except ValueError:
+            # root emptied (e.g. all segments killed) — nothing to
+            # serve, which is an empty candidate list, not an error
+            return []
         metas = load_plan_meta(root, dirs)
         out = []
         for d in dirs:

@@ -691,6 +691,14 @@ def pq_adc_topk(
     codebooks are statistically identical. Corpora at or below
     ``train_sample`` train on everything (bit-identical to the
     unsampled form). Returns (probe_id, vec_id, sim, rank).
+
+    The corpus is scanned exactly three times — sample-for-train,
+    encode, rerank — the floor for one-shot PQ without caching (at
+    the target scale the normalized float corpus does not fit in
+    cluster cache; each scan is a pushed-down columnar read, and the
+    rerank scan feeds a join that keeps only shortlist x probes
+    rows). In a resident serving deployment, train+encode run once at
+    ingest and only the code-table scan repeats per query.
     """
     if dim % n_subspaces:
         raise ValueError("dim must divide evenly into subspaces")
@@ -707,21 +715,21 @@ def pq_adc_topk(
         .filter(F.col("nv") > 0)
         .select("vec_id", unit.alias("v"))
     )
-    n_corpus = v.count()
-    train = v
-    if n_corpus > train_sample:
-        # deterministic hash-unit membership (the repo's no-RNG rule):
-        # keep vec_ids whose md5 bucket falls under the sample rate
-        keep = (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("pqts:"), F.col("vec_id"))), 1, 8
-                ),
-                16, 10,
-            ).cast("double") / F.lit(float(16 ** 8))
-            < F.lit(train_sample / n_corpus)
+    # bounded deterministic training sample WITHOUT a corpus count:
+    # the first train_sample rows in md5(vec_id) order (the repo's
+    # no-RNG rule — the hash order is an unbiased, reproducible
+    # shuffle). Spark's sort-limit takes per-partition top-N then a
+    # single-partition merge of N rows, so this is ONE corpus scan —
+    # the old rate-based filter needed a full count() job first (a
+    # second scan) just to derive the sample rate. Corpora at or
+    # below train_sample still train on everything (the limit is a
+    # no-op), keeping small-corpus results bit-identical.
+    train = (
+        v.orderBy(
+            F.md5(F.concat(F.lit("pqts:"), F.col("vec_id"))), "vec_id"
         )
-        train = v.filter(keep)
+        .limit(train_sample)
+    )
     cb = _pq_train_local(
         train, w, n_subspaces, codebook_size, seed, v.sparkSession
     )

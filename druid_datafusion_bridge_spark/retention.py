@@ -20,10 +20,15 @@ Matching predicates, per rule type (the containment-vs-overlap split
 mirrors Druid's rule classes):
 
 - ``loadForever`` / ``dropForever`` — match every segment.
-- ``loadByInterval`` / ``dropByInterval`` — match when the rule's
-  ``interval`` CONTAINS the segment interval (Druid's
-  IntervalLoadRule/IntervalDropRule containment rule — partially
-  overlapping segments do not match and fall through to later rules).
+- ``loadByInterval`` — match when the rule's ``interval`` OVERLAPS
+  the segment interval (Druid's IntervalLoadRule delegates to
+  Rules.eligibleForLoad, an overlap test — a segment straddling the
+  rule boundary is still loaded whole).
+- ``dropByInterval`` — match when the rule's ``interval`` CONTAINS
+  the segment interval (Druid's IntervalDropRule containment rule —
+  a partially overlapping segment is NOT dropped and falls through
+  to later rules). The load-overlap/drop-containment asymmetry
+  mirrors the loadByPeriod/dropByPeriod asymmetry below.
 - ``loadByPeriod`` — the window ``[now - period, includeFuture ? inf
   : now)`` (includeFuture defaults true) matches on OVERLAP with the
   segment interval: a segment straddling the window edge is kept
@@ -93,7 +98,13 @@ def rule_matches(rule: dict, start_ms: int, end_ms: int, now_ms: int) -> bool:
     rt = rule.get("type")
     if rt in ("loadForever", "dropForever"):
         return True
-    if rt in ("loadByInterval", "dropByInterval"):
+    if rt == "loadByInterval":
+        # overlap (Rules.eligibleForLoad): straddling segments load
+        lo, hi = interval_ms(rule["interval"])
+        return end_ms > lo and start_ms < hi
+    if rt == "dropByInterval":
+        # containment (IntervalDropRule): straddling segments fall
+        # through rather than being dropped
         lo, hi = interval_ms(rule["interval"])
         return lo <= start_ms and end_ms <= hi
     if rt == "loadByPeriod":

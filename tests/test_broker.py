@@ -1332,3 +1332,55 @@ def test_avatica_prepare_reports_parameters(shim):
     params = prep["statement"]["signature"]["parameters"]
     assert len(params) == 2
     assert params[0]["name"] == "?1" and params[1]["name"] == "?2"
+
+
+def test_avatica_batch_and_txn(shim):
+    """JDBC batch + transaction surface: Statement.addBatch/executeBatch
+    (prepareAndExecuteBatch), PreparedStatement.addBatch/executeBatch
+    (executeBatch re-binding the SQL stored at prepare), and the
+    commit/rollback requests an autocommit=false client sends
+    unconditionally — all must round-trip instead of erroring."""
+    url = shim + "/druid/v2/sql/avatica"
+    cid = "batch-conn"
+    _post(url, {"request": "openConnection", "connectionId": cid})
+    # Statement batch: one update count per SQL command (read-only -> 0)
+    out = _post(url, {
+        "request": "prepareAndExecuteBatch", "connectionId": cid,
+        "statementId": 7,
+        "sqlCommands": ["SELECT 1", "SELECT COUNT(*) FROM wikipedia"],
+    })
+    assert out["response"] == "executeBatch"
+    assert out["updateCounts"] == [0, 0]
+    assert out["statementId"] == 7
+    # PreparedStatement batch: the SQL lives server-side from prepare
+    prep = _post(url, {"request": "prepare", "connectionId": cid,
+                       "sql": "SELECT COUNT(*) AS n FROM wikipedia "
+                              "WHERE channel = ?"})
+    sid = prep["statement"]["id"]
+    out = _post(url, {
+        "request": "executeBatch", "connectionId": cid,
+        "statementId": sid,
+        "parameterValues": [
+            [{"type": "STRING", "value": "en"}],
+            [{"type": "STRING", "value": "de"}],
+        ],
+    })
+    assert out["response"] == "executeBatch"
+    assert out["updateCounts"] == [0, 0]
+    assert out["missingStatement"] is False
+    # executeBatch against an unknown statement -> missingStatement
+    miss = _post(url, {"request": "executeBatch", "connectionId": cid,
+                       "statementId": 424242, "parameterValues": []})
+    assert miss["missingStatement"] is True
+    # txn no-ops: acknowledged, not "unsupported request"
+    assert _post(url, {"request": "commit",
+                       "connectionId": cid})["response"] == "commit"
+    assert _post(url, {"request": "rollback",
+                       "connectionId": cid})["response"] == "rollback"
+    # statementId 0 is a valid client-chosen id, not "absent"
+    out = _post(url, {
+        "request": "prepareAndExecute", "connectionId": cid,
+        "statementId": 0, "sql": "SELECT 1 AS one",
+    })
+    assert out["results"][0]["statementId"] == 0
+    _post(url, {"request": "closeConnection", "connectionId": cid})

@@ -31,7 +31,7 @@ JAN = {d: interval_ms(f"2024-01-{d:02d}T00:00:00Z/"
        for d in range(1, 30)}
 
 
-def test_interval_rules_match_on_containment():
+def test_drop_interval_rule_matches_on_containment():
     rule = {"type": "dropByInterval",
             "interval": "2024-01-10T00:00:00Z/2024-01-15T00:00:00Z"}
     s, e = JAN[10]
@@ -39,6 +39,22 @@ def test_interval_rules_match_on_containment():
     # straddling the boundary -> NOT contained -> falls through
     assert not rule_matches(rule, s - 1, e, NOW)
     assert not rule_matches(rule, *JAN[15], NOW)
+
+
+def test_load_interval_rule_matches_on_overlap():
+    """IntervalLoadRule delegates to Rules.eligibleForLoad = OVERLAP:
+    a segment straddling the rule boundary is still served whole
+    (only the drop rule uses containment)."""
+    rule = {"type": "loadByInterval",
+            "interval": "2024-01-10T00:00:00Z/2024-01-15T00:00:00Z"}
+    assert rule_matches(rule, *JAN[10], NOW)
+    # straddling either boundary still LOADS
+    s, e = JAN[10]
+    assert rule_matches(rule, s - 1, e, NOW)
+    assert rule_matches(rule, JAN[14][0], JAN[15][1], NOW)
+    # fully outside (touching end-exclusive boundary) does not
+    assert not rule_matches(rule, *JAN[15], NOW)
+    assert not rule_matches(rule, *JAN[8], NOW)
 
 
 def test_period_load_matches_on_overlap():
@@ -291,6 +307,27 @@ def test_query_candidates_endpoint(retention_shim):
     assert ei.value.code == 404
 
 
+def test_query_candidates_plain_dataframe_and_bad_interval(spark):
+    """Review regressions: a datasource registered as a plain
+    DataFrame (queryable, but no segment root) answers an EMPTY
+    candidate list, not 404; a malformed interval is the only 400."""
+    from druid_datafusion_bridge_spark.broker import DruidBrokerShim
+
+    df = spark.createDataFrame([(1,)], "v long")
+    s = DruidBrokerShim(spark, {"plain": df})
+    port = s.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        assert _get(
+            base + "/druid/v2/candidates?datasource=plain") == []
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(base + "/druid/v2/candidates?datasource=plain"
+                        "&intervals=not-an-interval")
+        assert ei.value.code == 400
+    finally:
+        s.stop()
+
+
 # -- property-based differential: the rules engine vs a transparent
 # reference evaluator over generated chains and segment intervals ------
 from hypothesis import given, settings
@@ -340,7 +377,13 @@ def _ref_matches(rule: dict, s: int, e: int, now: int) -> bool:
     t = rule["type"]
     if t.endswith("Forever"):
         return True
-    if t.endswith("ByInterval"):
+    if t == "loadByInterval":
+        # Rules.eligibleForLoad = overlap (straddling segments load)
+        a, b = rule["interval"].split("/")
+        lo, hi = interval_ms(f"{a}/{b}")
+        return e > lo and s < hi
+    if t == "dropByInterval":
+        # IntervalDropRule = containment (straddlers fall through)
         a, b = rule["interval"].split("/")
         lo, hi = interval_ms(f"{a}/{b}")
         return lo <= s and e <= hi
@@ -501,6 +544,21 @@ def test_lookups_persist_across_broker_restart(spark, tmp_path):
         assert rows == [{"v": "vert"}]
     finally:
         s2.stop()
+    # review regression: persisted state OVERLAYS per-name — a
+    # constructor lookup absent from the persisted file must survive
+    # the restart, not be silently dropped by a wholesale replace
+    s3 = DruidBrokerShim(spark, {}, deep_storage=deep,
+                         lookups={"color": {"r": "red"},
+                                  "shape": {"c": "circle"}})
+    port3 = s3.start()
+    base3 = f"http://127.0.0.1:{port3}"
+    try:
+        assert _sql(base3, "SELECT LOOKUP('c', 'shape') AS v") == [
+            {"v": "circle"}]            # new constructor lookup kept
+        assert _sql(base3, "SELECT LOOKUP('r', 'color') AS v") == [
+            {"v": "rouge"}]             # persisted still wins per-name
+    finally:
+        s3.stop()
 
 
 def test_persisted_period_rules_restart_duty_thread(spark, tmp_path):
