@@ -271,6 +271,12 @@ def _sub_outside_literals(sql: str, fn) -> str:
 
 
 def _rewrite_system_tables(sql: str) -> str:
+    """Druid-SQL-text front door: maps sys./INFORMATION_SCHEMA names
+    onto the engine's views AND the DataSketches SQL function names
+    onto Spark's DataSketches builtins (every broker SQL path runs
+    through here, so JDBC, async statements, and MSQ all get both)."""
+    from .functions.druid_sql import rewrite_datasketches_sql
+
     def rw(chunk: str) -> str:
         chunk = _SYS_TABLE_RE.sub(
             lambda m: f"sys_{m.group(1).lower()}", chunk
@@ -279,7 +285,7 @@ def _rewrite_system_tables(sql: str) -> str:
             lambda m: f"information_schema_{m.group(1).lower()}", chunk
         )
 
-    return _sub_outside_literals(sql, rw)
+    return rewrite_datasketches_sql(_sub_outside_literals(sql, rw))
 
 
 def _json_safe(v: Any) -> Any:
@@ -548,6 +554,10 @@ class DruidBrokerShim:
         # async SQL statements (POST /druid/v2/sql/statements)
         self._sql_statements: dict[str, dict] = {}
         self._supervisors: dict[str, Any] = {}
+        # supervisor spec-revision audit: id -> [{spec, version}, ...]
+        # in submit order (survives supervisor replacement — history is
+        # the point of keeping it OUTSIDE the supervisor object)
+        self._supervisor_history: dict[str, list[dict]] = {}
         self._task_seq = 0
         self._lock = threading.Lock()
         # serializes supervisor replace sequences (terminate prev +
@@ -790,20 +800,24 @@ class DruidBrokerShim:
         the spec payload as JSON)."""
         import json as _json
 
-        rows = [
-            (
+        rows = []
+        for sup in self._supervisors.values():
+            st = sup.status()
+            rows.append((
                 sup.id, sup.data_source,
-                sup.status()["state"],
+                st["state"],
                 "RUNNING" if sup.state == "RUNNING" else sup.state,
-                1 if sup.status()["healthy"] else 0,
+                1 if st["healthy"] else 0,
+                str(sup.spec.get("type") or "local"),
+                str(st["stream"] or ""),
+                1 if sup.state == "SUSPENDED" else 0,
                 _json.dumps(sup.spec, sort_keys=True),
-            )
-            for sup in self._supervisors.values()
-        ]
+            ))
         self.spark.createDataFrame(
             rows,
             "supervisor_id string, datasource string, state string, "
-            "detailed_state string, healthy int, spec string",
+            "detailed_state string, healthy int, type string, "
+            "source string, suspended int, spec string",
         ).createOrReplaceTempView("sys_supervisors")
 
     def _refresh_sys_datasources(self) -> None:
@@ -2181,10 +2195,20 @@ class DruidBrokerShim:
             if prev is not None:
                 prev.terminate()
             sup.start()
+            import datetime as _dt
+
             with self._lock:
                 sups = dict(self._supervisors)
                 sups[sup.id] = sup
                 self._supervisors = sups
+                hist = list(self._supervisor_history.get(sup.id, []))
+                hist.append({
+                    "spec": body,
+                    "version": _dt.datetime.now(
+                        _dt.timezone.utc
+                    ).isoformat(),
+                })
+                self._supervisor_history[sup.id] = hist
                 self._refresh_sys_supervisors()
         return {"id": sup.id}
 
@@ -2203,6 +2227,8 @@ class DruidBrokerShim:
                 ).isoformat(),
                 "payload": sup.status(),
             }
+        if action == "stats":
+            return sup.stats()
         if action == "terminate":
             sup.terminate()
         elif action == "suspend":
@@ -2425,11 +2451,25 @@ class DruidBrokerShim:
                         self._send(200, sorted(shim._supervisors))
                 elif path.startswith(
                     "/druid/indexer/v1/supervisor/"
-                ) and path.endswith("/status"):
-                    sup_id = path.split(
+                ) and path.endswith(("/status", "/stats", "/history")):
+                    rest = path.split(
                         "/druid/indexer/v1/supervisor/", 1
-                    )[1][:-len("/status")]
-                    st = shim._supervisor_action(sup_id, "status")
+                    )[1]
+                    sup_id, _, sub = rest.rpartition("/")
+                    if sub == "history":
+                        # history outlives the supervisor object (a
+                        # resubmit replaces it) — answered from the
+                        # broker's audit list
+                        with shim._lock:
+                            hist = shim._supervisor_history.get(sup_id)
+                        if hist is not None:
+                            self._send(200, hist)
+                        else:
+                            self._send(404, {
+                                "error": "Unknown supervisor",
+                                "errorMessage": sup_id})
+                        return
+                    st = shim._supervisor_action(sup_id, sub)
                     if st is not None:
                         self._send(200, st)
                     else:

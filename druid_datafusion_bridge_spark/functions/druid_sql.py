@@ -438,6 +438,127 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
 ]
 
 
+# -- DataSketches SQL names ------------------------------------------------
+#
+# Real Druid SQL ships the DataSketches module's function names
+# (druid datasketches-hll.md / datasketches-quantiles.md):
+# APPROX_COUNT_DISTINCT_DS_HLL, APPROX_QUANTILE_DS, DS_HLL,
+# HLL_SKETCH_ESTIMATE, HLL_SKETCH_UNION. These are AGGREGATES, which a
+# scalar `CREATE FUNCTION ... RETURN` cannot express — so they map via
+# SQL-TEXT rewrite onto Spark's own Apache DataSketches HLL builtins
+# (hll_sketch_agg / hll_sketch_estimate / hll_union — the same sketch
+# library real Druid uses) and percentile_approx. The rewrite is
+# quote- and paren-aware (function names inside string literals are
+# untouched; nested calls rewrite inside-out). Documented divergences:
+# the optional tgtHllType argument is accepted and ignored (Spark's
+# builtin picks its own HLL storage), and APPROX_QUANTILE_DS's optional
+# k is dropped in favor of percentile_approx's default accuracy
+# (both are monotone accuracy knobs; the default is the more accurate).
+
+def _ds_split_args(args: str) -> list[str]:
+    """Split an argument list at TOP-LEVEL commas (quotes and nested
+    parens respected)."""
+    out, depth, in_str, start = [], 0, False, 0
+    i = 0
+    while i < len(args):
+        c = args[i]
+        if in_str:
+            if c == "'":
+                if i + 1 < len(args) and args[i + 1] == "'":
+                    i += 1  # escaped quote
+                else:
+                    in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            out.append(args[start:i].strip())
+            start = i + 1
+        i += 1
+    tail = args[start:].strip()
+    if tail or out:
+        out.append(tail)
+    return out
+
+
+def _ds_render(name: str, args: list[str]) -> str:
+    a = ", ".join
+    if name == "APPROX_COUNT_DISTINCT_DS_HLL":
+        # (expr[, lgK[, tgtHllType]]) -> estimate(agg); Druid returns
+        # BIGINT. tgtHllType (a string literal) is ignored.
+        return (
+            "CAST(hll_sketch_estimate("
+            f"hll_sketch_agg({a(args[:2])})) AS BIGINT)"
+        )
+    if name in ("APPROX_QUANTILE_DS", "APPROX_QUANTILE"):
+        # (expr, prob[, k]) -> percentile_approx at default accuracy;
+        # Druid returns DOUBLE
+        return f"CAST(percentile_approx({a(args[:2])}) AS DOUBLE)"
+    if name == "DS_HLL":
+        return f"hll_sketch_agg({a(args[:2])})"
+    if name == "HLL_SKETCH_ESTIMATE":
+        # ([round,] expr) in Druid; Spark's estimate is already integral
+        return f"CAST(hll_sketch_estimate({args[-1]}) AS DOUBLE)"
+    if name == "HLL_SKETCH_UNION":
+        return f"hll_union({a(args)})"
+    raise AssertionError(name)
+
+
+_DS_NAMES = (
+    "APPROX_COUNT_DISTINCT_DS_HLL", "APPROX_QUANTILE_DS",
+    "APPROX_QUANTILE", "HLL_SKETCH_ESTIMATE", "HLL_SKETCH_UNION",
+    "DS_HLL",
+)
+_DS_CALL_RE = re.compile(
+    r"\b(" + "|".join(_DS_NAMES) + r")\s*\(", re.IGNORECASE
+)
+
+
+def rewrite_datasketches_sql(sql: str) -> str:
+    """Rewrite Druid DataSketches SQL calls onto Spark builtins —
+    single left-to-right pass; replacements are final (arguments are
+    rewritten recursively BEFORE rendering, and the scan resumes after
+    the rendered text so the lowercase Spark names it emits are never
+    re-matched)."""
+    out: list[str] = []
+    pos = 0
+    while True:
+        m = None
+        for cand in _DS_CALL_RE.finditer(sql, pos):
+            # skip matches inside string literals: count quotes in the
+            # original text before the match
+            if sql.count("'", 0, cand.start()) % 2 == 0:
+                m = cand
+                break
+        if m is None:
+            out.append(sql[pos:])
+            return "".join(out)
+        # balanced-paren scan for the closing paren
+        depth, i, in_str = 1, m.end(), False
+        while i < len(sql) and depth:
+            c = sql[i]
+            if in_str:
+                if c == "'":
+                    in_str = False
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            i += 1
+        if depth:  # unbalanced: leave for Spark's parser to error on
+            out.append(sql[pos:])
+            return "".join(out)
+        inner = rewrite_datasketches_sql(sql[m.end():i - 1])
+        out.append(sql[pos:m.start()])
+        out.append(_ds_render(m.group(1).upper(), _ds_split_args(inner)))
+        pos = i
+
+
 def register_druid_sql_functions(spark: SparkSession) -> None:
     """Register the Druid SQL surface as temporary SQL functions.
 

@@ -52,6 +52,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # driver smoke-checks it every round through entry().
 NEW_IN_R8: tuple[str, ...] = (
     # r8 new queries, appended as they land (they take priority slots)
+    "fd_ds_sketch_sql_text",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first).

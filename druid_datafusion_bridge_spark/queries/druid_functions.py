@@ -506,3 +506,71 @@ def fd_window_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type, TIME_FLOOR(ts, 'P1D')
         """
     )
+
+
+@query(
+    "fd_ds_sketch_sql_text",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS hll_ok,
+           TRUE AS merged_hll_ok,
+           TRUE AS p50_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def fd_ds_sketch_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid's DataSketches SQL names as raw SQL text
+    (datasketches-hll.md / datasketches-quantiles.md):
+    APPROX_COUNT_DISTINCT_DS_HLL with an explicit lgK,
+    DS_HLL -> HLL_SKETCH_UNION -> HLL_SKETCH_ESTIMATE (the
+    build-merge-estimate pipeline sub-sketches flow through at 100 TB),
+    and APPROX_QUANTILE_DS — rewritten by rewrite_datasketches_sql
+    onto Spark's own Apache DataSketches HLL builtins, the SAME sketch
+    library real Druid uses. Sketch estimates differ across engines by
+    design, so the oracle checks the deterministic part (exact
+    distinct count) plus bounded-error CONTRACTS as flags: lgK=14 HLL
+    error is ~0.8% rsd, checked at 3*rsd; the merged two-way union
+    must agree with the directly-built sketch's error bound; the
+    approximate median must land within 1% of the exact median."""
+    from ..functions.druid_sql import rewrite_datasketches_sql
+
+    register_druid_sql_functions(spark)
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    sql = rewrite_datasketches_sql(
+        """
+        WITH halves AS (
+            SELECT l_returnflag,
+                   DS_HLL(l_partkey, 14) AS sk
+            FROM lineitem GROUP BY l_returnflag, l_orderkey % 2
+        ),
+        merged AS (
+            SELECT l_returnflag,
+                   HLL_SKETCH_ESTIMATE(HLL_SKETCH_UNION(sk_a, sk_b))
+                     AS merged_est
+            FROM (SELECT l_returnflag,
+                         MIN(sk) AS sk_a, MAX(sk) AS sk_b
+                  FROM halves GROUP BY l_returnflag)
+        ),
+        direct AS (
+            SELECT l_returnflag,
+                   COUNT(DISTINCT l_partkey) AS exact_parts,
+                   APPROX_COUNT_DISTINCT_DS_HLL(l_partkey, 14) AS hll_est,
+                   APPROX_QUANTILE_DS(l_extendedprice, 0.5) AS p50_est,
+                   CAST(percentile(l_extendedprice, 0.5) AS DOUBLE)
+                     AS p50_exact
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT d.l_returnflag,
+               d.exact_parts,
+               abs(d.hll_est - d.exact_parts) / d.exact_parts <= 0.025
+                 AS hll_ok,
+               abs(m.merged_est - d.exact_parts) / d.exact_parts <= 0.025
+                 AS merged_hll_ok,
+               abs(d.p50_est - d.p50_exact) / d.p50_exact <= 0.01
+                 AS p50_ok
+        FROM direct d JOIN merged m USING (l_returnflag)
+        ORDER BY d.l_returnflag
+        """
+    )
+    return spark.sql(sql)

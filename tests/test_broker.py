@@ -649,6 +649,114 @@ def test_streaming_supervisor_roundtrip(spark, tmp_path):
         s.stop()
 
 
+def test_sql_datasketches_names(shim):
+    """Druid's DataSketches SQL function names (datasketches-hll.md)
+    work through the broker's SQL text path: the rewrite maps them
+    onto Spark's own Apache DataSketches builtins."""
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "SELECT APPROX_COUNT_DISTINCT_DS_HLL(channel, 12) "
+                 "AS n, APPROX_QUANTILE_DS(delta, 0.5) AS med "
+                 "FROM wikipedia"})
+    assert rows == [{"n": 2, "med": 7.0}]
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "SELECT HLL_SKETCH_ESTIMATE(DS_HLL(channel)) AS n "
+                 "FROM wikipedia"})
+    assert rows == [{"n": 2.0}]
+    # a literal containing a DS name must NOT be rewritten
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "SELECT 'DS_HLL(x)' AS s FROM wikipedia LIMIT 1"})
+    assert rows == [{"s": "DS_HLL(x)"}]
+
+
+def test_supervisor_stats_and_history(spark, tmp_path):
+    """GET .../supervisor/{id}/stats and /history (supervisor-api.md):
+    stats serves Druid's taskGroup -> task -> {movingAverages, totals}
+    row counters, which must ADVANCE across two drained batches;
+    history is the spec-revision audit list, appended per submit and
+    surviving supervisor replacement. Also: sys.supervisors carries
+    the documented type/source/suspended columns."""
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    with open(drop / "one.json", "w") as f:
+        f.write(json.dumps({"time": "2024-01-01T00:10:00Z",
+                            "channel": "en", "delta": 5}) + "\n")
+        f.write(json.dumps({"time": "2024-01-01T00:20:00Z",
+                            "channel": "de", "delta": 7}) + "\n")
+    spec = {
+        "type": "kafka",
+        "spec": {
+            "dataSchema": {
+                "dataSource": "statstream",
+                "timestampSpec": {"column": "time", "format": "iso"},
+                "dimensionsSpec": {"dimensions": ["channel"]},
+                "metricsSpec": [
+                    {"type": "longSum", "name": "delta_sum",
+                     "fieldName": "delta"}],
+                "granularitySpec": {"segmentGranularity": "day",
+                                    "queryGranularity": "hour",
+                                    "rollup": False},
+            },
+            "ioConfig": {
+                "inputSource": {"type": "local", "baseDir": str(drop),
+                                "filter": "*.json"},
+                "inputFormat": {"type": "json"},
+            },
+        },
+    }
+    s = DruidBrokerShim(spark, {}, deep_storage=str(tmp_path / "deep"))
+    port = s.start()
+    base = f"http://127.0.0.1:{port}"
+    url = base + "/druid/indexer/v1/supervisor"
+
+    def _get(u):
+        with urllib.request.urlopen(u) as r:
+            return json.loads(r.read())
+
+    try:
+        _post(url, spec)
+        s._supervisors["statstream"].process_available()
+        stats = _get(url + "/statstream/stats")
+        task = stats["0"]["index_statstream_0"]
+        n1 = task["totals"]["buildSegments"]["processed"]
+        assert n1 == 2
+        assert task["totals"]["buildSegments"]["unparseable"] == 0
+        assert task["movingAverages"]["buildSegments"]["5m"][
+            "processed"] > 0
+        # second batch -> counters ADVANCE
+        with open(drop / "two.json", "w") as f:
+            f.write(json.dumps({"time": "2024-01-02T00:10:00Z",
+                                "channel": "fr", "delta": 11}) + "\n")
+        s._supervisors["statstream"].process_available()
+        stats = _get(url + "/statstream/stats")
+        task = stats["0"]["index_statstream_0"]
+        assert task["totals"]["buildSegments"]["processed"] == n1 + 1
+        assert task["batchesProcessed"] >= 2
+        # history: one revision per submit, survives replacement
+        hist = _get(url + "/statstream/history")
+        assert len(hist) == 1 and hist[0]["spec"] == spec
+        assert hist[0]["version"]
+        _post(url, spec)  # resubmit = replace -> second revision
+        hist = _get(url + "/statstream/history")
+        assert len(hist) == 2
+        # sys.supervisors documented columns
+        svs = _post(base + "/druid/v2/sql", {
+            "query": "SELECT type, source, suspended "
+                     "FROM sys.supervisors"})
+        assert svs == [{"type": "kafka", "source": str(drop),
+                        "suspended": 0}]
+        _post(url + "/statstream/suspend", {})
+        svs = _post(base + "/druid/v2/sql", {
+            "query": "SELECT suspended FROM sys.supervisors"})
+        assert svs == [{"suspended": 1}]
+        # unknown supervisor -> 404 on both endpoints
+        for sub in ("stats", "history"):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _get(url + f"/nope/{sub}")
+            assert ei.value.code == 404
+    finally:
+        s.stop()
+
+
 def test_result_cache_hits_and_invalidates(spark, tmp_path):
     """Broker result-level cache (using-caching.md): identical SQL and
     native queries over a segment-root datasource serve from cache;
