@@ -170,13 +170,18 @@ def sys_segments_frame(
     import os
 
     from .cli import _format_millis as iso
-    from .sources.datasource import find_segment_dirs, load_plan_meta
+    from .sources.datasource import (
+        find_segment_dirs,
+        load_plan_meta,
+        overshadowed_segments,
+    )
 
     rows = []
     for ds, root in segment_roots.items():
         seg_dirs = find_segment_dirs(root)
         meta = load_plan_meta(root, seg_dirs)
         dropped = (unused or {}).get(ds) or frozenset()
+        shadowed = overshadowed_segments(meta)
         for seg_dir in seg_dirs:
             m = meta.get(seg_dir)
             if m is None:
@@ -199,16 +204,19 @@ def sys_segments_frame(
                     size_cache[seg_dir] = size
             start, end = iso(m["start"]), iso(m["end"])
             base_name = os.path.basename(seg_dir)
+            is_shadowed = base_name in shadowed
             rows.append((
                 f"{ds}_{start}_{end}_{base_name}",
                 ds, start, end, size, int(m["rows"]), 1,
-                0 if base_name in dropped else 1, 0,
+                0 if (base_name in dropped or is_shadowed) else 1,
+                0, 1 if is_shadowed else 0,
             ))
     return spark.createDataFrame(
         rows,
         "segment_id string, datasource string, start string, "
         "end string, size bigint, num_rows bigint, "
-        "is_published int, is_available int, is_realtime int",
+        "is_published int, is_available int, is_realtime int, "
+        "is_overshadowed int",
     )
 
 
@@ -2282,10 +2290,13 @@ class DruidBrokerShim:
             # serve, which is an empty candidate list, not an error
             return []
         metas = load_plan_meta(root, dirs)
+        from .sources.datasource import overshadowed_segments
+
+        shadowed = overshadowed_segments(metas)
         out = []
         for d in dirs:
             base = os.path.basename(d)
-            if base in dropped:
+            if base in dropped or base in shadowed:
                 continue
             m = metas.get(d)
             if m is None:

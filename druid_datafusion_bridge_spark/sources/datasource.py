@@ -198,6 +198,55 @@ def find_segment_dirs(path: str) -> list[str]:
 
 PLANMETA_NAME = "_planmeta.json"
 
+
+def _segment_version_key(name: str) -> tuple:
+    """Natural-order sort key for a segment's VERSION tag — the part
+    of the writer's ``segment_{bucket}_{shard}[_{version}]`` name after
+    the shard (streaming handoff stamps batch ids ``b0, b1, ... b10``,
+    where plain lexicographic order would rank b10 < b9). Names without
+    a version tag (batch-written segments) sort lowest, so a versioned
+    re-publish always overshadows them."""
+    import re as _re
+
+    m = _re.match(r"^segment_\d+_\d{4}(?:_(?P<v>.+))?$", name)
+    v = (m.group("v") or "") if m else ""
+    return tuple(
+        int(tok) if tok.isdigit() else tok
+        for tok in _re.split(r"(\d+)", v)
+        if tok
+    )
+
+
+def overshadowed_segments(metas: dict[str, dict]) -> set[str]:
+    """Druid's used-segment timeline invariant: when several segments
+    cover the SAME (start, end) interval under DIFFERENT versions,
+    only the newest version's segments serve — ALL shards of older
+    versions are overshadowed (Druid's VersionedIntervalTimeline:
+    a new version replaces every old shard of its interval). Segments
+    sharing interval AND version are shards of one another and all
+    serve. This is what makes a replayed streaming batch (reset) or a
+    re-published interval safe: the duplicate rows exist on disk but
+    exactly one version is visible to every planning path.
+
+    Takes a root's planning metadata (``load_plan_meta`` output) and
+    returns the segment-dir BASENAMES that must not serve. Pure
+    metadata plane — one linear pass, no segment opens; at 100k
+    segments this is a dict group-by in the driver."""
+    groups: dict[tuple[int, int], list[tuple[tuple, str]]] = {}
+    for seg_dir, m in metas.items():
+        name = os.path.basename(seg_dir)
+        groups.setdefault((m["start"], m["end"]), []).append(
+            (_segment_version_key(name), name)
+        )
+    out: set[str] = set()
+    for members in groups.values():
+        versions = {vk for vk, _ in members}
+        if len(versions) <= 1:
+            continue
+        newest = max(versions)
+        out.update(n for vk, n in members if vk != newest)
+    return out
+
 # Driver-side value-pruning budget: above this many segments, inverted-
 # index emptiness proofs move wholly to the executors (see
 # _filtered_partitions). 64 keeps small/medium roots snappy while a
@@ -586,8 +635,11 @@ class DruidSegmentReader(DataSourceReader):
 
     def _served_dirs(self) -> list[str]:
         """Segment dirs minus retention-dropped ones (exclude_segments)
-        — every partition planner starts from this list so an unused
-        segment can never contribute rows through any planning path."""
+        and version-OVERSHADOWED ones — every partition planner starts
+        from this list so an unused or overshadowed segment can never
+        contribute rows through any planning path. Overshadow needs
+        each segment's interval, which is one cached manifest read
+        (load_plan_meta's warm path)."""
         import os as _os
 
         dirs = find_segment_dirs(self.path)
@@ -595,6 +647,12 @@ class DruidSegmentReader(DataSourceReader):
             dirs = [
                 d for d in dirs
                 if _os.path.basename(d) not in self.opt_exclude
+            ]
+        shadowed = overshadowed_segments(load_plan_meta(self.path, dirs))
+        if shadowed:
+            dirs = [
+                d for d in dirs
+                if _os.path.basename(d) not in shadowed
             ]
         return dirs
 

@@ -317,13 +317,18 @@ class StreamingSupervisor:
         """POST /druid/indexer/v1/supervisor/{id}/reset
         (supervisor-api.md): clear stored offsets and restart from the
         inputSource's beginning — stop + delete the streaming
-        checkpoint + start. Carries the same documented hazard as real
-        Druid's reset ("may result in missing or duplicate data"): a
-        replay whose micro-batches chunk differently than the original
-        run publishes same-interval segments under new batch versions
-        alongside the old ones. Use it for what Druid uses it for —
-        recovering a wedged stream — not as a reprocessing tool.
-        TERMINATED stays final."""
+        checkpoint + start. A replay publishes same-interval segments
+        under new batch versions beside the old ones; version
+        OVERSHADOWING (sources/datasource.py overshadowed_segments,
+        Druid's used-segment timeline invariant) makes exactly one
+        version of each interval visible to every planning path, so an
+        identically-chunked replay dedupes cleanly. The residual
+        documented hazard matches real Druid's reset ("may result in
+        missing or duplicate data"): a replay whose micro-batches
+        chunk into DIFFERENT intervals than the original run can still
+        duplicate across interval boundaries. Use it for what Druid
+        uses it for — recovering a wedged stream — not as a
+        reprocessing tool. TERMINATED stays final."""
         if self.state == "TERMINATED":
             return
         import shutil

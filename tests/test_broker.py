@@ -757,6 +757,89 @@ def test_supervisor_stats_and_history(spark, tmp_path):
         s.stop()
 
 
+def test_version_overshadowing_across_planning_paths(spark, tmp_path):
+    """Druid's used-segment timeline invariant: when a new VERSION of
+    an interval publishes beside the old (streaming replay, interval
+    re-publish), every broker-visible planning path serves exactly ONE
+    version — SQL and native scans return only the new rows (never the
+    union), /druid/v2/candidates lists one segment per interval,
+    sys.segments reports the old version is_available=0 /
+    is_overshadowed=1, and the retention duty doesn't resurrect it."""
+    from pyspark.sql import functions as F
+
+    from druid_datafusion_bridge_spark.sources import (
+        register_druid_datasource,
+    )
+    from druid_datafusion_bridge_spark.sources.ingest import (
+        write_druid_segments,
+    )
+
+    register_druid_datasource(spark)
+
+    def publish(root, version, delta):
+        ev = spark.createDataFrame(
+            [("2024-01-01 00:10:00", delta),
+             ("2024-01-01 00:20:00", delta)],
+            "ts string, v long",
+        ).select(F.col("ts").cast("timestamp").alias("__time"), "v")
+        write_druid_segments(
+            ev, root, granularity="P1D", version=version
+        ).collect()
+
+    root = str(tmp_path / "segs")
+    publish(root, "b0", 5)
+    back = spark.read.format("druidsegment").option("path", root).load()
+    s = DruidBrokerShim(spark, {"osd": back}, segment_roots={"osd": root})
+    port = s.start()
+    base = f"http://127.0.0.1:{port}"
+    nocache = {"useCache": False, "populateCache": False}
+    sql = {"query": "SELECT SUM(v) AS total, COUNT(*) AS n FROM osd",
+           "context": nocache}
+    try:
+        assert _post(base + "/druid/v2/sql", sql) == [
+            {"total": 10, "n": 2}]
+        # second version of the SAME interval publishes beside the old
+        publish(root, "b1", 9)
+        import os
+        assert len(os.listdir(root)) >= 3  # both versions + manifest
+        # SQL scan: only the new version's rows (18, not 10+18)
+        assert _post(base + "/druid/v2/sql", sql) == [
+            {"total": 18, "n": 2}]
+        # native scan agrees
+        nat = _post(base + "/druid/v2", {
+            "queryType": "timeseries", "dataSource": "osd",
+            "granularity": "all", "context": nocache,
+            "aggregations": [{"type": "longSum", "name": "total",
+                              "fieldName": "v"}]})
+        assert nat[0]["result"]["total"] == 18
+        # candidates: one segment for the interval, the b1 version
+        with urllib.request.urlopen(
+            base + "/druid/v2/candidates?datasource=osd"
+        ) as r:
+            cands = json.loads(r.read())
+        assert len(cands) == 1
+        assert cands[0]["version"].endswith("_b1")
+        # sys.segments: old version published-but-unavailable,
+        # flagged overshadowed
+        segs = _post(base + "/druid/v2/sql", {
+            "query": "SELECT is_available, is_overshadowed "
+                     "FROM sys.segments WHERE datasource = 'osd' "
+                     "ORDER BY is_overshadowed",
+            "context": nocache})
+        assert segs == [
+            {"is_available": 1, "is_overshadowed": 0},
+            {"is_available": 0, "is_overshadowed": 1}]
+        # retention duty over a loadForever chain must not resurrect
+        # the overshadowed version
+        _post(base + "/druid/coordinator/v1/rules/osd",
+              [{"type": "loadForever"}])
+        s.run_retention_duty()
+        assert _post(base + "/druid/v2/sql", sql) == [
+            {"total": 18, "n": 2}]
+    finally:
+        s.stop()
+
+
 def test_result_cache_hits_and_invalidates(spark, tmp_path):
     """Broker result-level cache (using-caching.md): identical SQL and
     native queries over a segment-root datasource serve from cache;

@@ -260,13 +260,19 @@ def test_stream_to_segments_realtime_handoff(spark, tmp_path):
     # every segment dir carries its handoff version tag
     import os
 
-    segs = sorted(os.listdir(out))
+    # segment DIRS only: planning the verification scan above writes
+    # the root's _planmeta.json manifest beside them
+    segs = sorted(
+        d for d in os.listdir(out) if os.path.isdir(os.path.join(out, d))
+    )
     assert segs and all("_b" in s for s in segs)
 
     # restart from the same checkpoint: source is dry, no new segments
     q2 = start()
     q2.awaitTermination(120)
-    assert sorted(os.listdir(out)) == segs
+    assert sorted(
+        d for d in os.listdir(out) if os.path.isdir(os.path.join(out, d))
+    ) == segs
 
 
 def test_watermark_drops_late_rows(spark, tmp_path):
