@@ -193,6 +193,26 @@ def _scan_mirror(
     return spark.read.parquet(dest)
 
 
+def build_scan_mirrors(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
+) -> dict[str, bool]:
+    """EXPLICIT mirror build — the ingest-time step of the re-layout.
+
+    The lazy path (``table()`` building a missing mirror on first use)
+    stays as the fallback, but at scale a table rewrite is an
+    ingest-time job, not a query-time side effect: call this once at
+    serve/registration time and the first query over each table pays
+    only its scan. Idempotent — a fresh build writes each eligible
+    mirror once; a warm call fingerprint-matches and writes NOTHING
+    (pinned by tests/test_mirror.py). Returns {table: mirrored?}
+    (False = below threshold or mirroring disabled — raw file serves).
+    """
+    out: dict[str, bool] = {}
+    for name in names if names is not None else TABLES:
+        out[name] = _scan_mirror(spark, sf_dir, name) is not None
+    return out
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One parquet table as a DataFrame (lazy scan; pushdown-capable)."""
     if name not in TABLES:

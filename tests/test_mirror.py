@@ -71,3 +71,38 @@ def test_mirror_default_threshold_skips_small_tables(monkeypatch, spark):
     monkeypatch.delenv("SPARK_GRAFT_MIRROR_MIN_BYTES", raising=False)
     df = catalog.table(spark, SF_DIR, "lineitem")
     assert all("lineitem.parquet" in f for f in df.inputFiles())
+
+
+def test_explicit_build_then_queries_write_nothing(forced_mirror, spark):
+    """build_scan_mirrors is the ingest-time step: after an explicit
+    build, serving table() reads and queries must trigger NO mirror
+    write (no new fingerprint stamps, no .tmp build dirs) — first-query
+    latency never absorbs a table rewrite the serve path already paid."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    built = catalog.build_scan_mirrors(spark, SF_DIR)
+    assert built["lineitem"] is True  # forced threshold: eligible
+    assert built["region"] is True
+    # idempotent warm call: same fingerprints, nothing rebuilt
+    stamps = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(catalog.MIRROR_ROOT, "*", "*",
+                                        "_FINGERPRINT"))
+    }
+    assert stamps
+    assert catalog.build_scan_mirrors(spark, SF_DIR)["lineitem"] is True
+    df = catalog.table(spark, SF_DIR, "lineitem")
+    assert all(catalog.MIRROR_ROOT in f for f in df.inputFiles())
+    df.filter(F.col("l_quantity") > 25).groupBy("l_returnflag").count() \
+        .write.mode("overwrite").format("noop").save()
+    after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(catalog.MIRROR_ROOT, "*", "*",
+                                        "_FINGERPRINT"))
+    }
+    assert after == stamps  # nothing re-stamped
+    assert not glob.glob(
+        os.path.join(catalog.MIRROR_ROOT, "*", "*.tmp.*")
+    )  # no half-built residue from the serve path

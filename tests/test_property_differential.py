@@ -1059,3 +1059,107 @@ def test_native_filter_tree_differential(spark, a, tree):
     )
     con = _duck({"t": a})
     _compare(got, con, f"SELECT k, v, s FROM t WHERE {_tree_sql(tree)}")
+
+
+@pytest.mark.slow
+@given(a=st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+        st.one_of(st.none(), st.integers(min_value=-10, max_value=10)),
+        st.integers(min_value=-1000, max_value=1000),
+    ),
+    max_size=25,
+))
+@SET
+def test_window_frames_null_order_keys_differential(spark, a):
+    """Frame fuzz over a NULLABLE ORDER BY key (the corner the base
+    frame fuzz can't hit — its order column is non-null): null order
+    keys form one peer group, and ROWS/RANGE frames must agree on how
+    that group participates. Null placement is written EXPLICITLY
+    (NULLS FIRST) everywhere: Spark's ASC default is NULLS FIRST,
+    DuckDB's is NULLS LAST — relying on a default would fuzz the
+    dialect delta, not the frame semantics."""
+    rows = [(i, *r) for i, r in enumerate(a)]
+    schema = "rid long, k int, ov int, v long"
+    ta = (
+        spark.createDataFrame(rows, schema)
+        if rows else spark.createDataFrame([], schema)
+    )
+    ta.createOrReplaceTempView("wn")
+    con = duckdb.connect()
+    pdf = pd.DataFrame(rows, columns=["rid", "k", "ov", "v"])
+    if rows:
+        pdf = pdf.astype({"rid": "int64", "k": "Int64", "ov": "Int64",
+                          "v": "int64"})
+    con.register("wn_pdf", pdf)
+    con.execute(
+        "CREATE TABLE wn AS SELECT CAST(rid AS BIGINT) rid, "
+        "CAST(k AS INT) k, CAST(ov AS INT) ov, CAST(v AS BIGINT) v "
+        "FROM wn_pdf"
+    )
+    sql = """
+        SELECT rid,
+               SUM(v) OVER (PARTITION BY k
+                            ORDER BY ov ASC NULLS FIRST, rid
+                            ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING)
+                 AS roll4,
+               COUNT(*) OVER (PARTITION BY k
+                              ORDER BY ov ASC NULLS FIRST
+                              RANGE BETWEEN 3 PRECEDING AND CURRENT ROW)
+                 AS band,
+               SUM(v) OVER (PARTITION BY k
+                            ORDER BY ov ASC NULLS FIRST
+                            RANGE BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum,
+               FIRST_VALUE(ov) OVER (PARTITION BY k
+                                     ORDER BY ov ASC NULLS FIRST, rid
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS fv,
+               LAG(ov) OVER (PARTITION BY k
+                             ORDER BY ov ASC NULLS FIRST, rid) AS lag_ov,
+               RANK() OVER (PARTITION BY k
+                            ORDER BY ov ASC NULLS FIRST) AS rk
+        FROM wn
+    """
+    _compare(spark.sql(sql), con, sql)
+
+
+@pytest.mark.slow
+@given(a=st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=2)),
+        st.one_of(st.none(), st.integers(min_value=-100, max_value=100)),
+        st.one_of(st.none(), st.sampled_from(["a", ""])),
+    ),
+    max_size=20,
+))
+@SET
+def test_grouping_sets_all_null_groups_differential(spark, a):
+    """Grouping-set fuzz where the AGGREGATED column is NULLABLE and
+    whole groups can be all-NULL (appended deterministically so every
+    example contains one): SUM/MIN over an all-NULL group is NULL, not
+    0, COUNT(v) is 0, and the subtotal rows' NULL keys must stay
+    disambiguated from the genuine all-NULL group via GROUPING()."""
+    # guarantee an all-NULL-v group and a NULL-key group in every run
+    a = list(a) + [(None, None, "a"), (None, None, "a"), (2, None, None)]
+    schema = "k int, v int, s string"
+    ta = spark.createDataFrame(a, schema)
+    ta.createOrReplaceTempView("gn")
+    con = duckdb.connect()
+    pdf = pd.DataFrame(a, columns=["k", "v", "s"]).astype(
+        {"k": "Int64", "v": "Int64", "s": "object"}
+    )
+    con.register("gn_pdf", pdf)
+    con.execute(
+        "CREATE TABLE gn AS SELECT CAST(k AS INT) k, CAST(v AS INT) v, "
+        "CAST(s AS VARCHAR) s FROM gn_pdf"
+    )
+    for clause in ["GROUPING SETS ((k, s), (k), (s), ())",
+                   "ROLLUP(k, s)", "CUBE(k, s)"]:
+        sql = f"""
+            SELECT k, s, GROUPING(k) AS gk, GROUPING(s) AS gs,
+                   COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv,
+                   MIN(v) AS minv, AVG(v) AS av
+            FROM gn GROUP BY {clause}
+        """
+        _compare(spark.sql(sql), con, sql)
