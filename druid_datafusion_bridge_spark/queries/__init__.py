@@ -53,6 +53,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 NEW_IN_R8: tuple[str, ...] = (
     # r8 new queries, appended as they land (they take priority slots)
     "fd_ds_sketch_sql_text",
+    "lr_retention_load_interval_overlap",
+    "s13_version_overshadow_scan",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first).

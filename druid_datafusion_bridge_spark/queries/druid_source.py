@@ -1839,3 +1839,134 @@ def lr_retention_drop_before(
         .agg(F.count("*").alias("n_events"))
         .orderBy("day")
     )
+
+
+@query(
+    "lr_retention_load_interval_overlap",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts < TIMESTAMP '2024-01-16 00:00:00'
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def lr_retention_load_interval_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``loadByInterval`` matches on OVERLAP (Druid's IntervalLoadRule
+    via Rules.eligibleForLoad), pinned through the driver gate with a
+    rule interval whose boundaries cut INTO days 10 and 15
+    (06:00/18:00): both straddling day segments still serve WHOLE —
+    a containment test (the r7 bug this query regression-pins) would
+    silently drop them. The empty default chain drops everything the
+    rule doesn't reach, so the oracle is exactly the six whole days
+    Jan 10-15."""
+    rules = [{
+        "type": "loadByInterval",
+        "interval": "2024-01-10T06:00:00Z/2024-01-15T18:00:00Z",
+    }]
+    df = _retention_scan(spark, sf_dir, rules, LR_NOW_MS)
+    return (
+        df.groupBy(F.date_format("__time", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("day")
+    )
+
+
+def _ensure_versioned_segments(spark: SparkSession, sf_dir: str) -> str:
+    """A root where the first three January days are PUBLISHED TWICE:
+    version b0 with the raw event values, then a correcting re-ingest
+    b1 with every value doubled — the layout a streaming replay or an
+    interval re-publish leaves behind. Days 4-5 have only b0. Exactly
+    Druid's overshadow scenario: both versions sit on disk, one must
+    serve."""
+    from ..sources import write_segment
+
+    _ensure_registered(spark)
+    root = _segment_root(sf_dir, "events_versioned")
+
+    def _build() -> None:
+        import pyarrow.compute as pc
+
+        t = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "ts", "event_type", "value"],
+        )
+        t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+        t = pa.table({
+            "__time": t.column("ts"),
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type"),
+            "value": t.column("value"),
+        })
+        days = pc.strftime(t.column("__time"), format="%Y%m%d").to_pylist()
+        day_ms = {}
+        lo = 0
+        for i in range(1, t.num_rows + 1):
+            if i == t.num_rows or days[i] != days[lo]:
+                day_ms[days[lo]] = (lo, i - lo)
+                lo = i
+        wanted = sorted(day_ms)[:5]
+        for rank, d in enumerate(wanted):
+            lo, n = day_ms[d]
+            sl = t.slice(lo, n)
+            bucket = int(
+                sl.column("__time")[0].as_py().timestamp() // 86400
+            ) * 86_400_000
+            write_segment(
+                sl, os.path.join(root, f"segment_{bucket}_0000_b0")
+            )
+            if rank < 3:  # the corrected re-publish: values doubled
+                fixed = sl.set_column(
+                    sl.schema.get_field_index("value"), "value",
+                    pc.multiply(sl.column("value"), 2.0),
+                )
+                write_segment(
+                    fixed,
+                    os.path.join(root, f"segment_{bucket}_0000_b1"),
+                )
+
+    _cached_build(root, sf_dir, "events", _build)
+    return root
+
+
+@query(
+    "s13_version_overshadow_scan",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(
+               CASE WHEN ts < TIMESTAMP '2024-01-04 00:00:00'
+                    THEN value * 2 ELSE value END AS DECIMAL(38,4)))
+             AS DOUBLE) AS sum_value
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-06 00:00:00'
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def s13_version_overshadow_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Version overshadowing at scan time (Druid's used-segment
+    timeline, sources/datasource.py overshadowed_segments): days 1-3
+    exist on disk under TWO versions — b0 raw, b1 a correcting
+    re-publish with doubled values — and days 4-5 only under b0. The
+    scan must see exactly one version per interval: days 1-3 come back
+    doubled and NOT duplicated (a planner without overshadowing
+    returns 2x the rows), days 4-5 raw. The oracle states that row-
+    for-row from the source events."""
+    root = _ensure_versioned_segments(spark, sf_dir)
+    from .exact import exact_sum
+
+    df = spark.read.format("druidsegment").option("path", root).load()
+    return (
+        df.groupBy(F.date_format("__time", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum("value", "sum_value"),
+        )
+        .orderBy("day")
+    )
