@@ -393,6 +393,12 @@ SLOPE_QUERIES = [
     "o3b_topk_per_group",
     "dd_ngram_jaccard",
     "dd_lsh_verified_pairs",
+    # r8: the DataSketches SQL pipeline (build-merge-estimate over
+    # lineitem). The round's other additions are metadata-plane
+    # (overshadow/retention pick SEGMENTS; their scan work is a fixed
+    # day-slice) and slope-checking them would time the driver-side
+    # segment builder, not a query plan.
+    "fd_ds_sketch_sql_text",
 ]
 
 # per-table key columns to shift by copy*KEY_SHIFT (foreign keys shift

@@ -493,6 +493,17 @@ def _ds_render(name: str, args: list[str]) -> str:
             "CAST(hll_sketch_estimate("
             f"hll_sketch_agg({a(args[:2])})) AS BIGINT)"
         )
+    if name == "APPROX_COUNT_DISTINCT_DS_THETA":
+        # (expr[, size]) — Druid's Theta-sketch distinct count. Spark
+        # ships no theta builtin, so the SQL name answers through the
+        # HLL estimator (same bounded-error distinct-count contract;
+        # size, a theta-k not an lgK, is dropped rather than misread).
+        # Theta's set-expression post-aggs (intersect/not) live at the
+        # DataFrame level in operators/sketches.py (cx_theta_set_ops).
+        return (
+            "CAST(hll_sketch_estimate("
+            f"hll_sketch_agg({args[0]})) AS BIGINT)"
+        )
     if name in ("APPROX_QUANTILE_DS", "APPROX_QUANTILE"):
         # (expr, prob[, k]) -> percentile_approx at default accuracy;
         # Druid returns DOUBLE
@@ -508,7 +519,8 @@ def _ds_render(name: str, args: list[str]) -> str:
 
 
 _DS_NAMES = (
-    "APPROX_COUNT_DISTINCT_DS_HLL", "APPROX_QUANTILE_DS",
+    "APPROX_COUNT_DISTINCT_DS_HLL", "APPROX_COUNT_DISTINCT_DS_THETA",
+    "APPROX_QUANTILE_DS",
     "APPROX_QUANTILE", "HLL_SKETCH_ESTIMATE", "HLL_SKETCH_UNION",
     "DS_HLL",
 )

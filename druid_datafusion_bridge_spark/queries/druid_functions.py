@@ -552,10 +552,19 @@ def fd_ds_sketch_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                          MIN(sk) AS sk_a, MAX(sk) AS sk_b
                   FROM halves GROUP BY l_returnflag)
         ),
-        direct AS (
+        counts AS (
+            -- kept SEPARATE from the percentile aggregates on purpose:
+            -- COUNT(DISTINCT) lowers to an Expand (2x rows), and a
+            -- sort-based aggregate (percentile) sharing that Aggregate
+            -- runs over the expanded input — measured 8 s combined vs
+            -- ~2 s split at sf0.1; the join back is 3 rows
             SELECT l_returnflag,
                    COUNT(DISTINCT l_partkey) AS exact_parts,
-                   APPROX_COUNT_DISTINCT_DS_HLL(l_partkey, 14) AS hll_est,
+                   APPROX_COUNT_DISTINCT_DS_HLL(l_partkey, 14) AS hll_est
+            FROM lineitem GROUP BY l_returnflag
+        ),
+        pcts AS (
+            SELECT l_returnflag,
                    APPROX_QUANTILE_DS(l_extendedprice, 0.5) AS p50_est,
                    CAST(percentile(l_extendedprice, 0.5) AS DOUBLE)
                      AS p50_exact
@@ -567,9 +576,11 @@ def fd_ds_sketch_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS hll_ok,
                abs(m.merged_est - d.exact_parts) / d.exact_parts <= 0.025
                  AS merged_hll_ok,
-               abs(d.p50_est - d.p50_exact) / d.p50_exact <= 0.01
+               abs(p.p50_est - p.p50_exact) / p.p50_exact <= 0.01
                  AS p50_ok
-        FROM direct d JOIN merged m USING (l_returnflag)
+        FROM counts d
+        JOIN pcts p USING (l_returnflag)
+        JOIN merged m USING (l_returnflag)
         ORDER BY d.l_returnflag
         """
     )

@@ -662,6 +662,10 @@ def test_sql_datasketches_names(shim):
         "query": "SELECT HLL_SKETCH_ESTIMATE(DS_HLL(channel)) AS n "
                  "FROM wikipedia"})
     assert rows == [{"n": 2.0}]
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "SELECT APPROX_COUNT_DISTINCT_DS_THETA(channel, 4096)"
+                 " AS n FROM wikipedia"})
+    assert rows == [{"n": 2}]
     # a literal containing a DS name must NOT be rewritten
     rows = _post(shim + "/druid/v2/sql", {
         "query": "SELECT 'DS_HLL(x)' AS s FROM wikipedia LIMIT 1"})
