@@ -648,12 +648,22 @@ class DruidSegmentReader(DataSourceReader):
                 d for d in dirs
                 if _os.path.basename(d) not in self.opt_exclude
             ]
-        shadowed = overshadowed_segments(load_plan_meta(self.path, dirs))
-        if shadowed:
-            dirs = [
-                d for d in dirs
-                if _os.path.basename(d) not in shadowed
-            ]
+        # zero-IO fast path: overshadowing needs at least two DISTINCT
+        # version tags among the names — a root written by one batch
+        # job (or one version) can't overshadow itself, and skipping
+        # the manifest read keeps unfiltered plannings stat-free
+        versions = {
+            _segment_version_key(_os.path.basename(d)) for d in dirs
+        }
+        if len(versions) > 1:
+            shadowed = overshadowed_segments(
+                load_plan_meta(self.path, dirs)
+            )
+            if shadowed:
+                dirs = [
+                    d for d in dirs
+                    if _os.path.basename(d) not in shadowed
+                ]
         return dirs
 
     def _ordered_limit_partitions(
