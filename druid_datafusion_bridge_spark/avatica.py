@@ -290,8 +290,18 @@ class AvaticaEndpoint:
                 for i in range(stripped.count("?"))
             ]
             with self._lock:
+                # same per-connection fairness as the statement pool:
+                # a client preparing hundreds of statements evicts ITS
+                # OWN oldest first, never another connection's live
+                # prepared handle
                 while len(self._prepared) >= 256:
-                    self._prepared.pop(next(iter(self._prepared)))
+                    own = next(
+                        (k for k in self._prepared if k[0] == cid), None
+                    )
+                    self._prepared.pop(
+                        own if own is not None
+                        else next(iter(self._prepared))
+                    )
                 self._prepared[(cid, sid)] = body["sql"]
             return {"response": "prepare",
                     "statement": {"connectionId": cid, "id": sid,

@@ -181,7 +181,15 @@ def sys_segments_frame(
         seg_dirs = find_segment_dirs(root)
         meta = load_plan_meta(root, seg_dirs)
         dropped = (unused or {}).get(ds) or frozenset()
-        shadowed = overshadowed_segments(meta)
+        # overshadow is computed among USED segments only (Druid's
+        # timeline considers used segments): marking the newest
+        # version unused makes the older one visible again, and the
+        # scan path (_served_dirs, which excludes dropped dirs first)
+        # must agree with what this view reports
+        shadowed = overshadowed_segments({
+            d: m for d, m in meta.items()
+            if os.path.basename(d) not in dropped
+        })
         for seg_dir in seg_dirs:
             m = meta.get(seg_dir)
             if m is None:
@@ -629,6 +637,11 @@ class DruidBrokerShim:
         self._lookup_versions: dict[str, str] = {
             n: "0" for n in self._lookups
         }
+        # names explicitly DELETEd through the coordinator API — the
+        # persisted tombstones that keep a delete durable across a
+        # restart whose constructor still passes the lookup (overlay
+        # alone cannot distinguish never-persisted from deleted)
+        self._lookup_tombstones: set[str] = set()
         if lookups:
             register_sql_lookups(spark, lookups)
         # always registered (empty without roots/tasks): a client's
@@ -729,6 +742,15 @@ class DruidBrokerShim:
                 str(n): str(v)
                 for n, v in (state.get("versions") or {}).items()
             })
+            # tombstones beat the constructor: an explicitly DELETEd
+            # lookup stays deleted across a restart (re-POSTing it
+            # clears the tombstone)
+            self._lookup_tombstones |= {
+                str(n) for n in (state.get("deleted") or [])
+            }
+            for n in self._lookup_tombstones:
+                self._lookups.pop(n, None)
+                self._lookup_versions.pop(n, None)
         register_sql_lookups(self.spark, self._lookups)
 
     def _persist_lookups(self) -> None:
@@ -741,6 +763,7 @@ class DruidBrokerShim:
             state = {
                 "lookups": {n: dict(m) for n, m in self._lookups.items()},
                 "versions": dict(self._lookup_versions),
+                "deleted": sorted(self._lookup_tombstones),
             }
         os.makedirs(os.path.dirname(path), exist_ok=True)
         # pid+thread-unique tmp: two HTTP handler threads persisting
@@ -1299,6 +1322,8 @@ class DruidBrokerShim:
             versions = dict(self._lookup_versions)
             versions[name] = version
             self._lookup_versions = versions
+            # re-creating a deleted lookup clears its tombstone
+            self._lookup_tombstones = self._lookup_tombstones - {name}
             snapshot = self._lookups
         # the Spark UDF re-registration is a JVM round-trip — run it
         # OUTSIDE the fast map/view lock so concurrent queries don't
@@ -1319,6 +1344,7 @@ class DruidBrokerShim:
             versions = dict(self._lookup_versions)
             versions.pop(name, None)
             self._lookup_versions = versions
+            self._lookup_tombstones = self._lookup_tombstones | {name}
             snapshot = self._lookups
         register_sql_lookups(self.spark, snapshot)  # outside the lock
         self._persist_lookups()
@@ -2292,7 +2318,13 @@ class DruidBrokerShim:
         metas = load_plan_meta(root, dirs)
         from .sources.datasource import overshadowed_segments
 
-        shadowed = overshadowed_segments(metas)
+        # among USED segments only — unused-ing the newest version
+        # makes the older one a candidate again (same rule the scan
+        # path applies by excluding dropped dirs before overshadow)
+        shadowed = overshadowed_segments({
+            d: m for d, m in metas.items()
+            if os.path.basename(d) not in dropped
+        })
         out = []
         for d in dirs:
             base = os.path.basename(d)

@@ -456,28 +456,20 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
 # (both are monotone accuracy knobs; the default is the more accurate).
 
 def _ds_split_args(args: str) -> list[str]:
-    """Split an argument list at TOP-LEVEL commas (quotes and nested
-    parens respected)."""
-    out, depth, in_str, start = [], 0, False, 0
-    i = 0
-    while i < len(args):
-        c = args[i]
-        if in_str:
-            if c == "'":
-                if i + 1 < len(args) and args[i + 1] == "'":
-                    i += 1  # escaped quote
-                else:
-                    in_str = False
-        elif c == "'":
-            in_str = True
-        elif c == "(":
+    """Split an argument list at TOP-LEVEL commas (literals, comments,
+    and nested parens respected via the shared code mask)."""
+    mask = _sql_code_mask(args)
+    out, depth, start = [], 0, 0
+    for i, c in enumerate(args):
+        if not mask[i]:
+            continue
+        if c == "(":
             depth += 1
         elif c == ")":
             depth -= 1
         elif c == "," and depth == 0:
             out.append(args[start:i].strip())
             start = i + 1
-        i += 1
     tail = args[start:].strip()
     if tail or out:
         out.append(tail)
@@ -511,10 +503,19 @@ def _ds_render(name: str, args: list[str]) -> str:
     if name == "DS_HLL":
         return f"hll_sketch_agg({a(args[:2])})"
     if name == "HLL_SKETCH_ESTIMATE":
-        # ([round,] expr) in Druid; Spark's estimate is already integral
-        return f"CAST(hll_sketch_estimate({args[-1]}) AS DOUBLE)"
+        # (expr[, round]) in Druid; Spark's estimate is already
+        # integral, so the optional round flag is satisfied either way
+        return f"CAST(hll_sketch_estimate({args[0]}) AS DOUBLE)"
     if name == "HLL_SKETCH_UNION":
-        return f"hll_union({a(args)})"
+        # ([lgK, ]expr0, expr1, ...) in Druid. Spark's hll_union is
+        # BINARY (two sketches [+ a boolean]), so: drop a leading
+        # integer-literal lgK (the union inherits the inputs' config)
+        # and left-fold 3+ sketches into nested two-way unions.
+        sks = args[1:] if args and args[0].strip().isdigit() else args
+        out = sks[0]
+        for s in sks[1:]:
+            out = f"hll_union({out}, {s})"
+        return out
     raise AssertionError(name)
 
 
@@ -529,38 +530,82 @@ _DS_CALL_RE = re.compile(
 )
 
 
+def _sql_code_mask(sql: str) -> list[bool]:
+    """``mask[i]`` is True where ``sql[i]`` is CODE — not inside a
+    string literal (``''``- and backslash-escape aware; Spark's default
+    parser honors backslash escapes), a double-quoted identifier, a
+    ``--`` line comment, or a ``/* */`` block comment. Naive
+    quote-parity counting breaks on an apostrophe inside a comment
+    (``/* don't */``), which would silently skip every later rewrite."""
+    n = len(sql)
+    mask = [True] * n
+    i = 0
+    while i < n:
+        c = sql[i]
+        if c in ("'", '"'):
+            q = c
+            mask[i] = False
+            i += 1
+            while i < n:
+                mask[i] = False
+                if sql[i] == "\\" and i + 1 < n:
+                    mask[i + 1] = False
+                    i += 2
+                    continue
+                if sql[i] == q:
+                    if q == "'" and i + 1 < n and sql[i + 1] == "'":
+                        mask[i + 1] = False
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                i += 1
+            continue
+        if c == "-" and sql.startswith("--", i):
+            j = sql.find("\n", i)
+            j = n if j == -1 else j
+            for k in range(i, j):
+                mask[k] = False
+            i = j
+            continue
+        if c == "/" and sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            j = n if j == -1 else j + 2
+            for k in range(i, j):
+                mask[k] = False
+            i = j
+            continue
+        i += 1
+    return mask
+
+
 def rewrite_datasketches_sql(sql: str) -> str:
     """Rewrite Druid DataSketches SQL calls onto Spark builtins —
     single left-to-right pass; replacements are final (arguments are
     rewritten recursively BEFORE rendering, and the scan resumes after
     the rendered text so the lowercase Spark names it emits are never
-    re-matched)."""
+    re-matched). Matches and parens inside string literals, quoted
+    identifiers, and comments are ignored via a code mask."""
+    mask = _sql_code_mask(sql)
     out: list[str] = []
     pos = 0
     while True:
         m = None
         for cand in _DS_CALL_RE.finditer(sql, pos):
-            # skip matches inside string literals: count quotes in the
-            # original text before the match
-            if sql.count("'", 0, cand.start()) % 2 == 0:
+            if mask[cand.start()]:
                 m = cand
                 break
         if m is None:
             out.append(sql[pos:])
             return "".join(out)
-        # balanced-paren scan for the closing paren
-        depth, i, in_str = 1, m.end(), False
+        # balanced-paren scan for the closing paren (code chars only)
+        depth, i = 1, m.end()
         while i < len(sql) and depth:
-            c = sql[i]
-            if in_str:
-                if c == "'":
-                    in_str = False
-            elif c == "'":
-                in_str = True
-            elif c == "(":
-                depth += 1
-            elif c == ")":
-                depth -= 1
+            if mask[i]:
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
             i += 1
         if depth:  # unbalanced: leave for Spark's parser to error on
             out.append(sql[pos:])

@@ -203,15 +203,22 @@ def _segment_version_key(name: str) -> tuple:
     """Natural-order sort key for a segment's VERSION tag — the part
     of the writer's ``segment_{bucket}_{shard}[_{version}]`` name after
     the shard (streaming handoff stamps batch ids ``b0, b1, ... b10``,
-    where plain lexicographic order would rank b10 < b9). Names without
-    a version tag (batch-written segments) sort lowest, so a versioned
-    re-publish always overshadows them."""
+    where plain lexicographic order would rank b10 < b9). The shard
+    field is 4+ digits (``{shard:04d}`` grows past 9999 at catalog
+    scale — a 5-digit shard must NOT parse as versionless, or it would
+    be overshadowed by its own sibling shards). Names without a version
+    tag (batch-written segments) sort lowest, so a versioned re-publish
+    always overshadows them. Every token encodes as (type, value) so
+    keys of MIXED styles stay comparable (``b1`` vs a date-style
+    ``20240105``: numeric tokens order before alphabetic ones,
+    deterministically, instead of raising TypeError and killing every
+    query on the root)."""
     import re as _re
 
-    m = _re.match(r"^segment_\d+_\d{4}(?:_(?P<v>.+))?$", name)
+    m = _re.match(r"^segment_\d+_\d{4,}(?:_(?P<v>.+))?$", name)
     v = (m.group("v") or "") if m else ""
     return tuple(
-        int(tok) if tok.isdigit() else tok
+        (0, int(tok), "") if tok.isdigit() else (1, 0, tok)
         for tok in _re.split(r"(\d+)", v)
         if tok
     )

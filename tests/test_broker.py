@@ -670,6 +670,24 @@ def test_sql_datasketches_names(shim):
     rows = _post(shim + "/druid/v2/sql", {
         "query": "SELECT 'DS_HLL(x)' AS s FROM wikipedia LIMIT 1"})
     assert rows == [{"s": "DS_HLL(x)"}]
+    # review regressions: Druid's documented optional arguments —
+    # HLL_SKETCH_ESTIMATE(expr, round), HLL_SKETCH_UNION with a
+    # leading lgK and 3+ sketches — and an apostrophe in a comment
+    # must not disable the rewrite for the rest of the query
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "SELECT HLL_SKETCH_ESTIMATE(DS_HLL(channel), true) "
+                 "AS n FROM wikipedia"})
+    assert rows == [{"n": 2.0}]
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "SELECT HLL_SKETCH_ESTIMATE(HLL_SKETCH_UNION(12, "
+                 "DS_HLL(channel), DS_HLL(channel), DS_HLL(channel)))"
+                 " AS n FROM wikipedia"})
+    assert rows == [{"n": 2.0}]
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "SELECT /* don't */ "
+                 "APPROX_COUNT_DISTINCT_DS_HLL(channel) AS n "
+                 "FROM wikipedia"})
+    assert rows == [{"n": 2}]
 
 
 def test_supervisor_stats_and_history(spark, tmp_path):
@@ -840,6 +858,30 @@ def test_version_overshadowing_across_planning_paths(spark, tmp_path):
         s.run_retention_duty()
         assert _post(base + "/druid/v2/sql", sql) == [
             {"total": 18, "n": 2}]
+        # review regression: marking the NEWEST version unused removes
+        # it from the timeline, so the OLD version becomes visible
+        # again — and queries, candidates, and sys.segments must all
+        # agree on that (overshadow is computed among USED segments)
+        import os as _os
+        b1 = next(d for d in _os.listdir(root) if d.endswith("_b1"))
+        _post(base + "/druid/coordinator/v1/datasources/osd/markUnused",
+              {"segmentIds": [b1]})
+        assert _post(base + "/druid/v2/sql", sql) == [
+            {"total": 10, "n": 2}]
+        with urllib.request.urlopen(
+            base + "/druid/v2/candidates?datasource=osd"
+        ) as r:
+            cands = json.loads(r.read())
+        assert len(cands) == 1 and cands[0]["version"].endswith("_b0")
+        segs = _post(base + "/druid/v2/sql", {
+            "query": "SELECT is_available, is_overshadowed "
+                     "FROM sys.segments WHERE datasource = 'osd' "
+                     "ORDER BY is_available",
+            "context": nocache})
+        assert segs == [
+            {"is_available": 0, "is_overshadowed": 0},  # unused b1
+            {"is_available": 1, "is_overshadowed": 0},  # serving b0
+        ]
     finally:
         s.stop()
 

@@ -557,8 +557,30 @@ def test_lookups_persist_across_broker_restart(spark, tmp_path):
             {"v": "circle"}]            # new constructor lookup kept
         assert _sql(base3, "SELECT LOOKUP('r', 'color') AS v") == [
             {"v": "rouge"}]             # persisted still wins per-name
+        # explicit DELETE must stay durable across a restart even when
+        # the constructor re-passes the lookup (tombstone, not overlay)
+        req = urllib.request.Request(
+            base3 + "/druid/coordinator/v1/lookups/config/__default/"
+                    "color", method="DELETE")
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 202
     finally:
         s3.stop()
+    s4 = DruidBrokerShim(spark, {}, deep_storage=deep,
+                         lookups={"color": {"r": "red"}})
+    port4 = s4.start()
+    base4 = f"http://127.0.0.1:{port4}"
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _sql(base4, "SELECT LOOKUP('r', 'color') AS v")
+        assert ei.value.code in (400, 500)
+        # re-POSTing the name clears the tombstone
+        _post(base4 + "/druid/coordinator/v1/lookups/config/__default/"
+                      "color", {"r": "rot"})
+        assert _sql(base4, "SELECT LOOKUP('r', 'color') AS v") == [
+            {"v": "rot"}]
+    finally:
+        s4.stop()
 
 
 def test_persisted_period_rules_restart_duty_thread(spark, tmp_path):
