@@ -592,6 +592,13 @@ def rewrite_datasketches_sql(sql: str) -> str:
     while True:
         m = None
         for cand in _DS_CALL_RE.finditer(sql, pos):
+            # the exact-lowercase spelling of the one name that ALSO
+            # exists as a Spark builtin is left alone — it already
+            # means the Spark function, and skipping it makes the
+            # rewrite IDEMPOTENT (its own rendered output never
+            # re-matches on a second pass; fuzz-pinned)
+            if cand.group(1) == "hll_sketch_estimate":
+                continue
             if mask[cand.start()]:
                 m = cand
                 break

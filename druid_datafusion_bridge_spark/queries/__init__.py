@@ -55,6 +55,7 @@ NEW_IN_R8: tuple[str, ...] = (
     "fd_ds_sketch_sql_text",
     "lr_retention_load_interval_overlap",
     "s13_version_overshadow_scan",
+    "sim_filtered_topk",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first).

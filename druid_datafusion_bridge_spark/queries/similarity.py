@@ -331,3 +331,52 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = pq_adc_topk(emb, probes, k=10, shortlist=200, n_subspaces=8)
     exact = brute_force_topk(emb, probes, k=10)
     return _recall_contract(ann, exact, floor=0.4)
+
+
+@query(
+    "sim_filtered_topk",
+    oracle="""
+    WITH probes AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS q
+                    FROM embeddings WHERE vec_id < 5),
+    corpus AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+      WHERE d.lang = 'en'),
+    scored AS (
+      SELECT p.probe_id, c.vec_id,
+             round(list_cosine_similarity(c.v, p.q), 9) AS sim
+      FROM corpus c CROSS JOIN probes p
+      WHERE c.vec_id <> p.probe_id),
+    ranked AS (
+      SELECT probe_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY sim DESC, vec_id) AS rank
+      FROM scored)
+    SELECT probe_id, vec_id, sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — the RAG serving shape ("nearest English
+    documents"): a metadata predicate joined from the documents table
+    restricts the corpus BEFORE any distance math (pre-filtering, not
+    post-filtering a top-k that may then come back short). Scale shape:
+    the lang predicate and the doc_id semi-join prune at the scan
+    (Catalyst pushes the filter; the join is broadcast-eligible when
+    the filtered id set is small, shuffle otherwise by AQE), so at
+    100 TB you score exactly the matching slice, never the corpus.
+    Exactly oracled like the unfiltered brute-force paths."""
+    emb = table(spark, sf_dir, "embeddings")
+    docs = table(spark, sf_dir, "documents")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"),
+        as_double_vec(F.col("embedding")).alias("probe_vec"),
+    )
+    allowed = docs.filter(F.col("lang") == "en").select(
+        F.col("doc_id").alias("vec_id")
+    )
+    corpus = emb.join(allowed, "vec_id", "left_semi")
+    out = brute_force_topk(corpus, probes, k=5, round_sim=9)
+    return out.select(
+        "probe_id", "vec_id", "sim",
+        F.col("rank").cast("long").alias("rank"),
+    )

@@ -1163,3 +1163,53 @@ def test_grouping_sets_all_null_groups_differential(spark, a):
             FROM gn GROUP BY {clause}
         """
         _compare(spark.sql(sql), con, sql)
+
+
+@pytest.mark.slow
+@given(frags=st.lists(st.sampled_from([
+    "DS_HLL(x)",
+    "ds_hll(tab.col)",
+    "APPROX_QUANTILE_DS(v, 0.5, 128)",
+    "APPROX_COUNT_DISTINCT_DS_HLL(x, 12, 'HLL_8')",
+    "HLL_SKETCH_ESTIMATE(DS_HLL(CASE WHEN a IN (1,2) THEN b END))",
+    "HLL_SKETCH_UNION(12, DS_HLL(a), DS_HLL(b), DS_HLL(c))",
+    "'DS_HLL(a)'",
+    "'don''t'",
+    r"'a\'b DS_HLL(q)'",
+    '"DS_HLL"',
+    "/* don't DS_HLL(x) */",
+    "-- DS_HLL(y) don't\n",
+    "SELECT",
+    ",",
+    "FROM t WHERE",
+    "count(*)",
+]), min_size=1, max_size=12))
+@SET
+def test_datasketches_rewrite_fuzz(frags):
+    """The DS-name SQL rewrite under adversarial composition: nested
+    calls, apostrophes inside comments, ''- and backslash-escaped
+    literals, quoted identifiers. Properties: (1) idempotent — the
+    rendered Spark names never re-match; (2) every literal/comment
+    fragment survives verbatim; (3) no DS name remains in a CODE
+    region of the output."""
+    import re
+
+    from druid_datafusion_bridge_spark.functions.druid_sql import (
+        _DS_CALL_RE,
+        _sql_code_mask,
+        rewrite_datasketches_sql,
+    )
+
+    sql = " ".join(frags)
+    out = rewrite_datasketches_sql(sql)
+    assert rewrite_datasketches_sql(out) == out  # idempotent
+    for lit in ("'DS_HLL(a)'", "'don''t'", r"'a\'b DS_HLL(q)'",
+                '"DS_HLL"', "/* don't DS_HLL(x) */"):
+        assert sql.count(lit) == out.count(lit)  # untouched spans
+    mask = _sql_code_mask(out)
+    for m in _DS_CALL_RE.finditer(out):
+        # the exact-lowercase Spark builtin spelling is the rewrite's
+        # own output and deliberately stays (idempotence)
+        if m.group(1) == "hll_sketch_estimate":
+            continue
+        assert not mask[m.start()], (out, m.group())
