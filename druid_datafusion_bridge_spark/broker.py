@@ -521,6 +521,11 @@ class _QueryTimeout(Exception):
     """A query exceeded its context.timeout (HTTP 504, Druid's shape)."""
 
 
+class _QueryCancelled(Exception):
+    """A query was cancelled through DELETE /druid/v2/sql/{sqlQueryId}
+    (Druid's QueryInterruptedException "Query cancelled" shape)."""
+
+
 class _CapacityExceeded(Exception):
     """A query lane is at capacity (HTTP 429, Druid's
     QueryCapacityExceededException shape — query laning docs)."""
@@ -567,6 +572,10 @@ class DruidBrokerShim:
             if (d := _segment_state_digest(r)) is not None
         }
         self._tasks: dict[str, dict] = {}
+        # sync SQL cancellation (sql-api.md): context.sqlQueryId ->
+        # live Spark job group; DELETE /druid/v2/sql/{id} cancels it
+        self._sql_cancel: dict[str, str] = {}
+        self._sql_cancelled: set[str] = set()
         # async SQL statements (POST /druid/v2/sql/statements)
         self._sql_statements: dict[str, dict] = {}
         self._supervisors: dict[str, Any] = {}
@@ -2034,7 +2043,42 @@ class DruidBrokerShim:
                 pass
         return True
 
-    def _run_with_timeout(self, fn, timeout_ms):
+    def cancel_sql_query(self, sql_query_id: str) -> bool:
+        """DELETE /druid/v2/sql/{sqlQueryId} (sql-api.md): cancel the
+        RUNNING query that was submitted with this context.sqlQueryId.
+        Cancels the query's Spark job group; unknown/finished ids are
+        404 like real Druid. Returns whether a live query was found."""
+        with self._lock:
+            gid = self._sql_cancel.get(sql_query_id)
+            if gid is None:
+                return False
+            self._sql_cancelled.add(sql_query_id)
+        sc = self.spark.sparkContext
+        sc.cancelJobGroup(gid)
+
+        # cancelJobGroup only kills jobs ALREADY running in the group;
+        # a cancel landing between the query's registration and its
+        # first Spark job (or between two jobs of one query) would be
+        # lost. Re-cancel on a short cadence until the handler thread
+        # deregisters the id — DELETE still returns immediately, like
+        # real Druid.
+        def _sticky() -> None:
+            import time as _time
+
+            for _ in range(600):  # bounded: 60 s of coverage
+                with self._lock:
+                    if self._sql_cancel.get(sql_query_id) != gid:
+                        return
+                try:
+                    sc.cancelJobGroup(gid)
+                except Exception:  # pragma: no cover - sc shut down
+                    return
+                _time.sleep(0.1)
+
+        threading.Thread(target=_sticky, daemon=True).start()
+        return True
+
+    def _run_with_timeout(self, fn, timeout_ms, sql_query_id=None):
         """Run ``fn`` under a cancellable Spark job group, cancelled
         after ``timeout_ms`` (Druid's ``context.timeout``). Each HTTP
         request runs in its own handler thread and job groups are
@@ -2047,12 +2091,15 @@ class DruidBrokerShim:
         genuine failure racing the timer within its firing window is
         reported as a timeout; the original exception stays chained
         for diagnosis."""
-        if not timeout_ms:
+        if not timeout_ms and sql_query_id is None:
             return fn()
         sc = self.spark.sparkContext
         with self._lock:
             self._task_seq += 1
             gid = f"ddbs-broker-q{self._task_seq}"
+            if sql_query_id is not None:
+                self._sql_cancel[sql_query_id] = gid
+                self._sql_cancelled.discard(sql_query_id)
         sc.setJobGroup(gid, "broker query", interruptOnCancel=True)
         fired = threading.Event()
 
@@ -2060,8 +2107,10 @@ class DruidBrokerShim:
             fired.set()
             sc.cancelJobGroup(gid)
 
-        timer = threading.Timer(int(timeout_ms) / 1000.0, cancel)
-        timer.start()
+        timer = None
+        if timeout_ms:
+            timer = threading.Timer(int(timeout_ms) / 1000.0, cancel)
+            timer.start()
         try:
             return fn()
         except Exception as e:
@@ -2069,9 +2118,20 @@ class DruidBrokerShim:
                 raise _QueryTimeout(
                     f"Query timed out after {timeout_ms} ms"
                 ) from e
+            with self._lock:
+                was_cancelled = sql_query_id in self._sql_cancelled
+            if was_cancelled:
+                raise _QueryCancelled(
+                    f"Query cancelled: {sql_query_id}"
+                ) from e
             raise
         finally:
-            timer.cancel()
+            if sql_query_id is not None:
+                with self._lock:
+                    self._sql_cancel.pop(sql_query_id, None)
+                    self._sql_cancelled.discard(sql_query_id)
+            if timer is not None:
+                timer.cancel()
             try:
                 sc._jsc.clearJobGroup()
             except Exception:  # pragma: no cover - JVM API drift
@@ -2388,10 +2448,13 @@ class DruidBrokerShim:
                                "application/json")
 
             def _send_raw(self, code: int, data: bytes,
-                          ctype: str) -> None:
+                          ctype: str,
+                          headers: dict | None = None) -> None:
                 self.send_response(code)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(data)))
+                for k, v in (headers or {}).items():
+                    self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(data)
 
@@ -2402,6 +2465,21 @@ class DruidBrokerShim:
                 path = self.path.split("?", 1)[0]
                 if path == "/status/health":
                     self._send(200, True)
+                elif path == "/status/properties":
+                    # the Druid console's first probe after health;
+                    # truthful subset of runtime properties
+                    self._send(200, {
+                        "druid.host": "localhost",
+                        "druid.service": "druid/broker",
+                        "druid.server.maxRows": str(shim.max_rows),
+                    })
+                elif path == "/druid/coordinator/v1/loadstatus":
+                    # every datasource this single-process engine
+                    # serves is fully loaded by construction; the
+                    # console polls this for its load progress bars
+                    self._send(200, {
+                        ds: 100.0 for ds in sorted(shim.tables)
+                    })
                 elif path == "/druid/v2/candidates":
                     from urllib.parse import parse_qs, urlparse
 
@@ -2426,12 +2504,22 @@ class DruidBrokerShim:
                 elif path == "/druid/v2/datasources":
                     self._send(200, sorted(shim.tables))
                 elif path.startswith("/druid/v2/datasources/"):
-                    name = path.split("/druid/v2/datasources/", 1)[1]
-                    if name in shim.tables:
-                        self._send(200, shim._datasource_detail(name))
-                    else:
+                    rest = path.split("/druid/v2/datasources/", 1)[1]
+                    name, _, sub = rest.partition("/")
+                    if name not in shim.tables:
                         self._send(404, {"error": "Unknown datasource",
                                          "errorMessage": name})
+                    elif sub in ("dimensions", "metrics"):
+                        # legacy per-list endpoints real clients and
+                        # the console still call
+                        self._send(
+                            200, shim._datasource_detail(name)[sub]
+                        )
+                    elif sub:
+                        self._send(404, {"error": "Unknown resource",
+                                         "errorMessage": sub})
+                    else:
+                        self._send(200, shim._datasource_detail(name))
                 elif path == "/druid/coordinator/v1/config/compaction":
                     with shim._lock:
                         self._send(200, {
@@ -2557,7 +2645,17 @@ class DruidBrokerShim:
 
             def do_DELETE(self):
                 path = self.path.split("?", 1)[0]
-                if path.startswith("/druid/v2/sql/statements/"):
+                if path.startswith("/druid/v2/sql/") and not (
+                    path.startswith("/druid/v2/sql/statements/")
+                ):
+                    # cancel a RUNNING sync query by its sqlQueryId
+                    qid = path.split("/druid/v2/sql/", 1)[1]
+                    if shim.cancel_sql_query(qid):
+                        self._send(202, {"queryId": qid})
+                    else:
+                        self._send(404, {"error": "Unknown query",
+                                         "errorMessage": qid})
+                elif path.startswith("/druid/v2/sql/statements/"):
                     sid = path.rsplit("/", 1)[1]
                     if shim._statement_delete(sid):
                         self._send(202, {"queryId": sid})
@@ -2598,12 +2696,22 @@ class DruidBrokerShim:
                     if isinstance(body, dict) else None
                 try:
                     if self.path == "/druid/v2/sql":
+                        qid = (body.get("context") or {}).get(
+                            "sqlQueryId"
+                        ) if isinstance(body, dict) else None
                         with shim._lane_slot(body):
                             data, ctype = shim._run_with_timeout(
                                 lambda: shim._handle_sql(body),
                                 timeout_ms,
+                                sql_query_id=qid,
                             )
-                        self._send_raw(200, data, ctype)
+                        # Druid stamps the (possibly client-chosen)
+                        # query id on the response for correlation
+                        self._send_raw(
+                            200, data, ctype,
+                            headers={"X-Druid-SQL-Query-Id": qid}
+                            if qid else None,
+                        )
                         return
                     elif self.path == "/druid/v2/sql/task":
                         self._send(200, shim._handle_sql_ingest(body))
@@ -2708,6 +2816,12 @@ class DruidBrokerShim:
                 except _QueryTimeout as e:
                     # Druid's timeout envelope, HTTP 504
                     self._send(504, {"error": "Query timed out",
+                                     "errorMessage": str(e)})
+                    return
+                except _QueryCancelled as e:
+                    # Druid's QueryInterruptedException shape for a
+                    # client-initiated cancel, HTTP 500
+                    self._send(500, {"error": "Query cancelled",
                                      "errorMessage": str(e)})
                     return
                 except _CapacityExceeded as e:

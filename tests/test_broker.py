@@ -239,6 +239,22 @@ def test_health_and_datasources(shim):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(shim + "/druid/v2/datasources/nope")
     assert ei.value.code == 404
+    # legacy per-list endpoints + the console's startup probes
+    with urllib.request.urlopen(
+        shim + "/druid/v2/datasources/wikipedia/dimensions"
+    ) as r:
+        assert json.loads(r.read()) == ["channel"]
+    with urllib.request.urlopen(
+        shim + "/druid/v2/datasources/wikipedia/metrics"
+    ) as r:
+        assert json.loads(r.read()) == ["delta"]
+    with urllib.request.urlopen(shim + "/status/properties") as r:
+        props = json.loads(r.read())
+    assert props["druid.service"] == "druid/broker"
+    with urllib.request.urlopen(
+        shim + "/druid/coordinator/v1/loadstatus"
+    ) as r:
+        assert json.loads(r.read()) == {"wikipedia": 100.0}
 
 
 def test_temporal_and_nested_values_serialize(shim):
@@ -1489,6 +1505,71 @@ def test_avatica_database_metadata(shim):
 def _get(url):
     with urllib.request.urlopen(url) as r:
         return json.loads(r.read())
+
+
+def test_sync_sql_query_id_and_cancel(shim):
+    """sql-api.md: a sync query submitted with context.sqlQueryId
+    carries X-Druid-SQL-Query-Id on the response, and a RUNNING one is
+    cancellable via DELETE /druid/v2/sql/{id} — the client kill switch
+    JDBC/console use. Unknown/finished ids are 404."""
+    import threading
+    import time
+
+    # header correlation on a fast query
+    req = urllib.request.Request(
+        shim + "/druid/v2/sql",
+        data=json.dumps({
+            "query": "SELECT COUNT(*) AS n FROM wikipedia",
+            "context": {"sqlQueryId": "fast-1", "useCache": False,
+                        "populateCache": False},
+        }).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.headers["X-Druid-SQL-Query-Id"] == "fast-1"
+        assert json.loads(r.read()) == [{"n": 3}]
+    # a finished id is no longer cancellable
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(urllib.request.Request(
+            shim + "/druid/v2/sql/fast-1", method="DELETE"))
+    assert ei.value.code == 404
+    # cancel a genuinely RUNNING query: a cross-join big enough to
+    # outlive the cancel round-trip
+    errs: list = []
+
+    def run_slow():
+        try:
+            _post(shim + "/druid/v2/sql", {
+                "query": "SELECT COUNT(*) AS n FROM wikipedia a, "
+                         "wikipedia b, wikipedia c "
+                         "CROSS JOIN (SELECT * FROM "
+                         "  (SELECT explode(sequence(1, 3000000)) i)"
+                         ") big WHERE a.delta + big.i > 0",
+                "context": {"sqlQueryId": "slow-1", "useCache": False,
+                            "populateCache": False},
+            })
+            errs.append(None)  # completed: cancel lost the race
+        except urllib.error.HTTPError as e:
+            errs.append((e.code, json.loads(e.read())))
+
+    t = threading.Thread(target=run_slow)
+    t.start()
+    cancelled = False
+    for _ in range(200):  # wait for the query to register as live
+        try:
+            with urllib.request.urlopen(urllib.request.Request(
+                shim + "/druid/v2/sql/slow-1", method="DELETE"
+            )) as r:
+                assert r.status == 202
+            cancelled = True
+            break
+        except urllib.error.HTTPError:
+            time.sleep(0.05)
+    t.join(120)
+    assert cancelled
+    assert errs and errs[0] is not None, "query finished before cancel"
+    code, body = errs[0]
+    assert code == 500 and body["error"] == "Query cancelled"
 
 
 def test_sql_statements_async_lifecycle(shim):
