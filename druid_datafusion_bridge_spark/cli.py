@@ -111,16 +111,19 @@ def cmd_scan(
     import pyarrow as pa
 
     from .sources.datasource import (
-        find_segment_dirs,
         load_plan_meta,
         plan_ordered_limit_prefix,
+        served_segment_dirs,
     )
     from .sources.segment import TIME_COLUMN
 
     if limit <= 0:
         raise SystemExit("--limit must be a positive row count")
     desc = order == "desc"
-    dirs = find_segment_dirs(path)
+    # served dirs (overshadow-aware): the CLI scan is a QUERY surface
+    # and must agree with the engine on which version of an interval
+    # is visible
+    dirs = served_segment_dirs(path)
     metas = load_plan_meta(path, dirs)
     # same prefix + straggler plan the Spark DataSource uses, so the
     # CLI and the engine cannot disagree on which segments a top-k
@@ -359,10 +362,10 @@ def cmd_search(path: str, dimension: str, matcher: str, value: str) -> None:
     from dictionaries and bitmap cardinalities (no Spark session, no
     value-chunk decode — milliseconds like info/dump). The distributed
     form of the same query is model.druid_model.search_dimension."""
-    from .sources.datasource import find_segment_dirs
+    from .sources.datasource import served_segment_dirs
 
     totals: dict[str, int] = {}
-    for d in find_segment_dirs(path):
+    for d in served_segment_dirs(path):
         seg = DruidSegment(d)
         try:
             pairs = seg.search_value_counts(dimension, (matcher, value))

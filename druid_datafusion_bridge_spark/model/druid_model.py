@@ -198,9 +198,11 @@ def search_dimension(
     Requires an indexed string dimension (every Druid dimension has
     one); a segment without the index raises rather than silently
     scanning — search is defined as an index-plane query."""
-    from ..sources.datasource import find_segment_dirs
+    from ..sources.datasource import served_segment_dirs
 
-    dirs = find_segment_dirs(root)
+    # served dirs (overshadow-aware): a search is a query, so only one
+    # version of each interval may count values
+    dirs = served_segment_dirs(root)
     if not dirs:
         raise ValueError(f"no segments under {root!r}")
 

@@ -254,6 +254,32 @@ def overshadowed_segments(metas: dict[str, dict]) -> set[str]:
         out.update(n for vk, n in members if vk != newest)
     return out
 
+
+def served_segment_dirs(
+    root: str, exclude: frozenset[str] | set[str] = frozenset()
+) -> list[str]:
+    """The segment dirs a QUERY may read: discovery minus ``exclude``
+    (retention-unused basenames) minus version-overshadowed dirs.
+    Shared by the Spark DataSource planner, the no-Spark CLI scan/
+    search paths, and the index-plane search — every serving surface
+    applies the same timeline rule or they disagree on row counts.
+    Single-version roots (one distinct version tag among the names)
+    skip the manifest read entirely — a zero-IO fast path."""
+    dirs = find_segment_dirs(root)
+    if exclude:
+        dirs = [
+            d for d in dirs if os.path.basename(d) not in exclude
+        ]
+    versions = {_segment_version_key(os.path.basename(d)) for d in dirs}
+    if len(versions) > 1:
+        shadowed = overshadowed_segments(load_plan_meta(root, dirs))
+        if shadowed:
+            dirs = [
+                d for d in dirs
+                if os.path.basename(d) not in shadowed
+            ]
+    return dirs
+
 # Driver-side value-pruning budget: above this many segments, inverted-
 # index emptiness proofs move wholly to the executors (see
 # _filtered_partitions). 64 keeps small/medium roots snappy while a
@@ -644,34 +670,9 @@ class DruidSegmentReader(DataSourceReader):
         """Segment dirs minus retention-dropped ones (exclude_segments)
         and version-OVERSHADOWED ones — every partition planner starts
         from this list so an unused or overshadowed segment can never
-        contribute rows through any planning path. Overshadow needs
-        each segment's interval, which is one cached manifest read
-        (load_plan_meta's warm path)."""
-        import os as _os
-
-        dirs = find_segment_dirs(self.path)
-        if self.opt_exclude:
-            dirs = [
-                d for d in dirs
-                if _os.path.basename(d) not in self.opt_exclude
-            ]
-        # zero-IO fast path: overshadowing needs at least two DISTINCT
-        # version tags among the names — a root written by one batch
-        # job (or one version) can't overshadow itself, and skipping
-        # the manifest read keeps unfiltered plannings stat-free
-        versions = {
-            _segment_version_key(_os.path.basename(d)) for d in dirs
-        }
-        if len(versions) > 1:
-            shadowed = overshadowed_segments(
-                load_plan_meta(self.path, dirs)
-            )
-            if shadowed:
-                dirs = [
-                    d for d in dirs
-                    if _os.path.basename(d) not in shadowed
-                ]
-        return dirs
+        contribute rows through any planning path (shared rule:
+        served_segment_dirs)."""
+        return served_segment_dirs(self.path, self.opt_exclude)
 
     def _ordered_limit_partitions(
         self, lower=None, upper=None

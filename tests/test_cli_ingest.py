@@ -337,3 +337,43 @@ def test_cli_scan_schema_evolved_root(tmp_path, capsys):
         scan(limit=1, columns="nope")
     with pytest.raises(SystemExit, match="positive"):
         scan(limit=0)
+
+
+def test_cli_scan_and_search_honor_overshadowing(tmp_path, capsys):
+    """The no-Spark CLI scan and search are QUERY surfaces: over a root
+    where one interval exists under two versions they must read only
+    the newest version — the same served-segment rule as the engine
+    (served_segment_dirs), or the CLI and SQL disagree on row counts."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from druid_datafusion_bridge_spark.cli import cmd_scan, cmd_search
+    from druid_datafusion_bridge_spark.sources.segment import write_segment
+
+    def seg(name, vals):
+        write_segment(
+            pa.table({
+                "__time": pa.array(
+                    [1704067200000 + i for i in range(len(vals))],
+                    pa.timestamp("ms"),
+                ),
+                "channel": pa.array(vals, pa.string()),
+            }),
+            str(tmp_path / name),
+        )
+
+    seg("segment_1704067200000_0000_b0", ["en", "en", "de"])
+    seg("segment_1704067200000_0000_b1", ["en", "fr", "fr"])  # corrected
+
+    cmd_scan(str(tmp_path), None, 10, "asc", "json")
+    rows = [_json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 3  # one version, not six rows
+    assert sorted(r["channel"] for r in rows) == ["en", "fr", "fr"]
+
+    cmd_search(str(tmp_path), "channel", "contains", "fr")
+    out = capsys.readouterr().out
+    assert "2" in out and "fr" in out  # b1's counts, not b0+b1
+    cmd_search(str(tmp_path), "channel", "contains", "de")
+    assert capsys.readouterr().out == ""  # b0's value is invisible
