@@ -399,6 +399,12 @@ SLOPE_QUERIES = [
     # day-slice) and slope-checking them would time the driver-side
     # segment builder, not a query plan.
     "fd_ds_sketch_sql_text",
+    # r8 data-plane additions: BM25 (posting-list shuffles over
+    # documents) and the composed IVF+PQ index (encode scans + coded
+    # ADC scan over embeddings — its bounded driver-side training is
+    # a fixed cost the slope should show amortizing)
+    "txt_bm25_rank",
+    "sim_ivfpq_topk",
 ]
 
 # per-table key columns to shift by copy*KEY_SHIFT (foreign keys shift

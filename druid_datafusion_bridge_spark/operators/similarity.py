@@ -632,6 +632,18 @@ def _pq_train_local(
             [], "sub_id int, code int, cv array<double>"
         )
     x = np.array([r["v"] for r in rows], dtype=np.float64)
+    return spark.createDataFrame(
+        _pq_kmeans_np(x, w, n_subspaces, codebook_size, seed),
+        "sub_id int, code int, cv array<double>",
+    )
+
+
+def _pq_kmeans_np(x, w: int, n_subspaces: int, codebook_size: int, seed: int):
+    """Per-subspace Lloyd's k-means over an in-memory (n, dim) sample;
+    returns (sub_id, code, centroid) rows. Shared by the flat-PQ and
+    IVF+PQ (residual) trainers so their codebook math can't drift."""
+    import numpy as np
+
     books = []
     for s_i in range(n_subspaces):
         sub = x[:, s_i * w:(s_i + 1) * w]
@@ -648,9 +660,7 @@ def _pq_train_local(
         books += [
             (s_i, c_i, [float(t) for t in cen[c_i]]) for c_i in range(k)
         ]
-    return spark.createDataFrame(
-        books, "sub_id int, code int, cv array<double>"
-    )
+    return books
 
 
 def pq_adc_topk(
@@ -775,6 +785,253 @@ def pq_adc_topk(
         .select("probe_id", "vec_id")
     )
     # exact rerank: only shortlist x probe rows touch the float vectors
+    sim = F.aggregate(
+        F.zip_with("v", "q", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rw = W.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        short.join(v, "vec_id")
+        .join(F.broadcast(p), "probe_id")
+        .select("probe_id", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+    )
+
+def _ivfpq_train_local(
+    train: DataFrame,
+    n_centroids: int,
+    w: int,
+    n_subspaces: int,
+    codebook_size: int,
+    seed: int,
+    spark,
+) -> tuple[DataFrame, DataFrame]:
+    """Train BOTH IVF+PQ quantizers from ONE driver-side collect of the
+    BOUNDED unit-vector sample (the caller caps it at ``train_sample``
+    rows, so this is a fixed few MB at any corpus size — the faiss
+    posture: train on a sample, freeze, encode the corpus against the
+    frozen index). Coarse quantizer: spherical k-means — assignment
+    maximizes dot (= cosine on the unit sphere), recomputed centroids
+    re-normalize each Lloyd step. PQ codebooks then train on the
+    sample's RESIDUALS v - centroid(cell), computed in-memory from the
+    same rows, so no second Spark job or corpus scan exists on the
+    training path. Seeded init + vec_id-sorted rows keep both
+    deterministic. Returns (centroids, codebooks) DataFrames."""
+    import numpy as np
+
+    rows = train.select("vec_id", "v").orderBy("vec_id").collect()
+    if not rows:
+        # empty (or all-zero-norm) corpus: empty quantizers -> the
+        # downstream joins produce the same empty result
+        # brute_force_topk returns
+        return (
+            spark.createDataFrame([], "cent_id int, cv array<double>"),
+            spark.createDataFrame([], "sub_id int, code int, cv array<double>"),
+        )
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    k = min(n_centroids, len(x))
+    rs = np.random.RandomState(seed)
+    cen = x[rs.choice(len(x), size=k, replace=False)].copy()
+    for _ in range(10):
+        assign = (x @ cen.T).argmax(axis=1)
+        for c_i in range(k):
+            m = x[assign == c_i]
+            if len(m):
+                v = m.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cen[c_i] = v / n
+    cents = spark.createDataFrame(
+        [(i, [float(t) for t in cen[i]]) for i in range(k)],
+        "cent_id int, cv array<double>",
+    )
+    residuals = x - cen[(x @ cen.T).argmax(axis=1)]
+    cb = spark.createDataFrame(
+        _pq_kmeans_np(residuals, w, n_subspaces, codebook_size, seed),
+        "sub_id int, code int, cv array<double>",
+    )
+    return cents, cb
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 8,
+    shortlist: int = 100,
+    dim: int = 64,
+    n_subspaces: int = 8,
+    codebook_size: int = 16,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_sample: int = 10_000,
+) -> DataFrame:
+    """IVF+PQ with residual encoding and exact rerank — the composed
+    billion-vector index (faiss IndexIVFPQ): the coarse quantizer
+    prunes WHICH vectors are scored (only the ``nprobe`` cells nearest
+    each probe), and the product code decides HOW they are scored
+    (4-bit/8-bit codes against a broadcast lookup table, floats
+    untouched). Codes encode the RESIDUAL v - centroid(cell), which
+    carries far less variance than v itself, so the same code budget
+    quantizes finer than flat PQ (faiss's by_residual=true default);
+    the price is one LUT per (probe, probed cell) instead of per
+    probe — still bounded at probes x nprobe x subspaces x
+    codebook_size rows, broadcast.
+
+    Scale shape at 100 TB: both quantizers train driver-side on ONE
+    bounded deterministic sample (md5-ordered ``train_sample`` rows —
+    fixed MB at any corpus size) and freeze; the corpus is touched by
+    (1) the encode scan (assign cell + code residual, stateless
+    broadcast passes), and (2) the ADC scan, which reads only
+    (cell, codes) rows and — were the code table written partitioned
+    by cell, as ingest would — only the probed cells' partitions.
+    Floats are read once more for the per-probe ``shortlist`` exact
+    rerank. Nothing shuffles the corpus vectors at any point.
+
+    Returns (probe_id, vec_id, sim, rank) like the other ANN paths.
+    """
+    if dim % n_subspaces:
+        raise ValueError("dim must divide evenly into subspaces")
+    w = dim // n_subspaces
+    unit = F.transform("raw", lambda x: x / F.col("nv"))
+    v = (
+        spread(
+            corpus.select(
+                F.col(id_col).alias("vec_id"),
+                as_double_vec(F.col(vec_col)).alias("raw"),
+            )
+        )
+        .withColumn("nv", norm(F.col("raw")))
+        .filter(F.col("nv") > 0)
+        .select("vec_id", unit.alias("v"))
+    )
+    # one bounded deterministic sample trains BOTH quantizers (see
+    # pq_adc_topk for why sort-limit over md5 order is one scan and
+    # bit-identical to full training at or below train_sample rows)
+    train = (
+        v.orderBy(
+            F.md5(F.concat(F.lit("ivfpqts:"), F.col("vec_id"))), "vec_id"
+        )
+        .limit(train_sample)
+    )
+    cents, cb = _ivfpq_train_local(
+        train, n_centroids, w, n_subspaces, codebook_size, seed,
+        v.sparkSession,
+    )
+    # encode scan 1: cell = argmax dot against the broadcast centroids
+    # (unit sphere, so dot IS cosine), residual r = v - centroid(cell)
+    assigned = (
+        v.join(F.broadcast(cents))
+        .select(
+            "vec_id", "v", "cent_id",
+            dot(F.col("v"), F.col("cv")).alias("cs"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cent_id", F.struct("cs", (-F.col("cent_id")).alias("tb"))
+            ).alias("cell"),
+            F.first("v").alias("v"),
+        )
+    )
+    res = (
+        assigned.join(
+            F.broadcast(cents), assigned["cell"] == cents["cent_id"]
+        )
+        .select(
+            "vec_id", "cell",
+            F.zip_with("v", "cv", lambda a, b: a - b).alias("r"),
+        )
+    )
+    # encode scan 2: per-subspace nearest codebook entry, cell kept on
+    # the row (inlining _pq_assign so the cell column survives — a
+    # join back to the cell map would shuffle the whole code table)
+    subs = res.select(
+        "vec_id", "cell",
+        F.posexplode(
+            F.array(*[F.slice("r", i * w + 1, w) for i in range(n_subspaces)])
+        ).alias("sub_id", "sv"),
+    )
+    codes = (
+        subs.join(F.broadcast(cb), "sub_id")
+        .select(
+            "vec_id", "cell", "sub_id", "code",
+            _pq_sqdist("sv", "cv").alias("d2"),
+        )
+        .groupBy("vec_id", "cell", "sub_id")
+        .agg(F.min_by("code", F.struct("d2", "code")).alias("code"))
+    )
+    p = (
+        probes.select(F.col("probe_id"), F.col("probe_vec").alias("raw"))
+        .withColumn("nv", norm(F.col("raw")))
+        .filter(F.col("nv") > 0)
+        .select("probe_id", unit.alias("q"))
+    )
+    # nprobe nearest cells per probe, then one residual query per
+    # (probe, cell): qr = q - centroid(cell)
+    probe_cells = (
+        p.join(F.broadcast(cents))
+        .select(
+            "probe_id", "q", "cent_id", "cv",
+            dot(F.col("q"), F.col("cv")).alias("cs"),
+        )
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                W.partitionBy("probe_id").orderBy(
+                    F.col("cs").desc(), "cent_id"
+                )
+            ),
+        )
+        .filter(F.col("pr") <= nprobe)
+        .select(
+            "probe_id",
+            F.col("cent_id").alias("cell"),
+            F.zip_with("q", "cv", lambda a, b: a - b).alias("qr"),
+        )
+    )
+    # ADC LUT: partial squared distance from each (probe, cell)
+    # residual query subvector to every codebook entry — bounded at
+    # probes x nprobe x subspaces x codebook_size rows, broadcast
+    lut = (
+        probe_cells.select(
+            "probe_id", "cell",
+            F.posexplode(
+                F.array(
+                    *[F.slice("qr", i * w + 1, w) for i in range(n_subspaces)]
+                )
+            ).alias("sub_id", "qv"),
+        )
+        .join(F.broadcast(cb), "sub_id")
+        .select(
+            "probe_id", "cell", "sub_id", "code",
+            _pq_sqdist("qv", "cv").alias("pd"),
+        )
+    )
+    # ADC scan: only code rows in probed cells join (the IVF prune);
+    # summing the n_subspaces partials gives ||qr - code(r)||^2 ~
+    # ||q - v||^2 = 2 - 2 cos on the unit sphere
+    adc = (
+        codes.join(F.broadcast(lut), ["cell", "sub_id", "code"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum("pd").alias("adc_d2"))
+    )
+    wnd = W.partitionBy("probe_id").orderBy(
+        F.col("adc_d2").asc(), F.col("vec_id").asc()
+    )
+    short = (
+        adc.withColumn("sr", F.row_number().over(wnd))
+        .filter(F.col("sr") <= shortlist)
+        .select("probe_id", "vec_id")
+    )
+    # exact rerank over shortlist x probes float rows only
     sim = F.aggregate(
         F.zip_with("v", "q", lambda a, b: a * b),
         F.lit(0.0),

@@ -541,3 +541,74 @@ def keyword_search(
         .orderBy(F.col("rank_score").desc(), "doc_id")
         .limit(limit)
     )
+
+def bm25_search(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    limit: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 ranking (disjunctive: documents matching ANY query
+    term, scored over the terms they match) — the retrieval scorer
+    search engines and RAG rerankers actually use, where tf-idf
+    (keyword_search) is the teaching baseline: term frequency
+    saturates at k1 and long documents are penalized toward the
+    corpus-average length through b.
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score   = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Scale shape: identical to keyword_search — the term filter pushes
+    below the (doc, term) count so only the query terms' posting
+    lists survive that shuffle; the doc-length table joins on the
+    high-cardinality doc_id; N and avgdl are two scalar aggregates
+    broadcast by crossJoin; the final top-``limit`` is a TakeOrdered
+    over the hit set. Scores round to 9 decimals before ranking (the
+    repo's cross-engine fp-stability device; the per-doc sum spans at
+    most len(terms) addends — IEEE addition is commutative, so 2-term
+    sums are order-exact)."""
+    terms = tuple(dict.fromkeys(t.lower() for t in terms))
+    if not terms:
+        raise ValueError("bm25_search requires at least one term")
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+        ).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    # avgdl over ALL documents (token-less docs count with dl=0):
+    # exact integer token total / exact doc count, one double division
+    ad = dl.agg(F.sum("dl").alias("tot")).crossJoin(F.broadcast(n)).select(
+        (F.col("tot").cast("double") / F.col("n_docs")).alias("avgdl")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    ratio = (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.filter(F.col("term").isin(*terms))
+        .join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ad))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.round(F.sum(idf * ratio), 9).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(limit)
+    )

@@ -56,6 +56,8 @@ NEW_IN_R8: tuple[str, ...] = (
     "lr_retention_load_interval_overlap",
     "s13_version_overshadow_scan",
     "sim_filtered_topk",
+    "sim_ivfpq_topk",
+    "txt_bm25_rank",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first).

@@ -380,3 +380,28 @@ def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe_id", "vec_id", "sim",
         F.col("rank").cast("long").alias("rank"),
     )
+
+@query("sim_ivfpq_topk", oracle=_PROBE_ORACLE)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed index top-10 for 5 probes (operators/
+    similarity.py ivf_pq_topk) — the faiss-IndexIVFPQ shape that
+    actually serves at billion-vector scale: the coarse quantizer
+    prunes WHICH vectors are scored (nprobe=8 of 16 cells), product
+    codes over the RESIDUALS decide HOW (broadcast-LUT byte scan, no
+    floats), and an exact cosine pass reranks the 200-row shortlist.
+    Both quantizers train on one bounded driver-side sample and
+    freeze. Oracle = per-probe recall contract, floor 40% like the
+    flat IVF and PQ paths: i.i.d. random 64-d embeddings are the
+    no-structure worst case, and the two approximations compound
+    (measured min-probe recall 0.5 at every sf in 0.001-0.1; seeded
+    deterministic training keeps these stable margins)."""
+    from ..operators.similarity import ivf_pq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = _probes(emb)
+    ann = ivf_pq_topk(
+        emb, probes, k=10, n_centroids=16, nprobe=8, shortlist=200,
+        n_subspaces=8,
+    )
+    exact = brute_force_topk(emb, probes, k=10)
+    return _recall_contract(ann, exact, floor=0.4)

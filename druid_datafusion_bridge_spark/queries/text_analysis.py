@@ -259,3 +259,55 @@ def txt_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_search(
         table(spark, sf_dir, "documents"), terms=("vector", "stream"), limit=20
     )
+
+@query(
+    "txt_bm25_rank",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents),
+    t AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dl AS (
+      SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    dfreq AS (
+      SELECT term, count(*) AS df FROM t GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    ad AS (
+      SELECT CAST(SUM(dl.dl) AS DOUBLE) / (SELECT n_docs FROM n) AS avgdl
+      FROM dl),
+    hits AS (
+      SELECT t.doc_id,
+             count(*) AS n_terms,
+             SUM(
+               ln(1.0 + (CAST(n.n_docs AS DOUBLE) - dfreq.df + 0.5)
+                        / (dfreq.df + 0.5))
+               * (CAST(t.tf AS DOUBLE) * 2.2)
+               / (CAST(t.tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * dl.dl / ad.avgdl))
+             ) AS s
+      FROM t JOIN dfreq USING (term) JOIN dl USING (doc_id)
+             CROSS JOIN n CROSS JOIN ad
+      WHERE t.term IN ('vector', 'stream')
+      GROUP BY t.doc_id)
+    SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms, round(s, 9) AS bm25
+    FROM hits ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def txt_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval ranking for the 2-term query ('vector' OR
+    'stream'): saturating tf and length normalization against the
+    corpus-average document length — the scorer real search/RAG
+    stacks use where txt_keyword_search's tf-idf is the baseline.
+    Implementation + scale shape: operators/text_pipeline.py
+    bm25_search (posting-list prune below the first shuffle, scalar
+    N/avgdl broadcasts, TakeOrdered top-20). The oracle mirrors the
+    exact arithmetic (k1=1.2, b=0.75; 1-b written as 0.25 both
+    sides; per-doc sums span <= 2 addends so IEEE addition is
+    order-exact), rounded to 9 decimals before ranking."""
+    from ..operators.text_pipeline import bm25_search
+
+    return bm25_search(
+        table(spark, sf_dir, "documents"), terms=("vector", "stream"),
+        limit=20,
+    )
