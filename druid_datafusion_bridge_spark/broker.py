@@ -578,6 +578,10 @@ class DruidBrokerShim:
         self._sql_cancelled: set[str] = set()
         # async SQL statements (POST /druid/v2/sql/statements)
         self._sql_statements: dict[str, dict] = {}
+        # MSQ SELECT task results: task_id -> (signature, rows), served
+        # by GET /druid/indexer/v1/task/{id}/reports (bounded: rows
+        # pass the max_rows gate before they are retained)
+        self._task_reports: dict[str, tuple] = {}
         self._supervisors: dict[str, Any] = {}
         # supervisor spec-revision audit: id -> [{spec, version}, ...]
         # in submit order (survives supervisor replacement — history is
@@ -1620,11 +1624,6 @@ class DruidBrokerShim:
         on Spark — the returned task is already terminal, and it shows
         up in sys.tasks and /druid/indexer/v1/task/{id}/status like any
         overlord task. The SELECT must produce a __time column."""
-        if self.deep_storage is None:
-            raise ValueError(
-                "SQL ingestion disabled: broker started without "
-                "deep_storage"
-            )
         import datetime
         import os
         import shutil
@@ -1633,10 +1632,24 @@ class DruidBrokerShim:
         sql_text = body.get("query", "")
         m = _INGEST_SQL_RE.match(sql_text)
         if m is None:
+            head = sql_text.lstrip()[:7].upper()
+            if head.startswith(("SELECT", "WITH")):
+                # the MSQ task engine also runs SELECT queries
+                # (sql-ingestion.md): rows land in the
+                # query_controller task's report, not in segments —
+                # and need no deep storage, so dispatch before the
+                # ingestion-enabled check
+                return self._run_select_task(sql_text, body)
             raise ValueError(
                 "sql/task accepts INSERT INTO <ds> SELECT ... "
-                "PARTITIONED BY <grain> [CLUSTERED BY cols] or "
-                "REPLACE INTO <ds> OVERWRITE ALL SELECT ..."
+                "PARTITIONED BY <grain> [CLUSTERED BY cols], "
+                "REPLACE INTO <ds> OVERWRITE ALL SELECT ..., or a "
+                "SELECT query (results via the task reports endpoint)"
+            )
+        if self.deep_storage is None:
+            raise ValueError(
+                "SQL ingestion disabled: broker started without "
+                "deep_storage"
             )
         verb = m.group("verb").upper()
         ds = m.group("ds")
@@ -1783,6 +1796,103 @@ class DruidBrokerShim:
             tasks[status["id"]] = status
             self._tasks = tasks
             self._refresh_sys_tasks()
+
+    def _run_select_task(self, sql: str, body: dict) -> dict:
+        """SELECT on POST /druid/v2/sql/task (sql-ingestion.md: the MSQ
+        task engine runs SELECT queries too — including over
+        ``TABLE(EXTERN(...))`` — landing rows in the query_controller
+        task's report instead of segments). Synchronous like this
+        overlord's other tasks; the result set passes the max_rows
+        gate before being retained, then serves from
+        ``GET /druid/indexer/v1/task/{id}/reports``."""
+        import datetime
+        import time
+
+        params = body.get("parameters")
+        args = (
+            [p.get("value") if isinstance(p, dict) else p for p in params]
+            if params else None
+        )
+        with self._lock:
+            self._task_seq += 1
+            task_id = f"query_controller_select_{self._task_seq}"
+        created = datetime.datetime.now(datetime.timezone.utc).isoformat()
+        # sys.tasks wants a datasource; a SELECT task's natural one is
+        # the (first) registered table it reads, blank for pure-EXTERN
+        ds = next(
+            (t for t in sorted(self.tables) if _word_in_sql(t, sql)), ""
+        )
+        t0 = time.monotonic()
+        try:
+            fields, rows = self._avatica_run_sql(
+                self._resolve_extern(sql), args
+            )
+            status = {
+                "id": task_id, "status": "SUCCESS", "dataSource": ds,
+                "type": "query_controller", "createdTime": created,
+                "duration": int((time.monotonic() - t0) * 1000),
+                "errorMsg": None,
+            }
+            sig = [
+                {
+                    "name": f.name,
+                    "type": _druid_types(f.dataType)[0],
+                }
+                for f in fields
+            ]
+            data = [[_json_safe(v) for v in r] for r in rows]
+            with self._lock:
+                reports = dict(self._task_reports)
+                reports[task_id] = (sig, data)
+                self._task_reports = reports
+        except Exception as e:
+            status = {
+                "id": task_id, "status": "FAILED", "dataSource": ds,
+                "type": "query_controller", "createdTime": created,
+                "duration": int((time.monotonic() - t0) * 1000),
+                "errorMsg": str(e)[:2000],
+            }
+        self._record_task(status)
+        if status["status"] == "FAILED":
+            raise ValueError(status["errorMsg"])
+        return {"taskId": task_id, "state": "SUCCESS"}
+
+    def _task_report(self, task_id: str) -> dict | None:
+        """GET /druid/indexer/v1/task/{id}/reports — the MSQ
+        ``multiStageQuery`` report envelope (api-reference.md tasks;
+        msq-concepts.md report shape): a status payload for every
+        recorded task, plus ``results`` (signature + row arrays) for
+        SELECT tasks whose rows this broker retained."""
+        with self._lock:
+            st = self._tasks.get(task_id)
+            rep = self._task_reports.get(task_id)
+        if st is None:
+            return None
+        payload: dict = {
+            "status": {
+                "status": st["status"],
+                "startTime": st.get("createdTime"),
+                "durationMs": st.get("duration"),
+            }
+        }
+        if st.get("errorMsg"):
+            payload["status"]["errorReport"] = {
+                "taskId": task_id,
+                "error": {
+                    "errorCode": "UnknownError",
+                    "errorMessage": st["errorMsg"],
+                },
+            }
+        if rep is not None:
+            sig, rows = rep
+            payload["results"] = {"signature": sig, "results": rows}
+        return {
+            "multiStageQuery": {
+                "type": "multiStageQuery",
+                "taskId": task_id,
+                "payload": payload,
+            }
+        }
 
     def _render_sql(self, body: dict) -> tuple[bytes, str]:
         """Run a SQL body; return (payload bytes, content type).
@@ -1942,7 +2052,14 @@ class DruidBrokerShim:
             sc.setJobGroup(gid, f"sql statement {sid}",
                            interruptOnCancel=True)
             try:
-                fields, rows = self._avatica_run_sql(sql, args)
+                # SELECT over external data is an MSQ-engine feature
+                # and the statements API is its documented home
+                # (sql-ingestion.md: EXTERN in SELECT runs on sql/task
+                # or sql/statements, never interactive /druid/v2/sql)
+                # — resolve TABLE(EXTERN(...)) here like sql/task does
+                fields, rows = self._avatica_run_sql(
+                    self._resolve_extern(sql), args
+                )
                 with self._lock:
                     if st["state"] == "RUNNING":
                         st["state"] = "SUCCESS"
@@ -2636,6 +2753,16 @@ class DruidBrokerShim:
                     st = shim._task_status(task_id)
                     if st is not None:
                         self._send(200, st)
+                    else:
+                        self._send(404, {"error": "Unknown task",
+                                         "errorMessage": task_id})
+                elif path.startswith("/druid/indexer/v1/task/") and \
+                        path.endswith("/reports"):
+                    task_id = path.split("/druid/indexer/v1/task/",
+                                              1)[1][:-len("/reports")]
+                    rep = shim._task_report(task_id)
+                    if rep is not None:
+                        self._send(200, rep)
                     else:
                         self._send(404, {"error": "Unknown task",
                                          "errorMessage": task_id})

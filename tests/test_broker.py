@@ -1402,6 +1402,41 @@ def test_sql_task_extern_input(spark, tmp_path):
         s.stop()
 
 
+def test_sql_task_select_and_reports(shim):
+    """SELECT on POST /druid/v2/sql/task (sql-ingestion.md: the MSQ
+    task engine runs SELECT queries, rows land in the task report) +
+    GET /druid/indexer/v1/task/{id}/reports serving the documented
+    multiStageQuery envelope with signature + row arrays."""
+    out = _post(shim + "/druid/v2/sql/task", {
+        "query": "SELECT channel, SUM(delta) AS total FROM wikipedia "
+                 "WHERE channel = ? GROUP BY 1",
+        "parameters": [{"type": "VARCHAR", "value": "en"}]})
+    tid = out["taskId"]
+    assert out["state"] == "SUCCESS"
+    st = _get(shim + f"/druid/indexer/v1/task/{tid}/status")
+    assert st["status"]["status"] == "SUCCESS"
+    assert st["status"]["type"] == "query_controller"
+    rep = _get(shim + f"/druid/indexer/v1/task/{tid}/reports")
+    body = rep["multiStageQuery"]
+    assert body["type"] == "multiStageQuery" and body["taskId"] == tid
+    pay = body["payload"]
+    assert pay["status"]["status"] == "SUCCESS"
+    assert pay["results"]["signature"] == [
+        {"name": "channel", "type": "STRING"},
+        {"name": "total", "type": "LONG"}]
+    assert pay["results"]["results"] == [["en", 12]]
+    # the SELECT task shows up in sys.tasks with its read datasource
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "SELECT type, datasource, status FROM sys.tasks "
+                 f"WHERE task_id = '{tid}'"})
+    assert rows == [{"type": "query_controller",
+                     "datasource": "wikipedia", "status": "SUCCESS"}]
+    # unknown task -> 404
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(shim + "/druid/indexer/v1/task/nope/reports")
+    assert ei.value.code == 404
+
+
 def test_avatica_jdbc_lifecycle(shim):
     """POST /druid/v2/sql/avatica: the full Avatica JSON RPC lifecycle
     a JDBC client drives — open, createStatement, prepareAndExecute
@@ -1622,6 +1657,54 @@ def test_sql_statements_async_lifecycle(shim):
         time.sleep(0.25)
     assert st["state"] == "FAILED"
     assert "no_such_table" in st["errorDetails"]["errorMessage"]
+
+
+def test_sql_statements_extern_select(spark, tmp_path):
+    """SELECT ... FROM TABLE(EXTERN(...)) on the async statements API
+    (sql-ingestion.md: querying external data is an MSQ-engine
+    feature served by sql/task and sql/statements, never interactive
+    /druid/v2/sql): raw files read through the ingestion reader with
+    the declared signature, no segments written."""
+    import time
+
+    drop = tmp_path / "ext"
+    drop.mkdir()
+    with open(drop / "a.json", "w") as f:
+        f.write(json.dumps({"page": "x", "delta": 4}) + "\n")
+        f.write(json.dumps({"page": "y", "delta": 6}) + "\n")
+        f.write(json.dumps({"page": "x", "delta": 1}) + "\n")
+    s = DruidBrokerShim(spark, {}, deep_storage=str(tmp_path / "deep"))
+    port = s.start()
+    base = f"http://127.0.0.1:{port}"
+    src = json.dumps({"type": "local", "baseDir": str(drop),
+                      "filter": "*.json"})
+    fmt = json.dumps({"type": "json"})
+    sig = json.dumps([{"name": "page", "type": "string"},
+                      {"name": "delta", "type": "long"}])
+    try:
+        sub = _post(base + "/druid/v2/sql/statements", {
+            "query": f"SELECT page, SUM(delta) AS total "
+                     f"FROM TABLE(EXTERN('{src}', '{fmt}', '{sig}')) "
+                     f"GROUP BY 1 ORDER BY 1"})
+        sid = sub["queryId"]
+        for _ in range(120):
+            st = _get(base + f"/druid/v2/sql/statements/{sid}")
+            if st["state"] != "RUNNING":
+                break
+            time.sleep(0.25)
+        assert st["state"] == "SUCCESS"
+        rows = _get(base + f"/druid/v2/sql/statements/{sid}/results")
+        assert rows == [{"page": "x", "total": 5},
+                        {"page": "y", "total": 6}]
+        # the interactive endpoint does NOT grow the EXTERN feature:
+        # parity with Druid, where only the MSQ surfaces accept it
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/druid/v2/sql", {
+                "query": f"SELECT COUNT(*) AS n "
+                         f"FROM TABLE(EXTERN('{src}', '{fmt}', '{sig}'))"})
+        assert ei.value.code in (400, 500)
+    finally:
+        s.stop()
 
 
 def test_avatica_decimal_and_array_columns(shim):
