@@ -582,6 +582,9 @@ class DruidBrokerShim:
         # by GET /druid/indexer/v1/task/{id}/reports (bounded: rows
         # pass the max_rows gate before they are retained)
         self._task_reports: dict[str, tuple] = {}
+        # submitted task bodies, for GET /druid/indexer/v1/task/{id}
+        # (the console's payload view)
+        self._task_payloads: dict[str, dict] = {}
         self._supervisors: dict[str, Any] = {}
         # supervisor spec-revision audit: id -> [{spec, version}, ...]
         # in submit order (survives supervisor replacement — history is
@@ -1742,7 +1745,9 @@ class DruidBrokerShim:
                 "duration": int((time.monotonic() - t0) * 1000),
                 "errorMsg": str(e)[:2000],
             }
-        self._record_task(status)
+        self._record_task(
+            status, {"type": "query_controller", "sqlQuery": sql_text}
+        )
         if status["status"] == "FAILED":
             raise ValueError(status["errorMsg"])
         return {"taskId": task_id, "state": "SUCCESS"}
@@ -1787,14 +1792,21 @@ class DruidBrokerShim:
 
         return _EXTERN_RE.sub(replace, sql)
 
-    def _record_task(self, status: dict) -> None:
+    def _record_task(
+        self, status: dict, payload: dict | None = None
+    ) -> None:
         """Store a terminal task status (atomic map rebind) and refresh
         sys.tasks — the one bookkeeping path for batch, kill, and SQL
-        ingestion tasks."""
+        ingestion tasks. ``payload`` retains the submitted body for
+        GET /druid/indexer/v1/task/{id}."""
         with self._lock:
             tasks = dict(self._tasks)
             tasks[status["id"]] = status
             self._tasks = tasks
+            if payload is not None:
+                payloads = dict(self._task_payloads)
+                payloads[status["id"]] = payload
+                self._task_payloads = payloads
             self._refresh_sys_tasks()
 
     def _run_select_task(self, sql: str, body: dict) -> dict:
@@ -1852,7 +1864,9 @@ class DruidBrokerShim:
                 "duration": int((time.monotonic() - t0) * 1000),
                 "errorMsg": str(e)[:2000],
             }
-        self._record_task(status)
+        self._record_task(
+            status, {"type": "query_controller", "sqlQuery": sql}
+        )
         if status["status"] == "FAILED":
             raise ValueError(status["errorMsg"])
         return {"taskId": task_id, "state": "SUCCESS"}
@@ -2301,7 +2315,7 @@ class DruidBrokerShim:
                     "type": "kill", "createdTime": created,
                     "duration": int((time.monotonic() - t0) * 1000),
                     "errorMsg": None, "numSegmentsKilled": n,
-                })
+                }, payload=body)
                 return {"task": task_id}
             manifest = ingest(self.spark, body, self.deep_storage).collect()
             self._register_datasource_root(reg_ds)
@@ -2320,9 +2334,7 @@ class DruidBrokerShim:
                 "duration": int((time.monotonic() - t0) * 1000),
                 "segments": 0, "errorMsg": str(e)[:2000],
             }
-        with self._lock:
-            self._tasks[task_id] = status
-            self._refresh_sys_tasks()
+        self._record_task(status, payload=body)
         return {"task": task_id}
 
     def _register_datasource_root(
@@ -2458,6 +2470,72 @@ class DruidBrokerShim:
         with self._lock:
             st = self._tasks.get(task_id)
         return {"task": task_id, "status": st} if st else None
+
+    def _task_payload(self, task_id: str) -> dict | None:
+        """GET /druid/indexer/v1/task/{id} (api-reference.md tasks):
+        the submitted task body, under Druid's {task, payload}
+        envelope — the console's payload tab. Tasks recorded before
+        payload retention (or synthesized internally) fall back to a
+        minimal body built from the status row."""
+        with self._lock:
+            st = self._tasks.get(task_id)
+            pl = self._task_payloads.get(task_id)
+        if st is None:
+            return None
+        if pl is None:
+            pl = {"id": task_id, "type": st.get("type"),
+                  "dataSource": st.get("dataSource")}
+        else:
+            pl = {"id": task_id, **pl}
+        return {"task": task_id, "payload": pl}
+
+    def _task_list(
+        self,
+        state: str | None = None,
+        datasource: str | None = None,
+        task_type: str | None = None,
+        max_n: int | None = None,
+    ) -> list[dict] | None:
+        """GET /druid/indexer/v1/tasks[?state=&datasource=&type=&max=]
+        plus the /runningTasks /completeTasks /pendingTasks
+        /waitingTasks aliases (api-reference.md tasks section; the
+        Druid console's task view polls these). Tasks on this
+        synchronous overlord are terminal the moment they are
+        recorded, so running/pending/waiting are truthfully empty and
+        ``complete`` equals the full list. Rows use Druid's TaskStatusPlus
+        shape; newest first; ``max`` bounds complete-task listings like
+        real Druid's."""
+        if state not in (None, "complete", "running", "pending",
+                         "waiting"):
+            raise ValueError(f"unknown task state {state!r}")
+        if state in ("running", "pending", "waiting"):
+            return []
+        with self._lock:
+            tasks = list(self._tasks.values())
+        out = [
+            {
+                "id": t["id"],
+                "groupId": t["id"],
+                "type": t.get("type", "index_parallel"),
+                "createdTime": t.get("createdTime"),
+                "queueInsertionTime": t.get("createdTime"),
+                "statusCode": t["status"],
+                "status": t["status"],
+                "runnerStatusCode": "NONE",
+                "duration": t.get("duration"),
+                "location": {"host": None, "port": -1, "tlsPort": -1},
+                "dataSource": t.get("dataSource", ""),
+                "errorMsg": t.get("errorMsg"),
+            }
+            for t in tasks
+            if (datasource is None or t.get("dataSource") == datasource)
+            and (task_type is None or t.get("type") == task_type)
+        ]
+        out.sort(key=lambda r: (r["createdTime"] or "", r["id"]),
+                 reverse=True)
+        if max_n is not None:
+            out = out[:max(max_n, 0)]
+        return out
 
     def _query_candidates(
         self, ds: str, intervals: list[str] | None
@@ -2597,6 +2675,35 @@ class DruidBrokerShim:
                     self._send(200, {
                         ds: 100.0 for ds in sorted(shim.tables)
                     })
+                elif path == "/druid/indexer/v1/tasks" or path in (
+                    "/druid/indexer/v1/runningTasks",
+                    "/druid/indexer/v1/completeTasks",
+                    "/druid/indexer/v1/pendingTasks",
+                    "/druid/indexer/v1/waitingTasks",
+                ):
+                    from urllib.parse import parse_qs, urlparse
+
+                    q = parse_qs(urlparse(self.path).query)
+                    alias = path.rsplit("/", 1)[1]
+                    state = {
+                        "runningTasks": "running",
+                        "completeTasks": "complete",
+                        "pendingTasks": "pending",
+                        "waitingTasks": "waiting",
+                    }.get(alias, (q.get("state") or [None])[0])
+                    raw_max = (q.get("max") or [None])[0]
+                    try:
+                        rows = shim._task_list(
+                            state=state,
+                            datasource=(q.get("datasource") or [None])[0],
+                            task_type=(q.get("type") or [None])[0],
+                            max_n=int(raw_max) if raw_max else None,
+                        )
+                    except ValueError as e:
+                        self._send(400, {"error": "Bad request",
+                                         "errorMessage": str(e)})
+                        return
+                    self._send(200, rows)
                 elif path == "/druid/v2/candidates":
                     from urllib.parse import parse_qs, urlparse
 
@@ -2763,6 +2870,17 @@ class DruidBrokerShim:
                     rep = shim._task_report(task_id)
                     if rep is not None:
                         self._send(200, rep)
+                    else:
+                        self._send(404, {"error": "Unknown task",
+                                         "errorMessage": task_id})
+                elif path.startswith("/druid/indexer/v1/task/") and \
+                        "/" not in path.split(
+                            "/druid/indexer/v1/task/", 1)[1]:
+                    task_id = path.split("/druid/indexer/v1/task/",
+                                              1)[1]
+                    pl = shim._task_payload(task_id)
+                    if pl is not None:
+                        self._send(200, pl)
                     else:
                         self._send(404, {"error": "Unknown task",
                                          "errorMessage": task_id})

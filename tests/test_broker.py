@@ -1437,6 +1437,44 @@ def test_sql_task_select_and_reports(shim):
     assert ei.value.code == 404
 
 
+def test_overlord_task_listing_and_payload(shim):
+    """GET /druid/indexer/v1/tasks (+ running/complete/pending/waiting
+    aliases, state/datasource/type/max filters) and the task payload
+    view GET /druid/indexer/v1/task/{id} — the endpoints the Druid
+    console's task tab polls. This synchronous overlord truthfully
+    reports running/pending/waiting as empty."""
+    out = _post(shim + "/druid/v2/sql/task", {
+        "query": "SELECT COUNT(*) AS n FROM wikipedia"})
+    tid = out["taskId"]
+    rows = _get(shim + "/druid/indexer/v1/tasks")
+    me = next(r for r in rows if r["id"] == tid)
+    assert me["statusCode"] == "SUCCESS"
+    assert me["runnerStatusCode"] == "NONE"
+    assert me["type"] == "query_controller"
+    assert me["dataSource"] == "wikipedia"
+    # filters compose; aliases answer; max bounds newest-first
+    assert any(
+        r["id"] == tid for r in _get(
+            shim + "/druid/indexer/v1/tasks"
+                   "?datasource=wikipedia&type=query_controller")
+    )
+    assert _get(shim + "/druid/indexer/v1/runningTasks") == []
+    assert _get(shim + "/druid/indexer/v1/pendingTasks") == []
+    assert _get(shim + "/druid/indexer/v1/waitingTasks") == []
+    comp = _get(shim + "/druid/indexer/v1/completeTasks?max=1")
+    assert len(comp) == 1 and comp[0]["id"] == tid
+    pl = _get(shim + f"/druid/indexer/v1/task/{tid}")
+    assert pl["task"] == tid
+    assert pl["payload"]["type"] == "query_controller"
+    assert pl["payload"]["sqlQuery"].startswith("SELECT COUNT(*)")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(shim + "/druid/indexer/v1/task/nope")
+    assert ei.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(shim + "/druid/indexer/v1/tasks?state=bogus")
+    assert ei.value.code == 400
+
+
 def test_avatica_jdbc_lifecycle(shim):
     """POST /druid/v2/sql/avatica: the full Avatica JSON RPC lifecycle
     a JDBC client drives — open, createStatement, prepareAndExecute
