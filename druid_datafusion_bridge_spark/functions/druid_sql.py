@@ -432,9 +432,22 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
     # literal (non-regex) separator, like Druid: \Q...\E-quote it
     ("STRING_TO_MV", "s STRING, sep STRING", "ARRAY<STRING>",
      r"split(s, concat('\\Q', sep, '\\E'))"),
+    # Druid's BITWISE_* function names over 64-bit longs (math-expr
+    # docs); Spark has the operators/builtins, Druid SQL the names
+    ("BITWISE_AND", "x BIGINT, y BIGINT", "BIGINT", "x & y"),
+    ("BITWISE_OR", "x BIGINT, y BIGINT", "BIGINT", "x | y"),
+    ("BITWISE_XOR", "x BIGINT, y BIGINT", "BIGINT", "x ^ y"),
+    ("BITWISE_COMPLEMENT", "x BIGINT", "BIGINT", "~x"),
+    ("BITWISE_SHIFT_LEFT", "x BIGINT, y BIGINT", "BIGINT",
+     "shiftleft(x, CAST(y AS INT))"),
+    ("BITWISE_SHIFT_RIGHT", "x BIGINT, y BIGINT", "BIGINT",
+     "shiftright(x, CAST(y AS INT))"),
     # DIV and REGEXP_LIKE are omitted: Spark ships built-ins with
     # Druid's exact semantics (truncating integer division; partial
     # regex match) and refuses to shadow them with SQL UDFs.
+    # REGEXP_EXTRACT and STRING_AGG are handled by the SQL-text
+    # rewrite below (arg-default/name differences a scalar UDF cannot
+    # express for an aggregate or without shadowing a builtin).
 ]
 
 
@@ -516,14 +529,37 @@ def _ds_render(name: str, args: list[str]) -> str:
         for s in sks[1:]:
             out = f"hll_union({out}, {s})"
         return out
+    if name == "REGEXP_EXTRACT":
+        # Druid's 2-arg form returns the WHOLE match (group 0); Spark's
+        # builtin defaults to group 1 — and ERRORS outright on a
+        # groupless pattern — so the Druid default is made explicit.
+        # The 3-arg form is pass-through: both engines number capture
+        # groups identically with 0 = full match. (Divergence note: a
+        # caller writing Spark-style regexp_extract(s, p) through a
+        # Druid endpoint gets Druid's full-match default — these are
+        # Druid surfaces, so Druid semantics win.)
+        if len(args) == 2:
+            return f"regexp_extract({args[0]}, {args[1]}, 0)"
+        return f"regexp_extract({', '.join(args[:3])})"
+    if name == "STRING_AGG":
+        # Druid STRING_AGG(expr, separator[, maxSize]) -> Spark 4's
+        # listagg (same null-skipping, same nondeterministic order
+        # absent WITHIN GROUP); the optional byte-cap maxSize is a
+        # resource knob with no Spark twin and is dropped.
+        return f"listagg({', '.join(args[:2])})"
     raise AssertionError(name)
 
 
+# DataSketches aggregates plus the two Druid names whose Spark twin
+# needs ARG-FORM normalization rather than a scalar UDF: REGEXP_EXTRACT
+# (Druid defaults to the full match, Spark to group 1) and STRING_AGG
+# (Spark spells it listagg). Scalar names with identical semantics
+# register as SQL functions instead (_SQL_FUNCTIONS).
 _DS_NAMES = (
     "APPROX_COUNT_DISTINCT_DS_HLL", "APPROX_COUNT_DISTINCT_DS_THETA",
     "APPROX_QUANTILE_DS",
     "APPROX_QUANTILE", "HLL_SKETCH_ESTIMATE", "HLL_SKETCH_UNION",
-    "DS_HLL",
+    "DS_HLL", "REGEXP_EXTRACT", "STRING_AGG",
 )
 _DS_CALL_RE = re.compile(
     r"\b(" + "|".join(_DS_NAMES) + r")\s*\(", re.IGNORECASE

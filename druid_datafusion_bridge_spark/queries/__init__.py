@@ -58,6 +58,7 @@ NEW_IN_R8: tuple[str, ...] = (
     "sim_filtered_topk",
     "sim_ivfpq_topk",
     "txt_bm25_rank",
+    "fd_expr_gap_sql_text",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first).

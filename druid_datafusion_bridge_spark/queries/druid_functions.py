@@ -585,3 +585,69 @@ def fd_ds_sketch_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.sql(sql)
+
+@query(
+    "fd_expr_gap_sql_text",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(user_id % 5 AS VARCHAR) AS tag, event_id
+      FROM events)
+    SELECT event_type,
+           regexp_extract(min(event_type), '[a-z]+') AS re_full,
+           regexp_extract(min(event_type), '([a-z])([a-z]+)', 2) AS re_g2,
+           array_to_string(
+             list_sort(string_split(string_agg(DISTINCT tag, ','), ',')),
+             ','
+           ) AS tags_sorted,
+           min(event_id) & 255 AS band,
+           min(event_id) | 16 AS bor,
+           xor(min(event_id), 255) AS bxor,
+           ~min(event_id) AS bcompl,
+           min(event_id) << 3 AS bshl,
+           max(event_id) >> 2 AS bshr
+    FROM e GROUP BY event_type ORDER BY event_type
+    """,
+)
+def fd_expr_gap_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Druid SQL names whose Spark twin has a DIFFERENT default,
+    name, or no scalar twin at all, as raw SQL text: 2-arg
+    REGEXP_EXTRACT (Druid returns the FULL match; Spark's builtin
+    defaults to group 1 and errors outright on a groupless pattern),
+    3-arg REGEXP_EXTRACT (same group numbering both engines),
+    STRING_AGG (Spark spells it listagg; rendered order-insensitive
+    here by sort-after-split since neither engine orders the
+    aggregate without WITHIN GROUP), and the six BITWISE_* function
+    names over 64-bit longs (sql-scalar.md). REGEXP_EXTRACT and
+    STRING_AGG normalize in rewrite_datasketches_sql (arg-form
+    rewrites a scalar SQL UDF cannot express); BITWISE_* register as
+    SQL functions. Exact DuckDB oracle — DuckDB's regexp_extract
+    shares Druid's full-match default, its operators the two's-
+    complement semantics."""
+    from ..functions.druid_sql import rewrite_datasketches_sql
+
+    register_druid_sql_functions(spark)
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    sql = rewrite_datasketches_sql(
+        """
+        WITH e AS (
+          SELECT event_type, CAST(user_id % 5 AS STRING) AS tag,
+                 event_id
+          FROM events)
+        SELECT event_type,
+               REGEXP_EXTRACT(min(event_type), '[a-z]+') AS re_full,
+               REGEXP_EXTRACT(min(event_type), '([a-z])([a-z]+)', 2)
+                 AS re_g2,
+               array_join(
+                 array_sort(split(STRING_AGG(DISTINCT tag, ','), ',')),
+                 ','
+               ) AS tags_sorted,
+               BITWISE_AND(min(event_id), 255) AS band,
+               BITWISE_OR(min(event_id), 16) AS bor,
+               BITWISE_XOR(min(event_id), 255) AS bxor,
+               BITWISE_COMPLEMENT(min(event_id)) AS bcompl,
+               BITWISE_SHIFT_LEFT(min(event_id), 3) AS bshl,
+               BITWISE_SHIFT_RIGHT(max(event_id), 2) AS bshr
+        FROM e GROUP BY event_type ORDER BY event_type
+        """
+    )
+    return spark.sql(sql)

@@ -1173,6 +1173,10 @@ def test_grouping_sets_all_null_groups_differential(spark, a):
     "APPROX_COUNT_DISTINCT_DS_HLL(x, 12, 'HLL_8')",
     "HLL_SKETCH_ESTIMATE(DS_HLL(CASE WHEN a IN (1,2) THEN b END))",
     "HLL_SKETCH_UNION(12, DS_HLL(a), DS_HLL(b), DS_HLL(c))",
+    "REGEXP_EXTRACT(s, '[0-9]+')",
+    "regexp_extract(s, '([a-z])([0-9])', 2)",
+    "STRING_AGG(DISTINCT x, ',')",
+    "string_agg(x, ';')",
     "'DS_HLL(a)'",
     "'don''t'",
     r"'a\'b DS_HLL(q)'",
@@ -1208,8 +1212,10 @@ def test_datasketches_rewrite_fuzz(frags):
         assert sql.count(lit) == out.count(lit)  # untouched spans
     mask = _sql_code_mask(out)
     for m in _DS_CALL_RE.finditer(out):
-        # the exact-lowercase Spark builtin spelling is the rewrite's
-        # own output and deliberately stays (idempotence)
-        if m.group(1) == "hll_sketch_estimate":
+        # the exact-lowercase Spark builtin spellings are the
+        # rewrite's own output and deliberately stay (idempotence:
+        # hll_sketch_estimate by skip, regexp_extract by identity
+        # re-render of its normalized 3-arg form)
+        if m.group(1) in ("hll_sketch_estimate", "regexp_extract"):
             continue
         assert not mask[m.start()], (out, m.group())
