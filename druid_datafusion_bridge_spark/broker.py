@@ -286,6 +286,38 @@ def _sub_outside_literals(sql: str, fn) -> str:
     return "".join(out)
 
 
+def _bind_params(body: dict) -> list | None:
+    """Druid SQL API ``parameters``: positional ?-placeholders carried
+    as typed {"type", "value"} objects (or bare values) — unwrapped to
+    the positional list Spark's parameterized SQL binds. The ONE
+    unwrap for every SQL surface (sync, task, statements, Avatica
+    hand-off) so binding fixes can't drift between them."""
+    params = body.get("parameters")
+    if not params:
+        return None
+    return [p.get("value") if isinstance(p, dict) else p for p in params]
+
+
+def _strip_sql_head(sql: str) -> str:
+    """Drop leading whitespace, -- line comments, and /* */ block
+    comments — enough to classify a statement's verb the way Calcite
+    does (a commented or parenthesized SELECT is still a SELECT)."""
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c.isspace():
+            i += 1
+        elif sql.startswith("--", i):
+            j = sql.find("\n", i)
+            i = n if j < 0 else j + 1
+        elif sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+        else:
+            break
+    return sql[i:]
+
+
 def _rewrite_system_tables(sql: str) -> str:
     """Druid-SQL-text front door: maps sys./INFORMATION_SCHEMA names
     onto the engine's views AND the DataSketches SQL function names
@@ -1633,10 +1665,13 @@ class DruidBrokerShim:
         import time
 
         sql_text = body.get("query", "")
-        m = _INGEST_SQL_RE.match(sql_text)
+        # classify on the comment-stripped head (Calcite accepts
+        # leading comments and parenthesized SELECTs on this endpoint)
+        stripped = _strip_sql_head(sql_text)
+        m = _INGEST_SQL_RE.match(stripped)
         if m is None:
-            head = sql_text.lstrip()[:7].upper()
-            if head.startswith(("SELECT", "WITH")):
+            head = stripped[:7].upper()
+            if head.startswith(("SELECT", "WITH", "(")):
                 # the MSQ task engine also runs SELECT queries
                 # (sql-ingestion.md): rows land in the
                 # query_controller task's report, not in segments —
@@ -1678,12 +1713,7 @@ class DruidBrokerShim:
             for c in (m.group("cluster") or "").split(",")
             if c.strip()
         ]
-        params = body.get("parameters")
-        args = (
-            [p.get("value") if isinstance(p, dict) else p for p in params]
-            if params
-            else None
-        )
+        args = _bind_params(body)
         df = self.spark.sql(
             _rewrite_system_tables(self._resolve_extern(m.group("select"))),
             args=args,
@@ -1806,6 +1836,10 @@ class DruidBrokerShim:
             if payload is not None:
                 payloads = dict(self._task_payloads)
                 payloads[status["id"]] = payload
+                # same bounded-retention hygiene as _task_reports
+                # (payloads are small; the bound is generous)
+                while len(payloads) > 512:
+                    payloads.pop(next(iter(payloads)))
                 self._task_payloads = payloads
             self._refresh_sys_tasks()
 
@@ -1820,19 +1854,29 @@ class DruidBrokerShim:
         import datetime
         import time
 
-        params = body.get("parameters")
-        args = (
-            [p.get("value") if isinstance(p, dict) else p for p in params]
-            if params else None
-        )
+        args = _bind_params(body)
         with self._lock:
             self._task_seq += 1
             task_id = f"query_controller_select_{self._task_seq}"
         created = datetime.datetime.now(datetime.timezone.utc).isoformat()
         # sys.tasks wants a datasource; a SELECT task's natural one is
-        # the (first) registered table it reads, blank for pure-EXTERN
+        # the first registered table the query READS — identifiers
+        # following FROM/JOIN, in appearance order, so a column that
+        # happens to share another table's name can't steal the
+        # attribution. Word-match is the fallback (subqueries through
+        # odd quoting), blank for pure-EXTERN.
+        read = [
+            t for _, t in re.findall(
+                r'\b(?:FROM|JOIN)\s+("?)([A-Za-z_][A-Za-z0-9_]*)\1',
+                sql, re.IGNORECASE,
+            )
+        ]
         ds = next(
-            (t for t in sorted(self.tables) if _word_in_sql(t, sql)), ""
+            (t for t in read if t in self.tables),
+            next(
+                (t for t in sorted(self.tables)
+                 if _word_in_sql(t, sql)), "",
+            ),
         )
         t0 = time.monotonic()
         try:
@@ -1856,6 +1900,14 @@ class DruidBrokerShim:
             with self._lock:
                 reports = dict(self._task_reports)
                 reports[task_id] = (sig, data)
+                # bounded retention: unlike statements (which have a
+                # DELETE), task reports have no eviction API, so a
+                # long-lived broker serving periodic SELECT tasks
+                # would grow until OOM — keep the newest 64 result
+                # sets (each already bounded by max_rows); evicted
+                # tasks keep status/payload, only rows age out
+                while len(reports) > 64:
+                    reports.pop(next(iter(reports)))
                 self._task_reports = reports
         except Exception as e:
             status = {
@@ -1926,15 +1978,7 @@ class DruidBrokerShim:
             "object", "array", "objectLines", "arrayLines", "csv"
         ):
             raise ValueError(f"unsupported resultFormat {fmt!r}")
-        # Druid SQL API parameters: positional ?-placeholders with
-        # typed {"type", "value"} objects — Spark's parameterized SQL
-        # binds the same positional form
-        params = body.get("parameters")
-        args = (
-            [p.get("value") if isinstance(p, dict) else p for p in params]
-            if params
-            else None
-        )
+        args = _bind_params(body)
         sql = _rewrite_system_tables(body["query"])
         m = _EXPLAIN_RE.match(sql)
         if m:
@@ -2052,11 +2096,7 @@ class DruidBrokerShim:
             stmts[sid] = st
             self._sql_statements = stmts
 
-        params = body.get("parameters")
-        args = (
-            [p.get("value") if isinstance(p, dict) else p for p in params]
-            if params else None
-        )
+        args = _bind_params(body)
 
         def run() -> None:
             import time as _time

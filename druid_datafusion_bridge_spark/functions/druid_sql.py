@@ -533,20 +533,39 @@ def _ds_render(name: str, args: list[str]) -> str:
         # Druid's 2-arg form returns the WHOLE match (group 0); Spark's
         # builtin defaults to group 1 — and ERRORS outright on a
         # groupless pattern — so the Druid default is made explicit.
-        # The 3-arg form is pass-through: both engines number capture
+        # Druid also returns NULL on no match where Spark returns '',
+        # hence the nullif wrapper (known edge: a pattern that MATCHES
+        # the empty string also nulls out — indistinguishable from
+        # no-match once Spark has collapsed both to ''). The 3-arg
+        # form keeps its group index: both engines number capture
         # groups identically with 0 = full match. (Divergence note: a
         # caller writing Spark-style regexp_extract(s, p) through a
         # Druid endpoint gets Druid's full-match default — these are
-        # Druid surfaces, so Druid semantics win.)
-        if len(args) == 2:
-            return f"regexp_extract({args[0]}, {args[1]}, 0)"
-        return f"regexp_extract({', '.join(args[:3])})"
+        # Druid surfaces, so Druid semantics win.) A 4th argument is
+        # invalid in Druid and rejected rather than silently dropped.
+        if len(args) not in (2, 3):
+            raise ValueError(
+                f"REGEXP_EXTRACT takes 2 or 3 arguments, got {len(args)}"
+            )
+        grp = args[2] if len(args) == 3 else "0"
+        return f"nullif(regexp_extract({args[0]}, {args[1]}, {grp}), '')"
     if name == "STRING_AGG":
         # Druid STRING_AGG(expr, separator[, maxSize]) -> Spark 4's
         # listagg (same null-skipping, same nondeterministic order
-        # absent WITHIN GROUP); the optional byte-cap maxSize is a
-        # resource knob with no Spark twin and is dropped.
-        return f"listagg({', '.join(args[:2])})"
+        # absent WITHIN GROUP). Druid casts any input type to string;
+        # Spark's listagg rejects non-STRING input, so the cast is
+        # explicit (DISTINCT prefixes hoist above it). The optional
+        # byte-cap maxSize is a resource knob with no Spark twin and
+        # is dropped; more than 3 arguments is invalid in Druid and
+        # rejected.
+        if len(args) not in (2, 3):
+            raise ValueError(
+                f"STRING_AGG takes 2 or 3 arguments, got {len(args)}"
+            )
+        expr, dist = args[0], ""
+        if expr[:9].upper().startswith("DISTINCT "):
+            dist, expr = "DISTINCT ", expr[9:]
+        return f"listagg({dist}CAST({expr} AS STRING), {args[1]})"
     raise AssertionError(name)
 
 
@@ -628,12 +647,14 @@ def rewrite_datasketches_sql(sql: str) -> str:
     while True:
         m = None
         for cand in _DS_CALL_RE.finditer(sql, pos):
-            # the exact-lowercase spelling of the one name that ALSO
-            # exists as a Spark builtin is left alone — it already
-            # means the Spark function, and skipping it makes the
-            # rewrite IDEMPOTENT (its own rendered output never
-            # re-matches on a second pass; fuzz-pinned)
-            if cand.group(1) == "hll_sketch_estimate":
+            # exact-lowercase spellings that ALSO exist as Spark
+            # builtins are left alone — they already mean the Spark
+            # function (lowercase regexp_extract keeps Spark's
+            # group-1 default by the same rule), and skipping them
+            # makes the rewrite IDEMPOTENT (rendered output — CASTs,
+            # nullif wrappers — never re-matches; fuzz-pinned)
+            if cand.group(1) in ("hll_sketch_estimate",
+                                 "regexp_extract"):
                 continue
             if mask[cand.start()]:
                 m = cand

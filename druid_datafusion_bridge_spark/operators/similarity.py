@@ -809,7 +809,7 @@ def _ivfpq_train_local(
     codebook_size: int,
     seed: int,
     spark,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, list, list]:
     """Train BOTH IVF+PQ quantizers from ONE driver-side collect of the
     BOUNDED unit-vector sample (the caller caps it at ``train_sample``
     rows, so this is a fixed few MB at any corpus size — the faiss
@@ -826,11 +826,13 @@ def _ivfpq_train_local(
     rows = train.select("vec_id", "v").orderBy("vec_id").collect()
     if not rows:
         # empty (or all-zero-norm) corpus: empty quantizers -> the
-        # downstream joins produce the same empty result
+        # caller short-circuits to the same empty result
         # brute_force_topk returns
         return (
             spark.createDataFrame([], "cent_id int, cv array<double>"),
             spark.createDataFrame([], "sub_id int, code int, cv array<double>"),
+            [],
+            [],
         )
     x = np.array([r["v"] for r in rows], dtype=np.float64)
     k = min(n_centroids, len(x))
@@ -845,16 +847,25 @@ def _ivfpq_train_local(
                 n = np.linalg.norm(v)
                 if n > 0:
                     cen[c_i] = v / n
+    cen_list = [[float(t) for t in cen[i]] for i in range(k)]
     cents = spark.createDataFrame(
-        [(i, [float(t) for t in cen[i]]) for i in range(k)],
+        [(i, cen_list[i]) for i in range(k)],
         "cent_id int, cv array<double>",
     )
     residuals = x - cen[(x @ cen.T).argmax(axis=1)]
+    books = _pq_kmeans_np(residuals, w, n_subspaces, codebook_size, seed)
     cb = spark.createDataFrame(
-        _pq_kmeans_np(residuals, w, n_subspaces, codebook_size, seed),
-        "sub_id int, code int, cv array<double>",
+        books, "sub_id int, code int, cv array<double>"
     )
-    return cents, cb
+    # per-sub code lists (index = code id), for the literal-expression
+    # corpus encode — the quantizers are driver-resident anyway
+    books_list: list[list[list[float]]] = [
+        [] for _ in range(n_subspaces)
+    ]
+    for s_i, c_i, cv in books:
+        assert len(books_list[s_i]) == c_i  # rows arrive code-ordered
+        books_list[s_i].append(cv)
+    return cents, cb, cen_list, books_list
 
 
 def ivf_pq_topk(
@@ -887,8 +898,10 @@ def ivf_pq_topk(
     Scale shape at 100 TB: both quantizers train driver-side on ONE
     bounded deterministic sample (md5-ordered ``train_sample`` rows —
     fixed MB at any corpus size) and freeze; the corpus is touched by
-    (1) the encode scan (assign cell + code residual, stateless
-    broadcast passes), and (2) the ADC scan, which reads only
+    (1) the encode scan — cell assignment, residual, and codes as one
+    stateless projection against LITERAL quantizer arrays, so the
+    corpus floats never enter a join or exchange — and (2) the ADC
+    scan, which reads only
     (cell, codes) rows and — were the code table written partitioned
     by cell, as ingest would — only the probed cells' partitions.
     Floats are read once more for the per-probe ``shortlist`` exact
@@ -920,52 +933,74 @@ def ivf_pq_topk(
         )
         .limit(train_sample)
     )
-    cents, cb = _ivfpq_train_local(
+    cents, cb, cen_list, books_list = _ivfpq_train_local(
         train, n_centroids, w, n_subspaces, codebook_size, seed,
         v.sparkSession,
     )
-    # encode scan 1: cell = argmax dot against the broadcast centroids
-    # (unit sphere, so dot IS cosine), residual r = v - centroid(cell)
-    assigned = (
-        v.join(F.broadcast(cents))
-        .select(
-            "vec_id", "v", "cent_id",
-            dot(F.col("v"), F.col("cv")).alias("cs"),
+    if not cen_list:
+        # empty (or all-zero-norm) corpus: the same empty result
+        # brute_force_topk returns, without building literal-free plans
+        return (
+            v.limit(0)
+            .crossJoin(
+                probes.select(F.col("probe_id")).limit(0)
+            )
+            .select(
+                "probe_id", "vec_id",
+                F.lit(0.0).alias("sim"),
+                F.lit(0).alias("rank"),
+            )
         )
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                "cent_id", F.struct("cs", (-F.col("cent_id")).alias("tb"))
-            ).alias("cell"),
-            F.first("v").alias("v"),
-        )
+    # The quantizers are driver-resident (trained on the bounded
+    # sample), so the ENTIRE corpus encode — cell assignment, residual,
+    # per-subspace code — is a stateless projection against LITERAL
+    # centroid/codebook arrays: no join, no groupBy, and critically no
+    # shuffle of the corpus floats (a join+argmax formulation would
+    # hash-exchange every vector's 64 doubles on vec_id). Expression
+    # sizes are bounded by the quantizer dimensions (n_centroids dots
+    # + subspaces x codebook_size subdistances per row), all inside
+    # whole-stage codegen. Argmax/argmin resolve ties to the FIRST
+    # (lowest) index via array_position-of-extremum, matching the
+    # max_by/min_by tie-breaks the probe side uses.
+    cents_lit = F.array(
+        *[F.array(*[F.lit(x) for x in c]) for c in cen_list]
     )
-    res = (
-        assigned.join(
-            F.broadcast(cents), assigned["cell"] == cents["cent_id"]
-        )
-        .select(
-            "vec_id", "cell",
-            F.zip_with("v", "cv", lambda a, b: a - b).alias("r"),
-        )
+    dots = F.array(*[
+        dot(F.col("v"), F.array(*[F.lit(x) for x in c]))
+        for c in cen_list
+    ])
+    cell = (
+        F.array_position(dots, F.array_max(dots)) - 1
+    ).cast("int")
+    # cell in its own projection: CollapseProject keeps multi-use
+    # non-cheap aliases materialized, so `r` below computes once
+    assigned = v.select(
+        "vec_id", "v", cell.alias("cell")
     )
-    # encode scan 2: per-subspace nearest codebook entry, cell kept on
-    # the row (inlining _pq_assign so the cell column survives — a
-    # join back to the cell map would shuffle the whole code table)
-    subs = res.select(
+    res = assigned.select(
+        "vec_id", "cell",
+        F.zip_with(
+            "v",
+            F.element_at(cents_lit, F.col("cell") + 1),
+            lambda a, b: a - b,
+        ).alias("r"),
+    )
+
+    def _code_for_sub(s_i: int) -> Column:
+        sv = F.slice("r", s_i * w + 1, w)
+        d2s = F.array(*[
+            _pq_sqdist(sv, F.array(*[F.lit(x) for x in cv]))
+            for cv in books_list[s_i]
+        ])
+        return (
+            F.array_position(d2s, F.array_min(d2s)) - 1
+        ).cast("int")
+
+    codes = res.select(
         "vec_id", "cell",
         F.posexplode(
-            F.array(*[F.slice("r", i * w + 1, w) for i in range(n_subspaces)])
-        ).alias("sub_id", "sv"),
-    )
-    codes = (
-        subs.join(F.broadcast(cb), "sub_id")
-        .select(
-            "vec_id", "cell", "sub_id", "code",
-            _pq_sqdist("sv", "cv").alias("d2"),
-        )
-        .groupBy("vec_id", "cell", "sub_id")
-        .agg(F.min_by("code", F.struct("d2", "code")).alias("code"))
+            F.array(*[_code_for_sub(i) for i in range(n_subspaces)])
+        ).alias("sub_id", "code"),
     )
     p = (
         probes.select(F.col("probe_id"), F.col("probe_vec").alias("raw"))

@@ -1435,6 +1435,15 @@ def test_sql_task_select_and_reports(shim):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(shim + "/druid/indexer/v1/task/nope/reports")
     assert ei.value.code == 404
+    # leading comments don't defeat the SELECT-vs-ingest dispatch
+    # (Calcite accepts them; review regression)
+    out2 = _post(shim + "/druid/v2/sql/task", {
+        "query": "-- nightly report\nSELECT COUNT(*) AS n "
+                 "FROM wikipedia"})
+    rep2 = _get(shim + "/druid/indexer/v1/task/"
+                       f"{out2['taskId']}/reports")
+    n_rows = rep2["multiStageQuery"]["payload"]["results"]["results"]
+    assert n_rows == [[10]] or n_rows[0][0] > 0
 
 
 def test_overlord_task_listing_and_payload(shim):
