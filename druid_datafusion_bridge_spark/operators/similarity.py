@@ -614,28 +614,45 @@ def _pq_assign(
 def _pq_train_local(
     train: DataFrame, w: int, n_subspaces: int, codebook_size: int,
     seed: int, spark,
-) -> DataFrame:
+) -> tuple[DataFrame, list]:
     """Driver-side numpy Lloyd's k-means over the BOUNDED training
     sample (the ADC path caps it at ``train_sample`` rows before this
     is called, so the collect is a fixed few MB at any corpus size).
     Spark ML's k-means|| costs one full Spark job per subspace — 8
     jobs ≈ 2 minutes of scheduler overhead to cluster 10k tiny
     vectors numpy finishes in well under a second. Deterministic:
-    rows sort by vec_id before use and the init RNG is seeded."""
+    rows sort by vec_id before use and the init RNG is seeded.
+    Returns (codebook DataFrame for the broadcast LUT join, per-sub
+    code-ordered centroid lists for the literal-expression encode);
+    both empty for an empty sample."""
     import numpy as np
 
     rows = train.select("vec_id", "v").orderBy("vec_id").collect()
     if not rows:
-        # empty (or all-zero-norm) corpus: no codebooks -> downstream
-        # joins produce the same empty result brute_force_topk returns
-        return spark.createDataFrame(
-            [], "sub_id int, code int, cv array<double>"
+        return (
+            spark.createDataFrame(
+                [], "sub_id int, code int, cv array<double>"
+            ),
+            [],
         )
     x = np.array([r["v"] for r in rows], dtype=np.float64)
-    return spark.createDataFrame(
-        _pq_kmeans_np(x, w, n_subspaces, codebook_size, seed),
-        "sub_id int, code int, cv array<double>",
+    books = _pq_kmeans_np(x, w, n_subspaces, codebook_size, seed)
+    return (
+        spark.createDataFrame(
+            books, "sub_id int, code int, cv array<double>"
+        ),
+        _books_by_sub(books, n_subspaces),
     )
+
+
+def _books_by_sub(books: list, n_subspaces: int) -> list:
+    """(sub_id, code, cv) rows -> per-sub centroid lists indexed by
+    code id, for the literal-expression encode."""
+    by_sub: list[list[list[float]]] = [[] for _ in range(n_subspaces)]
+    for s_i, c_i, cv in books:
+        assert len(by_sub[s_i]) == c_i  # rows arrive code-ordered
+        by_sub[s_i].append(cv)
+    return by_sub
 
 
 def _pq_kmeans_np(x, w: int, n_subspaces: int, codebook_size: int, seed: int):
@@ -740,9 +757,30 @@ def pq_adc_topk(
         )
         .limit(train_sample)
     )
-    cb = _pq_train_local(
+    cb, books_list = _pq_train_local(
         train, w, n_subspaces, codebook_size, seed, v.sparkSession
     )
+    if not books_list:
+        # empty (or all-zero-norm) corpus: the same empty result
+        # brute_force_topk returns
+        return (
+            v.limit(0)
+            .crossJoin(probes.select(F.col("probe_id")).limit(0))
+            .select(
+                "probe_id", "vec_id",
+                F.lit(0.0).alias("sim"),
+                F.lit(0).alias("rank"),
+            )
+        )
+    # encode via subvector-explode -> broadcast-join -> min_by: the
+    # floats never shuffle (the join side is the broadcast codebook;
+    # min_by partial-aggregates map-side so the exchange carries one
+    # small row per (vector, subspace)). A literal-codebook projection
+    # (argmin over inlined centroid arrays) was tried and measured NO
+    # faster here and catastrophically slower on the IVF+PQ residual
+    # path — Spark evaluates higher-order functions interpreted, and
+    # huge inlined-literal expression trees degrade the whole stage —
+    # so the join formulation stands (see ivf_pq_topk's inline note).
     codes = _pq_assign(v, cb, w, n_subspaces).select(
         "vec_id", "sub_id", F.col("b.code").alias("code")
     )
@@ -857,15 +895,7 @@ def _ivfpq_train_local(
     cb = spark.createDataFrame(
         books, "sub_id int, code int, cv array<double>"
     )
-    # per-sub code lists (index = code id), for the literal-expression
-    # corpus encode — the quantizers are driver-resident anyway
-    books_list: list[list[list[float]]] = [
-        [] for _ in range(n_subspaces)
-    ]
-    for s_i, c_i, cv in books:
-        assert len(books_list[s_i]) == c_i  # rows arrive code-ordered
-        books_list[s_i].append(cv)
-    return cents, cb, cen_list, books_list
+    return cents, cb, cen_list, _books_by_sub(books, n_subspaces)
 
 
 def ivf_pq_topk(
@@ -898,14 +928,15 @@ def ivf_pq_topk(
     Scale shape at 100 TB: both quantizers train driver-side on ONE
     bounded deterministic sample (md5-ordered ``train_sample`` rows —
     fixed MB at any corpus size) and freeze; the corpus is touched by
-    (1) the encode scan — cell assignment, residual, and codes as one
-    stateless projection against LITERAL quantizer arrays, so the
-    corpus floats never enter a join or exchange — and (2) the ADC
+    (1) the encode scan — cell/residual via broadcast-centroid joins
+    (one bounded vector exchange; see the inline measurement note) and
+    codes via a broadcast-codebook join whose min_by aggregation
+    combines map-side — and (2) the ADC
     scan, which reads only
     (cell, codes) rows and — were the code table written partitioned
     by cell, as ingest would — only the probed cells' partitions.
     Floats are read once more for the per-probe ``shortlist`` exact
-    rerank. Nothing shuffles the corpus vectors at any point.
+    rerank.
 
     Returns (probe_id, vec_id, sim, rank) like the other ANN paths.
     """
@@ -933,7 +964,7 @@ def ivf_pq_topk(
         )
         .limit(train_sample)
     )
-    cents, cb, cen_list, books_list = _ivfpq_train_local(
+    cents, cb, cen_list, _books = _ivfpq_train_local(
         train, n_centroids, w, n_subspaces, codebook_size, seed,
         v.sparkSession,
     )
@@ -951,56 +982,63 @@ def ivf_pq_topk(
                 F.lit(0).alias("rank"),
             )
         )
-    # The quantizers are driver-resident (trained on the bounded
-    # sample), so the ENTIRE corpus encode — cell assignment, residual,
-    # per-subspace code — is a stateless projection against LITERAL
-    # centroid/codebook arrays: no join, no groupBy, and critically no
-    # shuffle of the corpus floats (a join+argmax formulation would
-    # hash-exchange every vector's 64 doubles on vec_id). Expression
-    # sizes are bounded by the quantizer dimensions (n_centroids dots
-    # + subspaces x codebook_size subdistances per row), all inside
-    # whole-stage codegen. Argmax/argmin resolve ties to the FIRST
-    # (lowest) index via array_position-of-extremum, matching the
-    # max_by/min_by tie-breaks the probe side uses.
-    cents_lit = F.array(
-        *[F.array(*[F.lit(x) for x in c]) for c in cen_list]
+    # Cell assignment + residual via broadcast-centroid join and a
+    # vec_id-keyed argmax aggregation. This DOES hash-exchange the
+    # corpus vectors once (64 doubles per row) — a literal-expression
+    # formulation (argmax over 16 inlined centroid arrays, residual
+    # via element_at) was built to remove that exchange and MEASURED
+    # catastrophically slower composed (complete ivf_pq_topk call at
+    # 100k vectors: ~950 s vs seconds-per-stage for this form —
+    # interpreted higher-order-function projections with ~50 KB
+    # expression trees degrade the whole downstream stage), so the
+    # one bounded exchange stands. At 100 TB the encode is an
+    # ingest-time job whose output lands partitioned by cell; the
+    # per-query path never touches it.
+    assigned = (
+        v.join(F.broadcast(cents))
+        .select(
+            "vec_id", "v", "cent_id",
+            dot(F.col("v"), F.col("cv")).alias("cs"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cent_id", F.struct("cs", (-F.col("cent_id")).alias("tb"))
+            ).alias("cell"),
+            F.first("v").alias("v"),
+        )
     )
-    dots = F.array(*[
-        dot(F.col("v"), F.array(*[F.lit(x) for x in c]))
-        for c in cen_list
-    ])
-    cell = (
-        F.array_position(dots, F.array_max(dots)) - 1
-    ).cast("int")
-    # cell in its own projection: CollapseProject keeps multi-use
-    # non-cheap aliases materialized, so `r` below computes once
-    assigned = v.select(
-        "vec_id", "v", cell.alias("cell")
+    res = (
+        assigned.join(
+            F.broadcast(cents), assigned["cell"] == cents["cent_id"]
+        )
+        .select(
+            "vec_id", "cell",
+            F.zip_with("v", "cv", lambda a, b: a - b).alias("r"),
+        )
     )
-    res = assigned.select(
-        "vec_id", "cell",
-        F.zip_with(
-            "v",
-            F.element_at(cents_lit, F.col("cell") + 1),
-            lambda a, b: a - b,
-        ).alias("r"),
-    )
-
-    def _code_for_sub(s_i: int) -> Column:
-        sv = F.slice("r", s_i * w + 1, w)
-        d2s = F.array(*[
-            _pq_sqdist(sv, F.array(*[F.lit(x) for x in cv]))
-            for cv in books_list[s_i]
-        ])
-        return (
-            F.array_position(d2s, F.array_min(d2s)) - 1
-        ).cast("int")
-
-    codes = res.select(
+    # per-subspace codes via explode -> broadcast-join -> min_by,
+    # cell kept on the row. The floats do not shuffle here either:
+    # the codebook side is broadcast and min_by partial-aggregates
+    # map-side, so the exchange carries one (vec, cell, sub) row.
+    # (A literal-codebook projection was tried and MEASURED 40x
+    # slower: the generator inlines the residual chain — cell argmax
+    # + element_at + zip_with — once per codebook entry, re-running
+    # interpreted higher-order aggregates 256x per row.)
+    subs = res.select(
         "vec_id", "cell",
         F.posexplode(
-            F.array(*[_code_for_sub(i) for i in range(n_subspaces)])
-        ).alias("sub_id", "code"),
+            F.array(*[F.slice("r", i * w + 1, w) for i in range(n_subspaces)])
+        ).alias("sub_id", "sv"),
+    )
+    codes = (
+        subs.join(F.broadcast(cb), "sub_id")
+        .select(
+            "vec_id", "cell", "sub_id", "code",
+            _pq_sqdist("sv", "cv").alias("d2"),
+        )
+        .groupBy("vec_id", "cell", "sub_id")
+        .agg(F.min_by("code", F.struct("d2", "code")).alias("code"))
     )
     p = (
         probes.select(F.col("probe_id"), F.col("probe_vec").alias("raw"))
