@@ -400,11 +400,13 @@ SLOPE_QUERIES = [
     # segment builder, not a query plan.
     "fd_ds_sketch_sql_text",
     # r8 data-plane additions: BM25 (posting-list shuffles over
-    # documents) and the composed IVF+PQ index (encode scans + coded
+    # documents), the composed IVF+PQ index (encode scans + coded
     # ADC scan over embeddings — its bounded driver-side training is
-    # a fixed cost the slope should show amortizing)
+    # a fixed cost the slope should show amortizing), and the
+    # user-journey paths query (one user-keyed window + tiny agg)
     "txt_bm25_rank",
     "sim_ivfpq_topk",
+    "an_top_paths",
 ]
 
 # per-table key columns to shift by copy*KEY_SHIFT (foreign keys shift

@@ -2577,6 +2577,82 @@ class DruidBrokerShim:
             out = out[:max(max_n, 0)]
         return out
 
+    def _metadata_segments(
+        self,
+        datasources: list[str] | None = None,
+        include_overshadowed: bool = False,
+    ) -> list[dict]:
+        """GET /druid/coordinator/v1/metadata/segments
+        [?datasources=ds...][&includeOvershadowedStatus] — every USED
+        segment as a metadata object (legacy-metadata-api.md), the
+        tooling-facing twin of sys.segments. Served from planning
+        manifests, no decodes. Truthful subset of Druid's
+        SegmentMetadata: identifier, dataSource, interval, size,
+        numRows, binaryVersion; ``includeOvershadowedStatus`` includes
+        overshadowed segments and adds the ``overshadowed`` flag
+        (the plain listing serves only the visible timeline, like
+        Druid). markUnused/retention-dropped segments are not used and
+        never appear."""
+        import os
+
+        from .cli import _format_millis as iso
+        from .sources.datasource import (
+            find_segment_dirs,
+            load_plan_meta,
+            overshadowed_segments,
+        )
+
+        with self._lock:
+            roots = dict(self._segment_roots)
+            unused = dict(self._unused)
+        out: list[dict] = []
+        for ds in sorted(roots):
+            if datasources and ds not in datasources:
+                continue
+            try:
+                dirs = find_segment_dirs(roots[ds])
+            except ValueError:
+                continue  # emptied root: nothing used
+            meta = load_plan_meta(roots[ds], dirs)
+            dropped = unused.get(ds) or frozenset()
+            shadowed = overshadowed_segments({
+                d: m for d, m in meta.items()
+                if os.path.basename(d) not in dropped
+            })
+            for d in sorted(dirs):
+                m = meta.get(d)
+                base = os.path.basename(d)
+                if m is None or base in dropped:
+                    continue
+                is_sh = base in shadowed
+                if is_sh and not include_overshadowed:
+                    continue
+                size = self._size_cache.get(d)
+                if size is None:
+                    size = 0
+                    for b, _, files in os.walk(d):
+                        for fn in files:
+                            try:
+                                size += os.path.getsize(
+                                    os.path.join(b, fn)
+                                )
+                            except OSError:
+                                pass
+                    self._size_cache[d] = size
+                start, end = iso(m["start"]), iso(m["end"])
+                row = {
+                    "identifier": f"{ds}_{start}_{end}_{base}",
+                    "dataSource": ds,
+                    "interval": f"{start}/{end}",
+                    "size": size,
+                    "numRows": int(m["rows"]),
+                    "binaryVersion": 9,
+                }
+                if include_overshadowed:
+                    row["overshadowed"] = is_sh
+                out.append(row)
+        return out
+
     def _query_candidates(
         self, ds: str, intervals: list[str] | None
     ) -> list[dict] | None:
@@ -2826,6 +2902,17 @@ class DruidBrokerShim:
                     else:
                         self._send(404, {"error": "Unknown lookup",
                                          "errorMessage": name})
+                elif path == "/druid/coordinator/v1/metadata/segments":
+                    from urllib.parse import parse_qs, urlparse
+
+                    q = parse_qs(urlparse(self.path).query)
+                    self._send(200, shim._metadata_segments(
+                        datasources=q.get("datasources"),
+                        include_overshadowed=(
+                            "includeOvershadowedStatus"
+                            in (urlparse(self.path).query or "")
+                        ),
+                    ))
                 elif path == "/druid/coordinator/v1/datasources":
                     self._send(200, sorted(shim._segment_roots))
                 elif path.startswith(

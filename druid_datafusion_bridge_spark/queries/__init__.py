@@ -59,6 +59,7 @@ NEW_IN_R8: tuple[str, ...] = (
     "sim_ivfpq_topk",
     "txt_bm25_rank",
     "fd_expr_gap_sql_text",
+    "an_top_paths",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first).

@@ -426,3 +426,61 @@ def an_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").over(W.partitionBy("from_type"))
         ).alias("p"),
     )
+
+@query(
+    "an_top_paths",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= 3 GROUP BY user_id)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path LIMIT 20
+    """,
+)
+def an_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: each user's first three events (unique
+    (ts, event_id) order) joined into a path string, ranked by how
+    many users share the path — the sequence-analysis complement of
+    an_event_transitions (which is first-order and forgets position).
+
+    Scale shape: one user-keyed window with O(1) state assigns the
+    ordinal and the rn <= 3 filter drops everything past the prefix
+    BEFORE any list exists, so the per-user collect is bounded at 3
+    structs; the path aggregate then groups on a low-cardinality
+    string (at most |event_types|^3 paths) and the top-20 is a
+    TakeOrdered, never a global sort. Path assembly sorts the
+    collected (rn, event_type) structs — rn leads the struct, so the
+    order is exact, not collect_list's arrival order."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = (
+        ev.select(
+            "user_id", "event_type",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+    paths = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(20)
+    )

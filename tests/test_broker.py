@@ -867,6 +867,21 @@ def test_version_overshadowing_across_planning_paths(spark, tmp_path):
         assert segs == [
             {"is_available": 1, "is_overshadowed": 0},
             {"is_available": 0, "is_overshadowed": 1}]
+        # coordinator metadata listing agrees: the plain form serves
+        # only the visible timeline; includeOvershadowedStatus shows
+        # both versions with the flag
+        with urllib.request.urlopen(
+            base + "/druid/coordinator/v1/metadata/segments"
+        ) as r:
+            md = json.loads(r.read())
+        assert len(md) == 1 and md[0]["identifier"].endswith("_b1")
+        assert md[0]["dataSource"] == "osd" and md[0]["numRows"] == 2
+        with urllib.request.urlopen(
+            base + "/druid/coordinator/v1/metadata/segments"
+                   "?includeOvershadowedStatus"
+        ) as r:
+            md = json.loads(r.read())
+        assert sorted(m["overshadowed"] for m in md) == [False, True]
         # retention duty over a loadForever chain must not resurrect
         # the overshadowed version
         _post(base + "/druid/coordinator/v1/rules/osd",
@@ -898,6 +913,14 @@ def test_version_overshadowing_across_planning_paths(spark, tmp_path):
             {"is_available": 0, "is_overshadowed": 0},  # unused b1
             {"is_available": 1, "is_overshadowed": 0},  # serving b0
         ]
+        # metadata listing: unused b1 is not a used segment and never
+        # appears, even with includeOvershadowedStatus
+        with urllib.request.urlopen(
+            base + "/druid/coordinator/v1/metadata/segments"
+                   "?includeOvershadowedStatus&datasources=osd"
+        ) as r:
+            md = json.loads(r.read())
+        assert [m["identifier"].endswith("_b0") for m in md] == [True]
     finally:
         s.stop()
 
