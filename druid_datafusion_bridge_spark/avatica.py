@@ -104,6 +104,17 @@ def _wire_value(v: Any) -> Any:
     return v
 
 
+def _typed_values(vals) -> list | None:
+    """Avatica ``parameterValues``: TypedValue objects ({"type",
+    "value"}) or bare values -> the positional list Spark binds. The
+    one unwrap for both execute and executeBatch, so binding fixes
+    can't drift between them (the broker's JSON SQL surfaces unwrap
+    their different wire shape in broker._bind_params)."""
+    out = [p.get("value") if isinstance(p, dict) else p for p in vals or []]
+    return out or None
+
+
+
 class AvaticaEndpoint:
     """The JSON RPC dispatcher. ``run_sql(sql, args)`` is supplied by
     the broker and must return a collected, resource-limited Spark
@@ -318,14 +329,11 @@ class AvaticaEndpoint:
             sql = (h.get("signature") or {}).get("sql")
             if sql is None:
                 return self._missing_statement()
-            args = [
-                p.get("value") if isinstance(p, dict) else p
-                for p in body.get("parameterValues") or []
-            ]
+            args = _typed_values(body.get("parameterValues"))
             first = body.get("maxRowsInFirstFrame",
                              body.get("maxRowCount", -1))
             rs = self._result_set(
-                cid, sid, sql, args or None,
+                cid, sid, sql, args,
                 int(first) if first is not None else -1,
             )
             return {"response": "executeResults",
@@ -374,11 +382,7 @@ class AvaticaEndpoint:
                 return self._missing_statement()
             counts = []
             for prow in body.get("parameterValues") or []:
-                args = [
-                    p.get("value") if isinstance(p, dict) else p
-                    for p in (prow or [])
-                ]
-                self._run_sql(sql, args or None)
+                self._run_sql(sql, _typed_values(prow))
                 counts.append(0)
             return {"response": "executeBatch", "connectionId": cid,
                     "statementId": sid, "updateCounts": counts,

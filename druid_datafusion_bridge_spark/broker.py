@@ -289,9 +289,10 @@ def _sub_outside_literals(sql: str, fn) -> str:
 def _bind_params(body: dict) -> list | None:
     """Druid SQL API ``parameters``: positional ?-placeholders carried
     as typed {"type", "value"} objects (or bare values) — unwrapped to
-    the positional list Spark's parameterized SQL binds. The ONE
-    unwrap for every SQL surface (sync, task, statements, Avatica
-    hand-off) so binding fixes can't drift between them."""
+    the positional list Spark's parameterized SQL binds. The one
+    unwrap for every broker SQL surface (sync, task, statements);
+    Avatica's TypedValue lists arrive in a different wire shape and
+    unwrap through avatica._typed_values."""
     params = body.get("parameters")
     if not params:
         return None
@@ -1865,10 +1866,16 @@ class DruidBrokerShim:
         # happens to share another table's name can't steal the
         # attribution. Word-match is the fallback (subqueries through
         # odd quoting), blank for pure-EXTERN.
+        from .functions.druid_sql import _sql_code_mask
+
+        mask = _sql_code_mask(sql)
+        scrubbed = "".join(
+            c if mask[i] else " " for i, c in enumerate(sql)
+        )
         read = [
             t for _, t in re.findall(
                 r'\b(?:FROM|JOIN)\s+("?)([A-Za-z_][A-Za-z0-9_]*)\1',
-                sql, re.IGNORECASE,
+                scrubbed, re.IGNORECASE,
             )
         ]
         ds = next(
@@ -2526,7 +2533,10 @@ class DruidBrokerShim:
             pl = {"id": task_id, "type": st.get("type"),
                   "dataSource": st.get("dataSource")}
         else:
-            pl = {"id": task_id, **pl}
+            # the broker-assigned id wins over any client-supplied
+            # "id" in the submitted body — payload.id must agree with
+            # the envelope and the status/reports endpoints
+            pl = {**pl, "id": task_id}
         return {"task": task_id, "payload": pl}
 
     def _task_list(
@@ -2573,8 +2583,9 @@ class DruidBrokerShim:
         ]
         out.sort(key=lambda r: (r["createdTime"] or "", r["id"]),
                  reverse=True)
-        if max_n is not None:
-            out = out[:max(max_n, 0)]
+        # Druid convention: a negative max means unlimited
+        if max_n is not None and max_n >= 0:
+            out = out[:max_n]
         return out
 
     def _metadata_segments(

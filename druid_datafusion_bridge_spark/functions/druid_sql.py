@@ -563,8 +563,9 @@ def _ds_render(name: str, args: list[str]) -> str:
                 f"STRING_AGG takes 2 or 3 arguments, got {len(args)}"
             )
         expr, dist = args[0], ""
-        if expr[:9].upper().startswith("DISTINCT "):
-            dist, expr = "DISTINCT ", expr[9:]
+        m = re.match(r"(?is)^DISTINCT\s+", expr)
+        if m:
+            dist, expr = "DISTINCT ", expr[m.end():]
         return f"listagg({dist}CAST({expr} AS STRING), {args[1]})"
     raise AssertionError(name)
 
@@ -650,11 +651,13 @@ def rewrite_datasketches_sql(sql: str) -> str:
             # exact-lowercase spellings that ALSO exist as Spark
             # builtins are left alone — they already mean the Spark
             # function (lowercase regexp_extract keeps Spark's
-            # group-1 default by the same rule), and skipping them
-            # makes the rewrite IDEMPOTENT (rendered output — CASTs,
-            # nullif wrappers — never re-matches; fuzz-pinned)
+            # group-1 default, lowercase string_agg keeps Spark's
+            # listagg-alias forms incl. 1-arg and WITHIN GROUP, by
+            # the same rule), and skipping them makes the rewrite
+            # IDEMPOTENT (rendered output — CASTs, nullif wrappers —
+            # never re-matches; fuzz-pinned)
             if cand.group(1) in ("hll_sketch_estimate",
-                                 "regexp_extract"):
+                                 "regexp_extract", "string_agg"):
                 continue
             if mask[cand.start()]:
                 m = cand

@@ -614,7 +614,7 @@ def _pq_assign(
 def _pq_train_local(
     train: DataFrame, w: int, n_subspaces: int, codebook_size: int,
     seed: int, spark,
-) -> tuple[DataFrame, list]:
+) -> tuple[DataFrame, int]:
     """Driver-side numpy Lloyd's k-means over the BOUNDED training
     sample (the ADC path caps it at ``train_sample`` rows before this
     is called, so the collect is a fixed few MB at any corpus size).
@@ -622,9 +622,9 @@ def _pq_train_local(
     jobs ≈ 2 minutes of scheduler overhead to cluster 10k tiny
     vectors numpy finishes in well under a second. Deterministic:
     rows sort by vec_id before use and the init RNG is seeded.
-    Returns (codebook DataFrame for the broadcast LUT join, per-sub
-    code-ordered centroid lists for the literal-expression encode);
-    both empty for an empty sample."""
+    Returns (codebook DataFrame for the broadcast LUT join, sample
+    row count — 0 means an empty/all-zero-norm corpus and the caller
+    short-circuits to the empty result)."""
     import numpy as np
 
     rows = train.select("vec_id", "v").orderBy("vec_id").collect()
@@ -633,7 +633,7 @@ def _pq_train_local(
             spark.createDataFrame(
                 [], "sub_id int, code int, cv array<double>"
             ),
-            [],
+            0,
         )
     x = np.array([r["v"] for r in rows], dtype=np.float64)
     books = _pq_kmeans_np(x, w, n_subspaces, codebook_size, seed)
@@ -641,18 +641,8 @@ def _pq_train_local(
         spark.createDataFrame(
             books, "sub_id int, code int, cv array<double>"
         ),
-        _books_by_sub(books, n_subspaces),
+        len(rows),
     )
-
-
-def _books_by_sub(books: list, n_subspaces: int) -> list:
-    """(sub_id, code, cv) rows -> per-sub centroid lists indexed by
-    code id, for the literal-expression encode."""
-    by_sub: list[list[list[float]]] = [[] for _ in range(n_subspaces)]
-    for s_i, c_i, cv in books:
-        assert len(by_sub[s_i]) == c_i  # rows arrive code-ordered
-        by_sub[s_i].append(cv)
-    return by_sub
 
 
 def _pq_kmeans_np(x, w: int, n_subspaces: int, codebook_size: int, seed: int):
@@ -757,10 +747,10 @@ def pq_adc_topk(
         )
         .limit(train_sample)
     )
-    cb, books_list = _pq_train_local(
+    cb, n_train = _pq_train_local(
         train, w, n_subspaces, codebook_size, seed, v.sparkSession
     )
-    if not books_list:
+    if not n_train:
         # empty (or all-zero-norm) corpus: the same empty result
         # brute_force_topk returns
         return (
@@ -847,7 +837,7 @@ def _ivfpq_train_local(
     codebook_size: int,
     seed: int,
     spark,
-) -> tuple[DataFrame, DataFrame, list, list]:
+) -> tuple[DataFrame, DataFrame, int]:
     """Train BOTH IVF+PQ quantizers from ONE driver-side collect of the
     BOUNDED unit-vector sample (the caller caps it at ``train_sample``
     rows, so this is a fixed few MB at any corpus size — the faiss
@@ -858,7 +848,8 @@ def _ivfpq_train_local(
     sample's RESIDUALS v - centroid(cell), computed in-memory from the
     same rows, so no second Spark job or corpus scan exists on the
     training path. Seeded init + vec_id-sorted rows keep both
-    deterministic. Returns (centroids, codebooks) DataFrames."""
+    deterministic. Returns (centroids, codebooks, sample row count —
+    0 short-circuits the caller to the empty result)."""
     import numpy as np
 
     rows = train.select("vec_id", "v").orderBy("vec_id").collect()
@@ -869,8 +860,7 @@ def _ivfpq_train_local(
         return (
             spark.createDataFrame([], "cent_id int, cv array<double>"),
             spark.createDataFrame([], "sub_id int, code int, cv array<double>"),
-            [],
-            [],
+            0,
         )
     x = np.array([r["v"] for r in rows], dtype=np.float64)
     k = min(n_centroids, len(x))
@@ -885,17 +875,16 @@ def _ivfpq_train_local(
                 n = np.linalg.norm(v)
                 if n > 0:
                     cen[c_i] = v / n
-    cen_list = [[float(t) for t in cen[i]] for i in range(k)]
     cents = spark.createDataFrame(
-        [(i, cen_list[i]) for i in range(k)],
+        [(i, [float(t) for t in cen[i]]) for i in range(k)],
         "cent_id int, cv array<double>",
     )
     residuals = x - cen[(x @ cen.T).argmax(axis=1)]
-    books = _pq_kmeans_np(residuals, w, n_subspaces, codebook_size, seed)
     cb = spark.createDataFrame(
-        books, "sub_id int, code int, cv array<double>"
+        _pq_kmeans_np(residuals, w, n_subspaces, codebook_size, seed),
+        "sub_id int, code int, cv array<double>",
     )
-    return cents, cb, cen_list, _books_by_sub(books, n_subspaces)
+    return cents, cb, len(rows)
 
 
 def ivf_pq_topk(
@@ -964,11 +953,11 @@ def ivf_pq_topk(
         )
         .limit(train_sample)
     )
-    cents, cb, cen_list, _books = _ivfpq_train_local(
+    cents, cb, n_train = _ivfpq_train_local(
         train, n_centroids, w, n_subspaces, codebook_size, seed,
         v.sparkSession,
     )
-    if not cen_list:
+    if not n_train:
         # empty (or all-zero-norm) corpus: the same empty result
         # brute_force_topk returns, without building literal-free plans
         return (

@@ -1212,10 +1212,10 @@ def test_datasketches_rewrite_fuzz(frags):
         assert sql.count(lit) == out.count(lit)  # untouched spans
     mask = _sql_code_mask(out)
     for m in _DS_CALL_RE.finditer(out):
-        # the exact-lowercase Spark builtin spellings are the
-        # rewrite's own output and deliberately stay (idempotence:
-        # hll_sketch_estimate by skip, regexp_extract by identity
-        # re-render of its normalized 3-arg form)
-        if m.group(1) in ("hll_sketch_estimate", "regexp_extract"):
+        # the exact-lowercase Spark builtin spellings deliberately
+        # stay (they already mean the Spark function; skipping them
+        # keeps the rewrite idempotent)
+        if m.group(1) in ("hll_sketch_estimate", "regexp_extract",
+                          "string_agg"):
             continue
         assert not mask[m.start()], (out, m.group())
