@@ -50,11 +50,50 @@ from .sources.segment import TIME_COLUMN
 __all__ = ["ingest", "transform_rows"]
 
 
-def _read_input(spark: SparkSession, io_config: dict) -> DataFrame:
+def _read_input(
+    spark: SparkSession, io_config: dict, deep_storage: str | None = None
+) -> DataFrame:
     src = io_config.get("inputSource", {})
+    if src.get("type") == "druid":
+        # Druid's reindexing inputSource (native-batch docs): read an
+        # EXISTING datasource's served segments — optionally one
+        # interval — as the ingestion input. This is how granularity/
+        # dimension reshaping and datasource-to-datasource reingestion
+        # work; rows arrive with their __time column and every stored
+        # dim/metric, exactly like real Druid hands them to the
+        # reindex task. Served through the druidsegment DataSource,
+        # so retention-unused and version-overshadowed segments are
+        # never reingested.
+        if deep_storage is None:
+            raise ValueError(
+                "druid inputSource requires deep storage (broker/CLI "
+                "ingestion paths pass it; EXTERN does not — query the "
+                "table instead)"
+            )
+        root = os.path.join(deep_storage, src["dataSource"])
+        if not os.path.isdir(root):
+            raise ValueError(
+                f"druid inputSource: unknown dataSource "
+                f"{src['dataSource']!r}"
+            )
+        from .sources import register_druid_datasource
+
+        register_druid_datasource(spark)
+        df = spark.read.format("druidsegment").option("path", root).load()
+        interval = src.get("interval")
+        if interval:
+            from .retention import interval_ms
+
+            lo, hi = interval_ms(interval)
+            df = df.filter(
+                (F.unix_millis(F.col("__time")) >= lo)
+                & (F.unix_millis(F.col("__time")) < hi)
+            )
+        return df
     if src.get("type") != "local":
         raise ValueError(
-            f"unsupported inputSource type {src.get('type')!r} (local only)"
+            f"unsupported inputSource type {src.get('type')!r} "
+            "(local and druid only)"
         )
     path = os.path.join(src["baseDir"], src.get("filter", "*"))
     fmt = io_config.get("inputFormat", {})
@@ -158,7 +197,7 @@ def ingest(
     from .functions import register_druid_sql_functions
 
     register_druid_sql_functions(spark)
-    df = _read_input(spark, io_config)
+    df = _read_input(spark, io_config, deep_storage)
     df = transform_rows(df, schema)
 
     gran_spec = schema.get("granularitySpec", {})

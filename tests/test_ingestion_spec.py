@@ -295,3 +295,67 @@ def test_ingest_spec_loud_on_unsupported(spark, tmp_path):
     spec["type"] = "kafka"
     with pytest.raises(ValueError, match="task type"):
         ingest(spark, spec, str(tmp_path / "x")).collect()
+
+def test_druid_input_source_reindex(spark, tmp_path):
+    """Druid's reindexing inputSource (native-batch docs: type
+    "druid" with dataSource + interval): a second spec re-ingests an
+    EXISTING datasource's served rows — here day-granularity daily
+    totals out of the hourly wikipedia rollup, interval-scoped to the
+    first day only — landing a NEW datasource. Unused/overshadowed
+    segments never feed the reindex (the read goes through the
+    served-segment DataSource)."""
+    base = _write_json_input(tmp_path)
+    storage = str(tmp_path / "deep")
+    ingest(spark, _spec(base), storage).collect()
+
+    reindex = {
+        "type": "index_parallel",
+        "spec": {
+            "dataSchema": {
+                "dataSource": "wikipedia_daily",
+                "timestampSpec": {"column": "__time", "format": "auto"},
+                "dimensionsSpec": {"dimensions": ["channel"]},
+                "metricsSpec": [
+                    {"type": "longSum", "name": "delta_sum",
+                     "fieldName": "delta_sum"},
+                ],
+                "granularitySpec": {
+                    "segmentGranularity": "day",
+                    "queryGranularity": "day",
+                    "rollup": True,
+                },
+            },
+            "ioConfig": {
+                "inputSource": {
+                    "type": "druid",
+                    "dataSource": "wikipedia",
+                    "interval": "2024-01-01T00:00:00Z/2024-01-02T00:00:00Z",
+                },
+            },
+        },
+    }
+    manifest = ingest(spark, reindex, storage).collect()
+    assert len(manifest) == 1  # one day survived the interval scope
+
+    from druid_datafusion_bridge_spark.sources import (
+        register_druid_datasource,
+    )
+
+    register_druid_datasource(spark)
+    df = spark.read.format("druidsegment").option(
+        "path", storage + "/wikipedia_daily"
+    ).load()
+    rows = {
+        (str(r["__time"]), r["channel"]): r["delta_sum"]
+        for r in df.collect()
+    }
+    assert rows == {
+        ("2024-01-01 00:00:00", "EN"): 12,
+        ("2024-01-01 00:00:00", "DE"): 11,
+    }
+
+    # unknown datasource and missing deep storage are loud
+    bad = json.loads(json.dumps(reindex))
+    bad["spec"]["ioConfig"]["inputSource"]["dataSource"] = "nope"
+    with pytest.raises(Exception, match="unknown dataSource"):
+        ingest(spark, bad, storage).collect()
