@@ -90,10 +90,40 @@ def _read_input(
                 & (F.unix_millis(F.col("__time")) < hi)
             )
         return df
+    if src.get("type") == "inline":
+        # inline inputSource (native-batch docs; every Druid tutorial
+        # spec ships one): the rows travel IN the spec as one string.
+        # Parsed through the same inputFormat readers as files, via a
+        # single-column DataFrame (no temp files, no driver-side row
+        # parsing beyond the split).
+        data = src.get("data", "")
+        lines = [(ln,) for ln in data.splitlines() if ln.strip()]
+        raw = spark.createDataFrame(lines, "value string")
+        fmt = io_config.get("inputFormat", {})
+        kind = fmt.get("type")
+        if kind == "json":
+            return spark.read.json(raw.rdd.map(lambda r: r.value))
+        if kind in ("csv", "tsv"):
+            sep = fmt.get("delimiter", "\t" if kind == "tsv" else ",")
+            header = bool(fmt.get("findColumnsFromHeader", False))
+            df = (
+                spark.read.option("header", header).option("sep", sep)
+                .csv(raw.rdd.map(lambda r: r.value))
+            )
+            cols = fmt.get("columns")
+            if cols and not header:
+                if len(cols) != len(df.columns):
+                    raise ValueError(
+                        f"inputFormat.columns lists {len(cols)} names "
+                        f"for {len(df.columns)} CSV fields"
+                    )
+                df = df.toDF(*cols)
+            return df
+        raise ValueError(f"unsupported inputFormat type {kind!r}")
     if src.get("type") != "local":
         raise ValueError(
             f"unsupported inputSource type {src.get('type')!r} "
-            "(local and druid only)"
+            "(local, inline, and druid only)"
         )
     path = os.path.join(src["baseDir"], src.get("filter", "*"))
     fmt = io_config.get("inputFormat", {})

@@ -359,3 +359,55 @@ def test_druid_input_source_reindex(spark, tmp_path):
     bad["spec"]["ioConfig"]["inputSource"]["dataSource"] = "nope"
     with pytest.raises(Exception, match="unknown dataSource"):
         ingest(spark, bad, storage).collect()
+
+def test_inline_input_source(spark, tmp_path):
+    """inline inputSource (the form every Druid tutorial spec ships):
+    rows travel in the spec string, parsed through the same
+    inputFormat readers as files."""
+    storage = str(tmp_path / "deep")
+    spec = {
+        "type": "index_parallel",
+        "spec": {
+            "dataSchema": {
+                "dataSource": "inline_ds",
+                "timestampSpec": {"column": "t", "format": "iso"},
+                "dimensionsSpec": {"dimensions": ["page"]},
+                "metricsSpec": [
+                    {"type": "longSum", "name": "total",
+                     "fieldName": "delta"},
+                ],
+                "granularitySpec": {
+                    "segmentGranularity": "day",
+                    "queryGranularity": "day",
+                    "rollup": True,
+                },
+            },
+            "ioConfig": {
+                "inputSource": {
+                    "type": "inline",
+                    "data": (
+                        '{"t":"2024-01-01T00:10:00Z","page":"x","delta":4}\n'
+                        '{"t":"2024-01-01T05:00:00Z","page":"x","delta":2}\n'
+                        '{"t":"2024-01-02T05:00:00Z","page":"y","delta":6}\n'
+                    ),
+                },
+                "inputFormat": {"type": "json"},
+            },
+        },
+    }
+    manifest = ingest(spark, spec, storage).collect()
+    assert len(manifest) == 2  # two days
+
+    from druid_datafusion_bridge_spark.sources import (
+        register_druid_datasource,
+    )
+
+    register_druid_datasource(spark)
+    df = spark.read.format("druidsegment").option(
+        "path", storage + "/inline_ds"
+    ).load()
+    rows = {(str(r["__time"]), r["page"]): r["total"] for r in df.collect()}
+    assert rows == {
+        ("2024-01-01 00:00:00", "x"): 6,
+        ("2024-01-02 00:00:00", "y"): 6,
+    }
