@@ -407,6 +407,9 @@ SLOPE_QUERIES = [
     "txt_bm25_rank",
     "sim_ivfpq_topk",
     "an_top_paths",
+    # histogram-based exact per-group median cut: the slope shows the
+    # histogram staying tiny while the corpus grows
+    "txp_quality_median_cut",
 ]
 
 # per-table key columns to shift by copy*KEY_SHIFT (foreign keys shift

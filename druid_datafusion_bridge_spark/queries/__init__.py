@@ -60,6 +60,7 @@ NEW_IN_R8: tuple[str, ...] = (
     "txt_bm25_rank",
     "fd_expr_gap_sql_text",
     "an_top_paths",
+    "txp_quality_median_cut",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first).

@@ -720,3 +720,89 @@ def txp_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+@query(
+    "txp_quality_median_cut",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS nt
+      FROM documents),
+    h AS (SELECT lang, nt, count(*) AS c FROM s GROUP BY lang, nt),
+    cums AS (
+      SELECT lang, nt, c,
+             SUM(c) OVER (PARTITION BY lang ORDER BY nt DESC
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER (PARTITION BY lang) AS total
+      FROM h),
+    thr AS (
+      SELECT lang, MAX(nt) AS thr, MAX(total) AS n_docs
+      FROM cums WHERE cum >= (total + 1) // 2 GROUP BY lang),
+    k AS (
+      SELECT s.lang, s.nt, t.thr, t.n_docs
+      FROM s JOIN thr t USING (lang) WHERE s.nt >= t.thr)
+    SELECT lang,
+           CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+           CAST(MAX(thr) AS BIGINT) AS nt_threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(nt) AS BIGINT) AS kept_tokens
+    FROM k GROUP BY lang ORDER BY lang
+    """,
+)
+def txp_quality_median_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language median-quality retention — the RELATIVE curation
+    cut beside txp_curation_pipeline's absolute quality floor: every
+    language keeps its docs at or above its own median token count
+    (fixed retention shape per language regardless of how the
+    absolute distributions differ; the standard move when languages
+    have incomparable quality scales).
+
+    The per-group EXACT median at 100 TB without a per-doc sort: the
+    scores are small integers, so the cut computes on a (lang, nt)
+    HISTOGRAM — map-side-combined counts, a running-sum window over
+    the tiny histogram (rows = distinct nt per lang, not docs), and
+    the threshold = the largest nt whose descending cumulative count
+    reaches half the group. The full corpus is touched by exactly two
+    stateless passes (histogram build, threshold filter via broadcast
+    join); no window ever sees a per-document row, so low-cardinality
+    lang partitions can't bottleneck. Ties at the threshold keep ALL
+    their docs (a value threshold, not a rank cut) — deterministic
+    and integer-exact in both engines."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id", "lang",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z0-9]+"), 0)
+        ).cast("long").alias("nt"),
+    )
+    h = s.groupBy("lang", "nt").agg(F.count("*").alias("c"))
+    wd = (
+        W.partitionBy("lang")
+        .orderBy(F.col("nt").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cums = h.select(
+        "lang", "nt",
+        F.sum("c").over(wd).alias("cum"),
+        F.sum("c").over(W.partitionBy("lang")).alias("total"),
+    )
+    thr = (
+        cums.filter(F.col("cum") >= F.expr("(total + 1) div 2"))
+        .groupBy("lang")
+        .agg(F.max("nt").alias("thr"), F.max("total").alias("n_docs"))
+    )
+    kept = s.join(F.broadcast(thr), "lang").filter(
+        F.col("nt") >= F.col("thr")
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.max("thr").alias("nt_threshold"),
+            F.count("*").alias("n_kept"),
+            F.sum("nt").alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )
