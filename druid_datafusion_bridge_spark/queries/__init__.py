@@ -40,74 +40,26 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # registration order. r1-r5 rotated at MODULE granularity; r6-r7 rotated
 # at ENTRY granularity and retired the never-sampled backlog: after
 # r7's driver run EVERY registry entry has at least one driver
-# correctness row. r8 ROTATION (fixed at round-8 start, 2026-08-15):
-# with the backlog at zero the window's job flips to keeping the
-# evidence FRESH — slots go first to round 8's OWN new queries
-# (never sampled; appended to NEW_IN_R8 in the same commit that
-# registers them), then to DELIBERATE RE-SAMPLES of the entries whose
-# newest driver rows are OLDEST (staleness policy: r1 evidence first —
-# j6/j7/j8 — then the 49 r3 entries in registry order), trimmed to the
-# 50-slot window capacity. Entries squeezed out by new r8 queries stay
-# the stalest and lead r9's window. flagship_rollup needs no slot: the
-# driver smoke-checks it every round through entry().
-NEW_IN_R8: tuple[str, ...] = (
-    # r8 new queries, appended as they land (they take priority slots)
-    "fd_ds_sketch_sql_text",
-    "lr_retention_load_interval_overlap",
-    "s13_version_overshadow_scan",
-    "sim_filtered_topk",
-    "sim_ivfpq_topk",
-    "txt_bm25_rank",
-    "fd_expr_gap_sql_text",
-    "an_top_paths",
-    "txp_quality_median_cut",
+# correctness row, so since r8 the window's job is keeping the evidence
+# FRESH. r9 ROTATION (fixed at round-9 start, 2026-08-16): slots go
+# first to round 9's OWN new queries (never sampled; appended to
+# NEW_IN_R9 in the same commit that registers them), then to DELIBERATE
+# RE-SAMPLES of the entries whose newest driver rows are OLDEST —
+# after r8's 41 refreshes the stalest evidence is the r3 tail
+# (a8_stats..a14_pivot, squeezed out of r8's window) followed by the
+# r4 families (w*/o*/u*/p*/f_*/sim_*/txt_*/tn_*), in evidence-age then
+# registry order — trimmed to the 50-slot window capacity. Entries
+# squeezed out by new r9 queries stay the stalest and lead r10's
+# window. flagship_rollup needs no slot: the driver smoke-checks it
+# every round through entry().
+NEW_IN_R9: tuple[str, ...] = (
+    # r9 new queries, appended as they land (they take priority slots)
 )
 
-# Re-samples ordered by evidence age (oldest driver row first).
+# Re-samples ordered by evidence age (oldest driver row first), computed
+# from the union of CORRECTNESS_r01–r08 at round-9 start.
 STALE_RESAMPLES: tuple[str, ...] = (
-    # newest driver row is r1
-    "j6_theta_nonequi",
-    "j7_sort_merge",
-    "j8_broadcast",
-    # newest driver row is r3 (registry order)
-    "s1b_druid_segment_scan",
-    "mv_tag_counts",
-    "s1c_druid_segment_time_prune",
-    "s1d_druid_segment_dim_filter",
-    "s2b_segment_compaction",
-    "s2c_schema_evolution_scan",
-    "cx_hll_rollup_merge",
-    "dm_rollup_pt15m",
-    "dm_rollup_hour_multi",
-    "dm_time_boundary",
-    "dm_info",
-    "dm_rollup_zerofill",
-    "dd_exact",
-    "dd_exact_normalized",
-    "dd_minhash_signatures",
-    "dd_minhash_lsh_pairs",
-    "dd_simhash",
-    "fd_time_functions",
-    "fd_time_floor_custom_grain",
-    "fd_scalar_functions",
-    "fd_mv_functions",
-    "fd_druid_sql_text",
-    "fd_latest_earliest",
-    "j1_inner_equi",
-    "j2_left_outer",
-    "j2b_right_outer",
-    "j2c_full_outer",
-    "j3_left_semi",
-    "j4_left_anti",
-    "j5_cross",
-    "a1_count",
-    "a2_sum_min_max_avg",
-    "a3_groupby_multi",
-    "a4_count_distinct_grouped",
-    "a5_select_distinct",
-    "a6_rollup",
-    "a6b_cube",
-    "a7_filtered_agg",
+    # newest driver row is r3
     "a8_stats",
     "a9_approx_count_distinct",
     "a10_approx_percentile",
@@ -119,9 +71,60 @@ STALE_RESAMPLES: tuple[str, ...] = (
     "a10c_exact_percentiles",
     "a13_histogram_binning",
     "a14_pivot",
+    # newest driver row is r4 (registry order)
+    "st_tumbling_rollup",
+    "w1_ranking",
+    "w2_lag_lead",
+    "w3_agg_over_window",
+    "w4_frame_rows",
+    "o1_orderby_multi",
+    "o2_limit_offset",
+    "o3_topk",
+    "o3b_topk_per_group",
+    "w4b_frame_range",
+    "w5_distribution_fns",
+    "w2b_ignore_nulls",
+    "w4c_time_range_frame",
+    "u1_union_all",
+    "u1b_union_distinct",
+    "u2_intersect",
+    "u2b_intersect_all",
+    "u3_except",
+    "u3b_except_all",
+    "s1_scan_project",
+    "s7_dump_limit",
+    "p2_projection_expr",
+    "p3_filter_predicates",
+    "p3b_filter_like_null",
+    "p4_time_filter",
+    "p5_hash_sample",
+    "f_string_functions",
+    "f_date_functions",
+    "f_math_functions",
+    "f_conditional_functions",
+    "f_cast_functions",
+    "f_json_functions",
+    "f_bitwise_functions",
+    "j9_asof_join",
+    "j9b_range_join",
+    "sim_bruteforce_topk",
+    "sim_topk_per_probe",
+    "sim_lsh_topk",
+    "sim_embedding_neardup",
+    "sim_ivf_topk",
+    "sim_group_centroid",
+    "txt_token_stats",
+    "txt_quality_score",
+    "txt_lang_id",
+    "txt_fingerprint",
+    "txt_tfidf_top_terms",
+    "txt_keyword_search",
+    "tn_topn_exact",
+    "tn_topn_two_phase",
+    "dm_search_dims",
 )
 
-ROTATION: tuple[str, ...] = (NEW_IN_R8 + STALE_RESAMPLES)[:50]
+ROTATION: tuple[str, ...] = (NEW_IN_R9 + STALE_RESAMPLES)[:50]
 
 
 def _apply_rotation() -> None:

@@ -2,20 +2,21 @@
 registry entries in registration order. Since r6 the rotation is
 ENTRY-level (queries/__init__.py ROTATION). After r7 the never-sampled
 backlog is ZERO — every registry entry has at least one driver
-correctness row — so r8's rotation flips to a STALENESS policy: round
-8's own new queries (never sampled) take priority slots, and the rest
-of the window deliberately RE-SAMPLES the entries whose newest driver
-rows are oldest (r1 first, then r3), refreshing the evidence that ages
-a round further each cycle. An accidental reorder would silently burn
-the round's slots on freshly-green queries — this test makes that a
-loud failure.
+correctness row — so since r8 the rotation follows a STALENESS policy:
+the round's own new queries (never sampled) take priority slots, and
+the rest of the window deliberately RE-SAMPLES the entries whose newest
+driver rows are oldest, refreshing the evidence that ages a round
+further each cycle. For r9 that is the r3 tail (a8_stats..a14_pivot)
+then the r4 families. An accidental reorder would silently burn the
+round's slots on freshly-green queries — this test makes that a loud
+failure.
 
 UPDATE DELIBERATELY each rotation, together with ROTATION itself."""
 
 from __future__ import annotations
 
 from druid_datafusion_bridge_spark.queries import (
-    NEW_IN_R8,
+    NEW_IN_R9,
     ROTATION,
     STALE_RESAMPLES,
     all_queries,
@@ -27,16 +28,16 @@ def test_driver_sample_window_matches_rotation_plan():
     assert len(ROTATION) == 50  # backlog is zero; fill every slot
     # the window prefix IS the plan, in plan order
     assert names[: len(ROTATION)] == list(ROTATION)
-    # new r8 queries take priority slots, staleness re-samples follow
-    assert list(ROTATION) == (list(NEW_IN_R8) + list(STALE_RESAMPLES))[:50]
-    # spot-pin the staleness ordering: r1 evidence heads the re-samples
+    # new r9 queries take priority slots, staleness re-samples follow
+    assert list(ROTATION) == (list(NEW_IN_R9) + list(STALE_RESAMPLES))[:50]
+    # spot-pin the staleness ordering: the r3 tail heads the re-samples
     assert STALE_RESAMPLES[:3] == (
-        "j6_theta_nonequi",
-        "j7_sort_merge",
-        "j8_broadcast",
+        "a8_stats",
+        "a9_approx_count_distinct",
+        "a10_approx_percentile",
     )
-    for must in ("s1b_druid_segment_scan", "a1_count", "dd_exact",
-                 "j1_inner_equi", "fd_time_functions"):
+    for must in ("a14_pivot", "w1_ranking", "u1_union_all",
+                 "f_string_functions", "sim_bruteforce_topk"):
         assert must in ROTATION, must
 
 
@@ -44,10 +45,10 @@ def test_rotation_wastes_no_window_slot():
     """No window slot may re-sample a query that already has a driver
     correctness row (CORRECTNESS_r*.json) unless listed as a deliberate
     re-sample — re-sampling green queries burns the round's evidence.
-    r8 policy: STALE_RESAMPLES *is* the deliberate re-sample list — the
+    r9 policy: STALE_RESAMPLES *is* the deliberate re-sample list — the
     backlog of never-sampled entries is zero, so the window's job is to
-    refresh the OLDEST driver evidence (r1-r3 rows). Anything sampled
-    in the window must be either brand-new (NEW_IN_R8) or a declared
+    refresh the OLDEST driver evidence (r3–r4 rows). Anything sampled
+    in the window must be either brand-new (NEW_IN_R9) or a declared
     stale re-sample."""
     import glob
     import json
@@ -71,7 +72,10 @@ def test_rotation_wastes_no_window_slot():
     ]
     assert not wasted, wasted
     # and the declared re-samples must actually BE stale (driver row
-    # r4 or older) — re-declaring fresh entries would defeat the policy
+    # r4 or older) — re-declaring fresh entries would defeat the policy.
+    # This clause goes red the moment the driver's post-round
+    # CORRECTNESS_r09.json lands: that is the designed tripwire ordering
+    # the r10 flip as round 10's first commit.
     not_stale = [
         n for n in STALE_RESAMPLES if latest.get(n, 0) > 4
     ]
