@@ -887,6 +887,82 @@ def _ivfpq_train_local(
     return cents, cb, len(rows)
 
 
+def _ivfpq_encode(
+    v: DataFrame,
+    cents: DataFrame,
+    cb: DataFrame,
+    w: int,
+    n_subspaces: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Encode unit vectors against frozen IVF+PQ quantizers — shared by
+    the in-query path (ivf_pq_topk) and the persisted build
+    (ivf_pq_build). Returns (assigned, codes): assigned carries
+    (vec_id, cell, v) — cell assignment plus the float vector for
+    rerank storage — and codes carries one (vec_id, cell, sub_id, code)
+    row per subspace.
+
+    Cell assignment + residual run via broadcast-centroid join and a
+    vec_id-keyed argmax aggregation. This DOES hash-exchange the
+    corpus vectors once (64 doubles per row) — a literal-expression
+    formulation (argmax over 16 inlined centroid arrays, residual
+    via element_at) was built to remove that exchange and MEASURED
+    catastrophically slower composed (complete ivf_pq_topk call at
+    100k vectors: ~950 s vs seconds-per-stage for this form —
+    interpreted higher-order-function projections with ~50 KB
+    expression trees degrade the whole downstream stage), so the
+    one bounded exchange stands. At 100 TB the encode is an
+    ingest-time job whose output lands partitioned by cell
+    (ivf_pq_build); the per-query path (ivf_pq_query) never touches
+    it."""
+    assigned = (
+        v.join(F.broadcast(cents))
+        .select(
+            "vec_id", "v", "cent_id",
+            dot(F.col("v"), F.col("cv")).alias("cs"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cent_id", F.struct("cs", (-F.col("cent_id")).alias("tb"))
+            ).alias("cell"),
+            F.first("v").alias("v"),
+        )
+    )
+    res = (
+        assigned.join(
+            F.broadcast(cents), assigned["cell"] == cents["cent_id"]
+        )
+        .select(
+            "vec_id", "cell",
+            F.zip_with("v", "cv", lambda a, b: a - b).alias("r"),
+        )
+    )
+    # per-subspace codes via explode -> broadcast-join -> min_by,
+    # cell kept on the row. The floats do not shuffle here either:
+    # the codebook side is broadcast and min_by partial-aggregates
+    # map-side, so the exchange carries one (vec, cell, sub) row.
+    # (A literal-codebook projection was tried and MEASURED 40x
+    # slower: the generator inlines the residual chain — cell argmax
+    # + element_at + zip_with — once per codebook entry, re-running
+    # interpreted higher-order aggregates 256x per row.)
+    subs = res.select(
+        "vec_id", "cell",
+        F.posexplode(
+            F.array(*[F.slice("r", i * w + 1, w) for i in range(n_subspaces)])
+        ).alias("sub_id", "sv"),
+    )
+    codes = (
+        subs.join(F.broadcast(cb), "sub_id")
+        .select(
+            "vec_id", "cell", "sub_id", "code",
+            _pq_sqdist("sv", "cv").alias("d2"),
+        )
+        .groupBy("vec_id", "cell", "sub_id")
+        .agg(F.min_by("code", F.struct("d2", "code")).alias("code"))
+    )
+    return assigned, codes
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -971,64 +1047,7 @@ def ivf_pq_topk(
                 F.lit(0).alias("rank"),
             )
         )
-    # Cell assignment + residual via broadcast-centroid join and a
-    # vec_id-keyed argmax aggregation. This DOES hash-exchange the
-    # corpus vectors once (64 doubles per row) — a literal-expression
-    # formulation (argmax over 16 inlined centroid arrays, residual
-    # via element_at) was built to remove that exchange and MEASURED
-    # catastrophically slower composed (complete ivf_pq_topk call at
-    # 100k vectors: ~950 s vs seconds-per-stage for this form —
-    # interpreted higher-order-function projections with ~50 KB
-    # expression trees degrade the whole downstream stage), so the
-    # one bounded exchange stands. At 100 TB the encode is an
-    # ingest-time job whose output lands partitioned by cell; the
-    # per-query path never touches it.
-    assigned = (
-        v.join(F.broadcast(cents))
-        .select(
-            "vec_id", "v", "cent_id",
-            dot(F.col("v"), F.col("cv")).alias("cs"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                "cent_id", F.struct("cs", (-F.col("cent_id")).alias("tb"))
-            ).alias("cell"),
-            F.first("v").alias("v"),
-        )
-    )
-    res = (
-        assigned.join(
-            F.broadcast(cents), assigned["cell"] == cents["cent_id"]
-        )
-        .select(
-            "vec_id", "cell",
-            F.zip_with("v", "cv", lambda a, b: a - b).alias("r"),
-        )
-    )
-    # per-subspace codes via explode -> broadcast-join -> min_by,
-    # cell kept on the row. The floats do not shuffle here either:
-    # the codebook side is broadcast and min_by partial-aggregates
-    # map-side, so the exchange carries one (vec, cell, sub) row.
-    # (A literal-codebook projection was tried and MEASURED 40x
-    # slower: the generator inlines the residual chain — cell argmax
-    # + element_at + zip_with — once per codebook entry, re-running
-    # interpreted higher-order aggregates 256x per row.)
-    subs = res.select(
-        "vec_id", "cell",
-        F.posexplode(
-            F.array(*[F.slice("r", i * w + 1, w) for i in range(n_subspaces)])
-        ).alias("sub_id", "sv"),
-    )
-    codes = (
-        subs.join(F.broadcast(cb), "sub_id")
-        .select(
-            "vec_id", "cell", "sub_id", "code",
-            _pq_sqdist("sv", "cv").alias("d2"),
-        )
-        .groupBy("vec_id", "cell", "sub_id")
-        .agg(F.min_by("code", F.struct("d2", "code")).alias("code"))
-    )
+    assigned, codes = _ivfpq_encode(v, cents, cb, w, n_subspaces)
     p = (
         probes.select(F.col("probe_id"), F.col("probe_vec").alias("raw"))
         .withColumn("nv", norm(F.col("raw")))
@@ -1104,6 +1123,202 @@ def ivf_pq_topk(
     )
     return (
         short.join(v, "vec_id")
+        .join(F.broadcast(p), "probe_id")
+        .select("probe_id", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_pq_build(
+    corpus: DataFrame,
+    out_dir: str,
+    n_centroids: int = 16,
+    dim: int = 64,
+    n_subspaces: int = 8,
+    codebook_size: int = 16,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_sample: int = 10_000,
+) -> None:
+    """The INGEST half of the IVF+PQ serving split: train the quantizers
+    (same bounded driver-side sample as ivf_pq_topk), encode the corpus
+    once, and persist the index with the code table PARTITIONED BY CELL
+    so the query half (ivf_pq_query) physically reads only the probed
+    cells' partitions — the faiss inverted-list layout expressed as a
+    hive-partitioned parquet table, which is exactly how an ingest-time
+    Spark job would lay a billion-vector index down at 100 TB.
+
+    Layout under ``out_dir``:
+      centroids/   (cent_id int, cv array<double>)       — tiny
+      codebooks/   (sub_id int, code int, cv array<double>) — tiny
+      codes/cell=N/ (vec_id, codes array<int> sub_id-ordered,
+                     v array<double>)  — the corpus, one directory per
+                     inverted list; ``v`` rides along so the exact
+                     rerank also touches only probed partitions
+
+    Raises ValueError on an empty (or all-zero-norm) corpus: an empty
+    partitioned table cannot round-trip its schema, and "build an index
+    over nothing" is a caller bug, not a servable state."""
+    if dim % n_subspaces:
+        raise ValueError("dim must divide evenly into subspaces")
+    w = dim // n_subspaces
+    unit = F.transform("raw", lambda x: x / F.col("nv"))
+    v = (
+        spread(
+            corpus.select(
+                F.col(id_col).alias("vec_id"),
+                as_double_vec(F.col(vec_col)).alias("raw"),
+            )
+        )
+        .withColumn("nv", norm(F.col("raw")))
+        .filter(F.col("nv") > 0)
+        .select("vec_id", unit.alias("v"))
+    )
+    train = (
+        v.orderBy(
+            F.md5(F.concat(F.lit("ivfpqts:"), F.col("vec_id"))), "vec_id"
+        )
+        .limit(train_sample)
+    )
+    cents, cb, n_train = _ivfpq_train_local(
+        train, n_centroids, w, n_subspaces, codebook_size, seed,
+        v.sparkSession,
+    )
+    if not n_train:
+        raise ValueError("ivf_pq_build: empty corpus (no non-zero vectors)")
+    assigned, codes = _ivfpq_encode(v, cents, cb, w, n_subspaces)
+    # one array<int> row per vector, sub_id order pinned by array_sort
+    # over (sub_id, code) structs before the code projection
+    packed = (
+        codes.groupBy("vec_id", "cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub_id", "code"))),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+        .join(assigned.select("vec_id", "v"), "vec_id")
+    )
+    cents.write.mode("overwrite").parquet(f"{out_dir}/centroids")
+    cb.write.mode("overwrite").parquet(f"{out_dir}/codebooks")
+    packed.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{out_dir}/codes"
+    )
+
+
+def ivf_pq_query(
+    spark,
+    index_dir: str,
+    probes: DataFrame,
+    k: int = 10,
+    nprobe: int = 8,
+    shortlist: int = 100,
+) -> DataFrame:
+    """The SERVING half of the IVF+PQ split: against an ivf_pq_build
+    index, answer top-k for a (small) probe batch while physically
+    reading ONLY the probed cells' partitions of the code table —
+    the partition filter is a LITERAL cell list, so Catalyst prunes at
+    file listing (PartitionFilters; asserted by
+    tests/test_plans.py::test_ivfpq_persisted_reads_only_probed_cells)
+    and non-probed inverted lists are never opened. This converts
+    ivf_pq_topk's docstring claim ("at 100 TB the encode is an
+    ingest-time job; the per-query path never touches it") into an
+    executable, plan-pinned path.
+
+    The probed-cell set is computed from the tiny centroids table and
+    collected driver-side — bounded at n_centroids rows regardless of
+    probe count, the metadata-plane lookup every IVF serving system
+    does before touching data. ADC + shortlist + exact rerank then run
+    exactly like ivf_pq_topk, but every corpus touch (codes AND rerank
+    floats) reads the pruned scan. Returns (probe_id, vec_id, sim,
+    rank)."""
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    cb = spark.read.parquet(f"{index_dir}/codebooks")
+    n_subspaces = cb.select(F.max("sub_id")).first()[0] + 1
+    p = (
+        probes.select(F.col("probe_id"), F.col("probe_vec").alias("raw"))
+        .withColumn("nv", norm(F.col("raw")))
+        .filter(F.col("nv") > 0)
+        .select(
+            "probe_id", F.transform("raw", lambda x: x / F.col("nv")).alias("q")
+        )
+    )
+    probe_cells = (
+        p.join(F.broadcast(cents))
+        .select(
+            "probe_id", "q", "cent_id", "cv",
+            dot(F.col("q"), F.col("cv")).alias("cs"),
+        )
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                W.partitionBy("probe_id").orderBy(
+                    F.col("cs").desc(), "cent_id"
+                )
+            ),
+        )
+        .filter(F.col("pr") <= nprobe)
+        .select(
+            "probe_id",
+            F.col("cent_id").alias("cell"),
+            F.zip_with("q", "cv", lambda a, b: a - b).alias("qr"),
+        )
+    )
+    # the bounded metadata collect: <= n_centroids distinct cells
+    cells = sorted(
+        r["cell"] for r in probe_cells.select("cell").distinct().collect()
+    )
+    # LITERAL partition predicate -> file-listing prune on codes/cell=N
+    scan = spark.read.parquet(f"{index_dir}/codes").filter(
+        F.col("cell").isin([int(c) for c in cells])
+        if cells else F.lit(False)
+    )
+    w = len(cb.select("cv").first()[0])  # subvector width from codebook
+    lut = (
+        probe_cells.select(
+            "probe_id", "cell",
+            F.posexplode(
+                F.array(
+                    *[F.slice("qr", i * w + 1, w) for i in range(n_subspaces)]
+                )
+            ).alias("sub_id", "qv"),
+        )
+        .join(F.broadcast(cb), "sub_id")
+        .select(
+            "probe_id", "cell", "sub_id", "code",
+            _pq_sqdist("qv", "cv").alias("pd"),
+        )
+    )
+    code_rows = scan.select(
+        "vec_id", "cell", F.posexplode("codes").alias("sub_id", "code")
+    )
+    adc = (
+        code_rows.join(F.broadcast(lut), ["cell", "sub_id", "code"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum("pd").alias("adc_d2"))
+    )
+    wnd = W.partitionBy("probe_id").orderBy(
+        F.col("adc_d2").asc(), F.col("vec_id").asc()
+    )
+    short = (
+        adc.withColumn("sr", F.row_number().over(wnd))
+        .filter(F.col("sr") <= shortlist)
+        .select("probe_id", "vec_id")
+    )
+    # exact rerank reads floats from the SAME pruned partitioned scan
+    sim = F.aggregate(
+        F.zip_with("v", "q", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rw = W.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        short.join(scan.select("vec_id", "v"), "vec_id")
         .join(F.broadcast(p), "probe_id")
         .select("probe_id", "vec_id", sim.alias("sim"))
         .withColumn("rank", F.row_number().over(rw))

@@ -14,5 +14,6 @@ from .inspect import (  # noqa: F401
     join_strategies,
     pushed_filters,
     read_schemas,
+    scan_partition_counts,
 )
 from .bucketing import write_bucketed  # noqa: F401

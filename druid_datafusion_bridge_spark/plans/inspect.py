@@ -73,3 +73,46 @@ def join_strategies(df: DataFrame) -> list[str]:
         r"BroadcastNestedLoopJoin|CartesianProduct)\b",
         formatted_plan(df),
     )
+
+
+def _scan_matches(node, path_substr: str) -> bool:
+    """True when a FileSourceScanExec reads under ``path_substr`` —
+    matched on the relation's root paths (node.toString() truncates
+    long locations, silently missing deep tmp paths)."""
+    roots = node.relation().location().rootPaths()
+    return any(
+        path_substr in roots.apply(i).toString() for i in range(roots.size())
+    )
+
+
+def scan_partition_counts(df: DataFrame, path_substr: str) -> list[int]:
+    """Executed-plan partition-prune evidence: the ``numPartitions``
+    metric of every FileSourceScanExec whose location matches
+    ``path_substr`` — the number of hive partition directories the scan
+    actually SELECTED after partition-filter pruning (Spark populates
+    it at planning; execute the DataFrame first so AQE's final plan is
+    in place). ``DataFrame.inputFiles()`` can't serve here: it lists
+    the relation's full FileIndex and ignores filters entirely."""
+    df.collect()
+    counts: list[int] = []
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if name.endswith("QueryStageExec"):
+            walk(node.plan())  # materialized stages wrap their plan
+            return
+        if name == "FileSourceScanExec" and _scan_matches(node, path_substr):
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numPartitions":
+                    counts.append(int(kv._2().value()))
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return counts

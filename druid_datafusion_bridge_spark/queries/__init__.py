@@ -54,6 +54,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # every round through entry().
 NEW_IN_R9: tuple[str, ...] = (
     # r9 new queries, appended as they land (they take priority slots)
+    "sim_ivfpq_persisted",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed

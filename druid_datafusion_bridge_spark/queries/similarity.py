@@ -405,3 +405,31 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = brute_force_topk(emb, probes, k=10)
     return _recall_contract(ann, exact, floor=0.4)
+
+
+@query("sim_ivfpq_persisted", oracle=_PROBE_ORACLE)
+def sim_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ with the index PERSISTED cell-partitioned and served by a
+    partition-pruned scan — the ingest/serve split that actually runs
+    at billion-vector scale (operators/similarity.py ivf_pq_build +
+    ivf_pq_query). The build half trains on a bounded sample, encodes
+    the corpus once, and writes codes/cell=N/ hive partitions (the
+    faiss inverted-list layout as parquet); the query half computes the
+    probed cells from the tiny centroids table and scans ONLY those
+    partitions with a literal partition filter — ADC, shortlist, and
+    the exact rerank all read the pruned scan, so non-probed inverted
+    lists are never opened (plan-pinned by tests/test_plans.py::
+    test_ivfpq_persisted_reads_only_probed_cells). Same quantizers,
+    parameters, and recall contract (floor 40%) as sim_ivfpq_topk, so
+    the split changes WHERE bytes are read, not the answer."""
+    import tempfile
+
+    from ..operators.similarity import ivf_pq_build, ivf_pq_query
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = _probes(emb)
+    idx = tempfile.mkdtemp(prefix="ivfpq_index_")
+    ivf_pq_build(emb, idx, n_centroids=16, n_subspaces=8)
+    ann = ivf_pq_query(spark, idx, probes, k=10, nprobe=8, shortlist=200)
+    exact = brute_force_topk(emb, probes, k=10)
+    return _recall_contract(ann, exact, floor=0.4)

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from druid_datafusion_bridge_spark.catalog import table
 from druid_datafusion_bridge_spark.plans import (
+    scan_partition_counts,
     count_exchanges,
     join_strategies,
     pushed_filters,
@@ -501,3 +502,54 @@ def test_lookup_enrich_broadcasts_both_maps(spark):
         s == "BroadcastHashJoin" for s in strategies
     ), strategies
     assert count_exchanges(df) <= 2  # partial->final agg + final sort
+
+
+def test_ivfpq_persisted_reads_only_probed_cells(spark, tmp_path):
+    """The IVF+PQ serving split's whole point: with the code table
+    persisted partitionBy("cell"), the query path must (a) carry the
+    probed-cell literal list as a PartitionFilter on the codes scan and
+    (b) physically list ONLY the probed cells' partition directories —
+    non-probed inverted lists are never opened, for the ADC scan AND
+    the float rerank (both read the same pruned scan). nprobe=2 of 16
+    cells with one probe makes the prune strict by construction."""
+    from druid_datafusion_bridge_spark.operators.similarity import (
+        ivf_pq_build,
+        ivf_pq_query,
+    )
+    from druid_datafusion_bridge_spark.plans import formatted_plan
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = str(tmp_path / "ivfpq")
+    ivf_pq_build(emb, idx, n_centroids=16, n_subspaces=8)
+    import os
+
+    all_cells = sorted(
+        d for d in os.listdir(f"{idx}/codes") if d.startswith("cell=")
+    )
+    assert len(all_cells) > 2, all_cells  # enough inverted lists to prune
+    probes = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "probe_vec"
+        ),
+    )
+    df = ivf_pq_query(spark, idx, probes, k=10, nprobe=2, shortlist=50)
+    # (a) the literal cell list binds as a PartitionFilter, not a
+    # post-scan row filter
+    plan = formatted_plan(df)
+    pf_lines = [
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    ]
+    assert any("cell" in line and " IN " in line for line in pf_lines), (
+        pf_lines
+    )
+    # (b) physically: every codes scan in the EXECUTED plan selected at
+    # most the 2 probed partition directories (numPartitions metric) —
+    # DataFrame.inputFiles() can't prove this, it ignores filters
+    counts = scan_partition_counts(df, "/codes")
+    assert counts, "codes scan missing from executed plan"
+    assert all(c <= 2 for c in counts), (counts, all_cells)
+    # and the result is still a correct top-k shape
+    rows = df.collect()
+    assert 0 < len(rows) <= 10
+    assert all(r["probe_id"] == 0 and r["vec_id"] != 0 for r in rows)
