@@ -22,9 +22,11 @@ engine without modification:
   handling keeps working; a result exceeding ``max_rows`` errors with
   Druid's Resource-limit shape instead of silently truncating;
 - SQL can introspect ``sys.segments`` / ``sys.tasks`` /
-  ``sys.datasources`` / ``sys.supervisors`` and
+  ``sys.datasources`` / ``sys.supervisors`` / ``sys.servers`` /
+  ``sys.server_segments`` and
   ``INFORMATION_SCHEMA.TABLES/.COLUMNS`` (qualified names rewritten
-  onto registered views);
+  onto registered views); ``GET /druid/coordinator/v1/servers``
+  (plain/``?simple``/``?full``) lists the segment-serving inventory;
 - ``GET /status/health`` answers ``true`` (Druid's liveness probe);
   ``GET /druid/v2/datasources[/{name}]`` lists names / the
   dimensions-metrics split; ``GET /druid/v2/candidates`` lists the
@@ -232,7 +234,9 @@ def sys_segments_frame(
 # views cannot carry; the SQL text is rewritten to registered flat
 # views (documented shim)
 _SYS_TABLE_RE = re.compile(
-    r"\bsys\.(segments|tasks|datasources|supervisors)\b", re.I
+    r"\bsys\.(segments|tasks|datasources|supervisors"
+    r"|server_segments|servers)\b",
+    re.I,
 )
 _INFO_SCHEMA_RE = re.compile(
     r"\bINFORMATION_SCHEMA\.(TABLES|COLUMNS)\b", re.I
@@ -696,10 +700,17 @@ class DruidBrokerShim:
         # always registered (empty without roots/tasks): a client's
         # SELECT * FROM sys.segments/tasks/datasources answers zero
         # rows like a real broker, never an unknown-view error
+        import datetime
+
+        self._start_time = datetime.datetime.now(
+            datetime.timezone.utc
+        ).isoformat()
         self._refresh_sys_segments()
         self._refresh_sys_tasks()
         self._refresh_sys_datasources()
         self._refresh_sys_supervisors()
+        self._refresh_sys_servers()
+        self._refresh_sys_server_segments()
         self._register_information_schema()
         # real Druid keeps rules and lookup configs in the metadata
         # store, so a restarted coordinator still enforces them; this
@@ -906,6 +917,74 @@ class DruidBrokerShim:
         self.spark.createDataFrame(
             [(n,) for n in sorted(self.tables)], "datasource string"
         ).createOrReplaceTempView("sys_datasources")
+
+    def _historical_name(self) -> str:
+        """The single-process engine's one segment-serving server, named
+        host:port like Druid's inventory (conventional historical
+        default port; all services here share one process)."""
+        return "localhost:8083"
+
+    def _server_inventory(self) -> tuple[list[tuple], list[tuple]]:
+        """(sys.servers rows, sys.server_segments rows) — the
+        coordinator server inventory (sql-metadata-tables.md sys tables;
+        coordinator-api.md /servers), synthesized truthfully for this
+        single-process engine: one row per SERVICE this process runs
+        (broker, coordinator, overlord, historical — each answers its
+        documented API surface here), with the historical serving every
+        visible-timeline segment. curr_size sums served segment bytes
+        (the same size cache sys.segments uses); max_size reports the
+        deep-storage filesystem's capacity when known (the physical
+        ceiling), else 0. The coordinator/overlord rows lead
+        (is_leader=1) by construction — there is exactly one of each."""
+        segs = self._metadata_segments()
+        curr = sum(s["size"] for s in segs)
+        max_size = 0
+        probe = self.deep_storage or next(
+            iter(self._segment_roots.values()), None
+        )
+        if probe is not None:
+            import shutil
+
+            try:
+                max_size = shutil.disk_usage(probe).total
+            except OSError:
+                pass
+        broker_port = (
+            self._server.server_address[1] if self._server else 8082
+        )
+        st = self._start_time
+        hist = self._historical_name()
+        servers = [
+            (f"localhost:{broker_port}", "localhost", broker_port, -1,
+             "broker", None, 0, 0, None, st),
+            ("localhost:8081", "localhost", 8081, -1,
+             "coordinator", None, 0, 0, 1, st),
+            ("localhost:8090", "localhost", 8090, -1,
+             "overlord", None, 0, 0, 1, st),
+            (hist, "localhost", 8083, -1,
+             "historical", "_default_tier", curr, max_size, None, st),
+        ]
+        served = [(hist, s["identifier"]) for s in segs]
+        return servers, served
+
+    def _refresh_sys_servers(self) -> None:
+        servers, _ = self._server_inventory()
+        self.spark.createDataFrame(
+            servers,
+            "server string, host string, plaintext_port int, "
+            "tls_port int, server_type string, tier string, "
+            "curr_size bigint, max_size bigint, is_leader int, "
+            "start_time string",
+        ).createOrReplaceTempView("sys_servers")
+
+    def _refresh_sys_server_segments(self) -> None:
+        """``sys.server_segments``: one (server, segment_id) row per
+        served segment — joins sys.servers to sys.segments, the shape
+        the Druid console's segment-distribution views query."""
+        _, served = self._server_inventory()
+        self.spark.createDataFrame(
+            served, "server string, segment_id string"
+        ).createOrReplaceTempView("sys_server_segments")
 
     def _register_information_schema(self) -> None:
         """INFORMATION_SCHEMA.TABLES / .COLUMNS (sql-metadata-tables.md)
@@ -1120,6 +1199,14 @@ class DruidBrokerShim:
                     self._refresh_sys_datasources()
                 if "supervisors" in referenced:
                     self._refresh_sys_supervisors()
+            # OUTSIDE the lock: the server inventory reads the served
+            # timeline through _metadata_segments, which takes the lock
+            # itself (re-acquiring would deadlock — threading.Lock is
+            # not reentrant)
+            if "servers" in referenced:
+                self._refresh_sys_servers()
+            if "server_segments" in referenced:
+                self._refresh_sys_server_segments()
 
     def _avatica_run_sql(self, sql: str, args: list | None) -> tuple:
         """SQL execution for the Avatica endpoint: the same
@@ -2916,14 +3003,50 @@ class DruidBrokerShim:
                 elif path == "/druid/coordinator/v1/metadata/segments":
                     from urllib.parse import parse_qs, urlparse
 
-                    q = parse_qs(urlparse(self.path).query)
+                    # keep_blank_values: the flag is usually passed
+                    # bare (?includeOvershadowedStatus); checking the
+                    # parsed dict (not a substring of the raw query)
+                    # keeps an unrelated parameter VALUE containing
+                    # the text from flipping the listing mode
+                    q = parse_qs(urlparse(self.path).query,
+                                 keep_blank_values=True)
                     self._send(200, shim._metadata_segments(
                         datasources=q.get("datasources"),
                         include_overshadowed=(
-                            "includeOvershadowedStatus"
-                            in (urlparse(self.path).query or "")
+                            "includeOvershadowedStatus" in q
                         ),
                     ))
+                elif path == "/druid/coordinator/v1/servers":
+                    from urllib.parse import parse_qs, urlparse
+
+                    q = parse_qs(urlparse(self.path).query,
+                                 keep_blank_values=True)
+                    servers, served = shim._server_inventory()
+                    if "simple" in q or "full" in q:
+                        # the coordinator inventory lists SEGMENT-
+                        # SERVING servers (coordinator-api.md) — the
+                        # one historical here; ?full adds its served
+                        # segment ids
+                        rows = [
+                            {
+                                "host": s[0], "tier": s[5],
+                                "type": s[4], "priority": 0,
+                                "currSize": s[6], "maxSize": s[7],
+                            }
+                            for s in servers if s[4] == "historical"
+                        ]
+                        if "full" in q:
+                            for row in rows:
+                                row["segments"] = sorted(
+                                    sid for srv, sid in served
+                                    if srv == row["host"]
+                                )
+                        self._send(200, rows)
+                    else:
+                        self._send(200, [
+                            s[0] for s in servers
+                            if s[4] == "historical"
+                        ])
                 elif path == "/druid/coordinator/v1/datasources":
                     self._send(200, sorted(shim._segment_roots))
                 elif path.startswith(

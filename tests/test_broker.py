@@ -1855,3 +1855,85 @@ def test_avatica_batch_and_txn(shim):
     })
     assert out["results"][0]["statementId"] == 0
     _post(url, {"request": "closeConnection", "connectionId": cid})
+
+
+def test_server_inventory_tracks_ingest_and_kill(spark, tmp_path):
+    """The coordinator server inventory (sql-metadata-tables.md
+    sys.servers / sys.server_segments; coordinator-api.md GET
+    /druid/coordinator/v1/servers): one row per service this process
+    runs, with the historical's served-segment rows and sizes tracking
+    a fresh ingest and a kill — the first calls the Druid console and
+    every ops client make."""
+    s = DruidBrokerShim(spark, {}, deep_storage=str(tmp_path / "deep"))
+    port = s.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        rows = _post(base + "/druid/v2/sql", {
+            "query": "SELECT server, server_type, tier, is_leader "
+                     "FROM sys.servers ORDER BY server_type"})
+        assert [r["server_type"] for r in rows] == [
+            "broker", "coordinator", "historical", "overlord"]
+        by_type = {r["server_type"]: r for r in rows}
+        assert by_type["historical"]["tier"] == "_default_tier"
+        assert by_type["historical"]["server"] == "localhost:8083"
+        assert by_type["broker"]["server"] == f"localhost:{port}"
+        assert by_type["coordinator"]["is_leader"] == 1
+        assert by_type["overlord"]["is_leader"] == 1
+        # empty inventory: no segments served yet
+        assert _post(base + "/druid/v2/sql", {
+            "query": "SELECT COUNT(*) AS n FROM sys.server_segments"
+        }) == [{"n": 0}]
+        # ingest 2 day-grain segments -> 2 served rows on the historical
+        _post(base + "/druid/v2/sql/task", {
+            "query": "INSERT INTO inv SELECT * FROM VALUES "
+                     "(TIMESTAMP '2024-02-01 01:00:00', 1), "
+                     "(TIMESTAMP '2024-02-02 01:00:00', 2) "
+                     "AS t(__time, v) PARTITIONED BY DAY"})
+        served = _post(base + "/druid/v2/sql", {
+            "query": "SELECT ss.segment_id FROM sys.server_segments ss "
+                     "JOIN sys.servers sv ON ss.server = sv.server "
+                     "WHERE sv.server_type = 'historical' "
+                     "ORDER BY ss.segment_id"})
+        assert len(served) == 2
+        assert all(r["segment_id"].startswith("inv_2024-02-0")
+                   for r in served)
+        # curr_size must agree with the sum sys.segments reports
+        agg = _post(base + "/druid/v2/sql", {
+            "query": "SELECT (SELECT curr_size FROM sys.servers WHERE "
+                     "server_type = 'historical') = (SELECT SUM(size) "
+                     "FROM sys.segments WHERE is_available = 1) AS ok"})
+        assert agg == [{"ok": True}]
+        # the coordinator endpoint lists the segment-serving server
+        with urllib.request.urlopen(
+            base + "/druid/coordinator/v1/servers"
+        ) as r:
+            assert json.loads(r.read()) == ["localhost:8083"]
+        with urllib.request.urlopen(
+            base + "/druid/coordinator/v1/servers?simple"
+        ) as r:
+            simple = json.loads(r.read())
+        assert simple[0]["type"] == "historical"
+        assert simple[0]["currSize"] > 0 and simple[0]["maxSize"] > 0
+        with urllib.request.urlopen(
+            base + "/druid/coordinator/v1/servers?full"
+        ) as r:
+            full = json.loads(r.read())
+        assert len(full[0]["segments"]) == 2
+        # kill one day: the served rows and endpoint shrink with it
+        out = _post(base + "/druid/indexer/v1/task", {
+            "type": "kill", "dataSource": "inv",
+            "interval": "2024-02-02T00:00:00Z/2024-02-03T00:00:00Z"})
+        with urllib.request.urlopen(
+            base + f"/druid/indexer/v1/task/{out['task']}/status"
+        ) as r:
+            assert json.loads(
+                r.read())["status"]["numSegmentsKilled"] == 1
+        assert _post(base + "/druid/v2/sql", {
+            "query": "SELECT COUNT(*) AS n FROM sys.server_segments"
+        }) == [{"n": 1}]
+        with urllib.request.urlopen(
+            base + "/druid/coordinator/v1/servers?full"
+        ) as r:
+            assert len(json.loads(r.read())[0]["segments"]) == 1
+    finally:
+        s.stop()
