@@ -432,6 +432,41 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
     # literal (non-regex) separator, like Druid: \Q...\E-quote it
     ("STRING_TO_MV", "s STRING, sep STRING", "ARRAY<STRING>",
      r"split(s, concat('\\Q', sep, '\\E'))"),
+    # Druid 24+ nested-column JSON family (nested-columns.md) on
+    # Spark's VARIANT/json builtins. Deliberate documented subset:
+    # JSON_VALUE is the 2-arg form here (the RETURNING clause is
+    # peeled into a CAST by the SQL-text rewrite below); JSON_PATHS
+    # walks two object levels (arrays and deeper nests report their
+    # object path, not per-leaf [i] paths); path keys containing
+    # dots need Druid's bracket quoting, which Spark's JSONPath
+    # shares. JSON_VALUE returns scalars ONLY (an object/array path
+    # answers NULL, like Druid) — the guard serializes the variant
+    # and rejects '{'/'['-leading JSON, which cannot false-positive
+    # on a string value because to_json quotes strings (leading '"').
+    ("JSON_VALUE", "j STRING, p STRING", "STRING",
+     "CASE WHEN left(to_json(try_variant_get(try_parse_json(j), p)), 1)"
+     " IN ('{', '[') THEN NULL"
+     " ELSE try_variant_get(try_parse_json(j), p, 'string') END"),
+    ("JSON_QUERY", "j STRING, p STRING", "STRING",
+     "to_json(try_variant_get(try_parse_json(j), p))"),
+    # PARSE_JSON / TRY_PARSE_JSON are omitted: Spark ships builtins of
+    # those exact names with Druid's semantics (strict parse errors /
+    # NULL on malformed, both producing the COMPLEX<json> analog
+    # VARIANT) and refuses to shadow a builtin with a SQL UDF.
+    # accepts any input like Druid (Spark coerces scalars to VARIANT)
+    ("TO_JSON_STRING", "v VARIANT", "STRING", "to_json(v)"),
+    ("JSON_KEYS", "j STRING, p STRING", "ARRAY<STRING>",
+     "json_object_keys(get_json_object(j, p))"),
+    ("JSON_PATHS", "j STRING", "ARRAY<STRING>",
+     "CASE WHEN get_json_object(j, '$') IS NULL THEN NULL "
+     "WHEN json_object_keys(j) IS NULL THEN array('$') "
+     "ELSE flatten(transform(json_object_keys(j), k -> "
+     "CASE WHEN json_object_keys(get_json_object(j, concat('$.', k)))"
+     " IS NOT NULL"
+     " THEN transform("
+     "json_object_keys(get_json_object(j, concat('$.', k))),"
+     " k2 -> concat('$.', k, '.', k2))"
+     " ELSE array(concat('$.', k)) END)) END"),
     # Druid's BITWISE_* function names over 64-bit longs (math-expr
     # docs); Spark has the operators/builtins, Druid SQL the names
     ("BITWISE_AND", "x BIGINT, y BIGINT", "BIGINT", "x & y"),
@@ -549,6 +584,47 @@ def _ds_render(name: str, args: list[str]) -> str:
             )
         grp = args[2] if len(args) == 3 else "0"
         return f"nullif(regexp_extract({args[0]}, {args[1]}, {grp}), '')"
+    if name == "JSON_OBJECT":
+        # Druid/Calcite KEY k VALUE v pairs (nested-columns.md); plain
+        # k, v pairs are accepted too. All-literal keys render as
+        # to_json(named_struct(...)) — value types preserved in the
+        # JSON (numbers stay numbers); an expression key falls back to
+        # to_json(map(...)), whose values coerce to one common type
+        # (documented subset — Druid allows mixed types there).
+        kvs: list[str] = []
+        for a0 in args:
+            pm = re.match(r"(?is)^KEY\s+(.+?)\s+VALUE\s+(.+)$", a0.strip())
+            if pm:
+                kvs.extend([pm.group(1).strip(), pm.group(2).strip()])
+            else:
+                kvs.append(a0.strip())
+        if len(kvs) % 2:
+            raise ValueError("JSON_OBJECT takes KEY/VALUE pairs")
+        if not kvs:
+            return "to_json(map())"
+        keys_literal = all(
+            re.fullmatch(r"'(?:[^']|'')*'", k) for k in kvs[0::2]
+        )
+        fn = "named_struct" if keys_literal else "map"
+        return f"to_json({fn}({a(kvs)}))"
+    if name == "JSON_VALUE":
+        # the scalar UDF serves the 2-arg form; the SQL-standard
+        # RETURNING clause (nested-columns.md) peels into a CAST.
+        # Re-emitting the plain form verbatim keeps the pass
+        # idempotent (the scan resumes after rendered text).
+        if len(args) == 2:
+            rm = re.match(
+                r"(?is)^(.+?)\s+RETURNING\s+([A-Z][A-Z0-9_<>,() ]*)$",
+                args[1].strip(),
+            )
+            if rm:
+                typ = rm.group(2).strip().upper()
+                typ = {"VARCHAR": "STRING", "CHAR": "STRING"}.get(typ, typ)
+                return (
+                    f"CAST(JSON_VALUE({args[0]}, {rm.group(1).strip()})"
+                    f" AS {typ})"
+                )
+        return f"JSON_VALUE({a(args)})"
     if name == "STRING_AGG":
         # Druid STRING_AGG(expr, separator[, maxSize]) -> Spark 4's
         # listagg (same null-skipping, same nondeterministic order
@@ -580,6 +656,7 @@ _DS_NAMES = (
     "APPROX_QUANTILE_DS",
     "APPROX_QUANTILE", "HLL_SKETCH_ESTIMATE", "HLL_SKETCH_UNION",
     "DS_HLL", "REGEXP_EXTRACT", "STRING_AGG",
+    "JSON_OBJECT", "JSON_VALUE",
 )
 _DS_CALL_RE = re.compile(
     r"\b(" + "|".join(_DS_NAMES) + r")\s*\(", re.IGNORECASE

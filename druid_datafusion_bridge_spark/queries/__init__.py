@@ -55,6 +55,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 NEW_IN_R9: tuple[str, ...] = (
     # r9 new queries, appended as they land (they take priority slots)
     "sim_ivfpq_persisted",
+    "fd_json_query",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed

@@ -378,6 +378,72 @@ def fd_json_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fd_json_query",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             json_extract(props, '$.k')::VARCHAR AS k_text,
+             json_keys(props)[1] AS first_key
+      FROM events)
+    SELECT event_type, COUNT(*) AS n,
+           MIN(k) AS k_min, MAX(k) AS k_max,
+           MIN(k_text) AS k_text_min,
+           MIN(first_key) AS first_key,
+           '$.' || MIN(first_key) AS first_path,
+           TRUE AS canon_ok, TRUE AS obj_ok
+    FROM e GROUP BY event_type ORDER BY event_type
+    """,
+)
+def fd_json_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Druid 24+ nested-column JSON family as raw SQL text
+    (nested-columns.md): JSON_VALUE with the RETURNING clause (rewrite
+    peels it into a CAST), JSON_QUERY (returns the JSON at the path,
+    objects/arrays included), JSON_OBJECT KEY/VALUE construction,
+    PARSE_JSON -> TO_JSON_STRING round trip (canonicalized against the
+    source payload minus whitespace), JSON_KEYS, and JSON_PATHS — all
+    registered on Spark's VARIANT/json builtins, so the extraction
+    stays a stateless JVM row map over the columnar scan (scan-bound
+    at 100 TB like any projection; Druid materializes hot paths to
+    nested columns at ingest, the same trade our ingest specs make).
+    Round-trip invariants (canonical serialization, JSON_OBJECT
+    extraction) are oracle-checked as literal-TRUE flags; extractions
+    and key/path listings are checked exactly."""
+    from ..functions.druid_sql import rewrite_datasketches_sql
+
+    register_druid_sql_functions(spark)
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    sql = rewrite_datasketches_sql(
+        """
+        WITH e AS (
+          SELECT event_type,
+                 JSON_VALUE(props, '$.k' RETURNING BIGINT) AS k,
+                 JSON_QUERY(props, '$.k') AS k_text,
+                 TO_JSON_STRING(PARSE_JSON(props)) AS canon,
+                 replace(props, ' ', '') AS canon_ref,
+                 JSON_KEYS(props, '$')[0] AS first_key,
+                 JSON_PATHS(props)[0] AS first_path,
+                 JSON_VALUE(
+                   JSON_OBJECT(
+                     KEY 'et' VALUE event_type,
+                     KEY 'kk' VALUE JSON_VALUE(props, '$.k'
+                                               RETURNING BIGINT)),
+                   '$.et') AS et_rt
+          FROM events)
+        SELECT event_type, COUNT(*) AS n,
+               MIN(k) AS k_min, MAX(k) AS k_max,
+               MIN(k_text) AS k_text_min,
+               MIN(first_key) AS first_key,
+               MIN(first_path) AS first_path,
+               bool_and(canon = canon_ref) AS canon_ok,
+               bool_and(et_rt = event_type) AS obj_ok
+        FROM e GROUP BY event_type ORDER BY event_type
+        """
+    )
+    return spark.sql(sql)
+
+
+@query(
     "fd_mv_sql_text",
     oracle="""
     SELECT p_partkey,

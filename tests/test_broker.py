@@ -1937,3 +1937,51 @@ def test_server_inventory_tracks_ingest_and_kill(spark, tmp_path):
             assert len(json.loads(r.read())[0]["segments"]) == 1
     finally:
         s.stop()
+
+
+def test_sql_json_family(shim):
+    """Druid's nested-column JSON SQL family (nested-columns.md) works
+    through the broker's SQL text path: JSON_VALUE (scalar-only, with
+    and without RETURNING), JSON_QUERY (objects/arrays included),
+    JSON_OBJECT KEY/VALUE construction, PARSE_JSON/TO_JSON_STRING
+    round trip, JSON_KEYS, and depth-2 JSON_PATHS."""
+    doc = '{"a": 1, "b": {"x": "hi", "y": [1,2]}, "c": "str"}'
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": f"SELECT JSON_VALUE('{doc}', '$.a') AS a, "
+                 f"JSON_VALUE('{doc}', '$.b') AS obj_is_null, "
+                 f"JSON_VALUE('{doc}', '$.b.y') AS arr_is_null, "
+                 f"JSON_VALUE('{doc}', '$.a' RETURNING BIGINT) AS a_t, "
+                 f"JSON_VALUE('{doc}', '$.b.x') AS bx "
+                 "FROM wikipedia LIMIT 1"})
+    assert rows == [{"a": "1", "obj_is_null": None, "arr_is_null": None,
+                     "a_t": 1, "bx": "hi"}]
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": f"SELECT JSON_QUERY('{doc}', '$.b') AS b, "
+                 f"JSON_QUERY('{doc}', '$.b.y') AS y, "
+                 f"JSON_QUERY('{doc}', '$.c') AS c "
+                 "FROM wikipedia LIMIT 1"})
+    assert rows == [{"b": '{"x":"hi","y":[1,2]}', "y": "[1,2]",
+                     "c": '"str"'}]
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "SELECT JSON_OBJECT(KEY 'n' VALUE delta, "
+                 "KEY 'ch' VALUE channel) AS o "
+                 "FROM wikipedia WHERE channel = 'de'"})
+    assert rows == [{"o": '{"n":11,"ch":"de"}'}]
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": f"SELECT TO_JSON_STRING(PARSE_JSON('{doc}')) AS rt, "
+                 f"TO_JSON_STRING(TRY_PARSE_JSON('nope')) AS bad "
+                 "FROM wikipedia LIMIT 1"})
+    assert rows == [{
+        "rt": '{"a":1,"b":{"x":"hi","y":[1,2]},"c":"str"}', "bad": None}]
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": f"SELECT JSON_KEYS('{doc}', '$') AS top, "
+                 f"JSON_KEYS('{doc}', '$.b') AS nested, "
+                 f"JSON_PATHS('{doc}') AS paths "
+                 "FROM wikipedia LIMIT 1"})
+    assert rows == [{"top": ["a", "b", "c"], "nested": ["x", "y"],
+                     "paths": ["$.a", "$.b.x", "$.b.y", "$.c"]}]
+    # a literal containing a JSON name must NOT be rewritten
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "SELECT 'JSON_OBJECT(KEY a VALUE b)' AS s "
+                 "FROM wikipedia LIMIT 1"})
+    assert rows == [{"s": "JSON_OBJECT(KEY a VALUE b)"}]
