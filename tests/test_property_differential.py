@@ -1219,3 +1219,186 @@ def test_datasketches_rewrite_fuzz(frags):
                           "string_agg"):
             continue
         assert not mask[m.start()], (out, m.group())
+
+
+# ---------------------------------------------------------------------
+# Native groupBy having/limitSpec/subtotalsSpec composition: hypothesis
+# builds random having trees (agg + dim predicates under and/or/not),
+# random DefaultLimitSpec orderings (lexicographic/numeric, asc/desc,
+# limit+offset), and random subtotalsSpec grouping sets; the spec runs
+# through native_query and an independent spec->SQL rendering runs in
+# DuckDB — the same harness shape whose filter-tree sibling caught the
+# DS-rewrite non-idempotence in r8. Every generated ordering ends in a
+# full-column tie-break so the limit cut is deterministic on both
+# engines (only then is the selected row SET comparable).
+
+_having_leaf = st.one_of(
+    st.builds(
+        lambda v: {"type": "greaterThan", "aggregation": "sv", "value": v},
+        st.integers(-300, 300),
+    ),
+    st.builds(
+        lambda v: {"type": "lessThan", "aggregation": "cnt", "value": v},
+        st.integers(0, 6),
+    ),
+    st.builds(
+        lambda v: {"type": "equalTo", "aggregation": "cnt", "value": v},
+        st.integers(0, 4),
+    ),
+    st.builds(
+        lambda v: {"type": "dimSelector", "dimension": "s", "value": v},
+        st.sampled_from(["a", "b", ""]),
+    ),
+)
+having_tree = st.recursive(
+    _having_leaf,
+    lambda kids: st.one_of(
+        st.builds(lambda fs: {"type": "and", "havingSpecs": fs},
+                  st.lists(kids, min_size=1, max_size=3)),
+        st.builds(lambda fs: {"type": "or", "havingSpecs": fs},
+                  st.lists(kids, min_size=1, max_size=3)),
+        st.builds(lambda f: {"type": "not", "havingSpec": f}, kids),
+    ),
+    max_leaves=5,
+)
+
+_limit_col = st.one_of(
+    st.builds(
+        lambda d, o: {"dimension": "s", "direction": d, "dimensionOrder": o},
+        st.sampled_from(["ascending", "descending"]),
+        st.sampled_from(["lexicographic", "numeric"]),
+    ),
+    st.builds(
+        lambda a, d: {"dimension": a, "direction": d,
+                      "dimensionOrder": "numeric"},
+        st.sampled_from(["cnt", "sv"]),
+        st.sampled_from(["ascending", "descending"]),
+    ),
+)
+# trailing tie-break over every output column makes the cut total-
+# ordered; the bare-string "s" entry exercises the str-form column
+_TIEBREAK = [
+    {"dimension": "k", "dimensionOrder": "numeric"},
+    "s",
+    {"dimension": "cnt", "dimensionOrder": "numeric"},
+    {"dimension": "sv", "dimensionOrder": "numeric"},
+]
+limit_st = st.builds(
+    lambda cols, lim, off: {
+        "type": "default",
+        "columns": cols + _TIEBREAK,
+        **({"limit": lim} if lim is not None else {}),
+        **({"offset": off} if off else {}),
+    },
+    st.lists(_limit_col, max_size=2),
+    st.one_of(st.none(), st.integers(0, 8)),
+    st.integers(0, 3),
+)
+subtotals_st = st.one_of(
+    st.none(),
+    st.lists(st.sampled_from([["k", "s"], ["k"], ["s"], []]),
+             min_size=1, max_size=3),
+)
+
+
+def _having_sql(h) -> str:
+    t = h["type"]
+    if t == "greaterThan":
+        return f"(CAST({h['aggregation']} AS DOUBLE) > {float(h['value'])})"
+    if t == "lessThan":
+        return f"(CAST({h['aggregation']} AS DOUBLE) < {float(h['value'])})"
+    if t == "equalTo":
+        return f"(CAST({h['aggregation']} AS DOUBLE) = {float(h['value'])})"
+    if t == "dimSelector":
+        return f"({h['dimension']} = '{h['value']}')"
+    if t == "and":
+        return "(" + " AND ".join(_having_sql(x) for x in h["havingSpecs"]) + ")"
+    if t == "or":
+        return "(" + " OR ".join(_having_sql(x) for x in h["havingSpecs"]) + ")"
+    if t == "not":
+        return f"(NOT {_having_sql(h['havingSpec'])})"
+    raise AssertionError(t)
+
+
+def _limit_order_sql(cols) -> str:
+    parts = []
+    for c in cols:
+        if isinstance(c, str):
+            c = {"dimension": c}
+        d = c["dimension"]
+        ordering = c.get("dimensionOrder", "lexicographic")
+        expr = f"TRY_CAST({d} AS DOUBLE)" if ordering == "numeric" else d
+        if c.get("direction", "ascending") == "descending":
+            parts.append(f"{expr} DESC NULLS LAST")
+        else:
+            parts.append(f"{expr} ASC NULLS FIRST")
+    return ", ".join(parts)
+
+
+@pytest.mark.slow
+@given(a=rows_st, having=st.one_of(st.none(), having_tree),
+       limit_spec=limit_st, subtotals=subtotals_st)
+@SET
+def test_native_groupby_having_limit_subtotals_differential(
+    spark, a, having, limit_spec, subtotals
+):
+    from druid_datafusion_bridge_spark.native_query import native_query
+
+    df = (
+        spark.createDataFrame(a, SCHEMA)
+        if a else spark.createDataFrame([], SCHEMA)
+    )
+    spec = {
+        "queryType": "groupBy",
+        "granularity": "all",
+        "dimensions": ["k", "s"],
+        "aggregations": [
+            {"type": "count", "name": "cnt"},
+            {"type": "longSum", "name": "sv", "fieldName": "v"},
+        ],
+        "limitSpec": limit_spec,
+    }
+    if having is not None:
+        spec["having"] = having
+    if subtotals is not None:
+        spec["subtotalsSpec"] = subtotals
+    got = native_query(df, spec, time_col="v")
+
+    # The mirror renders subtotals as per-set UNION ALL rather than
+    # SQL GROUPING SETS, for two reasons: DuckDB refuses to select a
+    # column absent from every set (Spark surfaces it as NULL), and
+    # the empty set () over EMPTY input yields one global row in
+    # standard SQL but ZERO rows in Spark — which is also Druid's
+    # subtotals behavior (a groupBy over no rows returns no rows), so
+    # the engine is right and the mirror encodes it (HAVING COUNT(*)
+    # > 0 suppresses the empty-input global row).
+    if subtotals is not None:
+        selects = []
+        for names in subtotals:
+            k_e = "k" if "k" in names else "CAST(NULL AS INT)"
+            s_e = "s" if "s" in names else "CAST(NULL AS VARCHAR)"
+            grp = f"GROUP BY {', '.join(names)}" if names else (
+                "HAVING COUNT(*) > 0"
+            )
+            selects.append(
+                f"SELECT {k_e} AS k, {s_e} AS s, COUNT(*) AS cnt, "
+                f"SUM(v) AS sv FROM t {grp}"
+            )
+        g = " UNION ALL ".join(selects)
+    else:
+        g = "SELECT k, s, COUNT(*) AS cnt, SUM(v) AS sv FROM t GROUP BY k, s"
+    where = f"WHERE {_having_sql(having)}" if having is not None else ""
+    order = _limit_order_sql(limit_spec["columns"])
+    cut = ""
+    if limit_spec.get("limit") is not None:
+        cut += f" LIMIT {limit_spec['limit']}"
+    if limit_spec.get("offset"):
+        cut += f" OFFSET {limit_spec['offset']}"
+    con = _duck({"t": a})
+    _compare(
+        got, con,
+        f"""
+        WITH g AS ({g})
+        SELECT k, s, cnt, sv FROM g {where} ORDER BY {order}{cut}
+        """,
+    )
