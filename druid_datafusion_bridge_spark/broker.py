@@ -622,6 +622,8 @@ class DruidBrokerShim:
         # submitted task bodies, for GET /druid/indexer/v1/task/{id}
         # (the console's payload view)
         self._task_payloads: dict[str, dict] = {}
+        # terminal-status retention bound (_record_task docstring)
+        self._max_tasks = 1024
         self._supervisors: dict[str, Any] = {}
         # supervisor spec-revision audit: id -> [{spec, version}, ...]
         # in submit order (survives supervisor replacement — history is
@@ -1913,13 +1915,25 @@ class DruidBrokerShim:
     def _record_task(
         self, status: dict, payload: dict | None = None
     ) -> None:
-        """Store a terminal task status (atomic map rebind) and refresh
-        sys.tasks — the one bookkeeping path for batch, kill, and SQL
-        ingestion tasks. ``payload`` retains the submitted body for
-        GET /druid/indexer/v1/task/{id}."""
+        """Store a terminal task status (atomic map rebind) — the one
+        bookkeeping path for batch, kill, and SQL ingestion tasks.
+        ``payload`` retains the submitted body for
+        GET /druid/indexer/v1/task/{id}.
+
+        Bounded like _task_reports/_task_payloads: SELECT on
+        /druid/v2/sql/task makes task recording a PER-QUERY path, so an
+        unbounded status map would grow a long-lived broker's driver
+        memory without limit (real Druid expires terminal statuses
+        via druid.indexer.storage.recentlyFinishedThreshold — same
+        idea, count-bounded here). The sys.tasks VIEW is NOT rebuilt
+        here: every SQL entry point refreshes it lazily on reference
+        (_reclaim_meta_views), so recording stays O(1) instead of
+        paying a createDataFrame over all retained tasks per query."""
         with self._lock:
             tasks = dict(self._tasks)
             tasks[status["id"]] = status
+            while len(tasks) > self._max_tasks:  # newest-first retention
+                tasks.pop(next(iter(tasks)))
             self._tasks = tasks
             if payload is not None:
                 payloads = dict(self._task_payloads)
@@ -1929,7 +1943,6 @@ class DruidBrokerShim:
                 while len(payloads) > 512:
                     payloads.pop(next(iter(payloads)))
                 self._task_payloads = payloads
-            self._refresh_sys_tasks()
 
     def _run_select_task(self, sql: str, body: dict) -> dict:
         """SELECT on POST /druid/v2/sql/task (sql-ingestion.md: the MSQ
@@ -2687,10 +2700,16 @@ class DruidBrokerShim:
         manifests, no decodes. Truthful subset of Druid's
         SegmentMetadata: identifier, dataSource, interval, size,
         numRows, binaryVersion; ``includeOvershadowedStatus`` includes
-        overshadowed segments and adds the ``overshadowed`` flag
-        (the plain listing serves only the visible timeline, like
-        Druid). markUnused/retention-dropped segments are not used and
-        never appear."""
+        overshadowed segments and adds the ``overshadowed`` flag.
+        Deliberate divergence: the plain listing serves the VISIBLE
+        TIMELINE, i.e. real Druid's steady state after its coordinator
+        duty marks overshadowed segments unused — in real Druid an
+        overshadowed segment transiently stays 'used' (and listed)
+        until that duty cycle runs; this engine applies overshadowing
+        inline, so the transient window does not exist (clients that
+        need overshadowed rows pass includeOvershadowedStatus).
+        markUnused/retention-dropped segments are not used and never
+        appear."""
         import os
 
         from .cli import _format_millis as iso

@@ -22,8 +22,13 @@ manifest). Hot intervals shard via tuningConfig
 partitionsSpec.maxRowsPerSegment (Druid's dynamic partitioning).
 
 Deliberate subset, loud otherwise:
-- inputSource: ``local`` (baseDir + filter glob); inputFormat: json
-  (newline-delimited), csv (header or explicit columns), parquet;
+- inputSource: ``local`` (baseDir + filter glob), ``inline`` (rows
+  travel in the spec), ``druid`` (reindex an existing datasource's
+  served segments, optionally one interval); inputFormat: json
+  (newline-delimited), csv/tsv (header or explicit columns, custom
+  delimiter), parquet (local only) — unknown inputFormat FIELDS raise
+  too, not just unknown types (a silently-ignored skipHeaderRows
+  would ingest header rows as data);
 - transform expressions are evaluated as Spark SQL (the Druid SQL
   dialect functions are registered first, so TIME_FLOOR/LOOKUP-style
   calls work); Druid's own expression language overlaps but is not
@@ -48,6 +53,30 @@ from .sources.ingest import write_druid_segments
 from .sources.segment import TIME_COLUMN
 
 __all__ = ["ingest", "transform_rows"]
+
+
+# inputFormat fields each type supports; anything else raises (the
+# module discipline: a silently-ignored skipHeaderRows would ingest
+# header rows as data)
+_FORMAT_FIELDS = {
+    "json": {"type"},
+    "csv": {"type", "delimiter", "findColumnsFromHeader", "columns"},
+    "tsv": {"type", "delimiter", "findColumnsFromHeader", "columns"},
+    "parquet": {"type"},
+}
+
+
+def _checked_format(fmt: dict) -> str:
+    kind = fmt.get("type")
+    allowed = _FORMAT_FIELDS.get(kind)
+    if allowed is None:
+        raise ValueError(f"unsupported inputFormat type {kind!r}")
+    extra = sorted(set(fmt) - allowed)
+    if extra:
+        raise ValueError(
+            f"unsupported inputFormat field(s) {extra} for type {kind!r}"
+        )
+    return kind
 
 
 def _read_input(
@@ -97,21 +126,47 @@ def _read_input(
         # single-column DataFrame (no temp files, no driver-side row
         # parsing beyond the split).
         data = src.get("data", "")
-        lines = [(ln,) for ln in data.splitlines() if ln.strip()]
-        raw = spark.createDataFrame(lines, "value string")
+        rows = [ln for ln in data.splitlines() if ln.strip()]
         fmt = io_config.get("inputFormat", {})
-        kind = fmt.get("type")
+        kind = _checked_format(fmt)
         if kind == "json":
+            raw = spark.createDataFrame(
+                [(ln,) for ln in rows], "value string"
+            )
             return spark.read.json(raw.rdd.map(lambda r: r.value))
         if kind in ("csv", "tsv"):
             sep = fmt.get("delimiter", "\t" if kind == "tsv" else ",")
-            header = bool(fmt.get("findColumnsFromHeader", False))
+            names = None
+            if fmt.get("findColumnsFromHeader"):
+                if not rows:
+                    raise ValueError(
+                        "inline inputSource: findColumnsFromHeader "
+                        "with no rows"
+                    )
+                # peel EXACTLY the first physical line driver-side
+                # (the data is already in the spec): Spark's
+                # header=true over a dataset drops EVERY line that
+                # textually equals the header, losing data rows
+                import csv as _csv
+                import io as _io
+
+                names = next(
+                    _csv.reader(_io.StringIO(rows[0]), delimiter=sep)
+                )
+                rows = rows[1:]
+            if names is not None and not rows:
+                return spark.createDataFrame(
+                    [], ", ".join(f"`{n}` string" for n in names)
+                )
+            raw = spark.createDataFrame(
+                [(ln,) for ln in rows], "value string"
+            )
             df = (
-                spark.read.option("header", header).option("sep", sep)
+                spark.read.option("header", False).option("sep", sep)
                 .csv(raw.rdd.map(lambda r: r.value))
             )
-            cols = fmt.get("columns")
-            if cols and not header:
+            cols = names or fmt.get("columns")
+            if cols:
                 if len(cols) != len(df.columns):
                     raise ValueError(
                         f"inputFormat.columns lists {len(cols)} names "
@@ -119,7 +174,10 @@ def _read_input(
                     )
                 df = df.toDF(*cols)
             return df
-        raise ValueError(f"unsupported inputFormat type {kind!r}")
+        raise ValueError(
+            f"inline inputSource does not support inputFormat {kind!r} "
+            "(json, csv, tsv)"
+        )
     if src.get("type") != "local":
         raise ValueError(
             f"unsupported inputSource type {src.get('type')!r} "
@@ -127,7 +185,7 @@ def _read_input(
         )
     path = os.path.join(src["baseDir"], src.get("filter", "*"))
     fmt = io_config.get("inputFormat", {})
-    kind = fmt.get("type")
+    kind = _checked_format(fmt)
     if kind == "json":
         return spark.read.json(path)
     if kind in ("csv", "tsv"):

@@ -1985,3 +1985,38 @@ def test_sql_json_family(shim):
         "query": "SELECT 'JSON_OBJECT(KEY a VALUE b)' AS s "
                  "FROM wikipedia LIMIT 1"})
     assert rows == [{"s": "JSON_OBJECT(KEY a VALUE b)"}]
+
+
+def test_task_status_retention_is_bounded(spark, tmp_path):
+    """SELECT on /druid/v2/sql/task records a task per query, so the
+    terminal-status map must be bounded (newest-first retention, like
+    Druid's recentlyFinishedThreshold expiry) and sys.tasks must
+    rebuild lazily on reference — not on every record — so recording
+    stays O(1)."""
+    s = DruidBrokerShim(spark, {}, deep_storage=str(tmp_path / "deep"))
+    s._max_tasks = 5
+    port = s.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        ids = []
+        for _ in range(8):
+            out = _post(base + "/druid/v2/sql/task", {
+                "query": "SELECT 1 AS one"})
+            ids.append(out["taskId"])
+        with s._lock:
+            kept = list(s._tasks)
+        assert len(kept) == 5
+        assert kept == ids[-5:]  # oldest evicted first
+        # evicted ids 404 like real Druid's expired statuses
+        try:
+            urllib.request.urlopen(
+                base + f"/druid/indexer/v1/task/{ids[0]}/status")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        # the lazy view still serves current truth through SQL
+        rows = _post(base + "/druid/v2/sql", {
+            "query": "SELECT COUNT(*) AS n FROM sys.tasks"})
+        assert rows == [{"n": 5}]
+    finally:
+        s.stop()

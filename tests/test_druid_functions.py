@@ -320,3 +320,26 @@ def test_time_floor_timezone_local_chronology(spark):
     assert _one(
         spark, "2024-06-15T09:30:00", time_ceil("ts", "P1D", tz=tz)
     ) == dt.datetime(2024, 6, 16, 7, 0)
+
+
+def test_regexp_extract_empty_match_divergence_pinned(spark):
+    """Documented divergence (functions/druid_sql.py _ds_render): the
+    REGEXP_EXTRACT rewrite maps Spark's empty-string no-match to NULL
+    via nullif, which also nulls a GENUINE empty-string match — Druid
+    returns '' when the pattern matches empty. Pinned so the edge is a
+    deliberate choice, not an accident: both the no-match and the
+    matches-empty cases answer NULL here."""
+    from druid_datafusion_bridge_spark.functions.druid_sql import (
+        register_druid_sql_functions,
+        rewrite_datasketches_sql,
+    )
+
+    register_druid_sql_functions(spark)
+    row = spark.sql(rewrite_datasketches_sql(
+        "SELECT REGEXP_EXTRACT('abc', 'z+') AS no_match, "
+        "REGEXP_EXTRACT('abc', 'z*') AS empty_match, "  # Druid: ''
+        "REGEXP_EXTRACT('abc', 'b+') AS real_match"
+    )).first()
+    assert row["no_match"] is None
+    assert row["empty_match"] is None  # Druid would answer ''
+    assert row["real_match"] == "b"

@@ -411,3 +411,45 @@ def test_inline_input_source(spark, tmp_path):
         ("2024-01-01 00:00:00", "x"): 6,
         ("2024-01-02 00:00:00", "y"): 6,
     }
+
+
+def test_inline_csv_header_and_format_field_discipline(spark, tmp_path):
+    """inline csv with findColumnsFromHeader must peel EXACTLY the
+    first physical line (a data row textually equal to the header
+    survives — Spark's header=true over a dataset would drop it), and
+    unknown inputFormat FIELDS raise like unknown types do (a silently
+    ignored skipHeaderRows would ingest header rows as data)."""
+    from druid_datafusion_bridge_spark.ingestion_spec import _read_input
+
+    io_cfg = {
+        "inputSource": {
+            "type": "inline",
+            # line 3 is a data row equal to the header text
+            "data": "t,page,delta\n2024-01-01T00:10:00Z,x,4\nt,page,delta\n",
+        },
+        "inputFormat": {"type": "csv", "findColumnsFromHeader": True},
+    }
+    df = _read_input(spark, io_cfg)
+    assert df.columns == ["t", "page", "delta"]
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == [
+        ("2024-01-01T00:10:00Z", "x", "4"),
+        ("t", "page", "delta"),
+    ]
+    # header with zero data rows: empty frame, header schema kept
+    empty = _read_input(spark, {
+        "inputSource": {"type": "inline", "data": "a,b\n"},
+        "inputFormat": {"type": "csv", "findColumnsFromHeader": True},
+    })
+    assert empty.columns == ["a", "b"] and empty.count() == 0
+    # unsupported FIELD raises, naming it — for inline AND local
+    with pytest.raises(ValueError, match="skipHeaderRows"):
+        _read_input(spark, {
+            "inputSource": {"type": "inline", "data": "a,b\n1,2\n"},
+            "inputFormat": {"type": "csv", "skipHeaderRows": 1},
+        })
+    with pytest.raises(ValueError, match="flattenSpec"):
+        _read_input(spark, {
+            "inputSource": {"type": "local", "baseDir": str(tmp_path)},
+            "inputFormat": {"type": "json", "flattenSpec": {}},
+        })
