@@ -584,6 +584,63 @@ def _ds_render(name: str, args: list[str]) -> str:
             )
         grp = args[2] if len(args) == 3 else "0"
         return f"nullif(regexp_extract({args[0]}, {args[1]}, {grp}), '')"
+    if name in ("LATEST", "EARLIEST", "LATEST_BY", "EARLIEST_BY"):
+        # Druid's time-ordered value aggregates (sql-aggregations.md)
+        # as SQL text: LATEST(expr[, maxBytes]) reads the row with the
+        # max __time (the implicit Druid time column — a table without
+        # one errors loudly); LATEST_BY(expr, ts[, maxBytes]) names the
+        # ordering column. maxBytes is a storage knob with no Spark
+        # twin and is dropped. Spark's max_by/min_by are the exact
+        # semantics (ties engine-undefined in both).
+        fn2 = "max_by" if name.startswith("LATEST") else "min_by"
+        if name.endswith("_BY"):
+            if len(args) < 2:
+                raise ValueError(f"{name} takes (expr, timeColumn)")
+            return f"{fn2}({args[0]}, {args[1]})"
+        return f"{fn2}({args[0]}, __time)"
+    if name == "ARRAY_CONCAT_AGG":
+        # (expr[, maxBytes]) — concatenate arrays across rows; order
+        # undefined in Druid too
+        return f"flatten(collect_list({args[0]}))"
+    if name == "STRING_FORMAT":
+        return f"format_string({a(args)})"
+    if name == "ARRAY_LENGTH":
+        return f"size({args[0]})"
+    if name == "ARRAY_OVERLAP":
+        return f"arrays_overlap({a(args[:2])})"
+    if name == "ARRAY_CONCAT":
+        return f"concat({a(args)})"
+    if name == "ARRAY_TO_STRING":
+        return f"array_join({a(args[:2])})"
+    if name == "STRING_TO_ARRAY":
+        # Druid's delimiter IS a regex (sql-array-functions.md), and so
+        # is Spark split's — a literal-separator caller wants
+        # STRING_TO_MV (\\Q-quoted) instead
+        return f"split({a(args[:2])})"
+    if name == "ARRAY_OFFSET":
+        # 0-indexed; negative/overflow answer NULL (never Spark's
+        # from-the-end negative indexing)
+        return (
+            f"CASE WHEN ({args[1]}) >= 0 "
+            f"THEN try_element_at({args[0]}, ({args[1]}) + 1) END"
+        )
+    if name == "ARRAY_ORDINAL":
+        return (
+            f"CASE WHEN ({args[1]}) >= 1 "
+            f"THEN try_element_at({args[0]}, {args[1]}) END"
+        )
+    if name == "ARRAY_SLICE":
+        # Druid: 0-indexed [start, end); Spark slice is 1-indexed with
+        # a length argument
+        if len(args) == 3:
+            return (
+                f"slice({args[0]}, ({args[1]}) + 1, "
+                f"({args[2]}) - ({args[1]}))"
+            )
+        return (
+            f"slice({args[0]}, ({args[1]}) + 1, "
+            f"greatest(size({args[0]}) - ({args[1]}), 0))"
+        )
     if name == "JSON_OBJECT":
         # Druid/Calcite KEY k VALUE v pairs (nested-columns.md); plain
         # k, v pairs are accepted too. All-literal keys render as
@@ -657,6 +714,13 @@ _DS_NAMES = (
     "APPROX_QUANTILE", "HLL_SKETCH_ESTIMATE", "HLL_SKETCH_UNION",
     "DS_HLL", "REGEXP_EXTRACT", "STRING_AGG",
     "JSON_OBJECT", "JSON_VALUE",
+    # time-ordered value aggregates + array/name-swap family (r9):
+    # _BY and _AGG spellings listed before their prefixes so the
+    # alternation matches the longest name
+    "LATEST_BY", "EARLIEST_BY", "LATEST", "EARLIEST",
+    "ARRAY_CONCAT_AGG", "ARRAY_CONCAT", "ARRAY_LENGTH", "ARRAY_OVERLAP",
+    "ARRAY_TO_STRING", "STRING_TO_ARRAY", "ARRAY_OFFSET", "ARRAY_ORDINAL",
+    "ARRAY_SLICE", "STRING_FORMAT",
 )
 _DS_CALL_RE = re.compile(
     r"\b(" + "|".join(_DS_NAMES) + r")\s*\(", re.IGNORECASE

@@ -56,6 +56,7 @@ NEW_IN_R9: tuple[str, ...] = (
     # r9 new queries, appended as they land (they take priority slots)
     "sim_ivfpq_persisted",
     "fd_json_query",
+    "fd_array_sql_text",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed

@@ -444,6 +444,89 @@ def fd_json_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fd_array_sql_text",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             regexp_split_to_array(
+               concat(event_type, '-', CAST(user_id % 3 AS VARCHAR)),
+               '-') AS chars
+      FROM events)
+    SELECT event_type,
+           arg_max(user_id, event_id) AS last_user,
+           arg_min(user_id, event_id) AS first_user,
+           arg_max(user_id, event_id) AS last_user_by,
+           arg_min(user_id, event_id) AS first_user_by,
+           CAST(len(flatten(list(chars))) AS BIGINT) AS concat_agg_len,
+           MIN(chars[2]) AS min_digit,
+           MIN(array_to_string(list_slice(chars, 1, 2), '|')) AS first2,
+           MIN(array_to_string(list_slice(chars, 2, len(chars)), '|'))
+             AS tail,
+           MIN(chars[1]) AS c0,
+           TRUE AS oob_null_ok,
+           CAST(SUM(CASE WHEN list_has_any(chars, ['0', '1'])
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+           CAST(MIN(2 * len(chars)) AS BIGINT) AS concat_len,
+           MIN(printf('%s#%d', event_type, user_id % 7)) AS fmt
+    FROM e GROUP BY event_type ORDER BY event_type
+    """,
+)
+def fd_array_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid's SQL array family and time-ordered value aggregates as
+    raw SQL text (sql-array-functions.md, sql-aggregations.md):
+    STRING_TO_ARRAY (regex delimiter, like Druid's), ARRAY_LENGTH,
+    ARRAY_OFFSET (0-indexed, NULL out of range — never Spark's
+    negative-from-the-end), ARRAY_ORDINAL (1-indexed), ARRAY_SLICE
+    (0-indexed [start, end) and the to-the-end 2-arg form),
+    ARRAY_TO_STRING, ARRAY_OVERLAP, ARRAY_CONCAT, ARRAY_CONCAT_AGG,
+    STRING_FORMAT, plus LATEST/EARLIEST (implicit __time) and
+    LATEST_BY/EARLIEST_BY — all normalized onto Spark builtins by the
+    SQL-text rewrite (aggregates and arg-form swaps a scalar SQL UDF
+    cannot express). __time is built unique (timestamp_millis of the
+    unique event_id) so the LATEST/EARLIEST values are deterministic;
+    the out-of-range offsets are oracle-checked as a literal-TRUE
+    flag, everything else exactly."""
+    from ..functions.druid_sql import rewrite_datasketches_sql
+
+    register_druid_sql_functions(spark)
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    sql = rewrite_datasketches_sql(
+        """
+        WITH e AS (
+          SELECT timestamp_millis(event_id) AS __time, event_id,
+                 user_id, event_type,
+                 STRING_TO_ARRAY(
+                   concat(event_type, '-', CAST(user_id % 3 AS STRING)),
+                   '-') AS chars
+          FROM events)
+        SELECT event_type,
+               LATEST(user_id) AS last_user,
+               EARLIEST(user_id) AS first_user,
+               LATEST_BY(user_id, event_id) AS last_user_by,
+               EARLIEST_BY(user_id, event_id) AS first_user_by,
+               ARRAY_LENGTH(ARRAY_CONCAT_AGG(chars)) AS concat_agg_len,
+               MIN(ARRAY_ORDINAL(chars, 2)) AS min_digit,
+               MIN(ARRAY_TO_STRING(ARRAY_SLICE(chars, 0, 2), '|'))
+                 AS first2,
+               MIN(ARRAY_TO_STRING(ARRAY_SLICE(chars, 1), '|')) AS tail,
+               MIN(ARRAY_OFFSET(chars, 0)) AS c0,
+               bool_and(ARRAY_OFFSET(chars, 5) IS NULL
+                        AND ARRAY_OFFSET(chars, 0 - 1) IS NULL
+                        AND ARRAY_ORDINAL(chars, 0) IS NULL)
+                 AS oob_null_ok,
+               SUM(CASE WHEN ARRAY_OVERLAP(chars, array('0', '1'))
+                        THEN 1 ELSE 0 END) AS n_overlap,
+               MIN(ARRAY_LENGTH(ARRAY_CONCAT(chars, chars)))
+                 AS concat_len,
+               MIN(STRING_FORMAT('%s#%d', event_type, user_id % 7))
+                 AS fmt
+        FROM e GROUP BY event_type ORDER BY event_type
+        """
+    )
+    return spark.sql(sql)
+
+
+@query(
     "fd_mv_sql_text",
     oracle="""
     SELECT p_partkey,

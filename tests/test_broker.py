@@ -2020,3 +2020,38 @@ def test_task_status_retention_is_bounded(spark, tmp_path):
         assert rows == [{"n": 5}]
     finally:
         s.stop()
+
+
+def test_sql_array_and_value_aggregates(shim):
+    """Druid's array SQL family and time-ordered value aggregates work
+    through the broker's SQL text path (sql-array-functions.md,
+    sql-aggregations.md): name/arg-form swaps onto Spark builtins."""
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "SELECT channel, LATEST(delta) AS last_d, "
+                 "EARLIEST(delta) AS first_d, "
+                 "LATEST_BY(delta, __time) AS last_by "
+                 "FROM wikipedia GROUP BY channel ORDER BY channel"})
+    assert rows == [
+        {"channel": "de", "last_d": 11, "first_d": 11, "last_by": 11},
+        {"channel": "en", "last_d": 7, "first_d": 5, "last_by": 7},
+    ]
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "SELECT ARRAY_LENGTH(STRING_TO_ARRAY('a-b-c', '-')) "
+                 "AS n, ARRAY_OFFSET(STRING_TO_ARRAY('a-b-c', '-'), 1) "
+                 "AS o1, ARRAY_ORDINAL(STRING_TO_ARRAY('a-b-c', '-'), 1)"
+                 " AS d1, ARRAY_TO_STRING(ARRAY_SLICE("
+                 "STRING_TO_ARRAY('a-b-c', '-'), 1, 3), '|') AS sl, "
+                 "ARRAY_TO_STRING(ARRAY_SLICE("
+                 "STRING_TO_ARRAY('a-b-c', '-'), 1), '|') AS sl2, "
+                 "ARRAY_OVERLAP(STRING_TO_ARRAY('a-b-c', '-'), "
+                 "array('c', 'z')) AS ov, "
+                 "ARRAY_TO_STRING(ARRAY_CONCAT(array('x'), array('y')), "
+                 "'') AS cc, STRING_FORMAT('%s=%d', 'k', 7) AS fmt "
+                 "FROM wikipedia LIMIT 1"})
+    assert rows == [{
+        "n": 3, "o1": "b", "d1": "a", "sl": "b|c", "sl2": "b|c",
+        "ov": True, "cc": "xy", "fmt": "k=7"}]
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "SELECT ARRAY_LENGTH(ARRAY_CONCAT_AGG("
+                 "STRING_TO_ARRAY(channel, '-'))) AS n FROM wikipedia"})
+    assert rows == [{"n": 3}]
