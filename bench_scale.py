@@ -171,6 +171,44 @@ def main() -> None:
         fn().write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # IVF+PQ serving split at scale: the build (train + encode + write
+    # cell-partitioned parquet) is the INGEST-time cost paid once; the
+    # query path reads only the probed cells' partitions. The composed
+    # in-query form re-pays the whole encode per call — the gap between
+    # ivfpq_query_persisted and ivfpq_topk_composed is the point of the
+    # split, and it widens linearly with corpus size.
+    import shutil
+    import tempfile
+
+    from druid_datafusion_bridge_spark.operators.similarity import (
+        ivf_pq_build,
+        ivf_pq_query,
+        ivf_pq_topk,
+    )
+
+    idx_dir = tempfile.mkdtemp(prefix="ddbs_ivfpq_idx_")
+    try:
+        t0 = time.perf_counter()
+        ivf_pq_build(emb, idx_dir, n_centroids=16, n_subspaces=8)
+        timings["ivfpq_build_ingest"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        ivf_pq_query(
+            spark, idx_dir, probes, k=10, nprobe=8, shortlist=200
+        ).write.mode("overwrite").format("noop").save()
+        timings["ivfpq_query_persisted"] = round(
+            time.perf_counter() - t0, 3
+        )
+        t0 = time.perf_counter()
+        ivf_pq_topk(
+            emb, probes, k=10, n_centroids=16, nprobe=8, shortlist=200,
+            n_subspaces=8,
+        ).write.mode("overwrite").format("noop").save()
+        timings["ivfpq_topk_composed"] = round(
+            time.perf_counter() - t0, 3
+        )
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
     # Druid-segment ingest + serve at the same scale. Not a noop write:
     # the writer encodes real segment files (dictionary dims, LZF value
     # chunks, smoosh concat), which IS the cost being measured — this is

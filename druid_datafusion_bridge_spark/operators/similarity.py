@@ -1324,3 +1324,93 @@ def ivf_pq_query(
         .withColumn("rank", F.row_number().over(rw))
         .filter(F.col("rank") <= k)
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    shortlist: int = 30,
+    lam: float = 0.7,
+    round_sim: int = 9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank — the diversity-aware top-k a
+    RAG pipeline serves (Carbonell & Goldstein 1998): greedily pick
+    argmax over candidates of ``lam * sim(q, d) - (1 - lam) *
+    max_{s in selected} sim(d, s)``, so near-duplicate passages stop
+    crowding out coverage. Deterministic: similarities round to
+    ``round_sim`` decimals before any comparison; ties break by
+    vec_id.
+
+    Scale shape: the DISTRIBUTED part is the corpus work — the exact
+    per-probe ``shortlist`` (one broadcast-probe scan, brute_force_topk)
+    and the candidate-pair similarities (a within-probe self-join
+    bounded at probes x shortlist^2 rows). The greedy selection itself
+    is inherently sequential in k and runs driver-side over that
+    BOUNDED pair table (shortlist and k are serving constants — 30x30
+    doubles per probe, bytes, at any corpus size), exactly where every
+    production reranker puts it. Returns (probe_id, vec_id, score,
+    rank) with rank 1..k in selection order and score = the MMR
+    objective at selection time.
+    """
+    sl = brute_force_topk(
+        corpus, probes, k=shortlist, vec_col=vec_col, id_col=id_col,
+        round_sim=round_sim,
+    ).select("probe_id", "vec_id", F.col("sim").alias("qs"))
+    vecs = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double_vec(F.col(vec_col)).alias("v")
+    )
+    cand = sl.join(vecs, "vec_id")
+    a = cand.select(
+        "probe_id", F.col("vec_id").alias("a"), F.col("v").alias("va")
+    )
+    b = cand.select(
+        "probe_id", F.col("vec_id").alias("b"), F.col("v").alias("vb")
+    )
+    pair_sim = F.round(
+        cosine(F.col("va"), F.col("vb")), round_sim
+    ).alias("s")
+    pairs = (
+        a.join(b, "probe_id")
+        .filter(F.col("a") != F.col("b"))
+        .select("probe_id", "a", "b", pair_sim)
+    )
+    # bounded collects: probes x shortlist rows + probes x shortlist^2
+    # pair rows (serving constants)
+    qs_rows = sl.collect()
+    pair_rows = pairs.collect()
+    qs_map: dict = {}
+    for r in qs_rows:
+        qs_map.setdefault(r["probe_id"], {})[r["vec_id"]] = r["qs"]
+    ps_map: dict = {}
+    for r in pair_rows:
+        ps_map.setdefault(r["probe_id"], {})[(r["a"], r["b"])] = r["s"]
+    out_rows = []
+    for pid in sorted(qs_map):
+        remaining = dict(qs_map[pid])
+        sims = ps_map.get(pid, {})
+        selected: list = []
+        while remaining and len(selected) < k:
+            best = None
+            for vid in sorted(remaining):
+                # max pair-sim to the selected set (values may be
+                # negative — no clamping); 0.0 only for the empty set
+                # (step 1 = pure relevance, the standard convention)
+                penalty = max(
+                    (sims[(vid, s)] for s in selected), default=0.0
+                )
+                score = lam * remaining[vid] - (1.0 - lam) * penalty
+                # strict > with ascending vid scan = smallest-vec_id tie-break
+                if best is None or score > best[1]:
+                    best = (vid, score)
+            selected.append(best[0])
+            out_rows.append(
+                (pid, best[0], float(best[1]), len(selected))
+            )
+            del remaining[best[0]]
+    return corpus.sparkSession.createDataFrame(
+        out_rows,
+        "probe_id bigint, vec_id bigint, score double, rank int",
+    )

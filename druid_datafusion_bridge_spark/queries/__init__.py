@@ -57,6 +57,7 @@ NEW_IN_R9: tuple[str, ...] = (
     "sim_ivfpq_persisted",
     "fd_json_query",
     "fd_array_sql_text",
+    "sim_mmr_rerank",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed

@@ -433,3 +433,73 @@ def sim_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = ivf_pq_query(spark, idx, probes, k=10, nprobe=8, shortlist=200)
     exact = brute_force_topk(emb, probes, k=10)
     return _recall_contract(ann, exact, floor=0.4)
+
+
+@query(
+    "sim_mmr_rerank",
+    oracle="""
+    WITH RECURSIVE
+    probes AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS q
+               FROM embeddings WHERE vec_id < 3),
+    corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    scored AS (
+      SELECT p.probe_id, c.vec_id,
+             round(list_cosine_similarity(c.v, p.q), 9) AS qs, c.v
+      FROM corpus c CROSS JOIN probes p WHERE c.vec_id <> p.probe_id),
+    cand AS (
+      SELECT probe_id, vec_id, qs, v FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                     ORDER BY qs DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= 20),
+    pair AS (
+      SELECT x.probe_id, x.vec_id AS a, y.vec_id AS b,
+             round(list_cosine_similarity(x.v, y.v), 9) AS s
+      FROM cand x JOIN cand y
+        ON x.probe_id = y.probe_id AND x.vec_id <> y.vec_id),
+    sel AS (
+      (SELECT probe_id, 1 AS step, [vec_id] AS chosen, vec_id AS picked
+       FROM (SELECT probe_id, vec_id,
+                    ROW_NUMBER() OVER (PARTITION BY probe_id
+                                       ORDER BY 0.7*qs DESC, vec_id) AS rn
+             FROM cand) WHERE rn = 1)
+      UNION ALL
+      (SELECT probe_id, step + 1, list_append(chosen, nxt), nxt FROM (
+         SELECT s.probe_id, s.step, s.chosen,
+                (SELECT c.vec_id FROM cand c
+                 WHERE c.probe_id = s.probe_id
+                   AND NOT list_contains(s.chosen, c.vec_id)
+                 ORDER BY 0.7*c.qs - (1.0 - 0.7)*(
+                            SELECT MAX(p.s) FROM pair p
+                            WHERE p.probe_id = s.probe_id
+                              AND p.a = c.vec_id
+                              AND list_contains(s.chosen, p.b))
+                          DESC, c.vec_id
+                 LIMIT 1) AS nxt
+         FROM sel s WHERE s.step < 5) WHERE nxt IS NOT NULL))
+    SELECT probe_id, picked AS vec_id, CAST(step AS INT) AS rank
+    FROM sel
+    """,
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversity rerank for 3 probes
+    (operators/similarity.py mmr_rerank): greedy argmax of
+    0.7*sim(q,d) - 0.3*max_selected sim(d,s) over the exact top-20
+    shortlist — the RAG serving step that stops near-duplicate
+    passages from crowding out coverage. The corpus work (shortlist
+    scan, bounded pair self-join) is distributed; the k-step greedy is
+    inherently sequential and runs on the bounded pair table
+    (shortlist^2 per probe — serving constants), where every
+    production reranker puts it. EXACTLY oracled: DuckDB replays the
+    same greedy with a recursive CTE over the same 9-decimal-rounded
+    similarities (identical IEEE formula, identical tie-breaks), so
+    all 15 selections must match bit-for-bit."""
+    from ..operators.similarity import mmr_rerank
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"),
+        as_double_vec(F.col("embedding")).alias("probe_vec"),
+    )
+    out = mmr_rerank(emb, probes, k=5, shortlist=20, lam=0.7)
+    return out.select("probe_id", "vec_id", "rank")

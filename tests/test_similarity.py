@@ -297,3 +297,45 @@ def test_pq_adc_shortlist_monotone(emb, probes, truth):
         ).collect()
     }
     assert len(truth & big) >= len(truth & small)
+
+
+def test_mmr_rerank_suppresses_planted_near_duplicate(spark):
+    """MMR's whole point: with two near-identical high-relevance
+    candidates, plain top-k returns both back-to-back, MMR picks one
+    and then prefers a diverse lower-relevance candidate. Vectors are
+    constructed so relevance order is 1, 2 (a clone of 1), 3 — the MMR
+    selection at lam=0.7 must be 1 then 3, with 2 pushed behind."""
+    import math
+
+    from druid_datafusion_bridge_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    def unit(x, y):
+        n = math.sqrt(x * x + y * y)
+        return [x / n, y / n, 0.0, 0.0]
+
+    # the probe must NOT coincide with the top candidate: if it did,
+    # every candidate's penalty against the first pick would equal its
+    # own relevance and MMR could never separate clone from diverse
+    rows = [
+        (0, unit(1.0, 0.0)),            # probe
+        (1, unit(0.9, 0.436)),          # most relevant
+        (2, unit(0.9, 0.437)),          # near-clone of 1
+        (3, unit(0.89, -0.456)),        # similar relevance, OTHER side
+        (4, unit(0.0, 1.0)),            # orthogonal filler
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    probes = emb.filter("vec_id = 0").selectExpr(
+        "vec_id AS probe_id", "embedding AS probe_vec"
+    )
+    plain = brute_force_topk(emb, probes, k=3, round_sim=9).collect()
+    assert [r["vec_id"] for r in sorted(plain, key=lambda r: r["rank"])][:2] == [1, 2]
+    mmr = mmr_rerank(emb, probes, k=3, shortlist=4, lam=0.7).collect()
+    order = [r["vec_id"] for r in sorted(mmr, key=lambda r: r["rank"])]
+    assert order[0] == 1        # relevance leads
+    assert order[1] == 3        # the clone is penalized; diversity wins
+    assert set(order) == {1, 2, 3} or set(order) == {1, 3, 4}
