@@ -1488,16 +1488,32 @@ class DruidBrokerShim:
         self._persist_lookups()
         return True
 
-    def _coordinator_datasource(self, name: str, sub: str):
-        """GET /druid/coordinator/v1/datasources/{ds}[/intervals] — the
+    def _coordinator_datasource(
+        self, name: str, sub: str, full: bool = False
+    ):
+        """GET /druid/coordinator/v1/datasources/{ds}
+        [/intervals | /segments[?full] | /segments/{id}] — the
         coordinator's datasource metadata (api-reference.md subset with
         truthful values here): segment count/size/min-max time for the
-        bare form, the sorted "start/end" interval list for
-        /intervals. Served from the planning manifest plus one
+        bare form, the sorted "start/end" interval list for /intervals,
+        used-segment ids (or ?full metadata objects, or one segment's
+        object by id) for /segments — the console's datasource
+        drill-down calls. Served from the planning manifest plus one
         stat-walk; no segment decodes."""
         root = self._segment_roots.get(name)
         if root is None:
             return None
+        if sub == "segments" or sub.startswith("segments/"):
+            segs = self._metadata_segments([name])
+            if sub.startswith("segments/"):
+                seg_id = sub.split("segments/", 1)[1]
+                for s in segs:
+                    if s["identifier"] == seg_id:
+                        return s
+                return None
+            if full:
+                return segs
+            return [s["identifier"] for s in segs]
         import os
 
         from .cli import _format_millis as iso
@@ -3071,11 +3087,17 @@ class DruidBrokerShim:
                 elif path.startswith(
                     "/druid/coordinator/v1/datasources/"
                 ):
+                    from urllib.parse import parse_qs, urlparse
+
                     rest = path.split(
                         "/druid/coordinator/v1/datasources/", 1
                     )[1]
                     name, _, sub = rest.partition("/")
-                    out = shim._coordinator_datasource(name, sub)
+                    q = parse_qs(urlparse(self.path).query,
+                                 keep_blank_values=True)
+                    out = shim._coordinator_datasource(
+                        name, sub, full="full" in q
+                    )
                     if out is not None:
                         self._send(200, out)
                     else:

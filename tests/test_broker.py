@@ -2055,3 +2055,43 @@ def test_sql_array_and_value_aggregates(shim):
         "query": "SELECT ARRAY_LENGTH(ARRAY_CONCAT_AGG("
                  "STRING_TO_ARRAY(channel, '-'))) AS n FROM wikipedia"})
     assert rows == [{"n": 3}]
+
+
+def test_coordinator_datasource_segments_drilldown(spark, tmp_path):
+    """GET /druid/coordinator/v1/datasources/{ds}/segments[?full] and
+    /segments/{id} — the console's datasource drill-down: used-segment
+    ids, full metadata objects, and a single segment by identifier."""
+    s = DruidBrokerShim(spark, {}, deep_storage=str(tmp_path / "deep"))
+    port = s.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        _post(base + "/druid/v2/sql/task", {
+            "query": "INSERT INTO dd SELECT * FROM VALUES "
+                     "(TIMESTAMP '2024-03-01 01:00:00', 1), "
+                     "(TIMESTAMP '2024-03-02 01:00:00', 2) "
+                     "AS t(__time, v) PARTITIONED BY DAY"})
+        with urllib.request.urlopen(
+            base + "/druid/coordinator/v1/datasources/dd/segments"
+        ) as r:
+            ids = json.loads(r.read())
+        assert len(ids) == 2 and all(i.startswith("dd_2024-03-0")
+                                     for i in ids)
+        with urllib.request.urlopen(
+            base + "/druid/coordinator/v1/datasources/dd/segments?full"
+        ) as r:
+            full = json.loads(r.read())
+        assert [f["identifier"] for f in full] == ids
+        assert all(f["numRows"] == 1 and f["size"] > 0 for f in full)
+        with urllib.request.urlopen(
+            base + f"/druid/coordinator/v1/datasources/dd/segments/{ids[0]}"
+        ) as r:
+            one = json.loads(r.read())
+        assert one["identifier"] == ids[0] and one["dataSource"] == "dd"
+        try:
+            urllib.request.urlopen(
+                base + "/druid/coordinator/v1/datasources/dd/segments/nope")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        s.stop()
