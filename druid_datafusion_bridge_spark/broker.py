@@ -176,6 +176,7 @@ def sys_segments_frame(
         find_segment_dirs,
         load_plan_meta,
         overshadowed_segments,
+        segment_version_tag,
     )
 
     rows = []
@@ -215,18 +216,27 @@ def sys_segments_frame(
             start, end = iso(m["start"]), iso(m["end"])
             base_name = os.path.basename(seg_dir)
             is_shadowed = base_name in shadowed
+            available = 0 if (base_name in dropped or is_shadowed) else 1
             rows.append((
                 f"{ds}_{start}_{end}_{base_name}",
                 ds, start, end, size, int(m["rows"]), 1,
-                0 if (base_name in dropped or is_shadowed) else 1,
+                available,
                 0, 1 if is_shadowed else 0,
+                # console-parity columns (sql-metadata-tables.md),
+                # truthful for this single-historical engine: version
+                # is the writer-name's version tag (dir basename for
+                # untagged batch segments), sharding is dynamic
+                # partition 0, and an available segment is served by
+                # exactly the one historical
+                segment_version_tag(base_name), 0, available, 1,
             ))
     return spark.createDataFrame(
         rows,
         "segment_id string, datasource string, start string, "
         "end string, size bigint, num_rows bigint, "
         "is_published int, is_available int, is_realtime int, "
-        "is_overshadowed int",
+        "is_overshadowed int, version string, partition_num int, "
+        "num_replicas int, replication_factor int",
     )
 
 

@@ -224,6 +224,20 @@ def _segment_version_key(name: str) -> tuple:
     )
 
 
+def segment_version_tag(name: str) -> str:
+    """The human-readable VERSION of a segment dir, for metadata
+    surfaces (sys.segments.version): the writer-name's version tag
+    when present (``segment_{bucket}_{shard}_{version}``), else the
+    dir basename itself (batch-written segments carry no tag; the
+    basename is still the unique publish identity)."""
+    import re as _re
+
+    m = _re.match(r"^segment_\d+_\d{4,}(?:_(?P<v>.+))?$", name)
+    if m and m.group("v"):
+        return m.group("v")
+    return name
+
+
 def overshadowed_segments(metas: dict[str, dict]) -> set[str]:
     """Druid's used-segment timeline invariant: when several segments
     cover the SAME (start, end) interval under DIFFERENT versions,

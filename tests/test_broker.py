@@ -2095,3 +2095,65 @@ def test_coordinator_datasource_segments_drilldown(spark, tmp_path):
             assert e.code == 404
     finally:
         s.stop()
+
+
+def test_sys_segments_console_columns(spark, tmp_path):
+    """The console-parity sys.segments columns: version (the segment
+    dir basename in this layout), partition_num (dynamic shard 0),
+    num_replicas (1 while served, 0 once overshadowed/unused), and
+    replication_factor."""
+    s = DruidBrokerShim(spark, {}, deep_storage=str(tmp_path / "deep"))
+    port = s.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        _post(base + "/druid/v2/sql/task", {
+            "query": "INSERT INTO cc SELECT * FROM VALUES "
+                     "(TIMESTAMP '2024-04-01 01:00:00', 1) "
+                     "AS t(__time, v) PARTITIONED BY DAY"})
+        rows = _post(base + "/druid/v2/sql", {
+            "query": "SELECT version, partition_num, num_replicas, "
+                     "replication_factor FROM sys.segments "
+                     "WHERE datasource = 'cc'"})
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["partition_num"] == 0 and r["replication_factor"] == 1
+        assert r["num_replicas"] == 1 and r["version"]
+    finally:
+        s.stop()
+    # a second VERSION of the same interval publishes beside the old
+    # (the s13/overshadow setup): the overshadowed one must report 0
+    # replicas while the serving one keeps 1
+    from druid_datafusion_bridge_spark.sources import (
+        register_druid_datasource,
+    )
+    from druid_datafusion_bridge_spark.sources.ingest import (
+        write_druid_segments,
+    )
+
+    register_druid_datasource(spark)
+
+    def publish(root, version, delta):
+        ev = spark.createDataFrame(
+            [("2024-01-01 00:10:00", delta)], "ts string, v long"
+        ).select(F.col("ts").cast("timestamp").alias("__time"), "v")
+        write_druid_segments(
+            ev, root, granularity="P1D", version=version
+        ).collect()
+
+    root = str(tmp_path / "segs")
+    publish(root, "b0", 5)
+    publish(root, "b1", 9)
+    back = spark.read.format("druidsegment").option("path", root).load()
+    s2 = DruidBrokerShim(spark, {"ov": back}, segment_roots={"ov": root})
+    port2 = s2.start()
+    try:
+        rows = _post(f"http://127.0.0.1:{port2}" + "/druid/v2/sql", {
+            "query": "SELECT is_overshadowed, num_replicas, version "
+                     "FROM sys.segments WHERE datasource = 'ov' "
+                     "ORDER BY version"})
+        by_shadow = {r["is_overshadowed"]: r["num_replicas"]
+                     for r in rows}
+        assert by_shadow == {1: 0, 0: 1}
+        assert [r["version"] for r in rows] == ["b0", "b1"]
+    finally:
+        s2.stop()
