@@ -361,6 +361,33 @@ _PERIOD_MS = (
     "WHEN 'M' THEN 60000 ELSE 3600000 END"
 )
 
+def _human_readable_body(base: int, units: list[str]) -> str:
+    """CASE ladder for Druid's HUMAN_READABLE_* trio (sql-scalar.md):
+    value scaled by the largest unit it reaches, rendered at the given
+    precision (Druid validates 0-3; out-of-range raises here too)."""
+    fmt = "concat('%.', CAST(p AS STRING), 'f')"
+    arms = []
+    for i, u in enumerate(units):
+        suffix = f", ' {u}'" if u else ""
+        scaled = f"v / power({base}, {i})" if i else "v"
+        cond = (
+            f"WHEN abs(v) < power({base}, {i + 1}) "
+            if i + 1 < len(units)
+            else "ELSE "
+        )
+        arms.append(
+            f"{cond}{'THEN ' if i + 1 < len(units) else ''}"
+            f"concat(format_string({fmt}, CAST({scaled} AS DOUBLE))"
+            f"{suffix})"
+        )
+    ladder = " ".join(arms)
+    return (
+        "CASE WHEN p < 0 OR p > 3 THEN CAST(raise_error("
+        "'HUMAN_READABLE precision must be in [0, 3]') AS STRING) "
+        f"WHEN v IS NULL THEN NULL ELSE CASE {ladder} END END"
+    )
+
+
 _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
     ("DDBS_PERIOD_MS", "period STRING", "BIGINT",
      f"CASE WHEN period = 'P1D' THEN 86400000 WHEN period = 'P1W' THEN 604800000 "
@@ -467,6 +494,20 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
      "json_object_keys(get_json_object(j, concat('$.', k))),"
      " k2 -> concat('$.', k, '.', k2))"
      " ELSE array(concat('$.', k)) END)) END"),
+    # Druid's HUMAN_READABLE_* formatting trio (sql-scalar.md): 1024-
+    # based IEC byte units, 1000-based SI byte units, and bare SI
+    # magnitude suffixes. 2-arg forms; the SQL-text rewrite normalizes
+    # Druid's 1-arg spelling to precision 2.
+    ("HUMAN_READABLE_BINARY_BYTE_FORMAT", "v DOUBLE, p INT", "STRING",
+     _human_readable_body(
+         1024, ["B", "KiB", "MiB", "GiB", "TiB", "PiB", "EiB"]
+     )),
+    ("HUMAN_READABLE_DECIMAL_BYTE_FORMAT", "v DOUBLE, p INT", "STRING",
+     _human_readable_body(
+         1000, ["B", "KB", "MB", "GB", "TB", "PB", "EB"]
+     )),
+    ("HUMAN_READABLE_DECIMAL_FORMAT", "v DOUBLE, p INT", "STRING",
+     _human_readable_body(1000, ["", "K", "M", "G", "T", "P", "E"])),
     # Druid's BITWISE_* function names over 64-bit longs (math-expr
     # docs); Spark has the operators/builtins, Druid SQL the names
     ("BITWISE_AND", "x BIGINT, y BIGINT", "BIGINT", "x & y"),
@@ -584,6 +625,45 @@ def _ds_render(name: str, args: list[str]) -> str:
             )
         grp = args[2] if len(args) == 3 else "0"
         return f"nullif(regexp_extract({args[0]}, {args[1]}, {grp}), '')"
+    if name in ("TIME_FLOOR", "TIME_CEIL"):
+        # the scalar UDFs serve the 2-arg forms; the rewrite adds
+        # Druid's origin/timezone arguments (sql-scalar.md):
+        # TIME_FLOOR(ts, period[, origin[, timezone]]). origin anchors
+        # a duration grid (calendar periods with an explicit origin
+        # raise through DDBS_PERIOD_MS — the Column helper covers
+        # those); timezone floors in that zone's wall-clock chronology
+        # via from/to_utc_timestamp, like the Column helper.
+        if len(args) <= 2:
+            return f"{name}({a(args)})"
+        if len(args) > 4:
+            raise ValueError(f"{name} takes 2 to 4 arguments")
+        ts0, period = args[0], args[1]
+        p_ms = f"DDBS_PERIOD_MS({period})"
+        tz = args[3] if len(args) == 4 else None
+        org = args[2]
+        null_org = org.strip().upper() == "NULL"
+        tsw = f"from_utc_timestamp({ts0}, {tz})" if tz else ts0
+        if null_org:
+            fw = f"TIME_FLOOR({tsw}, {period})"
+        else:
+            o = f"CAST({org} AS TIMESTAMP)"
+            fw = (
+                f"timestamp_millis(unix_millis({o}) + CAST(floor("
+                f"(unix_millis({tsw}) - unix_millis({o})) / {p_ms}) "
+                f"AS BIGINT) * {p_ms})"
+            )
+        fl = f"to_utc_timestamp({fw}, {tz})" if tz else fw
+        if name == "TIME_FLOOR":
+            return fl
+        nxt_w = f"timestamp_millis(unix_millis({fw}) + {p_ms})"
+        nxt = f"to_utc_timestamp({nxt_w}, {tz})" if tz else nxt_w
+        return f"CASE WHEN {fl} = {ts0} THEN {ts0} ELSE {nxt} END"
+    if name.startswith("HUMAN_READABLE_"):
+        # arity normalization only: the scalar UDFs are 2-arg
+        # (value, precision); Druid's 1-arg form defaults precision 2
+        if len(args) == 1:
+            return f"{name}({args[0]}, 2)"
+        return f"{name}({a(args[:2])})"
     if name in ("LATEST", "EARLIEST", "LATEST_BY", "EARLIEST_BY"):
         # Druid's time-ordered value aggregates (sql-aggregations.md)
         # as SQL text: LATEST(expr[, maxBytes]) reads the row with the
@@ -721,6 +801,11 @@ _DS_NAMES = (
     "ARRAY_CONCAT_AGG", "ARRAY_CONCAT", "ARRAY_LENGTH", "ARRAY_OVERLAP",
     "ARRAY_TO_STRING", "STRING_TO_ARRAY", "ARRAY_OFFSET", "ARRAY_ORDINAL",
     "ARRAY_SLICE", "STRING_FORMAT",
+    # origin/timezone argument forms + 1-arg arity normalization
+    "TIME_FLOOR", "TIME_CEIL",
+    "HUMAN_READABLE_BINARY_BYTE_FORMAT",
+    "HUMAN_READABLE_DECIMAL_BYTE_FORMAT",
+    "HUMAN_READABLE_DECIMAL_FORMAT",
 )
 _DS_CALL_RE = re.compile(
     r"\b(" + "|".join(_DS_NAMES) + r")\s*\(", re.IGNORECASE

@@ -58,6 +58,7 @@ NEW_IN_R9: tuple[str, ...] = (
     "fd_json_query",
     "fd_array_sql_text",
     "sim_mmr_rerank",
+    "fd_time_floor_origin",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed

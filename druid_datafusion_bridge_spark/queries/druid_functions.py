@@ -444,6 +444,52 @@ def fd_json_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fd_time_floor_origin",
+    oracle="""
+    WITH g AS (
+      SELECT epoch_ms(TIMESTAMP '2024-01-01 03:00:00')
+             + CAST(floor((epoch_ms(ts)
+                           - epoch_ms(TIMESTAMP '2024-01-01 03:00:00'))
+                          / 21600000.0) AS BIGINT) * 21600000 AS fms
+      FROM events)
+    SELECT make_timestamp(fms * 1000) AS bucket,
+           COUNT(*) AS n,
+           make_timestamp((fms + 21600000) * 1000) AS next_bucket
+    FROM g GROUP BY fms ORDER BY bucket
+    """,
+)
+def fd_time_floor_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid's origin-anchored TIME_FLOOR/TIME_CEIL argument forms as
+    SQL text (sql-scalar.md: TIME_FLOOR(ts, period, origin[, tz])):
+    events bucketed on a PT6H grid anchored at 03:00 — the grid every
+    Druid deployment with non-midnight reporting windows uses. The
+    rewrite renders the duration grid arithmetically (DDBS_PERIOD_MS
+    keeps calendar-period-with-origin loud); TIME_CEIL of a boundary
+    row is the boundary itself, so next_bucket pins the ceil path via
+    ceil(bucket + 1ms granularity) == bucket + period. Exact epoch-
+    arithmetic DuckDB oracle. The timezone argument form is pinned by
+    the broker round-trip test (DST instants are awkward to reproduce
+    portably in an oracle)."""
+    from ..functions.druid_sql import rewrite_datasketches_sql
+
+    register_druid_sql_functions(spark)
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    sql = rewrite_datasketches_sql(
+        """
+        WITH g AS (
+          SELECT TIME_FLOOR(ts, 'PT6H',
+                            TIMESTAMP '2024-01-01 03:00:00') AS bucket
+          FROM events)
+        SELECT bucket, COUNT(*) AS n,
+               TIME_CEIL(bucket + INTERVAL 1 MILLISECOND, 'PT6H',
+                         TIMESTAMP '2024-01-01 03:00:00') AS next_bucket
+        FROM g GROUP BY bucket ORDER BY bucket
+        """
+    )
+    return spark.sql(sql)
+
+
+@query(
     "fd_array_sql_text",
     oracle="""
     WITH e AS (

@@ -2157,3 +2157,31 @@ def test_sys_segments_console_columns(spark, tmp_path):
         assert [r["version"] for r in rows] == ["b0", "b1"]
     finally:
         s2.stop()
+
+
+def test_sql_time_origin_tz_and_human_readable(shim):
+    """TIME_FLOOR/TIME_CEIL origin+timezone argument forms and the
+    HUMAN_READABLE_* trio through the broker's SQL text path
+    (sql-scalar.md)."""
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "SELECT TIME_FLOOR(TIMESTAMP '2024-01-05 13:47:00', "
+                 "'PT1H', TIMESTAMP '2024-01-01 00:30:00') AS og, "
+                 "TIME_FLOOR(TIMESTAMP '2024-01-05 13:47:00', 'P1D', "
+                 "NULL, 'America/Los_Angeles') AS la, "
+                 "TIME_CEIL(TIMESTAMP '2024-01-05 13:47:00', 'PT1H', "
+                 "TIMESTAMP '2024-01-01 00:30:00') AS ogc "
+                 "FROM wikipedia LIMIT 1"})
+    r = rows[0]
+    assert r["og"].startswith("2024-01-05T13:30:00")
+    # LA midnight (PST, UTC-8) = 08:00Z
+    assert r["la"].startswith("2024-01-05T08:00:00")
+    assert r["ogc"].startswith("2024-01-05T14:30:00")
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "SELECT HUMAN_READABLE_BINARY_BYTE_FORMAT(1048576) "
+                 "AS mib, HUMAN_READABLE_BINARY_BYTE_FORMAT(1536, 1) "
+                 "AS kib, HUMAN_READABLE_DECIMAL_BYTE_FORMAT(1000000) "
+                 "AS mb, HUMAN_READABLE_DECIMAL_FORMAT(1234567, 1) "
+                 "AS m, HUMAN_READABLE_DECIMAL_FORMAT(999) AS plain "
+                 "FROM wikipedia LIMIT 1"})
+    assert rows == [{"mib": "1.00 MiB", "kib": "1.5 KiB",
+                     "mb": "1.00 MB", "m": "1.2 M", "plain": "999.00"}]
