@@ -249,7 +249,7 @@ _SYS_TABLE_RE = re.compile(
     re.I,
 )
 _INFO_SCHEMA_RE = re.compile(
-    r"\bINFORMATION_SCHEMA\.(TABLES|COLUMNS)\b", re.I
+    r"\bINFORMATION_SCHEMA\.(TABLES|COLUMNS|SCHEMATA)\b", re.I
 )
 # single-quoted SQL string literals ('' = escaped quote) — system-table
 # rewriting must not touch text inside them
@@ -1022,6 +1022,15 @@ class DruidBrokerShim:
             "TABLE_SCHEMA string, TABLE_NAME string, COLUMN_NAME string, "
             "ORDINAL_POSITION int, DATA_TYPE string, IS_NULLABLE string",
         ).createOrReplaceTempView("information_schema_columns")
+        # SCHEMATA: the three schemas every Druid broker exposes
+        # (sql-metadata-tables.md) — JDBC drivers enumerate these
+        # before touching TABLES
+        self.spark.createDataFrame(
+            [("druid", s, "") for s in
+             ("druid", "sys", "INFORMATION_SCHEMA", "lookup")],
+            "CATALOG_NAME string, SCHEMA_NAME string, "
+            "SCHEMA_OWNER string",
+        ).createOrReplaceTempView("information_schema_schemata")
         for name, df in self.tables.items():
             df.createOrReplaceTempView(name)
 

@@ -306,6 +306,13 @@ def test_information_schema(shim):
         {"COLUMN_NAME": "delta", "DATA_TYPE": "BIGINT",
          "ORDINAL_POSITION": 3},
     ]
+    # SCHEMATA: schema enumeration, the step drivers take before TABLES
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "SELECT SCHEMA_NAME FROM INFORMATION_SCHEMA.SCHEMATA "
+                 "ORDER BY SCHEMA_NAME",
+    })
+    assert [r["SCHEMA_NAME"] for r in rows] == [
+        "INFORMATION_SCHEMA", "druid", "lookup", "sys"]
 
 
 def test_sys_segments_table(spark, tmp_path):
