@@ -721,8 +721,9 @@ class DruidBrokerShim:
         self._refresh_sys_tasks()
         self._refresh_sys_datasources()
         self._refresh_sys_supervisors()
-        self._refresh_sys_servers()
-        self._refresh_sys_server_segments()
+        _inv = self._server_inventory()
+        self._refresh_sys_servers(_inv)
+        self._refresh_sys_server_segments(_inv)
         self._register_information_schema()
         # real Druid keeps rules and lookup configs in the metadata
         # store, so a restarted coordinator still enforces them; this
@@ -979,8 +980,10 @@ class DruidBrokerShim:
         served = [(hist, s["identifier"]) for s in segs]
         return servers, served
 
-    def _refresh_sys_servers(self) -> None:
-        servers, _ = self._server_inventory()
+    def _refresh_sys_servers(
+        self, inventory: tuple[list, list] | None = None
+    ) -> None:
+        servers, _ = inventory or self._server_inventory()
         self.spark.createDataFrame(
             servers,
             "server string, host string, plaintext_port int, "
@@ -989,11 +992,13 @@ class DruidBrokerShim:
             "start_time string",
         ).createOrReplaceTempView("sys_servers")
 
-    def _refresh_sys_server_segments(self) -> None:
+    def _refresh_sys_server_segments(
+        self, inventory: tuple[list, list] | None = None
+    ) -> None:
         """``sys.server_segments``: one (server, segment_id) row per
         served segment — joins sys.servers to sys.segments, the shape
         the Druid console's segment-distribution views query."""
-        _, served = self._server_inventory()
+        _, served = inventory or self._server_inventory()
         self.spark.createDataFrame(
             served, "server string, segment_id string"
         ).createOrReplaceTempView("sys_server_segments")
@@ -1223,11 +1228,14 @@ class DruidBrokerShim:
             # OUTSIDE the lock: the server inventory reads the served
             # timeline through _metadata_segments, which takes the lock
             # itself (re-acquiring would deadlock — threading.Lock is
-            # not reentrant)
-            if "servers" in referenced:
-                self._refresh_sys_servers()
-            if "server_segments" in referenced:
-                self._refresh_sys_server_segments()
+            # not reentrant). Computed ONCE even when the SQL joins
+            # both views (the canonical console query does).
+            if referenced & {"servers", "server_segments"}:
+                inventory = self._server_inventory()
+                if "servers" in referenced:
+                    self._refresh_sys_servers(inventory)
+                if "server_segments" in referenced:
+                    self._refresh_sys_server_segments(inventory)
 
     def _avatica_run_sql(self, sql: str, args: list | None) -> tuple:
         """SQL execution for the Avatica endpoint: the same

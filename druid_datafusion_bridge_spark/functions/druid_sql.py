@@ -710,16 +710,23 @@ def _ds_render(name: str, args: list[str]) -> str:
             f"THEN try_element_at({args[0]}, {args[1]}) END"
         )
     if name == "ARRAY_SLICE":
-        # Druid: 0-indexed [start, end); Spark slice is 1-indexed with
-        # a length argument
+        # Druid: 0-indexed [start, end); NULL for out-of-range indices
+        # (negative start, end < start, end past the array) — like the
+        # ARRAY_OFFSET/ORDINAL guards. Spark's slice is 1-indexed with
+        # a length argument and ERRORS on negative/overlong forms, so
+        # the guard must wrap it, not follow it.
+        arr, s = args[0], args[1]
         if len(args) == 3:
+            e = args[2]
             return (
-                f"slice({args[0]}, ({args[1]}) + 1, "
-                f"({args[2]}) - ({args[1]}))"
+                f"CASE WHEN ({s}) >= 0 AND ({e}) >= ({s}) "
+                f"AND ({e}) <= size({arr}) "
+                f"THEN slice({arr}, ({s}) + 1, ({e}) - ({s})) END"
             )
         return (
-            f"slice({args[0]}, ({args[1]}) + 1, "
-            f"greatest(size({args[0]}) - ({args[1]}), 0))"
+            f"CASE WHEN ({s}) >= 0 AND ({s}) <= size({arr}) "
+            f"THEN slice({arr}, ({s}) + 1, "
+            f"greatest(size({arr}) - ({s}), 0)) END"
         )
     if name == "JSON_OBJECT":
         # Druid/Calcite KEY k VALUE v pairs (nested-columns.md); plain

@@ -1355,32 +1355,41 @@ def mmr_rerank(
     rank) with rank 1..k in selection order and score = the MMR
     objective at selection time.
     """
+    # persist the shortlist: it feeds TWO actions (the relevance
+    # collect and the pair-sim collect) — unpersisted, the second
+    # would re-run the whole corpus top-k scan
     sl = brute_force_topk(
         corpus, probes, k=shortlist, vec_col=vec_col, id_col=id_col,
         round_sim=round_sim,
-    ).select("probe_id", "vec_id", F.col("sim").alias("qs"))
-    vecs = corpus.select(
-        F.col(id_col).alias("vec_id"), as_double_vec(F.col(vec_col)).alias("v")
-    )
-    cand = sl.join(vecs, "vec_id")
-    a = cand.select(
-        "probe_id", F.col("vec_id").alias("a"), F.col("v").alias("va")
-    )
-    b = cand.select(
-        "probe_id", F.col("vec_id").alias("b"), F.col("v").alias("vb")
-    )
-    pair_sim = F.round(
-        cosine(F.col("va"), F.col("vb")), round_sim
-    ).alias("s")
-    pairs = (
-        a.join(b, "probe_id")
-        .filter(F.col("a") != F.col("b"))
-        .select("probe_id", "a", "b", pair_sim)
-    )
-    # bounded collects: probes x shortlist rows + probes x shortlist^2
-    # pair rows (serving constants)
-    qs_rows = sl.collect()
-    pair_rows = pairs.collect()
+    ).select("probe_id", "vec_id", F.col("sim").alias("qs")).persist()
+    try:
+        vecs = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            as_double_vec(F.col(vec_col)).alias("v"),
+        )
+        # sl is bounded (probes x shortlist) — broadcast it so the
+        # vector fetch is one corpus scan with an in-codegen probe
+        cand = vecs.join(F.broadcast(sl), "vec_id")
+        a = cand.select(
+            "probe_id", F.col("vec_id").alias("a"), F.col("v").alias("va")
+        )
+        b = cand.select(
+            "probe_id", F.col("vec_id").alias("b"), F.col("v").alias("vb")
+        )
+        pair_sim = F.round(
+            cosine(F.col("va"), F.col("vb")), round_sim
+        ).alias("s")
+        pairs = (
+            a.join(b, "probe_id")
+            .filter(F.col("a") != F.col("b"))
+            .select("probe_id", "a", "b", pair_sim)
+        )
+        # bounded collects: probes x shortlist rows + probes x
+        # shortlist^2 pair rows (serving constants)
+        qs_rows = sl.collect()
+        pair_rows = pairs.collect()
+    finally:
+        sl.unpersist()
     qs_map: dict = {}
     for r in qs_rows:
         qs_map.setdefault(r["probe_id"], {})[r["vec_id"]] = r["qs"]

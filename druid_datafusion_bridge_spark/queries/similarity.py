@@ -407,6 +407,54 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_contract(ann, exact, floor=0.4)
 
 
+def _ivfpq_index_dir(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str:
+    """The persisted IVF+PQ index for a testdata dir, built once and
+    cached under /tmp/ddbs_ivfpq (the repo's documented ``rm -rf
+    /tmp/ddbs_*`` cleanup convention) with the same source fingerprint
+    stamp (size + mtime_ns) the scan mirrors use — a repeat call
+    serves the existing index instead of leaking a fresh corpus-sized
+    copy per invocation; a regenerated source rebuilds. Build lands in
+    a temp dir and renames into place so a completed index is never
+    observable half-built."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..operators.similarity import ivf_pq_build
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    fp = f"v1:{st.st_size}:{st.st_mtime_ns}"
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    dest = os.path.join("/tmp/ddbs_ivfpq", tag)
+    stamp = os.path.join(dest, "_FINGERPRINT")
+    try:
+        with open(stamp, encoding="utf-8") as f:
+            if f.read() == fp:
+                return dest
+    except OSError:
+        pass
+    tmp = f"{dest}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ivf_pq_build(emb, tmp, n_centroids=16, n_subspaces=8)
+    with open(os.path.join(tmp, "_FINGERPRINT"), "w", encoding="utf-8") as f:
+        f.write(fp)
+    try:  # a concurrent builder of the SAME fingerprint wins
+        with open(stamp, encoding="utf-8") as f:
+            if f.read() == fp:
+                shutil.rmtree(tmp, ignore_errors=True)
+                return dest
+    except OSError:
+        pass
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return dest
+
+
 @query("sim_ivfpq_persisted", oracle=_PROBE_ORACLE)
 def sim_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ with the index PERSISTED cell-partitioned and served by a
@@ -422,14 +470,11 @@ def sim_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_ivfpq_persisted_reads_only_probed_cells). Same quantizers,
     parameters, and recall contract (floor 40%) as sim_ivfpq_topk, so
     the split changes WHERE bytes are read, not the answer."""
-    import tempfile
-
     from ..operators.similarity import ivf_pq_build, ivf_pq_query
 
     emb = table(spark, sf_dir, "embeddings")
     probes = _probes(emb)
-    idx = tempfile.mkdtemp(prefix="ivfpq_index_")
-    ivf_pq_build(emb, idx, n_centroids=16, n_subspaces=8)
+    idx = _ivfpq_index_dir(spark, sf_dir, emb)
     ann = ivf_pq_query(spark, idx, probes, k=10, nprobe=8, shortlist=200)
     exact = brute_force_topk(emb, probes, k=10)
     return _recall_contract(ann, exact, floor=0.4)

@@ -212,10 +212,12 @@ def _segment_version_key(name: str) -> tuple:
     keys of MIXED styles stay comparable (``b1`` vs a date-style
     ``20240105``: numeric tokens order before alphabetic ones,
     deterministically, instead of raising TypeError and killing every
-    query on the root)."""
+    query on the root). Name parsing shares _SEGMENT_NAME_RE with
+    segment_version_tag so the ordering and the metadata plane can
+    never disagree about what the version IS."""
     import re as _re
 
-    m = _re.match(r"^segment_\d+_\d{4,}(?:_(?P<v>.+))?$", name)
+    m = _segment_name_match(name)
     v = (m.group("v") or "") if m else ""
     return tuple(
         (0, int(tok), "") if tok.isdigit() else (1, 0, tok)
@@ -224,15 +226,33 @@ def _segment_version_key(name: str) -> tuple:
     )
 
 
+# The writer's segment-dir naming: segment_{bucket}_{shard}[_{version}].
+# The shard field is 4+ digits ({shard:04d} grows past 9999 at catalog
+# scale — a 5-digit shard must NOT parse as versionless, or it would be
+# overshadowed by its own sibling shards). ONE pattern shared by the
+# overshadow ordering and the metadata-plane version tag, so the two
+# can never drift apart.
+_SEGMENT_NAME_RE = None  # compiled lazily below (re imported in-function)
+
+
+def _segment_name_match(name: str):
+    global _SEGMENT_NAME_RE
+    if _SEGMENT_NAME_RE is None:
+        import re as _re
+
+        _SEGMENT_NAME_RE = _re.compile(
+            r"^segment_\d+_\d{4,}(?:_(?P<v>.+))?$"
+        )
+    return _SEGMENT_NAME_RE.match(name)
+
+
 def segment_version_tag(name: str) -> str:
     """The human-readable VERSION of a segment dir, for metadata
     surfaces (sys.segments.version): the writer-name's version tag
     when present (``segment_{bucket}_{shard}_{version}``), else the
     dir basename itself (batch-written segments carry no tag; the
     basename is still the unique publish identity)."""
-    import re as _re
-
-    m = _re.match(r"^segment_\d+_\d{4,}(?:_(?P<v>.+))?$", name)
+    m = _segment_name_match(name)
     if m and m.group("v"):
         return m.group("v")
     return name
