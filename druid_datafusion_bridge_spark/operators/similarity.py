@@ -1423,3 +1423,52 @@ def mmr_rerank(
         out_rows,
         "probe_id bigint, vec_id bigint, score double, rank int",
     )
+
+
+def ivf_pq_append(
+    spark,
+    index_dir: str,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental ingest into a persisted IVF+PQ index (ivf_pq_build):
+    encode the NEW batch against the index's FROZEN quantizers —
+    no retrain, no recluster, the faiss add() posture and the shape of
+    sim_ivf_incremental — and append its rows to the existing
+    cell partitions (parquet dynamic-partition append). The serving
+    path (ivf_pq_query) picks the new vectors up on its next scan with
+    zero changes: probed-cell pruning, ADC, and rerank read partitions,
+    not manifests. Centroid drift under a shifting distribution is the
+    documented trade (same as every frozen-quantizer ANN index) —
+    periodic rebuild is the compaction analog."""
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    cb = spark.read.parquet(f"{index_dir}/codebooks")
+    n_subspaces = cb.select(F.max("sub_id")).first()[0] + 1
+    w = len(cb.select("cv").first()[0])
+    unit = F.transform("raw", lambda x: x / F.col("nv"))
+    v = (
+        spread(
+            corpus.select(
+                F.col(id_col).alias("vec_id"),
+                as_double_vec(F.col(vec_col)).alias("raw"),
+            )
+        )
+        .withColumn("nv", norm(F.col("raw")))
+        .filter(F.col("nv") > 0)
+        .select("vec_id", unit.alias("v"))
+    )
+    assigned, codes = _ivfpq_encode(v, cents, cb, w, n_subspaces)
+    packed = (
+        codes.groupBy("vec_id", "cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub_id", "code"))),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+        .join(assigned.select("vec_id", "v"), "vec_id")
+    )
+    packed.write.mode("append").partitionBy("cell").parquet(
+        f"{index_dir}/codes"
+    )

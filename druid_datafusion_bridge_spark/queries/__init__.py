@@ -59,6 +59,7 @@ NEW_IN_R9: tuple[str, ...] = (
     "fd_array_sql_text",
     "sim_mmr_rerank",
     "fd_time_floor_origin",
+    "sim_ivfpq_append",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed

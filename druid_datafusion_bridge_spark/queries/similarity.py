@@ -407,7 +407,13 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_contract(ann, exact, floor=0.4)
 
 
-def _ivfpq_index_dir(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str:
+def _ivfpq_index_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    emb: DataFrame,
+    variant: str = "",
+    build_fn=None,
+) -> str:
     """The persisted IVF+PQ index for a testdata dir, built once and
     cached under /tmp/ddbs_ivfpq (the repo's documented ``rm -rf
     /tmp/ddbs_*`` cleanup convention) with the same source fingerprint
@@ -426,7 +432,7 @@ def _ivfpq_index_dir(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str:
     st = os.stat(src)
     fp = f"v1:{st.st_size}:{st.st_mtime_ns}"
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    dest = os.path.join("/tmp/ddbs_ivfpq", tag)
+    dest = os.path.join("/tmp/ddbs_ivfpq", tag + variant)
     stamp = os.path.join(dest, "_FINGERPRINT")
     try:
         with open(stamp, encoding="utf-8") as f:
@@ -436,7 +442,10 @@ def _ivfpq_index_dir(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str:
         pass
     tmp = f"{dest}.tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
-    ivf_pq_build(emb, tmp, n_centroids=16, n_subspaces=8)
+    if build_fn is not None:
+        build_fn(tmp)
+    else:
+        ivf_pq_build(emb, tmp, n_centroids=16, n_subspaces=8)
     with open(os.path.join(tmp, "_FINGERPRINT"), "w", encoding="utf-8") as f:
         f.write(fp)
     try:  # a concurrent builder of the SAME fingerprint wins
@@ -548,3 +557,39 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = mmr_rerank(emb, probes, k=5, shortlist=20, lam=0.7)
     return out.select("probe_id", "vec_id", "rank")
+
+
+@query("sim_ivfpq_append", oracle=_PROBE_ORACLE)
+def sim_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest into the persisted IVF+PQ index
+    (operators/similarity.py ivf_pq_append): the index is BUILT on the
+    even half of the corpus (training + encode), then the odd half is
+    APPENDED by encoding against the frozen quantizers into the same
+    cell partitions — faiss add(), the loop every production vector
+    store runs per ingest batch. The serving path picks the appended
+    vectors up with zero changes (partition scans, not manifests), so
+    the recall contract (floor 40%, same as every IVF path; probes'
+    true neighbors are split across both halves) can only hold if the
+    appended half actually serves. Index cached with the same source
+    fingerprint as sim_ivfpq_persisted; frozen-quantizer drift under a
+    shifting distribution is the documented trade (rebuild = the
+    compaction analog)."""
+    from ..operators.similarity import ivf_pq_append, ivf_pq_query
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = _probes(emb)
+
+    def build(tmp: str) -> None:
+        from ..operators.similarity import ivf_pq_build
+
+        ivf_pq_build(
+            emb.filter(F.col("vec_id") % 2 == 0), tmp,
+            n_centroids=16, n_subspaces=8,
+        )
+        ivf_pq_append(spark, tmp, emb.filter(F.col("vec_id") % 2 == 1))
+
+    idx = _ivfpq_index_dir(spark, sf_dir, emb, variant="_halves",
+                           build_fn=build)
+    ann = ivf_pq_query(spark, idx, probes, k=10, nprobe=8, shortlist=200)
+    exact = brute_force_topk(emb, probes, k=10)
+    return _recall_contract(ann, exact, floor=0.4)
