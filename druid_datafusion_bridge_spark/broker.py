@@ -2936,6 +2936,24 @@ class DruidBrokerShim:
                 path = self.path.split("?", 1)[0]
                 if path == "/status/health":
                     self._send(200, True)
+                elif path == "/status":
+                    # the console's very first call (api-reference.md
+                    # common section): process identity + memory, a
+                    # truthful subset (no extension modules here; the
+                    # version states what this engine is)
+                    import resource
+
+                    peak_kb = resource.getrusage(
+                        resource.RUSAGE_SELF
+                    ).ru_maxrss
+                    self._send(200, {
+                        "version": "ddbs-spark",
+                        "modules": [],
+                        "memory": {
+                            "maxMemory": peak_kb * 1024,
+                            "usedMemory": peak_kb * 1024,
+                        },
+                    })
                 elif path == "/status/properties":
                     # the Druid console's first probe after health;
                     # truthful subset of runtime properties

@@ -229,6 +229,11 @@ def test_sql_explain_plan_for(shim):
 def test_health_and_datasources(shim):
     with urllib.request.urlopen(shim + "/status/health") as r:
         assert json.loads(r.read()) is True
+    # the bare /status identity probe (the console's first call)
+    with urllib.request.urlopen(shim + "/status") as r:
+        st = json.loads(r.read())
+    assert st["version"] and st["modules"] == []
+    assert st["memory"]["maxMemory"] > 0
     with urllib.request.urlopen(shim + "/druid/v2/datasources") as r:
         assert json.loads(r.read()) == ["wikipedia"]
     with urllib.request.urlopen(
