@@ -21,6 +21,22 @@ Period strings are ISO-8601 durations as Druid uses them ('PT15M',
 'P1D', 'P3M'). Month-or-coarser periods are calendar arithmetic;
 sub-month periods are exact epoch-millisecond arithmetic. Scale: every
 function here is a scalar expression — no shuffle, no Python, no state.
+
+A third mechanism, the SQL-TEXT REWRITE (:func:`rewrite_datasketches_
+sql`, applied on every broker SQL path), covers what a scalar SQL UDF
+cannot express: DataSketches aggregates onto Spark's own DataSketches
+builtins; arg-form normalization (REGEXP_EXTRACT full-match default,
+STRING_AGG->listagg, JSON_VALUE RETURNING->CAST, TIME_FLOOR/TIME_CEIL
+origin+timezone forms, HUMAN_READABLE_* 1-arg precision default);
+aggregate names (LATEST/EARLIEST[_BY] -> max_by/min_by,
+ARRAY_CONCAT_AGG); type-generic array name swaps (ARRAY_LENGTH/OFFSET/
+ORDINAL/SLICE/TO_STRING/OVERLAP/CONCAT, STRING_TO_ARRAY,
+STRING_FORMAT); and JSON_OBJECT's KEY/VALUE syntax. Names Spark ships
+with identical semantics (DIV, REGEXP_LIKE, PARSE_JSON,
+TRY_PARSE_JSON, ARRAY_APPEND/PREPEND/CONTAINS, ARRAY_AGG, ANY_VALUE,
+NVL, GREATEST/LEAST) are deliberately not shadowed. The rewrite is
+literal/comment-masked, paren-balanced, and idempotent by construction
+(fuzz-pinned in tests/test_property_differential.py).
 """
 
 from __future__ import annotations
