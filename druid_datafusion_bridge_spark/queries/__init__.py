@@ -60,6 +60,7 @@ NEW_IN_R9: tuple[str, ...] = (
     "sim_mmr_rerank",
     "fd_time_floor_origin",
     "sim_ivfpq_append",
+    "mm_gif_decode",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed

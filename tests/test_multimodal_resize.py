@@ -210,3 +210,58 @@ def test_png_decoder_rejects_malformed_input():
     )
     with pytest.raises(ValueError):
         decode_png(bad)
+
+
+def test_gif_lzw_roundtrip_width_transitions_and_reset():
+    """The REAL LZW codec pair: round-trips must survive the 9->10->
+    11->12 code-width transitions AND a 4096 dictionary reset (the two
+    places an off-by-one silently corrupts every later pixel), plus
+    the compressible-input path (dictionary hits) and the K[..]K
+    self-reference case."""
+    import random
+
+    from druid_datafusion_bridge_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    rng = random.Random(3)
+    big = bytes(rng.randrange(256) for _ in range(60_000))  # resets
+    assert _gif_lzw_decode(_gif_lzw_encode(big), len(big)) == big
+    rep = (b"abcabcabd" * 700)[:6000]  # dictionary hits + K[..]K
+    assert _gif_lzw_decode(_gif_lzw_encode(rep), len(rep)) == rep
+    one = b"\x07" * 5000
+    enc = _gif_lzw_encode(one)
+    assert len(enc) < 200  # compression is real, not literal codes
+    assert _gif_lzw_decode(enc, len(one)) == one
+
+
+def test_gif_decoder_exact_pixels():
+    """Full-file GIF decode equals the closed-form index+palette law
+    for every fixture shape (all 9x7 = 63 dimension combinations);
+    malformed inputs raise loudly."""
+    import numpy as np
+    import pytest
+
+    from druid_datafusion_bridge_spark.operators.multimodal import (
+        _gif_encode,
+        decode_gif,
+    )
+
+    for doc_id in range(63):
+        w, h, pix = decode_gif(_gif_encode(doc_id))
+        assert (w, h) == (8 + doc_id % 9, 6 + doc_id % 7)
+        idx = np.arange(w * h)
+        idx = (doc_id * 7 + idx * 13) % 256
+        exp = np.stack(
+            [idx, (2 * idx) % 256, (3 * idx) % 256], axis=1
+        ).astype(np.uint8).reshape(h, w, 3)
+        assert (pix == exp).all()
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"PNG????")
+    # interlace flag set -> loud, not wrong pixels
+    data = bytearray(_gif_encode(5))
+    img_off = data.index(b"\x2c", 13 + 768)
+    data[img_off + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_gif(bytes(data))
