@@ -2940,18 +2940,30 @@ class DruidBrokerShim:
                     # the console's very first call (api-reference.md
                     # common section): process identity + memory, a
                     # truthful subset (no extension modules here; the
-                    # version states what this engine is)
+                    # version states what this engine is). usedMemory
+                    # is the CURRENT RSS (proc statm; this container
+                    # is Linux), maxMemory the peak — distinct values,
+                    # so used/max headroom math stays meaningful.
+                    import os as _os
                     import resource
 
                     peak_kb = resource.getrusage(
                         resource.RUSAGE_SELF
-                    ).ru_maxrss
+                    ).ru_maxrss  # KB on Linux
+                    used = peak_kb * 1024
+                    try:
+                        with open("/proc/self/statm") as f:
+                            used = int(f.read().split()[1]) * (
+                                _os.sysconf("SC_PAGE_SIZE")
+                            )
+                    except (OSError, ValueError, IndexError):
+                        pass
                     self._send(200, {
                         "version": "ddbs-spark",
                         "modules": [],
                         "memory": {
                             "maxMemory": peak_kb * 1024,
-                            "usedMemory": peak_kb * 1024,
+                            "usedMemory": used,
                         },
                     })
                 elif path == "/status/properties":

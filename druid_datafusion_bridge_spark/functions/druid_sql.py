@@ -726,18 +726,26 @@ def _ds_render(name: str, args: list[str]) -> str:
             f"THEN try_element_at({args[0]}, {args[1]}) END"
         )
     if name == "ARRAY_SLICE":
-        # Druid: 0-indexed [start, end); NULL for out-of-range indices
-        # (negative start, end < start, end past the array) — like the
-        # ARRAY_OFFSET/ORDINAL guards. Spark's slice is 1-indexed with
-        # a length argument and ERRORS on negative/overlong forms, so
-        # the guard must wrap it, not follow it.
+        # Druid: 0-indexed [start, end); a bad START (negative, past
+        # the array, or > end) answers NULL, while an end PAST the
+        # array pads the result with nulls (Arrays.copyOfRange
+        # semantics). Spark's slice is 1-indexed with a length
+        # argument and ERRORS on a negative start/length, so the
+        # start guard must wrap it; the null pad is built type-
+        # generically via try_element_at past the end (NULL of the
+        # element type).
         arr, s = args[0], args[1]
         if len(args) == 3:
             e = args[2]
             return (
                 f"CASE WHEN ({s}) >= 0 AND ({e}) >= ({s}) "
-                f"AND ({e}) <= size({arr}) "
-                f"THEN slice({arr}, ({s}) + 1, ({e}) - ({s})) END"
+                f"AND ({s}) <= size({arr}) THEN concat("
+                f"slice({arr}, ({s}) + 1, "
+                f"least(({e}), size({arr})) - ({s})), "
+                f"CASE WHEN ({e}) > size({arr}) "
+                f"THEN transform(sequence(1, ({e}) - size({arr})), "
+                f"x -> try_element_at({arr}, size({arr}) + 1)) "
+                f"ELSE slice({arr}, 1, 0) END) END"
             )
         return (
             f"CASE WHEN ({s}) >= 0 AND ({s}) <= size({arr}) "

@@ -254,7 +254,12 @@ def ppm_channel_stats(blobs: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, pix = decode(bytes(payload))
+                try:
+                    w, h, pix = decode(bytes(payload))
+                except (IndexError, struct.error) as exc:
+                    raise ValueError(
+                        f"truncated or malformed GIF: {exc}"
+                    ) from exc
                 sums = pix.reshape(-1, 3).sum(axis=0, dtype=np.int64)
                 n = w * h
                 rows.append(
@@ -937,11 +942,14 @@ def _gif_lzw_encode(indices: bytes) -> bytes:
     """REAL GIF LZW compression (8-bit minimum code size): dictionary
     build, variable-width codes 9->12 bits, CLEAR-code reset at 4096,
     LSB-first bit packing — the inverse of the decoder below. Width
-    pairing: the encoder widens after its table adds entry 2^w (the
-    decoder, which lags ONE entry behind the encoder by construction
-    of LZW, widens at 2^w - 1); both therefore widen after the same
-    emitted code, which the round-trip test pins across the 9->10->
-    11->12 transitions and a 4096 reset."""
+    pairing is the GIF STANDARD's late change: the encoder widens
+    after assigning entry 2^w (its nxt passes 2^w); the decoder,
+    which lags ONE table entry behind the encoder by construction of
+    LZW, widens when its nxt reaches 2^w. Both therefore widen after
+    the same emitted code — pinned by the round-trip test across the
+    9->10->11->12 transitions and a 4096 reset, AND by an independent
+    late-change reference decoder in the tests (self-consistent pairs
+    can still both be off the standard; two implementations can't)."""
     CLEAR, EOI = 256, 257
     codes: list[tuple[int, int]] = []
 
@@ -959,7 +967,7 @@ def _gif_lzw_encode(indices: bytes) -> bytes:
         codes.append((table[cur], width))
         table[cur + k] = nxt
         nxt += 1
-        if nxt == (1 << width) and width < 12:
+        if nxt == (1 << width) + 1 and width < 12:
             width += 1
         elif nxt == 4096:
             codes.append((CLEAR, width))
@@ -1020,7 +1028,7 @@ def _gif_lzw_decode(data: bytes, n_expected: int) -> bytes:
         if prev is not None and nxt < 4096:
             table.append(prev + entry[:1])
             nxt += 1
-            if nxt == (1 << width) - 1 and width < 12:
+            if nxt == (1 << width) and width < 12:
                 width += 1
         prev = entry
     return bytes(out[:n_expected])
@@ -1074,6 +1082,15 @@ def decode_gif(data: bytes):
 
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
+    try:
+        return _gif_walk(data, struct, np)
+    except (IndexError, struct.error) as exc:
+        # unchecked-offset walks on a cut payload must still be the
+        # documented LOUD error, not a bare IndexError
+        raise ValueError(f"truncated or malformed GIF: {exc}") from exc
+
+
+def _gif_walk(data: bytes, struct, np):
     w_s, h_s, packed, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
     pos = 13
     gct = None
@@ -1157,7 +1174,7 @@ def with_gif_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 codes.append((table[cur], width))
                 table[cur + k] = nxt
                 nxt += 1
-                if nxt == (1 << width) and width < 12:
+                if nxt == (1 << width) + 1 and width < 12:
                     width += 1
                 elif nxt == 4096:
                     codes.append((CLEAR, width))
@@ -1213,7 +1230,9 @@ def with_gif_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return docs.select(id_col).mapInPandas(
+    # id_col is ALIASED to doc_id before the UDF so the closure and
+    # output schema stay fixed whatever the caller's column is named
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
         run, schema="doc_id long, payload binary"
     )
 
@@ -1261,7 +1280,7 @@ def gif_channel_stats(blobs: DataFrame) -> DataFrame:
                 if prev is not None and nxt < 4096:
                     table.append(prev + entry[:1])
                     nxt += 1
-                    if nxt == (1 << width) - 1 and width < 12:
+                    if nxt == (1 << width) and width < 12:
                         width += 1
                 prev = entry
             return bytes(out[:n_expected])

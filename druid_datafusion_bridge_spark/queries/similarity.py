@@ -408,31 +408,43 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_index_dir(
-    spark: SparkSession,
     sf_dir: str,
     emb: DataFrame,
     variant: str = "",
     build_fn=None,
+    config: str = "c16_s8",
 ) -> str:
     """The persisted IVF+PQ index for a testdata dir, built once and
-    cached under /tmp/ddbs_ivfpq (the repo's documented ``rm -rf
-    /tmp/ddbs_*`` cleanup convention) with the same source fingerprint
-    stamp (size + mtime_ns) the scan mirrors use — a repeat call
-    serves the existing index instead of leaking a fresh corpus-sized
+    cached under <tmpdir>/ddbs_ivfpq (honors TMPDIR; the repo's
+    documented ``rm -rf /tmp/ddbs_*`` cleanup convention on a default
+    host) with the scan mirrors' source-fingerprint stamp — plus the
+    BUILD CONFIG, so changing n_centroids/n_subspaces or the variant's
+    split can never serve a stale index built by older code. A repeat
+    call serves the existing index instead of leaking a corpus-sized
     copy per invocation; a regenerated source rebuilds. Build lands in
     a temp dir and renames into place so a completed index is never
-    observable half-built."""
+    observable half-built; if the shared cache dir is unusable
+    (read-only, full), the build falls back to a mkdtemp-scoped index
+    (the query still answers — _scan_mirror's fallback posture)."""
     import hashlib
     import os
     import shutil
+    import tempfile
 
     from ..operators.similarity import ivf_pq_build
 
+    def build(into: str) -> None:
+        if build_fn is not None:
+            build_fn(into)
+        else:
+            ivf_pq_build(emb, into, n_centroids=16, n_subspaces=8)
+
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
-    fp = f"v1:{st.st_size}:{st.st_mtime_ns}"
+    fp = f"v2:{config}{variant}:{st.st_size}:{st.st_mtime_ns}"
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    dest = os.path.join("/tmp/ddbs_ivfpq", tag + variant)
+    base = os.path.join(tempfile.gettempdir(), "ddbs_ivfpq")
+    dest = os.path.join(base, tag + variant)
     stamp = os.path.join(dest, "_FINGERPRINT")
     try:
         with open(stamp, encoding="utf-8") as f:
@@ -442,12 +454,18 @@ def _ivfpq_index_dir(
         pass
     tmp = f"{dest}.tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
-    if build_fn is not None:
-        build_fn(tmp)
-    else:
-        ivf_pq_build(emb, tmp, n_centroids=16, n_subspaces=8)
-    with open(os.path.join(tmp, "_FINGERPRINT"), "w", encoding="utf-8") as f:
-        f.write(fp)
+    try:
+        build(tmp)
+        with open(
+            os.path.join(tmp, "_FINGERPRINT"), "w", encoding="utf-8"
+        ) as f:
+            f.write(fp)
+    except OSError:
+        # unusable shared cache: serve a session-scoped index instead
+        shutil.rmtree(tmp, ignore_errors=True)
+        fallback = tempfile.mkdtemp(prefix="ddbs_ivfpq_")
+        build(fallback)
+        return fallback
     try:  # a concurrent builder of the SAME fingerprint wins
         with open(stamp, encoding="utf-8") as f:
             if f.read() == fp:
@@ -483,7 +501,7 @@ def sim_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     probes = _probes(emb)
-    idx = _ivfpq_index_dir(spark, sf_dir, emb)
+    idx = _ivfpq_index_dir(sf_dir, emb)
     ann = ivf_pq_query(spark, idx, probes, k=10, nprobe=8, shortlist=200)
     exact = brute_force_topk(emb, probes, k=10)
     return _recall_contract(ann, exact, floor=0.4)
@@ -593,7 +611,7 @@ def sim_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ivf_pq_append(spark, tmp, emb.filter(F.col("vec_id") % 2 == 1))
 
-    idx = _ivfpq_index_dir(spark, sf_dir, emb, variant="_halves",
+    idx = _ivfpq_index_dir(sf_dir, emb, variant="_halves",
                            build_fn=build)
     ann = ivf_pq_query(spark, idx, probes, k=10, nprobe=10,
                        shortlist=300)

@@ -2058,11 +2058,17 @@ def test_sql_array_and_value_aggregates(shim):
                  "ARRAY_OVERLAP(STRING_TO_ARRAY('a-b-c', '-'), "
                  "array('c', 'z')) AS ov, "
                  "ARRAY_TO_STRING(ARRAY_CONCAT(array('x'), array('y')), "
-                 "'') AS cc, STRING_FORMAT('%s=%d', 'k', 7) AS fmt "
+                 "'') AS cc, STRING_FORMAT('%s=%d', 'k', 7) AS fmt, "
+                 "ARRAY_SLICE(STRING_TO_ARRAY('a-b-c', '-'), 1, 5) "
+                 "AS padded, "
+                 "ARRAY_SLICE(STRING_TO_ARRAY('a-b-c', '-'), 0 - 1, 2) "
+                 "AS bad_start "
                  "FROM wikipedia LIMIT 1"})
     assert rows == [{
         "n": 3, "o1": "b", "d1": "a", "sl": "b|c", "sl2": "b|c",
-        "ov": True, "cc": "xy", "fmt": "k=7"}]
+        "ov": True, "cc": "xy", "fmt": "k=7",
+        # Druid pads past the end with nulls; a bad start answers NULL
+        "padded": ["b", "c", None, None], "bad_start": None}]
     rows = _post(shim + "/druid/v2/sql", {
         "query": "SELECT ARRAY_LENGTH(ARRAY_CONCAT_AGG("
                  "STRING_TO_ARRAY(channel, '-'))) AS n FROM wikipedia"})

@@ -235,6 +235,42 @@ def test_gif_lzw_roundtrip_width_transitions_and_reset():
     assert len(enc) < 200  # compression is real, not literal codes
     assert _gif_lzw_decode(enc, len(one)) == one
 
+    # INDEPENDENT reference decoder, written to the GIF STANDARD's
+    # late-change rule in a different style (whole-stream int, MSB
+    # math): a self-consistent encoder/decoder pair can both sit one
+    # code off the standard and round-trip anyway — two independent
+    # implementations cannot (the r9 review caught exactly that bug).
+    def reference_decode(data: bytes, n: int) -> bytes:
+        stream = int.from_bytes(data, "little")
+        bitpos = 0
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        nxt, width, prev = 258, 9, None
+        out = bytearray()
+        while len(out) < n:
+            code = (stream >> bitpos) & ((1 << width) - 1)
+            bitpos += width
+            if code == 256:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                nxt, width, prev = 258, 9, None
+                continue
+            if code == 257:
+                break
+            entry = (
+                table[code] if code < nxt else prev + prev[:1]
+            )
+            out.extend(entry)
+            if prev is not None and nxt < 4096:
+                table.append(prev + entry[:1])
+                nxt += 1
+                if nxt == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+        return bytes(out[:n])
+
+    for payload in (big, rep, one):
+        assert reference_decode(_gif_lzw_encode(payload),
+                                len(payload)) == payload
+
 
 def test_gif_decoder_exact_pixels():
     """Full-file GIF decode equals the closed-form index+palette law
@@ -265,3 +301,20 @@ def test_gif_decoder_exact_pixels():
     data[img_off + 9] |= 0x40
     with pytest.raises(ValueError, match="interlaced"):
         decode_gif(bytes(data))
+
+
+def test_gif_truncated_payload_raises_loudly():
+    """A payload cut mid-sub-block must raise the documented ValueError
+    (naming the malformed GIF), never a bare IndexError from an
+    unchecked offset walk."""
+    import pytest
+
+    from druid_datafusion_bridge_spark.operators.multimodal import (
+        _gif_encode,
+        decode_gif,
+    )
+
+    data = _gif_encode(7)
+    for cut in (len(data) - 3, len(data) // 2, 13 + 700, 10):
+        with pytest.raises(ValueError):
+            decode_gif(data[:cut])

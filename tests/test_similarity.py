@@ -372,8 +372,13 @@ def test_ivfpq_append_serves_new_vectors(spark, tmp_path):
     cells_after = {
         d for d in os.listdir(f"{idx}/codes") if d.startswith("cell=")
     }
-    assert cells_after <= cells_before | cells_after
     assert cells_before <= cells_after  # nothing vanished
+    # appended rows may only land in VALID centroid cells (0..7 for
+    # n_centroids=8) — a bogus cell id means the frozen-quantizer
+    # assignment broke
+    assert all(
+        0 <= int(d.split("=", 1)[1]) < 8 for d in cells_after
+    ), cells_after
     # probe = an appended vector itself: rank-1 must be its twin
     # (self-match excluded by id inequality — use a fresh probe id)
     probe = spark.createDataFrame(
