@@ -61,6 +61,7 @@ NEW_IN_R9: tuple[str, ...] = (
     "fd_time_floor_origin",
     "sim_ivfpq_append",
     "mm_gif_decode",
+    "nq_groupby_having_subtotals_limit",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed

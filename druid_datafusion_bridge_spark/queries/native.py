@@ -502,3 +502,64 @@ def nq_datasource_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     time column after pruning."""
     spec = {"queryType": "dataSourceMetadata"}
     return native_query(_events(spark, sf_dir), spec, time_col="ts")
+
+
+@query(
+    "nq_groupby_having_subtotals_limit",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, CAST(user_id % 3 AS VARCHAR) AS lvl,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+      UNION ALL
+      SELECT event_type, CAST(NULL AS VARCHAR), COUNT(*)
+      FROM events GROUP BY 1
+      UNION ALL
+      SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), COUNT(*)
+      FROM events HAVING COUNT(*) > 0
+    )
+    SELECT event_type, lvl, n FROM g
+    WHERE n > 600 OR lvl = '0'
+    ORDER BY n DESC, event_type ASC NULLS FIRST, lvl ASC NULLS FIRST
+    LIMIT 8
+    """,
+)
+def nq_groupby_having_subtotals_limit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full native groupBy post-aggregation pipeline COMPOSED —
+    subtotalsSpec (grouping sets over an expression virtualColumn
+    dimension), then a compound having tree over the subtotal rows,
+    then a DefaultLimitSpec ordered cut — in one spec, the order Druid
+    applies them. The r9 hypothesis fuzz walks this composition over
+    random specs; this row is its driver-visible witness. The oracle
+    renders the subtotals as per-set UNION ALL (the grand-total set
+    guards HAVING COUNT(*) > 0: Druid and Spark return ZERO rows for
+    a groupBy over no rows where standard SQL's () set yields one) and
+    the limit cut is deterministic — the order columns plus dims form
+    a unique key across subtotal rows."""
+    spec = {
+        "queryType": "groupBy",
+        "granularity": "all",
+        "virtualColumns": [
+            {"type": "expression", "name": "lvl",
+             "expression": "CAST(user_id % 3 AS STRING)"},
+        ],
+        "dimensions": ["event_type", "lvl"],
+        "aggregations": [{"type": "count", "name": "n"}],
+        "subtotalsSpec": [["event_type", "lvl"], ["event_type"], []],
+        "having": {"type": "or", "havingSpecs": [
+            {"type": "greaterThan", "aggregation": "n", "value": 600},
+            {"type": "dimSelector", "dimension": "lvl", "value": "0"},
+        ]},
+        "limitSpec": {
+            "type": "default", "limit": 8,
+            "columns": [
+                {"dimension": "n", "direction": "descending",
+                 "dimensionOrder": {"type": "numeric"}},
+                {"dimension": "event_type", "direction": "ascending"},
+                {"dimension": "lvl", "direction": "ascending"},
+            ],
+        },
+    }
+    return native_query(_events(spark, sf_dir), spec, time_col="ts")
