@@ -248,11 +248,17 @@ def cmd_query(
     spark = get_spark(app_name="ddbs-cli")
     register_druid_datasource(spark)
     # Druid SQL dialect functions (TIME_FLOOR, SAFE_DIVIDE, ...) are
-    # available in the CLI's SQL prompt, same as the table itself.
+    # available in the CLI's SQL prompt, same as the table itself —
+    # INCLUDING the SQL-text rewrite the broker applies (DataSketches
+    # names, LATEST/ARRAY_* aggregates, JSON_OBJECT, REGEXP_EXTRACT's
+    # Druid default): the CLI prompt and /druid/v2/sql must accept the
+    # same Druid SQL, not two dialect subsets.
+    from .functions.druid_sql import rewrite_datasketches_sql
+
     register_druid_sql_functions(spark)
     df = spark.read.format("druidsegment").option("path", path).load()
     df.createOrReplaceTempView("segment")
-    out = spark.sql(sql)
+    out = spark.sql(rewrite_datasketches_sql(sql))
     if explain:
         # the reference's EXPLAIN surface comes free from DataFusion;
         # ours comes free from Catalyst (formatted physical plan)

@@ -377,3 +377,22 @@ def test_cli_scan_and_search_honor_overshadowing(tmp_path, capsys):
     assert "2" in out and "fr" in out  # b1's counts, not b0+b1
     cmd_search(str(tmp_path), "channel", "contains", "de")
     assert capsys.readouterr().out == ""  # b0's value is invisible
+
+
+def test_cli_query_applies_druid_sql_rewrite(seg_dir, capsys):
+    """The CLI SQL prompt must accept the SAME Druid SQL as the broker:
+    rewrite-layer names (DS_HLL build-estimate, LATEST_BY, ARRAY
+    family, Druid's full-match REGEXP_EXTRACT default) run verbatim —
+    one dialect, not two subsets."""
+    from druid_datafusion_bridge_spark.cli import cmd_query
+
+    cmd_query(
+        seg_dir,
+        "SELECT HLL_SKETCH_ESTIMATE(DS_HLL(channel)) AS n_channels, "
+        "LATEST_BY(channel, __time) AS last_channel, "
+        "ARRAY_LENGTH(STRING_TO_ARRAY('a-b', '-')) AS two, "
+        "REGEXP_EXTRACT('x17y', '[0-9]+') AS num "
+        "FROM segment",
+    )
+    out = capsys.readouterr().out
+    assert "two" in out and "17" in out  # full-match default, not group 1
