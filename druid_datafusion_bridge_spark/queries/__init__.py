@@ -62,6 +62,7 @@ NEW_IN_R9: tuple[str, ...] = (
     "sim_ivfpq_append",
     "mm_gif_decode",
     "nq_groupby_having_subtotals_limit",
+    "fd_human_readable_sql_text",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed

@@ -490,6 +490,59 @@ def fd_time_floor_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fd_human_readable_sql_text",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             (MIN(event_id) % 8) * 262144 AS b,
+             (MIN(event_id) % 8) * 250000 AS d
+      FROM events GROUP BY event_type)
+    SELECT event_type,
+           CASE WHEN b < 1024 THEN printf('%.2f B', CAST(b AS DOUBLE))
+                WHEN b < 1048576
+                  THEN printf('%.2f KiB', b / 1024.0)
+                ELSE printf('%.2f MiB', b / 1048576.0) END AS bin,
+           CASE WHEN d < 1000 THEN printf('%.2f B', CAST(d AS DOUBLE))
+                WHEN d < 1000000
+                  THEN printf('%.2f KB', d / 1000.0)
+                ELSE printf('%.2f MB', d / 1000000.0) END AS dec,
+           CASE WHEN d < 1000 THEN printf('%.2f', CAST(d AS DOUBLE))
+                WHEN d < 1000000 THEN printf('%.2f K', d / 1000.0)
+                ELSE printf('%.2f M', d / 1000000.0) END AS mag
+    FROM v ORDER BY event_type
+    """,
+)
+def fd_human_readable_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid's HUMAN_READABLE_* formatting trio as raw SQL text
+    (sql-scalar.md), oracled EXACTLY against DuckDB's printf: the
+    formatted inputs are multiples of 262144 (= 1024^2/4) and 250000
+    (= 10^6/4), so every scaled value is an exact binary quarter or an
+    exact decimal quarter — two decimal places involve NO rounding,
+    sidestepping the one honest cross-engine divergence (Java's %.2f
+    rounds half-up, C's half-even; a tie-free domain makes the
+    formatter comparison bit-exact rather than flaky)."""
+    from ..functions.druid_sql import rewrite_datasketches_sql
+
+    register_druid_sql_functions(spark)
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    sql = rewrite_datasketches_sql(
+        """
+        WITH v AS (
+          SELECT event_type,
+                 (MIN(event_id) % 8) * 262144 AS b,
+                 (MIN(event_id) % 8) * 250000 AS d
+          FROM events GROUP BY event_type)
+        SELECT event_type,
+               HUMAN_READABLE_BINARY_BYTE_FORMAT(b) AS bin,
+               HUMAN_READABLE_DECIMAL_BYTE_FORMAT(d) AS dec,
+               HUMAN_READABLE_DECIMAL_FORMAT(d) AS mag
+        FROM v ORDER BY event_type
+        """
+    )
+    return spark.sql(sql)
+
+
+@query(
     "fd_array_sql_text",
     oracle="""
     WITH e AS (
