@@ -41,76 +41,27 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # at ENTRY granularity and retired the never-sampled backlog: after
 # r7's driver run EVERY registry entry has at least one driver
 # correctness row, so since r8 the window's job is keeping the evidence
-# FRESH. r9 ROTATION (fixed at round-9 start, 2026-08-16): slots go
-# first to round 9's OWN new queries (never sampled; appended to
-# NEW_IN_R9 in the same commit that registers them), then to DELIBERATE
-# RE-SAMPLES of the entries whose newest driver rows are OLDEST —
-# after r8's 41 refreshes the stalest evidence is the r3 tail
-# (a8_stats..a14_pivot, squeezed out of r8's window) followed by the
-# r4 families (w*/o*/u*/p*/f_*/sim_*/txt_*/tn_*), in evidence-age then
+# FRESH. r10 ROTATION (fixed at round-10 start, 2026-08-16): slots go
+# first to round 10's OWN new queries (never sampled; appended to
+# NEW_IN_R10 in the same commit that registers them), then to
+# DELIBERATE RE-SAMPLES of the entries whose newest driver rows are
+# OLDEST — after r9's 41 refreshes the stalest evidence is the r4
+# block (f_cast/json/bitwise, j9*, sim_* r4 family, txt_* r4 family,
+# tn_*, dm_search_dims; 20 rows) followed by the r5 block
+# (flagship_rollup — explicitly given a slot this round so the
+# headline query regains headline-fresh hash evidence — then the
+# txp_/mm_ r5 families and the q* TPC-H suite), in evidence-age then
 # registry order — trimmed to the 50-slot window capacity. Entries
-# squeezed out by new r9 queries stay the stalest and lead r10's
-# window. flagship_rollup needs no slot: the driver smoke-checks it
-# every round through entry().
-NEW_IN_R9: tuple[str, ...] = (
-    # r9 new queries, appended as they land (they take priority slots)
-    "sim_ivfpq_persisted",
-    "fd_json_query",
-    "fd_array_sql_text",
-    "sim_mmr_rerank",
-    "fd_time_floor_origin",
-    "sim_ivfpq_append",
-    "mm_gif_decode",
-    "nq_groupby_having_subtotals_limit",
-    "fd_human_readable_sql_text",
+# squeezed out by new r10 queries stay the stalest and lead r11's
+# window.
+NEW_IN_R10: tuple[str, ...] = (
+    # r10 new queries, appended as they land (they take priority slots)
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed
-# from the union of CORRECTNESS_r01–r08 at round-9 start.
+# from the union of CORRECTNESS_r01–r09 at round-10 start.
 STALE_RESAMPLES: tuple[str, ...] = (
-    # newest driver row is r3
-    "a8_stats",
-    "a9_approx_count_distinct",
-    "a10_approx_percentile",
-    "a10b_exact_median",
-    "a11_positional_aggs",
-    "a11b_collect_sorted",
-    "a12_time_bucket",
-    "a6c_grouping_sets",
-    "a10c_exact_percentiles",
-    "a13_histogram_binning",
-    "a14_pivot",
     # newest driver row is r4 (registry order)
-    "st_tumbling_rollup",
-    "w1_ranking",
-    "w2_lag_lead",
-    "w3_agg_over_window",
-    "w4_frame_rows",
-    "o1_orderby_multi",
-    "o2_limit_offset",
-    "o3_topk",
-    "o3b_topk_per_group",
-    "w4b_frame_range",
-    "w5_distribution_fns",
-    "w2b_ignore_nulls",
-    "w4c_time_range_frame",
-    "u1_union_all",
-    "u1b_union_distinct",
-    "u2_intersect",
-    "u2b_intersect_all",
-    "u3_except",
-    "u3b_except_all",
-    "s1_scan_project",
-    "s7_dump_limit",
-    "p2_projection_expr",
-    "p3_filter_predicates",
-    "p3b_filter_like_null",
-    "p4_time_filter",
-    "p5_hash_sample",
-    "f_string_functions",
-    "f_date_functions",
-    "f_math_functions",
-    "f_conditional_functions",
     "f_cast_functions",
     "f_json_functions",
     "f_bitwise_functions",
@@ -131,9 +82,49 @@ STALE_RESAMPLES: tuple[str, ...] = (
     "tn_topn_exact",
     "tn_topn_two_phase",
     "dm_search_dims",
+    # newest driver row is r5 — flagship first (VERDICT r9 'What's
+    # wrong' #3: its newest hash evidence dates to r5 and entry() only
+    # smoke-checks rows>0), then registry order
+    "flagship_rollup",
+    "txp_curation_pipeline",
+    "txp_group_sample",
+    "txp_bpe_pair_counts",
+    "txp_markup_strip",
+    "txp_url_extract",
+    "mm_binary_meta",
+    "mm_feature_extract",
+    "mm_frame_sample",
+    "mm_resize",
+    "mm_frame_energy",
+    "mm_ppm_decode",
+    "mm_wav_decode",
+    "mm_ppm_resize",
+    "mm_wav_resample",
+    "mm_video_frames",
+    "mm_png_decode",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q14_promo_effect",
+    "q16_supplier_diversity",
+    "q19_disjunctive_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "q2_cheapest_supplier",
+    "q4_priority_exists",
+    "q7_nation_volume",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
 )
 
-ROTATION: tuple[str, ...] = (NEW_IN_R9 + STALE_RESAMPLES)[:50]
+ROTATION: tuple[str, ...] = (NEW_IN_R10 + STALE_RESAMPLES)[:50]
 
 
 def _apply_rotation() -> None:

@@ -6,21 +6,28 @@ correctness row — so since r8 the rotation follows a STALENESS policy:
 the round's own new queries (never sampled) take priority slots, and
 the rest of the window deliberately RE-SAMPLES the entries whose newest
 driver rows are oldest, refreshing the evidence that ages a round
-further each cycle. For r9 that is the r3 tail (a8_stats..a14_pivot)
-then the r4 families. An accidental reorder would silently burn the
-round's slots on freshly-green queries — this test makes that a loud
-failure.
+further each cycle. For r10 that is the r4 block (f_*/j9*/sim_*/txt_*/
+tn_*/dm_search_dims) then the r5 block (flagship_rollup first — the
+headline query's hash evidence dated to r5 — then txp_/mm_/q*). An
+accidental reorder would silently burn the round's slots on
+freshly-green queries — this test makes that a loud failure.
 
 UPDATE DELIBERATELY each rotation, together with ROTATION itself."""
 
 from __future__ import annotations
 
 from druid_datafusion_bridge_spark.queries import (
-    NEW_IN_R9,
+    NEW_IN_R10,
     ROTATION,
     STALE_RESAMPLES,
     all_queries,
 )
+
+CURRENT_ROUND = 10
+# Entries whose newest driver row is from a round <= this are "stale"
+# and eligible for a deliberate re-sample slot this round. At r10 start
+# the oldest evidence is r4 (20 rows) then r5 (37 rows).
+STALE_THRESHOLD = 5
 
 
 def test_driver_sample_window_matches_rotation_plan():
@@ -28,18 +35,21 @@ def test_driver_sample_window_matches_rotation_plan():
     assert len(ROTATION) == 50  # backlog is zero; fill every slot
     # the window prefix IS the plan, in plan order
     assert names[: len(ROTATION)] == list(ROTATION)
-    # new r9 queries take priority slots, staleness re-samples follow
-    assert list(ROTATION) == (list(NEW_IN_R9) + list(STALE_RESAMPLES))[:50]
-    # spot-pin the staleness ordering: the r3 tail heads the re-samples
+    # new r10 queries take priority slots, staleness re-samples follow
+    assert list(ROTATION) == (list(NEW_IN_R10) + list(STALE_RESAMPLES))[:50]
+    # spot-pin the staleness ordering: the r4 block heads the re-samples
     assert STALE_RESAMPLES[:3] == (
-        "a8_stats",
-        "a9_approx_count_distinct",
-        "a10_approx_percentile",
+        "f_cast_functions",
+        "f_json_functions",
+        "f_bitwise_functions",
     )
+    # flagship_rollup heads the r5 block (VERDICT r9: headline query
+    # deserves headline-fresh hash evidence)
+    assert STALE_RESAMPLES[20] == "flagship_rollup"
     # spot-pins drawn from the FRONT of the stale list so they stay in
-    # the window even as NEW_IN_R9 grows and squeezes the tail
-    for must in ("a14_pivot", "w1_ranking", "u1_union_all",
-                 "f_string_functions", "p3_filter_predicates"):
+    # the window even as NEW_IN_R10 grows and squeezes the tail
+    for must in ("f_cast_functions", "j9_asof_join", "sim_bruteforce_topk",
+                 "txt_lang_id", "flagship_rollup"):
         assert must in ROTATION, must
 
 
@@ -47,17 +57,19 @@ def test_rotation_wastes_no_window_slot():
     """No window slot may re-sample a query that already has a driver
     correctness row (CORRECTNESS_r*.json) unless listed as a deliberate
     re-sample — re-sampling green queries burns the round's evidence.
-    r9 policy: STALE_RESAMPLES *is* the deliberate re-sample list — the
+    r10 policy: STALE_RESAMPLES *is* the deliberate re-sample list — the
     backlog of never-sampled entries is zero, so the window's job is to
-    refresh the OLDEST driver evidence (r3–r4 rows). Anything sampled
-    in the window must be either brand-new (NEW_IN_R9) or a declared
-    stale re-sample."""
+    refresh the OLDEST driver evidence (r4–r5 rows). Anything sampled
+    in the window must be either brand-new (NEW_IN_R10) or a declared
+    stale re-sample. NEW_IN_R10 entries are exempt even after this
+    round's own driver artifact lands (ADVICE r9: the current round's
+    artifact must not retroactively mark its own new queries wasted)."""
     import glob
     import json
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json")))
+    files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
     if not files:  # fresh checkout without driver artifacts
         return
     latest: dict[str, int] = {}
@@ -66,19 +78,20 @@ def test_rotation_wastes_no_window_slot():
         with open(f, encoding="utf-8") as fh:
             for name in json.load(fh):
                 latest[name] = max(latest.get(name, 0), rnd)
-    deliberate_resamples = set(STALE_RESAMPLES)
+    deliberate = set(STALE_RESAMPLES) | set(NEW_IN_R10)
     names = list(all_queries())
     wasted = [
         n for n in names[: len(ROTATION)]
-        if n in latest and n not in deliberate_resamples
+        if n in latest and n not in deliberate
     ]
     assert not wasted, wasted
     # and the declared re-samples must actually BE stale (driver row
-    # r4 or older) — re-declaring fresh entries would defeat the policy.
-    # This clause goes red the moment the driver's post-round
-    # CORRECTNESS_r09.json lands: that is the designed tripwire ordering
-    # the r10 flip as round 10's first commit.
+    # r5 or older) — re-declaring fresh entries would defeat the policy.
+    # Rows from rounds AFTER the current one (the driver's post-round
+    # artifact for CURRENT_ROUND itself) are the designed tripwire
+    # ordering the next flip: once CORRECTNESS_r10.json lands, the
+    # refreshed re-samples go red here until r11 rewrites ROTATION.
     not_stale = [
-        n for n in STALE_RESAMPLES if latest.get(n, 0) > 4
+        n for n in STALE_RESAMPLES if latest.get(n, 0) > STALE_THRESHOLD
     ]
     assert not not_stale, not_stale
