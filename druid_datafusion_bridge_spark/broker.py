@@ -549,9 +549,39 @@ def _native_datasource_names(ds: Any) -> list[str] | None:
         if t == "query":
             inner = ds.get("query") or {}
             return _native_datasource_names(inner.get("dataSource"))
+        if t == "unnest":
+            return _native_datasource_names(ds.get("base"))
         if t == "lookup":
             return []  # lookups are broker state, not segment state
     return None
+
+
+def _native_lookup_names(ds: Any) -> list[str]:
+    """Every lookup name a native dataSource tree references — their
+    versions ride in the result-cache key so a lookup update
+    invalidates cached joins against it (segment digests can't see
+    broker lookup state move)."""
+    if not isinstance(ds, dict):
+        return []
+    t = ds.get("type")
+    if t == "lookup":
+        name = ds.get("lookup") or ds.get("name")
+        return [name] if isinstance(name, str) else []
+    if t == "union":
+        return [
+            n for c in ds.get("dataSources") or []
+            for n in _native_lookup_names(c)
+        ]
+    if t == "join":
+        return (
+            _native_lookup_names(ds.get("left"))
+            + _native_lookup_names(ds.get("right"))
+        )
+    if t == "query":
+        return _native_lookup_names((ds.get("query") or {}).get("dataSource"))
+    if t == "unnest":
+        return _native_lookup_names(ds.get("base"))
+    return []
 
 
 # SQL whose result can change without the data changing must never be
@@ -1096,6 +1126,15 @@ class DruidBrokerShim:
                 if names is not None else None
             )
             if digs is not None:
+                # lookup datasources are broker state: their versions
+                # join the key so a config POST invalidates implicitly
+                lk = _native_lookup_names(body.get("dataSource"))
+                if lk:
+                    digs = digs + tuple(
+                        (f"__lookup__:{n}",
+                         self._lookup_versions.get(n, "0"))
+                        for n in sorted(set(lk))
+                    )
                 # execution-only context keys stay OUT of the key;
                 # result-shaping ones (skipEmptyBuckets, grandTotal, ...)
                 # stay IN — two semantically different queries must
@@ -1129,7 +1168,8 @@ class DruidBrokerShim:
             if cached is not None:
                 return cached
         df = native_query(
-            None, body, time_col=self.time_col, tables=self.tables
+            None, body, time_col=self.time_col, tables=self.tables,
+            lookups=self._lookups,
         )
         out = _native_envelope(body, _rows_json(df, self.max_rows))
         if key is not None and populate:

@@ -55,6 +55,7 @@ contract, not silent misreading.
 from __future__ import annotations
 
 import json
+import re
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
@@ -309,7 +310,9 @@ def _aggregator(a: dict, time_col: str) -> Column:
     if kind in ("longLast", "doubleLast", "floatLast", "stringLast"):
         return F.max_by(_c(field), _c(time_col)).alias(name)
     if kind in ("cardinality", "hyperUnique", "thetaSketch"):
-        fields = a.get("fieldNames") or [field]
+        # "fields" is the documented modern key (Druid 0.9.2+);
+        # "fieldNames" the legacy one — accept both
+        fields = a.get("fields") or a.get("fieldNames") or [field]
         return F.count_distinct(*[_c(c) for c in fields]).alias(name)
     if kind == "filtered":
         # fold the filter into the input expression — stays ONE
@@ -679,6 +682,7 @@ def _resolve_datasource(
     time_col: str,
     tables: dict[str, DataFrame] | None,
     _fallback_names: set | None = None,
+    lookups: dict[str, Any] | None = None,
 ) -> DataFrame:
     """Druid dataSource forms (public Druid datasource.md):
 
@@ -688,6 +692,19 @@ def _resolve_datasource(
       inline datasources for exactly this — tiny lookup-ish relations);
     - {"type": "query"}: a full native query as a subquery — recursion;
     - {"type": "union"}: unionByName over the member datasources;
+    - {"type": "lookup"}: the named lookup from ``lookups`` surfaces as
+      Druid's fixed two-column (k, v) relation — usable standalone or
+      as a join right side. A lookup value may be a plain dict (the
+      broker's managed map form, built driver-side exactly like Druid's
+      heap-resident lookups) or a prepared DataFrame; the dict path is
+      broadcast-sized by the same contract that bounds real Druid
+      lookups (they must fit on every historical's heap);
+    - {"type": "unnest", "base": ..., "virtualColumn": ...}: explode
+      the array-valued expression; each element becomes one row under
+      the virtualColumn's output name, with an optional ``unnestFilter``
+      on the unnested column (Druid drops rows whose array is NULL or
+      empty — Spark ``explode``'s exact semantics). One narrow Generate
+      node over the base plan: no shuffle, no Python;
     - {"type": "join"}: left/right resolved recursively; the right
       side's columns surface under ``rightPrefix`` (Druid's contract —
       the outer query addresses them as e.g. ``l.category``, which
@@ -723,7 +740,7 @@ def _resolve_datasource(
     kind = ds.get("type")
     if kind == "table":
         return _resolve_datasource(
-            ds["name"], df, time_col, tables, _fallback_names
+            ds["name"], df, time_col, tables, _fallback_names, lookups
         )
     if kind == "inline":
         if df is None and not tables:
@@ -733,11 +750,58 @@ def _resolve_datasource(
             [tuple(r) for r in ds["rows"]], list(ds["columnNames"])
         )
     if kind == "query":
-        return native_query(df, ds["query"], time_col, tables=tables)
+        return native_query(
+            df, ds["query"], time_col, tables=tables, lookups=lookups
+        )
+    if kind == "lookup":
+        name = ds.get("lookup") or ds.get("name")
+        if not lookups or name not in lookups:
+            raise ValueError(
+                f"unknown lookup datasource {name!r} — register it via "
+                "the lookups mapping (broker: POST "
+                "/druid/coordinator/v1/lookups/config)"
+            )
+        src = lookups[name]
+        if isinstance(src, DataFrame):
+            got = set(src.columns)
+            if got != {"k", "v"}:
+                raise ValueError(
+                    f"lookup datasource {name!r} must expose exactly "
+                    f"(k, v) columns, got {sorted(got)}"
+                )
+            return src
+        if df is None and not tables:
+            raise ValueError("lookup datasource needs a session source")
+        session = (df or next(iter(tables.values()))).sparkSession
+        return session.createDataFrame(
+            [(str(k), str(v)) for k, v in sorted(src.items())], ["k", "v"]
+        )
+    if kind == "unnest":
+        base = _resolve_datasource(
+            ds["base"], df, time_col, tables, _fallback_names, lookups
+        )
+        vc = ds.get("virtualColumn") or {}
+        if vc.get("type", "expression") != "expression":
+            raise ValueError(
+                f"unsupported unnest virtualColumn type {vc.get('type')!r}"
+            )
+        out_name = vc["name"]
+        if out_name in base.columns:
+            raise ValueError(
+                f"unnest output column {out_name!r} already exists on "
+                "the base datasource (Druid requires a fresh name)"
+            )
+        # Druid expressions quote columns as "dims"; Spark's parser
+        # reads those as string literals, so swap to backticks before
+        # F.expr (same narrow-projection posture as _base virtualColumns)
+        expr = re.sub(r'"([^"]+)"', r"`\1`", vc["expression"])
+        base = base.withColumn(out_name, F.explode(F.expr(expr)))
+        flt = _filter_pred(ds.get("unnestFilter"), time_col)
+        return base if flt is None else base.filter(flt)
     if kind == "union":
         names = _fallback_names if _fallback_names is not None else set()
         members = [
-            _resolve_datasource(m, df, time_col, tables, names)
+            _resolve_datasource(m, df, time_col, tables, names, lookups)
             for m in ds["dataSources"]
         ]
         out = members[0]
@@ -746,8 +810,12 @@ def _resolve_datasource(
         return out
     if kind == "join":
         names = _fallback_names if _fallback_names is not None else set()
-        left = _resolve_datasource(ds["left"], df, time_col, tables, names)
-        right = _resolve_datasource(ds["right"], df, time_col, tables, names)
+        left = _resolve_datasource(
+            ds["left"], df, time_col, tables, names, lookups
+        )
+        right = _resolve_datasource(
+            ds["right"], df, time_col, tables, names, lookups
+        )
         prefix = ds.get("rightPrefix", "j0.")
         right = right.select(
             *[_c(c).alias(f"{prefix}{c}") for c in right.columns]
@@ -776,14 +844,17 @@ def native_query(
     spec: dict | str,
     time_col: str = "__time",
     tables: dict[str, DataFrame] | None = None,
+    lookups: dict[str, Any] | None = None,
 ) -> DataFrame:
     """Compile a Druid native query ``spec`` (dict or JSON string)
     against ``df``. ``time_col`` names the primary timestamp column
     (``__time`` on real segments; any timestamp column on plain
     tables). ``tables`` optionally names datasources for specs whose
-    ``dataSource`` is a table name or a join/union over several; the
-    inline / query / join / union datasource forms are resolved by
-    `_resolve_datasource`.
+    ``dataSource`` is a table name or a join/union over several;
+    ``lookups`` names managed lookups for the ``lookup`` datasource
+    form (each a plain {key: value} dict or a prepared (k, v)
+    DataFrame). The inline / query / lookup / unnest / join / union
+    datasource forms are resolved by `_resolve_datasource`.
 
     Supported queryTypes: timeseries, topN, groupBy, scan, search,
     timeBoundary, dataSourceMetadata, segmentMetadata (merged form).
@@ -795,7 +866,9 @@ def native_query(
     returns minTime/maxTime."""
     if isinstance(spec, str):
         spec = json.loads(spec)
-    df = _resolve_datasource(spec.get("dataSource"), df, time_col, tables)
+    df = _resolve_datasource(
+        spec.get("dataSource"), df, time_col, tables, lookups=lookups
+    )
     qt = spec.get("queryType")
 
     if qt == "timeseries":

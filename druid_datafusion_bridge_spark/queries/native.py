@@ -563,3 +563,99 @@ def nq_groupby_having_subtotals_limit(
         },
     }
     return native_query(_events(spark, sf_dir), spec, time_col="ts")
+
+
+@query(
+    "nq_unnest_datasource",
+    oracle="""
+    SELECT tag,
+           COUNT(*) AS n,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')[1:3]) AS tag
+          FROM documents)
+    WHERE tag IN ('spark', 'scan', 'join', 'table')
+    GROUP BY tag
+    """,
+)
+def nq_unnest_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid native UNNEST datasource (datasource.md's 6th form, Druid
+    26+): the multi-value ``tags`` dimension of a REAL v9 segment root
+    explodes one row per element under the virtualColumn's output name,
+    the ``unnestFilter`` keeps only the probed tags, and the outer
+    groupBy counts rows and distinct docs per tag. Compiles to one
+    narrow Generate over the segment scan feeding a single hash
+    aggregate — no shuffle before the explode, no Python anywhere. The
+    SQL twin (fd_unnest, r6) fixed the semantics; this is the native
+    JSON entry a Druid-26 array user POSTs."""
+    from .druid_source import _ensure_mvd_segments
+
+    root = _ensure_mvd_segments(spark, sf_dir)
+    mvd = spark.read.format("druidsegment").option("path", root).load()
+    spec = {
+        "queryType": "groupBy",
+        "dataSource": {
+            "type": "unnest",
+            "base": "documents_mvd",
+            "virtualColumn": {"type": "expression", "name": "tag",
+                              "expression": '"tags"'},
+            "unnestFilter": {"type": "in", "dimension": "tag",
+                             "values": ["spark", "scan", "join", "table"]},
+        },
+        "granularity": "all",
+        "dimensions": ["tag"],
+        "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "cardinality", "name": "n_docs",
+             "fields": ["doc_id"]},
+        ],
+    }
+    return native_query(
+        None, spec, time_col="__time", tables={"documents_mvd": mvd}
+    )
+
+
+@query(
+    "nq_lookup_datasource",
+    oracle="""
+    WITH lut(k, v) AS (VALUES
+      ('click', 'engage'), ('view', 'engage'), ('purchase', 'convert'),
+      ('signup', 'convert'), ('error', 'ops'))
+    SELECT lut.v AS "l.v",
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS total
+    FROM events JOIN lut ON events.event_type = lut.k
+    GROUP BY 1
+    """,
+)
+def nq_lookup_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid native LOOKUP datasource as a join right side: the managed
+    lookup surfaces as Druid's fixed (k, v) two-column relation and the
+    groupBy addresses the joined value through the rightPrefix. The
+    lookup map is heap-resident by Druid's own contract (lookups load
+    whole onto every historical), so building it driver-side and
+    letting AQE broadcast the 5-row side is the reference plan at any
+    scale. The broker path resolves the same form against its managed
+    lookup store with the lookup VERSION in the result-cache key."""
+    lut = {"click": "engage", "view": "engage", "purchase": "convert",
+           "signup": "convert", "error": "ops"}
+    spec = {
+        "queryType": "groupBy",
+        "dataSource": {
+            "type": "join",
+            "left": "events",
+            "right": {"type": "lookup", "lookup": "event_category"},
+            "rightPrefix": "l.",
+            "condition": '"event_type" == "l.k"',
+        },
+        "granularity": "all",
+        "dimensions": ["l.v"],
+        "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total", "fieldName": "value"},
+        ],
+    }
+    return native_query(
+        None, spec, time_col="ts",
+        tables={"events": _events(spark, sf_dir)},
+        lookups={"event_category": lut},
+    )

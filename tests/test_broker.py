@@ -2203,3 +2203,74 @@ def test_sql_time_origin_tz_and_human_readable(shim):
                  "FROM wikipedia LIMIT 1"})
     assert rows == [{"mib": "1.00 MiB", "kib": "1.5 KiB",
                      "mb": "1.00 MB", "m": "1.2 M", "plain": "999.00"}]
+
+
+def test_native_lookup_datasource_and_version_invalidation(spark, tmp_path):
+    """Native lookup datasource through the broker: a join against the
+    managed lookup store answers through POST /druid/v2; the lookup
+    VERSION rides in the result-cache key, so a lookup-config POST
+    invalidates cached joins implicitly (segment digests alone cannot
+    see broker lookup state move)."""
+    from pyspark.sql import functions as F
+
+    from druid_datafusion_bridge_spark.sources import (
+        register_druid_datasource,
+    )
+    from druid_datafusion_bridge_spark.sources.ingest import (
+        write_druid_segments,
+    )
+
+    register_druid_datasource(spark)
+    df = spark.createDataFrame(
+        [("2024-01-01 00:10:00", "en", 5), ("2024-01-01 00:20:00", "en", 7),
+         ("2024-01-01 02:00:00", "de", 11)],
+        "ts string, channel string, delta long",
+    ).select(F.col("ts").cast("timestamp").alias("__time"),
+             "channel", "delta")
+    root = str(tmp_path / "segs")
+    write_druid_segments(df, root, granularity="PT1H").collect()
+    back = spark.read.format("druidsegment").option("path", root).load()
+    s = DruidBrokerShim(
+        spark, {"wiki": back}, segment_roots={"wiki": root},
+        lookups={"lang": {"en": "English", "de": "German"}},
+    )
+    port = s.start()
+    base = f"http://127.0.0.1:{port}"
+    nat = {
+        "queryType": "groupBy",
+        "dataSource": {
+            "type": "join",
+            "left": "wiki",
+            "right": {"type": "lookup", "lookup": "lang"},
+            "rightPrefix": "l.",
+            "condition": '"channel" == "l.k"',
+        },
+        "granularity": "all",
+        "dimensions": ["l.v"],
+        "aggregations": [
+            {"type": "longSum", "name": "total", "fieldName": "delta"},
+        ],
+    }
+    try:
+        cache = s._result_cache
+
+        def rows():
+            out = _post(base + "/druid/v2", nat)
+            return sorted(
+                (e["event"]["l.v"], e["event"]["total"]) for e in out
+            )
+
+        assert rows() == [("English", 12), ("German", 11)]
+        hits = cache.hits
+        assert rows() == [("English", 12), ("German", 11)]
+        assert cache.hits == hits + 1  # cached: keyed on digest+version
+        # lookup update bumps its version -> implicit invalidation
+        _post(
+            base + "/druid/coordinator/v1/lookups/config/__default/lang",
+            {"version": "v2", "lookupExtractorFactory": {
+                "type": "map",
+                "map": {"en": "ANGLAIS", "de": "ALLEMAND"}}},
+        )
+        assert rows() == [("ALLEMAND", 11), ("ANGLAIS", 12)]
+    finally:
+        s.stop()

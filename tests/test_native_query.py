@@ -647,7 +647,11 @@ def test_datasource_forms(events):
 
     with pytest.raises(ValueError, match="dataSource type"):
         run(events, {"queryType": "timeBoundary",
-                     "dataSource": {"type": "lookup"}})
+                     "dataSource": {"type": "globalTable"}})
+    # a lookup datasource without a registered lookup is loud
+    with pytest.raises(ValueError, match="unknown lookup"):
+        run(events, {"queryType": "timeBoundary",
+                     "dataSource": {"type": "lookup", "lookup": "nope"}})
     with pytest.raises(ValueError, match="joinType"):
         run(events, {"queryType": "timeBoundary",
                      "dataSource": {"type": "join", "left": "events",
@@ -930,3 +934,156 @@ def test_period_granularity_timezone_and_origin(events):
     }).collect()
     got = {str(r["timestamp"]): r["n"] for r in rows}
     assert got == {"2023-12-31 22:20:00": 4}
+
+
+def test_unnest_datasource(events):
+    """Druid's unnest datasource form: explode an array-valued
+    expression, one row per element, optional unnestFilter; rows with
+    NULL/empty arrays drop (Druid's contract == Spark explode)."""
+    spec = {
+        "queryType": "groupBy",
+        "dataSource": {
+            "type": "unnest",
+            "base": "events",
+            "virtualColumn": {
+                "type": "expression", "name": "tok",
+                "expression": 'split("props", \'=\')',
+            },
+            "unnestFilter": {"type": "in", "dimension": "tok",
+                             "values": ["a", "b", "c"]},
+        },
+        "granularity": "all",
+        "dimensions": ["tok"],
+        "aggregations": [{"type": "count", "name": "n"}],
+    }
+    got = {
+        r["tok"]: r["n"]
+        for r in run(None, spec, tables={"events": events}).collect()
+    }
+    # props: a=1, b=2, (null -> dropped), a=9, c=3, a=2, x
+    assert got == {"a": 3, "b": 1, "c": 1}
+
+    # no unnestFilter: every token surfaces; the NULL-props row drops
+    bare = dict(spec)
+    bare["dataSource"] = {
+        k: v for k, v in spec["dataSource"].items() if k != "unnestFilter"
+    }
+    n_tokens = sum(
+        r["n"] for r in run(None, bare, tables={"events": events}).collect()
+    )
+    assert n_tokens == 11  # 6 non-null props: 2+2+2+2+2 + 1 ('x') tokens
+
+    # output-name collision and non-expression virtualColumn are loud
+    with pytest.raises(ValueError, match="already exists"):
+        run(None, {
+            "queryType": "timeBoundary",
+            "dataSource": {
+                "type": "unnest", "base": "events",
+                "virtualColumn": {"type": "expression", "name": "props",
+                                  "expression": '"props"'},
+            },
+        }, tables={"events": events})
+    with pytest.raises(ValueError, match="virtualColumn type"):
+        run(None, {
+            "queryType": "timeBoundary",
+            "dataSource": {
+                "type": "unnest", "base": "events",
+                "virtualColumn": {"type": "mv-filtered", "name": "t"},
+            },
+        }, tables={"events": events})
+
+
+def test_unnest_datasource_over_mvd_segment_root(spark, tmp_path):
+    """unnest over a REAL segment root's multi-value dimension: the
+    array column decoded by the druidsegment DataSource feeds the
+    native unnest form directly (the Druid-26 array path end-to-end)."""
+    import pyarrow as pa
+
+    from druid_datafusion_bridge_spark.sources import (
+        register_druid_datasource,
+    )
+    from druid_datafusion_bridge_spark.sources.segment import write_segment
+
+    write_segment(
+        pa.table({
+            "__time": pa.array(
+                [1704067200000 + i * 3_600_000 for i in range(4)],
+                pa.timestamp("ms"),
+            ),
+            "doc": pa.array(["d0", "d1", "d2", "d3"]),
+            "tags": pa.array(
+                [["x", "y"], ["y"], [], ["y", "z"]],
+                pa.list_(pa.string()),
+            ),
+        }),
+        str(tmp_path / "seg_000"),
+    )
+    register_druid_datasource(spark)
+    df = spark.read.format("druidsegment").option(
+        "path", str(tmp_path)
+    ).load()
+    spec = {
+        "queryType": "groupBy",
+        "dataSource": {
+            "type": "unnest",
+            "base": "docs",
+            "virtualColumn": {"type": "expression", "name": "tag",
+                              "expression": '"tags"'},
+        },
+        "granularity": "all",
+        "dimensions": ["tag"],
+        "aggregations": [{"type": "count", "name": "n"}],
+    }
+    got = {
+        r["tag"]: r["n"]
+        for r in native_query(None, spec, tables={"docs": df}).collect()
+    }
+    assert got == {"x": 1, "y": 3, "z": 1}  # d2's empty array dropped
+
+
+def test_lookup_datasource_join(events):
+    """Druid's lookup datasource form: the named lookup surfaces as a
+    (k, v) relation joinable through rightPrefix; a prepared (k, v)
+    DataFrame is accepted as-is, any other shape is loud."""
+    lut = {"click": "engage", "view": "engage", "purchase": "convert"}
+    spec = {
+        "queryType": "groupBy",
+        "dataSource": {
+            "type": "join",
+            "left": "events",
+            "right": {"type": "lookup", "lookup": "cat"},
+            "rightPrefix": "l.",
+            "condition": '"event_type" == "l.k"',
+        },
+        "granularity": "all",
+        "dimensions": ["l.v"],
+        "aggregations": [{"type": "count", "name": "n"}],
+    }
+    got = {
+        r["l.v"]: r["n"]
+        for r in run(None, spec, tables={"events": events},
+                     lookups={"cat": lut}).collect()
+    }
+    assert got == {"engage": 5, "convert": 1}
+
+    # standalone lookup datasource scan
+    scan = {
+        "queryType": "scan", "dataSource": {"type": "lookup", "lookup": "cat"},
+        "columns": ["k", "v"],
+    }
+    rows = run(None, scan, tables={"events": events},
+               lookups={"cat": lut}).collect()
+    assert {(r["k"], r["v"]) for r in rows} == set(lut.items())
+
+    # a prepared DataFrame lookup must expose exactly (k, v)
+    kv = events.sparkSession.createDataFrame(
+        [("click", "engage")], ["k", "v"]
+    )
+    rows = run(None, scan, tables={"events": events},
+               lookups={"cat": kv}).collect()
+    assert [(r["k"], r["v"]) for r in rows] == [("click", "engage")]
+    bad = events.sparkSession.createDataFrame(
+        [("click", "engage", 1)], ["k", "v", "extra"]
+    )
+    with pytest.raises(ValueError, match=r"\(k, v\)"):
+        run(None, scan, tables={"events": events}, lookups={"cat": bad})
