@@ -581,6 +581,69 @@ def _ds_split_args(args: str) -> list[str]:
     return out
 
 
+# Theta-sketch SQL rendering: a sketch is a named_struct('theta' DOUBLE,
+# 'hashes' ARRAY<BIGINT>) — the k smallest distinct 60-bit md5 hashes,
+# every one strictly below theta (the kmv shape operators/sketches.py
+# uses for cx_theta_set_ops, here as pure SQL text so the whole algebra
+# stays inside whole-stage codegen). Below saturation theta is the full
+# hash space and every estimate is EXACT; saturated, the standard KMV
+# estimator |hashes| * HASH_SPACE / theta applies. Set ops keep
+# min(theta_a, theta_b) and filter to hashes below it — a valid theta
+# sketch (Druid additionally re-caps a union to nominal k; keeping the
+# extra retained hashes only IMPROVES accuracy, documented divergence).
+_THETA_DEFAULT_K = 16384
+_THETA_HS = "CAST(1152921504606846976 AS DOUBLE)"  # 2^60, the hash space
+
+
+def _theta_hash60(expr: str) -> str:
+    """60-bit md5 hash as SQL text (operators/dedup.py md5_hash60)."""
+    return (
+        f"CAST(conv(substring(md5(CAST({expr} AS STRING)), 1, 15), "
+        "16, 10) AS BIGINT)"
+    )
+
+
+def _theta_build(expr: str, k: int) -> str:
+    hs = f"slice(array_sort(collect_set({_theta_hash60(expr)})), 1, {k})"
+    return (
+        f"element_at(transform(array({hs}), hs -> named_struct("
+        f"'theta', CASE WHEN size(hs) >= {k} "
+        f"THEN CAST(element_at(hs, {k}) AS DOUBLE) ELSE {_THETA_HS} END, "
+        f"'hashes', CASE WHEN size(hs) >= {k} "
+        f"THEN slice(hs, 1, {k - 1}) ELSE hs END)), 1)"
+    )
+
+
+def _theta_pair(op: str, sa: str, sb: str) -> str:
+    fn = {"union": "array_union", "intersect": "array_intersect",
+          "not": "array_except"}[op]
+    merged = f"array_sort({fn}(p.a.hashes, p.b.hashes))"
+    return (
+        f"element_at(transform(array(named_struct('a', {sa}, 'b', {sb})), "
+        f"p -> named_struct('theta', least(p.a.theta, p.b.theta), "
+        f"'hashes', filter({merged}, "
+        f"x -> CAST(x AS DOUBLE) < least(p.a.theta, p.b.theta)))), 1)"
+    )
+
+
+def _theta_estimate(s: str) -> str:
+    return (
+        f"(CAST(size(({s}).hashes) AS DOUBLE) * {_THETA_HS} "
+        f"/ ({s}).theta)"
+    )
+
+
+def _theta_k_arg(arg: str | None, name: str) -> int:
+    if arg is None:
+        return _THETA_DEFAULT_K
+    t = arg.strip()
+    if not t.isdigit():
+        raise ValueError(
+            f"{name} size must be an integer literal, got {t!r}"
+        )
+    return int(t)
+
+
 def _ds_render(name: str, args: list[str]) -> str:
     a = ", ".join
     if name == "APPROX_COUNT_DISTINCT_DS_HLL":
@@ -591,16 +654,36 @@ def _ds_render(name: str, args: list[str]) -> str:
             f"hll_sketch_agg({a(args[:2])})) AS BIGINT)"
         )
     if name == "APPROX_COUNT_DISTINCT_DS_THETA":
-        # (expr[, size]) — Druid's Theta-sketch distinct count. Spark
-        # ships no theta builtin, so the SQL name answers through the
-        # HLL estimator (same bounded-error distinct-count contract;
-        # size, a theta-k not an lgK, is dropped rather than misread).
-        # Theta's set-expression post-aggs (intersect/not) live at the
-        # DataFrame level in operators/sketches.py (cx_theta_set_ops).
+        # (expr[, size]) — Druid's Theta-sketch distinct count, through
+        # the kmv theta machinery (exact below size, KMV estimator
+        # above it); Druid returns BIGINT
+        k = _theta_k_arg(args[1] if len(args) > 1 else None, name)
         return (
-            "CAST(hll_sketch_estimate("
-            f"hll_sketch_agg({args[0]})) AS BIGINT)"
+            f"CAST(round({_theta_estimate(_theta_build(args[0], k))}) "
+            "AS BIGINT)"
         )
+    if name == "DS_THETA":
+        # (expr[, size]) -> a theta sketch struct (see _theta_build)
+        k = _theta_k_arg(args[1] if len(args) > 1 else None, name)
+        return _theta_build(args[0], k)
+    if name == "THETA_SKETCH_ESTIMATE":
+        # (sketch) -> DOUBLE (Druid's return type)
+        return _theta_estimate(args[0])
+    if name in ("THETA_SKETCH_UNION", "THETA_SKETCH_INTERSECT",
+                "THETA_SKETCH_NOT"):
+        # ([size, ]s0, s1, ...) — a leading integer-literal size is
+        # accepted and dropped (the result keeps min(theta) instead of
+        # re-capping to nominal k: strictly more retained hashes,
+        # strictly tighter estimates). NOT is A-minus-B and left-folds
+        # the same way Druid's does.
+        sks = args[1:] if args and args[0].strip().isdigit() else args
+        if len(sks) < 2:
+            raise ValueError(f"{name} takes at least two sketches")
+        op = name.rsplit("_", 1)[1].lower()
+        out = sks[0]
+        for s in sks[1:]:
+            out = _theta_pair(op, out, s)
+        return out
     if name in ("APPROX_QUANTILE_DS", "APPROX_QUANTILE"):
         # (expr, prob[, k]) -> percentile_approx at default accuracy;
         # Druid returns DOUBLE
@@ -824,6 +907,10 @@ _DS_NAMES = (
     "APPROX_QUANTILE_DS",
     "APPROX_QUANTILE", "HLL_SKETCH_ESTIMATE", "HLL_SKETCH_UNION",
     "DS_HLL", "REGEXP_EXTRACT", "STRING_AGG",
+    # theta set algebra (r10): ESTIMATE/UNION/INTERSECT/NOT render the
+    # kmv struct machinery; DS_THETA listed after the longer names
+    "THETA_SKETCH_ESTIMATE", "THETA_SKETCH_UNION",
+    "THETA_SKETCH_INTERSECT", "THETA_SKETCH_NOT", "DS_THETA",
     "JSON_OBJECT", "JSON_VALUE",
     # time-ordered value aggregates + array/name-swap family (r9):
     # _BY and _AGG spellings listed before their prefixes so the

@@ -56,6 +56,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # window.
 NEW_IN_R10: tuple[str, ...] = (
     # r10 new queries, appended as they land (they take priority slots)
+    "nq_unnest_datasource",
+    "nq_lookup_datasource",
+    "fd_theta_sql_text",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed

@@ -899,3 +899,65 @@ def fd_expr_gap_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.sql(sql)
+
+
+@query(
+    "fd_theta_sql_text",
+    oracle="""
+    WITH c AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'click' AND user_id % 3 = 0),
+         v AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'view' AND user_id % 2 = 0)
+    SELECT (SELECT COUNT(*) FROM c) AS n_click,
+           (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM
+              (SELECT user_id FROM c UNION SELECT user_id FROM v))
+             AS n_union,
+           (SELECT COUNT(*) FROM
+              (SELECT user_id FROM c INTERSECT SELECT user_id FROM v))
+             AS n_inter,
+           (SELECT COUNT(*) FROM
+              (SELECT user_id FROM c EXCEPT SELECT user_id FROM v))
+             AS n_click_only
+    """,
+)
+def fd_theta_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid's Theta-sketch set-algebra SQL names as raw SQL text
+    (datasketches-theta.md): DS_THETA builds per-set sketches, then
+    THETA_SKETCH_UNION / _INTERSECT / _NOT compose and
+    THETA_SKETCH_ESTIMATE reads each out — rewritten by
+    rewrite_datasketches_sql onto the kmv theta struct machinery
+    (operators/sketches.py's math as pure SQL: collect_set capped at k,
+    set ops below min-theta). Both input sets sit far below the default
+    k=16384, so every sketch is EXACT and the oracle is plain distinct
+    set algebra; the saturated estimator path is pinned separately by
+    tests/test_druid_functions.py against brute-force hashes. The whole
+    pipeline is one JVM expression tree — sketches shuffle as bounded
+    arrays (<= k bigints), the 100 TB posture for cross-slice distinct
+    set analysis."""
+    from ..functions.druid_sql import rewrite_datasketches_sql
+
+    register_druid_sql_functions(spark)
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    sql = rewrite_datasketches_sql(
+        """
+        WITH sks AS (
+          SELECT
+            (SELECT DS_THETA(user_id) FROM events
+             WHERE event_type = 'click' AND user_id % 3 = 0) AS a,
+            (SELECT DS_THETA(user_id) FROM events
+             WHERE event_type = 'view' AND user_id % 2 = 0) AS b
+        )
+        SELECT
+          CAST(round(THETA_SKETCH_ESTIMATE(a)) AS BIGINT) AS n_click,
+          CAST(round(THETA_SKETCH_ESTIMATE(b)) AS BIGINT) AS n_view,
+          CAST(round(THETA_SKETCH_ESTIMATE(THETA_SKETCH_UNION(a, b)))
+            AS BIGINT) AS n_union,
+          CAST(round(THETA_SKETCH_ESTIMATE(THETA_SKETCH_INTERSECT(a, b)))
+            AS BIGINT) AS n_inter,
+          CAST(round(THETA_SKETCH_ESTIMATE(THETA_SKETCH_NOT(a, b)))
+            AS BIGINT) AS n_click_only
+        FROM sks
+        """
+    )
+    return spark.sql(sql)

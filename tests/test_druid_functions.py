@@ -343,3 +343,70 @@ def test_regexp_extract_empty_match_divergence_pinned(spark):
     assert row["no_match"] is None
     assert row["empty_match"] is None  # Druid would answer ''
     assert row["real_match"] == "b"
+
+
+def test_theta_sketch_sql_exact_and_saturated(spark):
+    """The theta SQL family (DS_THETA / THETA_SKETCH_ESTIMATE / _UNION /
+    _INTERSECT / _NOT) against brute force. Below k every estimate is
+    EXACT set algebra; saturated (k smaller than the distinct count),
+    the estimate must equal the KMV estimator computed from the same
+    md5 hashes in Python — bit-for-bit, both are deterministic."""
+    import hashlib
+
+    from druid_datafusion_bridge_spark.functions.druid_sql import (
+        rewrite_datasketches_sql,
+    )
+
+    rows = [(i, f"u{i % 120}") for i in range(600)]
+    spark.createDataFrame(rows, "i long, u string").createOrReplaceTempView(
+        "tt"
+    )
+    # exact mode: k=1024 >> 120 distinct
+    sql = rewrite_datasketches_sql("""
+        WITH sks AS (
+          SELECT (SELECT DS_THETA(u, 1024) FROM tt WHERE i % 2 = 0) AS a,
+                 (SELECT DS_THETA(u, 1024) FROM tt WHERE i % 3 = 0) AS b
+        )
+        SELECT CAST(round(THETA_SKETCH_ESTIMATE(a)) AS BIGINT) AS na,
+               CAST(round(THETA_SKETCH_ESTIMATE(b)) AS BIGINT) AS nb,
+               CAST(round(THETA_SKETCH_ESTIMATE(
+                 THETA_SKETCH_UNION(a, b))) AS BIGINT) AS nu,
+               CAST(round(THETA_SKETCH_ESTIMATE(
+                 THETA_SKETCH_INTERSECT(a, b))) AS BIGINT) AS ni,
+               CAST(round(THETA_SKETCH_ESTIMATE(
+                 THETA_SKETCH_NOT(a, b))) AS BIGINT) AS nn
+        FROM sks
+    """)
+    row = spark.sql(sql).first()
+    ea = {f"u{(i % 120)}" for i in range(0, 600, 2)}
+    eb = {f"u{(i % 120)}" for i in range(0, 600, 3)}
+    assert (row["na"], row["nb"]) == (len(ea), len(eb))
+    assert row["nu"] == len(ea | eb)
+    assert row["ni"] == len(ea & eb)
+    assert row["nn"] == len(ea - eb)
+
+    # saturated mode: k=32 << 120 distinct -> KMV estimator, replicated
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    k = 32
+    hs = sorted({h60(f"u{i}") for i in range(120)})
+    theta = float(hs[k - 1])
+    est = (k - 1) * float(1 << 60) / theta
+    got = spark.sql(rewrite_datasketches_sql(
+        "SELECT THETA_SKETCH_ESTIMATE(DS_THETA(u, 32)) AS e FROM tt"
+    )).first()["e"]
+    assert got == est
+
+    # APPROX_COUNT_DISTINCT_DS_THETA: exact below k, estimator above
+    got = spark.sql(rewrite_datasketches_sql(
+        "SELECT APPROX_COUNT_DISTINCT_DS_THETA(u) AS n, "
+        "APPROX_COUNT_DISTINCT_DS_THETA(u, 32) AS n32 FROM tt"
+    )).first()
+    assert got["n"] == 120
+    assert got["n32"] == round(est)
+
+    # a non-literal size is loud, not misread
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="integer literal"):
+        rewrite_datasketches_sql("SELECT DS_THETA(u, i) FROM tt")

@@ -1173,6 +1173,14 @@ def test_grouping_sets_all_null_groups_differential(spark, a):
     "APPROX_COUNT_DISTINCT_DS_HLL(x, 12, 'HLL_8')",
     "HLL_SKETCH_ESTIMATE(DS_HLL(CASE WHEN a IN (1,2) THEN b END))",
     "HLL_SKETCH_UNION(12, DS_HLL(a), DS_HLL(b), DS_HLL(c))",
+    "DS_THETA(x)",
+    "DS_THETA(tab.col, 4096)",
+    "THETA_SKETCH_ESTIMATE(DS_THETA(a))",
+    "THETA_SKETCH_UNION(DS_THETA(a), DS_THETA(b))",
+    "THETA_SKETCH_INTERSECT(1024, DS_THETA(a), DS_THETA(b), DS_THETA(c))",
+    "THETA_SKETCH_NOT(sk_a, sk_b)",
+    "APPROX_COUNT_DISTINCT_DS_THETA(x, 256)",
+    "'THETA_SKETCH_NOT(a, b)'",
     "REGEXP_EXTRACT(s, '[0-9]+')",
     "regexp_extract(s, '([a-z])([0-9])', 2)",
     "STRING_AGG(DISTINCT x, ',')",
