@@ -82,6 +82,14 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def _origin_col(origin: Column | str) -> Column:
+    """An origin argument as a TIMESTAMP Column (strings are literal
+    timestamps, not column references)."""
+    if isinstance(origin, str):
+        return F.lit(origin).cast("timestamp")
+    return origin.cast("timestamp")
+
+
 #: Default anchor for week-based periods: the Monday preceding the
 #: epoch. Druid (ISO chronology) floors P1W to MONDAY boundaries; the
 #: raw epoch is a Thursday, which would bucket the same rows into
@@ -93,7 +101,7 @@ _MONDAY_EPOCH = "1969-12-29 00:00:00"
 def time_floor(
     col: Column | str,
     period: str,
-    origin: str | None = None,
+    origin: str | Column | None = None,
     tz: str | None = None,
 ) -> Column:
     """Druid TIME_FLOOR: floor a timestamp to an ISO-period grain,
@@ -105,17 +113,26 @@ def time_floor(
     granularity ``timeZone``): the instant converts to wall-clock time
     in ``tz``, floors on the local grid, and converts back — so a P1D
     bucket in America/Los_Angeles starts at local midnight (07:00/08:00
-    UTC depending on DST). When both are given, ``origin`` anchors the
-    grid as a wall-clock time in ``tz``. Boundaries landing inside a
-    DST fold take Spark's offset choice for the repeated hour — the
-    same instant for every row, so grouping is always consistent.
+    UTC depending on DST). When both are given, ``origin`` is an
+    INSTANT (Druid PeriodGranularity semantics) and shifts into the
+    zone's wall clock the same way the data does — an origin of
+    06:00Z with tz America/Chicago anchors the local grid at midnight
+    local, matching Druid's interpretation of the origin in the query
+    zone. Boundaries landing inside a DST fold take Spark's offset
+    choice for the repeated hour — the same instant for every row, so
+    grouping is always consistent.
 
     Inputs may be TIMESTAMP or TIMESTAMP_NTZ; epoch arithmetic casts to
     TIMESTAMP (unix_millis rejects NTZ), which is value-preserving under
-    the engine's pinned UTC session timezone (session.py)."""
+    the engine's pinned UTC session timezone (session.py). ``origin``
+    may be a literal string or a Column (the tz recursion hands the
+    shifted origin down as one)."""
     if tz:
         wall = F.from_utc_timestamp(_col(col).cast("timestamp"), tz)
-        return F.to_utc_timestamp(time_floor(wall, period, origin), tz)
+        org_w = None if origin is None else F.from_utc_timestamp(
+            _origin_col(origin), tz
+        )
+        return F.to_utc_timestamp(time_floor(wall, period, org_w), tz)
     c = _col(col).cast("timestamp")
     months, millis = parse_period(period)
     if origin is None:
@@ -127,7 +144,7 @@ def time_floor(
         if trunc_unit:
             return F.date_trunc(trunc_unit, c)
         origin = _MONDAY_EPOCH if _is_week_period(period) else _EPOCH
-    org = F.lit(origin).cast("timestamp")
+    org = _origin_col(origin)
     if months:
         # origin-anchored month grid: boundary k = origin + k*months (one
         # calendar addition, preserving origin's day-of-month and
@@ -160,13 +177,18 @@ def _is_week_period(period: str) -> bool:
 def time_ceil(
     col: Column | str,
     period: str,
-    origin: str | None = None,
+    origin: str | Column | None = None,
     tz: str | None = None,
 ) -> Column:
-    """Druid TIME_CEIL: smallest period boundary >= the timestamp."""
+    """Druid TIME_CEIL: smallest period boundary >= the timestamp.
+    ``origin``/``tz`` follow :func:`time_floor` (the origin is an
+    instant and shifts into the zone's wall clock)."""
     if tz:
         wall = F.from_utc_timestamp(_col(col).cast("timestamp"), tz)
-        return F.to_utc_timestamp(time_ceil(wall, period, origin), tz)
+        org_w = None if origin is None else F.from_utc_timestamp(
+            _origin_col(origin), tz
+        )
+        return F.to_utc_timestamp(time_ceil(wall, period, org_w), tz)
     c = _col(col).cast("timestamp")
     fl = time_floor(c, period, origin)
     return F.when(fl == c, c).otherwise(time_shift(fl, period, 1))
@@ -727,34 +749,72 @@ def _ds_render(name: str, args: list[str]) -> str:
     if name in ("TIME_FLOOR", "TIME_CEIL"):
         # the scalar UDFs serve the 2-arg forms; the rewrite adds
         # Druid's origin/timezone arguments (sql-scalar.md):
-        # TIME_FLOOR(ts, period[, origin[, timezone]]). origin anchors
-        # a duration grid (calendar periods with an explicit origin
-        # raise through DDBS_PERIOD_MS — the Column helper covers
-        # those); timezone floors in that zone's wall-clock chronology
-        # via from/to_utc_timestamp, like the Column helper.
+        # TIME_FLOOR(ts, period[, origin[, timezone]]). A string-
+        # literal period parses Python-side: calendar periods render an
+        # origin-anchored MONTH grid (months_between arithmetic, the
+        # Column helper's math), durations an epoch-arithmetic grid.
+        # A non-literal period keeps the DDBS_PERIOD_MS duration path
+        # (calendar periods stay loud there — the grain cannot be
+        # known at rewrite time). timezone floors in that zone's
+        # wall-clock chronology via from/to_utc_timestamp; the origin
+        # is an INSTANT (Druid PeriodGranularity semantics), so it
+        # shifts into the zone's wall clock the same way the data does.
         if len(args) <= 2:
             return f"{name}({a(args)})"
         if len(args) > 4:
             raise ValueError(f"{name} takes 2 to 4 arguments")
         ts0, period = args[0], args[1]
-        p_ms = f"DDBS_PERIOD_MS({period})"
         tz = args[3] if len(args) == 4 else None
         org = args[2]
         null_org = org.strip().upper() == "NULL"
+        months = 0
+        lit_m = re.fullmatch(r"\s*'([^']+)'\s*", period)
+        if lit_m:
+            # validate eagerly and pick the grid shape; an invalid
+            # literal period fails at REWRITE time, not mid-query
+            months, p_millis = parse_period(lit_m.group(1))
+            p_ms = str(p_millis)
+        else:
+            p_ms = f"DDBS_PERIOD_MS({period})"
         tsw = f"from_utc_timestamp({ts0}, {tz})" if tz else ts0
         if null_org:
             fw = f"TIME_FLOOR({tsw}, {period})"
         else:
             o = f"CAST({org} AS TIMESTAMP)"
-            fw = (
-                f"timestamp_millis(unix_millis({o}) + CAST(floor("
-                f"(unix_millis({tsw}) - unix_millis({o})) / {p_ms}) "
-                f"AS BIGINT) * {p_ms})"
-            )
+            if tz:
+                o = f"from_utc_timestamp({o}, {tz})"
+            if months:
+                # origin-anchored calendar grid: boundary k = origin +
+                # k*months (preserves origin's day-of-month and
+                # time-of-day); months_between can overshoot when the
+                # row shares origin's day-of-month but sits earlier in
+                # the day, hence the step-back CASE
+                n = (
+                    f"CAST(floor(months_between({tsw}, {o}) / {months}) "
+                    f"AS INT) * {months}"
+                )
+                cand = f"{o} + make_interval(0, {n})"
+                fw = (
+                    f"CASE WHEN {cand} <= {tsw} THEN {cand} "
+                    f"ELSE {o} + make_interval(0, ({n}) - {months}) END"
+                )
+            else:
+                fw = (
+                    f"timestamp_millis(unix_millis({o}) + CAST(floor("
+                    f"(unix_millis({tsw}) - unix_millis({o})) / {p_ms}) "
+                    f"AS BIGINT) * {p_ms})"
+                )
         fl = f"to_utc_timestamp({fw}, {tz})" if tz else fw
         if name == "TIME_FLOOR":
             return fl
-        nxt_w = f"timestamp_millis(unix_millis({fw}) + {p_ms})"
+        if months:
+            nxt_w = f"({fw}) + make_interval(0, {months})"
+        elif null_org and not lit_m:
+            # grain unknown at render time (non-literal period):
+            # TIME_SHIFT dispatches calendar vs duration at runtime
+            nxt_w = f"TIME_SHIFT({fw}, {period}, 1)"
+        else:
+            nxt_w = f"timestamp_millis(unix_millis({fw}) + {p_ms})"
         nxt = f"to_utc_timestamp({nxt_w}, {tz})" if tz else nxt_w
         return f"CASE WHEN {fl} = {ts0} THEN {ts0} ELSE {nxt} END"
     if name.startswith("HUMAN_READABLE_"):

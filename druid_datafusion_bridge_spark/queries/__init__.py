@@ -59,6 +59,7 @@ NEW_IN_R10: tuple[str, ...] = (
     "nq_unnest_datasource",
     "nq_lookup_datasource",
     "fd_theta_sql_text",
+    "fd_time_floor_period_origin",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed

@@ -961,3 +961,57 @@ def fd_theta_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.sql(sql)
+
+
+@query(
+    "fd_time_floor_period_origin",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor((
+               (year(o_orderdate) - 1995) * 12 + (month(o_orderdate) - 2)
+               - CASE WHEN (day(o_orderdate), CAST(o_orderdate AS TIME))
+                        < (15, TIME '06:30:00') THEN 1 ELSE 0 END
+             ) / 3.0) * 3 AS INT) AS n_m
+      FROM orders)
+    SELECT TIMESTAMP '1995-02-15 06:30:00' + to_months(n_m) AS bucket,
+           COUNT(*) AS n,
+           TIMESTAMP '1995-02-15 06:30:00' + to_months(n_m + 3)
+             AS next_bucket,
+           TIMESTAMP '1995-02-15 06:30:00' + to_months(n_m)
+             AS ceil_of_boundary
+    FROM b GROUP BY n_m ORDER BY bucket
+    """,
+)
+def fd_time_floor_period_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid's CALENDAR-period-with-origin TIME_FLOOR/TIME_CEIL forms
+    as SQL text (sql-scalar.md): orders on a P3M grid anchored at
+    1995-02-15 06:30 — every bucket boundary preserves the origin's
+    day-of-month AND time-of-day, which no epoch-milliseconds grid can
+    express (variable month lengths). The rewrite parses the literal
+    period at REWRITE time and renders months_between arithmetic with
+    the overshoot step-back (r9 kept this loud through DDBS_PERIOD_MS;
+    r10 implements it). next_bucket pins TIME_CEIL's non-boundary arm
+    (ceil(bucket+1ms) = bucket + P3M), ceil_of_boundary its equality
+    arm (ceil(bucket) = bucket). The DuckDB oracle computes the same
+    grid from an independent calendar-month-difference formulation —
+    no shared arithmetic with the Spark rendering."""
+    from ..functions.druid_sql import rewrite_datasketches_sql
+
+    register_druid_sql_functions(spark)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    sql = rewrite_datasketches_sql(
+        """
+        WITH g AS (
+          SELECT TIME_FLOOR(CAST(o_orderdate AS TIMESTAMP), 'P3M',
+                            TIMESTAMP '1995-02-15 06:30:00') AS bucket
+          FROM orders)
+        SELECT bucket, COUNT(*) AS n,
+               TIME_CEIL(bucket + INTERVAL 1 MILLISECOND, 'P3M',
+                         TIMESTAMP '1995-02-15 06:30:00') AS next_bucket,
+               TIME_CEIL(bucket, 'P3M',
+                         TIMESTAMP '1995-02-15 06:30:00')
+                 AS ceil_of_boundary
+        FROM g GROUP BY bucket ORDER BY bucket
+        """
+    )
+    return spark.sql(sql)

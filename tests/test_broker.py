@@ -2194,6 +2194,29 @@ def test_sql_time_origin_tz_and_human_readable(shim):
     # LA midnight (PST, UTC-8) = 08:00Z
     assert r["la"].startswith("2024-01-05T08:00:00")
     assert r["ogc"].startswith("2024-01-05T14:30:00")
+    # the 4-arg combination: origin AND timezone, with a period the
+    # zone offset is NOT a multiple of (PT4H vs Chicago's -6h) — the
+    # origin is an INSTANT and shifts into the zone like the data
+    # (06:00Z = local midnight CST), so the local grid is 00/04/08...
+    # anchored at midnight; 13:47Z = 07:47 local -> 04:00 local =
+    # 10:00Z. An unshifted origin would anchor at 06:00 local and
+    # answer 12:00Z instead (the r9 ADVICE bug).
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "SELECT TIME_FLOOR(TIMESTAMP '2024-01-05 13:47:00', "
+                 "'PT4H', TIMESTAMP '2024-01-01 06:00:00', "
+                 "'America/Chicago') AS combo, "
+                 # calendar period WITH origin (rewrite-time parse):
+                 # P2M anchored at Jan-15 06:30 -> May-20 floors to
+                 # May-15 06:30, ceils to Jul-15 06:30
+                 "TIME_FLOOR(TIMESTAMP '2024-05-20 10:00:00', 'P2M', "
+                 "TIMESTAMP '2024-01-15 06:30:00') AS cal, "
+                 "TIME_CEIL(TIMESTAMP '2024-05-20 10:00:00', 'P2M', "
+                 "TIMESTAMP '2024-01-15 06:30:00') AS calc "
+                 "FROM wikipedia LIMIT 1"})
+    r = rows[0]
+    assert r["combo"].startswith("2024-01-05T10:00:00")
+    assert r["cal"].startswith("2024-05-15T06:30:00")
+    assert r["calc"].startswith("2024-07-15T06:30:00")
     rows = _post(shim + "/druid/v2/sql", {
         "query": "SELECT HUMAN_READABLE_BINARY_BYTE_FORMAT(1048576) "
                  "AS mib, HUMAN_READABLE_BINARY_BYTE_FORMAT(1536, 1) "

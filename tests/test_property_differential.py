@@ -1427,3 +1427,74 @@ def test_native_groupby_having_limit_subtotals_differential(
         SELECT k, s, cnt, sv FROM g {where} ORDER BY {order}{cut}
         """,
     )
+
+
+@given(
+    ts=st.lists(
+        st.datetimes(
+            min_value=pd.Timestamp("1970-01-05").to_pydatetime(),
+            max_value=pd.Timestamp("2030-12-28").to_pydatetime(),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    origin=st.datetimes(
+        min_value=pd.Timestamp("1995-01-01").to_pydatetime(),
+        max_value=pd.Timestamp("2005-12-28").to_pydatetime(),
+    ),
+    months=st.sampled_from([1, 2, 3, 6, 12]),
+)
+@SET
+def test_time_floor_calendar_origin_differential(spark, ts, origin, months):
+    """Calendar-period-with-origin TIME_FLOOR (r10): random timestamps,
+    origins (day capped at 28 so calendar addition never overflows a
+    month), and month grains vs an independent pure-Python calendar
+    reference. Checks the SQL-text rendering (rewrite path) AND the
+    Column helper agree with it, plus the grid laws: floor is
+    idempotent and bucket <= ts < bucket + period."""
+    import datetime as dt
+
+    from druid_datafusion_bridge_spark.functions.druid_sql import (
+        register_druid_sql_functions,
+        rewrite_datasketches_sql,
+        time_floor,
+    )
+
+    origin = origin.replace(day=min(origin.day, 28), microsecond=0)
+    ts = [t.replace(microsecond=0) for t in ts]
+
+    def add_months(d: dt.datetime, n: int) -> dt.datetime:
+        y, m = divmod((d.year * 12 + d.month - 1) + n, 12)
+        return d.replace(year=y, month=m + 1)
+
+    def ref_floor(c: dt.datetime) -> dt.datetime:
+        am = (c.year * 12 + c.month) - (origin.year * 12 + origin.month)
+        if (c.day, c.time()) < (origin.day, origin.time()):
+            am -= 1
+        import math
+        return add_months(origin, math.floor(am / months) * months)
+
+    register_druid_sql_functions(spark)
+    df = spark.createDataFrame(
+        [(t.isoformat(sep=" "),) for t in ts], "s string"
+    ).select(F.col("s").cast("timestamp").alias("c"))
+    got_helper = [
+        r["f"]
+        for r in df.select(
+            time_floor("c", f"P{months}M", origin.isoformat(sep=" "))
+            .alias("f")
+        ).collect()
+    ]
+    sql = rewrite_datasketches_sql(
+        f"SELECT TIME_FLOOR(c, 'P{months}M', "
+        f"TIMESTAMP '{origin.isoformat(sep=' ')}') AS f FROM __tfco"
+    )
+    df.createOrReplaceTempView("__tfco")
+    got_sql = [r["f"] for r in spark.sql(sql).collect()]
+    for c, gh, gs in zip(ts, got_helper, got_sql):
+        expect = ref_floor(c)
+        assert gh == expect, (c, gh, expect, origin, months)
+        assert gs == expect, (c, gs, expect, origin, months)
+        # grid laws
+        assert expect <= c < add_months(expect, months)
+        assert ref_floor(expect) == expect
