@@ -258,7 +258,7 @@ def ppm_channel_stats(blobs: DataFrame) -> DataFrame:
                     w, h, pix = decode(bytes(payload))
                 except (IndexError, struct.error) as exc:
                     raise ValueError(
-                        f"truncated or malformed GIF: {exc}"
+                        f"truncated or malformed PPM: {exc}"
                     ) from exc
                 sums = pix.reshape(-1, 3).sum(axis=0, dtype=np.int64)
                 n = w * h
@@ -916,7 +916,19 @@ def png_channel_stats(blobs: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, pix = decode(bytes(payload))
+                try:
+                    w, h, pix = decode(bytes(payload))
+                except (IndexError, struct.error, zlib.error) as exc:
+                    raise ValueError(
+                        f"truncated or malformed PNG: {exc}"
+                    ) from exc
+                except ValueError as exc:
+                    # np.frombuffer's own short-buffer ValueError
+                    if "buffer" in str(exc):
+                        raise ValueError(
+                            f"truncated or malformed PNG: {exc}"
+                        ) from exc
+                    raise
                 sums = pix.reshape(-1, 3).sum(axis=0, dtype=np.int64)
                 n = w * h
                 rows.append(
@@ -1088,6 +1100,14 @@ def decode_gif(data: bytes):
         # unchecked-offset walks on a cut payload must still be the
         # documented LOUD error, not a bare IndexError
         raise ValueError(f"truncated or malformed GIF: {exc}") from exc
+    except ValueError as exc:
+        # np.frombuffer on a cut color table / pixel block raises its
+        # own ValueError ("buffer is smaller...") — same contract
+        if "buffer" in str(exc):
+            raise ValueError(
+                f"truncated or malformed GIF: {exc}"
+            ) from exc
+        raise
 
 
 def _gif_walk(data: bytes, struct, np):
@@ -1341,7 +1361,22 @@ def gif_channel_stats(blobs: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, pix = decode(bytes(payload))
+                try:
+                    w, h, pix = decode(bytes(payload))
+                except (IndexError, struct.error) as exc:
+                    # a cut payload otherwise surfaces as a bare
+                    # IndexError/struct.error from the UDF — match the
+                    # documented loud contract (decode_gif, ppm stats)
+                    raise ValueError(
+                        f"truncated or malformed GIF: {exc}"
+                    ) from exc
+                except ValueError as exc:
+                    # np.frombuffer's own short-buffer ValueError
+                    if "buffer" in str(exc):
+                        raise ValueError(
+                            f"truncated or malformed GIF: {exc}"
+                        ) from exc
+                    raise
                 sums = pix.reshape(-1, 3).sum(axis=0, dtype=np.int64)
                 n = w * h
                 rows.append(

@@ -454,6 +454,22 @@ def _ivfpq_index_dir(
         pass
     tmp = f"{dest}.tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
+    # probe the cache dir's writability FIRST: the build itself fails
+    # through Spark's writers (Py4JJavaError / AnalysisException, not
+    # OSError) on a read-only or full cache dir, so the fallback must
+    # trigger before any Spark write is attempted
+    try:
+        os.makedirs(tmp, exist_ok=True)
+        probe = os.path.join(tmp, "_WRITABLE")
+        with open(probe, "w", encoding="utf-8") as f:
+            f.write("1")
+        os.remove(probe)
+    except OSError:
+        # unusable shared cache: serve a session-scoped index instead
+        shutil.rmtree(tmp, ignore_errors=True)
+        fallback = tempfile.mkdtemp(prefix="ddbs_ivfpq_")
+        build(fallback)
+        return fallback
     try:
         build(tmp)
         with open(
@@ -461,7 +477,8 @@ def _ivfpq_index_dir(
         ) as f:
             f.write(fp)
     except OSError:
-        # unusable shared cache: serve a session-scoped index instead
+        # the probe passed but the build still hit an I/O edge (e.g.
+        # disk filled mid-write): same session-scoped fallback
         shutil.rmtree(tmp, ignore_errors=True)
         fallback = tempfile.mkdtemp(prefix="ddbs_ivfpq_")
         build(fallback)

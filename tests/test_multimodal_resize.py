@@ -318,3 +318,31 @@ def test_gif_truncated_payload_raises_loudly():
     for cut in (len(data) - 3, len(data) // 2, 13 + 700, 10):
         with pytest.raises(ValueError):
             decode_gif(data[:cut])
+
+
+def test_channel_stats_truncated_payload_loud_on_executor(spark):
+    """The executor-side decode closures in gif/png/ppm_channel_stats
+    must surface a cut payload as the documented ValueError text (the
+    bare IndexError/struct.error contract gap the r9 ADVICE flagged),
+    not an anonymous worker traceback."""
+    import pytest
+
+    from druid_datafusion_bridge_spark.operators.multimodal import (
+        _gif_encode,
+        gif_channel_stats,
+        png_channel_stats,
+    )
+
+    gif = _gif_encode(7)
+    blobs = spark.createDataFrame(
+        [(1, bytearray(gif[: len(gif) // 2]))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="truncated or malformed GIF"):
+        gif_channel_stats(blobs).collect()
+    # an obviously-cut PNG (header only) through the png path
+    png_head = bytes.fromhex("89504e470d0a1a0a") + b"\x00\x00\x00\x0d"
+    blobs = spark.createDataFrame(
+        [(1, bytearray(png_head))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="truncated or malformed PNG"):
+        png_channel_stats(blobs).collect()

@@ -388,3 +388,36 @@ def test_ivfpq_append_serves_new_vectors(spark, tmp_path):
     got = ivf_pq_query(spark, idx, probe, k=3, nprobe=4, shortlist=50)
     top = sorted(got.collect(), key=lambda r: r["rank"])[0]
     assert top["vec_id"] == 250 and top["sim"] > 0.999
+
+
+def test_ivfpq_cache_dir_fallback_on_unusable_base(monkeypatch, tmp_path):
+    """An unusable shared cache base (here: a FILE squatting the
+    ddbs_ivfpq path — permission bits don't stop root, which this
+    container runs as) must fall back to a session-scoped mkdtemp index
+    BEFORE any Spark write is attempted (the r9 ADVICE gap: Spark
+    writers raise Py4JJavaError/AnalysisException, not OSError, so a
+    post-hoc except could never catch them)."""
+    import os
+    import tempfile
+
+    from druid_datafusion_bridge_spark.queries.similarity import (
+        _ivfpq_index_dir,
+    )
+
+    # squat the cache base with a regular file -> os.makedirs raises
+    (tmp_path / "ddbs_ivfpq").write_text("squatter")
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+
+    built = []
+
+    def fake_build(into: str) -> None:
+        os.makedirs(into, exist_ok=True)
+        (tmp_path / "marker").write_text(into)
+        built.append(into)
+
+    idx = _ivfpq_index_dir(
+        "/root/testdata/sf0.001", emb=None, build_fn=fake_build
+    )
+    assert built == [idx]
+    assert os.path.basename(idx).startswith("ddbs_ivfpq_")
+    assert idx.startswith(str(tmp_path))  # session-scoped, not shared
