@@ -448,6 +448,15 @@ SLOPE_QUERIES = [
     # histogram-based exact per-group median cut: the slope shows the
     # histogram staying tiny while the corpus grows
     "txp_quality_median_cut",
+    # r9 additions (r10 slope check): the persisted IVF+PQ serve path
+    # (probed-cell partition scan — the pruning should hold the slope
+    # down), incremental append against frozen quantizers, the GIF
+    # LZW decode (mapInPandas over binary payloads — pure data-plane),
+    # and the composed native groupBy having/subtotals/limit pipeline
+    "sim_ivfpq_persisted",
+    "sim_ivfpq_append",
+    "mm_gif_decode",
+    "nq_groupby_having_subtotals_limit",
 ]
 
 # per-table key columns to shift by copy*KEY_SHIFT (foreign keys shift
@@ -536,8 +545,12 @@ def slope_main() -> None:
                 best = min(best, time.perf_counter() - t)
             return best
 
+        # SPARK_SLOPE_QUERIES=a,b,c restricts the run (re-measuring one
+        # round's additions without re-timing the whole table)
+        sel = os.environ.get("SPARK_SLOPE_QUERIES")
+        names = [s for s in sel.split(",") if s] if sel else SLOPE_QUERIES
         out: dict[str, dict] = {}
-        for name in SLOPE_QUERIES:
+        for name in names:
             small = best_of(name, src)
             big = best_of(name, big_dir)
             out[name] = {

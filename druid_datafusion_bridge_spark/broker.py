@@ -124,6 +124,7 @@ from .broker_util import (
     _native_datasource_names,
     _native_envelope,
     _native_lookup_names,
+    _native_registered_lookup_names,
     _rewrite_system_tables,
     _rows_json,
     _segment_state_digest,
@@ -505,9 +506,12 @@ class DruidBrokerShim(CoordinatorAPIMixin, OverlordAPIMixin):
                 if names is not None else None
             )
             if digs is not None:
-                # lookup datasources are broker state: their versions
-                # join the key so a config POST invalidates implicitly
-                lk = _native_lookup_names(body.get("dataSource"))
+                # lookup datasources AND registeredLookup extractionFns
+                # are broker state: their versions join the key so a
+                # config POST invalidates implicitly
+                lk = _native_lookup_names(
+                    body.get("dataSource")
+                ) + _native_registered_lookup_names(body)
                 if lk:
                     digs = digs + tuple(
                         (f"__lookup__:{n}",

@@ -463,6 +463,26 @@ def _native_datasource_names(ds: Any) -> list[str] | None:
     return None
 
 
+def _native_registered_lookup_names(node: Any) -> list[str]:
+    """Every registeredLookup extractionFn name anywhere in a native
+    query body — they join the result-cache key alongside the lookup
+    DATASOURCE references (_native_lookup_names walks only the
+    dataSource tree; an extractionFn can sit in dimensions, filters, or
+    topN specs)."""
+    out: list[str] = []
+    if isinstance(node, dict):
+        if node.get("type") == "registeredLookup" and isinstance(
+            node.get("lookup"), str
+        ):
+            out.append(node["lookup"])
+        for v in node.values():
+            out.extend(_native_registered_lookup_names(v))
+    elif isinstance(node, list):
+        for v in node:
+            out.extend(_native_registered_lookup_names(v))
+    return out
+
+
 def _native_lookup_names(ds: Any) -> list[str]:
     """Every lookup name a native dataSource tree references — their
     versions ride in the result-cache key so a lookup update

@@ -119,7 +119,9 @@ def _interval_pred(time_col: str, intervals: list[str]) -> Column:
 def _dim_value(spec: dict, col: Column) -> Column:
     """Apply an extractionFn to a dimension column (public Druid
     dimensionspecs.md). Supported: substring, upper, lower, strlen,
-    regex, lookup (inline map), timeFormat."""
+    regex, lookup (inline map), timeFormat. The ``registeredLookup``
+    form never reaches here: `_inline_registered_lookups` rewrites it
+    to the inline map form against the managed store up front."""
     fn = spec.get("extractionFn")
     if fn is None:
         return col
@@ -171,6 +173,43 @@ def _dim_value(spec: dict, col: Column) -> Column:
         fmt = fn.get("format", "yyyy-MM-dd'T'HH:mm:ss")
         return F.date_format(col.cast("timestamp"), fmt)
     raise ValueError(f"unsupported extractionFn type {kind!r}")
+
+
+def _inline_registered_lookups(node: Any, lookups: dict[str, Any]) -> Any:
+    """Pre-pass rewriting every ``registeredLookup`` extractionFn in a
+    spec tree (dimensionspecs.md) to the inline ``lookup`` form,
+    resolved against the managed lookups mapping — so the whole
+    extraction machinery (dimensions, legacy filters, topN) serves the
+    registered form with one walk instead of threading the store
+    through every compile site. The broker passes its lookup store, so
+    a native client's registeredLookup works exactly like Druid's."""
+    if isinstance(node, dict):
+        if node.get("type") == "registeredLookup":
+            name = node.get("lookup")
+            src = lookups.get(name) if name else None
+            if src is None:
+                raise ValueError(
+                    f"unknown registered lookup {name!r} — register it "
+                    "via the lookups mapping (broker: POST "
+                    "/druid/coordinator/v1/lookups/config)"
+                )
+            if isinstance(src, DataFrame):
+                raise ValueError(
+                    f"registered lookup {name!r} is a DataFrame; the "
+                    "registeredLookup extractionFn needs a map lookup "
+                    "(join the lookup datasource form instead)"
+                )
+            out = {k: v for k, v in node.items() if k not in ("type", "lookup")}
+            out["type"] = "lookup"
+            out["lookup"] = {"type": "map", "map": dict(src)}
+            return out
+        return {
+            k: _inline_registered_lookups(v, lookups)
+            for k, v in node.items()
+        }
+    if isinstance(node, list):
+        return [_inline_registered_lookups(v, lookups) for v in node]
+    return node
 
 
 def _search_query_pred(col: Column, q: dict) -> Column:
@@ -446,13 +485,13 @@ def _granularity_col(g: Any, time_col: str) -> Column | None:
     if kind == "period":
         origin = g.get("origin")
         tz = g.get("timeZone")
-        if origin is not None and tz:
-            # Druid parses origin as an INSTANT (UTC when no offset)
-            # and anchors the grid at that instant's local time in
-            # timeZone — convert here so the wall-clock floor sees the
-            # local anchor, not the UTC digits re-read as local
+        if origin is not None:
+            # Druid parses origin as an INSTANT (UTC when no offset
+            # given; explicit offsets honored) — normalize to a naive
+            # UTC string. time_floor itself shifts the instant into the
+            # zone's wall clock when tz is given (r10: the helper owns
+            # the shift; converting here too double-shifted).
             import datetime as _dt
-            from zoneinfo import ZoneInfo
 
             inst = _dt.datetime.fromisoformat(
                 origin.replace("Z", "+00:00")
@@ -460,12 +499,10 @@ def _granularity_col(g: Any, time_col: str) -> Column | None:
             if inst.tzinfo is None:
                 inst = inst.replace(tzinfo=_dt.timezone.utc)
             origin = (
-                inst.astimezone(ZoneInfo(tz))
+                inst.astimezone(_dt.timezone.utc)
                 .replace(tzinfo=None)
                 .isoformat(sep=" ")
             )
-        elif origin is not None:
-            origin = origin.replace("Z", "").replace("T", " ")
         # timeZone (granularities.md): bucket on that zone's LOCAL
         # chronology — LA days start at local midnight, not 00:00 UTC
         return time_floor(c, g["period"], origin, tz)
@@ -866,6 +903,8 @@ def native_query(
     returns minTime/maxTime."""
     if isinstance(spec, str):
         spec = json.loads(spec)
+    if lookups:
+        spec = _inline_registered_lookups(spec, lookups)
     df = _resolve_datasource(
         spec.get("dataSource"), df, time_col, tables, lookups=lookups
     )
@@ -912,8 +951,38 @@ def native_query(
                 )
         for p in spec.get("postAggregations", []):
             out = out.withColumn(p["name"], _post_agg(p))
-        if spec.get("descending") and "timestamp" in out.columns:
-            return out.orderBy(F.col("timestamp").desc())
+        has_ts = "timestamp" in out.columns
+        ts_order = (
+            F.col("timestamp").desc()
+            if spec.get("descending")
+            else F.col("timestamp").asc()
+        )
+        if spec.get("context", {}).get("grandTotal") and has_ts:
+            # Druid's grandTotal context: one extra row, LAST, with the
+            # aggregations over the whole queried span (timestamp
+            # null). Re-aggregated from the filtered base at 'all'
+            # granularity — lawful for every aggregator (a
+            # merge-the-buckets shortcut would break count_distinct)
+            # and Catalyst reuses the scan across the two aggregates.
+            total = _agg_select(
+                base, {**spec, "granularity": "all"}, time_col,
+                dims=[], defer_post=True,
+            )
+            for p in spec.get("postAggregations", []):
+                total = total.withColumn(p["name"], _post_agg(p))
+            total = total.select(
+                F.lit(None).cast("timestamp").alias("timestamp"),
+                *[c for c in out.columns if c != "timestamp"],
+            )
+            out = (
+                out.withColumn("__gt", F.lit(0))
+                .unionByName(total.withColumn("__gt", F.lit(1)))
+                .orderBy(F.col("__gt").asc(), ts_order)
+                .drop("__gt")
+            )
+            return out
+        if spec.get("descending") and has_ts:
+            return out.orderBy(ts_order)
         return out
 
     if qt == "groupBy":

@@ -60,6 +60,7 @@ NEW_IN_R10: tuple[str, ...] = (
     "nq_lookup_datasource",
     "fd_theta_sql_text",
     "fd_time_floor_period_origin",
+    "nq_timeseries_grand_total",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed

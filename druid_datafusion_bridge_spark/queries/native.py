@@ -659,3 +659,41 @@ def nq_lookup_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables={"events": _events(spark, sf_dir)},
         lookups={"event_category": lut},
     )
+
+
+@query(
+    "nq_timeseries_grand_total",
+    oracle="""
+    WITH f AS (
+      SELECT ts, CAST(value AS DECIMAL(38,8)) AS v FROM events
+      WHERE event_type = 'purchase'
+        AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-12')
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS "timestamp",
+           COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS total
+    FROM f GROUP BY 1
+    UNION ALL
+    SELECT NULL, COUNT(*), CAST(SUM(v) AS DOUBLE) FROM f
+    """,
+)
+def nq_timeseries_grand_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid's timeseries context.grandTotal (timeseries.md): the
+    per-day buckets PLUS one final timestamp-null row aggregating the
+    whole queried span. The grand total re-aggregates the filtered base
+    at 'all' granularity (lawful for every aggregator where merging
+    bucket outputs is not, e.g. count_distinct) and Catalyst reuses the
+    scan across the two aggregates; row ORDER (grand total last, also
+    under descending) is pinned by tests/test_native_query.py — the
+    driver's hash compare is order-insensitive."""
+    spec = {
+        "queryType": "timeseries",
+        "granularity": "day",
+        "intervals": ["2024-01-05T00:00:00Z/2024-01-12T00:00:00Z"],
+        "filter": {"type": "selector", "dimension": "event_type",
+                   "value": "purchase"},
+        "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total", "fieldName": "value"},
+        ],
+        "context": {"skipEmptyBuckets": True, "grandTotal": True},
+    }
+    return native_query(_events(spark, sf_dir), spec, time_col="ts")

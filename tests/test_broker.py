@@ -2295,5 +2295,37 @@ def test_native_lookup_datasource_and_version_invalidation(spark, tmp_path):
                 "map": {"en": "ANGLAIS", "de": "ALLEMAND"}}},
         )
         assert rows() == [("ALLEMAND", 11), ("ANGLAIS", 12)]
+        # registeredLookup extractionFn resolves against the same
+        # managed store, and its version ALSO rides in the cache key
+        reg = {
+            "queryType": "groupBy",
+            "dataSource": "wiki",
+            "granularity": "all",
+            "dimensions": [{
+                "type": "extraction", "dimension": "channel",
+                "outputName": "lang",
+                "extractionFn": {"type": "registeredLookup",
+                                 "lookup": "lang"},
+            }],
+            "aggregations": [
+                {"type": "longSum", "name": "total", "fieldName": "delta"},
+            ],
+        }
+
+        def reg_rows():
+            out = _post(base + "/druid/v2", reg)
+            return sorted(
+                (e["event"]["lang"], e["event"]["total"]) for e in out
+            )
+
+        assert reg_rows() == [("ALLEMAND", 11), ("ANGLAIS", 12)]
+        assert reg_rows() == [("ALLEMAND", 11), ("ANGLAIS", 12)]  # cached
+        _post(
+            base + "/druid/coordinator/v1/lookups/config/__default/lang",
+            {"version": "v3", "lookupExtractorFactory": {
+                "type": "map",
+                "map": {"en": "INGLES", "de": "ALEMAN"}}},
+        )
+        assert reg_rows() == [("ALEMAN", 11), ("INGLES", 12)]
     finally:
         s.stop()

@@ -1087,3 +1087,67 @@ def test_lookup_datasource_join(events):
     )
     with pytest.raises(ValueError, match=r"\(k, v\)"):
         run(None, scan, tables={"events": events}, lookups={"cat": bad})
+
+
+def test_timeseries_grand_total(events):
+    """context.grandTotal: one extra LAST row (timestamp null) carrying
+    the aggregations over the whole queried span, postAggs included —
+    Druid's timeseries.md grand-totals contract."""
+    spec = {
+        "queryType": "timeseries",
+        "granularity": "day",
+        "intervals": ["2024-01-01T00:00:00Z/2024-01-03T00:00:00Z"],
+        "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total", "fieldName": "value"},
+        ],
+        "postAggregations": [
+            {"type": "arithmetic", "name": "avg", "fn": "/",
+             "fields": [{"type": "fieldAccess", "fieldName": "total"},
+                        {"type": "fieldAccess", "fieldName": "n"}]},
+        ],
+        "context": {"grandTotal": True},
+    }
+    rows = run(events, spec).collect()
+    assert rows[-1]["timestamp"] is None  # grand total is LAST
+    assert rows[-1]["n"] == 7 and rows[-1]["total"] == 31.0
+    assert rows[-1]["avg"] == 31.0 / 7
+    day_rows = rows[:-1]
+    assert [r["timestamp"] is not None for r in day_rows] == [True, True]
+    assert sum(r["n"] for r in day_rows) == 7
+    # descending keeps the grand total last, buckets reversed
+    rows_d = run(events, {**spec, "descending": True}).collect()
+    assert rows_d[-1]["timestamp"] is None
+    assert [r["timestamp"] for r in rows_d[:-1]] == sorted(
+        (r["timestamp"] for r in day_rows), reverse=True
+    )
+
+
+def test_registered_lookup_extraction_fn(events):
+    """registeredLookup extractionFn resolves against the managed
+    lookups mapping (the pre-pass inlines it); unknown names and
+    DataFrame-backed lookups are loud."""
+    lut = {"click": "engage", "view": "engage", "purchase": "convert"}
+    spec = {
+        "queryType": "groupBy",
+        "dimensions": [{
+            "type": "extraction", "dimension": "event_type",
+            "outputName": "cat",
+            "extractionFn": {"type": "registeredLookup", "lookup": "cat",
+                             "replaceMissingValueWith": "other"},
+        }],
+        "aggregations": [{"type": "count", "name": "n"}],
+    }
+    got = {r["cat"]: r["n"]
+           for r in run(events, spec, lookups={"cat": lut}).collect()}
+    # 5 click/view -> engage, 1 purchase -> convert, 1 NULL etype -> other
+    assert got == {"engage": 5, "convert": 1, "other": 1}
+
+    with pytest.raises(ValueError, match="unknown registered lookup"):
+        run(events, spec, lookups={"nope": {}})
+    kv = events.sparkSession.createDataFrame([("a", "b")], ["k", "v"])
+    with pytest.raises(ValueError, match="map lookup"):
+        run(events, spec, lookups={"cat": kv})
+    # without a lookups mapping the extractionFn type itself is loud
+    with pytest.raises(ValueError, match="extractionFn"):
+        run(events, spec)
