@@ -564,7 +564,11 @@ def _base(df: DataFrame, spec: dict, time_col: str) -> DataFrame:
             raise ValueError(
                 f"unsupported virtualColumn type {vc.get('type')!r}"
             )
-        df = df.withColumn(vc["name"], F.expr(vc["expression"]))
+        # Druid expressions quote identifiers as "col"; Spark's parser
+        # reads those as string literals — swap to backticks (same
+        # conversion as the unnest datasource's virtualColumn)
+        expr = re.sub(r'"([^"]+)"', r"`\1`", vc["expression"])
+        df = df.withColumn(vc["name"], F.expr(expr))
     ivs = _normalize_intervals(spec.get("intervals"))
     if ivs:
         df = df.filter(_interval_pred(time_col, ivs))

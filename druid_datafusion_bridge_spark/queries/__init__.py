@@ -61,6 +61,7 @@ NEW_IN_R10: tuple[str, ...] = (
     "fd_theta_sql_text",
     "fd_time_floor_period_origin",
     "nq_timeseries_grand_total",
+    "txp_lm_familiarity_filter",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed

@@ -806,3 +806,74 @@ def txp_quality_median_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "txp_lm_familiarity_filter",
+    oracle="""
+    WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                  FROM documents),
+    grams AS (
+      SELECT doc_id, source,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 0)))
+        AS u(i)),
+    model AS (SELECT g, COUNT(*) AS cnt FROM grams
+              WHERE source = 'src1' GROUP BY g)
+    SELECT d.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(COALESCE(m.cnt, 0)) AS DOUBLE) / COUNT(*)
+             AS familiarity,
+           SUM(COALESCE(m.cnt, 0)) * 2 >= COUNT(*) AS keep
+    FROM grams d LEFT JOIN model m ON d.g = m.g
+    GROUP BY d.doc_id
+    """,
+)
+def txp_lm_familiarity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filtering, the reference-model shape
+    (Wenzek et al. 2019: score every document under a language model
+    trained on a trusted reference corpus; keep the low-perplexity
+    side): a word-trigram model counts over the reference slice
+    (source = 'src1' here), every document scores its trigram MULTISET
+    against it, and the keep decision is familiarity = mean model
+    count >= 0.5 — evaluated as the integer cross-product
+    ``2 * sum(cnt) >= n_grams``, so the cut is exact (no float
+    threshold crossing engines differently; the surfaced familiarity
+    double is one division of exact integers). The model is
+    broadcast by construction — a reference corpus is a bounded
+    curated set (CCNet's is one Wikipedia snapshot), so the join ships
+    the model, never the corpus. Documents shorter than 3 tokens have
+    no trigrams and drop from the output (documented; the oracle
+    agrees). One gram explode feeds both the model aggregate and the
+    scoring join — Catalyst reuses the scan."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    idx = F.when(
+        F.size(t) >= 3, F.sequence(F.lit(1), F.size(t) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    gram_arr = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, 3)))
+    grams = docs.select(
+        "doc_id", "source", F.explode(gram_arr).alias("g")
+    )
+    model = (
+        grams.filter(F.col("source") == "src1")
+        .groupBy("g")
+        .agg(F.count("*").alias("cnt"))
+    )
+    fam = F.coalesce(F.col("cnt"), F.lit(0))
+    return (
+        grams.join(F.broadcast(model), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(fam).alias("_fam_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            (F.col("_fam_sum").cast("double") / F.col("n_grams")).alias(
+                "familiarity"
+            ),
+            ((F.col("_fam_sum") * 2) >= F.col("n_grams")).alias("keep"),
+        )
+    )

@@ -562,6 +562,21 @@ def test_virtual_columns(events):
     # null-type 6.0
     assert got == {"CLICK": 12.0, "VIEW": 16.0, "PURCHASE": 20.0,
                    None: 12.0}
+    # Druid-style double-quoted identifiers in the expression (the
+    # form Druid's docs and console emit) parse as COLUMNS, not string
+    # literals; single-quoted string literals stay literals
+    druid_quoted = {
+        "queryType": "timeseries",
+        "granularity": "all",
+        "virtualColumns": [
+            {"type": "expression", "name": "tagged",
+             "expression": "concat(\"event_type\", '-x')"},
+        ],
+        "filter": {"type": "selector", "dimension": "tagged",
+                   "value": "click-x"},
+        "aggregations": [{"type": "count", "name": "n"}],
+    }
+    assert run(events, druid_quoted).collect()[0]["n"] == 3
     with pytest.raises(ValueError, match="virtualColumn"):
         run(events, {"queryType": "timeBoundary",
                      "virtualColumns": [{"type": "nested-field",
