@@ -427,6 +427,14 @@ def _human_readable_body(base: int, units: list[str]) -> str:
 
 
 _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
+    # DS_QUANTILES_SKETCH's render marker: only its consumer functions
+    # (DS_GET_QUANTILE(S)/DS_HISTOGRAM/DS_RANK/DS_CDF) may unwrap it;
+    # an unconsumed sketch evaluating this is a loud error, never a
+    # silently-wrong value
+    ("DDBS_QSK", "x DOUBLE", "DOUBLE",
+     "CAST(raise_error('DS_QUANTILES_SKETCH is only consumable by "
+     "DS_GET_QUANTILE(S)/DS_HISTOGRAM/DS_RANK/DS_CDF in the same "
+     "SELECT') AS DOUBLE)"),
     ("DDBS_PERIOD_MS", "period STRING", "BIGINT",
      f"CASE WHEN period = 'P1D' THEN 86400000 WHEN period = 'P1W' THEN 604800000 "
      f"WHEN period RLIKE '^PT[0-9]+[SMH]$' THEN {_PERIOD_MS} "
@@ -710,6 +718,61 @@ def _ds_render(name: str, args: list[str]) -> str:
         # (expr, prob[, k]) -> percentile_approx at default accuracy;
         # Druid returns DOUBLE
         return f"CAST(percentile_approx({a(args[:2])}) AS DOUBLE)"
+    if name == "DS_QUANTILES_SKETCH":
+        # (expr[, k]) — renders a MARKER the consuming function unwraps
+        # (datasketches-quantiles.md). Sketch objects flow as columns
+        # only via COMPLEX ingestion (out of scope); in SQL Druid users
+        # write the directly-nested form, which is what this serves.
+        # Evaluating the marker itself is a loud registered error.
+        return f"DDBS_QSK({args[0]})"
+    if name in ("DS_GET_QUANTILE", "DS_GET_QUANTILES", "DS_HISTOGRAM",
+                "DS_RANK", "DS_CDF"):
+        # consumers of a directly-nested DS_QUANTILES_SKETCH; every one
+        # renders EXACT aggregates (the same strict-accuracy upgrade as
+        # the exact cardinality/theta paths) except GET_QUANTILE(S),
+        # which ride Spark's own quantile sketch (percentile_approx)
+        m = re.fullmatch(r"(?s)\s*DDBS_QSK\((.*)\)\s*", args[0])
+        if not m:
+            raise ValueError(
+                f"{name} must wrap DS_QUANTILES_SKETCH(expr) directly "
+                "(sketch columns only exist via COMPLEX ingestion)"
+            )
+        x = m.group(1)
+        if name == "DS_GET_QUANTILE":
+            return f"CAST(percentile_approx({x}, {args[1]}) AS DOUBLE)"
+        if name == "DS_GET_QUANTILES":
+            probs = a(args[1:])
+            return (
+                f"CAST(percentile_approx({x}, array({probs})) "
+                "AS ARRAY<DOUBLE>)"
+            )
+        cnt = f"count({x})"
+        if name == "DS_RANK":
+            # normalized rank: fraction of the mass strictly below v
+            return (
+                f"(CAST(count_if(({x}) < ({args[1]})) AS DOUBLE) "
+                f"/ {cnt})"
+            )
+        splits = [s.strip() for s in args[1:]]
+        if not splits:
+            raise ValueError(f"{name} takes at least one split point")
+        buckets = []
+        for i, s in enumerate(splits):
+            lo = None if i == 0 else splits[i - 1]
+            cond = f"({x}) < ({s})" if lo is None else (
+                f"({x}) >= ({lo}) AND ({x}) < ({s})"
+            )
+            buckets.append(f"count_if({cond})")
+        buckets.append(f"count_if(({x}) >= ({splits[-1]}))")
+        if name == "DS_HISTOGRAM":
+            counts = ", ".join(
+                f"CAST({b} AS DOUBLE)" for b in buckets
+            )
+            return f"array({counts})"
+        fracs = ", ".join(
+            f"(CAST({b} AS DOUBLE) / {cnt})" for b in buckets
+        )
+        return f"array({fracs})"
     if name == "DS_HLL":
         return f"hll_sketch_agg({a(args[:2])})"
     if name == "HLL_SKETCH_ESTIMATE":
@@ -971,6 +1034,11 @@ _DS_NAMES = (
     # kmv struct machinery; DS_THETA listed after the longer names
     "THETA_SKETCH_ESTIMATE", "THETA_SKETCH_UNION",
     "THETA_SKETCH_INTERSECT", "THETA_SKETCH_NOT", "DS_THETA",
+    # quantiles family (r10): the _SKETCH marker + its consumers;
+    # GET_QUANTILES before GET_QUANTILE so the alternation takes the
+    # longest name
+    "DS_QUANTILES_SKETCH", "DS_GET_QUANTILES", "DS_GET_QUANTILE",
+    "DS_HISTOGRAM", "DS_RANK", "DS_CDF",
     "JSON_OBJECT", "JSON_VALUE",
     # time-ordered value aggregates + array/name-swap family (r9):
     # _BY and _AGG spellings listed before their prefixes so the

@@ -62,6 +62,7 @@ NEW_IN_R10: tuple[str, ...] = (
     "fd_time_floor_period_origin",
     "nq_timeseries_grand_total",
     "txp_lm_familiarity_filter",
+    "fd_quantiles_sql_text",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed

@@ -1015,3 +1015,75 @@ def fd_time_floor_period_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.sql(sql)
+
+
+@query(
+    "fd_quantiles_sql_text",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) FILTER (WHERE l_quantity < 25) AS DOUBLE)
+             / COUNT(*) AS rank_25,
+           CAST(COUNT(*) FILTER (WHERE l_quantity < 10) AS DOUBLE)
+             / COUNT(*) AS cdf_low,
+           CAST(COUNT(*) FILTER (WHERE l_quantity >= 10
+                                   AND l_quantity < 40) AS DOUBLE)
+             / COUNT(*) AS cdf_mid,
+           CAST(COUNT(*) FILTER (WHERE l_quantity >= 40) AS DOUBLE)
+             / COUNT(*) AS cdf_high,
+           CAST(COUNT(*) FILTER (WHERE l_quantity < 10) AS DOUBLE)
+             AS hist_low,
+           CAST(COUNT(*) FILTER (WHERE l_quantity >= 10
+                                   AND l_quantity < 40) AS DOUBLE)
+             AS hist_mid,
+           CAST(COUNT(*) FILTER (WHERE l_quantity >= 40) AS DOUBLE)
+             AS hist_high,
+           TRUE AS p50_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def fd_quantiles_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataSketches QUANTILES SQL family as raw SQL text
+    (datasketches-quantiles.md), completing the module's trio (HLL r8,
+    Theta r10, Quantiles r10): DS_QUANTILES_SKETCH renders a marker its
+    consumers unwrap — DS_RANK / DS_CDF / DS_HISTOGRAM render EXACT
+    count_if aggregates (integer-valued doubles, so the divisions are
+    bit-identical across engines — the same strict-accuracy upgrade as
+    the exact cardinality path), and DS_GET_QUANTILE rides Spark's own
+    quantile sketch, oracled by a 1%-relative-error contract flag
+    against the exact in-Spark percentile (the fd_ds_sketch_sql_text
+    posture: sketch estimates differ across engines by design, the
+    CONTRACT is what's checked). The CDF/HISTOGRAM arrays surface as
+    per-bucket scalar columns — the driver canonicalizer cannot sort
+    list cells."""
+    from ..functions.druid_sql import rewrite_datasketches_sql
+
+    register_druid_sql_functions(spark)
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    sql = rewrite_datasketches_sql(
+        """
+        WITH fam AS (
+          SELECT l_returnflag,
+                 DS_RANK(DS_QUANTILES_SKETCH(l_quantity), 25.0)
+                   AS rank_25,
+                 DS_CDF(DS_QUANTILES_SKETCH(l_quantity), 10.0, 40.0)
+                   AS cdf,
+                 DS_HISTOGRAM(DS_QUANTILES_SKETCH(l_quantity),
+                              10.0, 40.0) AS hist,
+                 abs(DS_GET_QUANTILE(DS_QUANTILES_SKETCH(l_quantity),
+                                     0.5)
+                     - percentile(l_quantity, 0.5))
+                   <= 0.01 * percentile(l_quantity, 0.5) AS p50_ok
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, rank_25,
+               element_at(cdf, 1) AS cdf_low,
+               element_at(cdf, 2) AS cdf_mid,
+               element_at(cdf, 3) AS cdf_high,
+               element_at(hist, 1) AS hist_low,
+               element_at(hist, 2) AS hist_mid,
+               element_at(hist, 3) AS hist_high,
+               p50_ok
+        FROM fam
+        """
+    )
+    return spark.sql(sql)

@@ -410,3 +410,43 @@ def test_theta_sketch_sql_exact_and_saturated(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="integer literal"):
         rewrite_datasketches_sql("SELECT DS_THETA(u, i) FROM tt")
+
+
+def test_quantiles_sketch_sql_family(spark):
+    """The DataSketches quantiles SQL family (DS_QUANTILES_SKETCH +
+    DS_GET_QUANTILE(S)/DS_HISTOGRAM/DS_RANK/DS_CDF) against brute
+    force: RANK/CDF/HISTOGRAM are EXACT renders; GET_QUANTILE(S) ride
+    percentile_approx, exact on this small group. An unwrapped
+    consumer and a dangling sketch are loud."""
+    from druid_datafusion_bridge_spark.functions.druid_sql import (
+        register_druid_sql_functions,
+        rewrite_datasketches_sql,
+    )
+
+    register_druid_sql_functions(spark)
+    spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)], "v double"
+    ).createOrReplaceTempView("qq")
+    row = spark.sql(rewrite_datasketches_sql("""
+        SELECT DS_GET_QUANTILE(DS_QUANTILES_SKETCH(v), 0.5) AS p50,
+               DS_GET_QUANTILES(DS_QUANTILES_SKETCH(v, 128), 0.1, 0.9)
+                 AS deciles,
+               DS_RANK(DS_QUANTILES_SKETCH(v), 25.0) AS rk,
+               DS_HISTOGRAM(DS_QUANTILES_SKETCH(v), 26, 51) AS hist,
+               DS_CDF(DS_QUANTILES_SKETCH(v), 26, 51) AS cdf
+        FROM qq
+    """)).first()
+    assert row["p50"] == 50.0
+    assert row["deciles"] == [10.0, 90.0]
+    assert row["rk"] == 0.24  # 24 of 100 strictly below 25
+    assert row["hist"] == [25.0, 25.0, 50.0]
+    assert row["cdf"] == [0.25, 0.25, 0.5]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="DS_QUANTILES_SKETCH"):
+        rewrite_datasketches_sql("SELECT DS_RANK(v, 1.0) FROM qq")
+    from pyspark.errors import AnalysisException
+    with _pytest.raises(Exception, match="consumable|GROUP"):
+        spark.sql(rewrite_datasketches_sql(
+            "SELECT DS_QUANTILES_SKETCH(v) FROM qq"
+        )).collect()
