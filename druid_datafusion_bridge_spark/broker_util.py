@@ -242,10 +242,14 @@ def _strip_sql_head(sql: str) -> str:
 
 def _rewrite_system_tables(sql: str) -> str:
     """Druid-SQL-text front door: maps sys./INFORMATION_SCHEMA names
-    onto the engine's views AND the DataSketches SQL function names
-    onto Spark's DataSketches builtins (every broker SQL path runs
-    through here, so JDBC, async statements, and MSQ all get both)."""
-    from .functions.druid_sql import rewrite_datasketches_sql
+    onto the engine's views, the UNNEST table function onto LATERAL
+    VIEW explode, AND the DataSketches SQL function names onto Spark's
+    DataSketches builtins (every broker SQL path runs through here, so
+    JDBC, async statements, and MSQ all get all three)."""
+    from .functions.druid_sql import (
+        rewrite_datasketches_sql,
+        rewrite_unnest_sql,
+    )
 
     def rw(chunk: str) -> str:
         chunk = _SYS_TABLE_RE.sub(
@@ -255,7 +259,11 @@ def _rewrite_system_tables(sql: str) -> str:
             lambda m: f"information_schema_{m.group(1).lower()}", chunk
         )
 
-    return rewrite_datasketches_sql(_sub_outside_literals(sql, rw))
+    # unnest first: STRING_TO_ARRAY etc. inside the moved expression
+    # still get the DataSketches-name pass afterward
+    return rewrite_datasketches_sql(
+        rewrite_unnest_sql(_sub_outside_literals(sql, rw))
+    )
 
 
 def _json_safe(v: Any) -> Any:

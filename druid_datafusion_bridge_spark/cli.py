@@ -253,12 +253,15 @@ def cmd_query(
     # names, LATEST/ARRAY_* aggregates, JSON_OBJECT, REGEXP_EXTRACT's
     # Druid default): the CLI prompt and /druid/v2/sql must accept the
     # same Druid SQL, not two dialect subsets.
-    from .functions.druid_sql import rewrite_datasketches_sql
+    from .functions.druid_sql import (
+        rewrite_datasketches_sql,
+        rewrite_unnest_sql,
+    )
 
     register_druid_sql_functions(spark)
     df = spark.read.format("druidsegment").option("path", path).load()
     df.createOrReplaceTempView("segment")
-    out = spark.sql(rewrite_datasketches_sql(sql))
+    out = spark.sql(rewrite_datasketches_sql(rewrite_unnest_sql(sql)))
     if explain:
         # the reference's EXPLAIN surface comes free from DataFusion;
         # ours comes free from Catalyst (formatted physical plan)

@@ -1107,6 +1107,79 @@ def _sql_code_mask(sql: str) -> list[bool]:
     return mask
 
 
+_UNNEST_RE = re.compile(r"(?i)\bUNNEST\s*\(")
+_UNNEST_ALIAS_RE = re.compile(
+    r"(?is)^\s*AS\s+([A-Za-z_][A-Za-z0-9_]*)\s*\(\s*"
+    r"([A-Za-z_][A-Za-z0-9_]*)\s*\)"
+)
+_UNNEST_ON_TRUE_RE = re.compile(r"(?is)^\s*ON\s+TRUE\b")
+
+
+def rewrite_unnest_sql(sql: str) -> str:
+    """Rewrite Druid SQL's UNNEST table function (sql.md, Druid 26+) to
+    Spark's LATERAL VIEW explode:
+
+      FROM t, UNNEST(expr) AS u(c)           -> LATERAL VIEW explode
+      FROM t CROSS JOIN UNNEST(expr) AS u(c) -> LATERAL VIEW explode
+      FROM t LEFT JOIN UNNEST(expr) AS u(c) ON TRUE
+                                             -> LATERAL VIEW OUTER ...
+
+    (LEFT JOIN ... ON TRUE is Druid's keep-rows-with-empty-arrays form
+    — exactly LATERAL VIEW OUTER's null-element semantics.) The
+    preceding comma / CROSS JOIN / LEFT JOIN is consumed; Druid-quoted
+    identifiers inside the unnested expression swap to backticks. Code
+    mask keeps literals/comments untouched; the rendered text never
+    re-matches (idempotent)."""
+    while True:
+        mask = _sql_code_mask(sql)
+        m = next(
+            (c for c in _UNNEST_RE.finditer(sql) if mask[c.start()]), None
+        )
+        if m is None:
+            return sql
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if mask[i]:
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+            i += 1
+        if depth:
+            raise ValueError("unbalanced parens in UNNEST(...)")
+        expr = re.sub(r'"([^"]+)"', r"`\1`", sql[m.end():i - 1])
+        am = _UNNEST_ALIAS_RE.match(sql[i:])
+        if not am:
+            raise ValueError(
+                "UNNEST(...) needs AS alias(column) (Druid sql.md)"
+            )
+        alias, col = am.group(1), am.group(2)
+        end = i + am.end()
+        # what joins the unnest to its left input?
+        head = sql[:m.start()]
+        outer = False
+        hm = re.search(r"(?is)(,|\bCROSS\s+JOIN|\bLEFT\s+JOIN)\s*$", head)
+        if hm is None:
+            raise ValueError(
+                "UNNEST(...) must follow ',', CROSS JOIN, or "
+                "LEFT JOIN ... ON TRUE (Druid sql.md)"
+            )
+        if hm.group(1).strip().upper().startswith("LEFT"):
+            om = _UNNEST_ON_TRUE_RE.match(sql[end:])
+            if not om:
+                raise ValueError(
+                    "LEFT JOIN UNNEST(...) requires ON TRUE"
+                )
+            end += om.end()
+            outer = True
+        lv = "LATERAL VIEW OUTER" if outer else "LATERAL VIEW"
+        sql = (
+            head[:hm.start()]
+            + f" {lv} explode({expr}) {alias} AS {col} "
+            + sql[end:]
+        )
+
+
 def rewrite_datasketches_sql(sql: str) -> str:
     """Rewrite Druid DataSketches SQL calls onto Spark builtins —
     single left-to-right pass; replacements are final (arguments are

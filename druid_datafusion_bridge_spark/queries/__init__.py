@@ -63,6 +63,7 @@ NEW_IN_R10: tuple[str, ...] = (
     "nq_timeseries_grand_total",
     "txp_lm_familiarity_filter",
     "fd_quantiles_sql_text",
+    "fd_unnest_sql_text",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed

@@ -1087,3 +1087,48 @@ def fd_quantiles_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.sql(sql)
+
+
+@query(
+    "fd_unnest_sql_text",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(string_split(p_name, ' ')) AS word, p_size
+      FROM part)
+    SELECT word,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(p_size) AS BIGINT) AS size_sum
+    FROM w GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 10
+    """,
+)
+def fd_unnest_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid's UNNEST table function as raw SQL TEXT (sql.md, Druid
+    26+): ``CROSS JOIN UNNEST(STRING_TO_ARRAY(...)) AS u(word)`` —
+    rewritten by rewrite_unnest_sql onto LATERAL VIEW explode (one
+    Generate inside whole-stage codegen), with STRING_TO_ARRAY then
+    normalized by the DataSketches-name pass, the exact chain every
+    broker SQL path runs. The DataFrame twin (fd_unnest, r6) fixed the
+    semantics; this row is the SQL-text entry a Druid-26 client
+    actually types."""
+    from ..functions.druid_sql import (
+        rewrite_datasketches_sql,
+        rewrite_unnest_sql,
+    )
+
+    register_druid_sql_functions(spark)
+    table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    sql = rewrite_datasketches_sql(rewrite_unnest_sql(
+        """
+        SELECT word,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(p_size) AS BIGINT) AS size_sum
+        FROM part CROSS JOIN UNNEST(STRING_TO_ARRAY(p_name, ' '))
+          AS u(word)
+        GROUP BY word
+        ORDER BY n DESC, word
+        LIMIT 10
+        """
+    ))
+    return spark.sql(sql)

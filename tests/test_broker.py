@@ -2329,3 +2329,14 @@ def test_native_lookup_datasource_and_version_invalidation(spark, tmp_path):
         assert reg_rows() == [("ALEMAN", 11), ("INGLES", 12)]
     finally:
         s.stop()
+
+
+def test_sql_unnest_table_function(shim):
+    """Druid's UNNEST table function as SQL text through the broker
+    (every SQL path runs the rewrite chain): CROSS JOIN UNNEST over an
+    MV-ish split, grouped."""
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "SELECT w AS ch, SUM(delta) AS total FROM wikipedia "
+                 "CROSS JOIN UNNEST(STRING_TO_ARRAY(channel, '-')) "
+                 "AS t(w) GROUP BY w ORDER BY total DESC"})
+    assert rows == [{"ch": "en", "total": 12}, {"ch": "de", "total": 11}]

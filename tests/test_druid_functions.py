@@ -450,3 +450,58 @@ def test_quantiles_sketch_sql_family(spark):
         spark.sql(rewrite_datasketches_sql(
             "SELECT DS_QUANTILES_SKETCH(v) FROM qq"
         )).collect()
+
+
+def test_unnest_sql_rewrite(spark):
+    """rewrite_unnest_sql: comma and CROSS JOIN forms become LATERAL
+    VIEW explode; LEFT JOIN ... ON TRUE becomes the OUTER form (rows
+    with empty arrays survive as NULL); literals stay untouched;
+    malformed usage is loud; the output is idempotent."""
+    from druid_datafusion_bridge_spark.functions.druid_sql import (
+        rewrite_unnest_sql,
+    )
+
+    spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, "c")], "id long, s string"
+    ).createOrReplaceTempView("uu")
+
+    for form in (
+        "FROM uu, UNNEST(split(s, ' ')) AS t(w)",
+        "FROM uu CROSS JOIN UNNEST(split(s, ' ')) AS t(w)",
+    ):
+        out = rewrite_unnest_sql(f"SELECT id, w {form}")
+        assert rewrite_unnest_sql(out) == out  # idempotent
+        rows = spark.sql(out).collect()
+        # split('') yields [''] — every row unnests to >= 1 element
+        assert len(rows) == 4
+
+    outer = rewrite_unnest_sql(
+        "SELECT id, w FROM uu LEFT JOIN "
+        "UNNEST(CASE WHEN s = '' THEN array() ELSE split(s, ' ') END) "
+        "AS t(w) ON TRUE"
+    )
+    assert "LATERAL VIEW OUTER" in outer
+    got = {(r["id"], r["w"]) for r in spark.sql(outer).collect()}
+    assert got == {(1, "a"), (1, "b"), (2, None), (3, "c")}
+
+    # Druid-quoted identifiers inside the expression become columns
+    q = rewrite_unnest_sql(
+        'SELECT w FROM uu, UNNEST(split("s", \' \')) AS t(w)'
+    )
+    assert '`s`' in q and spark.sql(q).count() == 4
+
+    # literals and comments never rewrite
+    lit = "SELECT 'UNNEST(x) AS t(c)' AS s FROM uu"
+    assert rewrite_unnest_sql(lit) == lit
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="AS alias"):
+        rewrite_unnest_sql("SELECT * FROM uu, UNNEST(split(s, ' '))")
+    with _pytest.raises(ValueError, match="ON TRUE"):
+        rewrite_unnest_sql(
+            "SELECT * FROM uu LEFT JOIN UNNEST(split(s, ' ')) AS t(w)"
+        )
+    with _pytest.raises(ValueError, match="must follow"):
+        rewrite_unnest_sql(
+            "SELECT * FROM UNNEST(split('a', ' ')) AS t(w)"
+        )
