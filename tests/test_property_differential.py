@@ -1454,6 +1454,8 @@ def test_time_floor_calendar_origin_differential(spark, ts, origin, months):
     idempotent and bucket <= ts < bucket + period."""
     import datetime as dt
 
+    from pyspark.sql import functions as F
+
     from druid_datafusion_bridge_spark.functions.druid_sql import (
         register_druid_sql_functions,
         rewrite_datasketches_sql,
