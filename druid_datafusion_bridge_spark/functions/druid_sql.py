@@ -484,6 +484,33 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
      "ts >= to_timestamp(split_part(iv, '/', 1)) "
      "AND ts < to_timestamp(split_part(iv, '/', 2))"),
     ("DECODE_BASE64_UTF8", "s STRING", "STRING", "CAST(unbase64(s) AS STRING)"),
+    # Druid's IPv4 trio (sql-scalar.md): dotted-quad <-> integer and
+    # CIDR subnet membership — pure integer arithmetic registered as
+    # SQL UDFs (Spark ships no IP functions). Invalid inputs answer
+    # NULL (Druid's SQL-compatible posture), never an error.
+    ("IPV4_PARSE", "s STRING", "BIGINT",
+     "CASE WHEN s RLIKE '^([0-9]{1,3}\\\\.){3}[0-9]{1,3}$' "
+     "AND CAST(split_part(s, '.', 1) AS INT) <= 255 "
+     "AND CAST(split_part(s, '.', 2) AS INT) <= 255 "
+     "AND CAST(split_part(s, '.', 3) AS INT) <= 255 "
+     "AND CAST(split_part(s, '.', 4) AS INT) <= 255 "
+     "THEN CAST(split_part(s, '.', 1) AS BIGINT) * 16777216 "
+     "+ CAST(split_part(s, '.', 2) AS BIGINT) * 65536 "
+     "+ CAST(split_part(s, '.', 3) AS BIGINT) * 256 "
+     "+ CAST(split_part(s, '.', 4) AS BIGINT) END"),
+    ("IPV4_STRINGIFY", "n BIGINT", "STRING",
+     "CASE WHEN n >= 0 AND n <= 4294967295 THEN concat("
+     "CAST(n div 16777216 AS STRING), '.', "
+     "CAST((n div 65536) % 256 AS STRING), '.', "
+     "CAST((n div 256) % 256 AS STRING), '.', "
+     "CAST(n % 256 AS STRING)) END"),
+    ("IPV4_MATCH", "addr STRING, subnet STRING", "BOOLEAN",
+     "CASE WHEN subnet RLIKE "
+     "'^([0-9]{1,3}\\\\.){3}[0-9]{1,3}/([0-9]|[12][0-9]|3[0-2])$' "
+     "THEN shiftright(IPV4_PARSE(addr), "
+     "32 - CAST(split_part(subnet, '/', 2) AS INT)) "
+     "= shiftright(IPV4_PARSE(split_part(subnet, '/', 1)), "
+     "32 - CAST(split_part(subnet, '/', 2) AS INT)) END"),
     # MV_* over ARRAY<STRING> (Druid MVDs are string-typed): SQL-text
     # twins of the Column helpers above, same null/index semantics
     ("MV_LENGTH", "a ARRAY<STRING>", "INT",

@@ -64,6 +64,7 @@ NEW_IN_R10: tuple[str, ...] = (
     "txp_lm_familiarity_filter",
     "fd_quantiles_sql_text",
     "fd_unnest_sql_text",
+    "fd_ipv4_sql_text",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed

@@ -1132,3 +1132,55 @@ def fd_unnest_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     ))
     return spark.sql(sql)
+
+
+@query(
+    "fd_ipv4_sql_text",
+    oracle="""
+    WITH ips AS (
+      SELECT user_id,
+             '10.' || CAST(user_id % 256 AS VARCHAR) || '.'
+               || CAST((user_id * 7) % 256 AS VARCHAR) || '.'
+               || CAST((user_id * 13) % 256 AS VARCHAR) AS ip,
+             167772160 + (user_id % 256) * 65536
+               + ((user_id * 7) % 256) * 256
+               + (user_id * 13) % 256 AS ip_num
+      FROM (SELECT DISTINCT user_id FROM events))
+    SELECT CAST(SUM(CASE WHEN ip_num BETWEEN 167772160 + 4 * 65536
+                              AND 167772160 + 5 * 65536 - 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS in_slash16,
+           CAST(COUNT(*) AS BIGINT) AS in_slash8,
+           CAST(SUM(ip_num) AS BIGINT) AS parse_sum,
+           CAST(SUM(CASE WHEN ip = ip THEN 1 ELSE 0 END) AS BIGINT)
+             AS roundtrip_ok
+    FROM ips
+    """,
+)
+def fd_ipv4_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid's IPv4 SQL trio (sql-scalar.md: IPV4_PARSE /
+    IPV4_STRINGIFY / IPV4_MATCH) as raw SQL text: synthetic per-user
+    addresses in 10.0.0.0/8, parsed to integers (summed — exercises
+    every octet), matched against /16 and /8 CIDR subnets, and
+    round-tripped through STRINGIFY(PARSE(ip)) = ip. Registered SQL
+    UDFs of pure integer arithmetic — Catalyst inlines them, the
+    oracle reproduces the arithmetic independently."""
+    register_druid_sql_functions(spark)
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        WITH ips AS (
+          SELECT concat('10.', CAST(user_id % 256 AS STRING), '.',
+                        CAST((user_id * 7) % 256 AS STRING), '.',
+                        CAST((user_id * 13) % 256 AS STRING)) AS ip
+          FROM (SELECT DISTINCT user_id FROM events))
+        SELECT CAST(SUM(CASE WHEN IPV4_MATCH(ip, '10.4.0.0/16')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS in_slash16,
+               CAST(SUM(CASE WHEN IPV4_MATCH(ip, '10.0.0.0/8')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS in_slash8,
+               CAST(SUM(IPV4_PARSE(ip)) AS BIGINT) AS parse_sum,
+               CAST(SUM(CASE WHEN IPV4_STRINGIFY(IPV4_PARSE(ip)) = ip
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS roundtrip_ok
+        FROM ips
+        """
+    )

@@ -833,7 +833,12 @@ def txp_lm_familiarity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality filtering, the reference-model shape
     (Wenzek et al. 2019: score every document under a language model
     trained on a trusted reference corpus; keep the low-perplexity
-    side): a word-trigram model counts over the reference slice
+    side). Distinct from txp_trigram_familiarity on all three axes:
+    the model trains on a TRUSTED SLICE rather than the whole corpus,
+    scores are count-WEIGHTED (frequency mass, a likelihood proxy)
+    rather than head-membership fractions, and the row carries the
+    KEEP/DROP decision a curation pipeline consumes, not just a
+    score. A word-trigram model counts over the reference slice
     (source = 'src1' here), every document scores its trigram MULTISET
     against it, and the keep decision is familiarity = mean model
     count >= 0.5 — evaluated as the integer cross-product

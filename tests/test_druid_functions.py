@@ -505,3 +505,30 @@ def test_unnest_sql_rewrite(spark):
         rewrite_unnest_sql(
             "SELECT * FROM UNNEST(split('a', ' ')) AS t(w)"
         )
+
+
+def test_ipv4_functions(spark):
+    """IPV4_PARSE/STRINGIFY/MATCH: octet arithmetic, NULL on invalid
+    input (out-of-range octet, malformed CIDR), /0 matches all."""
+    from druid_datafusion_bridge_spark.functions.druid_sql import (
+        register_druid_sql_functions,
+    )
+
+    register_druid_sql_functions(spark)
+    r = spark.sql(
+        "SELECT IPV4_PARSE('192.168.1.1') AS p,"
+        " IPV4_PARSE('1.2.3.256') AS bad,"
+        " IPV4_PARSE('a.b.c.d') AS bad2,"
+        " IPV4_STRINGIFY(3232235777) AS s,"
+        " IPV4_STRINGIFY(4294967296) AS over,"
+        " IPV4_MATCH('192.168.1.77', '192.168.1.0/24') AS m_in,"
+        " IPV4_MATCH('192.168.2.77', '192.168.1.0/24') AS m_out,"
+        " IPV4_MATCH('8.8.8.8', '0.0.0.0/0') AS m_all,"
+        " IPV4_MATCH('8.8.8.8', '8.8.8.8/32') AS m_exact,"
+        " IPV4_MATCH('8.8.8.8', '8.8.8.0/33') AS m_badp"
+    ).first()
+    assert r["p"] == 3232235777 and r["s"] == "192.168.1.1"
+    assert r["bad"] is None and r["bad2"] is None and r["over"] is None
+    assert (r["m_in"], r["m_out"], r["m_all"], r["m_exact"]) == (
+        True, False, True, True)
+    assert r["m_badp"] is None
