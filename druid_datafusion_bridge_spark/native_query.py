@@ -312,6 +312,34 @@ def _filter_pred(f: dict | None, time_col: str) -> Column | None:
         return F.lit(True)
     if kind == "false":
         return F.lit(False)
+    if kind == "expression":
+        # Druid's expression filter (filters.md): any boolean Druid
+        # expression; quoted identifiers swap to backticks like
+        # virtualColumns. Cast keeps numeric truthiness (Druid treats
+        # nonzero as true)
+        expr = re.sub(r'"([^"]+)"', r"`\1`", f["expression"])
+        return F.expr(expr).cast("boolean")
+    if kind == "columnComparison":
+        # equality of two dimensions (each may carry an extractionFn
+        # via the DimensionSpec form); Druid matches NULL == NULL here
+        # (unlike selector), hence the null-safe equality
+        sides = []
+        for d in f["dimensions"]:
+            if isinstance(d, str):
+                sides.append(_c(d))
+            else:
+                sides.append(
+                    _dim_value(d, _c(d.get("dimension") or d["outputName"]))
+                )
+        return sides[0].eqNullSafe(sides[1])
+    if kind == "arrayContainsElement":
+        # Druid 28+ array filter: the array column contains the match
+        # value; a NULL element match means "contains a null element"
+        col = _c(f["column"])
+        v = f.get("elementMatchValue")
+        if v is None:
+            return F.exists(col, lambda x: x.isNull())
+        return F.array_contains(col, F.lit(v))
     if kind == "and":
         parts = [_filter_pred(x, time_col) for x in f["fields"]]
         out = parts[0]

@@ -1166,3 +1166,49 @@ def test_registered_lookup_extraction_fn(events):
     # without a lookups mapping the extractionFn type itself is loud
     with pytest.raises(ValueError, match="extractionFn"):
         run(events, spec)
+
+
+def test_expression_column_comparison_array_filters(events):
+    """Filter kinds added in r10: expression (boolean Druid expression
+    with quoted identifiers), columnComparison (null-safe equality of
+    two dimensions), arrayContainsElement (Druid 28 arrays)."""
+    # expression filter
+    spec = {
+        "queryType": "timeseries", "granularity": "all",
+        "filter": {"type": "expression",
+                   "expression": '"value" > 3 && "user_id" == 2'},
+        "aggregations": [{"type": "count", "name": "n"}],
+    }
+    # Druid's && is not Spark SQL — use AND (both dialects accept AND)
+    spec["filter"]["expression"] = '"value" > 3 AND "user_id" = 2'
+    assert run(events, spec).collect()[0]["n"] == 2
+
+    # columnComparison: rows where upper(event_type) == etype2
+    cc = events.withColumn(
+        "etype2", F.upper(F.col("event_type"))
+    )
+    spec = {
+        "queryType": "timeseries", "granularity": "all",
+        "filter": {"type": "columnComparison", "dimensions": [
+            {"type": "extraction", "dimension": "event_type",
+             "extractionFn": {"type": "upper"}},
+            "etype2",
+        ]},
+        "aggregations": [{"type": "count", "name": "n"}],
+    }
+    # null-safe: the NULL event_type row matches (NULL == NULL)
+    assert run(cc, spec).collect()[0]["n"] == 7
+
+    # arrayContainsElement over an array virtualColumn
+    spec = {
+        "queryType": "timeseries", "granularity": "all",
+        "virtualColumns": [
+            {"type": "expression", "name": "toks",
+             "expression": "split(\"props\", '=')"},
+        ],
+        "filter": {"type": "arrayContainsElement", "column": "toks",
+                   "elementMatchValueType": "STRING",
+                   "elementMatchValue": "a"},
+        "aggregations": [{"type": "count", "name": "n"}],
+    }
+    assert run(events, spec).collect()[0]["n"] == 3  # a=1, a=9, a=2
