@@ -1396,3 +1396,181 @@ def gif_channel_stats(blobs: DataFrame) -> DataFrame:
             )
 
     return blobs.mapInPandas(run, schema=PPM_STATS_SCHEMA)
+
+
+def _bmp_encode(doc_id: int) -> bytes:
+    """REAL 24-bit BI_RGB BMP encoder for the deterministic pixel law
+    pixel_byte(i) = (doc_id*11 + i*19) % 256 (i indexes row-major
+    top-down RGB bytes) on a (3 + id%6) x (2 + id%5) canvas — the
+    width spread makes the 4-byte ROW PADDING vary (w*3 % 4 cycles
+    through every case), so a decoder that mis-handles stride shows up
+    immediately. Rows are stored BOTTOM-UP in BGR order, the format's
+    two famous quirks."""
+    import struct
+
+    w, h = 3 + doc_id % 6, 2 + doc_id % 5
+    stride = (w * 3 + 3) // 4 * 4
+    rows = bytearray()
+    for fr in range(h - 1, -1, -1):  # file order: bottom row first
+        for col in range(w):
+            base = (fr * w + col) * 3
+            for ch in (2, 1, 0):  # BGR on disk
+                rows.append((doc_id * 11 + (base + ch) * 19) % 256)
+        rows += b"\x00" * (stride - w * 3)
+    img_size = stride * h
+    header = b"BM" + struct.pack(
+        "<IHHI", 54 + img_size, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    return bytes(header) + bytes(rows)
+
+
+def with_bmp_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL binary 24-bit BMP per doc (see _bmp_encode) —
+    generated executor-side in Arrow batches, like the PPM/PNG/GIF
+    payload builders."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def make(doc_id: int) -> bytes:
+            import struct
+
+            w, h = 3 + doc_id % 6, 2 + doc_id % 5
+            stride = (w * 3 + 3) // 4 * 4
+            rows = bytearray()
+            for fr in range(h - 1, -1, -1):
+                for col in range(w):
+                    base = (fr * w + col) * 3
+                    for ch in (2, 1, 0):
+                        rows.append((doc_id * 11 + (base + ch) * 19) % 256)
+                rows += b"\x00" * (stride - w * 3)
+            img_size = stride * h
+            header = b"BM" + struct.pack(
+                "<IHHI", 54 + img_size, 0, 0, 54
+            ) + struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                2835, 2835, 0, 0,
+            )
+            return bytes(header) + bytes(rows)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda d: make(int(d))),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(
+        run, schema="doc_id long, payload binary"
+    )
+
+
+def decode_bmp(data: bytes):
+    """REAL 24-bit BMP decoder, pure numpy: validates the BM magic,
+    BITMAPINFOHEADER, bpp=24, BI_RGB (uncompressed); honors the pixel
+    data offset, 4-byte row stride, bottom-up row order (negative
+    height = top-down, also handled), and BGR byte order. Returns
+    (width, height, pixels[h, w, 3] uint8, RGB, top-down). Truncated
+    or malformed payloads raise the documented ValueError."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    try:
+        offset = struct.unpack_from("<I", data, 10)[0]
+        hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
+        planes, bpp, comp = struct.unpack_from("<HHI", data, 26)
+        if hdr_size < 40:
+            raise ValueError(f"unsupported DIB header size {hdr_size}")
+        if bpp != 24 or comp != 0:
+            raise ValueError(
+                f"unsupported BMP: bpp={bpp} compression={comp} "
+                "(24-bit BI_RGB only)"
+            )
+        top_down = h < 0
+        h = abs(h)
+        stride = (w * 3 + 3) // 4 * 4
+        raw = np.frombuffer(
+            data, dtype=np.uint8, count=stride * h, offset=offset
+        ).reshape(h, stride)
+        rows = raw[:, : w * 3].reshape(h, w, 3)
+        if not top_down:
+            rows = rows[::-1]
+        return w, h, rows[:, :, ::-1]  # BGR -> RGB
+    except (struct.error, ValueError) as exc:
+        if isinstance(exc, ValueError) and "BMP" in str(exc) or (
+            isinstance(exc, ValueError) and "DIB" in str(exc)
+        ):
+            raise
+        raise ValueError(f"truncated or malformed BMP: {exc}") from exc
+
+
+def bmp_channel_stats(blobs: DataFrame) -> DataFrame:
+    """Decode 24-bit BMP payloads (REAL decoder — stride, bottom-up,
+    BGR all honored) to per-channel sums and means. Arrow-batched
+    mapInPandas; nothing collected."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Closure-shipped decoder copy: no module references
+        import struct
+
+        import numpy as np
+
+        def decode(data: bytes):
+            if data[:2] != b"BM":
+                raise ValueError("not a BMP")
+            offset = struct.unpack_from("<I", data, 10)[0]
+            _hs, w, h = struct.unpack_from("<Iii", data, 14)
+            _planes, bpp, comp = struct.unpack_from("<HHI", data, 26)
+            if bpp != 24 or comp != 0:
+                raise ValueError(
+                    f"unsupported BMP: bpp={bpp} compression={comp}"
+                )
+            top_down = h < 0
+            h = abs(h)
+            stride = (w * 3 + 3) // 4 * 4
+            raw = np.frombuffer(
+                data, dtype=np.uint8, count=stride * h, offset=offset
+            ).reshape(h, stride)
+            rows = raw[:, : w * 3].reshape(h, w, 3)
+            if not top_down:
+                rows = rows[::-1]
+            return w, h, rows[:, :, ::-1]
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, pix = decode(bytes(payload))
+                except (IndexError, struct.error) as exc:
+                    raise ValueError(
+                        f"truncated or malformed BMP: {exc}"
+                    ) from exc
+                except ValueError as exc:
+                    if "buffer" in str(exc):
+                        raise ValueError(
+                            f"truncated or malformed BMP: {exc}"
+                        ) from exc
+                    raise
+                sums = pix.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                n = w * h
+                rows.append(
+                    (
+                        int(doc_id), w, h,
+                        int(sums[0]), int(sums[1]), int(sums[2]),
+                        sums[0] / n, sums[1] / n, sums[2] / n,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height",
+                    "sum_r", "sum_g", "sum_b",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return blobs.mapInPandas(run, schema=PPM_STATS_SCHEMA)

@@ -65,6 +65,8 @@ NEW_IN_R10: tuple[str, ...] = (
     "fd_quantiles_sql_text",
     "fd_unnest_sql_text",
     "fd_ipv4_sql_text",
+    "nq_expression_filter_family",
+    "mm_bmp_decode",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed

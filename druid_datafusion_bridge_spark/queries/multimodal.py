@@ -452,3 +452,40 @@ def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return gif_channel_stats(with_gif_payload(docs))
+
+
+@query(
+    "mm_bmp_decode",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(3 + d.doc_id % 6 AS INT) AS width,
+           CAST(2 + d.doc_id % 5 AS INT) AS height,
+           CAST(SUM((d.doc_id * 11 + (g.p * 3 + 0) * 19) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((d.doc_id * 11 + (g.p * 3 + 1) * 19) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((d.doc_id * 11 + (g.p * 3 + 2) * 19) % 256) AS BIGINT) AS sum_b,
+           CAST(SUM((d.doc_id * 11 + (g.p * 3 + 0) * 19) % 256) AS DOUBLE)
+             / ((3 + d.doc_id % 6) * (2 + d.doc_id % 5)) AS mean_r,
+           CAST(SUM((d.doc_id * 11 + (g.p * 3 + 1) * 19) % 256) AS DOUBLE)
+             / ((3 + d.doc_id % 6) * (2 + d.doc_id % 5)) AS mean_g,
+           CAST(SUM((d.doc_id * 11 + (g.p * 3 + 2) * 19) % 256) AS DOUBLE)
+             / ((3 + d.doc_id % 6) * (2 + d.doc_id % 5)) AS mean_b
+    FROM documents d,
+         unnest(generate_series(0,
+           (3 + d.doc_id % 6) * (2 + d.doc_id % 5) - 1)) AS g(p)
+    GROUP BY d.doc_id
+    """,
+)
+def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode end-to-end: every doc gets a valid 24-bit BI_RGB
+    BMP (bottom-up rows, BGR byte order, 4-byte row padding — the
+    width spread cycles the pad through every case), and a pure numpy
+    parser decodes header + stride + row flip + channel swap to
+    per-channel statistics inside Arrow-batched mapInPandas. The
+    oracle recomputes the expected statistics in closed form from the
+    pixel law — a stride, row-order, or BGR bug shows up as a value
+    mismatch. Fifth REAL codec beside PPM/PNG/GIF/WAV; JPEG/MP3 stay
+    stubbed (container ships no entropy/DCT codecs)."""
+    from ..operators.multimodal import bmp_channel_stats, with_bmp_payload
+
+    docs = table(spark, sf_dir, "documents")
+    return bmp_channel_stats(with_bmp_payload(docs))

@@ -697,3 +697,52 @@ def nq_timeseries_grand_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "context": {"skipEmptyBuckets": True, "grandTotal": True},
     }
     return native_query(_events(spark, sf_dir), spec, time_col="ts")
+
+
+@query(
+    "nq_expression_filter_family",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS total
+    FROM events
+    WHERE value > 100 AND user_id % 2 = 0
+      AND list_contains(string_split(props, ':'), '{"k"')
+    GROUP BY event_type
+    """,
+)
+def nq_expression_filter_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r10 native filter kinds composed in one spec: an expression
+    filter (boolean Druid expression over quoted identifiers), a
+    columnComparison (null-safe equality of a dimension against a
+    virtualColumn of itself — always true, pinning the compile path on
+    real data), and arrayContainsElement over a split virtualColumn
+    (every events.props is '{"k": N}', so splitting on ':' yields
+    '{"k"' as the first element — the filter proves arrays flow
+    through). All three compile into ONE Catalyst predicate evaluated
+    inside the scan stage."""
+    spec = {
+        "queryType": "groupBy",
+        "granularity": "all",
+        "virtualColumns": [
+            {"type": "expression", "name": "etype_copy",
+             "expression": '"event_type"'},
+            {"type": "expression", "name": "props_toks",
+             "expression": "split(\"props\", ':')"},
+        ],
+        "dimensions": ["event_type"],
+        "filter": {"type": "and", "fields": [
+            {"type": "expression",
+             "expression": '"value" > 100 AND "user_id" % 2 = 0'},
+            {"type": "columnComparison",
+             "dimensions": ["event_type", "etype_copy"]},
+            {"type": "arrayContainsElement", "column": "props_toks",
+             "elementMatchValueType": "STRING",
+             "elementMatchValue": '{"k"'},
+        ]},
+        "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total", "fieldName": "value"},
+        ],
+    }
+    return native_query(_events(spark, sf_dir), spec, time_col="ts")

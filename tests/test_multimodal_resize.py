@@ -346,3 +346,43 @@ def test_channel_stats_truncated_payload_loud_on_executor(spark):
     )
     with pytest.raises(Exception, match="truncated or malformed PNG"):
         png_channel_stats(blobs).collect()
+
+
+def test_bmp_decode_quirks_and_loud_errors():
+    """decode_bmp honors the format's quirks (bottom-up rows, BGR,
+    stride padding, negative-height top-down) and is loud on
+    truncation and unsupported variants."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from druid_datafusion_bridge_spark.operators.multimodal import (
+        _bmp_encode,
+        decode_bmp,
+    )
+
+    data = bytearray(_bmp_encode(5))
+    w, h, pix = decode_bmp(bytes(data))
+
+    # negative height = top-down: same pixels, rows pre-flipped
+    td = bytearray(data)
+    struct.pack_into("<i", td, 22, -h)
+    # flip the stored rows so the image content stays identical
+    stride = (w * 3 + 3) // 4 * 4
+    body = td[54:]
+    rows = [bytes(body[i * stride:(i + 1) * stride]) for i in range(h)]
+    td[54:] = b"".join(reversed(rows))
+    w2, h2, pix2 = decode_bmp(bytes(td))
+    assert (w2, h2) == (w, h) and (pix2 == pix).all()
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"PNG garbage")
+    bad = bytearray(data)
+    struct.pack_into("<H", bad, 28, 8)  # bpp=8
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        decode_bmp(bytes(bad))
+    with pytest.raises(ValueError, match="truncated or malformed BMP"):
+        decode_bmp(bytes(data[: len(data) // 2]))
+    with pytest.raises(ValueError, match="truncated or malformed BMP"):
+        decode_bmp(bytes(data[:20]))
