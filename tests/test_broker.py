@@ -2340,3 +2340,19 @@ def test_sql_unnest_table_function(shim):
                  "CROSS JOIN UNNEST(STRING_TO_ARRAY(channel, '-')) "
                  "AS t(w) GROUP BY w ORDER BY total DESC"})
     assert rows == [{"ch": "en", "total": 12}, {"ch": "de", "total": 11}]
+
+
+def test_sql_window_functions_text(shim):
+    """Druid 28 SQL window functions POSTed as text: ANSI OVER clauses
+    run verbatim (Spark and Druid share the standard)."""
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "SELECT channel, delta, "
+                 "SUM(delta) OVER (PARTITION BY channel ORDER BY "
+                 "__time) AS running, "
+                 "RANK() OVER (ORDER BY delta DESC) AS rk "
+                 "FROM wikipedia ORDER BY channel, __time"})
+    assert rows == [
+        {"channel": "de", "delta": 11, "running": 11, "rk": 1},
+        {"channel": "en", "delta": 5, "running": 5, "rk": 3},
+        {"channel": "en", "delta": 7, "running": 12, "rk": 2},
+    ]
