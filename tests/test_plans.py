@@ -337,7 +337,7 @@ def test_every_query_compiles_jvm_side(spark):
     ALLOWED_PYTHON = {"mm_feature_extract", "mm_resize", "mm_ppm_decode",
                       "mm_ppm_resize", "mm_wav_decode",
                       "mm_wav_resample", "mm_video_frames",
-                      "mm_png_decode", "mm_gif_decode"}
+                      "mm_png_decode", "mm_gif_decode", "mm_bmp_decode"}
     MARKERS = ["BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                "FlatMapGroupsInPandas"]
     offenders = []

@@ -1500,3 +1500,72 @@ def test_time_floor_calendar_origin_differential(spark, ts, origin, months):
         # grid laws
         assert expect <= c < add_months(expect, months)
         assert ref_floor(expect) == expect
+
+
+@given(
+    a=st.lists(st.integers(0, 400), min_size=0, max_size=120),
+    b=st.lists(st.integers(0, 400), min_size=0, max_size=120),
+    k=st.sampled_from([4, 16, 64, 4096]),
+)
+@SET
+def test_theta_sql_algebra_differential(spark, a, b, k):
+    """The theta SQL machinery (DS_THETA build, UNION/INTERSECT/NOT,
+    ESTIMATE) vs a pure-Python kmv reference on random multisets at
+    random k — exact below saturation, the KMV estimator above it,
+    and set ops anchored at min-theta with exact membership below it."""
+    import hashlib
+
+    from druid_datafusion_bridge_spark.functions.druid_sql import (
+        rewrite_datasketches_sql,
+    )
+
+    HS = float(1 << 60)
+
+    def h60(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    def build(vals):
+        hs = sorted({h60(v) for v in vals})
+        if len(hs) >= k:
+            return float(hs[k - 1]), hs[: k - 1]
+        return HS, hs
+
+    def estimate(sk):
+        theta, hashes = sk
+        return len(hashes) * HS / theta
+
+    def pair(op, x, y):
+        theta = min(x[0], y[0])
+        sx, sy = set(x[1]), set(y[1])
+        merged = {"union": sx | sy, "intersect": sx & sy,
+                  "not": sx - sy}[op]
+        return theta, sorted(m for m in merged if m < theta)
+
+    rows = [(v, 0) for v in a] + [(v, 1) for v in b]
+    if not rows:
+        return
+    spark.createDataFrame(rows, "v int, side int").createOrReplaceTempView(
+        "__theta_fuzz"
+    )
+    sql = rewrite_datasketches_sql(f"""
+        WITH sks AS (
+          SELECT (SELECT DS_THETA(v, {k}) FROM __theta_fuzz
+                  WHERE side = 0) AS a,
+                 (SELECT DS_THETA(v, {k}) FROM __theta_fuzz
+                  WHERE side = 1) AS b
+        )
+        SELECT THETA_SKETCH_ESTIMATE(a) AS ea,
+               THETA_SKETCH_ESTIMATE(b) AS eb,
+               THETA_SKETCH_ESTIMATE(THETA_SKETCH_UNION(a, b)) AS eu,
+               THETA_SKETCH_ESTIMATE(THETA_SKETCH_INTERSECT(a, b)) AS ei,
+               THETA_SKETCH_ESTIMATE(THETA_SKETCH_NOT(a, b)) AS en
+        FROM sks
+    """)
+    row = spark.sql(sql).first()
+    ska, skb = build(a), build(b)
+    # empty side -> DS_THETA aggregates over zero rows: collect_set is
+    # empty, theta = HS, estimate 0 — matches the reference
+    assert row["ea"] == estimate(ska), (a, k)
+    assert row["eb"] == estimate(skb), (b, k)
+    for col, op in (("eu", "union"), ("ei", "intersect"), ("en", "not")):
+        assert row[col] == estimate(pair(op, ska, skb)), (op, a, b, k)
