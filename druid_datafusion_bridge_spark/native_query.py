@@ -376,6 +376,10 @@ def _aggregator(a: dict, time_col: str) -> Column:
         return F.min_by(_c(field), _c(time_col)).alias(name)
     if kind in ("longLast", "doubleLast", "floatLast", "stringLast"):
         return F.max_by(_c(field), _c(time_col)).alias(name)
+    if kind in ("longAny", "doubleAny", "floatAny", "stringAny"):
+        # Druid's ANY aggregators: any encountered value, engine's
+        # choice (both engines document the nondeterminism)
+        return F.any_value(_c(field), ignoreNulls=True).alias(name)
     if kind in ("cardinality", "hyperUnique", "thetaSketch"):
         # "fields" is the documented modern key (Druid 0.9.2+);
         # "fieldNames" the legacy one — accept both
@@ -457,6 +461,22 @@ def _post_agg(p: dict) -> Column:
             else:
                 raise ValueError(f"unsupported arithmetic fn {fn!r}")
         return out
+    if kind == "expression":
+        # Druid 31 expression post-aggregator: any expression over the
+        # aggregate output columns; quoted identifiers swap to
+        # backticks like virtualColumns
+        return F.expr(re.sub(r'"([^"]+)"', r"`\1`", p["expression"]))
+    if kind in ("doubleGreatest", "longGreatest", "doubleLeast",
+                "longLeast"):
+        parts = [_post_agg(x) for x in p["fields"]]
+        t = "double" if kind.startswith("double") else "long"
+        parts = [x.cast(t) for x in parts]
+        fn = F.greatest if kind.endswith("Greatest") else F.least
+        return parts[0] if len(parts) == 1 else fn(*parts)
+    if kind == "hyperUniqueCardinality":
+        # our hyperUnique aggregator computes EXACT distinct counts, so
+        # the finalizer is a plain column read (Druid returns double)
+        return F.col(p["fieldName"]).cast("double")
     raise ValueError(f"unsupported postAggregation type {kind!r}")
 
 

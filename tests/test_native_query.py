@@ -1212,3 +1212,45 @@ def test_expression_column_comparison_array_filters(events):
         "aggregations": [{"type": "count", "name": "n"}],
     }
     assert run(events, spec).collect()[0]["n"] == 3  # a=1, a=9, a=2
+
+
+def test_post_agg_expression_greatest_any(events):
+    """r10 post-aggregators (expression, double/longGreatest/Least,
+    hyperUniqueCardinality) and the ANY aggregator family."""
+    spec = {
+        "queryType": "timeseries", "granularity": "all",
+        "aggregations": [
+            {"type": "doubleSum", "name": "total", "fieldName": "value"},
+            {"type": "count", "name": "n"},
+            {"type": "hyperUnique", "name": "users",
+             "fieldName": "user_id"},
+            {"type": "stringAny", "name": "some_type",
+             "fieldName": "event_type"},
+            {"type": "longAny", "name": "some_user",
+             "fieldName": "user_id"},
+        ],
+        "postAggregations": [
+            {"type": "expression", "name": "per_row",
+             "expression": '"total" / "n"'},
+            {"type": "doubleGreatest", "name": "hi", "fields": [
+                {"type": "fieldAccess", "fieldName": "total"},
+                {"type": "constant", "value": 100.0}]},
+            {"type": "longLeast", "name": "lo", "fields": [
+                {"type": "fieldAccess", "fieldName": "n"},
+                {"type": "constant", "value": 3}]},
+            {"type": "hyperUniqueCardinality", "name": "users_d",
+             "fieldName": "users"},
+        ],
+    }
+    r = run(events, spec).collect()[0]
+    assert r["per_row"] == 31.0 / 7
+    assert r["hi"] == 100.0 and r["lo"] == 3
+    assert r["users_d"] == 4.0
+    assert r["some_type"] in {"click", "view", "purchase"}
+    assert r["some_user"] in {1, 2, 3, 4}
+    with pytest.raises(ValueError, match="postAggregation"):
+        run(events, {
+            "queryType": "timeseries", "granularity": "all",
+            "aggregations": [{"type": "count", "name": "n"}],
+            "postAggregations": [{"type": "javascript", "name": "x"}],
+        })
