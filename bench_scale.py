@@ -457,6 +457,14 @@ SLOPE_QUERIES = [
     "sim_ivfpq_append",
     "mm_gif_decode",
     "nq_groupby_having_subtotals_limit",
+    # r10 additions: the BMP decode (mapInPandas codec), the
+    # reference-model LM filter (gram explode + broadcast model), the
+    # theta SQL set algebra (bounded-array shuffles), and the unnest
+    # datasource over a real MVD segment root (Generate over the scan)
+    "mm_bmp_decode",
+    "txp_lm_familiarity_filter",
+    "fd_theta_sql_text",
+    "nq_unnest_datasource",
 ]
 
 # per-table key columns to shift by copy*KEY_SHIFT (foreign keys shift
