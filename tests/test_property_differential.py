@@ -12,7 +12,7 @@ from __future__ import annotations
 import duckdb
 import pandas as pd
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 SCHEMA = "k int, v long, s string"
@@ -1569,3 +1569,106 @@ def test_theta_sql_algebra_differential(spark, a, b, k):
     assert row["eb"] == estimate(skb), (b, k)
     for col, op in (("eu", "union"), ("ei", "intersect"), ("en", "not")):
         assert row[col] == estimate(pair(op, ska, skb)), (op, a, b, k)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 72 * 3600 - 1),   # second offset in 3 days
+            st.integers(-50, 50),            # value
+        ),
+        min_size=1, max_size=40,
+    ),
+    gran=st.sampled_from(["hour", "day", "PT6H", "PT90M"]),
+    start_h=st.integers(0, 24),
+    span_h=st.integers(1, 48),
+    skip_empty=st.booleans(),
+)
+# pinned hard cases: query start MISALIGNED with the bucket grid (the
+# grid must start at bucketStart(start), Druid's floor, and the
+# partial first bucket must carry only in-interval rows)
+@example(rows=[(4 * 3600, 7), (2 * 3600, 5)], gran="day",
+         start_h=3, span_h=30, skip_empty=False)
+@example(rows=[(5 * 3600 + 1800, 3)], gran="PT90M",
+         start_h=5, span_h=2, skip_empty=False)
+@example(rows=[(0, 1)], gran="PT6H", start_h=1, span_h=4,
+         skip_empty=True)
+@SET
+def test_timeseries_zerofill_differential(
+    spark, rows, gran, start_h, span_h, skip_empty
+):
+    """Native timeseries vs an independent DuckDB rendering under
+    random granularities (calendar + duration), random query windows,
+    and both zero-fill modes — pins the literal bucket-grid build
+    (bounded explode, identity fills) against a generate_series grid
+    that shares none of its code."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from druid_datafusion_bridge_spark.native_query import native_query
+
+    base = dt.datetime(2024, 3, 1)
+    data = [
+        ((base + dt.timedelta(seconds=s)).isoformat(sep=" "), float(v))
+        for s, v in rows
+    ]
+    df = spark.createDataFrame(data, "ts string, value double").select(
+        F.col("ts").cast("timestamp").alias("__time"), "value"
+    )
+    start = base + dt.timedelta(hours=start_h)
+    end = start + dt.timedelta(hours=span_h)
+    iv = f"{start.isoformat()}Z/{end.isoformat()}Z"
+    spec = {
+        "queryType": "timeseries",
+        "granularity": gran if gran in ("hour", "day")
+        else {"type": "period", "period": gran},
+        "intervals": [iv],
+        "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total", "fieldName": "value"},
+        ],
+        "context": {"skipEmptyBuckets": skip_empty},
+    }
+    got = native_query(df, spec)
+
+    ms = {"hour": 3_600_000, "day": 86_400_000,
+          "PT6H": 21_600_000, "PT90M": 5_400_000}[gran]
+    con = duckdb.connect()
+    con.register(
+        "ev_pdf",
+        pd.DataFrame(data, columns=["ts", "value"]),
+    )
+    con.execute(
+        'CREATE TABLE ev AS SELECT CAST(ts AS TIMESTAMP) ts, '
+        'CAST("value" AS DOUBLE) AS "value" FROM ev_pdf'
+    )
+    agg = f"""
+      SELECT make_timestamp(CAST(floor(epoch_ms(ts) / {ms}) AS BIGINT)
+               * {ms} * 1000) AS "timestamp",
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS total
+      FROM ev
+      WHERE ts >= TIMESTAMP '{start}' AND ts < TIMESTAMP '{end}'
+      GROUP BY 1
+    """
+    if skip_empty:
+        sql = agg
+    else:
+        first = (start.timestamp() // (ms / 1000)) * (ms / 1000)
+        sql = f"""
+        WITH agg AS ({agg}),
+        grid AS (
+          SELECT g AS "timestamp"
+          FROM generate_series(make_timestamp(CAST({int(first)} AS
+                 BIGINT) * 1000000),
+               TIMESTAMP '{end}' - INTERVAL 1 MICROSECOND,
+               INTERVAL {ms // 1000} SECOND) AS t(g)
+          WHERE g >= make_timestamp(CAST({int(first)} AS BIGINT)
+                * 1000000))
+        SELECT g."timestamp",
+               COALESCE(a.n, 0) AS n,
+               COALESCE(a.total, 0.0) AS total
+        FROM grid g LEFT JOIN agg a USING ("timestamp")
+        """
+    _compare(got, con, sql)
