@@ -532,6 +532,29 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
     # literal (non-regex) separator, like Druid: \Q...\E-quote it
     ("STRING_TO_MV", "s STRING, sep STRING", "ARRAY<STRING>",
      r"split(s, concat('\\Q', sep, '\\E'))"),
+    # r10: the remaining MV mutators/locators (sql-multivalue-string-
+    # functions.md). NULL array in -> NULL out (Spark concat's and
+    # Druid's SQL-compatible behavior agree); the locators are
+    # 0-based OFFSET_OF / 1-based ORDINAL_OF with NULL on no match
+    ("MV_APPEND", "a ARRAY<STRING>, e STRING", "ARRAY<STRING>",
+     "concat(a, array(e))"),
+    ("MV_PREPEND", "e STRING, a ARRAY<STRING>", "ARRAY<STRING>",
+     "concat(array(e), a)"),
+    ("MV_CONCAT", "a ARRAY<STRING>, b ARRAY<STRING>", "ARRAY<STRING>",
+     "concat(a, b)"),
+    # 0-indexed [start, end) with ARRAY_SLICE's guard semantics: bad
+    # start answers NULL, end past the array clamps (strings pad as
+    # NULL elements in ARRAY_SLICE; MV_SLICE clamps — Druid's MV form
+    # operates on the dimension's value list)
+    ("MV_SLICE", "a ARRAY<STRING>, s INT, e INT", "ARRAY<STRING>",
+     "CASE WHEN s >= 0 AND e >= s AND s <= size(a) "
+     "THEN slice(a, s + 1, least(e, size(a)) - s) END"),
+    ("MV_OFFSET_OF", "a ARRAY<STRING>, e STRING", "INT",
+     "CASE WHEN array_position(a, e) > 0 "
+     "THEN CAST(array_position(a, e) - 1 AS INT) END"),
+    ("MV_ORDINAL_OF", "a ARRAY<STRING>, e STRING", "INT",
+     "CASE WHEN array_position(a, e) > 0 "
+     "THEN CAST(array_position(a, e) AS INT) END"),
     # Druid 24+ nested-column JSON family (nested-columns.md) on
     # Spark's VARIANT/json builtins. Deliberate documented subset:
     # JSON_VALUE is the 2-arg form here (the RETURNING clause is

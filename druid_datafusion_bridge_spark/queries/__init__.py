@@ -67,6 +67,7 @@ NEW_IN_R10: tuple[str, ...] = (
     "fd_ipv4_sql_text",
     "nq_expression_filter_family",
     "mm_bmp_decode",
+    "fd_mv_extended_sql_text",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed

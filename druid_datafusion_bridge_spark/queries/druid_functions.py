@@ -1184,3 +1184,51 @@ def fd_ipv4_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ips
         """
     )
+
+
+@query(
+    "fd_mv_extended_sql_text",
+    oracle="""
+    WITH w AS (
+      SELECT p_partkey, string_split(p_name, ' ') AS words
+      FROM part WHERE p_partkey <= 400)
+    SELECT p_partkey,
+           array_to_string(
+             list_append(list_prepend('<s>', words), '</s>'), '|')
+             AS framed,
+           array_to_string(words[2:3], '|') AS middle,
+           CAST(NULLIF(list_position(words, 'red'), 0) - 1 AS DOUBLE)
+             AS red_offset,
+           CAST(NULLIF(list_position(words, 'red'), 0) AS DOUBLE)
+             AS red_ordinal
+    FROM w ORDER BY p_partkey
+    """,
+)
+def fd_mv_extended_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r10 MV mutators/locators as raw SQL text
+    (sql-multivalue-string-functions.md): MV_PREPEND + MV_APPEND frame
+    each part name's word list with sentinels (MV_CONCAT composes the
+    same way), MV_SLICE cuts the 0-indexed [1, 3) middle window, and
+    MV_OFFSET_OF / MV_ORDINAL_OF locate 'red' (NULL when absent;
+    DuckDB's list_position answers 0 on no match, so the oracle
+    NULLIFs it). All Catalyst-inlined SQL UDFs
+    over one scan."""
+    register_druid_sql_functions(spark)
+    table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        WITH w AS (
+          SELECT p_partkey, STRING_TO_MV(p_name, ' ') AS words
+          FROM part WHERE p_partkey <= 400)
+        SELECT p_partkey,
+               MV_TO_STRING(
+                 MV_APPEND(MV_PREPEND('<s>', words), '</s>'), '|')
+                 AS framed,
+               MV_TO_STRING(MV_SLICE(words, 1, 3), '|') AS middle,
+               CAST(MV_OFFSET_OF(words, 'red') AS DOUBLE)
+                 AS red_offset,
+               CAST(MV_ORDINAL_OF(words, 'red') AS DOUBLE)
+                 AS red_ordinal
+        FROM w ORDER BY p_partkey
+        """
+    )

@@ -532,3 +532,31 @@ def test_ipv4_functions(spark):
     assert (r["m_in"], r["m_out"], r["m_all"], r["m_exact"]) == (
         True, False, True, True)
     assert r["m_badp"] is None
+
+
+def test_mv_extended_sql_functions(spark):
+    """The r10 MV mutators/locators: append/prepend/concat/slice and
+    the 0/1-based locators with NULL on no match and NULL-array
+    passthrough."""
+    from druid_datafusion_bridge_spark.functions.druid_sql import (
+        register_druid_sql_functions,
+    )
+
+    register_druid_sql_functions(spark)
+    r = spark.sql(
+        "SELECT MV_APPEND(array('a','b'), 'c') AS ap,"
+        " MV_PREPEND('z', array('a')) AS pre,"
+        " MV_CONCAT(array('a'), array('b','c')) AS cc,"
+        " MV_APPEND(CAST(NULL AS ARRAY<STRING>), 'x') AS ap_null,"
+        " MV_SLICE(array('a','b','c','d'), 1, 3) AS sl,"
+        " MV_SLICE(array('a','b'), 1, 9) AS sl_clamp,"
+        " MV_SLICE(array('a','b'), -1, 1) AS sl_bad,"
+        " MV_OFFSET_OF(array('a','b'), 'b') AS off,"
+        " MV_ORDINAL_OF(array('a','b'), 'b') AS ordn,"
+        " MV_OFFSET_OF(array('a','b'), 'z') AS off_miss"
+    ).first()
+    assert r["ap"] == ["a", "b", "c"] and r["pre"] == ["z", "a"]
+    assert r["cc"] == ["a", "b", "c"] and r["ap_null"] is None
+    assert r["sl"] == ["b", "c"] and r["sl_clamp"] == ["b"]
+    assert r["sl_bad"] is None
+    assert (r["off"], r["ordn"], r["off_miss"]) == (1, 2, None)
