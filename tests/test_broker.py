@@ -2356,3 +2356,17 @@ def test_sql_window_functions_text(shim):
         {"channel": "en", "delta": 5, "running": 5, "rk": 3},
         {"channel": "en", "delta": 7, "running": 12, "rk": 2},
     ]
+
+
+def test_sql_pivot_unpivot_text(shim):
+    """Druid 29's PIVOT / UNPIVOT SQL clauses POSTed as text: the ANSI
+    forms run verbatim (Spark shares the syntax)."""
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "SELECT * FROM (SELECT channel, delta FROM wikipedia) "
+                 "PIVOT (SUM(delta) FOR channel IN "
+                 "('en' AS en, 'de' AS de))"})
+    assert rows == [{"en": 12, "de": 11}]
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "SELECT ch, v FROM (SELECT 1 AS en, 2 AS de) "
+                 "UNPIVOT (v FOR ch IN (en, de)) ORDER BY ch"})
+    assert rows == [{"ch": "de", "v": 2}, {"ch": "en", "v": 1}]
