@@ -930,6 +930,32 @@ def _ds_render(name: str, args: list[str]) -> str:
             nxt_w = f"timestamp_millis(unix_millis({fw}) + {p_ms})"
         nxt = f"to_utc_timestamp({nxt_w}, {tz})" if tz else nxt_w
         return f"CASE WHEN {fl} = {ts0} THEN {ts0} ELSE {nxt} END"
+    if name in ("TRUNCATE", "TRUNC"):
+        # Druid's numeric truncate-toward-zero (sql-scalar.md):
+        # TRUNCATE(x[, digits]); TRUNC is its alias. (Lowercase trunc
+        # stays Spark's date truncation — see the skip list.)
+        if len(args) not in (1, 2):
+            raise ValueError(f"{name} takes 1 or 2 arguments")
+        x = args[0]
+        d = args[1] if len(args) == 2 else "0"
+        fac = f"power(10, ({d}))"
+        return (
+            f"CASE WHEN ({x}) >= 0 THEN floor(({x}) * {fac}) / {fac} "
+            f"ELSE ceil(({x}) * {fac}) / {fac} END"
+        )
+    if name == "PARSE_LONG":
+        # PARSE_LONG(s[, radix]) -> BIGINT or NULL on unparsable input
+        # (SQL-compatible mode). Radix-10 is a plain TRY_CAST; other
+        # radixes ride conv() (which reads negative values as their
+        # unsigned two's-complement form — documented divergence for
+        # negative non-decimal inputs, which Druid itself rejects).
+        if len(args) == 1 or args[-1].strip() == "10":
+            return f"TRY_CAST({args[0]} AS BIGINT)"
+        if len(args) != 2:
+            raise ValueError("PARSE_LONG takes 1 or 2 arguments")
+        return (
+            f"TRY_CAST(conv({args[0]}, {args[1]}, 10) AS BIGINT)"
+        )
     if name.startswith("HUMAN_READABLE_"):
         # arity normalization only: the scalar UDFs are 2-arg
         # (value, precision); Druid's 1-arg form defaults precision 2
@@ -1089,6 +1115,9 @@ _DS_NAMES = (
     # longest name
     "DS_QUANTILES_SKETCH", "DS_GET_QUANTILES", "DS_GET_QUANTILE",
     "DS_HISTOGRAM", "DS_RANK", "DS_CDF",
+    # numeric truncate + radix parse (r10); TRUNCATE before TRUNC for
+    # longest-name alternation
+    "TRUNCATE", "TRUNC", "PARSE_LONG",
     "JSON_OBJECT", "JSON_VALUE",
     # time-ordered value aggregates + array/name-swap family (r9):
     # _BY and _AGG spellings listed before their prefixes so the
@@ -1252,7 +1281,10 @@ def rewrite_datasketches_sql(sql: str) -> str:
             # IDEMPOTENT (rendered output — CASTs, nullif wrappers —
             # never re-matches; fuzz-pinned)
             if cand.group(1) in ("hll_sketch_estimate",
-                                 "regexp_extract", "string_agg"):
+                                 "regexp_extract", "string_agg",
+                                 "trunc"):
+                # lowercase trunc stays Spark's DATE truncation — only
+                # the Druid spellings mean numeric truncate-toward-zero
                 continue
             if mask[cand.start()]:
                 m = cand

@@ -560,3 +560,22 @@ def test_mv_extended_sql_functions(spark):
     assert r["sl"] == ["b", "c"] and r["sl_clamp"] == ["b"]
     assert r["sl_bad"] is None
     assert (r["off"], r["ordn"], r["off_miss"]) == (1, 2, None)
+
+
+def test_truncate_and_parse_long_rewrite(spark):
+    """TRUNCATE/TRUNC (numeric, toward zero) and PARSE_LONG (radix)
+    rewrites; lowercase trunc stays Spark's date truncation."""
+    from druid_datafusion_bridge_spark.functions.druid_sql import (
+        rewrite_datasketches_sql,
+    )
+
+    r = spark.sql(rewrite_datasketches_sql(
+        "SELECT TRUNCATE(3.789) AS t0, TRUNCATE(3.789, 2) AS t2,"
+        " TRUNC(-3.789, 1) AS tn,"
+        " PARSE_LONG('42') AS p10, PARSE_LONG('ff', 16) AS p16,"
+        " PARSE_LONG('junk') AS pbad,"
+        " trunc(DATE '2024-05-17', 'MM') AS dt"
+    )).first()
+    assert (r["t0"], r["t2"], r["tn"]) == (3.0, 3.78, -3.7)
+    assert (r["p10"], r["p16"], r["pbad"]) == (42, 255, None)
+    assert str(r["dt"]).startswith("2024-05-01")
