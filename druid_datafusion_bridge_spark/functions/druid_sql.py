@@ -768,6 +768,22 @@ def _ds_render(name: str, args: list[str]) -> str:
         # (expr, prob[, k]) -> percentile_approx at default accuracy;
         # Druid returns DOUBLE
         return f"CAST(percentile_approx({a(args[:2])}) AS DOUBLE)"
+    if name == "TDIGEST_GENERATE_SKETCH":
+        # tdigestsketch-quantiles.md: same consumable-marker shape as
+        # DS_QUANTILES_SKETCH (the compression arg is an accuracy knob
+        # with no Spark twin and is dropped)
+        return f"DDBS_QSK({args[0]})"
+    if name == "TDIGEST_QUANTILE":
+        m = re.fullmatch(r"(?s)\s*DDBS_QSK\((.*)\)\s*", args[0])
+        if not m:
+            raise ValueError(
+                "TDIGEST_QUANTILE must wrap TDIGEST_GENERATE_SKETCH"
+                "(expr) directly (sketch columns only exist via "
+                "COMPLEX ingestion)"
+            )
+        return (
+            f"CAST(percentile_approx({m.group(1)}, {args[1]}) AS DOUBLE)"
+        )
     if name == "DS_QUANTILES_SKETCH":
         # (expr[, k]) — renders a MARKER the consuming function unwraps
         # (datasketches-quantiles.md). Sketch objects flow as columns
@@ -1118,6 +1134,8 @@ _DS_NAMES = (
     # numeric truncate + radix parse (r10); TRUNCATE before TRUNC for
     # longest-name alternation
     "TRUNCATE", "TRUNC", "PARSE_LONG",
+    # t-digest pair (r10): marker + consumer, like the DS quantiles
+    "TDIGEST_GENERATE_SKETCH", "TDIGEST_QUANTILE",
     "JSON_OBJECT", "JSON_VALUE",
     # time-ordered value aggregates + array/name-swap family (r9):
     # _BY and _AGG spellings listed before their prefixes so the

@@ -579,3 +579,26 @@ def test_truncate_and_parse_long_rewrite(spark):
     assert (r["t0"], r["t2"], r["tn"]) == (3.0, 3.78, -3.7)
     assert (r["p10"], r["p16"], r["pbad"]) == (42, 255, None)
     assert str(r["dt"]).startswith("2024-05-01")
+
+
+def test_tdigest_sql_pair(spark):
+    """TDIGEST_GENERATE_SKETCH + TDIGEST_QUANTILE: the t-digest module
+    pair rides the quantiles marker machinery; unwrapped usage loud."""
+    from druid_datafusion_bridge_spark.functions.druid_sql import (
+        register_druid_sql_functions,
+        rewrite_datasketches_sql,
+    )
+
+    register_druid_sql_functions(spark)
+    spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)], "v double"
+    ).createOrReplaceTempView("td")
+    row = spark.sql(rewrite_datasketches_sql(
+        "SELECT TDIGEST_QUANTILE(TDIGEST_GENERATE_SKETCH(v), 0.5) AS p50,"
+        " TDIGEST_QUANTILE(TDIGEST_GENERATE_SKETCH(v, 200), 0.9) AS p90 "
+        "FROM td"
+    )).first()
+    assert row["p50"] == 50.0 and row["p90"] == 90.0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="TDIGEST_GENERATE_SKETCH"):
+        rewrite_datasketches_sql("SELECT TDIGEST_QUANTILE(v, 0.5) FROM td")
