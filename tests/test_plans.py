@@ -553,3 +553,15 @@ def test_ivfpq_persisted_reads_only_probed_cells(spark, tmp_path):
     rows = df.collect()
     assert 0 < len(rows) <= 10
     assert all(r["probe_id"] == 0 and r["vec_id"] != 0 for r in rows)
+
+
+def test_lm_familiarity_model_broadcasts(spark):
+    """The CCNet-shape filter ships the MODEL, never the corpus: the
+    scoring join must be a BroadcastHashJoin (the reference-slice
+    trigram model is bounded by construction — CCNet's is one
+    Wikipedia snapshot — while the scored corpus is not)."""
+    df = all_queries()["txp_lm_familiarity_filter"](spark, SF_DIR)
+    strategies = join_strategies(df)
+    assert strategies and all(
+        s == "BroadcastHashJoin" for s in strategies
+    ), strategies
