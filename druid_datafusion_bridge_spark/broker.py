@@ -205,6 +205,11 @@ class DruidBrokerShim(CoordinatorAPIMixin, OverlordAPIMixin):
         # daemon duty thread (started on first config) heals
         # fragmentation the way Druid's coordinator compaction duty does
         self._compaction_configs: dict[str, dict] = {}
+        # coordinator dynamic config overrides (POST /coordinator/v1/
+        # config merges over the documented defaults; in-memory — the
+        # knobs steer components a single-process engine doesn't run,
+        # so the surface exists for console/ops-client parity)
+        self._dynamic_config_overrides: dict = {}
         self._compaction_period_s = 30.0
         self._compaction_stop = threading.Event()
         self._compaction_thread: threading.Thread | None = None

@@ -12,9 +12,45 @@ import threading
 from .native_query import native_query
 
 
+# Druid's coordinator dynamic-config defaults (coordinator-dynamic-
+# config docs) — the document the console GETs on load
+_DYNAMIC_CONFIG_DEFAULTS = {
+    "millisToWaitBeforeDeleting": 900000,
+    "maxSegmentsToMove": 100,
+    "replicantLifetime": 15,
+    "replicationThrottleLimit": 500,
+    "balancerComputeThreads": 1,
+    "killDataSourceWhitelist": [],
+    "killPendingSegmentsSkipList": [],
+    "maxSegmentsInNodeLoadingQueue": 500,
+    "decommissioningNodes": [],
+    "pauseCoordination": False,
+    "replicateAfterLoadTimeout": False,
+    "smartSegmentLoading": True,
+}
+
+
 class CoordinatorAPIMixin:
     """Coordinator-plane methods of :class:`DruidBrokerShim` (split out
     of broker.py at 3.5k lines; behavior unchanged)."""
+
+    def _get_dynamic_config(self) -> dict:
+        """GET /druid/coordinator/v1/config: defaults overlaid with any
+        POSTed overrides (the console's first coordinator call)."""
+        with self._lock:
+            return {**_DYNAMIC_CONFIG_DEFAULTS,
+                    **self._dynamic_config_overrides}
+
+    def _set_dynamic_config(self, body: dict) -> dict:
+        """POST /druid/coordinator/v1/config: merge-update, like real
+        Druid (unknown keys are accepted and echoed — Druid tolerates
+        forward-compat fields)."""
+        if not isinstance(body, dict):
+            raise ValueError("dynamic config body must be an object")
+        with self._lock:
+            self._dynamic_config_overrides.update(body)
+            return {**_DYNAMIC_CONFIG_DEFAULTS,
+                    **self._dynamic_config_overrides}
 
     def _rules_path(self) -> str | None:
         import os

@@ -166,6 +166,8 @@ def make_handler(shim) -> type:  # noqa: N805 - handler factory
                             shim._compaction_configs.values(),
                             key=lambda c: c["dataSource"],
                         )})
+            elif path == "/druid/coordinator/v1/config":
+                self._send(200, shim._get_dynamic_config())
             elif path == "/druid/coordinator/v1/rules":
                 self._send(200, shim._get_rules())
             elif path == "/druid/coordinator/v1/rules/history":
@@ -457,6 +459,11 @@ def make_handler(shim) -> type:  # noqa: N805 - handler factory
                     self._send(
                         200, shim._set_compaction_config(body)
                     )
+                    return
+                elif self.path.split("?", 1)[0] == (
+                    "/druid/coordinator/v1/config"
+                ):
+                    self._send(200, shim._set_dynamic_config(body))
                     return
                 elif self.path.startswith(
                     "/druid/coordinator/v1/lookups/config/__default/"

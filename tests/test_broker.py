@@ -2370,3 +2370,23 @@ def test_sql_pivot_unpivot_text(shim):
         "query": "SELECT ch, v FROM (SELECT 1 AS en, 2 AS de) "
                  "UNPIVOT (v FOR ch IN (en, de)) ORDER BY ch"})
     assert rows == [{"ch": "de", "v": 2}, {"ch": "en", "v": 1}]
+
+
+def test_coordinator_dynamic_config(shim):
+    """GET/POST /druid/coordinator/v1/config: Druid's defaults overlaid
+    with merge-updates (the console's first coordinator call)."""
+    with urllib.request.urlopen(
+        shim + "/druid/coordinator/v1/config"
+    ) as r:
+        cfg = json.loads(r.read())
+    assert cfg["maxSegmentsToMove"] == 100
+    assert cfg["smartSegmentLoading"] is True
+    out = _post(shim + "/druid/coordinator/v1/config",
+                {"maxSegmentsToMove": 42, "pauseCoordination": True})
+    assert out["maxSegmentsToMove"] == 42 and out["pauseCoordination"]
+    with urllib.request.urlopen(
+        shim + "/druid/coordinator/v1/config"
+    ) as r:
+        cfg = json.loads(r.read())
+    assert cfg["maxSegmentsToMove"] == 42
+    assert cfg["replicantLifetime"] == 15  # untouched defaults remain
