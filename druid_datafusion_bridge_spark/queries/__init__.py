@@ -41,80 +41,25 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # at ENTRY granularity and retired the never-sampled backlog: after
 # r7's driver run EVERY registry entry has at least one driver
 # correctness row, so since r8 the window's job is keeping the evidence
-# FRESH. r10 ROTATION (fixed at round-10 start, 2026-08-16): slots go
-# first to round 10's OWN new queries (never sampled; appended to
-# NEW_IN_R10 in the same commit that registers them), then to
+# FRESH. r11 ROTATION (fixed at round-11 start, 2026-08-16): slots go
+# first to round 11's OWN new queries (never sampled; appended to
+# NEW_IN_R11 in the same commit that registers them), then to
 # DELIBERATE RE-SAMPLES of the entries whose newest driver rows are
-# OLDEST — after r9's 41 refreshes the stalest evidence is the r4
-# block (f_cast/json/bitwise, j9*, sim_* r4 family, txt_* r4 family,
-# tn_*, dm_search_dims; 20 rows) followed by the r5 block
-# (flagship_rollup — explicitly given a slot this round so the
-# headline query regains headline-fresh hash evidence — then the
-# txp_/mm_ r5 families and the q* TPC-H suite), in evidence-age then
-# registry order — trimmed to the 50-slot window capacity. Entries
-# squeezed out by new r10 queries stay the stalest and lead r11's
-# window.
-NEW_IN_R10: tuple[str, ...] = (
-    # r10 new queries, appended as they land (they take priority slots)
-    "nq_unnest_datasource",
-    "nq_lookup_datasource",
-    "fd_theta_sql_text",
-    "fd_time_floor_period_origin",
-    "nq_timeseries_grand_total",
-    "txp_lm_familiarity_filter",
-    "fd_quantiles_sql_text",
-    "fd_unnest_sql_text",
-    "fd_ipv4_sql_text",
-    "nq_expression_filter_family",
-    "mm_bmp_decode",
-    "fd_mv_extended_sql_text",
+# OLDEST — after r10's refresh the stalest evidence is the r5 TPC-H
+# block (19 q* rows), then the r6 block (50 rows), ordered per the r10
+# VERDICT directive: the judge-named r6 families (an_*, cx_*, j10–j12,
+# s1e–s1i, s5b, the dd_ ngram/cluster family, the sink round-trips)
+# first, then the remaining r6 rows in registry order — trimmed to the
+# 50-slot window capacity. Entries squeezed out by new r11 queries stay
+# the stalest and lead r12's window.
+NEW_IN_R11: tuple[str, ...] = (
+    # r11 new queries, appended as they land (they take priority slots)
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed
-# from the union of CORRECTNESS_r01–r09 at round-10 start.
+# from the union of CORRECTNESS_r01–r10 at round-11 start.
 STALE_RESAMPLES: tuple[str, ...] = (
-    # newest driver row is r4 (registry order)
-    "f_cast_functions",
-    "f_json_functions",
-    "f_bitwise_functions",
-    "j9_asof_join",
-    "j9b_range_join",
-    "sim_bruteforce_topk",
-    "sim_topk_per_probe",
-    "sim_lsh_topk",
-    "sim_embedding_neardup",
-    "sim_ivf_topk",
-    "sim_group_centroid",
-    "txt_token_stats",
-    "txt_quality_score",
-    "txt_lang_id",
-    "txt_fingerprint",
-    "txt_tfidf_top_terms",
-    "txt_keyword_search",
-    "tn_topn_exact",
-    "tn_topn_two_phase",
-    "dm_search_dims",
-    # newest driver row is r5 — flagship first (VERDICT r9 'What's
-    # wrong' #3: its newest hash evidence dates to r5 and entry() only
-    # smoke-checks rows>0), then registry order
-    "flagship_rollup",
-    "txp_curation_pipeline",
-    "txp_group_sample",
-    "txp_bpe_pair_counts",
-    "txp_markup_strip",
-    "txp_url_extract",
-    "mm_binary_meta",
-    "mm_feature_extract",
-    "mm_frame_sample",
-    "mm_resize",
-    "mm_frame_energy",
-    "mm_ppm_decode",
-    "mm_wav_decode",
-    "mm_ppm_resize",
-    "mm_wav_resample",
-    "mm_video_frames",
-    "mm_png_decode",
-    "q1_pricing_summary",
+    # newest driver row is r5: the TPC-H block (registry order)
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
@@ -134,9 +79,62 @@ STALE_RESAMPLES: tuple[str, ...] = (
     "q13_customer_distribution",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
+    # newest driver row is r6 — judge-named families first (VERDICT r10
+    # directive #1), then the rest in registry order
+    "an_funnel_steps",
+    "an_retention_cohorts",
+    "an_funnel_windowed",
+    "an_anomaly_zscore",
+    "an_weighted_moving_avg",
+    "cx_theta_set_ops",
+    "cx_count_min_heavy",
+    "cx_qhist_rollup_merge",
+    "j10_salted_skew_join",
+    "j11_bloom_semi_reduction",
+    "j12_bucketed_colocated_join",
+    "s1e_druid_segment_zstd_scan",
+    "s1f_druid_segment_in_filter",
+    "s1g_druid_segment_mvd_in_filter",
+    "s1h_druid_segment_metric_prune",
+    "s1i_druid_segment_dim_bound_filter",
+    "s5b_smoosh_multichunk_scan",
+    "dd_ngram_jaccard",
+    "dd_duplicate_clusters",
+    "dd_shared_passages",
+    "dd_cluster_keep_best",
+    "s9_json_sink_roundtrip",
+    "s10_csv_sink_roundtrip",
+    "s11b_partition_prune_scan",
+    # remaining r6 rows, registry order
+    "q18_large_volume_customer",
+    "q22_dormant_customers",
+    "st_session_rollup",
+    "st_dedup_within_watermark",
+    "st_sliding_rollup",
+    "st_stateful_user_totals",
+    "st_stream_static_join",
+    "st_stream_stream_join",
+    "st_batch_sessionize",
+    "st_topn_rollup",
+    "st_segment_handoff_query",
+    "em_int8_quantize",
+    "em_dim_stats",
+    "em_truncate_rerank",
+    "sim_ivf_incremental",
+    "em_pq_quantize",
+    "prof_column_stats",
+    "dm_rollup_interpolate",
+    "dm_segment_metadata",
+    "fd_interval_regex_base64",
+    "fd_string_array_agg",
+    "fd_unnest",
+    "fd_json_value",
+    "a13b_equidepth_histogram",
+    "sim_range_search",
+    "sim_knn_graph",
 )
 
-ROTATION: tuple[str, ...] = (NEW_IN_R10 + STALE_RESAMPLES)[:50]
+ROTATION: tuple[str, ...] = (NEW_IN_R11 + STALE_RESAMPLES)[:50]
 
 
 def _apply_rotation() -> None:

@@ -6,10 +6,10 @@ correctness row — so since r8 the rotation follows a STALENESS policy:
 the round's own new queries (never sampled) take priority slots, and
 the rest of the window deliberately RE-SAMPLES the entries whose newest
 driver rows are oldest, refreshing the evidence that ages a round
-further each cycle. For r10 that is the r4 block (f_*/j9*/sim_*/txt_*/
-tn_*/dm_search_dims) then the r5 block (flagship_rollup first — the
-headline query's hash evidence dated to r5 — then txp_/mm_/q*). An
-accidental reorder would silently burn the round's slots on
+further each cycle. For r11 that is the r5 TPC-H block (19 q* rows)
+then the r6 block, judge-named families first (an_*/cx_*/j10–j12/
+s1e–s1i/s5b/dd_ ngram+clusters/sink round-trips) then registry order.
+An accidental reorder would silently burn the round's slots on
 freshly-green queries — this test makes that a loud failure.
 
 UPDATE DELIBERATELY each rotation, together with ROTATION itself."""
@@ -17,17 +17,17 @@ UPDATE DELIBERATELY each rotation, together with ROTATION itself."""
 from __future__ import annotations
 
 from druid_datafusion_bridge_spark.queries import (
-    NEW_IN_R10,
+    NEW_IN_R11,
     ROTATION,
     STALE_RESAMPLES,
     all_queries,
 )
 
-CURRENT_ROUND = 10
+CURRENT_ROUND = 11
 # Entries whose newest driver row is from a round <= this are "stale"
-# and eligible for a deliberate re-sample slot this round. At r10 start
-# the oldest evidence is r4 (20 rows) then r5 (37 rows).
-STALE_THRESHOLD = 5
+# and eligible for a deliberate re-sample slot this round. At r11 start
+# the oldest evidence is r5 (19 rows) then r6 (50 rows).
+STALE_THRESHOLD = 6
 
 
 def test_driver_sample_window_matches_rotation_plan():
@@ -35,21 +35,22 @@ def test_driver_sample_window_matches_rotation_plan():
     assert len(ROTATION) == 50  # backlog is zero; fill every slot
     # the window prefix IS the plan, in plan order
     assert names[: len(ROTATION)] == list(ROTATION)
-    # new r10 queries take priority slots, staleness re-samples follow
-    assert list(ROTATION) == (list(NEW_IN_R10) + list(STALE_RESAMPLES))[:50]
-    # spot-pin the staleness ordering: the r4 block heads the re-samples
+    # new r11 queries take priority slots, staleness re-samples follow
+    assert list(ROTATION) == (list(NEW_IN_R11) + list(STALE_RESAMPLES))[:50]
+    # spot-pin the staleness ordering: the r5 TPC-H block heads the
+    # re-samples
     assert STALE_RESAMPLES[:3] == (
-        "f_cast_functions",
-        "f_json_functions",
-        "f_bitwise_functions",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q6_forecast_revenue",
     )
-    # flagship_rollup heads the r5 block (VERDICT r9: headline query
-    # deserves headline-fresh hash evidence)
-    assert STALE_RESAMPLES[20] == "flagship_rollup"
+    # the judge-named r6 families head the r6 block (VERDICT r10 #1)
+    assert STALE_RESAMPLES[19] == "an_funnel_steps"
     # spot-pins drawn from the FRONT of the stale list so they stay in
-    # the window even as NEW_IN_R10 grows and squeezes the tail
-    for must in ("f_cast_functions", "j9_asof_join", "sim_bruteforce_topk",
-                 "txt_lang_id", "flagship_rollup"):
+    # the window even as NEW_IN_R11 grows and squeezes the tail
+    for must in ("q3_shipping_priority", "q9_product_profit",
+                 "q21_waiting_suppliers", "an_funnel_steps",
+                 "cx_theta_set_ops", "j10_salted_skew_join"):
         assert must in ROTATION, must
 
 
@@ -57,11 +58,11 @@ def test_rotation_wastes_no_window_slot():
     """No window slot may re-sample a query that already has a driver
     correctness row (CORRECTNESS_r*.json) unless listed as a deliberate
     re-sample — re-sampling green queries burns the round's evidence.
-    r10 policy: STALE_RESAMPLES *is* the deliberate re-sample list — the
+    r11 policy: STALE_RESAMPLES *is* the deliberate re-sample list — the
     backlog of never-sampled entries is zero, so the window's job is to
-    refresh the OLDEST driver evidence (r4–r5 rows). Anything sampled
-    in the window must be either brand-new (NEW_IN_R10) or a declared
-    stale re-sample. NEW_IN_R10 entries are exempt even after this
+    refresh the OLDEST driver evidence (r5–r6 rows). Anything sampled
+    in the window must be either brand-new (NEW_IN_R11) or a declared
+    stale re-sample. NEW_IN_R11 entries are exempt even after this
     round's own driver artifact lands (ADVICE r9: the current round's
     artifact must not retroactively mark its own new queries wasted)."""
     import glob
@@ -78,7 +79,7 @@ def test_rotation_wastes_no_window_slot():
         with open(f, encoding="utf-8") as fh:
             for name in json.load(fh):
                 latest[name] = max(latest.get(name, 0), rnd)
-    deliberate = set(STALE_RESAMPLES) | set(NEW_IN_R10)
+    deliberate = set(STALE_RESAMPLES) | set(NEW_IN_R11)
     names = list(all_queries())
     wasted = [
         n for n in names[: len(ROTATION)]
@@ -86,11 +87,11 @@ def test_rotation_wastes_no_window_slot():
     ]
     assert not wasted, wasted
     # and the declared re-samples must actually BE stale (driver row
-    # r5 or older) — re-declaring fresh entries would defeat the policy.
+    # r6 or older) — re-declaring fresh entries would defeat the policy.
     # Rows from rounds AFTER the current one (the driver's post-round
     # artifact for CURRENT_ROUND itself) are the designed tripwire
-    # ordering the next flip: once CORRECTNESS_r10.json lands, the
-    # refreshed re-samples go red here until r11 rewrites ROTATION.
+    # ordering the next flip: once CORRECTNESS_r11.json lands, the
+    # refreshed re-samples go red here until r12 rewrites ROTATION.
     not_stale = [
         n for n in STALE_RESAMPLES if latest.get(n, 0) > STALE_THRESHOLD
     ]
