@@ -35,11 +35,19 @@ negated comparison never matches null. That is exactly Spark's (and
 the DuckDB oracle's) three-valued logic.
 
 Deliberate upgrades, documented:
-- ``cardinality`` / ``hyperUnique`` / ``thetaSketch`` aggregators
-  compute EXACT distinct counts (Spark count_distinct) — a strict
-  accuracy upgrade over Druid's sketches; the engine's own sketch
-  family (operators/sketches.py) remains available where the sketch
-  semantics themselves are wanted.
+- ``cardinality`` / ``hyperUnique`` / ``thetaSketch`` /
+  ``HLLSketchBuild`` / ``HLLSketchMerge`` aggregators compute EXACT
+  distinct counts (Spark count_distinct) — a strict accuracy upgrade
+  over Druid's sketches; the engine's own sketch family
+  (operators/sketches.py) remains available where the sketch semantics
+  themselves are wanted.
+- ``quantilesDoublesSketch`` finalizes to the exact stream length (as
+  Druid's does) and its consumer post-aggregators
+  (ToQuantile/ToQuantiles/ToHistogram/ToRank) compile to exact
+  aggregates in the SAME single groupBy pass — within every
+  DataSketches error bound by construction.
+- ``fixedBucketsHistogram`` surfaces its bucket counts as a typed
+  array (exact, mergeable) instead of an opaque serialized blob.
 - ``search`` evaluates over the scanned rows; Druid's index-only
   variant exists as the no-Spark CLI (cli.py search) and the
   dictionary-index paths (sources/segment.py matching_value_ids).
@@ -380,11 +388,51 @@ def _aggregator(a: dict, time_col: str) -> Column:
         # Druid's ANY aggregators: any encountered value, engine's
         # choice (both engines document the nondeterminism)
         return F.any_value(_c(field), ignoreNulls=True).alias(name)
-    if kind in ("cardinality", "hyperUnique", "thetaSketch"):
+    if kind in ("cardinality", "hyperUnique", "thetaSketch",
+                "HLLSketchBuild", "HLLSketchMerge"):
         # "fields" is the documented modern key (Druid 0.9.2+);
-        # "fieldNames" the legacy one — accept both
+        # "fieldNames" the legacy one — accept both. HLLSketchBuild /
+        # HLLSketchMerge (datasketches-hll.md) finalize to the distinct
+        # estimate; here that is the EXACT distinct count (module
+        # docstring: documented upgrade).
         fields = a.get("fields") or a.get("fieldNames") or [field]
         return F.count_distinct(*[_c(c) for c in fields]).alias(name)
+    if kind == "quantilesDoublesSketch":
+        # datasketches-quantiles.md: the aggregator's FINALIZED value is
+        # the sketch's stream length N (count of non-null updates); the
+        # quantile asks live in the consumer post-aggregators, which
+        # compile to exact aggregates at agg time (_consumer_agg). The
+        # accuracy knob k is irrelevant under the exact upgrade.
+        return F.count(_c(field)).alias(name)
+    if kind == "fixedBucketsHistogram":
+        # fixed-buckets-histogram.md: numBuckets equal-width counters
+        # over [lowerLimit, upperLimit). Finalized here as the bucket
+        # count array itself (the histogram's information content)
+        # instead of Druid's opaque serialized blob — exact, typed,
+        # mergeable by addition; same counter-table design as the
+        # persisted COMPLEX qhist column (queries/druid_source.py).
+        lo = float(a["lowerLimit"])
+        hi = float(a["upperLimit"])
+        nb = int(a["numBuckets"])
+        mode = a.get("outlierHandlingMode", "ignore")
+        width = (hi - lo) / nb
+        src = _c(field).cast("double")
+        pos = F.floor((src - F.lit(lo)) / F.lit(width)).cast("int")
+        if mode == "clip":
+            pos = F.greatest(F.lit(0), F.least(pos, F.lit(nb - 1)))
+            in_range = src.isNotNull()
+        elif mode == "ignore":
+            in_range = (src >= lo) & (src < hi)
+        else:
+            # "overflow" keeps outliers in side counters — a struct
+            # result, not an array; not implemented
+            raise ValueError(
+                f"unsupported outlierHandlingMode {mode!r} "
+                "(use 'clip' or 'ignore')"
+            )
+        return F.array(
+            *[F.count(F.when(in_range & (pos == b), 1)) for b in range(nb)]
+        ).alias(name)
     if kind == "filtered":
         # fold the filter into the input expression — stays ONE
         # map-side-combined aggregate, no second scan
@@ -433,10 +481,81 @@ def _numeric_agg(kind: str, col: Column) -> Column:
     return {"Min": F.min, "Max": F.max}[op_name](col.cast("double"))
 
 
+# Sketch-consumer post-aggregators (datasketches-quantiles.md): unlike
+# arithmetic post-aggs these cannot be computed from the finalized
+# aggregate (a count can't answer a quantile), so _agg_select compiles
+# each one into an exact AGGREGATE over the sketch's source column at
+# agg time, and the post-agg loops skip them.
+_SKETCH_CONSUMER_POSTAGGS = frozenset({
+    "quantilesDoublesSketchToQuantile",
+    "quantilesDoublesSketchToQuantiles",
+    "quantilesDoublesSketchToHistogram",
+    "quantilesDoublesSketchToRank",
+})
+
+
+def _consumer_source(p: dict, spec: dict) -> Column:
+    """The raw column a sketch-consumer post-agg reads: its field must
+    be a fieldAccess naming a quantilesDoublesSketch aggregator."""
+    f = p.get("field") or {}
+    if f.get("type") not in ("fieldAccess", "finalizingFieldAccess"):
+        raise ValueError(
+            f"{p['type']} field must be a fieldAccess post-aggregator"
+        )
+    ref = f["fieldName"]
+    for a in spec.get("aggregations", []):
+        if a.get("name") == ref and a["type"] == "quantilesDoublesSketch":
+            return _c(a["fieldName"]).cast("double")
+    raise ValueError(
+        f"{p['type']} references {ref!r}, which is not a "
+        "quantilesDoublesSketch aggregator in this query"
+    )
+
+
+def _consumer_agg(p: dict, spec: dict) -> Column:
+    """One sketch-consumer post-agg -> one exact aggregate Column.
+    Quantiles are Spark's exact interpolated percentile (bit-identical
+    to DuckDB quantile_cont — the a10 precedent); rank is the fraction
+    of non-null items strictly below the value (the documented Druid
+    contract); histogram bins are half-open [s_i, s_{i+1}) with
+    (-inf, s_0) first and [s_m, +inf) last, counts as doubles (Druid
+    returns double[] bin counts). All ignore nulls, as the sketch's
+    update() does."""
+    kind = p["type"]
+    src = _consumer_source(p, spec)
+    if kind == "quantilesDoublesSketchToQuantile":
+        return F.percentile(src, F.lit(float(p["fraction"])))
+    if kind == "quantilesDoublesSketchToQuantiles":
+        fracs = [float(x) for x in p["fractions"]]
+        return F.percentile(src, F.array(*[F.lit(x) for x in fracs]))
+    if kind == "quantilesDoublesSketchToHistogram":
+        pts = [float(x) for x in p["splitPoints"]]
+        bins = []
+        for i in range(len(pts) + 1):
+            if i == 0:
+                cond = src < pts[0]
+            elif i == len(pts):
+                cond = src >= pts[-1]
+            else:
+                cond = (src >= pts[i - 1]) & (src < pts[i])
+            bins.append(F.count(F.when(cond, 1)).cast("double"))
+        return F.array(*bins)
+    if kind == "quantilesDoublesSketchToRank":
+        v = float(p["value"])
+        return F.avg(F.when(src < v, 1.0).when(src >= v, 0.0))
+    raise ValueError(f"unsupported sketch consumer {kind!r}")
+
+
 def _post_agg(p: dict) -> Column:
     """postAggregations: arithmetic over already-computed aggregate
     columns (public Druid post-aggregations.md)."""
     kind = p["type"]
+    if kind in _SKETCH_CONSUMER_POSTAGGS:
+        raise ValueError(
+            f"{kind} must be a TOP-LEVEL postAggregation (it compiles "
+            "to an aggregate; nesting it inside arithmetic is not "
+            "supported — name it, then reference it by fieldAccess)"
+        )
     if kind in ("fieldAccess", "finalizingFieldAccess"):
         return F.col(p["fieldName"])
     if kind == "constant":
@@ -477,6 +596,20 @@ def _post_agg(p: dict) -> Column:
         # our hyperUnique aggregator computes EXACT distinct counts, so
         # the finalizer is a plain column read (Druid returns double)
         return F.col(p["fieldName"]).cast("double")
+    if kind in ("HLLSketchEstimate", "thetaSketchEstimate"):
+        # exact upgrade: the estimate IS the aggregator's value
+        # (datasketches-hll.md / datasketches-theta.md). HLL's round
+        # option surfaces as a long.
+        f = p.get("field") or {}
+        col = F.col(f["fieldName"])
+        if kind == "HLLSketchEstimate" and p.get("round"):
+            return col.cast("long")
+        return col.cast("double")
+    if kind == "HLLSketchEstimateWithBounds":
+        # exact upgrade: zero-width interval [estimate, estimate,
+        # estimate] regardless of numStdDevs
+        est = F.col((p.get("field") or {})["fieldName"]).cast("double")
+        return F.array(est, est, est)
     raise ValueError(f"unsupported postAggregation type {kind!r}")
 
 
@@ -642,6 +775,14 @@ def _agg_select(
         keys.append(bucket.alias("timestamp"))
     keys += [c.alias(n) for n, c in dims]
     aggs = [_aggregator(a, time_col) for a in spec.get("aggregations", [])]
+    # sketch-consumer post-aggs are aggregates in disguise — computed
+    # here, in the SAME single groupBy pass (one shuffle), and skipped
+    # by every post-agg loop
+    aggs += [
+        _consumer_agg(p, spec).alias(p["name"])
+        for p in spec.get("postAggregations", [])
+        if p["type"] in _SKETCH_CONSUMER_POSTAGGS
+    ]
     if not aggs:
         aggs = [F.count(F.lit(1)).alias("__count")]
         drop_count = True
@@ -686,6 +827,8 @@ def _agg_select(
         out = out.drop("__count")
     if not defer_post:
         for p in spec.get("postAggregations", []):
+            if p["type"] in _SKETCH_CONSUMER_POSTAGGS:
+                continue  # computed at agg time above
             out = out.withColumn(p["name"], _post_agg(p))
     return out
 
@@ -998,10 +1141,20 @@ def native_query(
                         )
                     else:
                         fills.append(F.col(nm))
+                # sketch-consumer post-agg columns were computed at agg
+                # time — keep them through the grid join (empty buckets
+                # stay NULL, like any non-identity aggregator)
+                fills += [
+                    F.col(p["name"])
+                    for p in spec.get("postAggregations", [])
+                    if p["type"] in _SKETCH_CONSUMER_POSTAGGS
+                ]
                 out = grid.join(out, "timestamp", "left").select(
                     "timestamp", *fills
                 )
         for p in spec.get("postAggregations", []):
+            if p["type"] in _SKETCH_CONSUMER_POSTAGGS:
+                continue
             out = out.withColumn(p["name"], _post_agg(p))
         has_ts = "timestamp" in out.columns
         ts_order = (
@@ -1021,6 +1174,8 @@ def native_query(
                 dims=[], defer_post=True,
             )
             for p in spec.get("postAggregations", []):
+                if p["type"] in _SKETCH_CONSUMER_POSTAGGS:
+                    continue
                 total = total.withColumn(p["name"], _post_agg(p))
             total = total.select(
                 F.lit(None).cast("timestamp").alias("timestamp"),

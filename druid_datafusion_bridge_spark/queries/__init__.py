@@ -54,6 +54,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # the stalest and lead r12's window.
 NEW_IN_R11: tuple[str, ...] = (
     # r11 new queries, appended as they land (they take priority slots)
+    "nq_sketch_aggregators",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed

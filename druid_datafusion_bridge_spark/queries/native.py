@@ -746,3 +746,94 @@ def nq_expression_filter_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     }
     return native_query(_events(spark, sf_dir), spec, time_col="ts")
+
+
+@query(
+    "nq_sketch_aggregators",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, user_id, value,
+             LEAST(GREATEST(CAST(FLOOR(value / 100.0) AS BIGINT), 0), 5)
+               AS pos
+      FROM events)
+    SELECT event_type,
+           COUNT(value) AS vsketch,
+           COUNT(DISTINCT user_id) AS hll_users,
+           array_to_string([
+             COUNT(*) FILTER (WHERE value IS NOT NULL AND pos = 0),
+             COUNT(*) FILTER (WHERE value IS NOT NULL AND pos = 1),
+             COUNT(*) FILTER (WHERE value IS NOT NULL AND pos = 2),
+             COUNT(*) FILTER (WHERE value IS NOT NULL AND pos = 3),
+             COUNT(*) FILTER (WHERE value IS NOT NULL AND pos = 4),
+             COUNT(*) FILTER (WHERE value IS NOT NULL AND pos = 5)
+           ], ',') AS vhist,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.25) AS q25,
+           quantile_cont(value, 0.9) AS q90,
+           array_to_string([
+             COUNT(*) FILTER (WHERE value < 100),
+             COUNT(*) FILTER (WHERE value >= 100 AND value < 300),
+             COUNT(*) FILTER (WHERE value >= 300)
+           ], ',') AS hist3,
+           AVG(CASE WHEN value < 250 THEN 1.0
+                    WHEN value >= 250 THEN 0.0 END) AS rank250,
+           COUNT(DISTINCT user_id) AS users_est
+    FROM b GROUP BY event_type
+    """,
+)
+def nq_sketch_aggregators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch aggregator specs Druid's console emits
+    (datasketches-quantiles.md / datasketches-hll.md /
+    fixed-buckets-histogram.md) in ONE native groupBy:
+    quantilesDoublesSketch (finalizes to the stream length) with all
+    four consumer post-aggregators (ToQuantile / ToQuantiles /
+    ToHistogram / ToRank — each compiled to an exact aggregate in the
+    SAME single groupBy pass, one shuffle total), HLLSketchBuild with a
+    rounded HLLSketchEstimate, and a clip-mode fixedBucketsHistogram
+    (6 x 100-wide buckets over value). Arrays are serialized for the
+    driver's canonicalizer (integer counts via array_join — exact;
+    the ToQuantiles doubles surface as scalar columns)."""
+    spec = {
+        "queryType": "groupBy",
+        "granularity": "all",
+        "dimensions": ["event_type"],
+        "aggregations": [
+            {"type": "quantilesDoublesSketch", "name": "vsketch",
+             "fieldName": "value", "k": 128},
+            {"type": "HLLSketchBuild", "name": "hll_users",
+             "fieldName": "user_id"},
+            {"type": "fixedBucketsHistogram", "name": "vhist",
+             "fieldName": "value", "lowerLimit": 0, "upperLimit": 600,
+             "numBuckets": 6, "outlierHandlingMode": "clip"},
+        ],
+        "postAggregations": [
+            {"type": "quantilesDoublesSketchToQuantile", "name": "p50",
+             "field": {"type": "fieldAccess", "fieldName": "vsketch"},
+             "fraction": 0.5},
+            {"type": "quantilesDoublesSketchToQuantiles", "name": "q_arr",
+             "field": {"type": "fieldAccess", "fieldName": "vsketch"},
+             "fractions": [0.25, 0.9]},
+            {"type": "quantilesDoublesSketchToHistogram", "name": "hist3",
+             "field": {"type": "fieldAccess", "fieldName": "vsketch"},
+             "splitPoints": [100, 300]},
+            {"type": "quantilesDoublesSketchToRank", "name": "rank250",
+             "field": {"type": "fieldAccess", "fieldName": "vsketch"},
+             "value": 250},
+            {"type": "HLLSketchEstimate", "name": "users_est",
+             "field": {"type": "fieldAccess", "fieldName": "hll_users"},
+             "round": True},
+        ],
+    }
+    out = native_query(_events(spark, sf_dir), spec, time_col="ts")
+    join_longs = lambda c: F.array_join(  # noqa: E731
+        F.transform(F.col(c), lambda x: x.cast("long").cast("string")), ","
+    )
+    return out.select(
+        "event_type", "vsketch", "hll_users",
+        join_longs("vhist").alias("vhist"),
+        "p50",
+        F.col("q_arr")[0].alias("q25"),
+        F.col("q_arr")[1].alias("q90"),
+        join_longs("hist3").alias("hist3"),
+        "rank250", "users_est",
+    )

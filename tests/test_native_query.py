@@ -1254,3 +1254,154 @@ def test_post_agg_expression_greatest_any(events):
             "aggregations": [{"type": "count", "name": "n"}],
             "postAggregations": [{"type": "javascript", "name": "x"}],
         })
+
+
+def test_sketch_aggregators_and_consumers(events):
+    """quantilesDoublesSketch + all four consumer post-aggs,
+    HLLSketchBuild + rounded estimate, and fixedBucketsHistogram in
+    both outlier modes — hand-computed on values [1,2,3,4,5,6,10]."""
+    spec = {
+        "queryType": "groupBy",
+        "granularity": "all",
+        "dimensions": [],
+        "aggregations": [
+            {"type": "quantilesDoublesSketch", "name": "vs",
+             "fieldName": "value", "k": 128},
+            {"type": "HLLSketchBuild", "name": "hll",
+             "fieldName": "user_id"},
+            {"type": "fixedBucketsHistogram", "name": "clip_hist",
+             "fieldName": "value", "lowerLimit": 0, "upperLimit": 8,
+             "numBuckets": 4, "outlierHandlingMode": "clip"},
+            {"type": "fixedBucketsHistogram", "name": "ign_hist",
+             "fieldName": "value", "lowerLimit": 0, "upperLimit": 8,
+             "numBuckets": 4, "outlierHandlingMode": "ignore"},
+        ],
+        "postAggregations": [
+            {"type": "quantilesDoublesSketchToQuantile", "name": "p50",
+             "field": {"type": "fieldAccess", "fieldName": "vs"},
+             "fraction": 0.5},
+            {"type": "quantilesDoublesSketchToQuantiles", "name": "minmax",
+             "field": {"type": "fieldAccess", "fieldName": "vs"},
+             "fractions": [0.0, 1.0]},
+            {"type": "quantilesDoublesSketchToHistogram", "name": "h",
+             "field": {"type": "fieldAccess", "fieldName": "vs"},
+             "splitPoints": [3, 6]},
+            {"type": "quantilesDoublesSketchToRank", "name": "rank5",
+             "field": {"type": "fieldAccess", "fieldName": "vs"},
+             "value": 5},
+            {"type": "HLLSketchEstimate", "name": "est",
+             "field": {"type": "fieldAccess", "fieldName": "hll"},
+             "round": True},
+        ],
+    }
+    row = run(events, spec, time_col="__time").collect()[0]
+    assert row["vs"] == 7
+    assert row["hll"] == 4 and row["est"] == 4
+    assert row["p50"] == 4.0
+    assert row["minmax"] == [1.0, 10.0]
+    assert row["h"] == [2.0, 3.0, 2.0]
+    assert abs(row["rank5"] - 4 / 7) < 1e-15
+    assert row["clip_hist"] == [1, 2, 2, 2]  # 10 clips into the last
+    assert row["ign_hist"] == [1, 2, 2, 1]   # 10 is dropped
+
+
+def test_sketch_aggregator_error_paths(events):
+    base = {"queryType": "groupBy", "granularity": "all",
+            "dimensions": []}
+    # consumer nested inside arithmetic is loud
+    with pytest.raises(ValueError, match="TOP-LEVEL"):
+        run(events, {**base,
+            "aggregations": [{"type": "quantilesDoublesSketch",
+                              "name": "vs", "fieldName": "value"}],
+            "postAggregations": [{
+                "type": "arithmetic", "name": "x", "fn": "+",
+                "fields": [
+                    {"type": "quantilesDoublesSketchToQuantile",
+                     "field": {"type": "fieldAccess", "fieldName": "vs"},
+                     "fraction": 0.5},
+                    {"type": "constant", "value": 1},
+                ]}]}, time_col="__time")
+    # consumer referencing a non-sketch aggregator is loud
+    with pytest.raises(ValueError, match="not a"):
+        run(events, {**base,
+            "aggregations": [{"type": "count", "name": "n"}],
+            "postAggregations": [{
+                "type": "quantilesDoublesSketchToQuantile", "name": "q",
+                "field": {"type": "fieldAccess", "fieldName": "n"},
+                "fraction": 0.5}]}, time_col="__time")
+    # overflow outlier mode is a side-counter struct — unimplemented
+    with pytest.raises(ValueError, match="outlierHandlingMode"):
+        run(events, {**base,
+            "aggregations": [{"type": "fixedBucketsHistogram",
+                              "name": "h", "fieldName": "value",
+                              "lowerLimit": 0, "upperLimit": 8,
+                              "numBuckets": 4,
+                              "outlierHandlingMode": "overflow"}]},
+            time_col="__time")
+
+
+def test_sketch_consumer_fuzz_vs_numpy(spark):
+    """Differential fuzz: 15 seeded random (fraction, splitPoints,
+    rank value, bucket spec) draws over a fixed value set with nulls,
+    each spec's exact-aggregate compilation checked against an
+    independent numpy evaluation (linear-interpolation percentile —
+    the same definition Spark's percentile() implements)."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(20260816)
+    vals = [round(rng.uniform(0, 100), 3) for _ in range(40)] + [None] * 4
+    rng.shuffle(vals)
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "value double"
+    ).withColumn("__time", F.lit("2024-01-01").cast("timestamp"))
+    arr = np.array([v for v in vals if v is not None])
+    for _ in range(15):
+        frac = round(rng.random(), 3)
+        pts = sorted(round(rng.uniform(0, 100), 1) for _ in range(2))
+        rv = round(rng.uniform(0, 100), 1)
+        lo, hi = sorted(rng.sample(range(0, 101, 10), 2))
+        nb = rng.randint(2, 6)
+        mode = rng.choice(["clip", "ignore"])
+        spec = {
+            "queryType": "groupBy", "granularity": "all",
+            "dimensions": [],
+            "aggregations": [
+                {"type": "quantilesDoublesSketch", "name": "vs",
+                 "fieldName": "value"},
+                {"type": "fixedBucketsHistogram", "name": "bh",
+                 "fieldName": "value", "lowerLimit": lo, "upperLimit": hi,
+                 "numBuckets": nb, "outlierHandlingMode": mode},
+            ],
+            "postAggregations": [
+                {"type": "quantilesDoublesSketchToQuantile", "name": "q",
+                 "field": {"type": "fieldAccess", "fieldName": "vs"},
+                 "fraction": frac},
+                {"type": "quantilesDoublesSketchToHistogram", "name": "h",
+                 "field": {"type": "fieldAccess", "fieldName": "vs"},
+                 "splitPoints": pts},
+                {"type": "quantilesDoublesSketchToRank", "name": "r",
+                 "field": {"type": "fieldAccess", "fieldName": "vs"},
+                 "value": rv},
+            ],
+        }
+        row = native_query(df, spec, time_col="__time").collect()[0]
+        assert row["vs"] == len(arr)
+        assert row["q"] == pytest.approx(
+            float(np.percentile(arr, frac * 100)), rel=1e-12)
+        assert row["h"] == [
+            float((arr < pts[0]).sum()),
+            float(((arr >= pts[0]) & (arr < pts[1])).sum()),
+            float((arr >= pts[1]).sum()),
+        ]
+        assert row["r"] == pytest.approx(float((arr < rv).mean()), rel=1e-12)
+        width = (hi - lo) / nb
+        pos = np.floor((arr - lo) / width).astype(int)
+        if mode == "clip":
+            pos = np.clip(pos, 0, nb - 1)
+            expect = [int((pos == b).sum()) for b in range(nb)]
+        else:
+            ok = (arr >= lo) & (arr < hi)
+            expect = [int((pos[ok] == b).sum()) for b in range(nb)]
+        assert row["bh"] == expect, (lo, hi, nb, mode)
