@@ -839,6 +839,84 @@ def _ds_render(name: str, args: list[str]) -> str:
             f"(CAST({b} AS DOUBLE) / {cnt})" for b in buckets
         )
         return f"array({fracs})"
+    if name == "BLOOM_FILTER":
+        # Druid's bloom-filter extension aggregator (sql-aggregations
+        # .md): BLOOM_FILTER(expr, numEntries) -> a filter value. Lands
+        # on the operators/bloom.py machinery as pure SQL text: 3
+        # md5-derived bit positions per key over m 60-bit words, the
+        # struct ('m' total_bits, 'words' ARRAY<BIGINT>). Sized at 10
+        # bits/entry (fpp ~1.7% at depth 3, comparable to Druid's 0.05
+        # default). NULL keys contribute no bits (divergence: Druid's
+        # BloomKFilter tracks null separately; TEST(NULL, f) is false
+        # here). Fold cost is bounded by array_distinct: <= total_bits
+        # iterations regardless of build cardinality; the broadcast
+        # operator form (operators/bloom.py) is the heavy-build path.
+        if len(args) != 2:
+            raise ValueError(
+                f"BLOOM_FILTER takes 2 arguments, got {len(args)}"
+            )
+        n = args[1].strip()
+        if not n.isdigit():
+            raise ValueError(
+                f"BLOOM_FILTER numEntries must be an integer literal, "
+                f"got {n!r}"
+            )
+        m_words = max(1, -(-int(n) * 10 // 60))  # ceil(n*10 / 60)
+        total_bits = m_words * 60
+        x = args[0]
+
+        def bpos(j: int) -> str:
+            return (
+                f"(CAST(conv(substring(md5(concat('{j}:', "
+                f"CAST(({x}) AS STRING))), 1, 15), 16, 10) AS BIGINT) "
+                f"% {total_bits})"
+            )
+
+        positions = (
+            f"CASE WHEN ({x}) IS NULL THEN array() "
+            f"ELSE array({bpos(0)}, {bpos(1)}, {bpos(2)}) END"
+        )
+        zeros = f"transform(sequence(1, {m_words}), z -> CAST(0 AS BIGINT))"
+        return (
+            f"named_struct('m', {total_bits}, 'words', "
+            f"aggregate(array_distinct(flatten(collect_list({positions}))), "
+            f"{zeros}, (acc, p) -> transform(acc, (w, i) -> "
+            f"IF(i = CAST(p div 60 AS INT), "
+            f"w | shiftleft(CAST(1 AS BIGINT), CAST(p % 60 AS INT)), w))))"
+        )
+    if name == "BLOOM_FILTER_TEST":
+        # (expr, filter) -> BOOLEAN: true iff all 3 bit positions are
+        # set (may-contain; no false negatives by construction). The
+        # filter argument is a BLOOM_FILTER expression — typically a
+        # scalar subquery, which Spark forbids inside higher-order
+        # functions, so NO transform wrapper here: the argument text
+        # repeats instead (deterministic expressions; Catalyst's
+        # ReuseSubquery evaluates identical scalar subqueries once).
+        if len(args) != 2:
+            raise ValueError(
+                f"BLOOM_FILTER_TEST takes 2 arguments, got {len(args)}"
+            )
+        x, flt = args[0], args[1]
+
+        def thash(j: int) -> str:
+            return (
+                f"(CAST(conv(substring(md5(concat('{j}:', "
+                f"CAST(({x}) AS STRING))), 1, 15), 16, 10) AS BIGINT) "
+                f"% ({flt}).m)"
+            )
+
+        def tbit(j: int) -> str:
+            h = thash(j)
+            return (
+                f"(element_at(({flt}).words, CAST({h} div 60 AS INT) + 1)"
+                f" & shiftleft(CAST(1 AS BIGINT), CAST({h} % 60 AS INT)))"
+                " != 0"
+            )
+
+        return (
+            f"(({x}) IS NOT NULL AND {tbit(0)} AND {tbit(1)} "
+            f"AND {tbit(2)})"
+        )
     if name == "DS_HLL":
         return f"hll_sketch_agg({a(args[:2])})"
     if name == "HLL_SKETCH_ESTIMATE":
@@ -1136,6 +1214,8 @@ _DS_NAMES = (
     "TRUNCATE", "TRUNC", "PARSE_LONG",
     # t-digest pair (r10): marker + consumer, like the DS quantiles
     "TDIGEST_GENERATE_SKETCH", "TDIGEST_QUANTILE",
+    # bloom-filter extension pair (r11): TEST before the prefix name
+    "BLOOM_FILTER_TEST", "BLOOM_FILTER",
     "JSON_OBJECT", "JSON_VALUE",
     # time-ordered value aggregates + array/name-swap family (r9):
     # _BY and _AGG spellings listed before their prefixes so the

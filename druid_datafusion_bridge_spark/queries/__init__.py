@@ -55,6 +55,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 NEW_IN_R11: tuple[str, ...] = (
     # r11 new queries, appended as they land (they take priority slots)
     "nq_sketch_aggregators",
+    "fd_bloom_sql_text",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed

@@ -1232,3 +1232,92 @@ def fd_mv_extended_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM w ORDER BY p_partkey
         """
     )
+
+
+@query(
+    "fd_bloom_sql_text",
+    oracle="""
+    WITH keys AS (
+      SELECT DISTINCT user_id AS k FROM events
+      WHERE event_type = 'click' AND user_id % 5 = 0),
+    pos AS (
+      SELECT CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                                     || CAST(k AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 2040 AS pos
+      FROM keys, (SELECT unnest([0, 1, 2]) AS j) s),
+    words AS (
+      SELECT pos // 60 AS w,
+             bit_or(1::BIGINT << CAST(pos % 60 AS INTEGER)) AS word
+      FROM pos GROUP BY 1),
+    du AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+    kp AS (
+      SELECT user_id, CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                                     || CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 2040 AS pos
+      FROM du, (SELECT unnest([0, 1, 2]) AS j) s),
+    kh AS (
+      SELECT user_id, count(*) AS nbits
+      FROM kp JOIN words
+        ON words.w = kp.pos // 60
+       AND (words.word >> CAST(kp.pos % 60 AS INTEGER)) & 1 = 1
+      GROUP BY 1),
+    ok AS (
+      SELECT user_id, COALESCE(nbits, 0) = 3 AS pass
+      FROM du LEFT JOIN kh USING (user_id)),
+    flags AS (
+      SELECT COALESCE(ok.pass, FALSE) AS pass, (k.k IS NOT NULL) AS matched
+      FROM events e
+      LEFT JOIN ok USING (user_id)
+      LEFT JOIN keys k ON k.k = e.user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_member,
+           CAST(sum(CASE WHEN matched AND NOT pass THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_neg,
+           CAST(sum(CASE WHEN NOT matched AND pass THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos
+    FROM flags
+    """,
+)
+def fd_bloom_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid's bloom-filter extension SQL names as raw SQL text
+    (development/extensions-core/bloom-filter.md): BLOOM_FILTER(expr,
+    numEntries) aggregates a filter, BLOOM_FILTER_TEST probes it —
+    rewritten by rewrite_datasketches_sql onto the operators/bloom.py
+    md5-bit machinery (3 bit positions over 60-bit words), so the
+    DuckDB oracle reproduces every bit. The filter builds once (scalar
+    subquery), broadcasts into the probe's stage, and the probe is
+    in-codegen bit arithmetic — zero probe-side exchange, the j11
+    runtime-filter posture. Columns pin the contract exactly:
+    n_false_neg MUST be 0 (no false negatives, ever); n_pass/
+    n_false_pos pin the full deterministic bitmap."""
+    from ..functions.druid_sql import rewrite_datasketches_sql
+
+    register_druid_sql_functions(spark)
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    sql = rewrite_datasketches_sql(
+        """
+        WITH f AS (
+          SELECT BLOOM_FILTER(user_id, 200) AS bf FROM events
+          WHERE event_type = 'click' AND user_id % 5 = 0),
+        keys AS (
+          SELECT DISTINCT user_id AS k FROM events
+          WHERE event_type = 'click' AND user_id % 5 = 0)
+        SELECT
+          CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(SUM(CASE WHEN BLOOM_FILTER_TEST(e.user_id,
+                 (SELECT bf FROM f)) THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_pass,
+          CAST(SUM(CASE WHEN k.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_member,
+          CAST(SUM(CASE WHEN k.k IS NOT NULL AND NOT BLOOM_FILTER_TEST(
+                 e.user_id, (SELECT bf FROM f)) THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_false_neg,
+          CAST(SUM(CASE WHEN k.k IS NULL AND BLOOM_FILTER_TEST(
+                 e.user_id, (SELECT bf FROM f)) THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_false_pos
+        FROM events e LEFT JOIN keys k ON k.k = e.user_id
+        """
+    )
+    return spark.sql(sql)

@@ -602,3 +602,50 @@ def test_tdigest_sql_pair(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="TDIGEST_GENERATE_SKETCH"):
         rewrite_datasketches_sql("SELECT TDIGEST_QUANTILE(v, 0.5) FROM td")
+
+
+def test_bloom_filter_sql_contract(spark):
+    """BLOOM_FILTER / BLOOM_FILTER_TEST SQL names (bloom-filter
+    extension): every built key MUST test true (no false negatives —
+    checked per-key, not just in aggregate), a NULL probe is false,
+    and the deterministic md5 bitmap matches an independent Python
+    evaluation bit-for-bit, false positives included."""
+    import hashlib
+
+    from druid_datafusion_bridge_spark.functions.druid_sql import (
+        rewrite_datasketches_sql,
+    )
+
+    keys = [f"k{i}" for i in range(0, 60, 2)]          # built: k0,k2,...
+    probes = [f"k{i}" for i in range(60)] + [None]      # half absent
+    spark.createDataFrame(
+        [(k,) for k in keys], "k string"
+    ).createOrReplaceTempView("bkeys")
+    spark.createDataFrame(
+        [(p,) for p in probes], "p string"
+    ).createOrReplaceTempView("bprobes")
+    sql = rewrite_datasketches_sql("""
+        SELECT p, BLOOM_FILTER_TEST(p,
+                 (SELECT BLOOM_FILTER(k, 30) FROM bkeys)) AS hit
+        FROM bprobes
+    """)
+    got = {r["p"]: r["hit"] for r in spark.sql(sql).collect()}
+    # independent Python bitmap: numEntries=30 -> ceil(300/60)=5 words
+    total_bits = 5 * 60
+    def pos(key, j):
+        h = hashlib.md5(f"{j}:{key}".encode()).hexdigest()
+        return int(h[:15], 16) % total_bits
+    bits = {pos(k, j) for k in keys for j in range(3)}
+    for p in probes:
+        expect = (
+            p is not None
+            and all(pos(p, j) in bits for j in range(3))
+        )
+        assert got[p] == expect, p
+    # the contract: every built key tests true
+    assert all(got[k] for k in keys)
+    # loud arg errors
+    with pytest.raises(ValueError, match="integer literal"):
+        rewrite_datasketches_sql("SELECT BLOOM_FILTER(x, n) FROM t")
+    with pytest.raises(ValueError, match="takes 2 arguments"):
+        rewrite_datasketches_sql("SELECT BLOOM_FILTER_TEST(x) FROM t")

@@ -1181,6 +1181,10 @@ def test_grouping_sets_all_null_groups_differential(spark, a):
     "THETA_SKETCH_NOT(sk_a, sk_b)",
     "APPROX_COUNT_DISTINCT_DS_THETA(x, 256)",
     "'THETA_SKETCH_NOT(a, b)'",
+    "BLOOM_FILTER(x, 100)",
+    "BLOOM_FILTER_TEST(k, bf)",
+    "BLOOM_FILTER_TEST(k, (SELECT BLOOM_FILTER(u, 50) FROM t))",
+    "'BLOOM_FILTER(a, 1)'",
     "REGEXP_EXTRACT(s, '[0-9]+')",
     "regexp_extract(s, '([a-z])([0-9])', 2)",
     "STRING_AGG(DISTINCT x, ',')",
