@@ -127,9 +127,10 @@ def _interval_pred(time_col: str, intervals: list[str]) -> Column:
 def _dim_value(spec: dict, col: Column) -> Column:
     """Apply an extractionFn to a dimension column (public Druid
     dimensionspecs.md). Supported: substring, upper, lower, strlen,
-    regex, lookup (inline map), timeFormat. The ``registeredLookup``
-    form never reaches here: `_inline_registered_lookups` rewrites it
-    to the inline map form against the managed store up front."""
+    regex, lookup (inline map), timeFormat, cascade, stringFormat,
+    bucket, time. The ``registeredLookup`` form never reaches here:
+    `_inline_registered_lookups` rewrites it to the inline map form
+    against the managed store up front."""
     fn = spec.get("extractionFn")
     if fn is None:
         return col
@@ -180,6 +181,44 @@ def _dim_value(spec: dict, col: Column) -> Column:
     if kind == "timeFormat":
         fmt = fn.get("format", "yyyy-MM-dd'T'HH:mm:ss")
         return F.date_format(col.cast("timestamp"), fmt)
+    if kind == "cascade":
+        # apply the listed extractionFns in order (dimensionspecs.md)
+        out = col
+        for sub in fn.get("extractionFns", []):
+            out = _dim_value({"extractionFn": sub}, out)
+        return out
+    if kind == "stringFormat":
+        # %s-style format; nullHandling governs a NULL input:
+        # nullString (default) formats the literal "null", emptyString
+        # formats "", returnNull stays NULL (Druid's three modes)
+        fmt = fn["format"]
+        nh = fn.get("nullHandling", "nullString")
+        if nh == "returnNull":
+            return F.when(col.isNotNull(), F.format_string(fmt, col))
+        if nh == "emptyString":
+            return F.format_string(fmt, F.coalesce(col, F.lit("")))
+        if nh != "nullString":
+            raise ValueError(f"unsupported nullHandling {nh!r}")
+        return F.format_string(fmt, F.coalesce(col, F.lit("null")))
+    if kind == "bucket":
+        # numeric bucketing: the bucket START as a string (Druid's
+        # BucketExtractionFn renders the double, e.g. "7.0"; Spark's
+        # double->string cast matches). Non-numeric input -> NULL.
+        size = float(fn.get("size", 1))
+        offset = float(fn.get("offset", 0))
+        v = col.try_cast("double")  # non-numeric -> NULL, ANSI-proof
+        return (
+            (F.floor((v - offset) / size) * size + offset)
+            .cast("double").cast("string")
+        )
+    if kind == "time":
+        # parse the dimension with timeFormat, re-render with
+        # resultFormat; an unparsable value keeps the ORIGINAL string
+        # (Druid's TimeDimExtractionFn catch-and-return)
+        parsed = F.try_to_timestamp(col, F.lit(fn["timeFormat"]))
+        return F.coalesce(
+            F.date_format(parsed, fn["resultFormat"]), col
+        )
     raise ValueError(f"unsupported extractionFn type {kind!r}")
 
 

@@ -56,6 +56,7 @@ NEW_IN_R11: tuple[str, ...] = (
     # r11 new queries, appended as they land (they take priority slots)
     "nq_sketch_aggregators",
     "fd_bloom_sql_text",
+    "nq_extraction_cascade",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed

@@ -837,3 +837,51 @@ def nq_sketch_aggregators(spark: SparkSession, sf_dir: str) -> DataFrame:
         join_longs("hist3").alias("hist3"),
         "rank250", "users_est",
     )
+
+
+@query(
+    "nq_extraction_cascade",
+    oracle="""
+    SELECT '<' || substr(upper(event_type), 1, 2) || '>' AS etype_fmt,
+           CAST(FLOOR((value - 10) / 50) * 50 + 10 AS VARCHAR) AS vbucket,
+           strftime(ts, '%Y-%m') AS month_label,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def nq_extraction_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r11 extractionFn tail composed over real dimensions
+    (dimensionspecs.md): a cascade folding upper -> substring ->
+    stringFormat on event_type, a numeric bucket (size 50, offset 10)
+    on value, and a cascade round-tripping the timestamp through a
+    foreign rendering (timeFormat dd/MM/yyyy, then the `time` parsing
+    fn re-rendering yyyy-MM). Every extraction is a Column composition
+    inside the scan's own project — the groupBy still shuffles once on
+    the extracted keys."""
+    spec = {
+        "queryType": "groupBy",
+        "granularity": "all",
+        "dimensions": [
+            {"type": "extraction", "dimension": "event_type",
+             "outputName": "etype_fmt",
+             "extractionFn": {"type": "cascade", "extractionFns": [
+                 {"type": "upper"},
+                 {"type": "substring", "index": 0, "length": 2},
+                 {"type": "stringFormat", "format": "<%s>"},
+             ]}},
+            {"type": "extraction", "dimension": "value",
+             "outputName": "vbucket",
+             "extractionFn": {"type": "bucket", "size": 50,
+                              "offset": 10}},
+            {"type": "extraction", "dimension": "ts",
+             "outputName": "month_label",
+             "extractionFn": {"type": "cascade", "extractionFns": [
+                 {"type": "timeFormat", "format": "dd/MM/yyyy"},
+                 {"type": "time", "timeFormat": "dd/MM/yyyy",
+                  "resultFormat": "yyyy-MM"},
+             ]}},
+        ],
+        "aggregations": [{"type": "count", "name": "n"}],
+    }
+    return native_query(_events(spark, sf_dir), spec, time_col="ts")

@@ -1405,3 +1405,49 @@ def test_sketch_consumer_fuzz_vs_numpy(spark):
             ok = (arr >= lo) & (arr < hi)
             expect = [int((pos[ok] == b).sum()) for b in range(nb)]
         assert row["bh"] == expect, (lo, hi, nb, mode)
+
+
+def test_extraction_fn_tail(events):
+    """cascade / stringFormat / bucket / time extractionFns
+    (dimensionspecs.md) on the shared fixture."""
+    def one(extraction, dim="event_type"):
+        spec = {
+            "queryType": "groupBy",
+            "dimensions": [{"type": "extraction", "dimension": dim,
+                            "outputName": "d", "extractionFn": extraction}],
+            "aggregations": [{"type": "count", "name": "n"}],
+        }
+        return {r["d"]: r["n"] for r in run(events, spec).collect()}
+
+    # cascade folds left-to-right: upper -> first 2 chars -> framed
+    assert one({"type": "cascade", "extractionFns": [
+        {"type": "upper"},
+        {"type": "substring", "index": 0, "length": 2},
+        {"type": "stringFormat", "format": "<%s>"},
+    ]}) == {"<CL>": 3, "<VI>": 2, "<PU>": 1, "<null>": 1}
+    # stringFormat nullHandling modes
+    assert one({"type": "stringFormat", "format": "[%s]",
+                "nullHandling": "emptyString"})["[]"] == 1
+    got = one({"type": "stringFormat", "format": "[%s]",
+               "nullHandling": "returnNull"})
+    assert got[None] == 1 and got["[click]"] == 3
+    # bucket: size 3 offset 1 over value 1,2,3,4,5,6,10 ->
+    # starts 1 (1,2,3), 4 (4,5,6), 10 (10)
+    assert one({"type": "bucket", "size": 3, "offset": 1},
+               dim="value") == {"1.0": 3, "4.0": 3, "10.0": 1}
+    # non-numeric input buckets to NULL, ANSI-proof
+    assert one({"type": "bucket", "size": 2}, dim="props") == {None: 7}
+    # time: parse one rendering, re-render another; unparsable keeps
+    # the original string
+    assert one({"type": "cascade", "extractionFns": [
+        {"type": "timeFormat", "format": "dd/MM/yyyy"},
+        {"type": "time", "timeFormat": "dd/MM/yyyy",
+         "resultFormat": "yyyy-MM-dd"},
+    ]}, dim="__time") == {"2024-01-01": 4, "2024-01-02": 3}
+    assert one({"type": "time", "timeFormat": "dd/MM/yyyy",
+                "resultFormat": "yyyy"}, dim="props") == {
+        "a=1": 1, "b=2": 1, "a=9": 1, "c=3": 1, "a=2": 1, "x": 1,
+        None: 1}
+    with pytest.raises(ValueError, match="nullHandling"):
+        one({"type": "stringFormat", "format": "%s",
+             "nullHandling": "bogus"})
