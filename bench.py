@@ -19,6 +19,15 @@ by it: reported_time * (anchor_ref / anchor_now). Two prior rounds each
 burned an adjudication on uniform 1.3-1.5x host-noise inflation
 (r7 pq_adc 63-90 s vs 22 s; r8 11.55 s vs an A/B 8.93 s of identical
 code) — the anchor makes that distinction part of the artifact.
+
+Since r11 there is a SECOND anchor, "io_anchor_seconds": a fixed raw
+parquet scan (spark.read.parquet on the unmirrored lineitem file, all
+columns, noop write — IO + decompression + decode, minimal codegen
+arithmetic). The CPU anchor and the query mix respond differently to
+host states (README r10: that conflation is the ±15% error bar), so
+the two anchors normalize the two components separately: scan-heavy
+query drift should track io_anchor, codegen-heavy drift the CPU
+anchor; drift neither anchor shows is a real code change.
 """
 
 from __future__ import annotations
@@ -81,6 +90,28 @@ def _calibration_anchor(spark) -> float:
     return round(best, 3)
 
 
+def _io_anchor(spark, sf_dir: str) -> float:
+    """Best-of-3 seconds for a fixed IO-path workload: full scan +
+    decode of the raw lineitem parquet (read directly, NOT through the
+    catalog's mirrors, so layout changes in this repo never move it).
+    Captures page-cache / memory-bandwidth / decompression host state —
+    the axis the pure-CPU anchor misses (module docstring)."""
+    path = os.path.join(sf_dir, "lineitem.parquet")
+
+    def run() -> None:
+        spark.read.parquet(path).write.mode("overwrite").format(
+            "noop"
+        ).save()
+
+    run()  # warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -101,6 +132,7 @@ def main() -> None:
     ).save()
 
     anchor = _calibration_anchor(spark)
+    io_anchor = _io_anchor(spark, sf_dir)
 
     # 1 untimed warm run per query, then best-of-5 timed runs taken in
     # ROUND-ROBIN passes (q1..qN, q1..qN, ...) rather than back-to-back
@@ -130,6 +162,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "anchor_seconds": anchor,
+                "io_anchor_seconds": io_anchor,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
