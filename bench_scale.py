@@ -465,6 +465,20 @@ SLOPE_QUERIES = [
     "txp_lm_familiarity_filter",
     "fd_theta_sql_text",
     "nq_unnest_datasource",
+    # r10 service-path additions (r11 slope check, VERDICT r10 #6): the
+    # lookup-datasource join, the quantiles marker consumers, the
+    # grand-total double aggregate, and the MV_* family rewrites
+    "nq_lookup_datasource",
+    "fd_quantiles_sql_text",
+    "nq_timeseries_grand_total",
+    "fd_mv_extended_sql_text",
+    # r11 additions: native sketch aggregators (exact quantile/hist
+    # aggregates in one groupBy pass), the bloom SQL pair (scalar-
+    # subquery filter build + in-codegen probe), and the extractionFn
+    # cascade (pure scan-stage projections)
+    "nq_sketch_aggregators",
+    "fd_bloom_sql_text",
+    "nq_extraction_cascade",
 ]
 
 # per-table key columns to shift by copy*KEY_SHIFT (foreign keys shift
