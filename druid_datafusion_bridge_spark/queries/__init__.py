@@ -57,6 +57,7 @@ NEW_IN_R11: tuple[str, ...] = (
     "nq_sketch_aggregators",
     "fd_bloom_sql_text",
     "nq_extraction_cascade",
+    "mm_jpeg_decode",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed

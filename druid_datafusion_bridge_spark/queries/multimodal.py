@@ -489,3 +489,40 @@ def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return bmp_channel_stats(with_bmp_payload(docs))
+
+
+@query(
+    "mm_jpeg_decode",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(8 * (1 + d.doc_id % 3) AS INT) AS width,
+           CAST(8 * (1 + d.doc_id % 2) AS INT) AS height,
+           CAST(SUM(64 * ((d.doc_id * 7 + g.b * 13) % 256)) AS BIGINT)
+             AS sum_y,
+           CAST(SUM(64 * ((d.doc_id * 7 + g.b * 13) % 256)) AS DOUBLE)
+             / (64 * (1 + d.doc_id % 3) * (1 + d.doc_id % 2)) AS mean_y
+    FROM documents d,
+         unnest(generate_series(0,
+           (1 + d.doc_id % 3) * (1 + d.doc_id % 2) - 1)) AS g(b)
+    GROUP BY d.doc_id
+    """,
+)
+def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode end-to-end — the last multimodal stub
+    closed on the container's terms: every doc gets a valid baseline
+    JFIF (SOI/APP0/DQT/SOF0/DHT/SOS, canonical Huffman entropy stream
+    with byte stuffing) and a from-scratch numpy decoder runs the full
+    pipeline — Huffman decode, dequantize, dezigzag, 8x8 inverse DCT —
+    inside Arrow-batched mapInPandas. The payload images are
+    block-constant (DC-only blocks round-trip the lossy pipeline
+    bit-exactly), so the oracle recomputes luminance statistics in
+    closed form from the block law; the decoder itself is general
+    (tests/test_multimodal_resize.py checks a dense random image
+    against the encoder within rounding error, plus truncation and
+    color/progressive rejection). Sixth REAL codec beside
+    PPM/PNG/GIF/BMP/WAV; MP3 stays stubbed (psychoacoustic codec out
+    of scope)."""
+    from ..operators.multimodal import jpeg_luma_stats, with_jpeg_payload
+
+    docs = table(spark, sf_dir, "documents")
+    return jpeg_luma_stats(with_jpeg_payload(docs))

@@ -386,3 +386,54 @@ def test_bmp_decode_quirks_and_loud_errors():
         decode_bmp(bytes(data[: len(data) // 2]))
     with pytest.raises(ValueError, match="truncated or malformed BMP"):
         decode_bmp(bytes(data[:20]))
+
+
+def test_jpeg_codec_roundtrip_and_rejections():
+    """Baseline JPEG codec: block-constant images round-trip EXACTLY
+    (DC-only blocks, all-ones quant), dense random images round-trip
+    within IDCT rounding error, and color/progressive/truncated
+    payloads are loud."""
+    import numpy as np
+    import pytest
+
+    from druid_datafusion_bridge_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    for doc_id in (0, 1, 2, 3, 4, 5, 11):
+        bwn, bhn = 1 + doc_id % 3, 1 + doc_id % 2
+        blocks = (doc_id * 7 + np.arange(bwn * bhn) * 13) % 256
+        pix = np.repeat(
+            np.repeat(blocks.reshape(bhn, bwn), 8, 0), 8, 1
+        ).astype(np.uint8)
+        w, h, out = decode_jpeg(encode_jpeg(pix))
+        assert (w, h) == (pix.shape[1], pix.shape[0])
+        assert (out == pix).all()
+    # general dense image, non-multiple-of-8 dims: the full
+    # RLE/ZRL/EOB + AC Huffman path, error bounded by IDCT rounding
+    rng = np.random.default_rng(20260816)
+    pix = rng.integers(0, 256, (17, 29), dtype=np.uint8)
+    w, h, out = decode_jpeg(encode_jpeg(pix))
+    assert (w, h) == (29, 17)
+    assert np.abs(out.astype(int) - pix.astype(int)).max() <= 2
+    # gradient image exercises long zero runs + ZRL
+    grad = np.outer(np.arange(16), np.ones(24)).astype(np.uint8) * 8
+    _, _, out = decode_jpeg(encode_jpeg(grad))
+    assert np.abs(out.astype(int) - grad.astype(int)).max() <= 2
+    good = encode_jpeg(pix)
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:50])
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg at all")
+    # a 3-component SOF0 is rejected loudly, not misread
+    i = good.index(b"\xff\xc0")
+    bad = bytearray(good)
+    bad[i + 9] = 3
+    with pytest.raises(ValueError, match="component"):
+        decode_jpeg(bytes(bad))
+    # progressive SOF2 rejected
+    bad = bytearray(good)
+    bad[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF"):
+        decode_jpeg(bytes(bad))
