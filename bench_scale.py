@@ -479,6 +479,9 @@ SLOPE_QUERIES = [
     "nq_sketch_aggregators",
     "fd_bloom_sql_text",
     "nq_extraction_cascade",
+    "mm_jpeg_decode",
+    "txp_decontaminate",
+    "txp_pii_scrub",
 ]
 
 # per-table key columns to shift by copy*KEY_SHIFT (foreign keys shift

@@ -612,3 +612,98 @@ def bm25_search(
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(limit)
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench_source: str = "src2",
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Benchmark decontamination — the train/eval overlap gate every
+    LLM training pipeline runs before a corpus ships (the GPT-3 paper's
+    13-gram dedup against eval sets; Llama/PaLM run the same shape):
+    a document is CONTAMINATED if it shares any word n-gram with the
+    benchmark slice (``source == bench_source`` stands in for the eval
+    suite). Returns one row per non-benchmark document: distinct
+    n-grams, distinct n-grams also present in the benchmark, and the
+    contaminated flag.
+
+    Scale shape: the benchmark gram set is bounded by the EVAL SUITE's
+    size, not the corpus (eval sets are thousands of documents at
+    most), so it broadcasts; candidate documents explode their
+    DISTINCT grams JVM-side (array_distinct before explode — shuffle
+    rows bounded by distinct grams, repeats collapse early) and the
+    contamination count is one broadcast left join + groupBy on the
+    already-hash-partitioned doc key. The corpus is never shuffled by
+    gram value."""
+    t = F.split(F.col(text_col), " ")
+    idx = F.when(
+        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram_arr = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+    )
+    grams = docs.select(
+        id_col, source_col, F.explode(gram_arr).alias("g")
+    )
+    bench = (
+        grams.filter(F.col(source_col) == bench_source)
+        .select("g").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    cand = grams.filter(F.col(source_col) != bench_source)
+    return (
+        cand.join(F.broadcast(bench), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("_hit").alias("n_shared"),
+        )
+        .select(
+            id_col, "n_grams", "n_shared",
+            (F.col("n_shared") > 0).alias("contaminated"),
+        )
+    )
+
+
+# PII patterns chosen to parse identically under Java regex (Spark)
+# and RE2 (DuckDB): plain character classes, no backreferences or
+# lookaround (RE2 has neither).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_scrub(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing — the redaction pass a training corpus takes
+    before anything ships: emails, North-American phone numbers, and
+    IPv4 literals replaced by typed placeholders, with per-kind match
+    counts so the pipeline can route high-PII documents to review
+    instead of silently rewriting them.
+
+    Scale shape: three regexp_replace + three regexp_count column
+    expressions in the scan's own project — whole-stage codegen, zero
+    shuffles, zero Python; the cost is a linear scan of the corpus,
+    which is the floor for any redaction pass. Replacement order is
+    email -> phone -> ipv4 (documented: an IPv4-shaped sequence inside
+    an already-redacted email no longer exists to match)."""
+    col = F.col(text_col)
+    counts = [
+        F.regexp_count(col, F.lit(p)).alias(f"n_{k}")
+        for k, p in PII_PATTERNS.items()
+    ]
+    scrubbed = col
+    for k, p in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, p, f"<{k.upper()}>")
+    return docs.select(
+        id_col,
+        *counts,
+        scrubbed.alias("scrubbed"),
+    )

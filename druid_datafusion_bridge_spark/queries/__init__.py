@@ -58,6 +58,8 @@ NEW_IN_R11: tuple[str, ...] = (
     "fd_bloom_sql_text",
     "nq_extraction_cascade",
     "mm_jpeg_decode",
+    "txp_decontaminate",
+    "txp_pii_scrub",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed

@@ -882,3 +882,126 @@ def txp_lm_familiarity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("_fam_sum") * 2) >= F.col("n_grams")).alias("keep"),
         )
     )
+
+
+@query(
+    "txp_decontaminate",
+    oracle="""
+    WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                  FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, source,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                  || t[i+3] || ' ' || t[i+4] AS g
+      FROM toks, unnest(generate_series(1, greatest(len(t) - 4, 0)))
+        AS u(i)),
+    bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src2'),
+    cand AS (SELECT doc_id, g FROM grams WHERE source <> 'src2')
+    SELECT c.doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(b.g) AS n_shared,
+           COUNT(b.g) > 0 AS contaminated
+    FROM cand c LEFT JOIN bench b USING (g)
+    GROUP BY c.doc_id
+    """,
+)
+def txp_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/text_pipeline.py
+    decontaminate): flag every training document sharing a word 5-gram
+    with the benchmark slice (source = 'src2' stands in for the eval
+    suite) — the train/eval overlap gate of the GPT-3 paper's 13-gram
+    dedup and every serious pipeline since. The benchmark gram set is
+    bounded by the eval suite and broadcasts; candidates explode
+    DISTINCT grams JVM-side; the corpus never shuffles by gram.
+    Documents shorter than 5 tokens have no 5-grams and drop from the
+    output (documented; the oracle agrees)."""
+    from ..operators.text_pipeline import decontaminate
+
+    return decontaminate(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "txp_pii_scrub",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 <> 0
+                     THEN ' mail u' || doc_id || '@ex'
+                          || (doc_id % 5) || '.org'
+                     ELSE '' END
+             || CASE WHEN doc_id % 2 = 0
+                     THEN ' tel 415-555-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END
+             || ' host 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+               AS text
+      FROM documents),
+    scrub AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+               AS n_email,
+             len(regexp_extract_all(text, '\\b\\d{3}-\\d{3}-\\d{4}\\b'))
+               AS n_phone,
+             len(regexp_extract_all(text,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+               AS n_ipv4,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                 '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+               '<IPV4>', 'g') AS scrubbed
+      FROM aug)
+    SELECT doc_id,
+           CAST(n_email AS BIGINT) AS n_email,
+           CAST(n_phone AS BIGINT) AS n_phone,
+           CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+           CAST(len(scrubbed) AS BIGINT) AS scrub_len,
+           md5(scrubbed) AS scrub_md5
+    FROM scrub
+    """,
+)
+def txp_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/text_pipeline.py pii_scrub): email /
+    phone / IPv4 redaction with per-kind counts. The synthetic corpus
+    carries no PII, so the query plants deterministic doc_id-derived
+    PII first (emails on 2/3 of docs, phones on evens, an IPv4 on
+    every doc) — both engines augment identically, so the scrubbed
+    text md5 pins every replacement byte-for-byte. The whole pass is
+    regexp column expressions inside the scan's project: zero
+    shuffles, zero Python — the floor cost for a redaction pass at
+    100 TB is the scan itself. Patterns are Java-regex/RE2 common
+    subset (no lookaround, no backreferences)."""
+    from ..operators.text_pipeline import pii_scrub
+
+    docs = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 != 0,
+                F.concat(F.lit(" mail u"), did.cast("string"),
+                         F.lit("@ex"), (did % 5).cast("string"),
+                         F.lit(".org")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 2 == 0,
+                F.concat(F.lit(" tel 415-555-"),
+                         F.lpad((did % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+            F.lit(" host 10."), (did % 256).cast("string"),
+            F.lit(".0."), (did % 100).cast("string"),
+        ).alias("text"),
+    )
+    out = pii_scrub(aug)
+    return out.select(
+        "doc_id", "n_email", "n_phone", "n_ipv4",
+        F.length("scrubbed").cast("long").alias("scrub_len"),
+        F.md5(F.col("scrubbed").cast("binary")).alias("scrub_md5"),
+    )

@@ -390,3 +390,58 @@ def test_bloom_tolerates_null_keys(spark):
     assert got[None] is False  # not NULL
     # 99 was never inserted; bloom may false-positive but must be bool
     assert isinstance(got[99], bool)
+
+
+def test_decontaminate_hand_case(spark):
+    """decontaminate flags exactly the docs sharing an n-gram with the
+    benchmark slice; short docs drop; repeats inside one doc count
+    once (array_distinct)."""
+    from druid_datafusion_bridge_spark.operators.text_pipeline import (
+        decontaminate,
+    )
+
+    rows = [
+        # benchmark doc: grams "a b c", "b c d"
+        (0, "a b c d", "bench"),
+        # contaminated: contains "b c d" (twice -> still one distinct)
+        (1, "x b c d y b c d", "train"),
+        # clean: same words, different order
+        (2, "d c b a z", "train"),
+        # too short for 3-grams: drops
+        (3, "one two", "train"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["doc_id"]: r
+        for r in decontaminate(df, bench_source="bench", n=3).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1]["contaminated"] and got[1]["n_shared"] == 1
+    # doc1 distinct 3-grams: x b c / b c d / c d y / d y b / y b c = 5
+    assert got[1]["n_grams"] == 5
+    assert not got[2]["contaminated"] and got[2]["n_shared"] == 0
+
+
+def test_pii_scrub_patterns(spark):
+    """pii_scrub: each pattern redacts and counts; order is
+    email -> phone -> ipv4; non-PII digits survive."""
+    from druid_datafusion_bridge_spark.operators.text_pipeline import (
+        pii_scrub,
+    )
+
+    rows = [
+        (0, "write to a.b+c@mail-srv.example.org today"),
+        (1, "call 415-555-0199 or 650-555-0100 x9"),
+        (2, "node 192.168.254.3 port 8080 v1.2 build 37"),
+        (3, "clean text with numbers 12345 and 1.5x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert got[0]["n_email"] == 1 and "<EMAIL>" in got[0]["scrubbed"]
+    assert "@" not in got[0]["scrubbed"]
+    assert got[1]["n_phone"] == 2
+    assert got[1]["scrubbed"] == "call <PHONE> or <PHONE> x9"
+    assert got[2]["n_ipv4"] == 1
+    assert got[2]["scrubbed"] == "node <IPV4> port 8080 v1.2 build 37"
+    assert got[3]["n_email"] == got[3]["n_phone"] == got[3]["n_ipv4"] == 0
+    assert got[3]["scrubbed"] == rows[3][1]
