@@ -478,6 +478,9 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
     ("ICONTAINS_STRING", "s STRING, sub STRING", "BOOLEAN",
      "instr(lower(s), lower(sub)) > 0"),
     ("STRPOS", "s STRING, sub STRING", "INT", "instr(s, sub)"),
+    # Druid's LENGTH alias (sql-scalar.md); LENGTH/CHAR_LENGTH are
+    # Spark builtins already
+    ("STRLEN", "s STRING", "INT", "length(s)"),
     # Druid TIME_IN_INTERVAL: ISO-8601 slash interval, start inclusive,
     # end exclusive.
     ("TIME_IN_INTERVAL", "ts TIMESTAMP, iv STRING", "BOOLEAN",
@@ -917,6 +920,73 @@ def _ds_render(name: str, args: list[str]) -> str:
             f"(({x}) IS NOT NULL AND {tbit(0)} AND {tbit(1)} "
             f"AND {tbit(2)})"
         )
+    if name == "IPV6_MATCH":
+        # (addr, subnet-literal) -> BOOLEAN (sql-scalar.md, the v6
+        # partner of the IPV4_* trio). The subnet must be a string
+        # literal (Druid's requirement too): it parses HERE with
+        # stdlib ipaddress into 16-bit group constants, so the SQL
+        # side only has to expand the runtime address — '::'
+        # decompression, hex groups, 16-bit int compare per prefix
+        # group plus one shifted compare for a mid-group prefix. No
+        # 64/128-bit arithmetic anywhere (group ints <= 65535), so
+        # engines can't disagree on overflow. NULL address -> NULL;
+        # anything unparsable (wrong group count, bad hex, multiple
+        # '::', embedded IPv4 dotted tail) -> FALSE, loud nothing.
+        import ipaddress
+
+        if len(args) != 2:
+            raise ValueError(
+                f"IPV6_MATCH takes 2 arguments, got {len(args)}"
+            )
+        m = re.fullmatch(r"\s*'([^']*)'\s*", args[1])
+        if not m:
+            raise ValueError(
+                "IPV6_MATCH subnet must be a string literal"
+            )
+        try:
+            net = ipaddress.IPv6Network(m.group(1), strict=False)
+        except ValueError as exc:
+            raise ValueError(f"invalid IPv6 subnet: {exc}") from exc
+        packed = net.network_address.packed
+        grp = [
+            (packed[i] << 8) | packed[i + 1] for i in range(0, 16, 2)
+        ]
+        nfull, rem = net.prefixlen // 16, net.prefixlen % 16
+        gi = (
+            lambda i: f"CAST(conv(element_at(g, {i + 1}), 16, 10) AS INT)"
+        )
+        checks = [f"{gi(i)} = {grp[i]}" for i in range(nfull)]
+        if rem:
+            checks.append(
+                f"({gi(nfull)} div {1 << (16 - rem)}) = "
+                f"{grp[nfull] >> (16 - rem)}"
+            )
+        match = " AND ".join(checks) if checks else "true"
+        lft = "filter(split(element_at(split(s, '::'), 1), ':'), x -> x != '')"
+        rgt = "filter(split(element_at(split(s, '::'), 2), ':'), x -> x != '')"
+        pad = (
+            f"CASE WHEN 8 - size({lft}) - size({rgt}) <= 0 THEN "
+            f"CAST(array() AS ARRAY<STRING>) ELSE "
+            f"transform(sequence(1, 8 - size({lft}) - size({rgt})), "
+            f"i -> '0') END"
+        )
+        expand = (
+            f"CASE WHEN instr(s, '::') > 0 "
+            f"THEN concat({lft}, {pad}, {rgt}) ELSE split(s, ':') END"
+        )
+        to_groups = (
+            f"transform(array({args[0]}), s -> CASE "
+            f"WHEN s IS NULL THEN NULL "
+            f"WHEN instr(s, '.') > 0 OR size(split(s, '::')) > 2 "
+            f"THEN array('bad') ELSE {expand} END)"
+        )
+        return (
+            f"element_at(transform({to_groups}, g -> CASE "
+            f"WHEN g IS NULL THEN CAST(NULL AS BOOLEAN) "
+            f"WHEN size(g) != 8 OR NOT forall(g, "
+            f"x -> x rlike '^[0-9A-Fa-f]{{1,4}}$') THEN false "
+            f"ELSE {match} END), 1)"
+        )
     if name == "DS_HLL":
         return f"hll_sketch_agg({a(args[:2])})"
     if name == "HLL_SKETCH_ESTIMATE":
@@ -1216,6 +1286,9 @@ _DS_NAMES = (
     "TDIGEST_GENERATE_SKETCH", "TDIGEST_QUANTILE",
     # bloom-filter extension pair (r11): TEST before the prefix name
     "BLOOM_FILTER_TEST", "BLOOM_FILTER",
+    # IPv6 partner of the IPV4_* trio (r11); subnet parses at rewrite
+    # time, so this is a rewrite name, not a scalar UDF
+    "IPV6_MATCH",
     "JSON_OBJECT", "JSON_VALUE",
     # time-ordered value aggregates + array/name-swap family (r9):
     # _BY and _AGG spellings listed before their prefixes so the

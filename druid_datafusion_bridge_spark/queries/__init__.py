@@ -60,6 +60,7 @@ NEW_IN_R11: tuple[str, ...] = (
     "mm_jpeg_decode",
     "txp_decontaminate",
     "txp_pii_scrub",
+    "fd_ipv6_sql_text",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed

@@ -1321,3 +1321,65 @@ def fd_bloom_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.sql(sql)
+
+
+@query(
+    "fd_ipv6_sql_text",
+    oracle="""
+    WITH a AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_id % 97 = 0 THEN 'not:an:ip'
+                  ELSE printf('2001:db8:%x::%x',
+                              user_id % 256, event_id % 65536) END AS addr
+      FROM events)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE event_id % 97 <> 0
+                                   AND user_id % 256 = 160) AS BIGINT)
+             AS m48,
+           CAST(COUNT(*) FILTER (WHERE event_id % 97 <> 0
+                                   AND (user_id % 256) // 16 = 10)
+                AS BIGINT) AS m44,
+           CAST(COUNT(*) FILTER (WHERE event_id % 97 <> 0) AS BIGINT)
+             AS m0,
+           CAST(COUNT(*) FILTER (WHERE event_id % 97 = 0) AS BIGINT)
+             AS n_invalid
+    FROM a
+    """,
+)
+def fd_ipv6_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPV6_MATCH as raw SQL text (sql-scalar.md; the v6 partner of
+    fd_ipv4_sql_text): deterministic addresses built from event keys —
+    '2001:db8:<user hex>::<event hex>' with every 97th an unparsable
+    decoy — matched against /48, /44 (mid-group prefix: a shifted
+    16-bit compare), and ::/0 subnets. Address construction reduces
+    each match to closed-form key arithmetic, so the oracle never
+    parses an address; the rewrite expands '::' and compares 16-bit
+    groups inside whole-stage codegen (no 128-bit arithmetic — engines
+    cannot disagree on overflow). Invalid addresses count as FALSE in
+    every subnet, pinned by n_invalid vs m0."""
+    from ..functions.druid_sql import rewrite_datasketches_sql
+
+    register_druid_sql_functions(spark)
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    sql = rewrite_datasketches_sql(
+        """
+        WITH a AS (
+          SELECT CASE WHEN event_id % 97 = 0 THEN 'not:an:ip'
+                      ELSE format_string('2001:db8:%x::%x',
+                             user_id % 256, event_id % 65536) END AS addr
+          FROM events)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(CASE WHEN
+                 IPV6_MATCH(addr, '2001:db8:a0::/48') THEN 1 END)
+                 AS BIGINT) AS m48,
+               CAST(COUNT(CASE WHEN
+                 IPV6_MATCH(addr, '2001:db8:a0::/44') THEN 1 END)
+                 AS BIGINT) AS m44,
+               CAST(COUNT(CASE WHEN IPV6_MATCH(addr, '::/0') THEN 1 END)
+                 AS BIGINT) AS m0,
+               CAST(COUNT(CASE WHEN NOT IPV6_MATCH(addr, '::/0') THEN 1
+                 END) AS BIGINT) AS n_invalid
+        FROM a
+        """
+    )
+    return spark.sql(sql)

@@ -649,3 +649,43 @@ def test_bloom_filter_sql_contract(spark):
         rewrite_datasketches_sql("SELECT BLOOM_FILTER(x, n) FROM t")
     with pytest.raises(ValueError, match="takes 2 arguments"):
         rewrite_datasketches_sql("SELECT BLOOM_FILTER_TEST(x) FROM t")
+
+
+def test_ipv6_match_sql(spark):
+    """IPV6_MATCH hand cases: '::' expansion (middle, leading,
+    trailing), full-form equivalence, mid-group /44 prefix, /0 and
+    /128 edges, and the false-not-error contract for unparsable input
+    (bad hex, wrong group count, multiple '::', embedded IPv4)."""
+    from druid_datafusion_bridge_spark.functions.druid_sql import (
+        rewrite_datasketches_sql,
+    )
+
+    cases = [
+        ("'2001:db8:a0::1'", "'2001:db8:a0::/48'", True),
+        ("'2001:db8:a1::1'", "'2001:db8:a0::/48'", False),
+        ("'2001:db8:af::1'", "'2001:db8:a0::/44'", True),
+        ("'2001:db8:b0::1'", "'2001:db8:a0::/44'", False),
+        ("'::1'", "'::1/128'", True),
+        ("'::1'", "'::/0'", True),
+        ("'fe80::'", "'fe80::/10'", True),
+        ("'2001:0db8:0000:0000:0000:0000:0000:0001'",
+         "'2001:db8::1/128'", True),
+        ("'not:an:ip'", "'::/0'", False),
+        ("'1::2::3'", "'::/0'", False),
+        ("'::ffff:1.2.3.4'", "'::/0'", False),
+        ("CAST(NULL AS STRING)", "'::/0'", None),
+        ("'zzzz::1'", "'::/0'", False),
+    ]
+    sel = ", ".join(
+        f"IPV6_MATCH({a}, {n}) AS c{i}"
+        for i, (a, n, _) in enumerate(cases)
+    )
+    row = spark.sql(rewrite_datasketches_sql(f"SELECT {sel}")).collect()[0]
+    for i, (a, n, want) in enumerate(cases):
+        assert row[f"c{i}"] == want, (a, n)
+    with pytest.raises(ValueError, match="string literal"):
+        rewrite_datasketches_sql("SELECT IPV6_MATCH(a, b) FROM t")
+    with pytest.raises(ValueError, match="invalid IPv6"):
+        rewrite_datasketches_sql(
+            "SELECT IPV6_MATCH(a, 'nope/12') FROM t"
+        )

@@ -1182,6 +1182,8 @@ def test_grouping_sets_all_null_groups_differential(spark, a):
     "APPROX_COUNT_DISTINCT_DS_THETA(x, 256)",
     "'THETA_SKETCH_NOT(a, b)'",
     "BLOOM_FILTER(x, 100)",
+    "IPV6_MATCH(addr, 'fe80::/10')",
+    "'IPV6_MATCH(a, b)'",
     "BLOOM_FILTER_TEST(k, bf)",
     "BLOOM_FILTER_TEST(k, (SELECT BLOOM_FILTER(u, 50) FROM t))",
     "'BLOOM_FILTER(a, 1)'",
