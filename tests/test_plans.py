@@ -337,7 +337,8 @@ def test_every_query_compiles_jvm_side(spark):
     ALLOWED_PYTHON = {"mm_feature_extract", "mm_resize", "mm_ppm_decode",
                       "mm_ppm_resize", "mm_wav_decode",
                       "mm_wav_resample", "mm_video_frames",
-                      "mm_png_decode", "mm_gif_decode", "mm_bmp_decode"}
+                      "mm_png_decode", "mm_gif_decode", "mm_bmp_decode",
+                      "mm_jpeg_decode"}
     MARKERS = ["BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                "FlatMapGroupsInPandas"]
     offenders = []
@@ -565,3 +566,38 @@ def test_lm_familiarity_model_broadcasts(spark):
     assert strategies and all(
         s == "BroadcastHashJoin" for s in strategies
     ), strategies
+
+
+def test_r11_plan_shapes(spark):
+    """The r11 additions' scale posture as executable pins:
+    nq_sketch_aggregators folds ALL consumer quantile/histogram
+    aggregates into ONE aggregation (a single exchange — a per-consumer
+    re-aggregation would multiply the shuffle); txp_pii_scrub is a pure
+    scan project (ZERO exchanges — redaction costs the scan, nothing
+    else); txp_decontaminate ships the benchmark gram set broadcast
+    (the corpus is never shuffled by gram value); and
+    nq_extraction_cascade keeps every extraction inside the scan
+    stage's project (one groupBy exchange total)."""
+    qs = all_queries()
+
+    df = qs["nq_sketch_aggregators"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # ONE aggregation pass for every sketch consumer (quantiles,
+    # histograms, rank ride the same groupBy) — the only second
+    # exchange is the Expand-FREE two-level distinct that
+    # HLLSketchBuild's exact count_distinct plans as (partial dedup
+    # on (key, user) map-side, then the key shuffle)
+    assert count_exchanges(df) == 2, plan
+    assert "Expand" not in plan
+
+    df = qs["txp_pii_scrub"](spark, SF_DIR)
+    assert count_exchanges(df) == 0
+
+    df = qs["txp_decontaminate"](spark, SF_DIR)
+    strategies = join_strategies(df)
+    assert strategies and all(
+        s == "BroadcastHashJoin" for s in strategies
+    ), strategies
+
+    df = qs["nq_extraction_cascade"](spark, SF_DIR)
+    assert count_exchanges(df) == 1
