@@ -2390,3 +2390,26 @@ def test_coordinator_dynamic_config(shim):
         cfg = json.loads(r.read())
     assert cfg["maxSegmentsToMove"] == 42
     assert cfg["replicantLifetime"] == 15  # untouched defaults remain
+
+
+def test_sql_bloom_and_ipv6_names(shim):
+    """The r11 SQL names work through the broker's SQL text path:
+    BLOOM_FILTER/BLOOM_FILTER_TEST (filter built by a scalar subquery,
+    every built key tests true) and IPV6_MATCH ('::'-compressed and
+    full forms, false on unparsable, mid-group /44 prefix)."""
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "SELECT channel, BLOOM_FILTER_TEST(channel, "
+                 "(SELECT BLOOM_FILTER(channel, 10) FROM wikipedia "
+                 "WHERE channel = 'en')) AS hit "
+                 "FROM wikipedia GROUP BY channel ORDER BY channel"})
+    assert rows == [
+        {"channel": "de", "hit": False},
+        {"channel": "en", "hit": True},
+    ]
+    rows = _post(shim + "/druid/v2/sql", {
+        "query": "SELECT IPV6_MATCH('2001:db8:a5::1', "
+                 "'2001:db8:a0::/44') AS a, "
+                 "IPV6_MATCH('2001:db8:b0::1', '2001:db8:a0::/44') AS b, "
+                 "IPV6_MATCH('::1', '::1/128') AS c, "
+                 "IPV6_MATCH('junk', '::/0') AS d"})
+    assert rows == [{"a": True, "b": False, "c": True, "d": False}]
