@@ -1655,7 +1655,7 @@ def _jpeg_encoder():
     T[0] *= np.sqrt(1 / 8)
     T[1:] *= 0.5
 
-    def encode(pix) -> bytes:
+    def encode(pix, restart_interval: int = 0) -> bytes:
         h, w = pix.shape
         ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
         padded = np.pad(pix.astype(np.float64), ((0, ph - h), (0, pw - w)),
@@ -1679,9 +1679,22 @@ def _jpeg_encoder():
             s = int(abs(v)).bit_length()
             return s, (v if v >= 0 else v + (1 << s) - 1)
 
+        def align_pad() -> None:
+            nonlocal nbits
+            if nbits:
+                put(8 - nbits, (1 << (8 - nbits)) - 1)  # pad with 1s
+
         prev_dc = 0
+        mcu = rst = 0
         for by in range(ph // 8):
             for bx in range(pw // 8):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    # byte-align, emit RSTn (n cycles 0-7), reset DC
+                    align_pad()
+                    out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    prev_dc = 0
+                mcu += 1
                 blk = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
                 coef = np.rint(T @ blk @ T.T).astype(np.int64)
                 zz = coef.flatten()[zig]
@@ -1707,8 +1720,7 @@ def _jpeg_encoder():
                     run = 0
                 if last < 63:
                     put(*ac_codes[0x00])  # EOB
-        if nbits:
-            put(8 - nbits, (1 << (8 - nbits)) - 1)  # pad with 1s
+        align_pad()
 
         def seg(marker: int, body: bytes) -> bytes:
             return struct.pack(">HH", marker, len(body) + 2) + body
@@ -1721,9 +1733,13 @@ def _jpeg_encoder():
         )
         sos = bytes([1, 1, 0x00, 0, 63, 0])
         app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        dri = (
+            seg(0xFFDD, struct.pack(">H", restart_interval))
+            if restart_interval else b""
+        )
         return (
             b"\xff\xd8" + seg(0xFFE0, app0) + seg(0xFFDB, qt)
-            + seg(0xFFC0, sof) + seg(0xFFC4, dht) + seg(0xFFDA, sos)
+            + seg(0xFFC0, sof) + seg(0xFFC4, dht) + dri + seg(0xFFDA, sos)
             + bytes(out) + b"\xff\xd9"
         )
 
@@ -1864,12 +1880,20 @@ def _jpeg_decoder():
             for by in range(bh):
                 for bx in range(bw):
                     if restart and mcu and mcu % restart == 0:
-                        # byte-align, then consume the RSTn marker
+                        # byte-align, then consume the RSTn marker.
+                        # If the pad byte was 0xFF its stuffed 0x00
+                        # may not have been skipped yet (read_bit only
+                        # skips on byte completion) — step over it.
                         bitpos = (bitpos + 7) & ~7
-                        while data[bitpos >> 3] == 0xFF and (
-                            0xD0 <= data[(bitpos >> 3) + 1] <= 0xD7
+                        i = bitpos >> 3
+                        if (
+                            i > 0 and data[i] == 0x00
+                            and data[i - 1] == 0xFF
                         ):
-                            bitpos += 16
+                            i += 1
+                        while data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7:
+                            i += 2
+                        bitpos = i << 3
                         prev_dc = 0
                     mcu += 1
                     zz = np.zeros(64, np.int64)

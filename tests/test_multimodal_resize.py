@@ -437,3 +437,25 @@ def test_jpeg_codec_roundtrip_and_rejections():
     bad[i + 1] = 0xC2
     with pytest.raises(ValueError, match="SOF"):
         decode_jpeg(bytes(bad))
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn round-trip: the encoder byte-aligns, emits cycling
+    RST0-7 markers every interval and resets the DC predictor; the
+    decoder consumes them in the entropy stream."""
+    import numpy as np
+
+    from druid_datafusion_bridge_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(42)
+    pix = rng.integers(0, 256, (32, 80), dtype=np.uint8)  # 40 MCUs
+    data = encode_jpeg(pix, restart_interval=3)
+    assert b"\xff\xdd" in data  # DRI present
+    # more than 8 restarts forces the RSTn index to wrap
+    assert data.count(b"\xff\xd0") >= 2
+    w, h, out = decode_jpeg(data)
+    assert (w, h) == (80, 32)
+    assert np.abs(out.astype(int) - pix.astype(int)).max() <= 2
