@@ -61,6 +61,7 @@ NEW_IN_R11: tuple[str, ...] = (
     "txp_decontaminate",
     "txp_pii_scrub",
     "fd_ipv6_sql_text",
+    "mm_jpeg_color_decode",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed

@@ -518,11 +518,75 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exactly), so the oracle recomputes luminance statistics in
     closed form from the block law; the decoder itself is general
     (tests/test_multimodal_resize.py checks a dense random image
-    against the encoder within rounding error, plus truncation and
-    color/progressive rejection). Sixth REAL codec beside
+    against the encoder within rounding error, plus truncation,
+    restart-marker, and progressive/subsampled rejection; 4:4:4 color
+    is mm_jpeg_color_decode). Sixth REAL codec beside
     PPM/PNG/GIF/BMP/WAV; MP3 stays stubbed (psychoacoustic codec out
     of scope)."""
     from ..operators.multimodal import jpeg_luma_stats, with_jpeg_payload
 
     docs = table(spark, sf_dir, "documents")
     return jpeg_luma_stats(with_jpeg_payload(docs))
+
+
+@query(
+    "mm_jpeg_color_decode",
+    oracle="""
+    WITH law AS (
+      SELECT d.doc_id, g.b,
+             CAST((d.doc_id * 11 + g.b * 17) % 256 AS DOUBLE) AS r,
+             CAST((d.doc_id * 13 + g.b * 19) % 256 AS DOUBLE) AS gg,
+             CAST((d.doc_id * 7 + g.b * 23) % 256 AS DOUBLE) AS bb
+      FROM documents d,
+           unnest(generate_series(0,
+             (1 + d.doc_id % 3) * (1 + d.doc_id % 2) - 1)) AS g(b)),
+    ycc AS (
+      SELECT doc_id, b,
+        LEAST(255, GREATEST(0,
+          FLOOR(0.299*r + 0.587*gg + 0.114*bb + 0.5))) AS y,
+        LEAST(255, GREATEST(0,
+          FLOOR(128 - 0.168736*r - 0.331264*gg + 0.5*bb + 0.5))) AS cb,
+        LEAST(255, GREATEST(0,
+          FLOOR(128 + 0.5*r - 0.418688*gg - 0.081312*bb + 0.5))) AS cr
+      FROM law),
+    back AS (
+      SELECT doc_id,
+        LEAST(255, GREATEST(0,
+          FLOOR(y + 1.402*(cr - 128) + 0.5))) AS rp,
+        LEAST(255, GREATEST(0,
+          FLOOR(y - 0.344136*(cb - 128) - 0.714136*(cr - 128) + 0.5)))
+          AS gp,
+        LEAST(255, GREATEST(0,
+          FLOOR(y + 1.772*(cb - 128) + 0.5))) AS bp
+      FROM ycc)
+    SELECT doc_id,
+           CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+           CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+           CAST(SUM(64 * rp) AS BIGINT) AS sum_r,
+           CAST(SUM(64 * gp) AS BIGINT) AS sum_g,
+           CAST(SUM(64 * bp) AS BIGINT) AS sum_b,
+           SUM(64 * rp) / (64.0 * (1 + doc_id % 3) * (1 + doc_id % 2))
+             AS mean_r,
+           SUM(64 * gp) / (64.0 * (1 + doc_id % 3) * (1 + doc_id % 2))
+             AS mean_g,
+           SUM(64 * bp) / (64.0 * (1 + doc_id % 3) * (1 + doc_id % 2))
+             AS mean_b
+    FROM back GROUP BY doc_id
+    """,
+)
+def mm_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 3-component 4:4:4 color JPEG decode end-to-end: every doc
+    gets a valid color baseline JFIF (interleaved per-MCU Y/Cb/Cr
+    blocks, per-component DC predictors) and the general decoder runs
+    per-component Huffman + dequant + IDCT then BT.601 YCbCr->RGB.
+    Block-constant RGB payloads make the DCT stage exact, so the
+    decoded pixels follow the deterministic two-round law (RGB ->
+    rounded YCbCr -> rounded RGB, floor(x+0.5) + clamp on both ends)
+    the oracle recomputes in closed form — a component-interleave,
+    predictor, table-selection, or color-matrix bug shows up as a
+    value mismatch. Subsampled (4:2:0) color stays rejected-loud
+    (interpolation choice, documented)."""
+    from ..operators.multimodal import jpeg_rgb_stats, with_jpeg_color_payload
+
+    docs = table(spark, sf_dir, "documents")
+    return jpeg_rgb_stats(with_jpeg_color_payload(docs))

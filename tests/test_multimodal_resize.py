@@ -426,10 +426,11 @@ def test_jpeg_codec_roundtrip_and_rejections():
         decode_jpeg(good[:50])
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg at all")
-    # a 3-component SOF0 is rejected loudly, not misread
+    # an unsupported component count is rejected loudly, not misread
+    # (1 = grayscale and 3 = 4:4:4 color are the supported forms)
     i = good.index(b"\xff\xc0")
     bad = bytearray(good)
-    bad[i + 9] = 3
+    bad[i + 9] = 2
     with pytest.raises(ValueError, match="component"):
         decode_jpeg(bytes(bad))
     # progressive SOF2 rejected
@@ -459,3 +460,55 @@ def test_jpeg_restart_markers():
     w, h, out = decode_jpeg(data)
     assert (w, h) == (80, 32)
     assert np.abs(out.astype(int) - pix.astype(int)).max() <= 2
+
+
+def test_jpeg_color_codec():
+    """3-component 4:4:4 color: block-constant RGB follows the
+    deterministic two-round law exactly (forward YCbCr rounding, then
+    inverse RGB rounding); dense random color round-trips within
+    rounding error (with restart markers); subsampled color is
+    rejected loudly."""
+    import numpy as np
+    import pytest
+
+    from druid_datafusion_bridge_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    def law(R, G, B):
+        cl = lambda x: min(255, max(0, int(np.floor(x + 0.5))))  # noqa: E731
+        Y = cl(0.299 * R + 0.587 * G + 0.114 * B)
+        Cb = cl(128 - 0.168736 * R - 0.331264 * G + 0.5 * B)
+        Cr = cl(128 + 0.5 * R - 0.418688 * G - 0.081312 * B)
+        return (cl(Y + 1.402 * (Cr - 128)),
+                cl(Y - 0.344136 * (Cb - 128) - 0.714136 * (Cr - 128)),
+                cl(Y + 1.772 * (Cb - 128)))
+
+    for d in (0, 1, 2, 3, 5, 7):
+        bwn, bhn = 1 + d % 3, 1 + d % 2
+        b = np.arange(bwn * bhn).reshape(bhn, bwn)
+        rgb = np.stack([(d * 11 + b * 17) % 256, (d * 13 + b * 19) % 256,
+                        (d * 7 + b * 23) % 256], axis=-1).astype(np.uint8)
+        pix = np.repeat(np.repeat(rgb, 8, 0), 8, 1)
+        w, h, out = decode_jpeg(encode_jpeg(pix))
+        assert out.shape == pix.shape
+        for bi in range(bhn):
+            for bj in range(bwn):
+                blk = out[bi * 8:(bi + 1) * 8, bj * 8:(bj + 1) * 8]
+                want = law(*(int(x) for x in rgb[bi, bj]))
+                assert tuple(blk[0, 0]) == want and (
+                    blk == blk[0, 0]
+                ).all(), (d, bi, bj)
+    rng = np.random.default_rng(20260817)
+    pix = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    w, h, out = decode_jpeg(encode_jpeg(pix, restart_interval=4))
+    assert (w, h) == (40, 24)
+    assert np.abs(out.astype(int) - pix.astype(int)).max() <= 3
+    # 4:2:0 subsampling (sampling factor 0x22 on Y) rejected
+    good = encode_jpeg(pix)
+    i = good.index(b"\xff\xc0")
+    bad = bytearray(good)
+    bad[i + 11] = 0x22
+    with pytest.raises(ValueError, match="subsampled"):
+        decode_jpeg(bytes(bad))
