@@ -483,6 +483,7 @@ SLOPE_QUERIES = [
     "txp_decontaminate",
     "txp_pii_scrub",
     "mm_jpeg_color_decode",
+    "nq_grouping_aggregator",
 ]
 
 # per-table key columns to shift by copy*KEY_SHIFT (foreign keys shift

@@ -349,27 +349,32 @@ def embedding_neardup_pairs(
         F.row_number().over(w).alias("_rk"),
         F.first(F.struct("vec_id", "v", "nv")).over(w).alias("_rep"),
     )
+    # TWO nested generators, not one flatten(transform(transform)):
+    # the flattened form materializes the WHOLE all-pairs array for a
+    # bucket — O(max_bucket^2 * dim) doubles, ~0.5 GB for one full
+    # 1000-member bucket of 64-dim vectors — in a single expression
+    # evaluation before the explode can stream it (measured: OOMs a
+    # default 1 GiB heap at 16 concurrent tasks on sf0.1). Exploding
+    # the member index first and slicing per row keeps the peak at one
+    # member list per in-flight row; the pair stream itself never
+    # exists as an array.
     head_pairs = (
         ranked.filter(F.col("_rk") <= max_bucket)
         .groupBy("tbl", "bucket")
         .agg(F.sort_array(F.collect_list(F.struct("vec_id", "v", "nv"))).alias("_m"))
+        .select("_m", F.posexplode("_m").alias("_i", "_x"))
         .select(
             F.explode(
-                F.flatten(
-                    F.transform(
-                        "_m",
-                        lambda x, i: F.transform(
-                            F.slice("_m", 1, i),
-                            lambda p: F.struct(
-                                p["vec_id"].alias("id_a"),
-                                x["vec_id"].alias("id_b"),
-                                p["v"].alias("va"),
-                                x["v"].alias("vb"),
-                                p["nv"].alias("na"),
-                                x["nv"].alias("nb"),
-                            ),
-                        ),
-                    )
+                F.transform(
+                    F.slice("_m", 1, F.col("_i")),
+                    lambda p: F.struct(
+                        p["vec_id"].alias("id_a"),
+                        F.col("_x")["vec_id"].alias("id_b"),
+                        p["v"].alias("va"),
+                        F.col("_x")["v"].alias("vb"),
+                        p["nv"].alias("na"),
+                        F.col("_x")["nv"].alias("nb"),
+                    ),
                 )
             ).alias("p")
         )
