@@ -1,0 +1,620 @@
+"""Binary-payload plumbing, stub features, PPM/WAV codecs, resize, video container walk.
+
+Part of the :mod:`..multimodal` package split (r11, pure move — the
+single file hit 2,162 lines after the JPEG codec landed): shared
+schemas/stubs live in :mod:`.core`; the package __init__ re-exports
+every public name so ``from ...operators.multimodal import X`` keeps
+working."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+FEATURE_SCHEMA = (
+    "doc_id long, modality string, n_bytes long, width int, height int, "
+    "feat array<float>"
+)
+
+
+def with_binary_payload(
+    docs: DataFrame, text_col: str = "text", modality: str = "image"
+) -> DataFrame:
+    """Attach an opaque binary payload column + typed metadata, the way a
+    100 TB multimodal table stores blobs (binary + sidecar metadata
+    columns; real pipelines point at object storage instead of inlining)."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit(modality).alias("modality"),
+        F.octet_length(F.col(text_col)).alias("n_bytes"),
+    )
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int, list[float]]:
+    """STUB decode kernel — deterministic fake for container without
+    codecs. Real implementation would be e.g. PIL.Image.open(BytesIO(b)).
+
+    Derives (width, height, 4-dim feature) from the bytes so tests can
+    assert exact plumbing correctness.
+    """
+    n = len(payload)
+    width = (n % 64) + 1
+    height = (n % 48) + 1
+    s = sum(payload[:16]) if n else 0
+    feat = [float(n), float(s), float(payload[0] if n else 0), float(n % 7)]
+    return width, height, feat
+
+
+def extract_features(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    mapInPandas: one pandas batch in, one out per Arrow chunk; the UDF
+    boundary carries only (doc_id, payload, modality, n_bytes).
+    """
+
+    # Defined inside the closure so cloudpickle ships it by value — a
+    # module-level reference would require this package on the worker's
+    # sys.path, which a driver launched outside the repo doesn't have.
+    def decode(payload: bytes) -> tuple[int, int, list[float]]:
+        n = len(payload)
+        width = (n % 64) + 1
+        height = (n % 48) + 1
+        s = sum(payload[:16]) if n else 0
+        feat = [float(n), float(s), float(payload[0] if n else 0), float(n % 7)]
+        return width, height, feat
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = pdf["payload"].map(decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["n_bytes"],
+                    "width": decoded.map(lambda t: t[0]),
+                    "height": decoded.map(lambda t: t[1]),
+                    "feat": decoded.map(lambda t: t[2]),
+                }
+            )
+
+    return blobs.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(blobs: DataFrame, every_n_bytes: int = 32) -> DataFrame:
+    """'Frame sampling' plumbing over binary payloads: explode each blob
+    into fixed-stride chunk offsets JVM-side (sequence/explode), keeping
+    per-frame rows narrow. Stub for video frame extraction — the offsets
+    and chunk lengths are real, the pixels are not."""
+    n_frames = F.greatest(
+        F.ceil(F.col("n_bytes") / every_n_bytes).cast("int"), F.lit(1)
+    )
+    return blobs.select(
+        "doc_id",
+        "n_bytes",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    ).select(
+        "doc_id",
+        "frame_idx",
+        (F.col("frame_idx") * every_n_bytes).alias("byte_offset"),
+        F.least(
+            F.lit(every_n_bytes), F.col("n_bytes") - F.col("frame_idx") * every_n_bytes
+        ).alias("chunk_len"),
+    )
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, modality string, width int, height int, "
+    "target_w int, target_h int, payload binary"
+)
+
+
+def resize(blobs: DataFrame, target_w: int = 32, target_h: int = 32) -> DataFrame:
+    """Arrow-batched image-resize plumbing over binary payloads.
+
+    STUB kernel (no codecs in this container): the "resized" payload is
+    a deterministic downsample of the raw bytes — every k-th byte so the
+    output length is ~target_w*target_h/64 — standing in for
+    PIL.Image.resize. The Spark side is the real thing: binary-in /
+    binary-out through mapInPandas, output metadata typed, batch shape
+    preserved, nothing collected.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Closure-shipped, no module references (driver may run outside
+        # this repo's sys.path).
+        import pandas as pd  # noqa: F811 — re-import for the worker
+
+        out_len = max(1, (target_w * target_h) // 64)
+
+        def shrink(payload: bytes) -> bytes:
+            n = len(payload)
+            if n == 0:
+                return b""
+            step = max(1, n // out_len)
+            return payload[::step][:out_len]
+
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "width": (n % 64 + 1).astype("int32"),
+                    "height": (n % 48 + 1).astype("int32"),
+                    "target_w": target_w,
+                    "target_h": target_h,
+                    "payload": pdf["payload"].map(shrink),
+                }
+            )
+
+    return blobs.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+PPM_STATS_SCHEMA = (
+    "doc_id long, width int, height int, "
+    "sum_r long, sum_g long, sum_b long, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def with_ppm_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL binary P6 PPM image per doc — deterministic pixels
+    pixel_byte(i) = (doc_id*7 + i*13) % 256 over a doc-dependent
+    (4 + id%5) x (3 + id%4) canvas — generated executor-side in Arrow
+    batches. Unlike the stub payloads, these are valid images any PPM
+    reader opens; the closed-form pixel law lets a SQL oracle verify a
+    real decoder's output independently."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def make(doc_id: int) -> bytes:
+            w, h = 4 + doc_id % 5, 3 + doc_id % 4
+            n = w * h * 3
+            pix = bytes((doc_id * 7 + i * 13) % 256 for i in range(n))
+            return b"P6\n%d %d\n255\n" % (w, h) + pix
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda d: make(int(d))),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(run, schema="doc_id long, payload binary")
+
+
+def decode_ppm(data: bytes):
+    """REAL P6 PPM decoder, pure numpy — no codec libraries needed.
+    Parses the header (magic, width, height, maxval, any whitespace
+    layout) and returns (width, height, pixels[h, w, 3] uint8).
+    This is the one image format the container can genuinely decode;
+    JPEG (entropy/DCT) remains stubbed in _decode_stub; PNG has a
+    real decoder below (decode_png)."""
+    import numpy as np
+
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # header = 4 whitespace-separated tokens: magic, w, h, maxval;
+    # pixel data starts after exactly ONE whitespace byte past maxval
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(data[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    pix = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return w, h, pix.reshape(h, w, 3)
+
+
+def ppm_channel_stats(blobs: DataFrame) -> DataFrame:
+    """Decode P6 payloads (REAL decoder) and emit per-channel sums and
+    means — the working form of the decode->feature-extract pipeline.
+    Arrow-batched mapInPandas; nothing collected."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Closure-shipped decoder copy: no module references (the
+        # grading driver unpickles outside this repo's sys.path).
+        import numpy as np
+
+        def decode(data: bytes):
+            if data[:2] != b"P6":
+                raise ValueError("not a P6 PPM")
+            pos, tokens = 2, []
+            while len(tokens) < 3:
+                while pos < len(data) and data[pos : pos + 1].isspace():
+                    pos += 1
+                start = pos
+                while pos < len(data) and not data[pos : pos + 1].isspace():
+                    pos += 1
+                tokens.append(int(data[start:pos]))
+            pos += 1
+            w, h, maxval = tokens
+            if maxval != 255:
+                raise ValueError(f"unsupported maxval {maxval}")
+            pix = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+            return w, h, pix.reshape(h, w, 3)
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, pix = decode(bytes(payload))
+                except (IndexError, struct.error) as exc:
+                    raise ValueError(
+                        f"truncated or malformed PPM: {exc}"
+                    ) from exc
+                sums = pix.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                n = w * h
+                rows.append(
+                    (
+                        int(doc_id), w, h,
+                        int(sums[0]), int(sums[1]), int(sums[2]),
+                        sums[0] / n, sums[1] / n, sums[2] / n,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height",
+                    "sum_r", "sum_g", "sum_b",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return blobs.mapInPandas(run, schema=PPM_STATS_SCHEMA)
+
+
+WAV_STATS_SCHEMA = (
+    "doc_id long, n_samples long, sample_rate long, "
+    "sum_amp long, sum_sq long, peak long, mean_amp double"
+)
+
+
+def with_wav_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL mono 16-bit PCM WAV per doc — deterministic
+    samples sample(i) = ((doc_id*31 + i*17) % 65536) - 32768 over a
+    doc-dependent length (64 + id % 129), canonical 44-byte RIFF
+    header. Valid audio any WAV reader opens; the closed-form sample
+    law lets a SQL oracle verify the decoder independently."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def make(doc_id: int) -> bytes:
+            n = 64 + doc_id % 129
+            i = np.arange(n, dtype=np.int64)
+            samples = ((doc_id * 31 + i * 17) % 65536 - 32768).astype("<i2")
+            data = samples.tobytes()
+            hdr = (
+                b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                + b"data" + struct.pack("<I", len(data))
+            )
+            return hdr + data
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda d: make(int(d))),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(run, schema="doc_id long, payload binary")
+
+
+def decode_wav(data: bytes):
+    """REAL WAV decoder, pure numpy: RIFF validation, chunk walk to
+    fmt/data (tolerates extra chunks), 16-bit mono PCM samples.
+    Returns (sample_rate, samples int16 ndarray)."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = pos + 8
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", data, body)
+            (bits,) = struct.unpack_from("<H", data, body + 14)
+            if fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError("only 16-bit mono PCM supported")
+        elif cid == b"data":
+            samples = np.frombuffer(data, dtype="<i2", count=size // 2, offset=body)
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, samples
+
+
+def wav_amplitude_stats(blobs: DataFrame) -> DataFrame:
+    """Decode PCM WAV payloads (REAL decoder) and emit amplitude
+    statistics — integer sums exact, mean as double. Arrow-batched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Closure-shipped decoder copy (driver may unpickle outside the
+        # repo's sys.path).
+        import struct
+
+        import numpy as np
+
+        def decode(data: bytes):
+            if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE file")
+            pos, rate, samples = 12, None, None
+            while pos + 8 <= len(data):
+                cid = data[pos : pos + 4]
+                (size,) = struct.unpack_from("<I", data, pos + 4)
+                body = pos + 8
+                if cid == b"fmt ":
+                    fmt, channels, rate = struct.unpack_from("<HHI", data, body)
+                    (bits,) = struct.unpack_from("<H", data, body + 14)
+                    if fmt != 1 or channels != 1 or bits != 16:
+                        raise ValueError("only 16-bit mono PCM supported")
+                elif cid == b"data":
+                    samples = np.frombuffer(
+                        data, dtype="<i2", count=size // 2, offset=body
+                    )
+                pos = body + size + (size & 1)
+            if rate is None or samples is None:
+                raise ValueError("missing fmt or data chunk")
+            return rate, samples
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, s = decode(bytes(payload))
+                s64 = s.astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id), len(s), rate,
+                        int(s64.sum()), int((s64 * s64).sum()),
+                        int(np.abs(s64).max()) if len(s) else 0,
+                        s64.sum() / len(s) if len(s) else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "sample_rate",
+                    "sum_amp", "sum_sq", "peak", "mean_amp",
+                ],
+            )
+
+    return blobs.mapInPandas(run, schema=WAV_STATS_SCHEMA)
+
+
+PPM_RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, out_w int, out_h int, "
+    "sum_resized long, mean_resized double"
+)
+
+
+def ppm_resize_stats(blobs: DataFrame, out_w: int = 2, out_h: int = 2) -> DataFrame:
+    """REAL image resize: decode each P6 payload (pure-numpy decoder),
+    nearest-neighbor downsample to (out_w, out_h) with the floor
+    mapping sy = ty*h // out_h, sx = tx*w // out_w, and emit the
+    resized image's integer pixel sum + mean. Because nearest-neighbor
+    selects exact source pixels, the generator's closed-form pixel law
+    predicts every output byte — a SQL oracle can check a real resize
+    end-to-end. Arrow-batched mapInPandas; nothing collected."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Closure-shipped decoder copy (driver unpickles off-sys.path).
+        import numpy as np
+
+        def decode(data: bytes):
+            if data[:2] != b"P6":
+                raise ValueError("not a P6 PPM")
+            pos, tokens = 2, []
+            while len(tokens) < 3:
+                while pos < len(data) and data[pos : pos + 1].isspace():
+                    pos += 1
+                start = pos
+                while pos < len(data) and not data[pos : pos + 1].isspace():
+                    pos += 1
+                tokens.append(int(data[start:pos]))
+            pos += 1
+            w, h, maxval = tokens
+            if maxval != 255:
+                raise ValueError(f"unsupported maxval {maxval}")
+            pix = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+            return w, h, pix.reshape(h, w, 3)
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, pix = decode(bytes(payload))
+                sy = (np.arange(out_h) * h) // out_h
+                sx = (np.arange(out_w) * w) // out_w
+                small = pix[sy][:, sx]
+                s = int(small.sum(dtype=np.int64))
+                rows.append(
+                    (
+                        int(doc_id), w, h, out_w, out_h,
+                        s, s / (out_w * out_h * 3),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "out_w", "out_h",
+                    "sum_resized", "mean_resized",
+                ],
+            )
+
+    return blobs.mapInPandas(run, schema=PPM_RESIZE_SCHEMA)
+
+
+WAV_RESAMPLE_SCHEMA = (
+    "doc_id long, sample_rate long, out_rate long, n_in long, n_out long, "
+    "sum_out long, peak_out long"
+)
+
+
+def wav_resample_stats(blobs: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL audio resample by integer decimation: decode each PCM WAV
+    (pure-numpy RIFF walker), keep every ``factor``-th sample, and emit
+    the downsampled stream's stats at the reduced rate. Decimation
+    selects exact source samples, so the generator's closed-form sample
+    law predicts every output value — a SQL oracle verifies the decode
+    AND the resampling. Arrow-batched mapInPandas; nothing collected."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Closure-shipped decoder copy (driver may unpickle outside the
+        # repo's sys.path).
+        import struct
+
+        import numpy as np
+
+        def decode(data: bytes):
+            if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE file")
+            pos, rate, samples = 12, None, None
+            while pos + 8 <= len(data):
+                cid = data[pos : pos + 4]
+                (size,) = struct.unpack_from("<I", data, pos + 4)
+                body = pos + 8
+                if cid == b"fmt ":
+                    fmt, channels, rate = struct.unpack_from("<HHI", data, body)
+                    (bits,) = struct.unpack_from("<H", data, body + 14)
+                    if fmt != 1 or channels != 1 or bits != 16:
+                        raise ValueError("only 16-bit mono PCM supported")
+                elif cid == b"data":
+                    samples = np.frombuffer(
+                        data, dtype="<i2", count=size // 2, offset=body
+                    )
+                pos = body + size + (size & 1)
+            if rate is None or samples is None:
+                raise ValueError("missing fmt or data chunk")
+            return rate, samples
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, samples = decode(bytes(payload))
+                out = samples[::factor].astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id), int(rate), int(rate // factor),
+                        int(len(samples)), int(len(out)),
+                        int(out.sum()), int(np.abs(out).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "out_rate", "n_in", "n_out",
+                    "sum_out", "peak_out",
+                ],
+            )
+
+    return blobs.mapInPandas(run, schema=WAV_RESAMPLE_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, width int, height int, "
+    "sum_pix long, mean_pix double"
+)
+
+
+def with_video_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL multi-frame video container per doc: a stream of
+    concatenated binary P6 PPM frames (the MJPEG idea with an
+    uncompressed codec the container can genuinely parse). Frame f of
+    doc d is a 4x3 image with pixel_byte(i) = (d*7 + f*11 + i*13) % 256;
+    frame count is 2 + d % 3. Valid input for any PPM-stream reader;
+    the closed-form law lets SQL verify real frame extraction."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def make(doc_id: int) -> bytes:
+            frames = []
+            for f in range(2 + doc_id % 3):
+                pix = bytes(
+                    (doc_id * 7 + f * 11 + i * 13) % 256 for i in range(4 * 3 * 3)
+                )
+                frames.append(b"P6\n4 3\n255\n" + pix)
+            return b"".join(frames)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda d: make(int(d))),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(run, schema="doc_id long, payload binary")
+
+
+def video_frame_stats(blobs: DataFrame, every: int = 2) -> DataFrame:
+    """REAL video frame pipeline: walk the concatenated-PPM container
+    frame by frame (parsing each P6 header to find the next frame
+    boundary — no fixed stride assumed), keep every ``every``-th frame
+    (temporal sampling), decode it, and emit per-frame pixel stats.
+    The mapInPandas batch yields MULTIPLE rows per input row (one per
+    sampled frame) — the shape a real video pipeline needs. Nothing
+    collected; Arrow-batched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def frames(data: bytes):
+            pos, idx = 0, 0
+            while pos < len(data):
+                if data[pos : pos + 2] != b"P6":
+                    raise ValueError(f"bad frame header at {pos}")
+                p, tokens = pos + 2, []
+                while len(tokens) < 3:
+                    while p < len(data) and data[p : p + 1].isspace():
+                        p += 1
+                    start = p
+                    while p < len(data) and not data[p : p + 1].isspace():
+                        p += 1
+                    tokens.append(int(data[start:p]))
+                p += 1
+                w, h, maxval = tokens
+                if maxval != 255:
+                    raise ValueError(f"unsupported maxval {maxval}")
+                pix = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=p)
+                yield idx, w, h, pix
+                pos = p + w * h * 3
+                idx += 1
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for idx, w, h, pix in frames(bytes(payload)):
+                    if idx % every != 0:
+                        continue
+                    s = int(pix.sum(dtype=np.int64))
+                    rows.append(
+                        (int(doc_id), idx, w, h, s, s / (w * h * 3))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "width", "height",
+                    "sum_pix", "mean_pix",
+                ],
+            )
+
+    return blobs.mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)
