@@ -462,12 +462,27 @@ def _aggregator(a: dict, time_col: str) -> Column:
             in_range = src.isNotNull()
         elif mode == "ignore":
             in_range = (src >= lo) & (src < hi)
+        elif mode == "overflow":
+            # outliers land in side counters (Druid's
+            # lowerOutlierCount / upperOutlierCount / missingValueCount
+            # fields) — a struct result, since the information doesn't
+            # fit the bucket array
+            in_range = (src >= lo) & (src < hi)
+            return F.struct(
+                F.count(F.when(src < lo, 1)).alias("lower"),
+                F.count(F.when(src >= hi, 1)).alias("upper"),
+                F.count(F.when(src.isNull(), 1)).alias("missing"),
+                F.array(
+                    *[
+                        F.count(F.when(in_range & (pos == b), 1))
+                        for b in range(nb)
+                    ]
+                ).alias("buckets"),
+            ).alias(name)
         else:
-            # "overflow" keeps outliers in side counters — a struct
-            # result, not an array; not implemented
             raise ValueError(
                 f"unsupported outlierHandlingMode {mode!r} "
-                "(use 'clip' or 'ignore')"
+                "(use 'clip', 'ignore', or 'overflow')"
             )
         return F.array(
             *[F.count(F.when(in_range & (pos == b), 1)) for b in range(nb)]

@@ -1275,6 +1275,9 @@ def test_sketch_aggregators_and_consumers(events):
             {"type": "fixedBucketsHistogram", "name": "ign_hist",
              "fieldName": "value", "lowerLimit": 0, "upperLimit": 8,
              "numBuckets": 4, "outlierHandlingMode": "ignore"},
+            {"type": "fixedBucketsHistogram", "name": "ovf_hist",
+             "fieldName": "value", "lowerLimit": 2, "upperLimit": 6,
+             "numBuckets": 2, "outlierHandlingMode": "overflow"},
         ],
         "postAggregations": [
             {"type": "quantilesDoublesSketchToQuantile", "name": "p50",
@@ -1303,6 +1306,11 @@ def test_sketch_aggregators_and_consumers(events):
     assert abs(row["rank5"] - 4 / 7) < 1e-15
     assert row["clip_hist"] == [1, 2, 2, 2]  # 10 clips into the last
     assert row["ign_hist"] == [1, 2, 2, 1]   # 10 is dropped
+    # overflow over [2, 6) in 2 width-2 buckets: 1 below (value 1),
+    # 2 above (6, 10), none missing; [2,4) holds 2,3 and [4,6) holds 4,5
+    ovf = row["ovf_hist"]
+    assert (ovf["lower"], ovf["upper"], ovf["missing"]) == (1, 2, 0)
+    assert ovf["buckets"] == [2, 2]
 
 
 def test_sketch_aggregator_error_paths(events):
@@ -1329,14 +1337,14 @@ def test_sketch_aggregator_error_paths(events):
                 "type": "quantilesDoublesSketchToQuantile", "name": "q",
                 "field": {"type": "fieldAccess", "fieldName": "n"},
                 "fraction": 0.5}]}, time_col="__time")
-    # overflow outlier mode is a side-counter struct — unimplemented
+    # an unknown outlier mode is loud
     with pytest.raises(ValueError, match="outlierHandlingMode"):
         run(events, {**base,
             "aggregations": [{"type": "fixedBucketsHistogram",
                               "name": "h", "fieldName": "value",
                               "lowerLimit": 0, "upperLimit": 8,
                               "numBuckets": 4,
-                              "outlierHandlingMode": "overflow"}]},
+                              "outlierHandlingMode": "bogus"}]},
             time_col="__time")
 
 
