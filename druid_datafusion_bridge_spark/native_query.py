@@ -503,8 +503,20 @@ def _aggregator(a: dict, time_col: str) -> Column:
                  "doubleMax", "floatSum", "floatMin", "floatMax",
                  "doubleMean"):
             return _numeric_agg(k, col).alias(out_name)
-        if k in ("cardinality", "hyperUnique", "thetaSketch"):
+        if k in ("cardinality", "hyperUnique", "thetaSketch",
+                 "HLLSketchBuild", "HLLSketchMerge"):
             return F.count_distinct(col).alias(out_name)
+        if k == "quantilesDoublesSketch":
+            return F.count(col).alias(out_name)
+        if k in ("longFirst", "doubleFirst", "floatFirst", "stringFirst",
+                 "longLast", "doubleLast", "floatLast", "stringLast"):
+            # min_by/max_by skip rows whose masked ordering key is NULL,
+            # which is exactly the filtered subset
+            ts = F.when(cond, _c(time_col))
+            fn = F.min_by if k.endswith("First") else F.max_by
+            return fn(col, ts).alias(out_name)
+        if k in ("longAny", "doubleAny", "floatAny", "stringAny"):
+            return F.any_value(col, ignoreNulls=True).alias(out_name)
         raise ValueError(f"unsupported filtered inner aggregator {k!r}")
     raise ValueError(f"unsupported aggregator type {kind!r}")
 

@@ -1501,3 +1501,47 @@ def test_grouping_aggregator(events):
     }
     got = {r["g"] for r in run(events, flat).collect()}
     assert got == {1}  # event_type grouped (0), 'nope' not (1)
+
+
+def test_filtered_wrapper_full_inner_family(events):
+    """The filtered aggregator wrapper accepts every inner family:
+    first/last (ordering key masked, so min_by/max_by skip excluded
+    rows), any, sketch distincts, and the quantiles stream length."""
+    spec = {
+        "queryType": "groupBy",
+        "granularity": "all",
+        "dimensions": [],
+        "aggregations": [
+            {"type": "filtered",
+             "filter": {"type": "selector", "dimension": "event_type",
+                        "value": "click"},
+             "aggregator": {"type": "doubleFirst", "name": "first_v",
+                            "fieldName": "value"}},
+            {"type": "filtered",
+             "filter": {"type": "selector", "dimension": "event_type",
+                        "value": "click"},
+             "aggregator": {"type": "doubleLast", "name": "last_v",
+                            "fieldName": "value"}},
+            {"type": "filtered",
+             "filter": {"type": "selector", "dimension": "event_type",
+                        "value": "view"},
+             "aggregator": {"type": "HLLSketchBuild", "name": "views",
+                            "fieldName": "user_id"}},
+            {"type": "filtered",
+             "filter": {"type": "selector", "dimension": "event_type",
+                        "value": "view"},
+             "aggregator": {"type": "quantilesDoublesSketch",
+                            "name": "nview", "fieldName": "value"}},
+            {"type": "filtered",
+             "filter": {"type": "selector", "dimension": "event_type",
+                        "value": "purchase"},
+             "aggregator": {"type": "stringAny", "name": "any_p",
+                            "fieldName": "props"}},
+        ],
+    }
+    row = run(events, spec, time_col="__time").collect()[0]
+    assert row["first_v"] == 1.0  # click at 00:10
+    assert row["last_v"] == 4.0   # click at Jan 2 00:05
+    assert row["views"] == 2      # users 1, 2 viewed
+    assert row["nview"] == 2
+    assert row["any_p"] == "a=9"
