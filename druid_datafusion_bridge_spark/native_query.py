@@ -775,6 +775,42 @@ def _dimensions(spec: dict) -> list[tuple[str, Column]]:
             out.append((d, _c(d)))
             continue
         kind = d.get("type", "default")
+        if kind in ("listFiltered", "regexFiltered", "prefixFiltered"):
+            # filtered dimension specs (dimensionspecs.md): prune the
+            # VALUES of a multi-value dimension before grouping. Only
+            # meaningful on array columns — a scalar delegate fails at
+            # analysis time, loudly. The delegate's extractionFn is
+            # not composed here (Druid applies these to raw MVDs too).
+            delegate = d["delegate"]
+            if isinstance(delegate, str):
+                delegate = {"dimension": delegate}
+            if delegate.get("extractionFn"):
+                raise ValueError(
+                    f"{kind} with a delegate extractionFn is "
+                    "unsupported"
+                )
+            col = _c(delegate["dimension"])
+            if kind == "listFiltered":
+                arr = F.array(*[F.lit(v) for v in d.get("values", [])])
+                white = d.get("isWhitelist", True)
+                pred = (
+                    (lambda x: F.array_contains(arr, x))
+                    if white
+                    else (lambda x: ~F.array_contains(arr, x))
+                )
+            elif kind == "regexFiltered":
+                pat = d["pattern"]
+                pred = lambda x: x.rlike(pat)  # noqa: E731
+            else:
+                pref = d["prefix"]
+                pred = lambda x: x.startswith(pref)  # noqa: E731
+            name = (
+                delegate.get("outputName")
+                or d.get("outputName")
+                or delegate["dimension"]
+            )
+            out.append((name, F.filter(col, pred)))
+            continue
         if kind not in ("default", "extraction"):
             raise ValueError(f"unsupported dimension spec type {kind!r}")
         name = d.get("outputName", d["dimension"])

@@ -1545,3 +1545,51 @@ def test_filtered_wrapper_full_inner_family(events):
     assert row["views"] == 2      # users 1, 2 viewed
     assert row["nview"] == 2
     assert row["any_p"] == "a=9"
+
+
+def test_filtered_dimension_specs(spark):
+    """listFiltered / regexFiltered / prefixFiltered dimension specs
+    prune multi-value dimension VALUES before grouping
+    (dimensionspecs.md); whitelist and blacklist forms both work."""
+    df = spark.createDataFrame(
+        [
+            (1, ["news", "sports", "x-a"]),
+            (2, ["news", "x-b"]),
+            (3, ["sports"]),
+        ],
+        "id long, tags array<string>",
+    ).withColumn("__time", F.lit("2024-01-01").cast("timestamp"))
+
+    def one(dimspec):
+        spec = {
+            "queryType": "groupBy", "granularity": "all",
+            "dimensions": [dimspec],
+            "aggregations": [{"type": "count", "name": "n"}],
+        }
+        return {
+            tuple(r["t"]): r["n"] for r in run(df, spec).collect()
+        }
+
+    assert one({"type": "listFiltered",
+                "delegate": {"dimension": "tags", "outputName": "t"},
+                "values": ["news", "sports"]}) == {
+        ("news", "sports"): 1, ("news",): 1, ("sports",): 1}
+    assert one({"type": "listFiltered",
+                "delegate": {"dimension": "tags", "outputName": "t"},
+                "values": ["news"], "isWhitelist": False}) == {
+        ("sports", "x-a"): 1, ("x-b",): 1, ("sports",): 1}
+    assert one({"type": "regexFiltered",
+                "delegate": {"dimension": "tags", "outputName": "t"},
+                "pattern": "^x-.*"}) == {
+        ("x-a",): 1, ("x-b",): 1, (): 1}
+    assert one({"type": "prefixFiltered",
+                "delegate": {"dimension": "tags", "outputName": "t"},
+                "prefix": "x-"}) == {
+        ("x-a",): 1, ("x-b",): 1, (): 1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="extractionFn"):
+        one({"type": "listFiltered",
+             "delegate": {"dimension": "tags", "outputName": "t",
+                          "extractionFn": {"type": "upper"}},
+             "values": ["news"]})
