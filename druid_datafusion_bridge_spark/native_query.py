@@ -260,7 +260,8 @@ def _inline_registered_lookups(node: Any, lookups: dict[str, Any]) -> Any:
 
 
 def _search_query_pred(col: Column, q: dict) -> Column:
-    """SearchQuerySpec (contains / insensitive_contains / fragment)."""
+    """SearchQuerySpec (contains / insensitive_contains / fragment /
+    regex — find() semantics, like Druid's RegexSearchQuerySpec)."""
     kind = q.get("type")
     if kind == "contains":
         if q.get("caseSensitive", False):
@@ -275,6 +276,8 @@ def _search_query_pred(col: Column, q: dict) -> Column:
             p = col.contains(v) if case else F.lower(col).contains(str(v).lower())
             out = p if out is None else (out & p)
         return out if out is not None else F.lit(True)
+    if kind == "regex":
+        return col.rlike(q["pattern"])
     raise ValueError(f"unsupported search query type {kind!r}")
 
 

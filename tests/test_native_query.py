@@ -1593,3 +1593,14 @@ def test_filtered_dimension_specs(spark):
              "delegate": {"dimension": "tags", "outputName": "t",
                           "extractionFn": {"type": "upper"}},
              "values": ["news"]})
+
+
+def test_search_regex_queryspec(events):
+    """RegexSearchQuerySpec: find() semantics over dimension values."""
+    spec = {
+        "queryType": "search",
+        "searchDimensions": ["props"],
+        "query": {"type": "regex", "pattern": "[a-c]=[0-9]"},
+    }
+    got = {r["value"] for r in run(events, spec, time_col="__time").collect()}
+    assert got == {"a=1", "b=2", "a=9", "c=3", "a=2"}
