@@ -68,6 +68,7 @@ from .jpeg import (  # noqa: F401
     encode_jpeg,
     jpeg_luma_stats,
     jpeg_rgb_stats,
+    with_jpeg_420_payload,
     with_jpeg_color_payload,
     with_jpeg_payload,
 )

@@ -27,8 +27,10 @@ from pyspark.sql import functions as F
 # integral coefficient), which is what lets the registry oracle be
 # closed-form over the pixel law while the decoder stays a real,
 # general baseline decoder (it dequantizes and inverse-transforms all
-# 64 coefficients of whatever stream it is handed). Color (chroma
-# subsampling + upsampling) is out of scope and rejected loudly.
+# 64 coefficients of whatever stream it is handed). Color ships both
+# 4:4:4 and 4:2:0 (2x2-averaged chroma on encode, pixel-replication
+# upsampling on decode — deterministic, documented); other sampling
+# grids decode generically as long as each factor divides the max.
 
 
 def _jpeg_zigzag() -> list[int]:
@@ -98,7 +100,8 @@ def _jpeg_encoder():
     T[0] *= np.sqrt(1 / 8)
     T[1:] *= 0.5
 
-    def encode(pix, restart_interval: int = 0) -> bytes:
+    def encode(pix, restart_interval: int = 0,
+               subsampling: str = "444") -> bytes:
         if pix.ndim == 3:
             # RGB -> YCbCr planes (BT.601/JFIF), floor(x + 0.5)
             # rounding + clamp — the decoder and the closed-form
@@ -114,14 +117,40 @@ def _jpeg_encoder():
                     128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
                 )
             ]
+            if subsampling == "420":
+                # 2x2-averaged chroma (floor(mean + 0.5)); odd dims
+                # edge-pad to even first. Y keeps (2,2) sampling.
+                def half(pl):
+                    hh, ww = pl.shape
+                    pl = np.pad(pl, ((0, hh % 2), (0, ww % 2)),
+                                mode="edge")
+                    q = (pl[0::2, 0::2] + pl[0::2, 1::2]
+                         + pl[1::2, 0::2] + pl[1::2, 1::2]) / 4.0
+                    return np.floor(q + 0.5)
+
+                comps = [(planes[0], 2, 2), (half(planes[1]), 1, 1),
+                         (half(planes[2]), 1, 1)]
+            elif subsampling == "444":
+                comps = [(pl, 1, 1) for pl in planes]
+            else:
+                raise ValueError(
+                    f"unsupported subsampling {subsampling!r}"
+                )
         else:
-            planes = [pix.astype(np.float64)]
-        h, w = planes[0].shape
-        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-        padded = [
-            np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
-            for p in planes
-        ]
+            comps = [(pix.astype(np.float64), 1, 1)]
+        h, w = (pix.shape[0], pix.shape[1])
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        padded = []
+        for pl, hi, vi in comps:
+            th, tw = mcuy * 8 * vi, mcux * 8 * hi
+            ph, pw = pl.shape
+            padded.append(
+                (np.pad(pl, ((0, th - ph), (0, tw - pw)), mode="edge"),
+                 hi, vi)
+            )
         out = bytearray()
         bitbuf, nbits = 0, 0
 
@@ -146,55 +175,61 @@ def _jpeg_encoder():
             if nbits:
                 put(8 - nbits, (1 << (8 - nbits)) - 1)  # pad with 1s
 
-        prev_dc = [0] * len(planes)
+        prev_dc = [0] * len(comps)
         mcu = rst = 0
-        for by in range(ph // 8):
-            for bx in range(pw // 8):
+        for my in range(mcuy):
+            for mx in range(mcux):
                 if restart_interval and mcu and mcu % restart_interval == 0:
                     # byte-align, emit RSTn (n cycles 0-7), reset DC
                     align_pad()
                     out += bytes([0xFF, 0xD0 + rst])
                     rst = (rst + 1) % 8
-                    prev_dc = [0] * len(planes)
+                    prev_dc = [0] * len(comps)
                 mcu += 1
-                for ci, plane in enumerate(padded):
-                    blk = (
-                        plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
-                        - 128.0
-                    )
-                    coef = np.rint(T @ blk @ T.T).astype(np.int64)
-                    zz = coef.flatten()[zig]
-                    s, bitsv = put_val(int(zz[0]) - prev_dc[ci])
-                    prev_dc[ci] = int(zz[0])
-                    put(*dc_codes[s])
-                    if s:
-                        put(s, bitsv)
-                    run = 0
-                    nz = np.nonzero(zz[1:])[0]
-                    last = nz[-1] + 1 if len(nz) else 0
-                    for i in range(1, last + 1):
-                        v = int(zz[i])
-                        if v == 0:
-                            run += 1
-                            continue
-                        while run >= 16:
-                            put(*ac_codes[0xF0])
-                            run -= 16
-                        s, bitsv = put_val(v)
-                        put(*ac_codes[(run << 4) | s])
-                        put(s, bitsv)
-                        run = 0
-                    if last < 63:
-                        put(*ac_codes[0x00])  # EOB
+                # interleaved MCU: vi x hi blocks per component in
+                # raster order (T.81 interleaving)
+                for ci, (plane, hi, vi) in enumerate(padded):
+                    for by in range(vi):
+                        for bx in range(hi):
+                            y0 = (my * vi + by) * 8
+                            x0 = (mx * hi + bx) * 8
+                            blk = plane[y0:y0 + 8, x0:x0 + 8] - 128.0
+                            coef = np.rint(T @ blk @ T.T).astype(
+                                np.int64
+                            )
+                            zz = coef.flatten()[zig]
+                            s, bitsv = put_val(int(zz[0]) - prev_dc[ci])
+                            prev_dc[ci] = int(zz[0])
+                            put(*dc_codes[s])
+                            if s:
+                                put(s, bitsv)
+                            run = 0
+                            nz = np.nonzero(zz[1:])[0]
+                            last = nz[-1] + 1 if len(nz) else 0
+                            for i in range(1, last + 1):
+                                v = int(zz[i])
+                                if v == 0:
+                                    run += 1
+                                    continue
+                                while run >= 16:
+                                    put(*ac_codes[0xF0])
+                                    run -= 16
+                                s, bitsv = put_val(v)
+                                put(*ac_codes[(run << 4) | s])
+                                put(s, bitsv)
+                                run = 0
+                            if last < 63:
+                                put(*ac_codes[0x00])  # EOB
         align_pad()
 
         def seg(marker: int, body: bytes) -> bytes:
             return struct.pack(">HH", marker, len(body) + 2) + body
 
-        nc = len(planes)
+        nc = len(comps)
         qt = bytes([0]) + bytes([1] * 64)
         sof = struct.pack(">BHHB", 8, h, w, nc) + b"".join(
-            bytes([cid + 1, 0x11, 0]) for cid in range(nc)
+            bytes([ci + 1, (hi << 4) | vi, 0])
+            for ci, (_pl, hi, vi) in enumerate(comps)
         )
         dht = (
             bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
@@ -226,13 +261,15 @@ def _jpeg_decoder():
     tables DHT declares, entropy-decodes with byte unstuffing and
     restart-marker handling, dequantizes, dezigzags, and inverse-DCTs
     all 64 coefficients per block. One component returns uint8[h, w]
-    grayscale; three components (4:4:4 only — each sampling factor
-    0x11) decode per-component planes with separate DC predictors and
-    Huffman/quant table selections, then convert YCbCr -> RGB
-    (BT.601/JFIF, floor(x + 0.5) rounding — the same rule the encoder
-    and the closed-form oracles use) to uint8[h, w, 3]. Progressive
-    SOFs, subsampled color, and 16-bit quant tables raise the
-    documented ValueError; truncated payloads are loud."""
+    grayscale; three components decode per-component planes with
+    separate DC predictors and Huffman/quant table selections across
+    the interleaved sampling grid (4:4:4, 4:2:0, 4:2:2 — any factors
+    dividing the max), upsample by pixel replication, then convert
+    YCbCr -> RGB (BT.601/JFIF, floor(x + 0.5) rounding — the same rule
+    the encoder and the closed-form oracles use) to uint8[h, w, 3].
+    Progressive SOFs, non-dividing sampling grids, and 16-bit quant
+    tables raise the documented ValueError; truncated payloads are
+    loud."""
     import struct
 
     import numpy as np
@@ -305,12 +342,7 @@ def _jpeg_decoder():
                     comps = []
                     for ci in range(ncomp):
                         cid, samp, tq = body[6 + 3 * ci:9 + 3 * ci]
-                        if samp != 0x11:
-                            raise ValueError(
-                                "subsampled color unsupported "
-                                "(4:4:4 only)"
-                            )
-                        comps.append((cid, tq))
+                        comps.append((cid, samp >> 4, samp & 0xF, tq))
                 elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                                 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                     raise ValueError(
@@ -326,20 +358,30 @@ def _jpeg_decoder():
                             "(progressive-style partial scans "
                             "unsupported)"
                         )
-                    by_id = dict(comps)
+                    by_id = {c[0]: c for c in comps}
                     scan_sel = []
                     for ci in range(body[0]):
                         cid = body[1 + 2 * ci]
                         tt = body[2 + 2 * ci]
+                        _cid, chs, cvs, tq = by_id[cid]
                         scan_sel.append(
-                            (by_id[cid], tt >> 4, tt & 0xF)
+                            (chs, cvs, tq, tt >> 4, tt & 0xF)
                         )
                     scan_start = pos
             if w is None:
                 raise ValueError("no SOF0 before SOS")
+            hmax = max(c[0] for c in scan_sel)
+            vmax = max(c[1] for c in scan_sel)
+            for chs, cvs, _tq, _td, _ta in scan_sel:
+                if chs < 1 or cvs < 1 or hmax % chs or vmax % cvs:
+                    raise ValueError(
+                        f"unsupported sampling grid {chs}x{cvs} "
+                        f"(max {hmax}x{vmax})"
+                    )
             tabs = [
-                (qtables[tq], htables[(0, td)], htables[(1, ta)])
-                for tq, td, ta in scan_sel
+                (chs, cvs, qtables[tq], htables[(0, td)],
+                 htables[(1, ta)])
+                for chs, cvs, tq, td, ta in scan_sel
             ]
 
             bitpos = scan_start * 8
@@ -372,15 +414,17 @@ def _jpeg_decoder():
             def extend(v: int, s: int) -> int:
                 return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
 
-            bw, bh = -(-w // 8), -(-h // 8)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
             nc = len(tabs)
             planes = [
-                np.zeros((bh * 8, bw * 8), np.uint8) for _ in range(nc)
+                np.zeros((mcuy * 8 * cvs, mcux * 8 * chs), np.uint8)
+                for chs, cvs, _q, _d, _a in tabs
             ]
             prev_dc = [0] * nc
             mcu = 0
-            for by in range(bh):
-                for bx in range(bw):
+            for my in range(mcuy):
+                for mx in range(mcux):
                     if restart and mcu and mcu % restart == 0:
                         # byte-align, then consume the RSTn marker.
                         # If the pad byte was 0xFF its stuffed 0x00
@@ -398,45 +442,68 @@ def _jpeg_decoder():
                         bitpos = i << 3
                         prev_dc = [0] * nc
                     mcu += 1
-                    # 4:4:4 MCU: one block per component, interleaved
-                    for ci, (quant, dc_tab, ac_tab) in enumerate(tabs):
-                        zz = np.zeros(64, np.int64)
-                        s = read_code(dc_tab)
-                        diff = 0
-                        if s:
-                            v = 0
-                            for _ in range(s):
-                                v = (v << 1) | read_bit()
-                            diff = extend(v, s)
-                        prev_dc[ci] += diff
-                        zz[0] = prev_dc[ci]
-                        ki = 1
-                        while ki < 64:
-                            sym = read_code(ac_tab)
-                            if sym == 0x00:  # EOB
-                                break
-                            if sym == 0xF0:  # ZRL
-                                ki += 16
-                                continue
-                            run, s = sym >> 4, sym & 0xF
-                            ki += run
-                            if ki > 63:
-                                raise ValueError("AC run past block end")
-                            v = 0
-                            for _ in range(s):
-                                v = (v << 1) | read_bit()
-                            zz[ki] = extend(v, s)
-                            ki += 1
-                        coef = np.zeros(64, np.int64)
-                        coef[zig] = zz * quant  # dequant in zigzag order
-                        blk = (
-                            T.T @ coef.reshape(8, 8).astype(np.float64) @ T
-                        )
-                        planes[ci][
-                            by * 8:by * 8 + 8, bx * 8:bx * 8 + 8
-                        ] = np.clip(
-                            np.rint(blk + 128.0), 0, 255
-                        ).astype(np.uint8)
+                    # interleaved MCU: cvs x chs blocks per component
+                    # in raster order (T.81 interleaving)
+                    for ci, (chs, cvs, quant, dc_tab, ac_tab) in (
+                        enumerate(tabs)
+                    ):
+                      for iby in range(cvs):
+                        for ibx in range(chs):
+                            zz = np.zeros(64, np.int64)
+                            s = read_code(dc_tab)
+                            diff = 0
+                            if s:
+                                v = 0
+                                for _ in range(s):
+                                    v = (v << 1) | read_bit()
+                                diff = extend(v, s)
+                            prev_dc[ci] += diff
+                            zz[0] = prev_dc[ci]
+                            ki = 1
+                            while ki < 64:
+                                sym = read_code(ac_tab)
+                                if sym == 0x00:  # EOB
+                                    break
+                                if sym == 0xF0:  # ZRL
+                                    ki += 16
+                                    continue
+                                run, s = sym >> 4, sym & 0xF
+                                ki += run
+                                if ki > 63:
+                                    raise ValueError(
+                                        "AC run past block end"
+                                    )
+                                v = 0
+                                for _ in range(s):
+                                    v = (v << 1) | read_bit()
+                                zz[ki] = extend(v, s)
+                                ki += 1
+                            coef = np.zeros(64, np.int64)
+                            coef[zig] = zz * quant  # zigzag-order dequant
+                            blk = (
+                                T.T
+                                @ coef.reshape(8, 8).astype(np.float64)
+                                @ T
+                            )
+                            y0 = (my * cvs + iby) * 8
+                            x0 = (mx * chs + ibx) * 8
+                            planes[ci][
+                                y0:y0 + 8, x0:x0 + 8
+                            ] = np.clip(
+                                np.rint(blk + 128.0), 0, 255
+                            ).astype(np.uint8)
+            # upsample subsampled components by pixel replication
+            # (nearest neighbor — deterministic, documented; libjpeg's
+            # "fancy" bilinear is an interpolation CHOICE, not part of
+            # the format), then crop to frame dims
+            full = []
+            for pl, (chs, cvs, _q, _d, _a) in zip(planes, tabs):
+                if chs != hmax:
+                    pl = np.repeat(pl, hmax // chs, axis=1)
+                if cvs != vmax:
+                    pl = np.repeat(pl, vmax // cvs, axis=0)
+                full.append(pl)
+            planes = full
             if nc == 1:
                 return w, h, planes[0][:h, :w]
             # BT.601/JFIF YCbCr -> RGB, floor(x + 0.5) rounding (the
@@ -599,4 +666,46 @@ def jpeg_rgb_stats(blobs: DataFrame) -> DataFrame:
         schema="doc_id long, width int, height int, sum_r long, "
                "sum_g long, sum_b long, mean_r double, mean_g double, "
                "mean_b double",
+    )
+
+
+def with_jpeg_420_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL 4:2:0 baseline JFIF per doc (the layout most JPEGs
+    in the wild use): width 16*(1 + doc_id%2), height 16, each 16x16
+    MACROBLOCK a constant RGB of ((doc_id*11 + m*17) % 256,
+    (doc_id*13 + m*19) % 256, (doc_id*7 + m*23) % 256) — constant
+    chroma survives the 2x2 averaging and the replication upsampling
+    exactly, so decoded pixels follow the same closed-form two-round
+    law as the 4:4:4 payloads."""
+    encode = _jpeg_encoder()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def make(doc_id: int) -> bytes:
+            bwn = 1 + doc_id % 2
+            m = np.arange(bwn).reshape(1, bwn)
+            rgb = np.stack(
+                [
+                    (doc_id * 11 + m * 17) % 256,
+                    (doc_id * 13 + m * 19) % 256,
+                    (doc_id * 7 + m * 23) % 256,
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            return encode(
+                np.repeat(np.repeat(rgb, 16, 0), 16, 1),
+                subsampling="420",
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda d: make(int(d))),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(
+        run, schema="doc_id long, payload binary"
     )

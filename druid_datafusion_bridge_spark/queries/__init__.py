@@ -63,6 +63,7 @@ NEW_IN_R11: tuple[str, ...] = (
     "fd_ipv6_sql_text",
     "mm_jpeg_color_decode",
     "nq_grouping_aggregator",
+    "mm_jpeg_420_decode",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed

@@ -590,3 +590,61 @@ def mm_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return jpeg_rgb_stats(with_jpeg_color_payload(docs))
+
+
+@query(
+    "mm_jpeg_420_decode",
+    oracle="""
+    WITH law AS (
+      SELECT d.doc_id, g.m,
+             CAST((d.doc_id * 11 + g.m * 17) % 256 AS DOUBLE) AS r,
+             CAST((d.doc_id * 13 + g.m * 19) % 256 AS DOUBLE) AS gg,
+             CAST((d.doc_id * 7 + g.m * 23) % 256 AS DOUBLE) AS bb
+      FROM documents d,
+           unnest(generate_series(0, d.doc_id % 2)) AS g(m)),
+    ycc AS (
+      SELECT doc_id, m,
+        LEAST(255, GREATEST(0,
+          FLOOR(0.299*r + 0.587*gg + 0.114*bb + 0.5))) AS y,
+        LEAST(255, GREATEST(0,
+          FLOOR(128 - 0.168736*r - 0.331264*gg + 0.5*bb + 0.5))) AS cb,
+        LEAST(255, GREATEST(0,
+          FLOOR(128 + 0.5*r - 0.418688*gg - 0.081312*bb + 0.5))) AS cr
+      FROM law),
+    back AS (
+      SELECT doc_id,
+        LEAST(255, GREATEST(0,
+          FLOOR(y + 1.402*(cr - 128) + 0.5))) AS rp,
+        LEAST(255, GREATEST(0,
+          FLOOR(y - 0.344136*(cb - 128) - 0.714136*(cr - 128) + 0.5)))
+          AS gp,
+        LEAST(255, GREATEST(0,
+          FLOOR(y + 1.772*(cb - 128) + 0.5))) AS bp
+      FROM ycc)
+    SELECT doc_id,
+           CAST(16 * (1 + doc_id % 2) AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(SUM(256 * rp) AS BIGINT) AS sum_r,
+           CAST(SUM(256 * gp) AS BIGINT) AS sum_g,
+           CAST(SUM(256 * bp) AS BIGINT) AS sum_b,
+           SUM(256 * rp) / (256.0 * (1 + doc_id % 2)) AS mean_r,
+           SUM(256 * gp) / (256.0 * (1 + doc_id % 2)) AS mean_g,
+           SUM(256 * bp) / (256.0 * (1 + doc_id % 2)) AS mean_b
+    FROM back GROUP BY doc_id
+    """,
+)
+def mm_jpeg_420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 4:2:0 chroma-subsampled JPEG decode end-to-end — the
+    sampling layout most JPEGs in the wild use: interleaved MCUs of
+    four Y blocks plus one Cb and one Cr (2x2-averaged on encode),
+    decoded across the generic sampling grid with per-component DC
+    predictors, chroma upsampled by pixel replication, then BT.601
+    YCbCr->RGB. Macroblock-constant payloads make chroma averaging and
+    replication exact, so decoded pixels follow the same closed-form
+    two-round law the 4:4:4 oracle uses — a sampling-grid, MCU
+    block-order, or upsampling bug shows up as a value mismatch."""
+    from ..operators.multimodal import jpeg_rgb_stats
+    from ..operators.multimodal.jpeg import with_jpeg_420_payload
+
+    docs = table(spark, sf_dir, "documents")
+    return jpeg_rgb_stats(with_jpeg_420_payload(docs))

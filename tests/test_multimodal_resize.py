@@ -505,10 +505,40 @@ def test_jpeg_color_codec():
     w, h, out = decode_jpeg(encode_jpeg(pix, restart_interval=4))
     assert (w, h) == (40, 24)
     assert np.abs(out.astype(int) - pix.astype(int)).max() <= 3
-    # 4:2:0 subsampling (sampling factor 0x22 on Y) rejected
+    # 4:2:0 (2x2-averaged chroma, replication upsampling):
+    # macroblock-constant 16x16 color follows the same two-round law
+    # exactly (constant chroma survives averaging), including with
+    # restart markers and odd crop dims
+    for d in (0, 1, 3, 4):
+        bwn = 1 + d % 2
+        b = np.arange(bwn).reshape(1, bwn)
+        rgb = np.stack([(d * 11 + b * 17) % 256, (d * 13 + b * 19) % 256,
+                        (d * 7 + b * 23) % 256], -1).astype(np.uint8)
+        mb = np.repeat(np.repeat(rgb, 16, 0), 16, 1)
+        w, h, out = decode_jpeg(encode_jpeg(mb, subsampling="420"))
+        assert out.shape == mb.shape
+        for bi in range(bwn):
+            want = law(*(int(x) for x in rgb[0, bi]))
+            blk = out[:, bi * 16:(bi + 1) * 16]
+            assert tuple(blk[0, 0]) == want and (blk == blk[0, 0]).all()
+    dense = rng.integers(0, 256, (19, 21, 3), dtype=np.uint8)
+    w, h, out = decode_jpeg(
+        encode_jpeg(dense, subsampling="420", restart_interval=2)
+    )
+    assert (w, h) == (21, 19) and out.shape == (19, 21, 3)
+    # luminance stays close even where chroma is smoothed: the Y
+    # channel itself round-trips within DCT rounding, but where the
+    # replicated chroma drives R/G/B into the 0/255 clamp the
+    # recombined luma shifts a few counts (inherent to 4:2:0 at
+    # saturated chroma edges, not a codec bug)
+    def luma(p):
+        q = p.astype(float)
+        return 0.299 * q[:, :, 0] + 0.587 * q[:, :, 1] + 0.114 * q[:, :, 2]
+    assert np.abs(luma(out) - luma(dense)).max() <= 8
+    # a non-dividing / degenerate sampling grid is rejected loudly
     good = encode_jpeg(pix)
     i = good.index(b"\xff\xc0")
     bad = bytearray(good)
-    bad[i + 11] = 0x22
-    with pytest.raises(ValueError, match="subsampled"):
+    bad[i + 11] = 0x30  # chs=3, cvs=0
+    with pytest.raises(ValueError, match="sampling grid"):
         decode_jpeg(bytes(bad))

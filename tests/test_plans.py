@@ -338,7 +338,8 @@ def test_every_query_compiles_jvm_side(spark):
                       "mm_ppm_resize", "mm_wav_decode",
                       "mm_wav_resample", "mm_video_frames",
                       "mm_png_decode", "mm_gif_decode", "mm_bmp_decode",
-                      "mm_jpeg_decode", "mm_jpeg_color_decode"}
+                      "mm_jpeg_decode", "mm_jpeg_color_decode",
+                      "mm_jpeg_420_decode"}
     MARKERS = ["BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                "FlatMapGroupsInPandas"]
     offenders = []
