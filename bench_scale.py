@@ -484,6 +484,7 @@ SLOPE_QUERIES = [
     "txp_pii_scrub",
     "mm_jpeg_color_decode",
     "nq_grouping_aggregator",
+    "mm_jpeg_420_decode",
 ]
 
 # per-table key columns to shift by copy*KEY_SHIFT (foreign keys shift
