@@ -1678,3 +1678,51 @@ def test_timeseries_zerofill_differential(
         FROM grid g LEFT JOIN agg a USING ("timestamp")
         """
     _compare(got, con, sql)
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    h=st.integers(8, 40),
+    w=st.integers(8, 56),
+    ri=st.sampled_from([0, 1, 3, 7]),
+    mode=st.sampled_from(["gray", "444", "420"]),
+)
+@SET
+def test_jpeg_codec_roundtrip_property(seed, h, w, ri, mode):
+    """JPEG encode->decode property across random dims, restart
+    intervals, and sampling modes: dims always survive exactly;
+    grayscale and 4:4:4 round-trip within DCT+color rounding (<= 1 and
+    <= 4 per channel at all-ones quant); the 4:2:0 case runs on
+    gray-valued RGB (constant chroma = the subsampling's lossless
+    case), where every channel must round-trip within <= 2 — per-pixel
+    random chroma has no per-pixel bound under subsampling (lossy by
+    design; the fixed tests cover that regime)."""
+    import numpy as np
+
+    from druid_datafusion_bridge_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    if mode == "gray":
+        pix = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        data = encode_jpeg(pix, restart_interval=ri)
+        ww, hh, out = decode_jpeg(data)
+        assert (ww, hh) == (w, h) and out.shape == (h, w)
+        assert np.abs(out.astype(int) - pix.astype(int)).max() <= 1
+        return
+    pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    if mode == "444":
+        ww, hh, out = decode_jpeg(encode_jpeg(pix, restart_interval=ri))
+        assert (ww, hh) == (w, h) and out.shape == (h, w, 3)
+        assert np.abs(out.astype(int) - pix.astype(int)).max() <= 4
+        return
+    gray3 = np.repeat(
+        rng.integers(0, 256, (h, w, 1), dtype=np.uint8), 3, axis=2
+    )
+    ww, hh, out = decode_jpeg(
+        encode_jpeg(gray3, subsampling="420", restart_interval=ri)
+    )
+    assert (ww, hh) == (w, h) and out.shape == (h, w, 3)
+    assert np.abs(out.astype(int) - gray3.astype(int)).max() <= 2
