@@ -55,8 +55,8 @@ Deliberate upgrades, documented:
 Datasource forms (table / inline / query-as-subquery / union / join
 with prefixed right columns) resolve in `_resolve_datasource`;
 expression virtualColumns apply in `_base`. Unsupported spec pieces
-(javascript aggregators/extractions, geo filters, exotic Druid
-expression forms) raise ValueError naming the offending type — a loud
+(javascript aggregators/extractions, exotic Druid expression forms)
+raise ValueError naming the offending type — a loud
 contract, not silent misreading.
 """
 
@@ -382,6 +382,55 @@ def _filter_pred(f: dict | None, time_col: str) -> Column | None:
                     _dim_value(d, _c(d.get("dimension") or d["outputName"]))
                 )
         return sides[0].eqNullSafe(sides[1])
+    if kind == "spatial":
+        # Druid spatial filter (development/geo.md): the dimension is
+        # an ingest-time spatial dim holding "c1,c2,..." coordinate
+        # strings. Bounds: rectangular (inclusive both ends, any
+        # dimensionality), radius (euclidean circle, 2D), polygon
+        # (ray-cast point-in-polygon over the spec's literal vertex
+        # arrays — the parity fold unrolls at compile time, one Column
+        # expression, no UDF). Unparsable coordinates never match.
+        parts = F.split(_c(f["dimension"]), ",")
+
+        def coord(i: int) -> Column:
+            # try_element_at: a short coordinate list ("junk") yields
+            # NULL instead of erroring under ANSI
+            return F.try_element_at(
+                parts, F.lit(i + 1)
+            ).try_cast("double")
+
+        b = f["bound"]
+        bt = b.get("type")
+        if bt == "rectangular":
+            mins, maxs = b["minCoords"], b["maxCoords"]
+            out = F.lit(True)
+            for i, (lo, hi) in enumerate(zip(mins, maxs)):
+                out = out & (coord(i) >= float(lo)) & (
+                    coord(i) <= float(hi)
+                )
+            return out
+        if bt == "radius":
+            cx, cy = (float(v) for v in b["coords"])
+            r = float(b["radius"])
+            dx, dy = coord(0) - cx, coord(1) - cy
+            return (dx * dx + dy * dy) <= r * r
+        if bt == "polygon":
+            xs = [float(v) for v in b["abscissa"]]
+            ys = [float(v) for v in b["ordinate"]]
+            px, py = coord(0), coord(1)
+            inside = F.lit(False)
+            for i in range(len(xs)):
+                j = i - 1  # wraps to the last vertex for i == 0
+                x1, y1, x2, y2 = xs[i], ys[i], xs[j], ys[j]
+                if y1 == y2:
+                    continue  # horizontal edge never flips parity
+                crosses = (
+                    ((F.lit(y1) > py) != (F.lit(y2) > py))
+                    & (px < (py - y1) * ((x2 - x1) / (y2 - y1)) + x1)
+                )
+                inside = F.when(crosses, ~inside).otherwise(inside)
+            return inside & px.isNotNull() & py.isNotNull()
+        raise ValueError(f"unsupported spatial bound {bt!r}")
     if kind == "arrayContainsElement":
         # Druid 28+ array filter: the array column contains the match
         # value; a NULL element match means "contains a null element"

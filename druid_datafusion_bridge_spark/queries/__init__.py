@@ -64,6 +64,7 @@ NEW_IN_R11: tuple[str, ...] = (
     "mm_jpeg_color_decode",
     "nq_grouping_aggregator",
     "mm_jpeg_420_decode",
+    "nq_spatial_filter",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed

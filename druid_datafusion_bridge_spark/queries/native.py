@@ -925,3 +925,67 @@ def nq_grouping_aggregator(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     }
     return native_query(_events(spark, sf_dir), spec, time_col="ts")
+
+
+@query(
+    "nq_spatial_filter",
+    oracle="""
+    WITH c AS (
+      SELECT user_id % 50 AS x,
+             CAST(FLOOR(value) AS BIGINT) % 50 AS y
+      FROM events)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (WHERE x BETWEEN 5 AND 20
+                                   AND y BETWEEN 10 AND 30) AS BIGINT)
+             AS n_rect,
+           CAST(COUNT(*) FILTER (WHERE (x-25)*(x-25) + (y-25)*(y-25)
+                                       <= 100) AS BIGINT) AS n_radius,
+           CAST(COUNT(*) FILTER (WHERE x >= 1 AND y >= 1
+                                   AND x + y <= 41) AS BIGINT) AS n_poly
+    FROM c
+    """,
+)
+def nq_spatial_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spatial filter family (development/geo.md) over a
+    coordinate virtualColumn ("x,y" strings, Druid's ingest-time
+    spatial-dimension encoding): one filtered aggregator per bound —
+    rectangular (inclusive), radius (euclidean), and a ray-cast
+    polygon whose half-open vertices (0.5-shifted) keep every lattice
+    point strictly off the edges, so the oracle reduces each bound to
+    integer arithmetic. All three compile into ONE aggregation pass
+    (filtered aggregators share the scan); the coordinate parse is
+    try-cast column arithmetic inside codegen — no UDF, unparsable
+    coordinates never match."""
+    spec = {
+        "queryType": "groupBy",
+        "granularity": "all",
+        "dimensions": [],
+        "virtualColumns": [
+            {"type": "expression", "name": "loc",
+             "expression": 'concat(CAST("user_id" % 50 AS STRING), '
+                           "',', "
+                           'CAST(CAST(FLOOR("value") AS BIGINT) % 50 '
+                           "AS STRING))"},
+        ],
+        "aggregations": [
+            {"type": "count", "name": "n_total"},
+            {"type": "filtered",
+             "filter": {"type": "spatial", "dimension": "loc",
+                        "bound": {"type": "rectangular",
+                                  "minCoords": [5, 10],
+                                  "maxCoords": [20, 30]}},
+             "aggregator": {"type": "count", "name": "n_rect"}},
+            {"type": "filtered",
+             "filter": {"type": "spatial", "dimension": "loc",
+                        "bound": {"type": "radius",
+                                  "coords": [25, 25], "radius": 10}},
+             "aggregator": {"type": "count", "name": "n_radius"}},
+            {"type": "filtered",
+             "filter": {"type": "spatial", "dimension": "loc",
+                        "bound": {"type": "polygon",
+                                  "abscissa": [0.5, 41, 0.5],
+                                  "ordinate": [0.5, 0.5, 41]}},
+             "aggregator": {"type": "count", "name": "n_poly"}},
+        ],
+    }
+    return native_query(_events(spark, sf_dir), spec, time_col="ts")

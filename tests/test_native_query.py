@@ -1604,3 +1604,60 @@ def test_search_regex_queryspec(events):
     }
     got = {r["value"] for r in run(events, spec, time_col="__time").collect()}
     assert got == {"a=1", "b=2", "a=9", "c=3", "a=2"}
+
+
+def test_spatial_filter(spark):
+    """Spatial filter bounds over 'x,y' coordinate dims: rectangular
+    (inclusive both ends), radius (euclidean), polygon (ray-cast —
+    checked against an independent matplotlib-free Python point-in-
+    polygon), and unparsable coordinates never match."""
+    pts = [(i, f"{x},{y}") for i, (x, y) in enumerate(
+        (x, y) for x in range(0, 10) for y in range(0, 10)
+    )] + [(100, "junk"), (101, "3,notanumber")]
+    df = spark.createDataFrame(pts, "id long, loc string").withColumn(
+        "__time", F.lit("2024-01-01").cast("timestamp")
+    )
+
+    def ids(bound):
+        spec = {
+            "queryType": "scan",
+            "columns": ["id"],
+            "filter": {"type": "spatial", "dimension": "loc",
+                       "bound": bound},
+        }
+        return {r["id"] for r in run(df, spec).collect()}
+
+    got = ids({"type": "rectangular", "minCoords": [2, 3],
+               "maxCoords": [4, 5]})
+    assert got == {i for i, (x, y) in enumerate(
+        (x, y) for x in range(10) for y in range(10))
+        if 2 <= x <= 4 and 3 <= y <= 5}
+    got = ids({"type": "radius", "coords": [5, 5], "radius": 2})
+    assert got == {i for i, (x, y) in enumerate(
+        (x, y) for x in range(10) for y in range(10))
+        if (x - 5) ** 2 + (y - 5) ** 2 <= 4}
+
+    poly = {"type": "polygon", "abscissa": [1, 8, 8], "ordinate": [1, 1, 8]}
+
+    def pip(x, y, xs, ys):
+        inside = False
+        for i in range(len(xs)):
+            j = i - 1
+            if ys[i] == ys[j]:
+                continue
+            if ((ys[i] > y) != (ys[j] > y)) and (
+                x < (y - ys[i]) * (xs[j] - xs[i]) / (ys[j] - ys[i])
+                + xs[i]
+            ):
+                inside = not inside
+        return inside
+
+    got = ids(poly)
+    want = {i for i, (x, y) in enumerate(
+        (x, y) for x in range(10) for y in range(10))
+        if pip(x, y, [1, 8, 8], [1, 1, 8])}
+    assert got == want and len(want) > 5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="spatial bound"):
+        ids({"type": "sphere"})
