@@ -485,6 +485,7 @@ SLOPE_QUERIES = [
     "mm_jpeg_color_decode",
     "nq_grouping_aggregator",
     "mm_jpeg_420_decode",
+    "nq_spatial_filter",
 ]
 
 # per-table key columns to shift by copy*KEY_SHIFT (foreign keys shift
