@@ -974,10 +974,23 @@ def _ds_render(name: str, args: list[str]) -> str:
             f"CASE WHEN instr(s, '::') > 0 "
             f"THEN concat({lft}, {pad}, {rgt}) ELSE split(s, ':') END"
         )
+        # raw-form validation BEFORE expansion: a compressed address
+        # must match hex-groups '::' hex-groups with at most 7 explicit
+        # groups ('::' covers >= 1, RFC 4291 — the rule stdlib
+        # ipaddress enforces on the subnet side); a full address is
+        # exactly 8 colon-separated groups. This rejects ':::1' and
+        # '1:2:3:4:5:6:7::8', which the filter/pad expansion alone
+        # would silently normalize into 8 valid groups.
+        hexg = "[0-9A-Fa-f]{1,4}"
+        comp_re = f"^({hexg}(:{hexg})*)?::({hexg}(:{hexg})*)?$"
+        full_re = f"^{hexg}(:{hexg}){{7}}$"
         to_groups = (
             f"transform(array({args[0]}), s -> CASE "
             f"WHEN s IS NULL THEN NULL "
-            f"WHEN instr(s, '.') > 0 OR size(split(s, '::')) > 2 "
+            f"WHEN instr(s, '.') > 0 THEN array('bad') "
+            f"WHEN instr(s, '::') > 0 AND (NOT s rlike '{comp_re}' "
+            f"OR size({lft}) + size({rgt}) > 7) THEN array('bad') "
+            f"WHEN instr(s, '::') = 0 AND NOT s rlike '{full_re}' "
             f"THEN array('bad') ELSE {expand} END)"
         )
         return (

@@ -226,6 +226,8 @@ def ppm_channel_stats(blobs: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Closure-shipped decoder copy: no module references (the
         # grading driver unpickles outside this repo's sys.path).
+        import struct  # the except clause below names struct.error
+
         import numpy as np
 
         def decode(data: bytes):

@@ -370,6 +370,14 @@ def _jpeg_decoder():
                     scan_start = pos
             if w is None:
                 raise ValueError("no SOF0 before SOS")
+            if len(scan_sel) == 1:
+                # T.81 A.2: a single-component scan is NON-interleaved
+                # — one data unit per MCU, ceil(w/8) x ceil(h/8) units
+                # total, regardless of the component's declared
+                # sampling factors (a grayscale file may legally
+                # declare 2x2)
+                chs, cvs, tq, td, ta = scan_sel[0]
+                scan_sel = [(1, 1, tq, td, ta)]
             hmax = max(c[0] for c in scan_sel)
             vmax = max(c[1] for c in scan_sel)
             for chs, cvs, _tq, _td, _ta in scan_sel:

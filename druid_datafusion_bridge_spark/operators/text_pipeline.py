@@ -627,7 +627,11 @@ def decontaminate(
     13-gram dedup against eval sets; Llama/PaLM run the same shape):
     a document is CONTAMINATED if it shares any word n-gram with the
     benchmark slice (``source == bench_source`` stands in for the eval
-    suite). Returns one row per non-benchmark document: distinct
+    suite). Returns one row per non-benchmark document that HAS at
+    least one n-gram — documents shorter than ``n`` tokens (or with
+    NULL text/source) have nothing to overlap and drop from the
+    output, so absence means "too short to check", not "clean"; gate
+    on presence + flag, or pre-filter short docs. Columns: distinct
     n-grams, distinct n-grams also present in the benchmark, and the
     contaminated flag.
 
@@ -692,18 +696,17 @@ def pii_scrub(
     expressions in the scan's own project — whole-stage codegen, zero
     shuffles, zero Python; the cost is a linear scan of the corpus,
     which is the floor for any redaction pass. Replacement order is
-    email -> phone -> ipv4 (documented: an IPv4-shaped sequence inside
-    an already-redacted email no longer exists to match)."""
-    col = F.col(text_col)
-    counts = [
-        F.regexp_count(col, F.lit(p)).alias(f"n_{k}")
-        for k, p in PII_PATTERNS.items()
-    ]
-    scrubbed = col
+    email -> phone -> ipv4, and each kind COUNTS on the text as it
+    stands at its stage, so every count equals the number of
+    placeholders that kind actually inserted (an IPv4-shaped sequence
+    inside an already-redacted email neither matches nor counts)."""
+    cur = F.col(text_col)
+    counts = []
     for k, p in PII_PATTERNS.items():
-        scrubbed = F.regexp_replace(scrubbed, p, f"<{k.upper()}>")
+        counts.append(F.regexp_count(cur, F.lit(p)).alias(f"n_{k}"))
+        cur = F.regexp_replace(cur, p, f"<{k.upper()}>")
     return docs.select(
         id_col,
         *counts,
-        scrubbed.alias("scrubbed"),
+        cur.alias("scrubbed"),
     )

@@ -937,25 +937,31 @@ def txp_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
              || ' host 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
                AS text
       FROM documents),
-    scrub AS (
+    s1 AS (
       SELECT doc_id,
              len(regexp_extract_all(text,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
                AS n_email,
-             len(regexp_extract_all(text, '\\b\\d{3}-\\d{3}-\\d{4}\\b'))
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t1
+      FROM aug),
+    s2 AS (
+      SELECT doc_id, n_email,
+             len(regexp_extract_all(t1, '\\b\\d{3}-\\d{3}-\\d{4}\\b'))
                AS n_phone,
-             len(regexp_extract_all(text,
+             regexp_replace(t1, '\\b\\d{3}-\\d{3}-\\d{4}\\b',
+               '<PHONE>', 'g') AS t2
+      FROM s1),
+    scrub AS (
+      SELECT doc_id, n_email, n_phone,
+             len(regexp_extract_all(t2,
                '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
                AS n_ipv4,
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(text,
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-                   '<EMAIL>', 'g'),
-                 '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+             regexp_replace(t2,
                '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
                '<IPV4>', 'g') AS scrubbed
-      FROM aug)
+      FROM s2)
     SELECT doc_id,
            CAST(n_email AS BIGINT) AS n_email,
            CAST(n_phone AS BIGINT) AS n_phone,

@@ -675,6 +675,13 @@ def test_ipv6_match_sql(spark):
         ("'::ffff:1.2.3.4'", "'::/0'", False),
         ("CAST(NULL AS STRING)", "'::/0'", None),
         ("'zzzz::1'", "'::/0'", False),
+        # '::' must stand for >= 1 group, and a ':::' form is invalid
+        # (r11 review finding: the expansion alone would normalize
+        # both into 8 valid groups)
+        ("'1:2:3:4:5:6:7::8'", "'::/0'", False),
+        ("':::1'", "'::/0'", False),
+        ("'1:2:3:4:5:6:7::'", "'::/0'", True),
+        ("'1:2:3:4:5:6:7'", "'::/0'", False),
     ]
     sel = ", ".join(
         f"IPV6_MATCH({a}, {n}) AS c{i}"

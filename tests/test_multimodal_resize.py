@@ -542,3 +542,26 @@ def test_jpeg_color_codec():
     bad[i + 11] = 0x30  # chs=3, cvs=0
     with pytest.raises(ValueError, match="sampling grid"):
         decode_jpeg(bytes(bad))
+
+
+def test_jpeg_single_component_scan_ignores_sampling_factors():
+    """T.81 A.2: a single-component scan is non-interleaved — one data
+    unit per MCU even when SOF declares 2x2 sampling (legal for
+    grayscale files). The decoder must not apply interleaved-MCU
+    geometry to it."""
+    import numpy as np
+
+    from druid_datafusion_bridge_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(99)
+    pix = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    data = bytearray(encode_jpeg(pix))
+    i = bytes(data).index(b"\xff\xc0")
+    assert data[i + 9] == 1  # one component
+    data[i + 11] = 0x22  # declare 2x2 sampling on it
+    w, h, out = decode_jpeg(bytes(data))
+    assert (w, h) == (24, 24)
+    assert np.abs(out.astype(int) - pix.astype(int)).max() <= 1

@@ -1485,8 +1485,11 @@ def test_grouping_aggregator(events):
     # set 1: both grouped -> 0; set 2: props not grouped -> 1;
     # set 3: neither -> 3
     assert set(masks) == {0, 1, 3}
-    assert all(k == (True, True) or k == (False, True)  # null dims exist
-               for k in masks[0]) or True
+    # set 1 (both grouped): the fully-populated key must appear; any
+    # None in its keys is a GENUINE null dimension value (the fixture
+    # has one), never a subtotal artifact — that is what the mask is
+    # for
+    assert (True, True) in masks[0]
     assert (False, False) in masks[3] and len(masks[3]) == 1
     assert all(not p for _, p in masks[1])
     # no subtotals: constant mask, unknown name = 1 bit

@@ -445,3 +445,21 @@ def test_pii_scrub_patterns(spark):
     assert got[2]["scrubbed"] == "node <IPV4> port 8080 v1.2 build 37"
     assert got[3]["n_email"] == got[3]["n_phone"] == got[3]["n_ipv4"] == 0
     assert got[3]["scrubbed"] == rows[3][1]
+
+
+def test_pii_scrub_counts_equal_redactions(spark):
+    """Counts are computed stage-by-stage on the progressively scrubbed
+    text, so each kind's count equals the placeholders it inserted —
+    an IPv4-shaped sequence consumed by the email redaction neither
+    matches nor counts."""
+    from druid_datafusion_bridge_spark.operators.text_pipeline import (
+        pii_scrub,
+    )
+
+    rows = [(0, "ping 1.2.3.4@example.org and 10.0.0.1 now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = pii_scrub(df).collect()[0]
+    assert r["n_email"] == 1
+    assert r["n_ipv4"] == 1  # only the standalone quad survives
+    assert r["scrubbed"] == "ping <EMAIL> and <IPV4> now"
+    assert r["scrubbed"].count("<IPV4>") == r["n_ipv4"]
