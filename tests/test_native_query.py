@@ -592,7 +592,7 @@ def test_json_string_spec_and_unsupported_errors(events):
         run(events, {"queryType": "movingAverage"})
     with pytest.raises(ValueError, match="filter type"):
         run(events, {"queryType": "timeBoundary",
-                     "filter": {"type": "spatial"}})
+                     "filter": {"type": "javascript"}})
     with pytest.raises(ValueError, match="aggregator type"):
         run(events, {"queryType": "timeseries",
                      "aggregations": [{"type": "javascript", "name": "x"}]})
