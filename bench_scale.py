@@ -486,6 +486,7 @@ SLOPE_QUERIES = [
     "nq_grouping_aggregator",
     "mm_jpeg_420_decode",
     "nq_spatial_filter",
+    "fd_ipv6_sql_text",
 ]
 
 # per-table key columns to shift by copy*KEY_SHIFT (foreign keys shift
