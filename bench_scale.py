@@ -487,6 +487,7 @@ SLOPE_QUERIES = [
     "mm_jpeg_420_decode",
     "nq_spatial_filter",
     "fd_ipv6_sql_text",
+    "nq_nested_field_vc",
 ]
 
 # per-table key columns to shift by copy*KEY_SHIFT (foreign keys shift

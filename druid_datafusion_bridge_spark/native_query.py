@@ -895,6 +895,28 @@ def _base(df: DataFrame, spec: dict, time_col: str) -> DataFrame:
     They stay narrow projections, so a filter on a virtual column still
     evaluates inside the scan stage."""
     for vc in spec.get("virtualColumns", []):
+        if vc.get("type") == "nested-field":
+            # Druid 24 nested-column virtualColumn (the console's form
+            # for JSON columns): extract a JSONPath from a JSON string
+            # column; expectedType coerces via try_cast (unparsable ->
+            # NULL, Druid's lenient read)
+            path = vc.get("path")
+            if not path:
+                raise ValueError(
+                    "nested-field virtualColumn needs a path"
+                )
+            out = F.get_json_object(F.col(vc["columnName"]), path)
+            want = (vc.get("expectedType") or "STRING").upper()
+            casts = {"STRING": "string", "LONG": "long",
+                     "DOUBLE": "double", "FLOAT": "float"}
+            if want not in casts:
+                raise ValueError(
+                    f"unsupported nested-field expectedType {want!r}"
+                )
+            df = df.withColumn(
+                vc["name"], out.try_cast(casts[want])
+            )
+            continue
         if vc.get("type", "expression") != "expression":
             raise ValueError(
                 f"unsupported virtualColumn type {vc.get('type')!r}"

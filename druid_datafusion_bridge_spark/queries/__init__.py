@@ -65,6 +65,7 @@ NEW_IN_R11: tuple[str, ...] = (
     "nq_grouping_aggregator",
     "mm_jpeg_420_decode",
     "nq_spatial_filter",
+    "nq_nested_field_vc",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed

@@ -989,3 +989,48 @@ def nq_spatial_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     }
     return native_query(_events(spark, sf_dir), spec, time_col="ts")
+
+
+@query(
+    "nq_nested_field_vc",
+    oracle="""
+    WITH k AS (
+      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv,
+             value
+      FROM events)
+    SELECT kv % 10 AS k_mod,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS total,
+           MAX(kv) AS max_k
+    FROM k WHERE kv >= 5 GROUP BY 1
+    """,
+)
+def nq_nested_field_vc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nested-field virtualColumn (nested-columns.md — the form
+    Druid's console emits for JSON columns): JSONPath extraction from
+    the events props payload with expectedType LONG coercion, used as
+    a FILTER, a grouping expression (via a second expression vc over
+    it), and an aggregate input — proving the extracted column behaves
+    like any other. The extraction is one get_json_object in the
+    scan's project; unparsable values go NULL (try_cast), never
+    error."""
+    spec = {
+        "queryType": "groupBy",
+        "granularity": "all",
+        "virtualColumns": [
+            {"type": "nested-field", "name": "kv",
+             "columnName": "props", "path": "$.k",
+             "expectedType": "LONG"},
+            {"type": "expression", "name": "k_mod",
+             "expression": '"kv" % 10'},
+        ],
+        "dimensions": ["k_mod"],
+        "filter": {"type": "bound", "dimension": "kv", "lower": "5",
+                   "ordering": "numeric"},
+        "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total", "fieldName": "value"},
+            {"type": "longMax", "name": "max_k", "fieldName": "kv"},
+        ],
+    }
+    return native_query(_events(spark, sf_dir), spec, time_col="ts")

@@ -1664,3 +1664,54 @@ def test_spatial_filter(spark):
 
     with _pytest.raises(ValueError, match="spatial bound"):
         ids({"type": "sphere"})
+
+
+def test_nested_field_virtual_column(events):
+    """nested-field virtualColumns: JSONPath extraction, expectedType
+    coercion (unparsable -> NULL via try_cast), loud on a missing path
+    or unknown type."""
+    spec = {
+        "queryType": "scan",
+        "columns": ["user_id", "kv"],
+        "virtualColumns": [
+            {"type": "nested-field", "name": "kv",
+             "columnName": "props", "path": "$.k",
+             "expectedType": "LONG"},
+        ],
+    }
+    # fixture props are 'a=1'-style (not JSON) -> every kv is NULL,
+    # never an error
+    rows = run(events, spec, time_col="__time").collect()
+    assert len(rows) == 7 and all(r["kv"] is None for r in rows)
+    import json as _json
+
+    df = events.sparkSession.createDataFrame(
+        [(1, _json.dumps({"k": 7, "s": "x"})), (2, "{bad json"),
+         (3, _json.dumps({"s": "only"}))],
+        "id long, props string",
+    ).withColumn("__time", F.lit("2024-01-01").cast("timestamp"))
+    got = {r["id"]: (r["kv"], r["sv"]) for r in run(df, {
+        "queryType": "scan",
+        "columns": ["id", "kv", "sv"],
+        "virtualColumns": [
+            {"type": "nested-field", "name": "kv",
+             "columnName": "props", "path": "$.k",
+             "expectedType": "LONG"},
+            {"type": "nested-field", "name": "sv",
+             "columnName": "props", "path": "$.s"},
+        ],
+    }, time_col="__time").collect()}
+    assert got == {1: (7, "x"), 2: (None, None), 3: (None, "only")}
+    with pytest.raises(ValueError, match="path"):
+        run(df, {"queryType": "scan", "columns": ["id"],
+                 "virtualColumns": [{"type": "nested-field",
+                                     "name": "x",
+                                     "columnName": "props"}]},
+            time_col="__time")
+    with pytest.raises(ValueError, match="expectedType"):
+        run(df, {"queryType": "scan", "columns": ["id"],
+                 "virtualColumns": [{"type": "nested-field",
+                                     "name": "x", "columnName": "props",
+                                     "path": "$.k",
+                                     "expectedType": "COMPLEX"}]},
+            time_col="__time")
