@@ -898,24 +898,47 @@ def _base(df: DataFrame, spec: dict, time_col: str) -> DataFrame:
         if vc.get("type") == "nested-field":
             # Druid 24 nested-column virtualColumn (the console's form
             # for JSON columns): extract a JSONPath from a JSON string
-            # column; expectedType coerces via try_cast (unparsable ->
-            # NULL, Druid's lenient read)
+            # column. Druid's spec names the output "outputName"
+            # (ExpressionVirtualColumn uses "name" — accept both).
+            # jq-syntax and raw-processing modes are out of scope and
+            # LOUD, never silently-NULL.
             path = vc.get("path")
             if not path:
                 raise ValueError(
                     "nested-field virtualColumn needs a path"
                 )
+            if vc.get("useJqSyntax") or vc.get("processFromRaw"):
+                raise ValueError(
+                    "nested-field useJqSyntax/processFromRaw "
+                    "unsupported (JSONPath only)"
+                )
+            name = vc.get("name") or vc.get("outputName")
+            if not name:
+                raise ValueError(
+                    "nested-field virtualColumn needs an outputName"
+                )
             out = F.get_json_object(F.col(vc["columnName"]), path)
             want = (vc.get("expectedType") or "STRING").upper()
-            casts = {"STRING": "string", "LONG": "long",
-                     "DOUBLE": "double", "FLOAT": "float"}
-            if want not in casts:
+            # integral coercion goes THROUGH double so '7.5' truncates
+            # to 7 (Druid's lenient numeric read) instead of nulling;
+            # genuinely unparsable values still go NULL. JSON booleans
+            # coerce like Druid's 1/0.
+            out = F.when(
+                F.lower(out) == "true", F.lit("1")
+            ).when(F.lower(out) == "false", F.lit("0")).otherwise(out)
+            if want == "STRING":
+                out = out.try_cast("string")
+            elif want == "LONG":
+                out = out.try_cast("double").cast("long")
+            elif want == "DOUBLE":
+                out = out.try_cast("double")
+            elif want == "FLOAT":
+                out = out.try_cast("float")
+            else:
                 raise ValueError(
                     f"unsupported nested-field expectedType {want!r}"
                 )
-            df = df.withColumn(
-                vc["name"], out.try_cast(casts[want])
-            )
+            df = df.withColumn(name, out)
             continue
         if vc.get("type", "expression") != "expression":
             raise ValueError(

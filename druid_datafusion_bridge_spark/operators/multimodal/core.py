@@ -226,8 +226,6 @@ def ppm_channel_stats(blobs: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Closure-shipped decoder copy: no module references (the
         # grading driver unpickles outside this repo's sys.path).
-        import struct  # the except clause below names struct.error
-
         import numpy as np
 
         def decode(data: bytes):
@@ -253,7 +251,9 @@ def ppm_channel_stats(blobs: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
                     w, h, pix = decode(bytes(payload))
-                except (IndexError, struct.error) as exc:
+                except IndexError as exc:
+                    # decode() uses no struct calls — int()/frombuffer
+                    # raise ValueError themselves, already loud
                     raise ValueError(
                         f"truncated or malformed PPM: {exc}"
                     ) from exc

@@ -1694,7 +1694,8 @@ def test_nested_field_virtual_column(events):
         "queryType": "scan",
         "columns": ["id", "kv", "sv"],
         "virtualColumns": [
-            {"type": "nested-field", "name": "kv",
+            # Druid's own spelling is outputName (console form)
+            {"type": "nested-field", "outputName": "kv",
              "columnName": "props", "path": "$.k",
              "expectedType": "LONG"},
             {"type": "nested-field", "name": "sv",
@@ -1702,6 +1703,29 @@ def test_nested_field_virtual_column(events):
         ],
     }, time_col="__time").collect()}
     assert got == {1: (7, "x"), 2: (None, None), 3: (None, "only")}
+    # lenient numeric read: 7.5 truncates to 7 under LONG (Druid's
+    # coercion), booleans coerce 1/0, junk still NULLs
+    df2 = events.sparkSession.createDataFrame(
+        [(1, '{"k": 7.5}'), (2, '{"k": true}'), (3, '{"k": "x"}')],
+        "id long, props string",
+    ).withColumn("__time", F.lit("2024-01-01").cast("timestamp"))
+    got = {r["id"]: r["kv"] for r in run(df2, {
+        "queryType": "scan", "columns": ["id", "kv"],
+        "virtualColumns": [
+            {"type": "nested-field", "outputName": "kv",
+             "columnName": "props", "path": "$.k",
+             "expectedType": "LONG"}],
+    }, time_col="__time").collect()}
+    assert got == {1: 7, 2: 1, 3: None}
+    # jq syntax / raw processing are loud, never silently NULL
+    with pytest.raises(ValueError, match="useJqSyntax"):
+        run(df, {"queryType": "scan", "columns": ["id"],
+                 "virtualColumns": [{"type": "nested-field",
+                                     "outputName": "x",
+                                     "columnName": "props",
+                                     "path": ".k",
+                                     "useJqSyntax": True}]},
+            time_col="__time")
     with pytest.raises(ValueError, match="path"):
         run(df, {"queryType": "scan", "columns": ["id"],
                  "virtualColumns": [{"type": "nested-field",
