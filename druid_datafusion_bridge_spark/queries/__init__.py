@@ -41,83 +41,27 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # at ENTRY granularity and retired the never-sampled backlog: after
 # r7's driver run EVERY registry entry has at least one driver
 # correctness row, so since r8 the window's job is keeping the evidence
-# FRESH. r11 ROTATION (fixed at round-11 start, 2026-08-16): slots go
-# first to round 11's OWN new queries (never sampled; appended to
-# NEW_IN_R11 in the same commit that registers them), then to
+# FRESH. r12 ROTATION (fixed at round-12 start, 2026-08-17): slots go
+# first to round 12's OWN new queries (never sampled; appended to
+# NEW_IN_R12 in the same commit that registers them), then to
 # DELIBERATE RE-SAMPLES of the entries whose newest driver rows are
-# OLDEST — after r10's refresh the stalest evidence is the r5 TPC-H
-# block (19 q* rows), then the r6 block (50 rows), ordered per the r10
-# VERDICT directive: the judge-named r6 families (an_*, cx_*, j10–j12,
-# s1e–s1i, s5b, the dd_ ngram/cluster family, the sink round-trips)
-# first, then the remaining r6 rows in registry order — trimmed to the
-# 50-slot window capacity. Entries squeezed out by new r11 queries stay
-# the stalest and lead r12's window.
-NEW_IN_R11: tuple[str, ...] = (
-    # r11 new queries, appended as they land (they take priority slots)
-    "nq_sketch_aggregators",
-    "fd_bloom_sql_text",
-    "nq_extraction_cascade",
-    "mm_jpeg_decode",
-    "txp_decontaminate",
-    "txp_pii_scrub",
-    "fd_ipv6_sql_text",
-    "mm_jpeg_color_decode",
-    "nq_grouping_aggregator",
-    "mm_jpeg_420_decode",
-    "nq_spatial_filter",
-    "nq_nested_field_vc",
+# OLDEST — after r11's refresh the stalest evidence is the 31-entry r6
+# tail (the block squeezed out of the r11 window), then the 50-entry r7
+# block, ordered per the r11 VERDICT directive: the judge-named r7
+# families (nq_timeseries_hourly, lk_*, st_supervisor_ingest,
+# txp_training_set, prof_*) first, then the remaining r7 rows in
+# registry order — trimmed to the 50-slot window capacity. Entries
+# squeezed out by new r12 queries stay the stalest and lead r13's
+# window.
+NEW_IN_R12: tuple[str, ...] = (
+    # r12 new queries, appended as they land (they take priority slots)
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed
-# from the union of CORRECTNESS_r01–r10 at round-11 start.
+# from the union of CORRECTNESS_r01–r11 at round-12 start.
 STALE_RESAMPLES: tuple[str, ...] = (
-    # newest driver row is r5: the TPC-H block (registry order)
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_shipments",
-    "q14_promo_effect",
-    "q16_supplier_diversity",
-    "q19_disjunctive_revenue",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "q2_cheapest_supplier",
-    "q4_priority_exists",
-    "q7_nation_volume",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    # newest driver row is r6 — judge-named families first (VERDICT r10
-    # directive #1), then the rest in registry order
-    "an_funnel_steps",
-    "an_retention_cohorts",
-    "an_funnel_windowed",
-    "an_anomaly_zscore",
-    "an_weighted_moving_avg",
-    "cx_theta_set_ops",
-    "cx_count_min_heavy",
-    "cx_qhist_rollup_merge",
-    "j10_salted_skew_join",
-    "j11_bloom_semi_reduction",
-    "j12_bucketed_colocated_join",
-    "s1e_druid_segment_zstd_scan",
-    "s1f_druid_segment_in_filter",
-    "s1g_druid_segment_mvd_in_filter",
-    "s1h_druid_segment_metric_prune",
-    "s1i_druid_segment_dim_bound_filter",
-    "s5b_smoosh_multichunk_scan",
-    "dd_ngram_jaccard",
-    "dd_duplicate_clusters",
-    "dd_shared_passages",
-    "dd_cluster_keep_best",
-    "s9_json_sink_roundtrip",
-    "s10_csv_sink_roundtrip",
-    "s11b_partition_prune_scan",
-    # remaining r6 rows, registry order
+    # newest driver row is r6 — the full 31-entry tail, registry order
+    # (VERDICT r11 directive #1 names this block in full)
     "q18_large_volume_customer",
     "q22_dormant_customers",
     "st_session_rollup",
@@ -135,8 +79,13 @@ STALE_RESAMPLES: tuple[str, ...] = (
     "sim_ivf_incremental",
     "em_pq_quantize",
     "prof_column_stats",
+    "s9_json_sink_roundtrip",
+    "s10_csv_sink_roundtrip",
+    "s11b_partition_prune_scan",
     "dm_rollup_interpolate",
     "dm_segment_metadata",
+    "dd_shared_passages",
+    "dd_cluster_keep_best",
     "fd_interval_regex_base64",
     "fd_string_array_agg",
     "fd_unnest",
@@ -144,9 +93,44 @@ STALE_RESAMPLES: tuple[str, ...] = (
     "a13b_equidepth_histogram",
     "sim_range_search",
     "sim_knn_graph",
+    # newest driver row is r7 — judge-named families first (VERDICT r11
+    # directive #1), then the rest in registry order
+    "nq_timeseries_hourly",
+    "lk_lookup_enrich",
+    "lk_reverse_lookup_filter",
+    "st_supervisor_ingest",
+    "txp_training_set",
+    "prof_column_stats_approx",
+    # remaining r7 rows, registry order, to window capacity (+ headroom
+    # trimmed by the [:50] below as NEW_IN_R12 grows)
+    "txp_chunk_overlap",
+    "txp_epoch_shuffle",
+    "txp_sequence_pack",
+    "txp_repetition",
+    "txp_contamination",
+    "txp_redact",
+    "txp_incremental_dedup",
+    "txp_domain_mix",
+    "txp_stratified_split",
+    "txp_vocab_coverage",
+    "txp_trigram_familiarity",
+    "txp_token_budget",
+    "em_binary_quantize",
+    "an_event_transitions",
+    "s12_orc_sink_roundtrip",
+    "s1k_druid_segment_prefix_filter",
+    "dm_segment_stats_plane",
+    "s1l_druid_segment_regex_filter",
+    "s1m_druid_segment_search_filter",
+    "s1n_druid_segment_like_filter",
+    "dm_search_query",
+    "s1o_druid_segment_split_scan",
+    "s1p_druid_segment_ordered_limit",
+    "s1q_druid_segment_recent_limit",
+    "lr_retention_drop_interval",
 )
 
-ROTATION: tuple[str, ...] = (NEW_IN_R11 + STALE_RESAMPLES)[:50]
+ROTATION: tuple[str, ...] = (NEW_IN_R12 + STALE_RESAMPLES)[:50]
 
 
 def _apply_rotation() -> None:

@@ -6,9 +6,10 @@ correctness row — so since r8 the rotation follows a STALENESS policy:
 the round's own new queries (never sampled) take priority slots, and
 the rest of the window deliberately RE-SAMPLES the entries whose newest
 driver rows are oldest, refreshing the evidence that ages a round
-further each cycle. For r11 that is the r5 TPC-H block (19 q* rows)
-then the r6 block, judge-named families first (an_*/cx_*/j10–j12/
-s1e–s1i/s5b/dd_ ngram+clusters/sink round-trips) then registry order.
+further each cycle. For r12 that is the full 31-entry r6 tail (the
+block squeezed out of the r11 window) then the r7 block, judge-named
+families first (nq_timeseries_hourly, lk_*, st_supervisor_ingest,
+txp_training_set, prof_column_stats_approx) then registry order.
 An accidental reorder would silently burn the round's slots on
 freshly-green queries — this test makes that a loud failure.
 
@@ -17,17 +18,17 @@ UPDATE DELIBERATELY each rotation, together with ROTATION itself."""
 from __future__ import annotations
 
 from druid_datafusion_bridge_spark.queries import (
-    NEW_IN_R11,
+    NEW_IN_R12,
     ROTATION,
     STALE_RESAMPLES,
     all_queries,
 )
 
-CURRENT_ROUND = 11
+CURRENT_ROUND = 12
 # Entries whose newest driver row is from a round <= this are "stale"
-# and eligible for a deliberate re-sample slot this round. At r11 start
-# the oldest evidence is r5 (19 rows) then r6 (50 rows).
-STALE_THRESHOLD = 6
+# and eligible for a deliberate re-sample slot this round. At r12 start
+# the oldest evidence is r6 (31 rows) then r7 (50 rows).
+STALE_THRESHOLD = 7
 
 
 def test_driver_sample_window_matches_rotation_plan():
@@ -35,22 +36,21 @@ def test_driver_sample_window_matches_rotation_plan():
     assert len(ROTATION) == 50  # backlog is zero; fill every slot
     # the window prefix IS the plan, in plan order
     assert names[: len(ROTATION)] == list(ROTATION)
-    # new r11 queries take priority slots, staleness re-samples follow
-    assert list(ROTATION) == (list(NEW_IN_R11) + list(STALE_RESAMPLES))[:50]
-    # spot-pin the staleness ordering: the r5 TPC-H block heads the
-    # re-samples
+    # new r12 queries take priority slots, staleness re-samples follow
+    assert list(ROTATION) == (list(NEW_IN_R12) + list(STALE_RESAMPLES))[:50]
+    # spot-pin the staleness ordering: the r6 tail heads the re-samples
     assert STALE_RESAMPLES[:3] == (
-        "q3_shipping_priority",
-        "q5_local_supplier_volume",
-        "q6_forecast_revenue",
+        "q18_large_volume_customer",
+        "q22_dormant_customers",
+        "st_session_rollup",
     )
-    # the judge-named r6 families head the r6 block (VERDICT r10 #1)
-    assert STALE_RESAMPLES[19] == "an_funnel_steps"
+    # the judge-named r7 families head the r7 block (VERDICT r11 #1)
+    assert STALE_RESAMPLES[31] == "nq_timeseries_hourly"
     # spot-pins drawn from the FRONT of the stale list so they stay in
-    # the window even as NEW_IN_R11 grows and squeezes the tail
-    for must in ("q3_shipping_priority", "q9_product_profit",
-                 "q21_waiting_suppliers", "an_funnel_steps",
-                 "cx_theta_set_ops", "j10_salted_skew_join"):
+    # the window even as NEW_IN_R12 grows and squeezes the tail
+    for must in ("q18_large_volume_customer", "st_segment_handoff_query",
+                 "em_int8_quantize", "sim_knn_graph",
+                 "dd_cluster_keep_best", "a13b_equidepth_histogram"):
         assert must in ROTATION, must
 
 
@@ -58,11 +58,11 @@ def test_rotation_wastes_no_window_slot():
     """No window slot may re-sample a query that already has a driver
     correctness row (CORRECTNESS_r*.json) unless listed as a deliberate
     re-sample — re-sampling green queries burns the round's evidence.
-    r11 policy: STALE_RESAMPLES *is* the deliberate re-sample list — the
+    r12 policy: STALE_RESAMPLES *is* the deliberate re-sample list — the
     backlog of never-sampled entries is zero, so the window's job is to
-    refresh the OLDEST driver evidence (r5–r6 rows). Anything sampled
-    in the window must be either brand-new (NEW_IN_R11) or a declared
-    stale re-sample. NEW_IN_R11 entries are exempt even after this
+    refresh the OLDEST driver evidence (r6–r7 rows). Anything sampled
+    in the window must be either brand-new (NEW_IN_R12) or a declared
+    stale re-sample. NEW_IN_R12 entries are exempt even after this
     round's own driver artifact lands (ADVICE r9: the current round's
     artifact must not retroactively mark its own new queries wasted)."""
     import glob
@@ -79,7 +79,7 @@ def test_rotation_wastes_no_window_slot():
         with open(f, encoding="utf-8") as fh:
             for name in json.load(fh):
                 latest[name] = max(latest.get(name, 0), rnd)
-    deliberate = set(STALE_RESAMPLES) | set(NEW_IN_R11)
+    deliberate = set(STALE_RESAMPLES) | set(NEW_IN_R12)
     names = list(all_queries())
     wasted = [
         n for n in names[: len(ROTATION)]
@@ -87,11 +87,11 @@ def test_rotation_wastes_no_window_slot():
     ]
     assert not wasted, wasted
     # and the declared re-samples must actually BE stale (driver row
-    # r6 or older) — re-declaring fresh entries would defeat the policy.
+    # r7 or older) — re-declaring fresh entries would defeat the policy.
     # Rows from rounds AFTER the current one (the driver's post-round
     # artifact for CURRENT_ROUND itself) are the designed tripwire
-    # ordering the next flip: once CORRECTNESS_r11.json lands, the
-    # refreshed re-samples go red here until r12 rewrites ROTATION.
+    # ordering the next flip: once CORRECTNESS_r12.json lands, the
+    # refreshed re-samples go red here until r13 rewrites ROTATION.
     not_stale = [
         n for n in STALE_RESAMPLES if latest.get(n, 0) > STALE_THRESHOLD
     ]
