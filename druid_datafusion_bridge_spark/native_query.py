@@ -609,6 +609,8 @@ _SKETCH_CONSUMER_POSTAGGS = frozenset({
     "quantilesDoublesSketchToQuantiles",
     "quantilesDoublesSketchToHistogram",
     "quantilesDoublesSketchToRank",
+    "quantilesDoublesSketchToCDF",
+    "quantilesDoublesSketchToString",
 })
 
 
@@ -661,7 +663,49 @@ def _consumer_agg(p: dict, spec: dict) -> Column:
     if kind == "quantilesDoublesSketchToRank":
         v = float(p["value"])
         return F.avg(F.when(src < v, 1.0).when(src >= v, 0.0))
+    if kind == "quantilesDoublesSketchToCDF":
+        # CDF over splitPoints [s_0..s_{m-1}] -> m+1 doubles: entry i
+        # is the rank of s_i (fraction of non-null items STRICTLY below
+        # s_i, the same convention as ToRank / the histogram's half-open
+        # bins), and the final entry is always 1.0 (the mass at or
+        # above the last split point closes the distribution). An empty
+        # group yields NULL ranks, matching the empty-sketch result.
+        pts = [float(x) for x in p["splitPoints"]]
+        ranks = [
+            F.avg(F.when(src < s, 1.0).when(src >= s, 0.0)) for s in pts
+        ]
+        closing = F.when(F.count(src) > 0, F.lit(1.0))
+        return F.array(*ranks, closing)
+    if kind == "quantilesDoublesSketchToString":
+        # Druid returns the DataSketches toString() debug dump — an
+        # implementation artifact of the approximate sketch. This
+        # engine's "sketch" is exact, so the summary is the EXACT
+        # stream facts in a fixed format (documented exact-upgrade
+        # semantics): n plus min/max rendered at decimal(38,6) so the
+        # text is bit-stable across engines and partitionings.
+        return F.format_string(
+            "### ExactQuantilesSketch SUMMARY: n=%d, min=%s, max=%s",
+            F.count(src),
+            F.min(src).cast("decimal(38,6)").cast("string"),
+            F.max(src).cast("decimal(38,6)").cast("string"),
+        )
     raise ValueError(f"unsupported sketch consumer {kind!r}")
+
+
+def _postagg_ordered(out: DataFrame, spec: dict) -> DataFrame:
+    """Druid preserves the listed postAggregations order in the result
+    row. Consumer post-aggs are computed at agg time (so they land
+    before arithmetic ones, which arrive later via withColumn) — an
+    interleaved spec would otherwise surface its consumers early.
+    Final projection: every non-post-agg column in its existing order,
+    then the post-agg columns in spec order."""
+    post = [p["name"] for p in spec.get("postAggregations", [])]
+    if not post:
+        return out
+    pset = set(post)
+    cols = [c for c in out.columns if c not in pset]
+    cols += [n for n in post if n in out.columns]
+    return out.select(*cols)
 
 
 def _post_agg(p: dict) -> Column:
@@ -922,10 +966,19 @@ def _base(df: DataFrame, spec: dict, time_col: str) -> DataFrame:
             # integral coercion goes THROUGH double so '7.5' truncates
             # to 7 (Druid's lenient numeric read) instead of nulling;
             # genuinely unparsable values still go NULL. JSON booleans
-            # coerce like Druid's 1/0.
-            out = F.when(
-                F.lower(out) == "true", F.lit("1")
-            ).when(F.lower(out) == "false", F.lit("0")).otherwise(out)
+            # coerce like Druid's 1/0 — but ONLY for numeric
+            # expectedTypes, and only on the exact lowercase tokens
+            # (JSON booleans are always lowercase): a STRING read of a
+            # field whose value is the *string* "true" must surface
+            # "true", not "1". get_json_object renders the boolean
+            # true and the string "true" identically, so a numeric
+            # read of the string "true" still coerces to 1 — the
+            # residual string/boolean ambiguity is inherent to the
+            # extraction and documented here.
+            if want != "STRING":
+                out = F.when(
+                    out == "true", F.lit("1")
+                ).when(out == "false", F.lit("0")).otherwise(out)
             if want == "STRING":
                 out = out.try_cast("string")
             elif want == "LONG":
@@ -1067,6 +1120,7 @@ def _agg_select(
             if p["type"] in _SKETCH_CONSUMER_POSTAGGS:
                 continue  # computed at agg time above
             out = out.withColumn(p["name"], _post_agg(p))
+        out = _postagg_ordered(out, spec)
     return out
 
 
@@ -1393,6 +1447,7 @@ def native_query(
             if p["type"] in _SKETCH_CONSUMER_POSTAGGS:
                 continue
             out = out.withColumn(p["name"], _post_agg(p))
+        out = _postagg_ordered(out, spec)
         has_ts = "timestamp" in out.columns
         ts_order = (
             F.col("timestamp").desc()

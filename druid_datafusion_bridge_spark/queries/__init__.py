@@ -55,6 +55,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # window.
 NEW_IN_R12: tuple[str, ...] = (
     # r12 new queries, appended as they land (they take priority slots)
+    "nq_sketch_tocdf",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed

@@ -1034,3 +1034,75 @@ def nq_nested_field_vc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     }
     return native_query(_events(spark, sf_dir), spec, time_col="ts")
+
+
+@query(
+    "nq_sketch_tocdf",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(value) AS vs,
+           AVG(CASE WHEN value < 100 THEN 1.0
+                    WHEN value >= 100 THEN 0.0 END) AS cdf100,
+           AVG(CASE WHEN value < 250 THEN 1.0
+                    WHEN value >= 250 THEN 0.0 END) AS cdf250,
+           AVG(CASE WHEN value < 400 THEN 1.0
+                    WHEN value >= 400 THEN 0.0 END) AS cdf400,
+           CAST(1.0 AS DOUBLE) AS cdf_end,
+           CAST(COUNT(*) AS DOUBLE) / 2 AS half_n,
+           printf('### ExactQuantilesSketch SUMMARY: n=%d, min=%s, max=%s',
+                  COUNT(value),
+                  CAST(CAST(MIN(value) AS DECIMAL(38,6)) AS VARCHAR),
+                  CAST(CAST(MAX(value) AS DECIMAL(38,6)) AS VARCHAR))
+             AS summ
+    FROM events GROUP BY event_type
+    """,
+)
+def nq_sketch_tocdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r12 sketch-consumer tail (datasketches-quantiles.md):
+    quantilesDoublesSketchToCDF (strictly-below ranks at each split
+    point plus the closing 1.0 — the cumulative variant of
+    ToHistogram's count ladder) and quantilesDoublesSketchToString
+    (the exact-upgrade summary string: n/min/max at decimal(38,6),
+    replacing the DataSketches debug dump with a deterministic exact
+    rendering). The postAggregations deliberately INTERLEAVE an
+    arithmetic post-agg between the two consumers to pin the
+    spec-order output contract (_postagg_ordered — ADVICE r11 #2):
+    result columns follow the listed post-agg order cdf, half_n, summ
+    even though consumers compile into the groupBy pass itself. One
+    shuffle total; CDF doubles surface as scalar columns for the
+    driver's canonicalizer."""
+    spec = {
+        "queryType": "groupBy",
+        "granularity": "all",
+        "dimensions": ["event_type"],
+        "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "quantilesDoublesSketch", "name": "vs",
+             "fieldName": "value", "k": 128},
+        ],
+        "postAggregations": [
+            {"type": "quantilesDoublesSketchToCDF", "name": "cdf",
+             "field": {"type": "fieldAccess", "fieldName": "vs"},
+             "splitPoints": [100, 250, 400]},
+            {"type": "arithmetic", "name": "half_n", "fn": "/",
+             "fields": [
+                 {"type": "fieldAccess", "fieldName": "n"},
+                 {"type": "constant", "value": 2},
+             ]},
+            {"type": "quantilesDoublesSketchToString", "name": "summ",
+             "field": {"type": "fieldAccess", "fieldName": "vs"}},
+        ],
+    }
+    out = native_query(_events(spark, sf_dir), spec, time_col="ts")
+    assert out.columns == [
+        "event_type", "n", "vs", "cdf", "half_n", "summ",
+    ], out.columns  # the spec-order contract this query exists to pin
+    return out.select(
+        "event_type", "n", "vs",
+        F.col("cdf")[0].alias("cdf100"),
+        F.col("cdf")[1].alias("cdf250"),
+        F.col("cdf")[2].alias("cdf400"),
+        F.col("cdf")[3].alias("cdf_end"),
+        "half_n", "summ",
+    )

@@ -1292,6 +1292,11 @@ def test_sketch_aggregators_and_consumers(events):
             {"type": "quantilesDoublesSketchToRank", "name": "rank5",
              "field": {"type": "fieldAccess", "fieldName": "vs"},
              "value": 5},
+            {"type": "quantilesDoublesSketchToCDF", "name": "cdf",
+             "field": {"type": "fieldAccess", "fieldName": "vs"},
+             "splitPoints": [3, 6]},
+            {"type": "quantilesDoublesSketchToString", "name": "summ",
+             "field": {"type": "fieldAccess", "fieldName": "vs"}},
             {"type": "HLLSketchEstimate", "name": "est",
              "field": {"type": "fieldAccess", "fieldName": "hll"},
              "round": True},
@@ -1304,6 +1309,12 @@ def test_sketch_aggregators_and_consumers(events):
     assert row["minmax"] == [1.0, 10.0]
     assert row["h"] == [2.0, 3.0, 2.0]
     assert abs(row["rank5"] - 4 / 7) < 1e-15
+    # CDF at [3, 6]: strictly-below ranks then the closing 1.0
+    assert row["cdf"] == pytest.approx([2 / 7, 5 / 7, 1.0], rel=1e-15)
+    assert row["summ"] == (
+        "### ExactQuantilesSketch SUMMARY: "
+        "n=7, min=1.000000, max=10.000000"
+    )
     assert row["clip_hist"] == [1, 2, 2, 2]  # 10 clips into the last
     assert row["ign_hist"] == [1, 2, 2, 1]   # 10 is dropped
     # overflow over [2, 6) in 2 width-2 buckets: 1 below (value 1),
@@ -1392,6 +1403,11 @@ def test_sketch_consumer_fuzz_vs_numpy(spark):
                 {"type": "quantilesDoublesSketchToRank", "name": "r",
                  "field": {"type": "fieldAccess", "fieldName": "vs"},
                  "value": rv},
+                {"type": "quantilesDoublesSketchToCDF", "name": "cdf",
+                 "field": {"type": "fieldAccess", "fieldName": "vs"},
+                 "splitPoints": pts},
+                {"type": "quantilesDoublesSketchToString", "name": "s",
+                 "field": {"type": "fieldAccess", "fieldName": "vs"}},
             ],
         }
         row = native_query(df, spec, time_col="__time").collect()[0]
@@ -1404,6 +1420,12 @@ def test_sketch_consumer_fuzz_vs_numpy(spark):
             float((arr >= pts[1]).sum()),
         ]
         assert row["r"] == pytest.approx(float((arr < rv).mean()), rel=1e-12)
+        assert row["cdf"] == pytest.approx(
+            [float((arr < p).mean()) for p in pts] + [1.0], rel=1e-12)
+        assert row["s"] == (
+            "### ExactQuantilesSketch SUMMARY: n=%d, min=%.6f, max=%.6f"
+            % (len(arr), arr.min(), arr.max())
+        )
         width = (hi - lo) / nb
         pos = np.floor((arr - lo) / width).astype(int)
         if mode == "clip":
@@ -1717,6 +1739,29 @@ def test_nested_field_virtual_column(events):
              "expectedType": "LONG"}],
     }, time_col="__time").collect()}
     assert got == {1: 7, 2: 1, 3: None}
+    # STRING reads do NOT rewrite boolean-looking text (ADVICE r11): a
+    # JSON boolean true and the JSON string "true" both surface as
+    # "true" (get_json_object renders them identically — the numeric
+    # path still coerces both to 1, the documented residual ambiguity),
+    # and the uppercase string "TRUE" — which a JSON boolean can never
+    # be — passes through untouched.
+    df3 = events.sparkSession.createDataFrame(
+        [(1, '{"k": true}'), (2, '{"k": "true"}'), (3, '{"k": "TRUE"}'),
+         (4, '{"k": false}')],
+        "id long, props string",
+    ).withColumn("__time", F.lit("2024-01-01").cast("timestamp"))
+    got = {r["id"]: (r["ks"], r["kn"]) for r in run(df3, {
+        "queryType": "scan", "columns": ["id", "ks", "kn"],
+        "virtualColumns": [
+            {"type": "nested-field", "outputName": "ks",
+             "columnName": "props", "path": "$.k",
+             "expectedType": "STRING"},
+            {"type": "nested-field", "outputName": "kn",
+             "columnName": "props", "path": "$.k",
+             "expectedType": "LONG"}],
+    }, time_col="__time").collect()}
+    assert got == {1: ("true", 1), 2: ("true", 1), 3: ("TRUE", None),
+                   4: ("false", 0)}
     # jq syntax / raw processing are loud, never silently NULL
     with pytest.raises(ValueError, match="useJqSyntax"):
         run(df, {"queryType": "scan", "columns": ["id"],
