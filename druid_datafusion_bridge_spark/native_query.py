@@ -1362,6 +1362,240 @@ def _resolve_datasource(
     raise ValueError(f"unsupported dataSource type {kind!r}")
 
 
+def _win_agg_col(a: dict, w) -> Column:
+    """One windowed aggregator spec -> a Column over window ``w``.
+    Sums/means accumulate in decimal(38,8) and surface as double, the
+    same determinism contract as _numeric_agg (a windowed float fold
+    would still be order-stable here, but decimal keeps the bits
+    identical to the batch aggregators and the DuckDB oracle)."""
+    k = a["type"]
+    if k == "count":
+        return F.count(F.lit(1)).over(w)
+    col = _c(a["fieldName"])
+    if k == "longSum":
+        return F.sum(col.cast("long")).over(w)
+    if k in ("doubleSum", "floatSum"):
+        return F.sum(col.cast("decimal(38,8)")).over(w).cast("double")
+    if k == "longMin":
+        return F.min(col.cast("long")).over(w)
+    if k == "longMax":
+        return F.max(col.cast("long")).over(w)
+    if k in ("doubleMin", "floatMin"):
+        return F.min(col.cast("double")).over(w)
+    if k in ("doubleMax", "floatMax"):
+        return F.max(col.cast("double")).over(w)
+    if k in ("doubleMean",):
+        return (
+            F.sum(col.cast("decimal(38,8)")).over(w).cast("double")
+            / F.count(col).over(w)
+        )
+    raise ValueError(f"unsupported window aggregator {k!r}")
+
+
+def _frame_bound(fr: dict, side: str) -> int:
+    """One windowFrame bound -> Spark frame offset. Druid's JSON spells
+    the fields lowerUnbounded/lowerOffset (lowUnbounded/lowOffset in
+    some releases) and likewise upper/upp; accept both."""
+    keys = ("lower", "low") if side == "lower" else ("upper", "upp")
+    unb = any(fr.get(f"{k}Unbounded") for k in keys)
+    if unb:
+        return W.unboundedPreceding if side == "lower" \
+            else W.unboundedFollowing
+    for k in keys:
+        if f"{k}Offset" in fr:
+            return int(fr[f"{k}Offset"])
+    return 0
+
+
+def _flatten_processors(procs: list) -> list:
+    out = []
+    for p in procs:
+        if p.get("type") == "composing":
+            out += _flatten_processors(p["processors"])
+        else:
+            out.append(p)
+    return out
+
+
+def _window_operator_query(
+    df: DataFrame, spec: dict, time_col: str
+) -> DataFrame:
+    """Druid 27+ ``windowOperatorQuery`` — the native JSON the Druid
+    SQL planner emits for window functions (public docs
+    window-functions.md; operator model org.apache.druid.query.operator
+    in the Druid source). Operators stream in listed order:
+    ``naivePartition`` declares the partition key, ``naiveSort`` the
+    row order (ColumnWithDirection list), and each ``window`` operator
+    applies its processors over that (partition, order) state.
+
+    Everything compiles onto Spark's native Window over the existing
+    W1–W4 machinery: ONE shuffle on the partition key, the sort rides
+    the same exchange, no Python per row. Rows keep their input columns
+    and gain one column per processor (Druid's semantics — the window
+    stage is a projection, not an aggregation).
+
+    Supported processors: rowNumber, rank (incl. asPercent), cumeDist,
+    offset (lead/lag), first/last, aggregate (whole-partition +
+    cumulativeAggregations), framedAgg with ROWS frames or RANGE frames
+    whose bounds are unbounded/current-row, and composing (flattened).
+    The exotic tail — leafOperators, RANGE frames with bounded offsets,
+    percentile processors — raises loudly naming the piece."""
+    if spec.get("leafOperators"):
+        raise ValueError(
+            "windowOperatorQuery leafOperators are unsupported — "
+            "express the leaf scan as a query dataSource"
+        )
+    out = _base(df, spec, time_col)
+    part_cols: list[str] = []
+    sort_cols: list[tuple[str, bool]] = []
+
+    def sorted_window():
+        if not sort_cols:
+            raise ValueError(
+                "window processor needs a preceding naiveSort"
+            )
+        order = [
+            F.col(c).asc() if asc else F.col(c).desc()
+            for c, asc in sort_cols
+        ]
+        return W.partitionBy(*[F.col(c) for c in part_cols]).orderBy(
+            *order
+        )
+
+    for op in spec.get("operators", []):
+        t = op.get("type")
+        if t == "naivePartition":
+            part_cols = list(op.get("partitionColumns", []))
+        elif t == "naiveSort":
+            sort_cols = [
+                (
+                    c["column"],
+                    str(c.get("direction", "ASC")).upper() != "DESC",
+                )
+                for c in op.get("columns", [])
+            ]
+        elif t == "window":
+            procs = op.get("processors")
+            if procs is None:
+                procs = [op["processor"]]
+            dirs = dict(sort_cols)
+            for p in _flatten_processors(procs):
+                pt = p["type"]
+                if pt == "rowNumber":
+                    out = out.withColumn(
+                        p["outputColumn"], F.row_number().over(
+                            sorted_window())
+                    )
+                elif pt in ("rank", "cumeDist"):
+                    grp = p.get("group") or []
+                    if not grp:
+                        raise ValueError(f"{pt} processor needs group")
+                    order = [
+                        F.col(c).asc() if dirs.get(c, True)
+                        else F.col(c).desc()
+                        for c in grp
+                    ]
+                    w = W.partitionBy(
+                        *[F.col(c) for c in part_cols]
+                    ).orderBy(*order)
+                    fn = (
+                        F.cume_dist if pt == "cumeDist"
+                        else F.percent_rank if p.get("asPercent")
+                        else F.rank
+                    )
+                    out = out.withColumn(p["outputColumn"], fn().over(w))
+                elif pt == "offset":
+                    off = int(p["offset"])
+                    src = _c(p["inputColumn"])
+                    expr = (
+                        F.lead(src, off) if off >= 0 else F.lag(src, -off)
+                    )
+                    out = out.withColumn(
+                        p["outputColumn"], expr.over(sorted_window())
+                    )
+                elif pt in ("first", "last"):
+                    w = sorted_window().rowsBetween(
+                        W.unboundedPreceding, W.unboundedFollowing
+                    )
+                    fn = F.first if pt == "first" else F.last
+                    out = out.withColumn(
+                        p["outputColumn"],
+                        fn(_c(p["inputColumn"])).over(w),
+                    )
+                elif pt == "aggregate":
+                    if sort_cols:
+                        w_all = sorted_window().rowsBetween(
+                            W.unboundedPreceding, W.unboundedFollowing
+                        )
+                    else:
+                        w_all = W.partitionBy(
+                            *[F.col(c) for c in part_cols]
+                        )
+                    for a in p.get("aggregations") or []:
+                        out = out.withColumn(
+                            a["name"], _win_agg_col(a, w_all)
+                        )
+                    cums = p.get("cumulativeAggregations") or []
+                    if cums:
+                        w_cum = sorted_window().rowsBetween(
+                            W.unboundedPreceding, W.currentRow
+                        )
+                        for a in cums:
+                            out = out.withColumn(
+                                a["name"], _win_agg_col(a, w_cum)
+                            )
+                elif pt == "framedAgg":
+                    fr = p["frame"]
+                    peer = str(
+                        fr.get("peerType") or fr.get("type") or "ROWS"
+                    ).upper()
+                    lo = _frame_bound(fr, "lower")
+                    hi = _frame_bound(fr, "upper")
+                    if peer == "ROWS":
+                        w = sorted_window().rowsBetween(lo, hi)
+                    elif peer in ("RANGE", "GROUPS"):
+                        # value/peer frames only in the unbounded /
+                        # current-row shape (what the SQL planner emits
+                        # for default frames); bounded value offsets
+                        # are the loud exotic tail
+                        ok = {W.unboundedPreceding,
+                              W.unboundedFollowing, 0}
+                        if lo not in ok or hi not in ok:
+                            raise ValueError(
+                                "windowOperatorQuery RANGE frames "
+                                "support only unbounded/current-row "
+                                "bounds"
+                            )
+                        w = sorted_window().rangeBetween(
+                            lo if lo != 0 else W.currentRow,
+                            hi if hi != 0 else W.currentRow,
+                        )
+                    else:
+                        raise ValueError(
+                            f"unsupported frame peerType {peer!r}"
+                        )
+                    for a in p.get("aggregations") or []:
+                        out = out.withColumn(
+                            a["name"], _win_agg_col(a, w)
+                        )
+                else:
+                    raise ValueError(
+                        f"unsupported window processor {pt!r}"
+                    )
+        else:
+            raise ValueError(
+                f"unsupported windowOperatorQuery operator {t!r}"
+            )
+    if sort_cols:
+        out = out.orderBy(
+            *[
+                F.col(c).asc() if asc else F.col(c).desc()
+                for c, asc in sort_cols
+            ]
+        )
+    return out
+
+
 def native_query(
     df: DataFrame | None,
     spec: dict | str,
@@ -1380,7 +1614,8 @@ def native_query(
     datasource forms are resolved by `_resolve_datasource`.
 
     Supported queryTypes: timeseries, topN, groupBy, scan, search,
-    timeBoundary, dataSourceMetadata, segmentMetadata (merged form).
+    timeBoundary, dataSourceMetadata, segmentMetadata (merged form),
+    windowOperatorQuery (naivePartition/naiveSort/window operators).
     Output schemas (flattened from
     Druid's envelope): bucketed queries carry a ``timestamp`` column
     (absent for granularity 'all'), then dimension outputNames, then
@@ -1395,6 +1630,9 @@ def native_query(
         spec.get("dataSource"), df, time_col, tables, lookups=lookups
     )
     qt = spec.get("queryType")
+
+    if qt == "windowOperatorQuery":
+        return _window_operator_query(df, spec, time_col)
 
     if qt == "timeseries":
         base = _base(df, spec, time_col)

@@ -56,6 +56,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 NEW_IN_R12: tuple[str, ...] = (
     # r12 new queries, appended as they land (they take priority slots)
     "nq_sketch_tocdf",
+    "nq_window_operator",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed

@@ -1106,3 +1106,84 @@ def nq_sketch_tocdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cdf")[3].alias("cdf_end"),
         "half_n", "summ",
     )
+
+
+@query(
+    "nq_window_operator",
+    oracle="""
+    WITH f AS (SELECT * FROM events WHERE user_id < 20)
+    SELECT event_type, event_id, user_id, value,
+           ROW_NUMBER() OVER ws AS rn,
+           RANK() OVER wv AS rk,
+           PERCENT_RANK() OVER wv AS prk,
+           LAG(value, 1) OVER ws AS prev_v,
+           FIRST_VALUE(value) OVER wfull AS top_v,
+           CAST(SUM(CAST(value AS DECIMAL(38,8))) OVER wcum AS DOUBLE)
+             AS run_total,
+           COUNT(*) OVER (PARTITION BY event_type) AS n_part
+    FROM f
+    WINDOW
+      ws AS (PARTITION BY event_type
+             ORDER BY value DESC, event_id ASC),
+      wv AS (PARTITION BY event_type ORDER BY value DESC),
+      wfull AS (PARTITION BY event_type
+                ORDER BY value DESC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING),
+      wcum AS (PARTITION BY event_type
+               ORDER BY value DESC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def nq_window_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r12 native windowOperatorQuery (window-functions.md — the
+    JSON the Druid SQL planner emits for window functions; the last
+    queryType-shaped surface): naivePartition on event_type, naiveSort
+    by value DESC with the unique event_id tiebreaker (rn/lag are
+    order-determined, so the sort must totally order each partition
+    for cross-engine determinism), then one window operator carrying
+    the common processor set — rowNumber, rank and percent-rank over
+    the value peer group, lag via the offset processor, first,
+    a cumulative ROWS framedAgg (decimal-accumulated doubleSum), and a
+    whole-partition count via the aggregate processor. Compiles to
+    Spark native Window: ONE shuffle on event_type, every processor
+    rides the same sorted exchange (no per-processor exchange —
+    plan-pinned in tests/test_plans.py)."""
+    spec = {
+        "queryType": "windowOperatorQuery",
+        "filter": {"type": "expression",
+                   "expression": '"user_id" < 20'},
+        "operators": [
+            {"type": "naivePartition",
+             "partitionColumns": ["event_type"]},
+            {"type": "naiveSort", "columns": [
+                {"column": "event_type", "direction": "ASC"},
+                {"column": "value", "direction": "DESC"},
+                {"column": "event_id", "direction": "ASC"},
+            ]},
+            {"type": "window", "processors": [
+                {"type": "rowNumber", "outputColumn": "rn"},
+                {"type": "rank", "group": ["value"],
+                 "outputColumn": "rk"},
+                {"type": "rank", "group": ["value"], "asPercent": True,
+                 "outputColumn": "prk"},
+                {"type": "offset", "inputColumn": "value",
+                 "outputColumn": "prev_v", "offset": -1},
+                {"type": "first", "inputColumn": "value",
+                 "outputColumn": "top_v"},
+                {"type": "framedAgg",
+                 "frame": {"peerType": "ROWS", "lowerUnbounded": True,
+                           "upperOffset": 0},
+                 "aggregations": [
+                     {"type": "doubleSum", "name": "run_total",
+                      "fieldName": "value"}]},
+                {"type": "aggregate", "aggregations": [
+                    {"type": "count", "name": "n_part"}]},
+            ]},
+        ],
+    }
+    out = native_query(_events(spark, sf_dir), spec, time_col="ts")
+    return out.select(
+        "event_type", "event_id", "user_id", "value",
+        "rn", "rk", "prk", "prev_v", "top_v", "run_total", "n_part",
+    )

@@ -1784,3 +1784,102 @@ def test_nested_field_virtual_column(events):
                                      "path": "$.k",
                                      "expectedType": "COMPLEX"}]},
             time_col="__time")
+
+
+def test_window_operator_query(events):
+    """windowOperatorQuery (Druid 27+ native window JSON):
+    naivePartition/naiveSort state, then processors hand-checked on the
+    7-row fixture — rowNumber, rank (plus asPercent), offset, first,
+    ROWS framedAgg, whole-partition + cumulative aggregate."""
+    spec = {
+        "queryType": "windowOperatorQuery",
+        "operators": [
+            {"type": "naivePartition",
+             "partitionColumns": ["event_type"]},
+            {"type": "naiveSort", "columns": [
+                {"column": "event_type", "direction": "ASC"},
+                {"column": "value", "direction": "DESC"},
+            ]},
+            {"type": "window", "processors": [
+                {"type": "rowNumber", "outputColumn": "rn"},
+                {"type": "rank", "group": ["value"],
+                 "outputColumn": "rk"},
+                {"type": "rank", "group": ["value"], "asPercent": True,
+                 "outputColumn": "prk"},
+                {"type": "offset", "inputColumn": "value",
+                 "outputColumn": "prev_v", "offset": -1},
+                {"type": "first", "inputColumn": "value",
+                 "outputColumn": "top_v"},
+                {"type": "composing", "processors": [
+                    {"type": "framedAgg",
+                     "frame": {"peerType": "ROWS",
+                               "lowerUnbounded": True,
+                               "upperOffset": 0},
+                     "aggregations": [
+                         {"type": "doubleSum", "name": "run",
+                          "fieldName": "value"}]},
+                    {"type": "aggregate",
+                     "aggregations": [
+                         {"type": "count", "name": "n"}],
+                     "cumulativeAggregations": [
+                         {"type": "count", "name": "cum_n"}]},
+                ]},
+            ]},
+        ],
+    }
+    rows = run(events, spec, time_col="__time").collect()
+    assert len(rows) == 7
+    got = {(r["event_type"], r["value"]): r for r in rows}
+    c4, c2, c1 = got[("click", 4.0)], got[("click", 2.0)], \
+        got[("click", 1.0)]
+    assert (c4["rn"], c2["rn"], c1["rn"]) == (1, 2, 3)
+    assert (c4["rk"], c2["rk"], c1["rk"]) == (1, 2, 3)
+    assert (c4["prk"], c2["prk"], c1["prk"]) == (0.0, 0.5, 1.0)
+    assert c4["prev_v"] is None and c2["prev_v"] == 4.0 \
+        and c1["prev_v"] == 2.0
+    assert c4["top_v"] == c1["top_v"] == 4.0
+    assert (c4["run"], c2["run"], c1["run"]) == (4.0, 6.0, 7.0)
+    assert c4["n"] == 3 and (c4["cum_n"], c1["cum_n"]) == (1, 3)
+    # single-row partition and the NULL-dimension partition
+    p = got[("purchase", 10.0)]
+    assert (p["rn"], p["n"], p["run"], p["prev_v"]) == (1, 1, 10.0, None)
+    z = got[(None, 6.0)]
+    assert (z["rn"], z["n"]) == (1, 1)
+    # output row order follows the naiveSort
+    assert [r["value"] for r in rows if r["event_type"] == "click"] \
+        == [4.0, 2.0, 1.0]
+
+
+def test_window_operator_query_error_paths(events):
+    base = {"queryType": "windowOperatorQuery"}
+    with pytest.raises(ValueError, match="leafOperators"):
+        run(events, {**base, "leafOperators": [{"type": "scan"}],
+                     "operators": []}, time_col="__time")
+    with pytest.raises(ValueError, match="naiveSort"):
+        run(events, {**base, "operators": [
+            {"type": "naivePartition", "partitionColumns": ["event_type"]},
+            {"type": "window", "processors": [
+                {"type": "rowNumber", "outputColumn": "rn"}]},
+        ]}, time_col="__time")
+    with pytest.raises(ValueError, match="processor"):
+        run(events, {**base, "operators": [
+            {"type": "naivePartition", "partitionColumns": []},
+            {"type": "naiveSort", "columns": [
+                {"column": "value", "direction": "ASC"}]},
+            {"type": "window", "processors": [
+                {"type": "percentile", "outputColumn": "x"}]},
+        ]}, time_col="__time")
+    with pytest.raises(ValueError, match="RANGE"):
+        run(events, {**base, "operators": [
+            {"type": "naivePartition", "partitionColumns": []},
+            {"type": "naiveSort", "columns": [
+                {"column": "value", "direction": "ASC"}]},
+            {"type": "window", "processors": [
+                {"type": "framedAgg",
+                 "frame": {"peerType": "RANGE", "lowerOffset": -5,
+                           "upperOffset": 5},
+                 "aggregations": [{"type": "count", "name": "c"}]}]},
+        ]}, time_col="__time")
+    with pytest.raises(ValueError, match="operator"):
+        run(events, {**base, "operators": [{"type": "scan"}]},
+            time_col="__time")

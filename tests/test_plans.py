@@ -602,3 +602,26 @@ def test_r11_plan_shapes(spark):
 
     df = qs["nq_extraction_cascade"](spark, SF_DIR)
     assert count_exchanges(df) == 1
+
+
+def test_r12_plan_shapes(spark):
+    """The r12 additions' scale posture as executable pins:
+    nq_window_operator's processors ALL ride one hash exchange on the
+    partition key (Catalyst chains the Window operators with local
+    re-sorts; a per-processor exchange would multiply the shuffle —
+    the only other exchange is the range partitioning for the
+    naiveSort output order Druid streams in), and nq_sketch_tocdf's
+    CDF/ToString consumers fold into the SAME single groupBy pass as
+    every other consumer (one exchange, no Expand)."""
+    qs = all_queries()
+
+    df = qs["nq_window_operator"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange rangepartitioning") == 1, plan
+    assert "pythonUDF" not in plan
+
+    df = qs["nq_sketch_tocdf"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert count_exchanges(df) == 1, plan
+    assert "Expand" not in plan
