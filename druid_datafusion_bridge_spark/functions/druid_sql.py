@@ -617,6 +617,41 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
      "shiftleft(x, CAST(y AS INT))"),
     ("BITWISE_SHIFT_RIGHT", "x BIGINT, y BIGINT", "BIGINT",
      "shiftright(x, CAST(y AS INT))"),
+    # r12 audit tail (sql-array-functions.md / sql-multivalue-string-
+    # functions.md / sql-scalar.md):
+    # ARRAY_QUANTILE (Druid 31): linear-interpolation quantile of the
+    # array's numeric elements — nulls dropped, empty-after-filter or
+    # out-of-range rank answers NULL (SQL-compatible posture; Druid
+    # errors on a bad rank — documented divergence toward NULL). The
+    # sorted array binds once via the transform-lambda trick so the
+    # sort runs once per row, not per reference.
+    ("ARRAY_QUANTILE", "a ARRAY<DOUBLE>, r DOUBLE", "DOUBLE",
+     "element_at(transform(array(array_sort(filter(a, x -> "
+     "x IS NOT NULL))), s -> CASE WHEN size(s) = 0 OR r < 0 OR r > 1 "
+     "THEN CAST(NULL AS DOUBLE) ELSE "
+     "try_element_at(s, CAST(floor(r * (size(s) - 1)) AS INT) + 1) "
+     "+ (r * (size(s) - 1) - floor(r * (size(s) - 1))) "
+     "* (try_element_at(s, CAST(ceil(r * (size(s) - 1)) AS INT) + 1) "
+     "- try_element_at(s, CAST(floor(r * (size(s) - 1)) AS INT) + 1)) "
+     "END), 1)"),
+    # MV_TO_ARRAY / ARRAY_TO_MV: Druid converts between the MVD VARCHAR
+    # dimension and ARRAY types. This engine's MVD representation IS
+    # ARRAY<STRING> (sources/segment.py), so MV_TO_ARRAY is identity
+    # and ARRAY_TO_MV is the element-wise string cast (numeric arrays
+    # coerce implicitly at the call site). Registered so Druid SQL
+    # text using either name runs unchanged.
+    ("MV_TO_ARRAY", "a ARRAY<STRING>", "ARRAY<STRING>", "a"),
+    ("ARRAY_TO_MV", "a ARRAY<STRING>", "ARRAY<STRING>",
+     "transform(a, e -> CAST(e AS STRING))"),
+    # DECODE_BASE64_COMPLEX (sql-scalar.md): decodes a base64 blob into
+    # a COMPLEX sketch type. The serialized DataSketches wire formats
+    # have no portable representation here (this engine's sketches are
+    # exact structs) — LOUD by contract, never a silently-wrong value.
+    ("DECODE_BASE64_COMPLEX", "t STRING, s STRING", "STRING",
+     "CAST(raise_error(concat('DECODE_BASE64_COMPLEX is unsupported: '"
+     ", 'complex type ', t, ' blobs have no portable representation "
+     "in this engine (its sketches are exact structs); re-aggregate "
+     "from the raw column instead')) AS STRING)"),
     # DIV and REGEXP_LIKE are omitted: Spark ships built-ins with
     # Druid's exact semantics (truncating integer division; partial
     # regex match) and refuses to shadow them with SQL UDFs.
@@ -900,6 +935,23 @@ def _ds_render(name: str, args: list[str]) -> str:
                 f"BLOOM_FILTER_TEST takes 2 arguments, got {len(args)}"
             )
         x, flt = args[0], args[1]
+        # the filter text expands six times (two per probe), so it
+        # MUST be deterministic — a random-valued filter would answer
+        # inconsistent bit tests. Part of the raised-error contract
+        # (ADVICE r11), not just a comment: reject the known
+        # non-deterministic generators by name.
+        nondet = re.search(
+            r"(?i)\b(rand|randn|random|uuid|shuffle|"
+            r"monotonically_increasing_id)\s*\(",
+            flt,
+        )
+        if nondet:
+            raise ValueError(
+                "BLOOM_FILTER_TEST filter argument must be "
+                f"deterministic (its text expands into six bit "
+                f"probes); {nondet.group(1)}(...) is not — build the "
+                "filter in a scalar subquery/CTE instead"
+            )
 
         def thash(j: int) -> str:
             return (
@@ -1159,6 +1211,16 @@ def _ds_render(name: str, args: list[str]) -> str:
         return f"flatten(collect_list({args[0]}))"
     if name == "STRING_FORMAT":
         return f"format_string({a(args)})"
+    if name == "SCALAR_IN_ARRAY":
+        # Druid 30 (sql-array-functions.md): SCALAR_IN_ARRAY(expr, arr)
+        # — argument-swapped array_contains, rewritten (not a scalar
+        # UDF) so it stays type-generic. NULL expr or NULL array answer
+        # NULL in both engines.
+        if len(args) != 2:
+            raise ValueError(
+                f"SCALAR_IN_ARRAY takes 2 arguments, got {len(args)}"
+            )
+        return f"array_contains({args[1]}, {args[0]})"
     if name == "ARRAY_LENGTH":
         return f"size({args[0]})"
     if name == "ARRAY_OVERLAP":
@@ -1307,6 +1369,8 @@ _DS_NAMES = (
     # _BY and _AGG spellings listed before their prefixes so the
     # alternation matches the longest name
     "LATEST_BY", "EARLIEST_BY", "LATEST", "EARLIEST",
+    # r12 audit: type-generic argument-swap onto array_contains
+    "SCALAR_IN_ARRAY",
     "ARRAY_CONCAT_AGG", "ARRAY_CONCAT", "ARRAY_LENGTH", "ARRAY_OVERLAP",
     "ARRAY_TO_STRING", "STRING_TO_ARRAY", "ARRAY_OFFSET", "ARRAY_ORDINAL",
     "ARRAY_SLICE", "STRING_FORMAT",

@@ -57,6 +57,7 @@ NEW_IN_R12: tuple[str, ...] = (
     # r12 new queries, appended as they land (they take priority slots)
     "nq_sketch_tocdf",
     "nq_window_operator",
+    "fd_array_audit_sql_text",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed

@@ -1383,3 +1383,80 @@ def fd_ipv6_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.sql(sql)
+
+
+@query(
+    "fd_array_audit_sql_text",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, value,
+             regexp_split_to_array(
+               concat(event_type, '-', CAST(user_id % 3 AS VARCHAR)),
+               '-') AS chars,
+             list_sort(list_filter(
+               [CAST(user_id % 5 AS DOUBLE), CAST(user_id % 11 AS DOUBLE),
+                CAST(value AS DOUBLE), CAST(NULL AS DOUBLE)],
+               x -> x IS NOT NULL)) AS s
+      FROM events)
+    SELECT event_type,
+           CAST(SUM(CASE WHEN list_contains(
+                 chars, CAST(user_id % 4 AS VARCHAR))
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_in,
+           CAST(SUM(CASE WHEN list_contains(
+                 ['click', 'view'], event_type)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_cv,
+           CAST(SUM(CAST(s[2] AS DECIMAL(38,8))) AS DOUBLE) AS med_sum,
+           CAST(SUM(CAST(s[1] + 0.5 * (s[2] - s[1]) AS DECIMAL(38,8)))
+             AS DOUBLE) AS q25_sum,
+           MIN(array_to_string(chars, '|')) AS mv_str,
+           MIN(array_to_string(chars, '#')) AS amv_str
+    FROM e GROUP BY event_type ORDER BY event_type
+    """,
+)
+def fd_array_audit_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r12 Druid SQL function-audit tail as raw SQL text:
+    SCALAR_IN_ARRAY (Druid 30, type-generic argument-swap rewrite onto
+    array_contains — probed both against a per-row split array and an
+    array literal), ARRAY_QUANTILE (Druid 31, linear-interpolation
+    quantile over the array's non-null numeric elements — rank 0.5
+    lands on an element, rank 0.25 exercises the interpolation arm;
+    the oracle replays the identical IEEE arithmetic on the sorted
+    list), and the MV_TO_ARRAY / ARRAY_TO_MV conversion pair (identity
+    / element-wise string cast — this engine's MVD representation IS
+    ARRAY<STRING>). DECODE_BASE64_COMPLEX registers as a LOUD
+    contract error (pinned in tests/test_broker.py), not a row here.
+    Quantile sums accumulate in decimal(38,8) for cross-engine bit
+    equality."""
+    from ..functions.druid_sql import rewrite_datasketches_sql
+
+    register_druid_sql_functions(spark)
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    sql = rewrite_datasketches_sql(
+        """
+        WITH e AS (
+          SELECT event_id, user_id, event_type, value,
+                 STRING_TO_ARRAY(
+                   concat(event_type, '-', CAST(user_id % 3 AS STRING)),
+                   '-') AS chars,
+                 ARRAY(CAST(user_id % 5 AS DOUBLE),
+                       CAST(user_id % 11 AS DOUBLE),
+                       CAST(value AS DOUBLE),
+                       CAST(NULL AS DOUBLE)) AS nums
+          FROM events)
+        SELECT event_type,
+               CAST(SUM(CASE WHEN SCALAR_IN_ARRAY(
+                     CAST(user_id % 4 AS STRING), chars)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_in,
+               CAST(SUM(CASE WHEN SCALAR_IN_ARRAY(
+                     event_type, ARRAY('click', 'view'))
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_cv,
+               CAST(SUM(CAST(ARRAY_QUANTILE(nums, 0.5)
+                   AS DECIMAL(38,8))) AS DOUBLE) AS med_sum,
+               CAST(SUM(CAST(ARRAY_QUANTILE(nums, 0.25)
+                   AS DECIMAL(38,8))) AS DOUBLE) AS q25_sum,
+               MIN(ARRAY_TO_STRING(MV_TO_ARRAY(chars), '|')) AS mv_str,
+               MIN(ARRAY_TO_STRING(ARRAY_TO_MV(chars), '#')) AS amv_str
+        FROM e GROUP BY event_type ORDER BY event_type
+        """
+    )
+    return spark.sql(sql)

@@ -696,3 +696,75 @@ def test_ipv6_match_sql(spark):
         rewrite_datasketches_sql(
             "SELECT IPV6_MATCH(a, 'nope/12') FROM t"
         )
+
+
+def test_r12_sql_audit_tail(spark):
+    """The r12 function-audit additions: SCALAR_IN_ARRAY (type-generic
+    swap onto array_contains, NULL semantics), ARRAY_QUANTILE
+    (interpolation vs numpy on random draws, empty/all-null/
+    out-of-range-rank answer NULL), MV_TO_ARRAY/ARRAY_TO_MV, and the
+    DECODE_BASE64_COMPLEX loud-error contract."""
+    import numpy as np
+
+    from druid_datafusion_bridge_spark.functions.druid_sql import (
+        register_druid_sql_functions,
+        rewrite_datasketches_sql,
+    )
+
+    register_druid_sql_functions(spark)
+    # SCALAR_IN_ARRAY: rewrite + null semantics (NULL scalar/array)
+    sql = rewrite_datasketches_sql(
+        "SELECT SCALAR_IN_ARRAY('b', ARRAY('a', 'b')) AS hit, "
+        "SCALAR_IN_ARRAY('z', ARRAY('a', 'b')) AS miss, "
+        "SCALAR_IN_ARRAY(CAST(NULL AS STRING), ARRAY('a')) AS ns, "
+        "SCALAR_IN_ARRAY(7, ARRAY(1, 7, 9)) AS num, "
+        "SCALAR_IN_ARRAY('a', CAST(NULL AS ARRAY<STRING>)) AS na"
+    )
+    assert "array_contains" in sql and "SCALAR_IN_ARRAY" not in sql
+    r = spark.sql(sql).first()
+    assert (r["hit"], r["miss"], r["num"]) == (True, False, True)
+    assert r["ns"] is None and r["na"] is None
+    # ARRAY_QUANTILE: numpy differential on 10 seeded draws (linear
+    # interpolation, the same definition), plus the NULL edges
+    import random
+    rng = random.Random(20260817)
+    for _ in range(10):
+        vals = [round(rng.uniform(-50, 50), 3) for _ in
+                range(rng.randint(1, 9))]
+        rank = round(rng.random(), 3)
+        arr = ", ".join(f"CAST({v} AS DOUBLE)" for v in vals)
+        got = spark.sql(
+            f"SELECT ARRAY_QUANTILE(ARRAY({arr}, CAST(NULL AS DOUBLE))"
+            f", {rank}) AS q"
+        ).first()["q"]
+        assert got == pytest.approx(
+            float(np.percentile(np.array(vals), rank * 100)), rel=1e-12
+        ), (vals, rank)
+    r = spark.sql(
+        "SELECT ARRAY_QUANTILE(ARRAY(CAST(NULL AS DOUBLE)), 0.5) AS an,"
+        " ARRAY_QUANTILE(CAST(ARRAY() AS ARRAY<DOUBLE>), 0.5) AS ae,"
+        " ARRAY_QUANTILE(ARRAY(CAST(1 AS DOUBLE)), 1.5) AS ar,"
+        " ARRAY_QUANTILE(ARRAY(CAST(3 AS DOUBLE)), 0.99) AS one"
+    ).first()
+    assert r["an"] is None and r["ae"] is None and r["ar"] is None
+    assert r["one"] == 3.0
+    # MV_TO_ARRAY identity / ARRAY_TO_MV string cast
+    r = spark.sql(
+        "SELECT MV_TO_ARRAY(ARRAY('x', 'y')) AS mv, "
+        "ARRAY_TO_MV(ARRAY(1, 2)) AS amv"
+    ).first()
+    assert r["mv"] == ["x", "y"] and r["amv"] == ["1", "2"]
+    # DECODE_BASE64_COMPLEX: loud contract error, never a value
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+    with pytest.raises((Py4JJavaError, SparkRuntimeException),
+                       match="DECODE_BASE64_COMPLEX"):
+        spark.sql(
+            "SELECT DECODE_BASE64_COMPLEX('thetaSketch', 'AAAA')"
+        ).collect()
+    # BLOOM_FILTER_TEST rejects non-deterministic filter text (its
+    # argument expands into six bit probes) — ADVICE r11 contract
+    with pytest.raises(ValueError, match="deterministic"):
+        rewrite_datasketches_sql(
+            "SELECT BLOOM_FILTER_TEST(x, rand()) FROM t"
+        )
