@@ -338,9 +338,13 @@ def load_plan_meta(root: str, seg_dirs: list[str]) -> dict[str, dict]:
     refresh rewritten atomically. Read-only roots degrade gracefully:
     the cache write is best-effort, correctness never depends on it.
 
-    Returns {segment_dir -> {"start", "end", "rows", "stats"}} where
-    stats is {col -> {"min", "max"}} (segment-level only — block zone
-    maps stay in the segment, they are read-time state)."""
+    Returns {segment_dir -> {"start", "end", "rows", "stats", "cols"}}
+    where stats is {col -> {"min", "max"}} (segment-level only — block
+    zone maps stay in the segment, they are read-time state) and cols
+    is the segment's ordered [[name, arrow-type-key], ...] — r12: the
+    union-schema merge (DruidSegmentDataSource.schema) plans from this
+    too, so relation CREATION stops being O(N) segment opens at
+    catalog scale (manifest v2; v1 caches refresh once)."""
     import json as _json
 
     cache_path = os.path.join(root, PLANMETA_NAME)
@@ -348,7 +352,7 @@ def load_plan_meta(root: str, seg_dirs: list[str]) -> dict[str, dict]:
     try:
         with open(cache_path) as f:
             raw = _json.load(f)
-        if isinstance(raw, dict) and raw.get("v") == 1:
+        if isinstance(raw, dict) and raw.get("v") == 2:
             cached = raw.get("segments", {})
     except (OSError, ValueError):
         cached = {}
@@ -370,6 +374,12 @@ def load_plan_meta(root: str, seg_dirs: list[str]) -> dict[str, dict]:
         if entry is None or ident is None or entry.get("id") != ident:
             seg = DruidSegment(seg_dir)
             try:
+                cols = []
+                for cname in seg.metadata.columns:
+                    key = str(seg.schema.field(cname).type)
+                    if key.startswith("dictionary"):
+                        key = "string"
+                    cols.append([cname, key])
                 entry = {
                     "id": ident,
                     "start": seg.metadata.interval_start_ms,
@@ -380,6 +390,7 @@ def load_plan_meta(root: str, seg_dirs: list[str]) -> dict[str, dict]:
                         for c, s in seg.column_stats().items()
                         if "min" in s and "max" in s
                     },
+                    "cols": cols,
                 }
             finally:
                 seg.close()
@@ -390,7 +401,7 @@ def load_plan_meta(root: str, seg_dirs: list[str]) -> dict[str, dict]:
         tmp = f"{cache_path}.tmp.{os.getpid()}"
         try:
             with open(tmp, "w") as f:
-                _json.dump({"v": 1, "segments": fresh}, f)
+                _json.dump({"v": 2, "segments": fresh}, f)
             os.replace(tmp, cache_path)
         except OSError:  # read-only root: plan without the cache
             try:
@@ -482,24 +493,23 @@ class DruidSegmentDataSource(DataSource):
         # and a long-lived datasource accretes columns over time — real
         # Druid's broker merges exactly like this): first-seen column
         # order, identical types required, columns absent from an older
-        # segment surface as NULLs there.
+        # segment surface as NULLs there. r12: served from the planning
+        # manifest (one _planmeta.json read on a warm root) instead of
+        # O(N) segment opens — real Druid brokers likewise take schema
+        # from the coordinator's segment metadata, never by opening
+        # segments; at 100k segments this is the whole relation-
+        # creation budget (bench_scale.py plan).
         merged: dict[str, str] = {}
-        for seg_dir in find_segment_dirs(path):
-            seg = DruidSegment(seg_dir)
-            try:
-                for name in seg.metadata.columns:
-                    f = seg.schema.field(name)
-                    key = str(f.type)
-                    if key.startswith("dictionary"):
-                        key = "string"
-                    if name in merged and merged[name] != key:
-                        raise ValueError(
-                            f"Conflicting types for column {name!r}: "
-                            f"{merged[name]} vs {key} ({seg_dir})"
-                        )
-                    merged.setdefault(name, key)
-            finally:
-                seg.close()
+        seg_dirs = find_segment_dirs(path)
+        metas = load_plan_meta(path, seg_dirs)
+        for seg_dir in seg_dirs:
+            for name, key in metas[seg_dir]["cols"]:
+                if name in merged and merged[name] != key:
+                    raise ValueError(
+                        f"Conflicting types for column {name!r}: "
+                        f"{merged[name]} vs {key} ({seg_dir})"
+                    )
+                merged.setdefault(name, key)
         cols = _projected(self.options, list(merged))
         return StructType(
             [StructField(name, _SPARK_TYPES[merged[name]], True) for name in cols]

@@ -1230,6 +1230,18 @@ def test_plan_meta_cache_amortizes_segment_opens(registered, tmp_path, monkeypat
         .load()
     )
     assert df.filter(F.col("v") >= 105.0).count() == 2  # 105, 106
+    # r12: relation CREATION is also zero-open on a warm root — the
+    # union-schema merge plans from the manifest's per-segment column
+    # list (at 100k segments, opening every segment for schema would
+    # be the whole planning budget; bench_scale.py plan measures it)
+    opens.clear()
+    df2 = (
+        registered.read.format("druidsegment")
+        .option("path", str(tmp_path))
+        .load()
+    )
+    assert df2.schema.fieldNames() == ["__time", "v"]
+    assert opens == []
 
 
 def test_stale_plan_manifest_never_prunes_wrong(registered, tmp_path):
