@@ -772,6 +772,15 @@ def _post_agg(p: dict) -> Column:
         # estimate] regardless of numStdDevs
         est = F.col((p.get("field") or {})["fieldName"]).cast("double")
         return F.array(est, est, est)
+    if kind == "HLLSketchToString":
+        # Druid returns the DataSketches HLL debug dump
+        # (datasketches-hll.md); like quantilesDoublesSketchToString,
+        # the exact-upgrade summary is the exact fact in a fixed
+        # format — here the finalized distinct count.
+        est = F.col((p.get("field") or {})["fieldName"])
+        return F.format_string(
+            "### ExactHLLSketch SUMMARY: n=%d", est.cast("long")
+        )
     raise ValueError(f"unsupported postAggregation type {kind!r}")
 
 

@@ -1300,11 +1300,14 @@ def test_sketch_aggregators_and_consumers(events):
             {"type": "HLLSketchEstimate", "name": "est",
              "field": {"type": "fieldAccess", "fieldName": "hll"},
              "round": True},
+            {"type": "HLLSketchToString", "name": "hll_str",
+             "field": {"type": "fieldAccess", "fieldName": "hll"}},
         ],
     }
     row = run(events, spec, time_col="__time").collect()[0]
     assert row["vs"] == 7
     assert row["hll"] == 4 and row["est"] == 4
+    assert row["hll_str"] == "### ExactHLLSketch SUMMARY: n=4"
     assert row["p50"] == 4.0
     assert row["minmax"] == [1.0, 10.0]
     assert row["h"] == [2.0, 3.0, 2.0]
@@ -1848,6 +1851,35 @@ def test_window_operator_query(events):
     # output row order follows the naiveSort
     assert [r["value"] for r in rows if r["event_type"] == "click"] \
         == [4.0, 2.0, 1.0]
+
+
+def test_window_operator_query_over_query_datasource(events):
+    """The common real-world shape: the SQL planner wraps a groupBy in
+    a query dataSource and windows over ITS output."""
+    spec = {
+        "queryType": "windowOperatorQuery",
+        "dataSource": {"type": "query", "query": {
+            "queryType": "groupBy",
+            "granularity": "all",
+            "dimensions": ["event_type"],
+            "aggregations": [
+                {"type": "doubleSum", "name": "total",
+                 "fieldName": "value"}],
+        }},
+        "operators": [
+            {"type": "naivePartition", "partitionColumns": []},
+            {"type": "naiveSort", "columns": [
+                {"column": "total", "direction": "DESC"}]},
+            {"type": "window", "processors": [
+                {"type": "rowNumber", "outputColumn": "rn"}]},
+        ],
+    }
+    rows = run(events, spec, time_col="__time").collect()
+    # 4 groups (click 7.0, view 8.0, purchase 10.0, NULL 6.0) ranked
+    # by total desc
+    got = {r["event_type"]: (r["total"], r["rn"]) for r in rows}
+    assert got == {"purchase": (10.0, 1), "view": (8.0, 2),
+                   "click": (7.0, 3), None: (6.0, 4)}
 
 
 def test_window_operator_query_error_paths(events):
