@@ -623,7 +623,6 @@ def plan_main() -> None:
     import pyarrow as pa
 
     from druid_datafusion_bridge_spark.sources.datasource import (
-        PLANMETA_NAME,
         find_segment_dirs,
         load_plan_meta,
         register_druid_datasource,

@@ -641,8 +641,10 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
     # coerce implicitly at the call site). Registered so Druid SQL
     # text using either name runs unchanged.
     ("MV_TO_ARRAY", "a ARRAY<STRING>", "ARRAY<STRING>", "a"),
-    ("ARRAY_TO_MV", "a ARRAY<STRING>", "ARRAY<STRING>",
-     "transform(a, e -> CAST(e AS STRING))"),
+    # identity body: the element-wise string cast happens in the
+    # SIGNATURE coercion (array<int> -> array<string> at the call
+    # site), so a per-element transform would re-cast STRING to STRING
+    ("ARRAY_TO_MV", "a ARRAY<STRING>", "ARRAY<STRING>", "a"),
     # DECODE_BASE64_COMPLEX (sql-scalar.md): decodes a base64 blob into
     # a COMPLEX sketch type. The serialized DataSketches wire formats
     # have no portable representation here (this engine's sketches are

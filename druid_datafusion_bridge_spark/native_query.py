@@ -683,11 +683,16 @@ def _consumer_agg(p: dict, spec: dict) -> Column:
         # stream facts in a fixed format (documented exact-upgrade
         # semantics): n plus min/max rendered at decimal(38,6) so the
         # text is bit-stable across engines and partitionings.
+        # try_cast, not cast: |value| >= 1e32 overflows decimal(38,6)
+        # and under ANSI mode a plain cast would crash the whole query
+        # on valid double data (the same ANSI-proof posture as
+        # _numeric_agg's min/max) — such extremes render as 'null' in
+        # the summary instead.
         return F.format_string(
             "### ExactQuantilesSketch SUMMARY: n=%d, min=%s, max=%s",
             F.count(src),
-            F.min(src).cast("decimal(38,6)").cast("string"),
-            F.max(src).cast("decimal(38,6)").cast("string"),
+            F.min(src).try_cast("decimal(38,6)").cast("string"),
+            F.max(src).try_cast("decimal(38,6)").cast("string"),
         )
     raise ValueError(f"unsupported sketch consumer {kind!r}")
 
@@ -1376,28 +1381,25 @@ def _win_agg_col(a: dict, w) -> Column:
     Sums/means accumulate in decimal(38,8) and surface as double, the
     same determinism contract as _numeric_agg (a windowed float fold
     would still be order-stable here, but decimal keeps the bits
-    identical to the batch aggregators and the DuckDB oracle)."""
+    identical to the batch aggregators and the DuckDB oracle). The
+    long/min/max arms DELEGATE to _numeric_agg (one aggregator-name
+    table, applied .over(w)); only the decimal-accumulated double
+    arms are bespoke because .over() must attach BEFORE the outer
+    double cast."""
     k = a["type"]
     if k == "count":
         return F.count(F.lit(1)).over(w)
     col = _c(a["fieldName"])
-    if k == "longSum":
-        return F.sum(col.cast("long")).over(w)
     if k in ("doubleSum", "floatSum"):
         return F.sum(col.cast("decimal(38,8)")).over(w).cast("double")
-    if k == "longMin":
-        return F.min(col.cast("long")).over(w)
-    if k == "longMax":
-        return F.max(col.cast("long")).over(w)
-    if k in ("doubleMin", "floatMin"):
-        return F.min(col.cast("double")).over(w)
-    if k in ("doubleMax", "floatMax"):
-        return F.max(col.cast("double")).over(w)
-    if k in ("doubleMean",):
+    if k == "doubleMean":
         return (
             F.sum(col.cast("decimal(38,8)")).over(w).cast("double")
             / F.count(col).over(w)
         )
+    if k in ("longSum", "longMin", "longMax", "doubleMin", "doubleMax",
+             "floatMin", "floatMax"):
+        return _numeric_agg(k, col).over(w)
     raise ValueError(f"unsupported window aggregator {k!r}")
 
 
@@ -1602,6 +1604,22 @@ def _window_operator_query(
                 for c, asc in sort_cols
             ]
         )
+    # the planner-emitted spec declares its result columns in
+    # outputSignature — honor it (real Druid returns exactly those);
+    # silently returning every base column would be a different schema
+    # than Druid's. Entries are {"name": ..} objects or plain strings;
+    # an unknown name is loud, never dropped.
+    sig = spec.get("outputSignature")
+    if sig:
+        names = [
+            s["name"] if isinstance(s, dict) else s for s in sig
+        ]
+        missing = [n for n in names if n not in out.columns]
+        if missing:
+            raise ValueError(
+                f"outputSignature names unknown columns {missing}"
+            )
+        out = out.select(*names)
     return out
 
 

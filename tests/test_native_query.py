@@ -1882,6 +1882,53 @@ def test_window_operator_query_over_query_datasource(events):
                    "click": (7.0, 3), None: (6.0, 4)}
 
 
+def test_window_operator_output_signature(events):
+    """The planner-emitted outputSignature is honored: the result
+    carries exactly the declared columns; an unknown name is loud."""
+    base = {
+        "queryType": "windowOperatorQuery",
+        "operators": [
+            {"type": "naivePartition",
+             "partitionColumns": ["event_type"]},
+            {"type": "naiveSort", "columns": [
+                {"column": "event_type", "direction": "ASC"},
+                {"column": "value", "direction": "DESC"}]},
+            {"type": "window", "processors": [
+                {"type": "rowNumber", "outputColumn": "rn"}]},
+        ],
+    }
+    df = run(events, {**base, "outputSignature": [
+        {"name": "event_type"}, {"name": "value"}, "rn"]},
+        time_col="__time")
+    assert df.columns == ["event_type", "value", "rn"]
+    assert df.count() == 7
+    with pytest.raises(ValueError, match="outputSignature"):
+        run(events, {**base, "outputSignature": ["nope"]},
+            time_col="__time")
+
+
+def test_sketch_tostring_extreme_values(spark):
+    """quantilesDoublesSketchToString on |value| >= 1e32: the
+    decimal(38,6) rendering overflows — try_cast renders 'null'
+    instead of crashing the query under ANSI mode (the _numeric_agg
+    min/max posture)."""
+    df = spark.createDataFrame(
+        [(1e33,), (2.0,)], "value double"
+    ).withColumn("__time", F.lit("2024-01-01").cast("timestamp"))
+    row = native_query(df, {
+        "queryType": "groupBy", "granularity": "all", "dimensions": [],
+        "aggregations": [
+            {"type": "quantilesDoublesSketch", "name": "vs",
+             "fieldName": "value"}],
+        "postAggregations": [
+            {"type": "quantilesDoublesSketchToString", "name": "s",
+             "field": {"type": "fieldAccess", "fieldName": "vs"}}],
+    }, time_col="__time").collect()[0]
+    assert row["s"] == (
+        "### ExactQuantilesSketch SUMMARY: n=2, min=2.000000, max=null"
+    )
+
+
 def test_window_operator_query_error_paths(events):
     base = {"queryType": "windowOperatorQuery"}
     with pytest.raises(ValueError, match="leafOperators"):
