@@ -49,12 +49,14 @@ from .images import (  # noqa: F401
     _gif_lzw_encode,
     _gif_walk,
     _png_encode,
+    _png_encode_typed,
     bmp_channel_stats,
     decode_bmp,
     decode_gif,
     decode_png,
     gif_channel_stats,
     png_channel_stats,
+    png_color_type_stats,
     with_bmp_payload,
     with_gif_payload,
     with_png_payload,

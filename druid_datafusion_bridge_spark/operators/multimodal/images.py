@@ -156,15 +156,23 @@ def with_png_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return docs.select(id_col).mapInPandas(run, schema="doc_id long, payload binary")
 
 
+#: PNG color type -> stored channels (8-bit only; depth 16 and Adam7
+#: interlace stay loud). Type 3 stores palette INDICES and expands to
+#: RGB through PLTE at decode time.
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
 def decode_png(data: bytes):
     """REAL PNG decoder — pure stdlib zlib + numpy, no codec libraries:
-    signature check, chunk walk with CRC32 verification, IHDR parse
-    (8-bit RGB, no interlace), zlib-inflate of concatenated IDATs, and
-    full scanline unfiltering (all five filter types). Returns
-    (width, height, pixels[h, w, 3] uint8). This upgrades the
-    compressed-image modality from stub to working decoder; formats
-    needing entropy/DCT codecs the container lacks (JPEG) stay
-    stubbed."""
+    signature check, chunk walk with CRC32 verification, IHDR parse,
+    zlib-inflate of concatenated IDATs, and full scanline unfiltering
+    (all five filter types). r12: ALL five 8-bit color types decode —
+    grayscale (0), RGB (2), palette (3, expanded to RGB through PLTE),
+    gray+alpha (4) and RGBA (6) — the shapes real-world PNGs actually
+    use. Returns (width, height, pixels[h, w, C] uint8) with C = 1
+    (gray), 2 (gray+alpha), 3 (RGB / palette-expanded) or 4 (RGBA).
+    16-bit depth and Adam7 interlace raise loudly. Formats needing
+    psychoacoustic codecs (MP3) stay stubbed."""
     import struct
     import zlib
 
@@ -172,7 +180,7 @@ def decode_png(data: bytes):
 
     if data[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
-    pos, w = 8, None
+    pos, w, plte = 8, None, None
     idat = bytearray()
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -187,8 +195,14 @@ def decode_png(data: bytes):
             w, h, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
-                raise ValueError("only 8-bit RGB non-interlaced supported")
+            if ctype not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG color type {ctype}")
+            if (depth, comp, filt, interlace) != (8, 0, 0, 0):
+                raise ValueError(
+                    "only 8-bit non-interlaced PNG supported"
+                )
+        elif tag == b"PLTE":
+            plte = body
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -197,7 +211,8 @@ def decode_png(data: bytes):
     if w is None:
         raise ValueError("missing IHDR")
     stream = zlib.decompress(bytes(idat))
-    bpp, stride = 3, w * 3
+    bpp = _PNG_CHANNELS[ctype]
+    stride = w * bpp
     if len(stream) != h * (1 + stride):
         raise ValueError("IDAT length mismatch")
 
@@ -229,7 +244,13 @@ def decode_png(data: bytes):
             recon[i] = (line[i] + pred) % 256
         out[row] = np.frombuffer(bytes(recon), dtype=np.uint8)
         prev = bytes(recon)
-    return w, h, out.reshape(h, w, 3)
+    px = out.reshape(h, w, bpp)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        px = pal[px[:, :, 0]]
+    return w, h, px
 
 
 def png_channel_stats(blobs: DataFrame) -> DataFrame:
@@ -967,3 +988,274 @@ def bmp_channel_stats(blobs: DataFrame) -> DataFrame:
             )
 
     return blobs.mapInPandas(run, schema=PPM_STATS_SCHEMA)
+
+
+#: The ctype cycle the color-type fixtures walk: grayscale, palette,
+#: gray+alpha, RGBA — the four real-world shapes beyond plain RGB.
+_PNG_TYPE_CYCLE = (0, 3, 4, 6)
+
+
+def _png_encode_typed(doc_id: int) -> bytes:
+    """REAL PNG encoder across color types (executor-side fixture):
+    ctype cycles _PNG_TYPE_CYCLE by doc_id, canvas (3 + id%4) x
+    (2 + id%3), raw scanline byte law byte(i) = (id*11 + i*17) % 256
+    (indices counted over the whole image), scanline filter row % 5 —
+    so a decoder must handle every color type AND all five filters.
+    Palette images carry a 256-entry PLTE with palette[i] =
+    ((5i)%256, (7i)%256, (11i)%256)."""
+    import struct
+    import zlib
+
+    ctype = _PNG_TYPE_CYCLE[doc_id % 4]
+    bpp = _PNG_CHANNELS[ctype]
+    w, h = 3 + doc_id % 4, 2 + doc_id % 3
+    stride = w * bpp
+    raw = [
+        bytes(
+            (doc_id * 11 + (row * stride + i) * 17) % 256
+            for i in range(stride)
+        )
+        for row in range(h)
+    ]
+
+    def paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    stream = bytearray()
+    prev = bytes(stride)
+    for row in range(h):
+        ft = row % 5
+        line = raw[row]
+        stream.append(ft)
+        for i in range(stride):
+            left = line[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            pred = (
+                0 if ft == 0
+                else left if ft == 1
+                else up if ft == 2
+                else (left + up) // 2 if ft == 3
+                else paeth(left, up, ul)
+            )
+            stream.append((line[i] - pred) % 256)
+        prev = line
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if ctype == 3:
+        plte = bytes(
+            v
+            for i in range(256)
+            for v in ((5 * i) % 256, (7 * i) % 256, (11 * i) % 256)
+        )
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", zlib.compress(bytes(stream))) + chunk(
+        b"IEND", b""
+    )
+
+
+def png_color_type_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """End-to-end color-type PNG lane: per doc, build the typed fixture
+    PNG (_png_encode_typed law) and decode it with the REAL generalized
+    decoder, emitting canonical-RGBA channel sums — gray expands to
+    r=g=b, palette expands through PLTE, missing alpha reads 255. One
+    Arrow-batched mapInPandas; everything closure-shipped (the grading
+    driver unpickles outside this repo's sys.path). Any color-type,
+    PLTE, filter, or inflate bug is a value mismatch against the
+    closed-form oracle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        import numpy as np
+
+        CH = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+        CYCLE = (0, 3, 4, 6)
+
+        def paeth(a: int, b: int, c: int) -> int:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                return a
+            return b if pb <= pc else c
+
+        def chunk(tag: bytes, body: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(body))
+                + tag
+                + body
+                + struct.pack(">I", zlib.crc32(tag + body))
+            )
+
+        def make(doc_id: int) -> bytes:
+            ctype = CYCLE[doc_id % 4]
+            bpp = CH[ctype]
+            w, h = 3 + doc_id % 4, 2 + doc_id % 3
+            stride = w * bpp
+            raw = [
+                bytes(
+                    (doc_id * 11 + (row * stride + i) * 17) % 256
+                    for i in range(stride)
+                )
+                for row in range(h)
+            ]
+            stream = bytearray()
+            prev = bytes(stride)
+            for row in range(h):
+                ft = row % 5
+                line = raw[row]
+                stream.append(ft)
+                for i in range(stride):
+                    left = line[i - bpp] if i >= bpp else 0
+                    up = prev[i]
+                    ul = prev[i - bpp] if i >= bpp else 0
+                    pred = (
+                        0 if ft == 0
+                        else left if ft == 1
+                        else up if ft == 2
+                        else (left + up) // 2 if ft == 3
+                        else paeth(left, up, ul)
+                    )
+                    stream.append((line[i] - pred) % 256)
+                prev = line
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+            out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            if ctype == 3:
+                plte = bytes(
+                    v
+                    for i in range(256)
+                    for v in (
+                        (5 * i) % 256, (7 * i) % 256, (11 * i) % 256
+                    )
+                )
+                out += chunk(b"PLTE", plte)
+            return (
+                out
+                + chunk(b"IDAT", zlib.compress(bytes(stream)))
+                + chunk(b"IEND", b"")
+            )
+
+        def decode(data: bytes):
+            if data[:8] != b"\x89PNG\r\n\x1a\n":
+                raise ValueError("not a PNG")
+            pos, w, plte = 8, None, None
+            idat = bytearray()
+            while pos < len(data):
+                (length,) = struct.unpack(">I", data[pos : pos + 4])
+                tag = data[pos + 4 : pos + 8]
+                body = data[pos + 8 : pos + 8 + length]
+                (crc,) = struct.unpack(
+                    ">I", data[pos + 8 + length : pos + 12 + length]
+                )
+                if zlib.crc32(tag + body) != crc:
+                    raise ValueError(f"bad CRC in {tag!r} chunk")
+                if tag == b"IHDR":
+                    w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                        ">IIBBBBB", body
+                    )
+                    if ctype not in CH or (depth, comp, filt, inter) != (
+                        8, 0, 0, 0,
+                    ):
+                        raise ValueError("unsupported PNG layout")
+                elif tag == b"PLTE":
+                    plte = body
+                elif tag == b"IDAT":
+                    idat += body
+                elif tag == b"IEND":
+                    break
+                pos += 12 + length
+            if w is None:
+                raise ValueError("missing IHDR")
+            stream = zlib.decompress(bytes(idat))
+            bpp = CH[ctype]
+            stride = w * bpp
+            if len(stream) != h * (1 + stride):
+                raise ValueError("IDAT length mismatch")
+            out = np.zeros((h, stride), dtype=np.uint8)
+            prev = bytes(stride)
+            for row in range(h):
+                base = row * (1 + stride)
+                ft = stream[base]
+                line = stream[base + 1 : base + 1 + stride]
+                recon = bytearray(stride)
+                for i in range(stride):
+                    left = recon[i - bpp] if i >= bpp else 0
+                    up = prev[i]
+                    ul = prev[i - bpp] if i >= bpp else 0
+                    pred = (
+                        0 if ft == 0
+                        else left if ft == 1
+                        else up if ft == 2
+                        else (left + up) // 2 if ft == 3
+                        else paeth(left, up, ul)
+                    )
+                    recon[i] = (line[i] + pred) % 256
+                out[row] = np.frombuffer(bytes(recon), dtype=np.uint8)
+                prev = bytes(recon)
+            px = out.reshape(h, w, bpp)
+            if ctype == 3:
+                if plte is None:
+                    raise ValueError("palette PNG missing PLTE")
+                pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+                px = pal[px[:, :, 0]]
+            return w, h, ctype, px
+
+        def stats(doc_id: int):
+            w, h, ctype, px = decode(make(int(doc_id)))
+            n = w * h
+            a64 = px.astype(np.int64)
+            if ctype in (0, 3) or (ctype == 4):
+                if ctype == 3:
+                    r, g, b = (
+                        a64[:, :, 0].sum(),
+                        a64[:, :, 1].sum(),
+                        a64[:, :, 2].sum(),
+                    )
+                    a = 255 * n
+                elif ctype == 0:
+                    s = a64[:, :, 0].sum()
+                    r = g = b = s
+                    a = 255 * n
+                else:  # gray + alpha
+                    s = a64[:, :, 0].sum()
+                    r = g = b = s
+                    a = a64[:, :, 1].sum()
+            else:  # RGBA
+                r, g, b, a = (a64[:, :, c].sum() for c in range(4))
+            return (
+                int(ctype), int(w), int(h), int(r), int(g), int(b),
+                int(a), float(r + g + b) / (3.0 * n),
+            )
+
+        for pdf in batches:
+            rows = [(int(d), *stats(d)) for d in pdf[id_col]]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "ctype", "width", "height",
+                    "sum_r", "sum_g", "sum_b", "sum_a", "mean_rgb",
+                ],
+            )
+
+    return docs.select(id_col).mapInPandas(
+        run,
+        schema=(
+            "doc_id long, ctype int, width int, height int, "
+            "sum_r long, sum_g long, sum_b long, sum_a long, "
+            "mean_rgb double"
+        ),
+    )

@@ -58,6 +58,7 @@ NEW_IN_R12: tuple[str, ...] = (
     "nq_sketch_tocdf",
     "nq_window_operator",
     "fd_array_audit_sql_text",
+    "mm_png_color_decode",
 )
 
 # Re-samples ordered by evidence age (oldest driver row first), computed

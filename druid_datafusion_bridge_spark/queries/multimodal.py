@@ -648,3 +648,68 @@ def mm_jpeg_420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return jpeg_rgb_stats(with_jpeg_420_payload(docs))
+
+
+@query(
+    "mm_png_color_decode",
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id,
+             d.doc_id % 4 AS m,
+             (3 + d.doc_id % 4) * (2 + d.doc_id % 3) AS n,
+             (d.doc_id * 11 + g.p * 17) % 256 AS idx,
+             (d.doc_id * 11 + (2 * g.p) * 17) % 256 AS g4,
+             (d.doc_id * 11 + (2 * g.p + 1) * 17) % 256 AS a4,
+             (d.doc_id * 11 + (4 * g.p) * 17) % 256 AS r6,
+             (d.doc_id * 11 + (4 * g.p + 1) * 17) % 256 AS g6,
+             (d.doc_id * 11 + (4 * g.p + 2) * 17) % 256 AS b6,
+             (d.doc_id * 11 + (4 * g.p + 3) * 17) % 256 AS a6
+      FROM documents d,
+           unnest(generate_series(0,
+             (3 + d.doc_id % 4) * (2 + d.doc_id % 3) - 1)) AS g(p)),
+    s AS (
+      SELECT doc_id,
+             CAST(CASE m WHEN 0 THEN 0 WHEN 1 THEN 3
+                         WHEN 2 THEN 4 ELSE 6 END AS INT) AS ctype,
+             CAST(3 + doc_id % 4 AS INT) AS width,
+             CAST(2 + doc_id % 3 AS INT) AS height,
+             MAX(n) AS n,
+             CAST(CASE m WHEN 0 THEN SUM(idx)
+                         WHEN 1 THEN SUM((5 * idx) % 256)
+                         WHEN 2 THEN SUM(g4)
+                         ELSE SUM(r6) END AS BIGINT) AS sum_r,
+             CAST(CASE m WHEN 0 THEN SUM(idx)
+                         WHEN 1 THEN SUM((7 * idx) % 256)
+                         WHEN 2 THEN SUM(g4)
+                         ELSE SUM(g6) END AS BIGINT) AS sum_g,
+             CAST(CASE m WHEN 0 THEN SUM(idx)
+                         WHEN 1 THEN SUM((11 * idx) % 256)
+                         WHEN 2 THEN SUM(g4)
+                         ELSE SUM(b6) END AS BIGINT) AS sum_b,
+             CAST(CASE m WHEN 0 THEN 255 * MAX(n)
+                         WHEN 1 THEN 255 * MAX(n)
+                         WHEN 2 THEN SUM(a4)
+                         ELSE SUM(a6) END AS BIGINT) AS sum_a
+      FROM px GROUP BY doc_id, m)
+    SELECT doc_id, ctype, width, height, sum_r, sum_g, sum_b, sum_a,
+           CAST(sum_r + sum_g + sum_b AS DOUBLE) / (3.0 * n) AS mean_rgb
+    FROM s
+    """,
+)
+def mm_png_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r12 PNG color-type lane: every doc gets a REAL PNG in one of
+    the four real-world shapes beyond plain RGB — grayscale (0),
+    palette (3, 256-entry PLTE), gray+alpha (4), RGBA (6), cycling by
+    doc_id — with scanline filters still cycling all five types, and
+    the generalized pure zlib+numpy decoder reconstructs pixels and
+    expands palette/gray to canonical RGBA channel sums inside ONE
+    Arrow-batched mapInPandas. The oracle replays the byte law
+    byte(i) = (id*11 + i*17) % 256 and palette law
+    ((5i)%256, (7i)%256, (11i)%256) in closed form per color type —
+    any PLTE, channel-count, filter, or inflate bug is a value
+    mismatch. Scale: pure data-plane (no shuffle; the decode cost IS
+    the scan), same posture as mm_png_decode's 0.148-slope lane."""
+    from ..operators.multimodal import png_color_type_stats
+
+    docs = table(spark, sf_dir, "documents")
+    return png_color_type_stats(docs)

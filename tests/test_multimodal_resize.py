@@ -565,3 +565,73 @@ def test_jpeg_single_component_scan_ignores_sampling_factors():
     w, h, out = decode_jpeg(bytes(data))
     assert (w, h) == (24, 24)
     assert np.abs(out.astype(int) - pix.astype(int)).max() <= 1
+
+
+def test_png_color_types_roundtrip():
+    """r12 generalized decoder: every 8-bit color type round-trips the
+    typed fixture law — gray (1ch), palette (expanded through PLTE to
+    RGB), gray+alpha (2ch), RGBA (4ch) — across all five scanline
+    filters (heights 2-4, filter row % 5)."""
+    from druid_datafusion_bridge_spark.operators.multimodal import (
+        _png_encode_typed,
+        decode_png,
+    )
+
+    for d in [0, 1, 2, 3, 4, 5, 6, 7, 17, 42, 101, 999]:
+        ctype = (0, 3, 4, 6)[d % 4]
+        w, h, pix = decode_png(_png_encode_typed(d))
+        assert (w, h) == (3 + d % 4, 2 + d % 3)
+        bpp = {0: 1, 3: 1, 4: 2, 6: 4}[ctype]
+        stride = w * bpp
+        law = lambda i: (d * 11 + i * 17) % 256  # noqa: E731
+        if ctype == 3:
+            assert pix.shape == (h, w, 3)
+            for p in range(w * h):
+                idx = law(p)
+                expect = ((5 * idx) % 256, (7 * idx) % 256,
+                          (11 * idx) % 256)
+                got = tuple(int(v) for v in pix[p // w, p % w])
+                assert got == expect, (d, p)
+        else:
+            assert pix.shape == (h, w, bpp)
+            flat = pix.reshape(-1)
+            assert all(
+                int(v) == law(i) for i, v in enumerate(flat)
+            ), (d, ctype)
+
+
+def test_png_color_type_error_paths():
+    import struct
+    import zlib
+
+    import pytest
+
+    from druid_datafusion_bridge_spark.operators.multimodal import (
+        decode_png,
+    )
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    # palette PNG without a PLTE chunk is loud
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    idat = zlib.compress(bytes([0, 0]))  # filter 0 + one index byte
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(data)
+    # unknown color type (7) is loud by name
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 7, 0, 0, 0)
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="color type"):
+        decode_png(data)
+    # Adam7 interlace stays loud
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="non-interlaced"):
+        decode_png(data)
