@@ -718,10 +718,97 @@ def plan_main() -> None:
         shutil.rmtree(small, ignore_errors=True)
 
 
+# Full-registry DuckDB sweep at an arbitrary scale:
+#   python bench_scale.py sweep [sf_dir]      (default /root/testdata/sf0.1)
+# The every-round ritual that caught the r11 all-pairs OOM and the r9
+# ivfpq recall graze. Hard-won harness rules baked in (r12): the
+# driver JVM is sized for a 284-query marathon (the default 1 GiB heap
+# dies ~250 queries in from Spark-internal session accumulation —
+# broadcast torrent blocks, codegen cache — even though every query
+# fits it individually), and result columns compare SORTED BY NAME on
+# both sides, exactly like the grading driver's canonicalizer (a
+# positional compare false-flags queries whose Spark and oracle column
+# orders differ).
+
+
+def sweep_main() -> None:
+    import duckdb
+
+    import __spark_entry__ as entry
+    from pyspark.sql import SparkSession
+
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "6g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    bad, n = [], 0
+    t0 = time.time()
+    for name, fn in qs.items():
+        n += 1
+        try:
+            sdf = fn(spark, sf_dir)
+            cols = sdf.columns
+            order = sorted(range(len(cols)), key=lambda i: cols[i])
+            srows = sorted(
+                tuple(str(r[i]) for i in order) for r in sdf.collect()
+            )
+            if name in oracles:
+                cur = con.execute(oracles[name])
+                ocols = [d[0] for d in cur.description]
+                oorder = sorted(
+                    range(len(ocols)), key=lambda i: ocols[i]
+                )
+                orows = sorted(
+                    tuple(str(r[i]) for i in oorder)
+                    for r in cur.fetchall()
+                )
+                ok = sorted(cols) == sorted(ocols) and srows == orows
+                if not ok:
+                    bad.append((name, len(srows), len(orows)))
+            else:
+                ok = True
+            print(
+                f"{n}/{len(qs)} {name} {'OK' if ok else 'MISMATCH'}",
+                file=sys.stderr, flush=True,
+            )
+        except Exception as ex:  # noqa: BLE001 — record and continue
+            bad.append((name, "ERR", str(ex)[:300]))
+            print(
+                f"{n}/{len(qs)} {name} ERR {str(ex)[:200]}",
+                file=sys.stderr, flush=True,
+            )
+    print(json.dumps({
+        "metric": "registry_sweep",
+        "sf_dir": sf_dir,
+        "swept": n,
+        "n_bad": len(bad),
+        "bad": bad,
+        "sec": round(time.time() - t0, 1),
+    }))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "slope":
         slope_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "plan":
         plan_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "sweep":
+        sweep_main()
     else:
         main()

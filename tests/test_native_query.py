@@ -1962,3 +1962,88 @@ def test_window_operator_query_error_paths(events):
     with pytest.raises(ValueError, match="operator"):
         run(events, {**base, "operators": [{"type": "scan"}]},
             time_col="__time")
+
+
+def test_window_operator_fuzz_vs_sql(spark):
+    """Differential fuzz for the windowOperatorQuery mapping: 8 seeded
+    random (partition, direction, offset) draws over a 200-row table
+    with NULLs, the JSON-spec compilation checked against the
+    equivalent hand-written SQL-text window query — any drift in frame
+    bounds, direction handling, peer-group ordering, or cumulative
+    semantics is a row mismatch."""
+    import random
+
+    rng = random.Random(20260817)
+    rows = [
+        (
+            i,
+            f"g{rng.randint(0, 3)}",
+            rng.randint(0, 50),
+            round(rng.uniform(0, 100), 3) if rng.random() > 0.1 else None,
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, grp string, k long, v double"
+    ).withColumn("__time", F.lit("2024-01-01").cast("timestamp"))
+    df.createOrReplaceTempView("fuzz_w")
+    for _ in range(8):
+        part = rng.choice([["grp"], [], ["grp"]])
+        desc = rng.random() < 0.5
+        off = rng.choice([-2, -1, 1, 2])
+        spec = {
+            "queryType": "windowOperatorQuery",
+            "operators": [
+                {"type": "naivePartition", "partitionColumns": part},
+                {"type": "naiveSort", "columns": (
+                    [{"column": "grp", "direction": "ASC"}] if part else []
+                ) + [
+                    {"column": "k",
+                     "direction": "DESC" if desc else "ASC"},
+                    {"column": "id", "direction": "ASC"},
+                ]},
+                {"type": "window", "processors": [
+                    {"type": "rowNumber", "outputColumn": "rn"},
+                    {"type": "rank", "group": ["k"],
+                     "outputColumn": "rk"},
+                    {"type": "offset", "inputColumn": "v",
+                     "offset": off, "outputColumn": "ofs"},
+                    {"type": "framedAgg",
+                     "frame": {"peerType": "ROWS", "lowerOffset": -2,
+                               "upperOffset": 1},
+                     "aggregations": [
+                         {"type": "longSum", "name": "ksum",
+                          "fieldName": "k"}]},
+                    {"type": "aggregate",
+                     "aggregations": [
+                         {"type": "count", "name": "cnt"}],
+                     "cumulativeAggregations": [
+                         {"type": "count", "name": "ccnt"}]},
+                ]},
+            ],
+        }
+        got = run(df, spec, time_col="__time").select(
+            "id", "rn", "rk", "ofs", "ksum", "cnt", "ccnt"
+        )
+        pb = f"PARTITION BY {', '.join(part)}" if part else ""
+        dirk = "DESC" if desc else "ASC"
+        ob = f"ORDER BY {'grp ASC, ' if part else ''}k {dirk}, id ASC"
+        fn = "LEAD" if off >= 0 else "LAG"
+        sql = f"""
+        SELECT id,
+               ROW_NUMBER() OVER ({pb} {ob}) AS rn,
+               RANK() OVER ({pb} ORDER BY k {dirk}) AS rk,
+               {fn}(v, {abs(off)}) OVER ({pb} {ob}) AS ofs,
+               SUM(k) OVER ({pb} {ob}
+                 ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS ksum,
+               COUNT(*) OVER ({pb} {ob}
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS cnt,
+               COUNT(*) OVER ({pb} {ob}
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS ccnt
+        FROM fuzz_w"""
+        expect = spark.sql(sql)
+        g = sorted(tuple(r) for r in got.collect())
+        x = sorted(tuple(r) for r in expect.collect())
+        assert g == x, (part, desc, off)
