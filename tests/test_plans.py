@@ -339,7 +339,7 @@ def test_every_query_compiles_jvm_side(spark):
                       "mm_wav_resample", "mm_video_frames",
                       "mm_png_decode", "mm_gif_decode", "mm_bmp_decode",
                       "mm_jpeg_decode", "mm_jpeg_color_decode",
-                      "mm_jpeg_420_decode"}
+                      "mm_jpeg_420_decode", "mm_png_color_decode"}
     MARKERS = ["BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                "FlatMapGroupsInPandas"]
     offenders = []
