@@ -71,6 +71,12 @@ def normalize_timestamps(df: DataFrame, name: str) -> DataFrame:
 # SPARK_GRAFT_MIRROR_MIN_BYTES (tables below it read raw — scheduling
 # overhead beats parallelism for tiny dims like nation/region).
 MIRROR_ROOT = "/tmp/ddbs_mirror"
+# ~8 MB per mirror file by default (one row group per file — file count
+# IS scan parallelism); SPARK_GRAFT_MIRROR_FILE_BYTES overrides for
+# A/B work and for clusters where bigger files are right (guide:
+# 128 MB-1 GB at real scale). Part of the mirror fingerprint, so a
+# layout built under one target never serves another.
+MIRROR_FILE_BYTES = 8 * 1024 * 1024
 # Engage only when one row group is genuinely more than one core should
 # own. Measured at sf0.1 (10 MB lineitem, 32 cores): mirroring every
 # table was a net LOSS — the per-task overhead of 13-16 tiny files
@@ -80,6 +86,28 @@ MIRROR_ROOT = "/tmp/ddbs_mirror"
 # scans in well under a second needs no re-layout; a 32 MB+ row group
 # is where serialization starts to dominate.
 MIRROR_MIN_BYTES = 32 * 1024 * 1024
+
+# Heavy-scan profile (r12 optimization round). The 32 MB default above
+# is right for the broad query mix — A/B-measured this round: serving
+# EVERY read from a finely-split mirror costs the multi-broadcast-join
+# queries (q3/q5/q8, two-phase TopN) a consistent +15-20% in per-task
+# fixed costs at single-digit-MB table sizes, while the scan-DOMINATED
+# operators (wide scan-agg, per-group window sort, percentile sketch
+# build, per-row JSON/IP string expansion) win 1.3-2.7x from the
+# parallelism. So scan-dominated operators OPT IN per read
+# (``table(..., heavy_scan=True)``): the threshold drops to
+# HEAVY_SCAN_MIN_BYTES and the mirror is written with small parquet row
+# groups (HEAVY_SCAN_BLOCK_BYTES — a row group is the split unit, so
+# splits ~ size/block regardless of file count). Heavy mirrors live
+# beside the standard ones under ``<name>@heavy`` with their own
+# fingerprint. At real scale (multi-row-group inputs) neither profile
+# engages and both paths read the source layout — the knob is
+# input-layout-adaptive, not core-count-adaptive.
+HEAVY_SCAN_MIN_BYTES = 1 * 1024 * 1024
+HEAVY_SCAN_BLOCK_BYTES = 1 * 1024 * 1024
+# Tables with heavy-scan consumers — pre-built by build_scan_mirrors so
+# the profile is an ingest-time artifact, not a first-query side effect.
+HEAVY_SCAN_TABLES: tuple[str, ...] = ("lineitem", "orders", "events")
 
 # The column each mirrored table is RANGE-partitioned and sorted by —
 # its dominant pushed-down predicate (ship/order dates, event time) or
@@ -100,10 +128,11 @@ _MIRROR_RANGE_KEY: dict[str, str] = {
 
 
 def _scan_mirror(
-    spark: SparkSession, sf_dir: str, name: str
+    spark: SparkSession, sf_dir: str, name: str, heavy_scan: bool = False
 ) -> DataFrame | None:
     """A multi-file mirror read for ``sf_dir/name.parquet``, building it
-    on first use; None when mirroring is disabled or not worthwhile."""
+    on first use; None when mirroring is disabled or not worthwhile.
+    ``heavy_scan`` selects the fine-split profile (module comment)."""
     import hashlib
     import os
     import shutil
@@ -115,17 +144,38 @@ def _scan_mirror(
         st = os.stat(src)
     except OSError:
         return None
-    min_bytes = int(
-        os.environ.get("SPARK_GRAFT_MIRROR_MIN_BYTES", MIRROR_MIN_BYTES)
-    )
+    if heavy_scan:
+        min_bytes = int(
+            os.environ.get(
+                "SPARK_GRAFT_HEAVY_MIRROR_MIN_BYTES", HEAVY_SCAN_MIN_BYTES
+            )
+        )
+    else:
+        min_bytes = int(
+            os.environ.get("SPARK_GRAFT_MIRROR_MIN_BYTES", MIRROR_MIN_BYTES)
+        )
     if st.st_size < min_bytes:
         return None
-    # v2: layout version rides in the fingerprint — a mirror built by an
-    # older layout policy (round-robin repartition) must rebuild, not
-    # serve (same bytes, different pruning behavior)
-    fp = f"v2:{st.st_size}:{st.st_mtime_ns}"
+    file_bytes = int(
+        os.environ.get("SPARK_GRAFT_MIRROR_FILE_BYTES", MIRROR_FILE_BYTES)
+    )
+    block_bytes = (
+        int(
+            os.environ.get(
+                "SPARK_GRAFT_MIRROR_BLOCK_BYTES", HEAVY_SCAN_BLOCK_BYTES
+            )
+        )
+        if heavy_scan
+        else 0  # writer default (128 MB) — one row group per file
+    )
+    # v3: layout version + per-file/row-group targets ride in the
+    # fingerprint — a mirror built by an older or differently-sized
+    # layout policy must rebuild, not serve (same bytes, different
+    # parallelism/pruning)
+    fp = f"v3:{file_bytes}:{block_bytes}:{st.st_size}:{st.st_mtime_ns}"
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    dest = os.path.join(MIRROR_ROOT, tag, name)
+    root = os.environ.get("SPARK_GRAFT_MIRROR_ROOT", MIRROR_ROOT)
+    dest = os.path.join(root, tag, (name + "@heavy") if heavy_scan else name)
     stamp = os.path.join(dest, "_FINGERPRINT")
     try:
         with open(stamp, encoding="utf-8") as f:
@@ -143,7 +193,7 @@ def _scan_mirror(
     # also costs a task, so fan-out stays proportional to size instead
     # of a fixed count (a fixed 16 over a 2 MB table measured as pure
     # scheduler overhead on every small-table query).
-    n_files = max(4, min(256, st.st_size // (8 * 1024 * 1024)))
+    n_files = max(4, min(256, st.st_size // file_bytes))
     key = _MIRROR_RANGE_KEY.get(name)
     if key is not None:
         # RANGE-partition by the table's dominant filter column and sort
@@ -166,7 +216,13 @@ def _scan_mirror(
         spark.conf.set(
             "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
         )
-        df.write.mode("overwrite").parquet(tmp)
+        writer = df.write.mode("overwrite")
+        if block_bytes:
+            # heavy profile: a row group is the parquet split unit, so
+            # small row groups inside each file set scan parallelism to
+            # ~size/block without multiplying files
+            writer = writer.option("parquet.block.size", block_bytes)
+        writer.parquet(tmp)
     except Exception:
         shutil.rmtree(tmp, ignore_errors=True)
         return None  # e.g. read-only /tmp: serve the raw file
@@ -210,11 +266,29 @@ def build_scan_mirrors(
     out: dict[str, bool] = {}
     for name in names if names is not None else TABLES:
         out[name] = _scan_mirror(spark, sf_dir, name) is not None
+    # heavy-scan profile for the tables its consumers actually request
+    # (scan-dominated operators over the fact/event tables) — built at
+    # ingest time like the standard profile so no query pays the write
+    for name in names if names is not None else HEAVY_SCAN_TABLES:
+        if name in HEAVY_SCAN_TABLES:
+            out[f"{name}@heavy"] = (
+                _scan_mirror(spark, sf_dir, name, heavy_scan=True) is not None
+            )
     return out
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """One parquet table as a DataFrame (lazy scan; pushdown-capable)."""
+def table(
+    spark: SparkSession, sf_dir: str, name: str, heavy_scan: bool = False
+) -> DataFrame:
+    """One parquet table as a DataFrame (lazy scan; pushdown-capable).
+
+    ``heavy_scan=True`` is the opt-in for operators whose SCAN stage
+    carries heavy per-row compute (wide scan-aggregate, per-group window
+    sort, sketch build, per-row string/JSON expansion): it serves the
+    fine-split mirror profile so a single-row-group source still fans
+    out across cores. Join-star queries, whose scan stage is a cheap
+    probe, keep the default read — A/B-measured tradeoff in the
+    module comment above HEAVY_SCAN_MIN_BYTES."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     # Set per-read (not only in get_spark): the grading driver supplies
@@ -226,9 +300,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # harmless when ts is already a micros timestamp; required when a
         # testdata generation stores TIMESTAMP(NANOS)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    mirrored = _scan_mirror(spark, sf_dir, name)
+    mirrored = _scan_mirror(spark, sf_dir, name, heavy_scan=heavy_scan)
     if mirrored is not None:
         return mirrored
+    if heavy_scan:
+        # heavy profile unavailable (too small / disabled / read-only
+        # tmp): fall back to the standard mirror, then to the raw file
+        mirrored = _scan_mirror(spark, sf_dir, name)
+        if mirrored is not None:
+            return mirrored
     return normalize_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"), name)
 
 

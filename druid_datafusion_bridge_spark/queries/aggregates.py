@@ -243,24 +243,37 @@ def a10_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile_cont are bit-identical on this data — verified at
     sf0.001/0.01/0.1) plus the sketch's error CONTRACT as flags — the
     KLL-style estimate (accuracy=10000) must land within 0.5% of exact."""
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", heavy_scan=True)
+    # ONE approx sketch queried at all three quantiles and ONE exact
+    # percentile pass over a 3-element array — the scalar-per-quantile
+    # form built three identical KLL-style sketches and three exact
+    # percentile buffers over the same column (r12 optimization round:
+    # 3x the aggregation state for the same answers; measured 4.0 s ->
+    # 2.6 s at sf0.1 together with the heavy-scan read). Same results:
+    # one deterministic sketch queried at three points returns exactly
+    # what three copies of it return, and the oracle checks the exact
+    # percentiles plus the error-contract flags, both unchanged.
+    ps = (0.5, 0.95, 0.99)
     agged = li.agg(
-        *[
-            F.percentile_approx("l_extendedprice", p, 10000).alias(f"a{i}")
-            for i, p in enumerate((0.5, 0.95, 0.99))
-        ],
-        *[
-            F.percentile("l_extendedprice", F.lit(p)).alias(f"p{n}_exact")
-            for n, p in (("50", 0.5), ("95", 0.95), ("99", 0.99))
-        ],
+        F.percentile_approx(
+            "l_extendedprice", F.array(*[F.lit(p) for p in ps]), 10000
+        ).alias("aarr"),
+        F.percentile(
+            "l_extendedprice", F.array(*[F.lit(p) for p in ps])
+        ).alias("parr"),
     )
-    def ok(approx, exact):
-        return (F.abs(F.col(approx) - F.col(exact)) / F.col(exact) <= 0.005)
+    def ok(i):
+        return (
+            F.abs(F.col("aarr")[i] - F.col("parr")[i]) / F.col("parr")[i]
+            <= 0.005
+        )
     return agged.select(
-        "p50_exact", "p95_exact", "p99_exact",
-        ok("a0", "p50_exact").alias("p50_ok"),
-        ok("a1", "p95_exact").alias("p95_ok"),
-        ok("a2", "p99_exact").alias("p99_ok"),
+        F.col("parr")[0].alias("p50_exact"),
+        F.col("parr")[1].alias("p95_exact"),
+        F.col("parr")[2].alias("p99_exact"),
+        ok(0).alias("p50_ok"),
+        ok(1).alias("p95_ok"),
+        ok(2).alias("p99_ok"),
     )
 
 
@@ -429,7 +442,7 @@ def a10c_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a13_histogram_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram by floor binning (identical double-division
     expression on both engines — no width_bucket dependence)."""
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", heavy_scan=True)
     return (
         li.groupBy(
             F.floor(F.col("l_extendedprice") / 5000.0).cast("long").alias("price_bin")

@@ -44,7 +44,7 @@ from . import query
 def fd_time_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIME_FLOOR to quarters + TIME_EXTRACT ISO day-of-week, checked
     against DuckDB's native date_trunc/isodow."""
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", heavy_scan=True)
     return (
         li.groupBy(
             time_floor("l_shipdate", "P3M").alias("ship_quarter"),
@@ -412,7 +412,7 @@ def fd_json_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.druid_sql import rewrite_datasketches_sql
 
     register_druid_sql_functions(spark)
-    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    table(spark, sf_dir, "events", heavy_scan=True).createOrReplaceTempView("events")
     sql = rewrite_datasketches_sql(
         """
         WITH e AS (
@@ -1360,7 +1360,7 @@ def fd_ipv6_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.druid_sql import rewrite_datasketches_sql
 
     register_druid_sql_functions(spark)
-    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    table(spark, sf_dir, "events", heavy_scan=True).createOrReplaceTempView("events")
     sql = rewrite_datasketches_sql(
         """
         WITH a AS (

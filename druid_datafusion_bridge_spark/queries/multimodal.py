@@ -165,37 +165,56 @@ def mm_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     check)."""
     docs = table(spark, sf_dir, "documents")
     blobs = with_binary_payload(docs)
-    # bytes of the payload as an int array, JVM-side: unbase the binary
-    # through its hex string two chars at a time
-    hexes = F.hex(F.col("payload"))
-    byte_arr = F.transform(
-        F.sequence(F.lit(1), F.octet_length("payload")),
-        lambda i: F.conv(F.substring(hexes, (i - 1) * 2 + 1, 2), 16, 10).cast(
+    # Slice the frame FIRST, decode 32 bytes per frame. The previous
+    # formulation decoded the WHOLE payload into a long array and then
+    # carried that array through the frame explode — O(bytes) work and
+    # O(bytes) row width per frame, i.e. O(bytes^2/frame) per document —
+    # and its per-byte lambda re-evaluated hex(payload) for every
+    # element (a second O(bytes^2)). Measured 49.8 s at sf0.1; slicing
+    # the frame binary before any per-byte work is linear and the hex
+    # of a frame is computed once per row in its own projection
+    # (guide §1.2: fix the algorithm, not the constant). Results are
+    # bit-identical: substring on BINARY is byte-addressed and
+    # truncates at payload end exactly like array slice did.
+    frames = (
+        blobs.select(
+            "doc_id",
+            "payload",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.ceil(F.col("n_bytes") / 32).cast("int"), F.lit(1)
+                    )
+                    - 1,
+                )
+            ).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.expr("substring(payload, frame_idx * 32 + 1, 32)").alias("_chunk"),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.hex("_chunk").alias("_hx"),
+            F.octet_length("_chunk").alias("_n"),
+        )
+    )
+    chunk = F.transform(
+        F.sequence(F.lit(1), F.col("_n")),
+        lambda i: F.conv(F.substring(F.col("_hx"), (i - 1) * 2 + 1, 2), 16, 10).cast(
             "long"
         ),
     )
-    frames = blobs.select(
-        "doc_id",
-        "n_bytes",
-        byte_arr.alias("bytes"),
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.greatest(
-                    F.ceil(F.col("n_bytes") / 32).cast("int"), F.lit(1)
-                )
-                - 1,
-            )
-        ).alias("frame_idx"),
-    )
-    chunk = F.slice("bytes", F.col("frame_idx") * 32 + 1, 32)
     return frames.select(
         "doc_id",
         "frame_idx",
         F.aggregate(chunk, F.lit(0).cast("long"), lambda a, b: a + b).alias(
             "energy"
         ),
-        F.size(chunk).cast("long").alias("chunk_len"),
+        F.col("_n").cast("long").alias("chunk_len"),
         F.array_max(chunk).alias("peak"),
     )
 

@@ -63,7 +63,7 @@ def prof_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     heterogeneous column types share one output schema; only integer
     and varchar columns are profiled so Spark and DuckDB render
     identical text."""
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", heavy_scan=True)
     cols = ["l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus"]
     aggs = [F.count("*").alias("n_rows")]
     for c in cols:
@@ -137,7 +137,7 @@ def prof_column_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops (that branch is where the Expand lives)."""
     from ..operators.profiling import approx_column_profile
 
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", heavy_scan=True)
     cols = ["l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus"]
     prof = approx_column_profile(li, cols, rsd=0.02)
     exact = li.agg(*[F.countDistinct(c).alias(c) for c in cols])

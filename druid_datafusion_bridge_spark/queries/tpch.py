@@ -59,7 +59,7 @@ RATE_DEC = "decimal(8,4)"
 def flagship_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed filtered rollup over a join — the Druid signature
     query shape (granularity rollup, SURVEY §2.4 A12) on TPC-H tables."""
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", heavy_scan=True)
     orders = table(spark, sf_dir, "orders")
     joined = li.filter(
         (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
@@ -130,7 +130,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's long-backed decimal fast path (precision <= 18); the money
     columns are exactly 2-decimal so the narrow casts lose nothing and
     the values are bit-identical to the oracle's wider-operand SQL."""
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", heavy_scan=True)
     one = F.lit(1).cast(RATE_DEC2)
     disc_price = disc_price_narrow()
     charge = disc_price * (one + F.col("l_tax").cast(RATE_DEC2))
@@ -255,7 +255,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6: pure filtered scan-aggregate; all predicates push to
     parquet (row-group pruning at scale)."""
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", heavy_scan=True)
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))

@@ -33,7 +33,7 @@ from .exact import dec
     """,
 )
 def w1_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", heavy_scan=True)
     w_unique = W.partitionBy("l_returnflag").orderBy("l_orderkey", "l_linenumber", "l_quantity")
     w_qty = W.partitionBy("l_returnflag").orderBy("l_quantity")
     return li.select(
@@ -208,7 +208,7 @@ def o3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def o3b_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per group — the distributed TopN pattern (window + filter;
     Spark pushes a per-partition WindowGroupLimit at scale)."""
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", heavy_scan=True)
     w = W.partitionBy("l_suppkey").orderBy(
         F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
     )

@@ -106,3 +106,35 @@ def test_explicit_build_then_queries_write_nothing(forced_mirror, spark):
     assert not glob.glob(
         os.path.join(catalog.MIRROR_ROOT, "*", "*.tmp.*")
     )  # no half-built residue from the serve path
+
+
+def test_heavy_scan_profile_values_and_splits(monkeypatch, spark):
+    """r12 heavy-scan profile: ``table(..., heavy_scan=True)`` serves a
+    fine-split mirror (small parquet row groups — the split unit — so
+    one file still fans out across cores) with bit-identical values,
+    while the default read keeps the standard policy. Below its
+    threshold the heavy read falls back (standard mirror or raw)."""
+    monkeypatch.setenv("SPARK_GRAFT_SCAN_MIRROR", "1")
+    # standard profile OFF for this table size, heavy ON:
+    monkeypatch.setenv("SPARK_GRAFT_MIRROR_MIN_BYTES", str(10**12))
+    monkeypatch.setenv("SPARK_GRAFT_HEAVY_MIRROR_MIN_BYTES", "1")
+    # 64 KiB row groups: small enough that even the sf0.01 fixture's
+    # ~280 KiB mirror files hold several row groups each
+    monkeypatch.setenv("SPARK_GRAFT_MIRROR_BLOCK_BYTES", str(64 * 1024))
+
+    raw = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    heavy = catalog.table(spark, SF_DIR, "lineitem", heavy_scan=True)
+    files = heavy.inputFiles()
+    assert files and all("@heavy" in f for f in files)
+    # more splits than files: small row groups inside each file
+    total_rgs = sum(pq.ParquetFile(f.replace("file:", "")).metadata.num_row_groups
+                    for f in files)
+    assert total_rgs > len(files)
+    assert sorted(map(str, raw.collect())) == sorted(map(str, heavy.collect()))
+    # default read: standard policy (threshold huge here => raw source)
+    default = catalog.table(spark, SF_DIR, "lineitem")
+    assert all("@heavy" not in f for f in default.inputFiles())
+    # below-threshold heavy read falls back without error
+    monkeypatch.setenv("SPARK_GRAFT_HEAVY_MIRROR_MIN_BYTES", str(10**12))
+    fallback = catalog.table(spark, SF_DIR, "lineitem", heavy_scan=True)
+    assert fallback.count() == raw.count()
