@@ -15,6 +15,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import spread
+
 
 FEATURE_SCHEMA = (
     "doc_id long, modality string, n_bytes long, width int, height int, "
@@ -27,8 +29,15 @@ def with_binary_payload(
 ) -> DataFrame:
     """Attach an opaque binary payload column + typed metadata, the way a
     100 TB multimodal table stores blobs (binary + sidecar metadata
-    columns; real pipelines point at object storage instead of inlining)."""
-    return docs.select(
+    columns; real pipelines point at object storage instead of inlining).
+
+    spread() first (r12): every payload attach/generate entry point in
+    this package rebalances an under-partitioned corpus BEFORE the
+    codec work — a single-file corpus otherwise funnels all decode
+    (Python workers AND the JVM frame/byte expressions) through one
+    task (guide §4: the boundary cost you control is columns and
+    parallelism, and a 1-partition input sets parallelism to 1)."""
+    return spread(docs).select(
         "doc_id",
         F.encode(F.col(text_col), "UTF-8").alias("payload"),
         F.lit(modality).alias("modality"),
@@ -186,7 +195,7 @@ def with_ppm_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return docs.select(id_col).mapInPandas(run, schema="doc_id long, payload binary")
+    return spread(docs.select(id_col)).mapInPandas(run, schema="doc_id long, payload binary")
 
 
 def decode_ppm(data: bytes):
@@ -316,7 +325,7 @@ def with_wav_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return docs.select(id_col).mapInPandas(run, schema="doc_id long, payload binary")
+    return spread(docs.select(id_col)).mapInPandas(run, schema="doc_id long, payload binary")
 
 
 def decode_wav(data: bytes):
@@ -564,7 +573,7 @@ def with_video_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return docs.select(id_col).mapInPandas(run, schema="doc_id long, payload binary")
+    return spread(docs.select(id_col)).mapInPandas(run, schema="doc_id long, payload binary")
 
 
 def video_frame_stats(blobs: DataFrame, every: int = 2) -> DataFrame:

@@ -15,6 +15,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import spread
+
 from .core import PPM_STATS_SCHEMA
 
 
@@ -153,7 +155,7 @@ def with_png_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return docs.select(id_col).mapInPandas(run, schema="doc_id long, payload binary")
+    return spread(docs.select(id_col)).mapInPandas(run, schema="doc_id long, payload binary")
 
 
 #: PNG color type -> stored channels (8-bit only; depth 16 and Adam7
@@ -666,7 +668,7 @@ def with_gif_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     # id_col is ALIASED to doc_id before the UDF so the closure and
     # output schema stay fixed whatever the caller's column is named
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return spread(docs.select(F.col(id_col).alias("doc_id"))).mapInPandas(
         run, schema="doc_id long, payload binary"
     )
 
@@ -875,7 +877,7 @@ def with_bmp_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return docs.select(id_col).mapInPandas(
+    return spread(docs.select(id_col)).mapInPandas(
         run, schema="doc_id long, payload binary"
     )
 
@@ -1251,7 +1253,7 @@ def png_color_type_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ],
             )
 
-    return docs.select(id_col).mapInPandas(
+    return spread(docs.select(id_col)).mapInPandas(
         run,
         schema=(
             "doc_id long, ctype int, width int, height int, "

@@ -15,6 +15,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import spread
+
 
 # --- baseline JPEG (SOF0, grayscale): real DCT + Huffman codec --------
 #
@@ -570,7 +572,7 @@ def with_jpeg_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return docs.select(id_col).mapInPandas(
+    return spread(docs.select(id_col)).mapInPandas(
         run, schema="doc_id long, payload binary"
     )
 
@@ -639,7 +641,7 @@ def with_jpeg_color_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFram
                 }
             )
 
-    return docs.select(id_col).mapInPandas(
+    return spread(docs.select(id_col)).mapInPandas(
         run, schema="doc_id long, payload binary"
     )
 
@@ -714,6 +716,6 @@ def with_jpeg_420_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return docs.select(id_col).mapInPandas(
+    return spread(docs.select(id_col)).mapInPandas(
         run, schema="doc_id long, payload binary"
     )

@@ -370,7 +370,15 @@ def trigram_familiarity(
     join and per-doc aggregation shuffle from the hot path. Docs
     shorter than 3 chars have no trigrams and are excluded (score
     undefined)."""
-    tri = docs.filter(F.length(text_col) >= 3).select(
+    # spread() both corpus passes: a single-file corpus would otherwise
+    # run the trigram explode AND the per-doc fold on one core (r12
+    # measurement: 5.1 s -> parallel across the cluster; the narrow
+    # (id, text) shuffle it costs is the same trade every dedup/
+    # similarity operator already makes — operators/__init__.spread)
+    from . import spread
+
+    scored_src = spread(docs.filter(F.length(text_col) >= 3))
+    tri = scored_src.select(
         F.explode(
             F.expr(
                 f"transform(sequence(1, length({text_col}) - 2),"
@@ -403,7 +411,7 @@ def trigram_familiarity(
         lambda i: F.col(text_col).substr(i, F.lit(3)),
     )
     return (
-        docs.filter(F.length(text_col) >= 3)
+        scored_src
         .select(
             F.col(id_col).alias("doc_id"),
             (F.length(text_col) - 2).cast("long").alias("n_tri"),
