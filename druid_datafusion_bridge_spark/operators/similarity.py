@@ -389,16 +389,24 @@ def embedding_neardup_pairs(
             F.col("nv").alias("nb"),
         ).alias("p")
     )
-    pairs = (
-        head_pairs.unionByName(star_pairs)
-        .select("p.id_a", "p.id_b", "p.va", "p.vb", "p.na", "p.nb")
-        .dropDuplicates(["id_a", "id_b"])
+    # Score BEFORE deduplicating (r12): a pair colliding in several
+    # tables scores identically every time (same deterministic dot/
+    # norm arithmetic), so filtering by the threshold first and then
+    # dropDuplicates on the ids alone is the same result set — and the
+    # dedup exchange carries (id_a, id_b, sim) for the MATCHING pairs
+    # only, instead of two 64-dim vectors + norms for EVERY candidate
+    # pair (guide §2.3: shuffle keys and results, not payloads).
+    scored = head_pairs.unionByName(star_pairs).select(
+        "p.id_a",
+        "p.id_b",
+        (
+            dot(F.col("p.va"), F.col("p.vb"))
+            / (F.col("p.na") * F.col("p.nb"))
+        ).alias("sim"),
     )
-    return pairs.select(
-        "id_a",
-        "id_b",
-        (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("sim"),
-    ).filter(F.col("sim") >= threshold)
+    return scored.filter(F.col("sim") >= threshold).dropDuplicates(
+        ["id_a", "id_b"]
+    )
 
 
 def ivf_topk(

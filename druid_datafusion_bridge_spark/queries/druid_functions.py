@@ -784,7 +784,12 @@ def fd_ds_sketch_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.druid_sql import rewrite_datasketches_sql
 
     register_druid_sql_functions(spark)
-    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    # heavy_scan: three sketch/sort aggregates over the same fact scan
+    # (HLL build, distinct+HLL, percentile) — scan-dominated, no join
+    # probe anywhere, so the fine-split mirror parallelizes all three
+    table(spark, sf_dir, "lineitem", heavy_scan=True).createOrReplaceTempView(
+        "lineitem"
+    )
     sql = rewrite_datasketches_sql(
         """
         WITH halves AS (
