@@ -651,6 +651,8 @@ def decontaminate(
     contamination count is one broadcast left join + groupBy on the
     already-hash-partitioned doc key. The corpus is never shuffled by
     gram value."""
+    from . import spread
+
     t = F.split(F.col(text_col), " ")
     idx = F.when(
         F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
@@ -658,7 +660,10 @@ def decontaminate(
     gram_arr = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
     )
-    grams = docs.select(
+    # spread() before the gram explode (r12): both the benchmark-gram
+    # extraction and the candidate pass share this lineage, and a
+    # single-file corpus would run each on one core
+    grams = spread(docs.select(id_col, source_col, text_col)).select(
         id_col, source_col, F.explode(gram_arr).alias("g")
     )
     bench = (

@@ -287,7 +287,10 @@ def j11_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     bitmap = bloom_build(keys, "k", m_words=256, depth=3)
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    # heavy_scan: the probe evaluates 3 md5-derived bit tests per fact
+    # row inside the scan stage against broadcast maps only — per-row
+    # compute-heavy, no join-probe exchange anywhere (r12)
+    li = table(spark, sf_dir, "lineitem", heavy_scan=True).select("l_orderkey")
     probed = bloom_probe_flag(li, bitmap, "l_orderkey", m_words=256, depth=3)
     flagged = probed.join(
         F.broadcast(keys), probed["l_orderkey"] == keys["k"], "left"

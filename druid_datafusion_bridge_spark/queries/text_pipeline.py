@@ -851,13 +851,18 @@ def txp_lm_familiarity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     no trigrams and drop from the output (documented; the oracle
     agrees). One gram explode feeds both the model aggregate and the
     scoring join — Catalyst reuses the scan."""
+    from ..operators import spread
+
     docs = table(spark, sf_dir, "documents")
     t = F.split(F.col("text"), " ")
     idx = F.when(
         F.size(t) >= 3, F.sequence(F.lit(1), F.size(t) - 2)
     ).otherwise(F.array().cast("array<int>"))
     gram_arr = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, 3)))
-    grams = docs.select(
+    # spread() before the gram explode (r12): the model aggregate and
+    # the scoring join both re-evaluate this lineage, and a single-file
+    # corpus would run each explode on one core
+    grams = spread(docs.select("doc_id", "source", "text")).select(
         "doc_id", "source", F.explode(gram_arr).alias("g")
     )
     model = (
