@@ -114,7 +114,7 @@ def a5_select_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a6_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", heavy_scan=True)
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n_rows"), exact_sum("l_quantity", "sum_qty")
     )
@@ -215,7 +215,9 @@ def a9_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact count, plus the bounded-error CONTRACT as a flag — the HLL
     estimate (rsd=0.02) must land within 3*rsd of exact. DuckDB asserts
     the same flag as literal TRUE."""
-    li = table(spark, sf_dir, "lineitem")
+    # heavy_scan: HLL sketch build + exact-distinct Expand over the fact
+    # scan, no join probe (r12 — same class as a10/prof_column_stats)
+    li = table(spark, sf_dir, "lineitem", heavy_scan=True)
     agged = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
@@ -393,7 +395,7 @@ def a12_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a6c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (A6's general form beyond ROLLUP/CUBE)."""
-    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    table(spark, sf_dir, "lineitem", heavy_scan=True).createOrReplaceTempView("lineitem")
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

@@ -1300,7 +1300,7 @@ def fd_bloom_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.druid_sql import rewrite_datasketches_sql
 
     register_druid_sql_functions(spark)
-    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    table(spark, sf_dir, "events", heavy_scan=True).createOrReplaceTempView("events")
     sql = rewrite_datasketches_sql(
         """
         WITH f AS (
