@@ -635,3 +635,26 @@ def test_png_color_type_error_paths():
             + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="non-interlaced"):
         decode_png(data)
+
+
+def test_codec_inputs_are_rebalanced_across_tasks(spark):
+    """r12: every payload attach/generate entry point rebalances an
+    under-partitioned corpus BEFORE the Python boundary — a single-file
+    corpus must not funnel all codec work into one task/worker — and
+    the rebalance must not change per-row results (generators are pure
+    functions of doc_id)."""
+    from druid_datafusion_bridge_spark.operators.multimodal import (
+        with_jpeg_payload,
+        with_ppm_payload,
+    )
+
+    docs = table(spark, SF_DIR, "documents")
+    assert len(docs.inputFiles()) <= 4  # precondition: under-partitioned
+    n_part = spark.sparkContext.defaultParallelism
+    for gen in (with_binary_payload, with_ppm_payload, with_jpeg_payload):
+        out = gen(docs)
+        assert out.rdd.getNumPartitions() >= min(n_part, 8), gen.__name__
+    # rebalance is value-transparent: same payload per doc either way
+    one = with_ppm_payload(docs.coalesce(1)).select("doc_id", "payload")
+    many = with_ppm_payload(docs).select("doc_id", "payload")
+    assert sorted(map(str, one.collect())) == sorted(map(str, many.collect()))
