@@ -41,81 +41,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # at ENTRY granularity and retired the never-sampled backlog: after
 # r7's driver run EVERY registry entry has at least one driver
 # correctness row, so since r8 the window's job is keeping the evidence
-# FRESH. r12 ROTATION (fixed at round-12 start, 2026-08-17): slots go
-# first to round 12's OWN new queries (never sampled; appended to
-# NEW_IN_R12 in the same commit that registers them), then to
-# DELIBERATE RE-SAMPLES of the entries whose newest driver rows are
-# OLDEST — after r11's refresh the stalest evidence is the 31-entry r6
-# tail (the block squeezed out of the r11 window), then the 50-entry r7
-# block, ordered per the r11 VERDICT directive: the judge-named r7
-# families (nq_timeseries_hourly, lk_*, st_supervisor_ingest,
-# txp_training_set, prof_*) first, then the remaining r7 rows in
-# registry order — trimmed to the 50-slot window capacity. Entries
-# squeezed out by new r12 queries stay the stalest and lead r13's
-# window.
-NEW_IN_R12: tuple[str, ...] = (
-    # r12 new queries, appended as they land (they take priority slots)
-    "nq_sketch_tocdf",
-    "nq_window_operator",
-    "fd_array_audit_sql_text",
-    "mm_png_color_decode",
-)
+# FRESH. r13 ROTATION (fixed at round-13 start, 2026-08-18, continuing
+# the staleness policy adjudicated r8-r12): round 13 is an OPTIMIZATION
+# round and registers no new queries (NEW_IN_R13 stays empty), so every
+# slot is a DELIBERATE RE-SAMPLE of the entries whose newest driver
+# rows are oldest after CORRECTNESS_r12 landed — the 35 remaining
+# r7-evidence entries (the block squeezed out of the r12 window plus
+# the r7 rows never refreshed since), then the first 15 of the 50
+# r8-evidence entries, each block in registry order. Entries squeezed
+# out here (the r8 tail) stay the stalest and lead r14's window.
+NEW_IN_R13: tuple[str, ...] = ()
 
 # Re-samples ordered by evidence age (oldest driver row first), computed
-# from the union of CORRECTNESS_r01–r11 at round-12 start.
+# from the union of CORRECTNESS_r01–r12 at round-13 start.
 STALE_RESAMPLES: tuple[str, ...] = (
-    # newest driver row is r6 — the full 31-entry tail, registry order
-    # (VERDICT r11 directive #1 names this block in full)
-    "q18_large_volume_customer",
-    "q22_dormant_customers",
-    "st_session_rollup",
-    "st_dedup_within_watermark",
-    "st_sliding_rollup",
-    "st_stateful_user_totals",
-    "st_stream_static_join",
-    "st_stream_stream_join",
-    "st_batch_sessionize",
-    "st_topn_rollup",
-    "st_segment_handoff_query",
-    "em_int8_quantize",
-    "em_dim_stats",
-    "em_truncate_rerank",
-    "sim_ivf_incremental",
-    "em_pq_quantize",
-    "prof_column_stats",
-    "s9_json_sink_roundtrip",
-    "s10_csv_sink_roundtrip",
-    "s11b_partition_prune_scan",
-    "dm_rollup_interpolate",
-    "dm_segment_metadata",
-    "dd_shared_passages",
-    "dd_cluster_keep_best",
-    "fd_interval_regex_base64",
-    "fd_string_array_agg",
-    "fd_unnest",
-    "fd_json_value",
-    "a13b_equidepth_histogram",
-    "sim_range_search",
-    "sim_knn_graph",
-    # newest driver row is r7 — judge-named families first (VERDICT r11
-    # directive #1), then the rest in registry order
-    "nq_timeseries_hourly",
-    "lk_lookup_enrich",
-    "lk_reverse_lookup_filter",
-    "st_supervisor_ingest",
-    "txp_training_set",
-    "prof_column_stats_approx",
-    # remaining r7 rows, registry order, to window capacity (+ headroom
-    # trimmed by the [:50] below as NEW_IN_R12 grows)
-    "txp_chunk_overlap",
-    "txp_epoch_shuffle",
-    "txp_sequence_pack",
-    "txp_repetition",
-    "txp_contamination",
-    "txp_redact",
-    "txp_incremental_dedup",
-    "txp_domain_mix",
-    "txp_stratified_split",
+    # newest driver row is r7 — all 35 remaining, registry order
     "txp_vocab_coverage",
     "txp_trigram_familiarity",
     "txp_token_budget",
@@ -132,9 +72,45 @@ STALE_RESAMPLES: tuple[str, ...] = (
     "s1p_druid_segment_ordered_limit",
     "s1q_druid_segment_recent_limit",
     "lr_retention_drop_interval",
+    "lr_retention_period_load",
+    "lr_retention_drop_before",
+    "dd_lsh_verified_pairs",
+    "fd_mv_sql_text",
+    "fd_lookup_sql_text",
+    "fd_window_sql_text",
+    "sim_pq_adc_topk",
+    "nq_timeseries_zerofill",
+    "nq_groupby_subtotals",
+    "nq_groupby_filtered_limit",
+    "nq_topn_daily_revenue",
+    "nq_scan_filtered",
+    "nq_search_digits",
+    "nq_join_datasource",
+    "nq_ingest_spec_rollup",
+    "nq_time_boundary",
+    "nq_period_granularity_tz",
+    "nq_union_datasource",
+    "nq_datasource_metadata",
+    # newest driver row is r8 — first 15 in registry order, to window
+    # capacity (the r8 tail leads r14's window)
+    "txp_quality_median_cut",
+    "an_top_paths",
+    "s1b_druid_segment_scan",
+    "mv_tag_counts",
+    "s1c_druid_segment_time_prune",
+    "s1d_druid_segment_dim_filter",
+    "s2b_segment_compaction",
+    "s2c_schema_evolution_scan",
+    "cx_hll_rollup_merge",
+    "lr_retention_load_interval_overlap",
+    "s13_version_overshadow_scan",
+    "dm_rollup_pt15m",
+    "dm_rollup_hour_multi",
+    "dm_time_boundary",
+    "dm_info",
 )
 
-ROTATION: tuple[str, ...] = (NEW_IN_R12 + STALE_RESAMPLES)[:50]
+ROTATION: tuple[str, ...] = (NEW_IN_R13 + STALE_RESAMPLES)[:50]
 
 
 def _apply_rotation() -> None:

@@ -6,11 +6,11 @@ correctness row — so since r8 the rotation follows a STALENESS policy:
 the round's own new queries (never sampled) take priority slots, and
 the rest of the window deliberately RE-SAMPLES the entries whose newest
 driver rows are oldest, refreshing the evidence that ages a round
-further each cycle. For r12 that is the full 31-entry r6 tail (the
-block squeezed out of the r11 window) then the r7 block, judge-named
-families first (nq_timeseries_hourly, lk_*, st_supervisor_ingest,
-txp_training_set, prof_column_stats_approx) then registry order.
-An accidental reorder would silently burn the round's slots on
+further each cycle. r13 registers no new queries (optimization round),
+so the window is pure re-samples: the 35 remaining r7-evidence entries
+(the block squeezed out of the r12 window plus the never-refreshed r7
+rows), then the first 15 r8-evidence entries, each block in registry
+order. An accidental reorder would silently burn the round's slots on
 freshly-green queries — this test makes that a loud failure.
 
 UPDATE DELIBERATELY each rotation, together with ROTATION itself."""
@@ -18,17 +18,17 @@ UPDATE DELIBERATELY each rotation, together with ROTATION itself."""
 from __future__ import annotations
 
 from druid_datafusion_bridge_spark.queries import (
-    NEW_IN_R12,
+    NEW_IN_R13,
     ROTATION,
     STALE_RESAMPLES,
     all_queries,
 )
 
-CURRENT_ROUND = 12
+CURRENT_ROUND = 13
 # Entries whose newest driver row is from a round <= this are "stale"
-# and eligible for a deliberate re-sample slot this round. At r12 start
-# the oldest evidence is r6 (31 rows) then r7 (50 rows).
-STALE_THRESHOLD = 7
+# and eligible for a deliberate re-sample slot this round. At r13 start
+# the oldest evidence is r7 (35 rows) then r8 (50 rows).
+STALE_THRESHOLD = 8
 
 
 def test_driver_sample_window_matches_rotation_plan():
@@ -36,21 +36,22 @@ def test_driver_sample_window_matches_rotation_plan():
     assert len(ROTATION) == 50  # backlog is zero; fill every slot
     # the window prefix IS the plan, in plan order
     assert names[: len(ROTATION)] == list(ROTATION)
-    # new r12 queries take priority slots, staleness re-samples follow
-    assert list(ROTATION) == (list(NEW_IN_R12) + list(STALE_RESAMPLES))[:50]
-    # spot-pin the staleness ordering: the r6 tail heads the re-samples
+    # no new queries this round: the window is pure staleness re-samples
+    assert NEW_IN_R13 == ()
+    assert list(ROTATION) == (list(NEW_IN_R13) + list(STALE_RESAMPLES))[:50]
+    # spot-pin the staleness ordering: the r7 block heads the re-samples
     assert STALE_RESAMPLES[:3] == (
-        "q18_large_volume_customer",
-        "q22_dormant_customers",
-        "st_session_rollup",
+        "txp_vocab_coverage",
+        "txp_trigram_familiarity",
+        "txp_token_budget",
     )
-    # the judge-named r7 families head the r7 block (VERDICT r11 #1)
-    assert STALE_RESAMPLES[31] == "nq_timeseries_hourly"
+    # the r8 block starts right after the 35 r7 rows
+    assert STALE_RESAMPLES[35] == "txp_quality_median_cut"
     # spot-pins drawn from the FRONT of the stale list so they stay in
-    # the window even as NEW_IN_R12 grows and squeezes the tail
-    for must in ("q18_large_volume_customer", "st_segment_handoff_query",
-                 "em_int8_quantize", "sim_knn_graph",
-                 "dd_cluster_keep_best", "a13b_equidepth_histogram"):
+    # the window even if a NEW_IN_R13 entry ever squeezes the tail
+    for must in ("txp_vocab_coverage", "dd_lsh_verified_pairs",
+                 "sim_pq_adc_topk", "nq_timeseries_zerofill",
+                 "lr_retention_drop_interval", "dm_search_query"):
         assert must in ROTATION, must
 
 
@@ -58,11 +59,11 @@ def test_rotation_wastes_no_window_slot():
     """No window slot may re-sample a query that already has a driver
     correctness row (CORRECTNESS_r*.json) unless listed as a deliberate
     re-sample — re-sampling green queries burns the round's evidence.
-    r12 policy: STALE_RESAMPLES *is* the deliberate re-sample list — the
+    r13 policy: STALE_RESAMPLES *is* the deliberate re-sample list — the
     backlog of never-sampled entries is zero, so the window's job is to
-    refresh the OLDEST driver evidence (r6–r7 rows). Anything sampled
-    in the window must be either brand-new (NEW_IN_R12) or a declared
-    stale re-sample. NEW_IN_R12 entries are exempt even after this
+    refresh the OLDEST driver evidence (r7–r8 rows). Anything sampled
+    in the window must be either brand-new (NEW_IN_R13) or a declared
+    stale re-sample. NEW_IN_R13 entries are exempt even after this
     round's own driver artifact lands (ADVICE r9: the current round's
     artifact must not retroactively mark its own new queries wasted)."""
     import glob
@@ -79,7 +80,7 @@ def test_rotation_wastes_no_window_slot():
         with open(f, encoding="utf-8") as fh:
             for name in json.load(fh):
                 latest[name] = max(latest.get(name, 0), rnd)
-    deliberate = set(STALE_RESAMPLES) | set(NEW_IN_R12)
+    deliberate = set(STALE_RESAMPLES) | set(NEW_IN_R13)
     names = list(all_queries())
     wasted = [
         n for n in names[: len(ROTATION)]
@@ -87,11 +88,11 @@ def test_rotation_wastes_no_window_slot():
     ]
     assert not wasted, wasted
     # and the declared re-samples must actually BE stale (driver row
-    # r7 or older) — re-declaring fresh entries would defeat the policy.
+    # r8 or older) — re-declaring fresh entries would defeat the policy.
     # Rows from rounds AFTER the current one (the driver's post-round
     # artifact for CURRENT_ROUND itself) are the designed tripwire
-    # ordering the next flip: once CORRECTNESS_r12.json lands, the
-    # refreshed re-samples go red here until r13 rewrites ROTATION.
+    # ordering the next flip: once CORRECTNESS_r13.json lands, the
+    # refreshed re-samples go red here until r14 rewrites ROTATION.
     not_stale = [
         n for n in STALE_RESAMPLES if latest.get(n, 0) > STALE_THRESHOLD
     ]
