@@ -97,14 +97,36 @@ MIRROR_MIN_BYTES = 32 * 1024 * 1024
 # parallelism. So scan-dominated operators OPT IN per read
 # (``table(..., heavy_scan=True)``): the threshold drops to
 # HEAVY_SCAN_MIN_BYTES and the mirror is written with small parquet row
-# groups (HEAVY_SCAN_BLOCK_BYTES — a row group is the split unit, so
-# splits ~ size/block regardless of file count). Heavy mirrors live
-# beside the standard ones under ``<name>@heavy`` with their own
-# fingerprint. At real scale (multi-row-group inputs) neither profile
-# engages and both paths read the source layout — the knob is
-# input-layout-adaptive, not core-count-adaptive.
+# groups (size-derived, see _heavy_block_bytes — a row group is the
+# split unit, so splits ~ size/block regardless of file count). Heavy
+# mirrors live beside the standard ones under ``<name>@heavy`` with
+# their own fingerprint. At real scale (multi-row-group inputs) neither
+# profile engages — enforced, not assumed: _scan_mirror probes the
+# source footer's row-group count (one pyarrow metadata read, cached)
+# and serves the source layout unchanged whenever it already provides
+# enough splits. The knob is input-layout-adaptive, not
+# core-count-adaptive.
 HEAVY_SCAN_MIN_BYTES = 1 * 1024 * 1024
-HEAVY_SCAN_BLOCK_BYTES = 1 * 1024 * 1024
+# Heavy-profile row-group size is DERIVED from the source size, not a
+# constant: size/64 clamped to [1 MiB, 128 MiB]. At bench scale
+# (~10 MB tables) that lands on the floor — 1 MiB, the r12-measured
+# optimum — while a pathological single-row-group multi-GB input gets
+# row groups in the guide's 16-128 MB band (§6) instead of thousands
+# of compression-hostile 1 MiB groups. 64 is the fan-out target for
+# sizes where one machine is in play; past ~8 GB the 128 MiB cap
+# governs and split count grows with size.
+HEAVY_SCAN_BLOCK_MIN_BYTES = 1 * 1024 * 1024
+HEAVY_SCAN_BLOCK_MAX_BYTES = 128 * 1024 * 1024
+HEAVY_SCAN_FANOUT = 64
+
+
+def _heavy_block_bytes(size: int) -> int:
+    return max(
+        HEAVY_SCAN_BLOCK_MIN_BYTES,
+        min(HEAVY_SCAN_BLOCK_MAX_BYTES, size // HEAVY_SCAN_FANOUT),
+    )
+
+
 # Tables with heavy-scan consumers — pre-built by build_scan_mirrors so
 # the profile is an ingest-time artifact, not a first-query side effect.
 # (Only tables some query actually opts in for; a heavy read of any
@@ -127,6 +149,67 @@ _MIRROR_RANGE_KEY: dict[str, str] = {
     "documents": "doc_id",
     "embeddings": "vec_id",
 }
+
+
+def _parse_spark_bytes(v: str) -> int:
+    """'4m' / '128MB' / '134217728b' / '1048576' -> bytes."""
+    s = v.strip().lower()
+    for suf, m in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1),
+    ):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)])) * m
+    return int(float(s))
+
+
+def _ensure_fine_splits(spark: SparkSession, block_bytes: int) -> None:
+    """Split packing must be able to SEE the heavy profile's fine row
+    groups: Spark's scan partition count is governed by
+    spark.sql.files.maxPartitionBytes (+ openCostInBytes packing), not
+    by row-group size — under a default-configured session (128 MB
+    maxPartitionBytes) every sub-128 MB mirror collapses back into one
+    split and the profile buys nothing. get_spark already sets 4 MB;
+    this makes the heavy read self-sufficient under a plain session by
+    lowering the knob to the profile's split goal. Only ever LOWERS,
+    and only when the current value could not split the mirror at all —
+    an operator-tuned session is left alone. (Split sizing affects
+    scheduling only, never results.)"""
+    want = max(4 * 1024 * 1024, block_bytes)
+    try:
+        cur = _parse_spark_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes")
+        )
+        if cur > 4 * want:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(want))
+            spark.conf.set(
+                "spark.sql.files.openCostInBytes",
+                str(min(want // 4, 4 * 1024 * 1024)),
+            )
+    except Exception:
+        pass  # unparsable custom value: leave the session alone
+
+
+# Source-footer row-group counts, keyed on (path, size, mtime_ns) so a
+# regenerated source re-probes. One pyarrow footer read per distinct
+# source file per process — metadata only, never data pages.
+_RG_PROBE_CACHE: dict[tuple[str, int, int], int] = {}
+
+
+def _num_row_groups(src: str, st) -> int:
+    """Row groups in the source parquet footer; 0 = unknown (unreadable
+    footer), which callers treat as 'assume pathological, mirror'."""
+    key = (src, st.st_size, st.st_mtime_ns)
+    n = _RG_PROBE_CACHE.get(key)
+    if n is None:
+        try:
+            import pyarrow.parquet as pq
+
+            n = pq.ParquetFile(src).metadata.num_row_groups
+        except Exception:
+            n = 0
+        _RG_PROBE_CACHE[key] = n
+    return n
 
 
 def _scan_mirror(
@@ -164,12 +247,37 @@ def _scan_mirror(
     block_bytes = (
         int(
             os.environ.get(
-                "SPARK_GRAFT_MIRROR_BLOCK_BYTES", HEAVY_SCAN_BLOCK_BYTES
+                "SPARK_GRAFT_MIRROR_BLOCK_BYTES",
+                _heavy_block_bytes(st.st_size),
             )
         )
         if heavy_scan
         else 0  # writer default (128 MB) — one row group per file
     )
+    # Scale-inertness, enforced: a row group is the atomic split unit,
+    # so the rewrite buys parallelism ONLY when the source has fewer
+    # row groups than the scan wants splits. A healthy multi-row-group
+    # input (any real-scale table) is served unchanged — no ingest-time
+    # rewrite, no 1 MiB row groups shredding a 100 GB file's
+    # compression. `needed` caps at the core count (more splits than
+    # cores is pure scheduling overhead at this size) and at
+    # size/target (the per-profile split-size goal); 0 row groups means
+    # the footer was unreadable and we keep the old assume-pathological
+    # behavior.
+    target = block_bytes if heavy_scan else file_bytes
+    needed = min(
+        max(spark.sparkContext.defaultParallelism, 1),
+        max(2, st.st_size // max(target, 1)),
+    )
+    n_rg = _num_row_groups(src, st)
+    if n_rg >= needed:
+        return None
+
+    def _serve() -> DataFrame:
+        if heavy_scan:
+            _ensure_fine_splits(spark, block_bytes)
+        return spark.read.parquet(dest)
+
     # v3: layout version + per-file/row-group targets ride in the
     # fingerprint — a mirror built by an older or differently-sized
     # layout policy must rebuild, not serve (same bytes, different
@@ -182,7 +290,7 @@ def _scan_mirror(
     try:
         with open(stamp, encoding="utf-8") as f:
             if f.read() == fp:
-                return spark.read.parquet(dest)
+                return _serve()
     except OSError:
         pass
     # (re)build: normalized source -> n splittable files. The stamp is
@@ -240,7 +348,7 @@ def _scan_mirror(
         with open(stamp, encoding="utf-8") as f:
             if f.read() == fp:
                 shutil.rmtree(tmp, ignore_errors=True)
-                return spark.read.parquet(dest)
+                return _serve()
     except OSError:
         pass
     shutil.rmtree(dest, ignore_errors=True)  # stale or absent
@@ -248,7 +356,7 @@ def _scan_mirror(
         os.rename(tmp, dest)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)  # lost the race
-    return spark.read.parquet(dest)
+    return _serve()
 
 
 def build_scan_mirrors(

@@ -108,6 +108,44 @@ def test_explicit_build_then_queries_write_nothing(forced_mirror, spark):
     )  # no half-built residue from the serve path
 
 
+def test_multi_row_group_source_served_raw(monkeypatch, tmp_path, spark):
+    """r13 scale-inertness, enforced: a source whose footer already
+    carries enough row groups (the atomic split unit — i.e. any healthy
+    real-scale table) is served UNCHANGED by both mirror profiles, even
+    with the byte thresholds forced to 1. The rewrite only ever targets
+    pathological single/few-row-group inputs."""
+    import pyarrow as pa
+
+    monkeypatch.setenv("SPARK_GRAFT_SCAN_MIRROR", "1")
+    monkeypatch.setenv("SPARK_GRAFT_MIRROR_MIN_BYTES", "1")
+    monkeypatch.setenv("SPARK_GRAFT_HEAVY_MIRROR_MIN_BYTES", "1")
+    monkeypatch.delenv("SPARK_GRAFT_MIRROR_BLOCK_BYTES", raising=False)
+    src_dir = str(tmp_path)
+    t = pa.table({"l_orderkey": list(range(30_000)),
+                  "l_quantity": [float(i % 50) for i in range(30_000)]})
+    # 6 row groups >= `needed` (capped at min(cores, size/target), and
+    # size/target bottoms out at 2) => healthy layout, no rewrite
+    pq.write_table(t, os.path.join(src_dir, "lineitem.parquet"),
+                   row_group_size=5_000)
+    for heavy in (False, True):
+        df = catalog.table(spark, src_dir, "lineitem", heavy_scan=heavy)
+        assert all("lineitem.parquet" in f for f in df.inputFiles()), heavy
+    # and the probe result is cached per (path, size, mtime)
+    st = os.stat(os.path.join(src_dir, "lineitem.parquet"))
+    key = (os.path.join(src_dir, "lineitem.parquet"), st.st_size,
+           st.st_mtime_ns)
+    assert catalog._RG_PROBE_CACHE[key] == 6
+
+
+def test_heavy_block_bytes_size_derived():
+    """Heavy-profile row-group target derives from source size: 1 MiB
+    floor at bench scale, the guide's 16-128 MB band at real scale."""
+    mib = 1024 * 1024
+    assert catalog._heavy_block_bytes(10 * mib) == mib          # sf0.1
+    assert catalog._heavy_block_bytes(2048 * mib) == 32 * mib   # 2 GB
+    assert catalog._heavy_block_bytes(100 * 1024 * mib) == 128 * mib
+
+
 def test_heavy_scan_profile_values_and_splits(monkeypatch, spark):
     """r12 heavy-scan profile: ``table(..., heavy_scan=True)`` serves a
     fine-split mirror (small parquet row groups — the split unit — so
