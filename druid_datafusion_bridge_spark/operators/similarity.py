@@ -22,11 +22,22 @@ k-means in the IVF path).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from . import spread
+from . import SPREAD_MIN_BYTES_PER_PART, spread
+
+# spread() width target for the LIGHT corpus passes (brute-force /
+# range scoring against a HANDFUL of broadcast probes): per-row work is
+# probes x dim multiply-adds — microseconds — so a sub-MB corpus wants
+# a few ~100 KB partitions, not one near-empty partition per core
+# (r12 verdict: sim_topk_per_probe anti-scaled, 0.87x going 8->32
+# cores, from exactly that). Heavy passes (hyperplane projections,
+# per-node knn scoring) keep the default floor and full width.
+PROBE_SCAN_TARGET_BYTES = 96 * 1024
 
 
 def as_double_vec(col: Column) -> Column:
@@ -60,6 +71,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     probe_id_col: str = "probe_id",
     round_sim: int | None = None,
+    spread_target_bytes: int = PROBE_SCAN_TARGET_BYTES,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each probe vector.
 
@@ -73,6 +85,12 @@ def brute_force_topk(
     universe — two sims equal to 9 decimals but apart beyond tie-break
     differently raw (vec_id there) vs unrounded (the 10th decimal
     here), flipping rows at the rank-k cut.
+
+    ``spread_target_bytes`` defaults to the light-probe target (module
+    comment): every registry call site scores against <=5 broadcast
+    probes. Callers with MANY probes (knn_graph: probes = the whole
+    node set, so per-row work scales with n) pass the heavy floor to
+    keep full width.
     """
     # Norms computed ONCE per corpus row / probe row, not once per
     # (corpus x probe) pair — at k probes that removes k redundant
@@ -80,7 +98,8 @@ def brute_force_topk(
     c = spread(
         corpus.select(
             F.col(id_col).alias("vec_id"), as_double_vec(F.col(vec_col)).alias("v")
-        )
+        ),
+        target_bytes=spread_target_bytes,
     ).withColumn("nv", norm(F.col("v"))).filter(F.col("nv") > 0)
     p = probes.select(
         F.col(probe_id_col).alias("probe_id"), F.col("probe_vec").alias("q")
@@ -129,7 +148,8 @@ def range_search(
     c = spread(
         corpus.select(
             F.col(id_col).alias("vec_id"), as_double_vec(F.col(vec_col)).alias("v")
-        )
+        ),
+        target_bytes=PROBE_SCAN_TARGET_BYTES,
     ).withColumn("nv", norm(F.col("v"))).filter(F.col("nv") > 0)
     p = probes.select(
         F.col(probe_id_col).alias("probe_id"), F.col("probe_vec").alias("q")
@@ -174,6 +194,9 @@ def knn_graph(
         vec_col=vec_col,
         id_col=id_col,
         round_sim=round_sim,
+        # probes = the whole node set: per-row scoring work scales with
+        # n, so this pass is HEAVY — keep full spread width
+        spread_target_bytes=SPREAD_MIN_BYTES_PER_PART,
     ).select(
         F.col("probe_id").alias("src"), F.col("vec_id").alias("dst"), "sim"
     )
@@ -321,7 +344,23 @@ def embedding_neardup_pairs(
     identical-vector clusters stay fully detected (every member scores
     ~1.0 against the representative). Same single-window design as
     dedup.lsh_candidate_pairs, measured ~1.5x faster than the
-    bounded-sliding-frame formulation at 1M rows."""
+    bounded-sliding-frame formulation at 1M rows.
+
+    r13 note: this formulation was re-attacked per the r12 verdict (#3)
+    and DEFENDED by interleaved A/B — every variant bit-identical on
+    planted duplicates before timing. (a) ids-only window/fold +
+    dedup-first + vector re-attach joins: the dedup exchange then
+    carries EVERY candidate pair instead of the near-empty
+    post-threshold set — slower (2.65 vs 2.49 s hot at sf0.1).
+    (b) ids-only + score-first + re-attach: the two unhinted re-attach
+    joins shuffle the multi-million-row candidate stream twice — much
+    slower (7.07 vs 2.96 s). (c) rank filters rewritten group-limit-
+    invisible so both branches' window exchanges canonicalize equal
+    (AQE exchange reuse): noise (2.44 vs 2.49 s) — the runtime already
+    reuses the shared scan/spread exchanges and the hyperplane
+    projection is only ~0.33 s of the total. Carrying (v, nv) through
+    the single bucket-keyed exchange IS the cheapest measured shape and
+    moves each vector across the wire exactly once (guide §8)."""
     exploded = spread(
         corpus.select(
             F.col(id_col).alias("vec_id"), as_double_vec(F.col(vec_col)).alias("v")
@@ -595,11 +634,86 @@ def _pq_train(
     )
 
 
-def _pq_sqdist(a: str, b: str):
+def _pq_sqdist(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
+    )
+
+
+def _pq_cb_packed(cb: DataFrame) -> DataFrame:
+    """The codebooks as ONE broadcastable row: cbs_all[sub][code] ->
+    struct(code, cv), code-ordered within each subspace (array position
+    i holds code i-1, so an in-row argmin/LUT lookup can index by code).
+    Shared by the r13 fused flat-PQ and IVF+PQ paths."""
+    return (
+        cb.groupBy("sub_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("code", "cv"))).alias(
+                "cbs"
+            )
+        )
+        .groupBy()
+        .agg(
+            F.array_sort(F.collect_list(F.struct("sub_id", "cbs"))).alias(
+                "_s"
+            )
+        )
+        .select(F.transform("_s", lambda s: s["cbs"]).alias("cbs_all"))
+    )
+
+
+def _pq_codes_expr(vec_col: str, w: int, n_subspaces: int):
+    """In-row PQ encoding: ALL subspace codes of one vector as a single
+    expression over the packed broadcast codebooks (``cbs_all`` column
+    from _pq_cb_packed). Per subspace: argmin over the codebook of the
+    same deterministic sqdist left-fold the join formulation used;
+    array_min over struct(d2, code) tie-breaks (d2, code) exactly like
+    the old min_by struct ordering. No subvector explode, no joined row
+    per (vector, subspace, code), no aggregation exchange."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                F.element_at("cbs_all", s + 1),
+                lambda c: F.struct(
+                    _pq_sqdist(
+                        F.slice(vec_col, s * w + 1, w), c["cv"]
+                    ).alias("d2"),
+                    c["code"].alias("code"),
+                ),
+            )
+        )["code"],
+    )
+
+
+def _pq_lut_expr(q_col: str, w: int, n_subspaces: int):
+    """In-row packed ADC lookup table for one probe (or one probe-cell
+    residual): lut[sub][code] = partial squared distance from the
+    probe's subvector to that codebook centroid, code-ordered like
+    _pq_cb_packed so element_at(lut[s], code+1) is the O(1) lookup."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
+        lambda s: F.transform(
+            F.element_at("cbs_all", s + 1),
+            lambda c: _pq_sqdist(F.slice(q_col, s * w + 1, w), c["cv"]),
+        ),
+    )
+
+
+def _pq_adc_expr(n_subspaces: int):
+    """In-row ADC distance: fixed-order sum of the n_subspaces LUT
+    partials selected by the row's codes (columns ``lut``, ``codes``).
+    The old shuffled SUM left the 4-term float addition order
+    unspecified; this pins it to subspace order."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at("lut", s + 1), F.element_at("codes", s + 1) + 1
+        ),
     )
 
 
@@ -775,18 +889,6 @@ def pq_adc_topk(
                 F.lit(0).alias("rank"),
             )
         )
-    # encode via subvector-explode -> broadcast-join -> min_by: the
-    # floats never shuffle (the join side is the broadcast codebook;
-    # min_by partial-aggregates map-side so the exchange carries one
-    # small row per (vector, subspace)). A literal-codebook projection
-    # (argmin over inlined centroid arrays) was tried and measured NO
-    # faster here and catastrophically slower on the IVF+PQ residual
-    # path — Spark evaluates higher-order functions interpreted, and
-    # huge inlined-literal expression trees degrade the whole stage —
-    # so the join formulation stands (see ivf_pq_topk's inline note).
-    codes = _pq_assign(v, cb, w, n_subspaces).select(
-        "vec_id", "sub_id", F.col("b.code").alias("code")
-    )
     p = (
         probes.select(
             F.col("probe_id"), F.col("probe_vec").alias("raw")
@@ -795,28 +897,65 @@ def pq_adc_topk(
         .filter(F.col("nv") > 0)
         .select("probe_id", unit.alias("q"))
     )
-    # ADC lookup table: partial squared distance from each probe's
-    # subvector to every codebook centroid
-    lut = (
-        p.select(
-            "probe_id",
-            F.posexplode(
-                F.array(
-                    *[F.slice("q", i * w + 1, w) for i in range(n_subspaces)]
-                )
-            ).alias("sub_id", "qv"),
+    if os.environ.get("SPARK_GRAFT_OPT_PQADC", "1") == "0":
+        # pre-r13 shape, kept for A/B: encode via subvector-explode ->
+        # broadcast-join -> min_by groupBy; ADC via (sub, code) join +
+        # (probe, vec) sum groupBy
+        codes = _pq_assign(v, cb, w, n_subspaces).select(
+            "vec_id", "sub_id", F.col("b.code").alias("code")
         )
-        .join(F.broadcast(cb), "sub_id")
-        .select(
-            "probe_id", "sub_id", "code", _pq_sqdist("qv", "cv").alias("pd")
+        lut = (
+            p.select(
+                "probe_id",
+                F.posexplode(
+                    F.array(
+                        *[F.slice("q", i * w + 1, w) for i in range(n_subspaces)]
+                    )
+                ).alias("sub_id", "qv"),
+            )
+            .join(F.broadcast(cb), "sub_id")
+            .select(
+                "probe_id", "sub_id", "code", _pq_sqdist("qv", "cv").alias("pd")
+            )
         )
-    )
-    adc = (
-        codes.join(F.broadcast(lut), ["sub_id", "code"])
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .groupBy("probe_id", "vec_id")
-        .agg(F.sum("pd").alias("adc_d2"))
-    )
+        adc = (
+            codes.join(F.broadcast(lut), ["sub_id", "code"])
+            .filter(F.col("vec_id") != F.col("probe_id"))
+            .groupBy("probe_id", "vec_id")
+            .agg(F.sum("pd").alias("adc_d2"))
+        )
+    else:
+        # r13 fused path (guide §2.4 — remove shuffles outright): the
+        # codebooks, PACKED as one broadcast row (cbs_all[sub][code] ->
+        # centroid, code-ordered), let each vector row compute ALL its
+        # subspace codes in ONE in-row argmin expression — no subvector
+        # explode, no 16x joined rows per (vector, subspace), and the
+        # min_by aggregation exchange disappears. The per-probe LUT is
+        # likewise packed (lut[sub][code] -> partial d2) so the ADC
+        # distance is an in-row 4-term fold against the broadcast LUT —
+        # the old (probe, vec)-keyed aggregation exchange, which at
+        # corpus scale carried |corpus| x |probes| rows, disappears
+        # too. Same arithmetic on the same slices (sqdist is the same
+        # deterministic left-fold; argmin tie-breaks (d2, code) exactly
+        # like min_by's struct ordering); the 4 partials now sum in
+        # fixed subspace order, which only pins what the old shuffled
+        # SUM left unspecified in the last float bits. The only
+        # exchange left before the rerank is the shortlist window's.
+        cb_packed = _pq_cb_packed(cb)
+        codes = v.crossJoin(F.broadcast(cb_packed)).select(
+            "vec_id", _pq_codes_expr("v", w, n_subspaces).alias("codes")
+        )
+        p_lut = p.crossJoin(F.broadcast(cb_packed)).select(
+            "probe_id", _pq_lut_expr("q", w, n_subspaces).alias("lut")
+        )
+        adc = (
+            codes.crossJoin(F.broadcast(p_lut))
+            .filter(F.col("vec_id") != F.col("probe_id"))
+            .select(
+                "probe_id", "vec_id",
+                _pq_adc_expr(n_subspaces).alias("adc_d2"),
+            )
+        )
     wnd = W.partitionBy("probe_id").orderBy(
         F.col("adc_d2").asc(), F.col("vec_id").asc()
     )
@@ -950,28 +1089,39 @@ def _ivfpq_encode(
             F.zip_with("v", "cv", lambda a, b: a - b).alias("r"),
         )
     )
-    # per-subspace codes via explode -> broadcast-join -> min_by,
-    # cell kept on the row. The floats do not shuffle here either:
-    # the codebook side is broadcast and min_by partial-aggregates
-    # map-side, so the exchange carries one (vec, cell, sub) row.
-    # (A literal-codebook projection was tried and MEASURED 40x
-    # slower: the generator inlines the residual chain — cell argmax
-    # + element_at + zip_with — once per codebook entry, re-running
-    # interpreted higher-order aggregates 256x per row.)
-    subs = res.select(
-        "vec_id", "cell",
-        F.posexplode(
-            F.array(*[F.slice("r", i * w + 1, w) for i in range(n_subspaces)])
-        ).alias("sub_id", "sv"),
-    )
-    codes = (
-        subs.join(F.broadcast(cb), "sub_id")
-        .select(
-            "vec_id", "cell", "sub_id", "code",
-            _pq_sqdist("sv", "cv").alias("d2"),
+    if os.environ.get("SPARK_GRAFT_OPT_IVFPQ", "1") == "0":
+        # pre-r13 rows form, kept for A/B: per-subspace codes via
+        # explode -> broadcast-join -> min_by, cell kept on the row.
+        # Schema: one (vec_id, cell, sub_id, code) row per subspace —
+        # callers branch on the same env var.
+        subs = res.select(
+            "vec_id", "cell",
+            F.posexplode(
+                F.array(*[F.slice("r", i * w + 1, w) for i in range(n_subspaces)])
+            ).alias("sub_id", "sv"),
         )
-        .groupBy("vec_id", "cell", "sub_id")
-        .agg(F.min_by("code", F.struct("d2", "code")).alias("code"))
+        codes = (
+            subs.join(F.broadcast(cb), "sub_id")
+            .select(
+                "vec_id", "cell", "sub_id", "code",
+                _pq_sqdist("sv", "cv").alias("d2"),
+            )
+            .groupBy("vec_id", "cell", "sub_id")
+            .agg(F.min_by("code", F.struct("d2", "code")).alias("code"))
+        )
+        return assigned, codes
+    # r13 fused encode (guide §2.4, same as pq_adc_topk): all subspace
+    # codes of a vector computed in ONE in-row argmin expression over
+    # the packed broadcast codebooks — no subvector explode, no min_by
+    # aggregation exchange, and the build path gets its sub_id-ordered
+    # code ARRAY for free. The residual ``r`` is a materialized column
+    # referenced (not inlined) by each slice, so the r12-measured
+    # catastrophe — a LITERAL-codebook generator re-running the whole
+    # residual chain once per codebook entry — cannot recur: Catalyst
+    # never collapses a non-cheap expression into multiple references.
+    # Schema: one (vec_id, cell, codes array<int>) row per vector.
+    codes = res.crossJoin(F.broadcast(_pq_cb_packed(cb))).select(
+        "vec_id", "cell", _pq_codes_expr("r", w, n_subspaces).alias("codes")
     )
     return assigned, codes
 
@@ -1090,33 +1240,50 @@ def ivf_pq_topk(
             F.zip_with("q", "cv", lambda a, b: a - b).alias("qr"),
         )
     )
-    # ADC LUT: partial squared distance from each (probe, cell)
-    # residual query subvector to every codebook entry — bounded at
-    # probes x nprobe x subspaces x codebook_size rows, broadcast
-    lut = (
-        probe_cells.select(
-            "probe_id", "cell",
-            F.posexplode(
-                F.array(
-                    *[F.slice("qr", i * w + 1, w) for i in range(n_subspaces)]
-                )
-            ).alias("sub_id", "qv"),
+    if os.environ.get("SPARK_GRAFT_OPT_IVFPQ", "1") == "0":
+        # pre-r13: row-form LUT + (cell, sub, code) join + (probe, vec)
+        # sum aggregation, kept for A/B
+        lut = (
+            probe_cells.select(
+                "probe_id", "cell",
+                F.posexplode(
+                    F.array(
+                        *[F.slice("qr", i * w + 1, w) for i in range(n_subspaces)]
+                    )
+                ).alias("sub_id", "qv"),
+            )
+            .join(F.broadcast(cb), "sub_id")
+            .select(
+                "probe_id", "cell", "sub_id", "code",
+                _pq_sqdist("qv", "cv").alias("pd"),
+            )
         )
-        .join(F.broadcast(cb), "sub_id")
-        .select(
-            "probe_id", "cell", "sub_id", "code",
-            _pq_sqdist("qv", "cv").alias("pd"),
+        adc = (
+            codes.join(F.broadcast(lut), ["cell", "sub_id", "code"])
+            .filter(F.col("vec_id") != F.col("probe_id"))
+            .groupBy("probe_id", "vec_id")
+            .agg(F.sum("pd").alias("adc_d2"))
         )
-    )
-    # ADC scan: only code rows in probed cells join (the IVF prune);
-    # summing the n_subspaces partials gives ||qr - code(r)||^2 ~
-    # ||q - v||^2 = 2 - 2 cos on the unit sphere
-    adc = (
-        codes.join(F.broadcast(lut), ["cell", "sub_id", "code"])
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .groupBy("probe_id", "vec_id")
-        .agg(F.sum("pd").alias("adc_d2"))
-    )
+    else:
+        # r13 fused ADC (same as pq_adc_topk): the per-(probe, cell)
+        # LUT rides packed on one broadcast row, the cell join IS the
+        # IVF prune, and the n_subspaces partials sum in-row — the
+        # (probe, vec)-keyed aggregation exchange (|probed corpus| x
+        # |probes| rows at scale) disappears. ||qr - code(r)||^2 ~
+        # ||q - v||^2 = 2 - 2 cos on the unit sphere, as before.
+        lut_p = probe_cells.crossJoin(
+            F.broadcast(_pq_cb_packed(cb))
+        ).select(
+            "probe_id", "cell", _pq_lut_expr("qr", w, n_subspaces).alias("lut")
+        )
+        adc = (
+            codes.join(F.broadcast(lut_p), "cell")
+            .filter(F.col("vec_id") != F.col("probe_id"))
+            .select(
+                "probe_id", "vec_id",
+                _pq_adc_expr(n_subspaces).alias("adc_d2"),
+            )
+        )
     wnd = W.partitionBy("probe_id").orderBy(
         F.col("adc_d2").asc(), F.col("vec_id").asc()
     )
@@ -1204,16 +1371,23 @@ def ivf_pq_build(
     assigned, codes = _ivfpq_encode(v, cents, cb, w, n_subspaces)
     # one array<int> row per vector, sub_id order pinned by array_sort
     # over (sub_id, code) structs before the code projection
-    packed = (
-        codes.groupBy("vec_id", "cell")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub_id", "code"))),
-                lambda s: s["code"],
-            ).alias("codes")
+    if os.environ.get("SPARK_GRAFT_OPT_IVFPQ", "1") == "0":
+        # pre-r13 rows-form codes: pack one sub_id-ordered array per
+        # vector via groupBy (kept for A/B)
+        packed = (
+            codes.groupBy("vec_id", "cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub_id", "code"))),
+                    lambda s: s["code"],
+                ).alias("codes")
+            )
+            .join(assigned.select("vec_id", "v"), "vec_id")
         )
-        .join(assigned.select("vec_id", "v"), "vec_id")
-    )
+    else:
+        # r13 fused encode already yields the sub_id-ordered code array
+        # per vector — the packing groupBy (and its exchange) is gone
+        packed = codes.join(assigned.select("vec_id", "v"), "vec_id")
     cents.write.mode("overwrite").parquet(f"{out_dir}/centroids")
     cb.write.mode("overwrite").parquet(f"{out_dir}/codebooks")
     packed.write.mode("overwrite").partitionBy("cell").parquet(
@@ -1289,30 +1463,51 @@ def ivf_pq_query(
         if cells else F.lit(False)
     )
     w = len(cb.select("cv").first()[0])  # subvector width from codebook
-    lut = (
-        probe_cells.select(
+    if os.environ.get("SPARK_GRAFT_OPT_IVFPQ", "1") == "0":
+        # pre-r13 row-form LUT + ADC, kept for A/B
+        lut = (
+            probe_cells.select(
+                "probe_id", "cell",
+                F.posexplode(
+                    F.array(
+                        *[F.slice("qr", i * w + 1, w) for i in range(n_subspaces)]
+                    )
+                ).alias("sub_id", "qv"),
+            )
+            .join(F.broadcast(cb), "sub_id")
+            .select(
+                "probe_id", "cell", "sub_id", "code",
+                _pq_sqdist("qv", "cv").alias("pd"),
+            )
+        )
+        code_rows = scan.select(
+            "vec_id", "cell", F.posexplode("codes").alias("sub_id", "code")
+        )
+        adc = (
+            code_rows.join(F.broadcast(lut), ["cell", "sub_id", "code"])
+            .filter(F.col("vec_id") != F.col("probe_id"))
+            .groupBy("probe_id", "vec_id")
+            .agg(F.sum("pd").alias("adc_d2"))
+        )
+    else:
+        # r13 fused ADC (see ivf_pq_topk): packed per-(probe, cell)
+        # LUT, cell join = the IVF prune, in-row fixed-order fold —
+        # no code-row explode, no (probe, vec) aggregation exchange
+        lut_p = probe_cells.crossJoin(
+            F.broadcast(_pq_cb_packed(cb))
+        ).select(
             "probe_id", "cell",
-            F.posexplode(
-                F.array(
-                    *[F.slice("qr", i * w + 1, w) for i in range(n_subspaces)]
-                )
-            ).alias("sub_id", "qv"),
+            _pq_lut_expr("qr", w, n_subspaces).alias("lut"),
         )
-        .join(F.broadcast(cb), "sub_id")
-        .select(
-            "probe_id", "cell", "sub_id", "code",
-            _pq_sqdist("qv", "cv").alias("pd"),
+        adc = (
+            scan.select("vec_id", "cell", "codes")
+            .join(F.broadcast(lut_p), "cell")
+            .filter(F.col("vec_id") != F.col("probe_id"))
+            .select(
+                "probe_id", "vec_id",
+                _pq_adc_expr(n_subspaces).alias("adc_d2"),
+            )
         )
-    )
-    code_rows = scan.select(
-        "vec_id", "cell", F.posexplode("codes").alias("sub_id", "code")
-    )
-    adc = (
-        code_rows.join(F.broadcast(lut), ["cell", "sub_id", "code"])
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .groupBy("probe_id", "vec_id")
-        .agg(F.sum("pd").alias("adc_d2"))
-    )
     wnd = W.partitionBy("probe_id").orderBy(
         F.col("adc_d2").asc(), F.col("vec_id").asc()
     )
@@ -1472,16 +1667,23 @@ def ivf_pq_append(
         .select("vec_id", unit.alias("v"))
     )
     assigned, codes = _ivfpq_encode(v, cents, cb, w, n_subspaces)
-    packed = (
-        codes.groupBy("vec_id", "cell")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub_id", "code"))),
-                lambda s: s["code"],
-            ).alias("codes")
+    if os.environ.get("SPARK_GRAFT_OPT_IVFPQ", "1") == "0":
+        # pre-r13 rows-form codes: pack one sub_id-ordered array per
+        # vector via groupBy (kept for A/B)
+        packed = (
+            codes.groupBy("vec_id", "cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub_id", "code"))),
+                    lambda s: s["code"],
+                ).alias("codes")
+            )
+            .join(assigned.select("vec_id", "v"), "vec_id")
         )
-        .join(assigned.select("vec_id", "v"), "vec_id")
-    )
+    else:
+        # r13 fused encode already yields the sub_id-ordered code array
+        # per vector — the packing groupBy (and its exchange) is gone
+        packed = codes.join(assigned.select("vec_id", "v"), "vec_id")
     packed.write.mode("append").partitionBy("cell").parquet(
         f"{index_dir}/codes"
     )
