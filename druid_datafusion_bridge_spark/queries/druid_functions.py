@@ -810,11 +810,20 @@ def fd_ds_sketch_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             -- COUNT(DISTINCT) lowers to an Expand (2x rows), and a
             -- sort-based aggregate (percentile) sharing that Aggregate
             -- runs over the expanded input — measured 8 s combined vs
-            -- ~2 s split at sf0.1; the join back is 3 rows
+            -- ~2 s split at sf0.1; the join back is 3 rows.
+            -- r13 (same rewrite as a9_approx_count_distinct): dedup
+            -- the (flag, partkey) pairs FIRST — otherwise the mixed
+            -- distinct/HLL aggregate's first partial phase keys by the
+            -- pair and shuffles a partial HLL buffer on EVERY distinct
+            -- pair row. Over deduped pairs, COUNT == COUNT(DISTINCT)
+            -- and the HLL builds from the same value set (sketches are
+            -- duplicate-insensitive), so estimate and flags are
+            -- bit-identical while the exchange carries two columns.
             SELECT l_returnflag,
-                   COUNT(DISTINCT l_partkey) AS exact_parts,
+                   COUNT(l_partkey) AS exact_parts,
                    APPROX_COUNT_DISTINCT_DS_HLL(l_partkey, 14) AS hll_est
-            FROM lineitem GROUP BY l_returnflag
+            FROM (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem)
+            GROUP BY l_returnflag
         ),
         pcts AS (
             SELECT l_returnflag,

@@ -63,17 +63,47 @@ def prof_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     heterogeneous column types share one output schema; only integer
     and varchar columns are profiled so Spark and DuckDB render
     identical text."""
+    import os
+
     li = table(spark, sf_dir, "lineitem", heavy_scan=True)
     cols = ["l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus"]
-    aggs = [F.count("*").alias("n_rows")]
-    for c in cols:
-        aggs += [
-            (F.count("*") - F.count(c)).alias(f"nulls_{c}"),
-            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
-            F.min(c).cast("string").alias(f"min_{c}"),
-            F.max(c).cast("string").alias(f"max_{c}"),
-        ]
-    wide = li.agg(*aggs)
+    if os.environ.get("SPARK_GRAFT_OPT_PROF", "1") == "0":
+        # pre-r13 single Aggregate, kept for A/B: the multi-column
+        # COUNT(DISTINCT) plans an Expand — every scan row duplicated
+        # once per profiled column before the exchange
+        aggs = [F.count("*").alias("n_rows")]
+        for c in cols:
+            aggs += [
+                (F.count("*") - F.count(c)).alias(f"nulls_{c}"),
+                F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+                F.min(c).cast("string").alias(f"min_{c}"),
+                F.max(c).cast("string").alias(f"max_{c}"),
+            ]
+        wide = li.agg(*aggs)
+    else:
+        # r13 (a9's rewrite generalized): the non-distinct statistics
+        # stay one Expand-free Aggregate; each exact distinct count is
+        # its OWN dedup-then-count aggregation (partial aggregation
+        # folds duplicates map-side, the exchange carries distinct
+        # values only) and the four 1-row results attach by broadcast
+        # cross join. Counts identical: COUNT(c) over DISTINCT c rows
+        # == COUNT(DISTINCT c) (the NULL row survives dedup but COUNT
+        # skips it). Same scan count in wall-clock terms — the five
+        # aggregate subtrees are independent stages over the same
+        # mirror scan and schedule concurrently.
+        aggs = [F.count("*").alias("n_rows")]
+        for c in cols:
+            aggs += [
+                (F.count("*") - F.count(c)).alias(f"nulls_{c}"),
+                F.min(c).cast("string").alias(f"min_{c}"),
+                F.max(c).cast("string").alias(f"max_{c}"),
+            ]
+        wide = li.agg(*aggs)
+        for c in cols:
+            nd = li.select(c).distinct().agg(
+                F.count(c).alias(f"nd_{c}")
+            )
+            wide = wide.crossJoin(F.broadcast(nd))
     rows = F.array(
         *[
             F.struct(

@@ -487,11 +487,16 @@ def test_approx_profile_compiles_without_expand(spark):
     )
     assert "Expand" not in plan, "approx profile regressed to Expand"
     assert plan.count("lineitem.parquet") == 1
-    # the exact profiler DOES pay the Expand (documented trade)
+    # r13: the EXACT profiler no longer pays the Expand either — each
+    # distinct count is its own dedup-then-count aggregation attached
+    # by a 1-row broadcast cross join (queries/profiling.py), so a
+    # reappearing Expand is a regression of that rewrite
     exact_plan = formatted_plan(
         all_queries()["prof_column_stats"](spark, SF_DIR)
     )
-    assert "Expand" in exact_plan
+    assert "Expand" not in exact_plan, (
+        "exact profiler regressed to the pre-r13 Expand plan"
+    )
 
 
 def test_lookup_enrich_broadcasts_both_maps(spark):
