@@ -112,11 +112,59 @@ def _io_anchor(spark, sf_dir: str) -> float:
     return round(best, 3)
 
 
+def _scaled_bench_dir(spark, sf_dir: str, factor: int) -> str:
+    """Materialize (once, fingerprinted) a factor× scale-up of sf_dir
+    under /tmp and return its path — the OPT-IN bench profile for
+    scaling studies (r12 verdict #7: at sf0.1 every headline query is
+    sub-second, so the 8-vs-32-core ratio reads the fixed-cost floor,
+    not the parallelism). `SPARK_GRAFT_BENCH_SCALE_FACTOR=10 python
+    bench.py` times the SAME queries with the same methodology over a
+    10× input (bench_scale.make_scaled_dir: key-shifted disjoint
+    copies, referential integrity preserved). UNSET = this function is
+    never called and the bench is byte-for-byte the driver contract.
+    This scales the INPUT before anything is timed (an ingest-time
+    artifact like the scan mirrors, fingerprinted to source+factor);
+    no query result or intermediate is ever reused across runs."""
+    import hashlib
+
+    from bench_scale import _SCALE_KEYS, make_scaled_dir
+
+    sig_parts = [f"factor={factor}"]
+    for t in sorted(_SCALE_KEYS) + ["region", "nation"]:
+        st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+        sig_parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
+    fp = ";".join(sig_parts)
+    tag = hashlib.md5(
+        (os.path.abspath(sf_dir) + fp).encode()
+    ).hexdigest()[:12]
+    dest = f"/tmp/ddbs_bench_scaled/{tag}"
+    stamp = os.path.join(dest, "_FINGERPRINT")
+    try:
+        with open(stamp, encoding="utf-8") as f:
+            if f.read() == fp:
+                return dest
+    except OSError:
+        pass
+    make_scaled_dir(spark, sf_dir, dest, factor)
+    with open(stamp, "w", encoding="utf-8") as f:
+        f.write(fp)
+    return dest
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark(app_name="ddbs-bench")
     queries = all_queries()
+
+    # Opt-in scaling profile (see _scaled_bench_dir). Default 1 = off:
+    # the timed inputs, queries and methodology are exactly the driver
+    # contract.
+    scale_factor = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_FACTOR", "1"))
+    if scale_factor > 1:
+        sf_dir = _scaled_bench_dir(spark, sf_dir, scale_factor)
+        if sf.replace(".", "").isdigit():
+            sf = str(float(sf) * scale_factor)
 
     # Ingest-time step, run explicitly BEFORE anything is timed: the
     # scan-mirror re-layout is a table rewrite and belongs to serve
