@@ -202,8 +202,16 @@ def mm_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.octet_length("_chunk").alias("_n"),
         )
     )
+    # r13 (r12 ADVICE): guard the empty-payload frame — sequence(1, 0)
+    # yields a DESCENDING [1, 0] array, so _n = 0 would decode two
+    # phantom null bytes and make energy/peak NULL instead of the
+    # empty-frame values. Latent on this corpus (no empty documents;
+    # the pre-r12 code shared the quirk via sequence(1, n_bytes)), so
+    # declared results are unchanged — the case is now well-defined.
     chunk = F.transform(
-        F.sequence(F.lit(1), F.col("_n")),
+        F.when(F.col("_n") >= 1, F.sequence(F.lit(1), F.col("_n"))).otherwise(
+            F.array().cast("array<int>")
+        ),
         lambda i: F.conv(F.substring(F.col("_hx"), (i - 1) * 2 + 1, 2), 16, 10).cast(
             "long"
         ),

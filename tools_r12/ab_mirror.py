@@ -34,6 +34,10 @@ CONFIGS = {
 
 def set_cfg(cfg: tuple[int, int, str]) -> None:
     os.environ["SPARK_GRAFT_MIRROR_MIN_BYTES"] = str(cfg[0])
+    # r13 fix (r12 ADVICE): the heavy profile has its OWN threshold, so
+    # without this the 'none' baseline still served heavy mirrors to
+    # heavy_scan reads and the A/B baseline was not mirror-free
+    os.environ["SPARK_GRAFT_HEAVY_MIRROR_MIN_BYTES"] = str(cfg[0])
     os.environ["SPARK_GRAFT_MIRROR_FILE_BYTES"] = str(cfg[1])
     os.environ["SPARK_GRAFT_MIRROR_ROOT"] = cfg[2]
 
