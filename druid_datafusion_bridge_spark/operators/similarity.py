@@ -584,11 +584,15 @@ def pq_quantize(
     double = squared reconstruction error of the whole vector).
 
     Scale shape: codebooks are (n_subspaces x codebook_size x subdim) —
-    tiny, broadcast; encoding is subvector-explode -> broadcast-join ->
-    per-(vector, subspace) argmin — a stateless scan of the corpus, no
-    shuffle beyond the explode's map-side regrouping. Training sees the
-    corpus ``n_subspaces`` times (bounded, small k); at 100 TB train on
-    a hash-sample and freeze, like the IVF maintenance path."""
+    tiny, broadcast; encoding (r13, same fusion as pq_adc_topk) is one
+    in-row argmin expression per vector over the PACKED broadcast
+    codebooks — no subvector explode, no per-(vector, subspace) min_by
+    exchange and no repacking groupBy; the whole encode fuses into the
+    corpus scan. Training sees the corpus ``n_subspaces`` times
+    (bounded, small k); at 100 TB train on a hash-sample and freeze,
+    like the IVF maintenance path. (sq_err now sums the subspace
+    partials in fixed subspace order — the old shuffled SUM left that
+    4-term float addition order unspecified.)"""
     if dim % n_subspaces:
         raise ValueError("dim must divide evenly into subspaces")
     w = dim // n_subspaces
@@ -598,15 +602,42 @@ def pq_quantize(
         )
     )
     cb = _pq_train(v, w, n_subspaces, codebook_size, seed)
-    best = _pq_assign(v, cb, w, n_subspaces)
-    return best.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct("sub_id", F.col("b.code").alias("code")))
-            ),
-            lambda s: s["code"],
-        ).alias("codes"),
-        F.sum("b.d2").alias("sq_err"),
+    if os.environ.get("SPARK_GRAFT_OPT_PQADC", "1") == "0":
+        # pre-r13 explode/min_by/groupBy encode, kept for A/B
+        best = _pq_assign(v, cb, w, n_subspaces)
+        return best.groupBy("vec_id").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("sub_id", F.col("b.code").alias("code")))
+                ),
+                lambda s: s["code"],
+            ).alias("codes"),
+            F.sum("b.d2").alias("sq_err"),
+        )
+    best_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                F.element_at("cbs_all", s + 1),
+                lambda c: F.struct(
+                    _pq_sqdist(F.slice("v", s * w + 1, w), c["cv"]).alias(
+                        "d2"
+                    ),
+                    c["code"].alias("code"),
+                ),
+            )
+        ),
+    )
+    return (
+        v.crossJoin(F.broadcast(_pq_cb_packed(cb)))
+        .select("vec_id", best_expr.alias("_b"))
+        .select(
+            "vec_id",
+            F.transform("_b", lambda b: b["code"]).alias("codes"),
+            F.aggregate(
+                "_b", F.lit(0.0), lambda acc, b: acc + b["d2"]
+            ).alias("sq_err"),
+        )
     )
 
 
